@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * All engine queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * the parquet tables from it. At cluster scale these would be catalog tables
+  * (partitioned / bucketed parquet); the loader shape is the same either way —
+  * `spark.read.parquet` gives Catalyst a pushdown-capable columnar scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` works — the
+    * SQL entry point (SURVEY §3.2): the reference delegates ad-hoc SQL to
+    * Postgres; we delegate to Catalyst over the same logical schema. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
