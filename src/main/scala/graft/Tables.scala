@@ -24,7 +24,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  /** events.ts is a TIMESTAMP(NANOS) parquet column, which Spark only reads
+    * as a long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench/tests). Normalize to a real TimestampType via integer
+    * ns→µs division — `div` (not `/`) because ns-epoch values exceed 2^53
+    * and a double round-trip would lose precision; truncation matches
+    * DuckDB's own ns→µs read behavior. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

@@ -79,7 +79,7 @@ object CleanFns {
   /** U14 `strip_tube` (pipeline.py:535-540): all but the last token. */
   def dropLastToken(c: Column): Column = {
     val parts = split(c, " ")
-    array_join(slice(parts, 1, size(parts) - 1), " ")
+    array_join(slice(parts, lit(1), size(parts) - 1), " ")
   }
 
   /** U15 `hasNumbers` (pipeline.py:541-542). */
@@ -114,9 +114,11 @@ object CleanFns {
       .otherwise(c)
   }
 
-  /** U19 null normalization (pipeline.py:290): literal 'None'/'NaN' → NULL. */
+  /** U19 null normalization (pipeline.py:290): literal 'None' → NULL.
+    * Only 'None' — the reference gives '' its own op (U20, ''→0,
+    * pipeline.py:747), so composing U19∘U20 must keep '' = 0. */
   def noneToNull(c: Column): Column =
-    when(c === "None" || c === "NaN" || c === "", lit(null)).otherwise(c)
+    when(c === "None", lit(null)).otherwise(c)
 
   /** U20 empty→zero (pipeline.py:747): air-quality '' value → 0.0. */
   def emptyToZero(c: Column): Column =

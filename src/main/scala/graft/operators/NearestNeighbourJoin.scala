@@ -51,10 +51,14 @@ object NearestNeighbourJoin {
 
   /** Grid-bucketed argmin for large × large inputs (L1 over 2-D coords).
     *
-    * Correct whenever the true nearest neighbour lies within one cell width
-    * `cw` of the query point; rows with an empty 3×3 neighbourhood fall back
-    * to a broadcast full argmin (rare by construction when `cw` ≳ typical NN
-    * distance — and the fallback input is exactly the rows that need it).
+    * Unconditionally correct: a local 3×3-cell argmin is PROVEN optimal only
+    * when its distance ≤ cellWidth (any point outside the neighbourhood is
+    * > cellWidth away in L1). Rows with an empty neighbourhood, or whose local
+    * winner is farther than cellWidth, are re-routed through the broadcast
+    * full argmin — exactly the rows whose local result is unproven, rare by
+    * construction when cellWidth ≳ typical NN distance. Skew note: a hot cell
+    * (dense region) is a skewed join key — AQE skew-join handling covers it
+    * at scale (spark.sql.adaptive.enabled, on by default in Spark 4).
     */
   def gridArgmin(
       left: DataFrame, leftKey: String, lx: String, ly: String,
@@ -82,11 +86,15 @@ object NearestNeighbourJoin {
         .select(col(leftKey), col("__best.__p").as(rightPayload),
           col("__best.__dist").as("dist"))
 
-    val hits = argmin(l.join(r, Seq("cx", "cy")))
-    val missed = left.join(hits.select(col(leftKey)), Seq(leftKey), "left_anti")
+    val local = argmin(l.join(r, Seq("cx", "cy")))
+    // Proven winners: closer than one cell width, so no point outside the
+    // 3×3 neighbourhood can beat them.
+    val proven = local.filter(col("dist") <= cellWidth)
+    val unproven = left
+      .join(proven.select(col(leftKey)), Seq(leftKey), "left_anti")
       .select(col(leftKey), col(lx), col(ly))
-    val fallback = argmin(missed.crossJoin(
+    val fallback = argmin(unproven.crossJoin(
       broadcast(right.select(col(rightPayload), col(rx), col(ry)))))
-    hits.unionByName(fallback)
+    proven.unionByName(fallback)
   }
 }

@@ -1,0 +1,479 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sql
+import graft.functions.CleanFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational surface (SURVEY §2.1–§2.7, §2.9–§2.10) as
+  * driver-verifiable queries over the synthetic testdata tables.
+  *
+  * Each query is the Spark-first expression of one operator row from
+  * SURVEY §2; the oracle is the simplest DuckDB SQL producing the identical
+  * result (the oracle need not mirror the mechanism — only the output).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a 2-decimal double column: route the
+    * sum through DECIMAL(18,2) so partition/merge order can't flip low bits,
+    * then cast back to DOUBLE for a stable output schema. */
+  private def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** Exact mean built from exactSum / count — one IEEE division, both
+    * engines produce the identical double. */
+  private def exactAvg(c: Column): Column = exactSum(c) / count(lit(1))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── A1/J1/J5/O3/F: the flagship — avg price per station (<1 km) becomes
+    //    avg extendedprice per nation for low-quantity lineitems; two
+    //    broadcast dimension joins, group-avg, order, limit.
+    //    (reference: README.md:4, webapplication_screens.png)
+    sql("q01_flagship",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       COUNT(*) AS n_listings
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_quantity < 25
+        |GROUP BY n_name
+        |ORDER BY avg_price DESC, n_name
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      li.filter(col("l_quantity") < 25)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(exactAvg(col("l_extendedprice")).as("avg_price"),
+             count(lit(1)).as("n_listings"))
+        .orderBy(desc("avg_price"), col("n_name"))
+        .limit(10)
+    },
+
+    // ── A1 simple form (the driver's own example shape)
+    sql("q_agg_sum",
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(sum("l_quantity").cast("double").as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── A1 multi-measure: exact decimal-routed sums and means
+    sql("q_agg_stats",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").cast("double").as("sum_qty"),
+             exactSum(col("l_extendedprice")).as("sum_price"),
+             exactAvg(col("l_discount")).as("avg_disc"),
+             count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── P1 select/reorder (pipeline.py:746)
+    sql("q_proj_select",
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey") { (s, d) =>
+      Tables.nation(s, d).select("n_nationkey", "n_name").orderBy("n_nationkey")
+    },
+
+    // ── P2 rename (google_maps_api.ipynb:178)
+    sql("q_proj_rename",
+      """SELECT s_suppkey AS supplier_id, s_name AS supplier_name
+        |FROM supplier ORDER BY supplier_id""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier_name"))
+        .orderBy("supplier_id")
+    },
+
+    // ── P3 drop columns (google_maps_api.ipynb cell 7)
+    sql("q_proj_drop",
+      """SELECT p_partkey, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).drop("p_name", "p_type").orderBy("p_partkey")
+    },
+
+    // ── P4 constant column (pipeline.py:745)
+    sql("q_proj_lit",
+      """SELECT r_regionkey, r_name, 'wikipedia' AS src, CAST(1 AS INT) AS flag
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .withColumn("src", lit("wikipedia")).withColumn("flag", lit(1))
+        .orderBy("r_regionkey")
+    },
+
+    // ── P5 null-column schema extension (pipeline.py:506)
+    sql("q_proj_nullcol",
+      """SELECT n_nationkey, CAST(NULL AS DOUBLE) AS distance,
+        |       CAST(NULL AS VARCHAR) AS subway_station
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey"),
+          lit(null).cast("double").as("distance"),
+          lit(null).cast("string").as("subway_station"))
+        .orderBy("n_nationkey")
+    },
+
+    // ── F1-style regex predicate (pipeline.py:146-150 applied as filter)
+    sql("q_filter_rlike",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) ') ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+
+    // ── F2 inequality filter (pipeline.py:201-202)
+    sql("q_filter_neq",
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_type") =!= "error")
+        .select("event_id", "event_type").orderBy("event_id")
+    },
+
+    // ── F4/F5 equality filter (LondonAir...ipynb:125; google_maps_api:369)
+    sql("q_filter_eq",
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+
+    // ── F8 substring filter (pipeline.py:591)
+    sql("q_filter_contains",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE contains(p_name, 'widget') ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+
+    // ── F7 + U19: null-normalize then non-null filter (pipeline.py:290, :564)
+    sql("q_filter_notnull",
+      """SELECT p_partkey,
+        |       CASE WHEN p_partkey % 5 = 0 THEN 'None' ELSE p_brand END AS brand_raw
+        |FROM part
+        |WHERE (CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END) IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val raw = when(col("p_partkey") % 5 === 0, lit("None")).otherwise(col("p_brand"))
+      Tables.part(s, d).withColumn("brand_raw", raw)
+        .filter(CleanFns.noneToNull(col("brand_raw")).isNotNull)
+        .select("p_partkey", "brand_raw").orderBy("p_partkey")
+    },
+
+    // ── F6 + U15: rows whose "distance" has no digit (pipeline.py:562-564)
+    sql("q_filter_nodigit",
+      """SELECT p_partkey,
+        |       CASE WHEN p_partkey % 3 = 0 THEN 'Northern line' ELSE '0.3 miles Angel' END AS dist_raw
+        |FROM part
+        |WHERE NOT regexp_matches(CASE WHEN p_partkey % 3 = 0 THEN 'Northern line' ELSE '0.3 miles Angel' END, '[0-9]')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val raw = when(col("p_partkey") % 3 === 0, lit("Northern line"))
+        .otherwise(lit("0.3 miles Angel"))
+      Tables.part(s, d).withColumn("dist_raw", raw)
+        .filter(!CleanFns.hasDigit(col("dist_raw")))
+        .select("p_partkey", "dist_raw").orderBy("p_partkey")
+    },
+
+    // ── F9/A6 any-null reduction (google_maps_api cells 9, 15)
+    sql("q_any_null",
+      """SELECT CAST(MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS INT) AS lang_null,
+        |       CAST(MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS INT) AS text_null,
+        |       CAST(MAX(CASE WHEN CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END IS NULL THEN 1 ELSE 0 END) AS INT) AS source_null
+        |FROM documents""".stripMargin) { (s, d) =>
+      def anyNull(c: Column) = max(when(c.isNull, 1).otherwise(0)).cast("int")
+      Tables.documents(s, d)
+        .withColumn("source_n", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source")))
+        .agg(anyNull(col("lang")).as("lang_null"),
+             anyNull(col("text")).as("text_null"),
+             anyNull(col("source_n")).as("source_null"))
+    },
+
+    // ── J1 left equi-join against broadcast dims (google_maps_api.ipynb:914)
+    sql("q_join_left_dim",
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    },
+
+    // ── J2 dictionary-map join: Series.map(dict) as a broadcast left join
+    //    with non-matches → null (google_maps_api.ipynb:733-734)
+    sql("q_join_dict_map",
+      """SELECT n_nationkey, n_name, m.mapped
+        |FROM nation
+        |LEFT JOIN (SELECT n_name, lower(n_name) AS mapped FROM nation WHERE n_nationkey % 2 = 0) m
+        |USING (n_name)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val nat = Tables.nation(s, d)
+      val mapping = nat.filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_name"), lower(col("n_name")).as("mapped"))
+      nat.join(broadcast(mapping), Seq("n_name"), "left")
+        .select("n_nationkey", "n_name", "mapped")
+        .orderBy("n_nationkey")
+    },
+
+    // ── J4 index-aligned join: positional concat becomes a row_number
+    //    equi-join (google_maps_api.ipynb:175, :481-482)
+    sql("q_join_index_aligned",
+      """WITH a AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_name FROM nation),
+        |     b AS (SELECT row_number() OVER (ORDER BY r_regionkey) AS rn, r_name FROM region)
+        |SELECT a.rn, n_name, r_name FROM a JOIN b USING (rn) ORDER BY rn""".stripMargin) { (s, d) =>
+      val a = Tables.nation(s, d)
+        .withColumn("rn", row_number().over(Window.orderBy("n_nationkey")).cast("long"))
+        .select("rn", "n_name")
+      val b = Tables.region(s, d)
+        .withColumn("rn", row_number().over(Window.orderBy("r_regionkey")).cast("long"))
+        .select("rn", "r_name")
+      a.join(b, Seq("rn")).orderBy("rn")
+    },
+
+    // ── A2 distinct counts (pipeline.py:635)
+    sql("q_agg_count_distinct",
+      """SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"))
+    },
+
+    // ── A3 frequency count (00_Archive/dexter_scrapper_20210313.ipynb:604)
+    sql("q_agg_freq",
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("event_type"))
+    },
+
+    // ── A4 argmin via min(struct) — deterministic min-by with tie-break
+    //    (LondonAir_sites_subway_station_mapping.ipynb:59)
+    sql("q_agg_argmin",
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("b"))
+        .select(col("b.o_orderkey").as("o_orderkey"), col("b.o_totalprice").as("o_totalprice"))
+    },
+
+    // ── A5/M2 scalar count + page arithmetic (pipeline.py:425-434)
+    sql("q_agg_scalar_count",
+      """SELECT COUNT(*) AS n_rows, CAST(CEIL(COUNT(*) / 18.0) AS BIGINT) AS n_pages
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+             ceil(count(lit(1)) / 18.0).cast("long").as("n_pages"))
+    },
+
+    // ── W1 rank-1 per group (J3's window form, SURVEY §2.6)
+    sql("q_window_rank1",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |           FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // ── W2 running group-id — the list_divider sentinel segmentation
+    //    (google_maps_api.ipynb:426-438). Single-ordering window: at 100 TB
+    //    this keys off a natural partition (per-document, per-page) instead
+    //    of a global order; the testdata has one global sequence.
+    sql("q_window_groupid",
+      """SELECT event_id,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |            OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS group_id
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("group_id",
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w).cast("long"))
+        .select("event_id", "group_id").orderBy("event_id")
+    },
+
+    // ── O1 multi-column sort (google_maps_api.ipynb:368)
+    sql("q_sort_multi",
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal, s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy(desc("s_nationkey"), col("s_acctbal"), col("s_suppkey"))
+    },
+
+    // ── O3 top-k — Spark plans TakeOrderedAndProject (app ranking surface)
+    sql("q_topk",
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(10)
+    },
+
+    // ── Uα union-all (pipeline.py:447, :763)
+    sql("q_union_all",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 3
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 48
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+      li.filter(col("l_quantity") < 3)
+        .unionByName(li.filter(col("l_quantity") > 48))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ── D1 full-row dedup (pipeline.py:448)
+    sql("q_dedup_full",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus")
+        .dropDuplicates().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── D2 key dedup with deterministic keep-first (pipeline.py:215;
+    //    SURVEY §7.5: row_number over a stable order, not dropDuplicates)
+    sql("q_dedup_key",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |           FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS first_order_day
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_order_day"))
+        .orderBy("o_custkey")
+    },
+
+    // ── D3 subset dedup, keep-first
+    //    (LondonAir_sites_subway_station_mapping.ipynb:232)
+    sql("q_dedup_subset",
+      """WITH r AS (SELECT lang, doc_id, source,
+        |                  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT lang, doc_id, source FROM r WHERE rn = 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("lang", "doc_id", "source").orderBy("lang")
+    },
+
+    // ── PV1 + U22 one-hot pivot with Yes/No mapping
+    //    (google_maps_api.ipynb:175, :492). Pivot values declared explicitly
+    //    so no extra distinct-collect job runs.
+    sql("q_pivot_onehot",
+      """SELECT p_partkey,
+        |       CASE WHEN p_type = 'ECONOMY'  THEN 'Yes' ELSE 'No' END AS "ECONOMY",
+        |       CASE WHEN p_type = 'LARGE'    THEN 'Yes' ELSE 'No' END AS "LARGE",
+        |       CASE WHEN p_type = 'MEDIUM'   THEN 'Yes' ELSE 'No' END AS "MEDIUM",
+        |       CASE WHEN p_type = 'PROMO'    THEN 'Yes' ELSE 'No' END AS "PROMO",
+        |       CASE WHEN p_type = 'SMALL'    THEN 'Yes' ELSE 'No' END AS "SMALL",
+        |       CASE WHEN p_type = 'STANDARD' THEN 'Yes' ELSE 'No' END AS "STANDARD"
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+      val pivoted = Tables.part(s, d)
+        .groupBy("p_partkey").pivot("p_type", types).agg(count(lit(1)))
+        .na.fill(0, types)
+      types.foldLeft(pivoted)((df, t) => df.withColumn(t, CleanFns.yesNo(col(t))))
+        .orderBy("p_partkey")
+    },
+
+    // ── PV2 melt (unpivot) + F5 availability filter — pivot∘melt round-trip
+    //    recovers the original (key, type) pairs (google_maps_api.ipynb:368)
+    sql("q_melt",
+      "SELECT p_partkey, p_type FROM part ORDER BY p_partkey") { (s, d) =>
+      val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+      val pivoted = Tables.part(s, d)
+        .groupBy("p_partkey").pivot("p_type", types).agg(count(lit(1)))
+        .na.fill(0, types)
+      val yesNoed = types.foldLeft(pivoted)((df, t) => df.withColumn(t, CleanFns.yesNo(col(t))))
+      yesNoed.unpivot(Array(col("p_partkey")), types.map(col).toArray, "p_type", "available")
+        .filter(col("available") === "Yes")
+        .select("p_partkey", "p_type").orderBy("p_partkey")
+    },
+
+    // ── JS1 JSON field extraction (pipeline.py:712-716)
+    sql("q_json_extract",
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ── JS2/JS3 nested-array JSON explode (pipeline.py:733-738)
+    sql("q_json_explode",
+      """SELECT r_regionkey, CAST(r_regionkey * m AS INT) AS s
+        |FROM region, (VALUES (1), (10)) t(m)
+        |ORDER BY r_regionkey, s""".stripMargin) { (s, d) =>
+      val js = concat(lit("[{\"s\":"), col("r_regionkey"),
+        lit("},{\"s\":"), col("r_regionkey") * 10, lit("}]"))
+      Tables.region(s, d)
+        .withColumn("parsed",
+          from_json(js, org.apache.spark.sql.types.DataType.fromDDL("array<struct<s:int>>")))
+        .select(col("r_regionkey"), explode(col("parsed")).as("e"))
+        .select(col("r_regionkey"), col("e.s").as("s"))
+        .orderBy("r_regionkey", "s")
+    },
+
+    // ── T1 date-window filter + daily rollup (pipeline.py:773-779)
+    sql("q_time_window",
+      """SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS ship_day, COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-01-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1995-01-31").cast("timestamp"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ship_day")
+    },
+
+    // ── T2 hourly time-series rollup (database_schema.sql:48)
+    sql("q_time_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_ts, event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour_ts"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+
+    // ── M1/M2 abs/add/divide with null-safe division (SURVEY §2.9)
+    sql("q_math",
+      """SELECT s_suppkey,
+        |       CAST(ABS(s_acctbal - 1000.0) + ABS(CAST(s_nationkey AS DOUBLE) - 12.0) AS DOUBLE) AS l1,
+        |       s_acctbal / NULLIF(CAST(s_suppkey % 7 AS DOUBLE), 0.0) AS ratio
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          (abs(col("s_acctbal") - 1000.0) +
+            abs(col("s_nationkey").cast("double") - 12.0)).as("l1"),
+          (col("s_acctbal") /
+            when(col("s_suppkey") % 7 === 0, lit(null))
+              .otherwise((col("s_suppkey") % 7).cast("double"))).as("ratio"))
+        .orderBy("s_suppkey")
+    }
+  )
+}

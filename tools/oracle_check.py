@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+same parquet tables, and compares rows / schema / values. Values are compared
+after sorting columns by name and sorting rows, mirroring the driver.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # naive timestamps for tz-insensitive compare; dates → ISO strings
+    import datetime
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64[ns,"):
+            df[c] = df[c].dt.tz_localize(None)
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, datetime.date)).any():
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # normalize float-ish decimals
+        if df[c].dtype == object:
+            import decimal
+            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
+                df[c] = df[c].astype(float)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            duck_df = canon(con.execute(sql).df())
+            problems = []
+            if len(spark_df) != len(duck_df):
+                problems.append(f"rows {len(spark_df)} vs {len(duck_df)}")
+            if list(spark_df.columns) != list(duck_df.columns):
+                problems.append(
+                    f"cols {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            if not problems:
+                try:
+                    pd.testing.assert_frame_equal(
+                        spark_df, duck_df, check_dtype=False,
+                        check_exact=True)
+                except AssertionError as e:
+                    problems.append("values: " + str(e).split("\n")[0])
+            if problems:
+                n_fail += 1
+                print(f"FAIL {name}: {'; '.join(problems)}")
+            else:
+                n_pass += 1
+                print(f"ok   {name} ({len(spark_df)} rows)")
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"FAIL {name}: exception {str(e)[:200]}")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
