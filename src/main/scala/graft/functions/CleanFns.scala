@@ -19,11 +19,11 @@ object CleanFns {
   /** U1 `to_num` (pipeline.py:142-144): strip all non-[0-9.] from a price
     * string and cast ("£435,000" → 435000.0). */
   def toNum(c: Column): Column =
-    regexp_replace(c, "[^0-9.]", "").cast("double")
+    regexp_replace(c, "[^0-9.]", "").try_cast("double")
 
   /** U1 money-typed variant — DecimalType for exact warehouse arithmetic. */
   def toMoney(c: Column, precision: Int = 18, scale: Int = 4): Column =
-    regexp_replace(c, "[^0-9.]", "").cast(DecimalType(precision, scale))
+    regexp_replace(c, "[^0-9.]", "").try_cast(DecimalType(precision, scale))
 
   /** U2 `is_dropped` (pipeline.py:146-150): a price string is VALID iff it
     * contains only £, commas and digits ("POA", "Offers over…" → invalid). */
@@ -31,7 +31,7 @@ object CleanFns {
 
   /** U3 ad-id from URL (pipeline.py:211-213): `split("?")[0].split("/")[3]`. */
   def adIdFromUrl(c: Column): Column =
-    element_at(split(element_at(split(c, "\\?"), 1), "/"), 4)
+    try_element_at(split(try_element_at(split(c, "\\?"), lit(1)), "/"), lit(4))
 
   /** U4 URL prefixing (pipeline.py:219, 409). */
   def prefixUrl(prefix: String, c: Column): Column = concat(lit(prefix), c)
@@ -39,8 +39,8 @@ object CleanFns {
   /** U5 miles split (pipeline.py:253-257): "0.3 miles Angel" →
     * (distance=0.3, station="Angel"). */
   def milesDistance(c: Column): Column =
-    element_at(split(c, " miles "), 1).cast("double")
-  def milesStation(c: Column): Column = element_at(split(c, " miles "), 2)
+    try_element_at(split(c, " miles "), lit(1)).try_cast("double")
+  def milesStation(c: Column): Column = try_element_at(split(c, " miles "), lit(2))
 
   /** U6 digit extraction with asymmetric defaults (pipeline.py:388-395):
     * first run of digits, else `default` (bathrooms→0, receptions→1). */
@@ -51,18 +51,18 @@ object CleanFns {
 
   /** U7 leading-int parse (pipeline.py:385): `"3 bedrooms"` → 3. */
   def leadingInt(c: Column): Column =
-    element_at(split(c, " "), 1).cast("int")
+    try_element_at(split(c, " "), lit(1)).try_cast("int")
 
   /** U8 digit-strip (pipeline.py:428-430): remove all non-digits → int. */
   def digitsOnlyInt(c: Column): Column =
-    regexp_replace(c, "\\D", "").cast("int")
+    regexp_replace(c, "\\D", "").try_cast("int")
 
   /** U9 currency cleanup (pipeline.py:630-631): drop '£' and ','. */
   def stripCurrency(c: Column): Column = translate(c, "£,", "")
 
   /** U10 unit strip (pipeline.py:632): "0.2m" → 0.2. */
   def stripUnitM(c: Column): Column =
-    regexp_replace(c, "m$", "").cast("double")
+    regexp_replace(c, "m$", "").try_cast("double")
 
   /** U11 `sub_values` (pipeline.py:464-477): split on \n, drop empties,
     * split each on '-', flatten, trim. Pure higher-order array fns. */
@@ -74,7 +74,7 @@ object CleanFns {
       x => trim(x))
 
   /** U13 `get_tube_dist` (pipeline.py:530-534): last whitespace token. */
-  def lastToken(c: Column): Column = element_at(split(c, " "), -1)
+  def lastToken(c: Column): Column = try_element_at(split(c, " "), lit(-1))
 
   /** U14 `strip_tube` (pipeline.py:535-540): all but the last token. */
   def dropLastToken(c: Column): Column = {
@@ -109,7 +109,7 @@ object CleanFns {
   def victoriaCleanStop(c: Column): Column = {
     val toks = split(c, " ")
     when(c.contains("Victoria"),
-      when(element_at(toks, 1) === "Victoria" && size(toks) > 1, element_at(toks, 2))
+      when(try_element_at(toks, lit(1)) === "Victoria" && size(toks) > 1, try_element_at(toks, lit(2)))
         .otherwise(lit("Victoria")))
       .otherwise(c)
   }
@@ -122,14 +122,17 @@ object CleanFns {
 
   /** U20 empty→zero (pipeline.py:747): air-quality '' value → 0.0. */
   def emptyToZero(c: Column): Column =
-    when(c === "" || c.isNull, lit(0.0)).otherwise(c.cast("double"))
+    when(c === "" || c.isNull, lit(0.0)).otherwise(c.try_cast("double"))
 
   /** U22 dict-valued map (google_maps_api.ipynb:175): 1→"Yes", 0→"No". */
   def yesNo(c: Column): Column = when(c === 1, "Yes").otherwise("No")
 
   /** U24 timestamp slug (pipeline.py:348). */
-  def timestampSlug: Column =
-    date_format(current_timestamp(), "yyyy-MM-dd_HH-mm-ss")
+  def timestampSlug: Column = timestampSlugOf(current_timestamp())
+  /** U24 over an arbitrary timestamp — the deterministic, oracle-checkable
+    * form (current_timestamp() can't hash-match an oracle run). */
+  def timestampSlugOf(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd_HH-mm-ss")
 
   /** U25 line-name filter (google_maps_api.ipynb:459-469): keep array
     * elements containing " line" but not ending "line)"/"lines)". */
