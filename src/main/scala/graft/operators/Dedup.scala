@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the LLM-data-pipeline surface: exact
+  * (fingerprint hash-groupBy), MinHash+LSH banded near-dup, SimHash.
+  *
+  * Scale shape: every operator is a hash-partitioned groupBy/equi-join on a
+  * short key (16-byte digest, 8-byte band hash, 8-byte simhash chunk) —
+  * never an all-pairs comparison, never a driver-side collect. Candidate
+  * pairs are verified with exact Jaccard before being reported, so LSH
+  * recall/precision tuning can't produce false positives.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id
+    * (deterministic keep-first, SURVEY §7.5). Output:
+    * (fingerprint, keeper_id, n_copies). */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextFns.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
+    * the min over the document's shingle set. One narrow projection — no
+    * shuffle, no UDF. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * docs sharing any band hash become candidates. Returns
+    * (idCol, band, band_hash), one row per band. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val rowsPerBand = size(col(sigCol)) / bands
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs from banded signatures: equi-join on (band, band_hash),
+    * `a < b` to orient, distinct to collapse multi-band hits. The join key
+    * is 12 bytes — this is the shuffle, and the only one. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between two pre-deduplicated shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Full MinHash/LSH near-dup pipeline over (idCol, textCol):
+    * shingle → sign → band → candidate join → exact-Jaccard verify ≥ tau.
+    * Output: (id_a, id_b, jac), one row per verified near-dup pair.
+    *
+    * With numHashes=64, bands=16 (4 rows/band) the miss probability for a
+    * true pair at J=0.8 is (1-0.8⁴)¹⁶ ≈ 2e-4, and at J=0.9 ≈ 3e-8 — the
+    * verify step then makes reported pairs exact.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.5): DataFrame = {
+    val shingled = df
+      .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val signed = shingled
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val pairs = candidatePairs(lshBands(signed, idCol, "sig", bands), idCol)
+    val left = shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val right = shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(left, "id_a").join(right, "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** 64-bit SimHash, computed distributively: explode token hashes, one
+    * partial-aggregating groupBy with 64 signed bit-counters, reassemble.
+    * Scales as a single map-side-combined shuffle on the id. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val assembled = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit simhash into four 16-bit
+    * chunks; docs sharing any chunk are candidates (Hamming ≤ 3 guarantee
+    * by pigeonhole) — then exact-verify like MinHash. */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, tau: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sim = simHash(df, idCol, textCol)
+    val banded = sim.select(col(idCol),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
+    val pairs = candidatePairs(banded, idCol)
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Brute-force n-gram Jaccard pairs — the small-data oracle baseline the
+    * LSH paths are tested against (never the 100 TB path; documented as
+    * such). */
+  def bruteForceJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, tau: Double): DataFrame = {
+    val sh = df.select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, same contract:
+  *  - `bruteForceTopK` — exact: queries × corpus, dot product, windowed
+  *    top-k. Correct at any recall but O(|Q|·|C|): the baseline and the
+  *    small-|Q| path (broadcast the queries, stream the corpus).
+  *  - `lshTopK` — random-hyperplane LSH: L tables × B bits per table;
+  *    vectors sharing a bucket in any table are candidates, then exact
+  *    rank within candidates. Scale shape: equi-join on (table, bucket) —
+  *    shuffle on an 8-byte key instead of all-pairs.
+  *
+  * Embeddings in the testdata are unit-normalized, so dot product == cosine.
+  */
+object Similarity {
+
+  /** Exact double-precision dot product (engine-native path). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Quantized dot product: floor(x·1e6) per element, integer products,
+    * long sum. Exact and summation-order-independent — the form used for
+    * oracle-checked queries (a double sum's low bits depend on partition
+    * order; integers don't). Unit vectors → value ≈ cosine · 1e12. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x * 1000000.0d).cast("long") * floor(y * 1000000.0d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k: for each query vector, the k nearest corpus vectors by
+    * `sim` (descending, id tie-break), self-pairs excluded.
+    * Output: (q_id, rank, n_id, sim). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      sim: (Column, Column) => Column = quantizedDot): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Deterministic random hyperplanes: L tables × bits planes each, unit
+    * Gaussian components from a fixed seed. */
+  def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** (id, table, bucket) signature rows: bucket = sign-bit integer of the
+    * table's hyperplane dots. */
+  def lshBuckets(df: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val tableBuckets = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.map { p =>
+        val pl = array(p.map(lit): _*)
+        when(dot(col("embedding"), pl) > 0, 1L).otherwise(0L)
+      }.reduce((acc, b) => acc * 2 + b)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via LSH candidates + exact re-rank. Candidates are corpus
+    * vectors sharing any (table, bucket) with the query. Recall depends on
+    * (tables, bits); the spec tests measure it against bruteForceTopK. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      sim: (Column, Column) => Column = quantizedDot): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits)
+    val cB = lshBuckets(corpus, planes)
+      .select(col("vec_id").as("n_id"), col("table"), col("bucket"))
+    val qB = lshBuckets(queries, planes)
+      .select(col("vec_id").as("q_id"), col("table"), col("bucket"))
+    val cand = qB.join(cB, Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    cand.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Embedding-cosine near-dup pairs above `tauQ` (quantized threshold,
+    * ≈ cosine·1e12), exact within the given frame. */
+  def nearDupPairs(df: DataFrame, tauQ: Long): DataFrame = {
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", quantizedDot(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= tauQ)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{rowsOnly, sql}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the `embeddings` table (unit-normalized
+  * array<float>, so dot == cosine).
+  *
+  * Oracle-checked queries use the quantized dot product (floor(x·1e6)
+  * integer products) — exact and summation-order-independent, so Spark and
+  * DuckDB agree bit-for-bit; ≈ cosine·1e12 on unit vectors.
+  */
+object AnnQueries {
+
+  private val quantDotSql =
+    """CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |  i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |     * CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── exact brute-force top-k (the ANN correctness baseline)
+    sql("q_ann_brute",
+      s"""WITH d AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $quantDotSql AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM d)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, sim FROM r WHERE rn <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // ── LSH-bucketed ANN (the scale path): same contract, probabilistic
+    //    recall → rows-only here; recall vs brute force asserted in specs.
+    rowsOnly("q_ann_lsh") { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // ── embedding-cosine near-dup pairs over a corpus with planted exact
+    //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
+    //    threshold 0.45·1e12 also catches the strongest natural pairs
+    sql("q_embed_neardup",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $quantDotSql AS sim
+         |  FROM corpus q JOIN corpus c ON q.vec_id < c.vec_id)
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 450000000000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = embs.unionByName(
+        embs.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.nearDupPairs(corpus, tauQ = 450000000000L)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

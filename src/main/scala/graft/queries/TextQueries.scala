@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{rowsOnly, sql}
+import graft.functions.TextFns
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text surface: analysis signals, fingerprinting, and
+  * the dedup family over the `documents` table. */
+object TextQueries {
+
+  private val stops = Seq("the", "a", "of", "and", "in", "to")
+  private val stopsSqlList = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── token counting + quality scoring (length / stopword signals)
+    sql("q_text_stats",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         |       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                            t -> list_contains($stopsSqlList, t))) AS DOUBLE)
+         |         / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.byteLength(col("text")).as("n_bytes"),
+          TextFns.tokenEstimate(col("text")).as("est_bpe_tokens"),
+          TextFns.stopwordRatio(col("text"), stops).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ── language-ID heuristic: marker-vocabulary argmax with deterministic
+    //    priority tie-break (en > es > de > fr > zh), all-zero → 'und'
+    sql("q_text_langid", {
+      val scoreSql = TextFns.LangMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains($list, t))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextFns.LangMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scoreSql FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextFns.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ── document fingerprint (rolling-hash family, md5 realization)
+    sql("q_text_fingerprint",
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── exact dedup over a corpus with planted duplicates (docs ≡ 0 mod 3
+    //    re-appear under doc_id+100000): fingerprint groupBy, keep-first
+    sql("q_dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY keeper_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactByFingerprint(corpus, "doc_id", "text")
+        .orderBy("keeper_id")
+    },
+
+    // ── MinHash+LSH near-dup detection, exact-Jaccard verified ≥ 0.5.
+    //    The oracle computes ground truth by brute force; LSH recall at
+    //    J≥0.5 with 16×4 banding makes the engine output identical.
+    sql("q_dedup_minhash",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ── SimHash near-dup path: banded 64-bit simhash candidates, exact
+    //    verify. Recall is probabilistic (Hamming banding over word-soup
+    //    docs) → rows-only check here; equivalence vs brute force is
+    //    asserted in the spec suite at matching thresholds.
+    rowsOnly("q_dedup_simhash") { (s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          shingleSize = 5, tau = 0.3)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}
