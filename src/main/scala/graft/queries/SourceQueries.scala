@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{rowsOnly, sql}
+import graft.operators.Multimodal
+import graft.sources.Sources
+import graft.streaming.EventsStreaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink, catalog-SQL, streaming and multimodal queries
+  * (SURVEY §2.1-§2.2, §2.11, §3.2). Round-trip queries write under
+  * target/tmp (build scratch space) and read back with explicit schemas;
+  * the oracle sees only the logical content, which must survive the trip
+  * bit-for-bit.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String = {
+    val p = s"/root/repo/target/tmp/$name"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── K1 CSV sink + S8 CSV scan: S3-staging round trip (pipeline.py:312,
+    //    :844). Integer/string columns — CSV is not a typed format.
+    sql("q_src_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val path = tmp("csv_nation")
+      Sources.writeCsv(Tables.nation(s, d), path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Sources.readCsv(s, path, schema).orderBy("n_nationkey")
+    },
+
+    // ── K4 JSON sink + S9 JSON scan (dexters_scraper.ipynb:1661, :1671)
+    sql("q_src_json_roundtrip",
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey") { (s, d) =>
+      val path = tmp("json_part")
+      Sources.writeJson(Tables.part(s, d).select("p_partkey", "p_name", "p_brand", "p_size"), path)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_size", IntegerType)))
+      Sources.readJson(s, path, schema).orderBy("p_partkey")
+    },
+
+    // ── K2 JDBC sink + S10 JDBC scan through embedded Derby — one batched
+    //    write vs the reference's commit-per-row loop (pipeline.py:871-885)
+    sql("q_src_jdbc_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val url = Sources.derbyUrl("graftdb")
+      Sources.writeJdbc(Tables.nation(s, d), url, "nation_jdbc")
+      Sources.readJdbc(s, url, "nation_jdbc")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+                col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    },
+
+    // ── K3 catalog/DDL + §3.2 ad-hoc SQL entry point: register the logical
+    //    schema, answer SQL through Catalyst
+    sql("q_sql_catalog",
+      """SELECT r_name, COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT r_name, COUNT(*) AS n_nations
+              |FROM nation JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    },
+
+    // ── ST1 streaming tumbling-window agg (file source, AvailableNow,
+    //    watermark, memory sink) — must equal the batch hourly rollup
+    sql("q_stream_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_ts,
+        |       event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      EventsStreaming.hourlyCounts(s, d).orderBy("hour_ts", "event_type")
+    },
+
+    // ── streaming cross-run dedup (pipeline.py:215 semantics): event_id is
+    //    unique in the testdata so the dedup is a pass-through — the
+    //    duplicate-bearing case is covered in the spec suite
+    sql("q_stream_dedup",
+      """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      EventsStreaming.streamingDedupCounts(s, d).orderBy("event_type")
+    },
+
+    // ── multimodal: binary media column + metadata struct, imperative
+    //    per-partition decode (deterministic fake) → typed features
+    sql("q_multimodal_features",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       ord(substr(text, 1, 1)) AS head_byte,
+        |       CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) % 997 AS BIGINT) AS checksum,
+        |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    },
+
+    // ── frame-offset sampling stub (pure expression, no codec): summary
+    //    per kind so the array column is exercised without list-compare
+    sql("q_multimodal_frames",
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(SUM((octet_length(encode(text)) - 1) // 100 + 1) AS BIGINT) AS total_frames
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin) { (s, d) =>
+      Multimodal.frameOffsets(Multimodal.mediaTable(Tables.documents(s, d)), stride = 100)
+        .groupBy(col("meta.kind").as("kind"))
+        .agg(sum(size(col("frame_offsets"))).as("total_frames"))
+        .orderBy("kind")
+    }
+  )
+}

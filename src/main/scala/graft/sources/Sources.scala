@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY §2.1-§2.2): CSV, JSON, JDBC. The reference
+  * stages CSV to S3 (pipeline.py:312-327) and loads Postgres row-by-row
+  * (pipeline.py:870-885); here both directions are single batched
+  * DataFrame writes/scans. Explicit schemas everywhere — schema inference
+  * is a full extra pass over the data at 100 TB.
+  */
+object Sources {
+
+  /** K1 CSV sink: headered, overwrite — the S3-staging shape. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S8 CSV scan with a declared schema (pipeline.py:844). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** K4 JSON sink (dexters_scraper.ipynb:1661-1662). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S9 JSON scan (dexters_scraper.ipynb:1671). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** In-memory embedded Derby — the JDBC warehouse stand-in (the Derby
+    * driver ships with Spark's jars; zero-egress container has no
+    * Postgres). */
+  def derbyUrl(db: String): String = s"jdbc:derby:memory:$db;create=true"
+
+  private val derbyProps = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** K2 JDBC sink: one batched write (vs the reference's per-row INSERT +
+    * commit, pipeline.py:871-885). */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, derbyProps)
+
+  /** S10 JDBC scan (query_testing.ipynb:103). */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, derbyProps)
+}
