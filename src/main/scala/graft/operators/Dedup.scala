@@ -103,9 +103,11 @@ object Dedup {
       .select(col(idCol), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit simhash into four 16-bit
-    * chunks; docs sharing any chunk are candidates (Hamming ≤ 3 guarantee
-    * by pigeonhole) — then exact-verify like MinHash. */
+  /** SimHash near-dup candidates: band the 64-bit simhash into eight 8-bit
+    * chunks; docs sharing any chunk are candidates (Hamming ≤ 7 guarantee
+    * by pigeonhole — unigram simhashes of near-identical word-soup docs
+    * land at Hamming 4-8, so 16-bit bands missed real pairs) — then
+    * exact-verify like MinHash. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, tau: Double = 0.5): DataFrame = {
@@ -113,8 +115,8 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sim = simHash(df, idCol, textCol)
     val banded = sim.select(col(idCol),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
     val pairs = candidatePairs(banded, idCol)
     pairs

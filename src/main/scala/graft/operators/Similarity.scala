@@ -73,10 +73,15 @@ object Similarity {
 
   /** ANN top-k via LSH candidates + exact re-rank. Candidates are corpus
     * vectors sharing any (table, bucket) with the query. Recall depends on
-    * (tables, bits); the spec tests measure it against bruteForceTopK. */
+    * (tables, bits); the spec tests measure it against bruteForceTopK.
+    *
+    * Default 16×4 is tuned for the near-orthogonal random testdata (top-5
+    * cosines ≈ 0.3 → per-bit agreement ≈ 0.61, so long buckets miss):
+    * p(candidate) = 1-(1-0.61⁴)¹⁶ ≈ 0.9. Real embedding corpora cluster
+    * far tighter; raise `bits` there for selectivity. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      tables: Int = 16, bits: Int = 4, dim: Int = 64,
       sim: (Column, Column) => Column = quantizedDot): DataFrame = {
     val planes = hyperplanes(dim, tables, bits)
     val cB = lshBuckets(corpus, planes)

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  private def pairKey(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup keeps one row per fingerprint with min id") {
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.select("doc_id", "text").filter($"doc_id" % 3 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000))
+    val out = Dedup.exactByFingerprint(corpus, "doc_id", "text")
+    val copies = out.filter($"n_copies" === 2).count()
+    val singles = out.filter($"n_copies" === 1).count()
+    assert(copies === docs.filter($"doc_id" % 3 === 0).count())
+    assert(copies + singles === docs.count())
+    // keepers are always the original ids, never the planted +100000 ones
+    assert(out.filter($"keeper_id" >= 100000).count() === 0)
+  }
+
+  test("minhash LSH near-dups equal brute-force Jaccard pairs at tau=0.5") {
+    val lsh = pairKey(Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5))
+    val brute = pairKey(Dedup.bruteForceJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 5, tau = 0.5))
+    assert(brute.nonEmpty, "testdata should contain planted near-dup pairs")
+    assert(lsh === brute)
+  }
+
+  test("simhash near-dups find the high-similarity planted pairs") {
+    val sim = pairKey(Dedup.simHashNearDups(docs, "doc_id", "text",
+      shingleSize = 5, tau = 0.3))
+    val strong = pairKey(Dedup.bruteForceJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 5, tau = 0.9))
+    // precision: everything reported passed exact verification ≥ 0.3
+    val brute03 = pairKey(Dedup.bruteForceJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 5, tau = 0.3))
+    assert(sim.subsetOf(brute03))
+    // recall on near-identical docs: banded 16-bit chunks must catch J≥0.9
+    assert(strong.subsetOf(sim))
+  }
+
+  test("simhash values are stable and bucket near-identical docs together") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh === again)
+    assert(sh.values.toSet.size > 1)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+  private lazy val queries = embs.filter($"vec_id" < 20)
+
+  test("quantizedDot matches a manual computation") {
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.0f)),
+      (2L, Seq(1.0f, 0.5f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val a = df.filter($"vec_id" === 1).select($"embedding".as("ea"))
+    val b = df.filter($"vec_id" === 2).select($"embedding".as("eb"))
+    val got = a.crossJoin(b)
+      .select(Similarity.quantizedDot($"ea", $"eb").as("q")).head().getLong(0)
+    // floor(0.5e6)*floor(1e6) + floor(-0.25e6)*floor(0.5e6) + floor(0)*floor(-1e6)
+    val expected = 500000L * 1000000L + -250000L * 500000L + 0L * -1000000L
+    assert(got === expected)
+  }
+
+  test("brute-force top-k is exact, self-free, and correctly ranked") {
+    val out = Similarity.bruteForceTopK(embs, queries, k = 5).collect()
+    assert(out.length === 20 * 5)
+    assert(!out.exists(r => r.getLong(0) == r.getLong(2)), "no self-pairs")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "sim non-increasing in rank")
+    }
+  }
+
+  test("LSH ANN recall@5 vs brute force is usable at 16 tables × 4 bits") {
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.3f (candidates vs 500-vector corpus)")
+    assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
+  }
+
+  test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
+    val corpus = embs.select("vec_id", "embedding").unionByName(
+      embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
+        .withColumn("vec_id", $"vec_id" + 100000))
+    val out = Similarity.nearDupPairs(corpus, tauQ = 900000000000L).collect()
+    val planted = embs.filter($"vec_id" % 50 === 0).count()
+    assert(out.length >= planted.toInt)
+    assert(out.forall(_.getLong(2) >= 900000000000L))
+  }
+}
