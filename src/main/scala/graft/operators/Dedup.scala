@@ -67,6 +67,13 @@ object Dedup {
     * true pair at J=0.8 is (1-0.8⁴)¹⁶ ≈ 2e-4, and at J=0.9 ≈ 3e-8 — the
     * verify step then makes reported pairs exact.
     */
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * positions. 64 long comparisons — ~100× cheaper than an exact
+    * set-intersect on shingle arrays. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
@@ -77,9 +84,21 @@ object Dedup {
     val signed = shingled
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
     val pairs = candidatePairs(lshBands(signed, idCol, "sig", bands), idCol)
+    // Band collisions at moderate background similarity produce far more
+    // candidates than true pairs (word-soup corpora: ~1M candidates for
+    // ~10 true pairs at sf0.1). Verify in two stages: signature-estimate
+    // prune at tau - 3σ (σ = √(τ(1-τ)/H) ≈ 0.06 → no real pair lost),
+    // then exact Jaccard only on survivors.
+    val sigEst = signed.select(col(idCol), col("sig"))
+    val estCut = math.max(0.0, tau - 3 * math.sqrt(tau * (1 - tau) / numHashes))
+    val estimated = pairs
+      .join(sigEst.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigEst.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(estimatedJaccard(col("sig_a"), col("sig_b")) >= estCut)
+      .select("id_a", "id_b")
     val left = shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val right = shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    pairs.join(left, "id_a").join(right, "id_b")
+    estimated.join(left, "id_a").join(right, "id_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
@@ -119,7 +138,17 @@ object Dedup {
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
     val pairs = candidatePairs(banded, idCol)
-    pairs
+    // 8-bit bands collide freely at corpus scale (256 values/band), so
+    // candidates ≫ true pairs. Prune with the full-simhash Hamming
+    // distance (two longs, a popcount — trivially cheap) before the
+    // exact-Jaccard verify touches shingle arrays.
+    val hams = sim.select(col(idCol), col("simhash"))
+    val prefiltered = pairs
+      .join(hams.select(col(idCol).as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(hams.select(col(idCol).as("id_b"), col("simhash").as("h_b")), "id_b")
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 12)
+      .select("id_a", "id_b")
+    prefiltered
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))

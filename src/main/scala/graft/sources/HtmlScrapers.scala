@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML-extraction sources (SURVEY §2.1 S1/S2/S7), fixture-driven.
+  *
+  * The reference scrapes live pages with BeautifulSoup
+  * (pipeline.py:164-258, :354-414; google_maps_api.ipynb cell 10). This
+  * container is zero-egress, so the network boundary is a fixture file and
+  * extraction is pure Spark: `wholetext` scan → block split → per-field
+  * regexp. At scale the same code runs over a crawl dump (one HTML page
+  * per row) — the extraction layer is already distributed; only the
+  * fetcher is environment-specific.
+  */
+object HtmlScrapers {
+
+  val FixturesDir = "/root/repo/fixtures"
+
+  private def attr(block: Column, cls: String): Column =
+    regexp_extract(block, s"""class="$cls"[^>]*>([^<]*)<""", 1)
+
+  /** Split one page into per-listing blocks; the leading fragment (page
+    * head before the first block marker) is dropped by the callers' "has a
+    * href" filter. */
+  private def readBlocks(spark: SparkSession, path: String, blockClass: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), s"""class="$blockClass"""")).as("block"))
+
+  /** S1 Zoopla listing scrape (pipeline.py:164-258): one row per ad with
+    * the raw string fields the cleaning layer (U1-U5) expects. */
+  def zooplaListings(spark: SparkSession,
+                     path: String = s"$FixturesDir/zoopla_listings.html"): DataFrame = {
+    val b = col("block")
+    readBlocks(spark, path, "listing-result")
+      .select(
+        regexp_extract(b, """href="([^"]*)"""", 1).as("href"),
+        regexp_replace(attr(b, "listing-price"), "&pound;", "£").as("price_raw"),
+        attr(b, "listing-beds").as("bedrooms_raw"),
+        attr(b, "listing-baths").as("bathrooms_raw"),
+        attr(b, "listing-living").as("living_raw"),
+        attr(b, "listing-address").as("address"),
+        regexp_extract(b, """data-kind="([^"]*)"""", 1).as("transport_type"),
+        attr(b, "listing-transport").as("transport_raw"))
+      .filter(col("href") =!= "")
+  }
+
+  /** S2 Dexters listing scrape (pipeline.py:354-414). */
+  def dextersListings(spark: SparkSession,
+                      path: String = s"$FixturesDir/dexters_listings.html"): DataFrame = {
+    val b = col("block")
+    readBlocks(spark, path, "result")
+      .select(
+        regexp_extract(b, """href="([^"]*)"""", 1).as("href"),
+        attr(b, "result-street").as("street_name"),
+        regexp_replace(attr(b, "result-price"), "&pound;", "£").as("price_raw"),
+        attr(b, "result-address").as("address"),
+        attr(b, "result-beds").as("bedrooms_raw"),
+        attr(b, "result-baths").as("bathrooms_raw"),
+        attr(b, "result-reception").as("reception_raw"))
+      .filter(col("href") =!= "")
+  }
+
+  /** S7 Wikipedia station-table scrape (google_maps_api.ipynb:426-439):
+    * emits (pos, station, lines, zone_raw, is_sentinel) rows — the sentinel
+    * rows ('Travelcard Zone N') drive the list_divider segmentation (AR4). */
+  def wikiStationRows(spark: SparkSession,
+                      path: String = s"$FixturesDir/wiki_stations.html"): DataFrame = {
+    val row = col("row")
+    spark.read.option("wholetext", "true").text(path)
+      .select(posexplode(split(col("value"), "<tr>")).as(Seq("pos", "row")))
+      .filter(row.contains("station-row") || row.contains("station-cell"))
+      .select(
+        col("pos").cast("long").as("pos"),
+        regexp_extract(row, """class="station-cell"[^>]*>([^<]*)<""", 1).as("station"),
+        regexp_extract(row, """class="lines-cell"[^>]*>([^<]*)<""", 1).as("lines"),
+        regexp_extract(row, """class="zone-cell"[^>]*>([^<]*)<""", 1).as("zone_raw"),
+        col("row").contains("Travelcard").as("is_sentinel"),
+        regexp_extract(row, """class="station-row"[^>]*>([^<]*)<""", 1).as("sentinel_text"))
+  }
+}
