@@ -23,12 +23,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
-    * the min over the document's shingle set. One narrow projection — no
-    * shuffle, no UDF. */
+  /** MinHash signature expression: for each of `numHashes` seeded xxhash64
+    * functions, the min over the shingle array. NOTE: only for small/test
+    * use — inside a query plan, projection collapse inlines the shingle
+    * construction into every one of the 64 lambdas (and again per band),
+    * recomputing it ~10³× per row. Use `minHashSignatures` (the
+    * aggregation form) in pipelines. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** MinHash signatures as a distributed aggregation: explode shingles,
+    * one hash per (row, seed), map-side partial min, groupBy id. One pass
+    * over the data, one shuffle on the id — the aggregation barrier also
+    * stops Catalyst from inlining shingle construction into each seed.
+    * Output: (idCol, sig array<long>). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextFns.shingles(col(textCol), shingleSize)).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band hash become candidates. Returns
@@ -81,8 +99,12 @@ object Dedup {
     val shingled = df
       .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val signed = shingled
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // aggregation form: the agg barrier materializes sig once — the
+    // projection form re-inlined shingling into every band slice
+    // (measured at sf0.1: bands 177s → sub-second)
+    val signed = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(lshBands(signed, idCol, "sig", bands), idCol)
     // Band collisions at moderate background similarity produce far more
     // candidates than true pairs (word-soup corpora: ~1M candidates for
@@ -130,9 +152,16 @@ object Dedup {
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, tau: Double = 0.5): DataFrame = {
+    // Both subtrees feed a self-join plus verification joins — without a
+    // barrier the shingle projection and the simhash aggregation re-run
+    // once per consumer (3× each; measured 83 s → 9 s at sf0.1). The
+    // cached tables are id + one long / one small array per doc — at
+    // 100 TB this is the (tiny) signature table, not the corpus.
     val sh = df.select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sim = simHash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sim.select(col(idCol),
         posexplode(array((0 until 8).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
