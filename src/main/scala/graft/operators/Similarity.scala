@@ -26,8 +26,20 @@ object Similarity {
   /** Quantized dot product: floor(x·1e6) per element, integer products,
     * long sum. Exact and summation-order-independent — the form used for
     * oracle-checked queries (a double sum's low bits depend on partition
-    * order; integers don't). Unit vectors → value ≈ cosine · 1e12. */
-  def quantizedDot(a: Column, b: Column): Column =
+    * order; integers don't). Unit vectors → value ≈ cosine · 1e12.
+    *
+    * Dispatches to the native `QuantizedDot` expression (fused primitive
+    * loop, whole-stage codegen) — the HOF form below allocates a zipped
+    * intermediate array per pair. */
+  def quantizedDot(a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("quantized_dot", a, b)
+  }
+
+  /** HOF reference implementation of `quantizedDot` — kept as the
+    * differential-test baseline for the native expression. */
+  def quantizedDotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         floor(x * 1000000.0d).cast("long") * floor(y * 1000000.0d).cast("long")),
@@ -102,18 +114,14 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs above `tauQ` (quantized threshold,
-    * ≈ cosine·1e12), exact within the given frame. Vectors are quantized
-    * ONCE per side before the pair join — floor() per element per pair
-    * tripled the work in the r2 bench. */
+    * ≈ cosine·1e12), exact within the given frame. The native expression
+    * fuses quantize+multiply+sum into one primitive loop per pair — no
+    * intermediate arrays in the 2M-pair inner join. */
   def nearDupPairs(df: DataFrame, tauQ: Long): DataFrame = {
-    val quantize = (c: Column) =>
-      transform(c, x => floor(x * 1000000.0d).cast("long"))
-    val a = df.select(col("vec_id").as("id_a"), quantize(col("embedding")).as("q_a"))
-    val b = df.select(col("vec_id").as("id_b"), quantize(col("embedding")).as("q_b"))
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim",
-        aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("sim", quantizedDot(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= tauQ)
       .select("id_a", "id_b", "sim")
   }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{rowsOnly, sql}
+import graft.functions.HllAggregator
+import org.apache.spark.sql.functions._
+
+/** Scale-technique queries: sketch aggregation and bucketed co-located
+  * joins — engine-added capabilities beyond reference parity. */
+object ScaleQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── A2 approximate variants: the typed HLL Aggregator (deterministic
+    //    estimate, order-independent merge) next to the built-in HLL++ and
+    //    the exact count. Estimates can't hash-match DuckDB → rows-only;
+    //    the spec suite asserts <5% relative error.
+    rowsOnly("q_agg_hll") { (s, d) =>
+      val hll = udaf(new HllAggregator(11))
+      Tables.lineitem(s, d)
+        .agg(
+          countDistinct(col("l_partkey")).as("exact"),
+          hll(col("l_partkey")).as("hll_estimate"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("builtin_estimate"))
+    },
+
+    // ── bucketed co-located join: both sides bucketed by the join key →
+    //    SortMergeJoin with NO shuffle exchange (the 100 TB repeated-join
+    //    pattern: pay the shuffle once at write time, never per query).
+    //    Bucket tables live in the session warehouse (target/, scratch).
+    sql("q_bucketed_join",
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ordersTbl = s"orders_bkt_$sfKey"
+      val lineitemTbl = s"lineitem_bkt_$sfKey"
+      if (!s.catalog.tableExists(ordersTbl)) {
+        // a previous session's warehouse dir may survive the (in-memory)
+        // catalog — clear the location or CTAS refuses it
+        Seq(ordersTbl, lineitemTbl).foreach { t =>
+          val loc = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          if (loc.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(loc)
+        }
+        Tables.orders(s, d).write.bucketBy(16, "o_orderkey")
+          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ordersTbl)
+        Tables.lineitem(s, d).write.bucketBy(16, "l_orderkey")
+          .sortBy("l_orderkey").mode("overwrite").saveAsTable(lineitemTbl)
+      }
+      s.table(ordersTbl)
+        .join(s.table(lineitemTbl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy("o_custkey")
+    }
+  )
+}

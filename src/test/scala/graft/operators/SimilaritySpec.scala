@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("native QuantizedDot expression equals the HOF reference on real embeddings") {
+    val a = embs.select($"vec_id".as("id_a"), $"embedding".as("ea")).limit(50)
+    val b = embs.select($"vec_id".as("id_b"), $"embedding".as("eb")).limit(50)
+    val both = a.crossJoin(b)
+      .select(
+        Similarity.quantizedDot($"ea", $"eb").as("native"),
+        Similarity.quantizedDotHof($"ea", $"eb").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+    // codegen actually engaged for the native form: a projection of ONLY
+    // quantized_dot sits inside a WholeStageCodegen span (starred in the
+    // final plan). The HOF form can't — higher-order functions are
+    // CodegenFallback, which is exactly why the native expression exists.
+    val nativeOnly = a.crossJoin(b).select(Similarity.quantizedDot($"ea", $"eb").as("q"))
+    val qe = nativeOnly.queryExecution
+    nativeOnly.collect()
+    val projLine = qe.executedPlan.toString.linesIterator
+      .find(_.contains("quantizeddot")).getOrElse("")
+    assert(projLine.contains("*("), s"native projection not codegen'd: $projLine")
+  }
+
   test("brute-force top-k is exact, self-free, and correctly ranked") {
     val out = Similarity.bruteForceTopK(embs, queries, k = 5).collect()
     assert(out.length === 20 * 5)
