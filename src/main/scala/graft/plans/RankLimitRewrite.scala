@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Optimizer rule: rewrite the W1/O3 rank-filter idiom
+  *
+  *   Project(cols, Filter(rn <= k, Window(row_number() as rn PARTITION BY
+  *   keys ORDER BY ord, child)))
+  *
+  * into the bounded-heap [[TopKPerKeyNode]] whenever `rn` itself is not
+  * projected. The window form sorts every group in full before discarding
+  * all but k rows; the rewrite keeps ≤ k rows per key per partition from
+  * the first pass on.
+  */
+object RankLimitRewrite extends Rule[LogicalPlan] {
+
+  private def limitFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(v: Int, _)) if a.exprId == rn => Some(v)
+    case LessThan(a: AttributeReference, Literal(v: Int, _)) if a.exprId == rn => Some(v - 1)
+    case EqualTo(a: AttributeReference, Literal(1, _)) if a.exprId == rn => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond, Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
+          partitionSpec, orderSpec, windowChild, _)))
+        if spec.partitionSpec == partitionSpec && spec.orderSpec == orderSpec &&
+          partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          limitFromCond(cond, alias.exprId).exists(_ >= 1) &&
+          !projectList.exists(_.references.exists(_.exprId == alias.exprId)) =>
+      // Spark's own InferWindowGroupLimit (3.5+) usually fires first and
+      // wraps the window child — consume its child, or this node would
+      // stack on top of the native group-limit and do the work twice.
+      val child = windowChild match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => wgl.child
+        case other => other
+      }
+      if (limitFromCond(cond, alias.exprId).exists(_ >= 1) &&
+          projectList.forall(_.references.subsetOf(child.outputSet))) {
+        val k = limitFromCond(cond, alias.exprId).get
+        Project(projectList, TopKPerKeyNode(partitionSpec, orderSpec, k, child))
+      } else p
+  }
+}
+
+/** Physical planning for [[TopKPerKeyNode]]: partial (map-side) pass under
+  * the exchange EnsureRequirements inserts, final pass above it — the
+  * HashAggregate partial/final pattern for a top-k semigroup. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Dynamic (per-session) registration — `spark.experimental` accepts rules
+  * and strategies after session construction, so driver-owned sessions
+  * work without the spark.sql.extensions config. */
+object GraftPlanner {
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RankLimitRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankLimitRewrite
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
+}
