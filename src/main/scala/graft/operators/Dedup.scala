@@ -149,9 +149,12 @@ object Dedup {
     * by pigeonhole — unigram simhashes of near-identical word-soup docs
     * land at Hamming 4-8, so 16-bit bands missed real pairs) — then
     * exact-verify like MinHash. */
+  /** @param bandBits width of each simhash band. Candidates scale as
+    *                  O(n²/2^bandBits) per band — widen with log₂(corpus):
+    *                  8 suits ~10³-10⁴ docs, 16 suits ~10⁶+. Must divide 64. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, tau: Double = 0.5): DataFrame = {
+      shingleSize: Int = 5, tau: Double = 0.5, bandBits: Int = 8): DataFrame = {
     // Both subtrees feed a self-join plus verification joins — without a
     // barrier the shingle projection and the simhash aggregation re-run
     // once per consumer (3× each; measured 83 s → 9 s at sf0.1). The
@@ -162,9 +165,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sim = simHash(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
     val banded = sim.select(col(idCol),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)))
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
     val pairs = candidatePairs(banded, idCol)
     // 8-bit bands collide freely at corpus scale (256 values/band), so
