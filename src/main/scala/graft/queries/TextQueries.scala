@@ -100,6 +100,28 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ── n-gram Jaccard brute force over a bounded window (doc_id < 500 on
+    //    both sides, so the pair count is scale-invariant): the exact
+    //    baseline the LSH paths are measured against, as its own operator
+    sql("q_dedup_ngram",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |                               i -> array_to_string(w[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.bruteForceJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 500),
+          "doc_id", "text", shingleSize = 3, tau = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+
     // ── SimHash near-dup path: banded 64-bit simhash candidates, exact
     //    verify. Recall is probabilistic (Hamming banding over word-soup
     //    docs) → rows-only check here; equivalence vs brute force is
