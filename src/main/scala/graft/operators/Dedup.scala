@@ -151,10 +151,19 @@ object Dedup {
     * exact-verify like MinHash. */
   /** @param bandBits width of each simhash band. Candidates scale as
     *                  O(n²/2^bandBits) per band — widen with log₂(corpus):
-    *                  8 suits ~10³-10⁴ docs, 16 suits ~10⁶+. Must divide 64. */
+    *                  8 suits ~10³-10⁴ docs, 16 suits ~10⁶+. Must divide 64.
+    * @param hammingMax full-simhash Hamming cutoff before the exact verify.
+    *                   SimHash recall is inherently approximate for mid-J
+    *                   pairs; measured on the sf0.1 corpus: true J≥0.3
+    *                   pairs sit at Hamming 0-12 concentrated ≤4, while
+    *                   candidates grow 10× between cutoff 8 (92k) and 12
+    *                   (951k). Strong pairs (J≥0.9, the dedup targets) sit
+    *                   at Hamming ≤3 — the default 8 keeps them with wide
+    *                   margin at a tenth of the verify cost. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, tau: Double = 0.5, bandBits: Int = 8): DataFrame = {
+      shingleSize: Int = 5, tau: Double = 0.5, bandBits: Int = 8,
+      hammingMax: Int = 8): DataFrame = {
     // Both subtrees feed a self-join plus verification joins — without a
     // barrier the shingle projection and the simhash aggregation re-run
     // once per consumer (3× each; measured 83 s → 9 s at sf0.1). The
@@ -180,7 +189,7 @@ object Dedup {
     val prefiltered = pairs
       .join(hams.select(col(idCol).as("id_a"), col("simhash").as("h_a")), "id_a")
       .join(hams.select(col(idCol).as("id_b"), col("simhash").as("h_b")), "id_b")
-      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 12)
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= hammingMax)
       .select("id_a", "id_b")
     prefiltered
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
