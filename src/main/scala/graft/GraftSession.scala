@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for engine users: the config every graft
+  * entry point needs (UTC determinism, nanos-parquet compatibility,
+  * engine extensions), sized by a thread-count knob. */
+object GraftSession {
+  def builder(threads: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Build + finish engine registration (planner rules can't ride the
+    * extensions config — they're experimental-API registered). */
+  def create(threads: Int): SparkSession = {
+    val spark = builder(threads).getOrCreate()
+    plans.GraftPlanner.register(spark)
+    spark
+  }
+}

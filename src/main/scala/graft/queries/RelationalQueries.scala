@@ -388,10 +388,7 @@ object RelationalQueries {
         |       CASE WHEN p_type = 'STANDARD' THEN 'Yes' ELSE 'No' END AS "STANDARD"
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
-      val pivoted = Tables.part(s, d)
-        .groupBy("p_partkey").pivot("p_type", types).agg(count(lit(1)))
-        .na.fill(0, types)
-      types.foldLeft(pivoted)((df, t) => df.withColumn(t, CleanFns.yesNo(col(t))))
+      graft.operators.Reshape.oneHotYesNo(Tables.part(s, d), "p_partkey", "p_type", types)
         .orderBy("p_partkey")
     },
 
@@ -400,13 +397,10 @@ object RelationalQueries {
     sql("q_melt",
       "SELECT p_partkey, p_type FROM part ORDER BY p_partkey") { (s, d) =>
       val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
-      val pivoted = Tables.part(s, d)
-        .groupBy("p_partkey").pivot("p_type", types).agg(count(lit(1)))
-        .na.fill(0, types)
-      val yesNoed = types.foldLeft(pivoted)((df, t) => df.withColumn(t, CleanFns.yesNo(col(t))))
-      yesNoed.unpivot(Array(col("p_partkey")), types.map(col).toArray, "p_type", "available")
-        .filter(col("available") === "Yes")
-        .select("p_partkey", "p_type").orderBy("p_partkey")
+      val oneHot = graft.operators.Reshape.oneHotYesNo(
+        Tables.part(s, d), "p_partkey", "p_type", types)
+      graft.operators.Reshape.meltPresent(oneHot, "p_partkey", types, "p_type")
+        .orderBy("p_partkey")
     },
 
     // ── JS1 JSON field extraction (pipeline.py:712-716)

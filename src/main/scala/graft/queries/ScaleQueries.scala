@@ -24,6 +24,25 @@ object ScaleQueries {
           approx_count_distinct(col("l_partkey"), 0.02).as("builtin_estimate"))
     },
 
+    // ── skew-handling salted aggregation: two-phase salt split → merge.
+    //    Result is salt-invariant (exact decimal-routed sums), so the
+    //    oracle is the plain GROUP BY.
+    sql("q_skew_salted_agg",
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedSumCount(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          Seq("sum_qty" -> col("l_quantity"),
+              "sum_price" -> col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+          saltFactor = 16)
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
     // ── custom whole-operator stack: the W1 rank-limit idiom planned as
     //    TopKPerKeyExec (bounded per-partition heaps, partial/final like
     //    HashAggregate) via RankLimitRewrite + TopKPerKeyStrategy.
