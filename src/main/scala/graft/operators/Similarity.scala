@@ -113,6 +113,70 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** IVF (inverted-file) ANN — the clustering alternative to
+    * hyperplane LSH. Centroids come from a deterministic distributed
+    * k-means (first `k` vectors seed, `iters` Lloyd rounds, all
+    * DataFrame ops: assignment is a broadcast-centroid argmin, the
+    * update is a posexplode → per-(cluster, dim) mean). Queries probe
+    * the `nprobe` nearest centroids and exact-rank only those lists —
+    * the corpus-side shuffle is one groupBy on cluster id.
+    */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("centroid"))
+    (1 to iters).foreach { _ =>
+      val assigned = assignClusters(corpus, centroids)
+      centroids = assigned
+        .join(corpus, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg("v").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** (vec_id, cluster) assignment: nearest centroid by dot product
+    * (unit-ish vectors; broadcast centroids, map-side only). */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("d"), col("cluster"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** IVF top-k: probe the `nprobe` closest centroids per query, exact
+    * re-rank within their lists. Recall measured in specs vs brute. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(corpus, nClusters, iters)
+    val lists = assignClusters(corpus, centroids)
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
+    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "cluster")
+    val cand = probes
+      .join(lists.withColumnRenamed("vec_id", "n_id"), "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    cand.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Embedding-cosine near-dup pairs above `tauQ` (quantized threshold,
     * ≈ cosine·1e12), exact within the given frame. The native expression
     * fuses quantize+multiply+sum into one primitive loop per pair — no

@@ -43,6 +43,14 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── IVF-bucketed ANN: deterministic k-means lists + nprobe probing —
+    //    the clustering scale path next to LSH; recall vs brute in specs
+    rowsOnly("q_ann_ivf") { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── embedding-cosine near-dup pairs over a corpus with planted exact
     //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
     //    threshold 0.45·1e12 also catches the strongest natural pairs

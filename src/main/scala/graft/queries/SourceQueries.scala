@@ -92,6 +92,21 @@ object SourceQueries {
       EventsStreaming.streamingDedupCounts(s, d).orderBy("event_type")
     },
 
+    // ── custom streaming state: mapGroupsWithState sessionization (30-min
+    //    gap); oracle = batch gaps-and-islands SQL. FLOOR(epoch()) matches
+    //    Spark's truncating timestamp→long cast.
+    sql("q_stream_sessions",
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |d AS (SELECT user_id, ts_sec,
+        |             CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+        |                       OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 1800
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      EventsStreaming.userSessions(s, d, gapMinutes = 30).orderBy("user_id")
+    },
+
     // ── multimodal: binary media column + metadata struct, imperative
     //    per-partition decode (deterministic fake) → typed features
     sql("q_multimodal_features",

@@ -62,6 +62,47 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom streaming state (SURVEY §2.11 engine-added surface):
+    * per-user sessionization via `mapGroupsWithState` — events within
+    * `gapMinutes` of the previous event share a session. The state API is
+    * the point (KeyValueGroupedDataset custom state, the brief's
+    * mapGroupsWithState row); with AvailableNow each user's events arrive
+    * in one batch, so the result equals the batch gaps-and-islands SQL,
+    * which is the oracle. */
+  def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts".cast("long").as("ts_sec"))
+      .as[(Long, Long)]
+    val gapSec = gapMinutes * 60L
+    val sessions = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), SessionSummary](GroupStateTimeout.NoTimeout) {
+        case (user, events, state: GroupState[(Long, Long)]) =>
+          // state = (n_sessions so far, last event time); events within one
+          // AvailableNow batch arrive unordered — sort locally per user
+          val ts = events.map(_._2).toArray.sorted
+          var (nSessions, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
+          var nEvents = 0L
+          ts.foreach { t =>
+            if (lastTs == Long.MinValue || t - lastTs > gapSec) nSessions += 1
+            lastTs = t
+            nEvents += 1
+          }
+          state.update((nSessions, lastTs))
+          SessionSummary(user, nSessions, nEvents)
+      }
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Cross-run dedup semantics (pipeline.py:215 as a stream): streaming
     * dropDuplicates on the event key within the watermark horizon. Returns
     * the deduplicated count per event_type. */

@@ -64,6 +64,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
   }
 
+  test("IVF ANN recall@5 vs brute force is usable at 16 clusters × 4 probes") {
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall@5 $recall%.3f below floor")
+  }
+
+  test("IVF clustering is deterministic") {
+    val a = Similarity.ivfCentroids(embs, 8, 2).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val b = Similarity.ivfCentroids(embs, 8, 2).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(a.keySet === b.keySet)
+    a.keys.foreach(k => assert(a(k) === b(k), s"cluster $k"))
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
