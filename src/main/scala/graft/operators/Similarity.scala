@@ -154,8 +154,13 @@ object Similarity {
     * re-rank within their lists. Recall measured in specs vs brute. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    // centroids feed probes AND list assignment; lists feed the candidate
+    // join — materialize both (k rows / |corpus| ids — tiny tables) so the
+    // iterated k-means lineage isn't recomputed per consumer
     val centroids = ivfCentroids(corpus, nClusters, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists = assignClusters(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
     val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
