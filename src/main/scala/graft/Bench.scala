@@ -40,7 +40,7 @@ object Bench {
         None
       } catch { case e: Throwable =>
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
+      } finally spark.catalog.clearCache() // reclaim operator-persisted tables
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val ok = results.filter(_._3.isEmpty)

@@ -9,14 +9,14 @@ import org.apache.spark.sql.functions._
 object TopKBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(32)
     spark.sparkContext.setLogLevel("WARN")
+    // GraftSession pre-registers the planner — strip it so the "native"
+    // runs actually measure the WindowGroupLimit path
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RankLimitRewrite)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == graft.plans.TopKPerKeyStrategy)
 
     def q() = {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokenizer — the baseline unit for every op below. */
-  def tokens(c: Column): Column = split(c, "\\s+")
+  /** Whitespace tokenizer — the baseline unit for every op below. Input is
+    * trimmed first: split("\\s+") on leading whitespace yields a phantom
+    * empty first token that would skew every count/ratio built on top. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 

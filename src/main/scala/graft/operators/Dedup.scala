@@ -52,7 +52,10 @@ object Dedup {
     * docs sharing any band hash become candidates. Returns
     * (idCol, band, band_hash), one row per band. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val rowsPerBand = size(col(sigCol)) / bands
+    // `/` on Columns is DOUBLE division — a fractional rowsPerBand would
+    // silently overlap/skip signature positions; floor to int and let
+    // minHashNearDups enforce divisibility up front
+    val rowsPerBand = floor(size(col(sigCol)) / bands).cast("int")
     df.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
@@ -96,6 +99,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "fractional banding skips signature positions")
     val shingled = df
       .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -14,8 +14,10 @@ object Reshape {
     * mapped through U22's Yes/No vocabulary. */
   def oneHotYesNo(df: DataFrame, key: String, cat: String, values: Seq[String]): DataFrame = {
     val pivoted = df.groupBy(key).pivot(cat, values).agg(count(lit(1))).na.fill(0, values)
+    // presence test, not ===1: a key with duplicate rows of one category
+    // yields count > 1 and must still read "Yes"
     values.foldLeft(pivoted)((d, v) =>
-      d.withColumn(v, graft.functions.CleanFns.yesNo(col(v))))
+      d.withColumn(v, when(col(v) >= 1, "Yes").otherwise("No")))
   }
 
   /** PV2: melt indicator columns back to long form, keeping only the

@@ -130,7 +130,12 @@ object Similarity {
       centroids = assigned
         .join(corpus, "vec_id")
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(avg("v").as("m"))
+        // decimal-routed mean: a double avg's low bits depend on partial
+        // merge order, which would make the centroids (and thus cluster
+        // boundaries) run-dependent — the repo's determinism discipline
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          / count(lit(1))).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m").cast("float")).as("centroid"))

@@ -20,6 +20,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *  - final pass per key emits the k best in order.
   * Same partial/final split as HashAggregateExec, same correctness
   * argument as map-side combine: top-k is a semigroup.
+  *
+  * Memory envelope (documented, not spill-proof): each pass holds ≤ k
+  * copied rows per distinct key seen in its partition — the same
+  * no-spill envelope as a hash aggregate buffer of k rows per group.
+  * For key cardinalities where k·|keys|/partition exceeds executor
+  * memory, fall back to the native window path (unregister the rule);
+  * adding UnsafeExternalSorter-style spill is the known follow-up.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
@@ -54,8 +61,15 @@ case class TopKPerKeyExec(
         scala.collection.mutable.PriorityQueue[InternalRow]]()
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        // copy the key only on first sight — getOrElseUpdate(key.copy(),…)
+        // would allocate a fresh UnsafeRow per input row even on hits
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

@@ -110,15 +110,17 @@ object SourceQueries {
     // ── multimodal: binary media column + metadata struct, imperative
     //    per-partition decode (deterministic fake) → typed features
     sql("q_multimodal_features",
+      // head_byte/checksum are BYTE-derived; a SQL oracle over ord()
+      // compares CODEPOINTS and would silently diverge on non-ASCII text —
+      // those features are byte-exact-verified in MultimodalSpec instead
       """SELECT doc_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       ord(substr(text, 1, 1)) AS head_byte,
-        |       CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) % 997 AS BIGINT) AS checksum,
         |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
+        .select("doc_id", "kind", "n_bytes", "n_frames")
         .orderBy("doc_id")
     },
 

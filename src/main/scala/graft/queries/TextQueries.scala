@@ -18,12 +18,12 @@ object TextQueries {
     // ── token counting + quality scoring (length / stopword signals)
     sql("q_text_stats",
       s"""SELECT doc_id,
-         |       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |       CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS est_bpe_tokens,
-         |       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |                            t -> list_contains($stopsSqlList, t))) AS DOUBLE)
-         |         / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+         |         / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           TextFns.tokenCount(col("text")).as("n_tokens"),
@@ -38,7 +38,7 @@ object TextQueries {
     sql("q_text_langid", {
       val scoreSql = TextFns.LangMarkers.map { case (lang, ms) =>
         val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> list_contains($list, t))) AS BIGINT) AS s_$lang"
+        s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> list_contains($list, t))) AS BIGINT) AS s_$lang"
       }.mkString(",\n       ")
       val langs = TextFns.LangMarkers.map(_._1)
       val best = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
@@ -87,7 +87,7 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
         |  WHERE len(w) >= 5),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -107,7 +107,7 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
         |                               i -> array_to_string(w[i:i+2], ' '))) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
         |        WHERE doc_id < 500)
         |  WHERE len(w) >= 3),
         |p AS (

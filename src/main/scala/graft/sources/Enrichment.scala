@@ -55,11 +55,16 @@ object Enrichment {
         var attempt = 0
         var result: String = null
         var last: Throwable = null
+        // a null return counts as a failed attempt too — otherwise a
+        // client that maps misses to null would loop forever
         while (result == null && attempt <= maxRetries) {
+          attempt += 1
           try result = client.fetch(url)
-          catch { case e: Throwable => last = e; attempt += 1 }
+          catch { case e: Throwable => last = e }
         }
-        if (result == null) throw last
+        if (result == null)
+          throw (if (last != null) last
+                 else new java.io.IOException(s"enrichment returned null for $url"))
         Row.fromSeq(r.toSeq :+ result)
       }
     }
