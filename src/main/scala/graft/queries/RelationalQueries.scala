@@ -454,6 +454,32 @@ object RelationalQueries {
         .orderBy("hour_ts", "event_type")
     },
 
+    // ── exact percentiles (engine capability beyond the reference): Spark's
+    //    exact `percentile` and DuckDB's quantile_cont share linear
+    //    interpolation over the sorted set — deterministic on both sides
+    sql("q_agg_percentile",
+      """SELECT l_returnflag,
+        |       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+        |       CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+             expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── rollup grouping (engine capability): subtotal + grand-total rows
+    sql("q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    },
+
     // ── M1/M2 abs/add/divide with null-safe division (SURVEY §2.9)
     sql("q_math",
       """SELECT s_suppkey,
