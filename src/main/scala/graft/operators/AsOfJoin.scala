@@ -39,9 +39,14 @@ object AsOfJoin {
           lCols.filterNot(keys.contains).map(col): _*)
       .unionByName(rTagged, allowMissingColumns = true)
     // right rows (__side=0) sort before left rows at equal ts → the
-    // as-of match is inclusive (right.ts == left.ts matches)
+    // as-of match is inclusive (right.ts == left.ts matches). The payload
+    // struct closes the ordering: several right rows sharing (key, ts)
+    // would otherwise make `last` pick a partition-order-dependent winner —
+    // with __p in the orderBy the greatest payload wins, deterministically.
+    // (Left rows all carry a null __p, which sorts first within a tie group
+    // and can't displace a right row.)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = merged.withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
     val out = carried.filter(col("__side") === 1)

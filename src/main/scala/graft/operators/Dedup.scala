@@ -23,30 +23,46 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature expression: for each of `numHashes` seeded xxhash64
-    * functions, the min over the shingle array. NOTE: only for small/test
-    * use — inside a query plan, projection collapse inlines the shingle
-    * construction into every one of the 64 lambdas (and again per band),
-    * recomputing it ~10³× per row. Use `minHashSignatures` (the
-    * aggregation form) in pipelines. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+  /** Exploded long-hash shingle rows (idCol, h): each n-token window is
+    * hashed ONCE via xxhash64 over the token slice — no per-shingle string
+    * building and no re-hashing of text per MinHash seed. Distinctness is
+    * taken on the 64-bit hashes; a collision (birthday odds ~1e-7 at 10⁶
+    * distinct shingles) only perturbs candidate recall, never the exact
+    * verify. */
+  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val ws = TextFns.tokens(col(textCol))
+    val hs = when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => xxhash64(slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(idCol), explode(hs).as("h"))
+  }
 
-  /** MinHash signatures as a distributed aggregation: explode shingles,
-    * one hash per (row, seed), map-side partial min, groupBy id. One pass
-    * over the data, one shuffle on the id — the aggregation barrier also
-    * stops Catalyst from inlining shingle construction into each seed.
+  /** MinHash signatures as a distributed aggregation over pre-hashed
+    * shingle rows: the i-th hash function is a seeded re-hash of the one
+    * 8-byte base hash (xxhash64(i, h) — fixed-width input), so a signature
+    * costs 64 constant-size hashes per shingle instead of 64 full string
+    * hashes. (Kirsch–Mitzenmacher h+i·h2 would be cheaper still, but long
+    * overflow wraps are an error under ANSI mode, Spark 4's default.)
+    * Map-side partial min, one shuffle on the id; the aggregation barrier
+    * also stops Catalyst from inlining shingle construction into each seed
+    * (projection collapse measured at ~10³× recompute).
     * Output: (idCol, sig array<long>). */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(TextFns.shingles(col(textCol), shingleSize)).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    exploded.groupBy(col(idCol))
+  def minHashSignaturesFromHashes(hashed: DataFrame, idCol: String,
+                                  numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    hashed.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  /** MinHash signatures straight from (idCol, textCol). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int): DataFrame =
+    minHashSignaturesFromHashes(
+      hashedShingleRows(df, idCol, textCol, shingleSize), idCol, numHashes)
 
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band hash become candidates. Returns
@@ -80,21 +96,44 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Exact string-shingle verification of candidate pairs: build string
+    * shingles ONLY for docs that appear in a candidate pair (a left-semi
+    * join — the candidate set is tiny relative to the corpus by LSH
+    * construction), join both sides onto the pairs, keep exact
+    * Jaccard ≥ tau. Shared by the MinHash and SimHash pipelines so both
+    * report exact, byte-identical-to-brute-force pairs. */
+  private def verifyPairsExact(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleSize: Int, tau: Double): DataFrame = {
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // candIds is small by construction → broadcast semi-join, so the
+    // corpus is never shuffled; shingles are computed for candidate docs
+    // only. (At a pathological dup-rate where candidates ≈ corpus, drop
+    // the hint and let AQE pick the join.)
+    val candSh = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    pairs
+      .join(candSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** Full MinHash/LSH near-dup pipeline over (idCol, textCol):
-    * shingle → sign → band → candidate join → exact-Jaccard verify ≥ tau.
-    * Output: (id_a, id_b, jac), one row per verified near-dup pair.
+    * hash-shingle → sign → band → candidate equi-join → exact-Jaccard
+    * verify ≥ tau. Output: (id_a, id_b, jac), one row per verified
+    * near-dup pair.
     *
     * With numHashes=64, bands=16 (4 rows/band) the miss probability for a
     * true pair at J=0.8 is (1-0.8⁴)¹⁶ ≈ 2e-4, and at J=0.9 ≈ 3e-8 — the
-    * verify step then makes reported pairs exact.
+    * verify step then makes reported pairs exact. Every candidate goes
+    * straight to the exact verify (no signature-estimate prune: it saved
+    * little once candidates were measured in the hundreds, and its
+    * probabilistic cut could drop a borderline true pair).
     */
-  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
-    * positions. 64 long comparisons — ~100× cheaper than an exact
-    * set-intersect on shingle arrays. */
-  def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
-
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
@@ -102,34 +141,16 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "fractional banding skips signature positions")
-    val shingled = df
-      .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // aggregation form: the agg barrier materializes sig once — the
-    // projection form re-inlined shingling into every band slice
-    // (measured at sf0.1: bands 177s → sub-second)
+    // persisted: the band table feeds both sides of the candidate
+    // self-join (id + 64 longs per doc — the signature table, not the
+    // corpus; exchange reuse would cover it, but an explicit persist
+    // doesn't depend on plan canonicalization)
     val signed = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: consumed by the candidate-id semi-join and the verify join
     val pairs = candidatePairs(lshBands(signed, idCol, "sig", bands), idCol)
-    // Band collisions at moderate background similarity produce far more
-    // candidates than true pairs (word-soup corpora: ~1M candidates for
-    // ~10 true pairs at sf0.1). Verify in two stages: signature-estimate
-    // prune at tau - 3σ (σ = √(τ(1-τ)/H) ≈ 0.06 → no real pair lost),
-    // then exact Jaccard only on survivors.
-    val sigEst = signed.select(col(idCol), col("sig"))
-    val estCut = math.max(0.0, tau - 3 * math.sqrt(tau * (1 - tau) / numHashes))
-    val estimated = pairs
-      .join(sigEst.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigEst.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(estimatedJaccard(col("sig_a"), col("sig_b")) >= estCut)
-      .select("id_a", "id_b")
-    val left = shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val right = shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    estimated.join(left, "id_a").join(right, "id_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= tau)
-      .select("id_a", "id_b", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyPairsExact(df, idCol, textCol, pairs, shingleSize, tau)
   }
 
   /** 64-bit SimHash, computed distributively: explode token hashes, one
@@ -170,14 +191,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, tau: Double = 0.5, bandBits: Int = 8,
       hammingMax: Int = 8): DataFrame = {
-    // Both subtrees feed a self-join plus verification joins — without a
-    // barrier the shingle projection and the simhash aggregation re-run
-    // once per consumer (3× each; measured 83 s → 9 s at sf0.1). The
-    // cached tables are id + one long / one small array per doc — at
-    // 100 TB this is the (tiny) signature table, not the corpus.
-    val sh = df.select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The simhash table feeds a self-join plus the Hamming prefilter —
+    // without a barrier the aggregation re-runs once per consumer
+    // (measured 83 s → 9 s at sf0.1). The cached table is id + one long
+    // per doc — at 100 TB this is the (tiny) signature table, not the
+    // corpus.
     val sim = simHash(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = 64 / bandBits
@@ -197,12 +215,8 @@ object Dedup {
       .join(hams.select(col(idCol).as("id_b"), col("simhash").as("h_b")), "id_b")
       .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= hammingMax)
       .select("id_a", "id_b")
-    prefiltered
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= tau)
-      .select("id_a", "id_b", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyPairsExact(df, idCol, textCol, prefiltered, shingleSize, tau)
   }
 
   /** Brute-force n-gram Jaccard pairs — the small-data oracle baseline the

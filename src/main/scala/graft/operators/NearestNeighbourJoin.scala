@@ -41,7 +41,17 @@ object NearestNeighbourJoin {
       (dist.as("__dist") +:
         tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }) ++
         payload.map { case (n, c) => c.as(n) }: _*)
-    left.crossJoin(broadcast(right))
+    // Pre-partition the left by the group keys: a compact left (one parquet
+    // split) would otherwise push the full |left|·|right| cross-join output
+    // through a single task. Hash-partitioning on the keys both spreads the
+    // nested-loop join across the cluster and already satisfies the
+    // aggregate's distribution, so no second shuffle follows the join. The
+    // explicit partition count pins the fan-out (AQE would coalesce a
+    // small-by-bytes left back to one partition).
+    val shufflePartitions =
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    left.repartition(shufflePartitions, leftKeys.map(col): _*)
+      .crossJoin(broadcast(right))
       .groupBy(leftKeys.map(col): _*)
       .agg(min(packed).as("__best"))
       .select(leftKeys.map(col) ++

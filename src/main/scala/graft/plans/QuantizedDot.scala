@@ -33,15 +33,25 @@ case class QuantizedDot(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
 
+  // Null slots contribute 0 (parquet array schemas carry containsNull=true
+  // even for dense vectors, so the type can't be rejected up front — but a
+  // blind getFloat on a null slot would read undefined buffer data).
+  // Mismatched lengths fail fast: embeddings are fixed-dimension, so a
+  // mismatch is a wiring bug, and silent truncation would hide it.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (ys.numElements() != n)
+      throw new IllegalArgumentException(
+        s"quantized_dot: vector length mismatch ($n vs ${ys.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += math.floor(xs.getFloat(i) * 1000000.0d).toLong *
-             math.floor(ys.getFloat(i) * 1000000.0d).toLong
+      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
+        acc += math.floor(xs.getFloat(i) * 1000000.0d).toLong *
+               math.floor(ys.getFloat(i) * 1000000.0d).toLong
+      }
       i += 1
     }
     acc
@@ -52,12 +62,18 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "quantized_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long ${ev.value}_acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc +=
-         |    (long) java.lang.Math.floor($a.getFloat($i) * 1000000.0d) *
-         |    (long) java.lang.Math.floor($b.getFloat($i) * 1000000.0d);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    ${ev.value}_acc +=
+         |      (long) java.lang.Math.floor($a.getFloat($i) * 1000000.0d) *
+         |      (long) java.lang.Math.floor($b.getFloat($i) * 1000000.0d);
+         |  }
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin
