@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Stage-level profiling of the near-dup pipelines at a given sf — times
   * each phase separately so the bottleneck is visible instead of guessed,
-  * and dumps the corpus similarity geometry (true-pair Jaccard vs simhash
-  * Hamming) that the banding parameters are tuned against.
+  * and dumps the corpus similarity geometry (true-pair Jaccard vs shingle-
+  * simhash Hamming) that the banding parameters are tuned against.
   * `runMain graft.Profile <sfDir>`. */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -19,60 +20,50 @@ object Profile {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
-
     val docs = Tables.documents(spark, sfDir)
     println(s"[profile] docs = ${docs.count()}")
 
-    val hashed = Dedup.hashedShingleRows(docs, "doc_id", "text", 5)
-    t("hash-shingle")(hashed.write.format("noop").mode("overwrite").save())
-
+    // ── minhash stages on the pipeline's own persisted frames
     val signed = Dedup.minHashSignatures(docs, "doc_id", "text", 5, 64)
-    t("shingle+sign")(signed.write.format("noop").mode("overwrite").save())
-
-    val bands = Dedup.lshBands(signed, "doc_id", "sig", 16)
-    val pairs = Dedup.candidatePairs(bands, "doc_id")
-    println(s"[profile] minhash candidates = ${t("candidate pairs")(pairs.count())}")
-
-    val full = Dedup.minHashNearDups(docs, "doc_id", "text")
-    println(s"[profile] minhash verified = ${t("minhash full")(full.count())}")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t("mh sign")(signed.count())
+    val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(signed, "doc_id", "sig", 16), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[profile] mh candidates = ${t("mh band+join")(pairs.count())}")
+    val verified = Dedup.verifyPairsExact(docs, "doc_id", "text", pairs, 5, 0.5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[profile] mh verified = ${t("mh verify")(verified.count())}")
     spark.catalog.clearCache()
 
-    val simFull = Dedup.simHashNearDups(docs, "doc_id", "text", shingleSize = 5, tau = 0.3)
-    println(s"[profile] simhash verified = ${t("simhash full")(simFull.count())}")
+    // ── end-to-end, fresh caches, as Bench measures them
+    t("minhash e2e")(Dedup.minHashNearDups(docs, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+    t("simhash e2e")(Dedup.simHashNearDups(docs, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save())
     spark.catalog.clearCache()
 
-    // ── similarity geometry: exact J (brute force) × simhash Hamming for
-    //    every pair above background — the data behind bandBits/hammingMax
-    val brute = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", 5, 0.25)
-    val sim = Dedup.simHash(docs, "doc_id", "text")
-    val joined = brute
-      .join(sim.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), "id_a")
-      .join(sim.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("jac"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("ham"))
-      .persist()
-    println("[profile] true-pair geometry (J>=0.25): jac decile x hamming")
-    joined.groupBy((floor(col("jac") * 10) / 10).as("j_bin"))
+    // ── similarity geometry: true pairs' (exact J × shingle-simhash
+    //    Hamming) — the data behind the bandBits/hammingMax defaults.
+    //    Printed via collect (console truncation can't hide rows).
+    val simShg = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 5)
+      .select(col("doc_id"),
+        call_function("simhash64", Dedup.shingleHashes(col("text"), 5)).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verified2 = Dedup.minHashNearDups(docs, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g = verified2
+      .join(simShg.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(simShg.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), "id_b")
+      .select(col("jac"), bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("ham"))
+    g.groupBy((floor(col("jac") * 10) / 10).as("j_bin"))
       .agg(count(lit(1)).as("n"), min("ham").as("ham_min"),
-        max("ham").as("ham_max"), expr("percentile(ham, 0.5)").as("ham_med"))
-      .orderBy("j_bin").show(50, truncate = false)
-    println("[profile] pairs J>=0.5 with hamming > 6:")
-    joined.filter(col("jac") >= 0.5 && col("ham") > 6).show(50, truncate = false)
-
-    // simhash banding candidate volume at 8-bit bands, by hamming cutoff
-    val banded = sim.select(col("doc_id"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-    val cand = Dedup.candidatePairs(banded, "doc_id")
-      .join(sim.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), "id_a")
-      .join(sim.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), "id_b")
-      .select(bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("ham"))
-      .persist()
-    println(s"[profile] simhash raw candidates = ${cand.count()}")
-    Seq(4, 6, 7, 8, 12).foreach { c =>
-      println(s"[profile] simhash candidates ham<=$c = ${cand.filter(col("ham") <= c).count()}")
-    }
+        max("ham").as("ham_max"), avg("ham").as("ham_avg"))
+      .orderBy("j_bin").collect()
+      .foreach(r => println(s"[profile] jbin=${r.get(0)} n=${r.get(1)} " +
+        s"ham_min=${r.get(2)} ham_max=${r.get(3)} ham_avg=${r.get(4)}"))
     spark.stop()
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
   val defs: Seq[QueryDef] =
     RelationalQueries.all ++ CleaningQueries.all ++ NnQueries.all ++
       TextQueries.all ++ AnnQueries.all ++ SourceQueries.all ++
-      E2eQueries.all ++ ScaleQueries.all ++ JoinQueries.all
+      E2eQueries.all ++ ScaleQueries.all ++ JoinQueries.all ++
+      CompositeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1-shaped: filter → two broadcast dim joins → group-avg → order → limit

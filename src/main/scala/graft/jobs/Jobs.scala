@@ -1,6 +1,7 @@
 package graft.jobs
 
 import graft.functions.{CleanFns, ClosestLineUdf}
+import graft.operators.NearestNeighbourJoin
 import graft.sources.{Enrichment, HtmlScrapers, RestJson}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -98,10 +99,44 @@ object Jobs {
         col("zone_group").cast("int").as("zone_group"))
   }
 
-  /** The flagship join (SURVEY §3.3): listings ⟕ station dimension on
-    * station name, distance < 1 km, avg price per station × line (A1). */
+  /** station_names_mapping (reference database_schema.sql:61-66;
+    * google_maps_api.ipynb:733-734): scraped station name → canonical
+    * dimension name. The reference seeds this table by hand in the
+    * warehouse; here it is the equivalent literal dimension. */
+  def stationNameMapping(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Angel Station", "Angel"),
+      ("Clapham Common Station", "Clapham Common"),
+      ("Victoria Station", "Victoria"))
+      .toDF("scraped_name", "canonical_name")
+  }
+
+  /** Both listing branches united on the flagship's shared columns, with
+    * scraped station names canonicalized through the mapping dimension
+    * (broadcast left join + coalesce — J2 as the reference's
+    * station_names_mapping table applies it). */
+  def canonicalListings(spark: SparkSession): DataFrame = {
+    val shared = Seq("subway_station", "price", "distance")
+    val zoopla = zooplaListings(spark)
+      .select(col("subway_station"), col("price").cast("double"),
+        col("distance").cast("double"))
+    val dexters = dextersListings(spark)
+      .select(col("subway_station"), col("price").cast("double"),
+        col("distance").cast("double"))
+    zoopla.unionByName(dexters)
+      .join(broadcast(stationNameMapping(spark)),
+        col("subway_station") === col("scraped_name"), "left")
+      .withColumn("subway_station",
+        coalesce(col("canonical_name"), col("subway_station")))
+      .select(shared.map(col): _*)
+  }
+
+  /** The flagship join (SURVEY §3.3): multi-source listings ⟕ station
+    * dimension on canonical station name, distance < 1 km, avg price per
+    * station × line (A1). */
   def flagshipAvgPrice(spark: SparkSession): DataFrame = {
-    val listings = zooplaListings(spark)
+    val listings = canonicalListings(spark)
     val dim = stationDimension(spark)
     // (station, line) projection deduped first — a multi-zone station would
     // otherwise fan out its listings through the join
@@ -112,5 +147,49 @@ object Jobs {
       .groupBy("subway_station", "tube_line")
       .agg(avg("price").as("avg_price"), count(lit(1)).as("n_listings"))
       .orderBy(desc_nulls_last("avg_price"), col("subway_station"))
+  }
+
+  /** The second half of the reference's flagship question (README.md:4
+    * "enriched with per-station air-pollution readings";
+    * database_schema.sql:54-58's site_subway_station_mapping bridge):
+    * station dim → S6 places-API coordinate enrichment → J3
+    * nearest-neighbour bridge to open monitoring sites → hourly readings
+    * rolled up per station × species, joined with the multi-source
+    * listings aggregate. One row per station. */
+  def airQualityByStation(spark: SparkSession): DataFrame = {
+    val stations = stationDimension(spark).select("subway_station").distinct()
+    val withCoords = Enrichment.fetchPerRow(stations, "subway_station",
+        () => new Enrichment.FixturePlacesClient)
+      .select(col("subway_station"),
+        split(col("payload"), ",").getItem(0).cast("double").as("lat"),
+        split(col("payload"), ",").getItem(1).cast("double").as("lon"))
+    val sites = RestJson.openSites(spark)
+      .select(col("site_code"), col("latitude"), col("longitude"))
+    val bridge = NearestNeighbourJoin.broadcastArgmin(
+      left = withCoords, right = sites,
+      leftKeys = Seq("subway_station"),
+      dist = abs(col("lat") - col("latitude")) + abs(col("lon") - col("longitude")),
+      tieBreak = Seq(col("site_code")),
+      payload = Seq("site_code" -> col("site_code")))
+    // per-site species averages, decimal-exact (sum through DECIMAL(18,2),
+    // one IEEE division) so the result is partition-order independent
+    def speciesAvg(sp: String, as: String) =
+      (sum(when(col("species_code") === sp, col("value"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+        / count(when(col("species_code") === sp, lit(1)))).as(as)
+    val bySite = airQualityReadings(spark).groupBy("site_code")
+      .agg(speciesAvg("NO2", "avg_no2"), speciesAvg("O3", "avg_o3"),
+        speciesAvg("PM25", "avg_pm25"))
+    val listings = canonicalListings(spark)
+      .filter(col("distance") < 1.0)
+      .groupBy("subway_station")
+      .agg(avg("price").as("avg_price"), count(lit(1)).as("n_listings"))
+    bridge.select("subway_station", "site_code")
+      .join(broadcast(listings), Seq("subway_station"), "left")
+      .withColumn("n_listings", coalesce(col("n_listings"), lit(0L)))
+      .join(broadcast(bySite), Seq("site_code"), "left")
+      .select("subway_station", "site_code", "avg_price", "n_listings",
+        "avg_no2", "avg_o3", "avg_pm25")
+      .orderBy("subway_station")
   }
 }

@@ -23,46 +23,42 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded long-hash shingle rows (idCol, h): each n-token window is
-    * hashed ONCE via xxhash64 over the token slice — no per-shingle string
-    * building and no re-hashing of text per MinHash seed. Distinctness is
+  /** Hashed n-token shingles as ONE array<long> per row: each window is
+    * hashed once via xxhash64 over the token slice — no per-shingle string
+    * building. NULL when the doc is too short to shingle. Distinctness is
     * taken on the 64-bit hashes; a collision (birthday odds ~1e-7 at 10⁶
     * distinct shingles) only perturbs candidate recall, never the exact
     * verify. */
-  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String,
-                        n: Int): DataFrame = {
-    val ws = TextFns.tokens(col(textCol))
-    val hs = when(size(ws) >= n,
+  def shingleHashes(text: Column, n: Int): Column = {
+    val ws = TextFns.tokens(text)
+    when(size(ws) >= n,
       array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => xxhash64(slice(ws, i, lit(n))))))
-      .otherwise(array().cast("array<long>"))
-    df.select(col(idCol), explode(hs).as("h"))
+      .otherwise(lit(null).cast("array<long>"))
   }
 
-  /** MinHash signatures as a distributed aggregation over pre-hashed
-    * shingle rows: the i-th hash function is a seeded re-hash of the one
-    * 8-byte base hash (xxhash64(i, h) — fixed-width input), so a signature
-    * costs 64 constant-size hashes per shingle instead of 64 full string
-    * hashes. (Kirsch–Mitzenmacher h+i·h2 would be cheaper still, but long
-    * overflow wraps are an error under ANSI mode, Spark 4's default.)
-    * Map-side partial min, one shuffle on the id; the aggregation barrier
-    * also stops Catalyst from inlining shingle construction into each seed
-    * (projection collapse measured at ~10³× recompute).
-    * Output: (idCol, sig array<long>). */
-  def minHashSignaturesFromHashes(hashed: DataFrame, idCol: String,
-                                  numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    hashed.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  private def registered(df: DataFrame): Unit =
+    graft.plans.GraftExtensions.register(df.sparkSession)
 
-  /** MinHash signatures straight from (idCol, textCol). */
+  /** MinHash signatures via the native [[graft.plans.MinHashSigs]]
+    * expression: one pass over the row's shingle-hash array computes all
+    * `numHashes` minima — no row explosion, no shuffle, whole-stage
+    * codegen. The shingle array has exactly one consumer, so Catalyst's
+    * projection collapse (which re-inlined shingling into each of 64
+    * aggregate columns in the exploded formulation, measured ~10³×
+    * recompute) cannot multiply work. Output: (idCol, sig array<long>),
+    * unshingleable docs dropped. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int, numHashes: Int): DataFrame =
-    minHashSignaturesFromHashes(
-      hashedShingleRows(df, idCol, textCol, shingleSize), idCol, numHashes)
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    registered(df)
+    // too-short docs are dropped by a cheap token-count predicate BEFORE
+    // the projection: filtering on sig IS NOT NULL instead would be pushed
+    // below the project by substitution and evaluate the signature twice
+    df.filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
+      .select(col(idCol),
+        call_function("minhash_sigs",
+          shingleHashes(col(textCol), shingleSize), lit(numHashes)).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band hash become candidates. Returns
@@ -96,13 +92,20 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** Exact string-shingle verification of candidate pairs: build string
-    * shingles ONLY for docs that appear in a candidate pair (a left-semi
+  /** Exact shingle-set verification of candidate pairs: build shingle
+    * sets ONLY for docs that appear in a candidate pair (a left-semi
     * join — the candidate set is tiny relative to the corpus by LSH
     * construction), join both sides onto the pairs, keep exact
     * Jaccard ≥ tau. Shared by the MinHash and SimHash pipelines so both
-    * report exact, byte-identical-to-brute-force pairs. */
-  private def verifyPairsExact(
+    * report exact, byte-identical-to-brute-force pairs.
+    *
+    * The sets compared are the 64-bit shingle HASHES, not the shingle
+    * strings: set sizes (and therefore Jaccard) are identical unless two
+    * distinct shingles collide in 64 bits (birthday odds ~1e-7 at 10⁶
+    * distinct shingles — and a collision would have to hit a candidate
+    * doc to matter), and long-array intersection is several times cheaper
+    * than string-array intersection. */
+  def verifyPairsExact(
       df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleSize: Int, tau: Double): DataFrame = {
     val candIds = pairs.select(col("id_a").as(idCol))
@@ -111,9 +114,12 @@ object Dedup {
     // corpus is never shuffled; shingles are computed for candidate docs
     // only. (At a pathological dup-rate where candidates ≈ corpus, drop
     // the hint and let AQE pick the join.)
+    // persisted: both sides of the pair join consume this frame — without
+    // the barrier the corpus semi-join + shingling runs twice
     val candSh = df.join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol), TextFns.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
+      .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(candSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -153,50 +159,56 @@ object Dedup {
     verifyPairsExact(df, idCol, textCol, pairs, shingleSize, tau)
   }
 
-  /** 64-bit SimHash, computed distributively: explode token hashes, one
-    * partial-aggregating groupBy with 64 signed bit-counters, reassemble.
-    * Scales as a single map-side-combined shuffle on the id. */
+  /** 64-bit SimHash over unigram token hashes via the native
+    * [[graft.plans.SimHash64]] expression — one pass per row, no explode,
+    * no shuffle. Docs with no tokens are dropped (no feature → no hash),
+    * matching the old aggregation form's semantics; values are identical
+    * to it too (same xxhash64 token features, same majority-bit rule). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol),
-        explode(TextFns.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val assembled = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), assembled.as("simhash"))
+    registered(df)
+    df.filter(col(textCol).isNotNull) // null text has no features
+      .select(col(idCol),
+        call_function("simhash64",
+          transform(TextFns.tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit simhash into eight 8-bit
-    * chunks; docs sharing any chunk are candidates (Hamming ≤ 7 guarantee
-    * by pigeonhole — unigram simhashes of near-identical word-soup docs
-    * land at Hamming 4-8, so 16-bit bands missed real pairs) — then
-    * exact-verify like MinHash. */
-  /** @param bandBits width of each simhash band. Candidates scale as
-    *                  O(n²/2^bandBits) per band — widen with log₂(corpus):
-    *                  8 suits ~10³-10⁴ docs, 16 suits ~10⁶+. Must divide 64.
+  /** SimHash near-dup pipeline: 64-bit simhash over the SAME hashed
+    * n-gram shingle features MinHash uses, banded into 64/bandBits
+    * chunks; docs sharing any chunk are candidates, pruned by full-hash
+    * Hamming distance, then exact-verified like MinHash.
+    *
+    * Shingle features (not unigram tokens) are what make the banding
+    * usable: near-dup docs share most shingles (Hamming ≈ 0-12) while
+    * background pairs share only vocabulary, whose shingle sets are
+    * nearly disjoint (Hamming ≈ 32) — measured at sf0.1, switching the
+    * feature space cut raw 8-bit-band candidates 5.1M → 400k and
+    * Hamming≤12 candidates 951k → 258 (≈ exactly the true pairs).
+    */
+  /** @param bandBits width of each simhash band. Candidate generation is
+    *                  pigeonhole-complete for pairs at Hamming < 64/bandBits
+    *                  and probabilistic beyond; 8 (complete to Hamming 7)
+    *                  suits ~10³-10⁵ docs, widen to 16 for ~10⁶+ corpora.
+    *                  Must divide 64.
     * @param hammingMax full-simhash Hamming cutoff before the exact verify.
-    *                   SimHash recall is inherently approximate for mid-J
-    *                   pairs; measured on the sf0.1 corpus: true J≥0.3
-    *                   pairs sit at Hamming 0-12 concentrated ≤4, while
-    *                   candidates grow 10× between cutoff 8 (92k) and 12
-    *                   (951k). Strong pairs (J≥0.9, the dedup targets) sit
-    *                   at Hamming ≤3 — the default 8 keeps them with wide
-    *                   margin at a tenth of the verify cost. */
+    *                   Measured shingle-feature geometry on the sf0.1
+    *                   corpus: true J≥0.5 pairs sit at Hamming 0-12,
+    *                   background at ≈32; the default 16 keeps every true
+    *                   pair with 4 bits of margin while admitting only
+    *                   ~600 candidates (of 12.5M possible pairs). */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, tau: Double = 0.5, bandBits: Int = 8,
-      hammingMax: Int = 8): DataFrame = {
+      hammingMax: Int = 16): DataFrame = {
+    registered(df)
     // The simhash table feeds a self-join plus the Hamming prefilter —
-    // without a barrier the aggregation re-runs once per consumer
-    // (measured 83 s → 9 s at sf0.1). The cached table is id + one long
-    // per doc — at 100 TB this is the (tiny) signature table, not the
-    // corpus.
-    val sim = simHash(df, idCol, textCol)
+    // persisted so the scan+sketch runs once per consumer. The cached
+    // table is id + one long per doc — at 100 TB this is the (tiny)
+    // signature table, not the corpus.
+    val sim = df
+      .filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
+      .select(col(idCol),
+        call_function("simhash64",
+          shingleHashes(col(textCol), shingleSize)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = 64 / bandBits
     val mask = (1L << bandBits) - 1

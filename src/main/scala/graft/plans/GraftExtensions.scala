@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions. Enable with
@@ -12,24 +12,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session (used by the query layer so the driver's own sessions work).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val quantizedDotDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("quantized_dot"),
-    new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
-    (children: Seq[Expression]) => QuantizedDot(children(0), children(1)))
+
+  private def literalInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  private val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (children: Seq[Expression]) => QuantizedDot(children(0), children(1))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) =>
+        MinHashSigs(children(0), literalInt(children(1), "minhash_sigs"))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = quantizedDotDescriptor
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id))
-      registry.registerFunction(id, info, builder)
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
 }

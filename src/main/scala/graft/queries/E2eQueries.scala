@@ -91,18 +91,48 @@ object E2eQueries {
       Jobs.stationDimension(s).orderBy("subway_station", "transport_zone")
     },
 
-    // ── The flagship, end to end: listings ⟕ dim, <1 km, avg £ per
-    //    station × line — the reference web app's table (README.md:4)
+    // ── The flagship, end to end: BOTH listing branches unioned behind
+    //    the station_names_mapping canonicalization ('Angel Station' from
+    //    Dexters only joins the dim after mapping → the 580000 average
+    //    proves the mapping ran), ⟕ dim, <1 km, avg £ per station × line —
+    //    the reference web app's table (README.md:4)
     sql("q_e2e_flagship",
       """SELECT subway_station, tube_line, CAST(avg_price AS DOUBLE) AS avg_price,
         |       CAST(n_listings AS BIGINT) AS n_listings
         |FROM (VALUES
         |  ('Brixton', 'Victoria line', 687500.0, 1),
-        |  ('Angel', 'Northern line', 435000.0, 1),
+        |  ('Angel', 'Northern line', 580000.0, 2),
+        |  ('Wimbledon Park', 'District line', 550000.0, 1),
         |  ('Pimlico', 'Victoria line', NULL, 1)
         |) t(subway_station, tube_line, avg_price, n_listings)
         |ORDER BY avg_price DESC NULLS LAST, subway_station""".stripMargin) { (s, _) =>
       Jobs.flagshipAvgPrice(s)
+    },
+
+    // ── The flagship's second half (README.md:4 "enriched with
+    //    per-station air-pollution readings"): station dim → S6 places
+    //    coordinate enrichment → J3 NN bridge to open sites → readings
+    //    rollup per station × species ⟕ multi-source listings aggregate.
+    //    Reading averages are decimal-exact sums over the fixture values
+    //    (KC1 NO2: 29.9+0.0; MY1 NO2: 38.4+41.2+0.0; MY1 PM25: 12.1+11.7)
+    //    divided once — written as the same single division here. TH4 has
+    //    no readings in the fixture and Clapham Common no listings: both
+    //    null paths are part of the check.
+    sql("q_e2e_air_flagship",
+      """SELECT subway_station, site_code, CAST(avg_price AS DOUBLE) AS avg_price,
+        |       CAST(n_listings AS BIGINT) AS n_listings,
+        |       CAST(avg_no2 AS DOUBLE) AS avg_no2,
+        |       CAST(avg_o3 AS DOUBLE) AS avg_o3,
+        |       CAST(avg_pm25 AS DOUBLE) AS avg_pm25
+        |FROM (VALUES
+        |  ('Angel', 'TH4', 580000.0, 2, NULL, NULL, NULL),
+        |  ('Brixton', 'MY1', 687500.0, 1, CAST(79.6 AS DOUBLE)/3, NULL, CAST(23.8 AS DOUBLE)/2),
+        |  ('Clapham Common', 'MY1', NULL, 0, CAST(79.6 AS DOUBLE)/3, NULL, CAST(23.8 AS DOUBLE)/2),
+        |  ('Pimlico', 'MY1', NULL, 1, CAST(79.6 AS DOUBLE)/3, NULL, CAST(23.8 AS DOUBLE)/2),
+        |  ('Wimbledon Park', 'KC1', 550000.0, 1, CAST(29.9 AS DOUBLE)/2, 55.0, NULL)
+        |) t(subway_station, site_code, avg_price, n_listings, avg_no2, avg_o3, avg_pm25)
+        |ORDER BY subway_station""".stripMargin) { (s, _) =>
+      Jobs.airQualityByStation(s)
     }
   )
 }

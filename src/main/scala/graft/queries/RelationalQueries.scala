@@ -20,11 +20,11 @@ object RelationalQueries {
   /** Exact, order-independent sum of a 2-decimal double column: route the
     * sum through DECIMAL(18,2) so partition/merge order can't flip low bits,
     * then cast back to DOUBLE for a stable output schema. */
-  private def exactSum(c: Column): Column =
+  private[queries] def exactSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
   /** Exact mean built from exactSum / count — one IEEE division, both
     * engines produce the identical double. */
-  private def exactAvg(c: Column): Column = exactSum(c) / count(lit(1))
+  private[queries] def exactAvg(c: Column): Column = exactSum(c) / count(lit(1))
 
   val all: Seq[QueryDef] = Seq(
 

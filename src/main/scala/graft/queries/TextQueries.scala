@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sql}
+import graft.QueryDef.sql
 import graft.functions.TextFns
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
@@ -83,18 +83,7 @@ object TextQueries {
     // ── MinHash+LSH near-dup detection, exact-Jaccard verified ≥ 0.5.
     //    The oracle computes ground truth by brute force; LSH recall at
     //    J≥0.5 with 16×4 banding makes the engine output identical.
-    sql("q_dedup_minhash",
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
-        |                               i -> array_to_string(w[i:i+4], ' '))) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        |  WHERE len(w) >= 5),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    sql("q_dedup_minhash", bruteForceOracle) { (s, d) =>
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
           shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
         .orderBy("id_a", "id_b")
@@ -122,14 +111,32 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ── SimHash near-dup path: banded 64-bit simhash candidates, exact
-    //    verify. Recall is probabilistic (Hamming banding over word-soup
-    //    docs) → rows-only check here; equivalence vs brute force is
-    //    asserted in the spec suite at matching thresholds.
-    rowsOnly("q_dedup_simhash") { (s, d) =>
+    // ── SimHash near-dup path: banded shingle-simhash candidates, Hamming
+    //    prefilter, exact verify. Shares minhash's brute-force ground
+    //    truth: both pipelines report exactly the J≥0.5 pairs, by two
+    //    different sketches. Candidate recall is corpus-measured (true
+    //    pairs at Hamming ≤12 vs hammingMax=16, margin of 4 bits) and the
+    //    pipeline is deterministic end-to-end, so the gate is stable.
+    sql("q_dedup_simhash", bruteForceOracle) { (s, d) =>
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-          shingleSize = 5, tau = 0.3)
+          shingleSize = 5, tau = 0.5)
         .orderBy("id_a", "id_b")
     }
   )
+
+  /** Brute-force 5-token-shingle Jaccard pairs at J≥0.5 — the ground
+    * truth both LSH near-dup pipelines (minhash, simhash) must reproduce
+    * exactly. */
+  private lazy val bruteForceOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+      |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
 }

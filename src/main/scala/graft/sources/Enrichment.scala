@@ -41,6 +41,22 @@ object Enrichment {
     }
   }
 
+  /** Deterministic stand-in for the Google-Places station-coordinate
+    * fetch (google_maps_api.ipynb cell 6: station name → geometry.location
+    * lat/lng): returns "lat,lon" for the fixture stations. A miss throws,
+    * exactly like the reference's IndexError on an empty results list. */
+  final class FixturePlacesClient extends Client {
+    private val coords = Map(
+      "Angel" -> "51.5300,-0.0500",
+      "Brixton" -> "51.4627,-0.1145",
+      "Clapham Common" -> "51.4618,-0.1384",
+      "Pimlico" -> "51.4892,-0.1334",
+      "Wimbledon Park" -> "51.4343,-0.1992")
+    override def fetch(url: String): String =
+      coords.getOrElse(url,
+        throw new java.util.NoSuchElementException(s"no place result for $url"))
+  }
+
   /** S3/S6: partition-parallel enrichment with bounded retry. Appends
     * `payload` (the fetched text) to each row. */
   def fetchPerRow(df: DataFrame, urlCol: String, mkClient: () => Client,

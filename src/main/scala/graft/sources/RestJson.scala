@@ -49,7 +49,10 @@ object RestJson {
     * only (DateClosed == ''). */
   def openSites(spark: SparkSession,
                 path: String = s"$FixturesDir/londonair_sites.json"): DataFrame =
-    spark.read.schema(sitesSchema).json(path)
+    // the sites payload is one pretty-printed document, not JSON lines —
+    // without multiLine the reader yields one corrupt (all-null) record
+    // per physical line and the explode silently drops everything
+    spark.read.option("multiLine", "true").schema(sitesSchema).json(path)
       .select(explode(col("Sites.Site")).as("s"))
       .select(col("s.`@SiteCode`").as("site_code"),
         col("s.`@SiteName`").as("site_name"),
