@@ -25,7 +25,17 @@ object RankLimitRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Kill switch (default on): `spark.graft.rankLimitRewrite.enabled=false`
+    * routes every rank-filter back to Spark's native WindowGroupLimit path
+    * — the rewrite is registered session-globally, so users need a way out
+    * that doesn't require re-building the session. */
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rankLimitRewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
           partitionSpec, orderSpec, windowChild, _)))
@@ -50,12 +60,17 @@ object RankLimitRewrite extends Rule[LogicalPlan] {
 
 /** Physical planning for [[TopKPerKeyNode]]: partial (map-side) pass under
   * the exchange EnsureRequirements inserts, final pass above it — the
-  * HashAggregate partial/final pattern for a top-k semigroup. */
+  * HashAggregate partial/final pattern for a top-k semigroup. The partial
+  * pass's heap-map cap comes from `spark.graft.topk.maxPartialKeys`
+  * (per-partition distinct-key budget; ≈ k·maxPartialKeys buffered rows). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+      val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      TopKPerKeyExec(keys, order, k, partial = false, maxKeys,
+        TopKPerKeyExec(keys, order, k, partial = true, maxKeys,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

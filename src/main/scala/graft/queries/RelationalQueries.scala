@@ -227,8 +227,38 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     },
 
-    // ── J4 index-aligned join: positional concat becomes a row_number
-    //    equi-join (google_maps_api.ipynb:175, :481-482)
+    // ── J4 positional-zip, partitioned variant (the 100 TB-primary form):
+    //    i-th row per key zipped with i-th row per key — row_number windows
+    //    partitioned by the key on BOTH sides, equi-join on (key, position).
+    //    One shuffle per side, parallel across keys.
+    sql("q_join_index_aligned_perkey",
+      """WITH a AS (SELECT c_nationkey AS nk, c_custkey,
+        |                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        |           FROM customer),
+        |     b AS (SELECT s_nationkey AS nk, s_suppkey,
+        |                  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+        |           FROM supplier)
+        |SELECT a.nk AS nk, CAST(a.rn AS BIGINT) AS rn,
+        |       CAST(a.c_custkey AS BIGINT) AS c_custkey,
+        |       CAST(b.s_suppkey AS BIGINT) AS s_suppkey
+        |FROM a JOIN b ON a.nk = b.nk AND a.rn = b.rn
+        |ORDER BY a.nk, a.rn""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("nk"), col("c_custkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nk").orderBy("c_custkey")).cast("long"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").as("nk"), col("s_suppkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nk").orderBy("s_suppkey")).cast("long"))
+      a.join(b, Seq("nk", "rn"))
+        .select(col("nk"), col("rn"), col("c_custkey").cast("long"),
+          col("s_suppkey").cast("long"))
+        .orderBy("nk", "rn")
+    },
+
+    // ── J4 index-aligned join, SMALL-DATA FORM: positional concat becomes
+    //    a row_number equi-join (google_maps_api.ipynb:175, :481-482); the
+    //    no-partition windows serialize — fine for the reference's
+    //    dimension-sized lists, see q_join_index_aligned_perkey for facts.
     sql("q_join_index_aligned",
       """WITH a AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_name FROM nation),
         |     b AS (SELECT row_number() OVER (ORDER BY r_regionkey) AS rn, r_name FROM region)
@@ -294,9 +324,10 @@ object RelationalQueries {
     },
 
     // ── W2 running group-id — the list_divider sentinel segmentation
-    //    (google_maps_api.ipynb:426-438). Single-ordering window: at 100 TB
-    //    this keys off a natural partition (per-document, per-page) instead
-    //    of a global order; the testdata has one global sequence.
+    //    (google_maps_api.ipynb:426-438). SMALL-DATA FORM: a no-partition
+    //    ordering window funnels every row through one task — correct for
+    //    dimension-sized inputs (the reference's case), never for facts.
+    //    The 100 TB-primary form is q_window_groupid_perkey below.
     sql("q_window_groupid",
       """SELECT event_id,
         |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
@@ -307,6 +338,24 @@ object RelationalQueries {
         .withColumn("group_id",
           sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w).cast("long"))
         .select("event_id", "group_id").orderBy("event_id")
+    },
+
+    // ── W2 partitioned variant (the 100 TB-primary form): the same
+    //    sentinel segmentation keyed off the natural partition — state is
+    //    per-user, so the window shuffles once on user_id and every
+    //    partition sorts independently; no single-task funnel.
+    sql("q_window_groupid_perkey",
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS group_id
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("group_id",
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w).cast("long"))
+        .select("user_id", "event_id", "group_id").orderBy("user_id", "event_id")
     },
 
     // ── O1 multi-column sort (google_maps_api.ipynb:368)

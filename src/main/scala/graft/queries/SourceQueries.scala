@@ -92,6 +92,22 @@ object SourceQueries {
       EventsStreaming.streamingDedupCounts(s, d).orderBy("event_type")
     },
 
+    // ── ST sliding-window agg (SURVEY §2.11's second window form): 1-hour
+    //    windows advancing every 15 min — each event lands in 4 overlapping
+    //    windows. Oracle replicates by fanning each event to
+    //    time_bucket(15min) - k·15min for k in 0..3; both engines align
+    //    window origins on multiples of 900 s, so boundaries agree.
+    sql("q_stream_sliding",
+      """WITH w AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - k * INTERVAL '15 minutes' AS ws
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type, COUNT(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      EventsStreaming.slidingCounts(s, d).orderBy("win_start", "event_type")
+    },
+
     // ── custom streaming state: mapGroupsWithState sessionization (30-min
     //    gap); oracle = batch gaps-and-islands SQL. FLOOR(epoch()) matches
     //    Spark's truncating timestamp→long cast.

@@ -58,6 +58,40 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("kill switch routes rank filters back to the native window path") {
+    GraftPlanner.register(spark)
+    try {
+      spark.conf.set("spark.graft.rankLimitRewrite.enabled", "false")
+      val plan = rankQuery(3).queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey "), plan.take(800))
+    } finally {
+      spark.conf.unset("spark.graft.rankLimitRewrite.enabled")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RankLimitRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
+  test("partial heap cap degrades to pass-through and stays exact") {
+    val baseline = collectSet(rankQuery(3)) // window path, pre-registration
+    GraftPlanner.register(spark)
+    try {
+      // cap of 1: every partition prunes one key and ships the rest raw —
+      // the memory-bounded degradation path must not change the answer
+      spark.conf.set("spark.graft.topk.maxPartialKeys", "1")
+      val rewritten = rankQuery(3)
+      assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey "))
+      assert(collectSet(rewritten) === baseline)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxPartialKeys")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RankLimitRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
   test("k=1 equality filter takes the top-k path and agrees with argmin") {
     GraftPlanner.register(spark)
     try {
