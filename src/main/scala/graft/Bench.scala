@@ -48,7 +48,13 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
+    println(json)
+    // belt-and-braces: r02's captured artifact lost the head of the stdout
+    // line, so the full JSON is also written where it can't be truncated
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -20,12 +20,14 @@ object HtmlScrapers {
   private def attr(block: Column, cls: String): Column =
     regexp_extract(block, s"""class="$cls"[^>]*>([^<]*)<""", 1)
 
-  /** Split one page into per-listing blocks; the leading fragment (page
-    * head before the first block marker) is dropped by the callers' "has a
-    * href" filter. */
+  /** Split one page into per-listing blocks via the DSv2 connector
+    * ([[HtmlBlocksSource]]): one InputPartition per page file, one row per
+    * block. The leading fragment (page head before the first block marker)
+    * is dropped by the callers' "has a href" filter. */
   private def readBlocks(spark: SparkSession, path: String, blockClass: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), s"""class="$blockClass"""")).as("block"))
+    spark.read.format(classOf[HtmlBlocksSource].getName)
+      .option("blockClass", blockClass)
+      .load(path)
 
   /** S1 Zoopla listing scrape (pipeline.py:164-258): one row per ad with
     * the raw string fields the cleaning layer (U1-U5) expects. */
