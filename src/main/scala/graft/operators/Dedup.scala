@@ -231,6 +231,56 @@ object Dedup {
     verifyPairsExact(df, idCol, textCol, prefiltered, shingleSize, tau)
   }
 
+  /** Connected components over verified near-dup pairs → cluster id
+    * (= min member doc id) per member: the step that turns a pair list
+    * into a dedup decision — keep `cluster_id`, drop the rest.
+    *
+    * Synchronous min-label propagation: each round joins the (tiny,
+    * LSH-bounded) edge list against current labels and takes the
+    * neighborhood min — one equi-join shuffle per round, O(cluster
+    * diameter) rounds. Dup clusters are near-cliques in practice
+    * (diameter ≤ 3); `maxIter` bounds the pathological chain and the
+    * operator fails loudly rather than returning partial components.
+    * The driver-coordinated loop is the standard CC shape (GraphX does
+    * the same); all per-round state is (id, label) pairs, never corpus
+    * rows. Only docs appearing in ≥1 pair are returned — everything else
+    * is trivially its own keeper. Output: (doc_id, cluster_id). */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nbr_label")), "dst")
+        .groupBy("src").agg(min("nbr_label").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Brute-force n-gram Jaccard pairs — the small-data oracle baseline the
     * LSH paths are tested against (never the 100 TB path; documented as
     * such). */

@@ -121,6 +121,36 @@ object TextQueries {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
           shingleSize = 5, tau = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // ── near-dup clustering: connected components over the verified pair
+    //    list → keeper (min doc id) per cluster member — the decision step
+    //    of dedup. Oracle computes components by recursive-CTE transitive
+    //    closure over the same brute-force pairs.
+    sql("q_dedup_clusters",
+      """WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+         |  WHERE len(w) >= 5),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+         |SELECT src AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+      Dedup.nearDupClusters(pairs).orderBy("doc_id")
     }
   )
 
