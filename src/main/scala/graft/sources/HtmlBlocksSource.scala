@@ -8,23 +8,28 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector form of the HTML-extraction boundary (SURVEY
   * §2.1 S1's idiomatic connector shape): `format(classOf[HtmlBlocksSource]
-  * .getName).option("blockClass", …).load(path)` yields one row per
-  * listing block — the same (page → per-listing fragment) split
-  * `HtmlScrapers` performed with wholetext+split, as a proper Table with
-  * its own Batch/InputPartition/PartitionReader stack.
+  * .getName).option("blockClass", …).load(path)` yields one
+  * (pos, block) row per page fragment — the same (page → per-listing
+  * fragment) split `HtmlScrapers` performed with wholetext+split, as a
+  * proper Table with its own Batch/InputPartition/PartitionReader stack.
+  *
+  * Options: `blockClass` splits on the literal `class="<value>"` marker
+  * (the listing-page shape); `delimiter` splits on any literal string
+  * (`<tr>` for the wiki table). `pos` is the fragment index within its
+  * page — the within-page order the sentinel segmentation needs.
   *
   * Scale shape: a path may be a single page file or a directory of them
   * (a crawl dump); each file is one InputPartition, so a 100 TB dump
   * parallelizes per page file with no driver-side content reads. The
   * leading pre-marker fragment of each page is emitted like any other
   * block (parity with String.split) — downstream field extraction drops
-  * it with its has-a-href filter.
+  * it with its has-a-href / has-a-cell filter.
   */
 class HtmlBlocksSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -34,19 +39,26 @@ class HtmlBlocksSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     // properties arrive as the case-SENSITIVE option map — normalize
     val opts = new CaseInsensitiveStringMap(properties)
+    val delimiter = (Option(opts.get("delimiter")), Option(opts.get("blockClass"))) match {
+      case (Some(d), None) => d
+      case (None, Some(c)) => s"""class="$c""""
+      case _ => throw new IllegalArgumentException(
+        "html source requires exactly one of blockClass / delimiter")
+    }
     new HtmlBlocksTable(
       Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("html source requires a path")),
-      Option(opts.get("blockClass")).getOrElse(
-        throw new IllegalArgumentException("html source requires blockClass")))
+      delimiter)
   }
 }
 
 object HtmlBlocksSource {
-  val Schema: StructType = StructType(Seq(StructField("block", StringType)))
+  val Schema: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("block", StringType)))
 }
 
-private[sources] class HtmlBlocksTable(path: String, blockClass: String)
+private[sources] class HtmlBlocksTable(path: String, delimiter: String)
     extends Table with SupportsRead {
   override def name(): String = s"html_blocks($path)"
   override def schema(): StructType = HtmlBlocksSource.Schema
@@ -70,7 +82,7 @@ private[sources] class HtmlBlocksTable(path: String, blockClass: String)
               .map(_.toString).toArray.sorted
             finally s.close()
           } else Array(path)
-        files.map(f => HtmlFilePartition(f, blockClass): InputPartition)
+        files.map(f => HtmlFilePartition(f, delimiter): InputPartition)
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -78,7 +90,7 @@ private[sources] class HtmlBlocksTable(path: String, blockClass: String)
     }
 }
 
-private[sources] case class HtmlFilePartition(file: String, blockClass: String)
+private[sources] case class HtmlFilePartition(file: String, delimiter: String)
     extends InputPartition
 
 private[sources] class HtmlBlocksReaderFactory extends PartitionReaderFactory {
@@ -91,15 +103,16 @@ private[sources] class HtmlBlocksReaderFactory extends PartitionReaderFactory {
         val content = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.file)),
           java.nio.charset.StandardCharsets.UTF_8)
-        content.split(java.util.regex.Pattern.quote(s"""class="${p.blockClass}""""), -1)
-          .iterator
+        content.split(java.util.regex.Pattern.quote(p.delimiter), -1).iterator
       }
+      private var pos: Long = -1L
       private var current: String = _
       override def next(): Boolean = {
-        if (blocks.hasNext) { current = blocks.next(); true } else false
+        if (blocks.hasNext) { current = blocks.next(); pos += 1; true }
+        else false
       }
       override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(current))
+        InternalRow(pos, UTF8String.fromString(current))
       override def close(): Unit = ()
     }
   }

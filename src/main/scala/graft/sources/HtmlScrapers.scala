@@ -28,6 +28,7 @@ object HtmlScrapers {
     spark.read.format(classOf[HtmlBlocksSource].getName)
       .option("blockClass", blockClass)
       .load(path)
+      .select("block")
 
   /** S1 Zoopla listing scrape (pipeline.py:164-258): one row per ad with
     * the raw string fields the cleaning layer (U1-U5) expects. */
@@ -69,11 +70,13 @@ object HtmlScrapers {
   def wikiStationRows(spark: SparkSession,
                       path: String = s"$FixturesDir/wiki_stations.html"): DataFrame = {
     val row = col("row")
-    spark.read.option("wholetext", "true").text(path)
-      .select(posexplode(split(col("value"), "<tr>")).as(Seq("pos", "row")))
+    spark.read.format(classOf[HtmlBlocksSource].getName)
+      .option("delimiter", "<tr>")
+      .load(path)
+      .select(col("pos"), col("block").as("row"))
       .filter(row.contains("station-row") || row.contains("station-cell"))
       .select(
-        col("pos").cast("long").as("pos"),
+        col("pos"),
         regexp_extract(row, """class="station-cell"[^>]*>([^<]*)<""", 1).as("station"),
         regexp_extract(row, """class="lines-cell"[^>]*>([^<]*)<""", 1).as("lines"),
         regexp_extract(row, """class="zone-cell"[^>]*>([^<]*)<""", 1).as("zone_raw"),

@@ -12,10 +12,27 @@ class HtmlBlocksSourceSpec extends SparkSpec {
       .format(classOf[HtmlBlocksSource].getName)
       .option("blockClass", "listing-result")
       .load(fixture)
-      .collect().map(_.getString(0))
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
     val viaSplit = spark.read.option("wholetext", "true").text(fixture)
-      .select(explode(split(col("value"), """class="listing-result"""")).as("block"))
-      .collect().map(_.getString(0))
+      .select(posexplode(split(col("value"), """class="listing-result"""")).as(Seq("pos", "block")))
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1)))
+    assert(viaConnector.toSeq === viaSplit.toSeq)
+  }
+
+  test("raw-delimiter mode matches the wiki <tr> split with positions") {
+    val wiki = s"${HtmlScrapers.FixturesDir}/wiki_stations.html"
+    val viaConnector = spark.read
+      .format(classOf[HtmlBlocksSource].getName)
+      .option("delimiter", "<tr>")
+      .load(wiki)
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaSplit = spark.read.option("wholetext", "true").text(wiki)
+      .select(posexplode(split(col("value"), "<tr>")).as(Seq("pos", "block")))
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1)))
     assert(viaConnector.toSeq === viaSplit.toSeq)
   }
 
