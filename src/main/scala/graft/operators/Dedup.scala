@@ -23,18 +23,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Hashed n-token shingles as ONE array<long> per row: each window is
-    * hashed once via xxhash64 over the token slice — no per-shingle string
-    * building. NULL when the doc is too short to shingle. Distinctness is
-    * taken on the 64-bit hashes; a collision (birthday odds ~1e-7 at 10⁶
-    * distinct shingles) only perturbs candidate recall, never the exact
-    * verify. */
+  /** Hashed n-token shingles as ONE array<long> per row via the native
+    * [[graft.plans.ShingleHashes]] expression: each window folds its
+    * tokens through XXH64 in a fused loop — no per-shingle string
+    * building, no HOF (which would be CodegenFallback and drop the whole
+    * sketch projection out of whole-stage codegen). NULL when the doc is
+    * too short to shingle. Distinctness is taken on the 64-bit hashes; a
+    * collision (birthday odds ~1e-7 at 10⁶ distinct shingles) only
+    * perturbs candidate recall, never the exact verify. */
   def shingleHashes(text: Column, n: Int): Column = {
-    val ws = TextFns.tokens(text)
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => xxhash64(slice(ws, i, lit(n))))))
-      .otherwise(lit(null).cast("array<long>"))
+    graft.plans.GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("shingle_hashes", TextFns.tokens(text), lit(n))
   }
 
   private def registered(df: DataFrame): Unit =

@@ -29,6 +29,10 @@ object GraftExtensions {
     (FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
       (children: Seq[Expression]) => QuantizedDot(children(0), children(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), literalInt(children(1), "shingle_hashes"))),
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) =>

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -54,6 +54,90 @@ trait SketchInputCheck { self: UnaryExpression =>
   // empty / all-null-element arrays map to NULL output even for a
   // non-nullable child
   override def nullable: Boolean = true
+}
+
+/** `shingle_hashes(tokens, n)`: de-duplicated 64-bit hashes of every
+  * n-token window, one fused pass — each window folds its tokens through
+  * XXH64 exactly like Spark's own `xxhash64(array<string>)` (null tokens
+  * skipped, seed 42). NULL when there are fewer than n tokens.
+  *
+  * This exists because the HOF formulation
+  * (`transform(sequence(...), i => xxhash64(slice(ws, i, n)))`) is
+  * CodegenFallback: one HOF in a projection drops the WHOLE projection —
+  * including the downstream MinHash/SimHash sketches — out of
+  * whole-stage codegen. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short docs shingle to NULL
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) null
+    else {
+      val m = len - n + 1
+      val seen = new java.util.HashSet[java.lang.Long](m * 2)
+      val out = new Array[Long](m)
+      var k = 0
+      var i = 0
+      while (i < m) {
+        var h = 42L
+        var j = i
+        while (j < i + n) {
+          if (!toks.isNullAt(j)) h = XXH64.hashUTF8String(toks.getUTF8String(j), h)
+          j += 1
+        }
+        if (seen.add(h)) { out(k) = h; k += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (k == m) out else java.util.Arrays.copyOf(out, k))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $len = $a.numElements();
+         |if ($len < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $m = $len - ${n - 1};
+         |  java.util.HashSet<Long> $seen = new java.util.HashSet<Long>($m * 2);
+         |  long[] $out = new long[$m];
+         |  int $k = 0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 42L;
+         |    for (int $j = $i; $j < $i + $n; $j++) {
+         |      if (!$a.isNullAt($j)) $h = $xxh.hashUTF8String($a.getUTF8String($j), $h);
+         |    }
+         |    if ($seen.add($h)) { $out[$k] = $h; $k++; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    $k == $m ? $out : java.util.Arrays.copyOf($out, $k));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
 }
 
 /** `minhash_sigs(hashes, k)`: array<long> of the k per-seed minima.

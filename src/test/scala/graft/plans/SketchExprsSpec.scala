@@ -39,6 +39,42 @@ class SketchExprsSpec extends SparkSpec {
     assert(simViaDf(xs.map(java.lang.Long.valueOf).toSeq).get === simViaEval(xs))
   }
 
+  test("shingle_hashes matches the xxhash64-over-slice HOF formulation") {
+    GraftExtensions.register(spark)
+    import graft.{Tables => T}
+    val docs = T.documents(spark, sfDir).limit(50)
+    val ws = split(trim(col("text")), "\\s+")
+    val hof = when(size(ws) >= 5,
+      array_distinct(transform(sequence(lit(1), size(ws) - 4),
+        i => xxhash64(slice(ws, i, lit(5))))))
+      .otherwise(lit(null).cast("array<long>"))
+    val both = docs.select(
+      call_function("shingle_hashes", ws, lit(5)).as("native"),
+      hof.as("reference"))
+    val mismatches = both
+      .filter(not(col("native") <=> col("reference"))).count()
+    assert(mismatches === 0,
+      "native shingle hashing diverged from xxhash64(slice) semantics")
+  }
+
+  test("shingle_hashes: eval equals codegen and short docs yield NULL") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = Array("the", "quick", "brown", "fox", "jumps", "over").map(UTF8String.fromString)
+    val viaEval = ShingleHashes(
+        Literal.create(toks, ArrayType(StringType)), 5)
+      .eval().asInstanceOf[ArrayData].toLongArray().toSeq
+    val viaDf = Seq(Tuple1(Seq("the", "quick", "brown", "fox", "jumps", "over")))
+      .toDF("w")
+      .select(call_function("shingle_hashes", col("w"), lit(5)).as("sh"))
+      .head().getSeq[Long](0)
+    assert(viaEval === viaDf)
+    val short = Seq(Tuple1(Seq("too", "short"))).toDF("w")
+      .select(call_function("shingle_hashes", col("w"), lit(5)).as("sh"))
+      .head()
+    assert(short.isNullAt(0))
+  }
+
   test("null elements are skipped; featureless input yields NULL") {
     val withNulls = Seq[java.lang.Long](5L, null, 9L)
     assert(sigsViaDf(withNulls, 8) === sigsViaDf(Seq[java.lang.Long](5L, 9L), 8))

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import graft.operators.Dedup
+
+/** Physical-plan audits: the properties that make the flagship pipelines
+  * scale are asserted, not assumed — filter pushdown reaching the parquet
+  * scan, dimension joins broadcasting, aggregations reusing the
+  * repartition exchange, and native expressions staying inside
+  * whole-stage codegen. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01_flagship: quantity filter is pushed to the scan, dims broadcast") {
+    val plan = planOf("q01_flagship")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      plan.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("q02_air_flagship: aggregates join the bridge via broadcast") {
+    val plan = planOf("q02_air_flagship")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    // the NN bridge's cross join broadcasts the sites dimension
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q_nn_broadcast: one hash exchange feeds both the join and the argmin") {
+    val plan = planOf("q_nn_broadcast")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // repartition(keys) satisfies the aggregate's distribution — a second
+    // hash exchange would mean the argmin reshuffles what we just placed
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n${plan.take(2000)}")
+  }
+
+  test("native sketch expressions run inside whole-stage codegen") {
+    val docs = Tables.documents(spark, sfDir)
+    val sigPlan = Dedup.minHashSignatures(docs, "doc_id", "text", 5, 64)
+      .queryExecution.executedPlan.toString
+    val sigLine = sigPlan.linesIterator.find(_.contains("minhash_sigs")).getOrElse("")
+    assert(sigLine.contains("*("), s"minhash_sigs not codegen'd: $sigLine")
+    val simPlan = Dedup.simHashNearDups(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val simLine = simPlan.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(simLine.contains("*("), s"simhash64 not codegen'd: $simLine")
+  }
+
+  test("minhash signatures are a pure scan-side projection: no shuffle at all") {
+    // the old formulation exploded shingles and aggregated 64 mins — a
+    // full pre-banding shuffle; the native path must have no exchange and
+    // no aggregate anywhere below the signature projection
+    val plan = Dedup.minHashSignatures(
+        Tables.documents(spark, sfDir), "doc_id", "text", 5, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+  }
+}
