@@ -234,50 +234,86 @@ object Dedup {
     * (= min member doc id) per member: the step that turns a pair list
     * into a dedup decision — keep `cluster_id`, drop the rest.
     *
-    * Synchronous min-label propagation: each round joins the (tiny,
-    * LSH-bounded) edge list against current labels and takes the
-    * neighborhood min — one equi-join shuffle per round, O(cluster
-    * diameter) rounds. Dup clusters are near-cliques in practice
-    * (diameter ≤ 3); `maxIter` bounds the pathological chain and the
-    * operator fails loudly rather than returning partial components.
-    * The driver-coordinated loop is the standard CC shape (GraphX does
-    * the same); all per-round state is (id, label) pairs, never corpus
-    * rows. Only docs appearing in ≥1 pair are returned — everything else
-    * is trivially its own keeper. Output: (doc_id, cluster_id). */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Two regimes, chosen by measured edge count:
+    *  - pair graphs up to `maxDriverEdges` (the overwhelmingly common
+    *    case — LSH bounds pairs to a sliver of the corpus) are collected
+    *    and solved with driver union-find: one collect, zero iterative
+    *    jobs. 4M edges ≈ 64 MB on the driver.
+    *  - larger graphs run synchronous min-label propagation: each round
+    *    joins the edge list against current labels and takes the
+    *    neighborhood min — one equi-join shuffle per round, O(cluster
+    *    diameter) rounds (dup clusters are near-cliques, diameter ≤ 3);
+    *    `maxIter` bounds the pathological chain and the operator fails
+    *    loudly rather than returning partial components. Per-round state
+    *    is (id, label) pairs, never corpus rows — the GraphX CC shape.
+    * Only docs appearing in ≥1 pair are returned — everything else is
+    * trivially its own keeper. Ids must be integral (they are doc ids).
+    * Output: (doc_id, cluster_id). */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
+                      maxDriverEdges: Long = 1L << 22): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val spark = pairs.sparkSession
+    val rawEdges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"),
-          col("cluster_id").as("nbr_label")), "dst")
-        .groupBy("src").agg(min("nbr_label").as("nbr_min"))
-      val updated = labels
-        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+    val edgeCount = rawEdges.count()
+
+    if (edgeCount <= maxDriverEdges) {
+      // union-find with path compression; root label = component min
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      rawEdges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes.update(a, ()); nodes.update(b, ())
+        val (ra, rb) = (find(a), find(b))
+        // union by min id keeps the invariant root == component min
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      import spark.implicits._
+      nodes.keysIterator.toArray.map(id => (id, find(id))).toSeq
+        .toDF("doc_id", "cluster_id")
+    } else {
+      val edges = rawEdges
+        .unionByName(rawEdges.select(col("dst").as("src"), col("src").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      round += 1
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"),
+            col("cluster_id").as("nbr_label")), "dst")
+          .groupBy("src").agg(min("nbr_label").as("nbr_min"))
+        val updated = labels
+          .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = updated
+          .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") < col("old")).count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0
+        round += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIter rounds — " +
+          "component diameter exceeds the bound; raise maxIter")
+      labels
     }
-    if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge within $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter")
-    labels
   }
 
   /** Brute-force n-gram Jaccard pairs — the small-data oracle baseline the

@@ -50,17 +50,23 @@ class DedupSpec extends SparkSpec {
     // chain 1~2~3~4 (diameter 3, no direct 1~4 edge) + island 10~11
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // driver union-find regime
+    val viaDriver = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(viaDriver === expected)
+    // distributed label-propagation regime (forced via the threshold)
+    val viaDistributed = Dedup.nearDupClusters(pairs, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDistributed === expected)
   }
 
   test("near-dup clustering fails loudly when the iteration bound is hit") {
     val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.nearDupClusters(chain, maxIter = 1)
+      Dedup.nearDupClusters(chain, maxIter = 1, maxDriverEdges = 0)
     }
   }
 
