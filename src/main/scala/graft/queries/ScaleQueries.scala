@@ -78,20 +78,27 @@ object ScaleQueries {
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val ordersTbl = s"orders_bkt_$sfKey"
       val lineitemTbl = s"lineitem_bkt_$sfKey"
-      if (!s.catalog.tableExists(ordersTbl)) {
-        // a previous session's warehouse dir may survive the (in-memory)
-        // catalog — clear the location or CTAS refuses it
-        Seq(ordersTbl, lineitemTbl).foreach { t =>
-          val loc = new java.io.File(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-          if (loc.exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      // "pay the shuffle once at write time" includes across sessions: the
+      // bucket FILES persist in a scratch dir keyed by sf, and a session
+      // that finds them complete re-registers the (external) bucketed
+      // table by DDL instead of rewriting — bucketing metadata lives in
+      // the catalog entry, which the DDL recreates.
+      def ensureBucketed(tbl: String, df: org.apache.spark.sql.DataFrame,
+                         key: String): Unit =
+        if (!s.catalog.tableExists(tbl)) {
+          val dir = new java.io.File(s"/root/repo/target/bucketed/$tbl")
+          if (new java.io.File(dir, "_SUCCESS").exists()) {
+            s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet
+                     |CLUSTERED BY ($key) SORTED BY ($key) INTO 16 BUCKETS
+                     |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+          } else {
+            if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+            df.write.option("path", dir.getAbsolutePath)
+              .bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+          }
         }
-        Tables.orders(s, d).write.bucketBy(16, "o_orderkey")
-          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ordersTbl)
-        Tables.lineitem(s, d).write.bucketBy(16, "l_orderkey")
-          .sortBy("l_orderkey").mode("overwrite").saveAsTable(lineitemTbl)
-      }
+      ensureBucketed(ordersTbl, Tables.orders(s, d), "o_orderkey")
+      ensureBucketed(lineitemTbl, Tables.lineitem(s, d), "l_orderkey")
       s.table(ordersTbl)
         .join(s.table(lineitemTbl), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_custkey")
