@@ -66,6 +66,20 @@ object Jobs {
         col("nearby.tube_line").as("tube_line"))
   }
 
+  /** Savills branch (reference 01_web_scraping/00_Archive/
+    * savills_scraper_main.ipynb — archived upstream; implemented for
+    * surface completeness, README.md:20 names it as the third scraper):
+    * scrape → address1+' '+address2 concat (the notebook's
+    * `adress_extracted`, U23 in spirit) → U9/U1 price parse → typed
+    * listings. The archived notebook never loads this branch into the
+    * warehouse, so the job stops at the typed table. */
+  def savillsListings(spark: SparkSession): DataFrame =
+    HtmlScrapers.savillsListings(spark)
+      .select(
+        col("ad_id"),
+        CleanFns.toNum(CleanFns.stripCurrency(col("price_raw"))).as("price"),
+        concat_ws(" ", col("address1"), col("address2")).as("address"))
+
   /** Air-quality branch (pipeline.py:689-816): S4 JSON → JS2 explode →
     * U19 'None'→null → U20 ''→0 → T2 timestamp parse → typed readings. */
   def airQualityReadings(spark: SparkSession): DataFrame =

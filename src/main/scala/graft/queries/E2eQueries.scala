@@ -56,6 +56,20 @@ object E2eQueries {
       Jobs.dextersListings(s).orderBy("ad_id")
     },
 
+    // ── Savills branch (archived in the reference, README.md:20): scrape →
+    //    skip-incomplete (ids 2 and 4 are the fixture's gap rows) → address
+    //    concat → price parse. Positional ad ids survive the skips.
+    sql("q_e2e_savills",
+      """SELECT CAST(ad_id AS BIGINT) AS ad_id, CAST(price AS DOUBLE) AS price, address
+        |FROM (VALUES
+        |  (1, 1250000.0, 'Belgrave Mews North Belgravia, London SW1X'),
+        |  (3, 875000.0,  'Clapham Common West Side Clapham, London SW4'),
+        |  (5, 960000.0,  'Islington Green Islington, London N1')
+        |) t(ad_id, price, address)
+        |ORDER BY ad_id""".stripMargin) { (s, _) =>
+      Jobs.savillsListings(s).orderBy("ad_id")
+    },
+
     // ── Air-quality branch: S4 → JS2 → U19/U20 → readings
     sql("q_e2e_airquality",
       """SELECT site_code, measurement_date_gmt, species_code, CAST(value AS DOUBLE) AS value

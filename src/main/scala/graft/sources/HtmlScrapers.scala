@@ -64,6 +64,28 @@ object HtmlScrapers {
       .filter(col("href") =!= "")
   }
 
+  /** Savills listing scrape (reference 01_web_scraping/00_Archive/
+    * savills_scraper_main.ipynb cell 3 — the archived third scraper branch).
+    * The notebook keys its result map by a running 1-based counter
+    * (`id += 1` per `li.sv-results-listing__item`), which the connector's
+    * within-page `pos` reproduces (pos 0 is the pre-marker page head). Ads
+    * missing any of price/address1/address2 are skipped (the notebook's
+    * try/except-continue), leaving gaps in the id sequence exactly as the
+    * reference does. */
+  def savillsListings(spark: SparkSession,
+                      path: String = s"$FixturesDir/savills_listings.html"): DataFrame = {
+    val b = col("block")
+    spark.read.format(classOf[HtmlBlocksSource].getName)
+      .option("blockClass", "sv-results-listing__item")
+      .load(path)
+      .select(
+        col("pos").as("ad_id"),
+        regexp_replace(attr(b, "sv-property-price__value"), "&pound;", "£").as("price_raw"),
+        attr(b, "sv-details__address1").as("address1"),
+        attr(b, "sv-details__address2").as("address2"))
+      .filter(col("price_raw") =!= "" && col("address1") =!= "" && col("address2") =!= "")
+  }
+
   /** S7 Wikipedia station-table scrape (google_maps_api.ipynb:426-439):
     * emits (pos, station, lines, zone_raw, is_sentinel) rows — the sentinel
     * rows ('Travelcard Zone N') drive the list_divider segmentation (AR4). */
