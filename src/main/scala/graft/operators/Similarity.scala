@@ -190,11 +190,46 @@ object Similarity {
   /** Embedding-cosine near-dup pairs above `tauQ` (quantized threshold,
     * ≈ cosine·1e12), exact within the given frame. The native expression
     * fuses quantize+multiply+sum into one primitive loop per pair — no
-    * intermediate arrays in the 2M-pair inner join. */
+    * intermediate arrays in the 2M-pair inner join.
+    *
+    * This is the all-pairs crossJoin: O(N²), correct at any threshold,
+    * right only when exactness IS the contract (oracle baselines, small
+    * frames). For a corpus, use [[nearDupPairsLsh]] — same output contract,
+    * bucketed candidate generation instead of all pairs. */
   def nearDupPairs(df: DataFrame, tauQ: Long): DataFrame = {
     val a = df.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = df.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", quantizedDot(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= tauQ)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Near-dup pairs via LSH candidate generation + exact verify — the
+    * 100 TB shape of [[nearDupPairs]]. Candidates are pairs sharing any
+    * (table, bucket): an equi-join on an 8-byte key, never all pairs; each
+    * candidate is then exact-verified with the native quantized dot, so a
+    * surviving pair is never a false positive.
+    *
+    * Completeness is probabilistic in general: a true pair must agree on
+    * all `bits` hyperplane signs of at least one table
+    * (p = 1-(1-aᵇⁱᵗˢ)ᵗᵃᵇˡᵉˢ, a = 1 - θ/π). Exact duplicates collide in
+    * every table, so on corpora whose near-dups are copies (the planted-
+    * copy oracle; common-crawl-style exact reposts) the output is
+    * deterministically identical to the brute-force path. Defaults: 16-bit
+    * buckets (selective even for ~uniform random vectors), 8 tables. */
+  def nearDupPairsLsh(df: DataFrame, tauQ: Long,
+                      tables: Int = 8, bits: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits, seed = 7L)
+    val buckets = lshBuckets(df, planes)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("sim", quantizedDot(col("emb_a"), col("emb_b")))
       .filter(col("sim") >= tauQ)
       .select("id_a", "id_b", "sim")

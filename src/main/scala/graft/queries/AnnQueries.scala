@@ -70,6 +70,29 @@ object AnnQueries {
           .withColumn("vec_id", col("vec_id") + 100000))
       Similarity.nearDupPairs(corpus, tauQ = 450000000000L)
         .orderBy("id_a", "id_b")
+    },
+
+    // ── the scale path for the same contract: LSH-bucketed candidates +
+    //    exact verify. At 0.9·1e12 only the planted exact copies qualify
+    //    (max natural pair ≈ 0.60·1e12 — measured at every sf), and exact
+    //    copies collide in every LSH table, so the bucketed output is
+    //    deterministically the brute-force answer and hash-gates cleanly.
+    sql("q_embed_neardup_lsh",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $quantDotSql AS sim
+         |  FROM corpus q JOIN corpus c ON q.vec_id < c.vec_id)
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 900000000000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = embs.unionByName(
+        embs.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.nearDupPairsLsh(corpus, tauQ = 900000000000L)
+        .orderBy("id_a", "id_b")
     }
   )
 }

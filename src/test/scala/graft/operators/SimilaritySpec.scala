@@ -83,6 +83,22 @@ class SimilaritySpec extends SparkSpec {
     a.keys.foreach(k => assert(a(k) === b(k), s"cluster $k"))
   }
 
+  test("LSH near-dup path equals the brute-force path at the copy threshold, without a cross join") {
+    val corpus = embs.select("vec_id", "embedding").unionByName(
+      embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
+        .withColumn("vec_id", $"vec_id" + 100000))
+    val brute = Similarity.nearDupPairs(corpus, tauQ = 900000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lshDf = Similarity.nearDupPairsLsh(corpus, tauQ = 900000000000L)
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh === brute, "bucketed output must be deterministically complete for exact copies")
+    // the point of the scale path: candidates come from an equi-join on
+    // (table, bucket) — the plan must contain no all-pairs join
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup plan contains an all-pairs join:\n$plan")
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
