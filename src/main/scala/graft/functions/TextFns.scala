@@ -81,4 +81,26 @@ object TextFns {
     * digest groups without shuffling full documents). */
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "\\s+", " ")).cast("binary"))
+
+  /** Rolling character-k-gram fingerprint (the winnowing-family form of
+    * [[fingerprint]]): the minimum digest over every k-char window of the
+    * normalized text. Where the whole-document digest changes on ANY edit,
+    * the rolling minimum survives edits outside the minimizing window —
+    * the content-defined-chunking trick. min over hex digests =
+    * lexicographic min, identical in Spark and DuckDB. Texts shorter than
+    * k fall back to the whole-document digest. */
+  def rollingFingerprint(c: Column, k: Int = 16): Column =
+    rollingFingerprintOfNorm(lower(regexp_replace(c, "\\s+", " ")), k)
+
+  /** [[rollingFingerprint]] over an ALREADY-normalized column. Callers on a
+    * hot path should normalize into a materialized column first and pass
+    * the attribute: the window lambda below evaluates its `norm` argument
+    * once per window, so handing it the raw `lower(regexp_replace(…))`
+    * tree re-runs the regexp per window (~300× per document) — measured
+    * 37 s → ~2 s at sf0.1 for the fingerprint query. */
+  def rollingFingerprintOfNorm(norm: Column, k: Int = 16): Column =
+    when(length(norm) >= k,
+      array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => md5(norm.substr(i, lit(k)).cast("binary")))))
+      .otherwise(md5(norm.cast("binary")))
 }

@@ -106,6 +106,37 @@ object ScaleQueries {
           sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("revenue"))
         .orderBy("o_custkey")
+    },
+
+    // ── partition pruning: events written date-partitioned once per sf
+    //    (the 100 TB layout — a day filter must touch one directory, not
+    //    the table). The filter lands in the scan's PartitionFilters
+    //    (asserted in PlanAuditSpec); the oracle is the same day filter
+    //    over the unpartitioned table.
+    sql("q_part_pruning",
+      """SELECT event_type, COUNT(*) AS cnt
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      s.read.parquet(partitionedEventsDir(s, d))
+        .filter(col("event_date") === lit("2024-01-03"))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
     }
   )
+
+  /** events.parquet rewritten `partitionBy(event_date)` into a scratch dir
+    * keyed by sf — written once, reused across sessions (same persistence
+    * discipline as the bucketed tables above). */
+  def partitionedEventsDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/root/repo/target/partitioned/events_$sfKey")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      Tables.events(s, d)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
 }

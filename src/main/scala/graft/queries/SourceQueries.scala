@@ -108,6 +108,21 @@ object SourceQueries {
       EventsStreaming.slidingCounts(s, d).orderBy("win_start", "event_type")
     },
 
+    // ── stream-stream inner join: click → purchases within 30 min per
+    //    user, time-bounded condition + both-side watermarks (the state-
+    //    retention constraint). gap_us is exact: both engines truncate the
+    //    parquet nano timestamps to micros the same way.
+    sql("q_stream_join",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      EventsStreaming.clickPurchaseJoin(s, d, withinMinutes = 30)
+        .orderBy("click_id", "purchase_id")
+    },
+
     // ── custom streaming state: mapGroupsWithState sessionization (30-min
     //    gap); oracle = batch gaps-and-islands SQL. FLOOR(epoch()) matches
     //    Spark's truncating timestamp→long cast.

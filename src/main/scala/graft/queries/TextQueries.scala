@@ -62,6 +62,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── rolling k-gram fingerprint (winnowing family): min digest over
+    //    16-char windows — edit-robust where the whole-doc digest is not
+    sql("q_text_rolling_fp",
+      """SELECT doc_id,
+        |  CASE WHEN length(lower(regexp_replace(text, '\s+', ' ', 'g'))) >= 16 THEN
+        |    list_min(list_transform(
+        |      range(1, length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 14),
+        |      i -> md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), CAST(i AS INT), 16))))
+        |  ELSE md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) END AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"))
+        .select(col("doc_id"),
+          TextFns.rollingFingerprintOfNorm(col("norm_text"), 16).as("rfp"))
+        .orderBy("doc_id")
+    },
+
     // ── exact dedup over a corpus with planted duplicates (docs ≡ 0 mod 3
     //    re-appear under doc_id+100000): fingerprint groupBy, keep-first
     sql("q_dedup_exact",

@@ -134,6 +134,35 @@ object EventsStreaming {
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
+  /** Stream-stream inner join (engine-added §2.11 surface): each click
+    * joined to the purchases that follow it within `withinMinutes` for the
+    * same user — the attribution-join shape. Both sides carry watermarks
+    * and the join condition time-bounds p_ts to [c_ts, c_ts + within]:
+    * exactly the event-time constraint Spark requires to bound join state
+    * retention (without it, both sides' state grows forever). Append mode —
+    * inner-join matches are final the moment they are emitted. */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String,
+                        withinMinutes: Int = 30): DataFrame = {
+    val name = s"stream_join_${System.nanoTime()}"
+    def src = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr(s"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval $withinMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Cross-run dedup semantics (pipeline.py:215 as a stream): streaming
     * dropDuplicates on the event key within the watermark horizon. Returns
     * the deduplicated count per event_type. */

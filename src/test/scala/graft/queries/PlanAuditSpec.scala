@@ -48,6 +48,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(simLine.contains("*("), s"simhash64 not codegen'd: $simLine")
   }
 
+  test("q_part_pruning: the date filter prunes partitions at the scan") {
+    val df = SparkEntry.queries("q_part_pruning")(spark, sfDir)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("event_date"), s"no partition filter on the scan: $scan")
+    // pruning must reach file selection, not just the filter node: the
+    // scanned partition count is 1 (one date directory), not all dates.
+    // AQE nests the scan inside query stages — recurse through them.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+      s"expected 1 selected partition, got ${scans.map(_.selectedPartitions.partitionCount).mkString(",")}")
+  }
+
   test("minhash signatures are a pure scan-side projection: no shuffle at all") {
     // the old formulation exploded shingles and aggregated 64 mins — a
     // full pre-banding shuffle; the native path must have no exchange and
