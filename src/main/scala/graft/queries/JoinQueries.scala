@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Engine-added join surface beyond the reference: as-of (point-in-time)
@@ -33,6 +33,45 @@ object JoinQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
           col("asof_event_id"))
         .orderBy("event_id")
+    },
+
+    // ── range (point-in-interval) join: sampled shipments against
+    //    order-activity windows (o_orderdate + orderkey%30+1 days),
+    //    bucketized to 32-day cells — an equi-join plan, never a
+    //    nested loop (asserted in spec). Day arithmetic on both sides.
+    sql("q_join_range",
+      """WITH iv AS (
+        |  SELECT o_orderkey AS win_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo_d,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |           + (o_orderkey % 30) + 1 AS hi_d,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |pt AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS p_d
+        |  FROM lineitem WHERE l_orderkey % 20 = 1)
+        |SELECT pt.l_orderkey, pt.l_linenumber,
+        |       COUNT(*) AS n_windows,
+        |       CAST(SUM(CAST(iv.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM pt JOIN iv ON pt.p_d >= iv.lo_d AND pt.p_d <= iv.hi_d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val epoch = lit("1970-01-01").cast("date")
+      val iv = Tables.orders(s, d).filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("lo_d"),
+          (datediff(to_date(col("o_orderdate")), epoch)
+            + col("o_orderkey") % 30 + 1).cast("long").as("hi_d"),
+          col("o_totalprice"))
+      val pt = Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 1)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), epoch).cast("long").as("p_d"))
+      RangeJoin.pointInInterval(pt, iv, "p_d", "lo_d", "hi_d", width = 32L)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // ── left-semi: customers that have at least one order
