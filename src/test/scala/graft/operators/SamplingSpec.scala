@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("bernoulli sample is identical across partition layouts (df.sample is not)") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bernoulli(df, "doc_id", 0.10).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(13))
+    val c = ids(docs.coalesce(1))
+    assert(a === b)
+    assert(b === c)
+    assert(a.nonEmpty)
+    // rate lands near 10% (hash uniformity, not exactness)
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.05 && a.size < n * 0.18, s"${a.size} of $n")
+  }
+
+  test("bernoulli is monotone in rate: a 5% sample is a subset of a 20% sample") {
+    val small = Sampling.bernoulli(docs, "doc_id", 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.bernoulli(docs, "doc_id", 0.20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified cap keeps at most k per stratum, small strata whole, deterministically") {
+    val out = Sampling.stratifiedCap(docs, Seq("lang"), "doc_id", k = 25)
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) === math.min(n, 25L), s"$lang: ${sizes(lang)} of $n")
+    }
+    val again = Sampling.stratifiedCap(docs.repartition(7), Seq("lang"), "doc_id", k = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("bernoulli plan is a pure scan-side filter: no shuffle") {
+    val plan = Sampling.bernoulli(docs, "doc_id", 0.10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+}
