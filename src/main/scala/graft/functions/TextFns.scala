@@ -25,6 +25,25 @@ object TextFns {
   def tokenEstimate(c: Column): Column =
     ceil(octet_length(c) / lit(4.0)).cast("long")
 
+  /** BPE-ish subword-regex token count (the brief's second counting form
+    * next to [[tokenCount]]/[[tokenEstimate]]): letter runs, digit runs,
+    * and every other non-space char count one token each — the GPT-2
+    * pre-tokenizer shape reduced to an engine-portable regex (CJK text
+    * tokenizes per character, as a byte-level BPE effectively does). */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** ASCII punctuation count (\p{Punct} == POSIX [[:punct:]] in RE2). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{Punct}"), lit(0))).cast("long")
+
+  /** Punctuation density over non-whitespace chars (quality signal:
+    * boilerplate/markup skews high). Null for all-whitespace docs. */
+  def punctRatio(c: Column): Column = {
+    val nonSpace = length(regexp_replace(c, "\\s+", ""))
+    when(nonSpace > 0, punctCount(c).cast("double") / nonSpace)
+  }
+
   /** Fraction of tokens found in `stopwords` (quality signal). */
   def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
     val stops = array(stopwords.map(lit): _*)

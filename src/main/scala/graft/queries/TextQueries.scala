@@ -33,6 +33,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── subword-regex token count (GPT-2-pre-tokenizer shape: letter
+    //    runs | digit runs | any other non-space char) + punctuation
+    //    density — the regex forms next to q_text_stats' whitespace and
+    //    bytes/4 counts. \p{Punct} (Java) == [[:punct:]] (RE2): ASCII-only.
+    sql("q_text_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+        |       CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |         / NULLIF(length(regexp_replace(text, '\s+', '', 'g')), 0) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokenCountRegex(col("text")).as("n_bpe_tokens"),
+          TextFns.punctCount(col("text")).as("n_punct"),
+          TextFns.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ── language-ID heuristic: marker-vocabulary argmax with deterministic
     //    priority tie-break (en > es > de > fr > zh), all-zero → 'und'
     sql("q_text_langid", {

@@ -21,6 +21,16 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Long]("abcde", TextFns.tokenEstimate) === 2L)
   }
 
+  test("regex token count and punctuation signals") {
+    // "Hello, world! 42" → [Hello][,][world][!][42]
+    assert(one[Long]("Hello, world! 42", TextFns.tokenCountRegex) === 5L)
+    // CJK: one token per char (byte-level-BPE shape)
+    assert(one[Long]("你好", TextFns.tokenCountRegex) === 2L)
+    assert(one[Long]("Hello, world!", TextFns.punctCount) === 2L)
+    // 12 non-space chars, 2 punct
+    assert(one[Double]("Hello, world!", TextFns.punctRatio) === 2.0 / 12)
+  }
+
   test("stopwordRatio") {
     assert(one[Double]("the cat and the dog", TextFns.stopwordRatio(_, Seq("the", "and"))) === 0.6)
   }
