@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{rowsOnly, sql}
-import graft.functions.HllAggregator
+import graft.functions.{HistogramQuantileAgg, HllAggregator}
 import org.apache.spark.sql.functions._
 
 /** Scale-technique queries: sketch aggregation and bucketed co-located
@@ -22,6 +22,29 @@ object ScaleQueries {
           countDistinct(col("l_partkey")).as("exact"),
           hll(col("l_partkey")).as("hll_estimate"),
           approx_count_distinct(col("l_partkey"), 0.02).as("builtin_estimate"))
+    },
+
+    // ── mergeable quantile sketch (HistogramQuantileAgg): deterministic
+    //    fixed-grid histogram, so unlike t-digest it CAN be hash-gated —
+    //    the oracle replicates the identical grid/rank/midpoint arithmetic
+    //    in SQL. Grid [0, 110000) × 4096 → max error ~27 on prices ~1e5.
+    sql("q_agg_quantile_sketch",
+      """WITH p AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / ((110000.0 - 0.0) / 4096)) AS BIGINT), 0), 4095) AS bkt,
+        |         COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(c) AS n FROM p),
+        |cum AS (SELECT bkt, SUM(c) OVER (ORDER BY bkt) AS cum FROM p)
+        |SELECT
+        |  (SELECT MIN(0.0 + (bkt + 0.5) * ((110000.0 - 0.0) / 4096)) FROM cum, t WHERE cum >= CEIL(0.50 * n)) AS p50,
+        |  (SELECT MIN(0.0 + (bkt + 0.5) * ((110000.0 - 0.0) / 4096)) FROM cum, t WHERE cum >= CEIL(0.90 * n)) AS p90,
+        |  (SELECT MIN(0.0 + (bkt + 0.5) * ((110000.0 - 0.0) / 4096)) FROM cum, t WHERE cum >= CEIL(0.99 * n)) AS p99""".stripMargin) { (s, d) =>
+      val sketch = udaf(new HistogramQuantileAgg(0.0, 110000.0, 4096, Seq(0.5, 0.9, 0.99)))
+      Tables.lineitem(s, d)
+        .agg(sketch(col("l_extendedprice")).as("qs"))
+        .select(element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))
     },
 
     // ── skew-handling salted aggregation: two-phase salt split → merge.

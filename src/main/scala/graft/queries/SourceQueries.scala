@@ -138,6 +138,27 @@ object SourceQueries {
       EventsStreaming.userSessions(s, d, gapMinutes = 30).orderBy("user_id")
     },
 
+    // ── flatMapGroupsWithState emit-on-close sessionization: every session
+    //    CLOSED by a later event (gap > 30 min); each user's still-open
+    //    final island is dropped on both sides.
+    sql("q_stream_closed_sessions",
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+        |d AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t) AS sid FROM d),
+        |g AS (SELECT user_id, sid, MIN(t) AS session_start, MAX(t) AS session_end,
+        |             COUNT(*) AS n_events
+        |      FROM s GROUP BY 1, 2),
+        |mx AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY 1)
+        |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+        |FROM g JOIN mx ON g.user_id = mx.user_id AND g.sid < mx.last_sid
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      EventsStreaming.completedSessions(s, d, gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    },
+
     // ── multimodal: binary media column + metadata struct, imperative
     //    per-partition decode (deterministic fake) → typed features
     sql("q_multimodal_features",

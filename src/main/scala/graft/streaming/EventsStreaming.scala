@@ -134,6 +134,55 @@ object EventsStreaming {
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+
+  /** flatMapGroupsWithState sessionization (the second custom-state API
+    * next to [[userSessions]]'s mapGroupsWithState): emits each session
+    * the moment a later event CLOSES it (gap > `gapMinutes`), keeping only
+    * the open session in state — the emit-on-close shape that lets
+    * downstream consumers see finished sessions without waiting for
+    * timeouts. A user's final (still-open) session is never emitted;
+    * the oracle mirrors that by dropping each user's last island. Same
+    * batch-order caveat as [[userSessions]]: correct when batch order
+    * follows event time (AvailableNow over one staged file). */
+  def completedSessions(spark: SparkSession, sfDir: String,
+                        gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"stream_closed_${System.nanoTime()}"
+    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts".cast("long").as("ts_sec"))
+      .as[(Long, Long)]
+    val gapSec = gapMinutes * 60L
+    val closed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, events, state: GroupState[OpenSession]) =>
+          val ts = events.map(_._2).toArray.sorted
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          ts.foreach { t =>
+            open = open match {
+              case Some(o) if t - o.last > gapSec =>
+                out += ClosedSession(user, o.start, o.last, o.n)
+                Some(OpenSession(t, t, 1))
+              case Some(o) => Some(o.copy(last = t, n = o.n + 1))
+              case None => Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+    val q = closed.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-stream inner join (engine-added §2.11 surface): each click
     * joined to the purchases that follow it within `withinMinutes` for the
     * same user — the attribution-join shape. Both sides carry watermarks

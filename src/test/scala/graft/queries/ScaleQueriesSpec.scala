@@ -32,6 +32,26 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(b === c)
   }
 
+  test("histogram quantile sketch: within one grid cell of exact, layout-invariant") {
+    import graft.functions.HistogramQuantileAgg
+    val li = Tables.lineitem(spark, sfDir)
+    val w = 110000.0 / 4096
+    val sketch = udaf(new HistogramQuantileAgg(0.0, 110000.0, 4096, Seq(0.5, 0.9, 0.99)))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(sketch($"l_extendedprice").as("qs")).head().getSeq[Double](0)
+    val est = run(li)
+    val exact = li.agg(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.9)"),
+      expr("percentile(l_extendedprice, 0.99)")).head()
+    Seq(0, 1, 2).foreach { i =>
+      val err = math.abs(est(i) - exact.getDouble(i))
+      info(f"q${Seq(50, 90, 99)(i)}: sketch=${est(i)}%.2f exact=${exact.getDouble(i)}%.2f err=$err%.2f (cell $w%.2f)")
+      assert(err <= w, s"quantile $i off by $err > cell width $w")
+    }
+    assert(run(li.repartition(13)) === est, "layout must not change the sketch")
+  }
+
   test("AQE splits a skewed join partition at runtime, result unchanged") {
     // 90% of the left rows share one key — the shape where a static plan
     // funnels one task. With skew-join thresholds scaled to the test data,
@@ -65,6 +85,35 @@ class ScaleQueriesSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val sRow = skewedJoin().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(aRow === sRow)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // a selective dimension filter should inject a bloom filter on the
+    // fact-side scan (runtime row-group pruning at 100 TB); thresholds are
+    // scaled down to the test tables
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def join() = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = join()
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n${optimized.take(2000)}")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(join().collect().map(r => (r.getString(0), r.getLong(1))).toSet === got)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
