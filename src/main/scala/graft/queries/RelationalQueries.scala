@@ -529,6 +529,31 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     },
 
+    // ── grouping sets (engine capability, completing the rollup family):
+    //    two independent grouping dimensions in one pass over the fact
+    //    table, disambiguated by GROUPING() flags
+    sql("q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY g_flag, g_status, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+          |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+          |       COUNT(*) AS cnt,
+          |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY g_flag, g_status,
+          |         l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+    },
+
     // ── M1/M2 abs/add/divide with null-safe division (SURVEY §2.9)
     sql("q_math",
       """SELECT s_suppkey,

@@ -50,6 +50,17 @@ object SourceQueries {
       Sources.readJson(s, path, schema).orderBy("p_partkey")
     },
 
+    // ── ORC sink + scan roundtrip (engine-added second columnar format):
+    //    typed columns survive as-is, so the oracle is the source table
+    sql("q_src_orc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val path = tmp("orc_supplier")
+      Sources.writeOrc(
+        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), path)
+      Sources.readOrc(s, path).orderBy("s_suppkey")
+    },
+
     // ── K2 JDBC sink + S10 JDBC scan through embedded Derby — one batched
     //    write vs the reference's commit-per-row loop (pipeline.py:871-885)
     sql("q_src_jdbc_roundtrip",

@@ -27,6 +27,16 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink (engine-added: the second columnar format next to parquet —
+    * typed, compressed, predicate-pushdown-capable). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** ORC scan — columnar, so it prunes columns and pushes filters like
+    * the parquet scan does. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** In-memory embedded Derby — the JDBC warehouse stand-in (the Derby
     * driver ships with Spark's jars; zero-egress container has no
     * Postgres). */
