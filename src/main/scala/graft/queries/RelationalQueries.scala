@@ -529,6 +529,31 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     },
 
+    // ── analytic-window breadth (engine capability): lag/lead, ntile,
+    //    percent_rank, cume_dist over a total per-customer order — the
+    //    standard analytic vocabulary beyond rank-1/top-k
+    sql("q_window_analytics",
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ── grouping sets (engine capability, completing the rollup family):
     //    two independent grouping dimensions in one pass over the fact
     //    table, disambiguated by GROUPING() flags

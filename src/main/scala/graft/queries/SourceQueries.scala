@@ -61,6 +61,34 @@ object SourceQueries {
       Sources.readOrc(s, path).orderBy("s_suppkey")
     },
 
+    // ── keyed parquet upsert (MERGE): seed nation, then an update batch
+    //    that rewrites 5 names and inserts 2 new keys; the oracle derives
+    //    the same merged state from the source table directly
+    sql("q_src_upsert",
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END AS n_name,
+        |       n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES (900, 'ATLANTIS', 0), (901, 'ELBONIA', 1)) t(n_nationkey, n_name, n_regionkey)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val path = tmp("upsert_nation")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path + ".staging"))
+      val base = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      Sources.upsertParquet(s, path, base, Seq("n_nationkey")) // seed
+      val updates = base.filter($"n_nationkey" < 5)
+        .withColumn("n_name", upper($"n_name"))
+        .unionByName(Seq((900, "ATLANTIS", 0), (901, "ELBONIA", 1))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+          .select($"n_nationkey".cast(base.schema("n_nationkey").dataType),
+            $"n_name",
+            $"n_regionkey".cast(base.schema("n_regionkey").dataType)))
+      Sources.upsertParquet(s, path, updates, Seq("n_nationkey"))
+      s.read.parquet(path).orderBy("n_nationkey")
+    },
+
     // ── K2 JDBC sink + S10 JDBC scan through embedded Derby — one batched
     //    write vs the reference's commit-per-row loop (pipeline.py:871-885)
     sql("q_src_jdbc_roundtrip",

@@ -37,6 +37,30 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Keyed upsert (MERGE) into a parquet snapshot — the engine's form of
+    * the reference's warehouse maintenance split (drop-and-reload tables
+    * vs append-only tables, pipeline.py:59/88): rows in `updates` replace
+    * current rows with the same key, the rest insert. Implemented as
+    * anti-join ∪ updates staged to a side directory, then swapped in — the
+    * read is fully materialized before the old snapshot is dropped, and at
+    * cluster scale the same shape is one shuffle on the key. */
+  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
+                    keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = new java.io.File(path)
+    val merged =
+      if (dir.exists()) {
+        val current = spark.read.parquet(path)
+        current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(updates)
+      } else updates
+    val staging = path + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging) // materializes the read
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!new java.io.File(staging).renameTo(dir))
+      throw new java.io.IOException(s"upsert swap failed: $staging -> $path")
+  }
+
   /** In-memory embedded Derby — the JDBC warehouse stand-in (the Derby
     * driver ships with Spark's jars; zero-egress container has no
     * Postgres). */
