@@ -66,6 +66,24 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── salted skew JOIN: fact side salted by content hash, dim side
+    //    replicated ×8, join on (key, salt) — result is exactly the plain
+    //    join (the oracle), but a hot key spreads over 8 reducers
+    sql("q_skew_salted_join",
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |       o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"),
+          Tables.orders(s, d)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          keys = Seq("l_orderkey"), saltFrom = "l_linenumber", saltFactor = 8)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+          col("o_orderpriority"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ── custom whole-operator stack: the W1 rank-limit idiom planned as
     //    TopKPerKeyExec (bounded per-partition heaps, partial/final like
     //    HashAggregate) via RankLimitRewrite + TopKPerKeyStrategy.
