@@ -39,7 +39,10 @@ object GraftExtensions {
         MinHashSigs(children(0), literalInt(children(1), "minhash_sigs"))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children(0))))
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("list_divider"),
+      new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),
+      (children: Seq[Expression]) => ListDivider(children(0), children(1))))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

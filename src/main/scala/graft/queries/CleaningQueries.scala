@@ -337,6 +337,34 @@ object CleaningQueries {
         .orderBy("n_nationkey")
     },
 
+    // ── the same list_divider semantics as a genuine custom Generator
+    //    (UDTF): per-user event-type sequences split at 'signup' sentinels,
+    //    sentinel rows dropped, (group_id, pos) assigned per group — the
+    //    literal shape of the reference's Python loop, planned as a
+    //    Generate node. Oracle replicates with strictly-before sentinel
+    //    counts + per-group row numbers.
+    sql("q_arr_list_divider",
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type,
+        |         COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gid
+        |  FROM events)
+        |SELECT user_id, CAST(gid AS INT) AS group_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id, gid ORDER BY event_id) - 1 AS INT) AS pos,
+        |       event_type AS item
+        |FROM s WHERE event_type <> 'signup'
+        |ORDER BY user_id, group_id, pos""".stripMargin) { (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("event_id"), col("event_type"))))
+          .as("seq"))
+        .select(col("user_id"),
+          expr("list_divider(transform(seq, x -> x.event_type), 'signup')"))
+        .orderBy("user_id", "group_id", "pos")
+    },
+
     // ── AR4 sentinel split (list_divider, google_maps_api.ipynb:426-438):
     //    running group-id + per-group aggregation (order-free summary —
     //    collect_list order isn't deterministic under shuffle)
