@@ -102,6 +102,77 @@ object CompositeQueries {
           coalesce(col("n_listings"), lit(0L)).as("n_listings"),
           col("avg_qty_r"), col("avg_qty_a"), col("avg_qty_n"))
         .orderBy("n_name")
+    },
+
+    // ── the LLM-corpus-curation flagship: the engine-added pipeline ops
+    //    composed end-to-end the way a training-data run would chain them —
+    //    MinHash near-dup clusters → drop non-keepers → quality gate
+    //    (token floor + punctuation density) → per-language stratified cap
+    //    (deterministic hash order) → corpus accounting per language.
+    //    Every stage is individually oracled elsewhere (q_dedup_minhash /
+    //    q_dedup_clusters / q_text_stats / q_text_tokens /
+    //    q_sample_stratified); this query gates their COMPOSITION against
+    //    one DuckDB replication: recursive-CTE components over brute-force
+    //    Jaccard pairs, the same filters, the same md5 sample order.
+    //    Scale shape: dedup is the banded-LSH equi-join pipeline (never
+    //    all-pairs), the gates are scan-side expressions, the cap is one
+    //    shuffle on lang riding WindowGroupLimit pruning, the accounting
+    //    is a map-side-combined aggregate — one pass over the corpus plus
+    //    the dedup pipeline's bounded candidate joins.
+    sql("q03_corpus_curation",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 5),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        |losers AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> MIN(lbl)),
+        |kept AS (
+        |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |quality AS (
+        |  SELECT * FROM kept
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |    AND CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |          / NULLIF(length(regexp_replace(text, '\s+', '', 'g')), 0) < 0.2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM quality),
+        |sampled AS (SELECT * FROM r WHERE rn <= 50)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |       CAST(SUM(CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
+      import graft.operators.{Dedup, Sampling}
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+      val losers = Dedup.nearDupClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val kept = docs.join(losers, Seq("doc_id"), "left_anti")
+      val quality = kept.filter(
+        TextFns.tokenCount(col("text")) >= 5 &&
+          TextFns.punctRatio(col("text")) < 0.2)
+      Sampling.stratifiedCap(quality, Seq("lang"), "doc_id", k = 50)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text"))).as("sum_tokens"),
+          sum(TextFns.tokenEstimate(col("text"))).as("est_bpe_tokens"))
+        .orderBy("lang")
     }
   )
 }
