@@ -100,11 +100,15 @@ object EventsStreaming {
     * sessionized correctly across batches if batch order follows event
     * time (true for AvailableNow over a single staged file; a production
     * deployment would partition input files by time). */
-  def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+  def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+                   inputDir: Option[String] = None,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"stream_sessions_${System.nanoTime()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select($"user_id", $"ts".cast("long").as("ts_sec"))
       .as[(Long, Long)]
@@ -148,11 +152,15 @@ object EventsStreaming {
     * batch-order caveat as [[userSessions]]: correct when batch order
     * follows event time (AvailableNow over one staged file). */
   def completedSessions(spark: SparkSession, sfDir: String,
-                        gapMinutes: Int = 30): DataFrame = {
+                        gapMinutes: Int = 30,
+                        inputDir: Option[String] = None,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"stream_closed_${System.nanoTime()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select($"user_id", $"ts".cast("long").as("ts_sec"))
       .as[(Long, Long)]

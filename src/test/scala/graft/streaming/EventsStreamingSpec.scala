@@ -17,6 +17,52 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sessionization stays correct across multiple batches (maxFilesPerTrigger=1)") {
+    // split events into 3 time-ordered files → AvailableNow processes them
+    // as 3 micro-batches; both state operators must produce the same
+    // result as the single-batch run (the operators' documented contract:
+    // batch order follows event time)
+    val dir = new java.io.File("/root/repo/target/tmp/stream/multibatch_case")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val third = events.length / 3
+    Seq(events.take(third),
+        events.slice(third, 2 * third),
+        events.drop(2 * third)).zipWithIndex.foreach { case (chunk, i) =>
+      // re-create the raw long-ns shape the streaming schema expects
+      // (ms precision is enough: sessionization floors to whole seconds)
+      val rows = chunk.map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime * 1000000L,
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+    }
+    // flatten the part dirs into sequential files so listing order = time order
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    Seq(0, 1, 2).foreach { i =>
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet").setLastModified(1000000L * (i + 1))
+    }
+
+    val multi = EventsStreaming.userSessions(spark, sfDir, 30,
+        inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = EventsStreaming.userSessions(spark, sfDir, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi === single, "mapGroupsWithState cumulative sessions differ across batching")
+
+    val multiClosed = EventsStreaming.completedSessions(spark, sfDir, 30,
+        inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val singleClosed = EventsStreaming.completedSessions(spark, sfDir, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(multiClosed === singleClosed, "flatMapGroupsWithState closed sessions differ across batching")
+  }
+
   test("streaming dedup drops duplicate event ids across batches") {
     // duplicate-bearing corpus: the same events parquet staged twice makes
     // every event_id arrive twice; dropDuplicates must collapse them
