@@ -70,12 +70,19 @@ object Similarity {
   }
 
   /** (id, table, bucket) signature rows: bucket = sign-bit integer of the
-    * table's hyperplane dots. */
+    * table's hyperplane dots. Each plane dot runs through the native
+    * fused `QuantizedDot` (float-literal plane, no per-dot intermediate
+    * arrays) — the HOF `dot` here cost ~2 array allocations × tables×bits
+    * per row. Sign of the quantized dot is the bucket bit; quantization
+    * can only flip a bit for dots within ~1e-6 of the hyperplane, which
+    * changes nothing structural (any consistent sign function is a valid
+    * LSH, identical vectors still collide everywhere, and the recall
+    * specs measure the realized hash). */
   def lshBuckets(df: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
     val tableBuckets = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.map { p =>
-        val pl = array(p.map(lit): _*)
-        when(dot(col("embedding"), pl) > 0, 1L).otherwise(0L)
+        val pl = lit(p.map(_.toFloat).toArray)
+        when(quantizedDot(col("embedding"), pl) > 0, 1L).otherwise(0L)
       }.reduce((acc, b) => acc * 2 + b)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
