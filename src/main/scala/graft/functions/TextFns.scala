@@ -122,4 +122,46 @@ object TextFns {
       array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
         i => md5(norm.substr(i, lit(k)).cast("binary")))))
       .otherwise(md5(norm.cast("binary")))
+
+  // ── PII scrubbing (training corpora must not memorize contact data) ────
+  //
+  // The three regexes are written in the Java∩RE2 common dialect (character
+  // classes, bounded repetition, non-capturing groups, \b) so Spark
+  // (java.util.regex) and the DuckDB oracle (RE2) match the exact same
+  // spans. Deliberately conservative patterns: a false negative leaves one
+  // string unredacted; an over-greedy pattern silently corrupts documents.
+
+  /** user@host.tld — local part, then a dotted domain with an alpha TLD. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-format phone: '+' then 8+ digits with optional single
+    * spaces between groups (the unambiguous form; bare digit runs collide
+    * with ids/quantities and are left alone). */
+  val PhoneRegex = "\\+[0-9](?:[0-9]| [0-9]){7,}"
+
+  /** Dotted-quad IPv4. Word-bounded so digits embedded in alphanumeric
+    * tokens can't anchor a match; a longer dotted run (a 5-part version
+    * string) still yields one over-match — RE2 (the oracle engine) has no
+    * lookbehind to forbid it, and for PII the safe failure direction is
+    * over-redaction. */
+  val Ipv4Regex = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailRegex), lit(0))).cast("long")
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhoneRegex), lit(0))).cast("long")
+  def ipv4Count(c: Column): Column =
+    size(regexp_extract_all(c, lit(Ipv4Regex), lit(0))).cast("long")
+
+  /** Replace every email / phone / IPv4 span with a typed placeholder
+    * token. Order matters and is fixed: emails first (their digits must
+    * not be re-matched as phones), then phones, then IPs (placeholders
+    * contain no digits or dots, so later passes can't touch earlier
+    * redactions). Pure codegen'd expressions — scan-side at 100 TB. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRegex, "<EMAIL>"),
+        PhoneRegex, "<PHONE>"),
+      Ipv4Regex, "<IP>")
 }

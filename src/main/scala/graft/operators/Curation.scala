@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and export (engine-added, builder brief): benchmark
+  * decontamination and repetition/boilerplate quality signals.
+  */
+object Curation {
+
+  /** Benchmark decontamination: find training documents that share at
+    * least one word n-gram with the evaluation set — the overlap filter
+    * every serious LLM corpus applies so test questions don't leak into
+    * training data.
+    *
+    * Output: one row per contaminated training doc —
+    * (idCol, n_hit_shingles = distinct eval n-grams it contains).
+    *
+    * Scale shape: the eval side (benchmarks, ~1e6-1e8 n-grams) is
+    * `distinct`-ed and broadcast; the 100 TB training side streams
+    * scan → explode → broadcast-hash semi-match → partial-agg count, so
+    * the big side never shuffles full documents, only the (id, hit)
+    * survivors. If the eval n-gram set outgrows broadcast range, drop the
+    * `broadcast` hint and the same plan degrades to a shuffled semi-join
+    * on the n-gram key. Joining on the raw n-gram string keeps the DuckDB
+    * oracle exact; at scale you'd map shingles through xxhash64 first
+    * (8-byte keys, ~1e-7 false-hit odds per billion pairs).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleSize: Int): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextFns.shingles(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+    val trainShingles = train
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), shingleSize)).as("sh"))
+    trainShingles
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(idCol)
+      .agg(count_distinct(col("sh")).as("n_hit_shingles"))
+  }
+
+  /** Gopher-family repetition signals per document:
+    *
+    *  - `total_tokens`  — whitespace token count;
+    *  - `dup_2gram_frac` — fraction of repeated word bigrams,
+    *    1 − distinct/total (0 for single-token docs) — high values mean
+    *    looping/boilerplate text;
+    *  - `top_token_frac` — the most frequent token's share of all tokens —
+    *    high values mean keyword-stuffed or degenerate text.
+    *
+    * The bigram signal is a linear per-row expression (stays in the scan's
+    * codegen span). The token mode is computed by explode → two partial
+    * aggregations — NOT a per-row O(len²) nested HOF — so a 100 KB
+    * document costs O(len) and map-side combine absorbs the explosion
+    * before the (id, token) shuffle. The final join is id-to-id on
+    * co-partitioned aggregates.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("ws"))
+    val perDoc = base.select(
+      col(idCol),
+      size(col("ws")).cast("long").as("total_tokens"),
+      when(size(col("ws")) >= 2,
+        lit(1.0) - size(array_distinct(
+            transform(sequence(lit(1), size(col("ws")) - 1),
+              i => array_join(slice(col("ws"), i, lit(2)), " "))))
+          .cast("double") / (size(col("ws")) - 1))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+    val mode = base
+      .select(col(idCol), explode(col("ws")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        max(col("c")).as("top_c"), sum(col("c")).as("tot"))
+      .select(col(idCol),
+        (col("top_c").cast("double") / col("tot")).as("top_token_frac"))
+    perDoc.join(mode, idCol)
+  }
+}

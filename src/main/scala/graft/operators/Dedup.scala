@@ -23,6 +23,27 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: keep only the rows of a NEW batch whose
+    * fingerprint does not already exist in the corpus — how a pipeline
+    * admits a fresh crawl against trillions of already-ingested documents
+    * without re-deduplicating the world.
+    *
+    * `corpus` may be the full document table; only its 16-byte digests
+    * flow into the anti-join, so at 100 TB the corpus side is a compact
+    * fingerprint index scan (store it pre-bucketed on `fp` and the
+    * exchange on the index side disappears), and the batch side — the
+    * small one — shuffles its digests to meet it. Output carries the
+    * batch row id plus its fingerprint.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val corpusFps = corpus.select(TextFns.fingerprint(col(textCol)).as("fp"))
+    batch
+      .select(col(idCol), TextFns.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
   /** Hashed n-token shingles as ONE array<long> per row via the native
     * [[graft.plans.ShingleHashes]] expression: each window folds its
     * tokens through XXH64 in a fused loop — no per-shingle string

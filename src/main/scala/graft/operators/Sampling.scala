@@ -46,4 +46,59 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Temperature resampling across strata (the multilingual-corpus
+    * rebalance: train on lang l with probability ∝ n_l^α, α<1 flattening
+    * the distribution). Filter-only realization: every stratum keeps
+    * rate_l = (n_min/n_l)^(1−α) of its rows — the smallest stratum keeps
+    * everything, the biggest is downsampled hardest; α=1 keeps all, α=0
+    * equalizes stratum sizes (in expectation).
+    *
+    * Deterministic: row selection is the same content-hash bucket as
+    * [[bernoulli]] against a per-stratum cap. The stratum-count aggregate
+    * is tiny (|langs| rows), so the plan is: one partial-agg shuffle to
+    * build the rate table, broadcast it back, filter at the scan — the
+    * 100 TB side is never re-shuffled. Rate arithmetic sticks to IEEE
+    * sqrt/division (exactly reproducible in the DuckDB oracle); only
+    * α = 0.5 is exposed, as `sqrtTemperature`, for that reason.
+    */
+  def sqrtTemperatureSample(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val caps = counts.crossJoin(broadcast(minN))
+      .select(col(stratumCol),
+        floor(sqrt(col("__n_min").cast("double") / col("__n")) * 10000)
+          .cast("long").as("__cap"))
+    df.join(broadcast(caps), stratumCol)
+      .filter(hashBucket(col(idCol)) < col("__cap"))
+      .drop("__cap")
+  }
+
+  /** Deterministic shard id in [0, nShards) — the export key for writing
+    * a training corpus as N balanced files/streams. Content-hashed like
+    * everything above: re-running the export on a different cluster
+    * layout yields byte-identical shards. */
+  def shardId(id: Column, nShards: Int): Column =
+    hashBucket(id, nShards)
+
+  /** Chunk-boundary sequence packing: within each shard, lay documents in
+    * a deterministic pseudo-random order (md5(id), id) and cut bins every
+    * `capacityTokens` cumulative tokens — the distributed approximation of
+    * training-batch packing (a doc may straddle a boundary; the trainer
+    * concatenates bins downstream). One shuffle on the shard key; the
+    * cumulative sum is a partition-local running window, and shards bound
+    * partition size by construction, so the sort is bounded and spillable.
+    */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               nShards: Int, capacityTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard_id", shardId(col(idCol), nShards))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("__cum") - col(tokenCol)) / lit(capacityTokens.toDouble))
+          .cast("long"))
+      .drop("__cum")
+  }
 }

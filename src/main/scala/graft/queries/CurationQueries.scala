@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sql
+import graft.functions.TextFns
+import graft.operators.{Curation, Dedup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation wave of the LLM-data-pipeline surface (engine-added,
+  * builder brief): benchmark decontamination, repetition signals, PII
+  * scrubbing, incremental dedup against an existing corpus, deterministic
+  * shard export + sequence packing, and temperature resampling. Every
+  * query is DuckDB-oracled on the `documents` table; synthetic PII /
+  * batch rows are constructed identically on both sides so the check
+  * covers the operator, not the fixture.
+  */
+object CurationQueries {
+
+  /** first-8-hex-chars-of-md5 bucket, DuckDB side (mirror of
+    * Sampling.hashBucket). */
+  private def bucketSql(id: String, buckets: Int = 10000) =
+    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets"
+
+  /** DuckDB word-5-gram shingle list of `w` (an already-split token
+    * array) — mirror of TextFns.shingles(_, 5). */
+  private val shingle5Sql =
+    "list_distinct(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── benchmark decontamination: training docs sharing any 5-gram with
+    //    the eval split (doc_id % 50 = 0 plays the benchmark)
+    sql("q_text_decontaminate",
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($shingle5Sql) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE doc_id % 50 = 0)
+         |  WHERE len(w) >= 5),
+         |tr AS (
+         |  SELECT doc_id, unnest($shingle5Sql) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE doc_id % 50 <> 0)
+         |  WHERE len(w) >= 5)
+         |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_hit_shingles
+         |FROM tr JOIN ev USING (sh)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleSize = 5)
+        .orderBy("doc_id")
+    },
+
+    // ── Gopher-family repetition signals: repeated-bigram fraction +
+    //    top-token share
+    sql("q_text_repetition",
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sig AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS total_tokens,
+        |         CASE WHEN len(w) >= 2 THEN
+        |           1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+        |                   i -> array_to_string(w[i:i+1], ' ')))) AS DOUBLE) / (len(w) - 1)
+        |         ELSE 0.0 END AS dup_2gram_frac
+        |  FROM base),
+        |cnt AS (
+        |  SELECT doc_id, t, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        |  FROM cnt GROUP BY 1)
+        |SELECT s.doc_id, s.total_tokens, s.dup_2gram_frac, t.top_token_frac
+        |FROM sig s JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ── PII scrub: plant synthetic emails/phones/IPs deterministically,
+    //    then count and redact them. Output is (counts, digest of the
+    //    redacted text) — the digest proves the replacement spans match
+    //    byte-for-byte, not just the counts.
+    sql("q_text_pii", {
+      // the runtime regex strings drop into single-quoted DuckDB literals
+      // unchanged (DuckDB does not process backslash escapes there)
+      val email = TextFns.EmailRegex
+      val phone = TextFns.PhoneRegex
+      val ip = TextFns.Ipv4Regex
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |           text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |                || '@mail.example.com or ring +44 20 7946 '
+         |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         WHEN doc_id % 11 = 0 THEN
+         |           text || ' served from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |                || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |        '$email', '<EMAIL>', 'g'),
+         |        '$phone', '<PHONE>', 'g'),
+         |        '$ip', '<IP>', 'g')) AS red_fp
+         |FROM pii ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.com or ring +44 20 7946 "),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" served from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text")).as("t"))
+      withPii.select(col("doc_id"),
+          TextFns.emailCount(col("t")).as("n_emails"),
+          TextFns.phoneCount(col("t")).as("n_phones"),
+          TextFns.ipv4Count(col("t")).as("n_ips"),
+          md5(TextFns.redactPii(col("t")).cast("binary")).as("red_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── incremental dedup: a new crawl batch (some rows copies of the
+    //    corpus, some genuinely novel) admitted via fingerprint anti-join —
+    //    only the novel rows survive
+    sql("q_dedup_incremental",
+      """WITH corpus AS (
+        |  SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |         text || ' batch-novel payload ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |bfp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM batch)
+        |SELECT doc_id, fp FROM bfp
+        |WHERE fp NOT IN (SELECT fp FROM corpus) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" batch-novel payload "),
+              col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalNew(batch, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ── deterministic shard export: content-hash shard id, write as
+    //    shard-partitioned parquet (a real sink), read back and account —
+    //    per-shard doc and byte totals prove the export is balanced and
+    //    complete
+    sql("q_export_shards",
+      s"""SELECT ${bucketSql("doc_id", 8)} AS shard_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
+         |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val out = s"/root/repo/target/tmp/shard_export"
+      new java.io.File(out).getParentFile.mkdirs()
+      Tables.documents(s, d)
+        .withColumn("shard_id", Sampling.shardId(col("doc_id"), 8))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.byteLength(col("text"))).as("n_bytes"))
+        .orderBy("shard_id")
+    },
+
+    // ── sequence packing: shard → deterministic order → cut a bin every
+    //    4096 cumulative (estimated) tokens. Chunk-boundary packing: the
+    //    trainer concatenates each bin downstream.
+    sql("q_export_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${bucketSql("doc_id", 8)} AS shard_id,
+         |         CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS est_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard_id, est_tokens,
+         |         CAST(SUM(est_tokens) OVER (PARTITION BY shard_id
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard_id,
+         |       CAST(FLOOR((cum - est_tokens) / 4096.0) AS BIGINT) AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.packBins(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextFns.tokenEstimate(col("text")).as("est_tokens")),
+          "doc_id", "est_tokens", nShards = 8, capacityTokens = 4096)
+        .select("doc_id", "shard_id", "bin_id")
+        .orderBy("doc_id")
+    },
+
+    // ── temperature resampling (α = 0.5): every language keeps
+    //    sqrt(n_min/n_l) of its docs — the majority language is downsampled
+    //    hardest, the smallest kept whole
+    sql("q_sample_temperature",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |r AS (SELECT lang,
+         |        CAST(FLOOR(SQRT(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) * 10000) AS BIGINT) AS cap
+         |      FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE ${bucketSql("d.doc_id")} < r.cap
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Sampling.sqrtTemperatureSample(Tables.documents(s, d), "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+  )
+}

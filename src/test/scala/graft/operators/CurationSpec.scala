@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the corpus-curation wave (decontamination,
+  * repetition signals, PII scrub, incremental dedup, shard export /
+  * packing, temperature sampling). The DuckDB gate proves engine parity;
+  * these prove the operators' semantic contracts on adversarial inputs.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ── decontamination ─────────────────────────────────────────────────
+
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the quick brown fox jumps near here"), // shares 'the quick brown fox jumps'
+      (2L, "entirely different words with no overlap at all ok"),
+      (3L, "fox jumps over the lazy dog indeed a classic line")    // shares 'jumps over the lazy dog' etc
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out.forall(_.getLong(1) >= 1L))
+  }
+
+  test("decontaminate of a clean corpus is empty; short docs never match") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma")  // < shingle size: no shingles, no hit
+    ).toDF("doc_id", "text")
+    assert(Curation.decontaminate(train, eval, "doc_id", "text", 5).isEmpty)
+  }
+
+  // ── repetition signals ──────────────────────────────────────────────
+
+  test("repetitionSignals: degenerate loop text maxes both signals") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),       // all-one-token
+      (2L, "a b c d e f"),                         // all distinct
+      (3L, "x y x y x y")                          // repeated bigram
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 5 bigrams all "spam spam" -> dup frac 4/5; top token 6/6
+    assert(m(1L)._1 == 6L)
+    assert(math.abs(m(1L)._2 - 0.8) < 1e-12)
+    assert(m(1L)._3 == 1.0)
+    // doc 2: all bigrams distinct, all tokens distinct
+    assert(m(2L)._2 == 0.0)
+    assert(math.abs(m(2L)._3 - 1.0 / 6) < 1e-12)
+    // doc 3: bigrams = {x y, y x} over 5 -> 3/5 dup; top token 3/6
+    assert(math.abs(m(3L)._2 - 0.6) < 1e-12)
+    assert(m(3L)._3 == 0.5)
+  }
+
+  // ── PII scrub ───────────────────────────────────────────────────────
+
+  test("redactPii replaces emails, phones, IPs and is idempotent") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@sub.example.co.uk or call +44 20 7946 0042 from 192.168.0.1"),
+      (2L, "no pii here, just 1234 numbers and a.b ellipsis"),
+      (3L, "v1.2.3.4.5 is a version, not an ip; +12 is not a phone")
+    ).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"), TextFns.redactPii(col("text")).as("r"),
+      TextFns.emailCount(col("text")).as("e"),
+      TextFns.phoneCount(col("text")).as("p"),
+      TextFns.ipv4Count(col("text")).as("i"))
+    val rows = red.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L)._1 == "write to <EMAIL> or call <PHONE> from <IP>")
+    assert((rows(1L)._2, rows(1L)._3, rows(1L)._4) == (1L, 1L, 1L))
+    assert(rows(2L)._1.contains("1234"))          // untouched
+    assert((rows(2L)._2, rows(2L)._3, rows(2L)._4) == (0L, 0L, 0L))
+    // a 5-part dotted version over-matches its last 4 parts (documented:
+    // RE2 has no lookbehind; over-redaction is the safe direction);
+    // short +NN is not a phone
+    assert((rows(3L)._2, rows(3L)._3, rows(3L)._4) == (0L, 0L, 1L))
+    assert(rows(3L)._1 == "v1.<IP> is a version, not an ip; +12 is not a phone")
+    // idempotence: redacting redacted text changes nothing
+    val twice = red.select(col("doc_id"), TextFns.redactPii(col("r")).as("rr"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice(1L) == rows(1L)._1)
+  }
+
+  // ── incremental dedup ───────────────────────────────────────────────
+
+  test("incrementalNew admits only fingerprints absent from the corpus") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen   BEFORE"),   // same fingerprint after normalization
+      (11L, "genuinely new"),
+      (12L, "also seen"),
+      (13L, "genuinely new")    // duplicate WITHIN the batch still passes (intra-batch dedup is exactByFingerprint's job)
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L, 13L))
+  }
+
+  // ── shard export / packing ──────────────────────────────────────────
+
+  test("packBins: bins respect capacity at chunk boundaries and cover all docs") {
+    val docs = (0L until 200L).map(i => (i, 100L + (i % 7) * 50)).toDF("doc_id", "est_tokens")
+    val packed = Sampling.packBins(docs, "doc_id", "est_tokens",
+      nShards = 4, capacityTokens = 1000L)
+    assert(packed.count() == 200)
+    // bin_id is the floor of the preceding cumulative sum / capacity:
+    // within (shard, bin), the sum of tokens minus the last doc is < capacity
+    val binSums = packed.groupBy("shard_id", "bin_id")
+      .agg(sum("est_tokens").as("s"), max("est_tokens").as("m"))
+      .collect()
+    binSums.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) < 1000L,
+        s"bin overfilled beyond a straddling doc: $r")
+    }
+    // deterministic: same input -> same assignment
+    val again = Sampling.packBins(docs, "doc_id", "est_tokens", 4, 1000L)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
+  // ── temperature sampling ────────────────────────────────────────────
+
+  test("sqrtTemperatureSample keeps small strata whole-ish and shrinks large ones") {
+    val rows = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.sqrtTemperatureSample(df, "lang", "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small stratum: rate = sqrt(100/100) = 1 -> all 100 kept
+    assert(kept("small") == 100L)
+    // big stratum: rate = sqrt(100/900) = 1/3 -> ~300 of 900 (hash noise)
+    assert(kept("big") > 200L && kept("big") < 400L)
+    // deterministic
+    val again = Sampling.sqrtTemperatureSample(df, "lang", "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+}
