@@ -48,13 +48,33 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
-    println(json)
-    // belt-and-braces: r02's captured artifact lost the head of the stdout
-    // line, so the full JSON is also written where it can't be truncated
+    def fmt(v: Double): String = f"$v%.3f"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
+    // Full per-query JSON goes to a file (ADVICE r3: path configurable,
+    // not hardcoded to one checkout location).
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Paths.get(repoDir).resolve("BENCH_LATEST.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver captures only the TAIL (~2000 chars) of stdout — the r02
+    // and r03 artifacts both lost the head of the full line and parsed as
+    // null. Print a compact line that fits the capture window: slowest
+    // queries first, stop before the budget, full detail in the file.
+    val budget = 1500 // chars for the queries object; whole line < ~1800
+    val slowestFirst = results.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2
+    var omitted = 0
+    slowestFirst.foreach { case (k, v, _) =>
+      val e = s"${q(k)}:${fmt(v)}"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else omitted += 1
+    }
+    val errsCompact = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e.take(80))}" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted_fastest":$omitted,"full_per_query":"BENCH_LATEST.json","errors":$errsCompact,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -140,12 +140,20 @@ object Dedup {
       .filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
       .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs
+    val verified = pairs
       .join(candSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
+    // The verified pair set is tiny by LSH construction — materialize it
+    // eagerly (localCheckpoint truncates lineage) so the candidate shingle
+    // cache can be released NOW instead of living for the session. Callers
+    // composing pipelines (near-dup clustering, corpus curation) otherwise
+    // accumulate cached blocks per invocation.
+    val out = verified.localCheckpoint()
+    candSh.unpersist(false)
+    out
   }
 
   /** Full MinHash/LSH near-dup pipeline over (idCol, textCol):
@@ -176,7 +184,13 @@ object Dedup {
     // persisted: consumed by the candidate-id semi-join and the verify join
     val pairs = candidatePairs(lshBands(signed, idCol, "sig", bands), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyPairsExact(df, idCol, textCol, pairs, shingleSize, tau)
+    // verifyPairsExact returns an eagerly-materialized frame, so the
+    // intermediates can be released before returning (cache ownership
+    // stays inside the operator; composed pipelines don't leak blocks)
+    val out = verifyPairsExact(df, idCol, textCol, pairs, shingleSize, tau)
+    pairs.unpersist(false)
+    signed.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash over unigram token hashes via the native
@@ -248,7 +262,12 @@ object Dedup {
       .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= hammingMax)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyPairsExact(df, idCol, textCol, prefiltered, shingleSize, tau)
+    // same cache-ownership contract as minHashNearDups: the verify is
+    // eager, so intermediates are released before returning
+    val out = verifyPairsExact(df, idCol, textCol, prefiltered, shingleSize, tau)
+    prefiltered.unpersist(false)
+    sim.unpersist(false)
+    out
   }
 
   /** Connected components over verified near-dup pairs → cluster id
@@ -290,7 +309,9 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      rawEdges.collect().foreach { row =>
+      val collected = rawEdges.collect()
+      rawEdges.unpersist(false) // edges live on the driver now
+      collected.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         nodes.update(a, ()); nodes.update(b, ())
         val (ra, rb) = (find(a), find(b))
@@ -333,7 +354,14 @@ object Dedup {
       if (!converged) throw new IllegalStateException(
         s"nearDupClusters did not converge within $maxIter rounds — " +
           "component diameter exceeds the bound; raise maxIter")
-      labels
+      // labels is a tiny (id, label) frame and fully materialized by the
+      // convergence counts — pin it via localCheckpoint and release the
+      // edge caches (cache ownership stays inside the operator)
+      val out = labels.localCheckpoint()
+      labels.unpersist(false)
+      edges.unpersist(false)
+      rawEdges.unpersist(false)
+      out
     }
   }
 

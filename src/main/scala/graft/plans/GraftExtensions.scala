@@ -42,7 +42,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHash64(children(0))),
     (FunctionIdentifier("list_divider"),
       new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),
-      (children: Seq[Expression]) => ListDivider(children(0), children(1))))
+      (children: Seq[Expression]) => ListDivider(children(0), children(1))),
+    (FunctionIdentifier("lsh_bucket_array"),
+      new ExpressionInfo(classOf[LshBucketArray].getName, "lsh_bucket_array"),
+      (children: Seq[Expression]) =>
+        LshBucketArray(children(0), children(1), children(2))))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

@@ -15,8 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * table-valued expression: one input array of strings → one output row
   * per non-sentinel element, tagged with the sentinel-delimited group id
   * and the position within its group. Sentinel elements (full regex
-  * match) open a new group and are dropped, exactly like the reference's
-  * Python loop.
+  * match) open a new group and are dropped.
+  *
+  * Two deliberate divergences from the reference's Python loop: (1) the
+  * reference detects sentinels by substring containment
+  * (`'Travelcard' in i`) — this Generator requires a FULL regex match,
+  * which is strictly more expressive (containment = `'.*Travelcard.*'`);
+  * (2) the reference renumbers groups compactly (an empty group between
+  * consecutive sentinels is never yielded), while this Generator's group
+  * ids count sentinels seen, so consecutive sentinels leave group-id gaps
+  * — callers needing the reference's compact numbering can
+  * `dense_rank() OVER (ORDER BY group_id)` downstream.
   *
   * Registered as `list_divider(arr, sentinelRegex)`; used in a `select`
   * it plans as a `Generate` node like `explode`/`posexplode` — the

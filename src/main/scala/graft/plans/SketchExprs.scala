@@ -43,6 +43,38 @@ object SketchHash {
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
     (z ^ (z >>> 33)) | 1L
   }
+
+  /** First-occurrence in-place dedup of a[0, len): open-addressed linear
+    * probing over primitive longs — no autoboxing, no generics, so the
+    * call is safe from Janino-generated code (generic `HashSet<Long>` is
+    * exactly the construct Spark's own codegen avoids). Returns the
+    * deduped count; a[0, count) holds survivors in first-occurrence
+    * order. Shared by ShingleHashes' interpreted and codegen paths so the
+    * two can't diverge. */
+  final def dedupFirstOccurrence(a: Array[Long], len: Int): Int = {
+    if (len <= 1) return len
+    var cap = 8
+    while (cap < len * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var k = 0
+    var i = 0
+    while (i < len) {
+      val h = a(i)
+      var idx = mix1(h).toInt & mask
+      var isDup = false
+      var probing = true
+      while (probing) {
+        if (!used(idx)) { used(idx) = true; keys(idx) = h; probing = false }
+        else if (keys(idx) == h) { isDup = true; probing = false }
+        else idx = (idx + 1) & mask
+      }
+      if (!isDup) { a(k) = h; k += 1 }
+      i += 1
+    }
+    k
+  }
 }
 
 trait SketchInputCheck { self: UnaryExpression =>
@@ -85,9 +117,7 @@ case class ShingleHashes(child: Expression, n: Int)
     if (len < n) null
     else {
       val m = len - n + 1
-      val seen = new java.util.HashSet[java.lang.Long](m * 2)
       val out = new Array[Long](m)
-      var k = 0
       var i = 0
       while (i < m) {
         var h = 42L
@@ -96,9 +126,10 @@ case class ShingleHashes(child: Expression, n: Int)
           if (!toks.isNullAt(j)) h = XXH64.hashUTF8String(toks.getUTF8String(j), h)
           j += 1
         }
-        if (seen.add(h)) { out(k) = h; k += 1 }
+        out(i) = h
         i += 1
       }
+      val k = SketchHash.dedupFirstOccurrence(out, m)
       new GenericArrayData(if (k == m) out else java.util.Arrays.copyOf(out, k))
     }
   }
@@ -107,7 +138,6 @@ case class ShingleHashes(child: Expression, n: Int)
     nullSafeCodeGen(ctx, ev, a => {
       val len = ctx.freshName("len")
       val m = ctx.freshName("m")
-      val seen = ctx.freshName("seen")
       val out = ctx.freshName("out")
       val k = ctx.freshName("k")
       val i = ctx.freshName("i")
@@ -120,16 +150,15 @@ case class ShingleHashes(child: Expression, n: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  int $m = $len - ${n - 1};
-         |  java.util.HashSet<Long> $seen = new java.util.HashSet<Long>($m * 2);
          |  long[] $out = new long[$m];
-         |  int $k = 0;
          |  for (int $i = 0; $i < $m; $i++) {
          |    long $h = 42L;
          |    for (int $j = $i; $j < $i + $n; $j++) {
          |      if (!$a.isNullAt($j)) $h = $xxh.hashUTF8String($a.getUTF8String($j), $h);
          |    }
-         |    if ($seen.add($h)) { $out[$k] = $h; $k++; }
+         |    $out[$i] = $h;
          |  }
+         |  int $k = graft.plans.SketchHash.dedupFirstOccurrence($out, $m);
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |    $k == $m ? $out : java.util.Arrays.copyOf($out, $k));
          |}

@@ -25,6 +25,21 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stateful streams commit one state-store delta PER SHUFFLE PARTITION
+    * per micro-batch — and a stream-stream join keeps four stores per
+    * partition, so at 32 shuffle partitions a single AvailableNow batch
+    * pays 128 store commits before touching data. Stateful queries
+    * therefore run on a derived session with a smaller state-partition
+    * count (the knob a real deployment sizes to its cluster — it is
+    * fixed for the life of a checkpoint, so it's a per-query choice, not
+    * a global one). Measured at sf0.1: q_stream_join 19.8 s → ~5 s. */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    s
+  }
+
   /** The file streaming source requires a directory; the testdata ships
     * single-file tables. Stage events.parquet into a scratch dir keyed by
     * the sf dir (copy once, reuse). */
@@ -46,8 +61,9 @@ object EventsStreaming {
     * would hold all windows back: the watermark only advances between
     * batches). */
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"stream_hourly_${System.nanoTime()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
@@ -59,7 +75,7 @@ object EventsStreaming {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Sliding-window counts per event_type (SURVEY §2.11's second window
@@ -70,8 +86,9 @@ object EventsStreaming {
   def slidingCounts(spark: SparkSession, sfDir: String,
                     windowLen: String = "1 hour",
                     slide: String = "15 minutes"): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"stream_sliding_${System.nanoTime()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
@@ -83,7 +100,7 @@ object EventsStreaming {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
@@ -103,10 +120,11 @@ object EventsStreaming {
   def userSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
                    inputDir: Option[String] = None,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"stream_sessions_${System.nanoTime()}"
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = ss.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -134,7 +152,7 @@ object EventsStreaming {
     q.awaitTermination()
     // keep the latest cumulative row per user: both counters are monotone
     // nondecreasing across batches, so max == last
-    spark.table(name).groupBy("user_id")
+    ss.table(name).groupBy("user_id")
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
@@ -155,10 +173,11 @@ object EventsStreaming {
                         gapMinutes: Int = 30,
                         inputDir: Option[String] = None,
                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"stream_closed_${System.nanoTime()}"
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = ss.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -188,7 +207,7 @@ object EventsStreaming {
     val q = closed.toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Stream-stream inner join (engine-added §2.11 surface): each click
@@ -200,8 +219,9 @@ object EventsStreaming {
     * inner-join matches are final the moment they are emitted. */
   def clickPurchaseJoin(spark: SparkSession, sfDir: String,
                         withinMinutes: Int = 30): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"stream_join_${System.nanoTime()}"
-    def src = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    def src = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
@@ -217,15 +237,16 @@ object EventsStreaming {
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Cross-run dedup semantics (pipeline.py:215 as a stream): streaming
     * dropDuplicates on the event key within the watermark horizon. Returns
     * the deduplicated count per event_type. */
   def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"stream_dedup_${System.nanoTime()}"
-    val stream = spark.readStream.schema(rawSchema).parquet(stageDir(sfDir))
+    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val deduped = stream
       .withWatermark("ts", "1 hour")
@@ -234,6 +255,6 @@ object EventsStreaming {
     val q = deduped.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
   }
 }

@@ -75,6 +75,36 @@ class SketchExprsSpec extends SparkSpec {
     assert(short.isNullAt(0))
   }
 
+  test("sketch codegen COMPILES — no silent interpreted fallback") {
+    // The plan string showing WholeStageCodegen doesn't prove Janino
+    // accepted the generated code (a compile failure falls back to the
+    // interpreted path silently). Force codegen-only + no fallback so a
+    // Janino rejection fails this test instead.
+    GraftExtensions.register(spark)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq(
+          Tuple1(Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "dog")),
+          Tuple1(Seq("a", "b")))
+        .toDF("w")
+        .select(
+          call_function("shingle_hashes", col("w"), lit(5)).as("sh"))
+        .select(
+          call_function("minhash_sigs", col("sh"), lit(16)).as("sig"),
+          call_function("simhash64", col("sh")).as("sim"))
+        .collect()
+      assert(out.length === 2)
+      assert(!out(0).isNullAt(0) && !out(0).isNullAt(1))
+      assert(out(1).isNullAt(0) && out(1).isNullAt(1)) // too short to shingle
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("null elements are skipped; featureless input yields NULL") {
     val withNulls = Seq[java.lang.Long](5L, null, 9L)
     assert(sigsViaDf(withNulls, 8) === sigsViaDf(Seq[java.lang.Long](5L, 9L), 8))

