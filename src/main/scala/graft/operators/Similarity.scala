@@ -70,24 +70,27 @@ object Similarity {
   }
 
   /** (id, table, bucket) signature rows: bucket = sign-bit integer of the
-    * table's hyperplane dots. Each plane dot runs through the native
-    * fused `QuantizedDot` (float-literal plane, no per-dot intermediate
-    * arrays) — the HOF `dot` here cost ~2 array allocations × tables×bits
-    * per row. Sign of the quantized dot is the bucket bit; quantization
-    * can only flip a bit for dots within ~1e-6 of the hyperplane, which
-    * changes nothing structural (any consistent sign function is a valid
-    * LSH, identical vectors still collide everywhere, and the recall
-    * specs measure the realized hash). */
+    * table's hyperplane dots, all tables computed by ONE fused
+    * `lsh_bucket_array` expression per row (quantizes the embedding once,
+    * loops over a precomputed quantized plane matrix). The previous form
+    * carried tables×bits separate `quantized_dot` expressions (128 for
+    * near-dup), each re-quantizing the embedding — the expression forest
+    * dominated both Janino compile time and the scan. Bucket bits are
+    * arithmetically identical (`Σ floor(eᵢ·10⁶)·floor(pᵢ·10⁶) > 0`,
+    * differential spec), so candidates and measured recall are unchanged.
+    * Sign quantization can only flip a bit for dots within ~1e-6 of the
+    * hyperplane, which changes nothing structural (any consistent sign
+    * function is a valid LSH; identical vectors still collide
+    * everywhere). Null vectors (none in the corpus contract) drop out of
+    * the explode rather than hashing to bucket 0. */
   def lshBuckets(df: DataFrame, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val tableBuckets = planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val bucket = tablePlanes.map { p =>
-        val pl = lit(p.map(_.toFloat).toArray)
-        when(quantizedDot(col("embedding"), pl) > 0, 1L).otherwise(0L)
-      }.reduce((acc, b) => acc * 2 + b)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    df.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val bits = planes.head.size
+    val flat: Seq[Seq[Float]] = planes.flatten.map(_.map(_.toFloat))
+    val buckets = call_function("lsh_bucket_array",
+      col("embedding"), typedLit(flat), lit(bits))
+    df.select(col("vec_id"), posexplode(buckets).as(Seq("table", "bucket")))
   }
 
   /** ANN top-k via LSH candidates + exact re-rank. Candidates are corpus
