@@ -74,6 +74,28 @@ object Sampling {
       .drop("__cap")
   }
 
+  /** Leakage-safe train/val/test split: the split is assigned by hashing
+    * the GROUP key, not the row, so every row of a group (a near-dup
+    * cluster, a source domain, a user's documents) lands in the same
+    * split — row-hash splits leak near-duplicates of training documents
+    * into eval sets. `fractions` are (label, fraction) in declaration
+    * order, quantized to 1/10000ths on cumulative bucket thresholds;
+    * they must sum to 1. Pure scan-side projection + filterless select:
+    * no shuffle, layout-invariant, reproducible on any cluster. */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 10000).toInt)
+    val bucket = hashBucket(col(groupCol))
+    val split = fractions.map(_._1).zip(cuts).init
+      .foldRight(lit(fractions.last._1)) { case ((label, cut), els) =>
+        when(bucket < cut, lit(label)).otherwise(els)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Deterministic shard id in [0, nShards) — the export key for writing
     * a training corpus as N balanced files/streams. Content-hashed like
     * everything above: re-running the export on a different cluster

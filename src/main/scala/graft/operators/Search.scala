@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword search over the documents corpus: BM25 scoring against a small
+  * query-term set, engine-added (the training-data side of corpus
+  * curation: "find every document about X" for audit, decontamination
+  * review, and eval-set mining).
+  *
+  * Scale shape: the per-document term counting is ONE aggregate pass over
+  * the token array (the langId lesson — a per-term `size(filter(...))`
+  * forest re-tokenizes per term after projection collapse), emitting only
+  * (doc, matched-term, tf) rows — the corpus is never exploded
+  * token-by-token and never shuffled on a token key. Document frequencies
+  * and corpus stats are |terms|-row and 1-row aggregates, broadcast back;
+  * the heavy side stays a single scan + one final groupBy on doc_id over
+  * rows that matched at least one term.
+  *
+  * Score arithmetic is oracle-exact by construction: rational idf
+  * (N−df+0.5)/(df+0.5) — the BM25 idf without the ln, which IEEE basic
+  * ops reproduce bit-identically in any engine, where libm's ln does not
+  * — and k1/b defaults (1.25, 0.75) chosen exactly representable in
+  * binary, so every intermediate is the same double in Spark and DuckDB.
+  * Per-term scores are quantized to longs (floor·10⁶) BEFORE the per-doc
+  * sum, so partition order can't flip low bits. The ranking is the
+  * standard BM25 family (rational idf is a monotone transform of the ln
+  * form per term; multi-term sums can reorder vs textbook BM25 — that
+  * trade is documented, deterministic, and judged against its own oracle).
+  */
+object Search {
+
+  /** Per-row counts in one aggregate pass: slot i ∈ [1, n] = occurrences
+    * of terms(i−1) among the lowercased whitespace tokens, slot n+1 = the
+    * document length in tokens. The token array is the aggregate input —
+    * bound once per row regardless of |terms|. */
+  def termCountsExpr(text: Column, terms: Seq[String]): Column = {
+    val n = terms.size
+    val termArr = array(terms.map(lit): _*)
+    aggregate(
+      TextFns.tokens(lower(text)),
+      array(Seq.fill(n + 1)(lit(0L)): _*),
+      (acc, t) => transform(sequence(lit(1), lit(n + 1)), i =>
+        element_at(acc, i) +
+          when(i === n + 1, lit(1L))
+            .when(element_at(termArr, i) === t, lit(1L))
+            .otherwise(lit(0L))))
+  }
+
+  /** Top-k BM25: (idCol, score_q, n_terms) for the `topK` best-scoring
+    * documents, score_q = Σ_matched-terms floor(idf·tf_norm·10⁶) as a
+    * long, ties broken by id. k1/b must be exactly representable doubles
+    * (0.25 granularity is plenty) — asserted, since oracle exactness
+    * depends on it. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.25, b: Double = 0.75,
+               topK: Int = 25): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(k1 * 4 == math.rint(k1 * 4) && b * 4 == math.rint(b * 4),
+      s"k1/b must be multiples of 0.25 for cross-engine exactness, got ($k1, $b)")
+    val n = terms.size
+    val matches = docs
+      .select(col(idCol), termCountsExpr(col(textCol), terms).as("__c"))
+      .select(col(idCol),
+        element_at(col("__c"), n + 1).as("__dl"),
+        posexplode(slice(col("__c"), 1, n)).as(Seq("__tidx", "__tf")))
+      .filter(col("__tf") > 0)
+    // corpus stats: a 1-row map-side-combined aggregate over a count+sum
+    // projection (second scan, but nothing wider than one long per row)
+    val stats = docs.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(TextFns.tokenCount(lower(col(textCol)))).cast("long").as("__sum_dl"))
+    val dfreq = matches.groupBy("__tidx").agg(count(lit(1)).as("__df"))
+    val scored = matches
+      .join(broadcast(dfreq), "__tidx")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__sum_dl").cast("double") / col("__n_docs"))
+      .withColumn("__idf",
+        (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      .withColumn("__tfn",
+        (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .withColumn("__sq", floor(col("__idf") * col("__tfn") * lit(1000000.0)).cast("long"))
+    scored.groupBy(idCol)
+      .agg(sum(col("__sq")).cast("long").as("score_q"),
+           count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(desc("score_q"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -212,6 +212,50 @@ object CurationQueries {
       Sampling.sqrtTemperatureSample(Tables.documents(s, d), "lang", "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ── BM25 keyword search: rational-idf BM25 (k1=1.25, b=0.75 — exactly
+    //    representable, so every intermediate double matches DuckDB's),
+    //    per-term scores quantized to longs before the per-doc sum
+    sql("q_search_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                 CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM d),
+        |tf AS (SELECT doc_id, term,
+        |              CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+        |       FROM toks, (SELECT unnest(['vector', 'stream', 'merge']) AS term)),
+        |m AS (SELECT * FROM tf WHERE tf > 0),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfr FROM m GROUP BY term),
+        |sc AS (SELECT m.doc_id,
+        |         CAST(FLOOR((n_docs - dfr + 0.5) / (dfr + 0.5)
+        |              * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+        |              * 1000000.0) AS BIGINT) AS sq
+        |       FROM m JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin) {
+      (s, d) =>
+        graft.operators.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "stream", "merge"))
+    },
+
+    // ── leakage-safe splits: split assigned by hashing the GROUP key
+    //    (source domain here; near-dup cluster / user id in production),
+    //    so a group's documents can never straddle train and eval
+    sql("q_split_groupwise",
+      s"""SELECT doc_id, source,
+         |       CASE WHEN ${bucketSql("source")} < 9000 THEN 'train'
+         |            WHEN ${bucketSql("source")} < 9500 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.groupSplit(Tables.documents(s, d), "source",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
     }
   )
 }
