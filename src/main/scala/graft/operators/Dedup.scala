@@ -44,6 +44,63 @@ object Dedup {
       .select(col(idCol), col("fp"))
   }
 
+  /** One-time (or incrementally maintained) MinHash/LSH index of a
+    * corpus, persisted as two parquet tables under `dir`:
+    * `bands` = (idCol, band, band_hash) — the LSH candidate-lookup side —
+    * and `shingles` = (idCol, sh: array<long>) — the exact-verify side.
+    * This is what makes near-dup dedup INCREMENTAL at 100 TB: the corpus
+    * text is shingled and signed exactly once; every subsequent batch
+    * joins these compact tables (≤ a few hundred bytes/doc) instead of
+    * re-reading documents. In production both tables would be bucketed
+    * on their join keys (band_hash, idCol) so the daily lookup shuffles
+    * only the batch side. */
+  def writeMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int, bands: Int,
+                        dir: String): Unit = {
+    lshBands(minHashSignatures(corpus, idCol, textCol, shingleSize, numHashes),
+        idCol, "sig", bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    corpus.filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
+      .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Near-dups of a NEW batch against an indexed corpus (the
+    * [[minHashNearDups]] semantics, without touching corpus text): sign
+    * and band the batch, equi-join band hashes against the index's
+    * `bands` table for candidates, exact-verify against the index's
+    * precomputed shingle sets. Index params (shingleSize, numHashes,
+    * bands) must match [[writeMinHashIndex]]'s. Output:
+    * (id_new, id_corpus, jac), jac ≥ tau exact.
+    *
+    * Daily-batch cost is O(|batch| signatures + matched candidates); the
+    * corpus contributes only index scans. After admission, append the
+    * batch's own band/shingle rows to the index and it stays current. */
+  def incrementalNearDups(batch: DataFrame, indexDir: String,
+                          idCol: String, textCol: String,
+                          shingleSize: Int, numHashes: Int, bands: Int,
+                          tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val bNew = lshBands(
+        minHashSignatures(batch, idCol, textCol, shingleSize, numHashes),
+        idCol, "sig", bands)
+      .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col(idCol).as("id_corpus"), col("band"), col("band_hash"))
+    val cand = bNew.join(idxBands, Seq("band", "band_hash"))
+      .select("id_new", "id_corpus").distinct()
+    val shNew = batch
+      .filter(size(TextFns.tokens(col(textCol))) >= lit(shingleSize))
+      .select(col(idCol).as("id_new"),
+        shingleHashes(col(textCol), shingleSize).as("sh_new"))
+    val shIdx = spark.read.parquet(s"$indexDir/shingles")
+      .select(col(idCol).as("id_corpus"), col("sh").as("sh_corpus"))
+    cand.join(shNew, "id_new").join(shIdx, "id_corpus")
+      .withColumn("jac", jaccard(col("sh_new"), col("sh_corpus")))
+      .filter(col("jac") >= tau)
+      .select("id_new", "id_corpus", "jac")
+  }
+
   /** Hashed n-token shingles as ONE array<long> per row via the native
     * [[graft.plans.ShingleHashes]] expression: each window folds its
     * tokens through XXH64 in a fused loop — no per-shingle string

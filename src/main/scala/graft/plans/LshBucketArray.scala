@@ -34,6 +34,7 @@ import org.apache.spark.sql.types._
 case class LshBucketArray(emb: Expression, planes: Expression, bitsExpr: Expression)
     extends Expression {
 
+  override def prettyName: String = "lsh_bucket_array"
   override def children: Seq[Expression] = Seq(emb, planes, bitsExpr)
   override def nullable: Boolean = emb.nullable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -152,6 +152,34 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ── incremental NEAR-dup admission: the corpus is LSH-indexed once
+    //    (band hashes + shingle sets as parquet); the new batch joins the
+    //    index, never the corpus text. Oracle = brute-force cross Jaccard,
+    //    exact because candidates are exact-verified (same recall argument
+    //    as q_dedup_minhash: true pairs here are planted near-copies)
+    sql("q_dedup_incremental_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingle5Sql AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 5),
+         |p AS (
+         |  SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
+         |         CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+         |           / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jac
+         |  FROM sh b JOIN sh c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+         |SELECT id_new, id_corpus, jac FROM p WHERE jac >= 0.5
+         |ORDER BY id_new, id_corpus""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/minhash_index_$sfKey"
+      Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", shingleSize = 5, numHashes = 64, bands = 16, idxDir)
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 10 === 0), idxDir,
+          "doc_id", "text", shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+        .orderBy("id_new", "id_corpus")
+    },
+
     // ── deterministic shard export: content-hash shard id, write as
     //    shard-partitioned parquet (a real sink), read back and account —
     //    per-shard doc and byte totals prove the export is balanced and

@@ -70,6 +70,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH near-dup equals brute-force cross Jaccard on the index split") {
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.writeMinHashIndex(corpus, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 16, idxDir)
+    val inc = Dedup.incrementalNearDups(batch, idxDir, "doc_id", "text",
+        shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force ground truth over the same hashed shingle sets
+    def sh(df: org.apache.spark.sql.DataFrame, id: String, s: String) =
+      df.filter(size(graft.functions.TextFns.tokens(col("text"))) >= 5)
+        .select(col("doc_id").as(id), Dedup.shingleHashes(col("text"), 5).as(s))
+    val brute = sh(batch, "id_new", "a").crossJoin(sh(corpus, "id_corpus", "b"))
+      .withColumn("jac", Dedup.jaccard(col("a"), col("b")))
+      .filter(col("jac") >= 0.5)
+      .select("id_new", "id_corpus", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === brute)
+    assert(inc.nonEmpty, "fixture should contain planted cross-split near-dups")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("simhash values are stable and bucket near-identical docs together") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

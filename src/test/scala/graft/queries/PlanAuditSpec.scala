@@ -77,6 +77,30 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 1 selected partition, got ${scans.map(_.selectedPartitions.partitionCount).mkString(",")}")
   }
 
+  test("lsh bucketing is one fused expression, not a quantized_dot forest") {
+    val planes = graft.operators.Similarity.hyperplanes(64, 8, 16, seed = 7L)
+    val plan = graft.operators.Similarity.lshBuckets(
+        Tables.embeddings(spark, sfDir), planes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("quantized_dot"), plan.take(2000))
+    assert("lsh_bucket_array".r.findAllIn(plan).size === 1, plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("q_search_bm25: corpus never exploded by token; stats and df broadcast") {
+    val plan = planOf("q_search_bm25")
+    // the only Generate is the posexplode of the |terms|+1 counts array —
+    // assert nothing explodes the raw token split
+    val generates = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.nonEmpty && generates.forall(!_.contains("split")),
+      generates.mkString("\n"))
+    // dfreq equi-join broadcasts; the 1-row stats frame joins as a
+    // broadcast nested loop — the matched-docs side is never re-shuffled
+    // for either
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("minhash signatures are a pure scan-side projection: no shuffle at all") {
     // the old formulation exploded shingles and aggregated 64 mins — a
     // full pre-banding shuffle; the native path must have no exchange and
