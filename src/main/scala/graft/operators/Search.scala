@@ -48,6 +48,79 @@ object Search {
             .otherwise(lit(0L))))
   }
 
+  /** Positional inverted index, persisted as parquet postings
+    * (term, idCol, positions: array<int> sorted ascending): the classic
+    * search-index shape, built once over the corpus like
+    * [[graft.operators.Dedup.writeMinHashIndex]]'s near-dup tables.
+    * One explode + one (term, doc) groupBy — map-side combine collapses
+    * within-doc repeats before the shuffle. Postings are written sorted
+    * by term so parquet row-group stats prune term-filtered scans. */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                         dir: String): Unit =
+    docs.select(col(idCol),
+        posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+
+  /** Exact phrase match from the index — documents never re-scanned: each
+    * phrase token reads its (term-filtered, scan-pruned) posting list,
+    * lists meet on idCol, and an occurrence is a position p where token i
+    * sits at p+i for all i — computed by intersecting the i-shifted
+    * position arrays. |phrase|−1 equi-joins on idCol over posting rows of
+    * just the phrase's terms; the corpus never shuffles. Output:
+    * (idCol, n_matches > 0). */
+  def phraseSearch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one token")
+    val idx = spark.read.parquet(s"$indexDir/postings")
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      idx.filter(col("term") === lit(t.toLowerCase))
+        .select(col(idCol),
+          (if (i == 0) col("positions")
+           else transform(col("positions"), p => p - i)).as(s"__p$i"))
+    }
+    val joined = parts.reduceLeft((a, b) => a.join(b, idCol))
+    val inter = (1 until phrase.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(acc, col(s"__p$i"))
+    }
+    joined.select(col(idCol), size(inter).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** Per-document top-k characteristic terms by TF-IDF — the corpus
+    * analyst's "what is this document about" op (keyword extraction,
+    * cluster labeling, eval-set topic audits).
+    *
+    * Scale shape: explode to (doc, term) and count — map-side combine
+    * absorbs the per-doc repetition before the one (doc, term) shuffle;
+    * document frequencies reduce the same frame by term. The final
+    * per-doc top-k is the rank-limit window idiom, so it rides Spark's
+    * WindowGroupLimit partial pruning (or this engine's TopKPerKeyExec
+    * when registered) instead of sorting whole documents' vocabularies.
+    * Scoring is rational idf (N+1)/(df+1) times tf, quantized to a long —
+    * division-only IEEE arithmetic, so the DuckDB oracle reproduces it
+    * bit-exactly (same trade as [[bm25TopK]], documented there). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score_q"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_q",
+        floor(col("__tf") * ((col("__n_docs") + lit(1.0)) / (col("__df") + lit(1.0)))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score_q"))
+  }
+
   /** Top-k BM25: (idCol, score_q, n_terms) for the `topK` best-scoring
     * documents, score_q = Σ_matched-terms floor(idf·tf_norm·10⁶) as a
     * long, ties broken by id. k1/b must be exactly representable doubles

@@ -271,6 +271,50 @@ object CurationQueries {
           Seq("vector", "stream", "merge"))
     },
 
+    // ── per-doc top-5 characteristic terms (TF-IDF, rational idf): the
+    //    rank-limit idiom — rides WindowGroupLimit/TopKPerKey pruning
+    sql("q_tfidf_topterms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tfv
+        |        FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfv FROM tfc GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tfc.doc_id, tfc.term,
+        |         CAST(FLOOR(tfv * ((n_docs + 1.0) / (dfv + 1.0)) * 1000000.0) AS BIGINT) AS score_q
+        |  FROM tfc JOIN dfr USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score_q DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_q
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      graft.operators.Search.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    },
+
+    // ── exact phrase search from a persisted positional inverted index:
+    //    postings join postings (term-pruned scans), documents never
+    //    re-read; a match is a position where token i sits at p+i ∀i
+    sql("q_search_phrase",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(range(1, len(w)),
+        |                    i -> w[i:i+1] = ['table', 'hash'])) AS BIGINT) AS n_matches
+        |  FROM w)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/inverted_index_$sfKey"
+      graft.operators.Search.writeInvertedIndex(
+        Tables.documents(s, d), "doc_id", "text", idxDir)
+      graft.operators.Search.phraseSearch(s, idxDir, "doc_id", Seq("table", "hash"))
+        .orderBy("doc_id")
+    },
+
     // ── leakage-safe splits: split assigned by hashing the GROUP key
     //    (source domain here; near-dup cluster / user id in production),
     //    so a group's documents can never straddle train and eval

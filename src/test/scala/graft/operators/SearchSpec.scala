@@ -58,6 +58,39 @@ class SearchSpec extends SparkSpec {
     assert(out.head._2 > out(1)._2)
   }
 
+  test("tfidfTopTerms: rare terms rank above ubiquitous ones, k bounds per doc") {
+    // 'the' appears in every doc (df=3 -> idf=1); each doc's unique term
+    // has df=1 -> idf=2: unique terms must rank first despite equal tf
+    val docs = Seq(
+      (1L, "the aardvark the"),
+      (2L, "the banana"),
+      (3L, "the cherry the cherry")).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "aardvark", 2L -> "banana", 3L -> "cherry"))
+    val all = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    assert(all.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("phraseSearch: counts exact occurrences incl. overlaps from the index") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // 'a b a' occurs at 0 and 2 (overlapping)
+      (2L, "a b c"),          // no 'a b a'
+      (3L, "x a b a y"),      // one occurrence
+      (4L, "A B A")           // case-folded -> one occurrence
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inv_idx").toString
+    Search.writeInvertedIndex(docs, "doc_id", "text", dir)
+    val hits = Search.phraseSearch(spark, dir, "doc_id", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    // single-token phrase degenerates to term lookup with tf
+    val one = Search.phraseSearch(spark, dir, "doc_id", Seq("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("groupSplit: groups never straddle splits and assignment is layout-invariant") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = Sampling.groupSplit(docs, "source",
