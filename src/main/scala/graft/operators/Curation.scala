@@ -78,4 +78,43 @@ object Curation {
         (col("top_c").cast("double") / col("tot")).as("top_token_frac"))
     perDoc.join(mode, idCol)
   }
+
+  /** Corpus-level heavy-hitter tokens: every token with frequency
+    * > 1/thetaDen of all tokens, EXACTLY — via the two-pass
+    * candidates-then-verify shape. Pass 1 runs the
+    * [[graft.functions.MisraGriesAggregator]] sketch (shuffles `capacity`
+    * entries per partition, never the vocabulary); its survivors are a
+    * guaranteed superset of the θ-heavy items when
+    * capacity + 1 ≥ thetaDen (enforced). Pass 2 exact-counts only the
+    * ≤ capacity candidates (scan + tiny groupBy) and applies the
+    * threshold as an integer compare (cnt·thetaDen > n — no float
+    * boundary). The candidate set is driver-collected by construction
+    * (bounded by `capacity`, like the cluster-count boundary in
+    * nearDupClusters). Output: (term, cnt, frac), frac = one exact IEEE
+    * division. */
+  def heavyHitterTokens(docs: DataFrame, textCol: String,
+                        thetaDen: Int, capacity: Int): DataFrame = {
+    require(capacity + 1 >= thetaDen,
+      s"superset guarantee needs capacity+1 >= thetaDen, got ($capacity, $thetaDen)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(TextFns.tokens(lower(col(textCol)))).as("term"))
+    val mg = new graft.functions.MisraGriesAggregator(capacity)
+    val candidates = toks.as[String].select(mg.toColumn).head().keys.toSeq
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "term string, cnt bigint, frac double"))
+    if (candidates.isEmpty) empty
+    else {
+      val total = toks.agg(count(lit(1)).as("__n"))
+      toks.filter(col("term").isin(candidates: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * thetaDen > col("__n"))
+        .select(col("term"), col("cnt"),
+          (col("cnt").cast("double") / col("__n")).as("frac"))
+    }
+  }
 }

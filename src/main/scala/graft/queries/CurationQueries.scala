@@ -271,6 +271,21 @@ object CurationQueries {
           Seq("vector", "stream", "merge"))
     },
 
+    // ── corpus heavy-hitter tokens, exact via Misra-Gries candidates +
+    //    second-pass verify (θ = 2%, capacity 63 ⇒ guaranteed superset)
+    sql("q_text_heavyhitters",
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |SELECT term, cnt, CAST(cnt AS DOUBLE) / n AS frac
+        |FROM c CROSS JOIN tot WHERE cnt * 50 > n ORDER BY term""".stripMargin) { (s, d) =>
+      graft.operators.Curation.heavyHitterTokens(
+          Tables.documents(s, d), "text", thetaDen = 50, capacity = 63)
+        .orderBy("term")
+    },
+
     // ── per-doc top-5 characteristic terms (TF-IDF, rational idf): the
     //    rank-limit idiom — rides WindowGroupLimit/TopKPerKey pruning
     sql("q_tfidf_topterms",
