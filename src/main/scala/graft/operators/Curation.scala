@@ -79,6 +79,33 @@ object Curation {
     perDoc.join(mode, idCol)
   }
 
+  /** Sliding-window document chunking — long documents cut into
+    * `chunkTokens`-token windows every `strideTokens` tokens (overlap =
+    * chunk − stride), the unit a training pipeline feeds a
+    * fixed-context-length model and a RAG index stores. Output:
+    * (idCol, chunk_id, chunk_text, n_tokens); the tail chunk may be
+    * short; docs shorter than one chunk yield exactly one chunk.
+    *
+    * Shape: pure per-row explode — no shuffle, no state; 100 TB scales
+    * linearly. The token array is materialized as its own projection
+    * column and the window lambda slices THAT attribute: handing the
+    * lambda the raw `split(...)` tree would re-tokenize per chunk after
+    * projection collapse (the rollingFingerprint lesson — multi-use
+    * aliases are exempt from collapse, single-use trees are not). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"need 1 <= stride <= chunk, got ($chunkTokens, $strideTokens)")
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")), lit(strideTokens)),
+          s => slice(col("__w"), s, lit(chunkTokens)))).as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).cast("long").as("n_tokens"))
+  }
+
   /** Corpus-level heavy-hitter tokens: every token with frequency
     * > 1/thetaDen of all tokens, EXACTLY — via the two-pass
     * candidates-then-verify shape. Pass 1 runs the

@@ -271,6 +271,23 @@ object CurationQueries {
           Seq("vector", "stream", "merge"))
     },
 
+    // ── sliding-window chunking: 16-token windows every 8 tokens — the
+    //    fixed-context unit a trainer consumes; tail chunks short, short
+    //    docs yield one chunk. Pure explode, no shuffle.
+    sql("q_chunk_sliding",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 8)) AS s FROM w)
+        |SELECT doc_id, CAST((s - 1) / 8 AS BIGINT) AS chunk_id,
+        |       array_to_string(w[s:s+15], ' ') AS chunk_text,
+        |       CAST(len(w[s:s+15]) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      graft.operators.Curation.chunkDocuments(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 16, strideTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ── corpus heavy-hitter tokens, exact via Misra-Gries candidates +
     //    second-pass verify (θ = 2%, capacity 63 ⇒ guaranteed superset)
     sql("q_text_heavyhitters",

@@ -144,4 +144,27 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("chunkDocuments: windows, overlap, short tail, single-chunk short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // shorter than one chunk
+      (3L, "x")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10", "t9 t10"))
+    assert(d1.map(_._4).toSeq === Seq(4L, 4L, 4L, 4L, 2L))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "x", 1L)))
+    // tokenization happens once per row: the materialized __w projection
+    // must survive collapse (a split( per chunk would show up twice+)
+    val plan = Curation.chunkDocuments(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert("split\\(".r.findAllIn(plan).size <= 1, plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
