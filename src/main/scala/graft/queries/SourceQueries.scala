@@ -131,6 +131,22 @@ object SourceQueries {
       EventsStreaming.streamingDedupCounts(s, d).orderBy("event_type")
     },
 
+    // ── CDC-style streaming snapshot: foreachBatch merges latest event
+    //    per user into a keyed parquet snapshot (staged-swap upsert);
+    //    latest-wins by (event time at micros, event_id), so the final
+    //    state equals the batch window regardless of batch split
+    sql("q_stream_cdc_upsert",
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      EventsStreaming.cdcUserSnapshot(s, d).orderBy("user_id")
+    },
+
     // ── ST sliding-window agg (SURVEY §2.11's second window form): 1-hour
     //    windows advancing every 15 min — each event lands in 4 overlapping
     //    windows. Oracle replicates by fanning each event to

@@ -257,4 +257,60 @@ object EventsStreaming {
     q.awaitTermination()
     ss.table(name)
   }
+
+  /** CDC-style streaming snapshot maintenance: every micro-batch MERGEs
+    * "latest event per user" into a keyed parquet snapshot via
+    * `foreachBatch` + the staged-swap upsert
+    * ([[graft.sources.Sources.upsertParquet]]) — the streaming side of
+    * the reference's warehouse-maintenance split (drop-and-reload vs
+    * append, pipeline.py:59/88), and the standard lakehouse CDC shape.
+    *
+    * Latest-wins is decided by (event time, event_id) — NOT batch
+    * arrival order — so the snapshot is correct under any file/batch
+    * split (the multi-batch spec drives maxFilesPerTrigger=1 over
+    * time-split files). Event time is compared at micros (`ts div
+    * 1000`): the nanos tail is below the oracle engine's resolution, so
+    * tie-breaks must not depend on it. Returns the final snapshot:
+    * (user_id, last_event_id, last_type, last_value). */
+  def cdcUserSnapshot(spark: SparkSession, sfDir: String,
+                      maxFilesPerTrigger: Option[Int] = None,
+                      stagedDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = streamSession(spark)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val snap = s"/root/repo/target/tmp/stream/cdc_snap_$key"
+    val ckpt = s"$snap.ckpt"
+    Seq(snap, ckpt, snap + ".old", snap + ".staging").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def lastPerUser(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val reader = ss.readStream.schema(rawSchema)
+    val src = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(stagedDir.getOrElse(stageDir(sfDir)))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val current =
+          if (new java.io.File(snap, "_SUCCESS").exists()) bs.read.parquet(snap)
+          else bs.createDataFrame(bs.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        // winners across snapshot ∪ batch — correct even if a later batch
+        // carries earlier event times; upsertParquet stages then swaps
+        graft.sources.Sources.upsertParquet(bs, snap,
+          lastPerUser(current.unionByName(batch)), Seq("user_id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(snap)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
 }

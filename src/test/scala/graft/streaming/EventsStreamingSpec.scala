@@ -63,6 +63,42 @@ class EventsStreamingSpec extends SparkSpec {
     assert(multiClosed === singleClosed, "flatMapGroupsWithState closed sessions differ across batching")
   }
 
+  test("CDC snapshot equals the batch last-event window under adverse batch order") {
+    // REVERSE-time file split: the final micro-batch carries the EARLIEST
+    // events — blind batch-arrival overwrite would roll the snapshot back;
+    // latest-wins by (event time, event_id) must not
+    val dir = new java.io.File("/root/repo/target/tmp/stream/cdc_reverse_case")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val third = events.length / 3
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    Seq(events.drop(2 * third),              // latest third FIRST
+        events.slice(third, 2 * third),
+        events.take(third)).zipWithIndex.foreach { case (chunk, i) =>
+      val rows = chunk.map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime * 1000000L,
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet").setLastModified(1000000L * (i + 1))
+    }
+    val multi = EventsStreaming.cdcUserSnapshot(spark, sfDir,
+        maxFilesPerTrigger = Some(1), stagedDir = Some(flat.toString))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(multi === batch, "CDC snapshot diverged from the batch last-event window")
+  }
+
   test("streaming dedup drops duplicate event ids across batches") {
     // duplicate-bearing corpus: the same events parquet staged twice makes
     // every event_id arrive twice; dropDuplicates must collapse them
