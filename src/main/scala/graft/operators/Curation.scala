@@ -93,17 +93,21 @@ object Curation {
     * projection collapse (the rollingFingerprint lesson — multi-use
     * aliases are exempt from collapse, single-use trees are not). */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+                     chunkTokens: Int, strideTokens: Int,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
       s"need 1 <= stride <= chunk, got ($chunkTokens, $strideTokens)")
-    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__w"))
-      .select(col(idCol),
+    // doc-level metadata (source, lang, …) rides the explode via carryCols
+    // — at scale that beats re-joining chunks back to a doc dimension
+    val carried = carryCols.map(col)
+    docs.select(col(idCol) +: carried :+ TextFns.tokens(col(textCol)).as("__w"): _*)
+      .select(col(idCol) +: carried :+
         posexplode(transform(
           sequence(lit(1), size(col("__w")), lit(strideTokens)),
-          s => slice(col("__w"), s, lit(chunkTokens)))).as(Seq("chunk_id", "__c")))
-      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
-        array_join(col("__c"), " ").as("chunk_text"),
-        size(col("__c")).cast("long").as("n_tokens"))
+          s => slice(col("__w"), s, lit(chunkTokens)))).as(Seq("chunk_id", "__c")): _*)
+      .select(col(idCol) +: carried :+ col("chunk_id").cast("long").as("chunk_id") :+
+        array_join(col("__c"), " ").as("chunk_text") :+
+        size(col("__c")).cast("long").as("n_tokens"): _*)
   }
 
   /** Corpus-level heavy-hitter tokens: every token with frequency

@@ -104,6 +104,44 @@ object CompositeQueries {
         .orderBy("n_name")
     },
 
+    // ── the RAG-index-build flagship: chunk → fingerprint-dedup chunks
+    //    (keep-first by (doc_id, chunk_id)) → per-source index accounting.
+    //    Chunking is a pure explode, the dedup is one shuffle on the
+    //    16-byte digest riding WindowGroupLimit pruning, the accounting a
+    //    map-side-combined aggregate — the whole index build is two
+    //    shuffles at any corpus size. Stages are oracled individually
+    //    (q_chunk_sliding / q_dedup_exact); this gates the composition.
+    sql("q04_rag_chunk_index",
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, unnest(range(1, len(w) + 1, 8)) AS s, w FROM w),
+        |ch AS (SELECT doc_id, source, CAST((s - 1) / 8 AS BIGINT) AS chunk_id,
+        |              array_to_string(w[s:s+15], ' ') AS chunk_text,
+        |              CAST(len(w[s:s+15]) AS BIGINT) AS n_tokens FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+        |                ORDER BY doc_id, chunk_id) AS rn FROM ch)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Curation
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 16, strideTokens = 8, carryCols = Seq("source"))
+      val w = Window.partitionBy(md5(col("chunk_text").cast("binary")))
+        .orderBy(col("doc_id"), col("chunk_id"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L)).cast("long")
+            .as("kept_tokens"))
+        .orderBy("source")
+    },
+
     // ── the LLM-corpus-curation flagship: the engine-added pipeline ops
     //    composed end-to-end the way a training-data run would chain them —
     //    MinHash near-dup clusters → drop non-keepers → quality gate
