@@ -9,7 +9,33 @@ import org.apache.spark.sql.functions._
   * joins — engine-added capabilities beyond reference parity. */
 object ScaleQueries {
 
+  /** DuckDB bit-spread mirror of Layout.spread16 (parenthesized —
+    * << binds looser than & in some dialects). */
+  private def spreadSql(e: String): String = {
+    val s0 = s"($e & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // ── Z-order (Morton) clustering code: integer bit-interleave of two
+    //    16-bit coordinates — the multi-dim layout key zorderWrite sorts
+    //    by so row-group stats prune box filters on BOTH columns
+    sql("q_zorder_morton", {
+      val x = spreadSql("(user_id % 65536)")
+      val y = spreadSql("(event_id % 65536)")
+      s"""SELECT event_id, CAST(($x | ($y << 1)) AS BIGINT) AS morton
+         |FROM events ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Layout.mortonCode(
+        col("user_id") % 65536, col("event_id") % 65536) match { case m =>
+          Tables.events(s, d).select(col("event_id"), m.as("morton"))
+            .orderBy("event_id")
+      }
+    },
 
     // ── A2 approximate variants: the typed HLL Aggregator (deterministic
     //    estimate, order-independent merge) next to the built-in HLL++ and

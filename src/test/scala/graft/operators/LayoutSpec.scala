@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonCode matches a bit-by-bit reference interleave") {
+    def ref(x: Int, y: Int): Long = {
+      var out = 0L
+      (0 until 16).foreach { i =>
+        out |= ((x >> i) & 1).toLong << (2 * i)
+        out |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      out
+    }
+    val rng = new scala.util.Random(11)
+    val pts = Seq.fill(200)((rng.nextInt(65536), rng.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2))
+    val out = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.mortonCode($"x", $"y").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(out((x, y)) === ref(x, y), s"($x, $y)")
+    }
+  }
+
+  test("zorderWrite: files own disjoint morton ranges, content round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type")
+    Layout.zorderWrite(events, "user_id", "event_id", dir, numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === events.count())
+    // per-file [min, max] morton intervals must not overlap — the property
+    // that lets row-group stats prune two-sided box filters
+    val ranges = back
+      .withColumn("z", Layout.mortonCode($"user_id" % 65536, $"event_id" % 65536))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
