@@ -42,4 +42,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__cell")
   }
+
+  /** Interval-overlap join: all (left, right) pairs whose closed intervals
+    * intersect (`loA <= hiB AND loB <= hiA`). Same grid trick as
+    * [[pointInInterval]], generalized to both sides being intervals: each
+    * interval explodes onto the cells it covers, the join is an equi-join
+    * on the cell id, and a pair — which now meets in EVERY cell the
+    * overlap region covers — is kept only in the cell that contains the
+    * overlap's left edge (`max(lo_a, lo_b)`), so it is emitted exactly
+    * once with no distinct pass.
+    *
+    * Column names must already be disjoint between the two inputs. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loA: String, hiA: String, loB: String, hiB: String,
+                      width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val l = left.withColumn("__cell",
+      explode(sequence(
+        floor(col(loA) / width).cast("long"),
+        floor(col(hiA) / width).cast("long"))))
+    val r = right.withColumn("__cell",
+      explode(sequence(
+        floor(col(loB) / width).cast("long"),
+        floor(col(hiB) / width).cast("long"))))
+    l.join(r, Seq("__cell"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(floor(greatest(col(loA), col(loB)) / width).cast("long") === col("__cell"))
+      .drop("__cell")
+  }
 }

@@ -123,4 +123,59 @@ object Sampling {
           .cast("long"))
       .drop("__cum")
   }
+
+  /** Token-budget mixture: per stratum (language, source domain, quality
+    * tier), keep documents — in the deterministic content-hash order
+    * (md5(id), id) — while the stratum's running `sizeCol` total stays
+    * within its budget from `targets`. This is the data-mixing step of a
+    * training pipeline ("this run: 30% web, 30% code, 40% books, by
+    * tokens"), made reproducible: the selected set is a pure function of
+    * content, not of cluster layout or scan order.
+    *
+    * The naive realization is one running-sum window per stratum — at
+    * 100 TB a single stratum ("web") can be most of the corpus funneled
+    * into ONE window partition. This operator goes two-pass instead:
+    *
+    *  1. per (stratum, hash-bucket) size sums — an aggregate shuffle whose
+    *     output is |strata|·`buckets` rows, collected to the driver and
+    *     turned into per-bucket PREFIX sums (the only driver step, on a
+    *     bounded aggregate, never on data rows);
+    *  2. each row's exact running total = its bucket's prefix + a
+    *     within-(stratum, bucket) running window — `buckets`-way parallel
+    *     per stratum, so no single task ever sees a whole stratum.
+    *
+    * Selection order is equivalently ORDER BY (bucket, md5(id), id) —
+    * what the DuckDB oracle replays as one window. Rows whose stratum has
+    * no target are dropped. A row that would cross its budget is cut
+    * (keep-while `cum <= target`). */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, idCol: String,
+                     sizeCol: String, targets: Map[String, Long],
+                     buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.withColumn("__bucket", hashBucket(col(idCol), buckets))
+    val perBucket = bucketed
+      .filter(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol).as("__stratum"), col("__bucket"))
+      .agg(sum(col(sizeCol).cast("long")).as("__sz"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val prefixes = perBucket.groupBy(_._1).toSeq.flatMap { case (stratum, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val prefix = sorted.map(_._3).scanLeft(0L)(_ + _)
+      sorted.map(_._2).zip(prefix).map { case (b, p) =>
+        (stratum, b, p, targets(stratum))
+      }
+    }.toDF("__stratum", "__pbucket", "__prefix", "__target")
+    val w = Window.partitionBy(col(stratumCol), col("__bucket"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(prefixes),
+        col(stratumCol) === col("__stratum") && col("__bucket") === col("__pbucket"))
+      .withColumn("__cum", col("__prefix") + sum(col(sizeCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__target"))
+      .withColumn("cum_size", col("__cum"))
+      .drop("__stratum", "__bucket", "__pbucket", "__prefix", "__target", "__cum")
+  }
 }

@@ -74,6 +74,49 @@ object JoinQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ── interval-overlap join: order-activity windows from two disjoint
+    //    order samples, all intersecting (A, B) window pairs. Bucketized to
+    //    32-day cells, each pair emitted once (in the cell of the overlap's
+    //    left edge) — an equi-join plan; the oracle is the plain
+    //    inequality join.
+    sql("q_join_interval",
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_lo,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |           + (o_orderkey % 30) + 1 AS a_hi
+        |  FROM orders WHERE o_orderkey % 40 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_id,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS b_lo,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |           + (o_orderkey % 45) + 1 AS b_hi,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 40 = 1)
+        |SELECT a.a_id, COUNT(*) AS n_overlaps,
+        |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val epoch = lit("1970-01-01").cast("date")
+      val a = Tables.orders(s, d).filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("a_lo"),
+          (datediff(to_date(col("o_orderdate")), epoch)
+            + col("o_orderkey") % 30 + 1).cast("long").as("a_hi"))
+      val b = Tables.orders(s, d).filter(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey").as("b_id"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("b_lo"),
+          (datediff(to_date(col("o_orderdate")), epoch)
+            + col("o_orderkey") % 45 + 1).cast("long").as("b_hi"),
+          col("o_totalprice"))
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width = 32L)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy("a_id")
+    },
+
     // ── left-semi: customers that have at least one order
     sql("q_join_semi",
       """SELECT c_custkey, c_name FROM customer

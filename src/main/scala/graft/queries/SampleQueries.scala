@@ -43,6 +43,33 @@ object SampleQueries {
       Sampling.stratifiedCap(Tables.documents(s, d), Seq("lang"), "doc_id", k = 25)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ── token-budget mixture: per-language char budgets filled in
+    //    content-hash order — the training-run data-mixing step. The
+    //    engine runs the skew-free two-pass form (bucket histogram →
+    //    driver prefix → per-bucket window); the oracle replays the same
+    //    selection as ONE window ordered by (bucket, md5, id).
+    sql("q_mix_token_budget",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256,
+         |               md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_chars
+         |FROM t
+         |WHERE cum <= CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000
+         |                       WHEN 'es' THEN 8000 WHEN 'fr' THEN 6000
+         |                       WHEN 'zh' THEN 8000 END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.tokenBudgetMix(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars",
+          Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L,
+              "fr" -> 6000L, "zh" -> 8000L))
+        .select(col("doc_id"), col("lang"), col("cum_size").as("cum_chars"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -54,4 +54,48 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to an all-pairs join:\n$plan")
   }
+
+  private def ivsB = Seq(
+    (20L, 0L, 0L),     // point interval at the origin
+    (21L, 8L, 35L),    // spans two width-32 cells, overlaps 10 and 12
+    (22L, 31L, 31L),   // inside 12's cell-straddling span
+    (23L, 64L, 64L),   // touches 13's cell but not its span
+    (24L, 200L, 210L)  // overlaps nothing
+  ).toDF("jid", "jlo", "jhi")
+
+  test("interval overlap equals the naive inequality join, once per pair") {
+    val naive = ivs.crossJoin(ivsB)
+      .filter($"lo" <= $"jhi" && $"jlo" <= $"hi")
+      .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Seq(1L, 5L, 32L, 1000L).foreach { w =>
+      val got = RangeJoin.intervalOverlap(ivs, ivsB, "lo", "hi", "jlo", "jhi", w)
+        .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted === naive.sorted, s"width $w")
+      assert(got.distinct.size === got.size, s"pair emitted more than once at width $w")
+    }
+  }
+
+  test("interval overlap matches the inequality join on real tables") {
+    val epoch = lit("1970-01-01").cast("date")
+    def wins(m: Int, span: Int) = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 40 === m)
+      .select($"o_orderkey".as(s"id_$m"),
+        datediff(to_date($"o_orderdate"), epoch).cast("long").as(s"lo_$m"),
+        (datediff(to_date($"o_orderdate"), epoch) + $"o_orderkey" % span + 1)
+          .cast("long").as(s"hi_$m"))
+    val a = wins(0, 30); val b = wins(1, 45)
+    val naive = a.crossJoin(b).filter($"lo_0" <= $"hi_1" && $"lo_1" <= $"hi_0")
+      .select("id_0", "id_1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.intervalOverlap(a, b, "lo_0", "hi_0", "lo_1", "hi_1", 32L)
+      .select("id_0", "id_1").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.toSet === naive)
+    assert(got.distinct.size === got.size)
+  }
+
+  test("interval overlap plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.intervalOverlap(ivs, ivsB, "lo", "hi", "jlo", "jhi", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap fell back to an all-pairs join:\n$plan")
+  }
 }

@@ -50,4 +50,46 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
+
+  test("token-budget mix equals the naive one-window-per-stratum form") {
+    import org.apache.spark.sql.expressions.Window
+    val targets = Map("en" -> 3000L, "de" -> 1500L, "es" -> 1500L,
+      "fr" -> 1000L, "zh" -> 1500L)
+    val in = docs.select("doc_id", "lang", "n_chars")
+    val buckets = 256
+    val naiveW = Window.partitionBy($"lang")
+      .orderBy(Sampling.hashBucket($"doc_id", buckets),
+        md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val targetCol = targets.tail.foldLeft(
+      when($"lang" === targets.head._1, targets.head._2)) {
+      case (acc, (l, t)) => acc.when($"lang" === l, t)
+    }
+    val naive = in
+      .withColumn("cum", sum($"n_chars".cast("long")).over(naiveW))
+      .filter($"cum" <= targetCol)
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Sampling.tokenBudgetMix(in, "lang", "doc_id", "n_chars",
+        targets, buckets)
+      .select("doc_id", "cum_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("token-budget mix respects every stratum's budget and is layout-invariant") {
+    val targets = Map("en" -> 3000L, "de" -> 1500L, "es" -> 1500L,
+      "fr" -> 1000L, "zh" -> 1500L)
+    val in = docs.select("doc_id", "lang", "n_chars")
+    val out = Sampling.tokenBudgetMix(in, "lang", "doc_id", "n_chars", targets)
+    val sums = out.groupBy("lang").agg(sum($"n_chars").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sums.foreach { case (l, s) => assert(s <= targets(l), s"$l over budget: $s") }
+    assert(sums.values.sum > 0)
+    val again = Sampling.tokenBudgetMix(in.repartition(11), "lang", "doc_id",
+        "n_chars", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
