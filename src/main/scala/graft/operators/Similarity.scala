@@ -244,4 +244,36 @@ object Similarity {
       .filter(col("sim") >= tauQ)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Semantic dedup (the SemDeDup shape: arXiv:2303.09540): k-means the
+    * embedding space, then prune near-duplicates ONLY within each cluster
+    * — the all-pairs O(N²) becomes k independent O((N/k)²) blocks, the
+    * third candidate-generation strategy next to hyperplane LSH
+    * ([[nearDupPairsLsh]]) and banded MinHash (text-side `Dedup`).
+    *
+    * Deterministic contract: a vector is dropped iff some SMALLER-id
+    * vector in its cluster has quantized cosine >= `tauQ` (greedy keep-
+    * min-id; identical vectors always share a cluster, because identical
+    * dots give the identical argmin centroid). Clusters come from
+    * [[ivfCentroids]] — seeded by the k smallest vec_ids, decimal-routed
+    * means — so the output is a pure function of the corpus.
+    *
+    * Scale shape: clustering is broadcast-centroid map-side work; the
+    * pair join shuffles on the cluster id, and k scales with the corpus
+    * to bound each block (SemDeDup used k = O(√N) on LAION). Returns the
+    * SURVIVORS (vec_id), one row per kept vector. */
+  def semanticDedup(corpus: DataFrame, tauQ: Long,
+                    nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, nClusters, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val member = assignClusters(corpus, centroids)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val dropped = member.as("x").join(member.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(quantizedDot(col("x.embedding"), col("y.embedding")) >= tauQ)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    corpus.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

@@ -93,6 +93,22 @@ object AnnQueries {
           .withColumn("vec_id", col("vec_id") + 100000))
       Similarity.nearDupPairsLsh(corpus, tauQ = 900000000000L)
         .orderBy("id_a", "id_b")
+    },
+
+    // ── SemDeDup: k-means blocks, near-dup pruning only inside a block.
+    //    At 0.9·1e12 exactly the planted copies are dropped (identical
+    //    vectors always share a cluster; max natural pair ≈ 0.60·1e12),
+    //    so survivors == the original corpus and the oracle is exact.
+    //    Cluster-scoped pruning at lower thresholds is differential-spec
+    //    tested against naive per-cluster pair enumeration.
+    sql("q_dedup_semantic",
+      "SELECT vec_id FROM embeddings ORDER BY vec_id") { (s, d) =>
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = embs.unionByName(
+        embs.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Similarity.semanticDedup(corpus, tauQ = 900000000000L)
+        .orderBy("vec_id")
     }
   )
 }

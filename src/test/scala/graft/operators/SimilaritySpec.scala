@@ -108,4 +108,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length >= planted.toInt)
     assert(out.forall(_.getLong(2) >= 900000000000L))
   }
+
+  test("semantic dedup drops exactly the smaller-id-near rows of each k-means block") {
+    val corpus = embs.select("vec_id", "embedding")
+    val tau = 450000000000L // low enough to catch natural pairs too
+    val centroids = Similarity.ivfCentroids(corpus, 16, 2)
+    val member = Similarity.assignClusters(corpus, centroids)
+      .join(corpus, "vec_id")
+    // naive reference: enumerate within-cluster pairs, drop the larger id
+    val naiveDropped = member.as("x").join(member.as("y"),
+        $"x.cluster" === $"y.cluster" && $"x.vec_id" < $"y.vec_id")
+      .filter(Similarity.quantizedDot($"x.embedding", $"y.embedding") >= tau)
+      .select($"y.vec_id").collect().map(_.getLong(0)).toSet
+    val survivors = Similarity.semanticDedup(corpus, tau)
+      .collect().map(_.getLong(0)).toSet
+    val all = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === (all -- naiveDropped))
+  }
+
+  test("semantic dedup never drops across clusters, and drops all planted copies") {
+    val corpus = embs.select("vec_id", "embedding").unionByName(
+      embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
+        .withColumn("vec_id", $"vec_id" + 100000))
+    val tau = 900000000000L
+    val survivors = Similarity.semanticDedup(corpus, tau)
+      .collect().map(_.getLong(0)).toSet
+    val originals = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical vectors share a cluster, so every planted copy is dropped;
+    // no natural pair reaches 0.9e12, so nothing else is
+    assert(survivors === originals)
+    // a dropped id must have a smaller-id near neighbour SOMEWHERE — the
+    // global near-dup pairs are a superset of the cluster-scoped ones
+    val globalPairs = Similarity.nearDupPairs(corpus, tau)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val dropped = corpus.select("vec_id").collect().map(_.getLong(0)).toSet -- survivors
+    assert(dropped.subsetOf(globalPairs))
+  }
 }
