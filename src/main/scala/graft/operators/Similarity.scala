@@ -245,6 +245,109 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** (vec_id, j, sv): the corpus exploded into `m` contiguous subvectors
+    * of dim/m components each — the product-quantization decomposition. */
+  def pqSubvectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("embedding"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
+  }
+
+  /** Squared L2 between two float arrays, in doubles (assignment metric
+    * for PQ codebooks — subvectors are not unit, so dot won't do). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+      * (x.cast("double") - y.cast("double"))), lit(0.0d), (acc, v) => acc + v)
+
+  /** (vec_id, j, code): each subvector assigned to its nearest codeword
+    * (L2, code tie-break). Broadcast codebook, map-side only. */
+  def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("d"), col("code"))
+    subs.join(broadcast(codebooks), "j")
+      .withColumn("d", l2sq(col("sv"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "code")
+  }
+
+  /** Product-quantization codebooks: `ksub` codewords per subspace,
+    * trained by the same deterministic Lloyd scheme as [[ivfCentroids]]
+    * (seeds = the ksub smallest vec_ids' subvectors, decimal-routed
+    * means), ALL subspaces in one DataFrame job per iteration — the
+    * subspace id `j` is just another grouping key. A codeword that loses
+    * every member simply drops out (standard k-means shrinkage).
+    * Returns (j, code, centroid: array<double>). At 100 TB codebooks are
+    * trained on a deterministic hash-sample of the corpus ([[Sampling
+    * .bernoulli]] upstream), never the full data. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+                  dim: Int): DataFrame = {
+    val subs = pqSubvectors(corpus, m, dim)
+    val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(ksub)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    val seedCode = seedIds.foldLeft(lit(null).cast("int")) {
+      case (els, (id, c)) => when(col("vec_id") === id, lit(c)).otherwise(els)
+    }
+    var cb = subs.withColumn("code", seedCode).filter(col("code").isNotNull)
+      .select(col("j"), col("code"),
+        transform(col("sv"), x => x.cast("double")).as("centroid"))
+    (1 to iters).foreach { _ =>
+      val assigned = pqAssign(subs, cb)
+      cb = assigned.join(subs, Seq("vec_id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("j", "code", "dim")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          / count(lit(1))).as("mu"))
+        .groupBy("j", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          x => x.getField("mu").cast("double")).as("centroid"))
+    }
+    cb
+  }
+
+  /** PQ-compressed ANN (asymmetric distance computation): the corpus is
+    * stored as `m` byte-ish codes per vector — at 100 TB this is the
+    * memory story (64 floats → 8 codes, a 32× shrink; real deployments
+    * keep codes in RAM and raw vectors only for the re-rank). A query
+    * builds its per-(subspace, codeword) dot-product lookup table
+    * (|Q|·m·ksub rows, broadcast), the approximate score is one
+    * equi-join + sum over the codes table — no vector math per
+    * candidate — and the top `rerank` candidates are re-scored exactly.
+    * Partial LUT dots are floor-quantized to longs so the approx ranking
+    * is summation-order-independent (the repo's determinism discipline).
+    * Recall vs [[bruteForceTopK]] is measured in specs. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             rerank: Int = 64, dim: Int = 64): DataFrame = {
+    val cb = pqCodebooks(corpus, m, ksub, iters, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqAssign(pqSubvectors(corpus, m, dim), cb)
+      .withColumnRenamed("vec_id", "n_id")
+    val lut = pqSubvectors(queries, m, dim)
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(cb), "j")
+      .select(col("q_id"), col("j"), col("code"),
+        floor(aggregate(zip_with(col("qsv"), col("centroid"),
+          (x, y) => x.cast("double") * y), lit(0.0d), (acc, v) => acc + v)
+          * 1000000.0d).cast("long").as("partial"))
+    val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
+    val cand = codes.join(broadcast(lut), Seq("j", "code"))
+      .groupBy("q_id", "n_id").agg(sum("partial").as("approx"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank)
+      .select("q_id", "n_id")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    cand.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Semantic dedup (the SemDeDup shape: arXiv:2303.09540): k-means the
     * embedding space, then prune near-duplicates ONLY within each cluster
     * — the all-pairs O(N²) becomes k independent O((N/k)²) blocks, the

@@ -51,6 +51,16 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── PQ-compressed ANN (asymmetric distance computation): corpus
+    //    scored through m-byte codes + a broadcast query LUT, exact
+    //    re-rank of the top candidates — the memory-compression scale
+    //    path; recall vs brute force asserted in specs
+    rowsOnly("q_ann_pq") { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── embedding-cosine near-dup pairs over a corpus with planted exact
     //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
     //    threshold 0.45·1e12 also catches the strongest natural pairs

@@ -74,6 +74,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 $recall%.3f below floor")
   }
 
+  test("PQ ANN recall@5 vs brute force is usable after exact re-rank") {
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall@5 $recall%.3f below floor")
+  }
+
+  test("PQ codes are complete and deterministic across layouts") {
+    val subs = Similarity.pqSubvectors(embs, m = 8, dim = 64)
+    val cb = Similarity.pqCodebooks(embs, m = 8, ksub = 16, iters = 2, dim = 64)
+    val codes = Similarity.pqAssign(subs, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // every vector gets exactly one code per subspace
+    val n = embs.count()
+    assert(codes.size === n * 8)
+    assert(codes.groupBy(c => (c._1, c._2)).forall(_._2.size == 1))
+    val again = Similarity.pqAssign(
+        Similarity.pqSubvectors(embs.repartition(7), m = 8, dim = 64),
+        Similarity.pqCodebooks(embs.repartition(3), m = 8, ksub = 16, iters = 2, dim = 64))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again === codes)
+  }
+
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
