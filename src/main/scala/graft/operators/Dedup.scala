@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the LLM-data-pipeline surface: exact
@@ -420,6 +421,49 @@ object Dedup {
       rawEdges.unpersist(false)
       out
     }
+  }
+
+  /** Duplicated-span detection — the exact-substring side of training-data
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated ≥n-token runs are memorization fuel even
+    * when whole documents differ). For every position whose n-token gram
+    * also occurs in ANOTHER document, the covering token interval
+    * [pos, pos+n-1] is a hit; overlapping/adjacent hits merge into maximal
+    * spans (the trim-list a curation pipeline subtracts from each doc).
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 keys, never strings —
+    * the duplicated-gram set is one hash groupBy, hits are an equi-join
+    * back on the hash, and the island merge windows per document (bounded
+    * by doc length, never by corpus size). A 64-bit collision can only
+    * add a false span (birthday odds ~1e-7 at 10⁶ distinct grams); the
+    * string-keyed DuckDB oracle agreeing IS the collision check at test
+    * scale. Output: (idCol, span_start, span_end), token positions
+    * 1-based inclusive. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val toks = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+    val grams = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => xxhash64(slice(col("__t"), i, lit(n))))).as(Seq("__p", "__h")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("__s"), col("__h"))
+    val dup = grams.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__h")
+    val hits = grams.join(dup, "__h")
+      .select(col(idCol), col("__s"), (col("__s") + (n - 1)).as("__e"))
+    val wOrder = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+    val prevMax = max(col("__e")).over(
+      wOrder.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__brk",
+        when(col("__s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("__isle", sum(col("__brk")).over(
+        wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isle"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .drop("__isle")
   }
 
   /** Brute-force n-gram Jaccard pairs — the small-data oracle baseline the

@@ -125,6 +125,36 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ── duplicated-span detection (exact-substring dedup, Lee et al.
+    //    2022): maximal token intervals whose 8-grams also occur in
+    //    another document — the per-doc trim list. The engine keys grams
+    //    by xxhash64; the oracle keys the strings themselves, so oracle
+    //    agreement doubles as the collision check.
+    sql("q_dedup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        |hits AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |ids AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isle FROM isl)
+        |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start, CAST(MAX(e) AS BIGINT) AS span_end
+        |FROM ids GROUP BY doc_id, isle
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ── n-gram Jaccard brute force over a bounded window (doc_id < 500 on
     //    both sides, so the pair count is scale-invariant): the exact
     //    baseline the LSH paths are measured against, as its own operator

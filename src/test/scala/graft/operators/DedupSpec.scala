@@ -101,4 +101,45 @@ class DedupSpec extends SparkSpec {
     assert(sh === again)
     assert(sh.values.toSet.size > 1)
   }
+
+  test("duplicate spans: cross-doc runs merge, within-doc repeats don't count") {
+    import spark.implicits._
+    // n=3 grams; letters are tokens
+    val run = "x1 x2 x3 x4 x5"          // shared 5-token run → one span
+    val fixture = Seq(
+      (1L, s"a1 a2 $run b1 b2"),        // run at positions 3..7
+      (2L, s"$run c1 c2 c3 c4"),        // run at positions 1..5
+      // doc 3 repeats a 3-gram INSIDE itself only — not a cross-doc dup
+      (3L, "p q r s p q r t u"),
+      // doc 4 shares two runs with doc 5 separated by one token → two
+      // spans (gap of 1 still breaks: adjacency is s == prev_e + 1)
+      (4L, "m1 m2 m3 z9 n1 n2 n3"),
+      (5L, "m1 m2 m3 y8 y7 n1 n2 n3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(fixture, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 3L, 7L), (2L, 1L, 5L),
+      (4L, 1L, 3L), (4L, 5L, 7L),
+      (5L, 1L, 3L), (5L, 6L, 8L)))
+  }
+
+  test("duplicate spans on planted copies cover the whole duplicated doc") {
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.select("doc_id", "text").filter($"doc_id" % 7 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000))
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 8)
+    // every planted copy long enough to shingle is one full-doc span
+    val copies = corpus.filter($"doc_id" >= 100000)
+      .select($"doc_id", size(graft.functions.TextFns.tokens($"text")).as("len"))
+      .filter($"len" >= 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    copies.foreach { case (id, len) =>
+      val ss = byDoc.getOrElse(id, Array.empty)
+      assert(ss.exists(s => s._2 == 1L && s._3 == len.toLong),
+        s"copy $id (len $len) not fully covered: ${ss.mkString(",")}")
+    }
+  }
 }
