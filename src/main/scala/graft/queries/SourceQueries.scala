@@ -50,6 +50,39 @@ object SourceQueries {
       Sources.readJson(s, path, schema).orderBy("p_partkey")
     },
 
+    // ── tolerant JSON ingest with in-band quarantine: one PERMISSIVE pass
+    //    tags unparseable and partially-parseable lines with their raw
+    //    text; golden oracle pins the exact split on the messy fixture
+    //    (record 4 parses record_id/name but its value won't cast — it
+    //    keeps the parseable fields AND lands in quarantine)
+    sql("q_src_quarantine",
+      """SELECT record_id, name, CAST(value AS DOUBLE) AS value, status, raw
+        |FROM (VALUES
+        |  (1, 'alpha', 10.5, 'ok', NULL),
+        |  (2, 'beta', NULL, 'ok', NULL),
+        |  (4, 'gamma', NULL, 'quarantined',
+        |   '{"record_id": 4, "name": "gamma", "value": "not-a-number"}'),
+        |  (5, 'delta', 7.0, 'ok', NULL),
+        |  (6, NULL, 3.25, 'ok', NULL),
+        |  (7, 'epsilon', -2.75, 'ok', NULL),
+        |  (NULL, NULL, NULL, 'quarantined', '{record_id: 3, this line is not json'),
+        |  (NULL, NULL, NULL, 'quarantined', 'complete garbage line')
+        |) t(record_id, name, value, status, raw)
+        |ORDER BY COALESCE(record_id, 999), COALESCE(raw, '')""".stripMargin) { (s, _) =>
+      val schema = StructType(Seq(
+        StructField("record_id", LongType),
+        StructField("name", StringType),
+        StructField("value", DoubleType)))
+      Sources.readJsonQuarantined(s,
+          "/root/repo/fixtures/messy_records.jsonl", schema)
+        .select(col("record_id"), col("name"), col("value"),
+          when(col("_corrupt_record").isNull, "ok")
+            .otherwise("quarantined").as("status"),
+          col("_corrupt_record").as("raw"))
+        .orderBy(coalesce(col("record_id"), lit(999L)),
+          coalesce(col("raw"), lit("")))
+    },
+
     // ── ORC sink + scan roundtrip (engine-added second columnar format):
     //    typed columns survive as-is, so the oracle is the source table
     sql("q_src_orc_roundtrip",

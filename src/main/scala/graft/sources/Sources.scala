@@ -27,6 +27,27 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Tolerant JSON ingest with in-band quarantine (engine-native form of
+    * the reference's per-row try/except during scraping, pipeline.py's
+    * load loop): ONE pass over the input parses every line PERMISSIVEly;
+    * a line that fails outright, or parses only partially (a field that
+    * won't cast), carries its raw text in `_corrupt_record`. No separate
+    * validation job, no second scan — at 100 TB the quarantine routing is
+    * a filter on a column that's already there (good rows → the table,
+    * bad rows → a quarantine sink for replay). The declared `schema`
+    * must NOT itself contain `_corrupt_record`; it is appended here.
+    *
+    * Spark (by design) rejects any downstream plan whose referenced
+    * columns prune to ONLY the corrupt column — always project at least
+    * one data column next to it (or cache the parse first). */
+  def readJsonQuarantined(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** ORC sink (engine-added: the second columnar format next to parquet —
     * typed, compressed, predicate-pushdown-capable). */
   def writeOrc(df: DataFrame, path: String): Unit =
