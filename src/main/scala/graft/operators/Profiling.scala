@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ANALYZE-style statistics pass every warehouse
+  * maintains (row counts, null counts, distinct counts, min/max per
+  * column). The reference profiles implicitly (pandas `.describe()` /
+  * `.info()` during cleaning); here it is one DISTRIBUTED aggregation
+  * over the table producing a long-format stats frame that can feed
+  * cost-based decisions (broadcast-ability, skew suspicion, pruning
+  * bounds) or data-quality gates.
+  *
+  * Scale shape: ONE scan, all columns' aggregates computed together.
+  * With `approxNdv` (the 100 TB default) distinct counts are HLL
+  * (`approx_count_distinct`) and the plan is a single partial+final
+  * aggregate — no shuffle of data rows, only of sketch buffers. Exact
+  * NDV (the oracle-checkable form) pays Spark's multi-distinct Expand:
+  * one duplicated pass per distinct column — fine at audit scale,
+  * documented as the expensive form.
+  */
+object Profiling {
+
+  /** Long-format column stats: (column_name, n, n_null, ndv, min_v,
+    * max_v), one row per requested column. `n` counts non-null values
+    * (SQL COUNT(col) semantics); min/max are rendered as strings so the
+    * frame is uniform across column types — keep to integer/string/date
+    * columns when cross-engine string equality matters (double
+    * formatting differs between engines). */
+  def columnStats(df: DataFrame, cols: Seq[String],
+                  approxNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      val ndv = if (approxNdv) approx_count_distinct(col(c))
+                else countDistinct(col(c))
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
+        ndv.as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__n_null`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    row.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n, n_null, ndv, min_v, max_v)"))
+  }
+}

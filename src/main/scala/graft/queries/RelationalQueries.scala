@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
 import graft.functions.CleanFns
+import graft.operators.Profiling
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,6 +81,41 @@ object RelationalQueries {
              exactAvg(col("l_discount")).as("avg_disc"),
              count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── ANALYZE-style column profiling: one scan, all stats together —
+    //    the statistics pass behind broadcast/skew/pruning decisions.
+    //    Exact NDV here (oracle-checkable); the 100 TB form flips
+    //    approxNdv=true and is a single no-Expand aggregate.
+    sql("q_profile_stats",
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name, COUNT(l_orderkey) AS n,
+        |         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         COUNT(DISTINCT l_orderkey) AS ndv,
+        |         CAST(MIN(l_orderkey) AS VARCHAR) AS min_v, CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', COUNT(l_suppkey),
+        |         CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT l_suppkey),
+        |         CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(l_returnflag),
+        |         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT l_returnflag),
+        |         CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', COUNT(l_linestatus),
+        |         CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT l_linestatus),
+        |         CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin) { (s, d) =>
+      Profiling.columnStats(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("column_name")
     },
 
     // ── P1 select/reorder (pipeline.py:746)

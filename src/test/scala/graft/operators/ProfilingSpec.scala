@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, sfDir)
+
+  test("column stats match directly computed aggregates") {
+    val got = Profiling.columnStats(li, Seq("l_orderkey", "l_returnflag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val n = li.count()
+    val ndvOk = li.select("l_orderkey").distinct().count()
+    assert(got("l_orderkey") === ((n, 0L, ndvOk,
+      li.agg(min("l_orderkey")).head.getLong(0).toString,
+      li.agg(max("l_orderkey")).head.getLong(0).toString)))
+    assert(got("l_returnflag")._3 === li.select("l_returnflag").distinct().count())
+  }
+
+  test("approx-NDV form avoids the multi-distinct Expand and lands near exact") {
+    val approx = Profiling.columnStats(li,
+      Seq("l_orderkey", "l_suppkey", "l_returnflag"), approxNdv = true)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profiling should be one aggregate:\n${plan.take(1200)}")
+    val exact = Profiling.columnStats(li,
+        Seq("l_orderkey", "l_suppkey", "l_returnflag"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      val e = exact(c).toDouble
+      assert(math.abs(est - e) / e < 0.1, s"$c: est $est vs exact $e")
+    }
+  }
+}
