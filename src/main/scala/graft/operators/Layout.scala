@@ -41,4 +41,40 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or micro-batch ingest needs: thousands of kilobyte part-files (one
+    * per trigger per partition) destroy scan throughput (open/footer
+    * overhead per file, starved vectorized reads). Rewrites the table
+    * into ceil(totalBytes / targetBytes) files via `coalesce` — a
+    * shuffle-FREE narrow rewrite (readers concatenate input splits;
+    * rows and schema are untouched) — then promotes it with the same
+    * crash-safe rename-aside swap as the upsert sink. A no-op (returns
+    * the current count without rewriting) when the table already has
+    * that few files. Returns the resulting data-file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def dataFiles(p: java.io.File): Array[java.io.File] =
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val dir = new java.io.File(path)
+    val files = dataFiles(dir)
+    require(files.nonEmpty, s"no data files under $path")
+    val total = files.map(_.length).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (nOut >= files.length) return files.length
+    val staging = path + ".staging"
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compact swap failed: $path -> $old (live table untouched)")
+    if (!new java.io.File(staging).renameTo(dir))
+      throw new java.io.IOException(
+        s"compact swap failed: $staging -> $path — previous table preserved at $old")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    dataFiles(dir).length
+  }
 }

@@ -83,6 +83,23 @@ object SourceQueries {
           coalesce(col("raw"), lit("")))
     },
 
+    // ── small-file compaction: a 64-fragment write compacted to a
+    //    handful of files with a shuffle-free coalesce rewrite + the
+    //    crash-safe swap; rows/schema byte-identical to the source table
+    sql("q_src_compact",
+      """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = tmp("compact_documents")
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+      graft.operators.Layout.compact(s, path, targetBytes = 512L * 1024)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ── ORC sink + scan roundtrip (engine-added second columnar format):
     //    typed columns survive as-is, so the oracle is the source table
     sql("q_src_orc_roundtrip",

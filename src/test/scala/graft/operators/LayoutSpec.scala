@@ -47,4 +47,27 @@ class LayoutSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("compaction shrinks the file count, preserves rows, and no-ops when compact") {
+    val dir = "/root/repo/target/tmp/layout_compact_spec"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    docs.repartition(32).write.mode("overwrite").parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).length
+    assert(partFiles === 32)
+    val before = docs.orderBy("doc_id").collect().toSeq
+    val n = Layout.compact(spark, dir, targetBytes = 10L * 1024 * 1024)
+    assert(n < 32 && n === partFiles)
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    // second call: already at or under the target file count — no rewrite
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    val mtimes = files.map(f => f.getName -> f.lastModified).toMap
+    assert(Layout.compact(spark, dir, targetBytes = 10L * 1024 * 1024) === n)
+    val mtimes2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes2 === mtimes, "no-op compaction must not rewrite files")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
