@@ -211,6 +211,81 @@ object CompositeQueries {
           sum(TextFns.tokenCount(col("text"))).as("sum_tokens"),
           sum(TextFns.tokenEstimate(col("text"))).as("est_bpe_tokens"))
         .orderBy("lang")
+    },
+
+    // ── q05: the training-mix flagship — the round-5 operators composed
+    //    end-to-end the way a data-mixing run uses them: duplicated-span
+    //    accounting drops documents that are >50% repeated content
+    //    (substring dedup as a QUALITY gate, not just a trim list), the
+    //    survivors fill per-language char budgets in content-hash order
+    //    (the mixture), and the selection is split train/val/test by
+    //    SOURCE hash so near-dup families never straddle splits. Every
+    //    stage is individually oracled elsewhere (q_dedup_spans /
+    //    q_mix_token_budget / q_split_groupwise); this chains them under
+    //    one DuckDB oracle. Scale shape: gram hashes + window per doc,
+    //    the two-pass mix, and a scan-side split projection — no stage
+    //    funnels a stratum or the corpus through one task.
+    sql("q05_training_mix",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        |hits AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |ids AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isle FROM isl),
+        |spans AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se FROM ids GROUP BY doc_id, isle),
+        |duptok AS (SELECT doc_id, SUM(se - ss + 1) AS dup_tokens FROM spans GROUP BY doc_id),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.lang, tk.source, tk.n_chars
+        |  FROM toks tk LEFT JOIN duptok d USING (doc_id)
+        |  WHERE COALESCE(d.dup_tokens, 0) * 2 <= len(tk.t)),
+        |mix AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256,
+        |               md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+        |  FROM kept),
+        |sel AS (
+        |  SELECT * FROM mix
+        |  WHERE cum <= CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000
+        |                         WHEN 'es' THEN 8000 WHEN 'fr' THEN 6000
+        |                         WHEN 'zh' THEN 8000 END),
+        |spl AS (
+        |  SELECT *, CASE WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |                 WHEN CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |  FROM sel)
+        |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM spl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
+      import graft.operators.{Dedup, Sampling}
+      val docs = Tables.documents(s, d)
+      val duptok = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+        .groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      val kept = docs.join(duptok, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_tokens"), lit(0L)) * 2
+          <= TextFns.tokenCount(col("text")))
+        .select("doc_id", "lang", "source", "n_chars")
+      val mixed = Sampling.tokenBudgetMix(kept, "lang", "doc_id", "n_chars",
+        Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L,
+            "fr" -> 6000L, "zh" -> 8000L))
+      Sampling.groupSplit(mixed, "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang", "split")
     }
   )
 }
