@@ -77,4 +77,35 @@ object Layout {
     org.apache.commons.io.FileUtils.deleteDirectory(old)
     dataFiles(dir).length
   }
+
+  /** File-level min-max index — the poor-man's Delta/Iceberg stats table:
+    * one row per data file with the column's [min, max]. Built with a
+    * single scan (`input_file_name()` groupBy); at 100 TB the index is
+    * |files| rows against billions, and it's the piece that turns a
+    * z-ordered or range-partitioned layout into actual FILE SKIPPING —
+    * Spark's parquet reader prunes row groups after opening a file, but
+    * only a file listing can stop it opening them at all. */
+  def buildMinMaxIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Index-pruned scan: reads ONLY the files whose [min, max] intersects
+    * `[lo, hi]` (driver-side file listing from the index — |files| rows,
+    * never data), then applies the exact filter. Same rows as the full
+    * filter scan, touching a fraction of the files when the layout
+    * clusters the column ([[zorderWrite]] / repartitionByRange). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, index: DataFrame,
+                 column: String, lo: Long, hi: Long): DataFrame = {
+    val files = index
+      .filter(col("min_v") <= hi && col("max_v") >= lo)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+  }
 }

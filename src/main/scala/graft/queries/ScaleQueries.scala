@@ -188,8 +188,39 @@ object ScaleQueries {
         .filter(col("event_date") === lit("2024-01-03"))
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
+    },
+
+    // ── file-level min-max index + pruned scan: orders range-laid-out on
+    //    o_orderkey, the stats-table listing stops non-intersecting files
+    //    being OPENED at all (file skipping, not just row-group pruning);
+    //    the oracle is the plain filter over the logical table. File-count
+    //    reduction is asserted in LayoutSpec.
+    sql("q_scan_minmax_index",
+      """SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin) { (s, d) =>
+      val dir = rangeLaidOrdersDir(s, d)
+      val index = graft.operators.Layout.buildMinMaxIndex(s, dir, "o_orderkey")
+      graft.operators.Layout.prunedRead(s, index, "o_orderkey", 1000L, 3000L)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
     }
   )
+
+  /** orders.parquet rewritten repartitionByRange(o_orderkey) — the layout
+    * a min-max file index prunes well — written once per sf, reused. */
+  def rangeLaidOrdersDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/root/repo/target/partitioned/orders_range_$sfKey")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
 
   /** events.parquet rewritten `partitionBy(event_date)` into a scratch dir
     * keyed by sf — written once, reused across sessions (same persistence

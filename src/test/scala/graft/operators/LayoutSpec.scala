@@ -48,6 +48,27 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("min-max index prunes files on a range layout and loses no rows") {
+    val dir = "/root/repo/target/tmp/layout_minmax_spec"
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    orders.repartitionByRange(16, $"o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val index = Layout.buildMinMaxIndex(spark, dir, "o_orderkey")
+    val total = index.count()
+    val hit = index.filter($"min_v" <= 300L && $"max_v" >= 100L).count()
+    assert(total === 16)
+    assert(hit < total, s"range layout should localize [100,300]: $hit of $total files")
+    val got = Layout.prunedRead(spark, index, "o_orderkey", 100L, 300L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val want = orders.filter($"o_orderkey" >= 100 && $"o_orderkey" <= 300)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // an empty intersection reads nothing and returns an empty frame
+    assert(Layout.prunedRead(spark, index, "o_orderkey", -500L, -100L).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("compaction shrinks the file count, preserves rows, and no-ops when compact") {
     val dir = "/root/repo/target/tmp/layout_compact_spec"
     val docs = graft.Tables.documents(spark, sfDir)
