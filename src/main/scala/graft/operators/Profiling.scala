@@ -47,4 +47,27 @@ object Profiling {
     row.select(expr(
       s"stack(${cols.size}, $stacked) AS (column_name, n, n_null, ndv, min_v, max_v)"))
   }
+
+  /** Winsorization — clip a numeric column to its [pLo, pHi] quantiles,
+    * the robust-scaling step of numeric feature cleaning (a fat-fingered
+    * price or a sensor spike otherwise dominates every mean/variance
+    * downstream). Two jobs: ONE aggregate computes both cut points
+    * (exact `percentile` — linear interpolation, bit-identical to
+    * DuckDB's quantile_cont; flip `approx` for the sketch-based
+    * `approx_percentile` when the column won't fit a per-group sort
+    * buffer), then the clip is a pure scan-side projection with the two
+    * scalars inlined — the 100 TB pass never shuffles. */
+  def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double,
+                approx: Boolean = false): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val cuts = df.agg(
+      expr(s"$fn($column, $pLo)").cast("double").as("lo"),
+      expr(s"$fn($column, $pHi)").cast("double").as("hi")).head()
+    val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+    df.withColumn(column,
+      when(col(column) < lo, lo)
+        .when(col(column) > hi, hi)
+        .otherwise(col(column).cast("double")))
+  }
 }

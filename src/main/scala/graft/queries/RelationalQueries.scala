@@ -553,6 +553,29 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── winsorization: clip l_extendedprice to its [p01, p99] — the
+    //    robust-scaling cleanup; cut points from the same exact-percentile
+    //    arithmetic as q_agg_percentile, clip is a scan-side projection
+    sql("q_clean_winsorize",
+      """WITH q AS (
+        |  SELECT CAST(quantile_cont(l_extendedprice, 0.01) AS DOUBLE) AS lo,
+        |         CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |       CAST(CASE WHEN l_extendedprice < lo THEN lo
+        |                 WHEN l_extendedprice > hi THEN hi
+        |                 ELSE l_extendedprice END AS DOUBLE) AS l_extendedprice
+        |FROM lineitem, q
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Profiling.winsorize(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_extendedprice", 0.01, 0.99)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ── rollup grouping (engine capability): subtotal + grand-total rows
     sql("q_agg_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

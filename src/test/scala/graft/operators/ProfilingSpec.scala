@@ -34,4 +34,23 @@ class ProfilingSpec extends SparkSpec {
       assert(math.abs(est - e) / e < 0.1, s"$c: est $est vs exact $e")
     }
   }
+
+  test("winsorize clips ~2% of rows to the exact cut points; [p0,p100] is a no-op") {
+    val in = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val cuts = in.agg(
+      expr("percentile(l_extendedprice, 0.01)").as("lo"),
+      expr("percentile(l_extendedprice, 0.99)").as("hi")).head()
+    val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+    val out = Profiling.winsorize(in, "l_extendedprice", 0.01, 0.99)
+    val vals = out.select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= lo && v <= hi))
+    val n = vals.length.toDouble
+    val clipped = vals.count(v => v == lo || v == hi)
+    assert(clipped / n > 0.005 && clipped / n < 0.05, s"clipped $clipped of $n")
+    // full-range cut points change nothing
+    val noop = Profiling.winsorize(in, "l_extendedprice", 0.0, 1.0)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val orig = in.select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(noop.sorted.toSeq === orig.sorted.toSeq)
+  }
 }
