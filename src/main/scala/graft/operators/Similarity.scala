@@ -306,6 +306,20 @@ object Similarity {
     cb
   }
 
+  /** Per-query ADC lookup table: (q_id, j, code, partial) where partial
+    * is the query subvector · codeword dot, floor-quantized to a long so
+    * downstream sums are summation-order-independent. |Q|·m·ksub rows —
+    * always broadcastable. */
+  private def pqLut(queries: DataFrame, cb: DataFrame, m: Int,
+                    dim: Int): DataFrame =
+    pqSubvectors(queries, m, dim)
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(cb), "j")
+      .select(col("q_id"), col("j"), col("code"),
+        floor(aggregate(zip_with(col("qsv"), col("centroid"),
+          (x, y) => x.cast("double") * y), lit(0.0d), (acc, v) => acc + v)
+          * 1000000.0d).cast("long").as("partial"))
+
   /** PQ-compressed ANN (asymmetric distance computation): the corpus is
     * stored as `m` byte-ish codes per vector — at 100 TB this is the
     * memory story (64 floats → 8 codes, a 32× shrink; real deployments
@@ -324,13 +338,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = pqAssign(pqSubvectors(corpus, m, dim), cb)
       .withColumnRenamed("vec_id", "n_id")
-    val lut = pqSubvectors(queries, m, dim)
-      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
-      .join(broadcast(cb), "j")
-      .select(col("q_id"), col("j"), col("code"),
-        floor(aggregate(zip_with(col("qsv"), col("centroid"),
-          (x, y) => x.cast("double") * y), lit(0.0d), (acc, v) => acc + v)
-          * 1000000.0d).cast("long").as("partial"))
+    val lut = pqLut(queries, cb, m, dim)
     val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
     val cand = codes.join(broadcast(lut), Seq("j", "code"))
       .groupBy("q_id", "n_id").agg(sum("partial").as("approx"))
@@ -342,6 +350,56 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
     cand.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** IVFPQ — the production ANN shape (Jégou et al., the FAISS default):
+    * IVF cluster lists prune the candidate set, PQ codes score what's
+    * left. The corpus is touched as (cluster id, m codes) only; raw
+    * vectors surface for the final exact re-rank. This variant encodes
+    * raw vectors, not residuals (one codebook pass instead of per-list
+    * residual training — documented simplification; recall is measured,
+    * not assumed, in specs). Scale: candidates = nprobe/nClusters of the
+    * corpus, each scored by m LUT lookups — both knobs independent. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+                dim: Int = 64): DataFrame = {
+    val centroids = ivfCentroids(corpus, nClusters, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = assignClusters(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
+    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "cluster")
+    val cb = pqCodebooks(corpus, m, ksub, iters, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqAssign(pqSubvectors(corpus, m, dim), cb)
+      .withColumnRenamed("vec_id", "n_id")
+    val lut = pqLut(queries, cb, m, dim)
+    val cand = probes
+      .join(lists.withColumnRenamed("vec_id", "n_id"), "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
+    val shortlist = cand
+      .join(codes, "n_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id").agg(sum("partial").as("approx"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank)
+      .select("q_id", "n_id")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    shortlist.join(broadcast(q), "q_id").join(c, "n_id")
       .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -61,6 +61,14 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── IVFPQ: cluster-list pruning + code-based scoring composed — the
+    //    FAISS-default production shape; recall vs brute force in specs
+    rowsOnly("q_ann_ivfpq") { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── embedding-cosine near-dup pairs over a corpus with planted exact
     //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
     //    threshold 0.45·1e12 also catches the strongest natural pairs

@@ -84,6 +84,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 $recall%.3f below floor")
   }
 
+  test("IVFPQ recall@5 vs brute force is usable at default knobs") {
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.ivfPqTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVFPQ recall@5 = $recall%.3f")
+    // compounds IVF's probe miss with PQ's quantization noise — floor is
+    // intentionally below either alone
+    assert(recall >= 0.2, f"recall@5 $recall%.3f below floor")
+  }
+
   test("PQ codes are complete and deterministic across layouts") {
     val subs = Similarity.pqSubvectors(embs, m = 8, dim = 64)
     val cb = Similarity.pqCodebooks(embs, m = 8, ksub = 16, iters = 2, dim = 64)
