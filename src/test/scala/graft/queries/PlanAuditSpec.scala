@@ -111,4 +111,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
     assert(!plan.contains("HashAggregate"), plan.take(2000))
   }
+
+  test("q_mix_token_budget: prefixes broadcast; no single-stratum window funnel") {
+    val plan = planOf("q_mix_token_budget")
+    // the driver-prefix table joins as a broadcast — the data rows are
+    // never re-shuffled for it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the only window partitioning is (stratum, bucket) — 256-way
+    // parallel per stratum; a bare per-stratum window would funnel "web"
+    // through one task at 100 TB
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("__bucket")), windows.mkString("\n"))
+  }
+
+  test("q_dedup_spans: gram traffic is hashed equi-joins, never a cross product") {
+    val plan = planOf("q_dedup_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // dup-gram membership joins on the 8-byte hash
+    assert(plan.contains("xxhash64"), plan.take(2000))
+  }
+
+  test("q_ann_pq: the query LUT broadcasts; codes side never re-shuffles for it") {
+    val plan = planOf("q_ann_pq")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
