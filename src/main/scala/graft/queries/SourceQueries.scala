@@ -83,6 +83,35 @@ object SourceQueries {
           coalesce(col("raw"), lit("")))
     },
 
+    // ── streaming tolerant ingest: the quarantine split as a continuous
+    //    pipeline — each micro-batch appends clean rows to the table and
+    //    corrupt rows to the quarantine sink; same golden contract as the
+    //    batch q_src_quarantine
+    sql("q_stream_quarantine",
+      """SELECT record_id, name, CAST(value AS DOUBLE) AS value, status, raw
+        |FROM (VALUES
+        |  (1, 'alpha', 10.5, 'ok', NULL),
+        |  (2, 'beta', NULL, 'ok', NULL),
+        |  (4, 'gamma', NULL, 'quarantined',
+        |   '{"record_id": 4, "name": "gamma", "value": "not-a-number"}'),
+        |  (5, 'delta', 7.0, 'ok', NULL),
+        |  (6, NULL, 3.25, 'ok', NULL),
+        |  (7, 'epsilon', -2.75, 'ok', NULL),
+        |  (NULL, NULL, NULL, 'quarantined', '{record_id: 3, this line is not json'),
+        |  (NULL, NULL, NULL, 'quarantined', 'complete garbage line')
+        |) t(record_id, name, value, status, raw)
+        |ORDER BY COALESCE(record_id, 999), COALESCE(raw, '')""".stripMargin) { (s, _) =>
+      val schema = StructType(Seq(
+        StructField("record_id", LongType),
+        StructField("name", StringType),
+        StructField("value", DoubleType)))
+      EventsStreaming.quarantinedIngest(s,
+          "/root/repo/fixtures/messy_records.jsonl", schema)
+        .select(col("record_id"), col("name"), col("value"), col("status"), col("raw"))
+        .orderBy(coalesce(col("record_id"), lit(999L)),
+          coalesce(col("raw"), lit("")))
+    },
+
     // ── small-file compaction: a 64-fragment write compacted to a
     //    handful of files with a shuffle-free coalesce rewrite + the
     //    crash-safe swap; rows/schema byte-identical to the source table

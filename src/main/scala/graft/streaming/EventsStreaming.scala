@@ -313,4 +313,52 @@ object EventsStreaming {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"))
   }
+
+  /** Streaming tolerant ingest: the quarantine split
+    * ([[graft.sources.Sources.readJsonQuarantined]]) as a CONTINUOUS
+    * pipeline — every micro-batch routes parse-clean rows to the live
+    * table and corrupt rows (with their raw line) to a quarantine sink
+    * for replay, both as idempotent appends under the stream checkpoint.
+    * This is the ingest-edge shape at scale: malformed upstream records
+    * never stop the stream and are never silently dropped.
+    *
+    * Returns the combined post-stream state tagged `status` ok /
+    * quarantined (golden-oracled on the messy fixture, same contract as
+    * the batch q_src_quarantine). */
+  def quarantinedIngest(spark: SparkSession, fixturePath: String,
+                        schema: StructType): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ss = streamSession(spark)
+    val key = new java.io.File(fixturePath).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/root/repo/target/tmp/stream/quarantine_$key"
+    val (in, good, quar, ckpt) = (s"$base/in", s"$base/good", s"$base/quar", s"$base/ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(fixturePath), Paths.get(s"$in/${new java.io.File(fixturePath).getName}"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val src = ss.readStream
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(in)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dataCols = schema.fieldNames.map(col).toSeq
+        batch.filter(col("_corrupt_record").isNull)
+          .select(dataCols: _*)
+          .write.mode("append").parquet(good)
+        batch.filter(col("_corrupt_record").isNotNull)
+          .select(dataCols :+ col("_corrupt_record").as("raw"): _*)
+          .write.mode("append").parquet(quar)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val okRows = spark.read.parquet(good)
+      .withColumn("status", lit("ok")).withColumn("raw", lit(null).cast("string"))
+    val badRows = spark.read.parquet(quar)
+      .withColumn("status", lit("quarantined"))
+    okRows.unionByName(badRows)
+  }
 }
