@@ -26,26 +26,52 @@ object Profiling {
     * (SQL COUNT(col) semantics); min/max are rendered as strings so the
     * frame is uniform across column types — keep to integer/string/date
     * columns when cross-engine string equality matters (double
-    * formatting differs between engines). */
+    * formatting differs between engines).
+    *
+    * Plan shapes (both Expand- and SortAggregate-free — a naive
+    * `agg(countDistinct(a), countDistinct(b), …)` becomes a 5×-row
+    * Expand into a sort aggregate keyed on every profiled column,
+    * measured 5× slower at sf0.1):
+    *  - approxNdv=true: ONE scan, one hash aggregate, HLL buffers.
+    *  - exact: scan 1 aggregates n/n_null/min/max for all columns
+    *    together; scan 2 melts values to (column, value) pairs and
+    *    counts distinct per column as two hash aggregates (map-side
+    *    dedup first, so the shuffle carries unique pairs, not rows). */
   def columnStats(df: DataFrame, cols: Seq[String],
                   approxNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     val aggs = cols.flatMap { c =>
-      val ndv = if (approxNdv) approx_count_distinct(col(c))
-                else countDistinct(col(c))
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
-        ndv.as(s"${c}__ndv"),
         min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        max(col(c)).cast("string").as(s"${c}__max")) ++
+        (if (approxNdv) Seq(approx_count_distinct(col(c)).as(s"${c}__ndv"))
+         else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', `${c}__n`, `${c}__n_null`, `${c}__ndv`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    row.select(expr(
-      s"stack(${cols.size}, $stacked) AS (column_name, n, n_null, ndv, min_v, max_v)"))
+    if (approxNdv) {
+      val stacked = cols.map(c =>
+        s"'$c', `${c}__n`, `${c}__n_null`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      row.select(expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n, n_null, ndv, min_v, max_v)"))
+    } else {
+      val stacked = cols.map(c =>
+        s"'$c', `${c}__n`, `${c}__n_null`, `${c}__min`, `${c}__max`")
+        .mkString(", ")
+      val basic = row.select(expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n, n_null, min_v, max_v)"))
+      val pairs = cols.map(c =>
+        s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+      val ndv = df
+        .select(expr(s"stack(${cols.size}, $pairs) AS (column_name, v)"))
+        .filter(col("v").isNotNull)
+        .groupBy("column_name", "v").agg(lit(1))
+        .groupBy("column_name").agg(count(lit(1)).as("ndv"))
+      basic.join(ndv, Seq("column_name"))
+        .select("column_name", "n", "n_null", "ndv", "min_v", "max_v")
+    }
   }
 
   /** Winsorization — clip a numeric column to its [pLo, pHi] quantiles,
