@@ -273,10 +273,14 @@ object CompositeQueries {
       val duptok = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
         .groupBy("doc_id")
         .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      // the two-pass mix consumes `kept` twice (histogram, then output);
+      // persist the 4-column projection so the span pipeline above runs
+      // once, not per pass (Verify/Bench clearCache() between queries)
       val kept = docs.join(duptok, Seq("doc_id"), "left")
         .filter(coalesce(col("dup_tokens"), lit(0L)) * 2
           <= TextFns.tokenCount(col("text")))
         .select("doc_id", "lang", "source", "n_chars")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mixed = Sampling.tokenBudgetMix(kept, "lang", "doc_id", "n_chars",
         Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L,
             "fr" -> 6000L, "zh" -> 8000L))
