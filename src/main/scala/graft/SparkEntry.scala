@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.all ++ CleaningQueries.all ++ NnQueries.all ++
       TextQueries.all ++ AnnQueries.all ++ SourceQueries.all ++
       E2eQueries.all ++ ScaleQueries.all ++ JoinQueries.all ++
-      CompositeQueries.all ++ SampleQueries.all ++ CurationQueries.all
+      CompositeQueries.all ++ SampleQueries.all ++ CurationQueries.all ++
+      WebCurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1-shaped: filter → two broadcast dim joins → group-avg → order → limit

@@ -173,6 +173,46 @@ object TextFns {
   def ipv4Count(c: Column): Column =
     size(regexp_extract_all(c, lit(Ipv4Regex), lit(0))).cast("long")
 
+  // ── URL canonicalization (web-corpus curation: dedup keys, host-level
+  //    policy filters and stats all run on the CANONICAL url, or else one
+  //    page counts as many) ────────────────────────────────────────────────
+  //
+  // All pure regex/array expressions in the Java∩RE2 common dialect so an
+  // oracle engine replays byte-identically. The pipeline: lowercase
+  // scheme+host, strip a default port (:80/:443) and a leading 'www.',
+  // drop the fragment, drop tracking query params (utm_*, ref, fbclid,
+  // gclid), sort surviving params.
+
+  /** Lowercased scheme ("https"), '' if the value is not a URL. */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical host: lowercased, default port and leading www. stripped. */
+  def urlHost(u: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(u, "^[^/]*//([^/?#]+)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+
+  /** Path component (case preserved — paths are case-sensitive). */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[^/]*//[^/?#]*([^?#]*)", 1)
+
+  /** Canonical query string: tracking params dropped, the rest sorted;
+    * '' when nothing survives. */
+  def urlQueryCanon(u: Column): Column = {
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z]+|ref|fbclid|gclid)="))
+    array_join(array_sort(params), "&")
+  }
+
+  /** Full canonical URL from the parts above. */
+  def canonicalUrl(u: Column): Column = {
+    val qs = urlQueryCanon(u)
+    concat(urlScheme(u), lit("://"), urlHost(u), urlPath(u),
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   /** Replace every email / phone / IPv4 span with a typed placeholder
     * token. Order matters and is fixed: emails first (their digits must
     * not be re-matched as phones), then phones, then IPs (placeholders

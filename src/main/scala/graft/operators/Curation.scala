@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs between raw
@@ -108,6 +108,154 @@ object Curation {
       .select(col(idCol) +: carried :+ col("chunk_id").cast("long").as("chunk_id") :+
         array_join(col("__c"), " ").as("chunk_text") :+
         size(col("__c")).cast("long").as("n_tokens"): _*)
+  }
+
+  /** C4/CCNet-style boilerplate removal: a line that appears (normalized)
+    * in at least `minDocs` distinct documents is boilerplate — nav menus,
+    * cookie banners, footers — and is stripped from every document.
+    *
+    * Two-pass shape, chosen for 100 TB:
+    *
+    *  1. line → doc-frequency aggregation. Only (normalized-line, doc-id)
+    *     pairs shuffle (map-side `distinct` partials), never documents.
+    *     Survivors are BOUNDED by construction: at most
+    *     total_lines / minDocs lines can each appear in ≥ minDocs docs, so
+    *     the driver collect is a bounded aggregate (same boundary argument
+    *     as [[heavyHitterTokens]]'s candidate set).
+    *  2. per-row array filter against the broadcast boilerplate set — the
+    *     documents themselves never shuffle and are never reassembled
+    *     (no groupBy-collect_list round trip).
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped), line order preserved.
+    * Empty lines are never treated as boilerplate (they are structure, not
+    * content). */
+  def stripBoilerplate(pages: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = pages.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+    val survivors = lines
+      .select(col(idCol), explode(col("__ls")).as("__l"))
+      .select(col(idCol), trim(lower(col("__l"))).as("__norm"))
+      .where(col("__norm") =!= "")
+      .distinct()
+      .groupBy("__norm").agg(count(lit(1)).as("__ndocs"))
+      .where(col("__ndocs") >= minDocs)
+      .select("__norm")
+      .collect().map(_.getString(0)).sorted
+    val blacklist =
+      if (survivors.isEmpty) array().cast("array<string>")
+      else array(survivors.toIndexedSeq.map(lit): _*)
+    // __kept is a multi-use alias on purpose: projection collapse keeps
+    // aliased multi-consumer columns materialized, so the filter runs once
+    lines
+      .select(col(idCol), col("__ls"),
+        filter(col("__ls"), l => !array_contains(blacklist, trim(lower(l)))).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  /** Unigram language-model surprisal per document — the KenLM-quality-
+    * filter step of a training pipeline, in an engine-portable integer
+    * form. The corpus unigram model is add-one smoothed; each token's
+    * surprisal is taken in WHOLE BITS:
+    *
+    *   bits(t) = floor(log2((N + V) / (c(t) + 1)))
+    *           = length(bin((N + V) div (c(t) + 1))) - 1
+    *
+    * — integer division + binary-digit count, so Spark and any oracle
+    * engine agree bit-for-bit (a floating ln() is not correctly rounded
+    * and WOULD diverge across engines; this is within 1 bit of -log2 p,
+    * which is plenty for a keep/drop quality gate). Per-doc totals are
+    * integer sums (order-independent); the single closing division to
+    * bits/token is one exact IEEE op.
+    *
+    * Scale shape: the vocabulary is capped at the `maxVocab` most frequent
+    * terms (rank-limit idiom); everything rarer scores as an unseen token
+    * (c = 0). The capped vocab broadcasts; the token stream joins it
+    * map-side and aggregates per doc with map-side combine — documents
+    * never shuffle, only (id, partial-sum) pairs. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       maxVocab: Int = 100000): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(lower(col(textCol)))).as("__t"))
+    val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val vocab = counts
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__c").desc, col("__t"))))
+      .where(col("__r") <= maxVocab).drop("__r")
+    // N and V are model constants: FULL corpus totals (not vocab-capped),
+    // so the smoothing denominator doesn't move when maxVocab changes
+    val totals = counts.agg(
+      sum("__c").cast("long").as("__n"), count(lit(1)).cast("long").as("__v"))
+    val bits = length(bin(
+      floor((col("__n") + col("__v")) / (coalesce(col("__c"), lit(0L)) + lit(1)))
+        .cast("long"))) - lit(1)
+    toks
+      .join(broadcast(vocab), Seq("__t"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), bits.cast("long").as("__bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__bits").as("surprisal_bits"))
+      .select(col(idCol), col("n_tokens"), col("surprisal_bits"),
+        (col("surprisal_bits").cast("double") / col("n_tokens")).as("bits_per_token"))
+  }
+
+  /** fastText-style linear quality classifier over hashed token features —
+    * the model-based keep/drop filter of a curation pipeline, reduced to
+    * its engine-portable core. Each token hashes to a feature id in
+    * [0, dim) (first-8-md5-hex-chars bucket — the repo's portable hash);
+    * the classifier weight for feature f is the fixed integer
+    *
+    *   w(f) = (f · 2654435761) mod 20001 − 10000   ∈ [−10000, 10000]
+    *
+    * (a Knuth-multiplicative pseudo-weight standing in for trained
+    * weights, so the oracle can replay scoring exactly; swap `weightOf`
+    * for a broadcast weight-table join when a real model ships). The doc
+    * score is the integer sum of token weights — order-independent, so
+    * hash-stable — and the decision is score > threshold.
+    *
+    * Scale shape: ONE per-row array-aggregate expression, zero shuffle,
+    * zero model table — the whole classifier lives inside the scan's
+    * projection (the reason fastText-style filters are the ones that
+    * actually run at 100 TB). */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 4096, thresholdQ: Long = 0L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    def weightOf(t: Column): Column =
+      (Sampling.hashBucket(t, dim) * lit(2654435761L)) % 20001 - 10000
+    val toksCol = TextFns.tokens(lower(col(textCol)))
+    docs
+      .select(col(idCol), toksCol.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        aggregate(col("__ws"), lit(0L), (acc, t) => acc + weightOf(t))
+          .as("score_q"))
+      .select(col(idCol), col("n_tokens"), col("score_q"),
+        when(col("score_q") > thresholdQ, lit("keep")).otherwise(lit("drop"))
+          .as("decision"))
+  }
+
+  /** URL canonicalization + host-level policy: every crawl row gets its
+    * canonical URL ([[TextFns.canonicalUrl]] — dedup keys and host stats
+    * must run on the canonical form or one page counts as many) and a
+    * keep/block decision against a host blocklist. The blocklist is a
+    * literal array (policy lists are small and ship with the job); the
+    * whole operator is scan-side expressions — zero shuffle, zero join.
+    * Output: (idCol, canon_url, host, decision). */
+  def urlPolicyFilter(df: DataFrame, idCol: String, urlCol: String,
+                      blockedHosts: Seq[String]): DataFrame = {
+    val blocked =
+      if (blockedHosts.isEmpty) array().cast("array<string>")
+      else array(blockedHosts.map(lit): _*)
+    df.select(col(idCol),
+        TextFns.canonicalUrl(col(urlCol)).as("canon_url"),
+        TextFns.urlHost(col(urlCol)).as("host"))
+      .select(col(idCol), col("canon_url"), col("host"),
+        when(array_contains(blocked, col("host")), lit("block"))
+          .otherwise(lit("keep")).as("decision"))
   }
 
   /** Corpus-level heavy-hitter tokens: every token with frequency

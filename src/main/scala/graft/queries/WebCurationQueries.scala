@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sql
+import graft.functions.TextFns
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation wave (engine-added, builder brief): the document
+  * transforms a crawl pipeline applies between fetch and training-mix —
+  * boilerplate-line removal, LM-surprisal quality scoring, model-based
+  * keep/drop filtering, and URL canonicalization. Structure the synthetic
+  * word-soup documents lack (lines, URLs) is planted identically on both
+  * engines, so the oracle checks the operator, not the fixture (the
+  * q_text_pii discipline).
+  */
+object WebCurationQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── C4/CCNet boilerplate removal: pages are the docs re-lined every 12
+    //    tokens, with a nav header planted on doc_id%4 and a footer on
+    //    doc_id%3; any normalized line shared by ≥60 docs is stripped.
+    //    (Organic 12-token lines are effectively unique; short tail lines
+    //    that do repeat corpus-wide are boilerplate by the definition.)
+    sql("q_clean_boilerplate",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |pages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Home | About | Contact' || chr(10) ELSE '' END
+        |    || array_to_string(list_transform(range(1, len(w) + 1, 12),
+        |         s -> array_to_string(w[s:s+11], ' ')), chr(10))
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN chr(10) || 'Follow us on social media | Terms of Service'
+        |            ELSE '' END AS t
+        |  FROM w),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pages),
+        |ln AS (SELECT DISTINCT doc_id, trim(lower(l)) AS norm
+        |       FROM (SELECT doc_id, unnest(ls) AS l FROM ls)
+        |       WHERE trim(lower(l)) <> ''),
+        |bl AS (SELECT COALESCE(list(norm ORDER BY norm), CAST([] AS VARCHAR[])) AS b
+        |       FROM (SELECT norm FROM ln GROUP BY norm HAVING COUNT(*) >= 60)),
+        |k AS (SELECT doc_id, ls,
+        |        list_filter(ls, x -> NOT list_contains(b, trim(lower(x)))) AS kept
+        |      FROM ls CROSS JOIN bl)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 4 === 0, lit("Home | About | Contact\n"))
+            .otherwise(lit("")),
+          array_join(transform(sequence(lit(1), size(col("__w")), lit(12)),
+            i => array_join(slice(col("__w"), i, lit(12)), " ")), "\n"),
+          when(col("doc_id") % 3 === 0,
+              lit("\nFollow us on social media | Terms of Service"))
+            .otherwise(lit(""))).as("page"))
+      Curation.stripBoilerplate(pages, "doc_id", "page", minDocs = 60)
+        .orderBy("doc_id")
+    },
+
+    // ── unigram-LM surprisal (KenLM-filter stand-in): add-one-smoothed
+    //    corpus unigram model, per-token surprisal in whole bits via
+    //    integer div + bin-length (engine-portable — a floating ln() is
+    //    not), vocab capped at the 1000 most frequent terms
+    sql("q_text_surprisal",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |v AS (SELECT tok, c FROM (
+        |        SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM c)
+        |      WHERE r <= 1000),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |b AS (SELECT doc_id,
+        |        length(bin((n + v) // (COALESCE(c, 0) + 1))) - 1 AS bits
+        |      FROM t LEFT JOIN v USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+        |       CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_token
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.unigramSurprisal(Tables.documents(s, d), "doc_id", "text",
+          maxVocab = 1000)
+        .orderBy("doc_id")
+    },
+
+    // ── hashed-feature linear classifier (fastText-style keep/drop):
+    //    md5-bucket feature ids, fixed Knuth-multiplicative integer
+    //    weights, integer score sum — one scan-side expression
+    sql("q_text_classifier",
+      """WITH s AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ts, x ->
+        |      ((CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 4096)
+        |        * 2654435761) % 20001 - 10000)) AS BIGINT) AS score_q
+        |  FROM s)
+        |SELECT doc_id, n_tokens, score_q,
+        |       CASE WHEN score_q > 0 THEN 'keep' ELSE 'drop' END AS decision
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+          dim = 4096, thresholdQ = 0L)
+        .orderBy("doc_id")
+    },
+
+    // ── URL canonicalization + host blocklist: planted URLs exercise every
+    //    rule — uppercase scheme/host, www., default ports, tracking
+    //    params, unsorted params, fragments
+    sql("q_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+        |    || source
+        |    || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:443' ELSE '.example.com:80' END
+        |    || '/Listing/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=tw&b=2'
+        |            WHEN doc_id % 3 = 1 THEN '?z=1&a=2' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[^/]*//([^/?#]+)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') AS host,
+        |  regexp_extract(url, '^[^/]*//[^/?#]*([^?#]*)', 1) AS path,
+        |  array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|ref|fbclid|gclid)='))),
+        |    '&') AS qs
+        |  FROM u)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path
+        |    || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url,
+        |  host,
+        |  CASE WHEN host IN ('src3.example.com', 'src7.example.com')
+        |       THEN 'block' ELSE 'keep' END AS decision
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val withUrl = Tables.documents(s, d).select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".Example.COM:443"))
+          .otherwise(lit(".example.com:80")),
+        lit("/Listing/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+              lit("&ref=tw&b=2")))
+          .when(col("doc_id") % 3 === 1, lit("?z=1&a=2"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+      Curation.urlPolicyFilter(withUrl, "doc_id", "url",
+          Seq("src3.example.com", "src7.example.com"))
+        .orderBy("doc_id")
+    }
+  )
+}

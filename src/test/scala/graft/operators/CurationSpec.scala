@@ -167,4 +167,112 @@ class CurationSpec extends SparkSpec {
     assert("split\\(".r.findAllIn(plan).size <= 1, plan.take(2000))
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  // ── boilerplate removal ─────────────────────────────────────────────
+
+  test("stripBoilerplate drops corpus-frequent lines, keeps order and uniques") {
+    val footer = "Follow us | Terms"
+    val docs = (1L to 10L).map { i =>
+      (i, s"unique lead $i\n$footer\nunique tail $i")
+    } :+ (11L, "no footer here\nanother line")
+    val out = Curation.stripBoilerplate(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(3L) == (("unique lead 3\nunique tail 3", 2L, 1L)))
+    assert(out(11L) == (("no footer here\nanother line", 2L, 0L)))
+    // normalized matching: case/whitespace variants of the footer count as
+    // the same line
+    val varied = ((1L to 10L).map { i =>
+      (i, s"unique lead $i\n  ${footer.toUpperCase}  \nunique tail $i")
+    } :+ (11L, footer)).toDF("doc_id", "text")
+    val v = Curation.stripBoilerplate(varied, "doc_id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(2L) == "unique lead 2\nunique tail 2")
+    assert(v(11L) == "")
+  }
+
+  test("stripBoilerplate: empty lines are structure, never boilerplate") {
+    val docs = (1L to 6L).map(i => (i, s"a $i\n\nb $i")).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a 1\n\nb 1")
+  }
+
+  // ── unigram surprisal ───────────────────────────────────────────────
+
+  test("unigramSurprisal: rare tokens cost more bits; totals are exact") {
+    // corpus: 'the' x9 + 'rarity' x1 -> N=10, V=2
+    val docs = (1L to 3L).map(i => (i, "the the the")).toList :+
+      (4L, "rarity")
+    val out = Curation.unigramSurprisal(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 'the': floor(log2(12 div 10)) = 0 bits; 'rarity': floor(log2(12 div 2)) = 2
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 2L, 2.0)))
+  }
+
+  test("unigramSurprisal: out-of-vocab tokens score as unseen (c=0)") {
+    // maxVocab=1: only the most frequent term is in-vocab; 'z' goes OOV
+    // N=5, V=2; in-vocab 'a' (c=4): floor(log2(7 div 5)) = 0;
+    // OOV 'z': floor(log2(7 div 1)) = 2
+    val docs = Seq((1L, "a a a a"), (2L, "z")).toDF("doc_id", "text")
+    val out = Curation.unigramSurprisal(docs, "doc_id", "text", maxVocab = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 2L)
+  }
+
+  // ── hashed linear classifier ────────────────────────────────────────
+
+  test("hashedLinearScore: scores are exact token-weight sums, scan-only plan") {
+    def w(t: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val f = java.lang.Long.parseLong(md5.take(8), 16) % 4096
+      (f * 2654435761L) % 20001 - 10000
+    }
+    val docs = Seq((1L, "alpha beta beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val out = Curation.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val s1 = w("alpha") + 2 * w("beta")
+    assert(out(1L) == ((3L, s1, if (s1 > 0) "keep" else "drop")))
+    assert(out(2L)._2 == w("gamma"))
+    // the whole classifier is one scan-side projection: no shuffle
+    val plan = Curation.hashedLinearScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  // ── URL canonicalization ────────────────────────────────────────────
+
+  test("canonicalUrl: scheme/host case, ports, www, tracking params, fragments") {
+    val cases = Seq(
+      ("HTTPS://WWW.News.Example.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+        "https://news.example.com/A/b?a=2&z=1"),
+      ("http://example.com:80/", "http://example.com/"),
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // non-default port kept
+      ("https://example.com/p?ref=tw&fbclid=abc", "https://example.com/p"),
+      ("https://example.com", "https://example.com"))
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val got = df.select(col("id"), TextFns.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want, s"case $i")
+    }
+  }
+
+  test("urlPolicyFilter blocks canonical-host matches only") {
+    val df = Seq(
+      (1L, "https://WWW.Bad.example.com/x"),
+      (2L, "https://good.example.com/x")).toDF("doc_id", "url")
+    val out = Curation.urlPolicyFilter(df, "doc_id", "url",
+        Seq("bad.example.com"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "block", 2L -> "keep"))
+  }
 }
