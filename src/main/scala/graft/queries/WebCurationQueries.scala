@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
 import graft.functions.TextFns
-import graft.operators.Curation
+import graft.operators.{Curation, Graph}
 import org.apache.spark.sql.functions._
 
 /** Web-corpus curation wave (engine-added, builder brief): the document
@@ -16,7 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object WebCurationQueries {
 
+  /** One integer-PageRank oracle iteration (d = dangling share, c = in-link
+    * contributions, r = new ranks) — mirrors Graph.pageRank step for step. */
+  private def prIter(i: Int, prev: String): String = s"""
+    |d$i AS (SELECT CAST(COALESCE(SUM(rank_q), 0) AS BIGINT) // (SELECT n FROM nn) AS ds
+    |       FROM $prev WHERE node NOT IN (SELECT src FROM odeg)),
+    |c$i AS (SELECT e.dst AS node, CAST(SUM($prev.rank_q // odeg.odeg) AS BIGINT) AS insum
+    |       FROM $prev JOIN e ON $prev.node = e.src JOIN odeg ON e.src = odeg.src GROUP BY 1),
+    |r$i AS (SELECT nodes.node,
+    |         (15 * CAST(1000000000 AS BIGINT) // 100) // (SELECT n FROM nn)
+    |         + (85 * (COALESCE(c$i.insum, 0) + (SELECT ds FROM d$i))) // 100 AS rank_q
+    |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+
+    // ── integer-quantized PageRank, 3 iterations over a planted link graph
+    //    (3 out-links per non-dangling doc; doc_id%10=9 docs are dangling).
+    //    Fixed-point arithmetic makes the iteration engine-exact — a
+    //    floating PageRank could never hash-match an oracle.
+    sql("q_graph_pagerank",
+      s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + j * 101) % (SELECT n FROM nn) AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+         |      WHERE doc_id % 10 <> 9),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank_q FROM nodes),
+         |${prIter(1, "r0")},${prIter(2, "r1")},${prIter(3, "r2")}
+         |SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r3
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 101) % n).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
+    },
 
     // ── C4/CCNet boilerplate removal: pages are the docs re-lined every 12
     //    tokens, with a nav header planted on doc_id%4 and a footer on

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Behavior specs for the integer-quantized PageRank: exact agreement with
+  * an in-memory reference iteration, dangling-mass handling, and
+  * partitioning invariance (the property the integer arithmetic buys).
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** In-memory replica of the operator's integer iteration. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scaleQ: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val baseQ = (15L * scaleQ / 100L) / n
+    var rank = nodes.map(_ -> scaleQ / n).toMap
+    for (_ <- 1 to iters) {
+      val danglingShare =
+        nodes.filterNot(odeg.contains).map(rank).sum / n
+      val in = edges
+        .map { case (s, d) => d -> rank(s) / odeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = nodes.map(v =>
+        v -> (baseQ + 85L * (in.getOrElse(v, 0L) + danglingShare) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the integer reference on a hand graph") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (10L, 0L))
+    // node 10 has no in-links; nodes 0,2 are hubs; no dangling here
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 4))
+    // hubs outrank the un-linked node
+    assert(got(0L) > got(10L) && got(2L) > got(10L))
+  }
+
+  test("pageRank redistributes dangling mass and conserves total within rounding") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)) // 3 is dangling
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 3))
+    // mass conservation: total stays within iters·(n + outdeg-rounding) units
+    val total = got.values.sum
+    assert(math.abs(total - 1000000000L) < 1000L, s"total=$total")
+  }
+
+  test("pageRank is partitioning-invariant (integer arithmetic, no float drift)") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 200), (i, (i * 13 + 5) % 200)))
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df17 = edges.toDF("src", "dst").repartition(17)
+    val r1 = Graph.pageRank(df1, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r17 = Graph.pageRank(df17, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r17)
+  }
+}
