@@ -115,6 +115,17 @@ object TextFns {
     coalesce(counts, lit("und"))
   }
 
+  /** Unicode normalization (default NFC) via the native
+    * [[graft.plans.NormalizeUnicode]] expression — run it scan-side ahead
+    * of any exact text op (fingerprints, token counts, phrase search, PII
+    * regexes): composed vs decomposed encodings of the same text otherwise
+    * miss every exact match. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("normalize_unicode", c, lit(form))
+  }
+
   /** Document fingerprint: md5 over whitespace-collapsed lowercase text —
     * the exact-dedup key (reference dedups raw rows; at 100 TB a 16-byte
     * digest groups without shuffling full documents). */

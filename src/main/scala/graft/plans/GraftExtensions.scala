@@ -24,6 +24,12 @@ object GraftExtensions {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def literalString(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $other")
+  }
+
   private val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("quantized_dot"),
@@ -46,7 +52,11 @@ object GraftExtensions {
     (FunctionIdentifier("lsh_bucket_array"),
       new ExpressionInfo(classOf[LshBucketArray].getName, "lsh_bucket_array"),
       (children: Seq[Expression]) =>
-        LshBucketArray(children(0), children(1), children(2))))
+        LshBucketArray(children(0), children(1), children(2))),
+    (FunctionIdentifier("normalize_unicode"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "normalize_unicode"),
+      (children: Seq[Expression]) =>
+        NormalizeUnicode(children(0), literalString(children(1), "normalize_unicode"))))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

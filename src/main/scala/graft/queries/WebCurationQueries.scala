@@ -54,6 +54,34 @@ object WebCurationQueries {
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
     },
 
+    // ── Unicode NFC normalization (native normalize_unicode expression):
+    //    docs planted with decomposed (e+U+0301) and precomposed (é)
+    //    suffixes; NFC makes them byte-identical, byte counts prove the
+    //    recomposition happened
+    sql("q_clean_nfc",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've deja' || chr(768) || ' vu'
+        |                 WHEN doc_id % 5 = 1 THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+        |                 ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm_text,
+        |       CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes_raw,
+        |       CAST(octet_length(encode(nfc_normalize(t))) AS BIGINT) AS n_bytes_norm
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+            lit(" café naïve dejà vu"))
+          .when(col("doc_id") % 5 === 1, lit(" café naïve"))
+          .otherwise(lit(""))).as("t"))
+      planted.select(col("doc_id"),
+          TextFns.normalizeUnicode(col("t")).as("norm_text"),
+          TextFns.byteLength(col("t")).as("n_bytes_raw"),
+          TextFns.byteLength(TextFns.normalizeUnicode(col("t"))).as("n_bytes_norm"))
+        .orderBy("doc_id")
+    },
+
     // ── C4/CCNet boilerplate removal: pages are the docs re-lined every 12
     //    tokens, with a nav header planted on doc_id%4 and a footer on
     //    doc_id%3; any normalized line shared by ≥60 docs is stripped.
