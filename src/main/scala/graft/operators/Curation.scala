@@ -156,6 +156,52 @@ object Curation {
         (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
+  /** C4-style global line dedup: every duplicated (normalized) line keeps
+    * exactly its FIRST occurrence — ordered by (doc, position) — and loses
+    * every other copy, corpus-wide. The complement of
+    * [[stripBoilerplate]]: that drops ALL copies of corpus-frequent lines;
+    * this keeps one copy of anything duplicated (C4 §2.2 does both).
+    *
+    * Shape: explode → min(struct(doc, pos)) per line — a HASH aggregate
+    * whose map-side partials collapse duplicate-heavy corpora before the
+    * shuffle (a window row_number would shuffle-and-SORT every line) —
+    * then an equi-join back on the line key and a per-doc reassembly.
+    * Three hash shuffles, no sort, no driver state; the winner table is
+    * |distinct lines|, not |lines|. Empty lines are structure, not
+    * content: always kept, never deduped.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped), line order preserved;
+    * a document whose every line loses comes back with clean_text = ''. */
+  def dedupLinesKeepFirst(pages: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val lines = pages
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__id"), col("__pos"), col("__line"),
+        trim(lower(col("__line"))).as("__norm"))
+    val winners = lines.where(col("__norm") =!= "")
+      .groupBy("__norm")
+      .agg(min(struct(col("__id").as("wid"), col("__pos").as("wpos"))).as("__w"))
+    val kept = lines
+      .join(winners, Seq("__norm"), "left")
+      .where(col("__norm") === "" ||
+        (col("__w.wid") === col("__id") && col("__w.wpos") === col("__pos")))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__k"))
+      .select(col("__id"),
+        array_join(transform(col("__k"), x => x.getField("__line")), "\n")
+          .as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept"))
+    pages
+      .select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("__total"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Unigram language-model surprisal per document — the KenLM-quality-
     * filter step of a training pipeline, in an engine-portable integer
     * form. The corpus unigram model is add-one smoothed; each token's

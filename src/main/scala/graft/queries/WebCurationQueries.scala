@@ -126,6 +126,48 @@ object WebCurationQueries {
         .orderBy("doc_id")
     },
 
+    // ── C4 global line dedup: duplicated lines keep their first (doc, pos)
+    //    occurrence only. Planted 'Shared quote block k' lines (k = doc%3,
+    //    on doc_id%5) duplicate across ~30 docs; organic repeated tail
+    //    lines dedup identically on both engines.
+    sql("q_dedup_lines",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |pages AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(w) + 1, 12),
+        |      s -> array_to_string(w[s:s+11], ' ')), chr(10))
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN chr(10) || 'Shared quote block ' || CAST(doc_id % 3 AS VARCHAR)
+        |            ELSE '' END AS t
+        |  FROM w),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pages),
+        |ln AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line FROM ls),
+        |r AS (SELECT doc_id, pos, line,
+        |        CASE WHEN trim(lower(line)) = '' THEN 1
+        |             ELSE row_number() OVER (PARTITION BY trim(lower(line))
+        |                                     ORDER BY doc_id, pos) END AS rn
+        |      FROM ln),
+        |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |             CAST(COUNT(*) AS BIGINT) AS n_kept
+        |      FROM r WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS total FROM ls)
+        |SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |       COALESCE(k.n_kept, 0) AS n_kept,
+        |       t.total - COALESCE(k.n_kept, 0) AS n_dropped
+        |FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), concat(
+          array_join(transform(sequence(lit(1), size(col("__w")), lit(12)),
+            i => array_join(slice(col("__w"), i, lit(12)), " ")), "\n"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("\nShared quote block "), (col("doc_id") % 3).cast("string")))
+            .otherwise(lit(""))).as("page"))
+      Curation.dedupLinesKeepFirst(pages, "doc_id", "page")
+        .orderBy("doc_id")
+    },
+
     // ── unigram-LM surprisal (KenLM-filter stand-in): add-one-smoothed
     //    corpus unigram model, per-token surprisal in whole bits via
     //    integer div + bin-length (engine-portable — a floating ln() is
@@ -170,6 +212,88 @@ object WebCurationQueries {
       Curation.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
           dim = 4096, thresholdQ = 0L)
         .orderBy("doc_id")
+    },
+
+    // ── q06 flagship: the web-curation chain end-to-end — NFC normalize →
+    //    corpus-frequency boilerplate strip → hashed-classifier keep/drop →
+    //    per-source corpus accounting. The planted café lines arrive half
+    //    decomposed, half precomposed: identical accounting on both engines
+    //    PROVES the NFC stage (the classifier hashes the bytes).
+    sql("q06_web_curation",
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pages AS (
+        |  SELECT doc_id, source, nfc_normalize(
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Home | About | Contact' || chr(10) ELSE '' END
+        |    || array_to_string(list_transform(range(1, len(w) + 1, 12),
+        |         s -> array_to_string(w[s:s+11], ' ')), chr(10))
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN chr(10) || 'Follow us on social media | Terms of Service'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN chr(10) || 'visit cafe' || chr(769) || ' branch ' || CAST(doc_id AS VARCHAR)
+        |            ELSE chr(10) || 'visit caf' || chr(233) || ' branch ' || CAST(doc_id AS VARCHAR)
+        |       END) AS t
+        |  FROM w),
+        |ls AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM pages),
+        |ln AS (SELECT DISTINCT doc_id, trim(lower(l)) AS norm
+        |       FROM (SELECT doc_id, unnest(ls) AS l FROM ls)
+        |       WHERE trim(lower(l)) <> ''),
+        |bl AS (SELECT COALESCE(list(norm ORDER BY norm), CAST([] AS VARCHAR[])) AS b
+        |       FROM (SELECT norm FROM ln GROUP BY norm HAVING COUNT(*) >= 60)),
+        |k AS (SELECT doc_id, source,
+        |        array_to_string(list_filter(ls, x -> NOT list_contains(b, trim(lower(x)))),
+        |          chr(10)) AS clean_text
+        |      FROM ls CROSS JOIN bl),
+        |dec AS (SELECT doc_id, source,
+        |          CAST(len(ts) AS BIGINT) AS n_tokens,
+        |          CAST(list_sum(list_transform(ts, x ->
+        |            ((CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 4096)
+        |              * 2654435761) % 20001 - 10000)) AS BIGINT) AS score_q,
+        |          CAST(octet_length(encode(clean_text)) AS BIGINT) AS n_bytes
+        |        FROM (SELECT doc_id, source, clean_text,
+        |                regexp_split_to_array(trim(lower(clean_text)), '\s+') AS ts
+        |              FROM k))
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE score_q > 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(n_tokens) FILTER (WHERE score_q > 0), 0) AS BIGINT) AS tokens_kept,
+        |  CAST(COALESCE(SUM(n_bytes) FILTER (WHERE score_q > 0), 0) AS BIGINT) AS bytes_kept
+        |FROM dec GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pages = docs
+        .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("source"), concat(
+          when(col("doc_id") % 4 === 0, lit("Home | About | Contact\n"))
+            .otherwise(lit("")),
+          array_join(transform(sequence(lit(1), size(col("__w")), lit(12)),
+            i => array_join(slice(col("__w"), i, lit(12)), " ")), "\n"),
+          when(col("doc_id") % 3 === 0,
+              lit("\nFollow us on social media | Terms of Service"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, // decomposed e + U+0301
+              concat(lit("\nvisit café branch "), col("doc_id").cast("string")))
+            .otherwise( // precomposed é
+              concat(lit("\nvisit café branch "), col("doc_id").cast("string"))))
+          .as("raw"))
+        .select(col("doc_id"), col("source"),
+          TextFns.normalizeUnicode(col("raw")).as("page"))
+      val clean = Curation.stripBoilerplate(pages, "doc_id", "page", minDocs = 60)
+      val scored = Curation.hashedLinearScore(
+        clean.select(col("doc_id"), col("clean_text")), "doc_id", "clean_text")
+      scored
+        .join(clean.select(col("doc_id"),
+          TextFns.byteLength(col("clean_text")).as("n_bytes")), "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("decision") === "keep", 1)).as("n_kept"),
+          coalesce(sum(when(col("decision") === "keep", col("n_tokens"))), lit(0L))
+            .as("tokens_kept"),
+          coalesce(sum(when(col("decision") === "keep", col("n_bytes"))), lit(0L))
+            .as("bytes_kept"))
+        .orderBy("source")
     },
 
     // ── URL canonicalization + host blocklist: planted URLs exercise every

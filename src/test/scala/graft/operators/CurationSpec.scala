@@ -199,6 +199,35 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == "a 1\n\nb 1")
   }
 
+  // ── global line dedup (keep-first) ──────────────────────────────────
+
+  test("dedupLinesKeepFirst keeps exactly the first (doc,pos) occurrence") {
+    val docs = Seq(
+      (1L, "alpha\nshared quote\nbeta"),
+      (2L, "shared quote\ngamma"),
+      (3L, "delta\nSHARED QUOTE"), // normalized match, case differs
+      (4L, "shared quote")         // loses its only line
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha\nshared quote\nbeta", 3L, 0L)))
+    assert(out(2L) == (("gamma", 1L, 1L)))
+    assert(out(3L) == (("delta", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
+  test("dedupLinesKeepFirst: within-doc repeats dedup too; empty lines survive") {
+    val docs = Seq(
+      (1L, "x\n\nx\n\ny"),
+      (2L, "unrelated")).toDF("doc_id", "text")
+    val out = Curation.dedupLinesKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // second 'x' dropped, both empty lines kept as structure
+    assert(out(1L) == "x\n\n\ny")
+    assert(out(2L) == "unrelated")
+  }
+
   // ── unigram surprisal ───────────────────────────────────────────────
 
   test("unigramSurprisal: rare tokens cost more bits; totals are exact") {
