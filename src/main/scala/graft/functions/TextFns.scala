@@ -126,6 +126,35 @@ object TextFns {
     call_function("normalize_unicode", c, lit(form))
   }
 
+  // ── script / writing-system detection (pairs with langId: langId reads
+  //    marker WORDS, these read CHARACTER ranges — the only signal when
+  //    the vocabulary is open) ────────────────────────────────────────────
+
+  /** Characters matched per script, as (name, regex char class) in the
+    * Java∩RE2 dialect (\x{...} ranges work in both). Priority order is the
+    * deterministic tie-break for [[dominantScript]]. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]")
+
+  def scriptCount(c: Column, clazz: String): Column =
+    size(regexp_extract_all(c, lit(clazz), lit(0))).cast("long")
+
+  /** Highest-count script wins; ties break in ScriptClasses order; no
+    * script characters at all → 'und'. Takes ALREADY-MATERIALIZED count
+    * columns (project [[scriptCount]]s into named columns first, then call
+    * this on the attributes): inlining the count trees here would re-run
+    * every regex once per when-branch after projection collapse — the
+    * langId 56-second lesson. */
+  def dominantScriptFrom(counts: Seq[(String, Column)]): Column = {
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    counts.foldLeft(when(best === 0, lit("und"))) {
+      case (w, (n, cnt)) => w.when(cnt === best, lit(n))
+    }.otherwise(lit("und"))
+  }
+
   /** Document fingerprint: md5 over whitespace-collapsed lowercase text —
     * the exact-dedup key (reference dedups raw rows; at 100 TB a 16-byte
     * digest groups without shuffling full documents). */
@@ -183,6 +212,50 @@ object TextFns {
     size(regexp_extract_all(c, lit(PhoneRegex), lit(0))).cast("long")
   def ipv4Count(c: Column): Column =
     size(regexp_extract_all(c, lit(Ipv4Regex), lit(0))).cast("long")
+
+  // ── HTML → text extraction (the step between a raw crawl and every
+  //    text op above; regex-pipeline form in the Java∩RE2 common dialect
+  //    so an oracle engine replays byte-identically) ─────────────────────
+
+  /** Main-content text from raw HTML:
+    *
+    *  1. drop <script>/<style> blocks wholesale (code is not content);
+    *  2. turn block-closing tags (p, div, li, h1-h6, br, tr) into
+    *     newlines so paragraph structure survives for the line-based
+    *     curation ops;
+    *  3. strip every remaining tag;
+    *  4. decode the five XML entities + &nbsp;  (&amp; LAST — decoding it
+    *     first would re-interpret '&amp;lt;' as a tag opener);
+    *  5. collapse runs of spaces/tabs and of newlines, trim.
+    *
+    * Pure chained regexes: codegen-friendly, scan-side, no parser state.
+    * (A DOM parser is more faithful on pathological HTML; for corpus
+    * curation the regex pipeline is the standard cost/fidelity trade —
+    * and the only engine-portable one.) */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val blocks = regexp_replace(noScript,
+      "(?i)<(/p|/div|/li|/h[1-6]|/tr|br\\s*/?)>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&nbsp;", " "),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    // trim() strips only spaces — the trailing '</body></html>' leaves a
+    // trailing newline, so strip all boundary whitespace by regex
+    regexp_replace(
+      regexp_replace(regexp_replace(entities, "[ \\t]+", " "),
+        "\\s*\\n\\s*", "\n"),
+      "^\\s+|\\s+$", "")
+  }
 
   // ── URL canonicalization (web-corpus curation: dedup keys, host-level
   //    policy filters and stats all run on the CANONICAL url, or else one

@@ -437,4 +437,30 @@ object Similarity {
       .distinct()
     corpus.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Quantized mean-pooling: chunk embeddings → one parent embedding per
+    * `groupCol` (doc from its chunks, doc from its frames — the step that
+    * turns a chunk-level index into a doc-level one). Elements quantize to
+    * floor(x·10⁶) longs FIRST (the QuantizedDot discipline), so per-
+    * dimension sums are order-independent and the pooled vector is
+    * hash-stable across engines and partitionings; mean_q is one integer
+    * division.
+    *
+    * Output is the exploded form (group, dim, n_vecs, sum_q, mean_q) —
+    * one row per dimension. Scale shape: posexplode → hash aggregate on
+    * (group, dim); map-side combine collapses each group's chunks before
+    * the shuffle, and no row ever carries more than 16 bytes of state.
+    * (`array_agg(... ORDER BY dim)` back into vectors is one more
+    * hash-free projection if a consumer needs arrays; comparisons and
+    * oracles want the exploded form.) */
+  def meanPoolQuantized(chunks: DataFrame, groupCol: String,
+                        vecCol: String): DataFrame = {
+    chunks
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("__x").cast("double") * 1000000.0d).cast("long")).as("sum_q"))
+      .select(col(groupCol), col("dim"), col("n_vecs"),
+        col("sum_q"), expr("sum_q div n_vecs").as("mean_q"))
+  }
 }

@@ -127,6 +127,25 @@ object AnnQueries {
           .withColumn("vec_id", col("vec_id") + 100000))
       Similarity.semanticDedup(corpus, tauQ = 900000000000L)
         .orderBy("vec_id")
+    },
+
+    // ── quantized mean-pooling: chunk embeddings (4 per parent doc) pooled
+    //    to doc embeddings; quantize-then-sum makes the per-dimension
+    //    aggregation order-independent, so the pooled vectors hash-match
+    sql("q_embed_pool",
+      """WITH c AS (SELECT vec_id // 4 AS doc_id, embedding AS e FROM embeddings),
+        |x AS (SELECT doc_id, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS v FROM c),
+        |a AS (SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+        |        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |        CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
+        |      FROM x GROUP BY 1, 2)
+        |SELECT doc_id, dim, n_vecs, sum_q, sum_q // n_vecs AS mean_q
+        |FROM a ORDER BY doc_id, dim""".stripMargin) { (s, d) =>
+      Similarity.meanPoolQuantized(
+          Tables.embeddings(s, d)
+            .select(expr("vec_id div 4").as("doc_id"), col("embedding")),
+          "doc_id", "embedding")
+        .orderBy("doc_id", "dim")
     }
   )
 }

@@ -214,6 +214,101 @@ object WebCurationQueries {
         .orderBy("doc_id")
     },
 
+    // ── HTML → text extraction: docs wrapped in an HTML scaffold with
+    //    script/style blocks, block tags, and entities planted; the regex
+    //    pipeline (drop script/style → block tags to newlines → strip tags
+    //    → decode entities → collapse whitespace) must match byte-for-byte
+    sql("q_text_html_extract",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>body { color: red; }</style></head><body>'
+        |    || '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>'
+        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |    || '<p>' || text || '</p>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</div>'
+        |            ELSE '' END
+        |    || '<ul><li>alpha</li><li>beta</li></ul></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |            '(?i)<(/p|/div|/li|/h[1-6]|/tr|br\s*/?)>', chr(10), 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '[ ' || chr(9) || ']+', ' ', 'g'),
+        |    '\s*' || chr(10) || '\s*', chr(10), 'g'),
+        |    '^\s+|\s+$', '', 'g') AS text_out
+        |  FROM h)
+        |SELECT doc_id, text_out,
+        |       CAST(len(string_split(text_out, chr(10))) AS BIGINT) AS n_lines
+        |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body { color: red; }</style></head><body>"),
+        lit("<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+            lit("<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</div>"))
+          .otherwise(lit("")),
+        lit("<ul><li>alpha</li><li>beta</li></ul></body></html>")).as("html"))
+      html.select(col("doc_id"),
+          TextFns.htmlToText(col("html")).as("text_out"))
+        .select(col("doc_id"), col("text_out"),
+          size(split(col("text_out"), "\n")).cast("long").as("n_lines"))
+        .orderBy("doc_id")
+    },
+
+    // ── script detection: per-script character counts (unicode ranges, the
+    //    signal langId's marker words can't give on open vocabulary) +
+    //    dominant script; CJK/Cyrillic/Arabic content planted by doc_id mod
+    sql("q_text_scripts",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' 数据处理引擎'
+        |                 WHEN doc_id % 7 = 1 THEN ' обработка данных'
+        |                 WHEN doc_id % 7 = 2 THEN ' معالجة البيانات'
+        |                 ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS BIGINT) AS n_cjk,
+        |  CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic
+        |  FROM t)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+        |  CASE WHEN greatest(n_latin, n_cjk, n_cyrillic, n_arabic) = 0 THEN 'und'
+        |       WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic, n_arabic) THEN 'latin'
+        |       WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic, n_arabic) THEN 'cjk'
+        |       WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic, n_arabic) THEN 'cyrillic'
+        |       ELSE 'arabic' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" 数据处理引擎"))
+          .when(col("doc_id") % 7 === 1, lit(" обработка данных"))
+          .when(col("doc_id") % 7 === 2, lit(" معالجة البيانات"))
+          .otherwise(lit(""))).as("t"))
+      val counted = planted.select(col("doc_id") +:
+        TextFns.ScriptClasses.map { case (n, cl) =>
+          TextFns.scriptCount(col("t"), cl).as(s"n_$n")
+        }: _*)
+      counted.select(col("doc_id"), col("n_latin"), col("n_cjk"),
+          col("n_cyrillic"), col("n_arabic"),
+          TextFns.dominantScriptFrom(
+            TextFns.ScriptClasses.map { case (n, _) => n -> col(s"n_$n") })
+            .as("script"))
+        .orderBy("doc_id")
+    },
+
     // ── q06 flagship: the web-curation chain end-to-end — NFC normalize →
     //    corpus-frequency boilerplate strip → hashed-classifier keep/drop →
     //    per-source corpus accounting. The planted café lines arrive half

@@ -71,4 +71,41 @@ class TextFnsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaNorm === out)
   }
+
+  test("htmlToText: scripts/styles dropped, blocks become lines, entities decode") {
+    val html = "<html><head><style>p { x: 1 }</style></head><body>" +
+      "<script>var a = 1 &amp;&amp; 2;</script>" +
+      "<h1>Title</h1><p>Tom &amp; Jerry &lt;3</p>" +
+      "<ul><li>one</li><li>two</li></ul>" +
+      "<p>it&#39;s&nbsp;fine</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextFns.htmlToText(col("h"))).head().getString(0)
+    assert(out == "Title\nTom & Jerry <3\none\ntwo\nit's fine")
+    // &amp; decodes LAST: '&amp;lt;' must yield the literal '&lt;', not '<'
+    val tricky = Seq("<p>&amp;lt;</p>").toDF("h")
+      .select(TextFns.htmlToText(col("h"))).head().getString(0)
+    assert(tricky == "&lt;")
+    // multiline script blocks die wholesale ((?s) dotall)
+    val ml = Seq("<script>\nline1\nline2\n</script><p>kept</p>").toDF("h")
+      .select(TextFns.htmlToText(col("h"))).head().getString(0)
+    assert(ml == "kept")
+  }
+
+  test("script detection: counts per unicode range, dominant with priority ties") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "数据处理"),
+      (3L, "данные и процесс"),
+      (4L, "hello 数据 world"),   // latin 10 > cjk 2
+      (5L, "12345 .,;")           // no script chars at all
+    ).toDF("id", "t")
+    val counted = df.select(col("id") +:
+      TextFns.ScriptClasses.map { case (n, cl) =>
+        TextFns.scriptCount(col("t"), cl).as(s"n_$n") }: _*)
+    val out = counted.select(col("id"), TextFns.dominantScriptFrom(
+        TextFns.ScriptClasses.map { case (n, _) => n -> col(s"n_$n") }).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "latin", 2L -> "cjk", 3L -> "cyrillic",
+      4L -> "latin", 5L -> "und"))
+  }
 }

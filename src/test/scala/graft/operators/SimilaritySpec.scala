@@ -182,4 +182,22 @@ class SimilaritySpec extends SparkSpec {
     val dropped = corpus.select("vec_id").collect().map(_.getLong(0)).toSet -- survivors
     assert(dropped.subsetOf(globalPairs))
   }
+
+  test("meanPoolQuantized: exact quantized sums/means, partitioning-invariant") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Array(0.5f, -0.25f)),
+      (1L, Array(0.5f, 0.75f)),
+      (2L, Array(1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val out = Similarity.meanPoolQuantized(chunks, "doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 0L)) == ((2L, 1000000L, 500000L)))
+    assert(out((1L, 1L)) == ((2L, 500000L, 250000L)))   // -250000 + 750000
+    assert(out((2L, 0L)) == ((1L, 1000000L, 1000000L)))
+    val repart = Similarity.meanPoolQuantized(
+        chunks.repartition(7), "doc_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(repart == out.map { case (k, v) => k -> v._2 })
+  }
 }
