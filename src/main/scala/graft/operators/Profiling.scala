@@ -96,4 +96,35 @@ object Profiling {
         .when(col(column) > hi, hi)
         .otherwise(col(column).cast("double")))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation —
+    * the screen a feature pipeline runs where mean/stddev would be dragged
+    * by the very outliers it hunts (one 1e9 row moves a z-score fence;
+    * the median fence doesn't move).
+    *
+    * Flags x where |x - median| > k·MAD. Two aggregate passes (medians,
+    * then deviation medians) + one scan — each is a hash aggregate on
+    * `groupCol`, no window, no per-group sort buffer beyond `percentile`'s
+    * own, so the shape survives a 100× scale-up (swap `percentile` for
+    * `approx_percentile` past memory, as winsorize documents). Exact
+    * `percentile` is bit-identical to DuckDB's quantile_cont, which keeps
+    * the operator hash-gateable. Output: one row per group with the fence
+    * (median, mad) and the outlier count against the group's population. */
+  def madOutliers(df: DataFrame, groupCol: String, column: String,
+                  k: Double): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($column, 0.5)").as("med"))
+    val fences = df.join(med, groupCol)
+      .groupBy(groupCol)
+      .agg(expr(s"percentile(abs($column - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    df.join(fences, groupCol)
+      .groupBy(groupCol)
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col(column) - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Geo, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Engine-added join surface beyond the reference: as-of (point-in-time)
@@ -138,6 +138,57 @@ object JoinQueries {
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ── spatial containment join (Geo.pointInPolygon): customers at
+    //    planted integer coordinates assigned to 4 "borough" polygons (one
+    //    non-convex) — the housing-map which-area-is-this-listing-in
+    //    question. Grid-bucketed broadcast join + exact integer ray cast;
+    //    the oracle replays the identical crossing-number arithmetic over
+    //    unnested edges.
+    sql("q_geo_pip",
+      """WITH pts AS (
+        |  SELECT c_custkey, (c_custkey * 7919) % 1000 AS px, (c_custkey * 104729) % 1000 AS py
+        |  FROM customer),
+        |polys AS (
+        |  SELECT * FROM (VALUES
+        |    (1, [50,400,400,50], [50,50,400,400]),
+        |    (2, [500,900,700], [100,150,450]),
+        |    (3, [100,450,450,300,300,100], [500,500,650,650,900,900]),
+        |    (4, [700,900,700,500], [600,750,900,750])
+        |  ) AS t(poly_id, xs, ys)),
+        |edges AS (
+        |  SELECT poly_id,
+        |         xs[i] AS x1, ys[i] AS y1,
+        |         xs[(i % len(xs)) + 1] AS x2, ys[(i % len(xs)) + 1] AS y2
+        |  FROM polys, (SELECT unnest(range(1, 7)) AS i) r
+        |  WHERE i <= len(xs)),
+        |hits AS (
+        |  SELECT p.c_custkey, e.poly_id,
+        |         SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+        |                   AND (CASE WHEN e.y2 > e.y1
+        |                            THEN (p.px - e.x1) * (e.y2 - e.y1) < (e.x2 - e.x1) * (p.py - e.y1)
+        |                            ELSE (p.px - e.x1) * (e.y2 - e.y1) > (e.x2 - e.x1) * (p.py - e.y1)
+        |                       END)
+        |              THEN 1 ELSE 0 END) AS crossings
+        |  FROM pts p, edges e
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, CAST(poly_id AS BIGINT) AS poly_id
+        |FROM hits WHERE crossings % 2 = 1
+        |ORDER BY c_custkey, poly_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val polys = Seq(
+        (1L, Seq(50L, 400L, 400L, 50L), Seq(50L, 50L, 400L, 400L)),
+        (2L, Seq(500L, 900L, 700L), Seq(100L, 150L, 450L)),
+        (3L, Seq(100L, 450L, 450L, 300L, 300L, 100L), Seq(500L, 500L, 650L, 650L, 900L, 900L)),
+        (4L, Seq(700L, 900L, 700L, 500L), Seq(600L, 750L, 900L, 750L)))
+        .toDF("poly_id", "xs", "ys")
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        ((col("c_custkey") * 7919) % 1000).as("px"),
+        ((col("c_custkey") * 104729) % 1000).as("py"))
+      Geo.pointInPolygon(pts, "px", "py", polys, cellSize = 100L)
+        .select(col("c_custkey"), col("poly_id"))
+        .orderBy("c_custkey", "poly_id")
     }
   )
 }

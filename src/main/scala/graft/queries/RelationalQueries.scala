@@ -576,6 +576,31 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ── MAD outlier fences (Profiling.madOutliers): per-priority robust
+    //    outlier counts over order totals with a 20× spike planted on
+    //    o_orderkey%97 rows — median fences don't move for 1% spikes, so
+    //    the planted rows are exactly what gets flagged. Same
+    //    exact-percentile arithmetic as winsorize → hash-gateable.
+    sql("q_profile_mad",
+      """WITH v AS (SELECT o_orderpriority,
+        |                  o_totalprice * (CASE WHEN o_orderkey % 97 = 0 THEN 20 ELSE 1 END) AS val
+        |           FROM orders),
+        |med AS (SELECT o_orderpriority, quantile_cont(val, 0.5) AS med FROM v GROUP BY 1),
+        |fen AS (SELECT v.o_orderpriority, quantile_cont(abs(v.val - m.med), 0.5) AS mad,
+        |               ANY_VALUE(m.med) AS med
+        |        FROM v JOIN med m USING (o_orderpriority) GROUP BY 1)
+        |SELECT v.o_orderpriority, f.med, f.mad,
+        |       CAST(SUM(CASE WHEN abs(v.val - f.med) > 3.0 * f.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       COUNT(*) AS n_rows
+        |FROM v JOIN fen f USING (o_orderpriority)
+        |GROUP BY 1, f.med, f.mad ORDER BY 1""".stripMargin) { (s, d) =>
+      val planted = Tables.orders(s, d).select(col("o_orderpriority"),
+        (col("o_totalprice") *
+          when(col("o_orderkey") % 97 === 0, 20).otherwise(1)).as("val"))
+      Profiling.madOutliers(planted, "o_orderpriority", "val", k = 3.0)
+        .orderBy("o_orderpriority")
+    },
+
     // ── rollup grouping (engine capability): subtotal + grand-total rows
     sql("q_agg_rollup",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{rowsOnly, sql}
 import graft.operators.Multimodal
-import graft.sources.Sources
+import graft.sources.{Sources, TxnTable}
 import graft.streaming.EventsStreaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -127,6 +127,54 @@ object SourceQueries {
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ── transaction-log table (TxnTable): four commits — append, append,
+    //    OVERWRITE, append — then a time-travel read of v2 (pre-overwrite
+    //    state, keys %5∈{0,1}) next to the latest snapshot (%5∈{2,3}).
+    //    The overwrite only marks files removed in the log, so v2's bytes
+    //    are still there to read; the oracle derives both snapshots from
+    //    the source table.
+    sql("q_src_timetravel",
+      """SELECT 'v2' AS snap, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1)
+        |UNION ALL
+        |SELECT 'latest', o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (2, 3)
+        |ORDER BY snap, o_orderkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val slice = (m: Int) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === m).select("o_orderkey", "o_totalprice")
+      TxnTable.commit(s, slice(0), table, overwrite = false) // v1
+      TxnTable.commit(s, slice(1), table, overwrite = false) // v2
+      TxnTable.commit(s, slice(2), table, overwrite = true)  // v3 replaces all
+      TxnTable.commit(s, slice(3), table, overwrite = false) // v4
+      TxnTable.read(s, table, asOf = Some(2)).withColumn("snap", lit("v2"))
+        .unionByName(TxnTable.read(s, table).withColumn("snap", lit("latest")))
+        .select("snap", "o_orderkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    },
+
+    // ── schema evolution: two parquet batches written under different
+    //    schemas into one table dir; the mergeSchema read reconciles by
+    //    name and null-extends old files — add-a-column without a rewrite
+    sql("q_src_schema_evolution",
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = tmp("schema_evo_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("append").parquet(path)
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("append").parquet(path)
+      Sources.readParquetMergedSchema(s, path)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
     },
 
     // ── ORC sink + scan roundtrip (engine-added second columnar format):

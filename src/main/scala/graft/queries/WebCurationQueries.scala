@@ -54,6 +54,40 @@ object WebCurationQueries {
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
     },
 
+    // ── per-node triangle counts (Graph.triangleCount): local clustering
+    //    signal over a planted link graph collapsed to 200 hosts — the
+    //    graph is bounded at every sf (dense-host regime), the ORACLE cost
+    //    is therefore scale-invariant, and the operator itself is the
+    //    degree-oriented compact-forward join that survives real graphs.
+    sql("q_graph_triangles",
+      """WITH e0 AS (
+        |  SELECT DISTINCT LEAST(doc_id % 200, (doc_id * 7 + j * 101) % 200) AS u,
+        |                  GREATEST(doc_id % 200, (doc_id * 7 + j * 101) % 200) AS v
+        |  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j)
+        |  WHERE (doc_id % 200) <> ((doc_id * 7 + j * 101) % 200)),
+        |deg AS (SELECT node, COUNT(*) AS deg
+        |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+        |         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b,
+        |         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS db
+        |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+        |w AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |      FROM o e1 JOIN o e2 ON e1.a = e2.a
+        |        AND ((e1.db < e2.db) OR (e1.db = e2.db AND e1.b < e2.b))),
+        |t AS (SELECT ta, tb, tc FROM w
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.tb AND o.b = w.tc))
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT ta AS node FROM t UNION ALL SELECT tb FROM t UNION ALL SELECT tc FROM t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val edges = Tables.documents(s, d)
+        .select((col("doc_id") % 200).as("src"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"),
+          col("doc_id"))
+        .select(col("src"), ((col("doc_id") * 7 + col("j") * 101) % 200).as("dst"))
+      Graph.triangleCount(edges, "src", "dst").orderBy("node")
+    },
+
     // ── Unicode NFC normalization (native normalize_unicode expression):
     //    docs planted with decomposed (e+U+0301) and precomposed (é)
     //    suffixes; NFC makes them byte-identical, byte counts prove the

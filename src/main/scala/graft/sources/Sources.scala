@@ -58,6 +58,17 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolution scan: read a parquet directory whose files were
+    * written under DIFFERENT (compatible) schemas and reconcile them by
+    * column NAME — old files null-extend the columns they predate. This is
+    * the read side of adding a column to a 100 TB table without rewriting
+    * it: mergeSchema unions footer schemas at planning time (a per-FILE
+    * metadata pass, not a data pass), and each file's reader projects into
+    * the merged row shape. Default Spark reads take one footer's schema
+    * and would silently drop the new column from a mixed listing. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Keyed upsert (MERGE) into a parquet snapshot — the engine's form of
     * the reference's warehouse maintenance split (drop-and-reload tables
     * vs append-only tables, pipeline.py:59/88): rows in `updates` replace

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned parquet table behind a transaction log — the Delta/Iceberg
+  * pattern in its minimal honest form (engine-added, builder brief). The
+  * reference overwrites its warehouse tables in place (pipeline.py's
+  * to_sql(if_exists=...)); at 100 TB a table needs atomic commits, readers
+  * that never see half a write, snapshot isolation, and time travel — all
+  * of which fall out of ONE idea: data files are immutable, and the only
+  * mutable thing is an append-only log of {added, removed} file lists.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/v00001/part-*.parquet     -- one immutable dir per commit
+  *     _graft_log/v00001.json         -- {"version":1,"added":[...],"removed":[...]}
+  * }}}
+  *
+  * Commit protocol: write the data dir first, then publish the log entry
+  * via tmp-file + atomic rename. A crash before the rename leaves invisible
+  * orphan data (vacuum's job), never a torn table. Readers list the log
+  * (|commits| entries — metadata, not data), replay add/remove driver-side,
+  * and hand Spark the exact file list: an old reader mid-scan keeps its
+  * snapshot because nothing it references is ever rewritten.
+  */
+object TxnTable {
+
+  private def logDir(table: String) = new File(table, "_graft_log")
+
+  private def versionOf(f: File): Int =
+    f.getName.stripPrefix("v").stripSuffix(".json").toInt
+
+  private def logFiles(table: String): Seq[File] =
+    Option(logDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("v\\d{5}\\.json"))
+      .sortBy(versionOf).toSeq
+
+  /** Latest committed version, 0 if the table is empty/unborn. */
+  def currentVersion(table: String): Int =
+    logFiles(table).lastOption.map(versionOf).getOrElse(0)
+
+  private def relDataFiles(table: String, version: Int): Seq[String] = {
+    val dir = new File(table, f"data/v$version%05d")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => f"data/v$version%05d/${f.getName}")
+      .sorted.toSeq
+  }
+
+  private def jsonArr(paths: Seq[String]): String =
+    paths.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+
+  /** Parse one log entry without a JSON library: paths are part-file names
+    * we wrote ourselves (no quotes/escapes), so a quoted-string scan is
+    * exact. Kept dependency-free on purpose — the log format is the
+    * contract here, not the parser. */
+  private def parseEntry(f: File): (Seq[String], Seq[String]) = {
+    val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    def arr(key: String): Seq[String] = {
+      val i = s.indexOf("\"" + key + "\":[")
+      require(i >= 0, s"malformed log entry ${f.getName}: missing $key")
+      val body = s.substring(s.indexOf('[', i) + 1, s.indexOf(']', i))
+      "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    }
+    (arr("added"), arr("removed"))
+  }
+
+  /** Replay the log through `asOf` (inclusive; latest when None) and
+    * return the live file list — the snapshot. Driver-side over |commits|
+    * metadata entries, never data. */
+  def liveFiles(table: String, asOf: Option[Int] = None): Seq[String] = {
+    val upTo = logFiles(table).filter(f => asOf.forall(versionOf(f) <= _))
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    upTo.foreach { f =>
+      val (added, removed) = parseEntry(f)
+      live --= removed
+      live ++= added
+    }
+    live.toSeq
+  }
+
+  /** Commit `df` as the next version. `overwrite = true` logically removes
+    * every currently-live file (their bytes stay for time travel);
+    * `overwrite = false` is a pure append. Returns the committed version. */
+  def commit(spark: SparkSession, df: DataFrame, table: String,
+             overwrite: Boolean): Int = {
+    val version = currentVersion(table) + 1
+    val removed = if (overwrite) liveFiles(table) else Seq.empty
+    val dataPath = new File(table, f"data/v$version%05d")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.getPath)
+    val added = relDataFiles(table, version)
+    val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}}"""
+    logDir(table).mkdirs()
+    val tmpF = new File(logDir(table), f".v$version%05d.json.tmp")
+    Files.write(tmpF.toPath, entry.getBytes(StandardCharsets.UTF_8))
+    // publish: atomic rename is the commit point
+    Files.move(tmpF.toPath, new File(logDir(table), f"v$version%05d.json").toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
+  /** Read a snapshot: the table as of `asOf` (latest when None). An empty
+    * table reads as an empty frame only via the caller's schema knowledge —
+    * fail loudly instead, an unborn table is a bug at every call site. */
+  def read(spark: SparkSession, table: String, asOf: Option[Int] = None): DataFrame = {
+    val files = liveFiles(table, asOf)
+    require(files.nonEmpty,
+      s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
+    spark.read.parquet(files.map(f => new File(table, f).getPath): _*)
+  }
+
+  /** Physically delete data files no snapshot >= `retainFrom` references.
+    * This is the step that gives up time travel before `retainFrom` in
+    * exchange for space — exactly Delta's VACUUM trade. Orphans from
+    * crashed commits (data dir without a log entry) die here too. Returns
+    * the deleted file count. */
+  def vacuum(table: String, retainFrom: Int): Int = {
+    val keep = logFiles(table).map(versionOf).filter(_ >= retainFrom)
+      .flatMap(v => liveFiles(table, Some(v))).toSet ++
+      liveFiles(table, None).toSet
+    val dataRoot = new File(table, "data")
+    val all = Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val doomed = all.filter(f => !keep.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
+    doomed.foreach(_.delete())
+    // drop now-empty commit dirs so the layout stays readable at a glance
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty).isEmpty)
+      .foreach(_.delete())
+    doomed.length
+  }
+}

@@ -61,4 +61,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 == r17)
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCount: K4 has 4 triangles, 3 per node") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val got = triangles(k4)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCount: stars have none; direction/duplication don't matter") {
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(triangles(star).isEmpty)
+    // one triangle reported every way an edge list can spell it:
+    // reversed, duplicated, self-loop noise
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(triangles(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: hub graph stays correct under degree orientation") {
+    // hub 0 connects to all of 1..20; ring 1-2, 3-4, ... closes 10 triangles
+    val hub = (1L to 20L).map(i => (0L, i))
+    val rungs = (1L to 19L by 2).map(i => (i, i + 1))
+    val got = triangles(hub ++ rungs)
+    assert(got(0L) == 10L)
+    assert((1L to 20L).forall(i => got(i) == 1L))
+  }
 }

@@ -53,4 +53,21 @@ class ProfilingSpec extends SparkSpec {
     val orig = in.select("l_extendedprice").collect().map(_.getDouble(0))
     assert(noop.sorted.toSeq === orig.sorted.toSeq)
   }
+
+  test("madOutliers: hand fixture — the fence holds still, the spike is flagged") {
+    import spark.implicits._
+    // group a: 1..9 plus a 1000 spike. median of 10 values = 5.5,
+    // deviations {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> MAD = 2.5;
+    // fence 3*2.5 = 7.5 -> only 1000 (dev 994.5) is out.
+    // group b: constant column -> MAD 0, nothing beats a zero fence times 3
+    // except any deviation at all; all equal -> 0 outliers.
+    val rows = (1 to 9).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0)) ++ Seq.fill(4)(("b", 7.0))
+    val df = rows.toDF("g", "v")
+    val got = Profiling.madOutliers(df, "g", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((5.5, 2.5, 1L, 10L)))
+    assert(got("b") == ((7.0, 0.0, 0L, 4L)))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+
+/** Behavior specs for the transaction-log table: snapshot isolation across
+  * overwrites, time travel, vacuum's retention trade, and the commit
+  * point's crash shape (torn tmp entry is invisible).
+  */
+class TxnTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  private def rows(table: String, asOf: Option[Int] = None): Set[Long] =
+    TxnTable.read(spark, table, asOf).select("id").as[Long].collect().toSet
+
+  test("append, overwrite, time travel") {
+    val t = freshTable("tt_basic")
+    assert(TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false) == 1)
+    assert(TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false) == 2)
+    assert(TxnTable.commit(spark, Seq(9L).toDF("id"), t, overwrite = true) == 3)
+    assert(TxnTable.commit(spark, Seq(10L).toDF("id"), t, overwrite = false) == 4)
+
+    assert(rows(t) == Set(9L, 10L))              // latest
+    assert(rows(t, Some(1)) == Set(1L, 2L))      // first commit
+    assert(rows(t, Some(2)) == Set(1L, 2L, 3L))  // pre-overwrite
+    assert(rows(t, Some(3)) == Set(9L))
+    assert(TxnTable.currentVersion(t) == 4)
+  }
+
+  test("vacuum deletes only what no retained snapshot references") {
+    val t = freshTable("tt_vacuum")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
+    TxnTable.commit(spark, Seq(2L).toDF("id"), t, overwrite = true)
+    TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false)
+
+    // retaining from v2 keeps everything v2+ needs; v1's overwritten file dies
+    val deleted = TxnTable.vacuum(t, retainFrom = 2)
+    assert(deleted >= 1)
+    assert(rows(t) == Set(2L, 3L))
+    assert(rows(t, Some(2)) == Set(2L))
+    // v1 is gone physically: the snapshot read must fail loudly
+    intercept[Exception] { rows(t, Some(1)) }
+  }
+
+  test("a torn (pre-rename) log entry is invisible to readers") {
+    val t = freshTable("tt_torn")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
+    // simulate a crash between data write and log publish
+    val torn = new File(t, "_graft_log/.v00002.json.tmp")
+    FileUtils.writeStringToFile(torn,
+      """{"version":2,"added":["data/v00002/part-junk.parquet"],"removed":[]}""",
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(TxnTable.currentVersion(t) == 1)
+    assert(rows(t) == Set(1L))
+    // and the next real commit takes version 2 cleanly
+    assert(TxnTable.commit(spark, Seq(2L).toDF("id"), t, overwrite = false) == 2)
+    assert(rows(t) == Set(1L, 2L))
+  }
+
+  test("readers keep their snapshot across a concurrent overwrite") {
+    val t = freshTable("tt_isolation")
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false)
+    val reader = TxnTable.read(spark, t) // plan pinned to v1's files
+    TxnTable.commit(spark, Seq(9L).toDF("id"), t, overwrite = true)
+    // the old plan still reads v1 bytes — nothing was rewritten in place
+    assert(reader.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(rows(t) == Set(9L))
+  }
+}
