@@ -126,6 +126,17 @@ object TextFns {
     call_function("normalize_unicode", c, lit(form))
   }
 
+  /** Subword token ids by greedy longest match against `vocab` (native
+    * [[graft.plans.GreedyTokenize]] expression); -1 = unknown char.
+    * Vocab entries may not contain ',' (the registry transport). */
+  def greedyTokenize(c: Column, vocab: Seq[String]): Column = {
+    require(vocab.forall(!_.contains(",")),
+      "vocab entries must not contain ',' — the function-registry transport joins on it")
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("greedy_tokenize", c, lit(vocab.mkString(",")))
+  }
+
   // ── script / writing-system detection (pairs with langId: langId reads
   //    marker WORDS, these read CHARACTER ranges — the only signal when
   //    the vocabulary is open) ────────────────────────────────────────────

@@ -56,7 +56,14 @@ object GraftExtensions {
     (FunctionIdentifier("normalize_unicode"),
       new ExpressionInfo(classOf[NormalizeUnicode].getName, "normalize_unicode"),
       (children: Seq[Expression]) =>
-        NormalizeUnicode(children(0), literalString(children(1), "normalize_unicode"))))
+        NormalizeUnicode(children(0), literalString(children(1), "normalize_unicode"))),
+    (FunctionIdentifier("greedy_tokenize"),
+      new ExpressionInfo(classOf[GreedyTokenize].getName, "greedy_tokenize"),
+      (children: Seq[Expression]) =>
+        // vocab as one literal comma-joined string (SQL has no literal
+        // string-array shorthand the registry builder can consume)
+        GreedyTokenize(children(0),
+          literalString(children(1), "greedy_tokenize").split(',').toSeq)))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

@@ -638,6 +638,31 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ── event-time RANGE frame (engine capability, completing the window
+    //    family): per-user trailing-1-hour moving aggregate — the frame is
+    //    bounded by event TIME, not row count, so sparse and dense users
+    //    get the same semantics. Values quantized to longs before the sum
+    //    (floor(v·1000) — same doubles both engines, and integer sums are
+    //    order-independent, QueryDef discipline).
+    sql("q_window_moving",
+      """SELECT user_id, event_id,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_q
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-3600L * 1000 * 1000, 0L)
+      Tables.events(s, d)
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__q", floor(col("value") * 1000).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("__q")).over(w).as("sum_q"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ── grouping sets (engine capability, completing the rollup family):
     //    two independent grouping dimensions in one pass over the fact
     //    table, disambiguated by GROUPING() flags

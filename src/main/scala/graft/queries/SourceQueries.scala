@@ -154,6 +154,35 @@ object SourceQueries {
         .orderBy("snap", "o_orderkey")
     },
 
+    // ── keyed snapshot diff over two txn-table versions (TableDiff ×
+    //    TxnTable): v1 holds keys %5∈{0,1}; the overwrite keeps %5=1 with a
+    //    doubled price and brings in %5=2 — so the diff is exactly one
+    //    removed / one changed / one added class. Payloads never travel:
+    //    each side reduces to (key, xxhash64) before the full-outer join.
+    sql("q_src_table_diff",
+      """SELECT o_orderkey, 'removed' AS change FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders WHERE o_orderkey % 5 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'added' FROM orders WHERE o_orderkey % 5 = 2
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_diff_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val orders = Tables.orders(s, d)
+      val v1 = orders.filter((col("o_orderkey") % 5).isin(0, 1))
+        .select("o_orderkey", "o_totalprice")
+      val v2 = orders.filter((col("o_orderkey") % 5).isin(1, 2))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 1, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      TxnTable.commit(s, v1, table, overwrite = false)
+      TxnTable.commit(s, v2, table, overwrite = true)
+      graft.operators.TableDiff.diff(
+          TxnTable.read(s, table, asOf = Some(1)), TxnTable.read(s, table),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
     // ── schema evolution: two parquet batches written under different
     //    schemas into one table dir; the mergeSchema read reconciles by
     //    name and null-extends old files — add-a-column without a rewrite
@@ -256,6 +285,18 @@ object SourceQueries {
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       EventsStreaming.streamingDedupCounts(s, d).orderBy("event_type")
+    },
+
+    // ── BOUNDED-state cross-batch dedup (dropDuplicatesWithinWatermark):
+    //    a planted file re-delivers the earliest hour of events in a
+    //    separate micro-batch (maxFilesPerTrigger=1) and the watermarked
+    //    state drops every re-delivery — exact distinct counts with state
+    //    that evicts instead of growing forever (what plain dropDuplicates
+    //    can't promise a forever-running ingest)
+    sql("q_stream_dedup_wm",
+      """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      EventsStreaming.dedupWithinWatermarkCounts(s, d).orderBy("event_type")
     },
 
     // ── CDC-style streaming snapshot: foreachBatch merges latest event

@@ -13,6 +13,15 @@ object TextQueries {
   private val stops = Seq("the", "a", "of", "and", "in", "to")
   private val stopsSqlList = stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** q_text_subword's fixed vocabulary: whole words from the synthetic
+    * lexicon, sub-word pieces that partially cover the rest, and a few
+    * single chars — ids are vocab positions; everything else is unk (-1).
+    * Alternation-safe by construction (alphanumeric + space only). */
+  private val SubwordVocab: Seq[String] = Seq(
+    "table", "value", "spark", "batch", "merge", "query", "scan", "hash",
+    "part", "key", "agg", "row", "the", "er", "in", "an", "st", "ow",
+    "a", "e", "t", "s", " ")
+
   val all: Seq[QueryDef] = Seq(
 
     // ── token counting + quality scoring (length / stopword signals)
@@ -48,6 +57,40 @@ object TextQueries {
           TextFns.tokenCountRegex(col("text")).as("n_bpe_tokens"),
           TextFns.punctCount(col("text")).as("n_punct"),
           TextFns.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ── greedy subword tokenization (native greedy_tokenize expression):
+    //    longest-match segmentation against a fixed vocab — the
+    //    WordPiece/BPE-inference algorithm a pipeline runs to price a
+    //    corpus in tokens. Ground truth: greedy longest-match ==
+    //    leftmost-FIRST regex alternation ordered longest-first, so the
+    //    DuckDB oracle re-derives the segmentation with RE2 and checks
+    //    counts, unknowns, and a position-weighted id sum (order-exact).
+    sql("q_text_subword", {
+      val alternation = SubwordVocab.sortBy(v => -v.length).mkString("|") + "|."
+      val values = SubwordVocab.zipWithIndex
+        .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      s"""WITH v(tok, id) AS (SELECT * FROM (VALUES $values)),
+         |tok AS (SELECT doc_id, regexp_extract_all(text, '$alternation') AS ts FROM documents),
+         |u AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM tok),
+         |m AS (SELECT u.doc_id, u.i, COALESCE(v.id, -1) AS id FROM u LEFT JOIN v ON u.t = v.tok)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |       CAST(SUM(i * id) AS BIGINT) AS wsum
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.greedyTokenize(col("text"), SubwordVocab).as("__ids"))
+        .select(col("doc_id"), size(col("__ids")).cast("long").as("n_tokens"),
+          expr("""aggregate(__ids, named_struct('i', 0L, 'w', 0L, 'u', 0L),
+                 |  (acc, x) -> named_struct(
+                 |    'i', acc.i + 1L,
+                 |    'w', acc.w + (acc.i + 1L) * x,
+                 |    'u', acc.u + IF(x = -1L, 1L, 0L)))""".stripMargin).as("__a"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("__a.u").as("n_unk"), col("__a.w").as("wsum"))
         .orderBy("doc_id")
     },
 

@@ -258,6 +258,70 @@ object EventsStreaming {
     ss.table(name)
   }
 
+  /** Cross-batch streaming dedup with BOUNDED state
+    * (`dropDuplicatesWithinWatermark`): plain `dropDuplicates` on a stream
+    * keeps every key it has ever seen — unbounded state, the thing that
+    * kills a forever-running ingest. The watermarked form evicts a key
+    * once the watermark passes its event time + delay, trading "dedups
+    * forever" for "dedups duplicates that arrive within the lateness
+    * bound" — the right contract for at-least-once sources, whose retries
+    * are near-immediate.
+    *
+    * The stage dir plants a second file duplicating every event in the
+    * stream's EARLIEST hour, and `maxFilesPerTrigger=1` forces the files
+    * through as separate micro-batches, so the dedup is genuinely
+    * cross-batch state, not within-batch distinct. The planted set is
+    * closed under the 1-hour bound in both batch orders (dups-first: every
+    * main-file row the advancing watermark late-drops is already counted
+    * from the dup file; main-first: every dup is either late-dropped or
+    * state-deduped), so the result is EXACTLY per-type distinct counts —
+    * oracle-equal to batch COUNT(DISTINCT). */
+  def dedupWithinWatermarkCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val dir = wmStageDir(spark, sfDir)
+    val name = s"stream_dedup_wm_${System.nanoTime()}"
+    val stream = ss.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.table(name)
+  }
+
+  /** Staging dir for the watermarked-dedup stream: events.parquet plus a
+    * one-time duplicate file of every event in the earliest hour (raw
+    * nanos arithmetic — the file must byte-match the source rows so the
+    * dedup key and event time agree exactly). */
+  private def wmStageDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(s"/root/repo/target/tmp/stream_wm/$key")
+    Files.createDirectories(dir)
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val dupDst = dir.resolve("early_dups.parquet")
+    if (!Files.exists(dupDst)) {
+      val raw = spark.read.schema(rawSchema).parquet(src.toString)
+      val minTs = raw.agg(min("ts")).head().getLong(0)
+      val scratch = s"$dir.dupbuild"
+      raw.filter(col("ts") <= minTs + 3600L * 1000 * 1000 * 1000)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Option(new java.io.File(scratch).listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $scratch"))
+      Files.move(part.toPath, dupDst, StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+    }
+    dir.toString
+  }
+
   /** CDC-style streaming snapshot maintenance: every micro-batch MERGEs
     * "latest event per user" into a keyed parquet snapshot via
     * `foreachBatch` + the staged-swap upsert

@@ -136,4 +136,24 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("q_ann_pq")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q_geo_pip: cell equi-join broadcasts the polygon dim — no cross product") {
+    val plan = planOf("q_geo_pip")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q_src_table_diff: payloads reduce to hashes before the full-outer join") {
+    val plan = planOf("q_src_table_diff")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(plan.contains("xxhash64"), plan.take(2000))
+  }
+
+  test("q_text_subword: tokenization is scan-side — no shuffle below the sort") {
+    val plan = planOf("q_text_subword")
+    assert(plan.contains("greedy_tokenize"), plan.take(2000))
+    // only the final orderBy exchanges; the token stats never shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
 }

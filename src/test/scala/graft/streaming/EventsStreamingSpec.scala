@@ -122,4 +122,16 @@ class EventsStreamingSpec extends SparkSpec {
     val deduped = spark.table(name).head().getLong(0)
     assert(deduped === Tables.events(spark, sfDir).count())
   }
+
+  test("watermarked dedup gives exact distinct counts across batches") {
+    // the operator under test evicts state at the watermark; the planted
+    // early-hour duplicate file is closed under the 1-hour bound, so the
+    // result must still be EXACTLY the batch distinct counts
+    val got = EventsStreaming.dedupWithinWatermarkCounts(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("event_id").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
