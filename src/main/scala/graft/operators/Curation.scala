@@ -42,6 +42,49 @@ object Curation {
       .agg(count_distinct(col("sh")).as("n_hit_shingles"))
   }
 
+  /** Bloom-prefiltered decontamination — same contract as [[decontaminate]]
+    * but the training side's exploded n-grams hit a BROADCAST BLOOM FILTER
+    * before any join: a scan-side `might_contain` probe (pure expression,
+    * stays in the explode's codegen span) discards the overwhelming
+    * majority of grams, and only the ≤fpp false-positive survivors plus
+    * true hits reach the exact semi-join that keeps the result EXACT.
+    *
+    * This is the manual form of the runtime-filter pattern, worth doing
+    * explicitly because at 100 TB the join input itself is the cost: the
+    * bloom bits (~1.2 MB per 1e6 grams at 1% fpp) replace shipping the
+    * whole candidate gram stream into a join. The filter is built with one
+    * aggregate over the (small) eval side (`stat.bloomFilter` — bit
+    * positions are a pure function of the items, insertion-order
+    * independent) and embedded as a binary literal; correctness never
+    * depends on it, only the prefilter selectivity does.
+    */
+  def decontaminateBloomExact(train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int, fpp: Double = 0.01): DataFrame = {
+    val shCol = TextFns.shingles(col(textCol), shingleSize)
+    // capacity = total (pre-distinct) gram count — one cheap aggregate, no
+    // extra distinct pass or persist; over-provisioning a bloom only
+    // lowers its fpp, and duplicate puts are no-ops
+    val nUpper = math.max(
+      eval.select(coalesce(sum(size(shCol).cast("long")), lit(0L))).head().getLong(0), 1L)
+    val bloom = eval.select(explode(shCol).as("sh"))
+      .select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", nUpper, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    graft.plans.GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    val trainShingles = train
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), shingleSize)).as("sh"))
+      .filter(call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("sh"))))
+    trainShingles
+      .join(broadcast(eval.select(explode(shCol).as("sh")).distinct()), "sh")
+      .groupBy(idCol)
+      .agg(count_distinct(col("sh")).as("n_hit_shingles"))
+  }
+
   /** Gopher-family repetition signals per document:
     *
     *  - `total_tokens`  — whitespace token count;

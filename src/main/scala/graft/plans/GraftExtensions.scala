@@ -63,7 +63,18 @@ object GraftExtensions {
         // vocab as one literal comma-joined string (SQL has no literal
         // string-array shorthand the registry builder can consume)
         GreedyTokenize(children(0),
-          literalString(children(1), "greedy_tokenize").split(',').toSeq)))
+          literalString(children(1), "greedy_tokenize").split(',').toSeq)),
+    // Spark ships BloomFilterMightContain for its own runtime filters but
+    // does not expose it in the public registry; surface it so a
+    // driver-built sketch (stat.bloomFilter, same serialized format) can
+    // prefilter scans as a pure expression (Curation.decontaminateBloomExact)
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

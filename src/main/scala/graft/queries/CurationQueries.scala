@@ -52,6 +52,33 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ── bloom-prefiltered decontamination: IDENTICAL contract and oracle
+    //    as q_text_decontaminate — the broadcast bloom probe
+    //    (might_contain, scan-side) only thins the gram stream before the
+    //    exact verify join, it never changes the answer. The manual
+    //    runtime-filter pattern: at 100 TB the join INPUT is the cost.
+    sql("q_text_decontaminate_bloom",
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($shingle5Sql) AS sh
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE doc_id % 50 = 0)
+         |  WHERE len(w) >= 5),
+         |tr AS (
+         |  SELECT doc_id, unnest($shingle5Sql) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE doc_id % 50 <> 0)
+         |  WHERE len(w) >= 5)
+         |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_hit_shingles
+         |FROM tr JOIN ev USING (sh)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.decontaminateBloomExact(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleSize = 5)
+        .orderBy("doc_id")
+    },
+
     // ── Gopher-family repetition signals: repeated-bigram fraction +
     //    top-token share
     sql("q_text_repetition",

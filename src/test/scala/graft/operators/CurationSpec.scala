@@ -38,6 +38,21 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontaminate(train, eval, "doc_id", "text", 5).isEmpty)
   }
 
+  test("bloom-prefiltered decontamination equals the plain operator exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = asMap(Curation.decontaminate(train, eval, "doc_id", "text", 5))
+    // the bloom is a prefilter, never a decider — any fpp gives equality
+    val loose = asMap(Curation.decontaminateBloomExact(
+      train, eval, "doc_id", "text", 5, fpp = 0.5))
+    val tight = asMap(Curation.decontaminateBloomExact(
+      train, eval, "doc_id", "text", 5, fpp = 0.001))
+    assert(loose == plain && tight == plain)
+  }
+
   // ── repetition signals ──────────────────────────────────────────────
 
   test("repetitionSignals: degenerate loop text maxes both signals") {
