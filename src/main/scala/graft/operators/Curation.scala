@@ -347,6 +347,28 @@ object Curation {
           .otherwise(lit("keep")).as("decision"))
   }
 
+  /** k-anonymity screen over quasi-identifier columns — the privacy pass
+    * a dataset takes before release/training when PII *redaction* (see
+    * redactPii) isn't enough: a row whose (quasi-identifier) combination
+    * is shared by fewer than k rows re-identifies its subject even with
+    * direct identifiers gone, so those rows are marked for suppression.
+    *
+    * Shape: one hash aggregate over the quasi columns (map-side combine
+    * absorbs the fact side) + an equi-join of the counts back — a
+    * |groups|-row dim against the fact scan, broadcast when small,
+    * plain hash join when the quasi space itself is huge. No window, so
+    * no per-group sort and no skew funnel on a dominant combination.
+    * Output: input columns + group_n + action ('keep' | 'suppress'). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    df.join(counts, quasiCols)
+      .withColumn("action",
+        when(col("group_n") < k, lit("suppress")).otherwise(lit("keep")))
+  }
+
   /** Corpus-level heavy-hitter tokens: every token with frequency
     * > 1/thetaDen of all tokens, EXACTLY — via the two-pass
     * candidates-then-verify shape. Pass 1 runs the

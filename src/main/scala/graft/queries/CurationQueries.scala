@@ -52,6 +52,23 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ── k-anonymity: customers whose (nation, segment) combination has
+    //    fewer than 10 peers are re-identifiable and marked suppress —
+    //    the release screen after PII redaction
+    sql("q_privacy_kanon",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, g.group_n,
+        |       CASE WHEN g.group_n < 10 THEN 'suppress' ELSE 'keep' END AS action
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Curation.kAnonymity(
+          Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "group_n", "action")
+        .orderBy("c_custkey")
+    },
+
     // ── bloom-prefiltered decontamination: IDENTICAL contract and oracle
     //    as q_text_decontaminate — the broadcast bloom probe
     //    (might_contain, scan-side) only thins the gram stream before the

@@ -663,6 +663,40 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // ── cube grouping (all 2^k subtotal combinations — the remaining
+    //    member of the rollup/grouping-sets family)
+    sql("q_agg_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    },
+
+    // ── event-sequence transition counts: per-user lag over event time
+    //    (the Markov/behavioral-analysis primitive); the window partitions
+    //    by user so no global-order funnel, ties broken by event_id
+    sql("q_event_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS cnt
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("prev_type", "event_type")
+    },
+
     // ── grouping sets (engine capability, completing the rollup family):
     //    two independent grouping dimensions in one pass over the fact
     //    table, disambiguated by GROUPING() flags

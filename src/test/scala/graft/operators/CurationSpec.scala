@@ -310,6 +310,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymity suppresses exactly the groups below k") {
+    val df = (Seq.fill(3)(("uk", "A")) ++ Seq.fill(2)(("uk", "B")) ++
+      Seq(("fr", "A"))).zipWithIndex
+      .map { case ((n, s), i) => (i.toLong, n, s) }
+      .toDF("id", "nation", "segment")
+    val got = Curation.kAnonymity(df, Seq("nation", "segment"), k = 3)
+      .select("id", "action").as[(Long, String)].collect().toMap
+    // (uk,A) n=3 keeps; (uk,B) n=2 and (fr,A) n=1 suppress
+    assert(got == Map(0L -> "keep", 1L -> "keep", 2L -> "keep",
+      3L -> "suppress", 4L -> "suppress", 5L -> "suppress"))
+    // k=1: nothing is ever suppressed
+    val all = Curation.kAnonymity(df, Seq("nation", "segment"), k = 1)
+      .filter(col("action") === "suppress")
+    assert(all.isEmpty)
+  }
+
   test("urlPolicyFilter blocks canonical-host matches only") {
     val df = Seq(
       (1L, "https://WWW.Bad.example.com/x"),
