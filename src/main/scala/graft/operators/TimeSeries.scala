@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization (engine-added): the pandas
+  * `resample/asfreq + ffill` pair the reference's analytics stack gets
+  * for free and SQL engines make you build — aggregate onto a fixed
+  * grid, materialize the EMPTY buckets, and carry the last observation
+  * forward across gaps.
+  *
+  * Scale shape: the spine (key × hour grid) is generated, not stored —
+  * one row per key from the aggregate, exploded by `sequence()`, so the
+  * expensive side is exactly the aggregate the caller already pays for.
+  * The forward fill is a running `last(ignoreNulls)` window partitioned
+  * by key: each key's series sorts independently (no global-order
+  * funnel), and a key's history at 100 TB is bounded by the grid, not by
+  * the event count.
+  */
+object TimeSeries {
+
+  /** Hourly resample of `df` with forward-filled gaps.
+    *
+    * Aggregates `valCol` (caller-quantized if cross-engine exactness
+    * matters — sums happen here) per (`keyCol`, hour), then left-joins a
+    * per-key spine covering every hour from the KEY'S first to its last
+    * observation and forward-fills missing sums. Output:
+    * (keyCol, hour_ts, val, is_filled) — `val` is never null because
+    * every key's spine starts at an observed hour. */
+  def hourlyResampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(sum(col(valCol)).as("__v"))
+    // per-key spine: sequence() over the key's own [min, max] hour range —
+    // generated from the aggregate's 2-column summary, never from raw data
+    val spine = hourly
+      .groupBy(col(keyCol))
+      .agg(min(col("hour_ts")).as("__lo"), max(col("hour_ts")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val w = Window.partitionBy(keyCol).orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, Seq(keyCol, "hour_ts"), "left")
+      .select(col(keyCol), col("hour_ts"),
+        last(col("__v"), ignoreNulls = true).over(w).as("val"),
+        col("__v").isNull.as("is_filled"))
+  }
+}

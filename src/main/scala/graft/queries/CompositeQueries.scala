@@ -290,6 +290,60 @@ object CompositeQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("sum_chars"))
         .orderBy("lang", "split")
+    },
+
+    // ── q07: lakehouse-maintenance flagship — a day in the life of a
+    //    versioned table. Ingest (v1: keys %4∈{0,1}) → append (v2: +%4=2)
+    //    → overwrite (v3: %4∈{1,2,3}, %4=1 repriced ×2) → diff v2 vs
+    //    latest + time-travel row accounting, one labeled summary the
+    //    oracle re-derives from the source table alone. Composes
+    //    TxnTable (atomic commits, snapshot reads) with TableDiff
+    //    (hash-only shuffle); the audit trail a 100 TB warehouse keeps.
+    sql("q07_lakehouse",
+      """WITH cnt AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)) AS v2_rows,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)) AS latest_rows,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS removed,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 3) AS added,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1) AS changed,
+        |    (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        |                     * (CASE WHEN o_orderkey % 4 = 1 THEN 2 ELSE 1 END)) AS BIGINT)
+        |     FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)) AS latest_sum_q)
+        |SELECT * FROM (
+        |  SELECT 'v2_rows' AS metric, v2_rows AS v FROM cnt
+        |  UNION ALL SELECT 'latest_rows', latest_rows FROM cnt
+        |  UNION ALL SELECT 'diff_removed', removed FROM cnt
+        |  UNION ALL SELECT 'diff_added', added FROM cnt
+        |  UNION ALL SELECT 'diff_changed', changed FROM cnt
+        |  UNION ALL SELECT 'latest_sum_q', latest_sum_q FROM cnt)
+        |ORDER BY metric""".stripMargin) { (s, d) =>
+      val table = "/root/repo/target/tmp/q07_lakehouse_orders"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val orders = Tables.orders(s, d)
+      // prices travel as integer cents so every downstream sum is exact
+      def slice(ms: Int*) = orders
+        .filter((col("o_orderkey") % 4).isin(ms.map(Integer.valueOf): _*))
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_q"))
+      graft.sources.TxnTable.commit(s, slice(0, 1), table, overwrite = false) // v1
+      graft.sources.TxnTable.commit(s, slice(2), table, overwrite = false)    // v2
+      val repriced = slice(1, 2, 3).select(col("o_orderkey"),
+        when(col("o_orderkey") % 4 === 1, col("price_q") * 2)
+          .otherwise(col("price_q")).as("price_q"))
+      graft.sources.TxnTable.commit(s, repriced, table, overwrite = true)     // v3
+      val v2 = graft.sources.TxnTable.read(s, table, asOf = Some(2))
+      val latest = graft.sources.TxnTable.read(s, table)
+      val diff = graft.operators.TableDiff.diff(v2, latest, Seq("o_orderkey"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .select(concat(lit("diff_"), col("change")).as("metric"), col("n").as("v"))
+      val rows = v2.agg(count(lit(1))).select(lit("v2_rows").as("metric"),
+          col("count(1)").as("v"))
+        .unionByName(latest.agg(count(lit(1))).select(lit("latest_rows").as("metric"),
+          col("count(1)").as("v")))
+        .unionByName(latest.agg(sum("price_q").as("sq"))
+          .select(lit("latest_sum_q").as("metric"), col("sq").as("v")))
+      diff.unionByName(rows).orderBy("metric")
     }
   )
 }

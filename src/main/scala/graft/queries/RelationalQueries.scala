@@ -676,6 +676,91 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     },
 
+    // ── ordered funnel (Funnel.stageReach): signup → click → purchase,
+    //    each stage gated at-or-after the user's previous stage time —
+    //    per-stage min aggregates + user equi-joins, never a window over
+    //    the raw event stream
+    sql("q_funnel_stages",
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS stage_name, (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.stageReach(Tables.events(s, d),
+          "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+        .select(col("stage").cast("int").as("stage"), col("stage_name"), col("n_users"))
+        .orderBy("stage")
+    },
+
+    // ── cohort retention: users bucketed by signup week, activity counted
+    //    per whole-week offset — integer day arithmetic (floor-div 7), so
+    //    the matrix is engine-exact
+    sql("q_cohort_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id,
+        |         date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) // 7 AS wk
+        |  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        |  WHERE e.ts >= CAST(f.d0 AS TIMESTAMP))
+        |SELECT wk AS week_offset, COUNT(*) AS n_users
+        |FROM activity GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+      ev.join(firstSeen, "user_id")
+        .filter(col("ts") >= col("d0").cast("timestamp"))
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), col("d0")) / 7).cast("long").as("wk"))
+        .distinct()
+        .groupBy(col("wk").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("week_offset")
+    },
+
+    // ── hourly resample + forward fill (TimeSeries.hourlyResampleFfill):
+    //    the pandas asfreq/ffill pair — sparse per-series hourly sums onto
+    //    a generated per-key spine, gaps carry the last observation
+    //    forward. Series key = (type, user_id%16) so gaps are real at
+    //    every sf; sums long-quantized (QueryDef discipline).
+    sql("q_time_ffill",
+      """WITH src AS (
+        |  SELECT event_type || '_' || CAST(user_id % 16 AS VARCHAR) AS series,
+        |         ts, CAST(FLOOR(value * 1000) AS BIGINT) AS q
+        |  FROM events),
+        |hourly AS (
+        |  SELECT series, date_trunc('hour', ts) AS h, SUM(q) AS v
+        |  FROM src GROUP BY 1, 2),
+        |rng AS (SELECT series, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+        |spine AS (SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM rng),
+        |j AS (SELECT s.series, s.h, hourly.v
+        |      FROM spine s LEFT JOIN hourly ON s.series = hourly.series AND s.h = hourly.h)
+        |SELECT series, strftime(h, '%Y-%m-%d %H:00') AS hour_ts,
+        |       CAST(last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY series ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS val,
+        |       v IS NULL AS is_filled
+        |FROM j ORDER BY series, h""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d).select(
+        concat(col("event_type"), lit("_"), (col("user_id") % 16).cast("string"))
+          .as("series"),
+        col("ts"), floor(col("value") * 1000).cast("long").as("q"))
+      graft.operators.TimeSeries.hourlyResampleFfill(src, "series", "ts", "q")
+        .select(col("series"),
+          date_format(col("hour_ts"), "yyyy-MM-dd HH:00").as("hour_ts"),
+          col("val"), col("is_filled"))
+        .orderBy("series", "hour_ts")
+    },
+
     // ── event-sequence transition counts: per-user lag over event time
     //    (the Markov/behavioral-analysis primitive); the window partitions
     //    by user so no global-order funnel, ties broken by event_id

@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Behavior specs for hourly resample + forward fill: gap materialization,
+  * carry-forward values, and per-key spine independence.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+
+  test("gaps materialize with the last observation carried forward") {
+    // key a: hours 1, 4 observed -> 2, 3 filled with hour-1's sum
+    // two rows in hour 1 prove the aggregate sums before filling
+    val df = Seq(
+      ("a", ts(1), 10L), ("a", ts(1), 5L), ("a", ts(4), 7L)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.hourlyResampleFfill(df, "k", "t", "v")
+      .orderBy("hour_ts")
+      .select("val", "is_filled").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((15L, false), (15L, true), (15L, true), (7L, false)))
+  }
+
+  test("each key gets its own spine — no cross-key range bleed") {
+    val df = Seq(
+      ("a", ts(1), 1L), ("a", ts(5), 1L), // a spans 5 hours
+      ("b", ts(3), 2L)                    // b is a single point
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.hourlyResampleFfill(df, "k", "t", "v")
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 5L, "b" -> 1L))
+  }
+
+  test("dense series come back untouched") {
+    val df = (1 to 4).map(h => ("a", ts(h), h.toLong)).toDF("k", "t", "v")
+    val out = TimeSeries.hourlyResampleFfill(df, "k", "t", "v")
+    assert(out.filter($"is_filled").isEmpty)
+    assert(out.count() == 4)
+  }
+}
