@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -44,13 +44,11 @@ object TxnTable {
   def currentVersion(table: String): Int =
     logFiles(table).lastOption.map(versionOf).getOrElse(0)
 
-  private def relDataFiles(table: String, version: Int): Seq[String] = {
-    val dir = new File(table, f"data/v$version%05d")
-    Option(dir.listFiles()).getOrElse(Array.empty)
+  private def relDataFiles(table: String, dataDir: File): Seq[String] =
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => f"data/v$version%05d/${f.getName}")
+      .map(f => s"data/${dataDir.getName}/${f.getName}")
       .sorted.toSeq
-  }
 
   private def jsonArr(paths: Seq[String]): String =
     paths.map(p => "\"" + p + "\"").mkString("[", ",", "]")
@@ -86,21 +84,45 @@ object TxnTable {
 
   /** Commit `df` as the next version. `overwrite = true` logically removes
     * every currently-live file (their bytes stay for time travel);
-    * `overwrite = false` is a pure append. Returns the committed version. */
+    * `overwrite = false` is a pure append. Returns the committed version.
+    *
+    * Optimistic concurrency: pass `expectedVersion` to pin the version
+    * this writer computed its snapshot against + 1; if another writer
+    * published it first, the publish rename refuses the existing target
+    * and the commit fails with `ConcurrentModificationException` instead
+    * of clobbering the winner — re-read and retry, the standard
+    * lakehouse loop. Without it the next free version is taken. */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-             overwrite: Boolean): Int = {
-    val version = currentVersion(table) + 1
-    val removed = if (overwrite) liveFiles(table) else Seq.empty
-    val dataPath = new File(table, f"data/v$version%05d")
+             overwrite: Boolean, expectedVersion: Option[Int] = None): Int = {
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    val removed = if (overwrite) liveFiles(table, Some(version - 1)) else Seq.empty
+    // unique data dir per ATTEMPT: racing writers never collide on data,
+    // only on the log rename — the loser's dir becomes a vacuum orphan
+    val dataPath = new File(table,
+      f"data/v$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.getPath)
-    val added = relDataFiles(table, version)
+    val added = relDataFiles(table, dataPath)
     val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}}"""
     logDir(table).mkdirs()
     val tmpF = new File(logDir(table), f".v$version%05d.json.tmp")
     Files.write(tmpF.toPath, entry.getBytes(StandardCharsets.UTF_8))
-    // publish: atomic rename is the commit point
-    Files.move(tmpF.toPath, new File(logDir(table), f"v$version%05d.json").toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    // publish: rename-if-absent is the commit point. Deliberately NOT
+    // ATOMIC_MOVE — POSIX rename() silently REPLACES an existing target,
+    // so a concurrent writer that raced to the same version would clobber
+    // a committed transaction. Plain Files.move refuses an existing
+    // target (put-if-absent, the same contract Delta leans on from HDFS
+    // rename); the loser's data dir stays orphaned for vacuum. Within one
+    // filesystem the move is still a rename, so readers never see a torn
+    // entry.
+    val target = new File(logDir(table), f"v$version%05d.json").toPath
+    try Files.move(tmpF.toPath, target)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmpF.toPath)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: version $version of $table was published by another writer", e)
+    }
     version
   }
 

@@ -66,6 +66,25 @@ class TxnTableSpec extends SparkSpec {
     assert(rows(t) == Set(1L, 2L))
   }
 
+  test("a racing writer cannot clobber a published version") {
+    val t = freshTable("tt_race")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
+    // both writers read v1 and pin expectedVersion = 2; writer A lands
+    val a = TxnTable.commit(spark, Seq(2L).toDF("id"), t,
+      overwrite = false, expectedVersion = Some(2))
+    assert(a == 2)
+    // writer B's publish must refuse the existing target, not replace it
+    intercept[java.util.ConcurrentModificationException] {
+      TxnTable.commit(spark, Seq(99L).toDF("id"), t,
+        overwrite = false, expectedVersion = Some(2))
+    }
+    // A's commit is intact; B's rows never became visible
+    assert(rows(t) == Set(1L, 2L))
+    // B's orphaned data dir is exactly what vacuum sweeps
+    assert(TxnTable.vacuum(t, retainFrom = 1) >= 1)
+    assert(rows(t) == Set(1L, 2L))
+  }
+
   test("readers keep their snapshot across a concurrent overwrite") {
     val t = freshTable("tt_isolation")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false)
