@@ -344,6 +344,62 @@ object CompositeQueries {
         .unionByName(latest.agg(sum("price_q").as("sq"))
           .select(lit("latest_sum_q").as("metric"), col("sq").as("v")))
       diff.unionByName(rows).orderBy("metric")
+    },
+
+    // ── q08: borough-price choropleth — the reference webapp's map screen
+    //    at corpus scale. Listings at planted coords spatially joined to
+    //    borough polygons (Geo.pointInPolygon: broadcast cell equi-join +
+    //    exact integer ray cast), then priced per borough with the
+    //    decimal-routed exact mean. Listings outside every borough fall
+    //    off the map, exactly like the webapp's bounded viewport.
+    sql("q08_borough_prices",
+      """WITH pts AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         (c_custkey * 7919) % 1000 AS px, (c_custkey * 104729) % 1000 AS py
+        |  FROM customer),
+        |polys AS (
+        |  SELECT * FROM (VALUES
+        |    (1, [50,400,400,50], [50,50,400,400]),
+        |    (2, [500,900,700], [100,150,450]),
+        |    (3, [100,450,450,300,300,100], [500,500,650,650,900,900]),
+        |    (4, [700,900,700,500], [600,750,900,750])
+        |  ) AS t(poly_id, xs, ys)),
+        |edges AS (
+        |  SELECT poly_id,
+        |         xs[i] AS x1, ys[i] AS y1,
+        |         xs[(i % len(xs)) + 1] AS x2, ys[(i % len(xs)) + 1] AS y2
+        |  FROM polys, (SELECT unnest(range(1, 7)) AS i) r
+        |  WHERE i <= len(xs)),
+        |hits AS (
+        |  SELECT p.c_custkey, p.c_acctbal, e.poly_id,
+        |         SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+        |                   AND (CASE WHEN e.y2 > e.y1
+        |                            THEN (p.px - e.x1) * (e.y2 - e.y1) < (e.x2 - e.x1) * (p.py - e.y1)
+        |                            ELSE (p.px - e.x1) * (e.y2 - e.y1) > (e.x2 - e.x1) * (p.py - e.y1)
+        |                       END)
+        |              THEN 1 ELSE 0 END) AS crossings
+        |  FROM pts p, edges e
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(poly_id AS BIGINT) AS borough, COUNT(*) AS n_listings,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM hits WHERE crossings % 2 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val polys = Seq(
+        (1L, Seq(50L, 400L, 400L, 50L), Seq(50L, 50L, 400L, 400L)),
+        (2L, Seq(500L, 900L, 700L), Seq(100L, 150L, 450L)),
+        (3L, Seq(100L, 450L, 450L, 300L, 300L, 100L), Seq(500L, 500L, 650L, 650L, 900L, 900L)),
+        (4L, Seq(700L, 900L, 700L, 500L), Seq(600L, 750L, 900L, 750L)))
+        .toDF("poly_id", "xs", "ys")
+      val listings = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") * 7919) % 1000).as("px"),
+        ((col("c_custkey") * 104729) % 1000).as("py"))
+      graft.operators.Geo.pointInPolygon(listings, "px", "py", polys, cellSize = 100L)
+        .groupBy(col("poly_id").as("borough"))
+        .agg(count(lit(1)).as("n_listings"),
+          exactAvg(col("c_acctbal")).as("avg_price"))
+        .orderBy("borough")
     }
   )
 }
