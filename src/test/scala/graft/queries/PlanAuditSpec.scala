@@ -156,4 +156,19 @@ class PlanAuditSpec extends SparkSpec {
     // only the final orderBy exchanges; the token stats never shuffle
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("q_time_ffill: the fill window partitions by series — no global funnel") {
+    val plan = planOf("q_time_ffill")
+    // WindowExec prints 'Window [fns], [partition spec], [order spec]' —
+    // an empty partition spec (the single-task trap) would print '], ['
+    // straight into the order spec with no series column
+    assert("Window \\[[^\\]]*last[^\\]]*\\], \\[series#".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("q_funnel_stages: stage gating is joins + aggregates, never a window") {
+    val plan = planOf("q_funnel_stages")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 3, plan.take(2000))
+  }
 }
