@@ -123,6 +123,43 @@ class EventsStreamingSpec extends SparkSpec {
     assert(deduped === Tables.events(spark, sfDir).count())
   }
 
+  test("stateful aggregation runs on the RocksDB state store (production backend)") {
+    // the default HDFSBackedStateStore keeps state on the JVM heap — at
+    // 100 TB the store must be RocksDB (off-heap, incremental-checkpoint);
+    // prove the engine's stateful ops are backend-clean by running the
+    // hourly window on it and matching the batch rollup exactly
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val staged = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get("/root/repo/target/tmp/stream/rocksdb_case")
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val name = s"rocksdb_test_${System.nanoTime()}"
+    val q = ss.readStream.schema(EventsStreaming.rawSchema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = ss.table(name)
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("watermarked dedup gives exact distinct counts across batches") {
     // the operator under test evicts state at the watermark; the planted
     // early-hour duplicate file is closed under the 1-hour bound, so the
