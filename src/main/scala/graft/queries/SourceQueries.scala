@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.{rowsOnly, sql}
-import graft.operators.Multimodal
+import graft.operators.{Incremental, Multimodal}
 import graft.sources.{Sources, TxnTable}
 import graft.streaming.EventsStreaming
 import org.apache.spark.sql.functions._
@@ -181,6 +181,28 @@ object SourceQueries {
           TxnTable.read(s, table, asOf = Some(1)), TxnTable.read(s, table),
           Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    },
+
+    // ── incremental aggregate maintenance (Incremental.mergeAdditive):
+    //    the first 20 days' rollup is a materialized snapshot; the
+    //    remaining days arrive as a delta batch and merge WITHOUT
+    //    rescanning the base — the oracle is the full recompute, so the
+    //    check is exactly "incremental == from-scratch". Sums travel as
+    //    quantized longs (QueryDef discipline).
+    sql("q_src_incremental_agg",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_q
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("q"))
+      val cutoff = "2024-01-20"
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("q").as("sum_q"))
+      val baseSnapshot = rollup(ev.filter(to_date(col("ts")) < lit(cutoff)))
+      val deltaBatch = rollup(ev.filter(to_date(col("ts")) >= lit(cutoff)))
+      Incremental.mergeAdditive(baseSnapshot, deltaBatch, Seq("event_type"))
+        .orderBy("event_type")
     },
 
     // ── schema evolution: two parquet batches written under different

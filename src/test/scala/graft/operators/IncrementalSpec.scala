@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Behavior specs for incremental additive-aggregate maintenance:
+  * merge == recompute, new groups appear, split point is irrelevant.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("merging a delta equals recomputing from scratch, at any split") {
+    val rows = (1 to 100).map(i => (s"g${i % 7}", i.toLong))
+    val full = rows.toDF("g", "v").groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    for (split <- Seq(1, 37, 99)) {
+      def agg(part: Seq[(String, Long)]) = part.toDF("g", "v").groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("v").as("sum_v"))
+      val merged = Incremental.mergeAdditive(
+          agg(rows.take(split)), agg(rows.drop(split)), Seq("g"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(merged == full, s"split=$split")
+    }
+  }
+
+  test("groups new in the delta appear; schema mismatch fails loudly") {
+    val base = Seq(("a", 1L, 10L)).toDF("g", "cnt", "sum_v")
+    val delta = Seq(("a", 2L, 5L), ("b", 1L, 7L)).toDF("g", "cnt", "sum_v")
+    val got = Incremental.mergeAdditive(base, delta, Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 15L), ("b", 1L, 7L)))
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAdditive(base, delta.drop("sum_v"), Seq("g"))
+    }
+  }
+}
