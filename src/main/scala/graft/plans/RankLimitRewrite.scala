@@ -83,6 +83,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(RankLimitRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RankLimitRewrite
+    if (!spark.experimental.extraOptimizations.contains(CrossJoinGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CrossJoinGuard
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
