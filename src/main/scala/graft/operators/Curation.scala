@@ -157,46 +157,57 @@ object Curation {
     * in at least `minDocs` distinct documents is boilerplate — nav menus,
     * cookie banners, footers — and is stripped from every document.
     *
-    * Two-pass shape, chosen for 100 TB:
+    * Fully distributed shape, chosen for 100 TB (the boilerplate set of a
+    * web corpus is unbounded — millions of distinct nav/footer lines — so
+    * it must NEVER be collected to the driver or inlined as a literal):
     *
     *  1. line → doc-frequency aggregation. Only (normalized-line, doc-id)
-    *     pairs shuffle (map-side `distinct` partials), never documents.
-    *     Survivors are BOUNDED by construction: at most
-    *     total_lines / minDocs lines can each appear in ≥ minDocs docs, so
-    *     the driver collect is a bounded aggregate (same boundary argument
-    *     as [[heavyHitterTokens]]'s candidate set).
-    *  2. per-row array filter against the broadcast boilerplate set — the
-    *     documents themselves never shuffle and are never reassembled
-    *     (no groupBy-collect_list round trip).
+    *     pairs shuffle (map-side `distinct` partials), never documents;
+    *     the blacklist stays a DataFrame.
+    *  2. LEFT ANTI equi-join of the exploded (doc, pos, line) stream
+    *     against the blacklist on the normalized line. AQE converts the
+    *     join to broadcast-hash at runtime whenever the blacklist lands
+    *     under `spark.sql.autoBroadcastJoinThreshold`; above it, it is a
+    *     plain shuffled hash/sort-merge join — either way no driver state.
+    *  3. per-doc reassembly (min-struct ordered collect), the same shape
+    *     as [[dedupLinesKeepFirst]].
     *
-    * Output: (idCol, clean_text, n_kept, n_dropped), line order preserved.
-    * Empty lines are never treated as boilerplate (they are structure, not
-    * content). */
+    * Output: (idCol, clean_text, n_kept, n_dropped), line order preserved;
+    * a document whose every line is boilerplate comes back with
+    * clean_text = ''. Empty lines are never treated as boilerplate (they
+    * are structure, not content). */
   def stripBoilerplate(pages: DataFrame, idCol: String, textCol: String,
                        minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = pages.select(col(idCol), split(col(textCol), "\n").as("__ls"))
-    val survivors = lines
-      .select(col(idCol), explode(col("__ls")).as("__l"))
-      .select(col(idCol), trim(lower(col("__l"))).as("__norm"))
-      .where(col("__norm") =!= "")
+    val lines = pages
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__id"), col("__pos"), col("__line"),
+        trim(lower(col("__line"))).as("__norm"))
+    val blacklist = lines.where(col("__norm") =!= "")
+      .select("__norm", "__id")
       .distinct()
       .groupBy("__norm").agg(count(lit(1)).as("__ndocs"))
       .where(col("__ndocs") >= minDocs)
       .select("__norm")
-      .collect().map(_.getString(0)).sorted
-    val blacklist =
-      if (survivors.isEmpty) array().cast("array<string>")
-      else array(survivors.toIndexedSeq.map(lit): _*)
-    // __kept is a multi-use alias on purpose: projection collapse keeps
-    // aliased multi-consumer columns materialized, so the filter runs once
-    lines
-      .select(col(idCol), col("__ls"),
-        filter(col("__ls"), l => !array_contains(blacklist, trim(lower(l)))).as("__kept"))
-      .select(col(idCol),
-        array_join(col("__kept"), "\n").as("clean_text"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_dropped"))
+    // "" never appears in the blacklist (filtered above), so empty lines
+    // always survive the anti-join — structure is preserved for free
+    val kept = lines
+      .join(blacklist, Seq("__norm"), "left_anti")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__k"))
+      .select(col("__id"),
+        array_join(transform(col("__k"), x => x.getField("__line")), "\n")
+          .as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept"))
+    pages
+      .select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n")).cast("long").as("__total"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** C4-style global line dedup: every duplicated (normalized) line keeps

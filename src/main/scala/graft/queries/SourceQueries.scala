@@ -191,7 +191,7 @@ object SourceQueries {
     //    quantized longs (QueryDef discipline).
     sql("q_src_incremental_agg",
       """SELECT event_type, COUNT(*) AS cnt,
-        |       SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_q
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
         floor(col("value") * 1000).cast("long").as("q"))

@@ -207,6 +207,27 @@ class CurationSpec extends SparkSpec {
     assert(v(11L) == "")
   }
 
+  test("stripBoilerplate handles a blacklist far too large to inline") {
+    // 3000 distinct boilerplate lines, each shared by 3 docs — the old
+    // driver-literal impl would bake a 3000-element array(lit…) probe;
+    // the join-shaped impl treats it as data
+    val docs = (0L until 300L).map { i =>
+      val shared = (0 until 30)
+        .map(j => s"boilerplate ${(i / 3) * 30 + j} shared text")
+        .mkString("\n")
+      (i, s"unique opener $i\n$shared\nunique closer $i")
+    }.toDF("doc_id", "text")
+    // doc i shares its 30 boilerplate lines with docs in the same i/3 group
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 300)
+    out.foreach { case (i, (txt, kept, dropped)) =>
+      assert(txt == s"unique opener $i\nunique closer $i", s"doc $i: $txt")
+      assert(kept == 2L && dropped == 30L, s"doc $i: kept=$kept dropped=$dropped")
+    }
+  }
+
   test("stripBoilerplate: empty lines are structure, never boilerplate") {
     val docs = (1L to 6L).map(i => (i, s"a $i\n\nb $i")).toDF("doc_id", "text")
     val out = Curation.stripBoilerplate(docs, "doc_id", "text", minDocs = 2)

@@ -87,6 +87,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("stripBoilerplate: blacklist is a distributed anti-join, never a driver literal") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val qe = graft.operators.Curation
+      .stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .queryExecution
+    // building the plan must not run jobs (the old impl collect()ed the
+    // blacklist at plan-construction time); reaching here without an
+    // action already proves laziness. Now assert the join shape:
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // no literal-array membership probe anywhere in the plan
+    assert(!plan.contains("array_contains"), plan.take(3000))
+  }
+
   test("q_search_bm25: corpus never exploded by token; stats and df broadcast") {
     val plan = planOf("q_search_bm25")
     // the only Generate is the posexplode of the |terms|+1 counts array —
