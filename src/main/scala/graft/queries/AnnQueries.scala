@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object AnnQueries {
 
+  /** The exact quantized plane matrix `lshTopK`'s LshBucketArray
+    * precomputes — hyperplanes(64, 16, 4) double→float→floor(·1e6) — as
+    * 64 one-row VALUES `(pid, [qp…])` literals for the replay oracle. */
+  private lazy val lshPlanesSql: String =
+    Similarity.hyperplanes(64, 16, 4).flatten
+      .map(_.map(p => math.floor(p.toFloat * 1000000.0d).toLong))
+      .zipWithIndex
+      .map { case (qs, i) => s"  ($i, [${qs.mkString(",")}])" }
+      .mkString(",\n")
+
   private val quantDotSql =
     """CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
       |  i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
@@ -35,9 +45,45 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
-    // ── LSH-bucketed ANN (the scale path): same contract, probabilistic
-    //    recall → rows-only here; recall vs brute force asserted in specs.
-    rowsOnly("q_ann_lsh") { (s, d) =>
+    // ── LSH-bucketed ANN (the scale path): deterministic end-to-end
+    //    (seeded hyperplanes → integer sign-bit buckets → quantized-dot
+    //    re-rank with (sim DESC, n_id) tie-break), so the ORACLE REPLAYS
+    //    the whole pipeline in SQL: the quantized plane matrix — the
+    //    exact longs LshBucketArray precomputes, floor(float(p)·1e6) —
+    //    is inlined as literals, buckets are rebuilt bit-for-bit
+    //    (bucket = Σ sign(Σ eqᵢ·qpᵢ > 0) · 2^(bits-1-b)), candidates are
+    //    the shared-(table,bucket) pairs, and the re-rank is the same
+    //    integer dot. Recall vs brute force is additionally measured in
+    //    specs; this oracle pins the *mechanism*, not just row counts.
+    sql("q_ann_lsh",
+      s"""WITH planes(pid, qp) AS (VALUES
+         |$lshPlanesSql),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
+         |  FROM embeddings),
+         |bits AS (
+         |  SELECT e.vec_id, p.pid // 4 AS tbl, p.pid % 4 AS bit,
+         |         CASE WHEN list_sum(list_transform(range(1, 65),
+         |                i -> e.eq[i] * p.qp[i])) > 0 THEN 1 ELSE 0 END AS s
+         |  FROM e CROSS JOIN planes p),
+         |buckets AS (
+         |  SELECT vec_id, tbl, CAST(SUM(s * (1 << (3 - bit))) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM buckets q JOIN buckets c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.n_id, $quantDotSql AS sim
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.q_id
+         |  JOIN embeddings c ON c.vec_id = cand.n_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |      FROM scored)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, sim FROM r WHERE rn <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
         .orderBy("q_id", "rank")

@@ -39,15 +39,26 @@ object ScaleQueries {
 
     // ── A2 approximate variants: the typed HLL Aggregator (deterministic
     //    estimate, order-independent merge) next to the built-in HLL++ and
-    //    the exact count. Estimates can't hash-match DuckDB → rows-only;
-    //    the spec suite asserts <5% relative error.
-    rowsOnly("q_agg_hll") { (s, d) =>
+    //    the exact count. Sketch estimates can't be replayed by another
+    //    engine, but the DERIVED output can: the exact count (DuckDB
+    //    computes it too) plus a within-5% boolean per sketch, which the
+    //    oracle pins to TRUE — a hash-gated accuracy contract instead of
+    //    a rows-only shrug. Spec suite still measures the raw error.
+    sql("q_agg_hll",
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact,
+        |       TRUE AS hll_within_bound, TRUE AS builtin_within_bound
+        |FROM lineitem""".stripMargin) { (s, d) =>
       val hll = udaf(new HllAggregator(11))
       Tables.lineitem(s, d)
         .agg(
           countDistinct(col("l_partkey")).as("exact"),
           hll(col("l_partkey")).as("hll_estimate"),
           approx_count_distinct(col("l_partkey"), 0.02).as("builtin_estimate"))
+        .select(col("exact"),
+          (abs(col("hll_estimate") - col("exact")) / col("exact") < 0.05)
+            .as("hll_within_bound"),
+          (abs(col("builtin_estimate") - col("exact")) / col("exact") < 0.05)
+            .as("builtin_within_bound"))
     },
 
     // ── mergeable quantile sketch (HistogramQuantileAgg): deterministic
