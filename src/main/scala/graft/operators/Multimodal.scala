@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * shape the reference needed for its per-listing HTTP enrichment,
   * pipeline.py:509-523).
   *
-  * The decode step itself is a clearly-marked deterministic FAKE — this
-  * container has no image/audio codecs. The Spark-side plumbing (schema,
-  * batching, partition-parallel imperative code, feature schema) is real
-  * and tested; swap `fakeDecode` for a codec call in production.
-  */
+  * Two decode paths:
+  *  - [[decodeImageFeatures]] — a REAL codec: `javax.imageio` PNG
+  *    round-trip (JDK-builtin, no extra dependency), pixel-exact and
+  *    oracle-checked against the generative formula of the fixture.
+  *  - [[decodeFeatures]] — the original codec-agnostic byte-feature pass,
+  *    kept as the fixture for payloads no JDK codec reads (audio/video). */
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -87,4 +88,95 @@ object Multimodal {
     media.withColumn("frame_offsets",
       sequence(lit(0L), greatest(octet_length(col("media")).cast("long") - 1, lit(0L)),
         lit(stride.toLong)))
+
+  // ── REAL image codec path (JDK javax.imageio — PNG/BMP/GIF/JPEG) ─────
+
+  /** Deterministic synthetic PNG: every channel of pixel (x, y) is a
+    * closed-form function of (docId, x, y), so an oracle can recompute
+    * the DECODED pixel sums arithmetically while the Spark side really
+    * encodes and decodes PNG bytes. PNG is lossless → decode returns
+    * exactly these values or the feature sums diverge. */
+  private[operators] def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId + x * y) % 256).toInt
+        val b = ((x + 3 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType)))
+
+  /** Media table of real PNG payloads, dimensions derived from doc_id
+    * (8–16 × 8–14). Encoding runs per partition — the write-side twin of
+    * [[decodeImageFeatures]]'s decode loop. */
+  def imageTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
+  private val imageFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL decode: `ImageIO.read` per asset inside `mapPartitions` →
+    * (width, height, channels, per-channel pixel sums). Undecodable
+    * payloads degrade to a (-1, -1, -1, 0, 0, 0) row instead of failing
+    * the partition — at 100 TB a corrupt asset must never kill the job. */
+  def decodeImageFeatures(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, -1, -1, -1, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w, h, img.getColorModel.getNumComponents, sr, sg, sb)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
 }

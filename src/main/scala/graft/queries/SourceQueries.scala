@@ -421,6 +421,27 @@ object SourceQueries {
         .orderBy("doc_id")
     },
 
+    // ── REAL image codec: synthetic PNGs (pixel channels are closed-form
+    //    in doc_id/x/y) encoded AND decoded through javax.imageio inside
+    //    mapPartitions; the oracle recomputes the decoded pixel sums from
+    //    the formula — PNG is lossless, so any codec deviation breaks the
+    //    hash. channels = 3 pins the decoded color model.
+    sql("q_multimodal_image",
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM g CROSS JOIN range(0, 17) rx(x) CROSS JOIN range(0, 15) ry(y)
+        |       WHERE x < w AND y < h)
+        |SELECT doc_id, CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+        |       3 AS channels,
+        |       CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((doc_id + x * y) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((x + 3 * y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeImageFeatures(Multimodal.imageTable(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    },
+
     // ── frame-offset sampling stub (pure expression, no codec): summary
     //    per kind so the array column is exercised without list-compare
     sql("q_multimodal_frames",

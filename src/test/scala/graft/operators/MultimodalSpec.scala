@@ -30,6 +30,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG codec round-trips pixel-exactly via javax.imageio") {
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 50)
+    val feats = Multimodal.decodeImageFeatures(Multimodal.imageTable(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 50L).foreach { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id + x * y) % 256
+        sb += (x + 3 * y) % 256
+      }
+      val f = feats(id)
+      assert(f.getInt(1) === w && f.getInt(2) === h)
+      assert(f.getInt(3) === 3)
+      assert((f.getLong(4), f.getLong(5), f.getLong(6)) === ((sr, sg, sb)))
+    }
+  }
+
+  test("undecodable payloads degrade to a sentinel row, never kill the job") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeImageFeatures(junk)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getInt(1) === -1 && out(id).getLong(4) === 0L)
+    }
+  }
+
   test("frame offsets stride the payload") {
     val out = Multimodal.frameOffsets(
         Multimodal.mediaTable(Tables.documents(spark, sfDir)), stride = 100)
