@@ -374,10 +374,11 @@ object Curation {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("group_n"))
+      .agg(count(lit(1)).as("__group_n"))
     df.join(counts, quasiCols)
       .withColumn("action",
-        when(col("group_n") < k, lit("suppress")).otherwise(lit("keep")))
+        when(col("__group_n") < k, lit("suppress")).otherwise(lit("keep")))
+      .withColumnRenamed("__group_n", "group_n")
   }
 
   /** Corpus-level heavy-hitter tokens: every token with frequency

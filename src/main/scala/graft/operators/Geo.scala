@@ -26,7 +26,14 @@ object Geo {
     * first conjunct holds), the x comparison is
     *   (px-x1)·dy < (x2-x1)·(py-y1)   when dy > 0
     *   (px-x1)·dy > (x2-x1)·(py-y1)   when dy < 0
-    * — pure BIGINT compares, summation-order independent. */
+    * — pure BIGINT compares, summation-order independent.
+    *
+    * PRECONDITION: |px-x1| and |y2-y1| (and the rhs pair) must each stay
+    * under 2^31 so the products fit a long — at the 1e-7-deg global
+    * quantization that is ~214° of extent, far beyond any real region
+    * polygon, but a malformed polygon could overflow SILENTLY.
+    * [[pointInPolygon]] validates it against the dim at plan time; callers
+    * using this expression directly own the same check. */
   def insidePolygon(px: Column, py: Column, xs: Column, ys: Column): Column = {
     val n = size(xs)
     val crossings = aggregate(
@@ -67,24 +74,39 @@ object Geo {
   def pointInPolygon(points: DataFrame, pxCol: String, pyCol: String,
                      polygons: DataFrame, cellSize: Long): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    // overflow guard for the exact parity test: candidates sit inside a
+    // polygon's bbox cells, so every factor is bounded by extent+cellSize;
+    // keeping that under 2^31 keeps the cross-multiplied products inside
+    // a long. One tiny aggregate over the (broadcast-sized) dim at plan
+    // time — a malformed polygon fails loudly here instead of silently
+    // flipping parity bits at runtime.
+    val ext = polygons.agg(
+      max(array_max(col("xs")) - array_min(col("xs"))).as("dx"),
+      max(array_max(col("ys")) - array_min(col("ys"))).as("dy")).head()
+    val bound = (1L << 31) - cellSize
+    require(!ext.isNullAt(0) && ext.getLong(0) < bound && ext.getLong(1) < bound,
+      s"polygon extent (${ext.get(0)}, ${ext.get(1)}) + cellSize $cellSize " +
+        "exceeds 2^31 quantized units; the exact BIGINT parity test would overflow")
+    // polygon-side columns travel under reserved __-prefixed names so a
+    // point table that happens to carry xs/ys/cx/cy never collides
     val cellsOf = polygons.select(
-        col("poly_id"), col("xs"), col("ys"),
+        col("poly_id"), col("xs").as("__xs"), col("ys").as("__ys"),
         explode(sequence(
           floorDiv(array_min(col("xs")), cellSize),
-          floorDiv(array_max(col("xs")), cellSize))).as("cx"))
-      .select(col("poly_id"), col("xs"), col("ys"), col("cx"),
+          floorDiv(array_max(col("xs")), cellSize))).as("__pcx"))
+      .select(col("poly_id"), col("__xs"), col("__ys"), col("__pcx"),
         explode(sequence(
-          floorDiv(array_min(col("ys")), cellSize),
-          floorDiv(array_max(col("ys")), cellSize))).as("cy"))
+          floorDiv(array_min(col("__ys")), cellSize),
+          floorDiv(array_max(col("__ys")), cellSize))).as("__pcy"))
     val px = col(pxCol).cast("long")
     val py = col(pyCol).cast("long")
     points
       .withColumn("__cx", floorDiv(px, cellSize))
       .withColumn("__cy", floorDiv(py, cellSize))
       .join(broadcast(cellsOf),
-        col("__cx") === col("cx") && col("__cy") === col("cy"))
-      .filter(insidePolygon(px, py, col("xs"), col("ys")))
-      .drop("__cx", "__cy", "cx", "cy", "xs", "ys")
+        col("__cx") === col("__pcx") && col("__cy") === col("__pcy"))
+      .filter(insidePolygon(px, py, col("__xs"), col("__ys")))
+      .drop("__cx", "__cy", "__pcx", "__pcy", "__xs", "__ys")
   }
 
   /** Floor division that matches SQL `//` on negatives (long `div`

@@ -12,27 +12,47 @@ import org.apache.spark.sql.functions._
   * scratch each run, pipeline.py's drop-and-reload split — this is the
   * shape that survives when the history stops fitting a reload.)
   *
-  * Only additive measures qualify (count, sum, min, max merge; avg must
-  * travel as sum+count and divide at read time; distinct needs a sketch —
-  * see HllAggregator). The merge is one unionByName + hash aggregate on
-  * the group keys: map-side combine absorbs the delta, and the base side
-  * is already one row per group.
+  * Only mergeable measures qualify: count/sum merge by `sum`, min/max by
+  * their own function (declared via `merges`); avg must travel as
+  * sum+count and divide at read time; distinct needs a sketch — see
+  * HllAggregator. The merge is one unionByName + hash aggregate on the
+  * group keys: map-side combine absorbs the delta, and the base side is
+  * already one row per group.
   */
 object Incremental {
 
+  private val mergeFns = Set("sum", "min", "max")
+
   /** Merge an existing aggregate snapshot with a same-schema delta
-    * aggregate: rows share group `keys`; every other column must be an
-    * additive measure and is summed. */
+    * aggregate: rows share group `keys`; every other column is a measure
+    * merged by its entry in `merges` — `"sum"` (the default, correct for
+    * count/sum columns), `"min"`, or `"max"`. A min/max measure MUST be
+    * declared, or the sum default silently corrupts it — which is why
+    * the map is validated against the measure list.
+    *
+    * avg example: carry `sum_x` and `cnt` (both default-sum), derive
+    * `sum_x / cnt` at read time. */
   def mergeAdditive(baseAgg: DataFrame, deltaAgg: DataFrame,
-                    keys: Seq[String]): DataFrame = {
+                    keys: Seq[String],
+                    merges: Map[String, String] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
     require(baseAgg.columns.sorted.sameElements(deltaAgg.columns.sorted),
       s"schema mismatch: ${baseAgg.columns.mkString(",")} vs ${deltaAgg.columns.mkString(",")}")
     val measures = baseAgg.columns.filterNot(keys.contains)
     require(measures.nonEmpty, "no measure columns to merge")
+    val unknownCols = merges.keySet.diff(measures.toSet)
+    require(unknownCols.isEmpty,
+      s"merge functions for non-measure columns: ${unknownCols.mkString(",")}")
+    val badFns = merges.values.filterNot(mergeFns).toSeq
+    require(badFns.isEmpty,
+      s"unsupported merge functions ${badFns.mkString(",")}; use one of ${mergeFns.mkString("/")}")
+    def mergeCol(m: String) = merges.getOrElse(m, "sum") match {
+      case "sum" => sum(col(m)).as(m)
+      case "min" => min(col(m)).as(m)
+      case "max" => max(col(m)).as(m)
+    }
     baseAgg.unionByName(deltaAgg)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(measures.head)).as(measures.head),
-        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
   }
 }

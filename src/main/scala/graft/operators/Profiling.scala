@@ -112,18 +112,22 @@ object Profiling {
     * (median, mad) and the outlier count against the group's population. */
   def madOutliers(df: DataFrame, groupCol: String, column: String,
                   k: Double): DataFrame = {
+    // reserved __-prefixed internals + Column-op expressions (no string
+    // SQL), so an input that already carries a med/mad column — or a name
+    // needing backticks — can't collide or break parsing
+    val v = col(column)
     val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($column, 0.5)").as("med"))
+      .agg(percentile(v, lit(0.5)).as("__med"))
     val fences = df.join(med, groupCol)
       .groupBy(groupCol)
-      .agg(expr(s"percentile(abs($column - med), 0.5)").as("mad"),
-        first(col("med")).as("med"))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"),
+        first(col("__med")).as("__med"))
     df.join(fences, groupCol)
       .groupBy(groupCol)
       .agg(
-        first(col("med")).as("med"),
-        first(col("mad")).as("mad"),
-        sum(when(abs(col(column) - col("med")) > lit(k) * col("mad"), 1L)
+        first(col("__med")).as("med"),
+        first(col("__mad")).as("mad"),
+        sum(when(abs(v - col("__med")) > lit(k) * col("__mad"), 1L)
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
   }

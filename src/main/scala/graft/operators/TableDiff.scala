@@ -28,12 +28,15 @@ object TableDiff {
       s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
     val payload = before.columns.filterNot(keys.contains).sorted
     // xxhash64 SKIPS null arguments (the running hash passes through), so
-    // (null, "x") and ("x", null) would collide; tag nulls with a sentinel
-    // no cast-to-string ever produces (a NUL byte) to keep positions firm
+    // (null, "x") and ("x", null) would collide. No in-band sentinel is
+    // safe — a string column can legally hold ANY value, including NUL —
+    // so null-ness travels as its own hash argument: (isnull-flag, value)
+    // per column, both never-null, keeps every position firm
     def fingered(df: DataFrame, fp: String) = df.select(
       keys.map(col) :+
-        xxhash64(payload.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0000"))): _*).as(fp): _*)
+        xxhash64(payload.flatMap(c => Seq(
+          isnull(col(c)).cast("string"),
+          coalesce(col(c).cast("string"), lit("")))): _*).as(fp): _*)
     val b = fingered(before, "__fp_b")
     val a = fingered(after, "__fp_a")
     b.join(a, keys, "full_outer")

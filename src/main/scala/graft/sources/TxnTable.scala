@@ -105,19 +105,26 @@ object TxnTable {
     val added = relDataFiles(table, dataPath)
     val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}}"""
     logDir(table).mkdirs()
-    val tmpF = new File(logDir(table), f".v$version%05d.json.tmp")
+    // tmp is unique per ATTEMPT, like the data dir: a shared tmp name
+    // lets a racer overwrite the winner's bytes between write and link
+    // (publishing a log entry that points at the LOSER's data), or delete
+    // it from under the link call
+    val tmpF = new File(logDir(table),
+      f".v$version%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
     Files.write(tmpF.toPath, entry.getBytes(StandardCharsets.UTF_8))
-    // publish: rename-if-absent is the commit point. Deliberately NOT
-    // ATOMIC_MOVE — POSIX rename() silently REPLACES an existing target,
-    // so a concurrent writer that raced to the same version would clobber
-    // a committed transaction. Plain Files.move refuses an existing
-    // target (put-if-absent, the same contract Delta leans on from HDFS
-    // rename); the loser's data dir stays orphaned for vacuum. Within one
-    // filesystem the move is still a rename, so readers never see a torn
-    // entry.
+    // publish: ATOMIC put-if-absent is the commit point. Files.move
+    // without ATOMIC_MOVE only *checks* the target before rename() on
+    // POSIX — two writers racing through the check would both rename,
+    // and the second silently replaces the winner. link(2)
+    // (Files.createLink) is the genuinely atomic O_CREAT|O_EXCL-style
+    // primitive: it fails with EEXIST if the target appeared meanwhile,
+    // and linking a fully-written tmp file means readers never see a
+    // torn entry. The loser's data dir stays orphaned for vacuum.
     val target = new File(logDir(table), f"v$version%05d.json").toPath
-    try Files.move(tmpF.toPath, target)
-    catch {
+    try {
+      Files.createLink(target, tmpF.toPath)
+      Files.deleteIfExists(tmpF.toPath)
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmpF.toPath)
         throw new java.util.ConcurrentModificationException(
@@ -152,6 +159,11 @@ object TxnTable {
       .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     val doomed = all.filter(f => !keep.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
     doomed.foreach(_.delete())
+    // torn tmp log entries from crashed commits are invisible to readers
+    // but would otherwise accumulate — sweep them with the orphans
+    Option(logDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json.tmp"))
+      .foreach(_.delete())
     // drop now-empty commit dirs so the layout stays readable at a glance
     Option(dataRoot.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty).isEmpty)

@@ -39,6 +39,28 @@ class GeoSpec extends SparkSpec {
     assert(byCell.distinct.size == 1)
   }
 
+  test("point tables carrying xs/ys/cx/cy columns never collide") {
+    val pts = Seq((1L, 5L, 5L, Seq(9L), Seq(9L), 99L, 99L))
+      .toDF("id", "px", "py", "xs", "ys", "cx", "cy")
+    val got = Geo.pointInPolygon(pts, "px", "py", polys, 4L)
+      .select("id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
+  test("a polygon wide enough to overflow the exact test fails loudly") {
+    // extent ~3.6e9 > 2^31: the cross-multiplied parity products would
+    // exceed Long.MaxValue and silently flip — must be rejected at plan time
+    val planet = Seq(
+      (1L, Seq(-1800000000L, 1800000000L, 1800000000L, -1800000000L),
+           Seq(-900000000L, -900000000L, 900000000L, 900000000L)))
+      .toDF("poly_id", "xs", "ys")
+    val e = intercept[IllegalArgumentException] {
+      Geo.pointInPolygon(Seq((1L, 0L, 0L)).toDF("id", "px", "py"),
+        "px", "py", planet, 1000000L)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("overlapping polygons emit one row per containing polygon") {
     val overlapping = Seq(
       (7L, Seq(0L, 10L, 10L, 0L), Seq(0L, 0L, 10L, 10L)),

@@ -28,6 +28,23 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("declared min/max measures merge by min/max, undeclared default to sum") {
+    val base = Seq(("a", 3L, 30L, 2L, 9L)).toDF("g", "cnt", "sum_v", "min_v", "max_v")
+    val delta = Seq(("a", 2L, 12L, 5L, 7L), ("b", 1L, 4L, 4L, 4L))
+      .toDF("g", "cnt", "sum_v", "min_v", "max_v")
+    val got = Incremental.mergeAdditive(base, delta, Seq("g"),
+        merges = Map("min_v" -> "min", "max_v" -> "max"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 5L, 42L, 2L, 9L), ("b", 1L, 4L, 4L, 4L)))
+    // bad inputs fail loudly, never silently corrupt
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAdditive(base, delta, Seq("g"), Map("min_v" -> "avg"))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAdditive(base, delta, Seq("g"), Map("g" -> "min"))
+    }
+  }
+
   test("groups new in the delta appear; schema mismatch fails loudly") {
     val base = Seq(("a", 1L, 10L)).toDF("g", "cnt", "sum_v")
     val delta = Seq(("a", 2L, 5L), ("b", 1L, 7L)).toDF("g", "cnt", "sum_v")

@@ -70,4 +70,15 @@ class ProfilingSpec extends SparkSpec {
     assert(got("a") == ((5.5, 2.5, 1L, 10L)))
     assert(got("b") == ((7.0, 0.0, 0L, 4L)))
   }
+
+  test("madOutliers: an input med/mad column never collides with internals") {
+    import spark.implicits._
+    val rows = ((1 to 9).map(i => ("a", i.toDouble)) ++ Seq(("a", 1000.0)))
+      .map { case (g, v) => (g, v, -1.0, -1.0) }
+    val df = rows.toDF("g", "v", "med", "mad")
+    val got = Profiling.madOutliers(df, "g", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((5.5, 2.5, 1L, 10L)))
+  }
 }

@@ -30,6 +30,18 @@ class TableDiffSpec extends SparkSpec {
     assert(got == Set((1L, "changed")))
   }
 
+  test("no data value collides with the null encoding — not even NUL") {
+    // a literal NUL-byte string vs NULL: an in-band sentinel would hash
+    // them identical and the change would vanish
+    val before = Seq((1L, Option("\u0000")), (2L, Option("")))
+      .toDF("id", "a")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "a")
+    val got = TableDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "changed"), (2L, "changed")))
+  }
+
   test("composite keys and identical snapshots") {
     val snap = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k1", "k2", "v")
     assert(TableDiff.diff(snap, snap, Seq("k1", "k2")).isEmpty)

@@ -85,6 +85,30 @@ class TxnTableSpec extends SparkSpec {
     assert(rows(t) == Set(1L, 2L))
   }
 
+  test("truly concurrent racers to one version: exactly one publish wins") {
+    val t = freshTable("tt_race_parallel")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
+    // 8 threads all pin expectedVersion = 2 and publish simultaneously —
+    // the commit point must be atomic put-if-absent (link(2)), not an
+    // exists-check + rename that two racers can both pass
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence((0 until 8).map { i =>
+      Future {
+        barrier.await()
+        try Right(TxnTable.commit(spark, Seq(100L + i).toDF("id"), t,
+          overwrite = false, expectedVersion = Some(2)))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }
+      }
+    }), 120.seconds)
+    assert(results.count(_.isRight) == 1, s"want exactly 1 winner, got $results")
+    // the published v2 is intact and contains exactly the winner's row
+    val v2 = rows(t, Some(2))
+    assert(v2.size == 2 && v2.contains(1L), v2)
+  }
+
   test("readers keep their snapshot across a concurrent overwrite") {
     val t = freshTable("tt_isolation")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false)
