@@ -260,8 +260,63 @@ object TextQueries {
       val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
       Dedup.nearDupClusters(pairs).orderBy("doc_id")
+    },
+
+    // ── BPE merge-table training (BpeTrain.learnMerges): the training is
+    //    deterministic end-to-end (word histogram → weighted pair argmax
+    //    with (cnt DESC, l, r) tie-break → greedy double-replace merge),
+    //    so the oracle replays all rounds as unrolled CTEs — same
+    //    chr(31)-delimited symbol strings, same replace-twice merge, same
+    //    argmax. A wrong pair count, tie-break, or merge application in
+    //    ANY round cascades into every later round and breaks the hash.
+    sql("q_text_bpe_train", bpeReplaySql(6)) { (s, d) =>
+      graft.operators.BpeTrain.learnMerges(Tables.documents(s, d), "text", 6)
+        .orderBy("rank")
     }
   )
+
+  /** Unrolled DuckDB replay of [[graft.operators.BpeTrain.learnMerges]]
+    * for `n` rounds: v0 = the SEP-delimited char vocab, then per round i
+    * pairs→argmax→double-replace, exactly the operator's arithmetic. */
+  private def bpeReplaySql(n: Int): String = {
+    val sep = "chr(31)"
+    def pairsOf(v: String) =
+      s"""SELECT l, r, SUM(cnt) AS c FROM (
+         |    SELECT unnest(syms[1:n-1]) AS l, unnest(syms[2:n]) AS r, cnt FROM (
+         |      SELECT string_split(trim(w, $sep), $sep) AS syms,
+         |             len(string_split(trim(w, $sep), $sep)) AS n, cnt
+         |      FROM $v) s) q
+         |  GROUP BY 1, 2""".stripMargin
+    val rounds = (1 to n).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      val merge = s"$sep||x.l||$sep||x.r||$sep"
+      val into = s"$sep||x.l||x.r||$sep"
+      s"""p$i AS (
+         |  ${pairsOf(prev)}),
+         |x$i AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM p$i
+         |        ORDER BY c DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT replace(replace(v.w, ${merge.replace("x.", s"x$i.")},
+         |                 ${into.replace("x.", s"x$i.")}),
+         |                 ${merge.replace("x.", s"x$i.")},
+         |                 ${into.replace("x.", s"x$i.")}) AS w, v.cnt
+         |  FROM $prev v CROSS JOIN x$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS l_sym, r AS r_sym, " +
+        s"l||r AS merged, c AS pair_cnt FROM x$i").mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |    FROM documents) u
+       |  WHERE regexp_matches(t, '^[!-~]+${"$"}') GROUP BY t),
+       |v0 AS (
+       |  SELECT $sep || regexp_replace(t, '(.)', '\\1' || $sep, 'g') AS w, cnt
+       |  FROM toks),
+       |$rounds
+       |SELECT * FROM (
+       |  $out) ORDER BY rank""".stripMargin
+  }
 
   /** Brute-force 5-token-shingle Jaccard pairs at J≥0.5 — the ground
     * truth both LSH near-dup pipelines (minhash, simhash) must reproduce
