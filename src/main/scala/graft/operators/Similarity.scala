@@ -123,6 +123,17 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Whole-vector quantization: floor(x·1e6) per element, array<float> →
+    * array<long> — the QuantizedDot discipline applied to vectors that
+    * participate in *training* (centroids, codebooks), not just scoring. */
+  def quantizeVec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000.0d).cast("long"))
+
+  /** Integer dot of two pre-quantized long vectors — exact, reduction-
+    * order independent, and replayable verbatim by the DuckDB oracle. */
+  def dotQVec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** IVF (inverted-file) ANN — the clustering alternative to
     * hyperplane LSH. Centroids come from a deterministic distributed
     * k-means (first `k` vectors seed, `iters` Lloyd rounds, all
@@ -130,36 +141,43 @@ object Similarity {
     * update is a posexplode → per-(cluster, dim) mean). Queries probe
     * the `nprobe` nearest centroids and exact-rank only those lists —
     * the corpus-side shuffle is one groupBy on cluster id.
-    */
+    *
+    * The whole training loop is INTEGER arithmetic: vectors quantize to
+    * floor(x·1e6) longs once, the assignment metric is the integer dot,
+    * and the centroid update is the per-dimension `sum div count`
+    * (truncating long division) at the same 1e6 scale. Exact and
+    * reduction-order independent — so q_ann_ivf's DuckDB oracle replays
+    * the two Lloyd rounds bit-for-bit (`//` truncates toward zero like
+    * `div`), where any float/decimal mean would drift in the last bit.
+    * The 1e-6 metric quantization is far below the inter-centroid
+    * spacing, so cluster quality is unchanged (recall specs). Returns
+    * (cluster: int, cq: array<long>). */
   def ivfCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
     var centroids = corpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("centroid"))
+      .select(col("vec_id").cast("int").as("cluster"),
+        quantizeVec(col("embedding")).as("cq"))
     (1 to iters).foreach { _ =>
       val assigned = assignClusters(corpus, centroids)
       centroids = assigned
         .join(corpus, "vec_id")
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        // decimal-routed mean: a double avg's low bits depend on partial
-        // merge order, which would make the centroids (and thus cluster
-        // boundaries) run-dependent — the repo's determinism discipline
+        .select(col("cluster"),
+          posexplode(quantizeVec(col("embedding"))).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          / count(lit(1))).as("m"))
+        .agg(expr("sum(v) div count(1)").as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m").cast("float")).as("centroid"))
+          x => x.getField("m")).as("cq"))
     }
     centroids
   }
 
-  /** (vec_id, cluster) assignment: nearest centroid by dot product
-    * (unit-ish vectors; broadcast centroids, map-side only). */
+  /** (vec_id, cluster) assignment: nearest centroid by integer dot of
+    * the quantized vectors (broadcast centroids, map-side only). */
   def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("d"), col("cluster"))
-    corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), quantizeVec(col("embedding")).as("__eq"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("embedding"), col("centroid")))
+      .withColumn("d", dotQVec(col("__eq"), col("cq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cluster"))
@@ -177,9 +195,10 @@ object Similarity {
     val lists = assignClusters(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
-    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("__qq"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("q_emb"), col("centroid")))
+      .withColumn("d", dotQVec(col("__qq"), col("cq")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select("q_id", "cluster")
@@ -245,28 +264,31 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** (vec_id, j, sv): the corpus exploded into `m` contiguous subvectors
-    * of dim/m components each — the product-quantization decomposition. */
+  /** (vec_id, j, sq): the corpus exploded into `m` contiguous subvectors
+    * of dim/m components each, pre-quantized to floor(x·1e6) longs — the
+    * product-quantization decomposition in the integer domain. */
   def pqSubvectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     df.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(col("embedding"), j * sub + 1, lit(sub)))).as(Seq("j", "sv")))
+        j => slice(quantizeVec(col("embedding")), j * sub + 1, lit(sub))))
+        .as(Seq("j", "sq")))
   }
 
-  /** Squared L2 between two float arrays, in doubles (assignment metric
-    * for PQ codebooks — subvectors are not unit, so dot won't do). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
-      * (x.cast("double") - y.cast("double"))), lit(0.0d), (acc, v) => acc + v)
+  /** Squared L2 between two quantized long arrays — exact integers
+    * (assignment metric for PQ codebooks; subvectors are not unit, so
+    * dot won't do). Magnitude ≤ (dim/m)·(2e6)² ≈ 3e13 — no overflow. */
+  private def l2sqQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, j, code): each subvector assigned to its nearest codeword
-    * (L2, code tie-break). Broadcast codebook, map-side only. */
+    * (integer L2, code tie-break). Broadcast codebook, map-side only. */
   def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "j").orderBy(col("d"), col("code"))
     subs.join(broadcast(codebooks), "j")
-      .withColumn("d", l2sq(col("sv"), col("centroid")))
+      .withColumn("d", l2sqQ(col("sq"), col("cq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "j", "code")
@@ -274,11 +296,13 @@ object Similarity {
 
   /** Product-quantization codebooks: `ksub` codewords per subspace,
     * trained by the same deterministic Lloyd scheme as [[ivfCentroids]]
-    * (seeds = the ksub smallest vec_ids' subvectors, decimal-routed
-    * means), ALL subspaces in one DataFrame job per iteration — the
-    * subspace id `j` is just another grouping key. A codeword that loses
-    * every member simply drops out (standard k-means shrinkage).
-    * Returns (j, code, centroid: array<double>). At 100 TB codebooks are
+    * (seeds = the ksub smallest vec_ids' subvectors; per-dimension
+    * `sum div count` integer means at the 1e6 scale), ALL subspaces in
+    * one DataFrame job per iteration — the subspace id `j` is just
+    * another grouping key. A codeword that loses every member simply
+    * drops out (standard k-means shrinkage). All-integer training makes
+    * q_ann_pq's DuckDB oracle an exact unrolled replay.
+    * Returns (j, code, cq: array<long>). At 100 TB codebooks are
     * trained on a deterministic hash-sample of the corpus ([[Sampling
     * .bernoulli]] upstream), never the full data. */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
@@ -290,35 +314,33 @@ object Similarity {
       case (els, (id, c)) => when(col("vec_id") === id, lit(c)).otherwise(els)
     }
     var cb = subs.withColumn("code", seedCode).filter(col("code").isNotNull)
-      .select(col("j"), col("code"),
-        transform(col("sv"), x => x.cast("double")).as("centroid"))
+      .select(col("j"), col("code"), col("sq").as("cq"))
     (1 to iters).foreach { _ =>
       val assigned = pqAssign(subs, cb)
       cb = assigned.join(subs, Seq("vec_id", "j"))
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .select(col("j"), col("code"), posexplode(col("sq")).as(Seq("dim", "v")))
         .groupBy("j", "code", "dim")
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          / count(lit(1))).as("mu"))
+        .agg(expr("sum(v) div count(1)").as("mu"))
         .groupBy("j", "code")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-          x => x.getField("mu").cast("double")).as("centroid"))
+          x => x.getField("mu")).as("cq"))
     }
     cb
   }
 
   /** Per-query ADC lookup table: (q_id, j, code, partial) where partial
-    * is the query subvector · codeword dot, floor-quantized to a long so
-    * downstream sums are summation-order-independent. |Q|·m·ksub rows —
-    * always broadcastable. */
+    * is the INTEGER dot of the quantized query subvector and the
+    * quantized codeword (both at the 1e6 scale → partial ≈ cos·1e12/m)
+    * — exact longs, so downstream sums are summation-order-independent
+    * and the oracle replays them. |Q|·m·ksub rows — always
+    * broadcastable. */
   private def pqLut(queries: DataFrame, cb: DataFrame, m: Int,
                     dim: Int): DataFrame =
     pqSubvectors(queries, m, dim)
-      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sq", "qsq")
       .join(broadcast(cb), "j")
       .select(col("q_id"), col("j"), col("code"),
-        floor(aggregate(zip_with(col("qsv"), col("centroid"),
-          (x, y) => x.cast("double") * y), lit(0.0d), (acc, v) => acc + v)
-          * 1000000.0d).cast("long").as("partial"))
+        dotQVec(col("qsq"), col("cq")).as("partial"))
 
   /** PQ-compressed ANN (asymmetric distance computation): the corpus is
     * stored as `m` byte-ish codes per vector — at 100 TB this is the
@@ -373,9 +395,10 @@ object Similarity {
     val lists = assignClusters(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
-    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("__qq"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("q_emb"), col("centroid")))
+      .withColumn("d", dotQVec(col("__qq"), col("cq")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select("q_id", "cluster")
@@ -416,8 +439,9 @@ object Similarity {
     * vector in its cluster has quantized cosine >= `tauQ` (greedy keep-
     * min-id; identical vectors always share a cluster, because identical
     * dots give the identical argmin centroid). Clusters come from
-    * [[ivfCentroids]] — seeded by the k smallest vec_ids, decimal-routed
-    * means — so the output is a pure function of the corpus.
+    * [[ivfCentroids]] — seeded by the k smallest vec_ids, integer
+    * `sum div count` means — so the output is a pure function of the
+    * corpus.
     *
     * Scale shape: clustering is broadcast-centroid map-side work; the
     * pair join shuffles on the cluster id, and k scales with the corpus

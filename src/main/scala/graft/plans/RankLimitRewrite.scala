@@ -86,6 +86,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(CrossJoinGuard))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CrossJoinGuard
+    if (!spark.experimental.extraOptimizations.contains(GlobalWindowGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobalWindowGuard
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

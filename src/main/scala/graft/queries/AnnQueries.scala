@@ -29,6 +29,108 @@ object AnnQueries {
       |  i -> CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
       |     * CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)""".stripMargin
 
+  /** Quantized-embedding CTE shared by the IVF/PQ replay oracles:
+    * the exact longs `Similarity.quantizeVec` produces. */
+  private val eCte =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
+      |  FROM embeddings)""".stripMargin
+
+  /** IVF k-means replay: 16 clusters seeded by the 16 smallest vec_ids,
+    * `iters`=2 Lloyd rounds UNROLLED as CTE pairs (integer-dot argmax
+    * assignment with (d DESC, cluster) tie-break; per-dimension
+    * `SUM // COUNT` centroid update — DuckDB's `//` truncates toward
+    * zero exactly like Spark's `div`), then the corpus lists and the
+    * nprobe=4 query probes against the final centroids. Every number is
+    * a long, so this replays `Similarity.ivfCentroids`/`assignClusters`
+    * bit-for-bit — the same integer-replay idiom as q_graph_pagerank. */
+  private val ivfCtes: String = {
+    val dot = "list_sum(list_transform(range(1, 65), i -> x.eq[i] * c.cq[i]))"
+    def assign(prev: String) =
+      s"""  SELECT x.vec_id, c.cluster,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY $dot DESC, c.cluster) AS rn
+         |  FROM e x CROSS JOIN $prev c""".stripMargin
+    val rounds = (1 to 2).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, cluster FROM (
+         |${assign(s"c${it - 1}")}) WHERE rn = 1),
+         |u$it AS (
+         |  SELECT a.cluster, generate_subscripts(e.eq, 1) AS dim, unnest(e.eq) AS v
+         |  FROM a$it a JOIN e USING (vec_id)),
+         |c$it AS (
+         |  SELECT cluster, list(m ORDER BY dim) AS cq FROM (
+         |    SELECT cluster, dim, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m
+         |    FROM u$it GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (SELECT CAST(vec_id AS INT) AS cluster, eq AS cq FROM e ORDER BY vec_id LIMIT 16),
+       |$rounds,
+       |ivf_lists AS (
+       |  SELECT vec_id AS n_id, cluster FROM (
+       |${assign("c2")}) WHERE rn = 1),
+       |ivf_probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT x.vec_id AS q_id, c.cluster,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY $dot DESC, c.cluster) AS rn
+       |    FROM e x CROSS JOIN c2 c WHERE x.vec_id < 10) WHERE rn <= 4)""".stripMargin
+  }
+
+  /** PQ replay: m=8 subspaces × 8 dims, ksub=16 codewords seeded by the
+    * 16 smallest vec_ids' subvectors, 2 unrolled Lloyd rounds with the
+    * integer L2 metric and (d, code) tie-break, then the corpus codes
+    * and the per-query integer ADC LUT — `Similarity.pqCodebooks` /
+    * `pqAssign` / `pqLut` replayed exactly. */
+  private val pqCtes: String = {
+    val l2 = "list_sum(list_transform(range(1, 9), i -> (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i])))"
+    def assign(prev: String) =
+      s"""  SELECT s.vec_id, s.j, c.code,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY $l2, c.code) AS rn
+         |  FROM sub s JOIN $prev c USING (j)""".stripMargin
+    val rounds = (1 to 2).map { it =>
+      s"""pa$it AS (
+         |  SELECT vec_id, j, code FROM (
+         |${assign(s"cb${it - 1}")}) WHERE rn = 1),
+         |pu$it AS (
+         |  SELECT a.j, a.code, generate_subscripts(s.sq, 1) AS dim, unnest(s.sq) AS v
+         |  FROM pa$it a JOIN sub s USING (vec_id, j)),
+         |cb$it AS (
+         |  SELECT j, code, list(mu ORDER BY dim) AS cq FROM (
+         |    SELECT j, code, dim, CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu
+         |    FROM pu$it GROUP BY j, code, dim) GROUP BY j, code)""".stripMargin
+    }.mkString(",\n")
+    s"""sub AS (
+       |  SELECT vec_id, CAST(t.j AS INT) AS j, list_slice(eq, t.j * 8 + 1, t.j * 8 + 8) AS sq
+       |  FROM e CROSS JOIN range(0, 8) t(j)),
+       |cb0 AS (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+       |         sq AS cq
+       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       |$rounds,
+       |pq_codes AS (
+       |  SELECT vec_id AS n_id, j, code FROM (
+       |${assign("cb2")}) WHERE rn = 1),
+       |pq_lut AS (
+       |  SELECT s.vec_id AS q_id, c.j, c.code,
+       |         CAST(list_sum(list_transform(range(1, 9), i -> s.sq[i] * c.cq[i])) AS BIGINT) AS partial
+       |  FROM sub s JOIN cb2 c USING (j) WHERE s.vec_id < 10)""".stripMargin
+  }
+
+  /** Exact (sim DESC, n_id) top-5 re-rank of a (q_id, n_id) shortlist
+    * CTE — the tail every ANN oracle shares. */
+  private def rerankSql(shortCte: String): String =
+    s"""scored AS (
+       |  SELECT $shortCte.q_id, $shortCte.n_id, $quantDotSql AS sim
+       |  FROM $shortCte
+       |  JOIN embeddings q ON q.vec_id = $shortCte.q_id
+       |  JOIN embeddings c ON c.vec_id = $shortCte.n_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |      FROM scored)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, sim FROM r WHERE rn <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── exact brute-force top-k (the ANN correctness baseline)
@@ -90,8 +192,17 @@ object AnnQueries {
     },
 
     // ── IVF-bucketed ANN: deterministic k-means lists + nprobe probing —
-    //    the clustering scale path next to LSH; recall vs brute in specs
-    rowsOnly("q_ann_ivf") { (s, d) =>
+    //    the clustering scale path next to LSH. The ORACLE REPLAYS the
+    //    whole pipeline (all-integer k-means unrolled as CTEs, probe,
+    //    exact re-rank) — recall vs brute is separately measured in specs
+    sql("q_ann_ivf",
+      s"""WITH $eCte,
+         |$ivfCtes,
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, l.n_id
+         |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
+         |  WHERE p.q_id <> l.n_id),
+         |${rerankSql("cand")}""".stripMargin) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
         .orderBy("q_id", "rank")
@@ -100,16 +211,48 @@ object AnnQueries {
     // ── PQ-compressed ANN (asymmetric distance computation): corpus
     //    scored through m-byte codes + a broadcast query LUT, exact
     //    re-rank of the top candidates — the memory-compression scale
-    //    path; recall vs brute force asserted in specs
-    rowsOnly("q_ann_pq") { (s, d) =>
+    //    path. Oracle replays codebook training, code assignment, the
+    //    integer ADC scoring, and the rerank-64 shortlist exactly
+    sql("q_ann_pq",
+      s"""WITH $eCte,
+         |$pqCtes,
+         |approx AS (
+         |  SELECT l.q_id, c.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
+         |  FROM pq_codes c JOIN pq_lut l USING (j, code)
+         |  GROUP BY l.q_id, c.n_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
+         |    FROM approx WHERE q_id <> n_id) WHERE rn <= 64),
+         |${rerankSql("short")}""".stripMargin) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
         .orderBy("q_id", "rank")
     },
 
     // ── IVFPQ: cluster-list pruning + code-based scoring composed — the
-    //    FAISS-default production shape; recall vs brute force in specs
-    rowsOnly("q_ann_ivfpq") { (s, d) =>
+    //    FAISS-default production shape; both stages' replay CTEs composed
+    sql("q_ann_ivfpq",
+      s"""WITH $eCte,
+         |$ivfCtes,
+         |$pqCtes,
+         |cand AS (
+         |  SELECT p.q_id, l.n_id
+         |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
+         |  WHERE p.q_id <> l.n_id),
+         |approx AS (
+         |  SELECT cand.q_id, cand.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
+         |  FROM cand
+         |  JOIN pq_codes c USING (n_id)
+         |  JOIN pq_lut l ON l.q_id = cand.q_id AND l.j = c.j AND l.code = c.code
+         |  GROUP BY cand.q_id, cand.n_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
+         |    FROM approx) WHERE rn <= 64),
+         |${rerankSql("short")}""".stripMargin) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
         .orderBy("q_id", "rank")

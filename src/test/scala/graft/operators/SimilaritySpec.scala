@@ -114,9 +114,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     val b = Similarity.ivfCentroids(embs, 8, 2).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     assert(a.keySet === b.keySet)
     a.keys.foreach(k => assert(a(k) === b(k), s"cluster $k"))
   }
