@@ -308,12 +308,15 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
                   dim: Int): DataFrame = {
     val subs = pqSubvectors(corpus, m, dim)
+    // seed codes via a broadcast join on vec_id — flat at any ksub, where
+    // a when-chain's expression tree deepens linearly (fine at 16, a
+    // Janino hazard at 256)
     val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(ksub)
-      .collect().map(_.getLong(0)).zipWithIndex.toMap
-    val seedCode = seedIds.foldLeft(lit(null).cast("int")) {
-      case (els, (id, c)) => when(col("vec_id") === id, lit(c)).otherwise(els)
-    }
-    var cb = subs.withColumn("code", seedCode).filter(col("code").isNotNull)
+      .collect().map(_.getLong(0)).zipWithIndex
+    val seeds = corpus.sparkSession
+      .createDataFrame(seedIds.toSeq.map { case (id, c) => (id, c) })
+      .toDF("vec_id", "code")
+    var cb = subs.join(broadcast(seeds), "vec_id")
       .select(col("j"), col("code"), col("sq").as("cq"))
     (1 to iters).foreach { _ =>
       val assigned = pqAssign(subs, cb)
@@ -421,6 +424,82 @@ object Similarity {
       .select("q_id", "n_id")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    shortlist.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Persist the IVFPQ index — build ONCE, query many (the production
+    * deployment shape; the sibling of `Dedup.writeMinHashIndex`). Five
+    * tables: `centroids` (nClusters rows) and `codebooks` (≤ m·ksub
+    * rows) are the trained model; `lists` (vec_id → cluster) and
+    * `codes` (vec_id, j, code — m rows/vector, the 32× compressed
+    * corpus) are the scan-side state; `vectors` holds raw embeddings
+    * for the exact re-rank (in production that's the corpus table
+    * itself, bucketed by vec_id — kept here so a query session needs
+    * only the index dir). Training cost is paid once; the recurring
+    * cost is [[ivfPqTopKIndexed]]'s probe + code join. */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String,
+                      nClusters: Int = 16, iters: Int = 2,
+                      m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    val centroids = ivfCentroids(corpus, nClusters, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebooks(corpus, m, ksub, iters, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      assignClusters(corpus, centroids)
+        .write.mode("overwrite").parquet(s"$dir/lists")
+      pqAssign(pqSubvectors(corpus, m, dim), cb)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      corpus.select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    } finally { centroids.unpersist(); cb.unpersist() }
+  }
+
+  /** IVFPQ top-k against a [[writeIvfPqIndex]] directory: probes and the
+    * ADC LUT come from the persisted model (broadcast-sized), candidates
+    * from the persisted lists × codes — the corpus is never re-read and
+    * nothing is re-trained. Output is IDENTICAL to [[ivfPqTopK]] over
+    * the indexed corpus (differential spec; q_ann_ivfpq_index shares
+    * q_ann_ivfpq's replay oracle verbatim). */
+  def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
+                       nprobe: Int = 4, rerank: Int = 64,
+                       m: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .withColumnRenamed("vec_id", "n_id")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("d"), col("cluster"))
+    val probes = queries.select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("__qq"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", dotQVec(col("__qq"), col("cq")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "cluster")
+    val lut = pqLut(queries, cb, m, dim)
+    val cand = probes
+      .join(lists.withColumnRenamed("vec_id", "n_id"), "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
+    val shortlist = cand
+      .join(codes, "n_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id").agg(sum("partial").as("approx"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank)
+      .select("q_id", "n_id")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = vectors.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
     shortlist.join(broadcast(q), "q_id").join(c, "n_id")
       .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))

@@ -118,6 +118,30 @@ object AnnQueries {
        |  FROM sub s JOIN cb2 c USING (j) WHERE s.vec_id < 10)""".stripMargin
   }
 
+  /** The IVFPQ replay (both stages' CTEs composed) — shared verbatim by
+    * q_ann_ivfpq and q_ann_ivfpq_index, whose outputs are identical by
+    * construction. */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $eCte,
+       |$ivfCtes,
+       |$pqCtes,
+       |cand AS (
+       |  SELECT p.q_id, l.n_id
+       |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
+       |  WHERE p.q_id <> l.n_id),
+       |approx AS (
+       |  SELECT cand.q_id, cand.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
+       |  FROM cand
+       |  JOIN pq_codes c USING (n_id)
+       |  JOIN pq_lut l ON l.q_id = cand.q_id AND l.j = c.j AND l.code = c.code
+       |  GROUP BY cand.q_id, cand.n_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
+       |    FROM approx) WHERE rn <= 64),
+       |${rerankSql("short")}""".stripMargin
+
   /** Exact (sim DESC, n_id) top-5 re-rank of a (q_id, n_id) shortlist
     * CTE — the tail every ANN oracle shares. */
   private def rerankSql(shortCte: String): String =
@@ -233,28 +257,26 @@ object AnnQueries {
 
     // ── IVFPQ: cluster-list pruning + code-based scoring composed — the
     //    FAISS-default production shape; both stages' replay CTEs composed
-    sql("q_ann_ivfpq",
-      s"""WITH $eCte,
-         |$ivfCtes,
-         |$pqCtes,
-         |cand AS (
-         |  SELECT p.q_id, l.n_id
-         |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
-         |  WHERE p.q_id <> l.n_id),
-         |approx AS (
-         |  SELECT cand.q_id, cand.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
-         |  FROM cand
-         |  JOIN pq_codes c USING (n_id)
-         |  JOIN pq_lut l ON l.q_id = cand.q_id AND l.j = c.j AND l.code = c.code
-         |  GROUP BY cand.q_id, cand.n_id),
-         |short AS (
-         |  SELECT q_id, n_id FROM (
-         |    SELECT q_id, n_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
-         |    FROM approx) WHERE rn <= 64),
-         |${rerankSql("short")}""".stripMargin) { (s, d) =>
+    sql("q_ann_ivfpq", ivfPqOracleSql) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // ── IVFPQ against a PERSISTED index (build once, query many — the
+    //    deployment shape; sibling of q_dedup_incremental_lsh): model +
+    //    lists + codes land as parquet keyed by sf, the query session
+    //    re-trains nothing and never re-reads the corpus. Output is
+    //    identical to the direct path by construction, so the SAME
+    //    replay oracle hash-gates the round-trip (a differential spec
+    //    additionally pins indexed == direct).
+    sql("q_ann_ivfpq_index", ivfPqOracleSql) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir, k = 5)
         .orderBy("q_id", "rank")
     },
 

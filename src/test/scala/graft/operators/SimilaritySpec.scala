@@ -112,6 +112,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again === codes)
   }
 
+  test("persisted IVFPQ index round-trips: indexed query == direct ivfPqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_index_spec").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    val qs = embs.filter($"vec_id" < 10)
+    val direct = Similarity.ivfPqTopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val indexed = Similarity.ivfPqTopKIndexed(qs, dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(indexed === direct)
+    // the deployment point: the persisted model is broadcast-sized and the
+    // compressed corpus is m codes/vector
+    assert(spark.read.parquet(s"$dir/centroids").count() <= 16L)
+    assert(spark.read.parquet(s"$dir/codes").count() === embs.count() * 8)
+  }
+
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
