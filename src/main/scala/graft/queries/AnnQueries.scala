@@ -280,6 +280,16 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── the ONLINE half of the persisted index: new vectors arrive as a
+    //    stream (two micro-batches) and leave tagged with their top-5
+    //    corpus neighbours via foreachBatch(ivfPqTopKIndexed). Top-k is a
+    //    per-row enrichment, so the 2-batch union equals the one-shot
+    //    answer and the SAME replay oracle hash-gates the stream
+    sql("q_stream_ann_enrich", ivfPqOracleSql) { (s, d) =>
+      graft.streaming.AnnStreaming.enrichTopK(s, d, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── embedding-cosine near-dup pairs over a corpus with planted exact
     //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
     //    threshold 0.45·1e12 also catches the strongest natural pairs
