@@ -508,6 +508,30 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Append a NEW batch to a persisted IVFPQ index WITHOUT re-training
+    * (the daily-ingest half of the index lifecycle, paired with a
+    * periodic [[writeIvfPqIndex]] rebuild): the batch is assigned to
+    * the EXISTING centroids and codebooks — broadcast map-side work,
+    * O(|batch|) — and its lists/codes/vectors rows append. Queries then
+    * see base ∪ batch through the original model; model staleness is
+    * the standard IVF trade (rebuild cadence), orthogonal to
+    * correctness, and the assignment arithmetic is the same integer
+    * path, so an appended index stays replay-oracle-able
+    * (q_ann_index_append trains its CTEs on the base slice and
+    * lists/codes the union). */
+  def appendToIvfPqIndex(batch: DataFrame, dir: String,
+                         m: Int = 8, dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    assignClusters(batch, centroids)
+      .write.mode("append").parquet(s"$dir/lists")
+    pqAssign(pqSubvectors(batch, m, dim), cb)
+      .write.mode("append").parquet(s"$dir/codes")
+    batch.select("vec_id", "embedding")
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** Semantic dedup (the SemDeDup shape: arXiv:2303.09540): k-means the
     * embedding space, then prune near-duplicates ONLY within each cluster
     * — the all-pairs O(N²) becomes k independent O((N/k)²) blocks, the

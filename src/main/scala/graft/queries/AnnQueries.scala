@@ -45,36 +45,36 @@ object AnnQueries {
     * nprobe=4 query probes against the final centroids. Every number is
     * a long, so this replays `Similarity.ivfCentroids`/`assignClusters`
     * bit-for-bit — the same integer-replay idiom as q_graph_pagerank. */
-  private val ivfCtes: String = {
+  private def ivfCtes(train: String = "e", corpus: String = "e"): String = {
     val dot = "list_sum(list_transform(range(1, 65), i -> x.eq[i] * c.cq[i]))"
-    def assign(prev: String) =
+    def assign(rel: String, prev: String) =
       s"""  SELECT x.vec_id, c.cluster,
          |         row_number() OVER (PARTITION BY x.vec_id
          |           ORDER BY $dot DESC, c.cluster) AS rn
-         |  FROM e x CROSS JOIN $prev c""".stripMargin
+         |  FROM $rel x CROSS JOIN $prev c""".stripMargin
     val rounds = (1 to 2).map { it =>
       s"""a$it AS (
          |  SELECT vec_id, cluster FROM (
-         |${assign(s"c${it - 1}")}) WHERE rn = 1),
+         |${assign(train, s"c${it - 1}")}) WHERE rn = 1),
          |u$it AS (
-         |  SELECT a.cluster, generate_subscripts(e.eq, 1) AS dim, unnest(e.eq) AS v
-         |  FROM a$it a JOIN e USING (vec_id)),
+         |  SELECT a.cluster, generate_subscripts(t.eq, 1) AS dim, unnest(t.eq) AS v
+         |  FROM a$it a JOIN $train t USING (vec_id)),
          |c$it AS (
          |  SELECT cluster, list(m ORDER BY dim) AS cq FROM (
          |    SELECT cluster, dim, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m
          |    FROM u$it GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT CAST(vec_id AS INT) AS cluster, eq AS cq FROM e ORDER BY vec_id LIMIT 16),
+    s"""c0 AS (SELECT CAST(vec_id AS INT) AS cluster, eq AS cq FROM $train ORDER BY vec_id LIMIT 16),
        |$rounds,
        |ivf_lists AS (
        |  SELECT vec_id AS n_id, cluster FROM (
-       |${assign("c2")}) WHERE rn = 1),
+       |${assign(corpus, "c2")}) WHERE rn = 1),
        |ivf_probes AS (
        |  SELECT q_id, cluster FROM (
        |    SELECT x.vec_id AS q_id, c.cluster,
        |           row_number() OVER (PARTITION BY x.vec_id
        |             ORDER BY $dot DESC, c.cluster) AS rn
-       |    FROM e x CROSS JOIN c2 c WHERE x.vec_id < 10) WHERE rn <= 4)""".stripMargin
+       |    FROM $corpus x CROSS JOIN c2 c WHERE x.vec_id < 10) WHERE rn <= 4)""".stripMargin
   }
 
   /** PQ replay: m=8 subspaces × 8 dims, ksub=16 codewords seeded by the
@@ -82,17 +82,21 @@ object AnnQueries {
     * integer L2 metric and (d, code) tie-break, then the corpus codes
     * and the per-query integer ADC LUT — `Similarity.pqCodebooks` /
     * `pqAssign` / `pqLut` replayed exactly. */
-  private val pqCtes: String = {
+  private def pqCtes(train: String = "e", corpus: String = "e"): String = {
     val l2 = "list_sum(list_transform(range(1, 9), i -> (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i])))"
-    def assign(prev: String) =
+    def assign(subRel: String, prev: String) =
       s"""  SELECT s.vec_id, s.j, c.code,
          |         row_number() OVER (PARTITION BY s.vec_id, s.j
          |           ORDER BY $l2, c.code) AS rn
-         |  FROM sub s JOIN $prev c USING (j)""".stripMargin
+         |  FROM $subRel s JOIN $prev c USING (j)""".stripMargin
+    def subCte(name: String, rel: String) =
+      s"""$name AS (
+         |  SELECT vec_id, CAST(t.j AS INT) AS j, list_slice(eq, t.j * 8 + 1, t.j * 8 + 8) AS sq
+         |  FROM $rel CROSS JOIN range(0, 8) t(j))""".stripMargin
     val rounds = (1 to 2).map { it =>
       s"""pa$it AS (
          |  SELECT vec_id, j, code FROM (
-         |${assign(s"cb${it - 1}")}) WHERE rn = 1),
+         |${assign("sub", s"cb${it - 1}")}) WHERE rn = 1),
          |pu$it AS (
          |  SELECT a.j, a.code, generate_subscripts(s.sq, 1) AS dim, unnest(s.sq) AS v
          |  FROM pa$it a JOIN sub s USING (vec_id, j)),
@@ -101,31 +105,29 @@ object AnnQueries {
          |    SELECT j, code, dim, CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu
          |    FROM pu$it GROUP BY j, code, dim) GROUP BY j, code)""".stripMargin
     }.mkString(",\n")
-    s"""sub AS (
-       |  SELECT vec_id, CAST(t.j AS INT) AS j, list_slice(eq, t.j * 8 + 1, t.j * 8 + 8) AS sq
-       |  FROM e CROSS JOIN range(0, 8) t(j)),
+    val (subCorpus, subCorpusCte) =
+      if (corpus == train) ("sub", "")
+      else ("sub_c", subCte("sub_c", corpus) + ",\n")
+    s"""${subCte("sub", train)},
        |cb0 AS (
        |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
        |         sq AS cq
-       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       |  FROM sub WHERE vec_id IN (SELECT vec_id FROM $train ORDER BY vec_id LIMIT 16)),
        |$rounds,
+       |$subCorpusCte
        |pq_codes AS (
        |  SELECT vec_id AS n_id, j, code FROM (
-       |${assign("cb2")}) WHERE rn = 1),
+       |${assign(subCorpus, "cb2")}) WHERE rn = 1),
        |pq_lut AS (
        |  SELECT s.vec_id AS q_id, c.j, c.code,
        |         CAST(list_sum(list_transform(range(1, 9), i -> s.sq[i] * c.cq[i])) AS BIGINT) AS partial
-       |  FROM sub s JOIN cb2 c USING (j) WHERE s.vec_id < 10)""".stripMargin
+       |  FROM $subCorpus s JOIN cb2 c USING (j) WHERE s.vec_id < 10)""".stripMargin
   }
 
-  /** The IVFPQ replay (both stages' CTEs composed) — shared verbatim by
-    * q_ann_ivfpq and q_ann_ivfpq_index, whose outputs are identical by
-    * construction. */
-  private lazy val ivfPqOracleSql: String =
-    s"""WITH $eCte,
-       |$ivfCtes,
-       |$pqCtes,
-       |cand AS (
+  /** The IVFPQ tail: probed lists × codes → ADC approx → rerank-64 →
+    * exact top-5. */
+  private lazy val ivfPqTailSql: String =
+    s"""cand AS (
        |  SELECT p.q_id, l.n_id
        |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
        |  WHERE p.q_id <> l.n_id),
@@ -141,6 +143,26 @@ object AnnQueries {
        |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
        |    FROM approx) WHERE rn <= 64),
        |${rerankSql("short")}""".stripMargin
+
+  /** The IVFPQ replay (both stages' CTEs composed) — shared verbatim by
+    * q_ann_ivfpq, q_ann_ivfpq_index, and q_stream_ann_enrich, whose
+    * outputs are identical by construction. */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $eCte,
+       |${ivfCtes()},
+       |${pqCtes()},
+       |$ivfPqTailSql""".stripMargin
+
+  /** The APPEND replay: the model (k-means + codebooks) trains on the
+    * base slice only (vec_id >= 10 — "yesterday's corpus"), while
+    * lists, codes, probes, and the LUT read the union — exactly what
+    * `writeIvfPqIndex(base)` + `appendToIvfPqIndex(batch)` persist. */
+  private lazy val ivfPqAppendOracleSql: String =
+    s"""WITH $eCte,
+       |e_base AS (SELECT * FROM e WHERE vec_id >= 10),
+       |${ivfCtes(train = "e_base", corpus = "e")},
+       |${pqCtes(train = "e_base", corpus = "e")},
+       |$ivfPqTailSql""".stripMargin
 
   /** Exact (sim DESC, n_id) top-5 re-rank of a (q_id, n_id) shortlist
     * CTE — the tail every ANN oracle shares. */
@@ -221,7 +243,7 @@ object AnnQueries {
     //    exact re-rank) — recall vs brute is separately measured in specs
     sql("q_ann_ivf",
       s"""WITH $eCte,
-         |$ivfCtes,
+         |${ivfCtes()},
          |cand AS (
          |  SELECT DISTINCT p.q_id, l.n_id
          |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
@@ -239,7 +261,7 @@ object AnnQueries {
     //    integer ADC scoring, and the rerank-64 shortlist exactly
     sql("q_ann_pq",
       s"""WITH $eCte,
-         |$pqCtes,
+         |${pqCtes()},
          |approx AS (
          |  SELECT l.q_id, c.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
          |  FROM pq_codes c JOIN pq_lut l USING (j, code)
@@ -276,6 +298,24 @@ object AnnQueries {
       val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
       if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
         Similarity.writeIvfPqIndex(embs, idxDir)
+      Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // ── the DAILY-APPEND half of the index lifecycle: base corpus
+    //    (vec_id >= 10, "yesterday") indexed with full training; the new
+    //    batch (vec_id < 10) appended WITHOUT re-training — assigned to
+    //    the existing centroids/codebooks, lists/codes/vectors appended.
+    //    The oracle trains its CTEs on the base slice and lists/codes
+    //    the union — the staleness semantics pinned exactly
+    sql("q_ann_index_append", ivfPqAppendOracleSql) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/ann_append_${sfKey}_c16i2m8k16"
+      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists()) {
+        Similarity.writeIvfPqIndex(embs.filter(col("vec_id") >= 10), idxDir)
+        Similarity.appendToIvfPqIndex(embs.filter(col("vec_id") < 10), idxDir)
+      }
       Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir, k = 5)
         .orderBy("q_id", "rank")
     },

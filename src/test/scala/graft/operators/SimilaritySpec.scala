@@ -127,6 +127,24 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes").count() === embs.count() * 8)
   }
 
+  test("index append: planted copies are immediately the top-1 neighbour") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_append_spec").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    // "today's batch": exact copies of the first 10 vectors under new ids
+    val copies = embs.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 100000)
+    Similarity.appendToIvfPqIndex(copies, dir)
+    // an identical vector lands in the same cluster with the same codes,
+    // tops the ADC shortlist, and wins the exact re-rank at sim ≈ 1e12
+    val top1 = Similarity.ivfPqTopKIndexed(embs.filter($"vec_id" < 10), dir, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(top1.length === 10)
+    top1.foreach { case (qId, nId, sim) =>
+      assert(nId === qId + 100000, s"q$qId top-1 was $nId, not its planted copy")
+      assert(sim >= 990000000000L, s"q$qId copy sim $sim below ~1e12")
+    }
+  }
+
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap

@@ -153,6 +153,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q_ann_ivfpq_index: model joins broadcast; only the centroid probe crosses") {
+    val plan = planOf("q_ann_ivfpq_index")
+    // LUT and probe/shortlist joins broadcast the model-sized side
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    // the ONLY nested-loop is the |Q|×nClusters centroid probe (an
+    // explicit broadcast cross over a ≤16-row table); the corpus-sized
+    // lists/codes traffic must all be equi-joins
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(2000))
+  }
+
   test("q_geo_pip: cell equi-join broadcasts the polygon dim — no cross product") {
     val plan = planOf("q_geo_pip")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
