@@ -178,4 +178,27 @@ object Sampling {
       .withColumn("cum_size", col("__cum"))
       .drop("__stratum", "__bucket", "__pbucket", "__prefix", "__target", "__cum")
   }
+
+  /** Topic-balanced cap: k-means the embedding space
+    * ([[Similarity.ivfCentroids]]'s all-integer Lloyd — deterministic,
+    * replay-oracle-able) and keep at most `perTopic` vectors per
+    * EMERGENT cluster, chosen in content-hash order ([[stratifiedCap]]).
+    * The mixture-curation step when no label exists to balance on:
+    * web corpora are dominated by a few content genres, and capping by
+    * semantic cluster flattens the topic distribution the way
+    * [[stratifiedCap]] flattens a labeled language/source column.
+    * (SemDeDup's observation applied to sampling: cluster structure is
+    * the balance key, not metadata.)
+    *
+    * Scale shape: clustering is broadcast-centroid map-side work; the
+    * cap is one rank-limit window per cluster (WindowGroupLimit prunes
+    * below the cap). Returns (vec_id, cluster) for the survivors. */
+  def topicBalancedCap(corpus: DataFrame, perTopic: Int,
+                       nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    // centroids has exactly one consumer (the assignment join), so no
+    // persist: one lazy plan, executed once
+    val centroids = Similarity.ivfCentroids(corpus, nClusters, iters)
+    val member = Similarity.assignClusters(corpus, centroids)
+    stratifiedCap(member, Seq("cluster"), "vec_id", perTopic)
+  }
 }

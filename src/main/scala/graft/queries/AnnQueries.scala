@@ -31,7 +31,7 @@ object AnnQueries {
 
   /** Quantized-embedding CTE shared by the IVF/PQ replay oracles:
     * the exact longs `Similarity.quantizeVec` produces. */
-  private val eCte =
+  private[queries] val eCte =
     """e AS (
       |  SELECT vec_id, list_transform(embedding,
       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
@@ -45,7 +45,7 @@ object AnnQueries {
     * nprobe=4 query probes against the final centroids. Every number is
     * a long, so this replays `Similarity.ivfCentroids`/`assignClusters`
     * bit-for-bit — the same integer-replay idiom as q_graph_pagerank. */
-  private def ivfCtes(train: String = "e", corpus: String = "e"): String = {
+  private[queries] def ivfCtes(train: String = "e", corpus: String = "e"): String = {
     val dot = "list_sum(list_transform(range(1, 65), i -> x.eq[i] * c.cq[i]))"
     def assign(rel: String, prev: String) =
       s"""  SELECT x.vec_id, c.cluster,

@@ -45,6 +45,25 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // ── topic-balanced cap: the same rebalance when NO label exists —
+    //    k-means the embedding space (the all-integer Lloyd of the ANN
+    //    family, replayed by AnnQueries.ivfCtes) and cap each EMERGENT
+    //    cluster at 25 vectors in content-hash order. Web-corpus mixture
+    //    curation by semantic topic instead of metadata
+    sql("q_sample_topic_balanced",
+      s"""WITH ${AnnQueries.eCte},
+         |${AnnQueries.ivfCtes()},
+         |r AS (
+         |  SELECT n_id AS vec_id, CAST(cluster AS INT) AS cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) AS rn
+         |  FROM ivf_lists)
+         |SELECT vec_id, cluster FROM r WHERE rn <= 25
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Sampling.topicBalancedCap(Tables.embeddings(s, d), perTopic = 25)
+        .orderBy("vec_id")
+    },
+
     // ── token-budget mixture: per-language char budgets filled in
     //    content-hash order — the training-run data-mixing step. The
     //    engine runs the skew-free two-pass form (bucket histogram →

@@ -92,4 +92,18 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("topic-balanced cap bounds every emergent cluster, layout-invariant") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val out = Sampling.topicBalancedCap(embs, perTopic = 10)
+    val picked = out.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(picked.groupBy(_._2).forall(_._2.length <= 10),
+      "a cluster exceeded its cap")
+    assert(picked.nonEmpty && picked.map(_._1).distinct.length === picked.length)
+    // clustering + cap are content-hash/integer arithmetic — partition
+    // layout must not change the selection
+    val again = Sampling.topicBalancedCap(embs.repartition(7), perTopic = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.toSet === picked.toSet)
+  }
 }
