@@ -302,6 +302,30 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── SQ8 scalar quantization: the 4×-compression rung of the memory
+    //    ladder (vs PQ's 32×) — int8 codes score the whole corpus, the
+    //    top-64 re-rank exactly. No training, so the replay is one CTE
+    //    chain: encode → integer-dot approx → shortlist → exact top-5
+    sql("q_ann_sq8",
+      s"""WITH c8 AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS v8
+         |  FROM embeddings),
+         |ap AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         list_sum(list_transform(range(1, 65), i -> q.v8[i] * c.v8[i])) AS approx
+         |  FROM c8 q JOIN c8 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
+         |    FROM ap) WHERE rn <= 64),
+         |${rerankSql("short")}""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.sq8TopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── the DAILY-APPEND half of the index lifecycle: base corpus
     //    (vec_id >= 10, "yesterday") indexed with full training; the new
     //    batch (vec_id < 10) appended WITHOUT re-training — assigned to

@@ -112,6 +112,18 @@ class SimilaritySpec extends SparkSpec {
     assert(again === codes)
   }
 
+  test("SQ8 ANN recall@5 vs brute force is near-exact after re-rank") {
+    val qs = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Similarity.sq8TopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    info(f"SQ8 recall@5 = $recall%.3f")
+    // int8 keeps ~7 bits of each component: far tighter than PQ codes
+    assert(recall >= 0.9, f"recall@5 $recall%.3f below floor")
+  }
+
   test("persisted IVFPQ index round-trips: indexed query == direct ivfPqTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ann_index_spec").toString
     Similarity.writeIvfPqIndex(embs, dir)
