@@ -121,6 +121,29 @@ object Search {
       .select(col(idCol), col("rank"), col("term"), col("score_q"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher's RRF): merge N
+    * ranked candidate lists into one, score(d) = Σ_lists 1/(kRrf +
+    * rank_d) — the standard hybrid-retrieval combiner (lexical BM25 +
+    * semantic ANN in a RAG stack) because it needs NO score
+    * calibration between lists, only ranks. Contributions are exact
+    * integers — floor(10¹² / (kRrf + rank)) — so the fused ordering is
+    * engine-independent and the oracle replays it. Inputs: (doc_id,
+    * rank) frames, rank 1-based. Output: top `k` by (rrf_q DESC,
+    * doc_id), with `n_lists` = how many lists surfaced the doc (the
+    * agreement signal). Scale: each input is already a top-N — fused
+    * traffic is N·lists rows, driver-free and broadcast-sized. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists.map(_.select(col("doc_id"),
+        expr(s"CAST(1000000000000 div ($kRrf + rank) AS BIGINT)").as("__contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum(col("__contrib")).cast("long").as("rrf_q"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(desc("rrf_q"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k BM25: (idCol, score_q, n_terms) for the `topK` best-scoring
     * documents, score_q = Σ_matched-terms floor(idf·tf_norm·10⁶) as a
     * long, ties broken by id. k1/b must be exactly representable doubles

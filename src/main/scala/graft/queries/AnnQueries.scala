@@ -354,6 +354,48 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── hybrid retrieval (the RAG-stack pattern): BM25 lexical top-25
+    //    for [vector, stream, merge] fused with the semantic top-25
+    //    neighbours of doc 0's embedding (vec_id ≡ doc_id in testdata)
+    //    by reciprocal-rank fusion — integer contributions
+    //    floor(1e12/(60+rank)), no score calibration between lists.
+    //    Both legs replay their already-proven oracles; the fusion is
+    //    two lines of integer SQL on top
+    sql("q_search_hybrid",
+      s"""WITH ${CurationQueries.bm25Ctes},
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM bm25),
+         |sem0 AS (
+         |  SELECT c.vec_id AS doc_id, $quantDotSql AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |sem AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+         |    FROM sem0) WHERE rank <= 25),
+         |u AS (
+         |  SELECT doc_id, 1000000000000 // (60 + rank) AS contrib FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000000 // (60 + rank) AS contrib FROM sem)
+         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_q,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY doc_id ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.Search
+          .bm25TopK(Tables.documents(s, d), "doc_id", "text",
+            Seq("vector", "stream", "merge"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("score_q"), col("doc_id"))).cast("long"))
+          .select("doc_id", "rank")
+        val embs = Tables.embeddings(s, d)
+        val sem = Similarity
+          .bruteForceTopK(embs, embs.filter(col("vec_id") === 0), k = 25)
+          .select(col("n_id").as("doc_id"), col("rank"))
+        graft.operators.Search.rrfFuse(Seq(lex, sem), k = 10)
+          .orderBy(desc("rrf_q"), col("doc_id"))
+    },
+
     // ── embedding-cosine near-dup pairs over a corpus with planted exact
     //    copies (vec_id ≡ 0 mod 50 re-appear under vec_id+100000);
     //    threshold 0.45·1e12 also catches the strongest natural pairs

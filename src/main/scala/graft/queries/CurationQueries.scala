@@ -26,6 +26,32 @@ object CurationQueries {
   private val shingle5Sql =
     "list_distinct(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))"
 
+  /** The BM25 replay CTE chain, terminating in `bm25(doc_id, score_q,
+    * n_terms)` — the top-25 for terms [vector, stream, merge] at
+    * k1=1.25, b=0.75. Shared by q_search_bm25 and (as the lexical leg)
+    * q_search_hybrid in AnnQueries. */
+  private[queries] val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+      |          FROM d),
+      |tf AS (SELECT doc_id, term,
+      |              CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+      |       FROM toks, (SELECT unnest(['vector', 'stream', 'merge']) AS term)),
+      |m AS (SELECT * FROM tf WHERE tf > 0),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfr FROM m GROUP BY term),
+      |sc AS (SELECT m.doc_id,
+      |         CAST(FLOOR((n_docs - dfr + 0.5) / (dfr + 0.5)
+      |              * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      |              * 1000000.0) AS BIGINT) AS sq
+      |       FROM m JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats),
+      |bm25 AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
+      |                CAST(COUNT(*) AS BIGINT) AS n_terms
+      |         FROM sc GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── benchmark decontamination: training docs sharing any 5-gram with
@@ -295,26 +321,9 @@ object CurationQueries {
     //    representable, so every intermediate double matches DuckDB's),
     //    per-term scores quantized to longs before the per-doc sum
     sql("q_search_bm25",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |                 CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
-        |          FROM d),
-        |tf AS (SELECT doc_id, term,
-        |              CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
-        |       FROM toks, (SELECT unnest(['vector', 'stream', 'merge']) AS term)),
-        |m AS (SELECT * FROM tf WHERE tf > 0),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfr FROM m GROUP BY term),
-        |sc AS (SELECT m.doc_id,
-        |         CAST(FLOOR((n_docs - dfr + 0.5) / (dfr + 0.5)
-        |              * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
-        |              * 1000000.0) AS BIGINT) AS sq
-        |       FROM m JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats)
-        |SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
-        |       CAST(COUNT(*) AS BIGINT) AS n_terms
-        |FROM sc GROUP BY doc_id ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin) {
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score_q, n_terms FROM bm25
+         |ORDER BY score_q DESC, doc_id""".stripMargin) {
       (s, d) =>
         graft.operators.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           Seq("vector", "stream", "merge"))

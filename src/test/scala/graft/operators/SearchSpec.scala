@@ -91,6 +91,22 @@ class SearchSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("rrfFuse: agreement wins — a doc on both lists beats single-list docs at every rank") {
+    import spark.implicits._
+    // doc 100 is rank 3 on both lists; docs 1-2 / 11-12 lead one list each
+    val lex = Seq((1L, 1L), (2L, 2L), (100L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1L), (12L, 2L), (100L, 3L)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(lex, sem), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 === 100L, s"expected the both-lists doc first, got ${out.head}")
+    assert(out.head._3 === 2L)
+    // 2/(60+3) > 1/(60+1): agreement at rank 3 beats a single rank-1
+    assert(out.head._2 === 2 * (1000000000000L / 63))
+    assert(out.tail.forall(_._3 === 1L))
+    // ranks tie (1 beats 2), ids break ties
+    assert(out.map(_._1).toSeq === Seq(100L, 1L, 11L, 2L, 12L))
+  }
+
   test("groupSplit: groups never straddle splits and assignment is layout-invariant") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = Sampling.groupSplit(docs, "source",
