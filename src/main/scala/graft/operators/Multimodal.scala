@@ -126,6 +126,7 @@ object Multimodal {
   def imageTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val rdd = documents.select("doc_id").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeImageFeatures
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, syntheticPng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
@@ -150,6 +151,11 @@ object Multimodal {
   def decodeImageFeatures(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     val rdd = images.select("doc_id", "media").rdd.mapPartitions { rows =>
+      // ImageIO defaults to a DISK-backed stream cache (a temp file per
+      // read) — pure overhead for in-memory byte arrays, and the temp-dir
+      // traffic serializes a 32-thread decode loop. Per-JVM flag, set
+      // once per partition (idempotent).
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]]("media")

@@ -157,6 +157,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index lifecycle degenerate inputs: tiny corpus, empty append, oversized k") {
+    // corpus smaller than nClusters/ksub: k-means degrades to one
+    // cluster per vector instead of failing
+    val tiny = embs.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ann_tiny_spec").toString
+    Similarity.writeIvfPqIndex(tiny, dir)
+    // an empty batch append is a no-op, not an error
+    Similarity.appendToIvfPqIndex(tiny.filter($"vec_id" < 0), dir)
+    // k larger than the corpus returns every available neighbour (4:
+    // self excluded), ranked
+    val out = Similarity.ivfPqTopKIndexed(tiny, dir, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).distinct.length === 5)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 4, s"q$q returned ${rows.length} > 4 neighbours")
+      assert(!rows.exists(_._3 == q), s"q$q returned itself")
+    }
+  }
+
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
