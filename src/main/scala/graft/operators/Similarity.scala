@@ -508,6 +508,36 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Johnson–Lindenstrauss random projection: dim → outDim via a seeded
+    * Gaussian plane matrix (the same deterministic family as the LSH
+    * hyperplanes — JL is what LSH sign-buckets before truncating to a
+    * bit), computed in the quantized-integer domain: out_j =
+    * Σᵢ floor(xᵢ·10⁶)·floor(pⱼᵢ·10⁶) ≈ (x·pⱼ)·10¹². The standard
+    * dimensionality-reduction preprocessing before clustering/ANN when
+    * the raw embedding dim is large — distances concentrate within
+    * (1±ε) at outDim = O(log n / ε²), and the integer output keeps the
+    * projected vectors engine-exact for the replay oracle.
+    *
+    * Returns the EXPLODED form (vec_id, dim, value_q) — one row per
+    * projected component, scan-side, zero shuffle. NOTE the scale:
+    * value_q ≈ projection·10¹², so rescale (e.g. `value_q div 10⁶`)
+    * before feeding projected vectors to an integer dot — squaring
+    * 10¹²-scale longs overflows. */
+  def randomProject(df: DataFrame, outDim: Int, dim: Int = 64,
+                    seed: Long = 99L): DataFrame = {
+    val planesQ: Seq[Seq[Long]] = projectionPlanesQ(outDim, dim, seed)
+    df.select(col("vec_id"),
+      posexplode(transform(typedLit(planesQ),
+        p => dotQVec(quantizeVec(col("embedding")), p))).as(Seq("dim", "value_q")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value_q"))
+  }
+
+  /** The quantized JL plane matrix (outDim rows × dim longs at the 1e6
+    * scale) — exposed so the oracle inlines the exact same literals. */
+  def projectionPlanesQ(outDim: Int, dim: Int, seed: Long = 99L): Seq[Seq[Long]] =
+    hyperplanes(dim, 1, outDim, seed).head
+      .map(_.map(p => math.floor(p * 1000000.0d).toLong))
+
   /** Scalar int8 quantization (the FAISS SQ8 shape): each component
     * maps to floor(x·127 + 0.5) — unit-normalized corpus, so the scale
     * is the STATIC 127, no per-vector min/max state to carry. 4×

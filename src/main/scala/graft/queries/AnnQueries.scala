@@ -354,6 +354,30 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── Johnson–Lindenstrauss projection 64 → 16 dims: the
+    //    dimensionality-reduction preprocessing before clustering/ANN at
+    //    high dim, in the integer domain — the oracle inlines the exact
+    //    quantized plane matrix and replays the projection verbatim
+    sql("q_embed_project", {
+      val planes = Similarity.projectionPlanesQ(16, 64)
+        .zipWithIndex
+        .map { case (qs, i) => s"  ($i, [${qs.mkString(",")}])" }
+        .mkString(",\n")
+      s"""WITH planes(pid, qp) AS (VALUES
+         |$planes),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(pid AS BIGINT) AS dim,
+         |       CAST(list_sum(list_transform(range(1, 65), i -> e.eq[i] * p.qp[i])) AS BIGINT) AS value_q
+         |FROM e CROSS JOIN planes p
+         |ORDER BY vec_id, dim""".stripMargin
+    }) { (s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), outDim = 16)
+        .orderBy("vec_id", "dim")
+    },
+
     // ── hybrid retrieval (the RAG-stack pattern): BM25 lexical top-25
     //    for [vector, stream, merge] fused with the semantic top-25
     //    neighbours of doc 0's embedding (vec_id ≡ doc_id in testdata)

@@ -112,6 +112,46 @@ class SimilaritySpec extends SparkSpec {
     assert(again === codes)
   }
 
+  test("JL projection: copies project identically; neighbourhoods survive 64→16") {
+    val proj = Similarity.randomProject(embs, outDim = 16)
+    // rebuild arrays, then projected-space brute top-5
+    // projected components are ~1e12-scale longs — rescale to ~1e6
+    // before dotting or the products overflow (see randomProject doc)
+    val pv = proj.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"value_q"))),
+        x => floor(x.getField("value_q").cast("double") / 1000000.0d)
+          .cast("long")).as("pv"))
+    val a = pv.select($"vec_id".as("q_id"), $"pv".as("qa"))
+    val b = pv.select($"vec_id".as("n_id"), $"pv".as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sim"), $"n_id")
+    val projTop = a.filter($"q_id" < 20).crossJoin(b)
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("sim", Similarity.dotQVec($"qa", $"nb"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 20), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & projTop).size.toDouble / brute.size
+    info(f"JL 64->16 neighbourhood recall@5 = $recall%.3f (chance = 0.01)")
+    // near-orthogonal random testdata is JL's WORST case: top-5 cosines
+    // ≈ 0.3 vs ±0.25 distortion at 16 dims, so absolute recall is low by
+    // construction (measured 0.10 — 10× above the 5/500 chance level).
+    // The floor pins "structure survives well above chance"; real
+    // clustered corpora preserve far more, and production flows re-rank
+    // in full dim anyway (as SQ8 does)
+    assert(recall >= 0.05, f"recall $recall%.3f not above chance")
+    // exact copies project exactly equally (pure integer arithmetic)
+    val p0 = proj.filter($"vec_id" === 0).orderBy("dim")
+      .collect().map(_.getLong(2)).toSeq
+    val copy = embs.filter($"vec_id" === 0).withColumn("vec_id", lit(77777L))
+    val p1 = Similarity.randomProject(copy, outDim = 16).orderBy("dim")
+      .collect().map(_.getLong(2)).toSeq
+    assert(p0 === p1)
+  }
+
   test("SQ8 ANN recall@5 vs brute force is near-exact after re-rank") {
     val qs = embs.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceTopK(embs, qs, k = 5)
