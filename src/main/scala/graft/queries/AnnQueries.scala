@@ -1,16 +1,23 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sql}
+import graft.QueryDef.sql
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over the `embeddings` table (unit-normalized
-  * array<float>, so dot == cosine).
+  * array<float>, so dot == cosine): the exact baseline (brute), the
+  * candidate-generation scale paths (LSH, IVF), the compression ladder
+  * (SQ8 4×, PQ 32×, IVFPQ), the persisted-index lifecycle (build /
+  * append / query / stream-enrich), JL projection, and hybrid
+  * BM25+semantic retrieval.
   *
-  * Oracle-checked queries use the quantized dot product (floor(x·1e6)
-  * integer products) — exact and summation-order-independent, so Spark and
-  * DuckDB agree bit-for-bit; ≈ cosine·1e12 on unit vectors.
+  * EVERY query here is hash-gated by a full DuckDB replay oracle: all
+  * training and scoring arithmetic is integer (floor(x·1e6) quantized
+  * vectors; k-means updates are per-dim `sum div count`), so the oracle
+  * unrolls the same pipeline — Lloyd rounds as CTE pairs, bucketing,
+  * ADC LUTs, rerank — and agrees bit-for-bit. Recall vs brute force is
+  * separately spec-measured; the oracles pin the MECHANISM.
   */
 object AnnQueries {
 

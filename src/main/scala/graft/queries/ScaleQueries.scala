@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sql}
+import graft.QueryDef.sql
 import graft.functions.{HistogramQuantileAgg, HllAggregator}
 import org.apache.spark.sql.functions._
 

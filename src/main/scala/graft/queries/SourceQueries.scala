@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sql}
+import graft.QueryDef.sql
 import graft.operators.{Incremental, Multimodal}
 import graft.sources.{Sources, TxnTable}
 import graft.streaming.EventsStreaming
