@@ -195,10 +195,12 @@ object Sampling {
     * below the cap). Returns (vec_id, cluster) for the survivors. */
   def topicBalancedCap(corpus: DataFrame, perTopic: Int,
                        nClusters: Int = 16, iters: Int = 2): DataFrame = {
-    // centroids has exactly one consumer (the assignment join), so no
-    // persist: one lazy plan, executed once
-    val centroids = Similarity.ivfCentroids(corpus, nClusters, iters)
-    val member = Similarity.assignClusters(corpus, centroids)
+    // quantize is a map-side projection — the training collect reads a
+    // TakeOrdered sample and assignment recomputes it in-scan; caching
+    // a corpus-sized frame for that would be the memory-pressure bug
+    val corpusQ = Similarity.quantizeCorpus(corpus)
+    val centroids = Similarity.ivfCentroidsQ(corpusQ, nClusters, iters)
+    val member = Similarity.assignClustersQ(corpusQ, centroids)
     stratifiedCap(member, Seq("cluster"), "vec_id", perTopic)
   }
 }

@@ -216,6 +216,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index health trips on a shifted append and rebuildIfStale re-trains") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_health_spec").toString
+    val base = embs.select("vec_id", "embedding")
+    val baseN = base.count()
+    Similarity.writeIvfPqIndex(base, dir)
+    val fresh = Similarity.indexHealth(spark, dir)
+    assert(fresh.appendFraction === 0.0, fresh)
+    assert(fresh.baseTotal === baseN, fresh)
+    // a healthy build over ~uniform data: nothing trips, nothing rewrites
+    assert(!Similarity.rebuildIfStale(base, dir), s"fresh index flagged stale: $fresh")
+
+    // "the distribution moved": a same-size batch of DIVERSE vectors
+    // pushed hard along e1 — under the old model the +4 on the first
+    // component dominates every centroid dot, so the batch piles into
+    // the max-e1 list(s). Batch ids sit BELOW the base ids so the
+    // deterministic smallest-id training sample seeds inside the new
+    // mass on rebuild (the operational analogue: a rebuild whose
+    // training set ignores the drifted region can't fix the skew).
+    val shifted = base
+      .select(($"vec_id" - 100000).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(4.0f)).otherwise(x).cast("float"))
+          .as("embedding"))
+    Similarity.appendToIvfPqIndex(shifted, dir)
+    val drifted = Similarity.indexHealth(spark, dir)
+    assert(drifted.appendFraction >= 0.49 && drifted.appendFraction <= 0.51, drifted)
+    assert(drifted.skewRatio > 4.0,
+      s"piled-up list should dominate the mean: $drifted")
+
+    // the trigger: re-trains on the CURRENT corpus, stamp resets
+    val corpusNow = base.select("vec_id", "embedding")
+      .unionByName(shifted.select("vec_id", "embedding"))
+    assert(Similarity.rebuildIfStale(corpusNow, dir))
+    val rebuilt = Similarity.indexHealth(spark, dir)
+    assert(rebuilt.appendFraction === 0.0, rebuilt)
+    assert(rebuilt.total === 2 * baseN, rebuilt)
+    // and the rebuilt MODEL has actually seen the new mass: the batch
+    // ids are the smallest, so the retrained seeds come from inside it
+    // (the old model's centroids were all base ids). Skew itself is not
+    // guaranteed to improve in one rebuild — k-means keeps identical-
+    // looking far points under one centroid — which is exactly why the
+    // trigger measures and re-measures instead of assuming.
+    val rebuiltCents = spark.read.parquet(s"$dir/centroids")
+      .select("cluster").collect().map(_.getInt(0)).toSet
+    assert(rebuiltCents.forall(_ < -99000),
+      s"rebuilt seeds should come from the drifted batch: $rebuiltCents")
+  }
+
   test("IVF clustering is deterministic") {
     val a = Similarity.ivfCentroids(embs, 8, 2).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
