@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * shape the reference needed for its per-listing HTTP enrichment,
   * pipeline.py:509-523).
   *
-  * Two decode paths:
+  * Three decode paths:
   *  - [[decodeImageFeatures]] — a REAL codec: `javax.imageio` PNG
   *    round-trip (JDK-builtin, no extra dependency), pixel-exact and
   *    oracle-checked against the generative formula of the fixture.
+  *  - [[decodeAudioFeatures]] — a REAL codec: `javax.sound.sampled`
+  *    WAV/PCM round-trip (also JDK-builtin), sample-exact, same oracle
+  *    discipline.
   *  - [[decodeFeatures]] — the original codec-agnostic byte-feature pass,
-  *    kept as the fixture for payloads no JDK codec reads (audio/video). */
+  *    kept as the fixture for payloads no JDK codec reads (video). */
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -44,8 +47,9 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height")).as("meta"))
 
   /** FAKE decode: deterministic features from raw bytes. Stands in for
-    * "decode image → extract features"; the imperative per-partition loop
-    * is the real part. */
+    * "decode video → extract features" (images and audio now have real
+    * JDK codecs below); the imperative per-partition loop is the real
+    * part. */
   private[operators] def fakeDecode(bytes: Array[Byte]): (Long, Int, Long) = {
     if (bytes == null || bytes.isEmpty) (0L, -1, 0L)
     else {
@@ -143,6 +147,108 @@ object Multimodal {
     StructField("sum_r", LongType),
     StructField("sum_g", LongType),
     StructField("sum_b", LongType)))
+
+  // ── REAL audio codec path (JDK javax.sound.sampled — WAV/PCM) ────────
+
+  /** Deterministic synthetic WAV: 16-bit signed PCM mono where sample i
+    * is a closed-form function of (docId, i), encoded through the real
+    * `AudioSystem` WAV writer. PCM in a WAV container is lossless →
+    * [[decodeAudioFeatures]] must read back exactly these values (and
+    * the header's rate/channels/bits), or the feature sums diverge —
+    * the audio twin of [[syntheticPng]]. */
+  private[operators] def syntheticWav(docId: Long, n: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 31 + i * 7919) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType)))
+
+  /** Media table of real WAV payloads: 40–120 samples at one of three
+    * sample rates, both derived from doc_id. Encoding runs per
+    * partition — the write-side twin of [[decodeAudioFeatures]]. */
+  def audioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select("doc_id").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticWav(id, 40 + (id % 81).toInt, 8000 + (id % 3).toInt * 4000))
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  private val audioFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_abs", LongType),
+    StructField("max_abs", LongType)))
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` per asset inside
+    * `mapPartitions` → header fields (rate, channels, bits) + amplitude
+    * stats over the decoded 16-bit samples (integer sums — the repo's
+    * determinism discipline). Undecodable payloads degrade to a
+    * (-1, -1, -1, 0, 0, 0) row instead of failing the partition, like
+    * the image path. */
+  def decodeAudioFeatures(audios: DataFrame): DataFrame = {
+    val spark = audios.sparkSession
+    val rdd = audios.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val decoded =
+          try {
+            if (bytes == null) None
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm = ais.readAllBytes()
+              Some((fmt, pcm))
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        decoded match {
+          case None => Row(id, -1, -1, -1, 0L, 0L, 0L)
+          case Some((fmt, pcm)) =>
+            val le = !fmt.isBigEndian
+            var sumAbs = 0L; var maxAbs = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s =
+                if (le) ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt
+                else ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
+              val a = math.abs(s.toLong)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              i += 2
+            }
+            Row(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, (pcm.length / 2).toLong, sumAbs, maxAbs)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
 
   /** REAL decode: `ImageIO.read` per asset inside `mapPartitions` →
     * (width, height, channels, per-channel pixel sums). Undecodable

@@ -442,6 +442,27 @@ object SourceQueries {
         .orderBy("doc_id")
     },
 
+    // ── REAL audio codec: synthetic 16-bit PCM WAVs (sample i is
+    //    closed-form in doc_id) encoded AND decoded through
+    //    javax.sound.sampled inside mapPartitions; the oracle recomputes
+    //    the decoded amplitude stats from the formula and pins the
+    //    header fields — PCM-in-WAV is lossless, so any codec deviation
+    //    breaks the hash. The audio sibling of q_multimodal_image.
+    sql("q_multimodal_audio",
+      """WITH g AS (SELECT doc_id, 40 + doc_id % 81 AS n FROM documents),
+        |s AS (SELECT doc_id, n, (doc_id * 31 + x * 7919) % 65536 - 32768 AS v
+        |      FROM g CROSS JOIN range(0, 121) rx(x) WHERE x < n)
+        |SELECT doc_id,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |       1 AS channels, 16 AS bits,
+        |       CAST(MIN(n) AS BIGINT) AS n_samples,
+        |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeAudioFeatures(Multimodal.audioTable(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    },
+
     // ── frame-offset sampling stub (pure expression, no codec): summary
     //    per kind so the array column is exercised without list-compare
     sql("q_multimodal_frames",

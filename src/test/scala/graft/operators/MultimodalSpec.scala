@@ -49,6 +49,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV codec round-trips sample-exactly via javax.sound.sampled") {
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 50)
+    val feats = Multimodal.decodeAudioFeatures(Multimodal.audioTable(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 50L).foreach { id =>
+      val n = 40 + (id % 81).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 7919) % 65536 - 32768)
+      val f = feats(id)
+      assert(f.getInt(1) === 8000 + (id % 3).toInt * 4000, s"rate for $id")
+      assert(f.getInt(2) === 1 && f.getInt(3) === 16)
+      assert(f.getLong(4) === n.toLong)
+      assert(f.getLong(5) === samples.map(math.abs).sum, s"sum_abs for $id")
+      assert(f.getLong(6) === samples.map(math.abs).max, s"max_abs for $id")
+    }
+  }
+
+  test("undecodable audio degrades to a sentinel row") {
+    val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioFeatures(junk)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getInt(1) === -1 && out(id).getLong(5) === 0L)
+    }
+  }
+
   test("undecodable payloads degrade to a sentinel row, never kill the job") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "media")
