@@ -17,50 +17,93 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `sc.cancelJobGroup(name)` can kill one branch without touching the
   * others (Airflow's per-task retry/kill semantics, driver-side).
   *
+  * Failure semantics mirror the reference DAG's `retries=1` /
+  * `retry_delay` (pipeline.py:32-33): each branch gets one retry, and a
+  * branch that exhausts its retries does NOT abort the DAG — the other
+  * branches stage, the fan-in runs over whatever staged, and the report
+  * names every failure per stage (Airflow's partial-success run view).
+  *
   * Fan-in (the reference's warehouse load + reporting views) follows once
-  * every branch has staged: the flagship price aggregate and the
+  * every branch has settled: the flagship price aggregate and the
   * air-quality join read the staged parquet, not the scrape lineage —
   * the same stage→load cut pipeline.py makes at :842-844.
   */
 object PipelineMain {
 
-  /** Run the DAG: 3 concurrent named branches → barrier → 2 fan-in
-    * aggregates. Returns output row counts by stage name. */
-  def run(spark: SparkSession, outDir: String): Map[String, Long] = {
+  /** Per-stage outcome: `rows` staged (None if the stage never landed),
+    * attempts consumed, and the terminal error message if it failed. */
+  final case class StageStatus(rows: Option[Long], attempts: Int,
+                               error: Option[String]) {
+    def ok: Boolean = error.isEmpty
+  }
+
+  /** Run the DAG: 3 concurrent named branches (1 retry each) → barrier →
+    * 2 fan-in aggregates. Returns per-stage status by stage name. */
+  def run(spark: SparkSession, outDir: String): Map[String, StageStatus] =
+    runWith(spark, outDir,
+      branches = Seq(
+        ("zoopla_listings", () => Jobs.zooplaListings(spark)),
+        ("dexters_listings", () => Jobs.dextersListings(spark)),
+        ("air_quality", () => Jobs.airQualityReadings(spark))),
+      marts = Seq(
+        ("flagship_avg_price", () => Jobs.flagshipAvgPrice(spark)),
+        ("air_quality_by_station", () => Jobs.airQualityByStation(spark))))
+
+  /** [[run]] with injectable stages (specs poison a branch to prove the
+    * partial-failure contract). `maxRetries` mirrors the reference DAG's
+    * `retries=1`; `retryDelayMs` stands in for its 5-minute
+    * `retry_delay` (0 here — an embedded runner re-attempts immediately;
+    * the knob exists because the delay is deployment policy, not
+    * semantics). */
+  def runWith(spark: SparkSession, outDir: String,
+              branches: Seq[(String, () => DataFrame)],
+              marts: Seq[(String, () => DataFrame)],
+              maxRetries: Int = 1,
+              retryDelayMs: Long = 0L): Map[String, StageStatus] = {
     val sc = spark.sparkContext
-    val branches: Seq[(String, () => DataFrame)] = Seq(
-      ("zoopla_listings", () => Jobs.zooplaListings(spark)),
-      ("dexters_listings", () => Jobs.dextersListings(spark)),
-      ("air_quality", () => Jobs.airQualityReadings(spark)))
+
+    // stage one sink with retry — used by branches and marts alike
+    def attemptStage(name: String, mk: () => DataFrame): StageStatus = {
+      var attempt = 0
+      var last: Option[String] = None
+      while (attempt <= maxRetries) {
+        attempt += 1
+        try {
+          mk().write.mode("overwrite").parquet(s"$outDir/$name")
+          return StageStatus(
+            Some(spark.read.parquet(s"$outDir/$name").count()), attempt, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            last = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            if (attempt <= maxRetries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+        }
+      }
+      StageStatus(None, attempt, last)
+    }
+
     // one thread per branch: setJobGroup is THREAD-local, so each branch's
     // Spark jobs carry its own group id concurrently
-    val pool = Executors.newFixedThreadPool(branches.size)
+    val pool = Executors.newFixedThreadPool(math.max(branches.size, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val staged =
       try Await.result(Future.sequence(branches.map { case (name, mk) =>
         Future {
           sc.setJobGroup(name, s"branch $name: scrape -> clean -> stage",
             interruptOnCancel = true)
-          try {
-            mk().write.mode("overwrite").parquet(s"$outDir/$name")
-            name -> spark.read.parquet(s"$outDir/$name").count()
-          } finally sc.clearJobGroup()
+          // the Future itself never fails — failure is DATA in the report
+          try name -> attemptStage(name, mk)
+          finally sc.clearJobGroup()
         }
       }), 30.minutes)
       finally pool.shutdown()
-    // fan-in: aggregates over every branch's output, one job group
+    // fan-in: aggregates over the staged branches, one job group. A mart
+    // whose upstream branch failed fails here too — reported, not thrown.
     sc.setJobGroup("warehouse_load", "fan-in: flagship + air-quality marts",
       interruptOnCancel = true)
-    val marts =
-      try Seq(
-        "flagship_avg_price" -> Jobs.flagshipAvgPrice(spark),
-        "air_quality_by_station" -> Jobs.airQualityByStation(spark)
-      ).map { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
-        name -> spark.read.parquet(s"$outDir/$name").count()
-      }
+    val martStatus =
+      try marts.map { case (name, mk) => name -> attemptStage(name, mk) }
       finally sc.clearJobGroup()
-    (staged ++ marts).toMap
+    (staged ++ martStatus).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,8 +111,15 @@ object PipelineMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, outDir)
-    counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(s"$n: $c rows") }
+    val statuses = run(spark, outDir)
+    statuses.toSeq.sortBy(_._1).foreach {
+      case (n, StageStatus(Some(rows), attempts, None)) =>
+        println(s"$n: $rows rows (attempt $attempts)")
+      case (n, StageStatus(_, attempts, err)) =>
+        println(s"$n: FAILED after $attempts attempts: ${err.getOrElse("?")}")
+    }
+    // Airflow marks the run failed if any task failed; exit code mirrors it
+    if (statuses.values.exists(!_.ok)) sys.exit(1)
     spark.stop()
   }
 }
