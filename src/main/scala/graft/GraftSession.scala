@@ -13,6 +13,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // tripwire ON by default (VERDICT r6 #6): an accidental
+      // no-partition window over a large input fails at PLAN time
+      // instead of OOMing an executor at 100 TB; the engine's three
+      // documented small-data global windows pass via the 10 MiB size
+      // gate, and bench/verify now exercise the guard continuously
+      .config("spark.graft.globalWindowGuard.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   /** Build + finish engine registration (planner rules can't ride the

@@ -751,6 +751,48 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** SQ8-within-IVF-lists — the pruned-scan form of [[sq8TopK]]
+    * (VERDICT r6 #7): IVF probes narrow each query to nprobe cluster
+    * lists, the int8 codes score only those candidates, the top
+    * `rerank` re-score exactly. Same compression rung (4×), scan cost
+    * drops from O(|corpus|) to O(nprobe/nClusters·|corpus|) per query —
+    * the composition [[sq8TopK]]'s doc points at when flat-scan cost
+    * starts to matter. Training, assignment, and probing are the exact
+    * IVF integer path, and SQ8 scoring is integer too, so the whole
+    * pipeline replays in q_ann_ivfsq8's DuckDB oracle. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+                 rerank: Int = 64): DataFrame = {
+    val corpusQ = quantizeCorpus(corpus)
+    val centroids = ivfCentroidsQ(corpusQ, nClusters, iters)
+    val lists = assignClustersQ(corpusQ, centroids)
+    val probes = probeClusters(queries, centroids, nprobe)
+    val c8 = corpus.select(col("vec_id").as("n_id"), sq8Encode(col("embedding")).as("c8"))
+    val q8 = queries.select(col("vec_id").as("q_id"), sq8Encode(col("embedding")).as("q8"))
+    val approxDot = aggregate(zip_with(col("q8"), col("c8"),
+      (x, y) => (x.cast("long")) * (y.cast("long"))), lit(0L), (acc, v) => acc + v)
+    // candidates: nprobe lists per query (no distinct needed — each n_id
+    // lives in exactly one list, like ivfTopK)
+    val cand = probes
+      .join(lists.withColumnRenamed("vec_id", "n_id"), "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
+    val shortlist = cand.join(c8, "n_id").join(broadcast(q8), "q_id")
+      .withColumn("approx", approxDot)
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank)
+      .select("q_id", "n_id")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    shortlist.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Append a NEW batch to a persisted IVFPQ index WITHOUT re-training
     * (the daily-ingest half of the index lifecycle, paired with a
     * periodic [[writeIvfPqIndex]] rebuild): the batch is assigned to

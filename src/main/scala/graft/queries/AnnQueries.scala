@@ -333,6 +333,35 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── SQ8 composed WITH IVF lists: the pruned-scan form of the 4×
+    //    rung — probes narrow to nprobe lists, int8 codes score only the
+    //    candidates, top-64 re-rank exactly. The oracle composes the IVF
+    //    replay CTEs with the SQ8 encode/score chain verbatim.
+    sql("q_ann_ivfsq8",
+      s"""WITH $eCte,
+         |${ivfCtes()},
+         |c8 AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS v8
+         |  FROM embeddings),
+         |ap AS (
+         |  SELECT p.q_id, l.n_id,
+         |         list_sum(list_transform(range(1, 65), i -> q.v8[i] * c.v8[i])) AS approx
+         |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
+         |  JOIN c8 q ON q.vec_id = p.q_id
+         |  JOIN c8 c ON c.vec_id = l.n_id
+         |  WHERE p.q_id <> l.n_id),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
+         |    FROM ap) WHERE rn <= 64),
+         |${rerankSql("short")}""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.ivfSq8TopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // ── the DAILY-APPEND half of the index lifecycle: base corpus
     //    (vec_id >= 10, "yesterday") indexed with full training; the new
     //    batch (vec_id < 10) appended WITHOUT re-training — assigned to

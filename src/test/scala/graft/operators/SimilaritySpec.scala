@@ -164,6 +164,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@5 $recall%.3f below floor")
   }
 
+  test("SQ8-within-IVF recall@5 tracks the IVF probe ceiling") {
+    val qs = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val composed = Similarity.ivfSq8TopK(embs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & composed).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF+SQ8 recall@5 = $recall%.3f (IVF alone $ivfRecall%.3f)")
+    // pruning decides recall; int8 scoring within the probed lists
+    // gives back nearly everything the probes admit
+    assert(recall >= ivfRecall - 0.05,
+      f"composed recall $recall%.3f fell below the IVF ceiling $ivfRecall%.3f")
+    assert(recall >= 0.7, f"recall@5 $recall%.3f below floor")
+  }
+
   test("persisted IVFPQ index round-trips: indexed query == direct ivfPqTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ann_index_spec").toString
     Similarity.writeIvfPqIndex(embs, dir)
