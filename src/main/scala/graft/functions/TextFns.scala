@@ -184,11 +184,22 @@ object TextFns {
 
   /** [[rollingFingerprint]] over an ALREADY-normalized column. Callers on a
     * hot path should normalize into a materialized column first and pass
-    * the attribute: the window lambda below evaluates its `norm` argument
-    * once per window, so handing it the raw `lower(regexp_replace(…))`
-    * tree re-runs the regexp per window (~300× per document) — measured
-    * 37 s → ~2 s at sf0.1 for the fingerprint query. */
-  def rollingFingerprintOfNorm(norm: Column, k: Int = 16): Column =
+    * the attribute: an expression argument is evaluated once per row
+    * here, but the HOF reference form below evaluates it once per WINDOW
+    * (~300× per document) — measured 37 s → ~2 s at sf0.1.
+    *
+    * Dispatches to the native `RollingFpMin` expression (one reused
+    * MessageDigest + raw-digest min per document; hex only the winner);
+    * [[rollingFingerprintOfNormHof]] is the differential baseline. */
+  def rollingFingerprintOfNorm(norm: Column, k: Int = 16): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("rolling_fp_min", norm, lit(k))
+  }
+
+  /** HOF reference implementation of [[rollingFingerprintOfNorm]] — kept
+    * as the differential-test baseline for the native expression. */
+  def rollingFingerprintOfNormHof(norm: Column, k: Int = 16): Column =
     when(length(norm) >= k,
       array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
         i => md5(norm.substr(i, lit(k)).cast("binary")))))

@@ -77,24 +77,77 @@ object Profiling {
   /** Winsorization — clip a numeric column to its [pLo, pHi] quantiles,
     * the robust-scaling step of numeric feature cleaning (a fat-fingered
     * price or a sensor spike otherwise dominates every mean/variance
-    * downstream). Two jobs: ONE aggregate computes both cut points
-    * (exact `percentile` — linear interpolation, bit-identical to
-    * DuckDB's quantile_cont; flip `approx` for the sketch-based
-    * `approx_percentile` when the column won't fit a per-group sort
-    * buffer), then the clip is a pure scan-side projection with the two
-    * scalars inlined — the 100 TB pass never shuffles. */
+    * downstream). The cut points are EXACT (Spark `percentile`
+    * semantics — linear interpolation, bit-identical to DuckDB's
+    * quantile_cont on the gated data), then the clip is a pure
+    * scan-side projection with the two scalars inlined — the 100 TB
+    * pass never shuffles.
+    *
+    * Cut-point plan: winsorize cuts are TAIL quantiles, and the exact
+    * value at ascending rank r needs only the r+2 smallest (or n−r
+    * largest) values — a heap-based TakeOrdered of a few thousand rows,
+    * not `percentile`'s full value buffer (which sorts every value per
+    * cut: 5 s at sf0.1 where the TakeOrdered pair costs well under 1).
+    * Falls back to one `percentile(col, array(lo, hi))` aggregate
+    * (single shared buffer) when a cut sits too deep for a bounded
+    * driver pull, and to `approx_percentile` when `approx` is set (the
+    * only honest knob once n·p outgrows any single buffer). */
   def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double,
                 approx: Boolean = false): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
-    val fn = if (approx) "approx_percentile" else "percentile"
-    val cuts = df.agg(
-      expr(s"$fn($column, $pLo)").cast("double").as("lo"),
-      expr(s"$fn($column, $pHi)").cast("double").as("hi")).head()
-    val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
-    df.withColumn(column,
-      when(col(column) < lo, lo)
-        .when(col(column) > hi, hi)
-        .otherwise(col(column).cast("double")))
+    val cuts =
+      if (approx) {
+        val r = df.agg(expr(s"approx_percentile($column, array($pLo, $pHi))")).head()
+        if (r.isNullAt(0)) None
+        else { val s = r.getSeq[Double](0); Some((s(0), s(1))) }
+      } else exactTailCuts(df, column, pLo, pHi)
+    cuts match {
+      case None => df.withColumn(column, col(column).cast("double"))
+      case Some((lo, hi)) =>
+        df.withColumn(column,
+          when(col(column) < lo, lo)
+            .when(col(column) > hi, hi)
+            .otherwise(col(column).cast("double")))
+    }
+  }
+
+  /** Largest rank-window a cut may pull to the driver on the TakeOrdered
+    * path: 4 M doubles ≈ 32 MB. Deeper cuts fall back to the aggregate. */
+  private val maxCutPull = 4000000L
+
+  /** Exact [pLo, pHi] cut points with Spark-`percentile` interpolation:
+    * position p·(n−1), value (f+1−pos)·v[f] + (pos−f)·v[f+1] on the
+    * ascending order statistics — replicated verbatim (differential
+    * spec pins equality against the aggregate), computed from two
+    * bounded TakeOrdered pulls when the ranks are tail-shallow. */
+  private def exactTailCuts(df: DataFrame, column: String,
+                            pLo: Double, pHi: Double): Option[(Double, Double)] = {
+    val vals = df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) return None
+    val posLo = pLo * (n - 1); val fLo = math.floor(posLo).toLong
+    val posHi = pHi * (n - 1); val fHi = math.floor(posHi).toLong
+    val pullLo = fLo + 2       // ascending ranks 0 .. fLo+1
+    val pullHi = n - fHi       // descending ranks covering fHi, fHi+1
+    def interp(pos: Double, f: Long, vf: Double, vf1: Double): Double =
+      if (pos == f) vf else (f + 1 - pos) * vf + (pos - f) * vf1
+    if (pullLo <= maxCutPull && pullHi <= maxCutPull) {
+      val asc = vals.orderBy(col("v")).limit(pullLo.toInt)
+        .collect().map(_.getDouble(0))
+      val desc = vals.orderBy(col("v").desc).limit(pullHi.toInt)
+        .collect().map(_.getDouble(0))
+      val lo =
+        if (fLo >= n - 1) asc.last
+        else interp(posLo, fLo, asc(fLo.toInt), asc(fLo.toInt + 1))
+      val hi =
+        if (fHi >= n - 1) desc.head
+        else interp(posHi, fHi, desc((n - 1 - fHi).toInt), desc((n - 2 - fHi).toInt))
+      Some((lo, hi))
+    } else {
+      val cuts = df.agg(expr(s"percentile($column, array($pLo, $pHi))"))
+        .head().getSeq[Any](0).map(_.toString.toDouble)
+      Some((cuts(0), cuts(1)))
+    }
   }
 
   /** Robust per-group outlier detection via median absolute deviation —

@@ -64,6 +64,10 @@ object GraftExtensions {
         // string-array shorthand the registry builder can consume)
         GreedyTokenize(children(0),
           literalString(children(1), "greedy_tokenize").split(',').toSeq)),
+    (FunctionIdentifier("rolling_fp_min"),
+      new ExpressionInfo(classOf[RollingFpMin].getName, "rolling_fp_min"),
+      (children: Seq[Expression]) =>
+        RollingFpMin(children(0), literalInt(children(1), "rolling_fp_min"))),
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in the public registry; surface it so a
     // driver-built sketch (stat.bloomFilter, same serialized format) can

@@ -72,6 +72,24 @@ class TextFnsSpec extends SparkSpec {
     assert(viaNorm === out)
   }
 
+  test("native rolling_fp_min equals the HOF reference, including non-ASCII") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).limit(200)
+      .select($"doc_id".as("id"), $"text")
+    val extras = Seq(
+      (100001L, "Grüße aus München — ümläuts everywhere, ünïcödé wíndöws here"),
+      (100002L, "exactly-16-chars!"), (100003L, "short"), (100004L, ""),
+      (100005L, "日本語のテキストとASCII mixed content for multibyte windows"))
+      .toDF("id", "text")
+    val df = docs.unionByName(extras)
+      .select($"id", lower(regexp_replace($"text", "\\s+", " ")).as("n"))
+    val native = df.select($"id", TextFns.rollingFingerprintOfNorm($"n", 16).as("rfp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = df.select($"id", TextFns.rollingFingerprintOfNormHof($"n", 16).as("rfp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native === hof)
+  }
+
   test("htmlToText: scripts/styles dropped, blocks become lines, entities decode") {
     val html = "<html><head><style>p { x: 1 }</style></head><body>" +
       "<script>var a = 1 &amp;&amp; 2;</script>" +

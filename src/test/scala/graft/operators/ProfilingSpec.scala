@@ -54,6 +54,30 @@ class ProfilingSpec extends SparkSpec {
     assert(noop.sorted.toSeq === orig.sorted.toSeq)
   }
 
+  test("winsorize TakeOrdered cut points equal the percentile aggregate bit-for-bit") {
+    import spark.implicits._
+    // lineitem (real data, interpolated positions) + fixtures with ties,
+    // tiny n, and a position landing exactly on an order statistic
+    val fixtures: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("lineitem", li.select("l_extendedprice")),
+      ("ties", Seq(1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 9.0, 9.0).toDF("l_extendedprice")),
+      ("tiny", Seq(5.0, 1.0).toDF("l_extendedprice")),
+      ("single", Seq(7.0).toDF("l_extendedprice")),
+      ("integral-pos", (1 to 101).map(_.toDouble).toDF("l_extendedprice")))
+    for ((name, in) <- fixtures; (pLo, pHi) <- Seq((0.01, 0.99), (0.1, 0.9), (0.25, 0.75))) {
+      val agg = in.agg(expr(s"percentile(l_extendedprice, array($pLo, $pHi))"))
+        .head().getSeq[Double](0)
+      val expected = in.withColumn("l_extendedprice",
+        when($"l_extendedprice" < agg(0), agg(0))
+          .when($"l_extendedprice" > agg(1), agg(1))
+          .otherwise($"l_extendedprice"))
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      val got = Profiling.winsorize(in, "l_extendedprice", pLo, pHi)
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      assert(got === expected, s"$name at ($pLo, $pHi)")
+    }
+  }
+
   test("madOutliers: hand fixture — the fence holds still, the spike is flagged") {
     import spark.implicits._
     // group a: 1..9 plus a 1000 spike. median of 10 values = 5.5,
