@@ -389,7 +389,10 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, j, code): each subvector assigned to its nearest codeword
-    * (integer L2, code tie-break). Broadcast codebook, map-side only. */
+    * (integer L2, code tie-break) — the exploded-subvector form: a
+    * broadcast join + per-(vec_id, j) hash-aggregate argmin. Kept as the
+    * differential baseline for [[pqAssignQ]], which computes the same
+    * codes without the m·ksub row expansion or the shuffle. */
   def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame =
     subs.join(broadcast(codebooks), "j")
       .withColumn("d", l2sqQ(col("sq"), col("cq")))
@@ -397,6 +400,37 @@ object Similarity {
       .agg(min_by(col("code"), struct(col("d").as("d"), col("code").as("c")))
         .as("code"))
       .select("vec_id", "j", "code")
+
+  /** Map-side PQ code assignment straight from the quantized corpus: the
+    * codebook MODEL (≤ m·ksub rows — whether a local relation from
+    * [[pqCodebooksQ]] or re-read from an index dir) inlines as one
+    * nested-array literal, and every row's m codes resolve as
+    * `array_min` over per-codeword (L2, code) scores inside the scan
+    * projection — no posexplode row expansion, no broadcast exchange, no
+    * per-(vec_id, j) shuffle. Identical arithmetic and tie-break to
+    * [[pqAssign]] (differential spec); same output contract
+    * (vec_id, j, code). The [[assignClustersQ]] idiom, applied per
+    * subspace. */
+  def pqAssignQ(corpusQ: DataFrame, codebooks: DataFrame,
+                m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val byJ: Seq[Seq[(Int, Seq[Long])]] = {
+      val rows = codebooks.select("j", "code", "cq").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      (0 until m).map(j =>
+        rows.filter(_._1 == j).sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+    }
+    val cbLit = typedLit(byJ)
+    corpusQ.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), j => {
+        val sv = slice(col("__eq"), j * lit(sub) + 1, lit(sub))
+        array_min(transform(element_at(cbLit, j + 1),
+          p => struct(l2sqQ(sv, p.getField("_2")).as("d"),
+            p.getField("_1").as("code"))))
+          .getField("code")
+      })).as(Seq("j", "code")))
+  }
 
   /** Product-quantization codebooks: `ksub` codewords per subspace,
     * trained by the same deterministic Lloyd scheme as [[ivfCentroids]]
@@ -488,7 +522,7 @@ object Similarity {
              rerank: Int = 64, dim: Int = 64): DataFrame = {
     val corpusQ = quantizeCorpus(corpus)
     val cb = pqCodebooksQ(corpusQ, m, ksub, iters, dim)
-    val codes = pqAssign(pqSubvectorsQ(corpusQ, m, dim), cb)
+    val codes = pqAssignQ(corpusQ, cb, m, dim)
       .withColumnRenamed("vec_id", "n_id")
     val lut = pqLut(queries, cb, m, dim)
     val wA = Window.partitionBy("q_id").orderBy(desc("approx"), col("n_id"))
@@ -525,7 +559,7 @@ object Similarity {
     val lists = assignClustersQ(corpusQ, centroids)
     val probes = probeClusters(queries, centroids, nprobe)
     val cb = pqCodebooksQ(corpusQ, m, ksub, iters, dim)
-    val codes = pqAssign(pqSubvectorsQ(corpusQ, m, dim), cb)
+    val codes = pqAssignQ(corpusQ, cb, m, dim)
       .withColumnRenamed("vec_id", "n_id")
     val lut = pqLut(queries, cb, m, dim)
     val cand = probes
@@ -570,7 +604,7 @@ object Similarity {
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignClustersQ(corpusQ, centroids)
       .write.mode("overwrite").parquet(s"$dir/lists")
-    pqAssign(pqSubvectorsQ(corpusQ, m, dim), cb)
+    pqAssignQ(corpusQ, cb, m, dim)
       .write.mode("overwrite").parquet(s"$dir/codes")
     corpus.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/vectors")
@@ -812,7 +846,7 @@ object Similarity {
     val batchQ = quantizeCorpus(batch)
     assignClustersQ(batchQ, centroids)
       .write.mode("append").parquet(s"$dir/lists")
-    pqAssign(pqSubvectorsQ(batchQ, m, dim), cb)
+    pqAssignQ(batchQ, cb, m, dim)
       .write.mode("append").parquet(s"$dir/codes")
     batch.select("vec_id", "embedding")
       .write.mode("append").parquet(s"$dir/vectors")

@@ -110,6 +110,15 @@ class SimilaritySpec extends SparkSpec {
         Similarity.pqCodebooks(embs.repartition(3), m = 8, ksub = 16, iters = 2, dim = 64))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(again === codes)
+    // the map-side inlined-codebook form assigns the identical codes
+    val mapSide = Similarity.pqAssignQ(
+        Similarity.quantizeCorpus(embs), cb, m = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(mapSide === codes)
+    // and its plan is shuffle-free: no exchange below the scan projection
+    val plan = Similarity.pqAssignQ(Similarity.quantizeCorpus(embs), cb, 8, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side assign should not shuffle:\n$plan")
   }
 
   test("JL projection: copies project identically; neighbourhoods survive 64→16") {
