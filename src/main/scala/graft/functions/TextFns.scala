@@ -61,8 +61,19 @@ object TextFns {
   }
 
   /** Word n-gram shingles ("a b c d", n=2 → ["a b", "b c", "c d"]),
-    * de-duplicated — the unit for MinHash/Jaccard near-dup detection. */
+    * de-duplicated — the unit for MinHash/Jaccard near-dup detection.
+    * Dispatches to the native `WordShingles` expression (one fused
+    * tokenize+window+dedup pass per row); [[shinglesHof]] is the
+    * differential baseline. */
   def shingles(c: Column, n: Int): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("word_shingles", c, lit(n))
+  }
+
+  /** HOF reference implementation of [[shingles]] — kept as the
+    * differential-test baseline for the native expression. */
+  def shinglesHof(c: Column, n: Int): Column = {
     val ws = tokens(c)
     array_distinct(
       when(size(ws) >= n,

@@ -64,6 +64,10 @@ object GraftExtensions {
         // string-array shorthand the registry builder can consume)
         GreedyTokenize(children(0),
           literalString(children(1), "greedy_tokenize").split(',').toSeq)),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), literalInt(children(1), "word_shingles"))),
     (FunctionIdentifier("rolling_fp_min"),
       new ExpressionInfo(classOf[RollingFpMin].getName, "rolling_fp_min"),
       (children: Seq[Expression]) =>

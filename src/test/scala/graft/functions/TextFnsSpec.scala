@@ -72,6 +72,28 @@ class TextFnsSpec extends SparkSpec {
     assert(viaNorm === out)
   }
 
+  test("native word_shingles equals the HOF reference, edge cases included") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).limit(200)
+      .select($"doc_id".as("id"), $"text")
+    val extras = Seq(
+      (200001L, "  leading and trailing spaces  "),
+      (200002L, "\tleading tab keeps its phantom empty token"),
+      (200003L, "a b c d e"), (200004L, "a b c d"), (200005L, ""),
+      (200006L, "     "), (200007L, "rep rep rep rep rep rep rep rep"),
+      (200008L, "ümläut wörds ünd mörê ünïcödé tökens here"),
+      (200009L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val df = docs.unionByName(extras)
+    for (n <- Seq(2, 5)) {
+      val native = df.select($"id", TextFns.shingles($"text", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = df.select($"id", TextFns.shinglesHof($"text", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native === hof, s"n=$n")
+    }
+  }
+
   test("native rolling_fp_min equals the HOF reference, including non-ASCII") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir).limit(200)
