@@ -12,17 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the reason BPE trainers are feasible at 100 TB): training
   * never iterates the corpus — it iterates the WORD HISTOGRAM. One
-  * corpus-sized aggregation builds (word, count); every Lloyd-style merge
-  * round then runs on that vocab table (bounded by |distinct words|, not
-  * |tokens|), with exactly ONE driver-side row per round (the argmax
-  * pair — same boundary argument as PageRank's per-iteration job). Words
+  * corpus-sized aggregation builds (word, count); the histogram (bounded
+  * by |distinct words| and the [[vocabCap]] ceiling, not |tokens|)
+  * collects to the driver once and every merge round runs there. Words
   * travel as US-separated symbol strings, and a merge is applied with two
   * sequential `replace` passes — leftmost non-overlapping replace applied
   * twice IS greedy left-to-right pair merging (pass 1 can only skip an
   * occurrence whose left separator was consumed by the preceding match;
-  * such skips are never adjacent, so pass 2 catches them all), which
-  * keeps the hot loop in codegen'd string builtins instead of a
-  * per-row fold.
+  * such skips are never adjacent, so pass 2 catches them all).
   *
   * Symbols are restricted to printable-ASCII tokens (`^[!-~]+$`) so the
   * U+001F separator can never collide with payload and Java/RE2 regex
@@ -45,51 +42,66 @@ object BpeTrain {
         concat(lit(SEP), regexp_replace(col("t"), "(.)", "$1" + SEP)).as("w"),
         col("cnt"))
 
-  /** One merge application: greedy left-to-right replacement of adjacent
-    * (l, r) with lr — two leftmost-non-overlapping replaces (see object
-    * doc for why two always suffice). */
-  private def applyMerge(w: Column, l: String, r: String): Column = {
-    val pat = lit(SEP + l + SEP + r + SEP)
-    val rep = lit(SEP + l + r + SEP)
-    call_function("replace", call_function("replace", w, pat, rep), pat, rep)
-  }
+  /** Histogram ceiling for the driver-side merge loop: the top 2²⁰
+    * words by weight (deterministic (cnt DESC, w) selection — below the
+    * cap, every test SF, the sample IS the exact histogram). Real BPE
+    * trainers cap the training vocabulary the same way; tens of MB of
+    * strings at most. */
+  val vocabCap: Int = 1 << 20
 
   /** Learn the merge table: (rank, l_sym, r_sym, merged, pair_cnt), rank
     * 1..numMerges in learned order. Stops early if the vocab runs out of
-    * adjacent pairs. */
+    * adjacent pairs.
+    *
+    * ONE corpus-scale job builds the word histogram; the merge rounds
+    * run ON THE DRIVER over the collected (word, count) array — the
+    * [[Similarity.ivfCentroidsQ]] move: a distributed job per round was
+    * all scheduling (pair explode + groupBy + TakeOrdered + a persist
+    * swap per merge) for arithmetic over a bounded histogram that the
+    * driver does in microseconds. Identical semantics, replayed by the
+    * same oracle: weighted adjacent-pair counts, argmax with
+    * (count DESC, l ASC, r ASC) tie-break (symbols are printable ASCII,
+    * so Java string order == UTF8 binary order), and greedy
+    * left-to-right merge application via two leftmost-non-overlapping
+    * literal replaces (String.replace == Spark's `replace`; see object
+    * doc for why two passes suffice). */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = vocabInit(docs, textCol).persist()
-    vocab.count()
+    var vocab: Array[(String, Long)] = vocabInit(docs, textCol)
+      .orderBy(desc("cnt"), col("w")).limit(vocabCap)
+      .as[(String, Long)].collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (i <- 1 to numMerges if !exhausted) {
-      val syms = filter(split(col("w"), SEP), s => s =!= "")
-      val n = size(syms)
-      val winner = vocab
-        .select(col("cnt"), explode(zip_with(
-          slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), col("l"), col("r"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      winner.headOption match {
-        case None => exhausted = true
-        case Some((l, r, c)) =>
-          merges += ((i.toLong, l, r, l + r, c))
-          val next = vocab.select(applyMerge(col("w"), l, r).as("w"), col("cnt"))
-            .persist()
-          next.count()
-          vocab.unpersist()
-          vocab = next
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (w, cnt) =>
+        val syms = w.split(SEP).filter(_.nonEmpty)
+        var j = 0
+        while (j + 1 < syms.length) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.reduce { (a, b) =>
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          if (ac > bc) a
+          else if (bc > ac) b
+          else if (al < bl || (al == bl && ar <= br)) a
+          else b
+        }
+        merges += ((i.toLong, l, r, l + r, c))
+        val pat = SEP + l + SEP + r + SEP
+        val rep = SEP + l + r + SEP
+        vocab = vocab.map { case (w, cnt) =>
+          (w.replace(pat, rep).replace(pat, rep), cnt)
+        }
       }
     }
-    vocab.unpersist()
     merges.toSeq.toDF("rank", "l_sym", "r_sym", "merged", "pair_cnt")
   }
 }
