@@ -89,6 +89,35 @@ object SampleQueries {
               "fr" -> 6000L, "zh" -> 8000L))
         .select(col("doc_id"), col("lang"), col("cum_size").as("cum_chars"))
         .orderBy("doc_id")
+    },
+
+    // ── sequence packing: greedy first-fit of documents into 256-token
+    //    training windows WITHIN each language shard (packing is
+    //    inherently sequential, so the group boundary IS the scale
+    //    story — one fold per bounded group, no global pass). The
+    //    oracle replays the greedy fold as a recursive CTE.
+    sql("q_pack_sequences",
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, tok, rn, tok AS fill, CAST(0 AS BIGINT) AS pack
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.doc_id, t.tok, t.rn,
+        |         CASE WHEN p.fill + t.tok > 256 AND p.fill > 0
+        |              THEN t.tok ELSE p.fill + t.tok END,
+        |         CASE WHEN p.fill + t.tok > 256 AND p.fill > 0
+        |              THEN p.pack + 1 ELSE p.pack END
+        |  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1)
+        |SELECT lang, doc_id, tok AS n_tokens, pack AS pack_id, fill AS pack_fill
+        |FROM p ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Packing.packByTokens(
+          Tables.documents(s, d), "doc_id", "text",
+          groupCols = Seq("lang"), budget = 256L)
+        .orderBy("lang", "doc_id")
     }
   )
 }

@@ -106,4 +106,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(again.toSet === picked.toSet)
   }
+
+  test("sequence packing: greedy first-fit, oversized docs isolated, layout-stable") {
+    // budget 10; group g: 4+5 fit (pack 0), 3 overflows -> pack 1 with 6,
+    // a 25-token doc overflows -> its OWN pack 2 (fill may exceed the
+    // budget for a single oversized doc), then 2+8 share pack 3
+    val docs = Seq(
+      (1L, "g", 4L), (2L, "g", 5L), (3L, "g", 3L), (4L, "g", 6L),
+      (5L, "g", 25L), (6L, "g", 2L), (7L, "g", 8L),
+      (10L, "h", 10L), (11L, "h", 1L))
+      .toDF("doc_id", "grp", "tok")
+    val out = Packing.packSequences(docs, "doc_id", $"tok",
+        groupCols = Seq("grp"), budget = 10L)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((0L, 4L)) && out(2L) === ((0L, 9L)))
+    assert(out(3L) === ((1L, 3L)) && out(4L) === ((1L, 9L)))
+    assert(out(5L) === ((2L, 25L)))
+    assert(out(6L) === ((3L, 2L)) && out(7L) === ((3L, 10L)))
+    // exact-fit first doc fills pack 0; the next one opens pack 1
+    assert(out(10L) === ((0L, 10L)) && out(11L) === ((1L, 1L)))
+    // deterministic across partition layouts
+    val again = Packing.packSequences(docs.repartition(5), "doc_id", $"tok",
+        groupCols = Seq("grp"), budget = 10L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(again === out)
+  }
 }
