@@ -13,15 +13,18 @@ import org.apache.spark.sql.types._
   * shape the reference needed for its per-listing HTTP enrichment,
   * pipeline.py:509-523).
   *
-  * Three decode paths:
+  * Four decode paths — one per modality plus a codec-agnostic baseline:
   *  - [[decodeImageFeatures]] — a REAL codec: `javax.imageio` PNG
   *    round-trip (JDK-builtin, no extra dependency), pixel-exact and
   *    oracle-checked against the generative formula of the fixture.
   *  - [[decodeAudioFeatures]] — a REAL codec: `javax.sound.sampled`
   *    WAV/PCM round-trip (also JDK-builtin), sample-exact, same oracle
   *    discipline.
+  *  - [[decodeVideoFeatures]] — a REAL codec: `javax.imageio` animated-GIF
+  *    multi-frame round-trip with strided frame sampling, palette-exact,
+  *    same oracle discipline.
   *  - [[decodeFeatures]] — the original codec-agnostic byte-feature pass,
-  *    kept as the fixture for payloads no JDK codec reads (video). */
+  *    kept as the baseline for payloads no JDK codec reads. */
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -46,10 +49,10 @@ object Multimodal {
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height")).as("meta"))
 
-  /** FAKE decode: deterministic features from raw bytes. Stands in for
-    * "decode video → extract features" (images and audio now have real
-    * JDK codecs below); the imperative per-partition loop is the real
-    * part. */
+  /** FAKE decode: deterministic features from raw bytes. All three
+    * modalities now have real JDK codecs below (PNG/WAV/GIF); this stays
+    * as the codec-agnostic baseline for container formats the JDK can't
+    * read — the imperative per-partition loop is the real part. */
   private[operators] def fakeDecode(bytes: Array[Byte]): (Long, Int, Long) = {
     if (bytes == null || bytes.isEmpty) (0L, -1, 0L)
     else {
@@ -248,6 +251,130 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
+  // ── REAL video codec path (JDK javax.imageio — animated GIF) ─────────
+
+  /** Deterministic synthetic animated GIF: `nFrames` solid-color frames
+    * whose RGB is a closed-form function of (docId, frame), written
+    * through the real `ImageIO` GIF sequence writer. The JDK GIF encoder
+    * is lossless for frames with ≤256 distinct colors (the palette IS the
+    * color set), so [[decodeVideoFeatures]] must read back exactly these
+    * values — the video sibling of [[syntheticPng]]/[[syntheticWav]]. */
+  private[operators] def syntheticGif(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val r = ((docId * 31 + f * 7) % 256).toInt
+      val g = ((docId + f * 11) % 256).toInt
+      val b = ((docId * 5 + f * 3) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private val videoSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType)))
+
+  /** Media table of real animated-GIF payloads: 2–6 frames of 4–8 × 4–6
+    * pixels, all derived from doc_id. Encoding runs per partition — the
+    * write-side twin of [[decodeVideoFeatures]]. */
+  def videoTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select("doc_id").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeImageFeatures
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticGif(id, 4 + (id % 5).toInt, 4 + (id % 3).toInt,
+          2 + (id % 5).toInt))
+      }
+    }
+    spark.createDataFrame(rdd, videoSchema)
+  }
+
+  private val videoFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_sampled", LongType),
+    StructField("sum_rgb", LongType)))
+
+  /** REAL decode + frame sampling: one GIF `ImageReader` per partition,
+    * `getNumImages` for the frame count, then only every `stride`-th
+    * frame is decoded (frames 0, stride, 2·stride, …) — the batch shape
+    * of production video ingestion, where decoding every frame of every
+    * asset is the classic 100 TB mistake. Features: frame count, frame-0
+    * dimensions, and the summed RGB mass of the sampled frames (integer
+    * sums — the repo's determinism discipline). Undecodable payloads
+    * degrade to a (-1, …) row instead of failing the partition. */
+  def decodeVideoFeatures(videos: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = videos.sparkSession
+    val rdd = videos.select("doc_id", "media").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // one reader instance per partition, re-targeted per asset
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val decoded =
+          try {
+            if (bytes == null) None
+            else {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else {
+                var w = -1; var h = -1
+                var sampled = 0L; var sumRgb = 0L
+                var f = 0
+                while (f < n) {
+                  val img = reader.read(f)
+                  if (f == 0) { w = img.getWidth; h = img.getHeight }
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val p = img.getRGB(x, y)
+                      sumRgb += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  sampled += 1
+                  f += stride
+                }
+                Some((n.toLong, w, h, sampled, sumRgb))
+              }
+            }
+          } catch { case _: java.io.IOException => None }
+        decoded match {
+          case None => Row(id, -1L, -1, -1, 0L, 0L)
+          case Some((n, w, h, sampled, sumRgb)) => Row(id, n, w, h, sampled, sumRgb)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFeatureSchema)
   }
 
   /** REAL decode: `ImageIO.read` per asset inside `mapPartitions` →

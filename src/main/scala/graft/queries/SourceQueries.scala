@@ -463,6 +463,33 @@ object SourceQueries {
         .orderBy("doc_id")
     },
 
+    // ── REAL video codec: synthetic animated GIFs (2–6 solid-color
+    //    frames, RGB closed-form in doc_id/frame) encoded AND decoded
+    //    through the javax.imageio GIF sequence reader/writer inside
+    //    mapPartitions, sampling every 2nd frame; the oracle recomputes
+    //    frame count, dimensions, and sampled RGB mass from the formula —
+    //    GIF is palette-lossless for solid frames, so any codec or
+    //    sampling deviation breaks the hash. Completes the modality
+    //    ladder: PNG (image) / WAV (audio) / GIF (video).
+    sql("q_multimodal_video",
+      """WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+        |                  2 + doc_id % 5 AS n
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, n, f
+        |       FROM g CROSS JOIN range(0, 7) rf(f)
+        |       WHERE f < n AND f % 2 = 0)
+        |SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_frames,
+        |       CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+        |       COUNT(*) AS n_sampled,
+        |       CAST(SUM(w * h * ((doc_id * 31 + f * 7) % 256
+        |                       + (doc_id + f * 11) % 256
+        |                       + (doc_id * 5 + f * 3) % 256)) AS BIGINT) AS sum_rgb
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeVideoFeatures(
+        Multimodal.videoTable(Tables.documents(s, d)), stride = 2)
+        .orderBy("doc_id")
+    },
+
     // ── frame-offset sampling stub (pure expression, no codec): summary
     //    per kind so the array column is exercised without list-compare
     sql("q_multimodal_frames",

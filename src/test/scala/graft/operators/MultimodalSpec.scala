@@ -65,6 +65,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real GIF codec round-trips frames palette-exactly and samples by stride") {
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 50)
+    val feats = Multimodal.decodeVideoFeatures(Multimodal.videoTable(docs), stride = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 50L).foreach { id =>
+      val w = 4 + (id % 5).toInt; val h = 4 + (id % 3).toInt
+      val n = 2 + (id % 5).toInt
+      val sampledFrames = (0 until n by 2)
+      val sumRgb = sampledFrames.map { f =>
+        w.toLong * h * ((id * 31 + f * 7) % 256 + (id + f * 11) % 256 + (id * 5 + f * 3) % 256)
+      }.sum
+      val r = feats(id)
+      assert(r.getLong(1) === n.toLong, s"n_frames for $id")
+      assert(r.getInt(2) === w && r.getInt(3) === h, s"dims for $id")
+      assert(r.getLong(4) === sampledFrames.size.toLong, s"n_sampled for $id")
+      assert(r.getLong(5) === sumRgb, s"sum_rgb for $id")
+    }
+  }
+
+  test("stride=1 decodes every frame; undecodable video degrades to a sentinel row") {
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 10)
+    val all = Multimodal.decodeVideoFeatures(Multimodal.videoTable(docs), stride = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 10L).foreach { id =>
+      assert(all(id).getLong(4) === all(id).getLong(1), s"stride=1 samples all frames for $id")
+    }
+    val junk = Seq((1L, Array[Byte](71, 73, 70, 56)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeVideoFeatures(junk)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getLong(1) === -1L && out(id).getLong(5) === 0L)
+    }
+  }
+
   test("undecodable audio degrades to a sentinel row") {
     val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "media")
