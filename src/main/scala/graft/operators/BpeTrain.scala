@@ -104,4 +104,57 @@ object BpeTrain {
     }
     merges.toSeq.toDF("rank", "l_sym", "r_sym", "merged", "pair_cnt")
   }
+
+  /** ENCODE with a learned merge table — the inference half of
+    * [[learnMerges]], and the operation every packing/pricing pass runs
+    * over the whole corpus: per-document exact BPE token counts.
+    *
+    * Scale shape: the merge table is a MODEL (a few dozen string pairs),
+    * so it inlines into the plan as a literal `replace` chain and the
+    * entire encode is ONE map-side projection over the scan — no
+    * explode, no shuffle, no join, nothing driver-side. Each document's
+    * printable-ASCII words concatenate into a single US-separated symbol
+    * string (words end/start with a DOUBLE separator, which no merge
+    * pattern `SEP l SEP r SEP` can cross, so one string-level pass IS
+    * per-word encoding), then every merge applies in rank order with the
+    * same two leftmost-non-overlapping replaces the trainer used.
+    * Counting needs no tokenization: symbols = separators − words.
+    *
+    * Output per document: `n_words` (printable-ASCII words), `n_chars`
+    * (their total characters — invariant under merges), `n_tokens`
+    * (BPE subwords after all merges; == n_chars at zero merges). */
+  def encodeStats(docs: DataFrame, textCol: String, idCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(TextFns.tokens(col(textCol)), w => w.rlike("^[!-~]+$"))
+    val seq0: Column = array_join(
+      transform(words, w => concat(lit(SEP), regexp_replace(w, "(.)", "$1" + SEP))), "")
+    val seqN = merges.foldLeft(seq0) { case (c, (l, r)) =>
+      val pat = lit(SEP + l + SEP + r + SEP)
+      val rep = lit(SEP + l + r + SEP)
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    val nWords = size(words).cast("long")
+    val chars = length(replace(seqN, lit(SEP), lit("")))
+    val seps = length(seqN) - chars
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      chars.cast("long").as("n_chars"),
+      (seps - nWords).cast("long").as("n_tokens"))
+  }
+
+  /** Train-then-encode convenience: learn `numMerges` merges from the
+    * corpus ([[learnMerges]] — one corpus-scale histogram job + driver
+    * rounds), collect the bounded merge table, and encode the same
+    * corpus with it ([[encodeStats]] — one map-side pass). */
+  def trainAndEncode(docs: DataFrame, textCol: String, idCol: String,
+                     numMerges: Int): DataFrame = {
+    val merges = learnMerges(docs, textCol, numMerges)
+      .orderBy("rank")
+      .select("l_sym", "r_sym")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    encodeStats(docs, textCol, idCol, merges)
+  }
 }

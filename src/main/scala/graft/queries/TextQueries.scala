@@ -272,14 +272,35 @@ object TextQueries {
     sql("q_text_bpe_train", bpeReplaySql(6)) { (s, d) =>
       graft.operators.BpeTrain.learnMerges(Tables.documents(s, d), "text", 6)
         .orderBy("rank")
+    },
+
+    // ── BPE ENCODE (BpeTrain.trainAndEncode): the inference half — learn
+    //    the 6-merge table, inline it as a literal replace chain, and
+    //    count exact subword tokens per document in ONE map-side
+    //    projection (no explode/shuffle/join; word boundaries are double
+    //    separators no merge pattern can cross). The oracle re-derives
+    //    the merge table with the shared training CTEs and replays the
+    //    same replace chain per document — a wrong merge, ordering, or
+    //    boundary rule breaks the hash.
+    sql("q_text_bpe_encode", bpeEncodeSql(6)) { (s, d) =>
+      graft.operators.BpeTrain.trainAndEncode(Tables.documents(s, d), "text", "doc_id", 6)
+        .orderBy("doc_id")
     }
   )
 
-  /** Unrolled DuckDB replay of [[graft.operators.BpeTrain.learnMerges]]
-    * for `n` rounds: v0 = the SEP-delimited char vocab, then per round i
-    * pairs→argmax→double-replace, exactly the operator's arithmetic. */
-  private def bpeReplaySql(n: Int): String = {
-    val sep = "chr(31)"
+  // a def, not a val: the `queries` Seq above initializes first and
+  // calls the SQL builders during object init — a val here would still
+  // be null at that point
+  private def bpeSep = "chr(31)"
+
+  /** Shared training CTE chain (`toks`, `v0`, then per round i
+    * `p_i`/`x_i`/`v_i`): the unrolled DuckDB replay of
+    * [[graft.operators.BpeTrain.learnMerges]] — word histogram, weighted
+    * pair argmax with (cnt DESC, l, r) tie-break, greedy double-replace
+    * merge. Used by both the train oracle (reads the `x_i` picks) and
+    * the encode oracle (re-applies the `x_i` picks to each document). */
+  private def bpeTrainCtes(n: Int): String = {
+    val sep = bpeSep
     def pairsOf(v: String) =
       s"""SELECT l, r, SUM(cnt) AS c FROM (
          |    SELECT unnest(syms[1:n-1]) AS l, unnest(syms[2:n]) AS r, cnt FROM (
@@ -302,10 +323,7 @@ object TextQueries {
          |                 ${into.replace("x.", s"x$i.")}) AS w, v.cnt
          |  FROM $prev v CROSS JOIN x$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, l AS l_sym, r AS r_sym, " +
-        s"l||r AS merged, c AS pair_cnt FROM x$i").mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
        |    FROM documents) u
@@ -313,9 +331,51 @@ object TextQueries {
        |v0 AS (
        |  SELECT $sep || regexp_replace(t, '(.)', '\\1' || $sep, 'g') AS w, cnt
        |  FROM toks),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Train oracle: the `x_i` picks of [[bpeTrainCtes]] as the merge
+    * table rows. */
+  private def bpeReplaySql(n: Int): String = {
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS l_sym, r AS r_sym, " +
+        s"l||r AS merged, c AS pair_cnt FROM x$i").mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeTrainCtes(n)}
        |SELECT * FROM (
        |  $out) ORDER BY rank""".stripMargin
+  }
+
+  /** Encode oracle: re-derive the merge table via [[bpeTrainCtes]], then
+    * replay [[graft.operators.BpeTrain.encodeStats]] — each document's
+    * printable words concatenate into one SEP-delimited symbol string
+    * (double separator at word boundaries, uncrossable by any merge
+    * pattern) and every `x_i` pick applies in rank order with the same
+    * double replace; token counts fall out of separator arithmetic. */
+  private def bpeEncodeSql(n: Int): String = {
+    val sep = bpeSep
+    val enc = (1 to n).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      val merge = s"$sep||x$i.l||$sep||x$i.r||$sep"
+      val into = s"$sep||x$i.l||x$i.r||$sep"
+      s"""e$i AS (
+         |  SELECT doc_id, n_words,
+         |         replace(replace(e.s, $merge, $into), $merge, $into) AS s
+         |  FROM $prev e CROSS JOIN x$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(n)},
+       |e0 AS (
+       |  SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+       |         array_to_string(list_transform(wl,
+       |           t -> $sep || regexp_replace(t, '(.)', '\\1' || $sep, 'g')), '') AS s
+       |  FROM (SELECT doc_id,
+       |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                           t -> regexp_matches(t, '^[!-~]+${"$"}')) AS wl
+       |        FROM documents)),
+       |$enc
+       |SELECT doc_id, n_words,
+       |       CAST(length(replace(s, $sep, '')) AS BIGINT) AS n_chars,
+       |       CAST(length(s) - length(replace(s, $sep, '')) - n_words AS BIGINT) AS n_tokens
+       |FROM e$n ORDER BY doc_id""".stripMargin
   }
 
   /** Brute-force 5-token-shingle Jaccard pairs at J≥0.5 — the ground

@@ -42,4 +42,42 @@ class BpeTrainSpec extends SparkSpec {
     // café is filtered (non-ASCII); only "ok" trains
     assert(got == Seq((1L, "o", "k", "ok", 2L)))
   }
+
+  private def encode(docs: Seq[(Long, String)],
+                     merges: Seq[(String, String)]): Map[Long, (Long, Long, Long)] =
+    BpeTrain.encodeStats(docs.toDF("doc_id", "text"), "text", "doc_id", merges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, w, c, t) => id -> ((w, c, t)) }.toMap
+
+  test("encode hand fixture: merges apply in rank order, per word") {
+    // merges (a,a)->aa then (aa,b)->aab:
+    //   "aab"  -> [aa, b] -> [aab]          = 1 token
+    //   "aba"  -> [a, b, a]                 = 3 tokens (no adjacent aa)
+    //   "aaaa" -> [aa, aa]                  = 2 tokens
+    val got = encode(Seq((1L, "aab aba aaaa")), Seq(("a", "a"), ("aa", "b")))
+    assert(got(1L) == ((3L, 10L, 6L)))
+  }
+
+  test("encode with zero merges: every char is a token; boundary docs are zeros") {
+    val got = encode(Seq((1L, "ab cde"), (2L, ""), (3L, "café")), Seq.empty)
+    assert(got(1L) == ((2L, 5L, 5L)))
+    assert(got(2L) == ((0L, 0L, 0L)))   // no printable-ASCII words
+    assert(got(3L) == ((0L, 0L, 0L)))   // non-ASCII word filtered, like training
+  }
+
+  test("encode never merges across word boundaries") {
+    // merge (a,b): "a b" must stay 2 tokens; "ab" becomes 1
+    val got = encode(Seq((1L, "a b"), (2L, "ab")), Seq(("a", "b")))
+    assert(got(1L) == ((2L, 2L, 2L)))
+    assert(got(2L) == ((1L, 2L, 1L)))
+  }
+
+  test("trainAndEncode composes: learned merges compress the training corpus") {
+    val docs = Seq((1L, "aa ab aa ab aa"), (2L, "aa aa"))
+    val stats = BpeTrain.trainAndEncode(docs.toDF("doc_id", "text"), "text", "doc_id", 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // merges: (a,a), (a,b) -> every word is 1 token
+    assert(stats(1L) == ((1L, 5L, 10L, 5L)))
+    assert(stats(2L) == ((2L, 2L, 4L, 2L)))
+  }
 }
