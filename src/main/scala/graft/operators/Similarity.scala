@@ -911,4 +911,72 @@ object Similarity {
       .select(col(groupCol), col("dim"), col("n_vecs"),
         col("sum_q"), expr("sum_q div n_vecs").as("mean_q"))
   }
+
+  // private[operators], not private: Spark's deserializer codegen
+  // instantiates these reflectively and needs a bytecode-public ctor
+  private[operators] case class MmrCand(q_id: Long, n_id: Long, rel: Long, eq: Array[Long])
+  private[operators] case class MmrPick(q_id: Long, mmr_rank: Long, n_id: Long, rel: Long, score: Long)
+
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the retrieval
+    * step after candidate generation: from each query's `kCand` most
+    * relevant candidates, greedily select `kSelect` that balance
+    * relevance against redundancy with what's already selected
+    * (Carbonell & Goldstein 1998). λ is fixed at ½ and the whole
+    * criterion is scaled ×2 to stay in integers:
+    * `score = 2·rel − max_{s∈selected} sim(c, s)`; the first pick has no
+    * selected set, so its score is `2·rel`. Both `rel` and `sim` are the
+    * quantized integer dot, and ties break (score DESC, n_id) — fully
+    * deterministic, so a DuckDB oracle replays the selection rounds.
+    *
+    * Scale shape: candidate generation is the existing top-k (brute here;
+    * swap in `ivfTopK`/`lshTopK` at scale — same contract), so MMR's own
+    * cost is ONE shuffle of |Q|·kCand short rows by q_id, then a
+    * per-group greedy loop over ≤kCand candidates in `mapGroups` —
+    * O(kSelect·kCand) integer dots per query, no driver involvement, no
+    * cross-query work. The selection is inherently sequential per query
+    * (each pick changes the next round's scores), which is exactly what
+    * `KeyValueGroupedDataset.mapGroups` expresses. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                kCand: Int = 16, kSelect: Int = 4): DataFrame = {
+    require(kSelect >= 1 && kCand >= kSelect,
+      s"need kCand >= kSelect >= 1, got kCand=$kCand kSelect=$kSelect")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(corpus, queries, kCand)
+      .join(corpus.select(col("vec_id").as("n_id"),
+        quantizeVec(col("embedding")).as("eq")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("sim").as("rel"), col("eq"))
+      .as[MmrCand]
+    cands.groupByKey(_.q_id).flatMapGroups { (qId, it) =>
+      val all = it.toArray.sortBy(c => (-c.rel, c.n_id))
+      val dim = if (all.isEmpty) 0 else all(0).eq.length
+      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val taken = scala.collection.mutable.HashSet.empty[Long]
+      var round = 1
+      while (round <= kSelect && selected.length < all.length) {
+        var best: MmrCand = null
+        var bestScore = Long.MinValue
+        all.foreach { c =>
+          if (!taken.contains(c.n_id)) {
+            var maxSim = Long.MinValue
+            selected.foreach { s =>
+              var d = 0L; var i = 0
+              while (i < dim) { d += c.eq(i) * s.eq(i); i += 1 }
+              if (d > maxSim) maxSim = d
+            }
+            val score = if (selected.isEmpty) 2L * c.rel else 2L * c.rel - maxSim
+            if (score > bestScore || (score == bestScore && c.n_id < best.n_id)) {
+              best = c; bestScore = score
+            }
+          }
+        }
+        selected += best
+        taken += best.n_id
+        picks += MmrPick(qId, round.toLong, best.n_id, best.rel, bestScore)
+        round += 1
+      }
+      picks.iterator
+    }.toDF()
+  }
 }

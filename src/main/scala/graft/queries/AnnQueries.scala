@@ -44,6 +44,60 @@ object AnnQueries {
       |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
       |  FROM embeddings)""".stripMargin
 
+  /** Unrolled DuckDB replay of [[Similarity.mmrRerank]]: candidates =
+    * each query's `kCand` best by integer dot, then `kSelect` greedy MMR
+    * rounds — round 1 picks max rel; each later round computes every
+    * remaining candidate's max integer-dot similarity to the selected
+    * set and picks argmax of `2·rel − maxSim` with (score DESC, n_id)
+    * tie-break. */
+  private def mmrReplaySql(kCand: Int, kSelect: Int, nQueries: Int): String = {
+    val rounds = (2 to kSelect).map { j =>
+      val prevSel = s"sel${j - 1}"
+      s"""r$j AS (
+         |  SELECT c.q_id, c.n_id,
+         |         MAX(list_sum(list_transform(range(1, 65),
+         |               i -> c.eq[i] * s.eq[i]))) AS ms
+         |  FROM cand c JOIN $prevSel s USING (q_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevSel t
+         |                    WHERE t.q_id = c.q_id AND t.n_id = c.n_id)
+         |  GROUP BY c.q_id, c.n_id),
+         |s$j AS (
+         |  SELECT q_id, n_id, rel, eq, score FROM (
+         |    SELECT c.q_id, c.n_id, c.rel, c.eq, 2 * c.rel - r.ms AS score,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY 2 * c.rel - r.ms DESC, c.n_id) AS rn
+         |    FROM cand c JOIN r$j r ON c.q_id = r.q_id AND c.n_id = r.n_id)
+         |  WHERE rn = 1),
+         |sel$j AS (SELECT * FROM sel${j - 1} UNION ALL
+         |          SELECT q_id, n_id, rel, eq FROM s$j)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to kSelect).map(j =>
+      s"SELECT q_id, CAST($j AS BIGINT) AS mmr_rank, n_id, rel, score FROM s$j")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $eCte,
+       |d AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |                i -> q.eq[i] * c.eq[i])) AS BIGINT) AS rel,
+       |         c.eq AS eq
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |cand AS (
+       |  SELECT q_id, n_id, rel, eq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY rel DESC, n_id) AS rn FROM d)
+       |  WHERE rn <= $kCand),
+       |s1 AS (
+       |  SELECT q_id, n_id, rel, eq, 2 * rel AS score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY rel DESC, n_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT q_id, n_id, rel, eq FROM s1),
+       |$rounds
+       |SELECT q_id, mmr_rank, n_id, rel, score FROM (
+       |  $out) ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
   /** IVF k-means replay: 16 clusters seeded by the 16 smallest vec_ids,
     * `iters`=2 Lloyd rounds UNROLLED as CTE pairs (integer-dot argmax
     * assignment with (d DESC, cluster) tie-break; per-dimension
@@ -198,6 +252,21 @@ object AnnQueries {
       val embs = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
         .orderBy("q_id", "rank")
+    },
+
+    // ── MMR diversified re-rank (Similarity.mmrRerank): greedy
+    //    relevance-vs-redundancy selection over each query's top-16
+    //    candidates (λ=½ scaled to integers: score = 2·rel − max sim to
+    //    selected). The selection is deterministic (integer dots,
+    //    (score DESC, n_id) tie-break), so the oracle UNROLLS the four
+    //    greedy rounds as CTEs — candidate set, then per round the
+    //    max-sim-to-selected aggregate and the argmax pick. A wrong dot,
+    //    exclusion, or tie-break in any round cascades and breaks the
+    //    hash.
+    sql("q_search_mmr", mmrReplaySql(kCand = 16, kSelect = 4, nQueries = 8)) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.mmrRerank(embs, embs.filter(col("vec_id") < 8), kCand = 16, kSelect = 4)
+        .orderBy("q_id", "mmr_rank")
     },
 
     // ── LSH-bucketed ANN (the scale path): deterministic end-to-end

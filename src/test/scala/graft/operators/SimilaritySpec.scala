@@ -379,4 +379,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(repart == out.map { case (k, v) => k -> v._2 })
   }
+
+  test("MMR picks the diverse candidate over a higher-relevance duplicate") {
+    // query [1,0]: c10/c11 are identical (rel 0.6, unit sim 1.0), c12 is
+    // near-orthogonal with rel 0.28. Round 1 takes c10 (smaller id of the
+    // tied pair). Round 2: dup scores 2·0.6 − 1.0 = 0.2; diverse scores
+    // 2·0.28 − (−0.6) = 1.16 → diversity beats raw relevance. Round 3
+    // takes the remaining dup. Pure top-3 by relevance would be 10,11,12.
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (10L, Array(0.6f, 0.8f)),
+      (11L, Array(0.6f, 0.8f)),
+      (12L, Array(0.28f, -0.96f))).toDF("vec_id", "embedding")
+    val corpus = data.filter($"vec_id" >= 10)
+    val out = Similarity.mmrRerank(corpus, data.filter($"vec_id" === 1),
+        kCand = 3, kSelect = 3)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq === Seq(10L, 12L, 11L))
+    // round-1 score is 2·rel; the duplicate's final score is 2·rel − sim
+    assert(out(0).getAs[Long]("score") === 2L * out(0).getAs[Long]("rel"))
+    assert(out(2).getAs[Long]("score") < out(2).getAs[Long]("rel"))
+  }
+
+  test("MMR degenerates gracefully: fewer candidates than kSelect selects them all") {
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (10L, Array(0.6f, 0.8f)),
+      (11L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(data.filter($"vec_id" >= 10),
+        data.filter($"vec_id" === 1), kCand = 5, kSelect = 5)
+      .orderBy("mmr_rank").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("mmr_rank")).toSeq === Seq(1L, 2L))
+  }
 }
