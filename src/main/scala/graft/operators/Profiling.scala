@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style statistics pass every warehouse
@@ -183,5 +184,87 @@ object Profiling {
         sum(when(abs(v - col("__med")) > lit(k) * col("__mad"), 1L)
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** EXACT deep-rank order statistics (median included) per group WITHOUT
+    * a global sort — the complement of [[exactTailCuts]], whose
+    * TakeOrdered trick only reaches tail-shallow ranks. The classic
+    * histogram-pruning selection:
+    *
+    *  1. one hash aggregate → per-group (count, min, max);
+    *  2. one hash aggregate → per-group bucket histogram over `buckets`
+    *     equi-width integer buckets (collected: ≤ groups×buckets bounded
+    *     rows — a MODEL input, like a codebook, never "the data");
+    *  3. the driver walks each group's cumulative counts to find the one
+    *     bucket holding each target rank k = floor(q·(n−1)) + 1;
+    *  4. one more scan keeps ONLY rows in the ≤ groups×|qs| target
+    *     buckets (broadcast-joined plan targets) and a windowed
+    *     row_number over that ~n/buckets-sized remnant reads off the
+    *     exact rank-k value.
+    *
+    * Total: three scans + one shuffle of the pruned remnant, each group's
+    * sort buffer ~n_g/buckets rows — survives a 100× scale-up where
+    * `ORDER BY` over the table would not, and stays EXACT where
+    * `approx_percentile` gives rank-error bars. Values are longs
+    * (pre-quantize doubles — the repo's oracle discipline: an exact rank
+    * statistic over longs is engine-portable; cents, not pounds).
+    *
+    * Output: (group, q_pct, n, v) — `q_pct` an integer percentage,
+    * `v` the exact value at 1-based ascending rank floor(q·(n−1))+1. */
+  def exactQuantilesByHistogram(df: DataFrame, groupCol: String,
+                                valueCol: String, qPcts: Seq[Int],
+                                buckets: Int = 1024,
+                                maxGroups: Int = 4096): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 0 && p <= 100),
+      s"q percentages must be in [0,100], got $qPcts")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val rows = df.select(col(groupCol).as("__g"), v.as("__v")).filter($"__v".isNotNull)
+
+    val stats = rows.groupBy("__g")
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+    require(stats.length <= maxGroups,
+      s"${stats.length} groups exceed maxGroups=$maxGroups — histogram collect " +
+        "would not be model-sized; aggregate further or raise the bound")
+    val statMap = stats.map { case (g, n, lo, hi) => g -> ((n, lo, hi)) }.toMap
+
+    // equi-width integer bucket: ((v-lo)*buckets) div (range+1) — monotone
+    // in v, branch-free, overflow-safe while range*buckets fits a long
+    val statsDf = stats.toSeq.toDF("__g", "__n", "__lo", "__hi")
+    def bucketOf = expr(s"((__v - __lo) * $buckets) div (__hi - __lo + 1)")
+    val hist = rows.join(broadcast(statsDf), "__g")
+      .select($"__g", bucketOf.cast("long").as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, bs) =>
+        g -> bs.map(t => t._2 -> t._3).sortBy(_._1)
+      }
+
+    // driver walk: per (group, q) → (bucket holding rank k, rank within bucket)
+    val targets = for {
+      (g, (n, _, _)) <- statMap.toSeq
+      qp <- qPcts
+    } yield {
+      val k = math.floor((qp / 100.0) * (n - 1)).toLong + 1
+      var cum = 0L
+      var hit = (-1L, -1L)
+      hist(g).foreach { case (b, c) =>
+        if (hit._1 < 0 && cum + c >= k) hit = (b, k - cum)
+        cum += c
+      }
+      (g, qp.toLong, n, hit._1, hit._2)
+    }
+    val targetDf = targets.toDF("__g", "q_pct", "__n", "__b", "__j")
+
+    val w = Window.partitionBy("__g", "q_pct").orderBy("__v")
+    rows.join(broadcast(statsDf.select("__g", "__lo", "__hi")), "__g")
+      .select($"__g", $"__v", bucketOf.cast("long").as("__b"))
+      .join(broadcast(targetDf), Seq("__g", "__b"))
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === $"__j")
+      .select($"__g".as(groupCol), $"q_pct", $"__n".as("n"), $"__v".as("v"))
   }
 }

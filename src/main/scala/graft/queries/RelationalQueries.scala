@@ -576,6 +576,32 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ── EXACT deep-rank quantiles via histogram pruning
+    //    (Profiling.exactQuantilesByHistogram): per-returnflag exact
+    //    p25/p50/p75 of price-in-cents WITHOUT a global sort — bounded
+    //    group histograms locate each rank's bucket, one pruned scan +
+    //    a remnant-sized window reads the exact order statistic. The
+    //    oracle sorts outright (fine at oracle scale) and picks the same
+    //    1-based rank floor(q·(n−1))+1 — any histogram/bucket/rank-walk
+    //    error surfaces as a value mismatch.
+    sql("q_profile_quantile_hist",
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT grp, COUNT(*) AS n FROM v GROUP BY grp),
+        |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rk FROM v),
+        |qs AS (SELECT unnest([25, 50, 75]) AS q_pct)
+        |SELECT r.grp AS l_returnflag, CAST(q.q_pct AS BIGINT) AS q_pct, n.n, r.v
+        |FROM r JOIN n USING (grp) CROSS JOIN qs q
+        |WHERE r.rk = CAST(FLOOR((q.q_pct / 100.0) * (n.n - 1)) AS BIGINT) + 1
+        |ORDER BY l_returnflag, q_pct""".stripMargin) { (s, d) =>
+      Profiling.exactQuantilesByHistogram(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "l_returnflag", "cents", qPcts = Seq(25, 50, 75))
+        .orderBy("l_returnflag", "q_pct")
+    },
+
     // ── MAD outlier fences (Profiling.madOutliers): per-priority robust
     //    outlier counts over order totals with a 20× spike planted on
     //    o_orderkey%97 rows — median fences don't move for 1% spikes, so

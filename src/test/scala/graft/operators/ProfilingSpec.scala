@@ -105,4 +105,47 @@ class ProfilingSpec extends SparkSpec {
         (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
     assert(got("a") == ((5.5, 2.5, 1L, 10L)))
   }
+
+  private def sortedRankQuantiles(vals: Seq[Long], qPcts: Seq[Int]): Map[Int, Long] = {
+    val sorted = vals.sorted
+    qPcts.map { qp =>
+      val k = math.floor((qp / 100.0) * (sorted.length - 1)).toLong + 1
+      qp -> sorted((k - 1).toInt)
+    }.toMap
+  }
+
+  test("histogram quantiles equal full-sort rank statistics (skew, ties, heavy tail)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // heavy-tailed with duplicate runs: ties straddle bucket math hard
+    val data = (1 to 5000).map(_ => ("a", math.abs(rng.nextGaussian() * 1000).toLong)) ++
+      (1 to 3000).map(_ => ("b", (rng.nextInt(5) * 100).toLong)) ++       // 5 distinct values
+      (1 to 100).map(_ => ("c", 42L))                                     // constant group
+    val df = data.toDF("g", "v").repartition(13)
+    val qs = Seq(1, 25, 50, 75, 99)
+    val got = Profiling.exactQuantilesByHistogram(df, "g", "v", qs, buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(3)).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val expect = sortedRankQuantiles(data.filter(_._1 == g).map(_._2), qs)
+      qs.foreach { qp => assert(got((g, qp)) === expect(qp), s"group $g p$qp") }
+    }
+    // n is reported per group
+    val ns = Profiling.exactQuantilesByHistogram(df, "g", "v", Seq(50), buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ns === Map("a" -> 5000L, "b" -> 3000L, "c" -> 100L))
+  }
+
+  test("histogram quantiles: single-row group, negatives, and the group bound") {
+    import spark.implicits._
+    val df = Seq(("a", -5L), ("a", -1L), ("a", 0L), ("b", 99L)).toDF("g", "v")
+    val got = Profiling.exactQuantilesByHistogram(df, "g", "v", Seq(0, 50, 100), buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(3)).toMap
+    assert(got(("a", 0)) === -5L && got(("a", 50)) === -1L && got(("a", 100)) === 0L)
+    assert(got(("b", 0)) === 99L && got(("b", 50)) === 99L && got(("b", 100)) === 99L)
+    val wide = (1 to 50).map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantilesByHistogram(wide, "g", "v", Seq(50), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
