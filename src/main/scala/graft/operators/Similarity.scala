@@ -912,6 +912,46 @@ object Similarity {
         col("sum_q"), expr("sum_q div n_vecs").as("mean_q"))
   }
 
+  /** Triplet mining for embedding-model training data: for each anchor,
+    * the single best POSITIVE (most similar corpus vector at or above
+    * `posT` — a believed-same-content pair) and the single HARDEST
+    * NEGATIVE (most similar vector strictly below `negT` — the closest
+    * thing that is NOT the same content, exactly the negative a
+    * contrastive loss learns most from). The band [negT, posT) is an
+    * ambiguity margin and mines nothing; anchors missing either side are
+    * dropped (a triplet needs both legs). Thresholds are on the
+    * quantized-dot scale (cosine·10¹²).
+    *
+    * Scale shape: ONE similarity pass (anchors broadcast against the
+    * corpus scan — swap in an ANN shortlist for web-scale corpora, same
+    * contract), both picks resolved by a single (q_id, side) window over
+    * the in-band rows, one shuffle keyed on q_id. Integer sims and
+    * (sim DESC, n_id) tie-breaks keep the whole mine DuckDB-replayable.
+    * Output: (q_id, pos_id, pos_sim, neg_id, neg_sim). */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame,
+                  posT: Long, negT: Long): DataFrame = {
+    require(negT <= posT, s"need negT <= posT, got negT=$negT posT=$posT")
+    val q = anchors.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", quantizedDot(col("q_emb"), col("n_emb")))
+      .withColumn("side",
+        when(col("sim") >= posT, "pos")
+          .when(col("sim") < negT, "neg"))
+      .filter(col("side").isNotNull)
+    val w = Window.partitionBy("q_id", "side").orderBy(desc("sim"), col("n_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("side") === "pos", struct(col("n_id"), col("sim")))).as("p"),
+        max(when(col("side") === "neg", struct(col("n_id"), col("sim")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("q_id"),
+        col("p.n_id").as("pos_id"), col("p.sim").as("pos_sim"),
+        col("n.n_id").as("neg_id"), col("n.sim").as("neg_sim"))
+  }
+
   // private[operators], not private: Spark's deserializer codegen
   // instantiates these reflectively and needs a bytecode-public ctor
   private[operators] case class MmrCand(q_id: Long, n_id: Long, rel: Long, eq: Array[Long])

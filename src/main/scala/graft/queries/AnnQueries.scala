@@ -263,6 +263,36 @@ object AnnQueries {
     //    max-sim-to-selected aggregate and the argmax pick. A wrong dot,
     //    exclusion, or tie-break in any round cascades and breaks the
     //    hash.
+    // ── contrastive triplet mining (Similarity.tripletMine): per anchor,
+    //    best positive (sim ≥ 0.3·10¹²) and HARDEST negative (most
+    //    similar below 0.15·10¹²; the band between is an ambiguity
+    //    margin). Anchors missing either leg drop out. Integer sims +
+    //    (sim DESC, n_id) tie-breaks → the oracle replays both windowed
+    //    picks directly.
+    sql("q_embed_triplets",
+      s"""WITH $eCte,
+         |d AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |                i -> q.eq[i] * c.eq[i])) AS BIGINT) AS sim
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 64),
+         |pos AS (SELECT q_id, n_id, sim,
+         |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |        FROM d WHERE sim >= 300000000000),
+         |neg AS (SELECT q_id, n_id, sim,
+         |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |        FROM d WHERE sim < 150000000000)
+         |SELECT p.q_id, p.n_id AS pos_id, p.sim AS pos_sim,
+         |       n.n_id AS neg_id, n.sim AS neg_sim
+         |FROM pos p JOIN neg n ON p.q_id = n.q_id AND p.rn = 1 AND n.rn = 1
+         |ORDER BY p.q_id""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Similarity.tripletMine(embs, embs.filter(col("vec_id") < 64),
+          posT = 300000000000L, negT = 150000000000L)
+        .orderBy("q_id")
+    },
+
     sql("q_search_mmr", mmrReplaySql(kCand = 16, kSelect = 4, nQueries = 8)) { (s, d) =>
       val embs = Tables.embeddings(s, d)
       Similarity.mmrRerank(embs, embs.filter(col("vec_id") < 8), kCand = 16, kSelect = 4)

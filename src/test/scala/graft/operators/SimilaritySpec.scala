@@ -401,6 +401,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2).getAs[Long]("score") < out(2).getAs[Long]("rel"))
   }
 
+  test("triplet mining: best positive, hardest negative, ambiguity band, dropped anchors") {
+    // corpus: c10..c13; anchors 1=[1,0], 2=[0,1], 3=[-1,0]
+    //  anchor 1: positives {c10 0.6e12, c11 0.96e12} → c11; negatives
+    //            {c12 0.28e12, c13 0} → hardest is c12 (closest below negT)
+    //  anchor 2: pos = c13 (1.0e12), hardest neg = c11 (0.28e12)
+    //  anchor 3: nothing reaches posT → no triplet
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)),
+      (10L, Array(0.6f, 0.8f)), (11L, Array(0.96f, 0.28f)),
+      (12L, Array(0.28f, -0.96f)), (13L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.tripletMine(
+        data.filter($"vec_id" >= 10), data.filter($"vec_id" <= 3),
+        posT = 500000000000L, negT = 300000000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // 0.96f rounds down as a float: floor(0.95999997…·10⁶) = 959999
+    assert(out(1L) == ((11L, 959999000000L, 12L, 280000000000L)))
+    assert(out(2L) == ((13L, 1000000000000L, 11L, 280000000000L)))
+  }
+
   test("MMR degenerates gracefully: fewer candidates than kSelect selects them all") {
     val data = Seq(
       (1L, Array(1.0f, 0.0f)),
