@@ -267,4 +267,64 @@ object Profiling {
       .filter($"__rn" === $"__j")
       .select($"__g".as(groupCol), $"q_pct", $"__n".as("n"), $"__v".as("v"))
   }
+
+  /** Distribution-drift monitor: per-group total-variation distance
+    * between a REFERENCE table's value distribution and a CURRENT batch,
+    * over the reference's frozen equi-width binning (the standard PSI
+    * practice: bins come from the baseline; current values outside the
+    * reference range clamp into the edge bins, so range drift is visible
+    * as edge-bin mass). The gate a training-data pipeline runs on every
+    * ingest: "does today's crawl still look like the corpus?"
+    *
+    * TV = ½·Σ_b |p_b − q_b| stays in integers as
+    * `(Σ_b |ref_c·N_cur − cur_c·N_ref|) · 500000 div (N_ref·N_cur)`,
+    * reported as `tv_q` in millionths (0 = identical, 1000000 = disjoint;
+    * a group absent from `cur` reports the full 1000000). `top_bucket` /
+    * `top_delta_q` localize the worst bin (largest |p−q|, smaller bucket
+    * id on ties).
+    *
+    * Scale shape: reference stats are a broadcast model; each side is one
+    * scan + one hash aggregate on (group, bucket); the join/agg that
+    * follows runs over ≤ groups×buckets bounded rows. Nothing collects.
+    * Integer arithmetic throughout → DuckDB-replayable. */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                     valueCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def rowsOf(df: DataFrame) =
+      df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+        .filter($"__v".isNotNull)
+    val rstats = rowsOf(ref).groupBy("__g")
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    def bucketOf = expr(s"((__v - __lo) * $buckets) div (__hi - __lo + 1)")
+    def counts(df: DataFrame, clamp: Boolean) = {
+      val b = if (clamp) least(greatest(bucketOf, lit(0L)), lit(buckets - 1L)) else bucketOf
+      rowsOf(df).join(broadcast(rstats), "__g")
+        .select($"__g", b.cast("long").as("__b"))
+        .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    }
+    val rb = counts(ref, clamp = false).withColumnRenamed("__c", "__rc")
+    val cb = counts(cur, clamp = true).withColumnRenamed("__c", "__cc")
+    val joined = rb.join(cb, Seq("__g", "__b"), "full_outer")
+      .select($"__g", $"__b",
+        coalesce($"__rc", lit(0L)).as("__rc"), coalesce($"__cc", lit(0L)).as("__cc"))
+    val totals = joined.groupBy("__g")
+      .agg(sum("__rc").as("__nr"), sum("__cc").as("__nc"))
+    joined.join(broadcast(totals), "__g")
+      .groupBy("__g")
+      .agg(
+        first($"__nr").as("n_ref"), first($"__nc").as("n_cur"),
+        sum(abs($"__rc" * $"__nc" - $"__cc" * $"__nr")).as("__s"),
+        min(struct((-abs($"__rc" * $"__nc" - $"__cc" * $"__nr")).as("__d"),
+          $"__b")).as("__top"))
+      .select(
+        $"__g".as(groupCol), $"n_ref", $"n_cur",
+        when($"n_cur" === 0 || $"n_ref" === 0, lit(1000000L))
+          .otherwise(expr("(__s * 500000) div (n_ref * n_cur)")).as("tv_q"),
+        $"__top.__b".as("top_bucket"),
+        when($"n_cur" === 0 || $"n_ref" === 0, lit(1000000L))
+          .otherwise(expr("((-__top.__d) * 1000000) div (n_ref * n_cur)"))
+          .as("top_delta_q"))
+  }
 }

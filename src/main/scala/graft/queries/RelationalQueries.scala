@@ -602,6 +602,46 @@ object RelationalQueries {
         .orderBy("l_returnflag", "q_pct")
     },
 
+    // ── distribution-drift monitor (Profiling.histogramDrift): per-lang
+    //    total-variation distance between the full documents corpus and a
+    //    truncation-biased batch (n_chars ≤ 400), binned by the
+    //    REFERENCE's frozen equi-width buckets. All-integer arithmetic
+    //    (TV in millionths via cross-multiplied counts) → full replay.
+    sql("q_profile_drift",
+      """WITH r AS (SELECT lang AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT lang AS g, n_chars AS v FROM documents
+        |      WHERE n_chars IS NOT NULL AND n_chars <= 400),
+        |st AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM r GROUP BY g),
+        |rb AS (SELECT r.g, ((v - lo) * 64) // (hi - lo + 1) AS b, COUNT(*) AS rc
+        |       FROM r JOIN st USING (g) GROUP BY 1, 2),
+        |cb AS (SELECT c.g, LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS b,
+        |              COUNT(*) AS cc
+        |       FROM c JOIN st USING (g) GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
+        |             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+        |      FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
+        |t AS (SELECT g, CAST(SUM(rc) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+        |      FROM j GROUP BY g),
+        |f AS (SELECT j.g, nr, nc, CAST(SUM(ABS(rc * nc - cc * nr)) AS BIGINT) AS s
+        |      FROM j JOIN t USING (g) GROUP BY j.g, nr, nc),
+        |w AS (SELECT j.g, b, ABS(rc * nc - cc * nr) AS d,
+        |             row_number() OVER (PARTITION BY j.g
+        |               ORDER BY ABS(rc * nc - cc * nr) DESC, b) AS rn
+        |      FROM j JOIN t USING (g))
+        |SELECT f.g AS lang, nr AS n_ref, nc AS n_cur,
+        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+        |            ELSE (s * 500000) // (nr * nc) END AS tv_q,
+        |       w.b AS top_bucket,
+        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+        |            ELSE (CAST(w.d AS BIGINT) * 1000000) // (nr * nc) END AS top_delta_q
+        |FROM f JOIN w ON f.g = w.g AND w.rn = 1
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Profiling.histogramDrift(docs, docs.filter(col("n_chars") <= 400),
+          "lang", "n_chars", buckets = 64)
+        .orderBy("lang")
+    },
+
     // ── MAD outlier fences (Profiling.madOutliers): per-priority robust
     //    outlier counts over order totals with a 20× spike planted on
     //    o_orderkey%97 rows — median fences don't move for 1% spikes, so

@@ -135,6 +135,29 @@ class ProfilingSpec extends SparkSpec {
     assert(ns === Map("a" -> 5000L, "b" -> 3000L, "c" -> 100L))
   }
 
+  test("histogram drift: hand TV, identical=0, absent group=max, out-of-range clamps") {
+    import spark.implicits._
+    val ref = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("b", 10L), ("b", 20L)).toDF("g", "v")
+    // a: ref [2,2]/4 vs cur [1,3]/4 → TV = ½(¼+¼) = 0.25; worst bin ties → b0
+    val cur = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 1L)).toDF("g", "v")
+    val got = Profiling.histogramDrift(ref, cur, "g", "v", buckets = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("a") == ((4L, 4L, 250000L, 0L, 250000L)))
+    assert(got("b")._3 === 1000000L)                     // no current rows: full drift
+    // identical distribution drifts zero
+    val same = Profiling.histogramDrift(ref, ref, "g", "v", buckets = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(same === Map("a" -> 0L, "b" -> 0L))
+    // values beyond the reference range clamp into the edge bin
+    val wild = Seq(("a", 999L), ("a", -7L)).toDF("g", "v")
+    val clamped = Profiling.histogramDrift(ref, wild, "g", "v", buckets = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(clamped("a")._1 === 2L)   // both out-of-range rows landed in edge bins
+    assert(clamped("a")._2 === 0L)   // -7→bin0, 999→bin1: [1,1]/2 matches [2,2]/4
+  }
+
   test("histogram quantiles: single-row group, negatives, and the group bound") {
     import spark.implicits._
     val df = Seq(("a", -5L), ("a", -1L), ("a", 0L), ("b", 99L)).toDF("g", "v")
