@@ -607,35 +607,7 @@ object RelationalQueries {
     //    truncation-biased batch (n_chars ≤ 400), binned by the
     //    REFERENCE's frozen equi-width buckets. All-integer arithmetic
     //    (TV in millionths via cross-multiplied counts) → full replay.
-    sql("q_profile_drift",
-      """WITH r AS (SELECT lang AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
-        |c AS (SELECT lang AS g, n_chars AS v FROM documents
-        |      WHERE n_chars IS NOT NULL AND n_chars <= 400),
-        |st AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM r GROUP BY g),
-        |rb AS (SELECT r.g, ((v - lo) * 64) // (hi - lo + 1) AS b, COUNT(*) AS rc
-        |       FROM r JOIN st USING (g) GROUP BY 1, 2),
-        |cb AS (SELECT c.g, LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS b,
-        |              COUNT(*) AS cc
-        |       FROM c JOIN st USING (g) GROUP BY 1, 2),
-        |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
-        |             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
-        |      FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
-        |t AS (SELECT g, CAST(SUM(rc) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
-        |      FROM j GROUP BY g),
-        |f AS (SELECT j.g, nr, nc, CAST(SUM(ABS(rc * nc - cc * nr)) AS BIGINT) AS s
-        |      FROM j JOIN t USING (g) GROUP BY j.g, nr, nc),
-        |w AS (SELECT j.g, b, ABS(rc * nc - cc * nr) AS d,
-        |             row_number() OVER (PARTITION BY j.g
-        |               ORDER BY ABS(rc * nc - cc * nr) DESC, b) AS rn
-        |      FROM j JOIN t USING (g))
-        |SELECT f.g AS lang, nr AS n_ref, nc AS n_cur,
-        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
-        |            ELSE (s * 500000) // (nr * nc) END AS tv_q,
-        |       w.b AS top_bucket,
-        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
-        |            ELSE (CAST(w.d AS BIGINT) * 1000000) // (nr * nc) END AS top_delta_q
-        |FROM f JOIN w ON f.g = w.g AND w.rn = 1
-        |ORDER BY lang""".stripMargin) { (s, d) =>
+    sql("q_profile_drift", driftReplaySql("n_chars <= 400", label = None)) { (s, d) =>
       val docs = Tables.documents(s, d)
       Profiling.histogramDrift(docs, docs.filter(col("n_chars") <= 400),
           "lang", "n_chars", buckets = 64)
@@ -889,4 +861,44 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }
   )
+
+  /** DuckDB replay of [[graft.operators.Profiling.histogramDrift]] over
+    * `documents` (ref = whole corpus, group = lang, value = n_chars,
+    * 64 bins): current batch = rows matching `curPred`, binned by the
+    * reference's frozen equi-width buckets with edge clamping, then the
+    * integer TV distance and worst-bin localization. With `label` set,
+    * a constant `batch_key` column is added (used by the streaming
+    * variant, which unions one replay per micro-batch slice). */
+  private[queries] def driftReplaySql(curPred: String, label: Option[Int]): String = {
+    val labelCol = label.map(l => s"CAST($l AS BIGINT) AS batch_key, ").getOrElse("")
+    val order = if (label.isDefined) "batch_key, lang" else "lang"
+    s"""WITH r AS (SELECT lang AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+       |c AS (SELECT lang AS g, n_chars AS v FROM documents
+       |      WHERE n_chars IS NOT NULL AND ($curPred)),
+       |st AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM r GROUP BY g),
+       |rb AS (SELECT r.g, ((v - lo) * 64) // (hi - lo + 1) AS b, COUNT(*) AS rc
+       |       FROM r JOIN st USING (g) GROUP BY 1, 2),
+       |cb AS (SELECT c.g, LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS b,
+       |              COUNT(*) AS cc
+       |       FROM c JOIN st USING (g) GROUP BY 1, 2),
+       |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
+       |             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+       |      FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
+       |t AS (SELECT g, CAST(SUM(rc) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+       |      FROM j GROUP BY g),
+       |f AS (SELECT j.g, nr, nc, CAST(SUM(ABS(rc * nc - cc * nr)) AS BIGINT) AS s
+       |      FROM j JOIN t USING (g) GROUP BY j.g, nr, nc),
+       |w AS (SELECT j.g, b, ABS(rc * nc - cc * nr) AS d,
+       |             row_number() OVER (PARTITION BY j.g
+       |               ORDER BY ABS(rc * nc - cc * nr) DESC, b) AS rn
+       |      FROM j JOIN t USING (g))
+       |SELECT ${labelCol}f.g AS lang, nr AS n_ref, nc AS n_cur,
+       |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+       |            ELSE (s * 500000) // (nr * nc) END AS tv_q,
+       |       w.b AS top_bucket,
+       |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+       |            ELSE (CAST(w.d AS BIGINT) * 1000000) // (nr * nc) END AS top_delta_q
+       |FROM f JOIN w ON f.g = w.g AND w.rn = 1
+       |ORDER BY $order""".stripMargin
+  }
 }

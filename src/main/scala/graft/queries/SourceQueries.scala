@@ -404,6 +404,24 @@ object SourceQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ── streaming drift monitoring (DriftStreaming.batchDrift): two
+    //    parity-staged document micro-batches each scored against the
+    //    static full-corpus reference histogram — the continuous form of
+    //    q_profile_drift, state-free across batches. Batches label
+    //    themselves from content (min(doc_id % 2)), so the output is
+    //    arrival-order-independent and the oracle is one batch replay
+    //    per slice, unioned.
+    sql("q_stream_drift",
+      s"""SELECT * FROM (
+         |${RelationalQueries.driftReplaySql("doc_id % 2 = 0", Some(0))})
+         |UNION ALL
+         |SELECT * FROM (
+         |${RelationalQueries.driftReplaySql("doc_id % 2 = 1", Some(1))})
+         |ORDER BY batch_key, lang""".stripMargin) { (s, d) =>
+      graft.streaming.DriftStreaming.batchDrift(s, d)
+        .orderBy("batch_key", "lang")
+    },
+
     // ── multimodal: binary media column + metadata struct, imperative
     //    per-partition decode (deterministic fake) → typed features
     sql("q_multimodal_features",
