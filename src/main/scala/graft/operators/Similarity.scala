@@ -982,9 +982,12 @@ object Similarity {
       s"need kCand >= kSelect >= 1, got kCand=$kCand kSelect=$kSelect")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cands = bruteForceTopK(corpus, queries, kCand)
-      .join(corpus.select(col("vec_id").as("n_id"),
-        quantizeVec(col("embedding")).as("eq")), Seq("n_id"))
+    // the candidate list (|Q|·kCand short rows) is the broadcast side —
+    // unhinted, Spark guesses sizes and can pick the corpus projection
+    // to build, which is exactly the 100 TB mistake
+    val cands = corpus
+      .select(col("vec_id").as("n_id"), quantizeVec(col("embedding")).as("eq"))
+      .join(broadcast(bruteForceTopK(corpus, queries, kCand)), Seq("n_id"))
       .select(col("q_id"), col("n_id"), col("sim").as("rel"), col("eq"))
       .as[MmrCand]
     cands.groupByKey(_.q_id).flatMapGroups { (qId, it) =>

@@ -198,4 +198,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
     assert("HashAggregate".r.findAllIn(plan).size >= 3, plan.take(2000))
   }
+
+  test("q_search_mmr: anchors and candidate list broadcast; corpus is never built") {
+    val plan = planOf("q_search_mmr")
+    // candidate generation broadcasts the 8 anchors over the corpus scan
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(3000))
+    // top-16 prunes map-side before the window's shuffle
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined, plan.take(3000))
+    // the eq-vector join BUILDS the |Q|·kCand candidate list, not the
+    // corpus projection — building corpus-side is the 100 TB OOM
+    assert("BroadcastHashJoin \\[n_id".r.findFirstIn(plan).isDefined, plan.take(3000))
+    val buildSide = plan.linesIterator.find(_.contains("BroadcastHashJoin")).get
+    assert(buildSide.contains("BuildRight"), buildSide)
+    // right subtree of that join is the windowed candidate list (rel col)
+    assert(plan.contains("sim"), plan.take(3000))
+  }
+
+  test("q_profile_quantile_hist: model-sized stats broadcast, one pruned window") {
+    val plan = planOf("q_profile_quantile_hist")
+    // histogram stats + rank targets ride as broadcast local relations
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(plan.contains("LocalTableScan"), plan.take(3000))
+    // exactly one window, partitioned by (group, q) — never global
+    assert("Window \\[row_number".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Window [row_number() windowspecdefinition()"), plan.take(3000))
+  }
+
+  test("q_embed_triplets: both picks from ONE window; anchors broadcast") {
+    val plan = planOf("q_embed_triplets")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(3000))
+    // a naive two-branch mine would window (or re-scan) twice
+    assert("Window \\[row_number".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("q_profile_drift: reference stats broadcast; both sides pre-aggregate map-side") {
+    val plan = planOf("q_profile_drift")
+    // per-side bucket counts combine before their exchange
+    assert("partial_count".r.findAllIn(plan).size >= 2, plan.take(3000))
+    // reference min/max and group totals ride as broadcasts
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 3, plan.take(3000))
+  }
 }
