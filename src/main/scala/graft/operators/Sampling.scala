@@ -203,4 +203,35 @@ object Sampling {
     val member = Similarity.assignClustersQ(corpusQ, centroids)
     stratifiedCap(member, Seq("cluster"), "vec_id", perTopic)
   }
+
+  /** Curriculum phase assignment: split each group's rows into `phases`
+    * difficulty tiers by EXACT per-group quantile cuts of `valueCol`
+    * (sequence length is the standard first-order difficulty proxy —
+    * short rows first, long-tail rows last). Cuts come from
+    * [[Profiling.exactQuantilesByHistogram]] (integer percents
+    * `i·100/phases`), so the tier boundaries are exact order statistics,
+    * not approx-percentile guesses; a row lands in
+    * `1 + |{cuts strictly below it}|`, so rows equal to a cut stay in
+    * the lower tier and degenerate groups (fewer distinct values than
+    * phases) collapse tiers instead of misassigning.
+    *
+    * Scale shape: the cut table is ≤ groups×(phases−1) rows — broadcast
+    * as a model — and labeling is one scan-side HOF over it; the only
+    * shuffle is the final (group, phase) rollup. Output:
+    * (group, phase, n_rows, sum_v). */
+  def curriculumPhases(df: DataFrame, groupCol: String, valueCol: String,
+                       phases: Int): DataFrame = {
+    require(phases >= 2, s"need >= 2 phases, got $phases")
+    val qPcts = (1 until phases).map(i => (i * 100) / phases)
+    val cuts = Profiling.exactQuantilesByHistogram(df, groupCol, valueCol, qPcts)
+      .groupBy(groupCol).agg(sort_array(collect_list("v")).as("__cuts"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(cuts), groupCol)
+      .withColumn("phase",
+        lit(1L) + aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + when(col(valueCol) > c, 1L).otherwise(0L)))
+      .groupBy(col(groupCol), col("phase"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_v"))
+  }
 }

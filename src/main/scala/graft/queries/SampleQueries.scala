@@ -118,6 +118,30 @@ object SampleQueries {
           Tables.documents(s, d), "doc_id", "text",
           groupCols = Seq("lang"), budget = 256L)
         .orderBy("lang", "doc_id")
+    },
+
+    // ── curriculum phase split (Sampling.curriculumPhases): per-lang
+    //    length terciles from EXACT quantile cuts (the histogram-pruned
+    //    operator), phase = 1 + cuts strictly below the row. The oracle
+    //    re-derives the same rank-floor(q·(n−1))+1 cut values by sorting
+    //    and replays the labeling over distinct (lang, n_chars) pairs.
+    sql("q_curriculum_phases",
+      """WITH v AS (SELECT lang AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk FROM v),
+        |c AS (SELECT r.g, r.v AS cut
+        |      FROM r JOIN n USING (g) CROSS JOIN (VALUES (33), (66)) q(p)
+        |      WHERE r.rk = CAST(FLOOR((p / 100.0) * (n.n - 1)) AS BIGINT) + 1),
+        |d AS (SELECT g, v, COUNT(*) AS cnt FROM v GROUP BY g, v),
+        |lab AS (SELECT d.g, d.v, d.cnt,
+        |               1 + SUM(CASE WHEN d.v > c.cut THEN 1 ELSE 0 END) AS phase
+        |        FROM d JOIN c USING (g) GROUP BY d.g, d.v, d.cnt)
+        |SELECT g AS lang, CAST(phase AS BIGINT) AS phase,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       CAST(SUM(v * cnt) AS BIGINT) AS sum_v
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Sampling.curriculumPhases(Tables.documents(s, d), "lang", "n_chars", phases = 3)
+        .orderBy("lang", "phase")
     }
   )
 }

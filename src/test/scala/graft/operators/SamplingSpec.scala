@@ -132,4 +132,20 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
     assert(again === out)
   }
+
+  test("curriculum phases: exact tercile cuts; cut values stay in the lower tier") {
+    import spark.implicits._
+    // a: 1..9 → cuts at ranks 3 and 6 (values 3, 6): tiers {1,2,3},{4,5,6},{7,8,9}
+    // c: constant 42 → both cuts 42, everything collapses into phase 1
+    val df = ((1 to 9).map(i => ("a", i.toLong)) ++ Seq.fill(5)(("c", 42L)))
+      .toDF("g", "v")
+    val out = Sampling.curriculumPhases(df, "g", "v", phases = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("a", 1L)) == ((3L, 6L)))
+    assert(out(("a", 2L)) == ((3L, 15L)))
+    assert(out(("a", 3L)) == ((3L, 24L)))
+    assert(out(("c", 1L)) == ((5L, 210L)))
+    assert(!out.contains(("c", 2L)) && !out.contains(("c", 3L)))
+  }
 }
