@@ -38,16 +38,26 @@ object PipelineMain {
   }
 
   /** Run the DAG: 3 concurrent named branches (1 retry each) → barrier →
-    * 2 fan-in aggregates. Returns per-stage status by stage name. */
-  def run(spark: SparkSession, outDir: String): Map[String, StageStatus] =
+    * volume gates on every staged table → 2 fan-in aggregates. Returns
+    * per-stage status by stage name. */
+  def run(spark: SparkSession, outDir: String): Map[String, StageStatus] = {
+    def atLeast(table: String, n: Long): () => Option[String] = () => {
+      val c = spark.read.parquet(s"$outDir/$table").count()
+      if (c >= n) None else Some(s"$table staged $c rows, need >= $n")
+    }
     runWith(spark, outDir,
       branches = Seq(
         ("zoopla_listings", () => Jobs.zooplaListings(spark)),
         ("dexters_listings", () => Jobs.dextersListings(spark)),
         ("air_quality", () => Jobs.airQualityReadings(spark))),
+      gates = Seq(
+        ("gate_zoopla_volume", atLeast("zoopla_listings", 1L)),
+        ("gate_dexters_volume", atLeast("dexters_listings", 1L)),
+        ("gate_air_volume", atLeast("air_quality", 1L))),
       marts = Seq(
         ("flagship_avg_price", () => Jobs.flagshipAvgPrice(spark)),
         ("air_quality_by_station", () => Jobs.airQualityByStation(spark))))
+  }
 
   /** [[run]] with injectable stages (specs poison a branch to prove the
     * partial-failure contract). `maxRetries` mirrors the reference DAG's
@@ -55,9 +65,18 @@ object PipelineMain {
     * `retry_delay` (0 here — an embedded runner re-attempts immediately;
     * the knob exists because the delay is deployment policy, not
     * semantics). */
+  /** Data-quality GATES sit between the staging barrier and the fan-in —
+    * the Airflow sensor/check-task slot. A gate returns None to pass or
+    * Some(reason) to trip; a TRIPPED gate does not throw, it reports,
+    * and every mart is SKIPPED (attempts = 0, error names the gate) —
+    * bad data must never reach the warehouse tables, but the run report
+    * still shows everything that staged. Volume floors and
+    * [[graft.operators.Profiling.histogramDrift]] thresholds are the
+    * expected residents of this slot. */
   def runWith(spark: SparkSession, outDir: String,
               branches: Seq[(String, () => DataFrame)],
               marts: Seq[(String, () => DataFrame)],
+              gates: Seq[(String, () => Option[String])] = Seq.empty,
               maxRetries: Int = 1,
               retryDelayMs: Long = 0L): Map[String, StageStatus] = {
     val sc = spark.sparkContext
@@ -96,14 +115,38 @@ object PipelineMain {
         }
       }), 30.minutes)
       finally pool.shutdown()
+    // quality gates: run between the barrier and the fan-in; a gate
+    // check that itself crashes counts as tripped (fail-closed)
+    sc.setJobGroup("quality_gates", "data-quality gates on staged tables",
+      interruptOnCancel = true)
+    val gateStatus =
+      try gates.map { case (name, check) =>
+        val err =
+          try check()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+          }
+        name -> StageStatus(None, 1, err)
+      }
+      finally sc.clearJobGroup()
+    val tripped = gateStatus.collect { case (n, s) if !s.ok => n }
     // fan-in: aggregates over the staged branches, one job group. A mart
     // whose upstream branch failed fails here too — reported, not thrown.
-    sc.setJobGroup("warehouse_load", "fan-in: flagship + air-quality marts",
-      interruptOnCancel = true)
+    // If any gate tripped, marts are SKIPPED, not attempted.
     val martStatus =
-      try marts.map { case (name, mk) => name -> attemptStage(name, mk) }
-      finally sc.clearJobGroup()
-    (staged ++ martStatus).toMap
+      if (tripped.nonEmpty)
+        marts.map { case (name, _) =>
+          name -> StageStatus(None, 0,
+            Some(s"skipped: gate(s) ${tripped.mkString(", ")} tripped"))
+        }
+      else {
+        sc.setJobGroup("warehouse_load", "fan-in: flagship + air-quality marts",
+          interruptOnCancel = true)
+        try marts.map { case (name, mk) => name -> attemptStage(name, mk) }
+        finally sc.clearJobGroup()
+      }
+    (staged ++ gateStatus ++ martStatus).toMap
   }
 
   def main(args: Array[String]): Unit = {

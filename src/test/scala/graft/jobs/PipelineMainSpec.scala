@@ -25,15 +25,18 @@ class PipelineMainSpec extends SparkSpec {
       val out = "/root/repo/target/tmp/spec_pipeline"
       FileUtils.deleteQuietly(new File(out))
       val statuses = PipelineMain.run(spark, out)
+      val gateNames = Set("gate_zoopla_volume", "gate_dexters_volume", "gate_air_volume")
       assert(statuses.keySet == Set("zoopla_listings", "dexters_listings",
-        "air_quality", "flagship_avg_price", "air_quality_by_station"))
-      assert(statuses.values.forall(s => s.ok && s.rows.exists(_ > 0)), statuses)
-      assert(statuses.values.forall(_.attempts === 1), statuses)
+        "air_quality", "flagship_avg_price", "air_quality_by_station") ++ gateNames)
+      assert(statuses.values.forall(_.ok), statuses)
+      // staging + mart stages carry row counts; gates are pass/trip only
+      assert(statuses.filterNot(k => gateNames(k._1))
+        .values.forall(s => s.rows.exists(_ > 0) && s.attempts === 1), statuses)
       // every stage staged real parquet
       assert(new File(out, "flagship_avg_price").exists())
       // listener delivery is async — poll until the groups landed
       val want = Set("zoopla_listings", "dexters_listings", "air_quality",
-        "warehouse_load")
+        "quality_gates", "warehouse_load")
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (!want.subsetOf(seen.asScala.toSet) && System.nanoTime() < deadline)
         Thread.sleep(50)
@@ -72,5 +75,47 @@ class PipelineMainSpec extends SparkSpec {
     // ... and the report names the failure
     assert(p.error.exists(_.contains("scrape target unreachable")), p)
     assert(!statuses("mart_poisoned").ok)
+  }
+
+  test("a tripped drift gate reports and SKIPS the marts; bad data never loads") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val out = "/root/repo/target/tmp/spec_pipeline_gate"
+    FileUtils.deleteQuietly(new File(out))
+    val reference = (1 to 100).map(i => ("m", (i % 10).toLong)).toDF("g", "v")
+    val statuses = PipelineMain.runWith(spark, out,
+      branches = Seq(
+        // a drifted batch: every value piles on 9 where the reference is uniform
+        ("ingest", () => Seq.fill(50)(("m", 9L)).toDF("g", "v"))),
+      gates = Seq(
+        ("gate_drift", () => {
+          val tv = Profiling.histogramDrift(reference,
+              spark.read.parquet(s"$out/ingest"), "g", "v", buckets = 10)
+            .head().getAs[Long]("tv_q")
+          if (tv <= 200000L) None else Some(s"drift tv_q=$tv over 200000")
+        })),
+      marts = Seq(
+        ("mart", () => spark.read.parquet(s"$out/ingest"))))
+    assert(statuses("ingest").ok)                         // staging itself landed
+    val g = statuses("gate_drift")
+    assert(!g.ok && g.error.exists(_.contains("drift tv_q=")), g)
+    val m = statuses("mart")
+    assert(!m.ok && m.attempts === 0, m)                  // skipped, not attempted
+    assert(m.error.exists(_.contains("gate_drift")), m)
+    assert(!new File(out, "mart").exists())               // nothing reached the mart
+    // same DAG with an in-distribution batch passes the gate and loads
+    FileUtils.deleteQuietly(new File(out))
+    val ok = PipelineMain.runWith(spark, out,
+      branches = Seq(("ingest", () => reference)),
+      gates = Seq(
+        ("gate_drift", () => {
+          val tv = Profiling.histogramDrift(reference,
+              spark.read.parquet(s"$out/ingest"), "g", "v", buckets = 10)
+            .head().getAs[Long]("tv_q")
+          if (tv <= 200000L) None else Some(s"drift tv_q=$tv over 200000")
+        })),
+      marts = Seq(("mart", () => spark.read.parquet(s"$out/ingest"))))
+    assert(ok.values.forall(_.ok), ok)
+    assert(ok("mart").rows.contains(100L))
   }
 }
