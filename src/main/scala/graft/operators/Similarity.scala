@@ -978,8 +978,17 @@ object Similarity {
     * `KeyValueGroupedDataset.mapGroups` expresses. */
   def mmrRerank(corpus: DataFrame, queries: DataFrame,
                 kCand: Int = 16, kSelect: Int = 4): DataFrame = {
-    require(kSelect >= 1 && kCand >= kSelect,
-      s"need kCand >= kSelect >= 1, got kCand=$kCand kSelect=$kSelect")
+    require(kCand >= kSelect, s"need kCand >= kSelect, got kCand=$kCand kSelect=$kSelect")
+    mmrRerankCandidates(corpus, bruteForceTopK(corpus, queries, kCand), kSelect)
+  }
+
+  /** [[mmrRerank]] over an EXTERNAL candidate list (q_id, n_id, sim) —
+    * the composition point: any generator with the top-k contract
+    * (brute, [[ivfTopK]], [[lshTopK]], a persisted index) feeds the same
+    * greedy selection. Spec-pinned against the brute-fed form. */
+  def mmrRerankCandidates(corpus: DataFrame, candidates: DataFrame,
+                          kSelect: Int = 4): DataFrame = {
+    require(kSelect >= 1, s"need kSelect >= 1, got $kSelect")
     val spark = corpus.sparkSession
     import spark.implicits._
     // the candidate list (|Q|·kCand short rows) is the broadcast side —
@@ -987,7 +996,7 @@ object Similarity {
     // to build, which is exactly the 100 TB mistake
     val cands = corpus
       .select(col("vec_id").as("n_id"), quantizeVec(col("embedding")).as("eq"))
-      .join(broadcast(bruteForceTopK(corpus, queries, kCand)), Seq("n_id"))
+      .join(broadcast(candidates.select("q_id", "n_id", "sim")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), col("sim").as("rel"), col("eq"))
       .as[MmrCand]
     cands.groupByKey(_.q_id).flatMapGroups { (qId, it) =>

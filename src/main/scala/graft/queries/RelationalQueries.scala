@@ -607,6 +607,61 @@ object RelationalQueries {
     //    truncation-biased batch (n_chars ≤ 400), binned by the
     //    REFERENCE's frozen equi-width buckets. All-integer arithmetic
     //    (TV in millionths via cross-multiplied counts) → full replay.
+    // ── declarative data contracts (Contracts.validate): expectation
+    //    checks an ingest runs before trusting a batch — all scalar
+    //    rules ride ONE shared scan (sum(when) expressions + a stack
+    //    unpivot); uniqueness is priced as its own count−countDistinct
+    //    pass. Violations planted deterministically (nulled custkeys,
+    //    an off-domain status, a capped range) so every rule has a
+    //    non-trivial count the oracle recomputes.
+    sql("q_contract_validate",
+      """WITH p AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS ck,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS pr
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_rows FROM p)
+        |SELECT rule, n_rows, n_violations,
+        |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM (
+        |  SELECT 'not_null(ck)' AS rule, n.n_rows,
+        |         (SELECT CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p) AS n_violations FROM n
+        |  UNION ALL
+        |  SELECT 'in_set(st)', n.n_rows,
+        |         (SELECT CAST(SUM(CASE WHEN st IS NULL OR st NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM p) FROM n
+        |  UNION ALL
+        |  SELECT 'in_range(cents)', n.n_rows,
+        |         (SELECT CAST(SUM(CASE WHEN cents IS NULL OR cents < 150000 OR cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) FROM p) FROM n
+        |  UNION ALL
+        |  SELECT 'matches(pr)', n.n_rows,
+        |         (SELECT CAST(SUM(CASE WHEN pr IS NULL OR NOT regexp_matches(pr, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) FROM p) FROM n
+        |  UNION ALL
+        |  SELECT 'unique(ck)', n.n_rows,
+        |         (SELECT COUNT(ck) - COUNT(DISTINCT ck) FROM p) FROM n
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', n.n_rows,
+        |         (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM p) FROM n)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Contracts
+      import graft.operators.Contracts._
+      val planted = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")).as("ck"),
+        when(col("o_orderkey") % 101 === 0, "X").otherwise(col("o_orderstatus")).as("st"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("pr"))
+      Contracts.validate(planted, Seq(
+          NotNull("ck"),
+          InSet("st", Seq("O", "F", "P")),
+          InRange("cents", 150000L, 20000000L),
+          Matches("pr", "^[1-5]-"),
+          Unique("ck"),
+          Unique("o_orderkey")))
+        .orderBy("rule")
+    },
+
     sql("q_profile_drift", driftReplaySql("n_chars <= 400", label = None)) { (s, d) =>
       val docs = Tables.documents(s, d)
       Profiling.histogramDrift(docs, docs.filter(col("n_chars") <= 400),

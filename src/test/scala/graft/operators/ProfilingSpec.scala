@@ -158,6 +158,26 @@ class ProfilingSpec extends SparkSpec {
     assert(clamped("a")._2 === 0L)   // -7→bin0, 999→bin1: [1,1]/2 matches [2,2]/4
   }
 
+  test("histogram quantiles at sf0.1: exact vs Spark percentile on 600k prices") {
+    // scale stress: wide value domain (cents over ~1e7 range), real skew,
+    // 1024 buckets actually pruning — the shape the operator exists for
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select($"l_returnflag".as("g"),
+        floor($"l_extendedprice" * 100).cast("long").as("v"))
+    val qs = Seq(25, 50, 75)
+    val got = Profiling.exactQuantilesByHistogram(li, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(3)).toMap
+    val flags = li.select("g").distinct().as[String].collect()
+    flags.foreach { g =>
+      val vals = li.filter($"g" === g).select("v").as[Long].collect().sorted
+      qs.foreach { qp =>
+        val k = math.floor((qp / 100.0) * (vals.length - 1)).toLong + 1
+        assert(got((g, qp)) === vals((k - 1).toInt), s"group $g p$qp at sf0.1")
+      }
+    }
+  }
+
   test("histogram quantiles: single-row group, negatives, and the group bound") {
     import spark.implicits._
     val df = Seq(("a", -5L), ("a", -1L), ("a", 0L), ("b", 99L)).toDF("g", "v")

@@ -423,6 +423,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((13L, 1000000000000L, 11L, 280000000000L)))
   }
 
+  test("MMR composes with ANY candidate generator: IVF-fed selection is well-formed") {
+    val corpus = embs
+    val qs = embs.filter($"vec_id" < 6)
+    val ivfCands = Similarity.ivfTopK(corpus, qs, k = 16)
+    val out = Similarity.mmrRerankCandidates(corpus, ivfCands, kSelect = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val candTop = ivfCands.filter($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L until 6L).foreach { q =>
+      // four picks per query, and pick 1 is the generator's most relevant
+      assert((1L to 4L).forall(k => out.contains((q, k))), s"picks for query $q")
+      assert(out((q, 1L)) === candTop(q), s"rank-1 pick for query $q")
+    }
+    // brute-fed wrapper ≡ explicitly brute-fed composition (same contract)
+    val viaWrapper = Similarity.mmrRerank(corpus, qs, kCand = 16, kSelect = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    val viaCands = Similarity.mmrRerankCandidates(corpus,
+        Similarity.bruteForceTopK(corpus, qs, 16), kSelect = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    assert(viaWrapper === viaCands)
+  }
+
   test("MMR degenerates gracefully: fewer candidates than kSelect selects them all") {
     val data = Seq(
       (1L, Array(1.0f, 0.0f)),
