@@ -105,4 +105,106 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(params.withMinSuccessfulTests(12), p)
     assert(res.passed, s"asof: ${res.status}")
   }
+
+  test("property: MMR selection matches an independent greedy reference, ties included") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    // tiny component alphabet → frequent exact dot-product ties,
+    // exercising the (score DESC, n_id) tie-break end to end
+    val vecGen = Gen.listOfN(4, Gen.oneOf(-1.0f, -0.5f, 0.0f, 0.5f, 1.0f))
+    val gen = for {
+      q <- vecGen
+      corpus <- Gen.listOfN(8, vecGen)
+    } yield (q, corpus)
+
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000.0d).toLong).toArray
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+
+    val p = Prop.forAll(gen) { case (q, corpus) =>
+      val df = ((1L, q.toArray) +: corpus.zipWithIndex.map { case (v, i) =>
+        (10L + i, v.toArray)
+      }).toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity
+        .mmrRerank(df.filter($"vec_id" >= 10L), df.filter($"vec_id" === 1L),
+          kCand = 6, kSelect = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+        .sortBy(_._1)
+      // independent reference: same quantized arithmetic, plain Scala
+      val qq = quant(q)
+      val cands = corpus.zipWithIndex
+        .map { case (v, i) => (10L + i, quant(v)) }
+        .map { case (id, eq) => (id, eq, dot(qq, eq)) }
+        .sortBy(t => (-t._3, t._1)).take(6)
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      var remaining = cands
+      (1 to 3).foreach { rank =>
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (id, eq, rel) =>
+            val ms = if (selected.isEmpty) 0L else selected.map(dot(eq, _)).max
+            val score = if (selected.isEmpty) 2L * rel else 2L * rel - ms
+            (id, eq, score)
+          }
+          val best = scored.minBy { case (id, _, score) => (-score, id) }
+          picks += ((rank.toLong, best._1, best._3))
+          selected += best._2
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+      }
+      got.toSeq == picks.toSeq
+    }
+    val res = SCTest.check(params.withMinSuccessfulTests(12), p)
+    assert(res.passed, s"mmr: ${res.status}")
+  }
+
+  test("property: BPE encode matches a pure replace-chain reference; counts are consistent") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    val SEP = "\u001f"
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val gen = for {
+      words <- Gen.listOfN(8, wordGen)
+      nMerges <- Gen.choose(1, 4)
+    } yield (words, nMerges)
+
+    val p = Prop.forAll(gen) { case (words, nMerges) =>
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val merges = graft.operators.BpeTrain
+        .learnMerges(docs, "text", nMerges)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = graft.operators.BpeTrain
+        .encodeStats(docs, "text", "doc_id", merges)
+        .head()
+      // pure reference: per-word SEP string, Java String.replace twice per
+      // merge (the documented semantics the Column chain must reproduce)
+      val seq0 = words.map(w => SEP + w.map(c => s"$c$SEP").mkString).mkString
+      val seqN = merges.foldLeft(seq0) { case (s, (l, r)) =>
+        val pat = SEP + l + SEP + r + SEP
+        val rep = SEP + l + r + SEP
+        s.replace(pat, rep).replace(pat, rep)
+      }
+      val chars = seqN.count(_ != SEP.head)
+      val seps = seqN.length - chars
+      got.getLong(1) == words.length.toLong &&
+        got.getLong(2) == chars.toLong &&
+        got.getLong(3) == (seps - words.length).toLong &&
+        got.getLong(3) <= got.getLong(2)   // merges never add tokens
+    }
+    val res = SCTest.check(params.withMinSuccessfulTests(12), p)
+    assert(res.passed, s"bpe: ${res.status}")
+  }
 }
