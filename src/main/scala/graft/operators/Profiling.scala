@@ -289,23 +289,55 @@ object Profiling {
     * Integer arithmetic throughout → DuckDB-replayable. */
   def histogramDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
                      valueCol: String, buckets: Int = 64): DataFrame = {
-    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
-    val spark = ref.sparkSession
-    import spark.implicits._
-    def rowsOf(df: DataFrame) =
-      df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
-        .filter($"__v".isNotNull)
-    val rstats = rowsOf(ref).groupBy("__g")
+    val rstats = referenceStats(ref, groupCol, valueCol)
+    driftFromHistogram(
+      histogramCounts(ref, rstats, groupCol, valueCol, buckets, clamp = false),
+      rstats, cur, groupCol, valueCol, buckets)
+  }
+
+  /** Frozen reference binning: per-group (lo, hi) of `valueCol` —
+    * computed once from the baseline corpus and then carried, so bins
+    * never move under the monitor. Output: (__g, __lo, __hi). */
+  def referenceStats(ref: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame =
+    ref.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g")
       .agg(min("__v").as("__lo"), max("__v").as("__hi"))
-    def bucketOf = expr(s"((__v - __lo) * $buckets) div (__hi - __lo + 1)")
-    def counts(df: DataFrame, clamp: Boolean) = {
-      val b = if (clamp) least(greatest(bucketOf, lit(0L)), lit(buckets - 1L)) else bucketOf
-      rowsOf(df).join(broadcast(rstats), "__g")
-        .select($"__g", b.cast("long").as("__b"))
-        .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
-    }
-    val rb = counts(ref, clamp = false).withColumnRenamed("__c", "__rc")
-    val cb = counts(cur, clamp = true).withColumnRenamed("__c", "__cc")
+
+  /** Bucket counts of `df` under a FROZEN binning (`stats` from
+    * [[referenceStats]]): one scan + one hash aggregate. With `clamp`,
+    * out-of-range values land in the edge bins (any table other than the
+    * one that defined the binning needs it). Counts are additive per
+    * (__g, __b), so snapshots maintain incrementally via
+    * [[Incremental.mergeAdditive]] — the reference histogram of a
+    * growing corpus updates O(|delta|), never rescanning the base.
+    * Output: (__g, __b, __c). */
+  def histogramCounts(df: DataFrame, stats: DataFrame, groupCol: String,
+                      valueCol: String, buckets: Int,
+                      clamp: Boolean): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val bucketOf = expr(s"((__v - __lo) * $buckets) div (__hi - __lo + 1)")
+    val b = if (clamp) least(greatest(bucketOf, lit(0L)), lit(buckets - 1L)) else bucketOf
+    df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(stats), "__g")
+      .select(col("__g"), b.cast("long").as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+  }
+
+  /** [[histogramDrift]] against a PRE-BUILT reference histogram
+    * (__g, __b, __c) + its frozen stats — the maintained-snapshot form:
+    * the reference side costs nothing per batch beyond reading the
+    * bounded count table. */
+  def driftFromHistogram(refHist: DataFrame, refStats: DataFrame,
+                         cur: DataFrame, groupCol: String, valueCol: String,
+                         buckets: Int = 64): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val rb = refHist.withColumnRenamed("__c", "__rc")
+    val cb = histogramCounts(cur, refStats, groupCol, valueCol, buckets, clamp = true)
+      .withColumnRenamed("__c", "__cc")
     val joined = rb.join(cb, Seq("__g", "__b"), "full_outer")
       .select($"__g", $"__b",
         coalesce($"__rc", lit(0L)).as("__rc"), coalesce($"__cc", lit(0L)).as("__cc"))

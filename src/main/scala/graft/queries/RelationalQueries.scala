@@ -662,6 +662,64 @@ object RelationalQueries {
         .orderBy("rule")
     },
 
+    // ── incrementally-maintained drift monitor: bins FREEZE on the
+    //    initial corpus slice (doc_id%3<2); the later delta slice adds
+    //    bucket counts via Incremental.mergeAdditive — O(|delta|), the
+    //    base never rescans — and today's biased batch scores against
+    //    the maintained histogram. The oracle rebuilds the same frozen
+    //    binning, sums the two slices' counts (delta clamped), and
+    //    replays the TV arithmetic.
+    sql("q_drift_incremental",
+      """WITH a AS (SELECT lang AS g, n_chars AS v FROM documents
+        |           WHERE n_chars IS NOT NULL AND doc_id % 3 < 2),
+        |bd AS (SELECT lang AS g, n_chars AS v FROM documents
+        |       WHERE n_chars IS NOT NULL AND doc_id % 3 = 2),
+        |c AS (SELECT lang AS g, n_chars AS v FROM documents
+        |      WHERE n_chars IS NOT NULL AND n_chars <= 400),
+        |st AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM a GROUP BY g),
+        |ra AS (SELECT a.g, ((v - lo) * 64) // (hi - lo + 1) AS b, COUNT(*) AS rc
+        |       FROM a JOIN st USING (g) GROUP BY 1, 2),
+        |rd AS (SELECT bd.g, LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS b,
+        |              COUNT(*) AS rc
+        |       FROM bd JOIN st USING (g) GROUP BY 1, 2),
+        |rb AS (SELECT g, b, CAST(SUM(rc) AS BIGINT) AS rc
+        |       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rd) GROUP BY g, b),
+        |cb AS (SELECT c.g, LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS b,
+        |              COUNT(*) AS cc
+        |       FROM c JOIN st USING (g) GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(rb.g, cb.g) AS g, COALESCE(rb.b, cb.b) AS b,
+        |             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+        |      FROM rb FULL OUTER JOIN cb ON rb.g = cb.g AND rb.b = cb.b),
+        |t AS (SELECT g, CAST(SUM(rc) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+        |      FROM j GROUP BY g),
+        |f AS (SELECT j.g, nr, nc, CAST(SUM(ABS(rc * nc - cc * nr)) AS BIGINT) AS s
+        |      FROM j JOIN t USING (g) GROUP BY j.g, nr, nc),
+        |w AS (SELECT j.g, b, ABS(rc * nc - cc * nr) AS d,
+        |             row_number() OVER (PARTITION BY j.g
+        |               ORDER BY ABS(rc * nc - cc * nr) DESC, b) AS rn
+        |      FROM j JOIN t USING (g))
+        |SELECT f.g AS lang, nr AS n_ref, nc AS n_cur,
+        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+        |            ELSE (s * 500000) // (nr * nc) END AS tv_q,
+        |       w.b AS top_bucket,
+        |       CASE WHEN nc = 0 OR nr = 0 THEN 1000000
+        |            ELSE (CAST(w.d AS BIGINT) * 1000000) // (nr * nc) END AS top_delta_q
+        |FROM f JOIN w ON f.g = w.g AND w.rn = 1
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.operators.Incremental
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 < 2)
+      val delta = docs.filter(col("doc_id") % 3 === 2)
+      val frozen = Profiling.referenceStats(base, "lang", "n_chars")
+      val maintained = Incremental.mergeAdditive(
+        Profiling.histogramCounts(base, frozen, "lang", "n_chars", 64, clamp = false),
+        Profiling.histogramCounts(delta, frozen, "lang", "n_chars", 64, clamp = true),
+        keys = Seq("__g", "__b"))
+      Profiling.driftFromHistogram(maintained, frozen,
+          docs.filter(col("n_chars") <= 400), "lang", "n_chars", buckets = 64)
+        .orderBy("lang")
+    },
+
     sql("q_profile_drift", driftReplaySql("n_chars <= 400", label = None)) { (s, d) =>
       val docs = Tables.documents(s, d)
       Profiling.histogramDrift(docs, docs.filter(col("n_chars") <= 400),

@@ -158,6 +158,34 @@ class ProfilingSpec extends SparkSpec {
     assert(clamped("a")._2 === 0L)   // -7→bin0, 999→bin1: [1,1]/2 matches [2,2]/4
   }
 
+  test("incrementally maintained histogram equals a full rescan under frozen bins") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val base = (0 to 9).flatMap(v => Seq.fill(v + 1)(("a", v.toLong))).toDF("g", "v")
+    val delta = Seq(("a", 3L), ("a", 9L), ("a", 42L), ("a", -5L)).toDF("g", "v")
+    val frozen = Profiling.referenceStats(base, "g", "v")
+    val maintained = Incremental.mergeAdditive(
+      Profiling.histogramCounts(base, frozen, "g", "v", 5, clamp = false),
+      Profiling.histogramCounts(delta, frozen, "g", "v", 5, clamp = true),
+      keys = Seq("__g", "__b"))
+    val rescanned = Profiling.histogramCounts(base.unionByName(delta), frozen,
+      "g", "v", 5, clamp = true)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap(maintained) === asMap(rescanned))
+    // and the drift score off the maintained snapshot matches the direct form
+    val cur = Seq(("a", 0L), ("a", 9L)).toDF("g", "v")
+    val viaSnapshot = Profiling.driftFromHistogram(maintained, frozen, cur, "g", "v", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val direct = Profiling.histogramDrift(base.unionByName(delta), cur, "g", "v", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // direct recomputes bins over base∪delta (42/-5 widen them), so equality
+    // is only guaranteed for the snapshot-vs-rescan pair above; both paths
+    // still produce a finite, sane score
+    assert(viaSnapshot("a") >= 0L && viaSnapshot("a") <= 1000000L)
+    assert(direct("a") >= 0L && direct("a") <= 1000000L)
+  }
+
   test("histogram quantiles at sf0.1: exact vs Spark percentile on 600k prices") {
     // scale stress: wide value domain (cents over ~1e7 range), real skew,
     // 1024 buckets actually pruning — the shape the operator exists for
