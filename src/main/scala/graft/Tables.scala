@@ -24,12 +24,15 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
-  /** events.ts is a TIMESTAMP(NANOS) parquet column, which Spark only reads
-    * as a long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * Verify/Bench/tests). Normalize to a real TimestampType via integer
-    * ns→µs division — `div` (not `/`) because ns-epoch values exceed 2^53
-    * and a double round-trip would lose precision; truncation matches
-    * DuckDB's own ns→µs read behavior. */
+  /** events.ts normalized to a real (LTZ) TimestampType whatever the
+    * testdata generation wrote:
+    *  - TIMESTAMP(NANOS) reads as a long (nanosAsLong=true, set in
+    *    Verify/Bench/tests) → integer ns→µs division — `div` (not `/`)
+    *    because ns-epoch values exceed 2^53 and a double round-trip would
+    *    lose precision; truncation matches DuckDB's own ns→µs read;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ
+    *    → cast to TIMESTAMP (exact under the UTC session, and functions
+    *    like unix_micros only accept the LTZ type). */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = load(spark, d, "events")
     raw.schema("ts").dataType match {
@@ -37,6 +40,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events.parquet raw schema — ts read as long nanos (TIMESTAMP(NANOS)
-    * parquet + nanosAsLong conf), converted after scan. */
+  /** events.parquet raw schema — ts read as a raw INT64 (the file's own
+    * unit: TIMESTAMP(NANOS) generations surface nanos via the
+    * nanosAsLong conf, TIMESTAMP(MICROS) generations surface micros),
+    * converted after scan via [[tsDivisor]]. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -55,6 +57,23 @@ object EventsStreaming {
     dir.toString
   }
 
+  /** Raw-long → micros divisor for the `ts` column of every parquet file
+    * under `dir`, detected by VALUE RANGE (one footer-stats job). The
+    * testdata's timestamp physical unit changed across driver
+    * generations — TIMESTAMP(NANOS) read as long nanos vs
+    * TIMESTAMP(MICROS) read as long micros through the same
+    * [[rawSchema]] projection — and the footer TYPE cannot distinguish a
+    * plain-INT64 restage, so the unit test is numeric: a 2024 epoch is
+    * ~1.7e18 ns but ~1.7e15 µs; anything above 1e17 is nanos. */
+  private[graft] def tsDivisor(spark: SparkSession, dir: String): Long = {
+    val maxTs = spark.read.schema(rawSchema).parquet(dir)
+      .agg(max("ts")).head().getLong(0)
+    if (maxTs > 100000000000000000L) 1000L else 1L
+  }
+
+  /** The detected-unit ts conversion: raw long → TIMESTAMP (micros). */
+  private[graft] def rawTs(div: Long) = timestamp_micros(expr(s"ts div $div"))
+
   /** Tumbling 1-hour window counts per event_type, computed as a stream:
     * file source → watermark → windowed agg → memory sink, AvailableNow.
     * Complete mode so the single-batch run emits every window (append mode
@@ -63,8 +82,9 @@ object EventsStreaming {
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val name = s"stream_hourly_${System.nanoTime()}"
-    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageDir(sfDir)
+    val stream = ss.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -88,8 +108,9 @@ object EventsStreaming {
                     slide: String = "15 minutes"): DataFrame = {
     val ss = streamSession(spark)
     val name = s"stream_sliding_${System.nanoTime()}"
-    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageDir(sfDir)
+    val stream = ss.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
@@ -126,8 +147,9 @@ object EventsStreaming {
     val name = s"stream_sessions_${System.nanoTime()}"
     val reader = ss.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val stream = reader.parquet(dir)
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
       .select($"user_id", $"ts".cast("long").as("ts_sec"))
       .as[(Long, Long)]
     val gapSec = gapMinutes * 60L
@@ -179,8 +201,9 @@ object EventsStreaming {
     val name = s"stream_closed_${System.nanoTime()}"
     val reader = ss.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(inputDir.getOrElse(stageDir(sfDir)))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val stream = reader.parquet(dir)
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
       .select($"user_id", $"ts".cast("long").as("ts_sec"))
       .as[(Long, Long)]
     val gapSec = gapMinutes * 60L
@@ -221,8 +244,10 @@ object EventsStreaming {
                         withinMinutes: Int = 30): DataFrame = {
     val ss = streamSession(spark)
     val name = s"stream_join_${System.nanoTime()}"
-    def src = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageDir(sfDir)
+    val div = tsDivisor(ss, dir)
+    def src = ss.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", rawTs(div))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -246,8 +271,9 @@ object EventsStreaming {
   def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val name = s"stream_dedup_${System.nanoTime()}"
-    val stream = ss.readStream.schema(rawSchema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stageDir(sfDir)
+    val stream = ss.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
     val deduped = stream
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
@@ -282,7 +308,7 @@ object EventsStreaming {
     val name = s"stream_dedup_wm_${System.nanoTime()}"
     val stream = ss.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", rawTs(tsDivisor(ss, dir)))
     val deduped = stream
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -304,14 +330,20 @@ object EventsStreaming {
     Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     val dupDst = dir.resolve("early_dups.parquet")
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      // the dup file derives from the source — a re-copied (regenerated)
+      // source invalidates it, or the dir would mix timestamp units
+      Files.deleteIfExists(dupDst)
+    }
     if (!Files.exists(dupDst)) {
       val raw = spark.read.schema(rawSchema).parquet(src.toString)
       val minTs = raw.agg(min("ts")).head().getLong(0)
       val scratch = s"$dir.dupbuild"
-      raw.filter(col("ts") <= minTs + 3600L * 1000 * 1000 * 1000)
+      // one hour in the FILE'S raw unit (the dup file is written from the
+      // same long projection, so it inherits that unit byte-exactly)
+      raw.filter(col("ts") <= minTs + 3600L * 1000 * 1000 * tsDivisor(spark, src.toString))
         .coalesce(1).write.mode("overwrite").parquet(scratch)
       val part = Option(new java.io.File(scratch).listFiles()).getOrElse(Array.empty)
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -352,10 +384,12 @@ object EventsStreaming {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
     val reader = ss.readStream.schema(rawSchema)
+    val dir = stagedDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, dir)
     val src = maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n.toString))
-      .parquet(stagedDir.getOrElse(stageDir(sfDir)))
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .parquet(dir)
+      .select(col("user_id"), expr(s"ts div $div").as("ts_us"),
         col("event_id"), col("event_type"), col("value"))
     val q = src.writeStream
       .option("checkpointLocation", ckpt)

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class EventsStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Exact epoch nanos from a collected ts value — the external type is
+    * java.sql.Timestamp for LTZ columns (nanos-generation testdata) and
+    * java.time.LocalDateTime for NTZ ones (micros generation, read under
+    * the UTC session); full microsecond precision either way. */
+  private def epochNanos(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime / 1000 * 1000000000L + t.getNanos
+    case ldt: java.time.LocalDateTime =>
+      val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+      ins.getEpochSecond * 1000000000L + ins.getNano
+    case other => sys.error(s"unexpected ts external type: $other")
+  }
+
   test("streaming hourly counts equal the batch rollup") {
     val streamed = EventsStreaming.hourlyCounts(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -30,10 +43,10 @@ class EventsStreamingSpec extends SparkSpec {
     Seq(events.take(third),
         events.slice(third, 2 * third),
         events.drop(2 * third)).zipWithIndex.foreach { case (chunk, i) =>
-      // re-create the raw long-ns shape the streaming schema expects
-      // (ms precision is enough: sessionization floors to whole seconds)
+      // re-create the raw long-ns shape the streaming schema expects,
+      // at full microsecond precision (the CDC tie-break orders on µs)
       val rows = chunk.map(r => (r.getLong(0),
-        r.getTimestamp(1).getTime * 1000000L,
+        epochNanos(r.get(1)),
         r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
       rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
@@ -77,7 +90,7 @@ class EventsStreamingSpec extends SparkSpec {
         events.slice(third, 2 * third),
         events.take(third)).zipWithIndex.foreach { case (chunk, i) =>
       val rows = chunk.map(r => (r.getLong(0),
-        r.getTimestamp(1).getTime * 1000000L,
+        epochNanos(r.get(1)),
         r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
       rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
@@ -111,7 +124,7 @@ class EventsStreamingSpec extends SparkSpec {
 
     val name = s"dup_test_${System.nanoTime()}"
     val q = spark.readStream.schema(EventsStreaming.rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", EventsStreaming.rawTs(EventsStreaming.tsDivisor(spark, dir.toString)))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy().agg(count(lit(1)).as("cnt"))
@@ -142,7 +155,7 @@ class EventsStreamingSpec extends SparkSpec {
     }
     val name = s"rocksdb_test_${System.nanoTime()}"
     val q = ss.readStream.schema(EventsStreaming.rawSchema).parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", EventsStreaming.rawTs(EventsStreaming.tsDivisor(ss, staged)))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
