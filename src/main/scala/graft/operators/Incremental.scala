@@ -55,4 +55,28 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
   }
+
+  /** Incremental maintenance of an equi-JOIN view under fact appends —
+    * the raw-row sibling of [[mergeAdditive]]. A join view over an
+    * append-only fact is distributive: new_view = old_view ∪ (Δfact ⋈
+    * dim), so refreshing after an ingest batch touches O(|Δ| · dim
+    * lookup) rows, never the fact history. The dimension side is
+    * broadcast by default (the daily-batch shape); callers whose dim
+    * outgrows broadcast pass `broadcastDim = false` and pre-bucket.
+    *
+    * Correct only while the dimension is static between refreshes
+    * (changed dim rows invalidate old_view rows — that is SCD territory,
+    * [[Scd.scd2Apply]]); the schema check pins that the delta join
+    * produced exactly the view's columns. */
+  def appendJoinView(baseView: DataFrame, factDelta: DataFrame,
+                     dim: DataFrame, joinKeys: Seq[String],
+                     broadcastDim: Boolean = true): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val dimSide = if (broadcastDim) broadcast(dim) else dim
+    val deltaView = factDelta.join(dimSide, joinKeys)
+    require(baseView.columns.sorted.sameElements(deltaView.columns.sorted),
+      s"view/delta schema mismatch: ${baseView.columns.sorted.mkString(",")} " +
+        s"vs ${deltaView.columns.sorted.mkString(",")}")
+    baseView.unionByName(deltaView)
+  }
 }

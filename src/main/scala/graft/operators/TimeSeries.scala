@@ -28,6 +28,42 @@ object TimeSeries {
     * observation and forward-fills missing sums. Output:
     * (keyCol, hour_ts, val, is_filled) — `val` is never null because
     * every key's spine starts at an observed hour. */
+  /** Gap-based sessionization: assign each row a per-key `session_idx`
+    * (1-based) that increments whenever the gap to the key's previous
+    * event exceeds `gapSeconds` (strictly greater — an event exactly at
+    * the threshold still belongs to the running session). The classic
+    * batch complement of Structured Streaming's `session_window`.
+    *
+    * Scale shape: ONE window partitioned by key ordered by
+    * (`tsCol`, `tieCol`) computes both the lag and the running sum —
+    * each key's history sorts independently, no global order. The gap
+    * test runs on integer microseconds so both engines agree exactly. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(w)
+    val newSession = when(
+      prevUs.isNull || us - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup of [[sessionize]]: one row per (key, session)
+    * with event count, start/end timestamps, and exact integer duration
+    * in microseconds. */
+  def sessionSummaries(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, gapSeconds: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("duration_us"))
+
   def hourlyResampleFfill(df: DataFrame, keyCol: String, tsCol: String,
                           valCol: String): DataFrame = {
     val hourly = df

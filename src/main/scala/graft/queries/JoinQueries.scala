@@ -189,6 +189,26 @@ object JoinQueries {
       Geo.pointInPolygon(pts, "px", "py", polys, cellSize = 100L)
         .select(col("c_custkey"), col("poly_id"))
         .orderBy("c_custkey", "poly_id")
+    },
+
+    // ── blocked fuzzy (entity-resolution) join (FuzzyJoin.fuzzyPairs):
+    //    near-identical part names matched by Levenshtein ≤ 3 within
+    //    last-token blocks — the candidate generator is an EQUI-join on
+    //    the block key plus a length-band prune, never an all-pairs scan;
+    //    both engines implement the same unit-cost edit distance
+    sql("q_join_fuzzy",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+        |SELECT a.p_name AS name_a, bb.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, bb.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+        |WHERE abs(length(a.p_name) - length(bb.p_name)) <= 3
+        |  AND levenshtein(a.p_name, bb.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val names = Tables.part(s, d).select("p_name").distinct()
+      graft.operators.FuzzyJoin.fuzzyPairs(names, names, "p_name",
+          t => split(t, " ").getItem(1), maxDist = 3)
+        .orderBy("name_a", "name_b")
     }
   )
 }

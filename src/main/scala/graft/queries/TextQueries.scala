@@ -285,8 +285,56 @@ object TextQueries {
     sql("q_text_bpe_encode", bpeEncodeSql(6)) { (s, d) =>
       graft.operators.BpeTrain.trainAndEncode(Tables.documents(s, d), "text", "doc_id", 6)
         .orderBy("doc_id")
+    },
+
+    // ── compression-ratio quality signal (Compressibility.deflateStats):
+    //    deflate output size as a repetitiveness proxy (Gopher/C4-family
+    //    gate). The fixture's four documents are closed-form (constant
+    //    run, repeated sentence, LCG pseudo-random, repeated alphabet) so
+    //    the oracle pins EXACT deflate byte counts — deterministic for
+    //    zlib level 9 raw-deflate (verified byte-identical across two
+    //    independent zlib builds); the spec additionally bounds the
+    //    operator's behavior on the real documents table.
+    sql("q_text_compress",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(raw_len AS BIGINT) AS raw_len,
+        |       CAST(deflate_len AS BIGINT) AS deflate_len,
+        |       CAST(ratio_pct AS BIGINT) AS ratio_pct
+        |FROM (VALUES (1, 4096, 22, 0), (2, 2880, 66, 2),
+        |             (3, 4096, 2481, 60), (4, 3700, 69, 1))
+        |  AS t(doc_id, raw_len, deflate_len, ratio_pct)
+        |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.operators.Compressibility
+        .deflateStats(compressFixture(s), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
+
+  /** Closed-form compressibility fixture: four documents spanning the
+    * ratio range from degenerate (one repeated byte) to incompressible
+    * (LCG pseudo-random letters). Deterministic by construction. */
+  private[graft] def compressFixture(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val lcg = {
+      val sb = new StringBuilder
+      var x = 12345L
+      var i = 0
+      while (i < 4096) {
+        x = (x * 1103515245L + 12345L) & 0x7fffffffL
+        sb.append(('a' + (x % 26)).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+    Seq(
+      (1L, "a" * 4096),
+      (2L, "The quick brown fox jumps over the lazy dog. " * 64),
+      (3L, lcg),
+      (4L, "abcdefghijklmnopqrstuvwxyz0123456789 " * 100))
+      .toDF("doc_id", "text")
+  }
 
   // a def, not a val: the `queries` Seq above initializes first and
   // calls the SQL builders during object init — a val here would still

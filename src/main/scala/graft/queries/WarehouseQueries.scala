@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sql
+import graft.operators.{Incremental, Scd, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-lifecycle surface (engine-added, round 7 fifth wave): batch
+  * sessionization, incremental join-view maintenance, and SCD Type-2
+  * dimension history — the maintenance shapes the reference sidesteps by
+  * drop-and-reloading its warehouse every run (pipeline.py's load split),
+  * made first-class for the append-forever scale regime.
+  */
+object WarehouseQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── gap-based batch sessionization (TimeSeries.sessionSummaries):
+    //    the batch complement of the streaming session_window queries —
+    //    a 6-hour silence starts a new per-user session; one per-key
+    //    window computes the lag flag and the running session index,
+    //    duration exact in integer microseconds
+    sql("q_sessionize",
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tagged AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_idx
+        |  FROM seq)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       COUNT(*) AS n_events,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        |FROM tagged GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      TimeSeries.sessionSummaries(Tables.events(s, d),
+          "user_id", "ts", "event_id", gapSeconds = 21600L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("duration_us"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // ── incremental equi-join view maintenance (Incremental
+    //    .appendJoinView): the orders⋈customer view refreshed from the
+    //    latest ingest slice only — new_view = old_view ∪ (Δfact ⋈ dim),
+    //    O(|Δ|) per refresh while the oracle recomputes the full join.
+    //    The split date stands in for the ingest watermark.
+    sql("q_src_incremental_join",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      // to_date comparison: type-generation-proof (o_orderdate reads as
+      // NTZ or LTZ depending on the testdata vintage; dates compare the
+      // same either way under the UTC session)
+      val cut = lit("2001-01-01").cast("date")
+      val base = orders.filter(to_date(col("o_orderdate")) < cut)
+      val delta = orders.filter(to_date(col("o_orderdate")) >= cut)
+      val baseView = base.join(broadcast(dim), Seq("o_custkey"))
+      Incremental.appendJoinView(baseView, delta, dim, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── SCD Type-2 dimension maintenance (Scd.scd2Apply): a change batch
+    //    (updates at %7, identical no-ops at %13, brand-new keys at %97)
+    //    applied to the customer dimension — changed keys close their
+    //    current version and open a new one, so facts can join AS OF
+    //    their own event time. The oracle replays the close/open/insert
+    //    split from the same full-outer join.
+    sql("q_scd2_dim",
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment FROM customer),
+        |chg AS (
+        |  SELECT c_custkey AS k, c_mktsegment || '_V2' AS segment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey AS k, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, 'NEWSEG' AS segment
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |j AS (SELECT dim.k AS dk, dim.segment AS ds, chg.k AS ck, chg.segment AS cs
+        |      FROM dim FULL OUTER JOIN chg ON dim.k = chg.k)
+        |SELECT * FROM (
+        |  SELECT dk AS k, ds AS segment, '2024-01-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        |  FROM j WHERE dk IS NOT NULL AND (ck IS NULL OR ds = cs)
+        |  UNION ALL
+        |  SELECT dk, ds, '2024-01-01', '2024-06-01', FALSE
+        |  FROM j WHERE dk IS NOT NULL AND ck IS NOT NULL AND ds <> cs
+        |  UNION ALL
+        |  SELECT dk, cs, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+        |  FROM j WHERE dk IS NOT NULL AND ck IS NOT NULL AND ds <> cs
+        |  UNION ALL
+        |  SELECT ck, cs, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+        |  FROM j WHERE dk IS NULL)
+        |ORDER BY k, valid_from""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val dim = cust
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val changes = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(col("c_mktsegment"), lit("_V2")).as("segment"))
+        .unionByName(cust
+          .filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment")))
+        .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("NEWSEG").as("segment")))
+      Scd.scd2Apply(dim, changes, "k", Seq("segment"),
+          lit("2024-06-01").cast("timestamp"))
+        .select(col("k"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("k", "valid_from")
+    }
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-7 fifth-wave operators: sessionization,
+  * SCD2, incremental join view, fuzzy join, compressibility. */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val df = Seq(
+      // user 1: 3 events 10 min apart (one session), then a 2h jump
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:10:00"), 1L),
+      (3L, ts("2024-01-01 10:20:00"), 1L),
+      (4L, ts("2024-01-01 12:20:00"), 1L),
+      // user 2: gap EXACTLY the threshold — stays in session
+      (5L, ts("2024-01-01 00:00:00"), 2L),
+      (6L, ts("2024-01-01 00:30:00"), 2L),
+      // ...and one microsecond past it — new session
+      (7L, ts("2024-01-01 01:00:00.000001"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val out = TimeSeries.sessionize(df, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 2L))
+
+    val summ = TimeSeries.sessionSummaries(df, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(summ === Set((1L, 1L, 3L, 1200000000L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 2L, 1800000000L), (2L, 2L, 1L, 0L)))
+  }
+
+  test("scd2Apply: close+open on change, pass-through, insert, history intact") {
+    val eff = lit("2024-06-01").cast("timestamp")
+    val dim = Seq(
+      // key 1: one closed historical version + a current one
+      (1L, "A", ts("2023-01-01 00:00:00"), Option(ts("2024-01-01 00:00:00")), false),
+      (1L, "B", ts("2024-01-01 00:00:00"), Option.empty[java.sql.Timestamp], true),
+      // key 2: current only, unchanged by the batch
+      (2L, "C", ts("2024-01-01 00:00:00"), Option.empty[java.sql.Timestamp], true),
+      // key 3: current only, batch carries identical attrs (no-op)
+      (3L, "D", ts("2024-01-01 00:00:00"), Option.empty[java.sql.Timestamp], true))
+      .toDF("k", "segment", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, "B2"), // real change
+      (3L, "D"),  // identical — must NOT version
+      (9L, "NEW")) // brand-new key
+      .toDF("k", "segment")
+    val out = Scd.scd2Apply(dim, changes, "k", Seq("segment"), eff)
+      .select($"k", $"segment", date_format($"valid_from", "yyyy-MM-dd"),
+        date_format($"valid_to", "yyyy-MM-dd"), $"is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, "A", "2023-01-01", Some("2024-01-01"), false),   // history untouched
+      (1L, "B", "2024-01-01", Some("2024-06-01"), false),   // closed
+      (1L, "B2", "2024-06-01", None, true),                 // opened
+      (2L, "C", "2024-01-01", None, true),                  // no batch row
+      (3L, "D", "2024-01-01", None, true),                  // identical no-op
+      (9L, "NEW", "2024-06-01", None, true)))               // insert
+  }
+
+  test("scd2Apply: null-safe attribute compare") {
+    val eff = lit("2024-06-01").cast("timestamp")
+    val dim = Seq(
+      (1L, Option.empty[String], ts("2024-01-01 00:00:00"),
+        Option.empty[java.sql.Timestamp], true),
+      (2L, Option("X"), ts("2024-01-01 00:00:00"),
+        Option.empty[java.sql.Timestamp], true))
+      .toDF("k", "segment", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, Option.empty[String]), // null == null → no-op
+      (2L, Option.empty[String])) // X → null is a REAL change
+      .toDF("k", "segment")
+    val out = Scd.scd2Apply(dim, changes, "k", Seq("segment"), eff)
+    assert(out.filter($"k" === 1L).count() === 1)
+    assert(out.filter($"k" === 2L).count() === 2)
+    assert(out.filter($"k" === 2L && !$"is_current" && $"segment" === "X").count() === 1)
+  }
+
+  test("appendJoinView: maintained view equals full recompute; schema gate throws") {
+    val fact = Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0), (4L, 30L, 8.0))
+      .toDF("fid", "kid", "v")
+    val dim = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("kid", "name")
+    val base = fact.filter($"fid" <= 2)
+    val delta = fact.filter($"fid" > 2)
+    val maintained = Incremental.appendJoinView(
+      base.join(dim, Seq("kid")), delta, dim, Seq("kid"))
+    val full = fact.join(dim, Seq("kid"))
+    assert(maintained.orderBy("fid").collect().toSeq.toSet ===
+      full.orderBy("fid").collect().toSeq.toSet)
+    intercept[IllegalArgumentException] {
+      Incremental.appendJoinView(base.join(dim, Seq("kid")).drop("name"),
+        delta, dim, Seq("kid"))
+    }
+  }
+
+  test("fuzzyPairs: blocked results are exactly the brute pairs that share a block") {
+    val names = Seq("red bolt", "ted bolt", "red colt", "blue widget",
+      "blue widgets", "green gear", "greon gear").toDF("n")
+    val blockFn = (c: org.apache.spark.sql.Column) => split(c, " ").getItem(1)
+    val blocked = FuzzyJoin.fuzzyPairs(names, names, "n", blockFn, maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    val brute = FuzzyJoin.fuzzyPairsBrute(names, names, "n", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    // blocking loses only cross-block pairs
+    assert(blocked.subsetOf(brute))
+    val sameBlock = brute.filter { case (a, b, _) =>
+      a.split(" ")(1) == b.split(" ")(1) }
+    assert(blocked === sameBlock)
+    assert(blocked.contains(("red bolt", "ted bolt", 1L)))
+    assert(blocked.contains(("green gear", "greon gear", 1L)))
+    // "blue widget"/"blue widgets" differ in the BLOCK token → lost to
+    // blocking (the documented recall trade) but present in brute
+    assert(brute.exists { case (a, b, _) => a == "blue widget" && b == "blue widgets" })
+    assert(!blocked.exists { case (a, b, _) => a == "blue widget" && b == "blue widgets" })
+  }
+
+  test("deflateStats: ratio orders by repetitiveness; empty doc is safe") {
+    val docs = Seq(
+      (1L, "z" * 1000),
+      (2L, "the cat sat on the mat. " * 40),
+      (3L, graft.queries.TextQueries.compressFixture(spark)
+        .filter($"doc_id" === 3L).head().getString(1)),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Compressibility.deflateStats(docs, "doc_id", "text")
+      .select("doc_id", "raw_len", "deflate_len", "ratio_pct")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4 < out(2L)._4 && out(2L)._4 < out(3L)._4)
+    assert(out(4L)._2 === 0L && out(4L)._4 === 0L)
+    // deflate really ran: compressed output is nonempty even for ""
+    assert(out(4L)._3 > 0L)
+    // real-table smoke: every ratio in [0, 100+ε] and raw_len matches n_chars
+    val real = Compressibility.deflateStats(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text")
+    assert(real.filter($"ratio_pct" < 0 || $"ratio_pct" > 150).count() === 0)
+  }
+}
