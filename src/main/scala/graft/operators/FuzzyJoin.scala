@@ -46,6 +46,37 @@ object FuzzyJoin {
       .select("name_a", "name_b", "dist")
   }
 
+  /** Full entity resolution: canonical entity labels from the fuzzy
+    * match graph. [[fuzzyPairs]] edges feed the shared union-find
+    * ([[Dedup.nearDupClusters]] — driver union-find under the edge cap,
+    * distributed min-label propagation above it); each connected
+    * component's entity label is its lexicographically smallest member,
+    * and unmatched keys are their own singleton entity.
+    *
+    * Node ids are `xxhash64` of the text — a scan-side projection (no
+    * global window / zipWithIndex pass to mint ids), collision odds
+    * n²/2⁶⁴; labels travel back to strings by equi-join. Output:
+    * (`textCol`, entity). */
+  def entities(df: DataFrame, textCol: String,
+               blockFn: Column => Column, maxDist: Int): DataFrame = {
+    val names = df.select(col(textCol)).distinct()
+    val pairs = fuzzyPairs(names, names, textCol, blockFn, maxDist)
+    val withId = names.select(col(textCol).as("__name"),
+      xxhash64(col(textCol)).as("__id"))
+    val edges = pairs
+      .join(withId.select(col("__name").as("name_a"), col("__id").as("id_a")), "name_a")
+      .join(withId.select(col("__name").as("name_b"), col("__id").as("id_b")), "name_b")
+      .select("id_a", "id_b")
+    val comps = Dedup.nearDupClusters(edges)
+      .withColumnRenamed("doc_id", "__id")
+    val labeled = withId.join(comps, Seq("__id"), "left")
+      .withColumn("__cluster", coalesce(col("cluster_id"), col("__id")))
+    val entityName = labeled.groupBy("__cluster")
+      .agg(min("__name").as("entity"))
+    labeled.join(entityName, "__cluster")
+      .select(col("__name").as(textCol), col("entity"))
+  }
+
   /** Unblocked all-pairs baseline — the correctness reference blocking
     * is measured against. Only ever run on bounded distinct-key sets. */
   def fuzzyPairsBrute(left: DataFrame, right: DataFrame, textCol: String,

@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * (`valid_to` = effective time, `is_current` = false) and OPENS a new
   * one, so every fact can join the dimension AS OF its own event time.
   *
-  * Scale shape: one equi-join of the dimension's CURRENT slice against
-  * the (typically tiny) change batch — broadcast the batch, never the
-  * dimension — then a single pass emits 0–2 output versions per joined
-  * row via an inline'd array (no second scan per branch, no window).
-  * Closed history rows pass through untouched; at 100 TB the cost is
-  * O(|current| + |batch|), independent of history depth.
+  * Scale shape: the dimension NEVER shuffles. A full-outer join would be
+  * the obvious formulation, but Spark cannot broadcast a full-outer
+  * build side (it plans SortMergeJoin — a full shuffle+sort of the
+  * dimension), so the apply splits into two broadcast-able legs:
+  * a LEFT join of the current slice against the broadcast batch emits
+  * 0–2 versions per dimension row via one inline'd array, and inserts
+  * come from a broadcast LEFT ANTI of the batch against its own matched
+  * keys (bounded by the batch, never by the dimension). Closed history
+  * rows pass through untouched; at 100 TB the cost is two dimension
+  * scans with map-side joins — no dimension-sized shuffle anywhere.
   */
 object Scd {
 
@@ -42,16 +46,17 @@ object Scd {
     val chg = changes.select(
       col(key).as("__ck") +: attrs.map(a => col(a).as(s"__c_$a")): _*)
     // the change batch is the daily delta — broadcast it, keep the
-    // dimension shuffle-free
-    val j = current.join(broadcast(chg), col(key) === col("__ck"), "full_outer")
+    // dimension shuffle-free (LEFT join: broadcast full-outer is not a
+    // plannable shape, see the scale note above)
+    val j = current.join(broadcast(chg), col(key) === col("__ck"), "left")
 
     val differs = attrs
       .map(a => !(col(a) <=> col(s"__c_$a")))
       .reduce(_ || _)
-    def version(attrCols: Seq[Column], from: Column, to: Column,
-                cur: Column): Column =
+    def version(keyCol: Column, attrCols: Seq[Column], from: Column,
+                to: Column, cur: Column): Column =
       struct(
-        (coalesce(col(key), col("__ck")).as(key) +:
+        (keyCol.as(key) +:
           attrCols.zip(attrs).map { case (c, a) => c.as(a) }) ++
           Seq(from.as("valid_from"), to.as("valid_to"),
             cur.as("is_current")): _*)
@@ -60,17 +65,25 @@ object Scd {
     val newAttrs = attrs.map(a => col(s"__c_$a"))
     val nullTs = lit(null).cast("timestamp")
     val versions = when(col("__ck").isNull, // no change for this key
-        array(version(oldAttrs, col("valid_from"), col("valid_to"), col("is_current"))))
-      .when(col(key).isNull, // brand-new key
-        array(version(newAttrs, effectiveTs, nullTs, lit(true))))
+        array(version(col(key), oldAttrs, col("valid_from"), col("valid_to"), col("is_current"))))
       .when(differs, // real change: close + open
         array(
-          version(oldAttrs, col("valid_from"), effectiveTs, lit(false)),
-          version(newAttrs, effectiveTs, nullTs, lit(true))))
+          version(col(key), oldAttrs, col("valid_from"), effectiveTs, lit(false)),
+          version(col(key), newAttrs, effectiveTs, nullTs, lit(true))))
       .otherwise( // batch row carried identical attrs
-        array(version(oldAttrs, col("valid_from"), col("valid_to"), col("is_current"))))
+        array(version(col(key), oldAttrs, col("valid_from"), col("valid_to"), col("is_current"))))
+    val fromCurrent = j.select(inline(versions))
 
-    history.unionByName(
-      j.select(inline(versions)))
+    // brand-new keys: batch minus the keys the dimension matched — the
+    // anti side is ≤ |batch| rows (derived from the broadcast join, never
+    // the dimension itself), so it broadcasts too
+    val matchedKeys = j.filter(col("__ck").isNotNull)
+      .select(col("__ck")).distinct()
+    val inserted = chg
+      .join(broadcast(matchedKeys), Seq("__ck"), "left_anti")
+      .select(inline(array(
+        version(col("__ck"), newAttrs, effectiveTs, nullTs, lit(true)))))
+
+    history.unionByName(fromCurrent).unionByName(inserted)
   }
 }

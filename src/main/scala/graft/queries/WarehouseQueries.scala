@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
-import graft.operators.{Incremental, Scd, TimeSeries}
+import graft.operators.{AsOfJoin, FuzzyJoin, Incremental, Scd, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-lifecycle surface (engine-added, round 7 fifth wave): batch
@@ -132,6 +132,87 @@ object WarehouseQueries {
           date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
           col("is_current"))
         .orderBy("k", "valid_from")
+    },
+
+    // ── entity resolution end-to-end (FuzzyJoin.entities): fuzzy-pair
+    //    edges → union-find connected components → canonical entity =
+    //    each component's smallest member; singletons label themselves.
+    //    The oracle computes the same components by recursive transitive
+    //    closure over the identical edge set (exact at any diameter,
+    //    where a fixed-round replay would cap it).
+    sql("q_er_entities",
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+        |b AS (SELECT n, split_part(n, ' ', 2) AS blk FROM names),
+        |p AS (SELECT a.n AS x, bb.n AS y FROM b a JOIN b bb
+        |      ON a.blk = bb.blk AND a.n < bb.n
+        |      WHERE abs(length(a.n) - length(bb.n)) <= 3
+        |        AND levenshtein(a.n, bb.n) <= 3),
+        |edges AS (SELECT x, y FROM p UNION SELECT y, x FROM p
+        |          UNION SELECT n, n FROM names),
+        |reach AS (SELECT x, y FROM edges
+        |          UNION
+        |          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS p_name, MIN(y) AS entity
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      FuzzyJoin.entities(Tables.part(s, d), "p_name",
+          t => split(t, " ").getItem(1), maxDist = 3)
+        .orderBy("p_name")
+    },
+
+    // ── SCD2 × as-of composition: facts joined to the DIMENSION VERSION
+    //    in force at their own event time — the point of keeping SCD2
+    //    history. The versioned dim comes from scd2Apply itself
+    //    (mid-January segment change for every third user) and the
+    //    event-side lookup is the merge-scan as-of join; DuckDB's native
+    //    ASOF JOIN replays it.
+    sql("q_scd2_asof",
+      """WITH base AS (SELECT c_custkey AS user_id, c_mktsegment AS segment
+        |              FROM customer WHERE c_custkey < 150),
+        |chg AS (SELECT user_id, segment || '_V2' AS segment
+        |        FROM base WHERE user_id % 3 = 0),
+        |dimv AS (
+        |  SELECT user_id, segment, TIMESTAMP '2024-01-01' AS valid_from FROM base
+        |  UNION ALL
+        |  SELECT user_id, segment, TIMESTAMP '2024-01-15' FROM chg),
+        |j AS (SELECT e.event_type, d.segment
+        |      FROM events e ASOF JOIN dimv d
+        |        ON e.user_id = d.user_id AND e.ts >= d.valid_from)
+        |SELECT segment, event_type, COUNT(*) AS cnt
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d).filter(col("c_custkey") < 150)
+      val dim0 = base
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val changes = base.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("user_id"),
+          concat(col("c_mktsegment"), lit("_V2")).as("segment"))
+      val dimv = Scd.scd2Apply(dim0, changes, "user_id", Seq("segment"),
+        lit("2024-01-15").cast("timestamp"))
+      AsOfJoin.asOf(Tables.events(s, d),
+          dimv.select("user_id", "segment", "valid_from"),
+          Seq("user_id"), "ts", "valid_from", payload = Seq("segment"))
+        .groupBy(col("asof_segment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("segment", "event_type")
+    },
+
+    // ── streaming lakehouse sink (EventsStreaming.txnSinkIngest): each
+    //    micro-batch is one atomic TxnTable commit pinned to its batch id
+    //    (version = batchId+1), so a replayed batch loses the put-if-
+    //    absent publish and no-ops — exactly-once from the commit
+    //    protocol itself. The oracle checks the landed table equals the
+    //    source exactly.
+    sql("q_stream_txn_sink",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.streaming.EventsStreaming.txnSinkIngest(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .orderBy("event_type")
     }
   )
 }

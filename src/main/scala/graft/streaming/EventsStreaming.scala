@@ -412,6 +412,53 @@ object EventsStreaming {
         col("event_type").as("last_type"), col("value").as("last_value"))
   }
 
+  /** Streaming ingest into the transaction-log table — the lakehouse
+    * sink: every micro-batch lands as one ATOMIC [[graft.sources.TxnTable]]
+    * commit whose version is pinned to the batch id
+    * (`expectedVersion = batchId + 1`). That equation is the
+    * exactly-once contract: a replayed batch (restart, speculative
+    * retry) targets an already-published version, loses the put-if-
+    * absent log rename, and becomes a no-op instead of a duplicate
+    * append — transactional-sink idempotence from the table's own
+    * commit protocol, no extra ledger. Readers never see a torn batch
+    * (the data dir is fully written before the log entry publishes) and
+    * time travel gives per-batch snapshots for free.
+    *
+    * Returns the final table snapshot. `inputDir`/`maxFilesPerTrigger`
+    * let specs drive a genuine multi-batch run. */
+  def txnSinkIngest(spark: SparkSession, sfDir: String,
+                    inputDir: Option[String] = None,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.sources.TxnTable
+    val ss = streamSession(spark)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table = s"/root/repo/target/tmp/stream/txn_sink_$key"
+    val ckpt = s"$table.ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, dir)
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir)
+      .withColumn("ts", rawTs(div))
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        try TxnTable.commit(batch.sparkSession, batch, table,
+          overwrite = false, expectedVersion = Some(batchId.toInt + 1))
+        catch {
+          // version already published == this batch already landed —
+          // the retry must be a no-op, not a second append
+          case _: java.util.ConcurrentModificationException => ()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    TxnTable.read(spark, table)
+  }
+
   /** Streaming tolerant ingest: the quarantine split
     * ([[graft.sources.Sources.readJsonQuarantined]]) as a CONTINUOUS
     * pipeline — every micro-batch routes parse-clean rows to the live

@@ -120,6 +120,21 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(!blocked.exists { case (a, b, _) => a == "blue widget" && b == "blue widgets" })
   }
 
+  test("entities: transitive chains collapse to one entity, singletons self-label") {
+    // aaaa↔aabb and aabb↔bbbb are within dist 2, aaaa↔bbbb is 4 — only
+    // transitive closure (not pairwise matching) unifies all three
+    val names = Seq("aaaa bolt", "aabb bolt", "bbbb bolt", "zz gear")
+      .toDF("n")
+    val out = FuzzyJoin.entities(names, "n",
+        c => split(c, " ").getItem(1), maxDist = 2)
+      .as[(String, String)].collect().toMap
+    assert(out === Map(
+      "aaaa bolt" -> "aaaa bolt",
+      "aabb bolt" -> "aaaa bolt",
+      "bbbb bolt" -> "aaaa bolt",
+      "zz gear" -> "zz gear"))
+  }
+
   test("deflateStats: ratio orders by repetitiveness; empty doc is safe") {
     val docs = Seq(
       (1L, "z" * 1000),

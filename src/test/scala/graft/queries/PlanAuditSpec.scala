@@ -239,4 +239,37 @@ class PlanAuditSpec extends SparkSpec {
     // reference min/max and group totals ride as broadcasts
     assert("BroadcastExchange".r.findAllIn(plan).size >= 3, plan.take(3000))
   }
+
+  test("q_sessionize: per-user windows only — no global-order funnel") {
+    val plan = planOf("q_sessionize")
+    // the lag flag and the running sum both partition by user_id
+    assert(!plan.contains("windowspecdefinition()"), plan.take(3000))
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
+  test("q_join_fuzzy: candidates come from an equi-join on the block key") {
+    val plan = planOf("q_join_fuzzy")
+    // blocking must plan as a hash join on __blk, never a cartesian scan
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("__blk"), plan.take(3000))
+  }
+
+  test("q_src_incremental_join: the dimension broadcasts on both legs") {
+    val plan = planOf("q_src_incremental_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q_scd2_dim: the dimension never shuffles — both legs broadcast") {
+    val plan = planOf("q_scd2_dim")
+    // the current-slice join broadcasts the batch; the insert leg is a
+    // broadcast left-anti on the matched-key set (batch-bounded)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // a SortMergeJoin here would mean the full-outer formulation crept
+    // back in and the dimension is being shuffled
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

@@ -184,4 +184,46 @@ class EventsStreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("txn sink: one atomic commit per micro-batch, replay is a no-op") {
+    import graft.sources.TxnTable
+    // stage two disjoint time-ordered chunk files → maxFilesPerTrigger=1
+    // forces two real micro-batches → two table versions
+    val dir = new java.io.File("/root/repo/target/tmp/stream/txnsink_case")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val half = events.length / 2
+    Seq(events.take(half), events.drop(half)).zipWithIndex.foreach { case (chunk, i) =>
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+    }
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    Seq(0, 1).foreach { i =>
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet").setLastModified(1000000L * (i + 1))
+    }
+    val landed = EventsStreaming.txnSinkIngest(spark, sfDir,
+      inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1))
+    val table = s"/root/repo/target/tmp/stream/txn_sink_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // two micro-batches really ran → two commits
+    assert(TxnTable.currentVersion(table) === 2)
+    // landed content equals the batch source exactly (ids are unique)
+    assert(landed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      events.map(_.getLong(0)).sorted.toSeq)
+    // replaying an already-committed batch id must no-op, not duplicate:
+    // the same guarded commit path the sink uses
+    val replay = landed.limit(5)
+    try TxnTable.commit(spark, replay, table, overwrite = false,
+      expectedVersion = Some(1))
+    catch { case _: java.util.ConcurrentModificationException => () }
+    assert(TxnTable.currentVersion(table) === 2)
+    assert(TxnTable.read(spark, table).count() === events.length.toLong)
+  }
 }
