@@ -42,6 +42,29 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Partition backfill — re-materialize EXACTLY the partitions present
+    * in `df` of a `partitionBy(partCol)` parquet table, leaving every
+    * other partition's files untouched. This is the warehouse repair
+    * idiom for "day X landed wrong, recompute day X": Spark's DYNAMIC
+    * partition-overwrite mode scopes the overwrite to the partitions the
+    * incoming frame actually contains (static mode would drop the whole
+    * table). Cost is O(one partition), not O(table) — at 100 TB that is
+    * the difference between a backfill and an outage. Idempotent:
+    * re-running the same backfill rewrites the same partition to the
+    * same content. */
+  def backfillPartitions(df: DataFrame, table: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = try Some(spark.conf.get(key)) catch { case _: Exception => None }
+    spark.conf.set(key, "dynamic")
+    try df.write.partitionBy(partCol)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Small-file compaction — the table-maintenance pass every streaming
     * or micro-batch ingest needs: thousands of kilobyte part-files (one
     * per trigger per partition) destroy scan throughput (open/footer

@@ -359,4 +359,27 @@ object Profiling {
           .otherwise(expr("((-__top.__d) * 1000000) div (n_ref * n_cur)"))
           .as("top_delta_q"))
   }
+
+  /** Per-group min-max feature scaling — the standard ML normalization
+    * pass: each value of the LONG column `valCol` maps to its integer
+    * percentage position inside its group's [min, max] range
+    * (`div` truncation, 0 for a constant group). Two-pass shape: one
+    * hash aggregate builds the per-group stats (group-count-sized — a
+    * broadcast model, like a codebook), then the apply is a scan-side
+    * projection behind a broadcast join. No window, no sort; integer
+    * arithmetic end to end so both engines agree bit-for-bit. */
+  def minMaxScale(df: DataFrame, keyCol: String, valCol: String,
+                  outCol: String = "scaled_pct"): DataFrame = {
+    require(df.schema(valCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$valCol must be LONG (quantize doubles first — integer scaling " +
+        "is what keeps the result engine-exact)")
+    val stats = df.groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"))
+    df.join(broadcast(stats), keyCol)
+      .withColumn(outCol,
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(s"(100 * ($valCol - __mn)) div (__mx - __mn)")))
+      .drop("__mn", "__mx")
+  }
 }

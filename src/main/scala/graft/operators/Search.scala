@@ -55,14 +55,33 @@ object Search {
     * One explode + one (term, doc) groupBy — map-side combine collapses
     * within-doc repeats before the shuffle. Postings are written sorted
     * by term so parquet row-group stats prune term-filtered scans. */
-  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                         dir: String): Unit =
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
     docs.select(col(idCol),
         posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
       .groupBy(col("term"), col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .sortWithinPartitions("term")
+
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                         dir: String): Unit =
+    postingsOf(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$dir/postings")
+
+  /** Append a NEW-document batch's postings to a persisted index without
+    * rebuilding — the daily-ingest half of the search-index lifecycle
+    * (the sibling of [[graft.operators.Similarity.appendToIvfPqIndex]]
+    * and `Dedup.writeMinHashIndex`'s incremental path). Posting rows are
+    * keyed (term, doc): as long as batches carry documents the index has
+    * not seen, appended rows never collide with existing ones and every
+    * read-side join ([[phraseSearch]]) sees base ∪ batch unchanged.
+    * Cost is O(|batch| tokens) — the indexed corpus is never re-read.
+    * Re-indexing an existing doc_id is the caller's contract to avoid
+    * (duplicate posting rows would fan out the read-side joins). */
+  def appendToInvertedIndex(batch: DataFrame, idCol: String, textCol: String,
+                            dir: String): Unit =
+    postingsOf(batch, idCol, textCol)
+      .write.mode("append").parquet(s"$dir/postings")
 
   /** Exact phrase match from the index — documents never re-scanned: each
     * phrase token reads its (term-filtered, scan-pruned) posting list,

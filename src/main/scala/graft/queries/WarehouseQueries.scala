@@ -213,6 +213,91 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
         .orderBy("event_type")
+    },
+
+    // ── partition backfill (Layout.backfillPartitions): day 2024-01-03
+    //    lands corrupted (half its rows), then a DYNAMIC partition
+    //    overwrite recomputes exactly that day — O(one partition), every
+    //    other partition's files untouched (file-identity spec). The
+    //    oracle is the uncorrupted source: only a real repair matches it.
+    sql("q_src_backfill",
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"/root/repo/target/tmp/backfill_events_$sfKey"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+      val ev = Tables.events(s, d)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      val badDay = "2024-01-03"
+      ev.filter(col("event_date") =!= badDay || col("event_id") % 2 === 0)
+        .write.partitionBy("event_date").mode("overwrite").parquet(table)
+      graft.operators.Layout.backfillPartitions(
+        ev.filter(col("event_date") === badDay), table, "event_date")
+      s.read.parquet(table)
+        // partition-type inference reads the dir value as DATE; the
+        // QueryDef discipline ships dates as strings
+        .groupBy(col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .orderBy("event_date")
+    },
+
+    // ── incremental inverted-index maintenance
+    //    (Search.appendToInvertedIndex): the index builds on 3/4 of the
+    //    corpus, the remaining quarter appends as a new-document batch
+    //    (O(batch), base postings never re-read), and phrase search over
+    //    the merged postings must equal a search over the full corpus —
+    //    the oracle scans all documents directly.
+    sql("q_search_phrase_incr",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(range(1, len(w)),
+        |                    i -> w[i:i+1] = ['table', 'hash'])) AS BIGINT) AS n_matches
+        |  FROM w)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"/root/repo/target/tmp/inverted_index_incr_$sfKey"
+      val marker = new java.io.File(s"$idxDir/_APPENDED")
+      if (!marker.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+        val docs = Tables.documents(s, d)
+        graft.operators.Search.writeInvertedIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", idxDir)
+        graft.operators.Search.appendToInvertedIndex(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", idxDir)
+        marker.createNewFile()
+      }
+      graft.operators.Search.phraseSearch(s, idxDir, "doc_id",
+          Seq("table", "hash"))
+        .orderBy("doc_id")
+    },
+
+    // ── per-group min-max feature scaling (Profiling.minMaxScale): each
+    //    event's quantized value mapped to its integer percentage
+    //    position in its type's [min, max] — stats are a broadcast
+    //    model, the apply is scan-side; integer `div` on both engines
+    sql("q_feat_scale",
+      """WITH src AS (SELECT event_id, event_type,
+        |                    CAST(FLOOR(value * 1000) AS BIGINT) AS q
+        |             FROM events),
+        |st AS (SELECT event_type, MIN(q) AS mn, MAX(q) AS mx
+        |       FROM src GROUP BY 1)
+        |SELECT event_id, s.event_type, q,
+        |       CAST(CASE WHEN mx = mn THEN 0
+        |                 ELSE (100 * (q - mn)) // (mx - mn) END AS BIGINT)
+        |         AS scaled_pct
+        |FROM src s JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("q"))
+      graft.operators.Profiling.minMaxScale(src, "event_type", "q")
+        .select("event_id", "event_type", "q", "scaled_pct")
+        .orderBy("event_id")
     }
   )
 }

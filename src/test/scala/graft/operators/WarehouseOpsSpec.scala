@@ -135,6 +135,68 @@ class WarehouseOpsSpec extends SparkSpec {
       "zz gear" -> "zz gear"))
   }
 
+  test("backfillPartitions: only the target partition's files change") {
+    val table = "/root/repo/target/tmp/backfill_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "c", 50.0))
+      .toDF("id", "day", "v")
+    // day b lands corrupted (one row missing)
+    df.filter($"day" =!= "b" || $"id" === 3L)
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    def filesOf(day: String): Set[String] =
+      Option(new java.io.File(s"$table/day=$day").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName + ":" + f.lastModified).toSet
+    val aBefore = filesOf("a"); val cBefore = filesOf("c")
+    Layout.backfillPartitions(df.filter($"day" === "b"), table, "day")
+    // repaired content
+    assert(spark.read.parquet(table).count() === 5)
+    assert(spark.read.parquet(table).filter($"day" === "b").count() === 2)
+    // untouched partitions keep their exact files
+    assert(filesOf("a") === aBefore)
+    assert(filesOf("c") === cBefore)
+    // idempotent: re-running the same backfill keeps content identical
+    Layout.backfillPartitions(df.filter($"day" === "b"), table, "day")
+    assert(spark.read.parquet(table).count() === 5)
+  }
+
+  test("appendToInvertedIndex: incremental index equals a full rebuild") {
+    val base = "/root/repo/target/tmp/idx_incr_spec"
+    val full = "/root/repo/target/tmp/idx_full_spec"
+    Seq(base, full).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val docs = graft.Tables.documents(spark, sfDir)
+    Search.writeInvertedIndex(docs.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "text", base)
+    Search.appendToInvertedIndex(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", base)
+    Search.writeInvertedIndex(docs, "doc_id", "text", full)
+    def norm(dir: String) = spark.read.parquet(s"$dir/postings")
+      .select($"term", $"doc_id", $"positions".cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(norm(base) === norm(full))
+    // and the read side agrees end-to-end
+    val a = Search.phraseSearch(spark, base, "doc_id", Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Search.phraseSearch(spark, full, "doc_id", Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("minMaxScale: integer positions, constant-group zero, long-only gate") {
+    val df = Seq((1L, "a", 0L), (2L, "a", 50L), (3L, "a", 200L),
+      (4L, "b", 7L), (5L, "b", 7L))
+      .toDF("id", "k", "q")
+    val out = Profiling.minMaxScale(df, "k", "q")
+      .select("id", "scaled_pct").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 25L, 3L -> 100L, 4L -> 0L, 5L -> 0L))
+    intercept[IllegalArgumentException] {
+      Profiling.minMaxScale(Seq((1L, "a", 1.5)).toDF("id", "k", "q"), "k", "q")
+    }
+  }
+
   test("deflateStats: ratio orders by repetitiveness; empty doc is safe") {
     val docs = Seq(
       (1L, "z" * 1000),
