@@ -81,16 +81,25 @@ object PipelineMain {
               retryDelayMs: Long = 0L): Map[String, StageStatus] = {
     val sc = spark.sparkContext
 
-    // stage one sink with retry — used by branches and marts alike
+    // stage one sink with retry — used by branches and marts alike.
+    // The row count rides an Observation on the WRITE job itself
+    // (collected by the executors as the rows stream to parquet) — the
+    // old read-back count() was a full second scan of every staged
+    // table, which at 100 TB doubles the pipeline's read volume for a
+    // metric the write already saw.
     def attemptStage(name: String, mk: () => DataFrame): StageStatus = {
       var attempt = 0
       var last: Option[String] = None
       while (attempt <= maxRetries) {
         attempt += 1
         try {
-          mk().write.mode("overwrite").parquet(s"$outDir/$name")
+          val obs = org.apache.spark.sql.Observation(
+            s"stage_${name}_a$attempt")
+          mk().observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(s"$outDir/$name")
           return StageStatus(
-            Some(spark.read.parquet(s"$outDir/$name").count()), attempt, None)
+            Some(obs.get("rows").asInstanceOf[Long]), attempt, None)
         } catch {
           case scala.util.control.NonFatal(e) =>
             last = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))

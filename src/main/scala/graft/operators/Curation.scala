@@ -381,6 +381,32 @@ object Curation {
       .withColumnRenamed("__group_n", "group_n")
   }
 
+  /** l-diversity screen — [[kAnonymity]]'s stronger sibling: a
+    * quasi-identifier group can satisfy k-anonymity yet still leak the
+    * SENSITIVE attribute if everyone in the group shares one value
+    * (the homogeneity attack). A group is l-diverse when its sensitive
+    * column takes at least `l` distinct values; rows in under-diverse
+    * groups are marked for suppression.
+    *
+    * Same scale shape as kAnonymity — one hash aggregate (count +
+    * distinct-count per quasi group) joined back to the fact scan; the
+    * distinct-count is exact per group (groups are the release unit, so
+    * their cardinality is the quantity being certified — a sketch would
+    * certify the wrong thing). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val stats = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__group_n"),
+        countDistinct(col(sensitiveCol)).as("__n_sensitive"))
+    df.join(stats, quasiCols)
+      .withColumn("action",
+        when(col("__n_sensitive") < l, lit("suppress")).otherwise(lit("keep")))
+      .withColumnRenamed("__group_n", "group_n")
+      .withColumnRenamed("__n_sensitive", "n_sensitive")
+  }
+
   /** Corpus-level heavy-hitter tokens: every token with frequency
     * > 1/thetaDen of all tokens, EXACTLY — via the two-pass
     * candidates-then-verify shape. Pass 1 runs the

@@ -42,6 +42,63 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Bloom file-skipping index: one bloom filter PER DATA FILE over
+    * `column`, built executor-side in a single pass (the distributed
+    * `graft_bloom_agg` — `stat.bloomFilter` would need one driver job
+    * per file). The point-lookup complement of [[buildMinMaxIndex]]:
+    * min-max skipping needs the column CLUSTERED by the layout; a bloom
+    * answers "which files could hold THIS key" for any column, clustered
+    * or not — the needle-in-100 TB shape. ~1.2 MB per 10⁶ distinct keys
+    * at 1% fpp, stored as an index-table row per file. */
+  def buildBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      column: String, expectedPerFile: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    // numBits = -n·ln(p)/ln2² — the standard sizing formula
+    val numBits = math.max(64L,
+      (-expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(call_function("graft_bloom_agg",
+          xxhash64(col(column)), lit(expectedPerFile), lit(numBits))
+        .as("bloom"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** The files the bloom index cannot rule out for `keys` — the prune
+    * decision [[bloomPrunedRead]] acts on, exposed for audits.
+    *
+    * The probe runs on the DRIVER over the collected index
+    * (`BloomFilterMightContain` only accepts a constant sketch, not a
+    * per-row column) — the same |files|-rows envelope as
+    * [[prunedRead]]'s min-max listing: a model fetch, never data. Key
+    * hashes come from one trivial Spark job so they are bit-identical
+    * to the `xxhash64` the build side inserted. */
+  def bloomPrunedFiles(index: DataFrame, keys: Seq[Long]): Array[String] = {
+    require(keys.nonEmpty, "need at least one lookup key")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val hashes = spark.createDataset(keys)
+      .select(xxhash64(col("value"))).collect().map(_.getLong(0))
+    index.select("file", "bloom").collect().flatMap { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
+    }
+  }
+
+  /** Point-lookup scan pruned by the bloom index: only files whose bloom
+    * MIGHT contain one of `keys` are opened (false positives open a
+    * file, never emit a row — the exact filter follows). */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                      index: DataFrame, column: String,
+                      keys: Seq[Long]): DataFrame = {
+    val files = bloomPrunedFiles(index, keys)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(column).isin(keys: _*))
+  }
+
   /** Partition backfill — re-materialize EXACTLY the partitions present
     * in `df` of a `partitionBy(partCol)` parquet table, leaving every
     * other partition's files untouched. This is the warehouse repair

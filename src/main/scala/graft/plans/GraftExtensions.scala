@@ -82,7 +82,20 @@ object GraftExtensions {
         "graft_might_contain"),
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+          children(0), children(1))),
+    // ...and its build-side twin: the DISTRIBUTED bloom aggregate Spark
+    // uses for runtime join filters (serialized format matches
+    // BloomFilterMightContain). Exposed so per-group sketches — e.g. one
+    // bloom PER FILE for a skipping index (Layout.buildBloomIndex) — can
+    // build executor-side, where stat.bloomFilter would need one driver
+    // job per group. args: (xxhash64-long child, estimatedNumItems, numBits)
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()))
 
   /** Idempotent imperative registration for sessions built without the
     * extensions config. */

@@ -95,6 +95,31 @@ object CurationQueries {
         .orderBy("c_custkey")
     },
 
+    // ── l-diversity screen (Curation.lDiversity): k-anonymity's stronger
+    //    sibling — a large-enough group still leaks if everyone in it
+    //    shares the sensitive value (homogeneity attack). Sensitive =
+    //    account-balance band; groups with < 3 distinct bands suppress.
+    sql("q_privacy_ldiv",
+      """WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |                  CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sens
+        |           FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n,
+        |             COUNT(DISTINCT sens) AS n_sensitive
+        |      FROM s GROUP BY 1, 2)
+        |SELECT s.c_custkey, s.c_nationkey, s.c_mktsegment,
+        |       g.group_n, g.n_sensitive,
+        |       CASE WHEN g.n_sensitive < 3 THEN 'suppress' ELSE 'keep' END AS action
+        |FROM s JOIN g USING (c_nationkey, c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("sens"))
+      Curation.lDiversity(src, Seq("c_nationkey", "c_mktsegment"), "sens", l = 3)
+        .select("c_custkey", "c_nationkey", "c_mktsegment",
+          "group_n", "n_sensitive", "action")
+        .orderBy("c_custkey")
+    },
+
     // ── bloom-prefiltered decontamination: IDENTICAL contract and oracle
     //    as q_text_decontaminate — the broadcast bloom probe
     //    (might_contain, scan-side) only thins the gram stream before the

@@ -216,6 +216,33 @@ object ScaleQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("sum_price"))
+    },
+
+    // ── bloom file-skipping index + needle lookup: the date-partitioned
+    //    events table probed by event_id — partition pruning can't help
+    //    (id isn't the partition key) and min-max only helps if ids
+    //    happen to correlate with date; the per-file bloom names the
+    //    candidate files for ANY column, clustered or not. Built once per
+    //    sf (one distributed aggregate pass), persisted, reused — the
+    //    index contract. False positives cost an opened file, never a
+    //    wrong row (exact IN-filter follows); file-count cut asserted in
+    //    LayoutSpec.
+    sql("q_scan_bloom_index",
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id IN (17, 423, 911) ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = partitionedEventsDir(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = new java.io.File(s"/root/repo/target/partitioned/events_bloomidx_$sfKey")
+      if (!new java.io.File(idxDir, "_SUCCESS").exists()) {
+        if (idxDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(idxDir)
+        graft.operators.Layout.buildBloomIndex(s, dir, "event_id")
+          .write.mode("overwrite").parquet(idxDir.getAbsolutePath)
+      }
+      val index = s.read.parquet(idxDir.getAbsolutePath)
+      graft.operators.Layout.bloomPrunedRead(s, index, "event_id",
+          Seq(17L, 423L, 911L))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
     }
   )
 

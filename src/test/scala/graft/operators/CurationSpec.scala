@@ -347,6 +347,23 @@ class CurationSpec extends SparkSpec {
     assert(all.isEmpty)
   }
 
+  test("lDiversity suppresses homogeneous groups that k-anonymity keeps") {
+    // (uk,A): 4 rows but only ONE sensitive value — k-anonymous at k=3,
+    // yet the homogeneity attack reads the sensitive value off the group
+    val df = (Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L))
+      .map { case (i, sv) => (i, "uk", "A", sv) } ++
+      Seq((4L, "uk", "B", 1L), (5L, "uk", "B", 2L), (6L, "uk", "B", 3L)))
+      .toDF("id", "nation", "segment", "sens")
+    val kAnon = Curation.kAnonymity(df, Seq("nation", "segment"), k = 3)
+      .select("id", "action").as[(Long, String)].collect().toMap
+    assert(kAnon(0L) == "keep") // big-enough group passes k-anonymity...
+    val lDiv = Curation.lDiversity(df, Seq("nation", "segment"), "sens", l = 3)
+      .select("id", "action").as[(Long, String)].collect().toMap
+    // ...but fails l-diversity; the 3-distinct-value group keeps
+    assert(lDiv == Map(0L -> "suppress", 1L -> "suppress", 2L -> "suppress",
+      3L -> "suppress", 4L -> "keep", 5L -> "keep", 6L -> "keep"))
+  }
+
   test("urlPolicyFilter blocks canonical-host matches only") {
     val df = Seq(
       (1L, "https://WWW.Bad.example.com/x"),

@@ -91,4 +91,34 @@ class LayoutSpec extends SparkSpec {
     assert(mtimes2 === mtimes, "no-op compaction must not rewrite files")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("bloom index prunes point lookups to a fraction of the files") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/repo/target/tmp/bloom_idx_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // 16 files, ids hashed across them → NOT clustered by id: min-max
+    // skipping is useless here by construction; only the bloom can prune
+    val df = spark.range(0, 8000)
+      .select(col("id"), (col("id") % 97).as("payload"))
+      .repartition(16, xxhash64(col("id")))
+    df.write.parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(nFiles === 16)
+    val index = Layout.buildBloomIndex(spark, dir, "id",
+      expectedPerFile = 1024, fpp = 0.01)
+    val keys = Seq(5L, 1234L, 7777L)
+    val pruned = Layout.bloomPrunedFiles(index, keys)
+    // each key lives in exactly one file; 1% fpp leaves slack for a few
+    // false-positive files, never most of the table
+    assert(pruned.length <= 6, s"pruned to ${pruned.length} of $nFiles files")
+    // correctness: the pruned read returns exactly the keyed rows
+    val rows = Layout.bloomPrunedRead(spark, index, "id", keys)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === keys.sorted)
+    // absent key → bloom may false-positive a file, but never a row
+    val miss = Layout.bloomPrunedRead(spark, index, "id", Seq(999999L))
+    assert(miss.isEmpty || miss.count() === 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
