@@ -77,4 +77,25 @@ object Contracts {
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0).cast("long").as("pass"))
   }
+
+  /** Referential-integrity expectation — the two-table rule [[validate]]
+    * can't express: fact rows whose `keyCol` has no match in
+    * `dim.refCol` are orphans (a null key is an orphan too — it
+    * references nothing). One LEFT ANTI join, dimension broadcast by
+    * default (pass `broadcastDim = false` when the dim outgrows it);
+    * output matches [[validate]]'s row shape so checks union into one
+    * report. */
+  def foreignKey(fact: DataFrame, keyCol: String, dim: DataFrame,
+                 refCol: String, broadcastDim: Boolean = true): DataFrame = {
+    val dimKeys = dim.select(col(refCol).as(keyCol)).distinct()
+    val dimSide = if (broadcastDim) broadcast(dimKeys) else dimKeys
+    val orphans = fact.select(col(keyCol))
+      .join(dimSide, Seq(keyCol), "left_anti")
+    val nRows = fact.agg(count(lit(1)).as("__n"))
+    orphans.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(nRows)
+      .select(lit(s"foreign_key($keyCol -> $refCol)").as("rule"),
+        col("__n").as("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).cast("long").as("pass"))
+  }
 }

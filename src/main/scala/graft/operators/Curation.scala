@@ -381,6 +381,25 @@ object Curation {
       .withColumnRenamed("__group_n", "group_n")
   }
 
+  /** Deterministic column tokenization — the PII treatment between
+    * redaction (destroys the value) and leaving it raw: each value maps
+    * to `sha2(pepper ‖ value)`, so the same input always yields the same
+    * token (joins, group-bys, and frequency analysis still work across
+    * tables tokenized with the same pepper) while the raw value never
+    * leaves the scan. Nulls stay null. The pepper is the secret: without
+    * it a dictionary attack on low-entropy columns (names, phones) is
+    * trivial — rotate it and every token rotates. Pure scan-side
+    * projection, no shuffle. */
+  def tokenizeColumns(df: DataFrame, cols: Seq[String],
+                      pepper: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to tokenize")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(sha2(concat(lit(pepper), col(c).cast("string")), 256)))
+    }
+  }
+
   /** l-diversity screen — [[kAnonymity]]'s stronger sibling: a
     * quasi-identifier group can satisfy k-anonymity yet still leak the
     * SENSITIVE attribute if everyone in the group shares one value

@@ -120,6 +120,59 @@ object CurationQueries {
         .orderBy("c_custkey")
     },
 
+    // ── deterministic PII tokenization (Curation.tokenizeColumns): the
+    //    treatment between redaction and raw — sha2(pepper ‖ value)
+    //    preserves joinability and frequency analysis while the raw
+    //    value never leaves the scan; rotate the pepper, rotate every
+    //    token. Pure scan-side projection.
+    sql("q_privacy_tokenize",
+      """SELECT c_custkey,
+        |       sha256('graft-pepper-1' || c_name) AS c_name,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.operators.Curation.tokenizeColumns(
+          Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"), pepper = "graft-pepper-1")
+        .orderBy("c_custkey")
+    },
+
+    // ── referential-integrity contract (Contracts.foreignKey): orphan
+    //    fact rows counted by one broadcast left-anti join — the
+    //    two-table expectation the single-frame contract rules can't
+    //    express. One clean check (orders → customer holds by
+    //    construction) and one with planted orphans that must be counted
+    //    exactly.
+    sql("q_contract_fk",
+      """WITH clean AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |plant AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM (SELECT CASE WHEN o_orderkey % 100 = 0
+        |                    THEN o_custkey + 2000000 ELSE o_custkey END AS k
+        |        FROM orders) o
+        |  LEFT JOIN customer c ON o.k = c.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'foreign_key(k -> c_custkey)' AS rule, n_rows,
+        |         CAST(v AS BIGINT) AS n_violations,
+        |         CAST(v = 0 AS BIGINT) AS pass FROM plant
+        |  UNION ALL
+        |  SELECT 'foreign_key(o_custkey -> c_custkey)', n_rows,
+        |         CAST(v AS BIGINT), CAST(v = 0 AS BIGINT) FROM clean)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val planted = orders.select(
+        when(col("o_orderkey") % 100 === 0, col("o_custkey") + 2000000L)
+          .otherwise(col("o_custkey")).as("k"))
+      graft.operators.Contracts.foreignKey(planted, "k", cust, "c_custkey")
+        .unionByName(graft.operators.Contracts.foreignKey(
+          orders, "o_custkey", cust, "c_custkey"))
+        .orderBy("rule")
+    },
+
     // ── bloom-prefiltered decontamination: IDENTICAL contract and oracle
     //    as q_text_decontaminate — the broadcast bloom probe
     //    (might_contain, scan-side) only thins the gram stream before the

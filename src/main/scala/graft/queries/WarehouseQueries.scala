@@ -52,6 +52,45 @@ object WarehouseQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ── NATIVE session-window aggregation (the built-in `session_window`
+    //    function, batch mode) — the declarative sibling of q_sessionize's
+    //    explicit window arithmetic and q_stream_sessions' custom state:
+    //    Spark merges per-group [ts, ts+gap] intervals, so window.end =
+    //    last event + gap, and an event landing EXACTLY at the previous
+    //    end MERGES into the running session (inclusive boundary,
+    //    spec-pinned) — the same strict-greater new-session rule as
+    //    q_sessionize, so both oracles share the `>` flag.
+    sql("q_sessionize_native",
+      """WITH seq AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |tagged AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM seq)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM tagged GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ── incremental equi-join view maintenance (Incremental
     //    .appendJoinView): the orders⋈customer view refreshed from the
     //    latest ingest slice only — new_view = old_view ∪ (Δfact ⋈ dim),

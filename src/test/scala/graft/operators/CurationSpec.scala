@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.functions.TextFns
+import graft.operators.Contracts
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the corpus-curation wave (decontamination,
@@ -362,6 +363,38 @@ class CurationSpec extends SparkSpec {
     // ...but fails l-diversity; the 3-distinct-value group keeps
     assert(lDiv == Map(0L -> "suppress", 1L -> "suppress", 2L -> "suppress",
       3L -> "suppress", 4L -> "keep", 5L -> "keep", 6L -> "keep"))
+  }
+
+  test("tokenizeColumns: deterministic, join-preserving, pepper-sensitive, null-safe") {
+    val df = Seq((1L, Option("alice")), (2L, Option("alice")),
+      (3L, Option("bob")), (4L, Option.empty[String]))
+      .toDF("id", "name")
+    val t1 = Curation.tokenizeColumns(df, Seq("name"), "pepperA")
+      .as[(Long, Option[String])].collect().toMap
+    // same value → same token (joinability), different values differ
+    assert(t1(1L) === t1(2L))
+    assert(t1(1L) !== t1(3L))
+    // raw value gone, token is a 64-hex sha2
+    assert(t1(1L).get.matches("[0-9a-f]{64}") && t1(1L).get != "alice")
+    // null stays null
+    assert(t1(4L).isEmpty)
+    // rotating the pepper rotates every token
+    val t2 = Curation.tokenizeColumns(df, Seq("name"), "pepperB")
+      .as[(Long, Option[String])].collect().toMap
+    assert(t1(1L) !== t2(1L))
+  }
+
+  test("foreignKey counts orphans exactly; null keys are orphans") {
+    val dim = Seq(10L, 20L).toDF("ref")
+    val fact = Seq(Option(10L), Option(20L), Option(10L),
+      Option(99L), Option.empty[Long]).toDF("k")
+    val out = Contracts.foreignKey(fact, "k", dim, "ref")
+      .select("n_rows", "n_violations", "pass")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((5L, 2L, 0L))) // 99 and null are orphans
+    val clean = Contracts.foreignKey(fact.filter($"k".isin(10L, 20L)), "k", dim, "ref")
+      .select("pass").as[Long].head()
+    assert(clean === 1L)
   }
 
   test("urlPolicyFilter blocks canonical-host matches only") {

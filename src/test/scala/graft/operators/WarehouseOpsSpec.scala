@@ -35,6 +35,35 @@ class WarehouseOpsSpec extends SparkSpec {
       (2L, 1L, 2L, 1800000000L), (2L, 2L, 1L, 0L)))
   }
 
+  test("native session_window: an event exactly at the previous end MERGES (inclusive boundary)") {
+    // measured, not assumed: Spark's session merge treats window.end as
+    // inclusive, so the boundary rule MATCHES TimeSeries.sessionize's
+    // strict-greater gap test — which is why both queries share one
+    // oracle flag (`>`); this spec is the tripwire if Spark ever flips
+    // to half-open semantics
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:30:00")),  // exactly at the previous end
+      (1L, ts("2024-01-01 01:00:01")),  // 1 s past the extended end
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:29:59")))  // inside the window
+      .toDF("user_id", "ts")
+    val sessions = df
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) === Seq(1L, 2L)) // boundary merges; +1s splits
+    assert(sessions(2L) === Seq(2L))
+    // sessionize agrees on every boundary decision
+    val strict = TimeSeries.sessionize(
+        df.withColumn("event_id", monotonically_increasing_id()),
+        "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id").agg(max("session_idx").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(strict(1L) === 2L && strict(2L) === 1L)
+  }
+
   test("scd2Apply: close+open on change, pass-through, insert, history intact") {
     val eff = lit("2024-06-01").cast("timestamp")
     val dim = Seq(
