@@ -400,6 +400,74 @@ object CompositeQueries {
         .agg(count(lit(1)).as("n_listings"),
           exactAvg(col("c_acctbal")).as("avg_price"))
         .orderBy("borough")
+    },
+
+    // ── shipping-priority flagship (the TPC-H Q3 shape): segment-filtered
+    //    customers × date-bounded orders × future-shipment lineitems,
+    //    revenue-ranked top 10. Exercises the classic 3-way join pipeline
+    //    end to end: both dimension filters push to their scans, customer
+    //    broadcasts, revenue is quantized to cents pre-sum so the ranking
+    //    is engine-exact.
+    sql("q09_shipping_priority",
+      """SELECT l_orderkey,
+        |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS revenue_c,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, order_date, o_orderpriority
+        |ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      // compare against a literal cast to the COLUMN'S own timestamp
+      // flavor (NTZ or LTZ by testdata vintage): wrapping the column in
+      // to_date() would block parquet filter pushdown
+      val ordersRaw = Tables.orders(s, d)
+      val orders = ordersRaw.filter(col("o_orderdate") <
+        lit("1998-07-01 00:00:00").cast(ordersRaw.schema("o_orderdate").dataType))
+      val liRaw = Tables.lineitem(s, d)
+      val li = liRaw.filter(col("l_shipdate") >
+        lit("1998-07-01 00:00:00").cast(liRaw.schema("l_shipdate").dataType))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"))
+        .select("l_orderkey", "revenue_c", "order_date", "o_orderpriority")
+        .orderBy(desc("revenue_c"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ── disjunctive-predicate pricing (the TPC-H Q19 shape): OR-of-ANDs
+    //    across both join sides — the filter form that defeats naive
+    //    single-column pushdown and leans on Catalyst's predicate
+    //    normalization; revenue quantized to cents pre-sum.
+    sql("q10_disjunctive_pricing",
+      """SELECT COUNT(*) AS cnt,
+        |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS revenue_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_size >= 40 AND l_quantity >= 40)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val part = Tables.part(s, d)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25)) ||
+          (col("p_size") >= 40 && col("l_quantity") >= 40))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_c"))
     }
   )
 }

@@ -243,6 +243,26 @@ object ScaleQueries {
           Seq(17L, 423L, 911L))
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
+    },
+
+    // ── parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from file
+    //    FOOTERS (row-group statistics), zero data pages read — the
+    //    metadata-only shape for table-level stats at 100 TB. Off by
+    //    default in Spark; enabled on a derived session so the rest of
+    //    the suite keeps the stock scan path. PlanAuditSpec asserts the
+    //    scan really carries PushedAggregation.
+    sql("q_scan_agg_pushdown",
+      """SELECT COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders""".stripMargin) { (s, d) =>
+      val ss = s.newSession()
+      // aggregate pushdown is a DSv2 capability — route parquet through
+      // the V2 reader on this session only (V1 plans a full scan)
+      ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      ss.conf.set("spark.sql.sources.useV1SourceList", "")
+      Tables.orders(ss, d)
+        .agg(count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
     }
   )
 

@@ -207,4 +207,144 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(params.withMinSuccessfulTests(12), p)
     assert(res.passed, s"bpe: ${res.status}")
   }
+
+  // ── sessionize vs an in-memory fold ───────────────────────────────────
+
+  test("property: sessionize matches a per-key sequential fold, gap boundary exact") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    // coarse second grid + gap near the grid step → boundary hits are common
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L)
+      sec <- Gen.choose(0L, 40L)
+    } yield (k, sec)
+    val gen = for {
+      rows <- Gen.listOfN(40, rowGen)
+      gap <- Gen.choose(1L, 6L)
+    } yield (rows.distinct, gap)
+
+    val p = Prop.forAll(gen) { case (rows, gap) =>
+      if (rows.isEmpty) true
+      else {
+        val df = rows.zipWithIndex.map { case ((k, sec), i) =>
+          (i.toLong, k, new java.sql.Timestamp(sec * 1000L))
+        }.toDF("event_id", "user_id", "ts")
+        val got = graft.operators.TimeSeries
+          .sessionize(df, "user_id", "ts", "event_id", gap)
+          .select("event_id", "session_idx")
+          .as[(Long, Long)].collect().toMap
+        // reference: sort each key's events, fold with the strict-> rule
+        val want = rows.zipWithIndex
+          .map { case ((k, sec), i) => (k, sec, i.toLong) }
+          .groupBy(_._1).values.flatMap { evs =>
+            val sorted = evs.sortBy(e => (e._2, e._3))
+            var sid = 0L; var last = Long.MinValue
+            sorted.map { case (_, sec, id) =>
+              if (last == Long.MinValue || sec - last > gap) sid += 1
+              last = sec
+              id -> sid
+            }
+          }.toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(params.withMinSuccessfulTests(15), p)
+    assert(res.passed, s"sessionize: ${res.status}")
+  }
+
+  // ── SCD2 apply invariants under random change batches ─────────────────
+
+  test("property: scd2Apply keeps exactly one open version per key and loses no history") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val dimKeyGen = Gen.choose(0L, 9L)
+    val gen = for {
+      dimKeys <- Gen.listOf(dimKeyGen).map(_.distinct)
+      chg <- Gen.listOf(for {
+        k <- Gen.choose(0L, 14L) // overlaps dim keys AND new keys
+        v <- Gen.oneOf("A", "B", "C")
+      } yield (k, v)).map(_.distinctBy(_._1))
+    } yield (dimKeys, chg)
+
+    val p = Prop.forAll(gen) { case (dimKeys, chg) =>
+      if (dimKeys.isEmpty && chg.isEmpty) true
+      else {
+        val dim = dimKeys.map(k => (k, s"S$k",
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+            Option.empty[java.sql.Timestamp], true))
+          .toDF("k", "segment", "valid_from", "valid_to", "is_current")
+        val changes = chg.toDF("k", "segment")
+        if (changes.isEmpty && dim.isEmpty) true
+        else {
+          val out = graft.operators.Scd.scd2Apply(dim, changes, "k",
+              Seq("segment"), lit("2024-06-01").cast("timestamp"))
+            .select($"k", $"segment", $"is_current", $"valid_to".isNull.as("open"))
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getBoolean(2), r.getBoolean(3)))
+          val expectedKeys = (dimKeys ++ chg.map(_._1)).distinct.sorted
+          val byKey = out.groupBy(_._1)
+          // every key surfaces; exactly one current row per key; current ⇔ open
+          expectedKeys.forall(byKey.contains) &&
+            byKey.values.forall(vs => vs.count(_._3) == 1) &&
+            out.forall(r => r._3 == r._4) &&
+            // a key in the batch ends current on the BATCH value;
+            // a key not in the batch keeps its original segment
+            expectedKeys.forall { k =>
+              val cur = byKey(k).find(_._3).get._2
+              chg.toMap.get(k).map(_ == cur)
+                .getOrElse(cur == s"S$k")
+            }
+        }
+      }
+    }
+    val res = SCTest.check(params.withMinSuccessfulTests(15), p)
+    assert(res.passed, s"scd2: ${res.status}")
+  }
+
+  // ── min-max scaling bounds ────────────────────────────────────────────
+
+  test("property: minMaxScale lands in [0,100] with the extremes exact") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b")
+      q <- Gen.choose(-1000000L, 1000000L)
+    } yield (k, q))
+
+    val p = Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, q), i) => (i.toLong, k, q) }
+        .toDF("id", "k", "q")
+      val out = graft.operators.Profiling.minMaxScale(df, "k", "q")
+        .select("k", "q", "scaled_pct")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val stats = rows.groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2).min, vs.map(_._2).max)).toMap
+      out.forall { case (k, q, s) =>
+        val (mn, mx) = stats(k)
+        s >= 0L && s <= 100L &&
+          (mx == mn || ((q != mn || s == 0L) && (q != mx || s == 100L)))
+      }
+    }
+    val res = SCTest.check(params.withMinSuccessfulTests(15), p)
+    assert(res.passed, s"minMaxScale: ${res.status}")
+  }
 }

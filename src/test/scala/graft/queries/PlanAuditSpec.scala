@@ -262,6 +262,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q_scan_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val plan = planOf("q_scan_agg_pushdown")
+    assert(plan.contains("PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]"),
+      plan.take(3000))
+  }
+
+  test("q09_shipping_priority: both date filters push to their scans, customer broadcasts") {
+    val plan = planOf("q09_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the two timestamp bounds must reach the parquet scans
+    assert("PushedFilters: \\[.*o_orderdate".r.findFirstIn(plan).isDefined ||
+      plan.contains("LessThan(o_orderdate"), plan.take(3000))
+    assert(plan.contains("GreaterThan(l_shipdate"), plan.take(3000))
+  }
+
   test("q_scd2_dim: the dimension never shuffles — both legs broadcast") {
     val plan = planOf("q_scd2_dim")
     // the current-slice join broadcasts the batch; the insert leg is a
