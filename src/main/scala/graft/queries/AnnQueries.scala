@@ -402,8 +402,10 @@ object AnnQueries {
       val embs = Tables.embeddings(s, d)
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
-      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "codes/_SUCCESS") {
         Similarity.writeIvfPqIndex(embs, idxDir)
+      }
       Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir, k = 5)
         .orderBy("q_id", "rank")
     },
@@ -471,7 +473,8 @@ object AnnQueries {
       val embs = Tables.embeddings(s, d)
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = s"${sys.props("user.dir")}/target/ann_append_${sfKey}_c16i2m8k16"
-      if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists()) {
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "codes/_SUCCESS") {
         Similarity.writeIvfPqIndex(embs.filter(col("vec_id") >= 10), idxDir)
         Similarity.appendToIvfPqIndex(embs.filter(col("vec_id") < 10), idxDir)
       }

@@ -325,9 +325,11 @@ object CurationQueries {
       // lookup, not the corpus index; same discipline as
       // ScaleQueries.partitionedEventsDir). A param change re-keys the dir.
       val idxDir = s"${sys.props("user.dir")}/target/minhash_index_${sfKey}_s5h64b16"
-      if (!new java.io.File(s"$idxDir/shingles/_SUCCESS").exists())
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/documents.parquet")), "shingles/_SUCCESS") {
         Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", shingleSize = 5, numHashes = 64, bands = 16, idxDir)
+      }
       Dedup.incrementalNearDups(docs.filter(col("doc_id") % 10 === 0), idxDir,
           "doc_id", "text", shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
         .orderBy("id_new", "id_corpus")
@@ -479,9 +481,11 @@ object CurationQueries {
       // built once per sf, reused across sessions (the search-index
       // contract: queries pay postings lookups, not index builds)
       val idxDir = s"${sys.props("user.dir")}/target/inverted_index_$sfKey"
-      if (!new java.io.File(s"$idxDir/postings/_SUCCESS").exists())
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/documents.parquet")), "postings/_SUCCESS") {
         graft.operators.Search.writeInvertedIndex(
           Tables.documents(s, d), "doc_id", "text", idxDir)
+      }
       graft.operators.Search.phraseSearch(s, idxDir, "doc_id", Seq("table", "hash"))
         .orderBy("doc_id")
     },

@@ -162,21 +162,25 @@ object ScaleQueries {
       // table by DDL instead of rewriting — bucketing metadata lives in
       // the catalog entry, which the DDL recreates.
       def ensureBucketed(tbl: String, df: org.apache.spark.sql.DataFrame,
-                         key: String): Unit =
+                         key: String, src: String): Unit =
         if (!s.catalog.tableExists(tbl)) {
           val dir = new java.io.File(s"/root/repo/target/bucketed/$tbl")
-          if (new java.io.File(dir, "_SUCCESS").exists()) {
+          val srcs = Seq(new java.io.File(src))
+          if (graft.DerivedCache.fresh(dir, srcs, "_SUCCESS")) {
             s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet
                      |CLUSTERED BY ($key) SORTED BY ($key) INTO 16 BUCKETS
                      |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
           } else {
-            if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
-            df.write.option("path", dir.getAbsolutePath)
-              .bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+            graft.DerivedCache.ensure(dir, srcs, "_SUCCESS") {
+              df.write.option("path", dir.getAbsolutePath)
+                .bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+            }
           }
         }
-      ensureBucketed(ordersTbl, Tables.orders(s, d), "o_orderkey")
-      ensureBucketed(lineitemTbl, Tables.lineitem(s, d), "l_orderkey")
+      ensureBucketed(ordersTbl, Tables.orders(s, d), "o_orderkey",
+        s"$d/orders.parquet")
+      ensureBucketed(lineitemTbl, Tables.lineitem(s, d), "l_orderkey",
+        s"$d/lineitem.parquet")
       s.table(ordersTbl)
         .join(s.table(lineitemTbl), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_custkey")
@@ -233,8 +237,8 @@ object ScaleQueries {
       val dir = partitionedEventsDir(s, d)
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = new java.io.File(s"/root/repo/target/partitioned/events_bloomidx_$sfKey")
-      if (!new java.io.File(idxDir, "_SUCCESS").exists()) {
-        if (idxDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(idxDir)
+      graft.DerivedCache.ensure(idxDir,
+          Seq(new java.io.File(s"$d/events.parquet")), "_SUCCESS") {
         graft.operators.Layout.buildBloomIndex(s, dir, "event_id")
           .write.mode("overwrite").parquet(idxDir.getAbsolutePath)
       }
@@ -271,8 +275,8 @@ object ScaleQueries {
   def rangeLaidOrdersDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(s"/root/repo/target/partitioned/orders_range_$sfKey")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    graft.DerivedCache.ensure(dir,
+        Seq(new java.io.File(s"$d/orders.parquet")), "_SUCCESS") {
       Tables.orders(s, d)
         .repartitionByRange(16, col("o_orderkey"))
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
@@ -286,8 +290,8 @@ object ScaleQueries {
   def partitionedEventsDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(s"/root/repo/target/partitioned/events_$sfKey")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    graft.DerivedCache.ensure(dir,
+        Seq(new java.io.File(s"$d/events.parquet")), "_SUCCESS") {
       Tables.events(s, d)
         .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
         .write.partitionBy("event_date").mode("overwrite")

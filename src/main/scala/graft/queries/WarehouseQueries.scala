@@ -301,15 +301,14 @@ object WarehouseQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val idxDir = s"/root/repo/target/tmp/inverted_index_incr_$sfKey"
-      val marker = new java.io.File(s"$idxDir/_APPENDED")
-      if (!marker.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/documents.parquet")), "_APPENDED") {
         val docs = Tables.documents(s, d)
         graft.operators.Search.writeInvertedIndex(
           docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", idxDir)
         graft.operators.Search.appendToInvertedIndex(
           docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", idxDir)
-        marker.createNewFile()
+        new java.io.File(s"$idxDir/_APPENDED").createNewFile()
       }
       graft.operators.Search.phraseSearch(s, idxDir, "doc_id",
           Seq("table", "hash"))

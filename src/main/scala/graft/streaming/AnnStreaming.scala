@@ -41,8 +41,10 @@ object AnnStreaming {
     val ss = streamSession(spark)
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
-    if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+    graft.DerivedCache.ensure(new java.io.File(idxDir),
+        Seq(new java.io.File(s"$sfDir/embeddings.parquet")), "codes/_SUCCESS") {
       Similarity.writeIvfPqIndex(graft.Tables.embeddings(ss, sfDir), idxDir)
+    }
 
     val base = s"${sys.props("user.dir")}/target/tmp/stream/ann_$sfKey"
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")

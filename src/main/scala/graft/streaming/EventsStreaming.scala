@@ -52,8 +52,12 @@ object EventsStreaming {
     Files.createDirectories(dir)
     val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    // COPY_ATTRIBUTES preserves the source mtime, so size+mtime equality
+    // detects a regenerated same-size source (size alone would miss it)
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     dir.toString
   }
 
@@ -331,8 +335,10 @@ object EventsStreaming {
     val src = Paths.get(s"$sfDir/events.parquet")
     val dst = dir.resolve("events.parquet")
     val dupDst = dir.resolve("early_dups.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)) {
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
       // the dup file derives from the source — a re-copied (regenerated)
       // source invalidates it, or the dir would mix timestamp units
       Files.deleteIfExists(dupDst)
