@@ -154,6 +154,59 @@ object SourceQueries {
         .orderBy("snap", "o_orderkey")
     },
 
+    // ── vacuum lifecycle (TxnTable.vacuum + checkpoint): three commits
+    //    (overwrite, overwrite, append — each coalesce(1), so file
+    //    counts are pinned), a log CHECKPOINT, then vacuum(retainFrom=2)
+    //    physically deletes exactly v1's one overwritten file. The
+    //    output pins the deleted count, the latest snapshot, AND that
+    //    v2 still time-travels through the checkpointed log — the
+    //    "trade history-before-N for space, keep everything after"
+    //    contract as one hash-gated row.
+    sql("q_src_vacuum",
+      """SELECT CAST(1 AS BIGINT) AS files_deleted,
+        |       (SELECT COUNT(*) FROM events WHERE event_id % 3 <> 0) AS n_latest,
+        |       (SELECT COUNT(*) FROM events WHERE event_id % 3 = 1) AS n_v2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val table = tmp("txn_vacuum")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val slice = (m: Int) => Tables.events(s, d)
+        .filter(col("event_id") % 3 === m)
+        .select("event_id", "event_type").coalesce(1)
+      TxnTable.commit(s, slice(0), table, overwrite = true)  // v1
+      TxnTable.commit(s, slice(1), table, overwrite = true)  // v2 replaces v1
+      TxnTable.commit(s, slice(2), table, overwrite = false) // v3 appends
+      TxnTable.checkpoint(table) // checkpoint at v3; reads replay from it
+      val deleted = TxnTable.vacuum(table, retainFrom = 2)
+      val nLatest = TxnTable.read(s, table).count()
+      val nV2 = TxnTable.read(s, table, asOf = Some(2)).count()
+      Seq((deleted.toLong, nLatest, nV2))
+        .toDF("files_deleted", "n_latest", "n_v2")
+    },
+
+    // ── schema evolution inside the txn table (TxnTable.read mergeSchema):
+    //    v2 appends a column v1 never had; the merged read reconciles the
+    //    per-commit footers by name and v1's rows null-extend — add a
+    //    column without rewriting committed history.
+    sql("q_src_txn_evolution",
+      """SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_evolution")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val orders = Tables.orders(s, d)
+      TxnTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"),
+        table, overwrite = false) // v1: two columns
+      TxnTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        table, overwrite = false) // v2: adds a column
+      TxnTable.read(s, table, mergeSchema = true)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
     // ── keyed snapshot diff over two txn-table versions (TableDiff ×
     //    TxnTable): v1 holds keys %5∈{0,1}; the overwrite keeps %5=1 with a
     //    doubled price and brings in %5=2 — so the diff is exactly one

@@ -68,17 +68,58 @@ object TxnTable {
     (arr("added"), arr("removed"))
   }
 
+  private def checkpointFiles(table: String): Seq[File] =
+    Option(logDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("c\\d{5}\\.json"))
+      .sortBy(f => f.getName.stripPrefix("c").stripSuffix(".json").toInt)
+      .toSeq
+
+  private def checkpointVersion(f: File): Int =
+    f.getName.stripPrefix("c").stripSuffix(".json").toInt
+
+  /** Write a CHECKPOINT of the current snapshot's live-file set — the
+    * Delta `_last_checkpoint` idea: log replay is driver-side
+    * O(|commits|), which is fine for days and wrong for years; a
+    * checkpoint caps the replay at O(commits since last checkpoint).
+    * Time travel is unaffected (per-version log entries stay; a read
+    * older than the newest checkpoint just starts from an older one or
+    * from zero). Published with the same put-if-absent link as commits —
+    * checkpointing the same version twice is a benign no-op. Returns
+    * the checkpointed version. */
+  def checkpoint(table: String): Int = {
+    val v = currentVersion(table)
+    require(v >= 1, s"nothing to checkpoint in $table")
+    val live = liveFiles(table, Some(v))
+    val entry = s"""{"version":$v,"added":${jsonArr(live)},"removed":[]}"""
+    val tmpF = new File(logDir(table),
+      f".c$v%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
+    Files.write(tmpF.toPath, entry.getBytes(StandardCharsets.UTF_8))
+    val target = new File(logDir(table), f"c$v%05d.json").toPath
+    try Files.createLink(target, tmpF.toPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.deleteIfExists(tmpF.toPath)
+    v
+  }
+
   /** Replay the log through `asOf` (inclusive; latest when None) and
-    * return the live file list — the snapshot. Driver-side over |commits|
-    * metadata entries, never data. */
+    * return the live file list — the snapshot. Driver-side, starting
+    * from the newest checkpoint ≤ `asOf` (the full set at that version)
+    * and replaying only the commits after it — O(commits since
+    * checkpoint), never data. */
   def liveFiles(table: String, asOf: Option[Int] = None): Seq[String] = {
-    val upTo = logFiles(table).filter(f => asOf.forall(versionOf(f) <= _))
+    val base = checkpointFiles(table)
+      .filter(f => asOf.forall(checkpointVersion(f) <= _))
+      .lastOption
+    val baseVersion = base.map(checkpointVersion).getOrElse(0)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    upTo.foreach { f =>
-      val (added, removed) = parseEntry(f)
-      live --= removed
-      live ++= added
-    }
+    base.foreach(f => live ++= parseEntry(f)._1)
+    logFiles(table)
+      .filter(f => versionOf(f) > baseVersion && asOf.forall(versionOf(f) <= _))
+      .foreach { f =>
+        val (added, removed) = parseEntry(f)
+        live --= removed
+        live ++= added
+      }
     live.toSeq
   }
 
@@ -135,12 +176,18 @@ object TxnTable {
 
   /** Read a snapshot: the table as of `asOf` (latest when None). An empty
     * table reads as an empty frame only via the caller's schema knowledge —
-    * fail loudly instead, an unborn table is a bug at every call site. */
-  def read(spark: SparkSession, table: String, asOf: Option[Int] = None): DataFrame = {
+    * fail loudly instead, an unborn table is a bug at every call site.
+    * `mergeSchema = true` reconciles per-commit footer schemas by name —
+    * a later commit may ADD columns and earlier snapshots' rows
+    * null-extend (schema evolution without rewriting history). */
+  def read(spark: SparkSession, table: String, asOf: Option[Int] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(table, asOf)
     require(files.nonEmpty,
       s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
-    spark.read.parquet(files.map(f => new File(table, f).getPath): _*)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(files.map(f => new File(table, f).getPath): _*)
   }
 
   /** Physically delete data files no snapshot >= `retainFrom` references.

@@ -118,4 +118,39 @@ class TxnTableSpec extends SparkSpec {
     assert(reader.select("id").as[Long].collect().toSet == Set(1L, 2L))
     assert(rows(t) == Set(9L))
   }
+
+  test("checkpoint: replay starts from the snapshot, every read unchanged") {
+    val t = freshTable("tt_ckpt")
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false) // v1
+    TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false)     // v2
+    TxnTable.commit(spark, Seq(9L).toDF("id"), t, overwrite = true)      // v3
+    // snapshots before the checkpoint, to compare after
+    val before = (1 to 3).map(v => v -> rows(t, Some(v))).toMap
+    assert(TxnTable.checkpoint(t) == 3)
+    // commits continue past the checkpoint
+    TxnTable.commit(spark, Seq(10L).toDF("id"), t, overwrite = false)    // v4
+    // every snapshot — before, at, and after the checkpoint — unchanged
+    assert(rows(t, Some(1)) == before(1))
+    assert(rows(t, Some(2)) == before(2))
+    assert(rows(t, Some(3)) == before(3))
+    assert(rows(t) == Set(9L, 10L))
+    // idempotent: re-checkpointing the same version is a no-op
+    TxnTable.commit(spark, Seq(11L).toDF("id"), t, overwrite = false)    // v5
+    assert(TxnTable.checkpoint(t) == 5)
+    assert(TxnTable.checkpoint(t) == 5)
+    assert(rows(t) == Set(9L, 10L, 11L))
+    assert(rows(t, Some(4)) == Set(9L, 10L))
+  }
+
+  test("mergeSchema read null-extends rows from commits before a column existed") {
+    val t = freshTable("tt_evolve")
+    TxnTable.commit(spark, Seq((1L, "a")).toDF("id", "x"), t, overwrite = false)
+    TxnTable.commit(spark, Seq((2L, "b", 7L)).toDF("id", "x", "y"), t,
+      overwrite = false)
+    val merged = TxnTable.read(spark, t, mergeSchema = true)
+      .select("id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(merged == Set((1L, "a", None), (2L, "b", Some(7L))))
+  }
 }
