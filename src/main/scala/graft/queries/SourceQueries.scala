@@ -183,6 +183,38 @@ object SourceQueries {
         .toDF("files_deleted", "n_latest", "n_v2")
     },
 
+    // ── log-driven incremental aggregation (TxnTable.addedFiles ×
+    //    Incremental.mergeAdditive): the downstream job processed the
+    //    table through v2 and refreshes by aggregating ONLY the files v3
+    //    added — O(delta), never re-reading history; the merge is the
+    //    additive-monoid combine. addedFiles refuses ranges containing
+    //    removals (an overwrite would invalidate processed rows), so the
+    //    fallback to full recompute is forced, never silent.
+    sql("q_src_txn_incremental",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val table = tmp("txn_incr")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val slice = (m: Int) => Tables.events(s, d)
+        .filter(col("event_id") % 3 === m)
+        .select("event_id", "event_type", "value")
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+      TxnTable.commit(s, slice(0), table, overwrite = false) // v1
+      TxnTable.commit(s, slice(1), table, overwrite = false) // v2
+      val baseAgg = aggOf(TxnTable.read(s, table, asOf = Some(2)))
+      TxnTable.commit(s, slice(2), table, overwrite = false) // v3 lands later
+      val delta = s.read.parquet(
+        TxnTable.addedFiles(table, fromExclusive = 2, toInclusive = 3)
+          .map(f => new java.io.File(table, f).getPath): _*)
+      graft.operators.Incremental
+        .mergeAdditive(baseAgg, aggOf(delta), keys = Seq("event_type"))
+        .orderBy("event_type")
+    },
+
     // ── schema evolution inside the txn table (TxnTable.read mergeSchema):
     //    v2 appends a column v1 never had; the merged read reconciles the
     //    per-commit footers by name and v1's rows null-extend — add a

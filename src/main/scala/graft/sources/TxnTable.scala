@@ -174,6 +174,25 @@ object TxnTable {
     version
   }
 
+  /** Files ADDED in versions (`fromExclusive`, `toInclusive`] — the
+    * incremental read set for append-only consumers: a downstream job
+    * that processed the table up to version N refreshes by reading ONLY
+    * these files, O(delta) instead of O(table). Refuses a range that
+    * REMOVES files (an overwrite invalidates previously-processed rows;
+    * the caller must fall back to a full recompute — silently ignoring
+    * the removal would double-count). */
+  def addedFiles(table: String, fromExclusive: Int,
+                 toInclusive: Int): Seq[String] =
+    logFiles(table)
+      .filter(f => versionOf(f) > fromExclusive && versionOf(f) <= toInclusive)
+      .flatMap { f =>
+        val (added, removed) = parseEntry(f)
+        require(removed.isEmpty,
+          s"version ${versionOf(f)} of $table removes files — the range is " +
+            "not append-only; recompute from the snapshot instead")
+        added
+      }
+
   /** Read a snapshot: the table as of `asOf` (latest when None). An empty
     * table reads as an empty frame only via the caller's schema knowledge —
     * fail loudly instead, an unborn table is a bug at every call site.

@@ -142,6 +142,23 @@ class TxnTableSpec extends SparkSpec {
     assert(rows(t, Some(4)) == Set(9L, 10L))
   }
 
+  test("addedFiles yields exactly the appended range; removal ranges refuse") {
+    val t = freshTable("tt_added")
+    TxnTable.commit(spark, Seq(1L).toDF("id").coalesce(1), t, overwrite = false) // v1
+    TxnTable.commit(spark, Seq(2L).toDF("id").coalesce(1), t, overwrite = false) // v2
+    TxnTable.commit(spark, Seq(3L).toDF("id").coalesce(1), t, overwrite = false) // v3
+    val inc = TxnTable.addedFiles(t, fromExclusive = 1, toInclusive = 3)
+    val read = spark.read.parquet(
+        inc.map(f => new File(t, f).getPath): _*)
+      .select("id").as[Long].collect().toSet
+    assert(read == Set(2L, 3L))
+    // an overwrite invalidates processed rows — the range must refuse
+    TxnTable.commit(spark, Seq(9L).toDF("id"), t, overwrite = true)              // v4
+    intercept[IllegalArgumentException] {
+      TxnTable.addedFiles(t, fromExclusive = 3, toInclusive = 4)
+    }
+  }
+
   test("mergeSchema read null-extends rows from commits before a column existed") {
     val t = freshTable("tt_evolve")
     TxnTable.commit(spark, Seq((1L, "a")).toDF("id", "x"), t, overwrite = false)

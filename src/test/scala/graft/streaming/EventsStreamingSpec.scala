@@ -185,6 +185,29 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("tsDivisor: nanos and micros vintages detected by value range") {
+    val base = new java.io.File("/root/repo/target/tmp/stream/tsdiv_spec")
+    org.apache.commons.io.FileUtils.deleteDirectory(base)
+    val epochUs = 1704067200000000L // 2024-01-01 in µs
+    // nanos vintage: plain INT64 column carrying ns
+    Seq((1L, epochUs * 1000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/ns")
+    // micros vintage: a real timestamp column written as INT64
+    // TIMESTAMP(MICROS) — Spark's write default is legacy INT96, which
+    // no generation of the testdata uses, so pin the modern type
+    val ssUs = spark.newSession()
+    ssUs.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    locally {
+      import ssUs.implicits._
+      Seq((1L, new java.sql.Timestamp(epochUs / 1000), 1L, "a", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$base/us")
+    }
+    assert(EventsStreaming.tsDivisor(spark, s"$base/ns") === 1000L)
+    assert(EventsStreaming.tsDivisor(spark, s"$base/us") === 1L)
+  }
+
   test("txn sink: one atomic commit per micro-batch, replay is a no-op") {
     import graft.sources.TxnTable
     // stage two disjoint time-ordered chunk files → maxFilesPerTrigger=1
