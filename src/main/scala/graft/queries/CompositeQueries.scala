@@ -446,6 +446,73 @@ object CompositeQueries {
         .limit(10)
     },
 
+    // ── customer-360 capstone (SCD2 × as-of × sessionization): user
+    //    sessions attributed to the DIMENSION VERSION in force at the
+    //    session's start — the analytics-engineering join no single
+    //    operator gives you. scd2Apply builds the versioned dim
+    //    (mid-January segment change for every third user),
+    //    sessionSummaries cuts 6-hour-gap sessions, the merge-scan as-of
+    //    join picks each session's segment, and the rollup is exact
+    //    integer microseconds. Every leg reuses an already-oracled
+    //    idiom; the composition is what's under test.
+    sql("q11_session_segments",
+      """WITH base AS (SELECT c_custkey AS user_id, c_mktsegment AS segment
+        |              FROM customer WHERE c_custkey < 150),
+        |chg AS (SELECT user_id, segment || '_V2' AS segment
+        |        FROM base WHERE user_id % 3 = 0),
+        |dimv AS (
+        |  SELECT user_id, segment, TIMESTAMP '2024-01-01' AS valid_from FROM base
+        |  UNION ALL
+        |  SELECT user_id, segment, TIMESTAMP '2024-01-15' FROM chg),
+        |seq AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tagged AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM seq),
+        |sessions AS (
+        |  SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |  FROM tagged GROUP BY user_id, sid),
+        |attributed AS (
+        |  SELECT d.segment, s.n_events, s.duration_us
+        |  FROM sessions s ASOF JOIN dimv d
+        |    ON s.user_id = d.user_id AND s.session_start >= d.valid_from)
+        |SELECT segment, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
+        |FROM attributed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d).filter(col("c_custkey") < 150)
+      val dim0 = base
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val changes = base.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("user_id"),
+          concat(col("c_mktsegment"), lit("_V2")).as("segment"))
+      val dimv = graft.operators.Scd.scd2Apply(dim0, changes, "user_id",
+        Seq("segment"), lit("2024-01-15").cast("timestamp"))
+      val sessions = graft.operators.TimeSeries.sessionSummaries(
+          Tables.events(s, d), "user_id", "ts", "event_id", gapSeconds = 21600L)
+        .select("user_id", "session_start", "n_events", "duration_us")
+      graft.operators.AsOfJoin.asOf(sessions,
+          dimv.select("user_id", "segment", "valid_from"),
+          Seq("user_id"), "session_start", "valid_from",
+          payload = Seq("segment"))
+        .groupBy(col("asof_segment").as("segment"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("duration_us")).as("total_duration_us"))
+        .orderBy("segment")
+    },
+
     // ── disjunctive-predicate pricing (the TPC-H Q19 shape): OR-of-ANDs
     //    across both join sides — the filter form that defeats naive
     //    single-column pushdown and leans on Catalyst's predicate

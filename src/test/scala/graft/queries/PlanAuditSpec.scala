@@ -277,6 +277,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(l_shipdate"), plan.take(3000))
   }
 
+  test("q_scd2_asof: version lookup is the merge-scan window, never an inequality join") {
+    val plan = planOf("q_scd2_asof")
+    // the as-of match must plan as one per-key window over the tagged
+    // union — a range/theta join here would be the quadratic shape
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
+  test("q_src_txn_incremental: the delta scan reads only the new version's files") {
+    val plan = planOf("q_src_txn_incremental")
+    // two scans by design: the base snapshot (v1+v2, 2 paths) and the
+    // DELTA — which must be a single-file scan of v3's commit dir
+    val deltaScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("v00003"))
+    assert(deltaScan.isDefined, plan.take(4000))
+    assert(deltaScan.get.contains("InMemoryFileIndex(1 paths)"), deltaScan.get)
+    assert(!deltaScan.get.contains("v00001") && !deltaScan.get.contains("v00002"),
+      deltaScan.get)
+  }
+
   test("q_scd2_dim: the dimension never shuffles — both legs broadcast") {
     val plan = planOf("q_scd2_dim")
     // the current-slice join broadcasts the batch; the insert leg is a
