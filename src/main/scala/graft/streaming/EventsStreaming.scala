@@ -431,17 +431,26 @@ object EventsStreaming {
     * time travel gives per-batch snapshots for free.
     *
     * Returns the final table snapshot. `inputDir`/`maxFilesPerTrigger`
-    * let specs drive a genuine multi-batch run. */
+    * let specs drive a genuine multi-batch run.
+    *
+    * `resume = true` keeps the table AND the stream checkpoint from the
+    * previous invocation — the AvailableNow lifecycle as actually
+    * deployed: each run processes ONLY the files that arrived since the
+    * last one (the checkpoint's file ledger decides), batch ids continue
+    * where they left off, and every new batch lands as the next table
+    * version. A fresh run (`resume = false`, the default) wipes both. */
   def txnSinkIngest(spark: SparkSession, sfDir: String,
                     inputDir: Option[String] = None,
-                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    resume: Boolean = false): DataFrame = {
     import graft.sources.TxnTable
     val ss = streamSession(spark)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val table = s"/root/repo/target/tmp/stream/txn_sink_$key"
     val ckpt = s"$table.ckpt"
-    Seq(table, ckpt).foreach(p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    if (!resume)
+      Seq(table, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val dir = inputDir.getOrElse(stageDir(sfDir))
     val div = tsDivisor(ss, dir)
     val reader = ss.readStream.schema(rawSchema)

@@ -249,4 +249,41 @@ class EventsStreamingSpec extends SparkSpec {
     assert(TxnTable.currentVersion(table) === 2)
     assert(TxnTable.read(spark, table).count() === events.length.toLong)
   }
+
+  test("txn sink resume: a later run processes only newly-arrived files") {
+    import graft.sources.TxnTable
+    val dir = new java.io.File("/root/repo/target/tmp/stream/txnsink_resume")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val half = events.length / 2
+    def writeChunk(chunk: Array[org.apache.spark.sql.Row], name: String): Unit = {
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val scratch = new java.io.File(dir, s"build_$name")
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    // day one: only the first half exists
+    writeChunk(events.take(half), "chunk_00")
+    val run1 = EventsStreaming.txnSinkIngest(spark, sfDir,
+      inputDir = Some(dir.toString))
+    val table = s"/root/repo/target/tmp/stream/txn_sink_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    assert(run1.count() === half.toLong)
+    val v1 = TxnTable.currentVersion(table)
+    // day two: the second half arrives; the RESUMED run must process
+    // only it (checkpoint ledger) and append as the next version(s)
+    writeChunk(events.drop(half), "chunk_01")
+    val run2 = EventsStreaming.txnSinkIngest(spark, sfDir,
+      inputDir = Some(dir.toString), resume = true)
+    assert(run2.count() === events.length.toLong)
+    assert(TxnTable.currentVersion(table) > v1)
+    // no duplicates: every event id exactly once
+    assert(run2.select("event_id").distinct().count() === events.length.toLong)
+  }
 }
