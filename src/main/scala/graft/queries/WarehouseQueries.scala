@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
 import graft.operators.{AsOfJoin, FuzzyJoin, Incremental, Scd, TimeSeries}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-lifecycle surface (engine-added, round 7 fifth wave): batch
@@ -313,6 +314,41 @@ object WarehouseQueries {
       graft.operators.Search.phraseSearch(s, idxDir, "doc_id",
           Seq("table", "hash"))
         .orderBy("doc_id")
+    },
+
+    // ── lag-feature matrix (feature prep's other workhorse next to
+    //    minMaxScale): per-entity previous values and a trailing-3 mean,
+    //    all from ONE window partitioned by user — the standard ML
+    //    featurization of event history. Integer arithmetic end to end
+    //    (quantized values, `div`/`//` mean) so both engines agree.
+    sql("q_feat_lags",
+      """WITH src AS (SELECT event_id, user_id, ts,
+        |                    CAST(FLOOR(value * 1000) AS BIGINT) AS q
+        |             FROM events)
+        |SELECT event_id, user_id, q,
+        |       lag(q, 1) OVER w AS lag1_q,
+        |       lag(q, 2) OVER w AS lag2_q,
+        |       CAST(CASE WHEN COUNT(*) OVER w3 = 3
+        |                 THEN SUM(q) OVER w3 // 3 END AS BIGINT) AS mean3_q
+        |FROM src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w3 = w.rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts"), floor(col("value") * 1000).cast("long").as("q"))
+        .select(col("event_id"), col("user_id"), col("q"),
+          lag("q", 1).over(w).as("lag1_q"),
+          lag("q", 2).over(w).as("lag2_q"),
+          sum("q").over(w3).as("__s3"),
+          count(lit(1)).over(w3).as("__n3"))
+        .withColumn("mean3_q",
+          when(col("__n3") === 3, expr("__s3 div 3")).cast("long"))
+        .drop("__s3", "__n3")
+        .orderBy("event_id")
     },
 
     // ── per-group min-max feature scaling (Profiling.minMaxScale): each
