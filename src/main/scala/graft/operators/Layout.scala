@@ -57,7 +57,15 @@ object Layout {
     // numBits = -n·ln(p)/ln2² — the standard sizing formula
     val numBits = math.max(64L,
       (-expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    spark.read.parquet(path)
+    val src = spark.read.parquet(path)
+    // xxhash64 is TYPE-sensitive: the probe side hashes LongType keys, so
+    // an INT/STRING indexed column would insert DIFFERENT hashes and the
+    // bloom's false negatives would silently DROP true-positive files
+    // (missing rows, not just extra I/O). Fail loudly instead.
+    val dt = src.schema(column).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"bloom index column '$column' must be BIGINT (xxhash64 probe parity); got $dt")
+    src
       .groupBy(input_file_name().as("file"))
       .agg(call_function("graft_bloom_agg",
           xxhash64(col(column)), lit(expectedPerFile), lit(numBits))

@@ -55,8 +55,8 @@ object AnnQueries {
       val prevSel = s"sel${j - 1}"
       s"""r$j AS (
          |  SELECT c.q_id, c.n_id,
-         |         MAX(list_sum(list_transform(range(1, 65),
-         |               i -> c.eq[i] * s.eq[i]))) AS ms
+         |         CAST(MAX(list_sum(list_transform(range(1, 65),
+         |               i -> c.eq[i] * s.eq[i]))) AS BIGINT) AS ms
          |  FROM cand c JOIN $prevSel s USING (q_id)
          |  WHERE NOT EXISTS (SELECT 1 FROM $prevSel t
          |                    WHERE t.q_id = c.q_id AND t.n_id = c.n_id)

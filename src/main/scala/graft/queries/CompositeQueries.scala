@@ -410,8 +410,8 @@ object CompositeQueries {
     //    is engine-exact.
     sql("q09_shipping_priority",
       """SELECT l_orderkey,
-        |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-        |         AS revenue_c,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |       o_orderpriority
         |FROM customer
@@ -519,8 +519,8 @@ object CompositeQueries {
     //    normalization; revenue quantized to cents pre-sum.
     sql("q10_disjunctive_pricing",
       """SELECT COUNT(*) AS cnt,
-        |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-        |         AS revenue_c
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)

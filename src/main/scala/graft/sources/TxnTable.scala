@@ -68,6 +68,18 @@ object TxnTable {
     (arr("added"), arr("removed"))
   }
 
+  /** The writer tag published with `version`, if any — the conflict-
+    * adjudication read for [[commit]]'s `tag`. None if the version does
+    * not exist or carries no tag. */
+  def commitTag(table: String, version: Int): Option[String] = {
+    val f = new File(logDir(table), f"v$version%05d.json")
+    if (!f.isFile) None
+    else {
+      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      "\"tag\":\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+    }
+  }
+
   private def checkpointFiles(table: String): Seq[File] =
     Option(logDir(table).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("c\\d{5}\\.json"))
@@ -132,11 +144,20 @@ object TxnTable {
     * published it first, the publish rename refuses the existing target
     * and the commit fails with `ConcurrentModificationException` instead
     * of clobbering the winner — re-read and retry, the standard
-    * lakehouse loop. Without it the next free version is taken. */
+    * lakehouse loop. Without it the next free version is taken.
+    *
+    * `tag` stamps a writer-supplied identity into the log entry (e.g. a
+    * streaming batch id). On a version conflict the loser can then ask
+    * [[commitTag]] whether the published version IS its own earlier
+    * attempt (retry ⇒ benign no-op) or a foreign writer's commit
+    * (⇒ data loss if silently swallowed). */
   def commit(spark: SparkSession, df: DataFrame, table: String,
-             overwrite: Boolean, expectedVersion: Option[Int] = None): Int = {
+             overwrite: Boolean, expectedVersion: Option[Int] = None,
+             tag: Option[String] = None): Int = {
     val version = expectedVersion.getOrElse(currentVersion(table) + 1)
     require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    tag.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
+      s"tag must be [A-Za-z0-9._-]+ (the log parser is quote-scan exact): '$t'"))
     val removed = if (overwrite) liveFiles(table, Some(version - 1)) else Seq.empty
     // unique data dir per ATTEMPT: racing writers never collide on data,
     // only on the log rename — the loser's dir becomes a vacuum orphan
@@ -144,7 +165,8 @@ object TxnTable {
       f"data/v$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.getPath)
     val added = relDataFiles(table, dataPath)
-    val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}}"""
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+    val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}$tagField}"""
     logDir(table).mkdirs()
     // tmp is unique per ATTEMPT, like the data dir: a shared tmp name
     // lets a racer overwrite the winner's bytes between write and link

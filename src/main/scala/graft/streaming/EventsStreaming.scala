@@ -70,8 +70,17 @@ object EventsStreaming {
     * plain-INT64 restage, so the unit test is numeric: a 2024 epoch is
     * ~1.7e18 ns but ~1.7e15 µs; anything above 1e17 is nanos. */
   private[graft] def tsDivisor(spark: SparkSession, dir: String): Long = {
-    val maxTs = spark.read.schema(rawSchema).parquet(dir)
-      .agg(max("ts")).head().getLong(0)
+    val row = spark.read.schema(rawSchema).parquet(dir).agg(max("ts")).head()
+    require(!row.isNullAt(0),
+      s"cannot detect ts unit: no non-null ts values under $dir " +
+        "(empty input dir or all-null column)")
+    val maxTs = row.getLong(0)
+    // a modern epoch is ~1.7e18 ns / ~1.7e15 µs; anything below ~1e14
+    // (≈ year 1973 in µs) is some OTHER unit (e.g. a millis or seconds
+    // restage) — fail loudly rather than silently misconvert
+    require(maxTs > 100000000000000L,
+      s"unrecognized ts unit: max raw value $maxTs under $dir is below " +
+        "the µs range — a new testdata vintage needs an explicit divisor")
     if (maxTs > 100000000000000000L) 1000L else 1L
   }
 
@@ -460,12 +469,24 @@ object EventsStreaming {
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchTag = s"stream-batch-$batchId"
         try TxnTable.commit(batch.sparkSession, batch, table,
-          overwrite = false, expectedVersion = Some(batchId.toInt + 1))
+          overwrite = false, expectedVersion = Some(batchId.toInt + 1),
+          tag = Some(batchTag))
         catch {
-          // version already published == this batch already landed —
-          // the retry must be a no-op, not a second append
-          case _: java.util.ConcurrentModificationException => ()
+          // Version already published: ONLY a no-op if the published
+          // entry carries OUR batch tag (an earlier attempt of this
+          // same batch landed — the exactly-once retry case). A foreign
+          // tag means an out-of-band writer took our version slot:
+          // swallowing that would silently drop every subsequent batch,
+          // so fail loudly instead.
+          case e: java.util.ConcurrentModificationException =>
+            val published = TxnTable.commitTag(table, batchId.toInt + 1)
+            if (!published.contains(batchTag))
+              throw new IllegalStateException(
+                s"txn sink lost version ${batchId + 1} of $table to an " +
+                s"out-of-band commit (published tag: $published); refusing " +
+                "to silently drop this batch", e)
         }
         ()
       }

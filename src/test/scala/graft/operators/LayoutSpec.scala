@@ -121,4 +121,21 @@ class LayoutSpec extends SparkSpec {
     assert(miss.isEmpty || miss.count() === 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("bloom index refuses a non-BIGINT column (probe hash parity)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/repo/target/tmp/bloom_idx_type_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // xxhash64(INT) != xxhash64(BIGINT) for the same value: an INT index
+    // column would make every probe a false negative — files silently
+    // dropped, rows silently missing. The build must fail loudly instead.
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("id_int"))
+      .write.parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.buildBloomIndex(spark, dir, "id_int", expectedPerFile = 128)
+    }
+    assert(ex.getMessage.contains("BIGINT"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -109,6 +109,23 @@ class TxnTableSpec extends SparkSpec {
     assert(v2.size == 2 && v2.contains(1L), v2)
   }
 
+  test("commit tag round-trips; untagged commits read back as None") {
+    val t = freshTable("tt_tag")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false,
+      tag = Some("stream-batch-0"))
+    TxnTable.commit(spark, Seq(2L).toDF("id"), t, overwrite = false)
+    assert(TxnTable.commitTag(t, 1).contains("stream-batch-0"))
+    assert(TxnTable.commitTag(t, 2).isEmpty)
+    assert(TxnTable.commitTag(t, 99).isEmpty) // nonexistent version
+    // tags ride along without disturbing snapshot replay
+    assert(rows(t) == Set(1L, 2L))
+    // the quote-scan log parser is the contract: reject tags it can't carry
+    intercept[IllegalArgumentException] {
+      TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false,
+        tag = Some("""bad"tag"""))
+    }
+  }
+
   test("readers keep their snapshot across a concurrent overwrite") {
     val t = freshTable("tt_isolation")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false)

@@ -206,6 +206,23 @@ class EventsStreamingSpec extends SparkSpec {
     }
     assert(EventsStreaming.tsDivisor(spark, s"$base/ns") === 1000L)
     assert(EventsStreaming.tsDivisor(spark, s"$base/us") === 1L)
+    // an unknown unit (e.g. a millis restage — below the µs range) must
+    // fail loudly, not silently misconvert every timestamp
+    Seq((1L, epochUs / 1000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/ms")
+    val exUnit = intercept[IllegalArgumentException] {
+      EventsStreaming.tsDivisor(spark, s"$base/ms")
+    }
+    assert(exUnit.getMessage.contains("unrecognized ts unit"))
+    // an all-null ts column must fail with a clear message, not NPE
+    Seq((1L, null.asInstanceOf[java.lang.Long], 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/nullts")
+    val exNull = intercept[IllegalArgumentException] {
+      EventsStreaming.tsDivisor(spark, s"$base/nullts")
+    }
+    assert(exNull.getMessage.contains("no non-null ts"))
   }
 
   test("txn sink: one atomic commit per micro-batch, replay is a no-op") {
@@ -248,6 +265,58 @@ class EventsStreamingSpec extends SparkSpec {
     catch { case _: java.util.ConcurrentModificationException => () }
     assert(TxnTable.currentVersion(table) === 2)
     assert(TxnTable.read(spark, table).count() === events.length.toLong)
+  }
+
+  test("txn sink conflict adjudication: own-tag retry no-ops, foreign commit fails loudly") {
+    import graft.sources.TxnTable
+    val dir = new java.io.File("/root/repo/target/tmp/stream/txnsink_conflict")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val half = events.length / 2
+    def writeChunk(chunk: Array[org.apache.spark.sql.Row], name: String): Unit = {
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val scratch = new java.io.File(dir, s"build_$name")
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    writeChunk(events.take(half), "chunk_00")
+    EventsStreaming.txnSinkIngest(spark, sfDir, inputDir = Some(dir.toString))
+    val table = s"/root/repo/target/tmp/stream/txn_sink_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    assert(TxnTable.currentVersion(table) === 1)
+
+    // CASE 1 — own-tag conflict (a prior attempt of batch 1 landed but the
+    // checkpoint missed the ack): the resumed run must treat it as the
+    // exactly-once retry and NOT double-append
+    writeChunk(events.slice(half, half + 10), "chunk_01")
+    TxnTable.commit(spark, spark.read.parquet(s"$dir/chunk_01.parquet"),
+      table, overwrite = false, expectedVersion = Some(2),
+      tag = Some("stream-batch-1"))
+    EventsStreaming.txnSinkIngest(spark, sfDir,
+      inputDir = Some(dir.toString), resume = true)
+    assert(TxnTable.currentVersion(table) === 2) // no duplicate commit
+
+    // CASE 2 — FOREIGN commit occupies the batch's version slot: the sink
+    // must fail loudly, never silently no-op (that would drop the batch)
+    writeChunk(events.slice(half + 10, half + 20), "chunk_02")
+    TxnTable.commit(spark, Seq(-1L).toDF("event_id"), table,
+      overwrite = false, expectedVersion = Some(3),
+      tag = Some("out-of-band-writer"))
+    val ex = intercept[Exception] {
+      EventsStreaming.txnSinkIngest(spark, sfDir,
+        inputDir = Some(dir.toString), resume = true)
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("out-of-band commit")),
+      s"expected loud out-of-band failure, got: ${rootMessages(ex)}")
   }
 
   test("txn sink resume: a later run processes only newly-arrived files") {

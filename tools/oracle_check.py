@@ -48,8 +48,28 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            duck_df = canon(con.execute(sql).df())
+            rel = con.sql(sql)
+            # The driver's value hash is TYPE-SENSITIVE. DuckDB silently
+            # promotes SUM/list_sum over BIGINT to HUGEINT (INT128), which
+            # pandas renders as float64 — values then compare equal here
+            # while the driver's hash fails. Reject the promotion outright
+            # so the oracle SQL must carry an explicit CAST.
+            huge = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+            duck_df = canon(rel.df())
             problems = []
+            if huge:
+                problems.append(
+                    f"oracle emits INT128 (driver hash mismatch) — add "
+                    f"CAST(... AS BIGINT): {huge}")
+            # post-canon dtype-kind drift (e.g. int64 vs float64) is exactly
+            # the class the driver hash distinguishes; fail it here too.
+            for c in spark_df.columns:
+                if c in duck_df.columns and \
+                        spark_df[c].dtype.kind != duck_df[c].dtype.kind:
+                    problems.append(
+                        f"dtype drift {c}: spark {spark_df[c].dtype} vs "
+                        f"oracle {duck_df[c].dtype}")
             if len(spark_df) != len(duck_df):
                 problems.append(f"rows {len(spark_df)} vs {len(duck_df)}")
             if list(spark_df.columns) != list(duck_df.columns):
