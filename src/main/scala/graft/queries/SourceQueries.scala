@@ -239,6 +239,57 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── MULTI-TABLE atomic commit (TxnCatalog): the reference's
+    //    schema-gated DAG loads six warehouse tables "together"
+    //    (pipeline.py:1068-1074) but each to_sql lands alone — a crash
+    //    mid-run leaves the warehouse half-updated. Here txn 1 commits
+    //    cust+ord in ONE catalog transaction, a simulated crash strands
+    //    an orphan cust version (table-log committed, catalog entry never
+    //    published), and txn 2 appends cust / overwrites ord. The output
+    //    reads every (table × txn) snapshot through the catalog: the
+    //    orphan's keys (%3=1) must appear NOWHERE — that invisibility is
+    //    what the hash gates.
+    sql("q_src_txn_multi",
+      """SELECT 'cust' AS tbl, CAST(1 AS BIGINT) AS txn, COUNT(*) AS n,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT 'cust', CAST(2 AS BIGINT), COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 IN (0, 2)
+        |UNION ALL
+        |SELECT 'ord', CAST(1 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT 'ord', CAST(2 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 IN (1, 2)
+        |ORDER BY tbl, txn""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_catalog")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val cust = (ms: Seq[Int]) => Tables.customer(s, d)
+        .filter((col("c_custkey") % 3).isin(ms: _*)).select("c_custkey")
+      val ord = (ms: Seq[Int]) => Tables.orders(s, d)
+        .filter((col("o_orderkey") % 4).isin(ms: _*)).select("o_orderkey")
+      TxnCatalog.commitAll(s, cat, Seq(              // txn 1, atomic pair
+        Write("cust", cust(Seq(0))), Write("ord", ord(Seq(0)))))
+      TxnTable.commit(s, cust(Seq(1)),               // crash: orphan version
+        TxnCatalog.tablePath(cat, "cust"), overwrite = false)
+      TxnCatalog.commitAll(s, cat, Seq(              // txn 2
+        Write("cust", cust(Seq(2))),
+        Write("ord", ord(Seq(1, 2)), overwrite = true)))
+      def snap(tbl: String, txn: Int, key: String) =
+        TxnCatalog.read(s, cat, tbl, asOf = Some(txn))
+          .agg(count(lit(1)).as("n"), sum(col(key)).as("key_sum"))
+          .select(lit(tbl).as("tbl"), lit(txn.toLong).as("txn"),
+            col("n"), col("key_sum"))
+      snap("cust", 1, "c_custkey")
+        .unionByName(snap("cust", 2, "c_custkey"))
+        .unionByName(snap("ord", 1, "o_orderkey"))
+        .unionByName(snap("ord", 2, "o_orderkey"))
+        .orderBy("tbl", "txn")
+    },
+
     // ── keyed snapshot diff over two txn-table versions (TableDiff ×
     //    TxnTable): v1 holds keys %5∈{0,1}; the overwrite keeps %5=1 with a
     //    doubled price and brings in %5=2 — so the diff is exactly one

@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC commit over a set of [[TxnTable]]s — the missing
+  * piece the reference's warehouse DAG needs: its schema-gated run
+  * (reference `pipeline.py:1068-1074`) loads six tables "together", but
+  * each `to_sql` lands independently, so a crash mid-run leaves the
+  * warehouse half-updated. Here the unit of visibility is a CATALOG
+  * transaction: N per-table commits become visible to catalog readers
+  * through ONE atomic log-entry publish — all or none, the metastore/
+  * Nessie idea in its minimal honest form.
+  *
+  * Layout:
+  * {{{
+  *   catalog/
+  *     tables/<name>/             -- each a TxnTable (data + _graft_log)
+  *     _graft_txn/t00001.json     -- {"txn":1,"tables":{"cust":2,"ord":1},
+  *                                --  "created":{"cust":2,"ord":1}}
+  * }}}
+  *
+  * Protocol: stage every table write as a normal TxnTable commit (each
+  * atomic per-table, but INVISIBLE to catalog readers), then publish one
+  * catalog entry — the same put-if-absent link(2) commit point TxnTable
+  * uses — mapping every table to its pinned version. A crash or a lost
+  * race between the table commits and the catalog publish leaves
+  * committed-but-unreferenced table versions: catalog readers replay
+  * ONLY catalog-created versions, so orphans are invisible (and die in
+  * the per-table vacuum), never half a transaction.
+  *
+  * `tables` in an entry is the FULL mapping (snapshot read = one entry);
+  * `created` is the subset this txn wrote (at most one version per table
+  * per txn) — the reader's whitelist against orphan versions from failed
+  * transactions sharing the same per-table log.
+  */
+object TxnCatalog {
+
+  /** One table write inside a transaction. `overwrite = true` replaces
+    * the table's catalog-visible content; `false` appends. */
+  final case class Write(name: String, df: DataFrame, overwrite: Boolean = false)
+
+  def tablePath(catalog: String, name: String): String =
+    new File(new File(catalog, "tables"), name).getPath
+
+  private def txnDir(catalog: String) = new File(catalog, "_graft_txn")
+
+  private def txnOf(f: File): Int =
+    f.getName.stripPrefix("t").stripSuffix(".json").toInt
+
+  private def txnFiles(catalog: String): Seq[File] =
+    Option(txnDir(catalog).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("t\\d{5}\\.json"))
+      .sortBy(txnOf).toSeq
+
+  /** Latest committed transaction, 0 if the catalog is unborn. */
+  def currentTxn(catalog: String): Int =
+    txnFiles(catalog).lastOption.map(txnOf).getOrElse(0)
+
+  /** Table names are path segments AND log-parser tokens — keep both
+    * honest with one grammar. */
+  private def checkName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"table name must be [A-Za-z0-9._-]+: '$name'")
+
+  private def jsonMap(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  /** Parse `{"name":version,...}` after the given key — same
+    * dependency-free quote-scan contract as TxnTable's log parser. */
+  private def parseMap(s: String, key: String): Map[String, Int] = {
+    val i = s.indexOf("\"" + key + "\":{")
+    require(i >= 0, s"malformed catalog entry: missing $key")
+    val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+    "\"([A-Za-z0-9._-]+)\":(\\d+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  private def entryAt(catalog: String, asOf: Option[Int]): Option[File] =
+    txnFiles(catalog).filter(f => asOf.forall(txnOf(f) <= _)).lastOption
+
+  /** The full table→version mapping as of `asOf` (latest when None). */
+  def tableVersions(catalog: String, asOf: Option[Int] = None): Map[String, Int] =
+    entryAt(catalog, asOf) match {
+      case None => Map.empty
+      case Some(f) =>
+        parseMap(new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8), "tables")
+    }
+
+  /** The writer tag published with transaction `txn`, if any. */
+  def commitTag(catalog: String, txn: Int): Option[String] = {
+    val f = new File(txnDir(catalog), f"t$txn%05d.json")
+    if (!f.isFile) None
+    else "\"tag\":\"([^\"]*)\"".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)).map(_.group(1))
+  }
+
+  /** Commit every write in `writes` as ONE catalog transaction and
+    * return its number. Readers see all of them or none of them.
+    *
+    * Optimistic concurrency mirrors [[TxnTable.commit]]: pass
+    * `expectedTxn` to pin the snapshot this writer built on + 1; a lost
+    * race throws `ConcurrentModificationException` AFTER the per-table
+    * commits — those versions stay orphaned (catalog-invisible, swept by
+    * per-table vacuum), the standard re-read-and-retry loop applies. */
+  def commitAll(spark: SparkSession, catalog: String, writes: Seq[Write],
+                expectedTxn: Option[Int] = None,
+                tag: Option[String] = None): Int = {
+    require(writes.nonEmpty, "a transaction needs at least one write")
+    require(writes.map(_.name).distinct.size == writes.size,
+      s"one version per table per txn: duplicate names in ${writes.map(_.name)}")
+    writes.foreach(w => checkName(w.name))
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 1, s"expectedTxn must be >= 1, got $txn")
+    val base = tableVersions(catalog, Some(txn - 1))
+    // stage: per-table commits, catalog-invisible until the entry lands.
+    // An overwrite must remove exactly the CATALOG-visible files, not the
+    // table-local live set (which may include orphans a failed txn added
+    // and this replay never saw) — so overwrites land as append commits
+    // and the removal is carried by the catalog replay: a created version
+    // with "overwrite" semantics resets the reader's file set. Encode
+    // that by committing through TxnTable with overwrite = w.overwrite:
+    // TxnTable's removal list is a superset of the catalog-visible files
+    // (same files plus orphans), and replay subtracts only what it added,
+    // so both ledgers agree on the catalog-visible outcome.
+    val created = writes.map { w =>
+      w.name -> TxnTable.commit(spark, w.df, tablePath(catalog, w.name),
+        overwrite = w.overwrite, tag = tag)
+    }.toMap
+    val entry = {
+      val tagField = tag.map { t =>
+        require(t.matches("[A-Za-z0-9._-]+"),
+          s"tag must be [A-Za-z0-9._-]+: '$t'")
+        s""","tag":"$t""""
+      }.getOrElse("")
+      s"""{"txn":$txn,"tables":${jsonMap(base ++ created)},""" +
+        s""""created":${jsonMap(created)}$tagField}"""
+    }
+    txnDir(catalog).mkdirs()
+    val tmpF = new File(txnDir(catalog),
+      f".t$txn%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
+    Files.write(tmpF.toPath, entry.getBytes(StandardCharsets.UTF_8))
+    val target = new File(txnDir(catalog), f"t$txn%05d.json").toPath
+    try {
+      Files.createLink(target, tmpF.toPath)
+      Files.deleteIfExists(tmpF.toPath)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmpF.toPath)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog txn $txn of $catalog was published by another writer " +
+            "(this writer's staged table versions stay orphaned)", e)
+    }
+    txn
+  }
+
+  /** Read `name` as of catalog transaction `asOf` (latest when None).
+    *
+    * NOT `TxnTable.read(asOf = pinnedVersion)`: the per-table log may
+    * hold orphan versions from failed/racing transactions below the
+    * pinned version, and a plain replay would resurrect their rows.
+    * Replay here walks ONLY the versions catalog entries `<= asOf`
+    * created, in version order — the catalog lineage IS the table
+    * history. */
+  def read(spark: SparkSession, catalog: String, name: String,
+           asOf: Option[Int] = None): DataFrame = {
+    checkName(name)
+    val entries = txnFiles(catalog).filter(f => asOf.forall(txnOf(f) <= _))
+    require(entries.nonEmpty,
+      s"no committed transaction in $catalog${asOf.fold("")(t => s" as of t$t")}")
+    val pinned = tableVersions(catalog, asOf).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table '$name' does not exist in $catalog" +
+          asOf.fold("")(t => s" as of t$t")))
+    val createdVersions = entries.flatMap { f =>
+      parseMap(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8), "created").get(name)
+    }.toSet
+    val table = tablePath(catalog, name)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    TxnTable.logFiles(table)
+      .filter(f => createdVersions.contains(TxnTable.versionOf(f)) &&
+        TxnTable.versionOf(f) <= pinned)
+      .foreach { f =>
+        val (added, removed) = TxnTable.parseEntry(f)
+        live --= removed
+        live ++= added
+      }
+    require(live.nonEmpty,
+      s"no live files for '$name' in $catalog${asOf.fold("")(t => s" as of t$t")}")
+    spark.read.parquet(live.toSeq.map(p => new File(table, p).getPath): _*)
+  }
+}

@@ -30,12 +30,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object TxnTable {
 
-  private def logDir(table: String) = new File(table, "_graft_log")
+  private[sources] def logDir(table: String) = new File(table, "_graft_log")
 
-  private def versionOf(f: File): Int =
+  private[sources] def versionOf(f: File): Int =
     f.getName.stripPrefix("v").stripSuffix(".json").toInt
 
-  private def logFiles(table: String): Seq[File] =
+  private[sources] def logFiles(table: String): Seq[File] =
     Option(logDir(table).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("v\\d{5}\\.json"))
       .sortBy(versionOf).toSeq
@@ -57,7 +57,7 @@ object TxnTable {
     * we wrote ourselves (no quotes/escapes), so a quoted-string scan is
     * exact. Kept dependency-free on purpose — the log format is the
     * contract here, not the parser. */
-  private def parseEntry(f: File): (Seq[String], Seq[String]) = {
+  private[sources] def parseEntry(f: File): (Seq[String], Seq[String]) = {
     val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
     def arr(key: String): Seq[String] = {
       val i = s.indexOf("\"" + key + "\":[")

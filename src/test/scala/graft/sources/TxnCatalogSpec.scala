@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+
+/** Behavior specs for the multi-table catalog transaction: all-or-none
+  * visibility across tables, orphan invisibility (crash and lost-race
+  * shapes), per-transaction time travel, and overwrite semantics through
+  * the catalog replay.
+  */
+class TxnCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+  import TxnCatalog.Write
+
+  private def freshCatalog(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_cat_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  private def ids(c: String, t: String, asOf: Option[Int] = None): Set[Long] =
+    TxnCatalog.read(spark, c, t, asOf).select("id").as[Long].collect().toSet
+
+  test("one transaction commits N tables atomically; time travel per txn") {
+    val c = freshCatalog("basic")
+    assert(TxnCatalog.commitAll(spark, c, Seq(
+      Write("cust", Seq(1L, 2L).toDF("id")),
+      Write("ord", Seq(10L).toDF("id")))) == 1)
+    assert(TxnCatalog.commitAll(spark, c, Seq(
+      Write("cust", Seq(3L).toDF("id")),                    // append
+      Write("ord", Seq(20L).toDF("id"), overwrite = true))) == 2)
+    // only one table in txn 3 — the other carries over
+    assert(TxnCatalog.commitAll(spark, c, Seq(
+      Write("cust", Seq(4L).toDF("id")))) == 3)
+
+    assert(ids(c, "cust") == Set(1L, 2L, 3L, 4L))
+    assert(ids(c, "ord") == Set(20L))
+    assert(ids(c, "cust", Some(1)) == Set(1L, 2L))
+    assert(ids(c, "ord", Some(1)) == Set(10L))
+    assert(ids(c, "cust", Some(2)) == Set(1L, 2L, 3L))
+    assert(ids(c, "ord", Some(2)) == Set(20L))
+    assert(ids(c, "ord", Some(3)) == Set(20L))
+    assert(TxnCatalog.tableVersions(c) == Map("cust" -> 3, "ord" -> 2))
+  }
+
+  test("a crash between table commits and catalog publish is invisible") {
+    val c = freshCatalog("crash")
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(1L).toDF("id"))))
+    // simulate: a second transaction staged its table write (the per-table
+    // commit LANDED in the table's own log) but died before the catalog
+    // entry — exactly the half-updated-warehouse shape the reference has
+    TxnTable.commit(spark, Seq(99L).toDF("id"),
+      TxnCatalog.tablePath(c, "t"), overwrite = false)
+    assert(TxnTable.currentVersion(TxnCatalog.tablePath(c, "t")) == 2)
+    assert(TxnCatalog.currentTxn(c) == 1)
+    assert(ids(c, "t") == Set(1L), "orphan version must stay invisible")
+    // and the NEXT committed transaction does not resurrect the orphan:
+    // its rows never appear even though the orphan version sits below
+    // the new pinned version in the same per-table log
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(2L).toDF("id"))))
+    assert(ids(c, "t") == Set(1L, 2L))
+    // an overwrite after the orphan clears catalog-visible history too
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("t", Seq(7L).toDF("id"), overwrite = true)))
+    assert(ids(c, "t") == Set(7L))
+    assert(ids(c, "t", Some(2)) == Set(1L, 2L), "time travel intact")
+  }
+
+  test("racing transactions: exactly one publishes, the loser stays invisible") {
+    val c = freshCatalog("race")
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(1L).toDF("id"))))
+    // both writers pin expectedTxn = 2; A lands first
+    assert(TxnCatalog.commitAll(spark, c,
+      Seq(Write("t", Seq(2L).toDF("id"))), expectedTxn = Some(2)) == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      TxnCatalog.commitAll(spark, c,
+        Seq(Write("t", Seq(666L).toDF("id"))), expectedTxn = Some(2))
+    }
+    assert(ids(c, "t") == Set(1L, 2L), "loser's rows must never surface")
+    assert(TxnCatalog.currentTxn(c) == 2)
+    // the winner's lineage continues cleanly past the orphan
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(3L).toDF("id"))))
+    assert(ids(c, "t") == Set(1L, 2L, 3L))
+  }
+
+  test("reads fail loudly for unknown tables and unborn catalogs") {
+    val c = freshCatalog("empty")
+    intercept[IllegalArgumentException] { ids(c, "t") }
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(1L).toDF("id"))))
+    intercept[IllegalArgumentException] { ids(c, "nope") }
+    intercept[IllegalArgumentException] {
+      TxnCatalog.commitAll(spark, c, Seq(
+        Write("t", Seq(1L).toDF("id")), Write("t", Seq(2L).toDF("id"))))
+    }
+  }
+}
