@@ -519,6 +519,43 @@ object SourceQueries {
       EventsStreaming.userSessions(s, d, gapMinutes = 30).orderBy("user_id")
     },
 
+    // ── NATIVE streaming session_window aggregation (§2.11's incremental
+    //    window made first-class): Spark's merging session state store
+    //    under a watermark, append mode, AvailableNow — flushed
+    //    deterministically by a far-future sentinel so every real session
+    //    emits (see EventsStreaming.sessionWindowAgg). Oracle = the same
+    //    gaps-and-islands replay as the batch q_sessionize_native;
+    //    streaming-vs-batch equality is additionally spec-pinned across
+    //    multi-batch chunked runs.
+    sql("q_stream_session_window",
+      """WITH seq AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |tagged AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM seq)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM tagged GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      EventsStreaming.sessionWindowAgg(s, d, gapHours = 6)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ── flatMapGroupsWithState emit-on-close sessionization: every session
     //    CLOSED by a later event (gap > 30 min); each user's still-open
     //    final island is dropped on both sides.

@@ -191,6 +191,73 @@ object EventsStreaming {
       .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
+  /** NATIVE streaming session-window aggregation — the built-in
+    * `session_window` under a watermark, completing the trio next to the
+    * batch form (q_sessionize_native) and the custom-state forms
+    * ([[userSessions]]/[[completedSessions]]): Spark's own merging
+    * session state store, append mode, sessions final the moment the
+    * watermark passes their end.
+    *
+    * Determinism: append mode only EMITS a session once the watermark
+    * (max event time − gap) passes `last_event + gap`, so each run's
+    * tail sessions would stay trapped in state. The staging therefore
+    * adds one far-future SENTINEL row (user_id −1): after its batch the
+    * watermark clears every real session and the terminal no-data
+    * micro-batch flushes them all; the sentinel's own still-open session
+    * is filtered out. With the watermark delay EQUAL to the gap and
+    * time-ordered input files, no real event can ever be late for an
+    * already-emitted session (merge needs ts ≤ last+gap, emission needs
+    * last+gap < maxSeen−gap ≤ ts — contradiction), so multi-batch runs
+    * equal the batch rollup exactly. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String, gapHours: Int = 6,
+                       inputDir: Option[String] = None,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ss = streamSession(spark)
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = s"stream_swagg_${System.nanoTime()}"
+    val src = inputDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, src)
+    // fresh per-run staging: the source file(s) plus the sentinel (written
+    // LAST — latest mtime — so maxFilesPerTrigger runs see it in the
+    // final batch, after every real event)
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/stream/swagg_${System.nanoTime()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .foreach(f => Files.copy(f.toPath, Paths.get(dir.getPath, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES))
+    val maxRaw = ss.read.schema(rawSchema).parquet(src)
+      .agg(max("ts")).head().getLong(0)
+    locally {
+      import ss.implicits._
+      Seq((-1L, maxRaw * 2, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+    }
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val agg = reader.parquet(dir.getPath)
+      .withColumn("ts", rawTs(div))
+      .withWatermark("ts", s"$gapHours hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapHours hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    out
+  }
+
   case class OpenSession(start: Long, last: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start: Long,
                            session_end: Long, n_events: Long)

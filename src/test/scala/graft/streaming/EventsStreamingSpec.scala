@@ -225,6 +225,45 @@ class EventsStreamingSpec extends SparkSpec {
     assert(exNull.getMessage.contains("no non-null ts"))
   }
 
+  test("native session_window stream equals the batch rollup, single and multi batch") {
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("user_id"), col("session_start").cast("long"),
+          col("session_end").cast("long"), col("n_events"))
+        .collect().map(_.mkString("|")).toSet
+    val batch = canon(Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events")))
+    // single batch: one staged file + sentinel
+    val single = canon(EventsStreaming.sessionWindowAgg(spark, sfDir))
+    assert(single === batch)
+    // multi batch: time-ordered chunk files, one per micro-batch — sessions
+    // spanning a chunk boundary must merge in the session state store
+    val dir = new java.io.File("/root/repo/target/tmp/stream/swagg_chunks")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val n = events.length
+    Seq(events.take(n / 3), events.slice(n / 3, 2 * n / 3),
+        events.drop(2 * n / 3)).zipWithIndex.foreach { case (chunk, i) =>
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val scratch = new java.io.File(dir, s"build_$i")
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    val multi = canon(EventsStreaming.sessionWindowAgg(spark, sfDir,
+      inputDir = Some(dir.toString), maxFilesPerTrigger = Some(1)))
+    assert(multi === batch)
+  }
+
   test("txn sink: one atomic commit per micro-batch, replay is a no-op") {
     import graft.sources.TxnTable
     // stage two disjoint time-ordered chunk files → maxFilesPerTrigger=1
