@@ -74,6 +74,76 @@ object Sampling {
       .drop("__cap")
   }
 
+  /** Weight-proportional Bernoulli sampling with a RATIONAL exponent —
+    * the general weight-exponent sampler (keep probability
+    * p_i = rate · (w_i / w_max)^(p/q)) in an INTEGER-EXACT formulation.
+    *
+    * The blocker for this family was cross-engine `pow` determinism
+    * (IEEE pow is not correctly rounded; Spark and DuckDB can disagree
+    * on boundary buckets). The trick: never compute the power. The
+    * inclusion test  bucket/B < rate·(w/W)^(p/q)  raised to the q-th
+    * power (monotone for non-negatives) becomes
+    *
+    *   bucket^q · W^p  <  w^p · rateQ^q      (rateQ = round(rate·B))
+    *
+    * — pure BIGINT products both engines evaluate bit-identically, for
+    * ANY rational exponent. The driver-side scalar is one max(weight)
+    * fetch (a model read, never data); the filter itself is scan-side,
+    * shuffle-free, and layout-invariant like [[bernoulli]]. Overflow is
+    * checked EXACTLY (BigInt) against the actual W/rate/exponent before
+    * the job runs — a combination that cannot fit in a long fails
+    * loudly, never wraps. */
+  def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
+                        rate: Double = 1.0, expNum: Int = 1,
+                        expDen: Int = 1): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate in [0,1]")
+    require(expNum >= 1 && expDen >= 1, "exponent p/q must be positive")
+    val b = 10000L
+    val rateQ = math.round(rate * b)
+    val wMax = df.agg(max(col(weightCol).cast("long"))).head().getLong(0)
+    require(wMax >= 1, s"max($weightCol) must be >= 1, got $wMax")
+    val lhsMax = BigInt(b - 1).pow(expDen) * BigInt(wMax).pow(expNum)
+    val rhsMax = BigInt(wMax).pow(expNum) * BigInt(rateQ).pow(expDen)
+    require(lhsMax < Long.MaxValue && rhsMax < Long.MaxValue,
+      s"weight/exponent combination overflows 64-bit: max lhs $lhsMax, " +
+        s"max rhs $rhsMax — lower the exponent or pre-scale the weight")
+    def powC(c: Column, e: Int) = Seq.fill(e)(c).reduce(_ * _)
+    val w = col(weightCol).cast("long")
+    df.filter(w >= 1 && powC(hashBucket(col(idCol), b.toInt), expDen) *
+      lit(Seq.fill(expNum)(wMax).product) <
+      powC(w, expNum) * lit(Seq.fill(expDen)(rateQ).product))
+  }
+
+  /** Temperature resampling with a RATIONAL keep exponent — the general
+    * form of [[sqrtTemperatureSample]] (which is pinned to α = 0.5):
+    * every stratum keeps rate_l = (n_min / n_l)^(p/q) of its rows, via
+    * the same raised-to-the-q integer comparison as
+    * [[weightedBernoulli]]:
+    *
+    *   bucket^q · n_l^p  <  n_min^p · B^q
+    *
+    * One tiny count aggregate builds the per-stratum table, broadcast
+    * back; the corpus-side filter is scan-side and shuffle-free. */
+  def rationalTemperatureSample(df: DataFrame, stratumCol: String,
+                                idCol: String, expNum: Int,
+                                expDen: Int): DataFrame = {
+    require(expNum >= 1 && expDen >= 1, "exponent p/q must be positive")
+    val b = 10000L
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nMax = counts.agg(max(col("__n"))).head().getLong(0)
+    val lhsMax = BigInt(b - 1).pow(expDen) * BigInt(nMax).pow(expNum)
+    val rhsMax = BigInt(nMax).pow(expNum) * BigInt(b).pow(expDen)
+    require(lhsMax < Long.MaxValue && rhsMax < Long.MaxValue,
+      s"stratum-count/exponent combination overflows 64-bit ($lhsMax/$rhsMax)")
+    def powC(c: Column, e: Int) = Seq.fill(e)(c).reduce(_ * _)
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val caps = counts.crossJoin(broadcast(minN))
+    df.join(broadcast(caps), stratumCol)
+      .filter(powC(hashBucket(col(idCol), b.toInt), expDen) * powC(col("__n"), expNum) <
+        powC(col("__n_min"), expNum) * lit(Seq.fill(expDen)(b).product))
+      .drop("__n", "__n_min")
+  }
+
   /** Leakage-safe train/val/test split: the split is assigned by hashing
     * the GROUP key, not the row, so every row of a group (a near-dup
     * cluster, a source domain, a user's documents) lands in the same

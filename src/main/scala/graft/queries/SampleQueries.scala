@@ -29,6 +29,47 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // ── weight-proportional sampling with a RATIONAL exponent (α = 3/2,
+    //    rate 0.5): p_i = 0.5·(n_chars/max)^1.5 WITHOUT pow — the test
+    //    bucket/B < rate·(w/W)^(p/q) raised to the q-th power is
+    //    bucket²·W³ < w³·rateQ², pure BIGINT products both engines agree
+    //    on bit-for-bit. The formulation that unblocked the general
+    //    weight-exponent sampler (r7 verdict gap #3).
+    sql("q_sample_weighted",
+      s"""WITH wm AS (SELECT MAX(n_chars) AS w FROM documents),
+         |d AS (SELECT doc_id, lang, n_chars,
+         |             ${bucketSql("doc_id")} AS bk FROM documents)
+         |SELECT doc_id, lang, n_chars
+         |FROM d, wm
+         |WHERE n_chars >= 1
+         |  AND bk * bk * (w * w * w)
+         |      < (n_chars * n_chars * n_chars) * (5000 * 5000)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id", "n_chars",
+          rate = 0.5, expNum = 3, expDen = 2)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ── rational-exponent temperature resampling (keep exponent 1/3):
+    //    stratum l keeps (n_min/n_l)^(1/3) of its rows — flatter than the
+    //    sqrt sampler's α=0.5 — via the same integer raised-power test:
+    //    bucket³·n_l < n_min·B³. One |langs|-row count table broadcast
+    //    back; the corpus filter stays scan-side.
+    sql("q_sample_temperature_rational",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(n) AS nmin FROM c),
+         |d AS (SELECT doc_id, lang, ${bucketSql("doc_id")} AS bk FROM documents)
+         |SELECT d.doc_id, d.lang
+         |FROM d JOIN c USING (lang), m
+         |WHERE bk * bk * bk * c.n < m.nmin * CAST(1000000000000 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.rationalTemperatureSample(Tables.documents(s, d), "lang",
+          "doc_id", expNum = 1, expDen = 3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ── stratified cap: at most 25 docs per language, the 25 smallest
     //    (md5(doc_id), doc_id) per stratum — class rebalancing that keeps
     //    under-represented strata whole

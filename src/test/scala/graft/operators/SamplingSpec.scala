@@ -31,6 +31,56 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("weighted bernoulli: exact nesting in exponent and rate, layout-invariant") {
+    def ids(df: org.apache.spark.sql.DataFrame, rate: Double,
+            p: Int, q: Int): Set[Long] =
+      Sampling.weightedBernoulli(df, "doc_id", "n_chars", rate, p, q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // layout invariance — the defining property vs df.sample
+    assert(ids(docs, 0.5, 3, 2) === ids(docs.repartition(13), 0.5, 3, 2))
+    // a steeper exponent keeps strictly fewer: (w/W)^a decreasing in a,
+    // SAME bucket per row → selection sets nest EXACTLY (not just sizes)
+    val flat = ids(docs, 0.8, 1, 2)   // α = 0.5
+    val lin = ids(docs, 0.8, 1, 1)    // α = 1
+    val steep = ids(docs, 0.8, 3, 2)  // α = 1.5
+    assert(steep.subsetOf(lin) && lin.subsetOf(flat))
+    assert(steep.nonEmpty && flat.size > steep.size)
+    // rate nests too
+    assert(ids(docs, 0.3, 1, 1).subsetOf(ids(docs, 0.6, 1, 1)))
+    // at rate=1 every max-weight row survives any exponent:
+    // bucket^q·W^p < W^p·B^q reduces to bucket < B, always true
+    val wMax = docs.agg(max("n_chars")).head().getLong(0)
+    val maxIds = docs.filter(col("n_chars") === wMax)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(maxIds.subsetOf(ids(docs, 1.0, 3, 2)))
+    // an overflowing weight/exponent combination fails loudly, never wraps
+    intercept[IllegalArgumentException] {
+      Sampling.weightedBernoulli(
+        docs.withColumn("big", col("n_chars") * 1000000L),
+        "doc_id", "big", 1.0, 3, 2).count()
+    }
+  }
+
+  test("rational temperature (1/2) is the exact-boundary form of the sqrt sampler") {
+    def idSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSqrt = idSet(Sampling.sqrtTemperatureSample(docs, "lang", "doc_id"))
+    val viaRational = idSet(
+      Sampling.rationalTemperatureSample(docs, "lang", "doc_id", 1, 2))
+    // the sqrt form floors its per-stratum cap (bucket < floor(x)); the
+    // raised-power form compares exactly (bucket < x) — so rational ⊇
+    // sqrt, differing only on each stratum's single boundary bucket
+    assert(viaSqrt.subsetOf(viaRational))
+    val nLangs = docs.select("lang").distinct().count()
+    val extra = viaRational -- viaSqrt
+    // at most a handful of rows sit exactly on a boundary bucket
+    assert(extra.size <= nLangs * 3, s"${extra.size} extras for $nLangs strata")
+    // flatter keep-exponent keeps more, exact nesting per row
+    val third = idSet(
+      Sampling.rationalTemperatureSample(docs, "lang", "doc_id", 1, 3))
+    assert(viaRational.subsetOf(third))
+  }
+
   test("stratified cap keeps at most k per stratum, small strata whole, deterministically") {
     val out = Sampling.stratifiedCap(docs, Seq("lang"), "doc_id", k = 25)
     val sizes = out.groupBy("lang").count().collect()
