@@ -38,7 +38,10 @@ object Contracts {
     def name = s"unique($column)"
   }
 
-  private def violation(r: Rule): Column = r match {
+  /** Per-row violation flag (0/1) for a scan-evaluable rule — shared with
+    * TxnTable.commitChecked, which folds these into write-job Observation
+    * metrics (CHECK constraints without a second scan). */
+  private[graft] def violation(r: Rule): Column = r match {
     case NotNull(c) => when(col(c).isNull, 1L).otherwise(0L)
     case InRange(c, lo, hi) =>
       when(col(c).isNull || col(c) < lo || col(c) > hi, 1L).otherwise(0L)

@@ -239,6 +239,69 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── contract-gated commit (TxnTable.commitChecked × Contracts):
+    //    CHECK constraints enforced at the write boundary in ONE pass
+    //    (violation counters ride the write job as Observation metrics).
+    //    The clean slice publishes; the second commit violates its range
+    //    rule and must leave NO trace — the output hashes the surviving
+    //    table state plus the rejection, so a leaked bad commit fails
+    //    the oracle.
+    sql("q_src_commit_checked",
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types,
+        |       CAST(1 AS BIGINT) AS rejected
+        |FROM events WHERE event_id % 2 = 0""".stripMargin) { (s, d) =>
+      import graft.operators.Contracts
+      import s.implicits._
+      val table = tmp("txn_checked")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id", "event_type", "user_id")
+      TxnTable.commitChecked(s, ev.filter(col("event_id") % 2 === 0), table,
+        overwrite = false,
+        rules = Seq(Contracts.NotNull("event_type"),
+          Contracts.InRange("event_id", 0L, Long.MaxValue)))
+      val rejected =
+        try {
+          TxnTable.commitChecked(s, ev.filter(col("event_id") % 2 === 1),
+            table, overwrite = false,
+            rules = Seq(Contracts.InRange("user_id", 0L, 5L)))
+          0L
+        } catch { case _: IllegalStateException => 1L }
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"))
+        .withColumn("rejected", lit(rejected))
+    },
+
+    // ── keyed MERGE / upsert (Merge.upsert × TxnTable.commitRewrite):
+    //    matched keys (%4∈{1}) take the source row, unmatched source keys
+    //    (%4∈{3}) insert, and ONLY files containing a matched key are
+    //    rewritten — the Delta MERGE essentials. The final snapshot is
+    //    one anti-join ∪ source away from the base table, which is
+    //    exactly what the oracle replays.
+    sql("q_src_merge",
+      """SELECT c_custkey, c_nationkey AS val
+        |FROM customer WHERE c_custkey % 4 IN (0, 2)
+        |UNION ALL
+        |SELECT c_custkey, c_nationkey + 100 AS val
+        |FROM customer WHERE c_custkey % 4 IN (1, 3)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_merge")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("val"))
+      TxnTable.commit(s,
+        cust.filter((col("c_custkey") % 4).isin(0, 1)).repartition(4),
+        table, overwrite = false)                       // v1: 4 files
+      TxnTable.commit(s,
+        cust.filter(col("c_custkey") % 4 === 2).repartition(2),
+        table, overwrite = false)                       // v2: +2 files
+      val source = Tables.customer(s, d)
+        .filter((col("c_custkey") % 4).isin(1, 3))
+        .select(col("c_custkey"), (col("c_nationkey") + 100).as("val"))
+      graft.operators.Merge.upsert(s, table, source, Seq("c_custkey"))
+      TxnTable.read(s, table).orderBy("c_custkey")
+    },
+
     // ── MULTI-TABLE atomic commit (TxnCatalog): the reference's
     //    schema-gated DAG loads six warehouse tables "together"
     //    (pipeline.py:1068-1074) but each to_sql lands alone — a crash

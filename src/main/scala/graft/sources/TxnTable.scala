@@ -156,15 +156,54 @@ object TxnTable {
              tag: Option[String] = None): Int = {
     val version = expectedVersion.getOrElse(currentVersion(table) + 1)
     require(version >= 1, s"expectedVersion must be >= 1, got $version")
-    tag.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
-      s"tag must be [A-Za-z0-9._-]+ (the log parser is quote-scan exact): '$t'"))
     val removed = if (overwrite) liveFiles(table, Some(version - 1)) else Seq.empty
+    commitWithRemovals(spark, df, table, version, removed, tag)
+  }
+
+  /** Commit `df` while logically removing exactly `removedFiles`
+    * (table-relative paths, a subset of the current live set) — the
+    * FILE-LEVEL rewrite primitive: MERGE rewrites only the files that
+    * contain a matched key and leaves the rest of a 100 TB table
+    * untouched; plain `overwrite` can only swap everything. */
+  def commitRewrite(spark: SparkSession, df: DataFrame, table: String,
+                    removedFiles: Seq[String],
+                    expectedVersion: Option[Int] = None,
+                    tag: Option[String] = None): Int = {
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    val live = liveFiles(table, Some(version - 1)).toSet
+    val unknown = removedFiles.filterNot(live.contains)
+    require(unknown.isEmpty,
+      s"cannot remove files that are not live in $table at v${version - 1}: " +
+        unknown.take(3).mkString(", "))
+    commitWithRemovals(spark, df, table, version, removedFiles, tag)
+  }
+
+  private def commitWithRemovals(spark: SparkSession, df: DataFrame,
+                                 table: String, version: Int,
+                                 removed: Seq[String],
+                                 tag: Option[String]): Int = {
+    val added = writeData(df, table, version)
+    publish(table, version, added, removed, tag)
+  }
+
+  /** Write the attempt's immutable data dir; returns the added
+    * table-relative files. NOT yet visible — [[publish]] is the commit
+    * point; an unpublished dir is a vacuum orphan. */
+  private def writeData(df: DataFrame, table: String,
+                        version: Int): Seq[String] = {
     // unique data dir per ATTEMPT: racing writers never collide on data,
     // only on the log rename — the loser's dir becomes a vacuum orphan
     val dataPath = new File(table,
       f"data/v$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataPath.getPath)
-    val added = relDataFiles(table, dataPath)
+    relDataFiles(table, dataPath)
+  }
+
+  private def publish(table: String, version: Int, added: Seq[String],
+                      removed: Seq[String], tag: Option[String]): Int = {
+    tag.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
+      s"tag must be [A-Za-z0-9._-]+ (the log parser is quote-scan exact): '$t'"))
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val entry = s"""{"version":$version,"added":${jsonArr(added)},"removed":${jsonArr(removed)}$tagField}"""
     logDir(table).mkdirs()
@@ -194,6 +233,49 @@ object TxnTable {
           s"commit conflict: version $version of $table was published by another writer", e)
     }
     version
+  }
+
+  /** Contract-gated commit — CHECK constraints at the write boundary,
+    * in ONE pass: the per-rule violation counters ride the write job as
+    * `Observation` metrics, so the data is never scanned twice. If any
+    * rule is violated the log entry is NEVER published — readers never
+    * see the bad data; the already-written attempt dir is an ordinary
+    * vacuum orphan (the same crash shape every failed commit has).
+    *
+    * Scan-evaluable rules only ([[graft.operators.Contracts.Unique]]
+    * needs a global aggregate a streaming observation cannot compute —
+    * run it through `Contracts.validate` as a pre-pass instead). */
+  def commitChecked(spark: SparkSession, df: DataFrame, table: String,
+                    overwrite: Boolean,
+                    rules: Seq[graft.operators.Contracts.Rule],
+                    expectedVersion: Option[Int] = None,
+                    tag: Option[String] = None): Int = {
+    import graft.operators.Contracts
+    require(rules.nonEmpty, "commitChecked needs at least one rule")
+    val unique = rules.filter(_.isInstanceOf[Contracts.Unique])
+    require(unique.isEmpty,
+      s"${unique.map(_.name).mkString(",")}: Unique needs a global " +
+        "aggregate — pre-validate with Contracts.validate instead")
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    val removed = if (overwrite) liveFiles(table, Some(version - 1)) else Seq.empty
+    val obs = org.apache.spark.sql.Observation(
+      "graft_check_" + java.util.UUID.randomUUID.toString.take(8))
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val metrics = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (r, i) => coalesce(sum(Contracts.violation(r)), lit(0L)).as(s"__v$i")
+    }
+    val added = writeData(df.observe(obs, metrics.head, metrics.tail: _*),
+      table, version)
+    val row = obs.get
+    val bad = rules.zipWithIndex
+      .map { case (r, i) => r -> row(s"__v$i").asInstanceOf[Long] }
+      .filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"contract violation on commit to $table (nothing published): " +
+          bad.map { case (r, n) => s"${r.name}=$n" }.mkString(", "))
+    publish(table, version, added, removed, tag)
   }
 
   /** Files ADDED in versions (`fromExclusive`, `toInclusive`] — the

@@ -126,6 +126,30 @@ class TxnTableSpec extends SparkSpec {
     }
   }
 
+  test("commitChecked: clean data publishes, a violated contract never does") {
+    import graft.operators.Contracts
+    val t = freshTable("tt_checked")
+    assert(TxnTable.commitChecked(spark, Seq(1L, 2L).toDF("id"), t,
+      overwrite = false,
+      rules = Seq(Contracts.NotNull("id"), Contracts.InRange("id", 0, 100))) == 1)
+    // the violating commit writes its attempt dir but must never publish
+    val ex = intercept[IllegalStateException] {
+      TxnTable.commitChecked(spark, Seq(5L, 500L).toDF("id"), t,
+        overwrite = false, rules = Seq(Contracts.InRange("id", 0, 100)))
+    }
+    assert(ex.getMessage.contains("in_range(id)=1"))
+    assert(TxnTable.currentVersion(t) == 1)
+    assert(rows(t) == Set(1L, 2L))
+    // the rejected attempt is an ordinary vacuum orphan
+    assert(TxnTable.vacuum(t, retainFrom = 1) >= 1)
+    assert(rows(t) == Set(1L, 2L))
+    // Unique needs a global aggregate — rejected upfront, not silently skipped
+    intercept[IllegalArgumentException] {
+      TxnTable.commitChecked(spark, Seq(9L).toDF("id"), t,
+        overwrite = false, rules = Seq(Contracts.Unique("id")))
+    }
+  }
+
   test("readers keep their snapshot across a concurrent overwrite") {
     val t = freshTable("tt_isolation")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false)
