@@ -239,6 +239,42 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── row-level change feed (TxnTable.changeFeed — the Delta CDF
+    //    read-side shape) across an insert→merge→overwrite lifecycle:
+    //    v2's MERGE rewrites files whose byte-identical survivors must
+    //    CANCEL by payload hash (only the real update and insert
+    //    surface); v3's overwrite emits pre-image deletes for everything
+    //    it drops and suppresses what it kept unchanged.
+    sql("q_src_cdf",
+      """SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change,
+        |       c_custkey, c_nationkey + 100 AS val
+        |FROM customer WHERE c_custkey % 3 = 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update', c_custkey, c_nationkey + 100
+        |FROM customer WHERE c_custkey % 3 = 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', c_custkey, c_nationkey + 100
+        |FROM customer WHERE c_custkey % 3 IN (1, 2)
+        |ORDER BY version, change, c_custkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_cdf")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("val"))
+      TxnTable.commit(s,                                   // v1: %3∈{0,1}
+        cust.filter((col("c_custkey") % 3).isin(0, 1)).repartition(4),
+        table, overwrite = false)
+      graft.operators.Merge.upsert(s, table,               // v2: upd 1, ins 2
+        Tables.customer(s, d).filter((col("c_custkey") % 3).isin(1, 2))
+          .select(col("c_custkey"), (col("c_nationkey") + 100).as("val")),
+        Seq("c_custkey"))
+      TxnTable.commit(s,                                   // v3: keep %3=0
+        cust.filter(col("c_custkey") % 3 === 0), table, overwrite = true)
+      TxnTable.changeFeed(s, table, 1, 3, Seq("c_custkey"))
+        .select(col("version").cast("long").as("version"), col("change"),
+          col("c_custkey"), col("val"))
+        .orderBy("version", "change", "c_custkey")
+    },
+
     // ── contract-gated commit (TxnTable.commitChecked × Contracts):
     //    CHECK constraints enforced at the write boundary in ONE pass
     //    (violation counters ride the write job as Observation metrics).

@@ -297,6 +297,80 @@ object TxnTable {
         added
       }
 
+  /** Row-level CHANGE FEED between two versions — Delta CDF's read-side
+    * shape: for every version in (`fromExclusive`, `toInclusive`], diff
+    * the files it removed against the files it added, KEYED by `keys`,
+    * and emit (version, change ∈ insert|update|delete, key…, payload…).
+    * Inserts/updates carry the post-image, deletes the pre-image.
+    *
+    * The payload-hash compare is what makes file-level rewrites honest:
+    * a MERGE or compaction rewrites whole files, so most rewritten rows
+    * are byte-identical SURVIVORS — a naive file diff would report them
+    * all as updates; here identical (key, payload-hash) pairs cancel and
+    * only real changes surface.
+    *
+    * Contract: `keys` must be unique within every snapshot (the keyed-
+    * table contract MERGE maintains — enforce at the write boundary via
+    * `Contracts.validate(Unique)`; a duplicate key makes the diff
+    * multiset-ambiguous). Cost is
+    * one keyed full-outer join per version over JUST that version's
+    * touched files — O(Δ) for appends and merges; an overwrite's diff is
+    * genuinely O(table) (Delta avoids that by writing CDF files at
+    * commit time — a write-side trade this read-side form keeps out of
+    * the hot commit path). */
+  def changeFeed(spark: SparkSession, table: String, fromExclusive: Int,
+                 toInclusive: Int, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "changeFeed needs key columns")
+    require(fromExclusive >= 0 && fromExclusive < toInclusive &&
+      toInclusive <= currentVersion(table),
+      s"bad version range ($fromExclusive, $toInclusive] for $table " +
+        s"at v${currentVersion(table)}")
+    def readRel(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs.map(p => new File(table, p).getPath): _*))
+    val frames = logFiles(table)
+      .filter(f => versionOf(f) > fromExclusive && versionOf(f) <= toInclusive)
+      .flatMap { f =>
+        val v = versionOf(f)
+        val (added, removed) = parseEntry(f)
+        val payloadOf = (df: DataFrame) =>
+          df.columns.filterNot(keys.contains).toSeq
+        def tagged(df: DataFrame, side: String): DataFrame = {
+          val payload = payloadOf(df)
+          df.select((keys.map(col) ++
+            payload.map(c => col(c).as(s"__${side}_$c")) :+
+            xxhash64((lit(0L) +: payload.map(col)): _*).as(s"__h$side")): _*)
+        }
+        (readRel(removed), readRel(added)) match {
+          case (None, None) => None
+          case (None, Some(post)) =>
+            Some(post.select((lit(v).as("version") +:
+              lit("insert").as("change") +: post.columns.toSeq.map(col)): _*))
+          case (Some(pre), None) =>
+            Some(pre.select((lit(v).as("version") +:
+              lit("delete").as("change") +: pre.columns.toSeq.map(col)): _*))
+          case (Some(pre), Some(post)) =>
+            val payload = payloadOf(post)
+            val joined = tagged(pre, "pre")
+              .join(tagged(post, "post"), keys.toSeq, "full_outer")
+            val change = when(col("__hpre").isNull, "insert")
+              .when(col("__hpost").isNull, "delete")
+              .otherwise("update")
+            val pick = (c: String) =>
+              when(col("__hpost").isNull, col(s"__pre_$c"))
+                .otherwise(col(s"__post_$c")).as(c)
+            Some(joined
+              .filter(col("__hpre").isNull || col("__hpost").isNull ||
+                col("__hpre") =!= col("__hpost"))
+              .select((lit(v).as("version") +: change.as("change") +:
+                (keys.map(col) ++ payload.map(pick))): _*))
+        }
+      }
+    require(frames.nonEmpty, "no commits in range")
+    frames.reduce(_ unionByName _)
+  }
+
   /** Read a snapshot: the table as of `asOf` (latest when None). An empty
     * table reads as an empty frame only via the caller's schema knowledge —
     * fail loudly instead, an unborn table is a bug at every call site.
