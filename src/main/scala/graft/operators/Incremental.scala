@@ -56,6 +56,40 @@ object Incremental {
       .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
   }
 
+  /** Refresh an additive aggregate view from a row-level CHANGE FEED —
+    * the CDC form of [[mergeAdditive]], and the step past it: appends
+    * are all mergeAdditive can absorb (TxnTable.addedFiles refuses
+    * removal ranges), while a feed with updates and deletes maintains
+    * the view through ANY keyed mutation. Each change row contributes a
+    * SIGNED measure — +x for insert/update_postimage, −x for
+    * delete/update_preimage — so the delta is one hash aggregate over
+    * the feed, merged into the view by the same additive monoid; groups
+    * whose count reaches zero leave the view. Cost stays O(|feed| +
+    * |groups|), never O(history).
+    *
+    * `changes` must carry BOTH update images
+    * (`TxnTable.changeFeed(updateImages = true)`); a single-image
+    * `update` row cannot retract its old contribution, so it fails the
+    * job at scan time (`raise_error`), never corrupts the view.
+    *
+    * `sums` maps view measure → feed source column; `countCol` is the
+    * view's row count. */
+  def applyCdc(viewAgg: DataFrame, changes: DataFrame, keys: Seq[String],
+               countCol: String,
+               sums: Map[String, String] = Map.empty): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val sign = when(col("change").isin("insert", "update_postimage"), 1L)
+      .when(col("change").isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(
+        lit("applyCdc needs both update images, got change type: "),
+        col("change"))).cast("long"))
+    val aggs = sum(sign).as(countCol) +: sums.toSeq.sortBy(_._1).map {
+      case (m, src) => sum(sign * col(src)).as(m)
+    }
+    val delta = changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    mergeAdditive(viewAgg, delta, keys).filter(col(countCol) > 0)
+  }
+
   /** Incremental maintenance of an equi-JOIN view under fact appends —
     * the raw-row sibling of [[mergeAdditive]]. A join view over an
     * append-only fact is distributive: new_view = old_view ∪ (Δfact ⋈

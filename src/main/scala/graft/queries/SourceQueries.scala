@@ -275,6 +275,60 @@ object SourceQueries {
         .orderBy("version", "change", "c_custkey")
     },
 
+    // ── CDC-driven incremental VIEW maintenance (Incremental.applyCdc ×
+    //    changeFeed(updateImages)): a per-nation (cnt, sum_spend) view
+    //    refreshed ONLY from the change feed across a merge (stage 2:
+    //    updates retract old contributions via pre-images, inserts add)
+    //    and an overwrite (stage 3: deletes retract; view equals the
+    //    %3=0 remainder). The oracle recomputes both stages from
+    //    scratch — O(|feed|) maintenance vs O(history), same rows.
+    sql("q_src_cdf_view",
+      """WITH c AS (SELECT c_custkey, c_nationkey AS nation,
+        |                  c_custkey % 100 AS spend FROM customer)
+        |SELECT CAST(2 AS BIGINT) AS stage, nation, COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN c_custkey % 3 = 1 THEN spend + 1000
+        |                     ELSE spend END) AS BIGINT) AS sum_spend
+        |FROM c GROUP BY nation
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), nation, COUNT(*),
+        |       CAST(SUM(spend) AS BIGINT)
+        |FROM c WHERE c_custkey % 3 = 0 GROUP BY nation
+        |ORDER BY stage, nation""".stripMargin) { (s, d) =>
+      import graft.operators.{Incremental, Merge}
+      val table = tmp("txn_cdf_view")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nation"),
+          (col("c_custkey") % 100).as("spend"))
+      TxnTable.commit(s,                                    // v1: %3∈{0,1}
+        cust.filter((col("c_custkey") % 3).isin(0, 1)).repartition(4),
+        table, overwrite = false)
+      def refresh(view: org.apache.spark.sql.DataFrame, from: Int, to: Int) =
+        Incremental.applyCdc(view,
+          TxnTable.changeFeed(s, table, from, to, Seq("c_custkey"),
+            updateImages = true),
+          Seq("nation"), "cnt", Map("sum_spend" -> "spend"))
+      val view1 = TxnTable.read(s, table).groupBy("nation")
+        .agg(count(lit(1)).as("cnt"), sum("spend").as("sum_spend"))
+        .cache()
+      view1.count()                                         // pin the v1 base
+      Merge.upsert(s, table,                                // v2: upd 1, ins 2
+        cust.filter((col("c_custkey") % 3).isin(1, 2))
+          .withColumn("spend",
+            when(col("c_custkey") % 3 === 1, col("spend") + 1000)
+              .otherwise(col("spend"))),
+        Seq("c_custkey"))
+      val view2 = refresh(view1, 1, 2).cache()
+      view2.count()                                         // pin pre-overwrite
+      TxnTable.commit(s,                                    // v3: keep %3=0
+        cust.filter(col("c_custkey") % 3 === 0), table, overwrite = true)
+      val view3 = refresh(view2, 2, 3)
+      view2.withColumn("stage", lit(2L))
+        .unionByName(view3.withColumn("stage", lit(3L)))
+        .select("stage", "nation", "cnt", "sum_spend")
+        .orderBy("stage", "nation")
+    },
+
     // ── contract-gated commit (TxnTable.commitChecked × Contracts):
     //    CHECK constraints enforced at the write boundary in ONE pass
     //    (violation counters ride the write job as Observation metrics).

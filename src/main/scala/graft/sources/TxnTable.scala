@@ -317,9 +317,17 @@ object TxnTable {
     * touched files — O(Δ) for appends and merges; an overwrite's diff is
     * genuinely O(table) (Delta avoids that by writing CDF files at
     * commit time — a write-side trade this read-side form keeps out of
-    * the hot commit path). */
+    * the hot commit path).
+    *
+    * `updateImages = true` emits Delta's four change types instead of a
+    * single `update` row: `update_preimage` (the old payload) and
+    * `update_postimage` (the new) — the form a downstream INCREMENTAL
+    * VIEW needs, since maintaining an aggregate under an update means
+    * retracting the old contribution and adding the new one
+    * ([[graft.operators.Incremental.applyCdc]]). */
   def changeFeed(spark: SparkSession, table: String, fromExclusive: Int,
-                 toInclusive: Int, keys: Seq[String]): DataFrame = {
+                 toInclusive: Int, keys: Seq[String],
+                 updateImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "changeFeed needs key columns")
     require(fromExclusive >= 0 && fromExclusive < toInclusive &&
@@ -352,19 +360,25 @@ object TxnTable {
               lit("delete").as("change") +: pre.columns.toSeq.map(col)): _*))
           case (Some(pre), Some(post)) =>
             val payload = payloadOf(post)
-            val joined = tagged(pre, "pre")
+            val diff = tagged(pre, "pre")
               .join(tagged(post, "post"), keys.toSeq, "full_outer")
-            val change = when(col("__hpre").isNull, "insert")
-              .when(col("__hpost").isNull, "delete")
-              .otherwise("update")
-            val pick = (c: String) =>
-              when(col("__hpost").isNull, col(s"__pre_$c"))
-                .otherwise(col(s"__post_$c")).as(c)
-            Some(joined
               .filter(col("__hpre").isNull || col("__hpost").isNull ||
                 col("__hpre") =!= col("__hpost"))
-              .select((lit(v).as("version") +: change.as("change") +:
-                (keys.map(col) ++ payload.map(pick))): _*))
+            def img(label: String, side: String,
+                    pred: org.apache.spark.sql.Column): DataFrame =
+              diff.filter(pred).select((lit(v).as("version") +:
+                lit(label).as("change") +:
+                (keys.map(col) ++
+                  payload.map(c => col(s"__${side}_$c").as(c)))): _*)
+            val isUpd = col("__hpre").isNotNull && col("__hpost").isNotNull
+            val updates =
+              if (updateImages)
+                Seq(img("update_preimage", "pre", isUpd),
+                  img("update_postimage", "post", isUpd))
+              else Seq(img("update", "post", isUpd))
+            Some((Seq(img("insert", "post", col("__hpre").isNull),
+              img("delete", "pre", col("__hpost").isNull)) ++ updates)
+              .reduce(_ unionByName _))
         }
       }
     require(frames.nonEmpty, "no commits in range")

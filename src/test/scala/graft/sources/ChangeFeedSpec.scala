@@ -53,4 +53,43 @@ class ChangeFeedSpec extends SparkSpec {
       TxnTable.changeFeed(spark, t, 2, 99, Seq("k"))
     }
   }
+
+  test("applyCdc maintains an aggregate view through updates, deletes, and group death") {
+    import graft.operators.{Incremental, Merge}
+    val t = fresh("cdcview")
+    def rows(ks: Seq[Long], x: Long => Long) =
+      ks.map(k => (k, k % 3, x(k))).toDF("k", "g", "x")
+    TxnTable.commit(spark, rows(0L until 10L, identity).coalesce(1),
+      t, overwrite = false)
+    def viewOf(asOf: Int) = TxnTable.read(spark, t, Some(asOf))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "cnt", "sum_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val view1 = viewOf(1)
+    // v2: update k=5 (x 5→500), insert k=20 (g=2)
+    Merge.upsert(spark, t, Seq((5L, 2L, 500L), (20L, 2L, 20L)).toDF("k", "g", "x"),
+      Seq("k"))
+    val view2 = Incremental.applyCdc(view1,
+      TxnTable.changeFeed(spark, t, 1, 2, Seq("k"), updateImages = true),
+      Seq("g"), "cnt", Map("sum_x" -> "x"))
+    assert(canon(view2) == canon(viewOf(2)),
+      "CDC-refreshed view must equal the recompute")
+    // v3: overwrite keeps only k∈{0,1} → group g=2 dies entirely
+    TxnTable.commit(spark, rows(Seq(0L, 1L), identity), t, overwrite = true)
+    val view3 = Incremental.applyCdc(view2,
+      TxnTable.changeFeed(spark, t, 2, 3, Seq("k"), updateImages = true),
+      Seq("g"), "cnt", Map("sum_x" -> "x"))
+    assert(canon(view3) == canon(viewOf(3)))
+    assert(!canon(view3).exists(_._1 == 2L), "zero-count group must leave the view")
+    // a single-image feed cannot retract old contributions — fails loudly
+    // (feed (1,2] carries the k=5 'update' row; (2,3] is deletes only)
+    val ex = intercept[Exception] {
+      Incremental.applyCdc(view1,
+        TxnTable.changeFeed(spark, t, 1, 2, Seq("k")),
+        Seq("g"), "cnt", Map("sum_x" -> "x")).collect()
+    }
+    assert(ex.getMessage.contains("update images") ||
+      Option(ex.getCause).exists(_.getMessage.contains("update images")))
+  }
 }
