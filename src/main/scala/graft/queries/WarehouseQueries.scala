@@ -255,6 +255,28 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // ── MULTI-TABLE transactional stream sink (EventsStreaming
+    //    .catalogSinkIngest × TxnCatalog): each micro-batch commits BOTH
+    //    derived tables (raw rows + per-type stats) through ONE catalog
+    //    transaction pinned to batchId+1 — cross-table exactly-once the
+    //    single-table sink cannot give. The oracle checks each table
+    //    independently equals the batch replay; a half-landed batch
+    //    would break one side's hash.
+    sql("q_stream_catalog_sink",
+      """SELECT 'raw' AS tbl, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'stats', event_type, COUNT(*) FROM events GROUP BY 2
+        |ORDER BY tbl, event_type""".stripMargin) { (s, d) =>
+      val (raw, stats) = graft.streaming.EventsStreaming.catalogSinkIngest(s, d)
+      raw.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("tbl", lit("raw"))
+        .unionByName(stats.groupBy("event_type")
+          .agg(sum(col("cnt")).as("cnt")).withColumn("tbl", lit("stats")))
+        .select("tbl", "event_type", "cnt")
+        .orderBy("tbl", "event_type")
+    },
+
     // ── partition backfill (Layout.backfillPartitions): day 2024-01-03
     //    lands corrupted (half its rows), then a DYNAMIC partition
     //    overwrite recomputes exactly that day — O(one partition), every

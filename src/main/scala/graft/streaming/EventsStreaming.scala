@@ -562,6 +562,61 @@ object EventsStreaming {
     TxnTable.read(spark, table)
   }
 
+  /** MULTI-TABLE transactional stream sink — the cross-table
+    * exactly-once [[txnSinkIngest]] cannot give: every micro-batch lands
+    * BOTH derived tables (raw rows + per-type batch stats) through ONE
+    * TxnCatalog transaction pinned to `batchId + 1`. A crash between
+    * the per-table stages leaves only catalog-invisible orphans, so the
+    * replayed batch re-commits both tables consistently; a conflict is
+    * adjudicated by tag exactly like the single-table sink (own tag ⇒
+    * retry no-op, foreign tag ⇒ loud failure). This is the reference's
+    * six-tables-per-run warehouse load made honestly atomic
+    * (reference pipeline.py:1068-1144). */
+  def catalogSinkIngest(spark: SparkSession, sfDir: String,
+                        inputDir: Option[String] = None,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        resume: Boolean = false): (DataFrame, DataFrame) = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    val ss = streamSession(spark)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val catalog = s"/root/repo/target/tmp/stream/txn_catalog_$key"
+    val ckpt = s"$catalog.ckpt"
+    if (!resume)
+      Seq(catalog, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, dir)
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir).withColumn("ts", rawTs(div))
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchTag = s"stream-batch-$batchId"
+        val raw = batch.select("event_id", "user_id", "event_type", "value")
+        val stats = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId))
+        try TxnCatalog.commitAll(batch.sparkSession, catalog,
+          Seq(Write("raw", raw), Write("stats", stats)),
+          expectedTxn = Some(batchId.toInt + 1), tag = Some(batchTag))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            val published = TxnCatalog.commitTag(catalog, batchId.toInt + 1)
+            if (!published.contains(batchTag))
+              throw new IllegalStateException(
+                s"catalog sink lost txn ${batchId + 1} of $catalog to an " +
+                s"out-of-band commit (published tag: $published)", e)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (TxnCatalog.read(spark, catalog, "raw"),
+      TxnCatalog.read(spark, catalog, "stats"))
+  }
+
   /** Streaming tolerant ingest: the quarantine split
     * ([[graft.sources.Sources.readJsonQuarantined]]) as a CONTINUOUS
     * pipeline — every micro-batch routes parse-clean rows to the live

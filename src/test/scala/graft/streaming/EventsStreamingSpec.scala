@@ -358,6 +358,58 @@ class EventsStreamingSpec extends SparkSpec {
       s"expected loud out-of-band failure, got: ${rootMessages(ex)}")
   }
 
+  test("catalog sink: both tables land atomically per batch, in lockstep") {
+    import graft.sources.TxnCatalog
+    val dir = new java.io.File("/root/repo/target/tmp/stream/catsink_chunks")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val half = events.length / 2
+    def writeChunk(chunk: Array[org.apache.spark.sql.Row], name: String,
+                   mtime: Long): Unit = {
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val scratch = new java.io.File(dir, s"build_$name")
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    writeChunk(events.take(half), "chunk_00", 1000000L)
+    writeChunk(events.drop(half), "chunk_01", 2000000L)
+    val (raw, stats) = EventsStreaming.catalogSinkIngest(spark, sfDir,
+      inputDir = Some(dir.toString), maxFilesPerTrigger = Some(1))
+    val catalog = s"/root/repo/target/tmp/stream/txn_catalog_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // two batches → two catalog txns; BOTH tables at version 2 (lockstep)
+    assert(TxnCatalog.currentTxn(catalog) === 2)
+    assert(TxnCatalog.tableVersions(catalog) === Map("raw" -> 2, "stats" -> 2))
+    assert(raw.count() === events.length.toLong)
+    // stats rows sum to the same per-type counts as the raw table
+    val fromStats = stats.groupBy("event_type").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromRaw = raw.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStats === fromRaw)
+    // an out-of-band catalog txn steals the next batch's slot → loud failure
+    TxnCatalog.commitAll(spark, catalog,
+      Seq(TxnCatalog.Write("raw", Seq(-1L).toDF("event_id"))),
+      tag = Some("out-of-band-writer"))
+    writeChunk(events.take(10), "chunk_02", 3000000L)
+    val ex = intercept[Exception] {
+      EventsStreaming.catalogSinkIngest(spark, sfDir,
+        inputDir = Some(dir.toString), resume = true)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("out-of-band commit")),
+      s"expected loud out-of-band failure, got: ${msgs(ex)}")
+  }
+
   test("txn sink resume: a later run processes only newly-arrived files") {
     import graft.sources.TxnTable
     val dir = new java.io.File("/root/repo/target/tmp/stream/txnsink_resume")
