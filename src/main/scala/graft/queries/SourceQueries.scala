@@ -239,6 +239,38 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── OPTIMIZE under the txn log (TxnTable.optimize): three one-file
+    //    ingest commits compact into ONE file in one atomic rewrite
+    //    version. The output hashes the content (unchanged), the file
+    //    counts (3 → 1), and the change-feed row count across the
+    //    optimize version (0 — every rewritten row cancels as a payload-
+    //    hash survivor): layout moved, data did not.
+    sql("q_src_optimize",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(3 AS BIGINT) AS files_before,
+        |       CAST(1 AS BIGINT) AS files_after,
+        |       CAST(0 AS BIGINT) AS n_changes
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val table = tmp("txn_optimize")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      Seq(0, 2, 4).foreach(m =>
+        TxnTable.commit(s, ev.filter(col("event_id") % 6 === m).coalesce(1),
+          table, overwrite = false))
+      val filesBefore = TxnTable.liveFiles(table).size.toLong
+      val v = TxnTable.optimize(s, table, numFiles = 1)
+      val filesAfter = TxnTable.liveFiles(table).size.toLong
+      val nChanges = TxnTable.changeFeed(s, table, v - 1, v,
+        Seq("event_id")).count()
+      TxnTable.read(s, table)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("files_before", lit(filesBefore))
+        .withColumn("files_after", lit(filesAfter))
+        .withColumn("n_changes", lit(nChanges))
+        .orderBy("event_type")
+    },
+
     // ── row-level change feed (TxnTable.changeFeed — the Delta CDF
     //    read-side shape) across an insert→merge→overwrite lifecycle:
     //    v2's MERGE rewrites files whose byte-identical survivors must

@@ -235,6 +235,24 @@ object TxnTable {
     version
   }
 
+  /** OPTIMIZE — compact the current snapshot into `numFiles` without
+    * changing a row: one [[commitRewrite]] that removes every live file
+    * and adds the coalesced rewrite, atomically. The small-file problem
+    * is the lakehouse tax of streaming ingest (every micro-batch commit
+    * is a file); this is the cure that keeps ACID: readers mid-scan keep
+    * their snapshot (bytes die only at vacuum), time travel still sees
+    * every pre-optimize version, and the CHANGE FEED across an optimize
+    * version cancels to EMPTY — the payload-hash survivor suppression
+    * proving the rewrite moved layout, not data. */
+  def optimize(spark: SparkSession, table: String, numFiles: Int,
+               expectedVersion: Option[Int] = None): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val live = liveFiles(table, None)
+    require(live.nonEmpty, s"nothing to optimize in $table")
+    commitRewrite(spark, read(spark, table).coalesce(numFiles), table,
+      live, expectedVersion)
+  }
+
   /** Contract-gated commit — CHECK constraints at the write boundary,
     * in ONE pass: the per-rule violation counters ride the write job as
     * `Observation` metrics, so the data is never scanned twice. If any

@@ -126,6 +126,25 @@ class TxnTableSpec extends SparkSpec {
     }
   }
 
+  test("optimize compacts files without changing rows; change feed cancels to empty") {
+    val t = freshTable("tt_optimize")
+    (0 until 4).foreach(i =>
+      TxnTable.commit(spark,
+        Seq(i * 10L, i * 10L + 1L).toDF("id").coalesce(1), t, overwrite = false))
+    assert(TxnTable.liveFiles(t).size == 4)
+    val before = rows(t)
+    val v = TxnTable.optimize(spark, t, numFiles = 1)
+    assert(v == 5)
+    assert(TxnTable.liveFiles(t).size == 1)
+    assert(rows(t) == before)
+    assert(rows(t, Some(4)) == before, "pre-optimize snapshot intact")
+    // every rewritten row is a byte-identical survivor → empty feed
+    assert(TxnTable.changeFeed(spark, t, 4, 5, Seq("id")).count() == 0L)
+    // the 4 small files die at vacuum, not before
+    assert(TxnTable.vacuum(t, retainFrom = 5) == 4)
+    assert(rows(t) == before)
+  }
+
   test("commitChecked: clean data publishes, a violated contract never does") {
     import graft.operators.Contracts
     val t = freshTable("tt_checked")
