@@ -239,6 +239,43 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── incremental data-skipping stats under the txn log (TxnStats):
+    //    three range-clustered ingest commits, one O(new-files) stats
+    //    refresh, then a range scan that must open exactly ONE of the
+    //    three files — Delta's skipping stats with an explicit freshness
+    //    watermark (an unindexed live file is always read, never
+    //    skipped). files_read=1 is part of the hash: a pruning miss or a
+    //    false skip both fail the oracle.
+    sql("q_scan_txn_skipping",
+      """WITH m AS (SELECT MAX(event_id) // 3 AS t FROM events)
+        |SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       CAST(3 AS BIGINT) AS files_total,
+        |       CAST(1 AS BIGINT) AS files_read
+        |FROM events, m WHERE event_id < m.t""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("txn_skipping")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id", "value")
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val t1 = maxId / 3
+      val t2 = 2 * (maxId / 3)
+      TxnTable.commit(s, ev.filter(col("event_id") < t1).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        ev.filter(col("event_id") >= t1 && col("event_id") < t2).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, ev.filter(col("event_id") >= t2).coalesce(1),
+        table, overwrite = false)
+      TxnStats.refresh(s, table, "event_id")
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "event_id", 0L, t1 - 1)
+      TxnStats.prunedRead(s, table, "event_id", 0L, t1 - 1)
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
     // ── OPTIMIZE under the txn log (TxnTable.optimize): three one-file
     //    ingest commits compact into ONE file in one atomic rewrite
     //    version. The output hashes the content (unchanged), the file

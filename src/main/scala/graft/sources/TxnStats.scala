@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min-max statistics maintained INCREMENTALLY under the
+  * transaction log — Delta's data-skipping stats, kept honest about
+  * freshness (engine-added; the closest thing the reference has is a
+  * full-table re-read per run).
+  *
+  * [[graft.operators.Layout.buildMinMaxIndex]] indexes a static
+  * directory; a committed table outgrows that: every commit adds files,
+  * and re-scanning the table to rebuild the index defeats its purpose.
+  * Here the stats table carries a VERSION WATERMARK: `refresh` scans
+  * ONLY the files added since the last indexed version — O(Δ) like
+  * every other incremental consumer of the log — and appends their
+  * (file, min, max, n_rows) rows. Removed files' rows simply go stale;
+  * reads intersect stats with the LIVE file set, so stale rows are
+  * inert and an overwrite needs no index surgery.
+  *
+  * Freshness is a safety property, not a liveness one: a live file the
+  * stats don't know yet (commits since the last refresh) is always
+  * READ, never skipped — a stale index costs I/O, never rows.
+  *
+  * Stats are integral (LongType column required, like the bloom index's
+  * hash-parity rule): exact long min/max, no float-boundary ambiguity.
+  */
+object TxnStats {
+
+  private def statsDir(table: String, column: String) =
+    new File(table, s"_graft_stats/$column")
+
+  private def wmFile(table: String, column: String) =
+    new File(statsDir(table, column), "_watermark.json")
+
+  /** The table version the stats cover (0 = never refreshed). */
+  def indexedVersion(table: String, column: String): Int = {
+    val f = wmFile(table, column)
+    if (!f.isFile) 0
+    else "\"version\":(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Every file ADDED in (fromExclusive, toInclusive] — unlike
+    * `TxnTable.addedFiles` this tolerates removal versions: stats for a
+    * since-removed file are just stale rows the live-set intersection
+    * ignores. */
+  private def addedInRange(table: String, fromExclusive: Int,
+                           toInclusive: Int): Seq[String] =
+    TxnTable.logFiles(table)
+      .filter(f => TxnTable.versionOf(f) > fromExclusive &&
+        TxnTable.versionOf(f) <= toInclusive)
+      .flatMap(f => TxnTable.parseEntry(f)._1)
+
+  /** Bring the stats for `column` up to the table's current version by
+    * scanning ONLY the newly added files. Returns the number of files
+    * indexed (0 when already fresh). Idempotent per version. */
+  def refresh(spark: SparkSession, table: String, column: String): Int = {
+    val current = TxnTable.currentVersion(table)
+    val wm = indexedVersion(table, column)
+    if (wm >= current) return 0
+    val newRel = addedInRange(table, wm, current)
+    if (newRel.nonEmpty) {
+      val abs = newRel.map(p => new File(table, p).getPath)
+      val src = spark.read.parquet(abs: _*)
+      val dt = src.schema(column).dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"stats column '$column' must be BIGINT (exact long min/max); got $dt")
+      val tableAbs = new File(table).getAbsolutePath
+      // |new files| rows — a model fetch, never data
+      val rows = src.groupBy(input_file_name().as("file"))
+        .agg(min(col(column)).as("min"), max(col(column)).as("max"),
+          count(lit(1)).as("n_rows"))
+        .collect().map { r =>
+          val p = r.getString(0)
+          val abs0 = if (p.startsWith("file:"))
+            new File(new java.net.URI(p)).getAbsolutePath else p
+          require(abs0.startsWith(tableAbs + "/"),
+            s"stats file outside table root: $abs0")
+          (abs0.stripPrefix(tableAbs + "/"),
+            r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      import spark.implicits._
+      statsDir(table, column).mkdirs()
+      rows.toSeq.toDF("file", "min", "max", "n_rows")
+        .coalesce(1).write.mode("append").parquet(statsDir(table, column).getPath)
+    }
+    statsDir(table, column).mkdirs()
+    Files.write(wmFile(table, column).toPath,
+      s"""{"version":$current}""".getBytes(StandardCharsets.UTF_8))
+    newRel.size
+  }
+
+  /** The live files a `[lo, hi]` point/range lookup must read:
+    * stats-known files whose [min, max] overlaps the range, plus every
+    * live file the stats have not indexed yet (never skip blind).
+    * Returns (filesToRead, nLive) — both table-relative. */
+  def pruneFiles(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long): (Seq[String], Int) = {
+    require(lo <= hi, s"bad range [$lo, $hi]")
+    val live = TxnTable.liveFiles(table)
+    val sd = statsDir(table, column)
+    val stats: Map[String, (Long, Long)] =
+      if (!sd.isDirectory) Map.empty
+      else spark.read.parquet(sd.getPath)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val toRead = live.filter { f =>
+      stats.get(f) match {
+        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case None => true // unindexed live file: read, never skip
+      }
+    }
+    (toRead, live.size)
+  }
+
+  /** Range scan pruned by the stats: only overlapping (or unindexed)
+    * live files are opened; the exact filter follows, so a skipped file
+    * never costs a row and an opened file never leaks one. */
+  def prunedRead(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val (toRead, _) = pruneFiles(spark, table, column, lo, hi)
+    val live = TxnTable.liveFiles(table)
+    require(live.nonEmpty, s"no live files in $table")
+    val pick = if (toRead.nonEmpty) toRead else live.take(1)
+    val df = spark.read
+      .parquet(pick.map(p => new File(table, p).getPath): _*)
+      .filter(col(column).between(lo, hi))
+    if (toRead.nonEmpty) df else df.filter(lit(false))
+  }
+}
