@@ -239,6 +239,37 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── copy-on-write DELETE (TxnTable.deleteWhere): a range predicate
+    //    that lives entirely in the first of three range-clustered files
+    //    deletes by rewriting exactly that one file (files_rewritten=1
+    //    is in the hash); SQL NULL semantics — only predicate-TRUE rows
+    //    go. The oracle is the complement scan.
+    sql("q_src_delete",
+      """WITH m AS (SELECT (MAX(event_id) // 3) // 2 AS h FROM events)
+        |SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       CAST(1 AS BIGINT) AS files_rewritten
+        |FROM events, m WHERE event_id >= m.h""".stripMargin) { (s, d) =>
+      val table = tmp("txn_delete")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id", "value")
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val t1 = maxId / 3
+      TxnTable.commit(s, ev.filter(col("event_id") < t1).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        ev.filter(col("event_id") >= t1 && col("event_id") < 2 * t1).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, ev.filter(col("event_id") >= 2 * t1).coalesce(1),
+        table, overwrite = false)
+      val (_, rewritten) = TxnTable.deleteWhere(s, table,
+        col("event_id") < t1 / 2)
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .withColumn("files_rewritten", lit(rewritten.toLong))
+    },
+
     // ── incremental data-skipping stats under the txn log (TxnStats):
     //    three range-clustered ingest commits, one O(new-files) stats
     //    refresh, then a range scan that must open exactly ONE of the

@@ -253,6 +253,63 @@ object TxnTable {
       live, expectedVersion)
   }
 
+  /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort
+    * by the Morton interleave of (`xCol`, `yCol`) and range-partition
+    * into `numFiles`, so every output file owns a disjoint morton range
+    * and per-file min-max stats tighten on BOTH columns at once —
+    * after a [[TxnStats]] refresh, range scans prune on either
+    * dimension, which no single-column sort can give. Same ACID shape
+    * as optimize: one atomic rewrite version, empty change feed,
+    * snapshots intact. Coordinates must fit 16 bits (the morton
+    * spread's contract, as in Layout.zorderWrite). */
+  def optimizeZorder(spark: SparkSession, table: String, xCol: String,
+                     yCol: String, numFiles: Int,
+                     expectedVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val live = liveFiles(table, None)
+    require(live.nonEmpty, s"nothing to optimize in $table")
+    val rewritten = read(spark, table)
+      .withColumn("__z", graft.operators.Layout.mortonCode(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitRewrite(spark, rewritten, table, live, expectedVersion)
+  }
+
+  /** Copy-on-write DELETE: drop every row matching `predicate`,
+    * rewriting ONLY the files that contain a match (found by one
+    * filtered scan grouped by `input_file_name` — |files| rows to the
+    * driver). Untouched files stay byte-identical; a predicate matching
+    * nothing commits nothing. NULL predicate rows are KEPT (DELETE
+    * removes rows where the predicate IS TRUE — SQL semantics; a bare
+    * `!pred` filter would silently drop them). Returns
+    * (newVersion — or the current one on a no-op — and files
+    * rewritten). */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  expectedVersion: Option[Int] = None): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce => cls, input_file_name, lit, not}
+    val affectedAbs = read(spark, table)
+      .withColumn("__file", input_file_name())
+      .filter(predicate)
+      .select("__file").distinct()
+      .collect().map(_.getString(0))
+    if (affectedAbs.isEmpty) return (currentVersion(table), 0)
+    val tableAbs = new File(table).getAbsolutePath
+    val removedRel = affectedAbs.map { uri =>
+      val p = if (uri.startsWith("file:"))
+        new File(new java.net.URI(uri)).getAbsolutePath else uri
+      require(p.startsWith(tableAbs + "/"),
+        s"matched file outside the table root: $p")
+      p.stripPrefix(tableAbs + "/")
+    }.toSeq.sorted
+    val survivors = spark.read.parquet(affectedAbs.toIndexedSeq: _*)
+      .filter(not(cls(predicate, lit(false))))
+    (commitRewrite(spark, survivors, table, removedRel, expectedVersion),
+      removedRel.size)
+  }
+
   /** Contract-gated commit — CHECK constraints at the write boundary,
     * in ONE pass: the per-rule violation counters ride the write job as
     * `Observation` metrics, so the data is never scanned twice. If any

@@ -62,6 +62,59 @@ class TxnStatsSpec extends SparkSpec {
     assert(ids(1000, 1004) == (1000L to 1004L))
   }
 
+  test("deleteWhere rewrites only matching files and keeps NULL-predicate rows") {
+    val t = fresh("delete")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L))
+      .foreach { case (lo, hi) => commitRange(t, lo, hi) }
+    // payload IS NULL for one row via a fourth commit with a null
+    TxnTable.commit(spark,
+      Seq((300L, Some(1L)), (301L, None)).toDF("id", "payload"), t,
+      overwrite = false)
+    val filesBefore = TxnTable.liveFiles(t).toSet
+    // delete WHERE payload = 0 AND id < 100 — matches only file 1; the
+    // null-payload row's predicate is NULL → KEPT
+    val (v, rewritten) = TxnTable.deleteWhere(spark, t,
+      col("payload") === 0L && col("id") < 100L)
+    assert(v == 5 && rewritten == 1)
+    assert(filesBefore.intersect(TxnTable.liveFiles(t).toSet).size ==
+      filesBefore.size - 1, "only the matching file rewritten")
+    val ids = TxnTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(!(0L until 100L).filter(_ % 7 == 0).exists(ids.contains))
+    assert((0L until 100L).filterNot(_ % 7 == 0).forall(ids.contains))
+    assert(ids.contains(301L), "NULL-predicate row must be kept")
+    // a predicate matching nothing is a no-op, not an empty commit
+    val (v2, r2) = TxnTable.deleteWhere(spark, t, col("id") === 99999L)
+    assert(v2 == 5 && r2 == 0)
+    assert(TxnTable.currentVersion(t) == 5)
+  }
+
+  test("optimizeZorder clusters both dimensions for stats pruning") {
+    val t = fresh("zorder")
+    // 4 ingest commits clustered on x ONLY: every file spans all of y
+    val grid = spark.range(0, 16384).select(
+      (col("id") / 128).cast("long").as("x"),
+      (col("id") % 128).as("y"))
+    (0 until 4).foreach(i =>
+      TxnTable.commit(spark,
+        grid.filter(col("x") >= i * 32 && col("x") < (i + 1) * 32).coalesce(1),
+        t, overwrite = false))
+    TxnStats.refresh(spark, t, "y")
+    val (preY, n) = TxnStats.pruneFiles(spark, t, "y", 0L, 15L)
+    assert(n == 4 && preY.size == 4, "x-clustered layout cannot prune on y")
+
+    val v = TxnTable.optimizeZorder(spark, t, "x", "y", numFiles = 16)
+    assert(TxnTable.changeFeed(spark, t, v - 1, v, Seq("x", "y")).count() == 0L)
+    TxnStats.refresh(spark, t, "y")
+    TxnStats.refresh(spark, t, "x")
+    val (postY, nLive) = TxnStats.pruneFiles(spark, t, "y", 0L, 15L)
+    val (postX, _) = TxnStats.pruneFiles(spark, t, "x", 0L, 15L)
+    assert(postY.size < nLive, s"y-scan must prune post-zorder: ${postY.size}/$nLive")
+    assert(postX.size < nLive, s"x-scan must prune post-zorder: ${postX.size}/$nLive")
+    // content identical through the clustered rewrite
+    assert(TxnStats.prunedRead(spark, t, "y", 0L, 15L).count() ==
+      grid.filter(col("y") <= 15L).count())
+  }
+
   test("a non-BIGINT stats column is refused") {
     val t = fresh("type")
     TxnTable.commit(spark,
