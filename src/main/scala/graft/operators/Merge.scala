@@ -32,10 +32,17 @@ object Merge {
     * target row is the ambiguous-merge error Delta throws too) and its
     * schema to cover the table's columns by name. `source` is broadcast
     * for the probe — merges are small-changeset by design; a giant
-    * source should go through overwrite instead. */
+    * source should go through overwrite instead.
+    *
+    * `evolveSchema = true` lets the source carry NEW columns (Delta's
+    * merge-with-autoMerge): rewritten survivors null-extend; files the
+    * merge never touched keep their old footer, so subsequent snapshots
+    * read with `TxnTable.read(mergeSchema = true)` — schema evolution
+    * without rewriting history, same contract as q_src_txn_evolution. */
   def upsert(spark: SparkSession, table: String, source: DataFrame,
              keys: Seq[String],
-             expectedVersion: Option[Int] = None): MergeResult = {
+             expectedVersion: Option[Int] = None,
+             evolveSchema: Boolean = false): MergeResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val src = source.cache()
     val nSrc = src.count()
@@ -44,10 +51,15 @@ object Merge {
       s"ambiguous merge: $nSrc source rows but $nSrcKeys distinct keys — " +
         "a target row would match more than one source row")
 
-    val target = TxnTable.read(spark, table)
-    require(target.columns.sorted.sameElements(src.columns.sorted),
-      s"merge schema mismatch: table has ${target.columns.sorted.mkString(",")} " +
-        s"vs source ${src.columns.sorted.mkString(",")}")
+    val target = TxnTable.read(spark, table, mergeSchema = evolveSchema)
+    if (evolveSchema)
+      require(target.columns.toSet.subsetOf(src.columns.toSet),
+        s"evolveSchema source must cover every table column; missing " +
+          target.columns.toSet.diff(src.columns.toSet).mkString(","))
+    else
+      require(target.columns.sorted.sameElements(src.columns.sorted),
+        s"merge schema mismatch: table has ${target.columns.sorted.mkString(",")} " +
+          s"vs source ${src.columns.sorted.mkString(",")}")
     val srcKeys = src.select(keys.map(col): _*).distinct()
 
     // phase 1 — which live files hold a matched key? |files| rows max.
@@ -75,10 +87,13 @@ object Merge {
         TxnTable.commit(spark, src, table, overwrite = false,
           expectedVersion = expectedVersion)
       else {
-        val survivors = spark.read.parquet(affectedAbs.toIndexedSeq: _*)
+        val reader = if (evolveSchema)
+          spark.read.option("mergeSchema", "true") else spark.read
+        val survivors = reader.parquet(affectedAbs.toIndexedSeq: _*)
           .join(broadcast(srcKeys), keys, "left_anti")
-        TxnTable.commitRewrite(spark, survivors.unionByName(src), table,
-          removedRel, expectedVersion = expectedVersion)
+        TxnTable.commitRewrite(spark,
+          survivors.unionByName(src, allowMissingColumns = evolveSchema),
+          table, removedRel, expectedVersion = expectedVersion)
       }
     src.unpersist()
     MergeResult(version, removedRel.size)

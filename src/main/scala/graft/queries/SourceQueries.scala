@@ -239,6 +239,64 @@ object SourceQueries {
         .orderBy("o_orderkey")
     },
 
+    // ── schema-evolving MERGE (Merge.upsert evolveSchema): the source
+    //    brings a column the table never had; rewritten survivors and
+    //    untouched history null-extend through the mergeSchema read —
+    //    Delta's autoMerge, composed with the file-pruned rewrite.
+    sql("q_src_merge_evolve",
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 4 IN (1, 3) THEN c_nationkey + 100
+        |            ELSE c_nationkey END AS val,
+        |       CASE WHEN c_custkey % 4 IN (1, 3) THEN c_custkey % 9 END AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val table = tmp("txn_merge_evolve")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("val"))
+      TxnTable.commit(s,
+        cust.filter((col("c_custkey") % 4).isin(0, 1, 2)).repartition(4),
+        table, overwrite = false)
+      graft.operators.Merge.upsert(s, table,
+        Tables.customer(s, d).filter((col("c_custkey") % 4).isin(1, 3))
+          .select(col("c_custkey"), (col("c_nationkey") + 100).as("val"),
+            (col("c_custkey") % 9).as("score")),
+        Seq("c_custkey"), evolveSchema = true)
+      TxnTable.read(s, table, mergeSchema = true)
+        .select("c_custkey", "val", "score")
+        .orderBy("c_custkey")
+    },
+
+    // ── zero-copy RESTORE (TxnTable.restore): ingest → bad overwrite →
+    //    rollback as a NEW commit that just re-references the good
+    //    files. The output reads the restored head next to the
+    //    still-travelable bad version — history is append-only even
+    //    through a rollback.
+    sql("q_src_restore",
+      """SELECT 'restored' AS snap, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'bad', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      val table = tmp("txn_restore")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 0),
+        table, overwrite = false)                           // v1
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 1),
+        table, overwrite = false)                           // v2: good head
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 2),
+        table, overwrite = true)                            // v3: bad load
+      TxnTable.restore(s, table, toVersion = 2)             // v4
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+          .select(lit(snap).as("snap"), col("cnt"), col("key_sum"))
+      agg(TxnTable.read(s, table), "restored")
+        .unionByName(agg(TxnTable.read(s, table, asOf = Some(3)), "bad"))
+        .orderBy("snap")
+    },
+
     // ── copy-on-write DELETE (TxnTable.deleteWhere): a range predicate
     //    that lives entirely in the first of three range-clustered files
     //    deletes by rewriting exactly that one file (files_rewritten=1

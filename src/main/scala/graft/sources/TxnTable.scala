@@ -253,6 +253,36 @@ object TxnTable {
       live, expectedVersion)
   }
 
+  /** RESTORE — roll the table back to `toVersion` as a NEW commit, with
+    * ZERO data movement: the entry removes the current live set and
+    * re-adds `toVersion`'s files (replay order is remove-then-add, so
+    * files live in both snapshots survive the round trip). History is
+    * append-only — the bad versions stay time-travelable, the restore
+    * is itself a version, and vacuum keeps the restored files alive as
+    * long as any retained snapshot (including the restore) references
+    * them. Delta's RESTORE semantics in one log entry. */
+  def restore(spark: SparkSession, table: String, toVersion: Int,
+              expectedVersion: Option[Int] = None,
+              tag: Option[String] = None): Int = {
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(toVersion >= 1 && toVersion < version - 1,
+      s"cannot restore $table to v$toVersion from v${version - 1} — the " +
+        "target must be strictly before the current head")
+    val target = liveFiles(table, Some(toVersion))
+    require(target.nonEmpty, s"v$toVersion of $table has no live files")
+    val cur = liveFiles(table, Some(version - 1))
+    publish(table, version, added = target, removed = cur, tag)
+  }
+
+  /** Resolve the newest version whose log entry was PUBLISHED at or
+    * before `ts` (epoch millis) — timestamp time travel, resolved from
+    * the commit files' own mtimes (the publish rename sets them; they
+    * are never rewritten afterwards). None if the table did not exist
+    * yet at `ts`. */
+  def versionAt(table: String, ts: Long): Option[Int] =
+    logFiles(table).filter(_.lastModified() <= ts)
+      .lastOption.map(versionOf)
+
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort
     * by the Morton interleave of (`xCol`, `yCol`) and range-partition
     * into `numFiles`, so every output file owns a disjoint morton range

@@ -64,6 +64,28 @@ class MergeSpec extends SparkSpec {
     assert(content(t).size == 102)
   }
 
+  test("evolveSchema merge: new source columns null-extend survivors and history") {
+    val t = fresh("evolve")
+    TxnTable.commit(spark,
+      spark.range(0, 20).select(col("id").as("k"), col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    val src = Seq((5L, 500L, 55L), (100L, 100L, 11L)).toDF("k", "v", "score")
+    // before any evolution, the same source is rejected without the flag
+    intercept[IllegalArgumentException] {
+      Merge.upsert(spark, t, src, Seq("k"))
+    }
+    val r = Merge.upsert(spark, t, src, Seq("k"), evolveSchema = true)
+    assert(r.version == 2)
+    val full = TxnTable.read(spark, t, mergeSchema = true)
+      .select("k", "v", "score").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(full.contains((5L, 500L, 55L)), "updated row carries the new column")
+    assert(full.contains((100L, 100L, 11L)), "insert carries the new column")
+    assert(full.contains((0L, 0L, -1L)), "survivor null-extends")
+    assert(full.size == 21)
+  }
+
   test("ambiguous source (duplicate keys) and schema drift are rejected") {
     val t = fresh("reject")
     TxnTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), t, overwrite = false)

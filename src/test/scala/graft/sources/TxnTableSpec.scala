@@ -126,6 +126,50 @@ class TxnTableSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls back with zero data movement; history stays travelable") {
+    val t = freshTable("tt_restore")
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false) // v1
+    TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false)     // v2
+    TxnTable.commit(spark, Seq(9L).toDF("id"), t, overwrite = true)      // v3
+    def diskFiles(): Set[String] = {
+      val root = new File(t, "data")
+      Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.getName.startsWith("part-")).map(_.getPath).toSet
+    }
+    val before = diskFiles()
+    assert(TxnTable.restore(spark, t, toVersion = 2) == 4)
+    assert(diskFiles() == before, "restore must move zero data")
+    assert(rows(t) == Set(1L, 2L, 3L))
+    assert(rows(t, Some(3)) == Set(9L), "the bad version stays travelable")
+    assert(rows(t, Some(4)) == Set(1L, 2L, 3L))
+    // the restore version's change feed is the rollback diff
+    val feed = TxnTable.changeFeed(spark, t, 3, 4, Seq("id"))
+      .select("change", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 9L), ("insert", 1L), ("insert", 2L),
+      ("insert", 3L)))
+    // vacuum keeping the restore kills only v3's now-unreferenced file(s)
+    assert(TxnTable.vacuum(t, retainFrom = 4) >= 1)
+    assert(rows(t) == Set(1L, 2L, 3L))
+    // restoring to a future/current version is refused
+    intercept[IllegalArgumentException] {
+      TxnTable.restore(spark, t, toVersion = 4)
+    }
+  }
+
+  test("versionAt resolves timestamp time travel from publish mtimes") {
+    val t = freshTable("tt_asof_ts")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100) // fs mtime granularity can be a full second
+    TxnTable.commit(spark, Seq(2L).toDF("id"), t, overwrite = false)
+    assert(TxnTable.versionAt(t, between).contains(1))
+    assert(TxnTable.versionAt(t, System.currentTimeMillis()).contains(2))
+    assert(TxnTable.versionAt(t, 1000L).isEmpty, "before the table existed")
+    assert(rows(t, TxnTable.versionAt(t, between)) == Set(1L))
+  }
+
   test("optimize compacts files without changing rows; change feed cancels to empty") {
     val t = freshTable("tt_optimize")
     (0 until 4).foreach(i =>
