@@ -20,22 +20,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   catalog/
   *     tables/<name>/             -- each a TxnTable (data + _graft_log)
   *     _graft_txn/t00001.json     -- {"txn":1,"tables":{"cust":2,"ord":1},
-  *                                --  "created":{"cust":2,"ord":1}}
+  *                                --  "versions":{"cust":[2],"ord":[1]}}
   * }}}
   *
   * Protocol: stage every table write as a normal TxnTable commit (each
   * atomic per-table, but INVISIBLE to catalog readers), then publish one
   * catalog entry — the same put-if-absent link(2) commit point TxnTable
-  * uses — mapping every table to its pinned version. A crash or a lost
-  * race between the table commits and the catalog publish leaves
-  * committed-but-unreferenced table versions: catalog readers replay
-  * ONLY catalog-created versions, so orphans are invisible (and die in
-  * the per-table vacuum), never half a transaction.
+  * uses. A crash or a lost race between the table commits and the
+  * catalog publish leaves committed-but-unreferenced table versions:
+  * catalog readers replay ONLY entry-listed versions, so orphans are
+  * invisible (and die in the per-table vacuum), never half a
+  * transaction.
   *
-  * `tables` in an entry is the FULL mapping (snapshot read = one entry);
-  * `created` is the subset this txn wrote (at most one version per table
-  * per txn) — the reader's whitelist against orphan versions from failed
-  * transactions sharing the same per-table log.
+  * Every entry is a SELF-CONTAINED snapshot: `tables` pins each table's
+  * head version, and `versions` lists the exact per-table version
+  * LINEAGE composing the snapshot — reads replay those log entries and
+  * nothing else. Self-containment is what makes [[restore]] sound: a
+  * rolled-back transaction's versions sit in the per-table log below a
+  * later head, and any cross-entry "all versions ever created" scan
+  * would resurrect them (a bug this module's spec caught in an earlier
+  * design).
   */
 object TxnCatalog {
 
@@ -80,8 +84,35 @@ object TxnCatalog {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
+  private def jsonLists(m: Map[String, Seq[Int]]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, vs) => s""""$k":${vs.mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
+
+  /** Parse the `"versions"` object: `{"name":[1,3],...}`. The bracketed-
+    * value regex cannot match inside `tables` (plain ints) or `tag`
+    * (quoted string), so a whole-entry scan is exact. */
+  private def parseLists(s: String): Map[String, Seq[Int]] = {
+    require(s.contains("\"versions\":{"),
+      "malformed catalog entry: missing versions")
+    "\"([A-Za-z0-9._-]+)\":\\[([0-9,]*)\\]".r.findAllMatchIn(s)
+      .map(m => m.group(1) ->
+        m.group(2).split(',').filter(_.nonEmpty).map(_.toInt).toSeq)
+      .toMap
+  }
+
   private def entryAt(catalog: String, asOf: Option[Int]): Option[File] =
     txnFiles(catalog).filter(f => asOf.forall(txnOf(f) <= _)).lastOption
+
+  /** The per-table version lineage as of `asOf` — the exact log entries
+    * a read replays. */
+  private def versionLists(catalog: String,
+                           asOf: Option[Int]): Map[String, Seq[Int]] =
+    entryAt(catalog, asOf) match {
+      case None => Map.empty
+      case Some(f) => parseLists(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+    }
 
   /** The full table→version mapping as of `asOf` (latest when None). */
   def tableVersions(catalog: String, asOf: Option[Int] = None): Map[String, Int] =
@@ -133,15 +164,42 @@ object TxnCatalog {
       w.name -> TxnTable.commit(spark, w.df, tablePath(catalog, w.name),
         overwrite = w.overwrite, tag = tag)
     }.toMap
-    val entry = {
-      val tagField = tag.map { t =>
-        require(t.matches("[A-Za-z0-9._-]+"),
-          s"tag must be [A-Za-z0-9._-]+: '$t'")
-        s""","tag":"$t""""
-      }.getOrElse("")
-      s"""{"txn":$txn,"tables":${jsonMap(base ++ created)},""" +
-        s""""created":${jsonMap(created)}$tagField}"""
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    val lists = baseLists ++ created.map { case (name, v) =>
+      name -> (baseLists.getOrElse(name, Seq.empty) :+ v)
     }
+    publishEntry(catalog, txn, base ++ created, lists, tag)
+  }
+
+  /** Zero-copy catalog ROLLBACK: a new transaction whose table mapping
+    * equals `toTxn`'s — no per-table commits at all, every table snaps
+    * back together. The rolled-back transactions stay travelable
+    * (history is append-only), and reads through the restore resolve
+    * each table's files from the ORIGINAL creating entries, exactly as
+    * any other snapshot read. The multi-table sibling of
+    * [[TxnTable.restore]]. */
+  def restore(catalog: String, toTxn: Int,
+              expectedTxn: Option[Int] = None,
+              tag: Option[String] = None): Int = {
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(toTxn >= 1 && toTxn < txn - 1,
+      s"cannot restore $catalog to t$toTxn from t${txn - 1} — the target " +
+        "must be strictly before the current head")
+    publishEntry(catalog, txn, tableVersions(catalog, Some(toTxn)),
+      versionLists(catalog, Some(toTxn)), tag)
+  }
+
+  private def publishEntry(catalog: String, txn: Int,
+                           tables: Map[String, Int],
+                           versions: Map[String, Seq[Int]],
+                           tag: Option[String]): Int = {
+    val tagField = tag.map { t =>
+      require(t.matches("[A-Za-z0-9._-]+"),
+        s"tag must be [A-Za-z0-9._-]+: '$t'")
+      s""","tag":"$t""""
+    }.getOrElse("")
+    val entry = s"""{"txn":$txn,"tables":${jsonMap(tables)},""" +
+      s""""versions":${jsonLists(versions)}$tagField}"""
     txnDir(catalog).mkdirs()
     val tmpF = new File(txnDir(catalog),
       f".t$txn%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
@@ -163,30 +221,25 @@ object TxnCatalog {
   /** Read `name` as of catalog transaction `asOf` (latest when None).
     *
     * NOT `TxnTable.read(asOf = pinnedVersion)`: the per-table log may
-    * hold orphan versions from failed/racing transactions below the
-    * pinned version, and a plain replay would resurrect their rows.
-    * Replay here walks ONLY the versions catalog entries `<= asOf`
-    * created, in version order — the catalog lineage IS the table
-    * history. */
+    * hold versions no committed entry references (failed/racing
+    * transactions) or versions a [[restore]] rolled off the current
+    * branch — a plain head-pinned replay would resurrect either.
+    * Replay here walks EXACTLY the entry's own version lineage, in
+    * order: the entry IS the snapshot. */
   def read(spark: SparkSession, catalog: String, name: String,
            asOf: Option[Int] = None): DataFrame = {
     checkName(name)
-    val entries = txnFiles(catalog).filter(f => asOf.forall(txnOf(f) <= _))
-    require(entries.nonEmpty,
+    require(entryAt(catalog, asOf).nonEmpty,
       s"no committed transaction in $catalog${asOf.fold("")(t => s" as of t$t")}")
-    val pinned = tableVersions(catalog, asOf).getOrElse(name,
+    val lineage = versionLists(catalog, asOf).getOrElse(name,
       throw new IllegalArgumentException(
         s"table '$name' does not exist in $catalog" +
           asOf.fold("")(t => s" as of t$t")))
-    val createdVersions = entries.flatMap { f =>
-      parseMap(new String(Files.readAllBytes(f.toPath),
-        StandardCharsets.UTF_8), "created").get(name)
-    }.toSet
+    val wanted = lineage.toSet
     val table = tablePath(catalog, name)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     TxnTable.logFiles(table)
-      .filter(f => createdVersions.contains(TxnTable.versionOf(f)) &&
-        TxnTable.versionOf(f) <= pinned)
+      .filter(f => wanted.contains(TxnTable.versionOf(f)))
       .foreach { f =>
         val (added, removed) = TxnTable.parseEntry(f)
         live --= removed

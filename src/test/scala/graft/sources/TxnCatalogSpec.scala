@@ -86,6 +86,32 @@ class TxnCatalogSpec extends SparkSpec {
     assert(ids(c, "t") == Set(1L, 2L, 3L))
   }
 
+  test("catalog restore snaps every table back together, zero table commits") {
+    val c = freshCatalog("restore")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("a", Seq(1L).toDF("id")), Write("b", Seq(10L).toDF("id"))))
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("a", Seq(2L).toDF("id")),
+      Write("b", Seq(20L).toDF("id"), overwrite = true)))
+    val aV = TxnTable.currentVersion(TxnCatalog.tablePath(c, "a"))
+    val bV = TxnTable.currentVersion(TxnCatalog.tablePath(c, "b"))
+    assert(TxnCatalog.restore(c, toTxn = 1) == 3)
+    // both tables roll back together…
+    assert(ids(c, "a") == Set(1L) && ids(c, "b") == Set(10L))
+    // …without a single new per-table version (zero copy)
+    assert(TxnTable.currentVersion(TxnCatalog.tablePath(c, "a")) == aV)
+    assert(TxnTable.currentVersion(TxnCatalog.tablePath(c, "b")) == bV)
+    // the rolled-back state stays travelable
+    assert(ids(c, "a", Some(2)) == Set(1L, 2L))
+    assert(ids(c, "b", Some(2)) == Set(20L))
+    // and life continues on top of the restore
+    TxnCatalog.commitAll(spark, c, Seq(Write("a", Seq(3L).toDF("id"))))
+    assert(ids(c, "a") == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      TxnCatalog.restore(c, toTxn = 4) // current head
+    }
+  }
+
   test("reads fail loudly for unknown tables and unborn catalogs") {
     val c = freshCatalog("empty")
     intercept[IllegalArgumentException] { ids(c, "t") }

@@ -126,6 +126,22 @@ class TxnTableSpec extends SparkSpec {
     }
   }
 
+  test("a stale rewrite referencing files a concurrent commit removed is refused") {
+    val t = freshTable("tt_stale_rewrite")
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("id").coalesce(1), t, overwrite = false)
+    TxnTable.commit(spark, Seq(3L).toDF("id").coalesce(1), t, overwrite = false)
+    // writer A plans a rewrite against this snapshot's files…
+    val staleFiles = TxnTable.liveFiles(t)
+    // …but a concurrent OPTIMIZE lands first and removes them all
+    TxnTable.optimize(spark, t, numFiles = 1)
+    // A's rewrite must be refused — publishing it would resurrect rows
+    // the optimize's replacement files already carry (double counting)
+    intercept[IllegalArgumentException] {
+      TxnTable.commitRewrite(spark, Seq(9L).toDF("id"), t, staleFiles)
+    }
+    assert(rows(t) == Set(1L, 2L, 3L), "the optimize's snapshot is intact")
+  }
+
   test("restore rolls back with zero data movement; history stays travelable") {
     val t = freshTable("tt_restore")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false) // v1
