@@ -535,6 +535,63 @@ object CompositeQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")).as("revenue_c"))
+    },
+
+    // ── CAPSTONE: the full lakehouse lifecycle on one keyed table —
+    //    ingest commits → MERGE (update + insert, file-pruned rewrite) →
+    //    copy-on-write DELETE → OPTIMIZE (whose change feed must cancel
+    //    to zero) → zero-copy RESTORE back to the post-merge state. One
+    //    row per stage, every stage time-traveled out of a single
+    //    history; the oracle rebuilds each state by set algebra. A
+    //    failure anywhere in the chain (a leaked orphan, a survivor
+    //    miscounted as a change, a restore that moved data) breaks a
+    //    stage hash.
+    sql("q12_lakehouse_lifecycle",
+      """WITH s2 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS v FROM orders
+        |  WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 1000 FROM orders
+        |  WHERE o_orderkey % 4 IN (1, 2)),
+        |s3 AS (SELECT * FROM s2 WHERE k % 5 <> 0)
+        |SELECT 'a_merge' AS stage, COUNT(*) AS cnt,
+        |       CAST(SUM(v) AS BIGINT) AS val_sum FROM s2
+        |UNION ALL
+        |SELECT 'b_delete', COUNT(*), CAST(SUM(v) AS BIGINT) FROM s3
+        |UNION ALL
+        |SELECT 'c_optimized', COUNT(*), CAST(SUM(v) AS BIGINT) FROM s3
+        |UNION ALL
+        |SELECT 'd_optimize_feed', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'e_restored', COUNT(*), CAST(SUM(v) AS BIGINT) FROM s2
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      import graft.operators.Merge
+      val table = "/root/repo/target/tmp/q_txn_lifecycle"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      TxnTable.commit(s, ord.filter((col("k") % 4).isin(0, 1)).repartition(3),
+        table, overwrite = false)                              // v1: %4∈{0,1}
+      // the merge UPDATES the %4=1 half of v1 and INSERTS %4=2
+      Merge.upsert(s, table,                                   // v2
+        ord.filter((col("k") % 4).isin(1, 2))
+          .withColumn("v", col("v") + 1000),
+        Seq("k"))
+      TxnTable.deleteWhere(s, table, col("k") % 5 === 0)       // v3
+      val v4 = TxnTable.optimize(s, table, numFiles = 2)       // v4
+      val feedRows = TxnTable.changeFeed(s, table, v4 - 1, v4, Seq("k")).count()
+      TxnTable.restore(s, table, toVersion = 2)                // v5
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("cnt"), sum("v").as("val_sum"))
+          .select(lit(name).as("stage"), col("cnt"), col("val_sum"))
+      stage("a_merge", TxnTable.read(s, table, asOf = Some(2)))
+        .unionByName(stage("b_delete", TxnTable.read(s, table, asOf = Some(3))))
+        .unionByName(stage("c_optimized", TxnTable.read(s, table, asOf = Some(4))))
+        .unionByName(s.range(1).select(lit("d_optimize_feed").as("stage"),
+          lit(feedRows).as("cnt"), lit(0L).as("val_sum")))
+        .unionByName(stage("e_restored", TxnTable.read(s, table)))
+        .orderBy("stage")
     }
   )
 }
