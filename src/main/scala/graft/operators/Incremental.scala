@@ -76,6 +76,16 @@ object Incremental {
     * view's row count. */
   def applyCdc(viewAgg: DataFrame, changes: DataFrame, keys: Seq[String],
                countCol: String,
+               sums: Map[String, String] = Map.empty): DataFrame =
+    mergeAdditive(viewAgg, cdcDelta(changes, keys, countCol, sums), keys)
+      .filter(col(countCol) > 0)
+
+  /** The SIGNED delta aggregate of a change feed on its own — what
+    * [[applyCdc]] merges into the view. Exposed because a brand-new view
+    * (no base yet) IS this delta: signed contributions across any
+    * version range compose additively, so one aggregate covers a whole
+    * batch of commits. */
+  def cdcDelta(changes: DataFrame, keys: Seq[String], countCol: String,
                sums: Map[String, String] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
     val sign = when(col("change").isin("insert", "update_postimage"), 1L)
@@ -86,8 +96,7 @@ object Incremental {
     val aggs = sum(sign).as(countCol) +: sums.toSeq.sortBy(_._1).map {
       case (m, src) => sum(sign * col(src)).as(m)
     }
-    val delta = changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    mergeAdditive(viewAgg, delta, keys).filter(col(countCol) > 0)
+    changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Incremental maintenance of an equi-JOIN view under fact appends —

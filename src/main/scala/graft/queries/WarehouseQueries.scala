@@ -255,6 +255,52 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // ── CONTINUOUS CDC view maintenance (EventsStreaming
+    //    .cdcViewMaintenance): a file stream on the source table's OWN
+    //    transaction log folds each published version's change feed into
+    //    a live aggregate view (itself a TxnTable, one tagged commit per
+    //    refresh). First run folds v1+v2 (ingest + merge) in one batch;
+    //    the overwrite lands after it, and the RESUMED stream folds only
+    //    v3 — the view ends equal to the from-scratch recompute, which
+    //    is exactly what the oracle replays.
+    sql("q_stream_cdc_view",
+      """WITH c AS (SELECT c_custkey, c_nationkey AS nation,
+        |                  c_custkey % 100 AS spend FROM customer)
+        |SELECT nation, COUNT(*) AS cnt, CAST(SUM(spend) AS BIGINT) AS sum_spend
+        |FROM c WHERE c_custkey % 3 = 0 GROUP BY nation
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      import graft.operators.Merge
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"/root/repo/target/tmp/cdcview_src_$sfKey"
+      val view = s"/root/repo/target/tmp/cdcview_agg_$sfKey"
+      Seq(table, view, s"$view.ckpt").foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nation"),
+          (col("c_custkey") % 100).as("spend"))
+      TxnTable.commit(s,                                    // v1: %3∈{0,1}
+        cust.filter((col("c_custkey") % 3).isin(0, 1)).repartition(4),
+        table, overwrite = false)
+      Merge.upsert(s, table,                                // v2: upd 1, ins 2
+        cust.filter((col("c_custkey") % 3).isin(1, 2))
+          .withColumn("spend",
+            when(col("c_custkey") % 3 === 1, col("spend") + 1000)
+              .otherwise(col("spend"))),
+        Seq("c_custkey"))
+      graft.streaming.EventsStreaming.cdcViewMaintenance(s, table, view,
+        keys = Seq("c_custkey"), groupKeys = Seq("nation"),
+        countCol = "cnt", sums = Map("sum_spend" -> "spend"))
+      TxnTable.commit(s,                                    // v3: keep %3=0
+        cust.filter(col("c_custkey") % 3 === 0), table, overwrite = true)
+      graft.streaming.EventsStreaming.cdcViewMaintenance(s, table, view,
+          keys = Seq("c_custkey"), groupKeys = Seq("nation"),
+          countCol = "cnt", sums = Map("sum_spend" -> "spend"),
+          resume = true)
+        .select("nation", "cnt", "sum_spend")
+        .orderBy("nation")
+    },
+
     // ── MULTI-TABLE transactional stream sink (EventsStreaming
     //    .catalogSinkIngest × TxnCatalog): each micro-batch commits BOTH
     //    derived tables (raw rows + per-type stats) through ONE catalog

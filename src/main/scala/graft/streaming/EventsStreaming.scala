@@ -617,6 +617,81 @@ object EventsStreaming {
       TxnCatalog.read(spark, catalog, "stats"))
   }
 
+  /** CONTINUOUS CDC view maintenance — the commit-to-live-view loop
+    * closed with Spark's own machinery. Every TxnTable commit publishes
+    * exactly one immutable `vNNNNN.json`, so the table's own log IS an
+    * append-only file stream: this query watches it, and each
+    * micro-batch folds the newly published versions' CHANGE FEED into
+    * an aggregate view that is itself a TxnTable — one tagged commit
+    * per refresh, exactly-once by the same version-pin + tag
+    * adjudication as the ingest sinks. Signed CDC contributions compose
+    * additively across versions, so a batch of N commits needs ONE
+    * feed aggregate, not N.
+    *
+    * The view's grouped measures are `countCol` plus `sums` (view
+    * measure → source column), maintained through inserts, updates,
+    * deletes, overwrites, restores — anything the feed expresses.
+    * Single-writer source assumed (versions publish in order), the
+    * stream's own checkpoint carries resume. */
+  def cdcViewMaintenance(spark: SparkSession, sourceTable: String,
+                         viewTable: String, keys: Seq[String],
+                         groupKeys: Seq[String], countCol: String,
+                         sums: Map[String, String] = Map.empty,
+                         resume: Boolean = false): DataFrame = {
+    import graft.sources.TxnTable
+    import graft.operators.Incremental
+    val ss = streamSession(spark)
+    val ckpt = s"$viewTable.ckpt"
+    if (!resume)
+      Seq(viewTable, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val entrySchema = StructType(Seq(StructField("version", LongType)))
+    val q = ss.readStream.schema(entrySchema)
+      .json(s"$sourceTable/_graft_log/v*.json")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val versions = batch.select("version").collect()
+          .map(_.getLong(0).toInt).sorted
+        if (versions.nonEmpty) {
+          require(versions.last - versions.head == versions.length - 1,
+            s"non-contiguous version batch ${versions.mkString(",")} — " +
+              "a concurrent writer reordered the log")
+          val sess = batch.sparkSession
+          val feed = TxnTable.changeFeed(sess, sourceTable,
+            versions.head - 1, versions.last, keys, updateImages = true)
+          val delta = Incremental.cdcDelta(feed, groupKeys, countCol, sums)
+          val next =
+            if (TxnTable.currentVersion(viewTable) >= 1)
+              Incremental.mergeAdditive(
+                TxnTable.read(sess, viewTable), delta, groupKeys)
+            else delta
+          val batchTag = s"stream-batch-$batchId"
+          // replay idempotence by TAG, not version pin: an acked-but-
+          // unrecorded refresh already advanced the view version, so a
+          // pin alone would happily double-fold the same feed
+          val current = TxnTable.currentVersion(viewTable)
+          val alreadyLanded = (1 to current)
+            .exists(v => TxnTable.commitTag(viewTable, v).contains(batchTag))
+          if (!alreadyLanded)
+            try TxnTable.commit(sess, next.filter(col(countCol) > 0),
+              viewTable, overwrite = true,
+              expectedVersion = Some(current + 1), tag = Some(batchTag))
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                if (!TxnTable.commitTag(viewTable, current + 1).contains(batchTag))
+                  throw new IllegalStateException(
+                    s"view refresh lost version ${current + 1} of $viewTable " +
+                      "to an out-of-band commit", e)
+            }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    TxnTable.read(spark, viewTable)
+  }
+
   /** Streaming tolerant ingest: the quarantine split
     * ([[graft.sources.Sources.readJsonQuarantined]]) as a CONTINUOUS
     * pipeline — every micro-batch routes parse-clean rows to the live

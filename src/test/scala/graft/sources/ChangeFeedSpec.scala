@@ -82,6 +82,23 @@ class ChangeFeedSpec extends SparkSpec {
       Seq("g"), "cnt", Map("sum_x" -> "x"))
     assert(canon(view3) == canon(viewOf(3)))
     assert(!canon(view3).exists(_._1 == 2L), "zero-count group must leave the view")
+    // the STREAMING form: a file stream on the table's own log folds the
+    // same history into a live view TxnTable — fresh run covers v1..v3 in
+    // one batch (one aggregate for N commits), resume folds only what's new
+    val viewT = fresh("cdcview_stream")
+    val streamed = graft.streaming.EventsStreaming.cdcViewMaintenance(
+      spark, t, viewT, keys = Seq("k"), groupKeys = Seq("g"),
+      countCol = "cnt", sums = Map("sum_x" -> "x"))
+    assert(canon(streamed) == canon(viewOf(3)),
+      "stream-maintained view must equal the recompute")
+    // v4 arrives AFTER the stream ran; the resumed run folds only v4
+    graft.operators.Merge.upsert(spark, t,
+      Seq((0L, 0L, 7000L)).toDF("k", "g", "x"), Seq("k"))
+    val resumed = graft.streaming.EventsStreaming.cdcViewMaintenance(
+      spark, t, viewT, keys = Seq("k"), groupKeys = Seq("g"),
+      countCol = "cnt", sums = Map("sum_x" -> "x"), resume = true)
+    assert(canon(resumed) == canon(viewOf(4)))
+
     // a single-image feed cannot retract old contributions — fails loudly
     // (feed (1,2] carries the k=5 'update' row; (2,3] is deletes only)
     val ex = intercept[Exception] {
