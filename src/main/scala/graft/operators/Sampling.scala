@@ -86,13 +86,19 @@ object Sampling {
     *
     *   bucket^q · W^p  <  w^p · rateQ^q      (rateQ = round(rate·B))
     *
-    * — pure BIGINT products both engines evaluate bit-identically, for
+    * — pure integer products both engines evaluate bit-identically, for
     * ANY rational exponent. The driver-side scalar is one max(weight)
     * fetch (a model read, never data); the filter itself is scan-side,
-    * shuffle-free, and layout-invariant like [[bernoulli]]. Overflow is
-    * checked EXACTLY (BigInt) against the actual W/rate/exponent before
-    * the job runs — a combination that cannot fit in a long fails
-    * loudly, never wraps. */
+    * shuffle-free, and layout-invariant like [[bernoulli]].
+    *
+    * Width routing, checked EXACTLY (BigInt) against the actual
+    * W/rate/exponent before the job runs: products that fit 63 bits run
+    * as codegen'd LONG arithmetic; up to 10^38 they route through
+    * DECIMAL(38,0) (Spark's exact 128-bit integers — DuckDB mirrors
+    * with HUGEINT casts, comparisons stay bit-identical); beyond that
+    * the combination fails loudly, never wraps. Scale invariance comes
+    * free: (c·w / c·W)^α ≡ (w/W)^α, so pre-scaled weights select the
+    * SAME rows (spec-pinned). */
   def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
                         rate: Double = 1.0, expNum: Int = 1,
                         expDen: Int = 1): DataFrame = {
@@ -104,14 +110,23 @@ object Sampling {
     require(wMax >= 1, s"max($weightCol) must be >= 1, got $wMax")
     val lhsMax = BigInt(b - 1).pow(expDen) * BigInt(wMax).pow(expNum)
     val rhsMax = BigInt(wMax).pow(expNum) * BigInt(rateQ).pow(expDen)
-    require(lhsMax < Long.MaxValue && rhsMax < Long.MaxValue,
-      s"weight/exponent combination overflows 64-bit: max lhs $lhsMax, " +
-        s"max rhs $rhsMax — lower the exponent or pre-scale the weight")
+    val bound = lhsMax.max(rhsMax)
+    require(bound < BigInt(10).pow(38),
+      s"weight/exponent combination overflows DECIMAL(38): max product " +
+        s"$bound — lower the exponent or pre-scale the weight down")
+    val useDec = bound > Long.MaxValue
+    def cc(c: Column) =
+      if (useDec) c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) else c
+    def bigLit(v: BigInt) =
+      if (useDec) lit(new java.math.BigDecimal(v.bigInteger))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      else lit(v.toLong)
     def powC(c: Column, e: Int) = Seq.fill(e)(c).reduce(_ * _)
     val w = col(weightCol).cast("long")
-    df.filter(w >= 1 && powC(hashBucket(col(idCol), b.toInt), expDen) *
-      lit(Seq.fill(expNum)(wMax).product) <
-      powC(w, expNum) * lit(Seq.fill(expDen)(rateQ).product))
+    df.filter(w >= 1 &&
+      powC(cc(hashBucket(col(idCol), b.toInt)), expDen) *
+        bigLit(BigInt(wMax).pow(expNum)) <
+      powC(cc(w), expNum) * bigLit(BigInt(rateQ).pow(expDen)))
   }
 
   /** Temperature resampling with a RATIONAL keep exponent — the general

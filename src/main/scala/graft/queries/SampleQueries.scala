@@ -51,6 +51,30 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // ── the 128-bit WIDE PATH of the weighted sampler: weights pre-
+    //    scaled ×10⁶ push every product past 64 bits, so Spark routes
+    //    through DECIMAL(38,0) and the oracle mirrors with HUGEINT
+    //    casts — comparisons stay bit-identical, and scale invariance
+    //    ((c·w/c·W)^α ≡ (w/W)^α) means this selects EXACTLY the rows
+    //    q_sample_weighted does, now proven through the gate at 128-bit
+    //    width.
+    sql("q_sample_weighted_wide",
+      s"""WITH d AS (SELECT doc_id, lang, n_chars * 1000000 AS w,
+         |                  ${bucketSql("doc_id")} AS bk FROM documents),
+         |wm AS (SELECT MAX(w) AS mw FROM d)
+         |SELECT doc_id, lang
+         |FROM d, wm
+         |WHERE w >= 1
+         |  AND CAST(bk AS HUGEINT) * bk * mw * mw * mw
+         |      < CAST(w AS HUGEINT) * w * w * (5000 * 5000)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.weightedBernoulli(
+          Tables.documents(s, d).withColumn("w", col("n_chars") * 1000000L),
+          "doc_id", "w", rate = 0.5, expNum = 3, expDen = 2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ── rational-exponent temperature resampling (keep exponent 1/3):
     //    stratum l keeps (n_min/n_l)^(1/3) of its rows — flatter than the
     //    sqrt sampler's α=0.5 — via the same integer raised-power test:

@@ -53,11 +53,18 @@ class SamplingSpec extends SparkSpec {
     val maxIds = docs.filter(col("n_chars") === wMax)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(maxIds.subsetOf(ids(docs, 1.0, 3, 2)))
-    // an overflowing weight/exponent combination fails loudly, never wraps
+    // SCALE INVARIANCE through the DECIMAL(38) wide path: pre-scaling
+    // every weight by a constant leaves (w/W)^α — and so the selected
+    // set — EXACTLY unchanged, even though the products now exceed
+    // 64 bits and route through decimal arithmetic
+    val scaled = docs.withColumn("big", col("n_chars") * 1000000L)
+    val bigIds = Sampling.weightedBernoulli(scaled, "doc_id", "big", 0.5, 3, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bigIds === ids(docs, 0.5, 3, 2),
+      "scaled weights must select the identical rows via the wide path")
+    // beyond DECIMAL(38) the combination fails loudly, never wraps
     intercept[IllegalArgumentException] {
-      Sampling.weightedBernoulli(
-        docs.withColumn("big", col("n_chars") * 1000000L),
-        "doc_id", "big", 1.0, 3, 2).count()
+      Sampling.weightedBernoulli(scaled, "doc_id", "big", 1.0, 6, 6).count()
     }
   }
 
