@@ -106,8 +106,8 @@ object TxnCatalog {
 
   /** The per-table version lineage as of `asOf` — the exact log entries
     * a read replays. */
-  private def versionLists(catalog: String,
-                           asOf: Option[Int]): Map[String, Seq[Int]] =
+  private[sources] def versionLists(catalog: String,
+                                    asOf: Option[Int]): Map[String, Seq[Int]] =
     entryAt(catalog, asOf) match {
       case None => Map.empty
       case Some(f) => parseLists(new String(Files.readAllBytes(f.toPath),
@@ -165,8 +165,14 @@ object TxnCatalog {
         overwrite = w.overwrite, tag = tag)
     }.toMap
     val baseLists = versionLists(catalog, Some(txn - 1))
+    val byName = writes.map(w => w.name -> w.overwrite).toMap
     val lists = baseLists ++ created.map { case (name, v) =>
-      name -> (baseLists.getOrElse(name, Seq.empty) :+ v)
+      // an overwrite's removal list covers every catalog-visible file
+      // (it removes the table-local live superset), so replaying [v]
+      // alone is exact — the lineage TRUNCATES instead of growing,
+      // bounding entry size for overwrite-style tables
+      name -> (if (byName(name)) Seq(v)
+               else baseLists.getOrElse(name, Seq.empty) :+ v)
     }
     publishEntry(catalog, txn, base ++ created, lists, tag)
   }

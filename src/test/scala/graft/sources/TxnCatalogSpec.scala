@@ -38,6 +38,10 @@ class TxnCatalogSpec extends SparkSpec {
 
     assert(ids(c, "cust") == Set(1L, 2L, 3L, 4L))
     assert(ids(c, "ord") == Set(20L))
+    // append lineage grows; an overwrite TRUNCATES it to one version
+    // (its removal list covers everything visible), bounding entry size
+    assert(TxnCatalog.versionLists(c, None)("cust").size == 3)
+    assert(TxnCatalog.versionLists(c, None)("ord").size == 1)
     assert(ids(c, "cust", Some(1)) == Set(1L, 2L))
     assert(ids(c, "ord", Some(1)) == Set(10L))
     assert(ids(c, "cust", Some(2)) == Set(1L, 2L, 3L))
