@@ -181,6 +181,24 @@ object Sampling {
     df.withColumn("split", split)
   }
 
+  /** Deterministic PER-EPOCH shuffle order — the training-export need
+    * RNG shuffles can't meet: epoch e's order is the sort by
+    * md5(e || ':' || id), a different but bit-reproducible permutation
+    * per epoch on every run, cluster size, and engine. Exposed as the
+    * order KEY (write exports with repartitionByRange + sortWithin on
+    * it — global order across files, no single-partition window). */
+  def epochShuffleKey(idCol: Column, epoch: Int): Column =
+    md5(concat_ws(":", lit(epoch.toString), idCol.cast("string")))
+
+  /** The first `k` rows of epoch `epoch`'s shuffle order — the
+    * curriculum head. orderBy + limit plans as TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge on the driver side of the
+    * exchange) — no global sort, no single-partition window. */
+  def epochShuffleHead(df: DataFrame, idCol: String, epoch: Int,
+                       k: Int): DataFrame =
+    df.withColumn("shuffle_key", epochShuffleKey(col(idCol), epoch))
+      .orderBy("shuffle_key").limit(k)
+
   /** Deterministic shard id in [0, nShards) — the export key for writing
     * a training corpus as N balanced files/streams. Content-hashed like
     * everything above: re-running the export on a different cluster

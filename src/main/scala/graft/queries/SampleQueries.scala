@@ -94,6 +94,27 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // ── per-epoch deterministic shuffle heads: three epochs, each a
+    //    DIFFERENT md5-keyed permutation of the corpus, each head the
+    //    same 40 docs on every run/engine — the reproducible
+    //    training-order primitive RNG shuffles can't give. Plans as
+    //    TakeOrderedAndProject (per-partition top-k), never a global
+    //    sort.
+    sql("q_sample_epochs",
+      (1 to 3).map(e =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id,
+           |       md5(CAST($e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           |FROM documents ORDER BY shuffle_key LIMIT 40""".stripMargin)
+        .mkString("(", ")\nUNION ALL\n(", ")\nORDER BY epoch, shuffle_key")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      (1 to 3).map(e =>
+          Sampling.epochShuffleHead(docs, "doc_id", epoch = e, k = 40)
+            .select(lit(e.toLong).as("epoch"), col("doc_id"),
+              col("shuffle_key")))
+        .reduce(_ unionByName _)
+        .orderBy("epoch", "shuffle_key")
+    },
+
     // ── stratified cap: at most 25 docs per language, the 25 smallest
     //    (md5(doc_id), doc_id) per stratum — class rebalancing that keeps
     //    under-represented strata whole

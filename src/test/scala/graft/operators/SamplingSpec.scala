@@ -68,6 +68,20 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle heads: distinct permutations, layout-invariant, no global sort") {
+    def head(df: org.apache.spark.sql.DataFrame, e: Int): Seq[Long] =
+      Sampling.epochShuffleHead(df, "doc_id", e, 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1 = head(docs, 1)
+    assert(e1 == head(docs.repartition(13), 1), "layout-invariant order")
+    assert(e1 != head(docs, 2), "epochs must be different permutations")
+    assert(e1.toSet != head(docs, 2).toSet, "and pick different heads")
+    val plan = Sampling.epochShuffleHead(docs, "doc_id", 1, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head must plan as per-partition top-k, got:\n$plan")
+  }
+
   test("rational temperature (1/2) is the exact-boundary form of the sqrt sampler") {
     def idSet(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
