@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+
+/** MODEL-BASED test of the catalog: a fixed-seed random sequence of
+  * multi-table commits (append/overwrite mixes), catalog restores, and
+  * injected CRASHES (per-table commits that never publish a catalog
+  * entry) runs against a driver-side reference model. After every
+  * transaction each table must equal its model, every historical
+  * transaction must still time-travel, and orphans must never surface —
+  * the generator reaches interactions (restore over orphans, overwrite
+  * after crash, lineage truncation) targeted specs don't.
+  */
+class TxnCatalogModelSpec extends SparkSpec {
+
+  import spark.implicits._
+  import TxnCatalog.Write
+
+  test("random multi-table histories with crashes and restores match the model") {
+    val c = "/root/repo/target/tmp/spec_cat_model"
+    FileUtils.deleteQuietly(new File(c))
+    val rnd = new scala.util.Random(8L)
+    val names = Seq("alpha", "beta")
+    // model history: txn -> (table -> key set)
+    val history = scala.collection.mutable.ArrayBuffer[Map[String, Set[Long]]]()
+    def current: Map[String, Set[Long]] =
+      history.lastOption.getOrElse(Map.empty)
+
+    def check(): Unit = {
+      names.foreach { n =>
+        current.get(n) match {
+          case Some(want) if want.nonEmpty =>
+            val got = TxnCatalog.read(spark, c, n)
+              .select("id").as[Long].collect().toSet
+            assert(got == want, s"table $n diverged at t${history.size}")
+          case _ => ()
+        }
+      }
+    }
+
+    (1 to 18).foreach { i =>
+      rnd.nextInt(4) match {
+        case 3 if history.size >= 2 &&
+          (1 until history.size).exists(t => history(t - 1).exists(_._2.nonEmpty)) =>
+          // catalog restore (history indexes catalog txns 1:1, so the
+          // model state at txn `to` is history(to - 1))
+          val candidates = (1 until history.size)
+            .filter(t => history(t - 1).exists(_._2.nonEmpty))
+          val to = candidates(rnd.nextInt(candidates.size))
+          TxnCatalog.restore(c, toTxn = to)
+          history += history(to - 1)
+        case 2 if history.nonEmpty =>
+          // CRASH: a table commit that never reaches the catalog — no
+          // catalog txn, so NO history push; the orphan must stay hidden
+          val n = names(rnd.nextInt(names.size))
+          TxnTable.commit(spark, Seq(-1000L - i).toDF("id"),
+            TxnCatalog.tablePath(c, n), overwrite = rnd.nextBoolean())
+        case _ => // a 1- or 2-table transaction
+          val ws = names.filter(_ => rnd.nextBoolean()) match {
+            case Nil => Seq(names(rnd.nextInt(names.size)))
+            case xs => xs
+          }
+          val writes = ws.map { n =>
+            val rows = (0 until 1 + rnd.nextInt(4))
+              .map(_ => 100L * i + rnd.nextInt(50)).toSet
+            (n, rows, rnd.nextBoolean() && current.contains(n))
+          }
+          TxnCatalog.commitAll(spark, c, writes.map { case (n, rows, ow) =>
+            Write(n, rows.toSeq.toDF("id"), overwrite = ow)
+          })
+          history += current ++ writes.map { case (n, rows, ow) =>
+            n -> (if (ow) rows
+                  else current.getOrElse(n, Set.empty) ++ rows)
+          }
+      }
+      check()
+    }
+
+    // every historical catalog txn still reads to its model state
+    history.zipWithIndex.foreach { case (state, idx) =>
+      val t = idx + 1
+      state.foreach { case (n, want) =>
+        if (want.nonEmpty) {
+          val got = TxnCatalog.read(spark, c, n, asOf = Some(t))
+            .select("id").as[Long].collect().toSet
+          assert(got == want, s"time travel: table $n at t$t diverged")
+        }
+      }
+    }
+  }
+}
