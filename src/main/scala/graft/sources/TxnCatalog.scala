@@ -195,6 +195,45 @@ object TxnCatalog {
       versionLists(catalog, Some(toTxn)), tag)
   }
 
+  /** Catalog-wide VACUUM: physically delete every table data file that
+    * NO catalog entry's lineage references — the bytes crashed and
+    * losing transactions stranded (their versions appear in a per-table
+    * log but in no published entry). Unlike `TxnTable.vacuum` this
+    * keeps EVERY catalog-travelable snapshot intact: any version listed
+    * in any entry's lineage keeps all the files its log entry added
+    * (even files a later overwrite removed — an older entry still
+    * replays them). Returns the deleted file count. */
+  def vacuum(catalog: String): Int = {
+    val entries = txnFiles(catalog)
+    val keepByTable = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Int]]
+    entries.foreach { f =>
+      parseLists(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)).foreach { case (n, vs) =>
+        keepByTable.getOrElseUpdate(n,
+          scala.collection.mutable.Set.empty) ++= vs
+      }
+    }
+    val tablesDir = new File(catalog, "tables")
+    Option(tablesDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map { td =>
+        val name = td.getName
+        val keepVersions = keepByTable.getOrElse(name, Set.empty[Int])
+        val keepFiles: Set[String] = TxnTable.logFiles(td.getPath)
+          .filter(f => keepVersions.contains(TxnTable.versionOf(f)))
+          .flatMap(f => TxnTable.parseEntry(f)._1).toSet
+        val dataRoot = new File(td, "data")
+        val doomed = Option(dataRoot.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+          .filter(f => f.isFile && f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet") &&
+            !keepFiles.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
+        doomed.foreach(_.delete())
+        doomed.length
+      }.sum
+  }
+
   private def publishEntry(catalog: String, txn: Int,
                            tables: Map[String, Int],
                            versions: Map[String, Seq[Int]],

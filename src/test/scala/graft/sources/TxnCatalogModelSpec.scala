@@ -80,15 +80,25 @@ class TxnCatalogModelSpec extends SparkSpec {
     }
 
     // every historical catalog txn still reads to its model state
-    history.zipWithIndex.foreach { case (state, idx) =>
-      val t = idx + 1
-      state.foreach { case (n, want) =>
-        if (want.nonEmpty) {
-          val got = TxnCatalog.read(spark, c, n, asOf = Some(t))
-            .select("id").as[Long].collect().toSet
-          assert(got == want, s"time travel: table $n at t$t diverged")
+    def travelAll(): Unit =
+      history.zipWithIndex.foreach { case (state, idx) =>
+        val t = idx + 1
+        state.foreach { case (n, want) =>
+          if (want.nonEmpty) {
+            val got = TxnCatalog.read(spark, c, n, asOf = Some(t))
+              .select("id").as[Long].collect().toSet
+            assert(got == want, s"time travel: table $n at t$t diverged")
+          }
         }
       }
-    }
+    travelAll()
+
+    // catalog vacuum sweeps the crash-stranded orphans (every crash left
+    // at least one unreferenced data file) without touching ANY
+    // catalog-travelable snapshot — the full history re-check must pass
+    val deleted = TxnCatalog.vacuum(c)
+    assert(deleted >= 1, "the injected crashes must leave orphan bytes")
+    travelAll()
+    assert(TxnCatalog.vacuum(c) == 0, "vacuum is idempotent")
   }
 }
