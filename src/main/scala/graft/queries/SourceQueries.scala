@@ -365,6 +365,65 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── small-file-only compaction (TxnTable.compactSmall): one healthy
+    //    ingest file plus four micro-batch-sized stragglers; the
+    //    compaction merges ONLY the stragglers (5 files → 2, the big
+    //    file byte-identical) — the steady-state streaming-sink
+    //    lifecycle without the O(table) full-optimize rewrite. File
+    //    counts ride the hash.
+    sql("q_src_compact_small",
+      """SELECT COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(5 AS BIGINT) AS files_before,
+        |       CAST(2 AS BIGINT) AS files_after
+        |FROM events WHERE event_id % 2 = 0 OR event_id IN (1, 3, 5, 7)""".stripMargin) { (s, d) =>
+      val table = tmp("txn_compact_small")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id")
+      TxnTable.commit(s, ev.filter(col("event_id") % 2 === 0).coalesce(1),
+        table, overwrite = false)
+      val bigSize = new java.io.File(table,
+        TxnTable.liveFiles(table).head).length()
+      Seq(1, 3, 5, 7).foreach(k =>
+        TxnTable.commit(s, ev.filter(col("event_id") === k).coalesce(1),
+          table, overwrite = false))
+      val before = TxnTable.liveFiles(table).size.toLong
+      TxnTable.compactSmall(s, table, smallBytes = bigSize)
+      val after = TxnTable.liveFiles(table).size.toLong
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("id_sum"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
+    },
+
+    // ── SQL over one consistent catalog snapshot (TxnCatalog
+    //    .registerViews): both tables' views pin file lists from the
+    //    SAME catalog entry, so the spark.sql join can never mix a new
+    //    version of one table with an old version of the other — the
+    //    cross-table consistency the reference's independent to_sql
+    //    loads lack.
+    sql("q_sql_catalog_snapshot",
+      """SELECT c_nationkey AS nation, COUNT(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 2 = 0 AND c_custkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_sql_catalog")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      TxnCatalog.commitAll(s, cat, Seq(
+        Write("customer", Tables.customer(s, d)
+          .filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_nationkey")),
+        Write("orders", Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey"))))
+      TxnCatalog.registerViews(s, cat, prefix = "g8cat_")
+      s.sql("""SELECT c.c_nationkey AS nation, COUNT(*) AS cnt
+              |FROM g8cat_orders o JOIN g8cat_customer c
+              |  ON o.o_custkey = c.c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // ── OPTIMIZE under the txn log (TxnTable.optimize): three one-file
     //    ingest commits compact into ONE file in one atomic rewrite
     //    version. The output hashes the content (unchanged), the file

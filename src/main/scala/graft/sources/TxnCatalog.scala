@@ -195,6 +195,23 @@ object TxnCatalog {
       versionLists(catalog, Some(toTxn)), tag)
   }
 
+  /** Register every table of ONE catalog snapshot as a temp view
+    * (`<prefix><name>`) — the SQL façade: `spark.sql` joins across the
+    * views see a single consistent transaction, because each view's
+    * file list was pinned by the same entry. Returns the snapshot's
+    * transaction number. */
+  def registerViews(spark: SparkSession, catalog: String,
+                    asOf: Option[Int] = None,
+                    prefix: String = ""): Int = {
+    val txn = entryAt(catalog, asOf).map(txnOf).getOrElse(
+      throw new IllegalArgumentException(s"no committed transaction in $catalog"))
+    versionLists(catalog, Some(txn)).keys.foreach { n =>
+      read(spark, catalog, n, asOf = Some(txn))
+        .createOrReplaceTempView(prefix + n)
+    }
+    txn
+  }
+
   /** Catalog-wide VACUUM: physically delete every table data file that
     * NO catalog entry's lineage references — the bytes crashed and
     * losing transactions stranded (their versions appear in a per-table

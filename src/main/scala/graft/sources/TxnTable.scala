@@ -253,6 +253,25 @@ object TxnTable {
       live, expectedVersion)
   }
 
+  /** INCREMENTAL compaction — [[optimize]] scoped to the SMALL files
+    * only: live files under `smallBytes` coalesce into `numFiles`;
+    * every file already at a healthy size is untouched (not rewritten,
+    * not even read). This is the steady-state lifecycle for streaming
+    * sinks — one small file lands per micro-batch, and periodic
+    * small-only compaction keeps the file count bounded WITHOUT the
+    * O(table) rewrite a full optimize pays. No-op (returns current
+    * version, commits nothing) when fewer than two small files exist. */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+                   numFiles: Int = 1,
+                   expectedVersion: Option[Int] = None): Int = {
+    require(numFiles >= 1 && smallBytes > 0, "bad compaction parameters")
+    val small = liveFiles(table, None)
+      .filter(f => new File(table, f).length() < smallBytes)
+    if (small.size < 2) return currentVersion(table)
+    val df = spark.read.parquet(small.map(f => new File(table, f).getPath): _*)
+    commitRewrite(spark, df.coalesce(numFiles), table, small, expectedVersion)
+  }
+
   /** RESTORE — roll the table back to `toVersion` as a NEW commit, with
     * ZERO data movement: the entry removes the current live set and
     * re-adds `toVersion`'s files (replay order is remove-then-add, so

@@ -116,6 +116,24 @@ class TxnCatalogSpec extends SparkSpec {
     }
   }
 
+  test("registerViews pins one consistent SQL snapshot across later commits") {
+    val c = freshCatalog("views")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("aa", Seq(1L, 2L).toDF("id")), Write("bb", Seq(1L).toDF("id"))))
+    TxnCatalog.registerViews(spark, c, asOf = Some(1), prefix = "snap1_")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("aa", Seq(9L).toDF("id"), overwrite = true),
+      Write("bb", Seq(9L).toDF("id"), overwrite = true)))
+    // the pinned views still join to txn 1's state after txn 2 landed
+    val joined = spark.sql(
+      "SELECT a.id FROM snap1_aa a JOIN snap1_bb b ON a.id = b.id")
+      .collect().map(_.getLong(0)).toSet
+    assert(joined == Set(1L))
+    TxnCatalog.registerViews(spark, c, prefix = "cur_")
+    assert(spark.sql("SELECT id FROM cur_aa").collect()
+      .map(_.getLong(0)).toSet == Set(9L))
+  }
+
   test("reads fail loudly for unknown tables and unborn catalogs") {
     val c = freshCatalog("empty")
     intercept[IllegalArgumentException] { ids(c, "t") }

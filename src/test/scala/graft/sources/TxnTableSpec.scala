@@ -142,6 +142,26 @@ class TxnTableSpec extends SparkSpec {
     assert(rows(t) == Set(1L, 2L, 3L), "the optimize's snapshot is intact")
   }
 
+  test("compactSmall merges only small files; healthy files stay untouched") {
+    val t = freshTable("tt_compact_small")
+    TxnTable.commit(spark,
+      spark.range(0, 20000).toDF("id").coalesce(1), t, overwrite = false)
+    val big = TxnTable.liveFiles(t).head
+    val bigSize = new File(t, big).length()
+    (1 to 4).foreach(i =>
+      TxnTable.commit(spark, Seq(100000L + i).toDF("id").coalesce(1),
+        t, overwrite = false))
+    assert(TxnTable.liveFiles(t).size == 5)
+    val v = TxnTable.compactSmall(spark, t, smallBytes = bigSize)
+    assert(v == 6)
+    val after = TxnTable.liveFiles(t)
+    assert(after.size == 2)
+    assert(after.contains(big), "the healthy file must not be rewritten")
+    assert(rows(t) == (0L until 20000L).toSet ++ (1 to 4).map(100000L + _))
+    // a lone small file left → no-op, no empty commit
+    assert(TxnTable.compactSmall(spark, t, smallBytes = bigSize) == 6)
+  }
+
   test("restore rolls back with zero data movement; history stays travelable") {
     val t = freshTable("tt_restore")
     TxnTable.commit(spark, Seq(1L, 2L).toDF("id"), t, overwrite = false) // v1
