@@ -205,6 +205,35 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // ── DYNAMIC partition pruning: the partition values worth reading are
+    //    only known at RUNTIME (top-5 busiest purchase days, computed from
+    //    data), so no static filter can prune the fact scan — Spark's DPP
+    //    inserts the dim's values as a runtime partition filter
+    //    (dynamicpruningexpression, reusing the join's broadcast), and the
+    //    fact scan opens 5 of ~30 date directories. At 100 TB this is THE
+    //    star-schema pattern: dim filters prune fact partitions without a
+    //    second planning pass. Plan audit asserts the dynamic filter; the
+    //    oracle replays the same selection over the unpartitioned table.
+    sql("q_dpp_prune",
+      """WITH p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, COUNT(*) AS c
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |top5 AS (SELECT d FROM p ORDER BY c DESC, d LIMIT 5)
+        |SELECT t.d AS event_date, e.event_type, COUNT(*) AS cnt
+        |FROM events e JOIN top5 t ON CAST(CAST(e.ts AS DATE) AS VARCHAR) = t.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val fact = s.read.parquet(partitionedEventsDir(s, d))
+      val dim = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("d")).limit(5)
+        .select("d")
+      fact.join(dim, fact("event_date") === dim("d"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_date", "event_type")
+    },
+
     // ── file-level min-max index + pruned scan: orders range-laid-out on
     //    o_orderkey, the stats-table listing stops non-intersecting files
     //    being OPENED at all (file skipping, not just row-group pruning);

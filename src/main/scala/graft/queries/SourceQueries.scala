@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.QueryDef.sql
 import graft.operators.{Incremental, Multimodal}
 import graft.sources.{Sources, TxnTable}
-import graft.streaming.EventsStreaming
+import graft.streaming.{EventsStreaming, TwsStreaming}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -887,6 +887,35 @@ object SourceQueries {
         |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       EventsStreaming.userSessions(s, d, gapMinutes = 30).orderBy("user_id")
+    },
+
+    // ── transformWithState (Spark 4's arbitrary-state API, RocksDB-only):
+    //    per-user running profile held in NAMED typed state variables — a
+    //    ValueState for the (n_events, value_cents) totals, a MapState for
+    //    per-type counts (per-entry updates, not a monolithic blob rewrite).
+    //    Values quantize to integer cents before summing, so the running
+    //    totals are exact and batch-split-invariant; multi-batch equality
+    //    is spec-pinned. Oracle = the batch GROUP BY replay.
+    sql("q_stream_tws_profile",
+      """WITH per AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |         CAST(SUM(vc) AS BIGINT) AS value_cents,
+        |         COUNT(*) AS n_types
+        |  FROM per GROUP BY 1),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type, c AS top_cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY c DESC, event_type) AS rn
+        |  FROM per)
+        |SELECT a.user_id, a.n_events, a.value_cents, a.n_types,
+        |       t.top_type, t.top_cnt
+        |FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rn = 1
+        |ORDER BY a.user_id""".stripMargin) { (s, d) =>
+      TwsStreaming.userProfiles(s, d).orderBy("user_id")
     },
 
     // ── NATIVE streaming session_window aggregation (§2.11's incremental

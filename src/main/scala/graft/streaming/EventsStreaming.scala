@@ -35,7 +35,7 @@ object EventsStreaming {
     * count (the knob a real deployment sizes to its cluster — it is
     * fixed for the life of a checkpoint, so it's a per-query choice, not
     * a global one). Measured at sf0.1: q_stream_join 19.8 s → ~5 s. */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private[streaming] def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
@@ -45,7 +45,7 @@ object EventsStreaming {
   /** The file streaming source requires a directory; the testdata ships
     * single-file tables. Stage events.parquet into a scratch dir keyed by
     * the sf dir (copy once, reuse). */
-  private def stageDir(sfDir: String): String = {
+  private[streaming] def stageDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(s"/root/repo/target/tmp/stream/$key")

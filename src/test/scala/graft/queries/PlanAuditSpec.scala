@@ -77,6 +77,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 1 selected partition, got ${scans.map(_.selectedPartitions.partitionCount).mkString(",")}")
   }
 
+  test("q_dpp_prune: runtime dim values prune fact partitions (DPP)") {
+    val df = SparkEntry.queries("q_dpp_prune")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan's partition filter is a DYNAMIC expression fed by the
+    // dim subquery at runtime — no static filter could know the top-5 days
+    assert(plan.contains("dynamicpruningexpression"), plan.take(3000))
+    // and the pruning reached file selection: 5 of ~30 date directories
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val factScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("dynamicpruning"))
+    val partsRead = factScans.flatMap(_.metrics.get("numPartitions").map(_.value))
+    assert(partsRead.contains(5L),
+      s"expected a 5-partition dynamic selection, got ${partsRead.mkString(",")}")
+  }
+
   test("lsh bucketing is one fused expression, not a quantized_dot forest") {
     val planes = graft.operators.Similarity.hyperplanes(64, 8, 16, seed = 7L)
     val plan = graft.operators.Similarity.lshBuckets(

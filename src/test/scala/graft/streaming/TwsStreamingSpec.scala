@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** transformWithState (Spark 4 arbitrary-state API) behavior pins:
+  * stream == batch on one shot, and batch-split invariance across
+  * maxFilesPerTrigger=1 micro-batches — the profile counters are
+  * integer-exact so equality is literal, not approximate. */
+class TwsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getLong(5))).toSet
+
+  private def batchExpected = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"),
+        sum(floor($"value" * 100).cast("long")).as("vc"))
+    val agg = per.groupBy("user_id")
+      .agg(sum("c").cast("long").as("n_events"),
+        sum("vc").cast("long").as("value_cents"),
+        count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"c".desc, $"event_type")
+    val top = per.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id".as("u"), $"event_type".as("top_type"),
+        $"c".as("top_cnt"))
+    agg.join(top, agg("user_id") === top("u"))
+      .select("user_id", "n_events", "value_cents", "n_types",
+        "top_type", "top_cnt")
+  }
+
+  test("transformWithState profile equals the batch replay") {
+    val streamed = asTuples(TwsStreaming.userProfiles(spark, sfDir))
+    val batch = asTuples(batchExpected)
+    assert(streamed === batch)
+  }
+
+  test("profiles are batch-split invariant (maxFilesPerTrigger=1, 3 batches)") {
+    val dir = new java.io.File("/root/repo/target/tmp/stream/tws_multibatch")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    val events = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val third = events.length / 3
+    def epochNanos(ts: Any): Long = ts match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000 * 1000000000L + t.getNanos
+      case l: java.time.LocalDateTime =>
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + l.getNano
+    }
+    Seq(events.take(third),
+        events.slice(third, 2 * third),
+        events.drop(2 * third)).zipWithIndex.foreach { case (chunk, i) =>
+      val rows = chunk.map(r => (r.getLong(0), epochNanos(r.get(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet").setLastModified(1000000L * (i + 1))
+    }
+    val multi = asTuples(TwsStreaming.userProfiles(spark, sfDir,
+      inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1)))
+    val single = asTuples(TwsStreaming.userProfiles(spark, sfDir))
+    assert(multi === single,
+      "transformWithState profiles differ across batching")
+  }
+}
