@@ -592,6 +592,83 @@ object CompositeQueries {
           lit(feedRows).as("cnt"), lit(0L).as("val_sum")))
         .unionByName(stage("e_restored", TxnTable.read(s, table)))
         .orderBy("stage")
+    },
+
+    // ── correlated-scalar-subquery flagship (the TPC-H Q17 shape):
+    //    lineitems below 20% of their part's average quantity. The SAME
+    //    SQL text runs on BOTH engines — the point is Catalyst's
+    //    DECORRELATION: each correlated aggregate subquery rewrites into
+    //    a grouped aggregate joined back on l_partkey (plan-audited: real
+    //    joins, no per-row re-execution, no nested loop). "qty < 0.2·avg"
+    //    is cross-multiplied to integers (5·qty·cnt < sum) so both
+    //    engines compare exactly — no division, no doubles.
+    sql("q13_avg_quantity_subquery", Q13_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q13_SQL)
+    },
+
+    // ── EXISTS / NOT EXISTS flagship (the TPC-H Q21 shape): suppliers
+    //    whose returned item is the ONLY return in a multi-supplier
+    //    finished order. Same SQL text on both engines; Catalyst plans
+    //    EXISTS as a left-semi and NOT EXISTS as a left-anti join
+    //    (plan-audited) — the decorrelated forms that scale, never a
+    //    per-row probe.
+    sql("q14_lone_return_supplier", Q14_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q14_SQL)
+    },
+
+    // ── aggregate-view + scalar-subquery flagship (the TPC-H Q15 shape):
+    //    per-supplier revenue view, filtered to the view's own MAX via an
+    //    uncorrelated scalar subquery — the "top performer of a derived
+    //    metric" pattern. Revenue quantized to cents pre-sum; the view is
+    //    one hash aggregate reused by both the probe and the max.
+    sql("q15_top_supplier", Q15_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q15_SQL)
     }
   )
+
+  /** Engine-portable SQL (identical text for Spark and DuckDB): integer
+    * cross-multiplication instead of avg division, cents-quantized sums,
+    * every aggregate output cast to BIGINT (DuckDB's SUM promotes to
+    * HUGEINT otherwise — the r7 gate lesson). */
+  private lazy val Q13_SQL: String =
+    """SELECT p_brand, COUNT(*) AS n_small,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  private lazy val Q14_SQL: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  private lazy val Q15_SQL: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |           AS BIGINT) AS total_c
+      |  FROM lineitem WHERE l_returnflag = 'N'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_c
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_c = (SELECT MAX(total_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
 }

@@ -99,6 +99,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a 5-partition dynamic selection, got ${partsRead.mkString(",")}")
   }
 
+  test("q13: correlated scalar subqueries decorrelate into aggregate joins") {
+    val plan = planOf("q13_avg_quantity_subquery")
+    // decorrelation = per-part grouped aggregates joined back on the key;
+    // a nested-loop re-execution per outer row would be the scale killer
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q14: EXISTS / NOT EXISTS plan as left-semi / left-anti joins") {
+    val plan = planOf("q14_lone_return_supplier")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("lsh bucketing is one fused expression, not a quantized_dot forest") {
     val planes = graft.operators.Similarity.hyperplanes(64, 8, 16, seed = 7L)
     val plan = graft.operators.Similarity.lshBuckets(
