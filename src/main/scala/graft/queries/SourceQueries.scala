@@ -660,6 +660,56 @@ object SourceQueries {
         .orderBy("tbl", "txn")
     },
 
+    // ── zero-copy lineage CHECKPOINT (TxnCatalog.compactLineage): an
+    //    append-per-micro-batch table's catalog lineage grows O(txns) —
+    //    after 4 appends the entry lists 4 versions; the checkpoint
+    //    publishes ONE metadata-only version re-listing the live files
+    //    (no data written) and the lineage truncates to 1. The output
+    //    hashes the lineage LENGTH at each stage next to the content —
+    //    both that compaction bounded the metadata and that no row moved;
+    //    time travel to the pre-compact entry still replays the long
+    //    lineage.
+    sql("q_src_lineage_compact",
+      """SELECT 'a_pre' AS stage, CAST(4 AS BIGINT) AS lineage_len,
+        |       COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)
+        |UNION ALL
+        |SELECT 'b_compact', CAST(1 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)
+        |UNION ALL
+        |SELECT 'c_append', CAST(2 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3, 4)
+        |UNION ALL
+        |SELECT 'd_travel', CAST(4 AS BIGINT), COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_catalog_compact")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val slice = (m: Int) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === m).select("o_orderkey")
+      (0 to 3).foreach(m =>
+        TxnCatalog.commitAll(s, cat, Seq(Write("ev", slice(m)))))
+      val preTxn = TxnCatalog.currentTxn(cat)
+      val preLen = TxnCatalog.lineageLength(cat, "ev")
+      TxnCatalog.compactLineage(s, cat, "ev")
+      val postLen = TxnCatalog.lineageLength(cat, "ev")
+      TxnCatalog.commitAll(s, cat, Seq(Write("ev", slice(4))))
+      val appendLen = TxnCatalog.lineageLength(cat, "ev")
+      val travelLen = TxnCatalog.lineageLength(cat, "ev", Some(preTxn))
+      def stage(name: String, len: Int, asOf: Option[Int]) =
+        TxnCatalog.read(s, cat, "ev", asOf)
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .select(lit(name).as("stage"), lit(len.toLong).as("lineage_len"),
+            col("n"), col("key_sum"))
+      stage("a_pre", preLen, Some(preTxn))
+        .unionByName(stage("b_compact", postLen, Some(preTxn + 1)))
+        .unionByName(stage("c_append", appendLen, None))
+        .unionByName(stage("d_travel", travelLen, Some(preTxn)))
+        .orderBy("stage")
+    },
+
     // ── keyed snapshot diff over two txn-table versions (TableDiff ×
     //    TxnTable): v1 holds keys %5∈{0,1}; the overwrite keeps %5=1 with a
     //    doubled price and brings in %5=2 — so the diff is exactly one

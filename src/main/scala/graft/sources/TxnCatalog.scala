@@ -114,6 +114,12 @@ object TxnCatalog {
         StandardCharsets.UTF_8))
     }
 
+  /** Per-table lineage LENGTH of a snapshot — the number of log entries a
+    * read of `name` replays (the metadata cost [[compactLineage]] bounds).
+    * 0 if the table is absent. */
+  def lineageLength(catalog: String, name: String, asOf: Option[Int] = None): Int =
+    versionLists(catalog, asOf).get(name).map(_.length).getOrElse(0)
+
   /** The full table→version mapping as of `asOf` (latest when None). */
   def tableVersions(catalog: String, asOf: Option[Int] = None): Map[String, Int] =
     entryAt(catalog, asOf) match {
@@ -212,6 +218,56 @@ object TxnCatalog {
     txn
   }
 
+  /** Zero-copy LINEAGE CHECKPOINT for one table: an append-heavy table
+    * (e.g. the streaming catalog sink at one version per micro-batch)
+    * grows its per-entry `versions` list O(txns) — after 10k batches
+    * every new catalog entry re-lists 10k versions and reads replay 10k
+    * log entries. This publishes ONE metadata-only table version whose
+    * log entry re-lists the snapshot's live files
+    * ([[TxnTable.publishFileList]] — no data written, no bytes moved)
+    * and a catalog entry whose lineage for `name` is just `[that
+    * version]`. Every later transaction inherits the truncated lineage;
+    * older entries still travel (their lineages are untouched); vacuum
+    * keeps every file any entry references, exactly as before. The
+    * overwrite-truncation idea extended to append-only tables. */
+  def compactLineage(spark: SparkSession, catalog: String, name: String,
+                     expectedTxn: Option[Int] = None,
+                     tag: Option[String] = None): Int = {
+    checkName(name)
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 2,
+      s"no committed transaction in $catalog to compact from")
+    val base = tableVersions(catalog, Some(txn - 1))
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    val lineage = baseLists.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table '$name' does not exist in $catalog"))
+    val table = tablePath(catalog, name)
+    val live = liveForLineage(table, lineage)
+    require(live.nonEmpty, s"no live files for '$name' in $catalog")
+    // the squash version must come AFTER every lineage version (readers
+    // replay in version order); a racing table writer loses on the
+    // put-if-absent publish exactly like any commit
+    val v = TxnTable.publishFileList(table, live, tag)
+    publishEntry(catalog, txn, base + (name -> v),
+      baseLists + (name -> Seq(v)), tag)
+  }
+
+  /** Replay exactly `lineage`'s log entries, in order — the snapshot
+    * those versions compose. */
+  private def liveForLineage(table: String, lineage: Seq[Int]): Seq[String] = {
+    val wanted = lineage.toSet
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    TxnTable.logFiles(table)
+      .filter(f => wanted.contains(TxnTable.versionOf(f)))
+      .foreach { f =>
+        val (added, removed) = TxnTable.parseEntry(f)
+        live --= removed
+        live ++= added
+      }
+    live.toSeq
+  }
+
   /** Catalog-wide VACUUM: physically delete every table data file that
     * NO catalog entry's lineage references — the bytes crashed and
     * losing transactions stranded (their versions appear in a per-table
@@ -297,18 +353,10 @@ object TxnCatalog {
       throw new IllegalArgumentException(
         s"table '$name' does not exist in $catalog" +
           asOf.fold("")(t => s" as of t$t")))
-    val wanted = lineage.toSet
     val table = tablePath(catalog, name)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    TxnTable.logFiles(table)
-      .filter(f => wanted.contains(TxnTable.versionOf(f)))
-      .foreach { f =>
-        val (added, removed) = TxnTable.parseEntry(f)
-        live --= removed
-        live ++= added
-      }
+    val live = liveForLineage(table, lineage)
     require(live.nonEmpty,
       s"no live files for '$name' in $catalog${asOf.fold("")(t => s" as of t$t")}")
-    spark.read.parquet(live.toSeq.map(p => new File(table, p).getPath): _*)
+    spark.read.parquet(live.map(p => new File(table, p).getPath): _*)
   }
 }

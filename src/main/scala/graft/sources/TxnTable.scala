@@ -235,6 +235,24 @@ object TxnTable {
     version
   }
 
+  /** Publish a METADATA-ONLY commit whose `added` list is exactly `files`
+    * (table-relative paths that must already exist on disk) — no data is
+    * written or moved. The primitive behind [[TxnCatalog.compactLineage]]:
+    * one log entry that re-lists a snapshot's live set so a reader can
+    * replay THAT VERSION ALONE and see the full snapshot. Distinct from
+    * [[checkpoint]] (a cache for full-log replay, not a version): this IS
+    * a version, addressable from a catalog entry's lineage. */
+  private[sources] def publishFileList(table: String, files: Seq[String],
+                                       tag: Option[String] = None,
+                                       expectedVersion: Option[Int] = None): Int = {
+    require(files.nonEmpty, s"refusing to publish an empty file list for $table")
+    files.foreach(p => require(new File(table, p).isFile,
+      s"file-list commit references a missing file: $table/$p"))
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    publish(table, version, files, Seq.empty, tag)
+  }
+
   /** OPTIMIZE — compact the current snapshot into `numFiles` without
     * changing a row: one [[commitRewrite]] that removes every live file
     * and adds the coalesced rewrite, atomically. The small-file problem

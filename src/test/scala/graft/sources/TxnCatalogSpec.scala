@@ -144,4 +144,47 @@ class TxnCatalogSpec extends SparkSpec {
         Write("t", Seq(1L).toDF("id")), Write("t", Seq(2L).toDF("id"))))
     }
   }
+
+  test("compactLineage truncates an append lineage zero-copy; history still travels") {
+    val c = freshCatalog("compact")
+    (1 to 5).foreach(i =>
+      TxnCatalog.commitAll(spark, c, Seq(Write("ev", Seq(i.toLong).toDF("id")))))
+    assert(TxnCatalog.lineageLength(c, "ev") == 5)
+    val before = ids(c, "ev")
+    def parquetFiles = org.apache.commons.io.FileUtils
+      .listFiles(new File(TxnCatalog.tablePath(c, "ev"), "data"),
+        Array("parquet"), true).size
+    val filesBefore = parquetFiles
+
+    val txn = TxnCatalog.compactLineage(spark, c, "ev")
+    assert(txn == 6)
+    // lineage bounded to ONE version, content identical, ZERO data written
+    assert(TxnCatalog.lineageLength(c, "ev") == 1)
+    assert(ids(c, "ev") == before)
+    assert(parquetFiles == filesBefore, "compaction must not write data")
+    // pre-compact entries still replay their own (long) lineage
+    assert(TxnCatalog.lineageLength(c, "ev", Some(5)) == 5)
+    assert(ids(c, "ev", Some(5)) == before)
+    // later appends extend the truncated lineage
+    TxnCatalog.commitAll(spark, c, Seq(Write("ev", Seq(99L).toDF("id"))))
+    assert(TxnCatalog.lineageLength(c, "ev") == 2)
+    assert(ids(c, "ev") == before + 99L)
+    // vacuum keeps every file some entry references: nothing is orphaned
+    assert(TxnCatalog.vacuum(c) == 0)
+    assert(ids(c, "ev", Some(3)) == Set(1L, 2L, 3L))
+  }
+
+  test("compactLineage rejects unknown tables and races like any commit") {
+    val c = freshCatalog("compact_err")
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(1L).toDF("id"))))
+    intercept[IllegalArgumentException] {
+      TxnCatalog.compactLineage(spark, c, "nope")
+    }
+    // a stale expectedTxn loses the put-if-absent publish
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(2L).toDF("id"))))
+    intercept[java.util.ConcurrentModificationException] {
+      TxnCatalog.compactLineage(spark, c, "t", expectedTxn = Some(2))
+    }
+    assert(ids(c, "t") == Set(1L, 2L))
+  }
 }
