@@ -497,6 +497,32 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ── VARIANT (Spark 4's semi-structured type): props parsed ONCE into
+    //    the binary-encoded open-schema form, fields then read with typed
+    //    variant_get — no per-access string re-parse (get_json_object
+    //    re-tokenizes the JSON text per call) and no rigid from_json
+    //    schema; at 100 TB this is the shredded semi-structured scan
+    //    path. Filter + rollup run on the typed extraction; oracle =
+    //    DuckDB's JSON operators over the same text.
+    sql("q_json_variant",
+      """WITH e AS (SELECT event_type,
+        |                  CAST(props->>'k' AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max
+        |FROM e WHERE k % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .filter(col("k") % 3 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").cast("long").as("k_sum"),
+          max("k").as("k_max"))
+        .orderBy("event_type")
+    },
+
     // ── JS2/JS3 nested-array JSON explode (pipeline.py:733-738)
     sql("q_json_explode",
       """SELECT r_regionkey, CAST(r_regionkey * m AS INT) AS s

@@ -968,6 +968,34 @@ object SourceQueries {
       TwsStreaming.userProfiles(s, d).orderBy("user_id")
     },
 
+    // ── transformWithState EVENT-TIME TIMERS: sessions a later event
+    //    never closes are emitted by a registered timer when the
+    //    watermark passes last+gap — the capability GroupStateTimeout
+    //    only approximated. Every real session emits (in-batch closures
+    //    immediately, tail sessions by timer at the sentinel's watermark
+    //    push), so the oracle is the FULL batch gaps-and-islands rollup —
+    //    including each user's final session, which q_stream_closed_sessions'
+    //    emit-on-close form structurally cannot produce.
+    sql("q_stream_tws_timers",
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+        |           FROM events),
+        |d AS (SELECT user_id, ts_sec,
+        |             CASE WHEN lag(ts_sec) OVER w IS NULL
+        |                       OR ts_sec - lag(ts_sec) OVER w > 1800
+        |                  THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+        |t AS (SELECT user_id, ts_sec,
+        |             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM d)
+        |SELECT user_id, MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+        |       COUNT(*) AS n_events
+        |FROM t GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin) { (s, d) =>
+      TwsStreaming.timedSessions(s, d, gapMinutes = 30)
+        .orderBy("user_id", "start_sec")
+    },
+
     // ── NATIVE streaming session_window aggregation (§2.11's incremental
     //    window made first-class): Spark's merging session state store
     //    under a watermark, append mode, AvailableNow — flushed

@@ -67,6 +67,130 @@ object TwsStreaming {
     }
   }
 
+  case class TimedSession(user_id: Long, start_sec: Long, end_sec: Long,
+                          n_events: Long)
+
+  /** Per-user gap sessionization with EVENT-TIME TIMERS — the
+    * transformWithState capability the old APIs could only approximate
+    * with GroupStateTimeout: a session that no later event ever closes is
+    * emitted by a registered timer the moment the WATERMARK passes
+    * `last + gap`, not when a lucky next event happens to arrive for that
+    * user. In-batch closures emit immediately; the open session and its
+    * pending timer live in named state.
+    *
+    * Timer discipline: one pending timer per key, re-armed on every
+    * batch (explicit deleteTimer — transformWithState timers don't
+    * auto-replace). With watermark delay == gap and time-ordered input,
+    * no event can be late for a session the timer already closed (same
+    * contradiction proof as sessionWindowAgg), so the output is exactly
+    * the batch gaps-and-islands rollup — every session, timer-flushed by
+    * the staging sentinel's watermark push. */
+  private class TimedSessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), TimedSession] {
+
+    // open session (start_sec, last_sec, n) and its armed timer (ms)
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[TimedSession] = {
+      val ts = rows.map(_._2.getTime / 1000L).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[TimedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      ts.foreach { t =>
+        cur match {
+          case Some((s0, l0, n0)) if t - l0 <= gapSec =>
+            cur = Some((s0, math.max(l0, t), n0 + 1))
+          case Some((s0, l0, n0)) =>
+            closed += TimedSession(user, s0, l0, n0)
+            cur = Some((t, t, 1L))
+          case None =>
+            cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        open.update(c)
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        val at = (c._2 + gapSec) * 1000L + 1L
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimedSession] = {
+      // a freshly re-armed timer deletes its predecessor, so any firing
+      // timer IS the current one — emit the open session and clear
+      if (open.exists() && armed.exists() &&
+          armed.get() == expired.getExpiryTimeInMs) {
+        val (s0, l0, n0) = open.get()
+        open.clear(); armed.clear()
+        Iterator.single(TimedSession(user, s0, l0, n0))
+      } else Iterator.empty
+    }
+  }
+
+  /** Run the timer-closed sessionizer: staged events + a far-future
+    * sentinel (user −1, written last) whose batch pushes the watermark
+    * past every real `last + gap`, firing all pending timers — every real
+    * session emits, deterministically, in a bounded AvailableNow run. */
+  def timedSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+                    inputDir: Option[String] = None,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = s"stream_tws_timer_${System.nanoTime()}"
+    val src = inputDir.getOrElse(EventsStreaming.stageDir(sfDir))
+    val div = EventsStreaming.tsDivisor(ss, src)
+    // per-run staging with the sentinel written LAST (latest mtime) so
+    // maxFilesPerTrigger runs see it in the final batch
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/stream/twstimer_${System.nanoTime()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .foreach(f => Files.copy(f.toPath, Paths.get(dir.getPath, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES))
+    val maxRaw = ss.read.schema(EventsStreaming.rawSchema).parquet(src)
+      .agg(max("ts")).head().getLong(0)
+    Seq((-1L, maxRaw * 2, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+    val reader = ss.readStream.schema(EventsStreaming.rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir.getPath)
+      .withColumn("ts", EventsStreaming.rawTs(div))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = stream
+      .groupByKey(_._1)
+      .transformWithState(new TimedSessionProcessor(gapMinutes * 60L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name).filter(col("user_id") >= 0L).cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    out
+  }
+
   /** Run the profile processor over the staged events stream and return
     * the final per-user profiles. transformWithState requires the RocksDB
     * state store (typed column families are a RocksDB capability), so the

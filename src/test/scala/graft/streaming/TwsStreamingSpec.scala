@@ -39,6 +39,29 @@ class TwsStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("timer-closed sessions equal the batch gaps-and-islands rollup") {
+    val streamed = TwsStreaming.timedSessions(spark, sfDir, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_sec")
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("long").as("ts_sec"))
+    val batch = e
+      .withColumn("prev", lag("ts_sec", 1).over(w))
+      .withColumn("ns", when($"prev".isNull || $"ts_sec" - $"prev" > 1800, 1)
+        .otherwise(0))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch,
+      "timer-emitted sessions must include EVERY session, tails included")
+  }
+
   test("profiles are batch-split invariant (maxFilesPerTrigger=1, 3 batches)") {
     val dir = new java.io.File("/root/repo/target/tmp/stream/tws_multibatch")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
@@ -70,5 +93,17 @@ class TwsStreamingSpec extends SparkSpec {
     val single = asTuples(TwsStreaming.userProfiles(spark, sfDir))
     assert(multi === single,
       "transformWithState profiles differ across batching")
+
+    // timer sessionization across the same 3 time-ordered micro-batches:
+    // sessions spanning a chunk boundary must merge through state, and
+    // re-armed timers must supersede their predecessors
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val multiSess = sess(TwsStreaming.timedSessions(spark, sfDir, 30,
+      inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1)))
+    val singleSess = sess(TwsStreaming.timedSessions(spark, sfDir, 30))
+    assert(multiSess === singleSess,
+      "timer sessions differ across batching")
   }
 }
