@@ -626,8 +626,51 @@ object CompositeQueries {
     sql("q15_top_supplier", Q15_SQL) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(Q15_SQL)
+    },
+
+    // ── RECURSIVE CTE (Spark 4.1's WITH RECURSIVE, planned as
+    //    UnionLoopExec): per-level rollup of the binary-heap hierarchy
+    //    over customer keys (children 2k / 2k+1 — the org-chart/category-
+    //    tree traversal SQL could not express before). Depth grows
+    //    log2(|customer|), so iteration count scales with the LOG of the
+    //    data, not the data; each step is one equi-joinable pass. Same
+    //    SQL text on both engines.
+    sql("q_sql_recursive_cte", RECURSIVE_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(RECURSIVE_SQL)
+    },
+
+    // ── LATERAL correlated subquery with ORDER BY + LIMIT: per-customer
+    //    top-2 orders — the "top-N related rows" join SQL's lateral form.
+    //    Catalyst DECORRELATES the limit into a per-key window group
+    //    limit (never a per-row re-execution); same SQL text on both
+    //    engines, and the result equals the window-function idiom the
+    //    engine already gates (q_topk_perkey's shape).
+    sql("q_sql_lateral_topk", LATERAL_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(LATERAL_SQL)
     }
   )
+
+  private lazy val RECURSIVE_SQL: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+      |  FROM customer WHERE c_custkey IN (2, 3)
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.root, t.depth + 1
+      |  FROM customer c JOIN tree t
+      |    ON c.c_custkey = 2 * t.node OR c.c_custkey = 2 * t.node + 1)
+      |SELECT root, depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM tree GROUP BY root, depth
+      |ORDER BY root, depth""".stripMargin
+
+  private lazy val LATERAL_SQL: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
   /** Engine-portable SQL (identical text for Spark and DuckDB): integer
     * cross-multiplication instead of avg division, cents-quantized sums,

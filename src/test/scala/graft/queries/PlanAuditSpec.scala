@@ -114,6 +114,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q_sql_recursive_cte plans as UnionLoop; lateral top-2 decorrelates") {
+    val rec = planOf("q_sql_recursive_cte")
+    assert(rec.contains("UnionLoop"), rec.take(2000))
+    val lat = planOf("q_sql_lateral_topk")
+    // the correlated LIMIT becomes a per-key rank prune (window group
+    // limit / rank filter after a join), never a per-outer-row subquery
+    assert(lat.contains("WindowGroupLimit") || lat.contains("Window"),
+      lat.take(3000))
+    assert(!lat.contains("BroadcastNestedLoopJoin"), lat.take(3000))
+  }
+
   test("lsh bucketing is one fused expression, not a quantized_dot forest") {
     val planes = graft.operators.Similarity.hyperplanes(64, 8, 16, seed = 7L)
     val plan = graft.operators.Similarity.lshBuckets(
