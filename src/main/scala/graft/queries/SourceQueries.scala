@@ -968,6 +968,39 @@ object SourceQueries {
       TwsStreaming.userProfiles(s, d).orderBy("user_id")
     },
 
+    // ── transformWithState INITIAL STATE (the batch→streaming migration
+    //    path): history before 2024-01-15 folds into per-user state by ONE
+    //    batch aggregation, only later events stream — the old APIs could
+    //    only replay all of history through the stream. Output = users
+    //    active in the stream window, profile over their FULL history;
+    //    oracle = the whole-table replay filtered to stream-active users.
+    sql("q_stream_tws_bootstrap",
+      """WITH per AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |         CAST(SUM(vc) AS BIGINT) AS value_cents,
+        |         COUNT(*) AS n_types
+        |  FROM per GROUP BY 1),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type, c AS top_cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY c DESC, event_type) AS rn
+        |  FROM per),
+        |active AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15')
+        |SELECT a.user_id, a.n_events, a.value_cents, a.n_types,
+        |       t.top_type, t.top_cnt
+        |FROM agg a
+        |JOIN top t ON a.user_id = t.user_id AND t.rn = 1
+        |JOIN active ac ON a.user_id = ac.user_id
+        |ORDER BY a.user_id""".stripMargin) { (s, d) =>
+      TwsStreaming.userProfilesWarmStart(s, d).orderBy("user_id")
+    },
+
     // ── transformWithState EVENT-TIME TIMERS: sessions a later event
     //    never closes are emitted by a registered timer when the
     //    watermark passes last+gap — the capability GroupStateTimeout

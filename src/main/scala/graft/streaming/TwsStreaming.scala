@@ -51,20 +51,126 @@ object TwsStreaming {
 
     override def handleInputRows(user: Long,
                                  rows: Iterator[(Long, String, Long)],
-                                 timerValues: TimerValues): Iterator[UserProfile] = {
-      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
-      rows.foreach { case (_, t, c) =>
-        n += 1
-        cents += c
-        val prev = if (byType.containsKey(t)) byType.getValue(t) else 0L
-        byType.updateValue(t, prev + 1L)
-      }
-      totals.update((n, cents))
-      val entries = byType.iterator().toArray
-      val (topT, topC) = entries.maxBy { case (t, c) => (c, t) }(
-        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
-      Iterator.single(UserProfile(user, n, cents, entries.length.toLong, topT, topC))
+                                 timerValues: TimerValues): Iterator[UserProfile] =
+      foldProfileRows(user, rows, totals, byType)
+  }
+
+  /** The shared per-batch profile fold (used by the cold-start and the
+    * warm-start processor — Scala's single inheritance keeps them
+    * separate classes, the logic is one function). */
+  private def foldProfileRows(user: Long, rows: Iterator[(Long, String, Long)],
+                              totals: ValueState[(Long, Long)],
+                              byType: MapState[String, Long]): Iterator[UserProfile] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, t, c) =>
+      n += 1
+      cents += c
+      val prev = if (byType.containsKey(t)) byType.getValue(t) else 0L
+      byType.updateValue(t, prev + 1L)
     }
+    totals.update((n, cents))
+    val entries = byType.iterator().toArray
+    val (topT, topC) = entries.maxBy { case (t, c) => (c, t) }(
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    Iterator.single(UserProfile(user, n, cents, entries.length.toLong, topT, topC))
+  }
+
+  /** One user's bootstrapped state: the batch-computed history profile a
+    * stream run starts from. */
+  case class InitProfile(n_events: Long, value_cents: Long,
+                         types: Map[String, Long])
+
+  /** The warm-start variant: identical stream logic, but state is SEEDED
+    * from a batch table before the first micro-batch — the
+    * batch-to-streaming migration path (StatefulProcessorWithInitialState),
+    * which the old APIs covered only by replaying all of history through
+    * the stream. */
+  private class WarmStartProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String, Long), UserProfile, InitProfile] {
+
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var byType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long](
+        "byType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(user: Long, init: InitProfile,
+                                    timerValues: TimerValues): Unit = {
+      totals.update((init.n_events, init.value_cents))
+      init.types.foreach { case (t, c) => byType.updateValue(t, c) }
+    }
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Long)],
+                                 timerValues: TimerValues): Iterator[UserProfile] =
+      foldProfileRows(user, rows, totals, byType)
+  }
+
+  /** 2024-01-15T00:00:00Z — the history/stream cut for the warm start. */
+  private val BootCutoffMicros = 1705276800000000L
+
+  /** Warm-started profiles: everything before the cutoff is folded into
+    * per-user initial state by ONE batch aggregation (never streamed);
+    * only post-cutoff events flow through micro-batches. Output covers
+    * users active in the stream window, with their FULL history in the
+    * profile — the contract a deployed bootstrap has. */
+  def userProfilesWarmStart(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val name = s"stream_tws_boot_${System.nanoTime()}"
+    val src = EventsStreaming.stageDir(sfDir)
+    val div = EventsStreaming.tsDivisor(ss, src)
+    val rawUs = ss.read.schema(EventsStreaming.rawSchema).parquet(src)
+      .withColumn("ts", expr(s"ts div $div"))
+    val hist = rawUs.filter(col("ts") < BootCutoffMicros)
+    val initState = hist
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"),
+        sum(floor($"value" * 100).cast("long")).as("vc"))
+      .groupBy($"user_id")
+      .agg(sum("c").cast("long").as("n_events"),
+        sum("vc").cast("long").as("value_cents"),
+        map_from_entries(collect_list(struct($"event_type", $"c"))).as("types"))
+      .as[(Long, Long, Long, Map[String, Long])]
+      .groupByKey(_._1)
+      .mapValues { case (_, n, vc, m) => InitProfile(n, vc, m) }
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/stream/twsboot_${System.nanoTime()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    rawUs.filter(col("ts") >= BootCutoffMicros)
+      .coalesce(1).write.parquet(dir.getPath)
+    val stream = ss.readStream.schema(EventsStreaming.rawSchema)
+      .parquet(dir.getPath)
+      .select($"user_id", $"event_type",
+        floor($"value" * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)]
+    val profiles = stream
+      .groupByKey(_._1)
+      .transformWithState(new WarmStartProfileProcessor,
+        TimeMode.None(), OutputMode.Update(), initState)
+    val q = profiles.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("n_events"), col("value_cents"), col("n_types"),
+          col("top_type"), col("top_cnt")),
+        col("n_events")).as("r"))
+      .select(col("user_id"), col("r.n_events"), col("r.value_cents"),
+        col("r.n_types"), col("r.top_type"), col("r.top_cnt"))
+      .cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    out
   }
 
   case class TimedSession(user_id: Long, start_sec: Long, end_sec: Long,

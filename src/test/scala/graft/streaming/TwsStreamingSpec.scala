@@ -39,6 +39,23 @@ class TwsStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("warm start: batch-seeded state equals streaming all of history") {
+    val warm = asTuples(TwsStreaming.userProfilesWarmStart(spark, sfDir))
+    val full = asTuples(TwsStreaming.userProfiles(spark, sfDir))
+    val active = Tables.events(spark, sfDir)
+      .filter($"ts" >= to_timestamp(lit("2024-01-15")))
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(warm === full.filter(t => active(t._1)),
+      "bootstrapped profiles must equal the full-history stream for " +
+        "every stream-active user")
+    // the split is real: both halves of the cut carry events
+    val nHist = Tables.events(spark, sfDir)
+      .filter($"ts" < to_timestamp(lit("2024-01-15"))).count()
+    val nStream = Tables.events(spark, sfDir)
+      .filter($"ts" >= to_timestamp(lit("2024-01-15"))).count()
+    assert(warm.nonEmpty && nHist > 0 && nStream > 0)
+  }
+
   test("timer-closed sessions equal the batch gaps-and-islands rollup") {
     val streamed = TwsStreaming.timedSessions(spark, sfDir, gapMinutes = 30)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
