@@ -51,6 +51,7 @@ object Merge {
       s"ambiguous merge: $nSrc source rows but $nSrcKeys distinct keys — " +
         "a target row would match more than one source row")
 
+    TxnTable.requireNoDv(table, "MERGE")
     val target = TxnTable.read(spark, table, mergeSchema = evolveSchema)
     if (evolveSchema)
       require(target.columns.toSet.subsetOf(src.columns.toSet),

@@ -328,6 +328,49 @@ object SourceQueries {
         .withColumn("files_rewritten", lit(rewritten.toLong))
     },
 
+    // ── MERGE-ON-READ delete with a deletion vector (the write-cheap
+    //    sibling of q_src_delete's copy-on-write): the delete commits one
+    //    dv/ parquet of (file, row_index) addresses — ZERO data files
+    //    move (dv_files/data_files hashed as literals prove it) — and the
+    //    read applies the vector as an anti-join; time travel before the
+    //    delete sees the rows again; OPTIMIZE materializes the filtered
+    //    table and purges the vector.
+    sql("q_src_delete_mor",
+      """SELECT 'a_after_mor' AS stage, CAST(3 AS BIGINT) AS data_files,
+        |       CAST(1 AS BIGINT) AS dv_files, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'b_travel', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |       COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'c_optimized', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |       COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val table = tmp("txn_delete_mor")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      TxnTable.commit(s, ord.repartition(3), table, overwrite = false)
+      TxnTable.deleteWhereMor(s, table, col("o_orderkey") % 7 === 0)
+      def files(asOf: Option[Int]) = graft.sources.TxnTable.liveSplit(table, asOf)
+      def stage(name: String, asOf: Option[Int]) = {
+        val (dataF, dvF) = files(asOf)
+        TxnTable.read(s, table, asOf)
+          .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+          .select(lit(name).as("stage"), lit(dataF.size.toLong).as("data_files"),
+            lit(dvF.size.toLong).as("dv_files"), col("cnt"), col("key_sum"))
+      }
+      val afterMor = stage("a_after_mor", None)
+      val travel = stage("b_travel", Some(1))
+      TxnTable.optimize(s, table, numFiles = 1)
+      afterMor
+        .unionByName(travel)
+        .unionByName(stage("c_optimized", None))
+        .orderBy("stage")
+    },
+
     // ── incremental data-skipping stats under the txn log (TxnStats):
     //    three range-clustered ingest commits, one O(new-files) stats
     //    refresh, then a range scan that must open exactly ONE of the

@@ -44,11 +44,19 @@ object TxnTable {
   def currentVersion(table: String): Int =
     logFiles(table).lastOption.map(versionOf).getOrElse(0)
 
-  private def relDataFiles(table: String, dataDir: File): Seq[String] =
+  private def relDataFiles(table: String, dataDir: File,
+                           cls: String = "data"): Seq[String] =
     Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"data/${dataDir.getName}/${f.getName}")
+      .map(f => s"$cls/${dataDir.getName}/${f.getName}")
       .sorted.toSeq
+
+  /** The live set split into (data files, deletion-vector files).
+    * Classification is STRUCTURAL — the `dv/` path prefix — so it
+    * survives restore, checkpointing, and any other zero-copy
+    * re-listing of existing files. */
+  def liveSplit(table: String, asOf: Option[Int] = None): (Seq[String], Seq[String]) =
+    liveFiles(table, asOf).partition(!_.startsWith("dv/"))
 
   private def jsonArr(paths: Seq[String]): String =
     paths.map(p => "\"" + p + "\"").mkString("[", ",", "]")
@@ -283,6 +291,7 @@ object TxnTable {
                    numFiles: Int = 1,
                    expectedVersion: Option[Int] = None): Int = {
     require(numFiles >= 1 && smallBytes > 0, "bad compaction parameters")
+    requireNoDv(table, "small-file compaction")
     val small = liveFiles(table, None)
       .filter(f => new File(table, f).length() < smallBytes)
     if (small.size < 2) return currentVersion(table)
@@ -357,6 +366,7 @@ object TxnTable {
                   predicate: org.apache.spark.sql.Column,
                   expectedVersion: Option[Int] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce => cls, input_file_name, lit, not}
+    requireNoDv(table, "copy-on-write DELETE")
     val affectedAbs = read(spark, table)
       .withColumn("__file", input_file_name())
       .filter(predicate)
@@ -375,6 +385,56 @@ object TxnTable {
       .filter(not(cls(predicate, lit(false))))
     (commitRewrite(spark, survivors, table, removedRel, expectedVersion),
       removedRel.size)
+  }
+
+  /** MERGE-ON-READ DELETE with a deletion vector — the write-cheap
+    * sibling of [[deleteWhere]]: instead of rewriting every file that
+    * contains a match (O(matched files) of WRITE), one commit adds a
+    * `dv/` parquet listing the doomed (file, row_index) pairs and no
+    * data file moves — O(matches) write, the Delta deletion-vector
+    * trade. [[read]] applies live vectors as a (file, row_index)
+    * anti-join; [[optimize]] materializes the filtered table and purges
+    * the vectors (its rewrite removes every live file, `dv/` included);
+    * time travel before the delete sees the rows again; vacuum keeps
+    * referenced vectors like any file.
+    *
+    * The predicate is evaluated over the DV-APPLIED snapshot, so
+    * already-deleted rows are never re-listed. SQL DELETE semantics
+    * (rows where the predicate IS TRUE go; NULL rows stay). Writers
+    * that re-read data files directly (MERGE, compactSmall, the CoW
+    * deleteWhere) refuse to run while vectors are live — OPTIMIZE
+    * first. Returns (version — current on a no-op — and rows marked). */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     predicate: org.apache.spark.sql.Column,
+                     expectedVersion: Option[Int] = None): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    val doomed = readWithAddress(spark, table, Some(version - 1))
+      .filter(predicate)
+      .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+      .cache()
+    try {
+      val n = doomed.count()
+      if (n == 0) return (currentVersion(table), 0L)
+      val dvDir = new File(table,
+        f"dv/v$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
+      doomed.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dvDir.getPath)
+      (publish(table, version, relDataFiles(table, dvDir, cls = "dv"),
+        Seq.empty, tag = None), n)
+    } finally doomed.unpersist()
+  }
+
+  /** The `_metadata.file_path` URI prefix of this table's files. */
+  private def fileUriPrefix(table: String): String =
+    "file://" + new File(table).getAbsolutePath + "/"
+
+  private[graft] def requireNoDv(table: String, op: String): Unit = {
+    val dv = liveSplit(table, None)._2
+    require(dv.isEmpty,
+      s"$op on $table would re-read data files under ${dv.size} live " +
+        "deletion vector file(s) and resurrect deleted rows — OPTIMIZE " +
+        "first (it applies and purges the vectors)")
   }
 
   /** Contract-gated commit — CHECK constraints at the write boundary,
@@ -535,12 +595,46 @@ object TxnTable {
     * null-extend (schema evolution without rewriting history). */
   def read(spark: SparkSession, table: String, asOf: Option[Int] = None,
            mergeSchema: Boolean = false): DataFrame = {
-    val files = liveFiles(table, asOf)
+    val (_, dvFiles) = liveSplit(table, asOf)
+    if (dvFiles.isEmpty) {
+      val (files, _) = liveSplit(table, asOf)
+      require(files.nonEmpty,
+        s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
+      val reader =
+        if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+      reader.parquet(files.map(f => new File(table, f).getPath): _*)
+    } else
+      readWithAddress(spark, table, asOf, mergeSchema).drop("__fp", "__ri")
+  }
+
+  /** The DV-applied snapshot with each row's STABLE address retained as
+    * (__fp table-relative file, __ri row index) — what a stacked
+    * [[deleteWhereMor]] needs: `_metadata` is only addressable on the
+    * scan itself, so the address columns must be captured before the
+    * vector anti-join. */
+  private def readWithAddress(spark: SparkSession, table: String,
+                              asOf: Option[Int],
+                              mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (files, dvFiles) = liveSplit(table, asOf)
     require(files.nonEmpty,
       s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    reader.parquet(files.map(f => new File(table, f).getPath): _*)
+    val prefixLen = fileUriPrefix(table).length
+    val base = reader.parquet(files.map(f => new File(table, f).getPath): _*)
+      .select(col("*"),
+        expr(s"substring(_metadata.file_path, ${prefixLen + 1})").as("__fp"),
+        col("_metadata.row_index").as("__ri"))
+    if (dvFiles.isEmpty) base
+    else {
+      // deletion vectors: anti-join on the stable row address — data
+      // files were never rewritten, so recorded addresses still hold
+      val dv = spark.read
+        .parquet(dvFiles.map(f => new File(table, f).getPath): _*)
+        .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
+      base.join(dv, Seq("__fp", "__ri"), "left_anti")
+    }
   }
 
   /** Physically delete data files no snapshot >= `retainFrom` references.
@@ -552,13 +646,15 @@ object TxnTable {
     val keep = logFiles(table).map(versionOf).filter(_ >= retainFrom)
       .flatMap(v => liveFiles(table, Some(v))).toSet ++
       liveFiles(table, None).toSet
-    val dataRoot = new File(table, "data")
-    val all = Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val doomed = all.filter(f => !keep.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
+    val doomed = Seq("data", "dv").flatMap { cls =>
+      Option(new File(table, cls).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .filter(f => !keep.contains(s"$cls/${f.getParentFile.getName}/${f.getName}"))
+    }
     doomed.foreach(_.delete())
+    val dataRoot = new File(table, "data")
     // torn tmp log entries from crashed commits are invisible to readers
     // but would otherwise accumulate — sweep them with the orphans
     Option(logDir(table).listFiles()).getOrElse(Array.empty)

@@ -310,4 +310,66 @@ class TxnTableSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
     assert(merged == Set((1L, "a", None), (2L, "b", Some(7L))))
   }
+
+  test("merge-on-read delete: vector applies, zero rewrites, optimize purges") {
+    val t = freshTable("tt_mor")
+    TxnTable.commit(spark, (1L to 30L).toDF("id").repartition(3), t,
+      overwrite = false)
+    def dataFileNames = TxnTable.liveSplit(t, None)._1.toSet
+
+    val before = dataFileNames
+    val (v, n) = TxnTable.deleteWhereMor(spark, t, $"id" % 3 === 0)
+    assert(v == 2 && n == 10)
+    assert(rows(t) == (1L to 30L).filter(_ % 3 != 0).toSet)
+    // no data file moved — only a dv/ file appeared
+    assert(dataFileNames == before)
+    assert(TxnTable.liveSplit(t, None)._2.size == 1)
+    // time travel before the delete resurrects the rows
+    assert(rows(t, Some(1)) == (1L to 30L).toSet)
+    // the predicate sees the DV-APPLIED snapshot: re-deleting the same
+    // rows is a no-op commit
+    assert(TxnTable.deleteWhereMor(spark, t, $"id" % 3 === 0) == ((2, 0L)))
+    // a second vector stacks on the first
+    val (v3, n3) = TxnTable.deleteWhereMor(spark, t, $"id" === 1L)
+    assert(v3 == 3 && n3 == 1)
+    assert(rows(t) == (2L to 30L).filter(_ % 3 != 0).toSet)
+    // SQL DELETE semantics: NULL predicate rows are KEPT
+    val tn = freshTable("tt_mor_null")
+    TxnTable.commit(spark,
+      Seq[java.lang.Long](1L, 2L, null).toDF("id"), tn, overwrite = false)
+    TxnTable.deleteWhereMor(spark, tn, $"id" === 2L)
+    assert(TxnTable.read(spark, tn).collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).toSet == Set(1L, -1L))
+    // OPTIMIZE materializes the filtered table and purges the vectors
+    TxnTable.optimize(spark, t, numFiles = 1)
+    assert(TxnTable.liveSplit(t, None)._2.isEmpty)
+    assert(rows(t) == (2L to 30L).filter(_ % 3 != 0).toSet)
+    // restore to the DV snapshot keeps the dv/ classification (path-based)
+    TxnTable.restore(spark, t, toVersion = 3)
+    assert(TxnTable.liveSplit(t, None)._2.size == 2)
+    assert(rows(t) == (2L to 30L).filter(_ % 3 != 0).toSet)
+  }
+
+  test("writers that re-read files directly refuse while vectors live") {
+    val t = freshTable("tt_mor_guard")
+    TxnTable.commit(spark, (1L to 10L).toDF("id"), t, overwrite = false)
+    TxnTable.deleteWhereMor(spark, t, $"id" === 5L)
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteWhere(spark, t, $"id" === 6L)
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.compactSmall(spark, t, smallBytes = 1L << 20)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Merge.upsert(spark, t, Seq(5L).toDF("id"), Seq("id"))
+    }
+    // vacuum keeps a referenced vector; dropping retention past the DV
+    // version still keeps it because the CURRENT snapshot references it
+    assert(TxnTable.vacuum(t, retainFrom = 2) == 0)
+    assert(rows(t) == (1L to 10L).toSet - 5L)
+    // after optimize the guards lift
+    TxnTable.optimize(spark, t, numFiles = 1)
+    val (_, nCow) = TxnTable.deleteWhere(spark, t, $"id" === 6L)
+    assert(nCow == 1 && rows(t) == (1L to 10L).toSet -- Set(5L, 6L))
+  }
 }
