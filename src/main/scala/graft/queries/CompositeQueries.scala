@@ -628,6 +628,15 @@ object CompositeQueries {
       s.sql(Q15_SQL)
     },
 
+    // ── SQL set operations (INTERSECT / EXCEPT, set and multiset forms):
+    //    customers with finished vs open orders. The ALL forms are the
+    //    multiset semantics Spark plans as aggregate+join (no distinct
+    //    collapse); same SQL text on both engines.
+    sql("q_sql_setops", SETOPS_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(SETOPS_SQL)
+    },
+
     // ── RECURSIVE CTE (Spark 4.1's WITH RECURSIVE, planned as
     //    UnionLoopExec): per-level rollup of the binary-heap hierarchy
     //    over customer keys (children 2k / 2k+1 — the org-chart/category-
@@ -651,6 +660,28 @@ object CompositeQueries {
       s.sql(LATERAL_SQL)
     }
   )
+
+  private lazy val SETOPS_SQL: String =
+    """SELECT 'a_intersect' AS op, COUNT(*) AS cnt FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   INTERSECT
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |UNION ALL
+      |SELECT 'b_except', COUNT(*) FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   EXCEPT
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |UNION ALL
+      |SELECT 'c_intersect_all', COUNT(*) FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   INTERSECT ALL
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |UNION ALL
+      |SELECT 'd_except_all', COUNT(*) FROM
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |   EXCEPT ALL
+      |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+      |ORDER BY op""".stripMargin
 
   private lazy val RECURSIVE_SQL: String =
     """WITH RECURSIVE tree AS (

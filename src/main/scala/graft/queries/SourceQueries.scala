@@ -967,6 +967,25 @@ object SourceQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // ── LEFT OUTER stream-stream join: q_stream_join's attribution form
+    //    that also emits clicks with NO purchase in the window. Null rows
+    //    can only emit once the watermark proves no match can still
+    //    arrive (state eviction), so sentinel rows push both watermarks
+    //    past every real event and the terminal no-data batch flushes the
+    //    held clicks — the bounded run equals the batch LEFT JOIN.
+    sql("q_stream_join_outer",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      EventsStreaming.clickPurchaseLeftJoin(s, d, withinMinutes = 30)
+        .orderBy("click_id", "purchase_id")
+    },
+
     // ── custom streaming state: mapGroupsWithState sessionization (30-min
     //    gap); oracle = batch gaps-and-islands SQL. FLOOR(epoch()) matches
     //    Spark's truncating timestamp→long cast.
