@@ -140,6 +140,34 @@ object JoinQueries {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
+    // ── NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): a nullable
+    //    join key where NULL must match NULL — the "unknown bucket" join
+    //    every cleaned dataset eventually needs. Spark keeps <=> a HASH
+    //    join key (null-safe equality is hashable), never a nested-loop
+    //    fallback; the '4-NOT SPECIFIED' priority maps to NULL on both
+    //    sides and its orders still land in the group.
+    sql("q_join_nullsafe",
+      """WITH l AS (SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pk,
+        |                  o_orderkey
+        |           FROM orders),
+        |r AS (SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pk2,
+        |             COUNT(*) AS grp_cnt
+        |      FROM orders GROUP BY 1)
+        |SELECT l.pk, COUNT(*) AS n_orders, CAST(MAX(r.grp_cnt) AS BIGINT) AS grp_cnt
+        |FROM l JOIN r ON l.pk IS NOT DISTINCT FROM r.pk2
+        |GROUP BY l.pk ORDER BY l.pk""".stripMargin) { (s, d) =>
+      val l = Tables.orders(s, d)
+        .select(expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").as("pk"),
+          col("o_orderkey"))
+      val r = Tables.orders(s, d)
+        .groupBy(expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").as("pk2"))
+        .agg(count(lit(1)).as("grp_cnt"))
+      l.join(r, col("pk") <=> col("pk2"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_orders"), max("grp_cnt").as("grp_cnt"))
+        .orderBy("pk")
+    },
+
     // ── spatial containment join (Geo.pointInPolygon): customers at
     //    planted integer coordinates assigned to 4 "borough" polygons (one
     //    non-convex) — the housing-map which-area-is-this-listing-in

@@ -497,6 +497,40 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ── NATIVE pivot with multiple aggregations (RelationalGroupedDataset
+    //    .pivot with DECLARED values — no value-discovery scan, the 100 TB
+    //    form): priority × status matrix of order counts and cent-
+    //    quantized revenue, one pass. The manual when/otherwise pivot
+    //    (q_pivot_onehot) stays as the dynamic-schema sibling.
+    sql("q_pivot_matrix",
+      """SELECT o_orderpriority,
+        |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+        |         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_rev_c,
+        |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+        |         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_rev_c,
+        |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
+        |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+        |         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_rev_c
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(floor(col("o_totalprice") * 100).cast("long")), lit(0L))
+            .as("rev_c"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+          coalesce(col("F_rev_c"), lit(0L)).as("f_rev_c"),
+          coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+          coalesce(col("O_rev_c"), lit(0L)).as("o_rev_c"),
+          coalesce(col("P_cnt"), lit(0L)).as("p_cnt"),
+          coalesce(col("P_rev_c"), lit(0L)).as("p_rev_c"))
+        .orderBy("o_orderpriority")
+    },
+
     // ── VARIANT (Spark 4's semi-structured type): props parsed ONCE into
     //    the binary-encoded open-schema form, fields then read with typed
     //    variant_get — no per-access string re-parse (get_json_object

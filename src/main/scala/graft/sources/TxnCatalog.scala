@@ -253,6 +253,40 @@ object TxnCatalog {
       baseLists + (name -> Seq(v)), tag)
   }
 
+  /** Catalog-level MERGE-ON-READ DELETE: one metadata-light transaction
+    * whose only table change is a deletion-vector version — the predicate
+    * addresses the CATALOG-visible snapshot (lineage-pinned; a plain
+    * `TxnTable.deleteWhereMor` would address the table-local live set,
+    * which may include orphans from failed transactions). The vector
+    * version appends to the lineage; reads anti-join it exactly as
+    * TxnTable does; no data file moves. No-op (no entry published,
+    * current txn returned) when nothing matches. Returns
+    * (txn, rows marked). */
+  def deleteWhereMor(spark: SparkSession, catalog: String, name: String,
+                     predicate: org.apache.spark.sql.Column,
+                     expectedTxn: Option[Int] = None,
+                     tag: Option[String] = None): (Int, Long) = {
+    checkName(name)
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 2, s"no committed transaction in $catalog to delete from")
+    val base = tableVersions(catalog, Some(txn - 1))
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    val lineage = baseLists.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table '$name' does not exist in $catalog"))
+    val table = tablePath(catalog, name)
+    import org.apache.spark.sql.functions.col
+    val doomed = TxnTable
+      .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+      .filter(predicate)
+      .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+    val (v, n) = TxnTable.commitDv(spark, table, doomed,
+      TxnTable.currentVersion(table) + 1, tag)
+    if (n == 0L) return (currentTxn(catalog), 0L)
+    (publishEntry(catalog, txn, base + (name -> v),
+      baseLists + (name -> (lineage :+ v)), tag), n)
+  }
+
   /** Replay exactly `lineage`'s log entries, in order — the snapshot
     * those versions compose. */
   private def liveForLineage(table: String, lineage: Seq[Int]): Seq[String] = {
@@ -357,6 +391,7 @@ object TxnCatalog {
     val live = liveForLineage(table, lineage)
     require(live.nonEmpty,
       s"no live files for '$name' in $catalog${asOf.fold("")(t => s" as of t$t")}")
-    spark.read.parquet(live.map(p => new File(table, p).getPath): _*)
+    // deletion vectors in the lineage apply exactly as in TxnTable.read
+    TxnTable.readFileList(spark, table, live)
   }
 }

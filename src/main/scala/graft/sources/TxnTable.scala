@@ -407,22 +407,33 @@ object TxnTable {
   def deleteWhereMor(spark: SparkSession, table: String,
                      predicate: org.apache.spark.sql.Column,
                      expectedVersion: Option[Int] = None): (Int, Long) = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.col
     val version = expectedVersion.getOrElse(currentVersion(table) + 1)
     require(version >= 1, s"expectedVersion must be >= 1, got $version")
     val doomed = readWithAddress(spark, table, Some(version - 1))
       .filter(predicate)
       .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
-      .cache()
+    commitDv(spark, table, doomed, version, tag = None)
+  }
+
+  /** Commit a deletion vector from an explicit (file_path, row_index)
+    * frame — the shared write half of [[deleteWhereMor]] and
+    * [[TxnCatalog.deleteWhereMor]] (which addresses its own
+    * lineage-pinned snapshot). No-op (nothing published) on an empty
+    * vector. */
+  private[sources] def commitDv(spark: SparkSession, table: String,
+                                doomed: DataFrame, version: Int,
+                                tag: Option[String]): (Int, Long) = {
+    val cached = doomed.cache()
     try {
-      val n = doomed.count()
+      val n = cached.count()
       if (n == 0) return (currentVersion(table), 0L)
       val dvDir = new File(table,
         f"dv/v$version%05d-" + java.util.UUID.randomUUID.toString.take(8))
-      doomed.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dvDir.getPath)
+      cached.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(dvDir.getPath)
       (publish(table, version, relDataFiles(table, dvDir, cls = "dv"),
-        Seq.empty, tag = None), n)
-    } finally doomed.unpersist()
+        Seq.empty, tag), n)
+    } finally cached.unpersist()
   }
 
   /** The `_metadata.file_path` URI prefix of this table's files. */
@@ -630,6 +641,36 @@ object TxnTable {
     else {
       // deletion vectors: anti-join on the stable row address — data
       // files were never rewritten, so recorded addresses still hold
+      val dv = spark.read
+        .parquet(dvFiles.map(f => new File(table, f).getPath): _*)
+        .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
+      base.join(dv, Seq("__fp", "__ri"), "left_anti")
+    }
+  }
+
+  /** DV-applied read over an EXPLICIT live file list (table-relative
+    * paths) — the form catalog snapshots need: [[TxnCatalog.read]]
+    * resolves its own lineage-pinned file set, and deletion vectors in
+    * it must anti-join exactly as in [[read]], not scan as data. */
+  private[sources] def readFileList(spark: SparkSession, table: String,
+                                    files: Seq[String]): DataFrame =
+    fileListWithAddress(spark, table, files).drop("__fp", "__ri")
+
+  /** [[readFileList]] with each row's stable (__fp, __ri) address
+    * retained — what a lineage-pinned MOR delete filters on. */
+  private[sources] def fileListWithAddress(spark: SparkSession, table: String,
+                                           files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (dataFiles, dvFiles) = files.partition(!_.startsWith("dv/"))
+    require(dataFiles.nonEmpty, s"no live data files for $table")
+    val prefixLen = fileUriPrefix(table).length
+    val base = spark.read
+      .parquet(dataFiles.map(f => new File(table, f).getPath): _*)
+      .select(col("*"),
+        expr(s"substring(_metadata.file_path, ${prefixLen + 1})").as("__fp"),
+        col("_metadata.row_index").as("__ri"))
+    if (dvFiles.isEmpty) base
+    else {
       val dv = spark.read
         .parquet(dvFiles.map(f => new File(table, f).getPath): _*)
         .select(col("file_path").as("__fp"), col("row_index").as("__ri"))

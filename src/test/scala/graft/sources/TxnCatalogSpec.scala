@@ -187,4 +187,25 @@ class TxnCatalogSpec extends SparkSpec {
     }
     assert(ids(c, "t") == Set(1L, 2L))
   }
+
+  test("catalog MOR delete addresses the catalog snapshot, not table-local orphans") {
+    val c = freshCatalog("mor")
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", (1L to 10L).toDF("id"))))
+    // orphan: a table-local commit no catalog entry references — its rows
+    // must be invisible to the predicate AND to reads
+    TxnTable.commit(spark, Seq(99L).toDF("id"),
+      TxnCatalog.tablePath(c, "t"), overwrite = false)
+    val (txn, n) = TxnCatalog.deleteWhereMor(spark, c, "t", $"id" % 2 === 0L)
+    assert(txn == 2 && n == 5)
+    assert(ids(c, "t") == Set(1L, 3L, 5L, 7L, 9L))
+    // time travel to txn 1 resurrects; lineage grew by exactly the vector
+    assert(ids(c, "t", Some(1)) == (1L to 10L).toSet)
+    assert(TxnCatalog.lineageLength(c, "t") == 2)
+    // compacting the lineage materializes nothing but keeps the filter
+    TxnCatalog.compactLineage(spark, c, "t")
+    assert(ids(c, "t") == Set(1L, 3L, 5L, 7L, 9L))
+    // no-op predicate publishes nothing
+    assert(TxnCatalog.deleteWhereMor(spark, c, "t", $"id" === 42L) ==
+      ((TxnCatalog.currentTxn(c), 0L)))
+  }
 }
