@@ -418,4 +418,111 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, imageFeatureSchema)
   }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** RESIZE to (outW × outH) by deterministic NEAREST-NEIGHBOR sampling —
+    * source pixel (x·srcW ∕ outW, y·srcH ∕ outH), integer floor division,
+    * the mapping a replay oracle can recompute exactly (Graphics2D
+    * interpolation is platform-vague; a manual loop is bit-pinned). The
+    * thumbnail re-encodes as PNG (lossless) next to its RGB sums —
+    * decode → transform → re-encode, the full multimodal pipeline hop.
+    * mapPartitions like every codec loop here; per-image cost O(outW·outH)
+    * regardless of source size. */
+  def resizeImages(images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "bad thumbnail dims")
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "media").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, -1, -1, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val p = img.getRGB(x * w / outW, sy)
+              out.setRGB(x, y, p)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(id, bos.toByteArray, outW, outH, sr, sg, sb)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType)))
+
+  /** Perceptual difference-hash (dHash) — the image near-dup fingerprint:
+    * an 8×8 grayscale grid sampled nearest-neighbor (col x → x·w∕8,
+    * row y → y·h∕8), one bit per horizontal neighbor pair
+    * (gray[x+1] > gray[x]), 7 bits × 8 rows = 56 bits (BIGINT-positive by
+    * construction; bit index y·7+x). Gray is the integer (r+g+b)∕3.
+    * Visually identical images at different encodings or mild rescales
+    * collide — the multimodal sibling of SimHash; dedup is then an exact
+    * groupBy on the hash, no pairwise pass. */
+  def dHashImages(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select("doc_id", "media").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("media")
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          def gray(gx: Int, gy: Int): Int = {
+            val p = img.getRGB(gx * w / 8, gy * h / 8)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
 }

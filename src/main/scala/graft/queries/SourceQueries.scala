@@ -1205,6 +1205,52 @@ object SourceQueries {
         .orderBy("doc_id")
     },
 
+    // ── image RESIZE (decode → nearest-neighbor thumbnail → re-encode):
+    //    the sampling map is integer floor division, so the oracle
+    //    recomputes the RESIZED image's exact RGB sums from the source
+    //    pixel formula — an image TRANSFORM gated arithmetically, not
+    //    just a decode. Per-image cost is O(thumbnail), not O(source).
+    sql("q_multimodal_resize",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, (x * w) // 6 AS sx, (y * h) // 5 AS sy
+        |       FROM d CROSS JOIN range(0, 6) t1(x) CROSS JOIN range(0, 5) t2(y))
+        |SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+        |       CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((doc_id + sx * sy) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((sx + 3 * sy) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.resizeImages(
+          Multimodal.imageTable(Tables.documents(s, d)), 6, 5)
+        .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    },
+
+    // ── perceptual dHash fingerprint (the image near-dup key): 8×8
+    //    nearest-neighbor grayscale grid, one bit per horizontal neighbor
+    //    pair — 56 bits, BIGINT-positive. The oracle replays the whole
+    //    hash arithmetically (sample map, integer gray, bit packing);
+    //    dedup over the hash is then an exact groupBy, no pairwise pass.
+    sql("q_multimodal_phash",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |g AS (SELECT doc_id, x, y,
+        |             (((doc_id * 31 + ((x*w)//8) * 7 + ((y*h)//8) * 13) % 256)
+        |            + ((doc_id + ((x*w)//8) * ((y*h)//8)) % 256)
+        |            + ((((x*w)//8) + 3 * ((y*h)//8)) % 256)) // 3 AS gray
+        |      FROM d CROSS JOIN range(0, 8) t1(x) CROSS JOIN range(0, 8) t2(y)),
+        |b AS (SELECT g1.doc_id, g1.x AS x, g1.y AS y,
+        |             CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+        |      FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.y = g1.y
+        |                         AND g2.x = g1.x + 1
+        |      WHERE g1.x < 7)
+        |SELECT doc_id,
+        |       CAST(SUM(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT) AS dhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.dHashImages(Multimodal.imageTable(Tables.documents(s, d)))
+        .orderBy("doc_id")
+    },
+
     // ── REAL audio codec: synthetic 16-bit PCM WAVs (sample i is
     //    closed-form in doc_id) encoded AND decoded through
     //    javax.sound.sampled inside mapPartitions; the oracle recomputes

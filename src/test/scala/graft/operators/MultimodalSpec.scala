@@ -129,4 +129,27 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(1) === (r.getInt(2) - 1) / 100 + 1)
     }
   }
+
+  test("resize re-encode is lossless; dhash collides exactly on identical pixels") {
+    import org.apache.spark.sql.functions._
+    val imgs = Multimodal.imageTable(Tables.documents(spark, sfDir).limit(20))
+    val resized = Multimodal.resizeImages(imgs, 6, 5).cache()
+    // decoding the re-encoded thumbnail must reproduce the sums the
+    // resize loop computed — PNG round-trip is lossless or the hash lies
+    val redecoded = Multimodal.decodeImageFeatures(
+      resized.select(col("doc_id"), col("media")))
+    val a = resized.select("doc_id", "sum_r", "sum_g", "sum_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = redecoded.select("doc_id", "sum_r", "sum_g", "sum_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a === b)
+    // identical media bytes hash identically; a planted byte-copy under a
+    // new id is found by the exact hash groupBy — no pairwise pass
+    val one = imgs.filter(col("doc_id") === 1L)
+      .select(lit(100001L).as("doc_id"), col("media"))
+    val hashes = Multimodal.dHashImages(imgs.unionByName(one))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(100001L))
+    resized.unpersist()
+  }
 }
