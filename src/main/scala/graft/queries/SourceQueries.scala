@@ -328,6 +328,31 @@ object SourceQueries {
         .withColumn("files_rewritten", lit(rewritten.toLong))
     },
 
+    // ── DESCRIBE HISTORY (the log's audit surface): append ×2, tagged
+    //    append, overwrite, MOR delete — five commits whose
+    //    add/remove/class/tag rows are fully determined, so the golden
+    //    oracle is a VALUES literal. The dv classification and the
+    //    overwrite's removal count are what the hash pins.
+    sql("q_src_history",
+      """SELECT * FROM (VALUES
+        |  (1, 2, 0, 'data', CAST(NULL AS VARCHAR)),
+        |  (2, 1, 0, 'data', 'nightly'),
+        |  (3, 1, 3, 'data', CAST(NULL AS VARCHAR)),
+        |  (4, 1, 0, 'dv',   CAST(NULL AS VARCHAR))
+        |) t(version, n_added, n_removed, kind, tag)
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val table = tmp("txn_history")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+        .filter(col("o_orderkey") < 200)
+      TxnTable.commit(s, ord.repartition(2), table, overwrite = false)
+      TxnTable.commit(s, ord.coalesce(1), table, overwrite = false,
+        tag = Some("nightly"))
+      TxnTable.commit(s, ord.coalesce(1), table, overwrite = true)
+      TxnTable.deleteWhereMor(s, table, col("o_orderkey") % 2 === 0)
+      TxnTable.history(s, table).orderBy("version")
+    },
+
     // ── MERGE-ON-READ delete with a deletion vector (the write-cheap
     //    sibling of q_src_delete's copy-on-write): the delete commits one
     //    dv/ parquet of (file, row_index) addresses — ZERO data files

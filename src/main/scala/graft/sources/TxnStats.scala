@@ -57,6 +57,8 @@ object TxnStats {
       .filter(f => TxnTable.versionOf(f) > fromExclusive &&
         TxnTable.versionOf(f) <= toInclusive)
       .flatMap(f => TxnTable.parseEntry(f)._1)
+      // deletion vectors carry no stats column — they are not data
+      .filterNot(_.startsWith("dv/"))
 
   /** Bring the stats for `column` up to the table's current version by
     * scanning ONLY the newly added files. Returns the number of files
@@ -104,7 +106,7 @@ object TxnStats {
   def pruneFiles(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long): (Seq[String], Int) = {
     require(lo <= hi, s"bad range [$lo, $hi]")
-    val live = TxnTable.liveFiles(table)
+    val live = TxnTable.liveSplit(table)._1
     val sd = statsDir(table, column)
     val stats: Map[String, (Long, Long)] =
       if (!sd.isDirectory) Map.empty
@@ -126,11 +128,12 @@ object TxnStats {
   def prunedRead(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long): DataFrame = {
     val (toRead, _) = pruneFiles(spark, table, column, lo, hi)
-    val live = TxnTable.liveFiles(table)
+    val (live, dvFiles) = TxnTable.liveSplit(table)
     require(live.nonEmpty, s"no live files in $table")
     val pick = if (toRead.nonEmpty) toRead else live.take(1)
-    val df = spark.read
-      .parquet(pick.map(p => new File(table, p).getPath): _*)
+    // route through the DV-aware file-list read: live deletion vectors
+    // must anti-join the picked files or deleted rows resurface here
+    val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
       .filter(col(column).between(lo, hi))
     if (toRead.nonEmpty) df else df.filter(lit(false))
   }

@@ -648,6 +648,29 @@ object TxnTable {
     }
   }
 
+  /** DESCRIBE HISTORY — the audit surface of the log: one row per
+    * committed version with its add/remove file counts, commit class
+    * (`dv` = a deletion-vector-only commit, else `data`), and writer
+    * tag. Driver-side metadata (|commits| rows), never data. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_added", IntegerType, nullable = false),
+      StructField("n_removed", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    val rows = logFiles(table).map { f =>
+      val v = versionOf(f)
+      val (added, removed) = parseEntry(f)
+      org.apache.spark.sql.Row(v, added.size, removed.size,
+        if (added.nonEmpty && added.forall(_.startsWith("dv/"))) "dv" else "data",
+        commitTag(table, v).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** DV-applied read over an EXPLICIT live file list (table-relative
     * paths) — the form catalog snapshots need: [[TxnCatalog.read]]
     * resolves its own lineage-pinned file set, and deletion vectors in

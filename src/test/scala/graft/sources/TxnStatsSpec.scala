@@ -124,4 +124,19 @@ class TxnStatsSpec extends SparkSpec {
       TxnStats.refresh(spark, t, "id")
     }
   }
+
+  test("pruned read applies live deletion vectors; refresh skips dv files") {
+    val t = "/root/repo/target/tmp/spec_stats_dv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    TxnTable.commit(spark, (1L to 100L).toDF("k").repartition(2), t,
+      overwrite = false)
+    TxnStats.refresh(spark, t, "k")
+    TxnTable.deleteWhereMor(spark, t, $"k" % 10 === 0L)
+    // refresh after the dv commit must not crash on the vector's schema
+    TxnStats.refresh(spark, t, "k")
+    val got = TxnStats.prunedRead(spark, t, "k", 1L, 40L)
+      .select("k").as[Long].collect().toSet
+    assert(got == (1L to 40L).filter(_ % 10 != 0).toSet,
+      "deleted rows must not resurface through the stats-pruned read")
+  }
 }
