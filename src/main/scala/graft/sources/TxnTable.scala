@@ -563,7 +563,21 @@ object TxnTable {
             payload.map(c => col(c).as(s"__${side}_$c")) :+
             xxhash64((lit(0L) +: payload.map(col)): _*).as(s"__h$side")): _*)
         }
-        (readRel(removed), readRel(added)) match {
+        // a deletion-vector commit adds no data — its change feed is the
+        // DELETE pre-images: the rows of the (v-1)-live data files the
+        // vector addresses (prior vectors already applied, so a stacked
+        // delete feeds only the NEWLY deleted rows)
+        if (added.nonEmpty && added.forall(_.startsWith("dv/")) && removed.isEmpty) {
+          val dv = spark.read
+            .parquet(added.map(p => new File(table, p).getPath): _*)
+            .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
+          val pre = fileListWithAddress(spark, table,
+              liveFiles(table, Some(v - 1)))
+            .join(dv, Seq("__fp", "__ri"), "left_semi")
+            .drop("__fp", "__ri")
+          Some(pre.select((lit(v).as("version") +:
+            lit("delete").as("change") +: pre.columns.toSeq.map(col)): _*))
+        } else (readRel(removed), readRel(added)) match {
           case (None, None) => None
           case (None, Some(post)) =>
             Some(post.select((lit(v).as("version") +:

@@ -372,4 +372,30 @@ class TxnTableSpec extends SparkSpec {
     val (_, nCow) = TxnTable.deleteWhere(spark, t, $"id" === 6L)
     assert(nCow == 1 && rows(t) == (1L to 10L).toSet -- Set(5L, 6L))
   }
+
+  test("change feed of a MOR delete emits exactly the CoW delete's rows") {
+    // same table, same predicate, both delete forms — the feeds must agree
+    def feedOf(t: String, mor: Boolean): Set[(String, Long)] = {
+      FileUtils.deleteQuietly(new File(t))
+      TxnTable.commit(spark, (1L to 30L).toDF("id").repartition(2), t,
+        overwrite = false)
+      if (mor) TxnTable.deleteWhereMor(spark, t, $"id" % 5 === 0L)
+      else TxnTable.deleteWhere(spark, t, $"id" % 5 === 0L)
+      TxnTable.changeFeed(spark, t, 1, 2, Seq("id"))
+        .select("change", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val mor = feedOf("/root/repo/target/tmp/spec_feed_mor", mor = true)
+    val cow = feedOf("/root/repo/target/tmp/spec_feed_cow", mor = false)
+    assert(mor == (5L to 30L by 5L).map(("delete", _)).toSet)
+    assert(mor == cow, "MOR and CoW deletes must produce the same feed")
+    // a stacked second vector feeds only the NEWLY deleted rows
+    val t = "/root/repo/target/tmp/spec_feed_mor"
+    TxnTable.deleteWhereMor(spark, t, $"id" % 2 === 0L)
+    val second = TxnTable.changeFeed(spark, t, 2, 3, Seq("id"))
+      .select("change", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(second == (2L to 30L by 2L).filter(_ % 5 != 0)
+      .map(("delete", _)).toSet)
+  }
 }
