@@ -628,6 +628,44 @@ object CompositeQueries {
       s.sql(Q15_SQL)
     },
 
+    // ── training-data RELEASE capstone (the round's new lakehouse surface
+    //    composed end to end): documents land as one catalog transaction;
+    //    a takedown list applies as a catalog-level MERGE-ON-READ delete
+    //    (one deletion-vector version, zero data movement, orphans
+    //    invisible); the lineage CHECKPOINTS to one version; the released
+    //    snapshot then flows through the quality floor and the
+    //    deterministic content-hash sample into a per-source release
+    //    manifest. Every leg is individually oracled; the DuckDB replay
+    //    gates the COMPOSITION — including that the takedown rows are
+    //    really gone from the released snapshot.
+    sql("q16_release_pipeline",
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents
+        |WHERE doc_id % 13 <> 0 AND n_chars >= 50
+        |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      import graft.operators.Sampling
+      val cat = "/root/repo/target/tmp/q16_release_cat"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      TxnCatalog.commitAll(s, cat,
+        Seq(Write("docs", Tables.documents(s, d))))            // txn 1: ingest
+      TxnCatalog.deleteWhereMor(s, cat, "docs",
+        col("doc_id") % 13 === 0)                              // txn 2: takedown
+      TxnCatalog.compactLineage(s, cat, "docs")                // txn 3: checkpoint
+      val snap = TxnCatalog.read(s, cat, "docs")
+      Sampling.bernoulli(snap.filter(col("n_chars") >= 50), "doc_id", rate = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    },
+
     // ── SQL set operations (INTERSECT / EXCEPT, set and multiset forms):
     //    customers with finished vs open orders. The ALL forms are the
     //    multiset semantics Spark plans as aggregate+join (no distinct
