@@ -109,4 +109,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("update images") ||
       Option(ex.getCause).exists(_.getMessage.contains("update images")))
   }
+
+  test("CDC view maintenance composes with merge-on-read deletes") {
+    import graft.operators.Incremental
+    val t = fresh("cdc_mor_src")
+    def rows(ks: Seq[Long]) = ks.map(k => (k, k % 3, k)).toDF("k", "g", "x")
+    TxnTable.commit(spark, rows(0L until 30L).coalesce(1), t,
+      overwrite = false)
+    def viewOf(asOf: Int) = TxnTable.read(spark, t, Some(asOf))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "cnt", "sum_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val view1 = viewOf(1)
+    // v2: deletion-vector delete — the feed must carry DELETE pre-images
+    TxnTable.deleteWhereMor(spark, t, $"k" % 4 === 0L)
+    val view2 = Incremental.applyCdc(view1,
+      TxnTable.changeFeed(spark, t, 1, 2, Seq("k"), updateImages = true),
+      Seq("g"), "cnt", Map("sum_x" -> "x"))
+    assert(canon(view2) == canon(viewOf(2)),
+      "a MOR delete's feed must retract exactly the deleted contributions")
+    // the streaming maintainer folds the dv version like any other
+    val viewT = fresh("cdc_mor_view")
+    val streamed = graft.streaming.EventsStreaming.cdcViewMaintenance(
+      spark, t, viewT, keys = Seq("k"), groupKeys = Seq("g"),
+      countCol = "cnt", sums = Map("sum_x" -> "x"))
+    assert(canon(streamed) == canon(viewOf(2)))
+  }
 }

@@ -398,4 +398,17 @@ class TxnTableSpec extends SparkSpec {
     assert(second == (2L to 30L by 2L).filter(_ % 5 != 0)
       .map(("delete", _)).toSet)
   }
+
+  test("DV read plans as a broadcast anti-join — the table never reshuffles") {
+    val t = freshTable("tt_mor_plan")
+    TxnTable.commit(spark, (1L to 1000L).toDF("id").repartition(2), t,
+      overwrite = false)
+    TxnTable.deleteWhereMor(spark, t, $"id" % 100 === 0L)
+    val plan = TxnTable.read(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    // the vector is broadcast-sized by construction (O(deleted rows));
+    // a SortMergeJoin here would shuffle the WHOLE table per read
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
