@@ -728,6 +728,43 @@ object SourceQueries {
         .orderBy("tbl", "txn")
     },
 
+    // ── multi-table atomic FORGET (right to be forgotten): one subject
+    //    predicate per table, each staged as a deletion-vector version,
+    //    ALL published through one catalog entry — readers see the
+    //    subject erased everywhere or nowhere. Zero data movement (DV
+    //    semantics); time travel to the pre-forget transaction still
+    //    resurrects, until vacuum retires it (the GDPR retention trade,
+    //    same as Delta's).
+    sql("q_privacy_forget",
+      """SELECT 'cust' AS tbl, COUNT(*) AS n,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |       (SELECT COUNT(*) FROM customer WHERE c_custkey % 9 = 0) AS forgotten
+        |FROM customer WHERE c_custkey % 9 <> 0
+        |UNION ALL
+        |SELECT 'ord', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+        |       (SELECT COUNT(*) FROM orders WHERE o_custkey % 9 = 0)
+        |FROM orders WHERE o_custkey % 9 <> 0
+        |ORDER BY tbl""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_forget")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      TxnCatalog.commitAll(s, cat, Seq(
+        Write("cust", Tables.customer(s, d).select("c_custkey")),
+        Write("ord", Tables.orders(s, d).select("o_orderkey", "o_custkey"))))
+      val (_, counts) = TxnCatalog.forgetWhere(s, cat, Map(
+        "cust" -> (col("c_custkey") % 9 === 0),
+        "ord" -> (col("o_custkey") % 9 === 0)))
+      def stage(tbl: String, key: String) =
+        TxnCatalog.read(s, cat, tbl)
+          .agg(count(lit(1)).as("n"), sum(col(key)).as("key_sum"))
+          .select(lit(tbl).as("tbl"), col("n"), col("key_sum"),
+            lit(counts(tbl)).as("forgotten"))
+      stage("cust", "c_custkey")
+        .unionByName(stage("ord", "o_orderkey"))
+        .orderBy("tbl")
+    },
+
     // ── zero-copy lineage CHECKPOINT (TxnCatalog.compactLineage): an
     //    append-per-micro-batch table's catalog lineage grows O(txns) —
     //    after 4 appends the entry lists 4 versions; the checkpoint

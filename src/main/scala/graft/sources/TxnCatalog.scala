@@ -287,6 +287,50 @@ object TxnCatalog {
       baseLists + (name -> (lineage :+ v)), tag), n)
   }
 
+  /** Multi-table atomic FORGET — the right-to-be-forgotten transaction:
+    * one predicate per table, each staged as a deletion-vector version
+    * against the CATALOG-visible snapshot, all made visible through ONE
+    * catalog entry. Readers see the subject erased from every table or
+    * from none; a crash between the vector commits and the publish
+    * leaves catalog-invisible orphans, exactly like [[commitAll]].
+    * Tables whose predicate matches nothing stay at their current
+    * version inside the same transaction. Returns (txn, rows marked per
+    * table); no entry is published when nothing matched anywhere. */
+  def forgetWhere(spark: SparkSession, catalog: String,
+                  predicates: Map[String, org.apache.spark.sql.Column],
+                  expectedTxn: Option[Int] = None,
+                  tag: Option[String] = None): (Int, Map[String, Long]) = {
+    require(predicates.nonEmpty, "forgetWhere needs at least one table")
+    predicates.keys.foreach(checkName)
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 2, s"no committed transaction in $catalog to forget from")
+    val base = tableVersions(catalog, Some(txn - 1))
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    import org.apache.spark.sql.functions.col
+    val staged = predicates.toSeq.sortBy(_._1).map { case (name, pred) =>
+      val lineage = baseLists.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"table '$name' does not exist in $catalog"))
+      val table = tablePath(catalog, name)
+      val doomed = TxnTable
+        .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+        .filter(pred)
+        .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+      val (v, n) = TxnTable.commitDv(spark, table, doomed,
+        TxnTable.currentVersion(table) + 1, tag)
+      (name, v, n)
+    }
+    val counts = staged.map { case (name, _, n) => name -> n }.toMap
+    if (staged.forall(_._3 == 0L)) return (currentTxn(catalog), counts)
+    val touched = staged.filter(_._3 > 0L)
+    publishEntry(catalog, txn,
+      base ++ touched.map { case (name, v, _) => name -> v },
+      baseLists ++ touched.map { case (name, v, _) =>
+        name -> (baseLists(name) :+ v)
+      }, tag)
+    (txn, counts)
+  }
+
   /** Replay exactly `lineage`'s log entries, in order — the snapshot
     * those versions compose. */
   private def liveForLineage(table: String, lineage: Seq[Int]): Seq[String] = {

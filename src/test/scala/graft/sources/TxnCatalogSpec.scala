@@ -208,4 +208,32 @@ class TxnCatalogSpec extends SparkSpec {
     assert(TxnCatalog.deleteWhereMor(spark, c, "t", $"id" === 42L) ==
       ((TxnCatalog.currentTxn(c), 0L)))
   }
+
+  test("forgetWhere erases the subject from every table atomically") {
+    val c = freshCatalog("forget")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("a", (1L to 20L).toDF("id")),
+      Write("b", (1L to 20L).map(i => (i, i % 5)).toDF("k", "uid"))))
+    val (txn, counts) = TxnCatalog.forgetWhere(spark, c, Map(
+      "a" -> ($"id" % 5 === 0L),
+      "b" -> ($"uid" === 0L)))
+    assert(txn == 2 && counts == Map("a" -> 4L, "b" -> 4L))
+    assert(ids(c, "a") == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+    assert(TxnCatalog.read(spark, c, "b").select("k").as[Long]
+      .collect().toSet == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+    // pre-forget snapshot resurrects both subjects together
+    assert(ids(c, "a", Some(1)) == (1L to 20L).toSet)
+    // nothing-matched anywhere: no transaction published
+    assert(TxnCatalog.forgetWhere(spark, c, Map(
+      "a" -> ($"id" === 999L), "b" -> ($"uid" === 999L))) ==
+      ((2, Map("a" -> 0L, "b" -> 0L))))
+    assert(TxnCatalog.currentTxn(c) == 2)
+    // partial match: untouched table keeps its version inside the txn
+    val (txn3, counts3) = TxnCatalog.forgetWhere(spark, c, Map(
+      "a" -> ($"id" === 7L), "b" -> ($"uid" === 999L)))
+    assert(txn3 == 3 && counts3 == Map("a" -> 1L, "b" -> 0L))
+    assert(TxnCatalog.tableVersions(c)("b") ==
+      TxnCatalog.tableVersions(c, Some(2))("b"))
+    assert(ids(c, "a") == (1L to 20L).filterNot(i => i % 5 == 0 || i == 7).toSet)
+  }
 }
