@@ -168,6 +168,31 @@ object TxnTable {
     commitWithRemovals(spark, df, table, version, removed, tag)
   }
 
+  /** The standard lakehouse OCC RETRY loop around [[commit]]: re-read
+    * the head and re-stage on every `ConcurrentModificationException`,
+    * up to `maxAttempts`. Each attempt recomputes its removal list
+    * against the fresh head, so an overwrite never clobbers a racer's
+    * rows; the data written by a losing attempt stays an ordinary
+    * vacuum orphan. Use for writers that may genuinely race (parallel
+    * ingest jobs); single-writer pipelines can call [[commit]] direct. */
+  def commitWithRetry(spark: SparkSession, df: DataFrame, table: String,
+                      overwrite: Boolean, maxAttempts: Int = 3,
+                      tag: Option[String] = None): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return commit(spark, df, table, overwrite,
+          expectedVersion = Some(currentVersion(table) + 1), tag = tag)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Commit `df` while logically removing exactly `removedFiles`
     * (table-relative paths, a subset of the current live set) — the
     * FILE-LEVEL rewrite primitive: MERGE rewrites only the files that

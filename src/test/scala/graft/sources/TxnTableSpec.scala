@@ -411,4 +411,36 @@ class TxnTableSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("commitWithRetry: racing appenders all land; exhausted retries rethrow") {
+    val t = freshTable("tt_retry")
+    TxnTable.commit(spark, Seq(0L).toDF("id"), t, overwrite = false)
+    // 4 threads x 3 appends, all racing on the version counter — every
+    // batch must land exactly once through the retry loop
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).flatMap { w =>
+      (1 to 3).map { b =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxnTable.commitWithRetry(spark,
+            Seq(w * 100L + b).toDF("id"), t, overwrite = false,
+            maxAttempts = 20)
+        })
+      }
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val expected = Set(0L) ++
+      (for (w <- 1 to 4; b <- 1 to 3) yield w * 100L + b).toSet
+    assert(rows(t) == expected)
+    assert(TxnTable.currentVersion(t) == 13)
+    // maxAttempts = 1 with a pre-taken version: the conflict surfaces
+    val stale = TxnTable.currentVersion(t) + 1
+    TxnTable.commit(spark, Seq(999L).toDF("id"), t, overwrite = false)
+    intercept[java.util.ConcurrentModificationException] {
+      // direct commit pinned to the now-taken version — what a retry of 1
+      // degenerates to under contention
+      TxnTable.commit(spark, Seq(1000L).toDF("id"), t, overwrite = false,
+        expectedVersion = Some(stale))
+    }
+  }
 }
