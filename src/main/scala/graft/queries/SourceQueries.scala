@@ -728,6 +728,54 @@ object SourceQueries {
         .orderBy("tbl", "txn")
     },
 
+    // ── zero-rewrite COLUMN RENAME (Delta column mapping, minimal honest
+    //    form): physical parquet names never change; one metadata entry
+    //    remaps physical→logical, reads rename at scan time, appends
+    //    written under the LOGICAL name land on the physical schema, and
+    //    a logical-name delete predicate resolves through the map. The
+    //    hashed `cols` string pins the schema each stage presents —
+    //    including the pre-rename snapshot keeping its old name.
+    sql("q_src_rename",
+      """SELECT 'a_renamed' AS stage, 'o_orderkey,buyer_id' AS cols,
+        |       COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'b_append', 'o_orderkey,buyer_id', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'c_delete', 'o_orderkey,buyer_id', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders WHERE o_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'd_travel', 'o_orderkey,o_custkey', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_rename")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      TxnCatalog.commitAll(s, cat, Seq(                       // txn 1
+        Write("ord", ord.filter((col("o_orderkey") % 3).isin(0, 1)))))
+      TxnCatalog.renameColumn(s, cat, "ord", "o_custkey", "buyer_id") // txn 2
+      def stage(name: String, asOf: Option[Int], keyCol: String) = {
+        val df = TxnCatalog.read(s, cat, "ord", asOf)
+        df.agg(count(lit(1)).as("n"), sum(col(keyCol)).as("key_sum"))
+          .select(lit(name).as("stage"),
+            lit(df.columns.mkString(",")).as("cols"), col("n"), col("key_sum"))
+      }
+      val a = stage("a_renamed", Some(2), "buyer_id")
+      TxnCatalog.commitAll(s, cat, Seq(                       // txn 3: append
+        Write("ord", ord.filter(col("o_orderkey") % 3 === 2)
+          .withColumnRenamed("o_custkey", "buyer_id"))))
+      val b = stage("b_append", Some(3), "buyer_id")
+      TxnCatalog.deleteWhereMor(s, cat, "ord",                // txn 4
+        col("buyer_id") % 7 === 0)
+      a.unionByName(b)
+        .unionByName(stage("c_delete", None, "buyer_id"))
+        .unionByName(stage("d_travel", Some(1), "o_custkey"))
+        .orderBy("stage")
+    },
+
     // ── multi-table atomic FORGET (right to be forgotten): one subject
     //    predicate per table, each staged as a deletion-vector version,
     //    ALL published through one catalog entry — readers see the

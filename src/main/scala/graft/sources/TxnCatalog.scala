@@ -101,6 +101,39 @@ object TxnCatalog {
       .toMap
   }
 
+  /** Column MAPPING (rename without rewrite): per table, physical parquet
+    * column name → logical name. Serialized flat as `"tbl|phys":"logical"`
+    * (`|` is outside both name grammars, so the split is exact); absent
+    * in pre-mapping entries. Entries stay self-contained: each carries
+    * the FULL map for its snapshot, so restore and time travel resolve
+    * names from the entry alone. */
+  private def jsonColmap(m: Map[String, Map[String, String]]): String =
+    m.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (p, l) => s""""$t|$p":"$l"""" }
+    }.mkString("{", ",", "}")
+
+  private def parseColmap(s: String): Map[String, Map[String, String]] = {
+    val i = s.indexOf("\"colmap\":{")
+    if (i < 0) Map.empty
+    else {
+      val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+      "\"([A-Za-z0-9._-]+)\\|([A-Za-z0-9_]+)\":\"([A-Za-z0-9_]+)\"".r
+        .findAllMatchIn(body)
+        .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+        .groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+    }
+  }
+
+  /** The per-table column map of a snapshot (physical → logical). */
+  private[sources] def colMap(catalog: String,
+                              asOf: Option[Int]): Map[String, Map[String, String]] =
+    entryAt(catalog, asOf) match {
+      case None => Map.empty
+      case Some(f) => parseColmap(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+    }
+
   private def entryAt(catalog: String, asOf: Option[Int]): Option[File] =
     txnFiles(catalog).filter(f => asOf.forall(txnOf(f) <= _)).lastOption
 
@@ -166,8 +199,15 @@ object TxnCatalog {
     // TxnTable's removal list is a superset of the catalog-visible files
     // (same files plus orphans), and replay subtracts only what it added,
     // so both ledgers agree on the catalog-visible outcome.
+    val cmap = colMap(catalog, Some(txn - 1))
     val created = writes.map { w =>
-      w.name -> TxnTable.commit(spark, w.df, tablePath(catalog, w.name),
+      // the caller writes LOGICAL column names; physical parquet names
+      // never change across a rename, so reverse-map before the write
+      val toPhys = cmap.getOrElse(w.name, Map.empty).map(_.swap)
+      val phys = toPhys.foldLeft(w.df) { case (df, (l, p)) =>
+        if (df.columns.contains(l)) df.withColumnRenamed(l, p) else df
+      }
+      w.name -> TxnTable.commit(spark, phys, tablePath(catalog, w.name),
         overwrite = w.overwrite, tag = tag)
     }.toMap
     val baseLists = versionLists(catalog, Some(txn - 1))
@@ -180,7 +220,7 @@ object TxnCatalog {
       name -> (if (byName(name)) Seq(v)
                else baseLists.getOrElse(name, Seq.empty) :+ v)
     }
-    publishEntry(catalog, txn, base ++ created, lists, tag)
+    publishEntry(catalog, txn, base ++ created, lists, tag, cmap)
   }
 
   /** Zero-copy catalog ROLLBACK: a new transaction whose table mapping
@@ -198,7 +238,7 @@ object TxnCatalog {
       s"cannot restore $catalog to t$toTxn from t${txn - 1} — the target " +
         "must be strictly before the current head")
     publishEntry(catalog, txn, tableVersions(catalog, Some(toTxn)),
-      versionLists(catalog, Some(toTxn)), tag)
+      versionLists(catalog, Some(toTxn)), tag, colMap(catalog, Some(toTxn)))
   }
 
   /** Register every table of ONE catalog snapshot as a temp view
@@ -250,7 +290,7 @@ object TxnCatalog {
     // put-if-absent publish exactly like any commit
     val v = TxnTable.publishFileList(table, live, tag)
     publishEntry(catalog, txn, base + (name -> v),
-      baseLists + (name -> Seq(v)), tag)
+      baseLists + (name -> Seq(v)), tag, colMap(catalog, Some(txn - 1)))
   }
 
   /** Catalog-level MERGE-ON-READ DELETE: one metadata-light transaction
@@ -276,15 +316,64 @@ object TxnCatalog {
         s"table '$name' does not exist in $catalog"))
     val table = tablePath(catalog, name)
     import org.apache.spark.sql.functions.col
-    val doomed = TxnTable
+    val cmap = colMap(catalog, Some(txn - 1))
+    val addressed = TxnTable
       .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+    // the predicate speaks LOGICAL names; addresses are name-agnostic
+    val logical = cmap.getOrElse(name, Map.empty).foldLeft(addressed) {
+      case (df, (p, l)) =>
+        if (df.columns.contains(p)) df.withColumnRenamed(p, l) else df
+    }
+    val doomed = logical
       .filter(predicate)
       .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
     val (v, n) = TxnTable.commitDv(spark, table, doomed,
       TxnTable.currentVersion(table) + 1, tag)
     if (n == 0L) return (currentTxn(catalog), 0L)
     (publishEntry(catalog, txn, base + (name -> v),
-      baseLists + (name -> (lineage :+ v)), tag), n)
+      baseLists + (name -> (lineage :+ v)), tag, cmap), n)
+  }
+
+  /** RENAME COLUMN without rewriting a byte — Delta column-mapping in
+    * its minimal honest form: physical parquet column names NEVER
+    * change; one catalog entry updates the table's physical→logical
+    * map, [[read]] renames at scan time, [[commitAll]] reverse-maps
+    * incoming logical frames back to the physical schema, and
+    * predicate-taking operations ([[deleteWhereMor]], [[forgetWhere]])
+    * resolve logical names before filtering. Time travel and restore
+    * resolve names from their own entry, so pre-rename snapshots read
+    * under the old name. Zero table commits — a pure metadata
+    * transaction. */
+  def renameColumn(spark: SparkSession, catalog: String, name: String,
+                   from: String, to: String,
+                   expectedTxn: Option[Int] = None,
+                   tag: Option[String] = None): Int = {
+    checkName(name)
+    require(to.matches("[A-Za-z0-9_]+"),
+      s"logical column name must be [A-Za-z0-9_]+: '$to'")
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 2, s"no committed transaction in $catalog to rename in")
+    val base = tableVersions(catalog, Some(txn - 1))
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    require(baseLists.contains(name),
+      s"table '$name' does not exist in $catalog")
+    val cmap = colMap(catalog, Some(txn - 1))
+    val tmap = cmap.getOrElse(name, Map.empty)
+    val snapshot = read(spark, catalog, name, asOf = Some(txn - 1))
+    require(snapshot.columns.contains(from),
+      s"column '$from' does not exist in '$name' " +
+        s"(has: ${snapshot.columns.mkString(", ")})")
+    require(!snapshot.columns.contains(to),
+      s"column '$to' already exists in '$name'")
+    // `from` is the current LOGICAL name: find its physical carrier
+    // (identity when never renamed)
+    val phys = tmap.collectFirst { case (p, l) if l == from => p }
+      .getOrElse(from)
+    val newTmap =
+      if (phys == to) tmap - phys // renamed back to the physical name
+      else tmap + (phys -> to)
+    publishEntry(catalog, txn, base, baseLists, tag,
+      cmap + (name -> newTmap))
   }
 
   /** Multi-table atomic FORGET — the right-to-be-forgotten transaction:
@@ -307,13 +396,19 @@ object TxnCatalog {
     val base = tableVersions(catalog, Some(txn - 1))
     val baseLists = versionLists(catalog, Some(txn - 1))
     import org.apache.spark.sql.functions.col
+    val cmap = colMap(catalog, Some(txn - 1))
     val staged = predicates.toSeq.sortBy(_._1).map { case (name, pred) =>
       val lineage = baseLists.getOrElse(name,
         throw new IllegalArgumentException(
           s"table '$name' does not exist in $catalog"))
       val table = tablePath(catalog, name)
-      val doomed = TxnTable
+      val addressed = TxnTable
         .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+      val logical = cmap.getOrElse(name, Map.empty).foldLeft(addressed) {
+        case (df, (p, l)) =>
+          if (df.columns.contains(p)) df.withColumnRenamed(p, l) else df
+      }
+      val doomed = logical
         .filter(pred)
         .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
       val (v, n) = TxnTable.commitDv(spark, table, doomed,
@@ -327,7 +422,7 @@ object TxnCatalog {
       base ++ touched.map { case (name, v, _) => name -> v },
       baseLists ++ touched.map { case (name, v, _) =>
         name -> (baseLists(name) :+ v)
-      }, tag)
+      }, tag, cmap)
     (txn, counts)
   }
 
@@ -388,14 +483,18 @@ object TxnCatalog {
   private def publishEntry(catalog: String, txn: Int,
                            tables: Map[String, Int],
                            versions: Map[String, Seq[Int]],
-                           tag: Option[String]): Int = {
+                           tag: Option[String],
+                           colmap: Map[String, Map[String, String]] = Map.empty): Int = {
     val tagField = tag.map { t =>
       require(t.matches("[A-Za-z0-9._-]+"),
         s"tag must be [A-Za-z0-9._-]+: '$t'")
       s""","tag":"$t""""
     }.getOrElse("")
+    val colmapField =
+      if (colmap.forall(_._2.isEmpty)) ""
+      else s""","colmap":${jsonColmap(colmap.filter(_._2.nonEmpty))}"""
     val entry = s"""{"txn":$txn,"tables":${jsonMap(tables)},""" +
-      s""""versions":${jsonLists(versions)}$tagField}"""
+      s""""versions":${jsonLists(versions)}$colmapField$tagField}"""
     txnDir(catalog).mkdirs()
     val tmpF = new File(txnDir(catalog),
       f".t$txn%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
@@ -435,7 +534,12 @@ object TxnCatalog {
     val live = liveForLineage(table, lineage)
     require(live.nonEmpty,
       s"no live files for '$name' in $catalog${asOf.fold("")(t => s" as of t$t")}")
-    // deletion vectors in the lineage apply exactly as in TxnTable.read
-    TxnTable.readFileList(spark, table, live)
+    // deletion vectors in the lineage apply exactly as in TxnTable.read;
+    // then the snapshot's column map renames physical -> logical
+    colMap(catalog, asOf).getOrElse(name, Map.empty)
+      .foldLeft(TxnTable.readFileList(spark, table, live)) {
+        case (df, (p, l)) =>
+          if (df.columns.contains(p)) df.withColumnRenamed(p, l) else df
+      }
   }
 }

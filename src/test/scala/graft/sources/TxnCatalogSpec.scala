@@ -236,4 +236,47 @@ class TxnCatalogSpec extends SparkSpec {
       TxnCatalog.tableVersions(c, Some(2))("b"))
     assert(ids(c, "a") == (1L to 20L).filterNot(i => i % 5 == 0 || i == 7).toSet)
   }
+
+  test("renameColumn: zero-rewrite rename; reads, writes, deletes, travel all resolve") {
+    val c = freshCatalog("rename")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("t", (1L to 10L).map(i => (i, i * 10)).toDF("id", "val"))))
+    def files = org.apache.commons.io.FileUtils
+      .listFiles(new File(TxnCatalog.tablePath(c, "t"), "data"),
+        Array("parquet"), true).size
+    val before = files
+    assert(TxnCatalog.renameColumn(spark, c, "t", "val", "amount") == 2)
+    assert(files == before, "rename must not touch data")
+    // reads show the logical name
+    assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "amount"))
+    // pre-rename snapshots keep the old name
+    assert(TxnCatalog.read(spark, c, "t", Some(1)).columns.toSeq == Seq("id", "val"))
+    // appends written with LOGICAL names land on the physical schema —
+    // mixed pre/post-rename versions read as one coherent table
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("t", Seq((11L, 110L)).toDF("id", "amount"))))
+    val all = TxnCatalog.read(spark, c, "t")
+      .select("id", "amount").as[(Long, Long)].collect().toMap
+    assert(all == (1L to 11L).map(i => i -> i * 10).toMap)
+    // predicate-taking ops speak the logical name too
+    val (_, n) = TxnCatalog.deleteWhereMor(spark, c, "t", $"amount" > 100L)
+    assert(n == 1)
+    assert(TxnCatalog.read(spark, c, "t").count() == 10)
+    // rename twice more: back to the physical name drops the map entry
+    TxnCatalog.renameColumn(spark, c, "t", "amount", "pennies")
+    assert(TxnCatalog.read(spark, c, "t").columns.contains("pennies"))
+    TxnCatalog.renameColumn(spark, c, "t", "pennies", "val")
+    assert(TxnCatalog.colMap(c, None).getOrElse("t", Map.empty).isEmpty)
+    // invalid renames fail loudly
+    intercept[IllegalArgumentException] {
+      TxnCatalog.renameColumn(spark, c, "t", "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxnCatalog.renameColumn(spark, c, "t", "id", "val")
+    }
+    // restore across the rename resolves names from the restored entry
+    TxnCatalog.restore(c, toTxn = 2)
+    assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "amount"))
+    assert(TxnCatalog.read(spark, c, "t").count() == 10)
+  }
 }
