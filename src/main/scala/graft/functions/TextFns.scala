@@ -17,6 +17,16 @@ object TextFns {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** Sentence segmentation: split on terminal-punctuation runs followed
+    * by whitespace (`[.!?]+\s+` — no lookbehind, so the SAME pattern runs
+    * under RE2 in a replay oracle; terminal punctuation of the final
+    * sentence is kept, interior ones are consumed by the split). Empty
+    * fragments (leading punctuation, whitespace runs) are filtered.
+    * Scan-side, zero shuffle — the preprocessing unit between whole-doc
+    * ops and token windows. */
+  def sentences(c: Column): Column =
+    filter(split(c, "[.!?]+\\s+"), x => trim(x) =!= "")
+
   /** UTF-8 byte length (matches DuckDB octet_length(encode(...))). */
   def byteLength(c: Column): Column = octet_length(c).cast("long")
 

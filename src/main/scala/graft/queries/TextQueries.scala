@@ -42,6 +42,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── sentence segmentation (the preprocessing unit between whole-doc
+    //    ops and token windows): split on terminal-punctuation runs +
+    //    whitespace — a lookbehind-free pattern, so DuckDB's RE2 replays
+    //    it verbatim; posexplode pins sentence ORDER, not just counts.
+    sql("q_text_sentences",
+      """WITH p AS (
+        |  SELECT doc_id, replace(text, ' the ', '. ') AS text2
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text2, '[.!?]+\s+'),
+        |                     x -> trim(x) <> '') AS ss
+        |  FROM p)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        |       ss[i] AS sentence,
+        |       CAST(len(ss[i]) AS BIGINT) AS n_chars
+        |FROM sp CROSS JOIN UNNEST(range(1, len(ss) + 1)) t(i)
+        |ORDER BY doc_id, sent_idx""".stripMargin) { (s, d) =>
+      // the synthetic corpus carries no punctuation — derive a punctuated
+      // text IDENTICALLY in both engines (literal replace) so the split
+      // is actually exercised, multi-sentence docs included
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFns.sentences(
+            expr("replace(text, ' the ', '. ')")).as("ss"))
+        .select(col("doc_id"),
+          posexplode(col("ss")).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "sent_idx")
+    },
+
     // ── subword-regex token count (GPT-2-pre-tokenizer shape: letter
     //    runs | digit runs | any other non-space char) + punctuation
     //    density — the regex forms next to q_text_stats' whitespace and
