@@ -125,6 +125,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!lat.contains("BroadcastNestedLoopJoin"), lat.take(3000))
   }
 
+  test("join strategy hints are honored; AQE coalesces small shuffles") {
+    import org.apache.spark.sql.functions.col
+    val l = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val r = Tables.customer(spark, sfDir).select("c_custkey")
+    def planWith(hint: String): String =
+      l.join(r.hint(hint), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    // the three physical strategies a 100 TB planner chooses between —
+    // each must be FORCIBLE when the optimizer's estimate is wrong
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    // AQE folds the 4 configured shuffle partitions of a tiny aggregate
+    // down to fewer at runtime (coalescePartitions) — the knob that keeps
+    // small stages from paying big-cluster task counts
+    val agg = l.groupBy("o_custkey").count()
+    agg.collect()
+    val n = agg.rdd.getNumPartitions
+    assert(n < spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"AQE should coalesce below the configured count, got $n")
+  }
+
   test("lsh bucketing is one fused expression, not a quantized_dot forest") {
     val planes = graft.operators.Similarity.hyperplanes(64, 8, 16, seed = 7L)
     val plan = graft.operators.Similarity.lshBuckets(
