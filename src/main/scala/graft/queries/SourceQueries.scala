@@ -776,6 +776,47 @@ object SourceQueries {
         .orderBy("stage")
     },
 
+    // ── zero-rewrite DROP COLUMN (the third schema-evolution leg next to
+    //    mergeSchema-add and q_src_rename): one metadata entry hides the
+    //    physical column; post-drop appends simply omit it (mixed files
+    //    reconcile deterministically), time travel still shows it, and
+    //    the hashed `cols` string pins each stage's schema.
+    sql("q_src_drop",
+      """SELECT 'a_dropped' AS stage, 'o_orderkey,o_custkey' AS cols,
+        |       COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'b_append', 'o_orderkey,o_custkey', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'c_travel', 'o_orderkey,o_custkey,o_orderpriority', COUNT(*),
+        |       CAST(SUM(o_custkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = tmp("txn_drop")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      TxnCatalog.commitAll(s, cat, Seq(                        // txn 1
+        Write("ord", ord.filter(col("o_orderkey") % 2 === 0))))
+      TxnCatalog.dropColumn(s, cat, "ord", "o_orderpriority")  // txn 2
+      def stage(name: String, asOf: Option[Int]) = {
+        val df = TxnCatalog.read(s, cat, "ord", asOf)
+        df.agg(count(lit(1)).as("n"), sum("o_custkey").as("key_sum"))
+          .select(lit(name).as("stage"),
+            lit(df.columns.mkString(",")).as("cols"), col("n"), col("key_sum"))
+      }
+      val a = stage("a_dropped", Some(2))
+      TxnCatalog.commitAll(s, cat, Seq(                        // txn 3
+        Write("ord", ord.filter(col("o_orderkey") % 2 === 1)
+          .drop("o_orderpriority"))))
+      a.unionByName(stage("b_append", None))
+        .unionByName(stage("c_travel", Some(1)))
+        .orderBy("stage")
+    },
+
     // ── multi-table atomic FORGET (right to be forgotten): one subject
     //    predicate per table, each staged as a deletion-vector version,
     //    ALL published through one catalog entry — readers see the

@@ -125,6 +125,36 @@ object TxnCatalog {
     }
   }
 
+  /** DROPPED columns (physical names) per table — serialized flat as
+    * `"tbl|phys":1` under `"coldrop"`. A dropped column vanishes from
+    * reads; the bytes stay (and older snapshots still show it). */
+  private def jsonDrops(m: Map[String, Set[String]]): String =
+    m.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      cols.toSeq.sorted.map(c => s""""$t|$c":1""")
+    }.mkString("{", ",", "}")
+
+  private def parseDrops(s: String): Map[String, Set[String]] = {
+    val i = s.indexOf("\"coldrop\":{")
+    if (i < 0) Map.empty
+    else {
+      val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+      "\"([A-Za-z0-9._-]+)\\|([A-Za-z0-9_]+)\":1".r
+        .findAllMatchIn(body)
+        .map(m => (m.group(1), m.group(2))).toSeq
+        .groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(_._2).toSet }
+    }
+  }
+
+  /** The per-table dropped-column set of a snapshot. */
+  private[sources] def colDrops(catalog: String,
+                                asOf: Option[Int]): Map[String, Set[String]] =
+    entryAt(catalog, asOf) match {
+      case None => Map.empty
+      case Some(f) => parseDrops(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+    }
+
   /** The per-table column map of a snapshot (physical → logical). */
   private[sources] def colMap(catalog: String,
                               asOf: Option[Int]): Map[String, Map[String, String]] =
@@ -200,6 +230,7 @@ object TxnCatalog {
     // (same files plus orphans), and replay subtracts only what it added,
     // so both ledgers agree on the catalog-visible outcome.
     val cmap = colMap(catalog, Some(txn - 1))
+    val dmap = colDrops(catalog, Some(txn - 1))
     val created = writes.map { w =>
       // the caller writes LOGICAL column names; physical parquet names
       // never change across a rename, so reverse-map before the write
@@ -207,6 +238,13 @@ object TxnCatalog {
       val phys = toPhys.foldLeft(w.df) { case (df, (l, p)) =>
         if (df.columns.contains(l)) df.withColumnRenamed(l, p) else df
       }
+      // a DROPPED physical name cannot be re-added in place — reads would
+      // silently hide it again; re-introduce the data under a new name
+      val clash = phys.columns.filter(
+        dmap.getOrElse(w.name, Set.empty).contains)
+      require(clash.isEmpty,
+        s"column(s) ${clash.mkString(", ")} of '${w.name}' were DROPPED — " +
+          "re-adding needs a new column name")
       w.name -> TxnTable.commit(spark, phys, tablePath(catalog, w.name),
         overwrite = w.overwrite, tag = tag)
     }.toMap
@@ -220,7 +258,7 @@ object TxnCatalog {
       name -> (if (byName(name)) Seq(v)
                else baseLists.getOrElse(name, Seq.empty) :+ v)
     }
-    publishEntry(catalog, txn, base ++ created, lists, tag, cmap)
+    publishEntry(catalog, txn, base ++ created, lists, tag, cmap, dmap)
   }
 
   /** Zero-copy catalog ROLLBACK: a new transaction whose table mapping
@@ -238,7 +276,8 @@ object TxnCatalog {
       s"cannot restore $catalog to t$toTxn from t${txn - 1} — the target " +
         "must be strictly before the current head")
     publishEntry(catalog, txn, tableVersions(catalog, Some(toTxn)),
-      versionLists(catalog, Some(toTxn)), tag, colMap(catalog, Some(toTxn)))
+      versionLists(catalog, Some(toTxn)), tag, colMap(catalog, Some(toTxn)),
+      colDrops(catalog, Some(toTxn)))
   }
 
   /** Register every table of ONE catalog snapshot as a temp view
@@ -290,7 +329,8 @@ object TxnCatalog {
     // put-if-absent publish exactly like any commit
     val v = TxnTable.publishFileList(table, live, tag)
     publishEntry(catalog, txn, base + (name -> v),
-      baseLists + (name -> Seq(v)), tag, colMap(catalog, Some(txn - 1)))
+      baseLists + (name -> Seq(v)), tag, colMap(catalog, Some(txn - 1)),
+      colDrops(catalog, Some(txn - 1)))
   }
 
   /** Catalog-level MERGE-ON-READ DELETE: one metadata-light transaction
@@ -317,8 +357,10 @@ object TxnCatalog {
     val table = tablePath(catalog, name)
     import org.apache.spark.sql.functions.col
     val cmap = colMap(catalog, Some(txn - 1))
+    val dmap = colDrops(catalog, Some(txn - 1))
     val addressed = TxnTable
       .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+      .drop(dmap.getOrElse(name, Set.empty).toSeq: _*)
     // the predicate speaks LOGICAL names; addresses are name-agnostic
     val logical = cmap.getOrElse(name, Map.empty).foldLeft(addressed) {
       case (df, (p, l)) =>
@@ -331,7 +373,7 @@ object TxnCatalog {
       TxnTable.currentVersion(table) + 1, tag)
     if (n == 0L) return (currentTxn(catalog), 0L)
     (publishEntry(catalog, txn, base + (name -> v),
-      baseLists + (name -> (lineage :+ v)), tag, cmap), n)
+      baseLists + (name -> (lineage :+ v)), tag, cmap, dmap), n)
   }
 
   /** RENAME COLUMN without rewriting a byte — Delta column-mapping in
@@ -372,8 +414,47 @@ object TxnCatalog {
     val newTmap =
       if (phys == to) tmap - phys // renamed back to the physical name
       else tmap + (phys -> to)
+    val dmap = colDrops(catalog, Some(txn - 1))
+    require(!dmap.getOrElse(name, Set.empty).contains(to),
+      s"'$to' is a DROPPED physical column of '$name' — reads would hide " +
+        "the renamed column; pick another name")
     publishEntry(catalog, txn, base, baseLists, tag,
-      cmap + (name -> newTmap))
+      cmap + (name -> newTmap), dmap)
+  }
+
+  /** DROP COLUMN without rewriting a byte — the third leg of zero-
+    * rewrite schema evolution (add = mergeSchema, rename = [[renameColumn]]):
+    * one metadata entry marks the PHYSICAL column dropped; reads hide
+    * it, [[commitAll]] refuses a frame that would silently re-add it,
+    * and older snapshots (time travel, restore) still show it. The
+    * bytes stay until the files themselves are rewritten (optimize) or
+    * vacuumed with their snapshots. */
+  def dropColumn(spark: SparkSession, catalog: String, name: String,
+                 colName: String,
+                 expectedTxn: Option[Int] = None,
+                 tag: Option[String] = None): Int = {
+    checkName(name)
+    val txn = expectedTxn.getOrElse(currentTxn(catalog) + 1)
+    require(txn >= 2, s"no committed transaction in $catalog to drop from")
+    val base = tableVersions(catalog, Some(txn - 1))
+    val baseLists = versionLists(catalog, Some(txn - 1))
+    require(baseLists.contains(name),
+      s"table '$name' does not exist in $catalog")
+    val snapshot = read(spark, catalog, name, asOf = Some(txn - 1))
+    require(snapshot.columns.contains(colName),
+      s"column '$colName' does not exist in '$name' " +
+        s"(has: ${snapshot.columns.mkString(", ")})")
+    require(snapshot.columns.length > 1,
+      s"cannot drop the last visible column of '$name'")
+    val cmap = colMap(catalog, Some(txn - 1))
+    val tmap = cmap.getOrElse(name, Map.empty)
+    val dmap = colDrops(catalog, Some(txn - 1))
+    // resolve logical -> physical; a renamed column drops by its carrier
+    val phys = tmap.collectFirst { case (p, l) if l == colName => p }
+      .getOrElse(colName)
+    publishEntry(catalog, txn, base, baseLists, tag,
+      cmap + (name -> (tmap - phys)),
+      dmap + (name -> (dmap.getOrElse(name, Set.empty) + phys)))
   }
 
   /** Multi-table atomic FORGET — the right-to-be-forgotten transaction:
@@ -397,6 +478,7 @@ object TxnCatalog {
     val baseLists = versionLists(catalog, Some(txn - 1))
     import org.apache.spark.sql.functions.col
     val cmap = colMap(catalog, Some(txn - 1))
+    val dmap = colDrops(catalog, Some(txn - 1))
     val staged = predicates.toSeq.sortBy(_._1).map { case (name, pred) =>
       val lineage = baseLists.getOrElse(name,
         throw new IllegalArgumentException(
@@ -404,6 +486,7 @@ object TxnCatalog {
       val table = tablePath(catalog, name)
       val addressed = TxnTable
         .fileListWithAddress(spark, table, liveForLineage(table, lineage))
+        .drop(dmap.getOrElse(name, Set.empty).toSeq: _*)
       val logical = cmap.getOrElse(name, Map.empty).foldLeft(addressed) {
         case (df, (p, l)) =>
           if (df.columns.contains(p)) df.withColumnRenamed(p, l) else df
@@ -422,7 +505,7 @@ object TxnCatalog {
       base ++ touched.map { case (name, v, _) => name -> v },
       baseLists ++ touched.map { case (name, v, _) =>
         name -> (baseLists(name) :+ v)
-      }, tag, cmap)
+      }, tag, cmap, dmap)
     (txn, counts)
   }
 
@@ -484,7 +567,8 @@ object TxnCatalog {
                            tables: Map[String, Int],
                            versions: Map[String, Seq[Int]],
                            tag: Option[String],
-                           colmap: Map[String, Map[String, String]] = Map.empty): Int = {
+                           colmap: Map[String, Map[String, String]] = Map.empty,
+                           drops: Map[String, Set[String]] = Map.empty): Int = {
     val tagField = tag.map { t =>
       require(t.matches("[A-Za-z0-9._-]+"),
         s"tag must be [A-Za-z0-9._-]+: '$t'")
@@ -493,8 +577,11 @@ object TxnCatalog {
     val colmapField =
       if (colmap.forall(_._2.isEmpty)) ""
       else s""","colmap":${jsonColmap(colmap.filter(_._2.nonEmpty))}"""
+    val dropsField =
+      if (drops.forall(_._2.isEmpty)) ""
+      else s""","coldrop":${jsonDrops(drops.filter(_._2.nonEmpty))}"""
     val entry = s"""{"txn":$txn,"tables":${jsonMap(tables)},""" +
-      s""""versions":${jsonLists(versions)}$colmapField$tagField}"""
+      s""""versions":${jsonLists(versions)}$colmapField$dropsField$tagField}"""
     txnDir(catalog).mkdirs()
     val tmpF = new File(txnDir(catalog),
       f".t$txn%05d-" + java.util.UUID.randomUUID.toString.take(8) + ".json.tmp")
@@ -535,9 +622,14 @@ object TxnCatalog {
     require(live.nonEmpty,
       s"no live files for '$name' in $catalog${asOf.fold("")(t => s" as of t$t")}")
     // deletion vectors in the lineage apply exactly as in TxnTable.read;
-    // then the snapshot's column map renames physical -> logical
+    // dropped physical columns vanish (mergeSchema reconciles pre/post-
+    // drop files deterministically), then the column map renames
+    val dropped = colDrops(catalog, asOf).getOrElse(name, Set.empty)
+    val base = TxnTable
+      .readFileList(spark, table, live, mergeSchema = dropped.nonEmpty)
+      .drop(dropped.toSeq: _*)
     colMap(catalog, asOf).getOrElse(name, Map.empty)
-      .foldLeft(TxnTable.readFileList(spark, table, live)) {
+      .foldLeft(base) {
         case (df, (p, l)) =>
           if (df.columns.contains(p)) df.withColumnRenamed(p, l) else df
       }

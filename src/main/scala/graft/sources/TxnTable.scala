@@ -715,18 +715,23 @@ object TxnTable {
     * resolves its own lineage-pinned file set, and deletion vectors in
     * it must anti-join exactly as in [[read]], not scan as data. */
   private[sources] def readFileList(spark: SparkSession, table: String,
-                                    files: Seq[String]): DataFrame =
-    fileListWithAddress(spark, table, files).drop("__fp", "__ri")
+                                    files: Seq[String],
+                                    mergeSchema: Boolean = false): DataFrame =
+    fileListWithAddress(spark, table, files, mergeSchema)
+      .drop("__fp", "__ri")
 
   /** [[readFileList]] with each row's stable (__fp, __ri) address
     * retained — what a lineage-pinned MOR delete filters on. */
   private[sources] def fileListWithAddress(spark: SparkSession, table: String,
-                                           files: Seq[String]): DataFrame = {
+                                           files: Seq[String],
+                                           mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val (dataFiles, dvFiles) = files.partition(!_.startsWith("dv/"))
     require(dataFiles.nonEmpty, s"no live data files for $table")
     val prefixLen = fileUriPrefix(table).length
-    val base = spark.read
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val base = reader
       .parquet(dataFiles.map(f => new File(table, f).getPath): _*)
       .select(col("*"),
         expr(s"substring(_metadata.file_path, ${prefixLen + 1})").as("__fp"),

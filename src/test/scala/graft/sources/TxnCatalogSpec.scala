@@ -279,4 +279,41 @@ class TxnCatalogSpec extends SparkSpec {
     assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "amount"))
     assert(TxnCatalog.read(spark, c, "t").count() == 10)
   }
+
+  test("dropColumn: zero-rewrite drop; reads hide, re-add refused, travel shows") {
+    val c = freshCatalog("drop")
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("t", (1L to 5L).map(i => (i, i * 10, s"u$i")).toDF("id", "val", "who"))))
+    def files = org.apache.commons.io.FileUtils
+      .listFiles(new File(TxnCatalog.tablePath(c, "t"), "data"),
+        Array("parquet"), true).size
+    val before = files
+    assert(TxnCatalog.dropColumn(spark, c, "t", "who") == 2)
+    assert(files == before, "drop must not touch data")
+    assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "val"))
+    // pre-drop snapshot still shows the column
+    assert(TxnCatalog.read(spark, c, "t", Some(1)).columns.contains("who"))
+    // appends WITHOUT the column are the normal post-drop shape; the
+    // mixed pre/post files read deterministically
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("t", Seq((6L, 60L)).toDF("id", "val"))))
+    assert(TxnCatalog.read(spark, c, "t")
+      .select("id").as[Long].collect().toSet == (1L to 6L).toSet)
+    // silently re-adding the dropped physical name is refused
+    intercept[IllegalArgumentException] {
+      TxnCatalog.commitAll(spark, c, Seq(
+        Write("t", Seq((7L, 70L, "x")).toDF("id", "val", "who"))))
+    }
+    // a RENAMED column drops by its physical carrier and stays dropped
+    TxnCatalog.renameColumn(spark, c, "t", "val", "amount")
+    TxnCatalog.dropColumn(spark, c, "t", "amount")
+    assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id"))
+    // the last visible column cannot be dropped
+    intercept[IllegalArgumentException] {
+      TxnCatalog.dropColumn(spark, c, "t", "id")
+    }
+    // restore across the drops resolves schema from the restored entry
+    TxnCatalog.restore(c, toTxn = 2)
+    assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "val"))
+  }
 }
