@@ -328,6 +328,56 @@ object SourceQueries {
         .withColumn("files_rewritten", lit(rewritten.toLong))
     },
 
+    // ── DEAD-LETTER commit (the row-level contract outcome between
+    //    reject-the-batch and let-it-through): rows violating any rule
+    //    land in a quarantine table tagged with the pipe-joined rule
+    //    names; the clean remainder commits. Violations are planted
+    //    deterministically (%11 nulls the FK, %13 corrupts the enum —
+    //    %143 rows break BOTH and the tag must list both).
+    sql("q_src_quarantine_commit",
+      """WITH x AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS ck,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN 'XX' ELSE o_orderpriority END AS pr
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderkey, ck, pr,
+        |         CASE WHEN ck IS NULL AND pr = 'XX'
+        |                THEN 'not_null(ck)|in_set(pr)'
+        |              WHEN ck IS NULL THEN 'not_null(ck)'
+        |              WHEN pr = 'XX' THEN 'in_set(pr)'
+        |              ELSE '' END AS broke
+        |  FROM x)
+        |SELECT 'a_clean' AS grp, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM t WHERE broke = ''
+        |UNION ALL
+        |SELECT 'q_' || broke, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM t WHERE broke <> '' GROUP BY broke
+        |ORDER BY grp""".stripMargin) { (s, d) =>
+      import graft.operators.Contracts
+      val table = tmp("txn_quarantine_main")
+      val qt = tmp("txn_quarantine_dead")
+      Seq(table, qt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val dirty = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("ck"),
+        when(col("o_orderkey") % 13 === 0, lit("XX"))
+          .otherwise(col("o_orderpriority")).as("pr"))
+      TxnTable.commitQuarantined(s, dirty, table, qt, Seq(
+        Contracts.NotNull("ck"),
+        Contracts.InSet("pr", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))))
+      val clean = TxnTable.read(s, table)
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .select(lit("a_clean").as("grp"), col("n"), col("key_sum"))
+      val dead = TxnTable.read(s, qt)
+        .groupBy(concat(lit("q_"), col("violated_rules")).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      clean.unionByName(dead).orderBy("grp")
+    },
+
     // ── DESCRIBE HISTORY (the log's audit surface): append ×2, tagged
     //    append, overwrite, MOR delete — five commits whose
     //    add/remove/class/tag rows are fully determined, so the golden

@@ -473,6 +473,43 @@ object TxnTable {
         "first (it applies and purges the vectors)")
   }
 
+  /** DEAD-LETTER commit — the row-level outcome of a violated contract:
+    * instead of rejecting the whole batch ([[commitChecked]]) or letting
+    * bad rows through, rows violating ANY rule land in a QUARANTINE
+    * table (tagged with the rule names they broke, pipe-joined) and the
+    * clean remainder commits to the main table — both committed, each
+    * atomically. One logical pass: the rule expressions evaluate once
+    * per row in the scan projection; the two filtered writes share it.
+    * Returns (main version — current when everything quarantined —
+    * and quarantined row count). The batch-level gate stays the right
+    * tool when ANY violation must abort; this is the ingest-must-
+    * continue shape (tolerant pipelines, the reference's messy scrape
+    * rows). */
+  def commitQuarantined(spark: SparkSession, df: DataFrame, table: String,
+                        quarantineTable: String,
+                        rules: Seq[graft.operators.Contracts.Rule],
+                        tag: Option[String] = None): (Int, Long) = {
+    import graft.operators.Contracts
+    import org.apache.spark.sql.functions.{array, array_join, col, concat_ws, lit, when}
+    require(rules.nonEmpty, "commitQuarantined needs at least one rule")
+    require(!rules.exists(_.isInstanceOf[Contracts.Unique]),
+      "Unique needs a global aggregate — pre-validate with Contracts.validate")
+    val flags = rules.map(r =>
+      when(Contracts.violation(r) === 1L, lit(r.name)).otherwise(lit(null)))
+    val tagged = df.withColumn("__broke",
+      array_join(array(flags: _*), "|"))
+    val bad = tagged.filter(col("__broke") =!= "")
+      .withColumnRenamed("__broke", "violated_rules")
+    val clean = tagged.filter(col("__broke") === "").drop("__broke")
+    val nBad = bad.count()
+    if (nBad > 0)
+      commit(spark, bad, quarantineTable, overwrite = false, tag = tag)
+    val version =
+      if (clean.isEmpty) currentVersion(table)
+      else commit(spark, clean, table, overwrite = false, tag = tag)
+    (version, nBad)
+  }
+
   /** Contract-gated commit — CHECK constraints at the write boundary,
     * in ONE pass: the per-rule violation counters ride the write job as
     * `Observation` metrics, so the data is never scanned twice. If any
