@@ -85,4 +85,44 @@ object TimeSeries {
         last(col("__v"), ignoreNulls = true).over(w).as("val"),
         col("__v").isNull.as("is_filled"))
   }
+
+  /** Hourly resample with LINEAR interpolation — the pandas
+    * asfreq/interpolate pair next to [[hourlyResampleFfill]]'s ffill:
+    * each gap hour takes `prev + (next − prev)·(h − h_prev) div
+    * (h_next − h_prev)` over integer hour indexes and long-quantized
+    * values, so the fill is exact and cross-engine bit-stable
+    * (truncating integer division both sides — DuckDB's `//` and
+    * Spark's `div` agree on negatives too). The per-key spine spans
+    * [min, max] known hours, so every gap has both neighbors. Two
+    * per-key windows (prev-carry, next-carry), no global funnel. */
+  def hourlyResampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+                           valCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(sum(col(valCol)).as("__v"))
+    val spine = hourly
+      .groupBy(col(keyCol))
+      .agg(min(col("hour_ts")).as("__lo"), max(col("hour_ts")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val wPrev = Window.partitionBy(keyCol).orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy("hour_ts")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .join(hourly, Seq(keyCol, "hour_ts"), "left")
+      .withColumn("__h", expr("unix_micros(hour_ts) div 3600000000"))
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__ph", last(when(col("__v").isNotNull, col("__h")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nh", first(when(col("__v").isNotNull, col("__h")),
+        ignoreNulls = true).over(wNext))
+      .select(col(keyCol), col("hour_ts"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(expr("__pv + ((__nv - __pv) * (__h - __ph)) div (__nh - __ph)"))
+          .as("val"),
+        col("__v").isNull.as("is_filled"))
+  }
 }

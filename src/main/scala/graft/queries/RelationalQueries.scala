@@ -972,6 +972,51 @@ object RelationalQueries {
         .orderBy("series", "hour_ts")
     },
 
+    // ── hourly resample + LINEAR interpolation (the asfreq/interpolate
+    //    pair next to q_time_ffill): gap hours take the exact integer
+    //    prev + (next−prev)·(h−h_prev) div (h_next−h_prev) — truncating
+    //    division agrees across engines on negative deltas too, so the
+    //    interpolated values hash, not just the known ones.
+    sql("q_time_interp",
+      """WITH src AS (
+        |  SELECT event_type || '_' || CAST(user_id % 16 AS VARCHAR) AS series,
+        |         ts, CAST(FLOOR(value * 1000) AS BIGINT) AS q
+        |  FROM events),
+        |hourly AS (
+        |  SELECT series, date_trunc('hour', ts) AS h, SUM(q) AS v
+        |  FROM src GROUP BY 1, 2),
+        |rng AS (SELECT series, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+        |spine AS (SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM rng),
+        |j AS (SELECT s.series, s.h, hourly.v,
+        |             epoch_us(s.h) // 3600000000 AS hi
+        |      FROM spine s LEFT JOIN hourly ON s.series = hourly.series AND s.h = hourly.h),
+        |p AS (SELECT series, h, v, hi,
+        |             last_value(v IGNORE NULLS) OVER wp AS pv,
+        |             last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER wp AS ph,
+        |             first_value(v IGNORE NULLS) OVER wn AS nv,
+        |             first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER wn AS nh
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY series ORDER BY h
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY series ORDER BY h
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT series, strftime(h, '%Y-%m-%d %H:00') AS hour_ts,
+        |       CAST(CASE WHEN v IS NOT NULL THEN v
+        |                 ELSE pv + ((nv - pv) * (hi - ph)) // (nh - ph) END AS BIGINT) AS val,
+        |       v IS NULL AS is_filled
+        |FROM p ORDER BY series, hour_ts""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d).select(
+        concat(col("event_type"), lit("_"), (col("user_id") % 16).cast("string"))
+          .as("series"),
+        col("ts"), floor(col("value") * 1000).cast("long").as("q"))
+      graft.operators.TimeSeries.hourlyResampleInterp(src, "series", "ts", "q")
+        .select(col("series"),
+          date_format(col("hour_ts"), "yyyy-MM-dd HH:00").as("hour_ts"),
+          col("val"), col("is_filled"))
+        .orderBy("series", "hour_ts")
+    },
+
     // ── event-sequence transition counts: per-user lag over event time
     //    (the Markov/behavioral-analysis primitive); the window partitions
     //    by user so no global-order funnel, ties broken by event_id

@@ -41,4 +41,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter($"is_filled").isEmpty)
     assert(out.count() == 4)
   }
+
+  test("linear interpolation: exact integer fill on a hand-computed series") {
+    import org.apache.spark.sql.functions._
+    // known at hours 0, 3, 5 with values 100, 400, 0: hour 1 -> 200,
+    // hour 2 -> 300, hour 4 -> 400 + (0-400)*1 div 2 = 200 (negative
+    // delta truncates toward zero identically on both engines)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    def at(h: Int) = new java.sql.Timestamp(
+      base.getTime + h * 3600L * 1000L)
+    val df = Seq(("a", at(0), 100L), ("a", at(3), 400L), ("a", at(5), 0L))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.hourlyResampleInterp(df, "k", "ts", "v")
+      .orderBy("hour_ts")
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((100L, false), (200L, true), (300L, true),
+      (400L, false), (200L, true), (0L, false)))
+  }
 }
