@@ -721,14 +721,19 @@ object CompositeQueries {
       |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
       |ORDER BY op""".stripMargin
 
+  /** The recursive step EXPANDS the frontier to its candidate children
+    * first (2n, 2n+1 via a 2-row VALUES cross join) and then equi-joins —
+    * the OR-of-equalities form (`c = 2n OR c = 2n+1`) cannot hash-join
+    * and planned a nested loop over the full table PER ITERATION. */
   private lazy val RECURSIVE_SQL: String =
     """WITH RECURSIVE tree AS (
       |  SELECT c_custkey AS node, c_custkey AS root, CAST(0 AS BIGINT) AS depth
       |  FROM customer WHERE c_custkey IN (2, 3)
       |  UNION ALL
-      |  SELECT c.c_custkey, t.root, t.depth + 1
-      |  FROM customer c JOIN tree t
-      |    ON c.c_custkey = 2 * t.node OR c.c_custkey = 2 * t.node + 1)
+      |  SELECT c.c_custkey, x.root, x.depth + 1
+      |  FROM (SELECT 2 * node + d AS child, root, depth
+      |        FROM tree CROSS JOIN (VALUES (0), (1)) s(d)) x
+      |  JOIN customer c ON c.c_custkey = x.child)
       |SELECT root, depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
       |FROM tree GROUP BY root, depth
       |ORDER BY root, depth""".stripMargin
