@@ -37,6 +37,28 @@ object Packing {
     * AFTER this document (the last row of a pack carries its final
     * fill). `tokensCol` must be a LONG token count column expression
     * (e.g. [[TextFns.tokenCount]] of the text column). */
+  /** Release MANIFEST — the integrity record shipped next to an exported
+    * dataset: rows shard deterministically by content-hash bucket of the
+    * id (layout-invariant, like every sampler here), and each shard
+    * reports its row count plus an ORDER-INDEPENDENT content checksum —
+    * the sum of each row's leading-8-hex sha256 over the
+    * `|`-joined content columns. Any dropped, duplicated, or altered row
+    * moves its shard's checksum; a verifier recomputes shard-local sums
+    * in any order, no global sort. One hash aggregate, no window. */
+  def releaseManifest(docs: DataFrame, idCol: String,
+                      contentCols: Seq[String], nShards: Int): DataFrame = {
+    require(nShards >= 1 && contentCols.nonEmpty, "bad manifest parameters")
+    val rowDigest = conv(
+      substring(sha2(
+        concat_ws("|", (col(idCol) +: contentCols.map(col))
+          .map(_.cast("string")): _*).cast("binary"), 256), 1, 8),
+      16, 10).cast("long")
+    docs
+      .groupBy((graft.operators.Sampling.hashBucket(col(idCol), nShards))
+        .as("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowDigest).as("content_sum"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
                     groupCols: Seq[String], budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")

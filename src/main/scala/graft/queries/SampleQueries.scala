@@ -182,6 +182,24 @@ object SampleQueries {
     //    inherently sequential, so the group boundary IS the scale
     //    story — one fold per bounded group, no global pass). The
     //    oracle replays the greedy fold as a recursive CTE.
+    // ── release MANIFEST (dataset-delivery integrity): deterministic
+    //    content-hash shards, each with a row count and an ORDER-
+    //    INDEPENDENT content checksum (sum of per-row leading-8-hex
+    //    sha256 over the joined content columns) — any dropped,
+    //    duplicated, or altered row moves its shard's sum, and a
+    //    verifier recomputes shard-locally with no global sort.
+    sql("q_export_manifest",
+      """WITH r AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang), 1, 8)) AS BIGINT) AS dg
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(dg) AS BIGINT) AS content_sum
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      graft.operators.Packing.releaseManifest(
+          Tables.documents(s, d), "doc_id", Seq("text", "lang"), nShards = 8)
+        .orderBy("shard")
+    },
+
     sql("q_pack_sequences",
       """WITH RECURSIVE t AS (
         |  SELECT lang, doc_id,

@@ -261,6 +261,29 @@ object TxnCatalog {
     publishEntry(catalog, txn, base ++ created, lists, tag, cmap, dmap)
   }
 
+  /** The catalog's OCC RETRY loop — [[TxnTable.commitWithRetry]]'s
+    * multi-table sibling: on a lost catalog-entry race, re-read the head
+    * and re-stage the whole transaction. Each attempt writes fresh table
+    * versions; a losing attempt's versions stay catalog-invisible
+    * orphans for vacuum, exactly the documented crash shape. */
+  def commitAllWithRetry(spark: SparkSession, catalog: String,
+                         writes: Seq[Write], maxAttempts: Int = 3,
+                         tag: Option[String] = None): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return commitAll(spark, catalog, writes,
+          expectedTxn = Some(currentTxn(catalog) + 1), tag = tag)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Zero-copy catalog ROLLBACK: a new transaction whose table mapping
     * equals `toTxn`'s — no per-table commits at all, every table snaps
     * back together. The rolled-back transactions stay travelable

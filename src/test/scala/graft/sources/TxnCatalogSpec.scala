@@ -316,4 +316,24 @@ class TxnCatalogSpec extends SparkSpec {
     TxnCatalog.restore(c, toTxn = 2)
     assert(TxnCatalog.read(spark, c, "t").columns.toSeq == Seq("id", "val"))
   }
+
+  test("commitAllWithRetry: racing catalog committers all land exactly once") {
+    val c = freshCatalog("retry")
+    TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(0L).toDF("id"))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futures = (1 to 6).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = TxnCatalog.commitAllWithRetry(spark, c,
+          Seq(Write("t", Seq(i.toLong).toDF("id"))), maxAttempts = 20)
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(ids(c, "t") == (0L to 6L).toSet)
+    assert(TxnCatalog.currentTxn(c) == 7)
+    // losing attempts strand orphan table versions — vacuum may sweep
+    // bytes, every committed snapshot stays intact
+    TxnCatalog.vacuum(c)
+    assert(ids(c, "t") == (0L to 6L).toSet)
+  }
 }
