@@ -1231,6 +1231,45 @@ object SourceQueries {
       TwsStreaming.userProfiles(s, d).orderBy("user_id")
     },
 
+    // ── streaming DEAD-LETTER ingest (contracts at the stream boundary):
+    //    each micro-batch splits on the rule expressions and BOTH routes
+    //    land through ONE atomic catalog transaction — clean table and
+    //    quarantine version-locked, replay adjudicated by tag. The
+    //    'error' event type and any user_id below 1 quarantine with
+    //    their pipe-joined rule names.
+    sql("q_stream_quarantine_sink",
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CASE WHEN (user_id IS NULL OR user_id < 1 OR user_id > 10000000)
+        |                   AND event_type NOT IN ('click','purchase','view','signup')
+        |                THEN 'in_range(user_id)|in_set(event_type)'
+        |              WHEN user_id IS NULL OR user_id < 1 OR user_id > 10000000
+        |                THEN 'in_range(user_id)'
+        |              WHEN event_type NOT IN ('click','purchase','view','signup')
+        |                THEN 'in_set(event_type)'
+        |              ELSE '' END AS broke
+        |  FROM events)
+        |SELECT 'a_clean' AS grp, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS key_sum
+        |FROM t WHERE broke = ''
+        |UNION ALL
+        |SELECT 'q_' || broke, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM t WHERE broke <> '' GROUP BY broke
+        |ORDER BY grp""".stripMargin) { (s, d) =>
+      import graft.operators.Contracts
+      val (clean, quarantine) = EventsStreaming.quarantineSinkIngest(s, d,
+        Seq(Contracts.InRange("user_id", 1L, 10000000L),
+          Contracts.InSet("event_type",
+            Seq("click", "purchase", "view", "signup"))))
+      val a = clean
+        .agg(count(lit(1)).as("n"), sum("event_id").as("key_sum"))
+        .select(lit("a_clean").as("grp"), col("n"), col("key_sum"))
+      val dead = quarantine
+        .groupBy(concat(lit("q_"), col("violated_rules")).as("grp"))
+        .agg(count(lit(1)).as("n"), sum("event_id").as("key_sum"))
+      a.unionByName(dead).orderBy("grp")
+    },
+
     // ── transformWithState INITIAL STATE (the batch→streaming migration
     //    path): history before 2024-01-15 folds into per-user state by ONE
     //    batch aggregation, only later events stream — the old APIs could

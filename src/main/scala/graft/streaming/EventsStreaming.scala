@@ -693,6 +693,65 @@ object EventsStreaming {
     * deletes, overwrites, restores — anything the feed expresses.
     * Single-writer source assumed (versions publish in order), the
     * stream's own checkpoint carries resume. */
+  /** Streaming DEAD-LETTER ingest — contracts at the stream boundary:
+    * every micro-batch splits on the rule expressions (violating rows
+    * tagged with their pipe-joined rule names) and BOTH routes land
+    * through ONE atomic catalog transaction per batch — clean table and
+    * quarantine stay version-locked, replay adjudicates by tag exactly
+    * like [[catalogSinkIngest]]. The streaming form of
+    * `TxnTable.commitQuarantined`, with the two-table atomicity that
+    * form doesn't have. Returns (clean frame, quarantine frame). */
+  def quarantineSinkIngest(spark: SparkSession, sfDir: String,
+                           rules: Seq[graft.operators.Contracts.Rule],
+                           inputDir: Option[String] = None,
+                           maxFilesPerTrigger: Option[Int] = None): (DataFrame, DataFrame) = {
+    import graft.operators.Contracts
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    require(rules.nonEmpty &&
+      !rules.exists(_.isInstanceOf[Contracts.Unique]),
+      "scan-evaluable rules only")
+    val ss = streamSession(spark)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val catalog = s"/root/repo/target/tmp/stream/quarantine_catalog_$key"
+    val ckpt = s"$catalog.ckpt"
+    Seq(catalog, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, dir)
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir).withColumn("ts", rawTs(div))
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchTag = s"quarantine-batch-$batchId"
+        val flags = rules.map(r =>
+          when(Contracts.violation(r) === 1L, lit(r.name)).otherwise(lit(null)))
+        val tagged = batch.withColumn("__broke",
+          array_join(array(flags: _*), "|"))
+        val clean = tagged.filter(col("__broke") === "").drop("__broke")
+        val bad = tagged.filter(col("__broke") =!= "")
+          .withColumnRenamed("__broke", "violated_rules")
+        try TxnCatalog.commitAll(batch.sparkSession, catalog,
+          Seq(Write("clean", clean), Write("quarantine", bad)),
+          expectedTxn = Some(batchId.toInt + 1), tag = Some(batchTag))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            val published = TxnCatalog.commitTag(catalog, batchId.toInt + 1)
+            if (!published.contains(batchTag))
+              throw new IllegalStateException(
+                s"quarantine sink lost txn ${batchId + 1} of $catalog " +
+                  s"(published tag: $published)", e)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (TxnCatalog.read(spark, catalog, "clean"),
+      TxnCatalog.read(spark, catalog, "quarantine"))
+  }
+
   def cdcViewMaintenance(spark: SparkSession, sourceTable: String,
                          viewTable: String, keys: Seq[String],
                          groupKeys: Seq[String], countCol: String,

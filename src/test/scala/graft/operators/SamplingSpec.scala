@@ -219,4 +219,27 @@ class SamplingSpec extends SparkSpec {
     assert(out(("c", 1L)) == ((5L, 210L)))
     assert(!out.contains(("c", 2L)) && !out.contains(("c", 3L)))
   }
+
+  test("release manifest detects any single-row tamper shard-locally") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.releaseManifest(df, "doc_id",
+          Seq("text", "lang"), nShards = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = manifest(docs)
+    assert(base.keySet == Set(0L, 1L, 2L, 3L))
+    // altering one row's content moves exactly its shard's checksum
+    val tampered = manifest(docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("evil")).otherwise(col("text"))))
+    val changed = base.keySet.filter(k => base(k) != tampered(k))
+    assert(changed.size == 1, s"expected one shard to move, got $changed")
+    assert(base(changed.head)._1 == tampered(changed.head)._1,
+      "row count unchanged — only the checksum moves")
+    // dropping a row moves its shard's count AND checksum
+    val dropped = manifest(docs.filter(col("doc_id") =!= 7L))
+    assert(dropped(changed.head)._1 == base(changed.head)._1 - 1)
+    // layout invariance: the manifest is repartition-proof
+    assert(manifest(docs.repartition(13)) == base)
+  }
 }
