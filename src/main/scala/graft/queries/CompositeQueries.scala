@@ -666,6 +666,40 @@ object CompositeQueries {
         .orderBy("source")
     },
 
+    // ── GOVERNANCE capstone: the data-governance lifecycle over one
+    //    catalog table — ingest → column RENAME (zero rewrite) → subject
+    //    FORGET (deletion vector, atomic) → PII column DROP (zero
+    //    rewrite) → release manifest with order-independent shard
+    //    checksums. The manifest is computed over the governed snapshot,
+    //    so the oracle replay proves the forgotten subjects and the
+    //    dropped column are REALLY absent from what ships; the hashed
+    //    `cols` string pins the final schema.
+    sql("q17_governance",
+      """WITH t AS (SELECT c_custkey, c_mktsegment AS segment
+        |           FROM customer WHERE c_custkey % 9 <> 0),
+        |r AS (SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |             CAST(('0x' || substr(sha256(CAST(c_custkey AS VARCHAR) || '|' || segment), 1, 8)) AS BIGINT) AS dg
+        |      FROM t)
+        |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(dg) AS BIGINT) AS content_sum,
+        |       'c_custkey,segment' AS cols
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val cat = "/root/repo/target/tmp/q17_governance_cat"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      TxnCatalog.commitAll(s, cat, Seq(Write("users",
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"))))
+      TxnCatalog.renameColumn(s, cat, "users", "c_mktsegment", "segment")
+      TxnCatalog.forgetWhere(s, cat,
+        Map("users" -> (col("c_custkey") % 9 === 0)))
+      TxnCatalog.dropColumn(s, cat, "users", "c_name")
+      val snap = TxnCatalog.read(s, cat, "users")
+      graft.operators.Packing.releaseManifest(snap, "c_custkey",
+          Seq("segment"), nShards = 4)
+        .withColumn("cols", lit(snap.columns.mkString(",")))
+        .orderBy("shard")
+    },
+
     // ── SQL set operations (INTERSECT / EXCEPT, set and multiset forms):
     //    customers with finished vs open orders. The ALL forms are the
     //    multiset semantics Spark plans as aggregate+join (no distinct
