@@ -709,6 +709,17 @@ object CompositeQueries {
       s.sql(SETOPS_SQL)
     },
 
+    // ── HAVING over a scalar subquery + aggregate FILTER clause (the
+    //    TPC-H Q11 shape): suppliers with ABOVE-AVERAGE revenue share,
+    //    the test cross-multiplied to integers (sum × n_suppliers beats
+    //    the total — no division, scale-invariant ~50% selectivity at
+    //    any sf) and a FILTER (WHERE …) conditional
+    //    count riding the same aggregate. Same SQL text on both engines.
+    sql("q_sql_having_filter", HAVING_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(HAVING_SQL)
+    },
+
     // ── RECURSIVE CTE (Spark 4.1's WITH RECURSIVE, planned as
     //    UnionLoopExec): per-level rollup of the binary-heap hierarchy
     //    over customer keys (children 2k / 2k+1 — the org-chart/category-
@@ -732,6 +743,18 @@ object CompositeQueries {
       s.sql(LATERAL_SQL)
     }
   )
+
+  private lazy val HAVING_SQL: String =
+    """SELECT l_suppkey,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+      |       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) *
+      |       (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) >
+      |       (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |        FROM lineitem)
+      |ORDER BY l_suppkey""".stripMargin
 
   private lazy val SETOPS_SQL: String =
     """SELECT 'a_intersect' AS op, COUNT(*) AS cnt FROM
