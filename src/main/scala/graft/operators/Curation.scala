@@ -464,4 +464,47 @@ object Curation {
           (col("cnt").cast("double") / col("__n")).as("frac"))
     }
   }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI(x,y) = log(p(xy) / (p(x)·p(y))), the classic multiword-
+    * expression detector a corpus pipeline runs to find phrases worth
+    * treating as vocabulary units (tokenizer merges, stopphrase lists).
+    * Emitted as the quantized MONOTONE transform
+    * `pmi_q = floor(cxy·Nu² / (Nb·cx·cy) · 10⁶)` (the exp of PMI) — the
+    * same IEEE doubles in the same operation order on any engine, so the
+    * ranking and the scores replay exactly (the tfidfTopTerms idiom);
+    * a log would add a transcendental no two libms agree on.
+    *
+    * Scale shape: bigram extraction is scan-side (one whitespace split,
+    * one indexed transform per doc — no shuffle, no self-join); unigram
+    * and bigram counts map-side combine; the count joins are hash
+    * equi-joins on the term (vocabulary-sized, not corpus-sized); the
+    * two corpus totals ride a broadcast. `minCount` prunes the hapax
+    * tail BEFORE the joins — PMI is degenerate on count-1 pairs and
+    * they dominate the bigram type count. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad parameters ($minCount, $k)")
+    val toks = docs.select(
+      graft.functions.TextFns.tokens(lower(col(textCol))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(w, i) -> struct(w AS x, t[i + 1] AS y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val tot = uni.agg(count(lit(1)).as("nu"))
+      .crossJoin(bi.agg(count(lit(1)).as("nb")))
+    bi.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .join(uc.select(col("w").as("x"), col("c").as("cx")), "x")
+      .join(uc.select(col("w").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("cxy"),
+        floor(col("cxy").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("cx") * col("cy")) *
+          lit(1000000.0)).cast("long").as("pmi_q"))
+      .orderBy(desc("pmi_q"), col("x"), col("y"))
+      .limit(k)
+  }
 }

@@ -150,4 +150,72 @@ object Graph {
     oriented.unpersist()
     out // cached; ownership passes to the caller (same contract as pageRank)
   }
+
+  /** Single-source shortest paths over a weighted edge list — frontier-
+    * optimized distributed Bellman-Ford.
+    *
+    * Iteration i relaxes ONLY the frontier (nodes whose distance improved
+    * in iteration i-1): frontier ⋈ edges on src (hash equi-join; the
+    * frontier is the small side and shrinks toward convergence), candidate
+    * distances min-combine map-side per dst, and a full-outer merge with
+    * the running distance table keeps the minimum and marks improvements.
+    * Relaxing only the frontier provably yields the SAME d_i sequence as
+    * textbook Bellman-Ford's relax-everything (a non-improved node's
+    * re-relaxation can emit nothing its last relaxation didn't), so a
+    * fixed-iteration oracle replays it exactly — and at 100 TB the
+    * frontier join is the difference between O(|frontier|·deg) and
+    * O(|E|) work per wave.
+    *
+    * Runs exactly `iters` waves unless the frontier empties first (then
+    * converged — further waves are no-ops, so the result still equals the
+    * fixed-`iters` unrolling). Integer weights make every distance exact
+    * and engine-portable. Multi-edges are fine (relaxation min-merges
+    * them); negative weights are rejected — with a bounded iteration
+    * count they'd silently under-relax instead of failing.
+    *
+    * Output: (node: long, dist: long) for every node reached within
+    * `iters` waves, the source itself at distance 0. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, sourceNode: Long, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w") < 0).isEmpty,
+      "shortestPaths requires non-negative weights")
+    var dist = Seq((sourceNode, 0L)).toDF("node", "dist")
+    var frontier = dist
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val cand = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (frontier("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      // eager localCheckpoint = the wave's one materializing job AND the
+      // lineage cut. The cut is not optional: the previous wave's result
+      // feeds BOTH the candidate and the merge path, so without it the
+      // logical plan DOUBLES per wave — 2^waves plan nodes that OOM the
+      // driver around wave 12 regardless of data size. (On a multi-node
+      // cluster prefer reliable checkpoint() to survive executor loss;
+      // local blocks are fine for a single-app lifetime.)
+      val merged = dist.select(col("node"), col("dist").as("od"))
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("od"), col("nd")),
+            coalesce(col("nd"), col("od"))).as("dist"),
+          (col("od").isNull ||
+            (col("nd").isNotNull && col("nd") < col("od"))).as("__imp"))
+        .localCheckpoint(true)
+      // bounded driver scalar over the checkpointed blocks
+      val improved = merged.filter(col("__imp")).count()
+      dist = merged.select("node", "dist")
+      frontier = merged.filter(col("__imp")).select("node", "dist")
+      converged = improved == 0
+    }
+    e.unpersist()
+    dist // backed by the last wave's checkpoint blocks
+  }
 }

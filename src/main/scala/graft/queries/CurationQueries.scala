@@ -463,6 +463,35 @@ object CurationQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // ── top-50 bigram collocations by quantized PMI: the multiword-
+    //    expression detector (tokenizer-merge candidates). The score is
+    //    a monotone integer transform of PMI computed in one fixed IEEE
+    //    operation order, so ranking AND values replay; min-count 5
+    //    prunes the degenerate hapax tail before any join.
+    sql("q_text_pmi",
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |bi AS (SELECT t[i] AS x, t[i + 1] AS y
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+        |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+        |       FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS nu,
+        |               (SELECT CAST(COUNT(*) AS BIGINT) FROM bi) AS nb)
+        |SELECT x, y, cxy,
+        |       CAST(FLOOR(CAST(cxy AS DOUBLE) * nu * nu
+        |             / (CAST(nb AS DOUBLE) * ux.c * uy.c)
+        |             * 1000000.0) AS BIGINT) AS pmi_q
+        |FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w
+        |CROSS JOIN tot
+        |WHERE cxy >= 5
+        |ORDER BY pmi_q DESC, x, y LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.Curation.pmiCollocations(
+        Tables.documents(s, d), "text", minCount = 5L, k = 50)
+    },
+
     // ── exact phrase search from a persisted positional inverted index:
     //    postings join postings (term-pruned scans), documents never
     //    re-read; a match is a position where token i sits at p+i ∀i

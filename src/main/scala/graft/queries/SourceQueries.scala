@@ -297,6 +297,46 @@ object SourceQueries {
         .orderBy("snap")
     },
 
+    // ── zero-copy SHALLOW CLONE (TxnTable.cloneShallow): the snapshot
+    //    hard-links into a new table (no data copied — inode identity is
+    //    spec-proven), then BOTH sides diverge: the source gains a third
+    //    of the rows, the clone deletes its odd keys. Three snapshots out
+    //    of two independent histories — the clone's genesis v1 must still
+    //    equal the pre-divergence source.
+    sql("q_src_clone",
+      """SELECT 'clone' AS snap, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'clone_genesis', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'src', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      val src = tmp("txn_clone_src")
+      val dst = tmp("txn_clone_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 0),
+        src, overwrite = false)                               // src v1
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 1),
+        src, overwrite = false)                               // src v2
+      TxnTable.cloneShallow(src, dst)                         // dst v1
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 2),
+        src, overwrite = false)                               // src diverges
+      TxnTable.deleteWhere(s, dst, col("o_orderkey") % 2 === 1) // dst diverges
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+          .select(lit(snap).as("snap"), col("cnt"),
+            col("key_sum").cast("long").as("key_sum"))
+      agg(TxnTable.read(s, dst), "clone")
+        .unionByName(agg(TxnTable.read(s, dst, asOf = Some(1)), "clone_genesis"))
+        .unionByName(agg(TxnTable.read(s, src), "src"))
+        .orderBy("snap")
+    },
+
     // ── copy-on-write DELETE (TxnTable.deleteWhere): a range predicate
     //    that lives entirely in the first of three range-clustered files
     //    deletes by rewriting exactly that one file (files_rewritten=1
@@ -1185,6 +1225,27 @@ object SourceQueries {
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
       EventsStreaming.clickPurchaseLeftJoin(s, d, withinMinutes = 30)
         .orderBy("click_id", "purchase_id")
+    },
+
+    // ── FULL OUTER stream-stream join: both unmatched sides flush — a
+    //    click with no purchase in-window AND a purchase no click claims
+    //    each emit one null-padded row at watermark passage. The sort
+    //    key COALESCEs the nullable ids (real event ids are >= 0), so
+    //    the row order is total under both engines' null placement.
+    sql("q_stream_join_full",
+      """WITH c AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.p_user) AS user_id,
+        |       c.event_id AS click_id, p.p_id AS purchase_id,
+        |       epoch_us(p.p_ts) - epoch_us(c.ts) AS gap_us
+        |FROM c FULL JOIN p ON c.user_id = p.p_user
+        | AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, COALESCE(c.event_id, -1), COALESCE(p.p_id, -1)""".stripMargin) { (s, d) =>
+      EventsStreaming.clickPurchaseFullJoin(s, d, withinMinutes = 30)
+        .orderBy(col("user_id"), coalesce(col("click_id"), lit(-1L)),
+          coalesce(col("purchase_id"), lit(-1L)))
     },
 
     // ── custom streaming state: mapGroupsWithState sessionization (30-min

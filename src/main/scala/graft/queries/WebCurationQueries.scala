@@ -28,6 +28,16 @@ object WebCurationQueries {
     |         + (85 * (COALESCE(c$i.insum, 0) + (SELECT ds FROM d$i))) // 100 AS rank_q
     |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
 
+  /** One unrolled Bellman-Ford wave — mirrors Graph.shortestPaths's
+    * relax-and-min-merge step for step (the frontier optimization changes
+    * work, not results, so the full relaxation replays it exactly). */
+  private def bfIter(i: Int): String = s"""
+    |s$i AS (SELECT node, MIN(dist) AS dist FROM (
+    |         SELECT node, dist FROM s${i - 1}
+    |         UNION ALL
+    |         SELECT e.dst AS node, d.dist + e.w AS dist
+    |         FROM s${i - 1} d JOIN e ON d.node = e.src) GROUP BY node)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── integer-quantized PageRank, 3 iterations over a planted link graph
@@ -86,6 +96,35 @@ object WebCurationQueries {
           col("doc_id"))
         .select(col("src"), ((col("doc_id") * 7 + col("j") * 101) % 200).as("dst"))
       Graph.triangleCount(edges, "src", "dst").orderBy("node")
+    },
+
+    // ── single-source shortest paths (Graph.shortestPaths): weighted
+    //    link distances from host 0 over the 200-host collapsed graph —
+    //    frontier-optimized Bellman-Ford, 12 waves, every distance a
+    //    BIGINT. The oracle unrolls the identical relax-and-min-merge
+    //    wave 12 times, so the comparison holds converged or not.
+    sql("q_graph_sssp",
+      s"""WITH e AS (
+         |  SELECT u AS src, v AS dst, MIN(w) AS w FROM (
+         |    SELECT doc_id % 200 AS u, (doc_id * 7 + j * 101) % 200 AS v,
+         |           1 + doc_id % 7 AS w
+         |    FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+         |    WHERE (doc_id % 200) <> ((doc_id * 7 + j * 101) % 200))
+         |  GROUP BY 1, 2),
+         |s0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),${
+           (1 to 12).map(bfIter).mkString(",")}
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM s12
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.documents(s, d)
+        .select((col("doc_id") % 200).as("u"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"),
+          col("doc_id"))
+        .select(col("u"), ((col("doc_id") * 7 + col("j") * 101) % 200).as("v"),
+          (lit(1) + col("doc_id") % 7).as("w"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(min("w").as("w"))
+      Graph.shortestPaths(edges, "u", "v", "w", sourceNode = 0L, iters = 12)
+        .orderBy("node")
     },
 
     // ── Unicode NFC normalization (native normalize_unicode expression):

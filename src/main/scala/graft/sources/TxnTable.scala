@@ -354,6 +354,37 @@ object TxnTable {
     logFiles(table).filter(_.lastModified() <= ts)
       .lastOption.map(versionOf)
 
+  /** SHALLOW CLONE — materialize `src`'s snapshot (`asOf`, or the head)
+    * as a brand-new table at `dst` with ZERO data copied: every live
+    * file (deletion vectors included — their recorded row addresses are
+    * table-RELATIVE, so they keep resolving inside the clone) is
+    * hard-linked into the clone's identical relative layout and
+    * published as the clone's v1 in one metadata entry. Delta's
+    * SHALLOW CLONE semantics on a POSIX store: link(2) shares the
+    * immutable bytes the way an object-store clone shares absolute
+    * URIs, and O(cost) is |files| metadata operations, never data.
+    *
+    * Divergence is free by construction — both tables only ever ADD
+    * files in their own commit dirs and remove files LOGICALLY, and
+    * [[vacuum]] unlinks only its own table's directory entries, so the
+    * shared inodes live until BOTH sides drop them. The clone is a
+    * full first-class table: append, delete, optimize, restore and
+    * time travel all work, with v1 as its genesis snapshot. Returns
+    * the clone's version (always 1). */
+  def cloneShallow(src: String, dst: String, asOf: Option[Int] = None): Int = {
+    require(currentVersion(dst) == 0,
+      s"clone target $dst already exists (v${currentVersion(dst)})")
+    val files = liveFiles(src, asOf)
+    require(files.nonEmpty,
+      s"nothing to clone: $src${asOf.fold("")(v => s" as of v$v")} has no live files")
+    files.foreach { p =>
+      val to = new File(dst, p)
+      to.getParentFile.mkdirs()
+      Files.createLink(to.toPath, new File(src, p).toPath)
+    }
+    publishFileList(dst, files, tag = Some("clone"), expectedVersion = Some(1))
+  }
+
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort
     * by the Morton interleave of (`xCol`, `yCol`) and range-partition
     * into `numFiles`, so every output file owns a disjoint morton range

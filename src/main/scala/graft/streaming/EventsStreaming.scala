@@ -408,6 +408,64 @@ object EventsStreaming {
     out
   }
 
+  /** FULL OUTER stream-stream join — [[clickPurchaseLeftJoin]] completed
+    * to both sides: clicks with no purchase in the window AND purchases
+    * no click attributed emit with the other side null, each only once
+    * its side's watermark proves no match can still arrive. The sentinel
+    * discipline is unchanged (one far-future row per side pushes both
+    * watermarks past every real event; the sentinel filter applies at
+    * the SINK read — inside the plan Catalyst would push it below the
+    * watermark operator and kill the flush). The emitted user_id is
+    * COALESCEd across sides, so unmatched purchases keep their user. */
+  def clickPurchaseFullJoin(spark: SparkSession, sfDir: String,
+                            withinMinutes: Int = 30): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ss = streamSession(spark)
+    val name = s"stream_fjoin_${System.nanoTime()}"
+    val src0 = stageDir(sfDir)
+    val div = tsDivisor(ss, src0)
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/stream/fjoin_${System.nanoTime()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    Option(new java.io.File(src0).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .foreach(f => Files.copy(f.toPath, Paths.get(dir.getPath, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES))
+    val maxRaw = ss.read.schema(rawSchema).parquet(src0)
+      .agg(max("ts")).head().getLong(0)
+    locally {
+      import ss.implicits._
+      Seq((-1L, maxRaw * 2, -1L, "click", 0.0, "{}"),
+          (-2L, maxRaw * 2, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+    }
+    def src = ss.readStream.schema(rawSchema).parquet(dir.getPath)
+      .withColumn("ts", rawTs(div))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr(s"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval $withinMinutes minutes"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name).filter(col("user_id") >= 0L).cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    out
+  }
+
   def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val name = s"stream_dedup_${System.nanoTime()}"

@@ -89,4 +89,35 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) == 10L)
     assert((1L to 20L).forall(i => got(i) == 1L))
   }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], source: Long,
+                   iters: Int): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        source, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: hand graph with a tempting long shortcut") {
+    // 0→1→2 costs 2; direct 0→2 costs 10; 3 unreachable from 0
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 10L), (3L, 0L, 1L))
+    assert(sssp(edges, 0L, 8) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // from 3 everything is one hop further
+    assert(sssp(edges, 3L, 8) == Map(3L -> 0L, 0L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
+  test("shortestPaths: multi-edges min-merge; cycles terminate; zero weights ok") {
+    val edges = Seq((0L, 1L, 5L), (0L, 1L, 2L), (1L, 0L, 1L), (1L, 2L, 0L))
+    assert(sssp(edges, 0L, 8) == Map(0L -> 0L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("shortestPaths: converged early-exit equals the fixed-wave unrolling") {
+    // a 5-node path converges in 4 waves; 12 must give the same answer
+    val path = (0L to 4L).sliding(2).map(p => (p(0), p(1), p(1))).toSeq
+    assert(sssp(path, 0L, 4) == sssp(path, 0L, 12))
+  }
+
+  test("shortestPaths rejects negative weights") {
+    intercept[IllegalArgumentException] {
+      sssp(Seq((0L, 1L, -1L)), 0L, 4)
+    }
+  }
 }

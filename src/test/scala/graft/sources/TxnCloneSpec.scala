@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+
+/** Behavior specs for SHALLOW CLONE: zero-copy by inode identity,
+  * bidirectional divergence isolation, survival of the source's vacuum,
+  * and deletion vectors travelling with the snapshot.
+  */
+class TxnCloneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  private def rows(table: String, asOf: Option[Int] = None): Set[Long] =
+    TxnTable.read(spark, table, asOf).select("id").as[Long].collect().toSet
+
+  private def inode(f: File): Any =
+    Files.getAttribute(f.toPath, "unix:ino")
+
+  test("clone equals the source snapshot and shares every inode (zero bytes copied)") {
+    val src = freshTable("clone_src")
+    val dst = freshTable("clone_dst")
+    TxnTable.commit(spark, (1L to 10L).toDF("id"), src, overwrite = false)
+    TxnTable.commit(spark, (11L to 20L).toDF("id"), src, overwrite = false)
+
+    assert(TxnTable.cloneShallow(src, dst) == 1)
+    assert(rows(dst) == (1L to 20L).toSet)
+
+    // every cloned file is a hard link of the source file — same inode,
+    // so the clone wrote exactly zero data bytes
+    val files = TxnTable.liveFiles(src, None)
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      assert(inode(new File(dst, p)) == inode(new File(src, p)),
+        s"$p was copied, not linked")
+    }
+  }
+
+  test("clone and source diverge independently; clone v1 stays the genesis snapshot") {
+    val src = freshTable("clone_div_src")
+    val dst = freshTable("clone_div_dst")
+    TxnTable.commit(spark, (1L to 6L).toDF("id"), src, overwrite = false)
+    TxnTable.cloneShallow(src, dst)
+
+    // diverge the clone: append, then delete the odd rows (CoW rewrite)
+    TxnTable.commit(spark, Seq(100L).toDF("id"), dst, overwrite = false)
+    TxnTable.deleteWhere(spark, dst,
+      org.apache.spark.sql.functions.col("id") % 2 === 1)
+    // diverge the source: append
+    TxnTable.commit(spark, Seq(200L).toDF("id"), src, overwrite = false)
+
+    assert(rows(src) == Set(1L, 2L, 3L, 4L, 5L, 6L, 200L))
+    assert(rows(dst) == Set(2L, 4L, 6L, 100L))
+    // the clone's own history is intact: v1 is the cloned snapshot
+    assert(rows(dst, Some(1)) == (1L to 6L).toSet)
+  }
+
+  test("vacuuming the source after an overwrite leaves the clone readable") {
+    val src = freshTable("clone_vac_src")
+    val dst = freshTable("clone_vac_dst")
+    TxnTable.commit(spark, (1L to 5L).toDF("id"), src, overwrite = false)
+    TxnTable.cloneShallow(src, dst)
+    TxnTable.commit(spark, Seq(9L).toDF("id"), src, overwrite = true)
+
+    // the source drops its own directory entries for the overwritten files;
+    // the clone's hard links keep the inodes alive
+    val deleted = TxnTable.vacuum(src, retainFrom = 2)
+    assert(deleted >= 1)
+    assert(rows(src) == Set(9L))
+    assert(rows(dst) == (1L to 5L).toSet)
+  }
+
+  test("deletion vectors clone with the snapshot (table-relative addresses hold)") {
+    val src = freshTable("clone_dv_src")
+    val dst = freshTable("clone_dv_dst")
+    TxnTable.commit(spark, (1L to 8L).toDF("id"), src, overwrite = false)
+    TxnTable.deleteWhereMor(spark, src,
+      org.apache.spark.sql.functions.col("id") <= 3)
+    assert(rows(src) == (4L to 8L).toSet)
+
+    TxnTable.cloneShallow(src, dst)
+    assert(rows(dst) == (4L to 8L).toSet)
+    // and the clone can stack its own MOR delete on top
+    TxnTable.deleteWhereMor(spark, dst,
+      org.apache.spark.sql.functions.col("id") === 4)
+    assert(rows(dst) == (5L to 8L).toSet)
+    assert(rows(src) == (4L to 8L).toSet)
+  }
+
+  test("clone refuses a non-empty target and an empty source") {
+    val src = freshTable("clone_ref_src")
+    val dst = freshTable("clone_ref_dst")
+    intercept[IllegalArgumentException] { TxnTable.cloneShallow(src, dst) }
+    TxnTable.commit(spark, Seq(1L).toDF("id"), src, overwrite = false)
+    TxnTable.cloneShallow(src, dst)
+    intercept[IllegalArgumentException] { TxnTable.cloneShallow(src, dst) }
+  }
+}
