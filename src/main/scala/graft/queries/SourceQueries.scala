@@ -337,6 +337,47 @@ object SourceQueries {
         .orderBy("snap")
     },
 
+    // ── WRITE-AUDIT-PUBLISH (TxnTable.publishFrom): the monthly load
+    //    stages on an audit branch (clone), gets appended + CoW-deleted
+    //    + contract-validated there, and lands on main as ONE atomic
+    //    version. Main's pre-publish snapshot ('pre') must still read
+    //    the original rows — proof the multi-commit audit was invisible
+    //    until the single publish.
+    sql("q_src_wap",
+      """SELECT 'pre' AS snap, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'published', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 0
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      val main = tmp("txn_wap_main")
+      val audit = tmp("txn_wap_audit")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(main))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(audit))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 0),
+        main, overwrite = false)                              // main v1
+      TxnTable.cloneShallow(main, audit)                      // fork
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 1),
+        audit, overwrite = false)                             // audit load
+      TxnTable.deleteWhere(s, audit, col("o_orderkey") % 2 === 1) // audit fix
+      // the audit gate: a violated contract would abort before publish
+      val report = graft.operators.Contracts.validate(
+        TxnTable.read(s, audit),
+        Seq(graft.operators.Contracts.NotNull("o_orderkey")))
+      require(report.filter(col("n_violations") > 0).isEmpty,
+        "audit contract violated — branch must not publish")
+      TxnTable.publishFrom(audit, main, tag = Some("wap"))    // main v2
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+          .select(lit(snap).as("snap"), col("cnt"),
+            col("key_sum").cast("long").as("key_sum"))
+      agg(TxnTable.read(s, main, asOf = Some(1)), "pre")
+        .unionByName(agg(TxnTable.read(s, main), "published"))
+        .orderBy("snap")
+    },
+
     // ── copy-on-write DELETE (TxnTable.deleteWhere): a range predicate
     //    that lives entirely in the first of three range-clustered files
     //    deletes by rewriting exactly that one file (files_rewritten=1

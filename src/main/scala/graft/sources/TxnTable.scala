@@ -385,6 +385,45 @@ object TxnTable {
     publishFileList(dst, files, tag = Some("clone"), expectedVersion = Some(1))
   }
 
+  /** WRITE-AUDIT-PUBLISH — atomically fast-forward `main` to a `branch`'s
+    * head, where `branch` was [[cloneShallow]]d from `main` (the WAP
+    * pattern: stage a load on an audit branch, run the quality gates
+    * there, and only a validated branch ever becomes visible to `main`'s
+    * readers; an abandoned or crashed audit is invisible forever).
+    *
+    * The branch's genesis (v1, the clone entry) IS the fork snapshot, so
+    * the net change is pure set arithmetic on file lists: added =
+    * head − fork, removed = fork − head (relative paths are shared by
+    * clone construction). New files hard-link into `main` first (crash
+    * here = vacuum orphans), then ONE log entry publishes the whole
+    * branch delta — appends, deletes, compactions, deletion vectors,
+    * however many audit commits produced it. Concurrency is the commit
+    * protocol's: the fork-set equality check pins the expected head, and
+    * the put-if-absent publish refuses if any writer advanced `main`
+    * meanwhile (re-clone and retry — a publish must never clobber rows
+    * the audit never saw). Returns `main`'s new version (current one if
+    * the branch never diverged). */
+  def publishFrom(branch: String, main: String,
+                  tag: Option[String] = None): Int = {
+    require(commitTag(branch, 1).contains("clone"),
+      s"$branch is not an audit branch (v1 is not a clone entry)")
+    val fork = liveFiles(branch, Some(1)).toSet
+    val head = liveFiles(branch, None)
+    val mainV = currentVersion(main)
+    require(liveFiles(main, Some(mainV)).toSet == fork,
+      s"$main advanced since $branch forked — re-clone and replay the audit")
+    val added = head.filterNot(fork.contains)
+    val removed = fork.diff(head.toSet).toSeq.sorted
+    if (added.isEmpty && removed.isEmpty) return mainV
+    added.foreach { p =>
+      val to = new File(main, p)
+      to.getParentFile.mkdirs()
+      try Files.createLink(to.toPath, new File(branch, p).toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    publish(main, mainV + 1, added, removed, tag)
+  }
+
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort
     * by the Morton interleave of (`xCol`, `yCol`) and range-partition
     * into `numFiles`, so every output file owns a disjoint morton range

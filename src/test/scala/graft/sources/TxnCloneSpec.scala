@@ -104,4 +104,42 @@ class TxnCloneSpec extends SparkSpec {
     TxnTable.cloneShallow(src, dst)
     intercept[IllegalArgumentException] { TxnTable.cloneShallow(src, dst) }
   }
+
+  test("write-audit-publish: the whole audit lands as ONE main version") {
+    val main = freshTable("wap_main")
+    val audit = freshTable("wap_audit")
+    TxnTable.commit(spark, (1L to 8L).toDF("id"), main, overwrite = false)
+    TxnTable.cloneShallow(main, audit)
+    // three audit commits: append, append, CoW delete
+    TxnTable.commit(spark, Seq(100L).toDF("id"), audit, overwrite = false)
+    TxnTable.commit(spark, Seq(101L).toDF("id"), audit, overwrite = false)
+    TxnTable.deleteWhere(spark, audit,
+      org.apache.spark.sql.functions.col("id") % 2 === 1)
+
+    val v = TxnTable.publishFrom(audit, main, tag = Some("wap"))
+    assert(v == 2) // appends + delete collapse into one published version
+    assert(rows(main) == Set(2L, 4L, 6L, 8L, 100L))
+    // pre-publish snapshot still travelable; publish is tagged
+    assert(rows(main, Some(1)) == (1L to 8L).toSet)
+    assert(TxnTable.commitTag(main, 2).contains("wap"))
+  }
+
+  test("publish refuses when main advanced since the fork; no-op branch is a no-op") {
+    val main = freshTable("wap_conflict")
+    val audit = freshTable("wap_conflict_audit")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), main, overwrite = false)
+    TxnTable.cloneShallow(main, audit)
+    // un-diverged branch: nothing to publish, version unchanged
+    assert(TxnTable.publishFrom(audit, main) == 1)
+    assert(TxnTable.currentVersion(main) == 1)
+    // a foreign writer advances main → the audit must re-fork
+    TxnTable.commit(spark, Seq(2L).toDF("id"), audit, overwrite = false)
+    TxnTable.commit(spark, Seq(9L).toDF("id"), main, overwrite = false)
+    intercept[IllegalArgumentException] { TxnTable.publishFrom(audit, main) }
+    assert(rows(main) == Set(1L, 9L))
+    // and a table that was never cloned cannot masquerade as a branch
+    val loose = freshTable("wap_loose")
+    TxnTable.commit(spark, Seq(7L).toDF("id"), loose, overwrite = false)
+    intercept[IllegalArgumentException] { TxnTable.publishFrom(loose, main) }
+  }
 }
