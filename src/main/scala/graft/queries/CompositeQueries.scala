@@ -628,6 +628,39 @@ object CompositeQueries {
       s.sql(Q15_SQL)
     },
 
+    // ── correlated-MIN flagship (the TPC-H Q2 shape): per part, the
+    //    European shipper(s) at the minimum shipped price — a correlated
+    //    scalar MIN whose subquery is itself a 4-table join. Catalyst
+    //    decorrelates it into a grouped-min aggregate joined back on the
+    //    part key (no per-row re-execution); prices compare in integer
+    //    cents so the equality is engine-exact. DISTINCT because the same
+    //    supplier can hit the minimum on several lineitems.
+    sql("q18_min_cost_shipper", Q18_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q18_SQL)
+    },
+
+    // ── nested-IN flagship (the TPC-H Q20 shape): suppliers who shipped
+    //    more than an eighth of some red part's total volume — an IN
+    //    whose subquery contains another IN plus a HAVING over a
+    //    CORRELATED scalar aggregate (correlated on the group key).
+    //    Planned as semi-joins over a grouped aggregate joined to the
+    //    per-part totals; quantities cross-multiplied to integers.
+    sql("q19_excess_shippers", Q19_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q19_SQL)
+    },
+
+    // ── anti-join + global-average flagship (the TPC-H Q22 shape):
+    //    market segments of above-average-balance customers who never
+    //    placed an urgent order. The average threshold cross-multiplies
+    //    to integer cents (balance·count > sum — no division), and the
+    //    NOT EXISTS plans as a left-anti join against orders.
+    sql("q20_quiet_customers", Q20_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q20_SQL)
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete
@@ -845,4 +878,50 @@ object CompositeQueries {
       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
       |WHERE total_c = (SELECT MAX(total_c) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
+
+  private lazy val Q18_SQL: String =
+    """SELECT DISTINCT p.p_partkey, s.s_name, n.n_name,
+      |       CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS price_c
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size <= 15
+      |  AND CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) = (
+      |    SELECT MIN(CAST(FLOOR(l2.l_extendedprice * 100) AS BIGINT))
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  private lazy val Q19_SQL: String =
+    """SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (
+      |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) * 8 > (
+      |    SELECT CAST(SUM(CAST(l3.l_quantity AS BIGINT)) AS BIGINT)
+      |    FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey))
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  private lazy val Q20_SQL: String =
+    """SELECT c.c_mktsegment AS segment, COUNT(*) AS numcust,
+      |       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         AS totacctbal_c
+      |FROM customer c
+      |WHERE CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) *
+      |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |    > (SELECT CAST(SUM(CAST(FLOOR(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |       FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_mktsegment
+      |ORDER BY segment""".stripMargin
 }

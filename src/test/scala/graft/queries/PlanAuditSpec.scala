@@ -114,6 +114,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q18/q19/q20: the new subquery flagships all decorrelate — no nested loops") {
+    // q18's correlated MIN over a 4-table join, q19's correlated HAVING
+    // aggregate, q20's scalar-average + NOT EXISTS: each must plan as
+    // grouped aggregates / semi/anti joins joined back on the key — a
+    // BroadcastNestedLoopJoin here is a per-outer-row re-execution that
+    // dies at scale
+    for (q <- Seq("q18_min_cost_shipper", "q19_excess_shippers",
+                  "q20_quiet_customers")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n" + plan.take(3000))
+    }
+    assert(planOf("q20_quiet_customers").contains("LeftAnti"),
+      planOf("q20_quiet_customers").take(3000))
+  }
+
   test("q_sql_recursive_cte plans as UnionLoop; lateral top-2 decorrelates") {
     val rec = planOf("q_sql_recursive_cte")
     assert(rec.contains("UnionLoop"), rec.take(2000))
