@@ -125,4 +125,39 @@ object TimeSeries {
           .as("val"),
         col("__v").isNull.as("is_filled"))
   }
+
+  /** Lagged cross-correlation of two event streams on an hourly grid —
+    * "does series B follow series A, and by how many hours?" (lead-lag
+    * analysis: clicks→purchases, deploys→errors). For each lag
+    * k ∈ [0, maxLag], `score(k) = Σ_h a(h) · b(h+k)` over hourly COUNTS,
+    * so every score is an exact BIGINT and the whole correlogram
+    * replays on any engine; the caller reads the argmax off the top.
+    *
+    * Scale shape: the raw streams collapse to hourly counts FIRST (one
+    * map-side-combined aggregate each — the only pass over the data);
+    * the lag expansion multiplies the ROLLED-UP series (O(hours·lags)
+    * rows, independent of event count) and aligns with one hash
+    * equi-join on the shifted hour. Lags with no overlap emit score 0
+    * rather than vanishing — the spine left-join keeps the correlogram
+    * rectangular. */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       typeA: String, typeB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def hourly(t: String, cnt: String) = events
+      .filter(col(typeCol) === t)
+      .select(expr(s"unix_micros($tsCol) div 1000000 div 3600").as("h"))
+      .groupBy("h").agg(count(lit(1)).as(cnt))
+    val ca = hourly(typeA, "ca")
+    val cb = hourly(typeB, "cb")
+    val lagged = ca
+      .select(col("h"), col("ca"),
+        explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+      .select((col("h") + col("lag")).as("hb"), col("lag"), col("ca"))
+    val scores = lagged.join(cb.withColumnRenamed("h", "hb"), "hb")
+      .groupBy("lag").agg(sum(col("ca") * col("cb")).as("score"))
+    val spine = events.sparkSession.range(1)
+      .select(explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+    spine.join(scores, Seq("lag"), "left")
+      .select(col("lag"), coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

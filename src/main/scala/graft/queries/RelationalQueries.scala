@@ -1017,6 +1017,32 @@ object RelationalQueries {
         .orderBy("series", "hour_ts")
     },
 
+    // ── lagged cross-correlation (TimeSeries.crossCorrelation): the full
+    //    0..24 h click→purchase correlogram as exact BIGINT products of
+    //    hourly counts — lead-lag analysis whose one data pass is the
+    //    hourly rollup; the lag expansion touches only the rolled-up
+    //    series. Zero-overlap lags emit score 0, keeping 25 rows always.
+    sql("q_time_xcorr",
+      """WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |                  event_type
+        |           FROM events),
+        |a AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ca FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cb FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT unnest(range(0, 25)) AS lag),
+        |x AS (SELECT a.h + l.lag AS hb, l.lag, a.ca FROM a CROSS JOIN l),
+        |s AS (SELECT x.lag, CAST(SUM(x.ca * b.cb) AS BIGINT) AS score
+        |      FROM x JOIN b ON b.h = x.hb GROUP BY 1)
+        |SELECT l.lag AS lag, CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+        |FROM l LEFT JOIN s USING (lag)
+        |ORDER BY lag""".stripMargin) { (s, d) =>
+      graft.operators.TimeSeries.crossCorrelation(
+          Tables.events(s, d), "ts", "event_type",
+          typeA = "click", typeB = "purchase", maxLag = 24)
+        .orderBy("lag")
+    },
+
     // ── event-sequence transition counts: per-user lag over event time
     //    (the Markov/behavioral-analysis primitive); the window partitions
     //    by user so no global-order funnel, ties broken by event_id

@@ -58,4 +58,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, false), (200L, true), (300L, true),
       (400L, false), (200L, true), (0L, false)))
   }
+
+  test("crossCorrelation: hand correlogram, including zero-overlap lags") {
+    // clicks in hours 1 and 2 (counts 2, 1); purchases in hours 2 and 3
+    // (counts 1, 3). score(0)=a(2)·b(2)=1; score(1)=a(1)·b(2)+a(2)·b(3)=5;
+    // score(2)=a(1)·b(3)=6; score(3)=0 (no overlap)
+    val df = Seq(
+      ("click", ts(1)), ("click", ts(1)), ("click", ts(2)),
+      ("purchase", ts(2)), ("purchase", ts(3)), ("purchase", ts(3)),
+      ("purchase", ts(3)), ("view", ts(1))
+    ).toDF("event_type", "t")
+    val got = TimeSeries.crossCorrelation(df, "t", "event_type",
+        "click", "purchase", maxLag = 3)
+      .orderBy("lag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 5L), (2L, 6L), (3L, 0L)))
+  }
 }
