@@ -400,6 +400,70 @@ object Curation {
     }
   }
 
+  /** 60-bit domain and round keys of the [[fpeEncrypt]] Feistel network.
+    * Keys are schedule constants (base key + i·2654435761, masked to 30
+    * bits) inlined as literals so the SQL replay is textual. */
+  private[operators] val FpeMask = (1L << 30) - 1
+  private[operators] val FpeKeys =
+    Seq(630408902L, 63619191L, 570571304L, 3781593L)
+
+  private def fpeRoundF(r: Column, k: Long): Column =
+    ((r * lit(40503L) + lit(k)).bitwiseAND(lit(FpeMask)))
+      .bitwiseXOR(shiftright(r, 15))
+
+  /** Format-preserving pseudonymization — a 4-round Feistel permutation
+    * of the 60-bit integer domain: every id maps to a unique pseudonym
+    * THAT IS STILL AN ID of the same shape, and [[fpeDecrypt]] inverts
+    * it exactly (Feistel networks are bijections for ANY round function
+    * — decryption replays the rounds backwards). The treatment between
+    * [[tokenizeColumns]] (one-way, string-typed) and raw: re-keyable,
+    * reversible by the key holder, joinable across tables, and
+    * numeric-typed so downstream schemas never change.
+    *
+    * Every operation is 30-bit multiply/add/mask/xor/shift on BIGINTs —
+    * no overflow on any engine (products stay under 2^47), so an SQL
+    * replay is bit-exact. Pure scan-side projection; whole-stage
+    * codegen keeps it free at 100 TB. NOT cryptographically hardened
+    * (4 rounds, public mixing) — the threat model is accidental
+    * re-identification in analytics surfaces, not an adversary with
+    * the key schedule; swap the round keys to rotate the mapping. */
+  def fpeEncrypt(c: Column): Column = {
+    var l = shiftright(c, 30).bitwiseAND(lit(FpeMask))
+    var r = c.bitwiseAND(lit(FpeMask))
+    for (k <- FpeKeys) {
+      val nl = r
+      val nr = l.bitwiseXOR(fpeRoundF(r, k))
+      l = nl; r = nr
+    }
+    shiftleft(l, 30) + r
+  }
+
+  /** Inverse of [[fpeEncrypt]]: the same rounds, backwards. */
+  def fpeDecrypt(c: Column): Column = {
+    var l = shiftright(c, 30).bitwiseAND(lit(FpeMask))
+    var r = c.bitwiseAND(lit(FpeMask))
+    for (k <- FpeKeys.reverse) {
+      val nr = l
+      val nl = r.bitwiseXOR(fpeRoundF(l, k))
+      l = nl; r = nr
+    }
+    shiftleft(l, 30) + r
+  }
+
+  /** Replace `idCols` with their Feistel pseudonyms, failing loudly on
+    * a value outside [0, 2^60) — out-of-domain bits would silently
+    * collide instead of permuting. */
+  def pseudonymizeIds(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
+    idCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast("long"))
+          .when(col(c) < 0 || col(c) >= lit(1L << 60),
+            expr(s"raise_error(concat('fpe domain is [0, 2^60): ', $c))").cast("long"))
+          .otherwise(fpeEncrypt(col(c).cast("long"))))
+    }
+  }
+
   /** l-diversity screen — [[kAnonymity]]'s stronger sibling: a
     * quasi-identifier group can satisfy k-anonymity yet still leak the
     * SENSITIVE attribute if everyone in the group shares one value

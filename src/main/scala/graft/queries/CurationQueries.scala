@@ -136,6 +136,40 @@ object CurationQueries {
         .orderBy("c_custkey")
     },
 
+    // ── format-preserving pseudonymization (Curation.pseudonymizeIds):
+    //    user ids permute through a 4-round Feistel network — still
+    //    numeric, still joinable, reversible with the key, rotated by
+    //    re-keying. All 30-bit mask/xor/shift/multiply arithmetic, so
+    //    the oracle unrolls the identical rounds in SQL; per-user event
+    //    counts prove the mapping is applied consistently (same pseudo
+    //    id aggregates the same user).
+    sql("q_privacy_fpe",
+      """WITH u AS (SELECT user_id AS x, CAST(COUNT(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1),
+        |f0 AS (SELECT n_events, (x >> 30) & 1073741823 AS l,
+        |              x & 1073741823 AS r FROM u),
+        |f1 AS (SELECT n_events, r AS l,
+        |              xor(l, xor((r * 40503 + 630408902) & 1073741823, r >> 15)) AS r
+        |       FROM f0),
+        |f2 AS (SELECT n_events, r AS l,
+        |              xor(l, xor((r * 40503 + 63619191) & 1073741823, r >> 15)) AS r
+        |       FROM f1),
+        |f3 AS (SELECT n_events, r AS l,
+        |              xor(l, xor((r * 40503 + 570571304) & 1073741823, r >> 15)) AS r
+        |       FROM f2),
+        |f4 AS (SELECT n_events, r AS l,
+        |              xor(l, xor((r * 40503 + 3781593) & 1073741823, r >> 15)) AS r
+        |       FROM f3)
+        |SELECT (l << 30) + r AS pseudo_id, n_events
+        |FROM f4 ORDER BY n_events DESC, pseudo_id LIMIT 32""".stripMargin) { (s, d) =>
+      graft.operators.Curation.pseudonymizeIds(
+          Tables.events(s, d).select("user_id", "event_id"), Seq("user_id"))
+        .groupBy(col("user_id").as("pseudo_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), col("pseudo_id"))
+        .limit(32)
+    },
+
     // ── referential-integrity contract (Contracts.foreignKey): orphan
     //    fact rows counted by one broadcast left-anti join — the
     //    two-table expectation the single-frame contract rules can't

@@ -406,4 +406,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out == Map(1L -> "block", 2L -> "keep"))
   }
+
+  test("fpe: decrypt inverts encrypt across the domain, including edges") {
+    import org.apache.spark.sql.functions.col
+    val edge = Seq(0L, 1L, (1L << 30) - 1, 1L << 30, (1L << 60) - 1)
+    val vals = (edge ++ (0 until 200).map(i => i * 2654435761L % (1L << 60))).distinct
+    val got = vals.toDF("x")
+      .select(col("x"), Curation.fpeDecrypt(Curation.fpeEncrypt(col("x"))).as("rt"),
+        Curation.fpeEncrypt(col("x")).as("enc"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), s"roundtrip broke at ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 60), "left the domain")
+    }
+    // a permutation never collides
+    assert(got.map(_.getLong(2)).distinct.length == vals.length)
+    // and it actually moves values (diffusion sanity, not identity)
+    assert(got.count(r => r.getLong(2) != r.getLong(0)) > vals.length - 3)
+  }
+
+  test("pseudonymizeIds keeps nulls and rejects out-of-domain ids") {
+    import org.apache.spark.sql.functions.col
+    val ok = Curation.pseudonymizeIds(
+        Seq(Some(5L), None).toDF("user_id"), Seq("user_id"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(ok.contains(None) && ok.flatten.forall(_ != 5L))
+    intercept[Exception] {
+      Curation.pseudonymizeIds(Seq(-1L).toDF("user_id"), Seq("user_id"))
+        .collect()
+    }
+  }
 }
