@@ -89,6 +89,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(GlobalWindowGuard))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GlobalWindowGuard
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

@@ -296,6 +296,50 @@ object ScaleQueries {
       Tables.orders(ss, d)
         .agg(count(lit(1)).as("cnt"),
           min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+    },
+
+    // ── materialized-view auto-rewrite (plans.MvRewrite): the untouched
+    //    user query — filter + group-by + sum/count over raw lineitem —
+    //    is answered from the registered (returnflag, linestatus)
+    //    summary by a Catalyst rule. `from_mv` hashes the PLAN fact that
+    //    the scan switched to the view and never read the fact table;
+    //    the oracle recomputes from base, so the summary must also be
+    //    numerically exact. Registration is scoped to this query (built
+    //    result is cached before deregistering).
+    sql("q_scan_mv_rewrite",
+      """SELECT l_returnflag,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem WHERE l_linestatus <> 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/lineitem_rf_ls_$sfKey")
+      graft.DerivedCache.ensure(mvDir,
+          Seq(new java.io.File(s"$d/lineitem.parquet")), "_SUCCESS") {
+        Mv.build(s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"),
+          mvDir.getAbsolutePath)
+      }
+      Mv.register(s, "lineitem_rf_ls", "lineitem.parquet",
+        mvDir.getAbsolutePath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_partkey"))
+      try {
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linestatus") =!= "O")
+          .groupBy("l_returnflag")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("lineitem_rf_ls") &&
+          !plan.contains("lineitem.parquet")
+        val out = q.withColumn("from_mv",
+            lit(if (fromMv) 1L else 0L))
+          .orderBy("l_returnflag")
+          .cache()
+        out.count() // materialize before the view deregisters
+        out
+      } finally MvRewrite.deregister("lineitem_rf_ls")
     }
   )
 
