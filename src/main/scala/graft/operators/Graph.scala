@@ -218,4 +218,52 @@ object Graph {
     e.unpersist()
     dist // backed by the last wave's checkpoint blocks
   }
+
+  /** Weakly connected components by iterative min-label propagation —
+    * the GraphX `connectedComponents` semantics without GraphX: every
+    * node starts labelled with its own id; each wave every node takes
+    * the minimum of its own label and its neighbours' labels; at
+    * fixpoint a component's every node carries the component's smallest
+    * node id. Converges in O(diameter) waves.
+    *
+    * Same execution skeleton as [[shortestPaths]]: symmetrized edges
+    * persist once; each wave is one equi-join (labels ⋈ edges on the
+    * node) + a map-side-combined min per neighbour + a merge, with an
+    * eager localCheckpoint cutting the doubling lineage and a bounded
+    * driver scalar detecting convergence (after which further waves
+    * no-op, so a fixed-wave oracle unrolling replays it exactly).
+    * Min-label is idempotent/commutative, so multi-edges, self-loops
+    * and both edge directions are all harmless.
+    *
+    * Output: (node: long, component: long) — one row per node appearing
+    * in any edge; `component` = the smallest node id reached within
+    * `iters` waves. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val nbrMin = labels.join(sym, labels("node") === sym("src"))
+        .select(col("dst").as("node"), col("label").as("nl"))
+        .groupBy("node").agg(min("nl").as("nl"))
+      val merged = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl").isNotNull && col("nl") < col("label")).as("__imp"))
+        .localCheckpoint(true)
+      val improved = merged.filter(col("__imp")).count()
+      labels = merged.select("node", "label")
+      converged = improved == 0
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
 }

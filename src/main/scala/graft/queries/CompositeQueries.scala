@@ -742,6 +742,31 @@ object CompositeQueries {
       s.sql(SETOPS_SQL)
     },
 
+    // ── SQL UNPIVOT clause (Spark 3.4+ surface): two measure columns
+    //    melt into (metric, value) rows inside pure SQL — the relational
+    //    complement of q_melt's DataFrame unpivot. The oracle is the
+    //    dialect-free UNION ALL expansion (DuckDB's UNPIVOT spelling
+    //    differs, the semantics don't); values quantize to integers.
+    sql("q_sql_unpivot",
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |       'l_quantity' AS metric,
+        |       CAST(FLOOR(l_quantity * 1000) AS BIGINT) AS val_q
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS INT), 'l_tax',
+        |       CAST(FLOOR(l_tax * 1000) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+          |       metric, CAST(FLOOR(val * 1000) AS BIGINT) AS val_q
+          |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+          |      FROM lineitem WHERE l_orderkey % 50 = 0)
+          |UNPIVOT (val FOR metric IN (l_quantity, l_tax))
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+    },
+
     // ── HAVING over a scalar subquery + aggregate FILTER clause (the
     //    TPC-H Q11 shape): suppliers with ABOVE-AVERAGE revenue share,
     //    the test cross-multiplied to integers (sum × n_suppliers beats

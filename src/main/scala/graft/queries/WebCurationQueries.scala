@@ -38,6 +38,14 @@ object WebCurationQueries {
     |         SELECT e.dst AS node, d.dist + e.w AS dist
     |         FROM s${i - 1} d JOIN e ON d.node = e.src) GROUP BY node)""".stripMargin
 
+  /** One unrolled min-label wave — mirrors Graph.connectedComponents. */
+  private def ccIter(i: Int): String = s"""
+    |c$i AS (SELECT node, MIN(lbl) AS lbl FROM (
+    |         SELECT node, lbl FROM c${i - 1}
+    |         UNION ALL
+    |         SELECT e.dst AS node, c.lbl FROM c${i - 1} c
+    |         JOIN e ON c.node = e.src) GROUP BY node)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── integer-quantized PageRank, 3 iterations over a planted link graph
@@ -125,6 +133,32 @@ object WebCurationQueries {
         .groupBy("u", "v").agg(min("w").as("w"))
       Graph.shortestPaths(edges, "u", "v", "w", sourceNode = 0L, iters = 12)
         .orderBy("node")
+    },
+
+    // ── weakly connected components (Graph.connectedComponents): the
+    //    host graph is planted with 8 residue-class components (every
+    //    edge stays within node % 8), so the labelling is non-trivial;
+    //    min-label propagation over symmetrized edges, 12 waves, and
+    //    the oracle unrolls the identical min-merge — converged or not.
+    sql("q_graph_wcc",
+      s"""WITH e0 AS (
+         |  SELECT doc_id % 200 AS u,
+         |         (doc_id % 200 + 8 * (1 + (doc_id * 7 + j * 101) % 24)) % 200 AS v
+         |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION SELECT v, u FROM e0),
+         |c0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),${
+           (1 to 12).map(ccIter).mkString(",")}
+         |SELECT node, CAST(lbl AS BIGINT) AS component FROM c12
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.documents(s, d)
+        .select((col("doc_id") % 200).as("u"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"),
+          col("doc_id"))
+        .select(col("u"),
+          ((col("u") + lit(8) * (lit(1) + (col("doc_id") * 7 + col("j") * 101) % 24)) % 200)
+            .as("v"))
+      Graph.connectedComponents(edges, "u", "v", iters = 12).orderBy("node")
     },
 
     // ── Unicode NFC normalization (native normalize_unicode expression):

@@ -120,4 +120,22 @@ class GraphSpec extends SparkSpec {
       sssp(Seq((0L, 1L, -1L)), 0L, 4)
     }
   }
+
+  private def wcc(edges: Seq[(Long, Long)], iters: Int = 12): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: two components, labels propagate against edge direction") {
+    // 5→4→3 chain (direction must not matter) and an isolated pair 10-11
+    val got = wcc(Seq((5L, 4L), (4L, 3L), (10L, 11L)))
+    assert(got == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: a long path needs diameter waves — and gets them") {
+    // path 0-1-2-...-9: label 0 must walk 9 hops
+    val path = (0L to 8L).map(i => (i + 1, i)) // deliberately high→low
+    assert(wcc(path, iters = 12).values.toSet == Set(0L))
+    // self-loops and duplicate edges are harmless
+    assert(wcc(Seq((1L, 1L), (1L, 2L), (2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+  }
 }
