@@ -1333,6 +1333,31 @@ object SourceQueries {
       TwsStreaming.userProfiles(s, d).orderBy("user_id")
     },
 
+    // ── streaming HLL distinct count (transformWithState ValueState of
+    //    sketch registers): per-type distinct users over an unbounded
+    //    stream in 2 KiB of state per key. Register-max merging makes
+    //    the streaming estimate BIT-EQUAL to the batch HllAggregator
+    //    (spec-pinned across batchings), so the oracle gates both the
+    //    accuracy bound AND stream==batch — the q_agg_hll hash-gated
+    //    contract, streamed.
+    sql("q_stream_hll",
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       TRUE AS within_bound, TRUE AS stream_eq_batch
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val streamEst = TwsStreaming.typeDistinctUsers(s, d)
+      val hll = udaf(new graft.functions.HllAggregator(11))
+      Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          hll(col("user_id")).as("batch_est"))
+        .join(streamEst, "event_type")
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) / col("exact_distinct") < 0.05)
+            .as("within_bound"),
+          (col("est") === col("batch_est")).as("stream_eq_batch"))
+        .orderBy("event_type")
+    },
+
     // ── streaming DEAD-LETTER ingest (contracts at the stream boundary):
     //    each micro-batch splits on the rule expressions and BOTH routes
     //    land through ONE atomic catalog transaction — clean table and

@@ -341,4 +341,67 @@ object TwsStreaming {
     out.count() // pin: the memory table is per-run, the result outlives it
     out
   }
+
+  case class TypeDistinct(event_type: String, est: Long)
+
+  /** Per-event-type streaming distinct-user count: HyperLogLog registers
+    * held in a ValueState, updated per row with the SAME reduce the
+    * batch [[graft.functions.HllAggregator]] uses. Register-max merging
+    * is order- and batching-INDEPENDENT, so after the last batch the
+    * streaming estimate is BIT-EQUAL to the batch aggregator's — a
+    * sketch whose streaming form is exactly-checkable, unlike any
+    * decayed or order-sensitive summary. State is m = 2^p bytes per key,
+    * bounded forever — the streaming-distinct shape that survives an
+    * unbounded stream where exact per-key sets cannot. */
+  private class HllDistinctProcessor(p: Int)
+      extends StatefulProcessor[String, (String, Long), TypeDistinct] {
+
+    @transient private var regs: ValueState[Array[Byte]] = _
+    private val hll = new graft.functions.HllAggregator(p)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Byte]](
+        "regs", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(t: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[TypeDistinct] = {
+      val buf = if (regs.exists()) regs.get() else hll.zero
+      rows.foreach { case (_, uid) => hll.reduce(buf, uid) }
+      regs.update(buf)
+      Iterator.single(TypeDistinct(t, hll.finish(buf)))
+    }
+  }
+
+  /** Run the streaming HLL over the staged events and return one row per
+    * event type with the FINAL estimate (registers only grow, so the
+    * estimate is monotone across update-mode emissions — max is the
+    * last). `maxFilesPerTrigger` splits batches to prove the cross-batch
+    * state path in specs. */
+  def typeDistinctUsers(spark: SparkSession, sfDir: String, p: Int = 11,
+                        inputDir: Option[String] = None,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val name = s"stream_hll_${System.nanoTime()}"
+    val dir = inputDir.getOrElse(EventsStreaming.stageDir(sfDir))
+    val reader = ss.readStream.schema(EventsStreaming.rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
+      .select($"event_type", $"user_id")
+      .as[(String, Long)]
+    val ests = stream
+      .groupByKey(_._1)
+      .transformWithState(new HllDistinctProcessor(p),
+        TimeMode.None(), OutputMode.Update())
+    val q = ests.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name)
+      .groupBy("event_type").agg(max("est").as("est"))
+      .cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    out
+  }
 }

@@ -123,4 +123,45 @@ class TwsStreamingSpec extends SparkSpec {
     assert(multiSess === singleSess,
       "timer sessions differ across batching")
   }
+
+  test("streaming HLL equals the batch sketch bit-for-bit, any batching") {
+    def ests(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = ests(TwsStreaming.typeDistinctUsers(spark, sfDir))
+    // two time-ordered chunks forced through as separate micro-batches:
+    // register state must carry across, and max-merge must make the
+    // result batching-invariant
+    val dir = new java.io.File("/root/repo/target/tmp/stream/hll_multibatch")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").collect()
+    val half = ev.length / 2
+    Seq(ev.take(half), ev.drop(half)).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.map(r => (0L, 1700000000000000000L + i, r.getLong(1),
+          r.getString(0), 0.0, "{}")).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet")
+        .setLastModified(1000000L * (i + 1))
+    }
+    val multi = ests(TwsStreaming.typeDistinctUsers(spark, sfDir,
+      inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1)))
+    assert(multi === single, "streaming HLL differs across batching")
+    // and both equal the batch aggregator exactly (register-max merging)
+    val hll = udaf(new graft.functions.HllAggregator(11))
+    val batch = ests(Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(hll(col("user_id")).as("est")))
+    assert(single === batch, "streaming HLL diverged from the batch sketch")
+    // accuracy contract on the fixture
+    val exact = ests(Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")))
+    exact.foreach { case (t, n) =>
+      assert(math.abs(single(t) - n).toDouble / n < 0.05, s"$t estimate off")
+    }
+  }
 }
