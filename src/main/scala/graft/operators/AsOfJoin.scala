@@ -54,4 +54,40 @@ object AsOfJoin {
         payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
     out
   }
+
+  /** FORWARD as-of — the mirror: for each left row, the right row with
+    * the SMALLEST timestamp ≥ the left timestamp within the key (the
+    * label-lookahead join: "next purchase after this click"). Same
+    * merge-scan shape with the window flipped to `first` over the
+    * FOLLOWING frame; at equal timestamps left rows sort before right
+    * rows, so a simultaneous right row matches (inclusive, like the
+    * backward form), and ties among right rows resolve to the smallest
+    * payload deterministically. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(payloadType))
+    val rTagged = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+      .withColumn("__side", lit(1))
+    val merged = lTagged.select(
+        (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__p")) ++
+          lCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = merged.withColumn("__match",
+      first(col("__p"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select(lCols.map(col) ++
+        payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
+  }
 }

@@ -35,6 +35,29 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    // ── FORWARD as-of join: each click matched to the user's NEXT
+    //    purchase at-or-after it — the label-lookahead the backward form
+    //    can't express; DuckDB's ASOF with the inequality flipped is the
+    //    native oracle.
+    sql("q_join_asof_fwd",
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id AS event_id, CAST(c.user_id AS BIGINT) AS user_id,
+        |       p.event_id AS next_purchase_id
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY 1""".stripMargin) { (sess, d) =>
+      val events = Tables.events(sess, d)
+      val clicks = events.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      AsOfJoin.asOfForward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          payload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("next_purchase_id"))
+        .orderBy("event_id")
+    },
+
     // ── range (point-in-interval) join: sampled shipments against
     //    order-activity windows (o_orderdate + orderkey%30+1 days),
     //    bucketized to 32-day cells — an equi-join plan, never a

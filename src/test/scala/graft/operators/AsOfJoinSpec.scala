@@ -36,4 +36,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === left.count())
     assert(out.columns.toSeq === Seq("k", "ts", "event_id", "asof_payload_id"))
   }
+
+  test("asOfForward picks the smallest right ts >= left ts, inclusive") {
+    val got = AsOfJoin.asOfForward(left, right, Seq("k"), "ts", "ts",
+        Seq("payload_id"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_payload_id"))) null
+         else r.getAs[Long]("asof_payload_id"))).toMap
+    assert(got === Map(
+      900L -> 100L,   // next right at ts 10
+      901L -> 100L,   // equal ts → inclusive
+      902L -> 102L,   // next after 25 is 30
+      903L -> null,   // nothing after 99
+      904L -> 200L,   // key 2's row at 15
+      905L -> null))  // key with no right rows
+    assert(AsOfJoin.asOfForward(left, right, Seq("k"), "ts", "ts",
+      Seq("payload_id")).count() === left.count())
+  }
 }
