@@ -63,7 +63,10 @@ object Scd {
 
     val oldAttrs = attrs.map(col)
     val newAttrs = attrs.map(a => col(s"__c_$a"))
-    val nullTs = lit(null).cast("timestamp")
+    // the open-row sentinel takes the DIMENSION's own valid_to type —
+    // effective "time" may be a timestamp or an integer version/epoch
+    // (the change-feed composition drives SCD2 by commit version)
+    val nullTs = lit(null).cast(dim.schema("valid_to").dataType)
     val versions = when(col("__ck").isNull, // no change for this key
         array(version(col(key), oldAttrs, col("valid_from"), col("valid_to"), col("is_current"))))
       .when(differs, // real change: close + open

@@ -745,6 +745,64 @@ object SourceQueries {
         .orderBy("stage", "nation")
     },
 
+    // ── CHANGE FEED × SCD2 composition: the warehouse's own row-level
+    //    diffs drive dimension-history maintenance — each version's feed
+    //    (survivor-suppressed, so ONLY real changes flow) folds through
+    //    scd2Apply with the version as the effective time. The oracle
+    //    derives the full version-history analytically from the planted
+    //    update predicates; matching it proves feed minimality AND the
+    //    SCD2 transition logic end to end.
+    sql("q_src_cdf_scd2",
+      """WITH st AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS s1,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'SEG_A'
+        |              ELSE c_mktsegment END AS s2
+        |  FROM customer),
+        |s3t AS (SELECT k, s1, s2,
+        |               CASE WHEN k % 7 = 0 THEN 'SEG_B' ELSE s2 END AS s3
+        |        FROM st),
+        |hist AS (
+        |  SELECT k, s1 AS seg, CAST(1 AS BIGINT) AS valid_from,
+        |         CAST(CASE WHEN s2 <> s1 THEN 2
+        |                   WHEN s3 <> s2 THEN 3 END AS BIGINT) AS valid_to,
+        |         s2 = s1 AND s3 = s2 AS is_current
+        |  FROM s3t
+        |  UNION ALL
+        |  SELECT k, s2, 2, CAST(CASE WHEN s3 <> s2 THEN 3 END AS BIGINT),
+        |         s3 = s2
+        |  FROM s3t WHERE s2 <> s1
+        |  UNION ALL
+        |  SELECT k, s3, 3, CAST(NULL AS BIGINT), TRUE
+        |  FROM s3t WHERE s3 <> s2)
+        |SELECT k, seg, valid_from, valid_to, is_current
+        |FROM hist ORDER BY k, valid_from""".stripMargin) { (s, d) =>
+      val table = tmp("txn_cdf_scd2")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      TxnTable.commit(s, base, table, overwrite = false)          // v1
+      graft.operators.Merge.upsert(s, table,
+        base.filter(col("k") % 5 === 0).withColumn("seg", lit("SEG_A")),
+        Seq("k"))                                                 // v2
+      graft.operators.Merge.upsert(s, table,
+        base.filter(col("k") % 7 === 0).withColumn("seg", lit("SEG_B")),
+        Seq("k"))                                                 // v3
+      var dim = TxnTable.read(s, table, asOf = Some(1))
+        .select(col("k"), col("seg"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      for (v <- 2 to 3) {
+        val changes = TxnTable
+          .changeFeed(s, table, fromExclusive = v - 1, toInclusive = v,
+            keys = Seq("k"))
+          .filter(col("change").isin("insert", "update"))
+          .select(col("k"), col("seg"))
+        dim = graft.operators.Scd.scd2Apply(dim, changes, "k", Seq("seg"),
+          effectiveTs = lit(v.toLong))
+      }
+      dim.select("k", "seg", "valid_from", "valid_to", "is_current")
+        .orderBy("k", "valid_from")
+    },
+
     // ── contract-gated commit (TxnTable.commitChecked × Contracts):
     //    CHECK constraints enforced at the write boundary in ONE pass
     //    (violation counters ride the write job as Observation metrics).
