@@ -382,4 +382,42 @@ object Profiling {
           .otherwise(expr(s"(100 * ($valCol - __mn)) div (__mx - __mn)")))
       .drop("__mn", "__mx")
   }
+
+  /** floor(1000 · log10(1 + 1/d)) for d = 1..9 — Benford's law in
+    * permille, precomputed so no engine evaluates a transcendental. */
+  val BenfordPermille: Seq[Long] =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford first-digit screen — the classic fabricated-numbers /
+    * broken-ETL tripwire: naturally-occurring multi-magnitude amounts
+    * follow log-uniform first digits, and a column that suddenly
+    * doesn't (constant defaults, truncated loads, synthetic padding)
+    * jumps out as per-digit deviation. One scan-side digit projection
+    * (first character of the floored value — no log, no division per
+    * row), one 9-bucket aggregate, observed frequencies in integer
+    * permille against the precomputed expectation. Non-positive values
+    * are out of Benford's domain and are excluded (reported share is
+    * the caller's concern). Output: (digit, cnt, obs_permille,
+    * exp_permille, dev_permille), one row per digit 1..9 always. */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(count(lit(1)).as("__n"))
+    val expected = BenfordPermille.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "exp_permille")
+    expected
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("(coalesce(cnt, 0L) * 1000) div __n").as("obs_permille"),
+        col("exp_permille"),
+        abs(expr("(coalesce(cnt, 0L) * 1000) div __n") - col("exp_permille"))
+          .as("dev_permille"))
+      .orderBy("digit")
+  }
 }

@@ -83,6 +83,31 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ── Benford first-digit screen (Profiling.benfordFirstDigit): the
+    //    fabricated-numbers / broken-ETL tripwire — observed first-digit
+    //    frequencies in integer permille against the precomputed
+    //    log-uniform expectation (no engine evaluates a log). One digit
+    //    projection + one 9-bucket aggregate; always 9 rows.
+    sql("q_profile_benford",
+      """WITH d AS (
+        |  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |v AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |      (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) t(digit, exp_permille))
+        |SELECT e.digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+        |       (COALESCE(c.cnt, 0) * 1000) // n AS obs_permille,
+        |       CAST(e.exp_permille AS BIGINT) AS exp_permille,
+        |       CAST(ABS((COALESCE(c.cnt, 0) * 1000) // n - e.exp_permille) AS BIGINT)
+        |         AS dev_permille
+        |FROM e LEFT JOIN c USING (digit) CROSS JOIN n
+        |ORDER BY digit""".stripMargin) { (s, d) =>
+      graft.operators.Profiling.benfordFirstDigit(
+        Tables.orders(s, d), "o_totalprice")
+    },
+
     // ── ANALYZE-style column profiling: one scan, all stats together —
     //    the statistics pass behind broadcast/skew/pruning decisions.
     //    Exact NDV here (oracle-checkable); the 100 TB form flips

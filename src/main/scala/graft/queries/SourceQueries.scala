@@ -337,6 +337,57 @@ object SourceQueries {
         .orderBy("snap")
     },
 
+    // ── zero-copy CATALOG CLONE (TxnCatalog.cloneCatalog): the whole
+    //    warehouse — tables, logs, txn entries — hard-links into a dev
+    //    sandbox with version numbers intact; the sandbox overwrites a
+    //    table, prod keeps loading, and neither sees the other. The
+    //    sandbox's PRE-CLONE time travel must still resolve (full
+    //    metadata fidelity, not a snapshot collapse).
+    sql("q_src_catalog_clone",
+      """SELECT 'a_t1' AS snap, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |UNION ALL
+        |SELECT 'b_t1', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'b_t2', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 'b_t2_preclone', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val srcCat = tmp("cat_clone_src")
+      val dstCat = tmp("cat_clone_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcCat))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstCat))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      val cust = Tables.customer(s, d).select("c_custkey")
+      TxnCatalog.commitAll(s, srcCat, Seq(
+        Write("t1", ord.filter(col("o_orderkey") % 3 === 0)),
+        Write("t2", cust)))                                       // txn 1
+      TxnCatalog.commitAll(s, srcCat, Seq(
+        Write("t1", ord.filter(col("o_orderkey") % 3 === 1))))    // txn 2
+      TxnCatalog.cloneCatalog(srcCat, dstCat)
+      TxnCatalog.commitAll(s, srcCat, Seq(
+        Write("t1", ord.filter(col("o_orderkey") % 3 === 2))))    // prod txn 3
+      TxnCatalog.commitAll(s, dstCat, Seq(
+        Write("t2", cust.filter(col("c_custkey") % 2 === 0),
+          overwrite = true)))                                     // sandbox txn 3
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String, k: String) =
+        df.agg(count(lit(1)).as("cnt"), sum(k).as("key_sum"))
+          .select(lit(snap).as("snap"), col("cnt"),
+            col("key_sum").cast("long").as("key_sum"))
+      agg(TxnCatalog.read(s, srcCat, "t1"), "a_t1", "o_orderkey")
+        .unionByName(agg(TxnCatalog.read(s, dstCat, "t1"), "b_t1", "o_orderkey"))
+        .unionByName(agg(TxnCatalog.read(s, dstCat, "t2"), "b_t2", "c_custkey"))
+        .unionByName(agg(TxnCatalog.read(s, dstCat, "t2", asOf = Some(2)),
+          "b_t2_preclone", "c_custkey"))
+        .orderBy("snap")
+    },
+
     // ── WRITE-AUDIT-PUBLISH (TxnTable.publishFrom): the monthly load
     //    stages on an audit branch (clone), gets appended + CoW-deleted
     //    + contract-validated there, and lands on main as ONE atomic

@@ -261,6 +261,40 @@ object TxnCatalog {
     publishEntry(catalog, txn, base ++ created, lists, tag, cmap, dmap)
   }
 
+  /** Zero-copy CATALOG CLONE — the dev-sandbox-from-prod move: every
+    * regular file under `src` (table data, deletion vectors, per-table
+    * logs and checkpoints, catalog entries — the FULL metadata tree)
+    * hard-links into the identical relative layout at `dst`. Unlike
+    * [[TxnTable.cloneShallow]] (which collapses a snapshot to a fresh
+    * v1), the clone keeps every version number and txn entry intact, so
+    * per-table lineages in catalog entries keep resolving and TIME
+    * TRAVEL works on the clone across the entire pre-clone history.
+    * O(|files|) metadata operations, zero data copied.
+    *
+    * Divergence is free for the same reason as cloneShallow: both sides
+    * only ever ADD files, and each side's vacuum unlinks only its own
+    * directory entries. Torn `.tmp` staging files are skipped — a clone
+    * taken mid-crash never resurrects a torn entry. Returns the cloned
+    * head txn. */
+  def cloneCatalog(src: String, dst: String): Int = {
+    require(currentTxn(src) >= 1, s"nothing to clone: $src has no txns")
+    require(currentTxn(dst) == 0 && !new File(dst).exists(),
+      s"clone target $dst already exists")
+    val srcPath = new File(src).toPath
+    val dstPath = new File(dst).toPath
+    val stream = Files.walk(srcPath)
+    try {
+      stream.filter(p => Files.isRegularFile(p)).forEach { p =>
+        if (!p.getFileName.toString.endsWith(".tmp")) {
+          val to = dstPath.resolve(srcPath.relativize(p))
+          Files.createDirectories(to.getParent)
+          Files.createLink(to, p)
+        }
+      }
+    } finally stream.close()
+    currentTxn(dst)
+  }
+
   /** The catalog's OCC RETRY loop — [[TxnTable.commitWithRetry]]'s
     * multi-table sibling: on a lost catalog-entry race, re-read the head
     * and re-stage the whole transaction. Each attempt writes fresh table

@@ -142,4 +142,41 @@ class TxnCloneSpec extends SparkSpec {
     TxnTable.commit(spark, Seq(7L).toDF("id"), loose, overwrite = false)
     intercept[IllegalArgumentException] { TxnTable.publishFrom(loose, main) }
   }
+
+  test("catalog clone: full history travels, sandbox diverges, zero bytes copied") {
+    import graft.sources.TxnCatalog.Write
+    val src = freshTable("ccat_src")
+    val dst = freshTable("ccat_dst")
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("t1", Seq(1L, 2L).toDF("id")),
+      Write("t2", Seq(10L).toDF("id"))))                      // txn 1
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("t1", Seq(3L).toDF("id"))))                       // txn 2
+
+    assert(TxnCatalog.cloneCatalog(src, dst) == 2)
+    def ids(cat: String, t: String, asOf: Option[Int] = None): Set[Long] =
+      TxnCatalog.read(spark, cat, t, asOf).select("id").as[Long].collect().toSet
+    assert(ids(dst, "t1") == Set(1L, 2L, 3L))
+    assert(ids(dst, "t2") == Set(10L))
+    // pre-clone history time-travels on the CLONE
+    assert(ids(dst, "t1", Some(1)) == Set(1L, 2L))
+    // every cloned file shares its inode with the source file
+    val linked = java.nio.file.Files.walk(new File(dst).toPath)
+    try linked.filter(p => java.nio.file.Files.isRegularFile(p)).forEach { p =>
+      val rel = new File(dst).toPath.relativize(p)
+      assert(java.nio.file.Files.getAttribute(p, "unix:ino") ==
+        java.nio.file.Files.getAttribute(new File(src).toPath.resolve(rel), "unix:ino"))
+    } finally linked.close()
+    // diverge both sides; neither sees the other
+    TxnCatalog.commitAll(spark, dst, Seq(
+      Write("t2", Seq(99L).toDF("id"), overwrite = true)))    // sandbox txn 3
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("t1", Seq(4L).toDF("id"))))                       // prod txn 3
+    assert(ids(src, "t1") == Set(1L, 2L, 3L, 4L))
+    assert(ids(src, "t2") == Set(10L))
+    assert(ids(dst, "t1") == Set(1L, 2L, 3L))
+    assert(ids(dst, "t2") == Set(99L))
+    // clone refuses an existing target
+    intercept[IllegalArgumentException] { TxnCatalog.cloneCatalog(src, dst) }
+  }
 }
