@@ -388,6 +388,54 @@ object SourceQueries {
         .orderBy("snap")
     },
 
+    // ── catalog-level WRITE-AUDIT-PUBLISH (TxnCatalog.publishFrom): a
+    //    cloned warehouse branch takes TWO audit transactions (a load
+    //    into an existing table and a brand-new table) and lands on main
+    //    as ONE squashed catalog entry — `txns` hashes the proof that
+    //    main gained exactly one txn, and main's pre-publish time travel
+    //    still shows the un-audited state.
+    sql("q_src_catalog_wap",
+      """SELECT 'main_t1' AS snap, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(2 AS BIGINT) AS txns
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 'main_t2', COUNT(*), CAST(SUM(c_custkey) AS BIGINT),
+        |       CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 'pre', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+        |       CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val mainCat = tmp("cat_wap_main")
+      val auditCat = tmp("cat_wap_audit")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mainCat))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(auditCat))
+      val ord = Tables.orders(s, d).select("o_orderkey")
+      val cust = Tables.customer(s, d).select("c_custkey")
+      TxnCatalog.commitAll(s, mainCat, Seq(
+        Write("t1", ord.filter(col("o_orderkey") % 3 === 0))))    // txn 1
+      TxnCatalog.cloneCatalog(mainCat, auditCat)
+      TxnCatalog.commitAll(s, auditCat, Seq(
+        Write("t1", ord.filter(col("o_orderkey") % 3 === 1))))    // audit txn 2
+      TxnCatalog.commitAll(s, auditCat, Seq(
+        Write("t2", cust.filter(col("c_custkey") % 2 === 0))))    // audit txn 3
+      TxnCatalog.publishFrom(auditCat, mainCat, Some("wap"))      // main txn 2
+      val txns = TxnCatalog.currentTxn(mainCat).toLong
+      def agg(df: org.apache.spark.sql.DataFrame, snap: String, k: String) =
+        df.agg(count(lit(1)).as("cnt"), sum(k).as("key_sum"))
+          .select(lit(snap).as("snap"), col("cnt"),
+            col("key_sum").cast("long").as("key_sum"), lit(txns).as("txns"))
+      agg(TxnCatalog.read(s, mainCat, "t1"), "main_t1", "o_orderkey")
+        .unionByName(agg(TxnCatalog.read(s, mainCat, "t2"), "main_t2", "c_custkey"))
+        .unionByName(agg(TxnCatalog.read(s, mainCat, "t1", asOf = Some(1)),
+          "pre", "o_orderkey"))
+        .orderBy("snap")
+    },
+
     // ── WRITE-AUDIT-PUBLISH (TxnTable.publishFrom): the monthly load
     //    stages on an audit branch (clone), gets appended + CoW-deleted
     //    + contract-validated there, and lands on main as ONE atomic

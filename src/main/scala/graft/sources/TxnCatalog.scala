@@ -295,6 +295,72 @@ object TxnCatalog {
     currentTxn(dst)
   }
 
+  /** Catalog WRITE-AUDIT-PUBLISH — [[TxnTable.publishFrom]] raised to
+    * the whole warehouse: `branch` is a [[cloneCatalog]] of `main`,
+    * audited with any number of [[commitAll]] transactions (loads,
+    * merges, deletes, schema changes — anything), and the entire audit
+    * becomes visible on `main` as ONE catalog entry: the branch head's
+    * self-contained snapshot (versions, lineages, column mappings)
+    * squashed to `main`'s next txn. New table files and per-table log
+    * entries hard-link over first (crash = invisible orphans); the
+    * put-if-absent entry publish is the single commit point, so readers
+    * see the audit entirely or not at all.
+    *
+    * Fork safety: every txn entry `main` currently has must be
+    * byte-identical to the branch's same-numbered entry — the clone
+    * guarantees that at fork time, and ANY commit on `main` since
+    * breaks it (refused: re-clone and replay the audit). A concurrent
+    * `main` writer racing the publish loses to the same link(2)
+    * adjudication every commit uses. Returns the published txn
+    * (`main`'s head when the branch never diverged). */
+  def publishFrom(branch: String, main: String,
+                  tag: Option[String] = None): Int = {
+    val mainTxn = currentTxn(main)
+    val branchTxn = currentTxn(branch)
+    require(mainTxn >= 1 && branchTxn >= mainTxn,
+      s"$branch (t$branchTxn) is not a clone-descendant of $main (t$mainTxn)")
+    val branchPath = new File(branch).toPath
+    val mainPath = new File(main).toPath
+    // fork safety by INODE IDENTITY: every file main has must be the
+    // very file the branch inherited at clone time. Anything main wrote
+    // since the fork — a data file, a table-log entry, a txn entry — is
+    // a new inode the branch lacks (txn/version NUMBERS can collide
+    // across a divergence and even serialize identically, so content
+    // or numbering comparisons are not sound; inodes are).
+    locally {
+      val walk = Files.walk(mainPath)
+      try walk.filter(p => Files.isRegularFile(p)).forEach { p =>
+        if (!p.getFileName.toString.endsWith(".tmp")) {
+          val b = branchPath.resolve(mainPath.relativize(p))
+          require(Files.isRegularFile(b) &&
+            Files.getAttribute(p, "unix:ino") == Files.getAttribute(b, "unix:ino"),
+            s"$main diverged from $branch since the fork " +
+              s"(${mainPath.relativize(p)}) — re-clone and replay the audit")
+        }
+      } finally walk.close()
+    }
+    if (branchTxn == mainTxn) return mainTxn
+    val txnRel = branchPath.relativize(txnDir(branch).toPath)
+    val stream = Files.walk(branchPath)
+    try {
+      stream.filter(p => Files.isRegularFile(p)).forEach { p =>
+        val rel = branchPath.relativize(p)
+        val torn = p.getFileName.toString.endsWith(".tmp")
+        if (!torn && !rel.startsWith(txnRel)) {
+          val to = mainPath.resolve(rel)
+          if (!Files.exists(to)) {
+            Files.createDirectories(to.getParent)
+            try Files.createLink(to, p)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          }
+        }
+      }
+    } finally stream.close()
+    publishEntry(main, mainTxn + 1, tableVersions(branch),
+      versionLists(branch, None), tag, colMap(branch, None),
+      colDrops(branch, None))
+  }
+
   /** The catalog's OCC RETRY loop — [[TxnTable.commitWithRetry]]'s
     * multi-table sibling: on a lost catalog-entry race, re-read the head
     * and re-stage the whole transaction. Each attempt writes fresh table

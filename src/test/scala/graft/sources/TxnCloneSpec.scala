@@ -179,4 +179,35 @@ class TxnCloneSpec extends SparkSpec {
     // clone refuses an existing target
     intercept[IllegalArgumentException] { TxnCatalog.cloneCatalog(src, dst) }
   }
+
+  test("catalog WAP: a multi-txn audit squashes into ONE main entry") {
+    import graft.sources.TxnCatalog.Write
+    val main = freshTable("cwap_main")
+    val audit = freshTable("cwap_audit")
+    TxnCatalog.commitAll(spark, main, Seq(
+      Write("t1", Seq(1L, 2L).toDF("id"))))                   // txn 1
+    TxnCatalog.cloneCatalog(main, audit)
+    TxnCatalog.commitAll(spark, audit, Seq(
+      Write("t1", Seq(3L).toDF("id"))))                       // audit txn 2
+    TxnCatalog.commitAll(spark, audit, Seq(
+      Write("t2", Seq(10L).toDF("id"))))                      // audit txn 3
+
+    assert(TxnCatalog.publishFrom(audit, main, Some("wap")) == 2)
+    assert(TxnCatalog.currentTxn(main) == 2) // squashed, not replayed
+    def ids(cat: String, t: String, asOf: Option[Int] = None): Set[Long] =
+      TxnCatalog.read(spark, cat, t, asOf).select("id").as[Long].collect().toSet
+    assert(ids(main, "t1") == Set(1L, 2L, 3L))
+    assert(ids(main, "t2") == Set(10L))
+    assert(ids(main, "t1", Some(1)) == Set(1L, 2L))
+    // un-diverged branch → no-op; diverged main → refused
+    val audit2 = freshTable("cwap_audit2")
+    TxnCatalog.cloneCatalog(main, audit2)
+    assert(TxnCatalog.publishFrom(audit2, main) == 2)
+    TxnCatalog.commitAll(spark, audit2, Seq(
+      Write("t1", Seq(4L).toDF("id"))))
+    TxnCatalog.commitAll(spark, main, Seq(
+      Write("t1", Seq(9L).toDF("id"))))                       // main moved on
+    intercept[IllegalArgumentException] { TxnCatalog.publishFrom(audit2, main) }
+    assert(ids(main, "t1") == Set(1L, 2L, 3L, 9L))
+  }
 }
