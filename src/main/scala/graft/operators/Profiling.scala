@@ -383,6 +383,34 @@ object Profiling {
       .drop("__mn", "__mx")
   }
 
+  /** Exact per-group OLS slope components — the least-squares building
+    * block as pure integer sums: for y = a + b·x,
+    * `b = b_num / b_den` with `b_num = n·Σxy − Σx·Σy` and
+    * `b_den = n·Σxx − (Σx)²`, every term a BIGINT over the caller's
+    * QUANTIZED x/y (the engine-exact discipline: the division is the
+    * caller's, the components hash bit-for-bit on any engine). One
+    * map-side-combined hash aggregate — the trend-per-segment pass a
+    * feature pipeline runs at full scale. A constant-x group has
+    * b_den = 0 (slope undefined); emitting the raw components makes
+    * that case explicit instead of a NaN. Inputs must be LONG and
+    * small enough that n·Σxy stays under 2⁶³ — quantize accordingly. */
+  def linearFitComponents(df: DataFrame, keyCol: String, xCol: String,
+                          yCol: String): DataFrame = {
+    Seq(xCol, yCol).foreach { c =>
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"$c must be LONG (quantize doubles first)")
+    }
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("__sx"), sum(col(yCol)).as("__sy"),
+        sum(col(xCol) * col(yCol)).as("__sxy"),
+        sum(col(xCol) * col(xCol)).as("__sxx"))
+      .select(col(keyCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("b_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("b_den"))
+  }
+
   /** floor(1000 · log10(1 + 1/d)) for d = 1..9 — Benford's law in
     * permille, precomputed so no engine evaluates a transcendental. */
   val BenfordPermille: Seq[Long] =

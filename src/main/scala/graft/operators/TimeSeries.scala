@@ -140,6 +140,36 @@ object TimeSeries {
     * equi-join on the shifted hour. Lags with no overlap emit score 0
     * rather than vanishing — the spine left-join keeps the correlogram
     * rectangular. */
+  /** Coalesce overlapping-or-touching intervals per key — coverage
+    * merging (uptime windows, validity ranges, span dedup): the classic
+    * gaps-and-islands form on intervals rather than points. An interval
+    * starts a new island iff its `lo` exceeds the running MAX of all
+    * previous `hi` in its key (a plain lag(hi) is WRONG — an earlier
+    * long interval can swallow several later ones); islands then
+    * aggregate to (min lo, max hi, n_merged).
+    *
+    * Scale shape: ONE window partitioned by key (each key's intervals
+    * sort independently, no global order) + one hash aggregate. Integer
+    * bounds keep both engines bit-equal. Touching intervals
+    * ([1,5],[5,9]) merge — `hi` is inclusive coverage. */
+  def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
+                     hiCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(keyCol).orderBy(col("__lo"), col("__hi"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCol).orderBy(col("__lo"), col("__hi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(loCol).cast("long").as("__lo"),
+        col(hiCol).cast("long").as("__hi"))
+      .withColumn("__new",
+        when(col("__lo") > coalesce(max("__hi").over(wPrev), lit(Long.MinValue)),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("__island", sum("__new").over(wRun))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min("__lo").as("lo"), max("__hi").as("hi"),
+        count(lit(1)).as("n_merged"))
+      .select(col(keyCol), col("lo"), col("hi"), col("n_merged"))
+  }
+
   def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
                        typeA: String, typeB: String, maxLag: Int): DataFrame = {
     require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")

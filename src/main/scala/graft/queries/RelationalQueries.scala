@@ -1068,6 +1068,42 @@ object RelationalQueries {
         .orderBy("lag")
     },
 
+    // ── interval COALESCING (TimeSeries.mergeIntervals): per-customer
+    //    order-activity windows merge into maximal covered spans — the
+    //    gaps-and-islands form on INTERVALS, where the island test runs
+    //    against the running MAX of prior ends (a lag(hi) would let an
+    //    early long window swallow later ones undetected; spec-shaped in
+    //    the SQL identically). One per-key window + one aggregate.
+    sql("q_time_interval_merge",
+      """WITH iv AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |           + (o_orderkey % 30) + 1 AS BIGINT) AS hi
+        |  FROM orders),
+        |m AS (SELECT k, lo, hi,
+        |             CASE WHEN lo > COALESCE(MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+        |                  THEN 1 ELSE 0 END AS new_i
+        |      FROM iv),
+        |g AS (SELECT k, lo, hi,
+        |             SUM(new_i) OVER (PARTITION BY k ORDER BY lo, hi
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM m)
+        |SELECT k, CAST(MIN(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi,
+        |       COUNT(*) AS n_merged
+        |FROM g GROUP BY k, island
+        |ORDER BY k, lo""".stripMargin) { (s, d) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val iv = Tables.orders(s, d).select(
+        col("o_custkey").as("k"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("lo"),
+        (datediff(to_date(col("o_orderdate")), epoch)
+          + col("o_orderkey") % 30 + 1).cast("long").as("hi"))
+      graft.operators.TimeSeries.mergeIntervals(iv, "k", "lo", "hi")
+        .orderBy("k", "lo")
+    },
+
     // ── event-sequence transition counts: per-user lag over event time
     //    (the Markov/behavioral-analysis primitive); the window partitions
     //    by user so no global-order funnel, ties broken by event_id

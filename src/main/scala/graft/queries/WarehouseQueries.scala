@@ -440,6 +440,34 @@ object WarehouseQueries {
       graft.operators.Profiling.minMaxScale(src, "event_type", "q")
         .select("event_id", "event_type", "q", "scaled_pct")
         .orderBy("event_id")
+    },
+
+    // ── exact OLS slope components (Profiling.linearFitComponents):
+    //    per-user-cohort spend-vs-hour-of-day trend as pure integer
+    //    sums — b = b_num/b_den with every term a BIGINT over quantized
+    //    inputs, so the least-squares building block hashes bit-for-bit
+    //    (the division is the caller's; a constant-x group shows
+    //    b_den = 0 instead of a NaN). One map-side hash aggregate.
+    sql("q_feat_linreg",
+      """WITH t AS (
+        |  SELECT user_id % 50 AS g,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 24 AS x,
+        |         CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM t GROUP BY 1)
+        |SELECT g, n, CAST(n * sxy - sx * sy AS BIGINT) AS b_num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS b_den
+        |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d).select(
+        (col("user_id") % 50).as("g"),
+        expr("unix_micros(ts) div 1000000 div 3600 % 24").cast("long").as("x"),
+        floor(col("value") * 1000).cast("long").as("y"))
+      graft.operators.Profiling.linearFitComponents(src, "g", "x", "y")
+        .orderBy("g")
     }
   )
 }

@@ -219,4 +219,26 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxGroups"))
   }
+
+  test("linearFitComponents: exact slope on a hand line; constant x flags b_den=0") {
+    import spark.implicits._
+    // y = 3 + 2x exactly → b_num/b_den = 2; plus one noisy group
+    val df = Seq(
+      ("line", 0L, 3L), ("line", 1L, 5L), ("line", 2L, 7L), ("line", 3L, 9L),
+      ("noisy", 0L, 0L), ("noisy", 1L, 3L), ("noisy", 2L, 3L),
+      ("const", 5L, 1L), ("const", 5L, 9L)
+    ).toDF("g", "x", "y")
+    val got = Profiling.linearFitComponents(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, bn, bd) = got("line")
+    assert(n == 4 && bd != 0 && bn.toDouble / bd == 2.0)
+    // noisy: n=3, sx=3, sy=6, sxy=9, sxx=5 → b_num=27-18=9, b_den=15-9=6
+    assert(got("noisy") == ((3L, 9L, 6L)))
+    assert(got("const")._3 == 0L) // slope undefined, explicitly
+    intercept[IllegalArgumentException] {
+      Profiling.linearFitComponents(Seq(("g", 1.0, 1L)).toDF("g", "x", "y"),
+        "g", "x", "y")
+    }
+  }
 }

@@ -59,6 +59,21 @@ class TimeSeriesSpec extends SparkSpec {
       (400L, false), (200L, true), (0L, false)))
   }
 
+  test("mergeIntervals: a long early interval swallows later ones (max, not lag)") {
+    val iv = Seq(
+      ("a", 1L, 20L),  // covers everything below
+      ("a", 2L, 3L), ("a", 5L, 6L), ("a", 20L, 22L), // 20 touches → merges
+      ("a", 24L, 25L),                               // gap → new island
+      ("b", 1L, 2L), ("b", 4L, 5L)                   // other key untouched
+    ).toDF("k", "lo", "hi")
+    val got = TimeSeries.mergeIntervals(iv, "k", "lo", "hi")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 22L, 4L), ("a", 24L, 25L, 1L),
+      ("b", 1L, 2L, 1L), ("b", 4L, 5L, 1L)))
+  }
+
   test("crossCorrelation: hand correlogram, including zero-overlap lags") {
     // clicks in hours 1 and 2 (counts 2, 1); purchases in hours 2 and 3
     // (counts 1, 3). score(0)=a(2)·b(2)=1; score(1)=a(1)·b(2)+a(2)·b(3)=5;
