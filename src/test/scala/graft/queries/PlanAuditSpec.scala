@@ -114,6 +114,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("interval merge windows partition by key; linreg is one hash aggregate") {
+    val merge = planOf("q_time_interval_merge")
+    // both window passes must partition by the key — a partition-less
+    // window here would globally sort every interval at 100 TB
+    assert(!merge.contains("Window [") ||
+      !merge.contains("windowspecdefinition()"), merge.take(2000))
+    assert(merge.contains("hashpartitioning(k"), merge.take(3000))
+    val lr = planOf("q_feat_linreg")
+    // the OLS components are ONE map-side-combined aggregate — no join,
+    // no window, no second scan
+    assert(!lr.contains("Join"), lr.take(3000))
+    assert(!lr.contains("Window"), lr.take(3000))
+    assert("HashAggregate".r.findAllIn(lr).size >= 2, lr.take(3000)) // partial+final
+  }
+
   test("q18/q19/q20: the new subquery flagships all decorrelate — no nested loops") {
     // q18's correlated MIN over a 4-table join, q19's correlated HAVING
     // aggregate, q20's scalar-average + NOT EXISTS: each must plan as
