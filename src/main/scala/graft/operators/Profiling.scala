@@ -393,7 +393,10 @@ object Profiling {
     * feature pipeline runs at full scale. A constant-x group has
     * b_den = 0 (slope undefined); emitting the raw components makes
     * that case explicit instead of a NaN. Inputs must be LONG and
-    * small enough that n·Σxy stays under 2⁶³ — quantize accordingly. */
+    * small enough that n·Σxy stays under 2⁶³ — quantize accordingly.
+    * Rows with a NULL x or y are excluded up front so n counts exactly
+    * the points that feed the sums (a count(1) over all rows would
+    * make the components inconsistent with OLS over non-null points). */
   def linearFitComponents(df: DataFrame, keyCol: String, xCol: String,
                           yCol: String): DataFrame = {
     Seq(xCol, yCol).foreach { c =>
@@ -401,7 +404,8 @@ object Profiling {
         org.apache.spark.sql.types.LongType,
         s"$c must be LONG (quantize doubles first)")
     }
-    df.groupBy(col(keyCol))
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col(xCol)).as("__sx"), sum(col(yCol)).as("__sy"),
         sum(col(xCol) * col(yCol)).as("__sxy"),

@@ -126,20 +126,6 @@ object TimeSeries {
         col("__v").isNull.as("is_filled"))
   }
 
-  /** Lagged cross-correlation of two event streams on an hourly grid —
-    * "does series B follow series A, and by how many hours?" (lead-lag
-    * analysis: clicks→purchases, deploys→errors). For each lag
-    * k ∈ [0, maxLag], `score(k) = Σ_h a(h) · b(h+k)` over hourly COUNTS,
-    * so every score is an exact BIGINT and the whole correlogram
-    * replays on any engine; the caller reads the argmax off the top.
-    *
-    * Scale shape: the raw streams collapse to hourly counts FIRST (one
-    * map-side-combined aggregate each — the only pass over the data);
-    * the lag expansion multiplies the ROLLED-UP series (O(hours·lags)
-    * rows, independent of event count) and aligns with one hash
-    * equi-join on the shifted hour. Lags with no overlap emit score 0
-    * rather than vanishing — the spine left-join keeps the correlogram
-    * rectangular. */
   /** Coalesce overlapping-or-touching intervals per key — coverage
     * merging (uptime windows, validity ranges, span dedup): the classic
     * gaps-and-islands form on intervals rather than points. An interval
@@ -170,6 +156,20 @@ object TimeSeries {
       .select(col(keyCol), col("lo"), col("hi"), col("n_merged"))
   }
 
+  /** Lagged cross-correlation of two event streams on an hourly grid —
+    * "does series B follow series A, and by how many hours?" (lead-lag
+    * analysis: clicks→purchases, deploys→errors). For each lag
+    * k ∈ [0, maxLag], `score(k) = Σ_h a(h) · b(h+k)` over hourly COUNTS,
+    * so every score is an exact BIGINT and the whole correlogram
+    * replays on any engine; the caller reads the argmax off the top.
+    *
+    * Scale shape: the raw streams collapse to hourly counts FIRST (one
+    * map-side-combined aggregate each — the only pass over the data);
+    * the lag expansion multiplies the ROLLED-UP series (O(hours·lags)
+    * rows, independent of event count) and aligns with one hash
+    * equi-join on the shifted hour. Lags with no overlap emit score 0
+    * rather than vanishing — the spine left-join keeps the correlogram
+    * rectangular. */
   def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
                        typeA: String, typeB: String, maxLag: Int): DataFrame = {
     require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")

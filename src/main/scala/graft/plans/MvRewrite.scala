@@ -10,43 +10,64 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Materialized-view auto-rewrite (engine-added): an optimizer rule that
   * answers GROUP-BY aggregates over a registered base table FROM its
   * pre-aggregated summary — the classic OLAP cube/rollup-cache trade,
   * done where a Spark-native engine should do it: in Catalyst, so USER
   * QUERIES DON'T CHANGE. A query that groups by a subset of the view's
-  * keys re-aggregates the summary (sums of sums, sum of counts) and
-  * never touches the fact scan — at 100 TB that is the difference
-  * between re-reading the table and reading a few thousand rows.
+  * keys re-aggregates the summary (sums of sums, min of mins, sum of
+  * counts) and never touches the fact scan — at 100 TB that is the
+  * difference between re-reading the table and reading a few thousand
+  * rows.
   *
   * Soundness gates (anything else falls through to the base scan):
   *  - grouping columns ⊆ the view's key columns;
-  *  - WHERE clauses reference key columns only (filter-then-aggregate
-  *    commutes with re-aggregation exactly when the predicate is
-  *    constant within each summary row);
-  *  - aggregates are plain `SUM(intCol)` over registered columns (views
-  *    store them as BIGINT — `SUM` composes losslessly over integers,
-  *    which is why [[Mv.build]] refuses non-integral inputs) or
-  *    `COUNT(*)`/`COUNT(lit)` (answered as `COALESCE(SUM(cnt), 0)` — the
-  *    coalesce preserves COUNT's zero-on-empty contract).
+  *  - WHERE clauses are DETERMINISTIC and reference key columns only
+  *    (filter-then-aggregate commutes with re-aggregation exactly when
+  *    the predicate is constant within each summary row; a
+  *    non-deterministic predicate such as rand() < 0.5 would silently
+  *    sample GROUPS instead of rows, so it is refused outright);
+  *  - aggregates over registered measure columns:
+  *    `SUM(intCol)` → `SUM(sum_col)` (views store BIGINT sums — integer
+  *    SUM composes losslessly, which is why [[Mv.build]] refuses
+  *    non-integral inputs); `MIN`/`MAX` → `MIN(min_col)`/`MAX(max_col)`
+  *    (kept in the base column's type, so result types are unchanged);
+  *    `AVG` → exact `SUM(sum_col) / SUM(cnt_col)` pair (cnt_col counts
+  *    the NON-NULL measure rows, preserving AVG's null semantics; the
+  *    integer sums are exact, so the single final division is
+  *    bit-reproducible); `COUNT(*)`/`COUNT(lit)` → `COALESCE(SUM(cnt),
+  *    0)` (the coalesce preserves COUNT's zero-on-empty contract).
+  *    A summary built before a capability existed simply lacks the
+  *    column and the rewrite declines — never a wrong answer.
   *
   * The rewrite preserves every output name AND exprId, so the
-  * downstream plan never knows. Staleness is the registrar's contract
-  * (rebuild + re-register after base loads — the incremental-view
-  * operators in `graft.operators.Incremental` are the refresh path);
-  * kill switch: `spark.graft.mvRewrite.enabled=false`.
+  * downstream plan never knows. Staleness: a view registered against a
+  * plain parquet path is the registrar's contract (rebuild +
+  * re-register after base loads); a view registered against a
+  * [[graft.sources.TxnTable]] via [[Mv.registerTxn]] matches the scan's
+  * exact FILE SET, so the moment the table commits past the
+  * summarized version the live read's files differ and queries fall
+  * back to the base scan automatically — stale answers are structurally
+  * impossible, and [[Mv.refreshTxn]] (additive merge over the appended
+  * files, [[graft.operators.Incremental.mergeAdditive]]) is the
+  * re-validation path. Kill switch:
+  * `spark.graft.mvRewrite.enabled=false`.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** One registered summary: match scans whose root path ends with
-    * `baseSuffix`; `template` is the analyzed relation of the summary
-    * parquet (re-instanced per rewrite so attribute ids never collide
-    * across subtrees). */
+  /** One registered summary. A `fileSet` registration (txn tables)
+    * matches scans whose root-path set is EXACTLY those files; a
+    * `baseSuffix` registration matches scans whose root path ends with
+    * the suffix at a path-segment boundary (so `lineitem.parquet`
+    * cannot claim `my_lineitem.parquet`). `template` is the analyzed
+    * relation of the summary parquet (re-instanced per rewrite so
+    * attribute ids never collide across subtrees). */
   final case class MvDef(baseSuffix: String, keys: Seq[String],
-                         sumCols: Seq[String], template: LogicalRelation)
+                         sumCols: Seq[String], template: LogicalRelation,
+                         fileSet: Option[Set[String]] = None)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -77,7 +98,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def baseMatches(lr: LogicalRelation, d: MvDef): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.endsWith(d.baseSuffix))
+        val roots = fs.location.rootPaths.map(_.toString)
+        d.fileSet match {
+          case Some(files) => roots.toSet == files
+          case None => roots.exists(p =>
+            p == d.baseSuffix || p.endsWith("/" + d.baseSuffix))
+        }
       case _ => false
     }
 
@@ -94,13 +120,24 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ar: AttributeReference if d.keys.contains(ar.name) => ar
       case _ => return None
     }
-    if (!filters.forall(_.references.forall(r => d.keys.contains(r.name))))
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(r => d.keys.contains(r.name))))
       return None
     val fresh = d.template.newInstance()
     val mvAttr: Map[String, Attribute] = fresh.output.map(a => a.name -> a).toMap
+    // a measure rewrite needs its summary column to EXIST (older views
+    // lack min_/max_/cnt_ columns) — missing column = decline, not crash
+    // (the `return None` evaluates in the caller's closure, escaping
+    // rewriteWith)
+    def attr(n: String): Option[Attribute] = mvAttr.get(n)
 
     def isPlain(ae: AggregateExpression): Boolean =
       ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty
+
+    def measure(e: Expression): Option[String] = e match {
+      case ar: AttributeReference if d.sumCols.contains(ar.name) => Some(ar.name)
+      case _ => None
+    }
 
     val newAggList: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case ar: AttributeReference if d.keys.contains(ar.name) =>
@@ -111,16 +148,30 @@ object MvRewrite extends Rule[LogicalPlan] {
       case al @ Alias(ae: AggregateExpression, name) if isPlain(ae) =>
         ae.aggregateFunction match {
           case s: Sum =>
-            s.child match {
-              case ar: AttributeReference if d.sumCols.contains(ar.name) =>
-                Alias(Sum(mvAttr(s"sum_${ar.name}")).toAggregateExpression(),
-                  name)(exprId = al.exprId)
-              case _ => return None
-            }
+            val c = measure(s.child).getOrElse(return None)
+            Alias(Sum(attr(s"sum_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case m: Min =>
+            val c = measure(m.child).getOrElse(return None)
+            Alias(Min(attr(s"min_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case m: Max =>
+            val c = measure(m.child).getOrElse(return None)
+            Alias(Max(attr(s"max_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case a: Average =>
+            val c = measure(a.child).getOrElse(return None)
+            // exact integer sums, one final IEEE division — numerator is
+            // NULL exactly when cnt_c sums to 0, matching AVG's
+            // null-on-no-rows contract without a zero-divide
+            Alias(Divide(
+              Cast(Sum(attr(s"sum_$c").getOrElse(return None)).toAggregateExpression(), DoubleType),
+              Cast(Sum(attr(s"cnt_$c").getOrElse(return None)).toAggregateExpression(), DoubleType)),
+              name)(exprId = al.exprId)
           case c: Count if c.children.forall(
               ch => ch.isInstanceOf[Literal] && ch.asInstanceOf[Literal].value != null) =>
             Alias(Coalesce(Seq(
-              Sum(mvAttr("cnt")).toAggregateExpression(), Literal(0L))),
+              Sum(attr("cnt").getOrElse(return None)).toAggregateExpression(), Literal(0L))),
               name)(exprId = al.exprId)
           case _ => return None
         }
@@ -138,10 +189,14 @@ object MvRewrite extends Rule[LogicalPlan] {
 /** Build + register half of the materialized-view surface. */
 object Mv {
 
-  /** Write the summary parquet for `base` grouped by `keys`: BIGINT
-    * `sum_<col>` per requested column plus the group `cnt`. Integral
-    * inputs only — integer SUM composes losslessly across the two
-    * aggregation levels; a double sum would re-associate and drift. */
+  /** Write the summary parquet for `base` grouped by `keys`: per
+    * requested measure column a BIGINT `sum_<col>`, a BIGINT
+    * `cnt_<col>` (non-null rows — what AVG divides by), and
+    * `min_<col>`/`max_<col>` kept in the column's own type (so
+    * rewritten MIN/MAX result types match the base exactly); plus the
+    * group row count `cnt`. Integral inputs only — integer SUM composes
+    * losslessly across the two aggregation levels; a double sum would
+    * re-associate and drift. */
   def build(base: DataFrame, keys: Seq[String], sumCols: Seq[String],
             mvPath: String): Unit = {
     require(keys.nonEmpty, "a materialized view needs at least one key")
@@ -152,26 +207,103 @@ object Mv {
         s"mv sum column $c must be integral, got $dt")
     }
     val aggs = count(lit(1)).as("cnt") +:
-      sumCols.map(c => sum(col(c)).cast("long").as(s"sum_$c"))
+      sumCols.flatMap(c => Seq(
+        sum(col(c)).cast("long").as(s"sum_$c"),
+        count(col(c)).as(s"cnt_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
     base.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
   }
 
+  private def analyzedRelation(spark: SparkSession,
+                               mvPath: String): LogicalRelation =
+    spark.read.parquet(mvPath).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"$mvPath did not analyze to a file relation"))
+
+  private def requireCols(rel: LogicalRelation, mvPath: String,
+                          keys: Seq[String], sumCols: Seq[String]): Unit = {
+    val missing = (keys ++ sumCols.map("sum_" + _) :+ "cnt")
+      .filterNot(rel.output.map(_.name).toSet)
+    require(missing.isEmpty, s"mv at $mvPath lacks columns: $missing")
+  }
+
   /** Register `mvPath` as the summary of the base table whose scan root
-    * ends with `baseSuffix`. Reads the summary once to capture its
+    * ends with `baseSuffix` (segment-anchored: the suffix must cover
+    * whole path segments). Reads the summary once to capture its
     * relation; queries rewrite from the NEXT planning on. */
   def register(spark: SparkSession, name: String, baseSuffix: String,
                mvPath: String, keys: Seq[String],
                sumCols: Seq[String]): Unit = {
-    val rel = spark.read.parquet(mvPath).queryExecution.analyzed
-      .collectFirst { case lr: LogicalRelation => lr }
-      .getOrElse(throw new IllegalStateException(
-        s"$mvPath did not analyze to a file relation"))
-    val missing = (keys ++ sumCols.map("sum_" + _) :+ "cnt")
-      .filterNot(rel.output.map(_.name).toSet)
-    require(missing.isEmpty, s"mv at $mvPath lacks columns: $missing")
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
     MvRewrite.register(name,
       MvRewrite.MvDef(baseSuffix, keys, sumCols, rel))
+  }
+
+  /** Build AND register a summary of txn table `table`'s CURRENT
+    * snapshot, keyed to the snapshot's exact live-file set: a query
+    * reading the table at this version rewrites; the moment a commit
+    * advances the table, live reads scan a different file set and fall
+    * back to base — structural staleness protection, no registrar
+    * discipline needed. Returns the summarized version (feed it to
+    * [[refreshTxn]]). */
+  def registerTxn(spark: SparkSession, name: String, table: String,
+                  mvPath: String, keys: Seq[String],
+                  sumCols: Seq[String]): Int = {
+    import graft.sources.TxnTable
+    val v = TxnTable.currentVersion(table)
+    build(TxnTable.read(spark, table, asOf = Some(v)), keys, sumCols, mvPath)
+    registerTxnAt(spark, name, table, v, mvPath, keys, sumCols)
+    v
+  }
+
+  /** Advance a txn-table view from `builtVersion` to the current head
+    * by aggregating ONLY the appended files and additively merging into
+    * the existing summary (sum/cnt add, min/max re-min/re-max) — the
+    * O(Δ) refresh; a range with removals fails loudly in
+    * `TxnTable.addedFiles` (rebuild via [[registerTxn]] instead).
+    * Re-registers against the new head's file set and returns it. */
+  def refreshTxn(spark: SparkSession, name: String, table: String,
+                 builtVersion: Int, mvPath: String, keys: Seq[String],
+                 sumCols: Seq[String]): Int = {
+    import graft.sources.TxnTable
+    val head = TxnTable.currentVersion(table)
+    if (head != builtVersion) {
+      val added = TxnTable.addedFiles(table, builtVersion, head)
+        .map(f => new java.io.File(table, f).getPath)
+      val deltaDir = mvPath + s"_delta_v$head"
+      build(spark.read.parquet(added: _*), keys, sumCols, deltaDir)
+      val merges = sumCols.flatMap(c => Seq(
+        s"min_$c" -> "min", s"max_$c" -> "max")).toMap
+      val merged = graft.operators.Incremental.mergeAdditive(
+        spark.read.parquet(mvPath), spark.read.parquet(deltaDir),
+        keys, merges)
+      val staging = mvPath + s"_v$head"
+      merged.write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite").parquet(mvPath)
+    }
+    registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
+    head
+  }
+
+  private def registerTxnAt(spark: SparkSession, name: String, table: String,
+                            version: Int, mvPath: String, keys: Seq[String],
+                            sumCols: Seq[String]): Unit = {
+    import graft.sources.TxnTable
+    val snap = TxnTable.read(spark, table, asOf = Some(version))
+    val files = snap.queryExecution.analyzed
+      .collect { case lr: LogicalRelation => lr.relation }
+      .collect { case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString) }
+      .flatten.toSet
+    require(files.nonEmpty, s"$table v$version reads no files")
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
+    MvRewrite.register(name,
+      MvRewrite.MvDef(table, keys, sumCols, rel, fileSet = Some(files)))
   }
 }

@@ -312,36 +312,82 @@ object ScaleQueries {
         |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
         |FROM lineitem WHERE l_linestatus <> 'O'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      import graft.plans.{Mv, MvRewrite}
-      graft.plans.GraftPlanner.register(s)
-      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
-      val mvDir = new java.io.File(s"/root/repo/target/mv/lineitem_rf_ls_$sfKey")
-      graft.DerivedCache.ensure(mvDir,
-          Seq(new java.io.File(s"$d/lineitem.parquet")), "_SUCCESS") {
-        Mv.build(s.read.parquet(s"$d/lineitem.parquet"),
-          Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"),
-          mvDir.getAbsolutePath)
-      }
-      Mv.register(s, "lineitem_rf_ls", "lineitem.parquet",
-        mvDir.getAbsolutePath, Seq("l_returnflag", "l_linestatus"),
-        Seq("l_partkey"))
-      try {
-        val q = s.read.parquet(s"$d/lineitem.parquet")
+      withLineitemMv(s, d) {
+        s.read.parquet(s"$d/lineitem.parquet")
           .filter(col("l_linestatus") =!= "O")
           .groupBy("l_returnflag")
           .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
-        val plan = q.queryExecution.executedPlan.toString()
-        val fromMv = plan.contains("lineitem_rf_ls") &&
-          !plan.contains("lineitem.parquet")
-        val out = q.withColumn("from_mv",
-            lit(if (fromMv) 1L else 0L))
-          .orderBy("l_returnflag")
-          .cache()
-        out.count() // materialize before the view deregisters
-        out
-      } finally MvRewrite.deregister("lineitem_rf_ls")
+      }
+    },
+
+    // ── MIN/MAX through the view: answered as MIN(min_col)/MAX(max_col)
+    //    over the summary, result types identical to the base aggregate
+    //    (the summary keeps min/max in the base column's own type).
+    sql("q_scan_mv_rewrite_minmax",
+      """SELECT l_returnflag,
+        |       MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+        |       CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem WHERE l_linestatus <> 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      withLineitemMv(s, d) {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linestatus") =!= "O")
+          .groupBy("l_returnflag")
+          .agg(min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      }
+    },
+
+    // ── AVG through the view: the rewrite answers it as the EXACT
+    //    SUM(sum_col)/SUM(cnt_col) pair — both engines sum integers
+    //    exactly (< 2⁵³, so the base's double accumulation is also
+    //    exact) and divide once, so the hash holds bit-for-bit.
+    sql("q_scan_mv_rewrite_avg",
+      """SELECT l_returnflag,
+        |       CAST(SUM(l_partkey) AS DOUBLE) / CAST(COUNT(l_partkey) AS DOUBLE)
+        |         AS avg_pk,
+        |       CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem WHERE l_linestatus <> 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      withLineitemMv(s, d) {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linestatus") =!= "O")
+          .groupBy("l_returnflag")
+          .agg(avg("l_partkey").as("avg_pk"))
+      }
     }
   )
+
+  /** Build (cached per sf) and register the (l_returnflag, l_linestatus)
+    * lineitem summary, run `q` under the rewrite rule, stamp the PLAN
+    * fact that the scan switched to the view (`from_mv`), deregister. */
+  private def withLineitemMv(s: org.apache.spark.sql.SparkSession, d: String)(
+      q: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.plans.{Mv, MvRewrite}
+    graft.plans.GraftPlanner.register(s)
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    // _v2 layout: the r9 summary added cnt_/min_/max_ measure columns
+    val mvDir = new java.io.File(s"/root/repo/target/mv/lineitem_rf_ls_v2_$sfKey")
+    graft.DerivedCache.ensure(mvDir,
+        Seq(new java.io.File(s"$d/lineitem.parquet")), "_SUCCESS") {
+      Mv.build(s.read.parquet(s"$d/lineitem.parquet"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"),
+        mvDir.getAbsolutePath)
+    }
+    Mv.register(s, "lineitem_rf_ls", "lineitem.parquet",
+      mvDir.getAbsolutePath, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_partkey"))
+    try {
+      val df = q
+      val plan = df.queryExecution.executedPlan.toString()
+      val fromMv = plan.contains("lineitem_rf_ls_v2") &&
+        !plan.contains("lineitem.parquet")
+      val out = df.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
+        .orderBy("l_returnflag")
+        .cache()
+      out.count() // materialize before the view deregisters
+      out
+    } finally MvRewrite.deregister("lineitem_rf_ls")
+  }
 
   /** orders.parquet rewritten repartitionByRange(o_orderkey) — the layout
     * a min-max file index prunes well — written once per sf, reused. */

@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
 object WebCurationQueries {
 
   /** One integer-PageRank oracle iteration (d = dangling share, c = in-link
-    * contributions, r = new ranks) — mirrors Graph.pageRank step for step. */
+    * contributions, r = new ranks) — mirrors Graph.pageRank step for step.
+    * Every CTE is `AS MATERIALIZED`: DuckDB 1.0 inlines twice-referenced
+    * CTEs, so un-hinted chained iterations double the plan per wave
+    * (2^iters) — the oracle-side twin of the lineage blowup
+    * Graph.scala kills with localCheckpoint. */
   private def prIter(i: Int, prev: String): String = s"""
-    |d$i AS (SELECT CAST(COALESCE(SUM(rank_q), 0) AS BIGINT) // (SELECT n FROM nn) AS ds
+    |d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(rank_q), 0) AS BIGINT) // (SELECT n FROM nn) AS ds
     |       FROM $prev WHERE node NOT IN (SELECT src FROM odeg)),
-    |c$i AS (SELECT e.dst AS node, CAST(SUM($prev.rank_q // odeg.odeg) AS BIGINT) AS insum
+    |c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM($prev.rank_q // odeg.odeg) AS BIGINT) AS insum
     |       FROM $prev JOIN e ON $prev.node = e.src JOIN odeg ON e.src = odeg.src GROUP BY 1),
-    |r$i AS (SELECT nodes.node,
+    |r$i AS MATERIALIZED (SELECT nodes.node,
     |         (15 * CAST(1000000000 AS BIGINT) // 100) // (SELECT n FROM nn)
     |         + (85 * (COALESCE(c$i.insum, 0) + (SELECT ds FROM d$i))) // 100 AS rank_q
     |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
@@ -32,7 +36,7 @@ object WebCurationQueries {
     * relax-and-min-merge step for step (the frontier optimization changes
     * work, not results, so the full relaxation replays it exactly). */
   private def bfIter(i: Int): String = s"""
-    |s$i AS (SELECT node, MIN(dist) AS dist FROM (
+    |s$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
     |         SELECT node, dist FROM s${i - 1}
     |         UNION ALL
     |         SELECT e.dst AS node, d.dist + e.w AS dist
@@ -40,7 +44,7 @@ object WebCurationQueries {
 
   /** One unrolled min-label wave — mirrors Graph.connectedComponents. */
   private def ccIter(i: Int): String = s"""
-    |c$i AS (SELECT node, MIN(lbl) AS lbl FROM (
+    |c$i AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM (
     |         SELECT node, lbl FROM c${i - 1}
     |         UNION ALL
     |         SELECT e.dst AS node, c.lbl FROM c${i - 1} c
@@ -53,13 +57,13 @@ object WebCurationQueries {
     //    Fixed-point arithmetic makes the iteration engine-exact — a
     //    floating PageRank could never hash-match an oracle.
     sql("q_graph_pagerank",
-      s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |e AS (SELECT doc_id AS src, (doc_id * 7 + j * 101) % (SELECT n FROM nn) AS dst
+      s"""WITH nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |e AS MATERIALIZED (SELECT doc_id AS src, (doc_id * 7 + j * 101) % (SELECT n FROM nn) AS dst
          |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
          |      WHERE doc_id % 10 <> 9),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
-         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank_q FROM nodes),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |odeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank_q FROM nodes),
          |${prIter(1, "r0")},${prIter(2, "r1")},${prIter(3, "r2")}
          |SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r3
          |ORDER BY node""".stripMargin) { (s, d) =>
@@ -112,14 +116,14 @@ object WebCurationQueries {
     //    BIGINT. The oracle unrolls the identical relax-and-min-merge
     //    wave 12 times, so the comparison holds converged or not.
     sql("q_graph_sssp",
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT u AS src, v AS dst, MIN(w) AS w FROM (
          |    SELECT doc_id % 200 AS u, (doc_id * 7 + j * 101) % 200 AS v,
          |           1 + doc_id % 7 AS w
          |    FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
          |    WHERE (doc_id % 200) <> ((doc_id * 7 + j * 101) % 200))
          |  GROUP BY 1, 2),
-         |s0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),${
+         |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),${
            (1 to 12).map(bfIter).mkString(",")}
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM s12
          |ORDER BY node""".stripMargin) { (s, d) =>
@@ -145,9 +149,9 @@ object WebCurationQueries {
          |  SELECT doc_id % 200 AS u,
          |         (doc_id % 200 + 8 * (1 + (doc_id * 7 + j * 101) % 24)) % 200 AS v
          |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
-         |e AS (SELECT u AS src, v AS dst FROM e0
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
          |      UNION SELECT v, u FROM e0),
-         |c0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),${
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),${
            (1 to 12).map(ccIter).mkString(",")}
          |SELECT node, CAST(lbl AS BIGINT) AS component FROM c12
          |ORDER BY node""".stripMargin) { (s, d) =>

@@ -74,15 +74,107 @@ class MvRewriteSpec extends SparkSpec {
     assert(scanPaths(onMeasure).contains("facts_base"))
   }
 
-  test("unanswerable shapes fall through: non-key grouping, non-sum aggs, distinct") {
+  test("unanswerable shapes fall through: non-key grouping, non-composable aggs, distinct") {
     val badGroup = baseDf.groupBy("m").agg(count(lit(1)).as("n"))
     assert(scanPaths(badGroup).contains("facts_base"))
-    val badAgg = baseDf.groupBy("ka").agg(max("m").as("mx"))
+    val badAgg = baseDf.groupBy("ka").agg(stddev("m").as("sd"))
     assert(scanPaths(badAgg).contains("facts_base"))
     val distinct = baseDf.groupBy("ka").agg(countDistinct("m").as("nd"))
     assert(scanPaths(distinct).contains("facts_base"))
     val unregistered = baseDf.groupBy("ka").agg(sum("id").as("si"))
     assert(scanPaths(unregistered).contains("facts_base"))
+  }
+
+  test("MIN/MAX/AVG answer from the view and match the base exactly") {
+    val q = baseDf.filter(col("kb") =!= "s1").groupBy("ka")
+      .agg(min("m").as("mn"), max("m").as("mx"), avg("m").as("av"),
+        sum("m").as("sm"))
+    val plan = scanPaths(q)
+    assert(plan.contains("facts_mv"), plan.take(2000))
+    assert(!plan.contains("facts_base"), plan.take(2000))
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val want = baseDf.filter(col("kb") =!= "s1").groupBy("ka")
+      .agg(min("m").as("mn"), max("m").as("mx"), avg("m").as("av"),
+        sum("m").as("sm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    spark.conf.unset("spark.graft.mvRewrite.enabled")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want)
+    // result types unchanged by the rewrite (min/max keep the base type)
+    assert(q.schema("mn").dataType == baseDf.schema("m").dataType)
+  }
+
+  test("AVG preserves null semantics: cnt_col counts non-null measure rows") {
+    val nb = s"$root/nulls_base.parquet"
+    val nm = s"$root/nulls_mv.parquet"
+    Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)), ("b", None))
+      .toDF("k", "m").write.parquet(nb)
+    Mv.build(spark.read.parquet(nb), Seq("k"), Seq("m"), nm)
+    Mv.register(spark, "nulls", "nulls_base.parquet", nm, Seq("k"), Seq("m"))
+    try {
+      val q = spark.read.parquet(nb).groupBy("k").agg(avg("m").as("av"))
+      assert(scanPaths(q).contains("nulls_mv"))
+      val rows = q.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(rows == Map("a" -> Some(15.0), "b" -> None))
+    } finally MvRewrite.deregister("nulls")
+  }
+
+  test("a non-deterministic filter falls through to the base scan") {
+    // rand() references no columns, so a reference-only gate would pass
+    // it — and re-evaluate it per summary row, sampling GROUPS
+    val q = baseDf.filter(rand(7) < 2.0).groupBy("ka").agg(sum("m").as("sm"))
+    assert(scanPaths(q).contains("facts_base"))
+  }
+
+  test("the suffix anchors at a path segment: my_facts_base does not match") {
+    val lookalike = s"$root/my_facts_base.parquet"
+    // different content — a wrong match would silently answer from facts_mv
+    Seq(("k0", "s0", 999L, 1L)).toDF("ka", "kb", "m", "id")
+      .write.parquet(lookalike)
+    val q = spark.read.parquet(lookalike).groupBy("ka").agg(sum("m").as("sm"))
+    assert(scanPaths(q).contains("my_facts_base"))
+    assert(q.head().getLong(1) == 999L)
+  }
+
+  test("txn-table views: exact-file-set match, structural staleness, additive refresh") {
+    import graft.sources.TxnTable
+    val table = s"$root/txn_facts"
+    val tmv = s"$root/txn_facts_mv.parquet"
+    TxnTable.commit(spark,
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "m"),
+      table, overwrite = false)
+    val v1 = Mv.registerTxn(spark, "txn_facts", table, tmv, Seq("k"), Seq("m"))
+    try {
+      val q1 = TxnTable.read(spark, table).groupBy("k").agg(sum("m").as("sm"))
+      assert(scanPaths(q1).contains("txn_facts_mv"), scanPaths(q1).take(2000))
+      assert(q1.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 3L), ("b", 3L)))
+
+      // commit past the summarized version: the live read's file set no
+      // longer matches, so the SAME query shape scans base — a stale
+      // answer is structurally impossible, no deregistration needed
+      TxnTable.commit(spark, Seq(("b", 10L), ("c", 5L)).toDF("k", "m"),
+        table, overwrite = false)
+      val q2 = TxnTable.read(spark, table).groupBy("k").agg(sum("m").as("sm"))
+      assert(!scanPaths(q2).contains("txn_facts_mv"), scanPaths(q2).take(2000))
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 3L), ("b", 13L), ("c", 5L)))
+
+      // O(Δ) refresh: aggregate only the appended files, merge
+      // additively, re-register at the new head — rewrites again
+      val v2 = Mv.refreshTxn(spark, "txn_facts", table, v1, tmv,
+        Seq("k"), Seq("m"))
+      assert(v2 == TxnTable.currentVersion(table))
+      val q3 = TxnTable.read(spark, table).groupBy("k")
+        .agg(sum("m").as("sm"), min("m").as("mn"), max("m").as("mx"))
+      assert(scanPaths(q3).contains("txn_facts_mv"), scanPaths(q3).take(2000))
+      assert(q3.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ==
+        Set(("a", 3L, 1L, 2L), ("b", 13L, 3L, 10L), ("c", 5L, 5L, 5L)))
+    } finally MvRewrite.deregister("txn_facts")
   }
 
   test("the kill switch and a global COUNT over an empty base behave") {

@@ -10,9 +10,17 @@ after sorting columns by name and sorting rows, mirroring the driver.
 """
 import json
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
+
+# Per-oracle wall budget. The driver's DuckDB pass has a bounded overall
+# budget (r8: one 10-minute oracle zeroed the whole round's artifact), so a
+# single slow oracle must FAIL here loudly rather than pass slowly — the
+# time-dimension twin of the HUGEINT type-strictness check below.
+ORACLE_BUDGET_SEC = 30.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -48,16 +56,36 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            rel = con.sql(sql)
+            # Enforce the budget with a watchdog that interrupts the DuckDB
+            # connection; materialize inside the timed window (con.sql is
+            # lazy — fetch is where the work happens).
+            t0 = time.monotonic()
+            watchdog = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+            watchdog.start()
+            try:
+                rel = con.sql(sql)
             # The driver's value hash is TYPE-SENSITIVE. DuckDB silently
             # promotes SUM/list_sum over BIGINT to HUGEINT (INT128), which
             # pandas renders as float64 — values then compare equal here
             # while the driver's hash fails. Reject the promotion outright
             # so the oracle SQL must carry an explicit CAST.
-            huge = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
-                    if str(t).upper() in ("HUGEINT", "UHUGEINT")]
-            duck_df = canon(rel.df())
+                huge = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                        if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+                duck_raw = rel.df()
+            except duckdb.InterruptException:
+                n_fail += 1
+                print(f"FAIL {name}: oracle exceeded {ORACLE_BUDGET_SEC:.0f}s "
+                      f"budget (driver gate would time out) — hint chained "
+                      f"CTEs with AS MATERIALIZED or simplify the SQL")
+                continue
+            finally:
+                watchdog.cancel()
+            oracle_sec = time.monotonic() - t0
+            duck_df = canon(duck_raw)
             problems = []
+            if oracle_sec > ORACLE_BUDGET_SEC:
+                problems.append(
+                    f"oracle took {oracle_sec:.1f}s > {ORACLE_BUDGET_SEC:.0f}s budget")
             if huge:
                 problems.append(
                     f"oracle emits INT128 (driver hash mismatch) — add "
@@ -87,7 +115,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: {'; '.join(problems)}")
             else:
                 n_pass += 1
-                print(f"ok   {name} ({len(spark_df)} rows)")
+                slow = f" [{oracle_sec:.1f}s]" if oracle_sec > 5 else ""
+                print(f"ok   {name} ({len(spark_df)} rows){slow}")
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"FAIL {name}: exception {str(e)[:200]}")
