@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over an INTEGER item column — the order-independent
+  * heavy-hitters sketch the streaming surface needs (engine-added; the
+  * reference has no frequency sketches at all).
+  *
+  * [[graft.functions.MisraGriesAggregator]] is a deterministic-superset
+  * candidate generator, but its surviving COUNTS depend on reduce/merge
+  * order, so a streaming Misra-Gries can never hash against a batch
+  * oracle. The count-min sketch is a plain VECTOR SUM: `Depth` rows of
+  * `Width` counters, each item incrementing one counter per row through
+  * a fixed affine hash `((item·A_r + B_r) mod P) mod Width`. Addition
+  * commutes, so ANY batching/merge order — micro-batch splits included —
+  * yields the identical sketch, and the integer hash replays in any
+  * engine (the DuckDB oracle computes the same cells from the same
+  * constants). Estimates read back as the MIN over the item's `Depth`
+  * counters: always ≥ the true count, within n/Width per row in
+  * expectation.
+  *
+  * Scale shape: the sketch is `Depth·Width` cells TOTAL (16 K counters
+  * here) regardless of item cardinality — the whole point at 100 TB:
+  * state stays bounded while a per-key exact count grows with the
+  * universe. Building it is one map-side-combined aggregate over
+  * `Depth` cells per row; estimating candidates broadcast-joins the
+  * tiny sketch against them.
+  */
+object CountMin {
+
+  val Depth = 4
+  val Width = 4096
+  /** Mersenne prime 2³¹−1; with items ≤ ~9·10¹⁰ the products stay well
+    * under 2⁶³ (max A · max item < 2⁶²). */
+  val P = 2147483647L
+  val A: Seq[Long] = Seq(1103515245L, 22695477L, 1664525L, 69069L)
+  val B: Seq[Long] = Seq(12345L, 1L, 1013904223L, 362437L)
+
+  /** The flat cell index of `item` in row `r` (0-based): rows concatenate,
+    * so one (cell → count) map is the whole sketch. Non-negative items
+    * only (the affine product must not wrap). */
+  def cell(item: Column, r: Int): Column =
+    lit(r.toLong * Width) + ((item * A(r) + B(r)) % P) % Width
+
+  private def cellRows(df: DataFrame, itemCol: String): DataFrame =
+    df.select(explode(array(
+      (0 until Depth).map(r => cell(col(itemCol), r)): _*)).as("cell"))
+
+  /** Build the sketch: (cell, cnt), at most Depth·Width rows. */
+  def sketch(df: DataFrame, itemCol: String): DataFrame =
+    cellRows(df, itemCol).groupBy("cell").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate every row of `candidates` (distinct values of
+    * `itemCol`) against a built sketch: min over the item's Depth cells.
+    * The sketch side is tiny and broadcasts; candidates never shuffle
+    * more than their own distinct-aggregation. */
+  def estimate(candidates: DataFrame, sk: DataFrame,
+               itemCol: String): DataFrame = {
+    val withCells = candidates.select(col(itemCol),
+      explode(array((0 until Depth).map(r => cell(col(itemCol), r)): _*))
+        .as("cell"))
+    withCells.join(broadcast(sk), "cell")
+      .groupBy(itemCol).agg(min("cnt").as("est_cnt"))
+  }
+
+  /** Top-k heavy hitters of `df[itemCol]` by sketch estimate, with the
+    * deterministic (est desc, item asc) tiebreak — the full
+    * candidates-then-estimate read path over a sketch built elsewhere
+    * (e.g. accumulated by a stream). */
+  def topK(df: DataFrame, sk: DataFrame, itemCol: String,
+           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = estimate(df.select(itemCol).distinct(), sk, itemCol)
+    // orderBy+limit plans TakeOrderedAndProject (a per-partition heap +
+    // driver merge of k rows) — the global row_number then runs over k
+    // rows only, never the full candidate set
+    est.orderBy(col("est_cnt").desc, col(itemCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("est_cnt").desc, col(itemCol)))
+          .cast("long"))
+      .select(col("rank"), col(itemCol), col("est_cnt"))
+  }
+}

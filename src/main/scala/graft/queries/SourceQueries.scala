@@ -890,13 +890,19 @@ object SourceQueries {
         .select(col("k"), col("seg"), lit(1L).as("valid_from"),
           lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
       for (v <- 2 to 3) {
+        // checkpoint BOTH fold inputs: scd2Apply references `changes` in
+        // two legs and `dim` in three, so an un-cut fold re-runs each
+        // version's full-outer feed diff 2^depth times (the iterative-
+        // lineage trap — see Graph.shortestPaths)
         val changes = TxnTable
           .changeFeed(s, table, fromExclusive = v - 1, toInclusive = v,
             keys = Seq("k"))
           .filter(col("change").isin("insert", "update"))
           .select(col("k"), col("seg"))
+          .localCheckpoint(true)
         dim = graft.operators.Scd.scd2Apply(dim, changes, "k", Seq("seg"),
           effectiveTs = lit(v.toLong))
+          .localCheckpoint(true)
       }
       dim.select("k", "seg", "valid_from", "valid_to", "is_current")
         .orderBy("k", "valid_from")
@@ -1513,6 +1519,55 @@ object SourceQueries {
             .as("within_bound"),
           (col("est") === col("batch_est")).as("stream_eq_batch"))
         .orderBy("event_type")
+    },
+
+    // ── streaming HEAVY HITTERS via count-min sketch (EventsStreaming
+    //    .cmsSketch × operators.CountMin): top-10 users by estimated
+    //    event count off a sketch ACCUMULATED BY THE STREAM. The sketch
+    //    is a vector sum over fixed integer hashes, so it is merge-order-
+    //    independent — the batch replay is bit-equal (hashed in
+    //    stream_eq_batch) and the DuckDB oracle recomputes the identical
+    //    cells from the same constants. The order-sensitive Misra-Gries
+    //    counts could never gate this way (its counts depend on reduce
+    //    order); this is the streamable form, with state bounded at
+    //    Depth·Width counters no matter the user cardinality.
+    sql("q_stream_topk",
+      """WITH h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 22695477, 1),
+        |                           (2, 1664525, 1013904223), (3, 69069, 362437)),
+        |sk AS (
+        |  SELECT (h.r * 4096 + ((e.user_id * h.a + h.b) % 2147483647) % 4096) AS cell,
+        |         COUNT(*) AS cnt
+        |  FROM events e CROSS JOIN h GROUP BY 1),
+        |est AS (
+        |  SELECT c.user_id, MIN(sk.cnt) AS est_cnt
+        |  FROM (SELECT DISTINCT user_id FROM events) c CROSS JOIN h
+        |  JOIN sk ON sk.cell =
+        |    h.r * 4096 + ((c.user_id * h.a + h.b) % 2147483647) % 4096
+        |  GROUP BY 1),
+        |ex AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT est.user_id, est.est_cnt, ex.exact_cnt,
+        |         row_number() OVER (ORDER BY est.est_cnt DESC, est.user_id) AS rank
+        |  FROM est JOIN ex ON est.user_id = ex.user_id)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id,
+        |       CAST(est_cnt AS BIGINT) AS est_cnt,
+        |       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |       TRUE AS stream_eq_batch
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+      import graft.operators.CountMin
+      val streamSk = EventsStreaming.cmsSketch(s, d)
+      val ev = Tables.events(s, d)
+      val batchSk = CountMin.sketch(ev, "user_id")
+      val identical = batchSk.withColumnRenamed("cnt", "bcnt")
+        .join(streamSk.withColumnRenamed("cnt", "scnt"), Seq("cell"), "full")
+        .filter(!(col("bcnt") <=> col("scnt"))).count() == 0
+      // the k-row top side broadcasts; exact counts stay a shuffled agg
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      exact.join(broadcast(CountMin.topK(ev, streamSk, "user_id", 10)),
+          "user_id")
+        .select(col("rank"), col("user_id"), col("est_cnt"), col("exact_cnt"),
+          lit(identical).as("stream_eq_batch"))
+        .orderBy("rank")
     },
 
     // ── streaming DEAD-LETTER ingest (contracts at the stream boundary):

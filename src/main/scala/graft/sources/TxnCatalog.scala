@@ -258,7 +258,26 @@ object TxnCatalog {
       name -> (if (byName(name)) Seq(v)
                else baseLists.getOrElse(name, Seq.empty) :+ v)
     }
-    publishEntry(catalog, txn, base ++ created, lists, tag, cmap, dmap)
+    // Append-heavy sinks (one version per streaming micro-batch) would
+    // otherwise grow every subsequent ENTRY by one version forever —
+    // O(txns) metadata per entry. Past the cap, squash the lineage to a
+    // single metadata-only file-list version (the [[compactLineage]]
+    // move applied automatically at commit time): O(|live files|)
+    // driver work, zero data rewritten, time travel unaffected (older
+    // entries keep replaying their own lineages).
+    val maxLineage = math.max(1, spark.conf
+      .get("spark.graft.catalog.maxLineage", "64").toInt)
+    var tables = base ++ created
+    val capped = lists.map { case (name, lin) =>
+      if (lin.length <= maxLineage) name -> lin
+      else {
+        val table = tablePath(catalog, name)
+        val v = TxnTable.publishFileList(table, liveForLineage(table, lin), tag)
+        tables += name -> v
+        name -> Seq(v)
+      }
+    }
+    publishEntry(catalog, txn, tables, capped, tag, cmap, dmap)
   }
 
   /** Zero-copy CATALOG CLONE — the dev-sandbox-from-prod move: every
@@ -274,18 +293,51 @@ object TxnCatalog {
     * Divergence is free for the same reason as cloneShallow: both sides
     * only ever ADD files, and each side's vacuum unlinks only its own
     * directory entries. Torn `.tmp` staging files are skipped — a clone
-    * taken mid-crash never resurrects a torn entry. Returns the cloned
-    * head txn. */
+    * taken mid-crash never resurrects a torn entry.
+    *
+    * The clone is PINNED to the source head observed on entry: catalog
+    * entries past that txn and per-table log/checkpoint entries past the
+    * highest version any pinned entry references are skipped, so a
+    * commit racing the walk can never produce a TORN clone (a linked
+    * entry whose data files the walk had already passed by). Everything
+    * a pinned entry references existed before the pin, so the walk is
+    * complete for it; data files a racer stages mid-walk link over as
+    * harmless catalog-invisible orphans (the clone's vacuum sweeps
+    * them). Returns the cloned head txn (= the pin). */
   def cloneCatalog(src: String, dst: String): Int = {
-    require(currentTxn(src) >= 1, s"nothing to clone: $src has no txns")
+    val head = currentTxn(src)
+    require(head >= 1, s"nothing to clone: $src has no txns")
     require(currentTxn(dst) == 0 && !new File(dst).exists(),
       s"clone target $dst already exists")
+    // highest table version ANY entry ≤ head references (not just the
+    // head's mapping — a restore's head maps to OLD versions while
+    // earlier entries still travel to newer ones)
+    val pinned = scala.collection.mutable.Map.empty[String, Int]
+    (1 to head).foreach { t =>
+      versionLists(src, Some(t)).foreach { case (n, lin) =>
+        val hi = (lin ++ tableVersions(src, Some(t)).get(n)).max
+        pinned(n) = math.max(pinned.getOrElse(n, 0), hi)
+      }
+    }
     val srcPath = new File(src).toPath
     val dstPath = new File(dst).toPath
+    val txnRel = srcPath.relativize(txnDir(src).toPath)
+    def pastPin(p: java.nio.file.Path): Boolean = {
+      val name = p.getFileName.toString
+      val rel = srcPath.relativize(p)
+      if (rel.startsWith(txnRel) && name.matches("t\\d{5}\\.json"))
+        txnOf(p.toFile) > head
+      else if (rel.getNameCount == 3 &&
+          rel.getName(1).toString == "_graft_log" &&
+          name.matches("[vc]\\d{5}\\.json"))
+        name.drop(1).stripSuffix(".json").toInt >
+          pinned.getOrElse(rel.getName(0).toString, 0)
+      else false
+    }
     val stream = Files.walk(srcPath)
     try {
       stream.filter(p => Files.isRegularFile(p)).forEach { p =>
-        if (!p.getFileName.toString.endsWith(".tmp")) {
+        if (!p.getFileName.toString.endsWith(".tmp") && !pastPin(p)) {
           val to = dstPath.resolve(srcPath.relativize(p))
           Files.createDirectories(to.getParent)
           Files.createLink(to, p)
@@ -299,66 +351,119 @@ object TxnCatalog {
     * the whole warehouse: `branch` is a [[cloneCatalog]] of `main`,
     * audited with any number of [[commitAll]] transactions (loads,
     * merges, deletes, schema changes — anything), and the entire audit
-    * becomes visible on `main` as ONE catalog entry: the branch head's
-    * self-contained snapshot (versions, lineages, column mappings)
-    * squashed to `main`'s next txn. New table files and per-table log
-    * entries hard-link over first (crash = invisible orphans); the
-    * put-if-absent entry publish is the single commit point, so readers
-    * see the audit entirely or not at all.
+    * becomes visible on `main` as ONE catalog entry: `main`'s head
+    * snapshot overlaid with the branch's state for every table the
+    * audit TOUCHED, squashed to `main`'s next txn. Only the touched
+    * tables' new files and log entries hard-link over (crash =
+    * invisible orphans); the put-if-absent entry publish is the single
+    * commit point, so readers see the audit entirely or not at all.
     *
-    * Fork safety: every txn entry `main` currently has must be
-    * byte-identical to the branch's same-numbered entry — the clone
-    * guarantees that at fork time, and ANY commit on `main` since
-    * breaks it (refused: re-clone and replay the audit). A concurrent
-    * `main` writer racing the publish loses to the same link(2)
-    * adjudication every commit uses. Returns the published txn
-    * (`main`'s head when the branch never diverged). */
+    * Concurrency is TABLE-SCOPED: the fork point is the longest prefix
+    * of txn entries the two catalogs share BY INODE IDENTITY (txn
+    * numbers can collide across a divergence and even serialize
+    * identically — content and numbering comparisons are not sound;
+    * inodes are). Two audits forked from the same head may both publish
+    * as long as the table sets they touched are DISJOINT from what
+    * `main` accumulated since each one's fork — the lakehouse norm
+    * (Delta/Iceberg serialize on conflicting tables only, not the
+    * warehouse). A touched-table conflict refuses: re-clone and replay
+    * the audit. Within a touched table, every file `main` holds must
+    * still be the branch's same inode — an out-of-band mutation the
+    * entry diff cannot see also refuses. A concurrent `main` writer
+    * racing the publish itself loses to the same link(2) adjudication
+    * every commit uses. Returns the published txn (`main`'s head when
+    * the branch never diverged). */
   def publishFrom(branch: String, main: String,
                   tag: Option[String] = None): Int = {
     val mainTxn = currentTxn(main)
     val branchTxn = currentTxn(branch)
-    require(mainTxn >= 1 && branchTxn >= mainTxn,
-      s"$branch (t$branchTxn) is not a clone-descendant of $main (t$mainTxn)")
+    require(mainTxn >= 1 && branchTxn >= 1,
+      s"$branch (t$branchTxn) / $main (t$mainTxn): nothing to publish")
     val branchPath = new File(branch).toPath
     val mainPath = new File(main).toPath
-    // fork safety by INODE IDENTITY: every file main has must be the
-    // very file the branch inherited at clone time. Anything main wrote
-    // since the fork — a data file, a table-log entry, a txn entry — is
-    // a new inode the branch lacks (txn/version NUMBERS can collide
-    // across a divergence and even serialize identically, so content
-    // or numbering comparisons are not sound; inodes are).
-    locally {
-      val walk = Files.walk(mainPath)
-      try walk.filter(p => Files.isRegularFile(p)).forEach { p =>
-        if (!p.getFileName.toString.endsWith(".tmp")) {
-          val b = branchPath.resolve(mainPath.relativize(p))
-          require(Files.isRegularFile(b) &&
-            Files.getAttribute(p, "unix:ino") == Files.getAttribute(b, "unix:ino"),
-            s"$main diverged from $branch since the fork " +
-              s"(${mainPath.relativize(p)}) — re-clone and replay the audit")
-        }
-      } finally walk.close()
+    def entryIno(cat: String, t: Int): Option[AnyRef] = {
+      val f = new File(txnDir(cat), f"t$t%05d.json")
+      if (f.isFile) Some(Files.getAttribute(f.toPath, "unix:ino")) else None
     }
-    if (branchTxn == mainTxn) return mainTxn
-    val txnRel = branchPath.relativize(txnDir(branch).toPath)
-    val stream = Files.walk(branchPath)
-    try {
-      stream.filter(p => Files.isRegularFile(p)).forEach { p =>
-        val rel = branchPath.relativize(p)
-        val torn = p.getFileName.toString.endsWith(".tmp")
-        if (!torn && !rel.startsWith(txnRel)) {
-          val to = mainPath.resolve(rel)
-          if (!Files.exists(to)) {
-            Files.createDirectories(to.getParent)
-            try Files.createLink(to, p)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-          }
+    val fork = (1 to math.min(mainTxn, branchTxn)).takeWhile { t =>
+      val (m, b) = (entryIno(main, t), entryIno(branch, t))
+      m.isDefined && m == b
+    }.lastOption.getOrElse(0)
+    require(fork >= 1,
+      s"$branch is not a clone of $main — no shared txn entry")
+    if (branchTxn == fork) return mainTxn // audit committed nothing
+    // tables whose snapshot state moved since the fork, on each side:
+    // version, lineage, column mapping, or drop set — restores and
+    // metadata-only schema ops all surface here
+    def touched(cat: String, head: Int): Set[String] =
+      if (head == fork) Set.empty
+      else {
+        val (v0, v1) = (tableVersions(cat, Some(fork)), tableVersions(cat, Some(head)))
+        val (l0, l1) = (versionLists(cat, Some(fork)), versionLists(cat, Some(head)))
+        val (c0, c1) = (colMap(cat, Some(fork)), colMap(cat, Some(head)))
+        val (d0, d1) = (colDrops(cat, Some(fork)), colDrops(cat, Some(head)))
+        (v0.keySet ++ v1.keySet).filter { n =>
+          v0.get(n) != v1.get(n) || l0.get(n) != l1.get(n) ||
+            c0.get(n) != c1.get(n) || d0.get(n) != d1.get(n)
         }
       }
-    } finally stream.close()
-    publishEntry(main, mainTxn + 1, tableVersions(branch),
-      versionLists(branch, None), tag, colMap(branch, None),
-      colDrops(branch, None))
+    val auditTables = touched(branch, branchTxn)
+    val conflicts = auditTables.intersect(touched(main, mainTxn))
+    require(conflicts.isEmpty,
+      s"table(s) ${conflicts.toSeq.sorted.mkString(", ")} changed on BOTH " +
+        s"$main and $branch since the fork (t$fork) — re-clone and replay " +
+        "the audit")
+    // scoped inode fork-safety: within each audited table, anything main
+    // holds must be the very file the branch inherited
+    for (t <- auditTables) {
+      val mDir = new File(tablePath(main, t)).toPath
+      val bDir = new File(tablePath(branch, t)).toPath
+      if (Files.isDirectory(mDir)) {
+        val walk = Files.walk(mDir)
+        try walk.filter(p => Files.isRegularFile(p)).forEach { p =>
+          if (!p.getFileName.toString.endsWith(".tmp")) {
+            val b = bDir.resolve(mDir.relativize(p))
+            require(Files.isRegularFile(b) &&
+              Files.getAttribute(p, "unix:ino") == Files.getAttribute(b, "unix:ino"),
+              s"table '$t' of $main diverged from $branch since the fork " +
+                s"(${mDir.relativize(p)}) — re-clone and replay the audit")
+          }
+        } finally walk.close()
+      }
+    }
+    // link the audited tables' files over; pre-existing paths are the
+    // shared clone inodes already (verified above), so only new files land
+    for (t <- auditTables; if Files.isDirectory(new File(tablePath(branch, t)).toPath)) {
+      val bDir = new File(tablePath(branch, t)).toPath
+      val mDir = new File(tablePath(main, t)).toPath
+      val stream = Files.walk(bDir)
+      try {
+        stream.filter(p => Files.isRegularFile(p)).forEach { p =>
+          if (!p.getFileName.toString.endsWith(".tmp")) {
+            val to = mDir.resolve(bDir.relativize(p))
+            if (!Files.exists(to)) {
+              Files.createDirectories(to.getParent)
+              try Files.createLink(to, p)
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            }
+          }
+        }
+      } finally stream.close()
+    }
+    val bv = tableVersions(branch, Some(branchTxn))
+    val blists = versionLists(branch, Some(branchTxn))
+    val bcmap = colMap(branch, Some(branchTxn))
+    val bdrops = colDrops(branch, Some(branchTxn))
+    publishEntry(main, mainTxn + 1,
+      tableVersions(main, Some(mainTxn)) ++
+        auditTables.flatMap(t => bv.get(t).map(t -> _)),
+      versionLists(main, Some(mainTxn)) ++
+        auditTables.flatMap(t => blists.get(t).map(t -> _)),
+      tag,
+      (colMap(main, Some(mainTxn)) -- auditTables) ++
+        bcmap.filter(kv => auditTables(kv._1)),
+      (colDrops(main, Some(mainTxn)) -- auditTables) ++
+        bdrops.filter(kv => auditTables(kv._1)))
   }
 
   /** The catalog's OCC RETRY loop — [[TxnTable.commitWithRetry]]'s

@@ -916,4 +916,36 @@ object EventsStreaming {
       .withColumn("status", lit("quarantined"))
     okRows.unionByName(badRows)
   }
+
+  /** Streaming COUNT-MIN SKETCH accumulation over `user_id` — the
+    * order-independent heavy-hitters state ([[graft.operators.CountMin]];
+    * Misra-Gries counts are merge-order-sensitive, so this is the form a
+    * streaming top-k can hash against a batch oracle with). Each event
+    * explodes to its Depth cell indices; the streaming aggregate sums per
+    * cell — state is the bounded Depth·Width counter vector no matter how
+    * many distinct users flow past, and because the sketch is a vector
+    * sum, ANY micro-batch split (`maxFilesPerTrigger`) produces the
+    * bit-identical sketch. Complete mode: the memory table always holds
+    * the full latest sketch. */
+  def cmsSketch(spark: SparkSession, sfDir: String,
+                inputDir: Option[String] = None,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.CountMin
+    val ss = streamSession(spark)
+    val name = s"stream_cms_${System.nanoTime()}"
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val cells = reader.parquet(dir)
+      .select(explode(array(
+        (0 until CountMin.Depth).map(r => CountMin.cell(col("user_id"), r)): _*))
+        .as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val q = cells.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = ss.table(name).cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    out
+  }
 }

@@ -174,6 +174,34 @@ class TxnCatalogSpec extends SparkSpec {
     assert(ids(c, "ev", Some(3)) == Set(1L, 2L, 3L))
   }
 
+  test("entry lineage self-caps past spark.graft.catalog.maxLineage (streaming-sink shape)") {
+    val c = freshCatalog("lincap")
+    spark.conf.set("spark.graft.catalog.maxLineage", "8")
+    try {
+      // an append-only micro-batch sink: 20 one-row commits
+      (1 to 20).foreach(i =>
+        TxnCatalog.commitAll(spark, c, Seq(Write("ev", Seq(i.toLong).toDF("id")))))
+      // without the cap the entry would list 20 versions; with it, every
+      // entry stays ≤ cap+1 (the squash itself counts one)
+      (1 to 20).foreach { t =>
+        assert(TxnCatalog.lineageLength(c, "ev", Some(t)) <= 9,
+          s"entry t$t lineage ${TxnCatalog.lineageLength(c, "ev", Some(t))}")
+      }
+      // content is complete at the head and EVERY squash boundary travels
+      assert(ids(c, "ev") == (1L to 20L).toSet)
+      assert(ids(c, "ev", Some(8)) == (1L to 8L).toSet)
+      assert(ids(c, "ev", Some(9)) == (1L to 9L).toSet)
+      assert(ids(c, "ev", Some(10)) == (1L to 10L).toSet)
+      // squashes are metadata-only: one data dir per commit, none extra
+      val dataDirs = Option(new File(TxnCatalog.tablePath(c, "ev"), "data")
+        .listFiles()).getOrElse(Array.empty).count(_.isDirectory)
+      assert(dataDirs == 20, s"squash must not rewrite data ($dataDirs dirs)")
+      // vacuum keeps everything any entry references
+      assert(TxnCatalog.vacuum(c) == 0)
+      assert(ids(c, "ev", Some(15)) == (1L to 15L).toSet)
+    } finally spark.conf.unset("spark.graft.catalog.maxLineage")
+  }
+
   test("compactLineage rejects unknown tables and races like any commit") {
     val c = freshCatalog("compact_err")
     TxnCatalog.commitAll(spark, c, Seq(Write("t", Seq(1L).toDF("id"))))

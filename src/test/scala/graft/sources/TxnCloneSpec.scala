@@ -210,4 +210,55 @@ class TxnCloneSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxnCatalog.publishFrom(audit2, main) }
     assert(ids(main, "t1") == Set(1L, 2L, 3L, 9L))
   }
+
+  test("catalog WAP is table-scoped: disjoint audits both publish; overlap refuses") {
+    import graft.sources.TxnCatalog.Write
+    val main = freshTable("cwap2_main")
+    val a = freshTable("cwap2_a")
+    val b = freshTable("cwap2_b")
+    TxnCatalog.commitAll(spark, main, Seq(
+      Write("tx", Seq(1L).toDF("id")),
+      Write("ty", Seq(10L).toDF("id"))))                      // txn 1
+    // two audits fork the SAME head and touch DISJOINT tables
+    TxnCatalog.cloneCatalog(main, a)
+    TxnCatalog.cloneCatalog(main, b)
+    TxnCatalog.commitAll(spark, a, Seq(Write("tx", Seq(2L).toDF("id"))))
+    TxnCatalog.commitAll(spark, b, Seq(Write("ty", Seq(11L).toDF("id"))))
+    TxnCatalog.commitAll(spark, b, Seq(Write("tz", Seq(100L).toDF("id"))))
+
+    assert(TxnCatalog.publishFrom(a, main) == 2)              // first audit lands
+    assert(TxnCatalog.publishFrom(b, main) == 3)              // disjoint → also lands
+    def ids(cat: String, t: String, asOf: Option[Int] = None): Set[Long] =
+      TxnCatalog.read(spark, cat, t, asOf).select("id").as[Long].collect().toSet
+    assert(ids(main, "tx") == Set(1L, 2L))
+    assert(ids(main, "ty") == Set(10L, 11L))
+    assert(ids(main, "tz") == Set(100L))
+    // pre-publish history still travels
+    assert(ids(main, "ty", Some(2)) == Set(10L))
+
+    // a third audit of tx forked BEFORE a's publish overlaps → refused
+    val c = freshTable("cwap2_c")
+    TxnCatalog.cloneCatalog(main, c)
+    TxnCatalog.commitAll(spark, c, Seq(Write("tx", Seq(3L).toDF("id"))))
+    TxnCatalog.commitAll(spark, main, Seq(Write("tx", Seq(9L).toDF("id"))))
+    intercept[IllegalArgumentException] { TxnCatalog.publishFrom(c, main) }
+    assert(ids(main, "tx") == Set(1L, 2L, 9L))
+  }
+
+  test("catalog clone pins the head and keeps pre-restore versions travelable") {
+    import graft.sources.TxnCatalog.Write
+    val src = freshTable("cpin_src")
+    val dst = freshTable("cpin_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", Seq(1L).toDF("id")))) // txn 1
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", Seq(2L).toDF("id")))) // txn 2
+    TxnCatalog.restore(src, toTxn = 1)                                    // txn 3 → back to {1}
+    assert(TxnCatalog.cloneCatalog(src, dst) == 3)
+    def ids(cat: String, asOf: Option[Int] = None): Set[Long] =
+      TxnCatalog.read(spark, cat, "t", asOf).select("id").as[Long].collect().toSet
+    assert(ids(dst) == Set(1L))
+    // txn 2's snapshot references a HIGHER table version than the restored
+    // head maps to — the pin must keep it (per-table max over ALL entries,
+    // not the head's mapping)
+    assert(ids(dst, Some(2)) == Set(1L, 2L))
+  }
 }

@@ -446,4 +446,43 @@ class EventsStreamingSpec extends SparkSpec {
     // no duplicates: every event id exactly once
     assert(run2.select("event_id").distinct().count() === events.length.toLong)
   }
+
+  test("streaming count-min sketch is batch-split invariant and bit-equal to batch") {
+    import graft.operators.CountMin
+    val dir = new java.io.File("/root/repo/target/tmp/stream/cms_multibatch")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    val events = Tables.events(spark, sfDir).collect()
+    val third = events.length / 3
+    // NOT time-ordered on purpose: vector-sum state must not care
+    Seq(events.drop(2 * third), events.take(third),
+        events.slice(third, 2 * third)).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.map(r => (r.getLong(0), epochNanos(r.get(1)), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part_$i")
+      val src = new java.io.File(s"$dir/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(flat, f"chunk_$i%02d.parquet").toPath)
+      new java.io.File(flat, f"chunk_$i%02d.parquet").setLastModified(1000000L * (i + 1))
+    }
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = cells(EventsStreaming.cmsSketch(spark, sfDir,
+      inputDir = Some(flat.toString), maxFilesPerTrigger = Some(1)))
+    val single = cells(EventsStreaming.cmsSketch(spark, sfDir))
+    val batch = cells(CountMin.sketch(Tables.events(spark, sfDir), "user_id"))
+    assert(multi === batch, "3-batch streaming sketch differs from batch sketch")
+    assert(single === batch, "1-batch streaming sketch differs from batch sketch")
+    // the estimate's one-sided guarantee: est >= exact count, every user
+    val exact = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("exact"))
+    val est = CountMin.estimate(
+      Tables.events(spark, sfDir).select("user_id").distinct(),
+      CountMin.sketch(Tables.events(spark, sfDir), "user_id"), "user_id")
+    val under = est.join(exact, "user_id")
+      .filter(col("est_cnt") < col("exact")).count()
+    assert(under === 0L, "count-min must never underestimate")
+  }
 }
