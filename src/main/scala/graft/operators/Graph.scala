@@ -266,4 +266,51 @@ object Graph {
     sym.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** k-CORE decomposition by bounded-wave peeling — the density filter a
+    * link-graph curation pass runs before trusting PageRank-style
+    * priors: the k-core is the maximal subgraph where every node keeps
+    * ≥ k neighbours, and peeling (drop nodes with degree < k, repeat)
+    * reaches it; spam farms and scrape tangles concentrate in shallow
+    * cores, the dense core is the web's backbone.
+    *
+    * Each wave is one map-side-combined degree count + two left-semi
+    * joins (surviving nodes are the SMALL side of both), with the same
+    * eager localCheckpoint lineage cut as [[shortestPaths]] — an
+    * un-cut peel doubles its plan per wave. The wave's count doubles as
+    * the materializing job and the convergence test: once no edge drops,
+    * later waves no-op, so a fixed-wave oracle unrolling replays
+    * exactly. Edges symmetrize and self-loops drop up front (degree =
+    * distinct neighbours).
+    *
+    * Output: (node: long, core_deg: long) — the k-core's nodes with
+    * their degree INSIDE the core (≥ k by construction); empty when the
+    * graph has no k-core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var ecnt = e.count()
+    var converged = ecnt == 0L
+    for (_ <- 1 to iters if !converged) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val pruned = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == ecnt
+      e = pruned
+      ecnt = n
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

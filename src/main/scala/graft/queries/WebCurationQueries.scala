@@ -42,6 +42,14 @@ object WebCurationQueries {
     |         SELECT e.dst AS node, d.dist + e.w AS dist
     |         FROM s${i - 1} d JOIN e ON d.node = e.src) GROUP BY node)""".stripMargin
 
+  /** One unrolled peel wave — mirrors Graph.kCore: degree-≥6 survivors,
+    * then edges with both ends surviving. */
+  private def kcIter(i: Int): String = s"""
+    |k$i AS MATERIALIZED (SELECT src FROM e${i - 1}
+    |       GROUP BY 1 HAVING COUNT(*) >= 6),
+    |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+    |       JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+
   /** One unrolled min-label wave — mirrors Graph.connectedComponents. */
   private def ccIter(i: Int): String = s"""
     |c$i AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM (
@@ -163,6 +171,42 @@ object WebCurationQueries {
           ((col("u") + lit(8) * (lit(1) + (col("doc_id") * 7 + col("j") * 101) % 24)) % 200)
             .as("v"))
       Graph.connectedComponents(edges, "u", "v", iters = 12).orderBy("node")
+    },
+
+    // ── k-core decomposition (Graph.kCore): peel nodes of degree < 6
+    //    until the dense backbone remains. The 200-host graph is planted
+    //    RESIDUE-ONLY (edges derive from u alone), so the peel cascade is
+    //    identical at every sf: a 6-regular-ish rim that erodes wave by
+    //    wave into the multiples-of-5 dense core (40 nodes, converges in
+    //    5 waves; 8 unrolled here, post-convergence waves no-op). The
+    //    oracle replays the identical peel, every CTE materialized (the
+    //    ccIter lesson).
+    sql("q_graph_kcore",
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id % 200 AS u FROM documents),
+         |eb AS MATERIALIZED (
+         |  SELECT u, (u * 7 + j * 53) % 200 AS v
+         |  FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+         |  WHERE u <> (u * 7 + j * 53) % 200
+         |  UNION
+         |  SELECT u, (u + 5 * j) % 200 AS v
+         |  FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+         |  WHERE u % 5 = 0 AND u <> (u + 5 * j) % 200),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM eb
+         |      UNION SELECT v, u FROM eb),${
+           (1 to 8).map(kcIter).mkString(",")}
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e8 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 200).as("u")).distinct()
+      def planted(h: org.apache.spark.sql.DataFrame) = h
+        .select(col("u"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      val rim = planted(hosts)
+        .select(col("u"), ((col("u") * 7 + col("j") * 53) % 200).as("v"))
+      val dense = planted(hosts.filter(col("u") % 5 === 0))
+        .select(col("u"), ((col("u") + col("j") * 5) % 200).as("v"))
+      val edges = rim.union(dense).filter(col("u") =!= col("v"))
+      Graph.kCore(edges, "u", "v", k = 6, iters = 8).orderBy("node")
     },
 
     // ── Unicode NFC normalization (native normalize_unicode expression):

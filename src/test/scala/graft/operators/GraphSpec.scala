@@ -138,4 +138,25 @@ class GraphSpec extends SparkSpec {
     // self-loops and duplicate edges are harmless
     assert(wcc(Seq((1L, 1L), (1L, 2L), (2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+                   iters: Int = 8): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: peeling a tail exposes the dense core; cascade removals propagate") {
+    // triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is the
+    // triangle — removing 5 (deg 1) drops 4 to deg 1, a cascade
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    assert(core(tri, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core anywhere → empty result
+    assert(core(tri, k = 3) == Map.empty)
+    // k=1 keeps everything with an edge; self-loops don't count as degree
+    assert(core(tri :+ ((6L, 6L)), k = 1).keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("kCore: direction and duplicate edges are irrelevant (symmetrize + distinct)") {
+    val got = core(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)), k = 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

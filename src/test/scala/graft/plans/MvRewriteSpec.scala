@@ -124,8 +124,10 @@ class MvRewriteSpec extends SparkSpec {
 
   test("a non-deterministic filter falls through to the base scan") {
     // rand() references no columns, so a reference-only gate would pass
-    // it — and re-evaluate it per summary row, sampling GROUPS
-    val q = baseDf.filter(rand(7) < 2.0).groupBy("ka").agg(sum("m").as("sm"))
+    // it — and re-evaluate it per summary row, sampling GROUPS.
+    // (An always-true rand(_) < 2.0 gets optimized away before the rule
+    // runs and legitimately rewrites — the gate only sees live filters.)
+    val q = baseDf.filter(rand(7) < 0.5).groupBy("ka").agg(sum("m").as("sm"))
     assert(scanPaths(q).contains("facts_base"))
   }
 

@@ -409,4 +409,16 @@ class PlanAuditSpec extends SparkSpec {
     // back in and the dimension is being shuffled
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("CountMin.topK: sketch broadcasts, top-k is a heap take, never a global sort") {
+    import graft.operators.CountMin
+    val ev = Tables.events(spark, sfDir)
+    val plan = CountMin.topK(ev, CountMin.sketch(ev, "user_id"),
+      "user_id", 10).queryExecution.executedPlan.toString
+    // the Depth·Width sketch is the broadcast side of the estimate join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // orderBy+limit must plan the bounded heap, not a full sort of the
+    // candidate estimates (the global row_number then ranks only k rows)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }
