@@ -313,4 +313,50 @@ object Graph {
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Synchronous label propagation — community detection over the link
+    * graph (mirror clusters, template farms, topic hubs — the structure
+    * a curation pass wants BEYOND connectivity, which is all
+    * [[connectedComponents]] sees). Every node starts as its own label;
+    * each wave every node adopts the most frequent label among its
+    * neighbours, ties broken by SMALLEST label — the tie-break makes
+    * synchronous LPA fully deterministic (classic async LPA is
+    * visit-order dependent and could never hash against an oracle).
+    *
+    * Each wave: one equi-join (labels ⋈ symmetrized edges) + one
+    * map-side-combined (node, label) count + a per-node window (rank 1
+    * of count desc, label asc — PARTITIONed by node, never global),
+    * with the eager localCheckpoint lineage cut. Synchronous LPA can
+    * oscillate on bipartite structures; with a FIXED wave count both
+    * engines replay the identical sequence, converged, oscillating or
+    * not — determinism is the contract, convergence is the caller's
+    * parameter.
+    *
+    * Output: (node: long, community: long) for every node in any edge. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val byNode = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      labels = labels.join(sym, labels("node") === sym("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(byNode))
+        .filter(col("__rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

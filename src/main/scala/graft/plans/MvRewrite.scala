@@ -107,12 +107,22 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Several views may summarize the same base (a coarse (region) rollup
+    * next to a fine (region, day) one); all that MATCH are tried in
+    * ascending summary size — optimizer file-stats, name tie-break for
+    * determinism — and the first whose soundness gates pass wins, so a
+    * query answerable by both reads the smallest summary that can serve
+    * it. */
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
-    for {
-      (lr, filters) <- strip(agg.child, Nil)
-      d <- registry.values.asScala.find(baseMatches(lr, _))
-      out <- rewriteWith(agg, filters, d)
-    } yield out
+    strip(agg.child, Nil).flatMap { case (lr, filters) =>
+      registry.asScala.toSeq
+        .filter { case (_, d) => baseMatches(lr, d) }
+        .sortBy { case (name, d) =>
+          (d.template.computeStats().sizeInBytes, name) }
+        .iterator
+        .map { case (_, d) => rewriteWith(agg, filters, d) }
+        .collectFirst { case Some(p) => p }
+    }
 
   private def rewriteWith(agg: Aggregate, filters: Seq[Expression],
                           d: MvDef): Option[LogicalPlan] = {

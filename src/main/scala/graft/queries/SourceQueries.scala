@@ -877,8 +877,12 @@ object SourceQueries {
         |FROM hist ORDER BY k, valid_from""".stripMargin) { (s, d) =>
       val table = tmp("txn_cdf_scd2")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      // one partition + one materialization: base feeds three commits,
+      // and a single-file table keeps every change-feed diff a
+      // single-task join instead of 32 near-empty shuffle tasks
       val base = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        .coalesce(1).localCheckpoint(true)
       TxnTable.commit(s, base, table, overwrite = false)          // v1
       graft.operators.Merge.upsert(s, table,
         base.filter(col("k") % 5 === 0).withColumn("seg", lit("SEG_A")),

@@ -50,6 +50,20 @@ object WebCurationQueries {
     |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
     |       JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
 
+  /** One unrolled synchronous-LPA wave — mirrors Graph.labelPropagation:
+    * per-neighbour label counts, then rank 1 of (count desc, label asc)
+    * per node. */
+  private def lpIter(i: Int): String = s"""
+    |n$i AS MATERIALIZED (
+    |  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+    |  FROM l${i - 1} l JOIN e ON l.node = e.src GROUP BY 1, 2),
+    |l$i AS MATERIALIZED (
+    |  SELECT node, lbl FROM (
+    |    SELECT node, lbl,
+    |           row_number() OVER (PARTITION BY node
+    |                              ORDER BY c DESC, lbl) AS rn
+    |    FROM n$i) WHERE rn = 1)""".stripMargin
+
   /** One unrolled min-label wave — mirrors Graph.connectedComponents. */
   private def ccIter(i: Int): String = s"""
     |c$i AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM (
@@ -207,6 +221,40 @@ object WebCurationQueries {
         .select(col("u"), ((col("u") + col("j") * 5) % 200).as("v"))
       val edges = rim.union(dense).filter(col("u") =!= col("v"))
       Graph.kCore(edges, "u", "v", k = 6, iters = 8).orderBy("node")
+    },
+
+    // ── synchronous label propagation (Graph.labelPropagation): the
+    //    200-host graph planted as FOUR mod-4 residue communities (six
+    //    intra-class neighbours each) plus four cross edges — community
+    //    structure connectivity can't see (the graph may be one weak
+    //    component; LPA majorities still split it). Residue-only edges,
+    //    so the labelling is identical at every sf; 4 waves, the
+    //    deterministic (count desc, label asc) tie-break, every oracle
+    //    CTE materialized.
+    sql("q_graph_lpa",
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id % 200 AS u FROM documents),
+         |eb AS MATERIALIZED (
+         |  SELECT u, (u + 4 * j) % 200 AS v
+         |  FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+         |  WHERE u <> (u + 4 * j) % 200
+         |  UNION
+         |  SELECT u, (u + 1) % 200 AS v FROM n WHERE u % 50 = 0),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM eb
+         |      UNION SELECT v, u FROM eb),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),${
+           (1 to 4).map(lpIter).mkString(",")}
+         |SELECT node, CAST(lbl AS BIGINT) AS community FROM l4
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 200).as("u")).distinct()
+      val intra = hosts
+        .select(col("u"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("u"), ((col("u") + col("j") * 4) % 200).as("v"))
+      val cross = hosts.filter(col("u") % 50 === 0)
+        .select(col("u"), ((col("u") + 1) % 200).as("v"))
+      val edges = intra.union(cross).filter(col("u") =!= col("v"))
+      Graph.labelPropagation(edges, "u", "v", iters = 4).orderBy("node")
     },
 
     // ── Unicode NFC normalization (native normalize_unicode expression):

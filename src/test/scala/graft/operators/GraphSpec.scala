@@ -159,4 +159,20 @@ class GraphSpec extends SparkSpec {
     val got = core(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)), k = 2)
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: disjoint triangles settle on their own min labels") {
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    assert(lpa(two, iters = 4) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: one wave, hand-computed with the min-label tie-break") {
+    // star 2-1-3: node 1 sees labels {2,3} (tie -> 2); leaves see {1}
+    assert(lpa(Seq((1L, 2L), (1L, 3L)), iters = 1) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }

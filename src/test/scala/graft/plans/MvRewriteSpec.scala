@@ -141,6 +141,28 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.head().getLong(1) == 999L)
   }
 
+  test("multi-view selection: the smallest summary that can answer wins") {
+    // a COARSER (ka)-keyed view over the same base: 4 rows vs 12
+    val coarseMv = s"$root/facts_mv_coarse.parquet"
+    Mv.build(spark.read.parquet(basePath), Seq("ka"), Seq("m"), coarseMv)
+    Mv.register(spark, "facts_coarse", "facts_base.parquet", coarseMv,
+      Seq("ka"), Seq("m"))
+    try {
+      // answerable by both → must pick the coarse (smaller) summary
+      val q = baseDf.groupBy("ka").agg(sum("m").as("sm"))
+      assert(scanPaths(q).contains("facts_mv_coarse"), scanPaths(q).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = baseDf.groupBy("ka").agg(sum("m").as("sm"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
+      // needs kb → only the fine view is sound; the coarse one declines
+      val fine = baseDf.groupBy("ka", "kb").agg(sum("m").as("sm"))
+      val fp = scanPaths(fine)
+      assert(fp.contains("facts_mv") && !fp.contains("facts_mv_coarse"), fp.take(2000))
+    } finally MvRewrite.deregister("facts_coarse")
+  }
+
   test("txn-table views: exact-file-set match, structural staleness, additive refresh") {
     import graft.sources.TxnTable
     val table = s"$root/txn_facts"

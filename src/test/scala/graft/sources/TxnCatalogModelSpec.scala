@@ -101,4 +101,84 @@ class TxnCatalogModelSpec extends SparkSpec {
     travelAll()
     assert(TxnCatalog.vacuum(c) == 0, "vacuum is idempotent")
   }
+
+  test("random WAP walks: disjoint audits merge, overlaps refuse, all history travels") {
+    val root = "/root/repo/target/tmp/spec_cat_wapmodel"
+    FileUtils.deleteQuietly(new File(root))
+    val main = s"$root/main"
+    val rnd = new scala.util.Random(24L)
+    val names = Seq("ta", "tb")
+
+    var model = Map.empty[String, Set[Long]]          // main's live state
+    val mainLog = scala.collection.mutable.ArrayBuffer[Set[String]]() // per-txn touched tables
+    val snapshots = scala.collection.mutable.ArrayBuffer[Map[String, Set[Long]]]()
+    def commitMain(n: String, rows: Set[Long]): Unit = {
+      TxnCatalog.commitAll(spark, main, Seq(Write(n, rows.toSeq.toDF("id"))))
+      model += n -> (model.getOrElse(n, Set.empty) ++ rows)
+      mainLog += Set(n); snapshots += model
+    }
+    commitMain("ta", Set(1L))
+
+    final case class Branch(path: String, forkLen: Int,
+                            var st: Map[String, Set[Long]],
+                            var touched: Set[String], var commits: Int)
+    val branches = scala.collection.mutable.ArrayBuffer[Branch]()
+    var nextId = 0
+    var nPublished = 0
+    var nRefused = 0
+
+    def check(): Unit = model.foreach { case (n, want) =>
+      val got = TxnCatalog.read(spark, main, n).select("id").as[Long].collect().toSet
+      assert(got == want, s"main table $n diverged from the model")
+    }
+
+    (1 to 30).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 => // fork a new audit branch off the current head
+          nextId += 1
+          val b = Branch(s"$root/b$nextId", mainLog.size, model, Set.empty, 0)
+          TxnCatalog.cloneCatalog(main, b.path)
+          branches += b
+        case 1 if branches.nonEmpty => // audit commit on a random branch
+          val b = branches(rnd.nextInt(branches.size))
+          val n = names(rnd.nextInt(names.size))
+          val rows = Set(1000L * i + rnd.nextInt(9))
+          TxnCatalog.commitAll(spark, b.path, Seq(Write(n, rows.toSeq.toDF("id"))))
+          b.st += n -> (b.st.getOrElse(n, Set.empty) ++ rows)
+          b.touched += n; b.commits += 1
+        case 2 => // main moves on underneath the audits
+          commitMain(names(rnd.nextInt(names.size)), Set(5000L * i + rnd.nextInt(9)))
+        case _ if branches.nonEmpty => // publish a random branch, retire it
+          val b = branches.remove(rnd.nextInt(branches.size))
+          val mainChanged = mainLog.drop(b.forkLen).flatten.toSet
+          if (b.commits == 0) {
+            TxnCatalog.publishFrom(b.path, main) // no-op: audit wrote nothing
+          } else if ((b.touched intersect mainChanged).nonEmpty) {
+            intercept[IllegalArgumentException] {
+              TxnCatalog.publishFrom(b.path, main)
+            }
+            nRefused += 1
+          } else {
+            TxnCatalog.publishFrom(b.path, main)
+            model = model ++ b.touched.map(n => n -> b.st(n))
+            mainLog += b.touched; snapshots += model
+            nPublished += 1
+          }
+        case _ => ()
+      }
+      check()
+    }
+    // the walk must have exercised both outcomes at least once
+    assert(nPublished >= 1, "walk never published a disjoint audit")
+    assert(nRefused >= 1, "walk never hit an overlapping refusal")
+    // every historical main txn (commits AND squashed publishes) travels
+    snapshots.zipWithIndex.foreach { case (state, idx) =>
+      val t = idx + 1
+      state.foreach { case (n, want) =>
+        val got = TxnCatalog.read(spark, main, n, asOf = Some(t))
+          .select("id").as[Long].collect().toSet
+        assert(got == want, s"time travel: main table $n at t$t diverged")
+      }
+    }
+  }
 }
