@@ -96,8 +96,11 @@ object Bench {
     // not hardcoded to one checkout location).
     val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO",
       sys.props.getOrElse("user.dir", "."))
+    // a SPARK_GRAFT_ONLY iteration run must not clobber the full-sweep
+    // artifact STATUS cites — partial results land in BENCH_PARTIAL.json
+    val artifact = if (only.isEmpty) "BENCH_LATEST.json" else "BENCH_PARTIAL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(repoDir).resolve("BENCH_LATEST.json"),
+      java.nio.file.Paths.get(repoDir).resolve(artifact),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only the TAIL (~2000 chars) of stdout — the r02
     // and r03 artifacts both lost the head of the full line and parsed as
@@ -115,7 +118,7 @@ object Bench {
     }
     val errsCompact = results.collect { case (k, _, Some(e), _) => s"${q(k)}:${q(e.take(80))}" }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted_fastest":$omitted,"full_per_query":"BENCH_LATEST.json","errors":$errsCompact,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted_fastest":$omitted,"full_per_query":${q(artifact)},"errors":$errsCompact,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
     println(compact)
     spark.stop()
   }

@@ -37,11 +37,22 @@ object CountMin {
   val A: Seq[Long] = Seq(1103515245L, 22695477L, 1664525L, 69069L)
   val B: Seq[Long] = Seq(12345L, 1L, 1013904223L, 362437L)
 
+  /** Largest admissible item: item·max(A)+max(B) must stay under 2⁶³
+    * (Spark would wrap silently while the DuckDB oracle throws — the
+    * guard makes both engines fail identically and loudly). */
+  val MaxItem: Long = (Long.MaxValue - B.max) / A.max
+
   /** The flat cell index of `item` in row `r` (0-based): rows concatenate,
-    * so one (cell → count) map is the whole sketch. Non-negative items
-    * only (the affine product must not wrap). */
-  def cell(item: Column, r: Int): Column =
-    lit(r.toLong * Width) + ((item * A(r) + B(r)) % P) % Width
+    * so one (cell → count) map is the whole sketch. Items must be in
+    * [0, MaxItem]: negatives would make `%` return a negative remainder
+    * and bleed into the previous row's index range; larger items would
+    * wrap the affine product. Both raise at execution instead. */
+  def cell(item: Column, r: Int): Column = {
+    val checked = when(item < 0 || item > MaxItem,
+      raise_error(concat(lit(s"count-min item out of [0, $MaxItem]: "),
+        item.cast("string")))).otherwise(item)
+    lit(r.toLong * Width) + ((checked * A(r) + B(r)) % P) % Width
+  }
 
   private def cellRows(df: DataFrame, itemCol: String): DataFrame =
     df.select(explode(array(
@@ -54,14 +65,19 @@ object CountMin {
   /** Point-estimate every row of `candidates` (distinct values of
     * `itemCol`) against a built sketch: min over the item's Depth cells.
     * The sketch side is tiny and broadcasts; candidates never shuffle
-    * more than their own distinct-aggregation. */
+    * more than their own distinct-aggregation. A cell the sketch never
+    * touched counts as 0 (LEFT join + coalesce) — an inner join would
+    * silently DROP a candidate the sketch's input never saw instead of
+    * reporting its correct zero estimate (candidates and sketch may
+    * come from different sources). */
   def estimate(candidates: DataFrame, sk: DataFrame,
                itemCol: String): DataFrame = {
     val withCells = candidates.select(col(itemCol),
       explode(array((0 until Depth).map(r => cell(col(itemCol), r)): _*))
         .as("cell"))
-    withCells.join(broadcast(sk), "cell")
-      .groupBy(itemCol).agg(min("cnt").as("est_cnt"))
+    withCells.join(broadcast(sk), Seq("cell"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** Top-k heavy hitters of `df[itemCol]` by sketch estimate, with the

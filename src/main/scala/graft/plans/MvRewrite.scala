@@ -170,10 +170,20 @@ object MvRewrite extends Rule[LogicalPlan] {
             Alias(Max(attr(s"max_$c").getOrElse(return None)).toAggregateExpression(),
               name)(exprId = al.exprId)
           case a: Average =>
+            if (!conf.getConfString(
+                "spark.graft.mvRewrite.avg.enabled", "true").toBoolean)
+              return None
             val c = measure(a.child).getOrElse(return None)
             // exact integer sums, one final IEEE division — numerator is
             // NULL exactly when cnt_c sums to 0, matching AVG's
-            // null-on-no-rows contract without a zero-divide
+            // null-on-no-rows contract without a zero-divide. NOTE:
+            // Spark's own Average accumulates integral inputs in DOUBLE,
+            // so past 2^53 of per-group sum its low bits depend on
+            // partitioning; this rewrite is the exact value instead —
+            // equal whenever the base AVG is itself exact (sums < 2^53),
+            // strictly more accurate beyond. Callers needing
+            // bit-identity-with-base at any magnitude can disable just
+            // this rewrite via spark.graft.mvRewrite.avg.enabled=false.
             Alias(Divide(
               Cast(Sum(attr(s"sum_$c").getOrElse(return None)).toAggregateExpression(), DoubleType),
               Cast(Sum(attr(s"cnt_$c").getOrElse(return None)).toAggregateExpression(), DoubleType)),
@@ -274,27 +284,49 @@ object Mv {
   /** Advance a txn-table view from `builtVersion` to the current head
     * by aggregating ONLY the appended files and additively merging into
     * the existing summary (sum/cnt add, min/max re-min/re-max) — the
-    * O(Δ) refresh; a range with removals fails loudly in
-    * `TxnTable.addedFiles` (rebuild via [[registerTxn]] instead).
-    * Re-registers against the new head's file set and returns it. */
+    * O(Δ) refresh. The delta is the LIVE-FILE DIFF between the two
+    * snapshots, not a log replay: a metadata-only re-list version in
+    * the range (checkpoint squash, the catalog lineage cap) would make
+    * `TxnTable.addedFiles` re-count every pre-existing row, while the
+    * diff stays exactly the appends. Any file REMOVED since
+    * `builtVersion` (delete/overwrite/compaction) fails loudly —
+    * min/max cannot be retracted additively; rebuild via
+    * [[registerTxn]]. Re-registers against the new head's file set and
+    * returns it. */
   def refreshTxn(spark: SparkSession, name: String, table: String,
                  builtVersion: Int, mvPath: String, keys: Seq[String],
                  sumCols: Seq[String]): Int = {
     import graft.sources.TxnTable
     val head = TxnTable.currentVersion(table)
     if (head != builtVersion) {
-      val added = TxnTable.addedFiles(table, builtVersion, head)
+      val preLive = TxnTable.liveFiles(table, Some(builtVersion)).toSet
+      val headLive = TxnTable.liveFiles(table, Some(head))
+      val gone = preLive.diff(headLive.toSet)
+      require(gone.isEmpty,
+        s"$table removed ${gone.size} file(s) since v$builtVersion — the " +
+          "range is not append-only; rebuild the view via registerTxn")
+      val added = headLive.filterNot(preLive)
         .map(f => new java.io.File(table, f).getPath)
-      val deltaDir = mvPath + s"_delta_v$head"
-      build(spark.read.parquet(added: _*), keys, sumCols, deltaDir)
-      val merges = sumCols.flatMap(c => Seq(
-        s"min_$c" -> "min", s"max_$c" -> "max")).toMap
-      val merged = graft.operators.Incremental.mergeAdditive(
-        spark.read.parquet(mvPath), spark.read.parquet(deltaDir),
-        keys, merges)
-      val staging = mvPath + s"_v$head"
-      merged.write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging).write.mode("overwrite").parquet(mvPath)
+      if (added.nonEmpty) {
+        val deltaDir = mvPath + s"_delta_v$head"
+        build(spark.read.parquet(added: _*), keys, sumCols, deltaDir)
+        val merges = sumCols.flatMap(c => Seq(
+          s"min_$c" -> "min", s"max_$c" -> "max")).toMap
+        val merged = graft.operators.Incremental.mergeAdditive(
+          spark.read.parquet(mvPath), spark.read.parquet(deltaDir),
+          keys, merges)
+        // stage the merge (it READS mvPath), then install with a
+        // filesystem move and sweep both scratch dirs — a re-read-and-
+        // rewrite install would cost a second full pass and the
+        // abandoned dirs would pile up one pair per refresh
+        val staging = new java.io.File(mvPath + s"_v$head")
+        merged.write.mode("overwrite").parquet(staging.getPath)
+        val target = new java.io.File(mvPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(target)
+        org.apache.commons.io.FileUtils.moveDirectory(staging, target)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(deltaDir))
+      }
     }
     registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
     head

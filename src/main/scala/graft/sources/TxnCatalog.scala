@@ -408,6 +408,10 @@ object TxnCatalog {
         }
       }
     val auditTables = touched(branch, branchTxn)
+    // an audit whose NET state equals the fork (e.g. commits then a
+    // restore back) has nothing to publish — don't burn a txn on a
+    // byte-identical duplicate entry
+    if (auditTables.isEmpty) return mainTxn
     val conflicts = auditTables.intersect(touched(main, mainTxn))
     require(conflicts.isEmpty,
       s"table(s) ${conflicts.toSeq.sorted.mkString(", ")} changed on BOTH " +

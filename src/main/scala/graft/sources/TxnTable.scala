@@ -631,7 +631,16 @@ object TxnTable {
     * the caller must fall back to a full recompute — silently ignoring
     * the removal would double-count). */
   def addedFiles(table: String, fromExclusive: Int,
-                 toInclusive: Int): Seq[String] =
+                 toInclusive: Int): Seq[String] = {
+    // a metadata-only RE-LIST version (checkpoint-style squash:
+    // publishFileList / the catalog lineage cap) "adds" the whole live
+    // set with removed=[] — it passes an empty-removals check but is NOT
+    // an append, and treating it as one double-counts every pre-existing
+    // row downstream (mergeAdditive-style refreshes). Refuse any version
+    // whose additions intersect the files already live at the range
+    // start, exactly like a removal.
+    val seen = scala.collection.mutable.Set.empty[String]
+    seen ++= liveFiles(table, Some(fromExclusive))
     logFiles(table)
       .filter(f => versionOf(f) > fromExclusive && versionOf(f) <= toInclusive)
       .flatMap { f =>
@@ -639,8 +648,16 @@ object TxnTable {
         require(removed.isEmpty,
           s"version ${versionOf(f)} of $table removes files — the range is " +
             "not append-only; recompute from the snapshot instead")
+        val relist = added.filter(seen)
+        require(relist.isEmpty,
+          s"version ${versionOf(f)} of $table re-lists ${relist.size} " +
+            "already-live file(s) (a checkpoint/squash, not an append) — " +
+            "the range is not append-only; recompute from the snapshot " +
+            "instead")
+        seen ++= added
         added
       }
+  }
 
   /** Row-level CHANGE FEED between two versions — Delta CDF's read-side
     * shape: for every version in (`fromExclusive`, `toInclusive`], diff

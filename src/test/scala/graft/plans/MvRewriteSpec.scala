@@ -50,10 +50,10 @@ class MvRewriteSpec extends SparkSpec {
     assert(!plan.contains("facts_base"), plan.take(2000))
     // ground truth computed with the rule disabled
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-    val want = baseDf.groupBy("ka")
+    val want = try baseDf.groupBy("ka")
       .agg(sum("m").as("sm"), count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    spark.conf.unset("spark.graft.mvRewrite.enabled")
+    finally spark.conf.unset("spark.graft.mvRewrite.enabled")
     val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
@@ -63,9 +63,9 @@ class MvRewriteSpec extends SparkSpec {
       .agg(sum("m").as("sm"))
     assert(scanPaths(onKey).contains("facts_mv"))
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-    val want = baseDf.filter(col("kb") =!= "s0").groupBy("ka")
+    val want = try baseDf.filter(col("kb") =!= "s0").groupBy("ka")
       .agg(sum("m").as("sm")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    spark.conf.unset("spark.graft.mvRewrite.enabled")
+    finally spark.conf.unset("spark.graft.mvRewrite.enabled")
     assert(onKey.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
 
     // m is a measure, not a key: filtering on it must scan the base
@@ -93,12 +93,12 @@ class MvRewriteSpec extends SparkSpec {
     assert(plan.contains("facts_mv"), plan.take(2000))
     assert(!plan.contains("facts_base"), plan.take(2000))
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-    val want = baseDf.filter(col("kb") =!= "s1").groupBy("ka")
+    val want = try baseDf.filter(col("kb") =!= "s1").groupBy("ka")
       .agg(min("m").as("mn"), max("m").as("mx"), avg("m").as("av"),
         sum("m").as("sm"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4))).toSet
-    spark.conf.unset("spark.graft.mvRewrite.enabled")
+    finally spark.conf.unset("spark.graft.mvRewrite.enabled")
     val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getDouble(3), r.getLong(4))).toSet
     assert(got == want)
@@ -152,15 +152,43 @@ class MvRewriteSpec extends SparkSpec {
       val q = baseDf.groupBy("ka").agg(sum("m").as("sm"))
       assert(scanPaths(q).contains("facts_mv_coarse"), scanPaths(q).take(2000))
       spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-      val want = baseDf.groupBy("ka").agg(sum("m").as("sm"))
+      val want = try baseDf.groupBy("ka").agg(sum("m").as("sm"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      spark.conf.unset("spark.graft.mvRewrite.enabled")
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
       assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
       // needs kb → only the fine view is sound; the coarse one declines
       val fine = baseDf.groupBy("ka", "kb").agg(sum("m").as("sm"))
       val fp = scanPaths(fine)
       assert(fp.contains("facts_mv") && !fp.contains("facts_mv_coarse"), fp.take(2000))
     } finally MvRewrite.deregister("facts_coarse")
+  }
+
+  test("refreshTxn across a metadata squash stays exact (live-diff, not log replay)") {
+    import graft.sources.{TxnCatalog, TxnTable}
+    import graft.sources.TxnCatalog.Write
+    val cat = s"$root/squash_cat"
+    val smv = s"$root/squash_mv.parquet"
+    spark.conf.set("spark.graft.catalog.maxLineage", "1")
+    try {
+      TxnCatalog.commitAll(spark, cat,
+        Seq(Write("t", Seq(("a", 1L), ("b", 2L)).toDF("k", "m"))))
+      val table = TxnCatalog.tablePath(cat, "t")
+      val v1 = Mv.registerTxn(spark, "squash", table, smv, Seq("k"), Seq("m"))
+      // this commit pushes lineage past the cap → commitAll publishes a
+      // RE-LIST squash version; a log-replay refresh would re-aggregate
+      // the v1 rows and double the sums
+      TxnCatalog.commitAll(spark, cat,
+        Seq(Write("t", Seq(("a", 10L)).toDF("k", "m"))))
+      Mv.refreshTxn(spark, "squash", table, v1, smv, Seq("k"), Seq("m"))
+      val q = TxnTable.read(spark, table).groupBy("k")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      assert(scanPaths(q).contains("squash_mv"), scanPaths(q).take(2000))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("a", 11L, 2L), ("b", 2L, 1L)))
+    } finally {
+      spark.conf.unset("spark.graft.catalog.maxLineage")
+      MvRewrite.deregister("squash")
+    }
   }
 
   test("txn-table views: exact-file-set match, structural staleness, additive refresh") {

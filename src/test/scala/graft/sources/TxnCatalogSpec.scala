@@ -199,6 +199,16 @@ class TxnCatalogSpec extends SparkSpec {
       // vacuum keeps everything any entry references
       assert(TxnCatalog.vacuum(c) == 0)
       assert(ids(c, "ev", Some(15)) == (1L to 15L).toSet)
+      // a squash version RE-LISTS live files — addedFiles must refuse a
+      // range containing one (treating it as an append would silently
+      // double-count every pre-existing row downstream)
+      val t = TxnCatalog.tablePath(c, "ev")
+      val head = TxnTable.currentVersion(t)
+      intercept[IllegalArgumentException] {
+        TxnTable.addedFiles(t, 0, head)
+      }
+      // a squash-free tail range still reads as appends
+      assert(TxnTable.addedFiles(t, head - 1, head).nonEmpty)
     } finally spark.conf.unset("spark.graft.catalog.maxLineage")
   }
 

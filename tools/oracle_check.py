@@ -56,14 +56,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            # Enforce the budget with a watchdog that interrupts the DuckDB
-            # connection; materialize inside the timed window (con.sql is
-            # lazy — fetch is where the work happens).
+            # Enforce the budget with a watchdog that interrupts a
+            # PER-ORACLE cursor (a sibling connection to the same
+            # database — views are shared); interrupting the shared
+            # connection instead would race: a timer firing just after a
+            # ~29.9 s fetch completes leaves the interrupt pending and
+            # poisons the NEXT (fast) oracle. Materialize inside the
+            # timed window (sql() is lazy — fetch is where the work is).
+            cur = con.cursor()
             t0 = time.monotonic()
-            watchdog = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+            watchdog = threading.Timer(ORACLE_BUDGET_SEC, cur.interrupt)
             watchdog.start()
             try:
-                rel = con.sql(sql)
+                rel = cur.sql(sql)
             # The driver's value hash is TYPE-SENSITIVE. DuckDB silently
             # promotes SUM/list_sum over BIGINT to HUGEINT (INT128), which
             # pandas renders as float64 — values then compare equal here
@@ -80,6 +85,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 continue
             finally:
                 watchdog.cancel()
+                cur.close()
             oracle_sec = time.monotonic() - t0
             duck_df = canon(duck_raw)
             problems = []
