@@ -354,6 +354,67 @@ object ScaleQueries {
           .groupBy("l_returnflag")
           .agg(avg("l_partkey").as("avg_pk"))
       }
+    },
+
+    // ── CAPSTONE: the MV lifecycle against a LIVE txn table — register
+    //    a snapshot-pinned view (rewrites, from_mv=1), commit a delta
+    //    (the SAME query silently falls back to base because the live
+    //    file set no longer matches — stale answers structurally
+    //    impossible, from_mv=0 with FULL-data numbers), then refreshTxn
+    //    O(Δ) and rewrite again (from_mv=1, full data). One row per
+    //    (stage, returnflag); a stale rewrite, a missed fallback, or a
+    //    drifting refresh each breaks a stage hash.
+    sql("q21_mv_lifecycle",
+      """WITH v1 AS (SELECT * FROM lineitem WHERE l_orderkey % 3 <> 0)
+        |SELECT 'a_mv' AS stage, l_returnflag,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM v1 WHERE l_linestatus <> 'O' GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'b_stale', l_returnflag, CAST(SUM(l_partkey) AS BIGINT),
+        |       COUNT(*), CAST(0 AS BIGINT)
+        |FROM lineitem WHERE l_linestatus <> 'O' GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'c_refreshed', l_returnflag, CAST(SUM(l_partkey) AS BIGINT),
+        |       COUNT(*), CAST(1 AS BIGINT)
+        |FROM lineitem WHERE l_linestatus <> 'O' GROUP BY l_returnflag
+        |ORDER BY stage, l_returnflag""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      import graft.sources.TxnTable
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"/root/repo/target/tmp/mvlc_table_$sfKey"
+      val mvDir = s"/root/repo/target/tmp/mvlc_view_$sfKey"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvDir))
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      TxnTable.commit(s, li.filter(col("l_orderkey") % 3 =!= 0), table,
+        overwrite = false)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val v1 = Mv.registerTxn(s, "mvlc", table, mvDir, keys, Seq("l_partkey"))
+      def staged(stage: String) = {
+        val q = TxnTable.read(s, table)
+          .filter(col("l_linestatus") =!= "O")
+          .groupBy("l_returnflag")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("mvlc_view") && !plan.contains("mvlc_table")
+        val out = q.select(lit(stage).as("stage"), col("l_returnflag"),
+            col("part_sum"), col("n"),
+            lit(if (fromMv) 1L else 0L).as("from_mv"))
+          .cache()
+        out.count() // pin before the table state moves on
+        out
+      }
+      try {
+        val a = staged("a_mv")
+        TxnTable.commit(s, li.filter(col("l_orderkey") % 3 === 0), table,
+          overwrite = false)
+        val b = staged("b_stale")
+        Mv.refreshTxn(s, "mvlc", table, v1, mvDir, keys, Seq("l_partkey"))
+        val c = staged("c_refreshed")
+        a.unionByName(b).unionByName(c).orderBy("stage", "l_returnflag")
+      } finally MvRewrite.deregister("mvlc")
     }
   )
 
