@@ -481,4 +481,30 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
   }
+
+  /** QUALITY-AWARE keeper selection over near-dup clusters — the curation
+    * decision [[nearDupClusters]]' min-id canonical dodges: inside a
+    * duplicate cluster you keep the BEST copy (longest, least
+    * boilerplate, highest LM score), not the lowest id. `clusters` is
+    * (doc_id, cluster_id) as nearDupClusters emits; `quality` carries a
+    * per-doc integral score (integral so the argmax — and therefore the
+    * kept corpus — replays exactly on any engine; ties break to the
+    * smallest doc id, fully deterministic).
+    *
+    * One user-keyed equi-join + one window PARTITIONed by cluster (dup
+    * clusters are small — the window sorts a handful of rows per key,
+    * never a global order) + one hash aggregate. Output: one row per
+    * cluster — (cluster_id, n_members, keeper_id, keeper_quality). */
+  def keepBest(clusters: DataFrame, quality: DataFrame, docCol: String,
+               qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(qualityCol).desc, col(docCol))
+    clusters.join(quality, docCol)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col(docCol))).as("keeper_id"),
+        max(when(col("__rn") === 1, col(qualityCol))).as("keeper_quality"))
+  }
 }

@@ -158,17 +158,17 @@ object CompositeQueries {
     //    is a map-side-combined aggregate — one pass over the corpus plus
     //    the dedup pipeline's bounded candidate joins.
     sql("q03_corpus_curation",
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
         |  WHERE len(w) >= 5),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION ALL
         |  SELECT id_b AS src, id_a AS dst FROM p),
@@ -364,7 +364,7 @@ object CompositeQueries {
         |    (3, [100,450,450,300,300,100], [500,500,650,650,900,900]),
         |    (4, [700,900,700,500], [600,750,900,750])
         |  ) AS t(poly_id, xs, ys)),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT poly_id,
         |         xs[i] AS x1, ys[i] AS y1,
         |         xs[(i % len(xs)) + 1] AS x2, ys[(i % len(xs)) + 1] AS y2

@@ -234,13 +234,13 @@ object TextQueries {
     //    both sides, so the pair count is scale-invariant): the exact
     //    baseline the LSH paths are measured against, as its own operator
     sql("q_dedup_ngram",
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
         |                               i -> array_to_string(w[i:i+2], ' '))) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
         |        WHERE doc_id < 500)
         |  WHERE len(w) >= 3),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
@@ -269,17 +269,17 @@ object TextQueries {
     //    of dedup. Oracle computes components by recursive-CTE transitive
     //    closure over the same brute-force pairs.
     sql("q_dedup_clusters",
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
          |                               i -> array_to_string(w[i:i+4], ' '))) AS s
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
          |  WHERE len(w) >= 5),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM p
          |  UNION ALL
          |  SELECT id_b AS src, id_a AS dst FROM p),
@@ -292,6 +292,53 @@ object TextQueries {
       val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
       Dedup.nearDupClusters(pairs).orderBy("doc_id")
+    },
+
+    // ── quality-aware keeper selection (Dedup.keepBest): inside each
+    //    near-dup cluster keep the highest-quality copy (word count as
+    //    the integral quality score; ties → smallest id), not the
+    //    min-id canonical — the decision a real curation pass ships.
+    //    Oracle: the shared cluster CTEs + the same argmax window.
+    sql("q_dedup_keep_best",
+      """WITH RECURSIVE sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+         |  WHERE len(w) >= 5),
+         |p AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |cl AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |q AS (SELECT doc_id,
+         |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS quality
+         |      FROM documents),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |              row_number() OVER (PARTITION BY cl.cluster_id
+         |                                 ORDER BY q.quality DESC, cl.doc_id) AS rn
+         |       FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+         |       CAST(MAX(CASE WHEN rn = 1 THEN quality END) AS BIGINT) AS keeper_quality
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
+      val quality = docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("quality"))
+      Dedup.keepBest(Dedup.nearDupClusters(pairs), quality,
+          "doc_id", "quality")
+        .orderBy("cluster_id")
     },
 
     // ── BPE merge-table training (BpeTrain.learnMerges): the training is
@@ -462,12 +509,12 @@ object TextQueries {
     * truth both LSH near-dup pipelines (minhash, simhash) must reproduce
     * exactly. */
   private lazy val bruteForceOracle: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
       |                               i -> array_to_string(w[i:i+4], ' '))) AS s
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
       |  WHERE len(w) >= 5),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac

@@ -142,4 +142,17 @@ class DedupSpec extends SparkSpec {
         s"copy $id (len $len) not fully covered: ${ss.mkString(",")}")
     }
   }
+
+  test("keepBest: highest quality wins, ties break to the smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(clusters, quality, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // cluster 1: quality tie 9 between 2 and 3 → smallest id 2;
+    // cluster 10: tie 4 between 10 and 11 → 10
+    assert(got == Set((1L, 3L, 2L, 9L), (10L, 2L, 10L, 4L)))
+  }
 }

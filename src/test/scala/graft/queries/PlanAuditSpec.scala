@@ -410,6 +410,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("graph wave shapes: LPA's rank-1 window is per-node, kCore prunes via semi-joins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one LPA wave, constructed as the operator builds it: the window
+    // must be PARTITIONed by node — a global row_number here would
+    // funnel the whole vocabulary of (node,label) pairs through one task
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+    val wave = labels.join(sym, labels("node") === sym("src"))
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(byNode))
+      .filter(col("__rn") === 1)
+    val wavePlan = wave.queryExecution.executedPlan.toString
+    val windowLine = wavePlan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("node"), s"window not partitioned: $windowLine")
+    // one kCore wave: survivors prune edges through two LeftSemi joins —
+    // an inner join against the degree table would duplicate edges
+    val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 1).select("src")
+    val pruned = sym.join(keep, Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(prunedPlan).size >= 2, prunedPlan.take(2000))
+  }
+
   test("CountMin.topK: sketch broadcasts, top-k is a heap take, never a global sort") {
     import graft.operators.CountMin
     val ev = Tables.events(spark, sfDir)
