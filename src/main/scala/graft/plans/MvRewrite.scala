@@ -43,6 +43,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    A summary built before a capability existed simply lacks the
   *    column and the rewrite declines — never a wrong answer.
   *
+  * JOIN-AWARE rewrites ([[MvJoinDef]]): a summary built over
+  * `fact ⋈ dim` answers aggregates over that same INNER equi-join —
+  * the star-query cache. The join must match exactly (both scans, the
+  * key pair in either order, Inner); every soundness gate above then
+  * applies with the joined relation as "the base". The dim side's key
+  * uniqueness is enforced at build time — the one property that makes
+  * pre-aggregating through a join sound.
+  *
   * The rewrite preserves every output name AND exprId, so the
   * downstream plan never knows. Staleness: a view registered against a
   * plain parquet path is the registrar's contract (rebuild +
@@ -69,19 +77,37 @@ object MvRewrite extends Rule[LogicalPlan] {
                          sumCols: Seq[String], template: LogicalRelation,
                          fileSet: Option[Set[String]] = None)
 
+  /** A JOIN-AWARE summary: pre-aggregated `fact ⋈ dim` on
+    * `factKey == dimKey` — the star-query cache. Matches an Aggregate
+    * over an INNER equi-join of the two registered scans on exactly
+    * those keys; `keys`/`sumCols` may name columns from either side
+    * (the build projects them into one flat summary, so names must be
+    * unambiguous across the join). The dim side must be UNIQUE on
+    * `dimKey` ([[Mv.buildJoin]] enforces it at build time) — a fanning
+    * join would make the summary silently wrong. */
+  final case class MvJoinDef(factSuffix: String, dimSuffix: String,
+                             factKey: String, dimKey: String,
+                             keys: Seq[String], sumCols: Seq[String],
+                             template: LogicalRelation)
+
   private val registry = new ConcurrentHashMap[String, MvDef]()
+  private val joinRegistry = new ConcurrentHashMap[String, MvJoinDef]()
 
   def register(name: String, d: MvDef): Unit = registry.put(name, d)
-  def deregister(name: String): Unit = registry.remove(name)
-  def clear(): Unit = registry.clear()
+  def registerJoin(name: String, d: MvJoinDef): Unit = joinRegistry.put(name, d)
+  def deregister(name: String): Unit = {
+    registry.remove(name); joinRegistry.remove(name); ()
+  }
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || registry.isEmpty) plan
+    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryJoinRewrite(agg)).getOrElse(agg)
     }
 
   /** Peel pure-projection and filter nodes off the aggregate's child;
@@ -95,16 +121,22 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def baseMatches(lr: LogicalRelation, d: MvDef): Boolean =
+  private def suffixMatches(lr: LogicalRelation, suffix: String): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        val roots = fs.location.rootPaths.map(_.toString)
-        d.fileSet match {
-          case Some(files) => roots.toSet == files
-          case None => roots.exists(p =>
-            p == d.baseSuffix || p.endsWith("/" + d.baseSuffix))
-        }
+        fs.location.rootPaths.map(_.toString)
+          .exists(p => p == suffix || p.endsWith("/" + suffix))
       case _ => false
+    }
+
+  private def baseMatches(lr: LogicalRelation, d: MvDef): Boolean =
+    d.fileSet match {
+      case Some(files) => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).toSet == files
+        case _ => false
+      }
+      case None => suffixMatches(lr, d.baseSuffix)
     }
 
   /** Several views may summarize the same base (a coarse (region) rollup
@@ -123,6 +155,84 @@ object MvRewrite extends Rule[LogicalPlan] {
         .map { case (_, d) => rewriteWith(agg, filters, d) }
         .collectFirst { case Some(p) => p }
     }
+
+  /** Peel projection/filter nodes down to an INNER equi-join — the
+    * star-query shape [[MvJoinDef]] caches. */
+  private def stripToJoin(p: LogicalPlan, fs: Seq[Expression])
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.Join, Seq[Expression])] =
+    p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => Some((j, fs))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(c, fs)
+      case Filter(cond, c) => stripToJoin(c, fs :+ cond)
+      case _ => None
+    }
+
+  /** Rewrite `Aggregate(… , fact ⋈ dim)` from a registered join summary:
+    * both sides must strip to the registered scans, the join must be the
+    * registered INNER equi-join (either key order), and the aggregate/
+    * filter gates of [[rewriteWith]] apply unchanged — the joined
+    * relation is just "the base table" from the summary's point of view. */
+  private def tryJoinRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    for {
+      (j, topFs) <- stripToJoin(agg.child, Nil)
+      if j.joinType == Inner
+      cond <- j.condition
+      keyPair <- cond match {
+        case EqualTo(x: AttributeReference, y: AttributeReference) => Some((x, y))
+        case _ => None
+      }
+      (lrL, fsL) <- strip(j.left, Nil)
+      (lrR, fsR) <- strip(j.right, Nil)
+      out <- {
+        val (a, b) = keyPair
+        // which join child does each key attribute come from?
+        val aLeft = j.left.outputSet.contains(a)
+        val bLeft = j.left.outputSet.contains(b)
+        def matches(d: MvJoinDef): Boolean = {
+          def orient(factLr: LogicalRelation, dimLr: LogicalRelation,
+                     factIsLeft: Boolean): Boolean =
+            suffixMatches(factLr, d.factSuffix) &&
+              suffixMatches(dimLr, d.dimSuffix) && {
+                val (factAttr, dimAttr) =
+                  if (aLeft == factIsLeft && bLeft != factIsLeft) (a, b)
+                  else if (bLeft == factIsLeft && aLeft != factIsLeft) (b, a)
+                  else return false
+                factAttr.name == d.factKey && dimAttr.name == d.dimKey
+              }
+          orient(lrL, lrR, factIsLeft = true) ||
+            orient(lrR, lrL, factIsLeft = false)
+        }
+        joinRegistry.asScala.toSeq
+          .filter { case (_, d) => matches(d) }
+          .sortBy { case (name, d) =>
+            (d.template.computeStats().sizeInBytes, name) }
+          .iterator
+          .map { case (_, d) =>
+            // Pushed-down predicates arrive as one compound And (user
+            // predicate AND constraint-inferred IsNotNulls) — split into
+            // conjuncts so each gates on its own. IsNotNull(joinKey)
+            // conjuncts are tautologies over the summarized rows (the
+            // inner join already proved the keys non-null) and drop;
+            // everything else gates as usual.
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(l, r) => conjuncts(l) ++ conjuncts(r)
+              case other => Seq(other)
+            }
+            val keyNames = Set(d.factKey, d.dimKey)
+            val fs = (topFs ++ fsL ++ fsR).flatMap(conjuncts).filterNot {
+              case IsNotNull(ar: AttributeReference) =>
+                keyNames.contains(ar.name)
+              case _ => false
+            }
+            rewriteWith(agg, fs,
+              MvDef(d.factSuffix, d.keys, d.sumCols, d.template))
+          }
+          .collectFirst { case Some(p) => p }
+      }
+    } yield out
+  }
 
   private def rewriteWith(agg: Aggregate, filters: Seq[Expression],
                           d: MvDef): Option[LogicalPlan] = {
@@ -262,6 +372,38 @@ object Mv {
     requireCols(rel, mvPath, keys, sumCols)
     MvRewrite.register(name,
       MvRewrite.MvDef(baseSuffix, keys, sumCols, rel))
+  }
+
+  /** Build the JOIN summary for `fact ⋈ dim` on `factKey == dimKey` —
+    * the star-query cache [[MvRewrite.MvJoinDef]] serves. The dim side
+    * must be unique on its key (checked here: a fanning join would
+    * multiply fact rows and the summary would be silently wrong) and
+    * the joined projection's names must be unambiguous. Same summary
+    * layout as [[build]] (sum_/cnt_/min_/max_ per measure + cnt). */
+  def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                dimKey: String, keys: Seq[String], sumCols: Seq[String],
+                mvPath: String): Unit = {
+    val nDim = dim.count()
+    val nKeys = dim.select(dimKey).distinct().count()
+    require(nDim == nKeys,
+      s"dim is not unique on $dimKey ($nDim rows, $nKeys keys) — the join " +
+        "would fan out fact rows and the summary would be wrong")
+    build(fact.join(dim, fact(factKey) === dim(dimKey)), keys, sumCols,
+      mvPath)
+  }
+
+  /** Register `mvPath` as the summary of `factSuffix ⋈ dimSuffix` on
+    * `factKey == dimKey` (both suffixes segment-anchored). Queries
+    * aggregating that exact inner equi-join rewrite from the NEXT
+    * planning on. */
+  def registerJoin(spark: SparkSession, name: String, factSuffix: String,
+                   dimSuffix: String, factKey: String, dimKey: String,
+                   mvPath: String, keys: Seq[String],
+                   sumCols: Seq[String]): Unit = {
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
+    MvRewrite.registerJoin(name, MvRewrite.MvJoinDef(
+      factSuffix, dimSuffix, factKey, dimKey, keys, sumCols, rel))
   }
 
   /** Build AND register a summary of txn table `table`'s CURRENT

@@ -415,6 +415,51 @@ object ScaleQueries {
         val c = staged("c_refreshed")
         a.unionByName(b).unionByName(c).orderBy("stage", "l_returnflag")
       } finally MvRewrite.deregister("mvlc")
+    },
+
+    // ── JOIN-AWARE MV rewrite (plans.MvRewrite.MvJoinDef): the untouched
+    //    star query — lineitem ⋈ orders grouped by a DIM attribute — is
+    //    answered from the pre-joined summary; neither base table is
+    //    scanned (from_mv hashes the plan fact). At 100 TB this is the
+    //    difference between re-running the fact-side shuffle join and
+    //    reading a few hundred summary rows. Orders' key uniqueness
+    //    (the soundness bedrock) is enforced at build time.
+    sql("q_scan_mv_join",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/li_ord_star_$sfKey")
+      graft.DerivedCache.ensure(mvDir,
+          Seq(new java.io.File(s"$d/lineitem.parquet"),
+            new java.io.File(s"$d/orders.parquet")), "_SUCCESS") {
+        Mv.buildJoin(s.read.parquet(s"$d/lineitem.parquet"),
+          s.read.parquet(s"$d/orders.parquet"),
+          "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
+          Seq("l_partkey"), mvDir.getAbsolutePath)
+      }
+      Mv.registerJoin(s, "li_ord_star", "lineitem.parquet", "orders.parquet",
+        "l_orderkey", "o_orderkey", mvDir.getAbsolutePath,
+        Seq("o_orderpriority"), Seq("l_partkey"))
+      try {
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("li_ord_star") &&
+          !plan.contains("lineitem.parquet") && !plan.contains("orders.parquet")
+        val out = q.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
+          .orderBy("o_orderpriority")
+          .cache()
+        out.count() // materialize before the view deregisters
+        out
+      } finally MvRewrite.deregister("li_ord_star")
     }
   )
 

@@ -163,6 +163,63 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("facts_coarse")
   }
 
+  test("join-aware view: aggregates over fact ⋈ dim answer from the star summary") {
+    val factPath = s"$root/jfact_base.parquet"
+    val dimPath = s"$root/jdim_base.parquet"
+    val jmv = s"$root/jstar_summary.parquet"
+    (1L to 300L).map(i => (i % 20, i % 50)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L).map(k => (k, s"g${k % 4}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("attr"), Seq("m"), jmv)
+    Mv.registerJoin(spark, "star", "jfact_base.parquet", "jdim_base.parquet",
+      "fk", "pk", jmv, Seq("attr"), Seq("m"))
+    try {
+      def agg(df: DataFrame) = df.groupBy("attr")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"), avg("m").as("av"))
+      val q = agg(fact.join(dim, col("fk") === col("pk")))
+      val plan = scanPaths(q)
+      assert(plan.contains("jstar_summary"), plan.take(2000))
+      assert(!plan.contains("jfact_base") && !plan.contains("jdim_base"),
+        plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try agg(fact.join(dim, col("fk") === col("pk")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet == want)
+
+      // the key pair matches in either written order
+      val q2 = agg(fact.join(dim, col("pk") === col("fk")))
+      assert(scanPaths(q2).contains("jstar_summary"), scanPaths(q2).take(2000))
+      // a key filter rides the view; a measure filter falls through
+      val q3 = agg(fact.join(dim, col("fk") === col("pk"))
+        .filter(col("attr") =!= "g0"))
+      assert(scanPaths(q3).contains("jstar_summary"), scanPaths(q3).take(2000))
+      val q4 = agg(fact.join(dim, col("fk") === col("pk"))
+        .filter(col("m") > 3))
+      assert(scanPaths(q4).contains("jfact_base"), scanPaths(q4).take(2000))
+      // a LEFT join is NOT the cached shape — unmatched fact rows would
+      // be missing from the summary
+      val q5 = agg(fact.join(dim, col("fk") === col("pk"), "left"))
+      assert(scanPaths(q5).contains("jfact_base"), scanPaths(q5).take(2000))
+      // a different join key must not match
+      val q6 = agg(fact.join(dim, col("m") === col("pk")))
+      assert(scanPaths(q6).contains("jfact_base"), scanPaths(q6).take(2000))
+      // build refuses a fanning dim
+      val dupDim = s"$root/jdim_dup.parquet"
+      Seq((1L, "x"), (1L, "y")).toDF("pk", "attr")
+        .write.mode("overwrite").parquet(dupDim)
+      intercept[IllegalArgumentException] {
+        Mv.buildJoin(fact, spark.read.parquet(dupDim), "fk", "pk",
+          Seq("attr"), Seq("m"), s"$root/jmv_bad.parquet")
+      }
+    } finally MvRewrite.deregister("star")
+  }
+
   test("refreshTxn across a metadata squash stays exact (live-diff, not log replay)") {
     import graft.sources.{TxnCatalog, TxnTable}
     import graft.sources.TxnCatalog.Write
