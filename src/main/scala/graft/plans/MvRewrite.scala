@@ -43,13 +43,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    A summary built before a capability existed simply lacks the
   *    column and the rewrite declines — never a wrong answer.
   *
-  * JOIN-AWARE rewrites ([[MvJoinDef]]): a summary built over
-  * `fact ⋈ dim` answers aggregates over that same INNER equi-join —
-  * the star-query cache. The join must match exactly (both scans, the
-  * key pair in either order, Inner); every soundness gate above then
-  * applies with the joined relation as "the base". The dim side's key
-  * uniqueness is enforced at build time — the one property that makes
-  * pre-aggregating through a join sound.
+  * JOIN-AWARE rewrites ([[MvStarDef]]): a summary built over a
+  * star/snowflake join answers aggregates over that same all-INNER
+  * equi-join tree — the OLAP summary cache. The match compares the
+  * flattened LEAF SET and CONDITION SET (unordered name pairs), so
+  * Catalyst's join reordering cannot break it; every soundness gate
+  * above then applies with the joined relation as "the base". Each
+  * dimension's key uniqueness is enforced at build time — the one
+  * property that makes pre-aggregating through joins sound.
   *
   * The rewrite preserves every output name AND exprId, so the
   * downstream plan never knows. Staleness: a view registered against a
@@ -77,37 +78,41 @@ object MvRewrite extends Rule[LogicalPlan] {
                          sumCols: Seq[String], template: LogicalRelation,
                          fileSet: Option[Set[String]] = None)
 
-  /** A JOIN-AWARE summary: pre-aggregated `fact ⋈ dim` on
-    * `factKey == dimKey` — the star-query cache. Matches an Aggregate
-    * over an INNER equi-join of the two registered scans on exactly
-    * those keys; `keys`/`sumCols` may name columns from either side
-    * (the build projects them into one flat summary, so names must be
-    * unambiguous across the join). The dim side must be UNIQUE on
-    * `dimKey` ([[Mv.buildJoin]] enforces it at build time) — a fanning
-    * join would make the summary silently wrong. */
-  final case class MvJoinDef(factSuffix: String, dimSuffix: String,
-                             factKey: String, dimKey: String,
+  /** A JOIN-AWARE summary: a pre-aggregated star/snowflake join — the
+    * OLAP summary cache. `suffixes` names every participating scan
+    * (fact + dims, each segment-anchored, all distinct); `edges` is the
+    * join's equi-condition set as UNORDERED column-name pairs. Matches
+    * an Aggregate over an all-INNER equi-join tree whose LEAF SET and
+    * CONDITION SET equal the registration — set equality, so Catalyst's
+    * join reordering cannot break the match. Column names must be
+    * unique across the star (the build projects them into one flat
+    * summary; TPC-H-style per-table prefixes give this for free), and
+    * every join must be non-fanning on its dimension side
+    * ([[Mv.buildStar]] enforces key uniqueness per dim at build time) —
+    * the one property that makes pre-aggregating through joins sound. */
+  final case class MvStarDef(suffixes: Seq[String],
+                             edges: Set[Set[String]],
                              keys: Seq[String], sumCols: Seq[String],
                              template: LogicalRelation)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
-  private val joinRegistry = new ConcurrentHashMap[String, MvJoinDef]()
+  private val starRegistry = new ConcurrentHashMap[String, MvStarDef]()
 
   def register(name: String, d: MvDef): Unit = registry.put(name, d)
-  def registerJoin(name: String, d: MvJoinDef): Unit = joinRegistry.put(name, d)
+  def registerStar(name: String, d: MvStarDef): Unit = starRegistry.put(name, d)
   def deregister(name: String): Unit = {
-    registry.remove(name); joinRegistry.remove(name); ()
+    registry.remove(name); starRegistry.remove(name); ()
   }
-  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
+  def clear(): Unit = { registry.clear(); starRegistry.clear() }
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) plan
+    if (!enabled || (registry.isEmpty && starRegistry.isEmpty)) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryJoinRewrite(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryStarRewrite(agg)).getOrElse(agg)
     }
 
   /** Peel pure-projection and filter nodes off the aggregate's child;
@@ -156,83 +161,80 @@ object MvRewrite extends Rule[LogicalPlan] {
         .collectFirst { case Some(p) => p }
     }
 
-  /** Peel projection/filter nodes down to an INNER equi-join — the
-    * star-query shape [[MvJoinDef]] caches. */
-  private def stripToJoin(p: LogicalPlan, fs: Seq[Expression])
-      : Option[(org.apache.spark.sql.catalyst.plans.logical.Join, Seq[Expression])] =
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Flatten a projection/filter/INNER-equi-join tree to its leaf scans,
+    * its equi-condition name pairs, and every filter predicate found
+    * anywhere in it. Any outer join, non-equi condition, or foreign node
+    * disqualifies the subtree. */
+  private def flattenJoin(p: LogicalPlan)
+      : Option[(Seq[LogicalRelation], Set[Set[String]], Seq[Expression])] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     p match {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => Some((j, fs))
+      case j: Join if j.joinType == Inner =>
+        for {
+          cond <- j.condition
+          pairs <- {
+            val cs = conjuncts(cond).map {
+              case EqualTo(x: AttributeReference, y: AttributeReference) =>
+                Some(Set(x.name, y.name))
+              case _ => None
+            }
+            if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+          }
+          (lLeaves, lPairs, lFs) <- flattenJoin(j.left)
+          (rLeaves, rPairs, rFs) <- flattenJoin(j.right)
+        } yield (lLeaves ++ rLeaves, pairs ++ lPairs ++ rPairs, lFs ++ rFs)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        stripToJoin(c, fs)
-      case Filter(cond, c) => stripToJoin(c, fs :+ cond)
+        flattenJoin(c)
+      case Filter(cond, c) =>
+        flattenJoin(c).map { case (ls, ps, fs) => (ls, ps, fs :+ cond) }
+      case lr: LogicalRelation => Some((Seq(lr), Set.empty, Nil))
       case _ => None
     }
+  }
 
-  /** Rewrite `Aggregate(… , fact ⋈ dim)` from a registered join summary:
-    * both sides must strip to the registered scans, the join must be the
-    * registered INNER equi-join (either key order), and the aggregate/
-    * filter gates of [[rewriteWith]] apply unchanged — the joined
-    * relation is just "the base table" from the summary's point of view. */
-  private def tryJoinRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.Inner
-    for {
-      (j, topFs) <- stripToJoin(agg.child, Nil)
-      if j.joinType == Inner
-      cond <- j.condition
-      keyPair <- cond match {
-        case EqualTo(x: AttributeReference, y: AttributeReference) => Some((x, y))
-        case _ => None
-      }
-      (lrL, fsL) <- strip(j.left, Nil)
-      (lrR, fsR) <- strip(j.right, Nil)
-      out <- {
-        val (a, b) = keyPair
-        // which join child does each key attribute come from?
-        val aLeft = j.left.outputSet.contains(a)
-        val bLeft = j.left.outputSet.contains(b)
-        def matches(d: MvJoinDef): Boolean = {
-          def orient(factLr: LogicalRelation, dimLr: LogicalRelation,
-                     factIsLeft: Boolean): Boolean =
-            suffixMatches(factLr, d.factSuffix) &&
-              suffixMatches(dimLr, d.dimSuffix) && {
-                val (factAttr, dimAttr) =
-                  if (aLeft == factIsLeft && bLeft != factIsLeft) (a, b)
-                  else if (bLeft == factIsLeft && aLeft != factIsLeft) (b, a)
-                  else return false
-                factAttr.name == d.factKey && dimAttr.name == d.dimKey
-              }
-          orient(lrL, lrR, factIsLeft = true) ||
-            orient(lrR, lrL, factIsLeft = false)
-        }
-        joinRegistry.asScala.toSeq
+  /** Rewrite `Aggregate(…, star-join)` from a registered star summary:
+    * the flattened leaf set must match the registered suffixes one-to-one
+    * and the equi-condition set must equal the registered edges — SET
+    * comparisons, so the optimizer's join reordering is irrelevant. The
+    * aggregate/filter gates of [[rewriteWith]] then apply unchanged (the
+    * joined relation is just "the base table" from the summary's view);
+    * constraint-inferred IsNotNull conjuncts on join keys are tautologies
+    * over the summarized rows (inner joins proved the keys non-null) and
+    * drop before gating. */
+  private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
+    flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
+      case (leaves, pairs, filters) =>
+        def matches(d: MvStarDef): Boolean =
+          leaves.size == d.suffixes.size && pairs == d.edges && {
+            // every registered suffix claims exactly one distinct leaf
+            val claimed = d.suffixes.map(sfx =>
+              leaves.filter(suffixMatches(_, sfx)))
+            claimed.forall(_.size == 1) &&
+              claimed.map(_.head).distinct.size == leaves.size
+          }
+        starRegistry.asScala.toSeq
           .filter { case (_, d) => matches(d) }
           .sortBy { case (name, d) =>
             (d.template.computeStats().sizeInBytes, name) }
           .iterator
           .map { case (_, d) =>
-            // Pushed-down predicates arrive as one compound And (user
-            // predicate AND constraint-inferred IsNotNulls) — split into
-            // conjuncts so each gates on its own. IsNotNull(joinKey)
-            // conjuncts are tautologies over the summarized rows (the
-            // inner join already proved the keys non-null) and drop;
-            // everything else gates as usual.
-            def conjuncts(e: Expression): Seq[Expression] = e match {
-              case And(l, r) => conjuncts(l) ++ conjuncts(r)
-              case other => Seq(other)
-            }
-            val keyNames = Set(d.factKey, d.dimKey)
-            val fs = (topFs ++ fsL ++ fsR).flatMap(conjuncts).filterNot {
+            val keyNames = d.edges.flatten
+            val fs = filters.flatMap(conjuncts).filterNot {
               case IsNotNull(ar: AttributeReference) =>
                 keyNames.contains(ar.name)
               case _ => false
             }
             rewriteWith(agg, fs,
-              MvDef(d.factSuffix, d.keys, d.sumCols, d.template))
+              MvDef(d.suffixes.head, d.keys, d.sumCols, d.template))
           }
           .collectFirst { case Some(p) => p }
-      }
-    } yield out
-  }
+    }
 
   private def rewriteWith(agg: Aggregate, filters: Seq[Expression],
                           d: MvDef): Option[LogicalPlan] = {
@@ -374,37 +376,66 @@ object Mv {
       MvRewrite.MvDef(baseSuffix, keys, sumCols, rel))
   }
 
-  /** Build the JOIN summary for `fact ⋈ dim` on `factKey == dimKey` —
-    * the star-query cache [[MvRewrite.MvJoinDef]] serves. The dim side
-    * must be unique on its key (checked here: a fanning join would
-    * multiply fact rows and the summary would be silently wrong) and
-    * the joined projection's names must be unambiguous. Same summary
-    * layout as [[build]] (sum_/cnt_/min_/max_ per measure + cnt). */
-  def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-                dimKey: String, keys: Seq[String], sumCols: Seq[String],
+  /** Build the STAR/SNOWFLAKE summary: `fact` joined with each
+    * `(dim, leftKey, dimKey)` in chain order (leftKey resolves against
+    * the accumulated join, so a snowflake dim may key off an earlier
+    * dim's column). Every dim must be unique on its join key (checked
+    * here: a fanning join would multiply fact rows and the summary
+    * would be silently wrong) and the star's column names must be
+    * globally unambiguous. Same summary layout as [[build]]
+    * (sum_/cnt_/min_/max_ per measure + cnt). */
+  def buildStar(fact: DataFrame, dims: Seq[(DataFrame, String, String)],
+                keys: Seq[String], sumCols: Seq[String],
                 mvPath: String): Unit = {
-    val nDim = dim.count()
-    val nKeys = dim.select(dimKey).distinct().count()
-    require(nDim == nKeys,
-      s"dim is not unique on $dimKey ($nDim rows, $nKeys keys) — the join " +
-        "would fan out fact rows and the summary would be wrong")
-    build(fact.join(dim, fact(factKey) === dim(dimKey)), keys, sumCols,
-      mvPath)
+    require(dims.nonEmpty, "a star needs at least one dimension")
+    val joined = dims.foldLeft(fact) { case (acc, (dim, leftKey, dimKey)) =>
+      val nDim = dim.count()
+      val nKeys = dim.select(dimKey).distinct().count()
+      require(nDim == nKeys,
+        s"dim is not unique on $dimKey ($nDim rows, $nKeys keys) — the " +
+          "join would fan out fact rows and the summary would be wrong")
+      acc.join(dim, acc(leftKey) === dim(dimKey))
+    }
+    val dup = joined.columns.groupBy(identity)
+      .collect { case (n, a) if a.length > 1 => n }
+    require(dup.isEmpty,
+      s"star column names must be unique, duplicated: ${dup.mkString(", ")}")
+    build(joined, keys, sumCols, mvPath)
   }
 
-  /** Register `mvPath` as the summary of `factSuffix ⋈ dimSuffix` on
-    * `factKey == dimKey` (both suffixes segment-anchored). Queries
-    * aggregating that exact inner equi-join rewrite from the NEXT
-    * planning on. */
+  /** One-dimension convenience form of [[buildStar]]. */
+  def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                dimKey: String, keys: Seq[String], sumCols: Seq[String],
+                mvPath: String): Unit =
+    buildStar(fact, Seq((dim, factKey, dimKey)), keys, sumCols, mvPath)
+
+  /** Register `mvPath` as the summary of the star `factSuffix ⋈ dims`
+    * (each dim as (dimSuffix, leftKey, dimKey); all suffixes
+    * segment-anchored and distinct). Queries aggregating that exact
+    * all-inner equi-join tree — in ANY join order — rewrite from the
+    * NEXT planning on. */
+  def registerStar(spark: SparkSession, name: String, factSuffix: String,
+                   dims: Seq[(String, String, String)], mvPath: String,
+                   keys: Seq[String], sumCols: Seq[String]): Unit = {
+    val suffixes = factSuffix +: dims.map(_._1)
+    require(suffixes.distinct.size == suffixes.size,
+      s"star suffixes must be distinct: $suffixes")
+    val edges = dims.map(d => Set(d._2, d._3)).toSet
+    require(edges.size == dims.size,
+      "star join edges must be distinct unordered key pairs")
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
+    MvRewrite.registerStar(name,
+      MvRewrite.MvStarDef(suffixes, edges, keys, sumCols, rel))
+  }
+
+  /** One-dimension convenience form of [[registerStar]]. */
   def registerJoin(spark: SparkSession, name: String, factSuffix: String,
                    dimSuffix: String, factKey: String, dimKey: String,
                    mvPath: String, keys: Seq[String],
-                   sumCols: Seq[String]): Unit = {
-    val rel = analyzedRelation(spark, mvPath)
-    requireCols(rel, mvPath, keys, sumCols)
-    MvRewrite.registerJoin(name, MvRewrite.MvJoinDef(
-      factSuffix, dimSuffix, factKey, dimKey, keys, sumCols, rel))
-  }
+                   sumCols: Seq[String]): Unit =
+    registerStar(spark, name, factSuffix,
+      Seq((dimSuffix, factKey, dimKey)), mvPath, keys, sumCols)
 
   /** Build AND register a summary of txn table `table`'s CURRENT
     * snapshot, keyed to the snapshot's exact live-file set: a query

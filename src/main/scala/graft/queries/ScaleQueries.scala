@@ -460,6 +460,56 @@ object ScaleQueries {
         out.count() // materialize before the view deregisters
         out
       } finally MvRewrite.deregister("li_ord_star")
+    },
+
+    // ── SNOWFLAKE MV rewrite: lineitem ⋈ orders ⋈ customer — customer
+    //    keys ORDERS' o_custkey, not the fact (the snowflake hop) — and
+    //    the whole two-hop chain answers from one pre-joined summary
+    //    keyed by the outermost dim attribute. The match compares leaf
+    //    and edge SETS, so Catalyst may reorder the joins freely.
+    sql("q_scan_mv_snowflake",
+      """SELECT c_mktsegment,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/li_snow_$sfKey")
+      graft.DerivedCache.ensure(mvDir,
+          Seq(new java.io.File(s"$d/lineitem.parquet"),
+            new java.io.File(s"$d/orders.parquet"),
+            new java.io.File(s"$d/customer.parquet")), "_SUCCESS") {
+        Mv.buildStar(s.read.parquet(s"$d/lineitem.parquet"),
+          Seq((s.read.parquet(s"$d/orders.parquet"), "l_orderkey", "o_orderkey"),
+            (s.read.parquet(s"$d/customer.parquet"), "o_custkey", "c_custkey")),
+          Seq("c_mktsegment"), Seq("l_partkey"), mvDir.getAbsolutePath)
+      }
+      Mv.registerStar(s, "li_snow", "lineitem.parquet",
+        Seq(("orders.parquet", "l_orderkey", "o_orderkey"),
+          ("customer.parquet", "o_custkey", "c_custkey")),
+        mvDir.getAbsolutePath, Seq("c_mktsegment"), Seq("l_partkey"))
+      try {
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(s.read.parquet(s"$d/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("li_snow") &&
+          !plan.contains("lineitem.parquet") &&
+          !plan.contains("orders.parquet") && !plan.contains("customer.parquet")
+        val out = q.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
+          .orderBy("c_mktsegment")
+          .cache()
+        out.count() // materialize before the view deregisters
+        out
+      } finally MvRewrite.deregister("li_snow")
     }
   )
 
