@@ -498,9 +498,13 @@ object Dedup {
   def keepBest(clusters: DataFrame, quality: DataFrame, docCol: String,
                qualityCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LEFT join: a member missing from the quality table must stay a
+    // MEMBER (an inner join would silently shrink n_members and could
+    // shift the keeper); desc ordering ranks its null quality last, so
+    // it can only keep a cluster in which nothing is scored
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(qualityCol).desc, col(docCol))
-    clusters.join(quality, docCol)
+    clusters.join(quality, Seq(docCol), "left")
       .withColumn("__rn", row_number().over(w))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),

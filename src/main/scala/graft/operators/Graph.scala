@@ -299,19 +299,24 @@ object Graph {
     var ecnt = e.count()
     var converged = ecnt == 0L
     for (_ <- 1 to iters if !converged) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      val pruned = e
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(true)
+      val pruned = kCorePrune(e, k).localCheckpoint(true)
       val n = pruned.count()
       converged = n == ecnt
       e = pruned
       ecnt = n
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** One k-core peel wave: degree count, then survivors prune both edge
+    * ends via LEFT-SEMI joins. Extracted so the plan-audit suite asserts
+    * the PRODUCTION wave's physical shape, not a replica. */
+  private[graft] def kCorePrune(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("src")
+    e.join(keep, Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
   }
 
   /** Synchronous label propagation — community detection over the link
@@ -345,18 +350,24 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
-      val byNode = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lbl"))
-      labels = labels.join(sym, labels("node") === sym("src"))
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(byNode))
-        .filter(col("__rn") === 1)
-        .select("node", "lbl")
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      labels = lpaWave(labels, sym).localCheckpoint(true)
     sym.unpersist()
     labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** One synchronous-LPA wave: neighbour label counts, then rank 1 of
+    * (count desc, label asc) PER NODE. Extracted so the plan-audit suite
+    * asserts the PRODUCTION wave's physical shape, not a replica. */
+  private[graft] def lpaWave(labels: DataFrame, sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNode = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("lbl"))
+    labels.join(sym, labels("node") === sym("src"))
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(byNode))
+      .filter(col("__rn") === 1)
+      .select("node", "lbl")
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Materialized-view auto-rewrite (engine-added): an optimizer rule that
@@ -389,11 +389,14 @@ object Mv {
                 mvPath: String): Unit = {
     require(dims.nonEmpty, "a star needs at least one dimension")
     val joined = dims.foldLeft(fact) { case (acc, (dim, leftKey, dimKey)) =>
-      val nDim = dim.count()
-      val nKeys = dim.select(dimKey).distinct().count()
-      require(nDim == nKeys,
-        s"dim is not unique on $dimKey ($nDim rows, $nKeys keys) — the " +
-          "join would fan out fact rows and the summary would be wrong")
+      // one aggregate job: non-null keys must be distinct (null keys
+      // never equi-match, so they cannot fan and don't count)
+      val r = dim.agg(count(col(dimKey)).as("nk"),
+        countDistinct(col(dimKey)).as("nd")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
+          s"${r.getLong(1)} distinct) — the join would fan out fact rows " +
+          "and the summary would be wrong")
       acc.join(dim, acc(leftKey) === dim(dimKey))
     }
     val dup = joined.columns.groupBy(identity)

@@ -79,7 +79,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * and strategies after session construction, so driver-owned sessions
   * work without the spark.sql.extensions config. */
 object GraftPlanner {
-  def register(spark: SparkSession): Unit = {
+  /** Registration is a read-modify-write on the session's
+    * extraOptimizations Seq; two threads registering concurrently (every
+    * MV/topk query calls this, and test suites run in parallel on one
+    * shared session) could interleave and DROP a rule the other just
+    * appended — a query planned in that window silently loses its
+    * rewrite. One global lock serializes writers; readers (the planner)
+    * always see a consistent immutable Seq. */
+  private val registerLock = new Object
+  def register(spark: SparkSession): Unit = registerLock.synchronized {
     if (!spark.experimental.extraOptimizations.contains(RankLimitRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RankLimitRewrite

@@ -399,12 +399,15 @@ object ScaleQueries {
           .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
         val plan = q.queryExecution.executedPlan.toString()
         val fromMv = plan.contains("mvlc_view") && !plan.contains("mvlc_table")
-        val out = q.select(lit(stage).as("stage"), col("l_returnflag"),
+        // localCheckpoint, not cache: refreshTxn later DELETES and
+        // replaces the MV directory this stage's plan reads — a cached
+        // partition lost to eviction would recompute against vanished
+        // files (or silently read empty); the checkpoint pins the rows
+        // and fails loudly instead
+        q.select(lit(stage).as("stage"), col("l_returnflag"),
             col("part_sum"), col("n"),
             lit(if (fromMv) 1L else 0L).as("from_mv"))
-          .cache()
-        out.count() // pin before the table state moves on
-        out
+          .localCheckpoint(true)
       }
       try {
         val a = staged("a_mv")
@@ -451,14 +454,8 @@ object ScaleQueries {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
-        val plan = q.queryExecution.executedPlan.toString()
-        val fromMv = plan.contains("li_ord_star") &&
-          !plan.contains("lineitem.parquet") && !plan.contains("orders.parquet")
-        val out = q.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
-          .orderBy("o_orderpriority")
-          .cache()
-        out.count() // materialize before the view deregisters
-        out
+        mvStamped(q, "li_ord_star",
+          Seq("lineitem.parquet", "orders.parquet"), "o_orderpriority")
       } finally MvRewrite.deregister("li_ord_star")
     },
 
@@ -500,18 +497,29 @@ object ScaleQueries {
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
-        val plan = q.queryExecution.executedPlan.toString()
-        val fromMv = plan.contains("li_snow") &&
-          !plan.contains("lineitem.parquet") &&
-          !plan.contains("orders.parquet") && !plan.contains("customer.parquet")
-        val out = q.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
-          .orderBy("c_mktsegment")
-          .cache()
-        out.count() // materialize before the view deregisters
-        out
+        mvStamped(q, "li_snow",
+          Seq("lineitem.parquet", "orders.parquet", "customer.parquet"),
+          "c_mktsegment")
       } finally MvRewrite.deregister("li_snow")
     }
   )
+
+  /** Stamp the PLAN fact that `q` was answered from the view: from_mv=1
+    * iff the executed plan references `viewToken` and none of
+    * `baseTokens`. Orders and PINS the rows (cache+count) so the result
+    * survives the caller's deregistration. One implementation for every
+    * MV-gated query — the heuristic must not drift per call site. */
+  private def mvStamped(q: org.apache.spark.sql.DataFrame, viewToken: String,
+                        baseTokens: Seq[String], orderCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val plan = q.queryExecution.executedPlan.toString()
+    val fromMv = plan.contains(viewToken) && baseTokens.forall(t => !plan.contains(t))
+    val out = q.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
+      .orderBy(orderCol)
+      .cache()
+    out.count() // materialize before the view deregisters
+    out
+  }
 
   /** Build (cached per sf) and register the (l_returnflag, l_linestatus)
     * lineitem summary, run `q` under the rewrite rule, stamp the PLAN
@@ -532,17 +540,9 @@ object ScaleQueries {
     Mv.register(s, "lineitem_rf_ls", "lineitem.parquet",
       mvDir.getAbsolutePath, Seq("l_returnflag", "l_linestatus"),
       Seq("l_partkey"))
-    try {
-      val df = q
-      val plan = df.queryExecution.executedPlan.toString()
-      val fromMv = plan.contains("lineitem_rf_ls_v2") &&
-        !plan.contains("lineitem.parquet")
-      val out = df.withColumn("from_mv", lit(if (fromMv) 1L else 0L))
-        .orderBy("l_returnflag")
-        .cache()
-      out.count() // materialize before the view deregisters
-      out
-    } finally MvRewrite.deregister("lineitem_rf_ls")
+    try mvStamped(q, "lineitem_rf_ls_v2", Seq("lineitem.parquet"),
+      "l_returnflag")
+    finally MvRewrite.deregister("lineitem_rf_ls")
   }
 
   /** orders.parquet rewritten repartitionByRange(o_orderkey) — the layout

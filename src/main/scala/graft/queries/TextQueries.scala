@@ -22,6 +22,33 @@ object TextQueries {
     "part", "key", "agg", "row", "the", "er", "in", "an", "st", "ow",
     "a", "e", "t", "s", " ")
 
+  /** Shared oracle CTE chain: shingles → J≥0.5 pairs → symmetrized
+    * edges → recursive transitive closure → min-label clusters. Every
+    * multiply-referenced CTE is MATERIALIZED (sh self-joins; p feeds
+    * both edge branches — DuckDB 1.0 would inline the quadratic join
+    * twice). Used by q_dedup_clusters and q_dedup_keep_best. */
+  private lazy val clusterOracleCtes: String =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+      |                               i -> array_to_string(w[i:i+4], ' '))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 5),
+      |p AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM p),
+      |reach AS (
+      |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+      |cl AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
+      |       FROM reach GROUP BY src)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ── token counting + quality scoring (length / stopword signals)
@@ -269,26 +296,8 @@ object TextQueries {
     //    of dedup. Oracle computes components by recursive-CTE transitive
     //    closure over the same brute-force pairs.
     sql("q_dedup_clusters",
-      """WITH RECURSIVE sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
-         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-         |  WHERE len(w) >= 5),
-         |p AS MATERIALIZED (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-         |edges AS MATERIALIZED (
-         |  SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM p),
-         |reach AS (
-         |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
-         |SELECT src AS doc_id, MIN(lbl) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""$clusterOracleCtes
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
       val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 5, numHashes = 64, bands = 16, tau = 0.5)
       Dedup.nearDupClusters(pairs).orderBy("doc_id")
@@ -300,28 +309,9 @@ object TextQueries {
     //    min-id canonical — the decision a real curation pass ships.
     //    Oracle: the shared cluster CTEs + the same argmax window.
     sql("q_dedup_keep_best",
-      """WITH RECURSIVE sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
-         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-         |  WHERE len(w) >= 5),
-         |p AS MATERIALIZED (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-         |edges AS MATERIALIZED (
-         |  SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM p),
-         |reach AS (
-         |  SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges) t
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
-         |cl AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
-         |       FROM reach GROUP BY src),
+      s"""$clusterOracleCtes,
          |q AS (SELECT doc_id,
-         |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS quality
+         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS quality
          |      FROM documents),
          |rk AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
          |              row_number() OVER (PARTITION BY cl.cluster_id

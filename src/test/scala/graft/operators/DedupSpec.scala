@@ -154,5 +154,13 @@ class DedupSpec extends SparkSpec {
     // cluster 1: quality tie 9 between 2 and 3 → smallest id 2;
     // cluster 10: tie 4 between 10 and 11 → 10
     assert(got == Set((1L, 3L, 2L, 9L), (10L, 2L, 10L, 4L)))
+
+    // a member with no quality row stays a MEMBER (left join), ranked
+    // last — n_members is honest and the scored doc keeps
+    val sparse = Dedup.keepBest(
+        Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id"),
+        Seq((2L, 7L)).toDF("doc_id", "quality"), "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sparse == Set((1L, 2L, 2L)))
   }
 }

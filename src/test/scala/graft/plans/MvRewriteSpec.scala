@@ -242,23 +242,26 @@ class MvRewriteSpec extends SparkSpec {
         ("sdim2_base.parquet", "d2fk", "d2k")),
       smv, Seq("region"), Seq("m"))
     try {
-      def check(q: DataFrame): Unit = {
+      // a Dataset memoizes its plan, so ground truth must REBUILD the
+      // frame under the disabled conf (collecting the same frame twice
+      // would compare the MV answer against itself)
+      def check(build: () => DataFrame): Unit = {
+        val q = build()
         val plan = scanPaths(q)
         assert(plan.contains("ssnow_summary"), plan.take(2000))
         assert(!plan.contains("sfact_base"), plan.take(2000))
         spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-        val want = try q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val want = try build().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
         finally spark.conf.unset("spark.graft.mvRewrite.enabled")
-        // under the disabled conf the SAME frame replans from base —
-        // equal rows either way
         assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
       }
       // canonical order: (fact ⋈ d1) ⋈ d2
-      check(fact.join(d1, col("fk") === col("d1k"))
+      check(() => fact.join(d1, col("fk") === col("d1k"))
         .join(d2, col("d2fk") === col("d2k"))
         .groupBy("region").agg(sum("m").as("sm")))
       // user writes it dims-first: (d2 ⋈ d1) ⋈ fact — set matching holds
-      check(d2.join(d1, col("d2k") === col("d2fk"))
+      check(() => d2.join(d1, col("d2k") === col("d2fk"))
         .join(fact, col("d1k") === col("fk"))
         .groupBy("region").agg(sum("m").as("sm")))
       // dropping one edge (a plain two-table join) must NOT match the

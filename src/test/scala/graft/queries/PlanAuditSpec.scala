@@ -149,9 +149,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(rec.contains("UnionLoop"), rec.take(2000))
     val lat = planOf("q_sql_lateral_topk")
     // the correlated LIMIT becomes a per-key rank prune (window group
-    // limit / rank filter after a join), never a per-outer-row subquery
-    assert(lat.contains("WindowGroupLimit") || lat.contains("Window"),
-      lat.take(3000))
+    // limit / rank filter after a join — or the engine's TopKPerKey when
+    // GraftPlanner is registered), never a per-outer-row subquery
+    assert(lat.contains("WindowGroupLimit") || lat.contains("Window") ||
+      lat.contains("TopKPerKey"), lat.take(3000))
     assert(!lat.contains("BroadcastNestedLoopJoin"), lat.take(3000))
   }
 
@@ -303,8 +304,12 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("q_search_mmr")
     // candidate generation broadcasts the 8 anchors over the corpus scan
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(3000))
-    // top-16 prunes map-side before the window's shuffle
-    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined, plan.take(3000))
+    // top-16 prunes map-side before the shuffle — Spark's native
+    // WindowGroupLimit Partial, or (when another suite registered
+    // GraftPlanner on the shared session) the engine's own partial
+    // TopKPerKey bounded heap; both are the audited property
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined ||
+      "TopKPerKey .*, true, ".r.findFirstIn(plan).isDefined, plan.take(3000))
     // the eq-vector join BUILDS the |Q|·kCand candidate list, not the
     // corpus projection — building corpus-side is the 100 TB OOM
     assert("BroadcastHashJoin \\[n_id".r.findFirstIn(plan).isDefined, plan.take(3000))
@@ -327,9 +332,15 @@ class PlanAuditSpec extends SparkSpec {
   test("q_embed_triplets: both picks from ONE window; anchors broadcast") {
     val plan = planOf("q_embed_triplets")
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(3000))
-    // a naive two-branch mine would window (or re-scan) twice
-    assert("Window \\[row_number".r.findAllIn(plan).size === 1, plan.take(3000))
-    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined, plan.take(3000))
+    // a naive two-branch mine would window (or re-scan) twice; under a
+    // registered GraftPlanner the rank window plans as the engine's own
+    // TopKPerKey pair (partial+final) instead — either way exactly one
+    // ranked pass over the candidates
+    val windows = "Window \\[row_number".r.findAllIn(plan).size
+    val heapsFinal = "TopKPerKey .*, false, ".r.findAllIn(plan).size
+    assert(windows + heapsFinal === 1, plan.take(3000))
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(plan).isDefined ||
+      "TopKPerKey .*, true, ".r.findFirstIn(plan).isDefined, plan.take(3000))
   }
 
   test("q_profile_drift: reference stats broadcast; both sides pre-aggregate map-side") {
@@ -413,29 +424,26 @@ class PlanAuditSpec extends SparkSpec {
   test("graph wave shapes: LPA's rank-1 window is per-node, kCore prunes via semi-joins") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // one LPA wave, constructed as the operator builds it: the window
-    // must be PARTITIONed by node — a global row_number here would
-    // funnel the whole vocabulary of (node,label) pairs through one task
+    import graft.operators.Graph
+    // the PRODUCTION wave builders (the same code the iterative loops
+    // checkpoint), not replicas — a regression in the operator fails here
     val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    val byNode = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("c").desc, col("lbl"))
-    val wave = labels.join(sym, labels("node") === sym("src"))
-      .groupBy(col("dst").as("node"), col("lbl"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("__rn", row_number().over(byNode))
-      .filter(col("__rn") === 1)
-    val wavePlan = wave.queryExecution.executedPlan.toString
-    val windowLine = wavePlan.linesIterator.find(_.contains("Window")).getOrElse("")
-    assert(windowLine.contains("node"), s"window not partitioned: $windowLine")
-    // one kCore wave: survivors prune edges through two LeftSemi joins —
-    // an inner join against the degree table would duplicate edges
-    val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 1).select("src")
-    val pruned = sym.join(keep, Seq("src"), "left_semi")
-      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    // the window must be PARTITIONed by node — a global row_number would
+    // funnel the whole vocabulary of (node,label) pairs through one task
+    val wavePlan = Graph.lpaWave(labels, sym)
+      .queryExecution.executedPlan.toString
+    // under a registered GraftPlanner the rank-1 filter plans as the
+    // engine's TopKPerKey keyed by node — the same per-key property
+    val perKeyLine = wavePlan.linesIterator
+      .find(l => l.contains("Window") || l.contains("TopKPerKey"))
+      .getOrElse("")
+    assert(perKeyLine.contains("node"), s"wave not per-node: $perKeyLine")
+    // survivors prune edges through two LeftSemi joins — an inner join
+    // against the degree table would duplicate edges
+    val prunedPlan = Graph.kCorePrune(sym, 1)
+      .queryExecution.executedPlan.toString
     assert("LeftSemi".r.findAllIn(prunedPlan).size >= 2, prunedPlan.take(2000))
   }
 
