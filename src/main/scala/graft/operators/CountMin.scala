@@ -31,8 +31,8 @@ object CountMin {
 
   val Depth = 4
   val Width = 4096
-  /** Mersenne prime 2³¹−1; with items ≤ ~9·10¹⁰ the products stay well
-    * under 2⁶³ (max A · max item < 2⁶²). */
+  /** Mersenne prime 2³¹−1; with items ≤ [[MaxItem]] (~8.4·10⁹ — see its
+    * formula) the affine products stay under 2⁶³. */
   val P = 2147483647L
   val A: Seq[Long] = Seq(1103515245L, 22695477L, 1664525L, 69069L)
   val B: Seq[Long] = Seq(12345L, 1L, 1013904223L, 362437L)

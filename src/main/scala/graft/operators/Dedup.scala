@@ -504,7 +504,13 @@ object Dedup {
     // it can only keep a cluster in which nothing is scored
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(qualityCol).desc, col(docCol))
-    clusters.join(quality, Seq(docCol), "left")
+    // defensive per-doc dedup: a duplicate doc_id in `quality` would fan
+    // the left join, inflating n_members and potentially shifting the
+    // keeper — collapse to the max score per doc (the determinism the
+    // docstring promises holds regardless of the caller's hygiene)
+    val q1 = quality.groupBy(docCol).agg(
+      max(col(qualityCol)).as(qualityCol))
+    clusters.join(q1, Seq(docCol), "left")
       .withColumn("__rn", row_number().over(w))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),

@@ -284,8 +284,13 @@ object Graph {
     * distinct neighbours).
     *
     * Output: (node: long, core_deg: long) — the k-core's nodes with
-    * their degree INSIDE the core (≥ k by construction); empty when the
-    * graph has no k-core. */
+    * their degree INSIDE the core; empty when the graph has no k-core.
+    * Degrees are ≥ k ONLY once peeling has CONVERGED within `iters`
+    * waves: like [[labelPropagation]], convergence is the caller's
+    * parameter — an exhausted-but-unconverged run returns the partially
+    * peeled graph (a SUPERSET of the k-core, possibly holding nodes of
+    * degree < k) and logs a warning. The peel sheds at least one node
+    * per non-converged wave, so iters ≥ node count always converges. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -305,6 +310,11 @@ object Graph {
       e = pruned
       ecnt = n
     }
+    if (!converged && ecnt > 0L)
+      System.err.println(
+        s"graft.Graph.kCore: peeling did NOT converge within $iters wave(s) " +
+          s"($ecnt directed edges remain) — result is a SUPERSET of the " +
+          s"$k-core; raise iters for the exact core")
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
@@ -340,7 +350,6 @@ object Graph {
     * Output: (node: long, community: long) for every node in any edge. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))

@@ -491,15 +491,22 @@ object Mv {
         val merged = graft.operators.Incremental.mergeAdditive(
           spark.read.parquet(mvPath), spark.read.parquet(deltaDir),
           keys, merges)
-        // stage the merge (it READS mvPath), then install with a
-        // filesystem move and sweep both scratch dirs — a re-read-and-
-        // rewrite install would cost a second full pass and the
-        // abandoned dirs would pile up one pair per refresh
+        // stage the merge (it READS mvPath), then install via RENAME-
+        // SWAP: deregister the live view first (a planner that rewrote
+        // mid-swap would read a half-installed dir), move the old
+        // summary ASIDE, move staging in, and only then delete the old
+        // dir — mvPath holds a complete summary at every instant, so a
+        // crash between any two steps leaves either the old or the new
+        // summary installed, never neither. Sweep all scratch dirs last.
         val staging = new java.io.File(mvPath + s"_v$head")
         merged.write.mode("overwrite").parquet(staging.getPath)
+        MvRewrite.deregister(name)
         val target = new java.io.File(mvPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(target)
+        val retired = new java.io.File(mvPath + s"_retired_v$head")
+        org.apache.commons.io.FileUtils.deleteQuietly(retired)
+        org.apache.commons.io.FileUtils.moveDirectory(target, retired)
         org.apache.commons.io.FileUtils.moveDirectory(staging, target)
+        org.apache.commons.io.FileUtils.deleteDirectory(retired)
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(deltaDir))
       }

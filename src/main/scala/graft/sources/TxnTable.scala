@@ -726,7 +726,23 @@ object TxnTable {
             .drop("__fp", "__ri")
           Some(pre.select((lit(v).as("version") +:
             lit("delete").as("change") +: pre.columns.toSeq.map(col)): _*))
-        } else (readRel(removed), readRel(added)) match {
+        } else if (removed.isEmpty && added.nonEmpty && {
+          // a metadata-only RE-LIST (checkpoint/squash: publishFileList,
+          // the catalog lineage cap) "adds" files that were already live
+          // at v-1 — zero row-level changes, but a naive diff would feed
+          // every pre-existing row as an insert and an incremental view
+          // maintained via applyCdc would double-count. Skip a full
+          // re-list; refuse a PARTIAL overlap (neither a pure append nor
+          // a pure squash — the row-level delta is ambiguous).
+          val live = liveFiles(table, Some(v - 1)).toSet
+          val relisted = added.count(live)
+          require(relisted == 0 || relisted == added.size,
+            s"version $v of $table mixes $relisted re-listed live file(s) " +
+              s"with ${added.size - relisted} new file(s) — change feed " +
+              "cannot attribute row-level changes; recompute from snapshots")
+          relisted == added.size
+        }) None // full re-list: no row-level changes
+        else (readRel(removed), readRel(added)) match {
           case (None, None) => None
           case (None, Some(post)) =>
             Some(post.select((lit(v).as("version") +:
@@ -757,8 +773,15 @@ object TxnTable {
               .reduce(_ unionByName _))
         }
       }
-    require(frames.nonEmpty, "no commits in range")
-    frames.reduce(_ unionByName _)
+    if (frames.isEmpty) {
+      // the range held only metadata-only versions (re-list squashes):
+      // the honest feed is ZERO rows, with the snapshot's schema
+      val snap = read(spark, table, Some(toInclusive))
+      val payload = snap.columns.filterNot(keys.contains).toSeq
+      snap.limit(0).select((lit(0).as("version") +:
+        lit("insert").as("change") +:
+        (keys.map(col) ++ payload.map(col))): _*)
+    } else frames.reduce(_ unionByName _)
   }
 
   /** Read a snapshot: the table as of `asOf` (latest when None). An empty

@@ -162,5 +162,16 @@ class DedupSpec extends SparkSpec {
         Seq((2L, 7L)).toDF("doc_id", "quality"), "doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sparse == Set((1L, 2L, 2L)))
+
+    // duplicate doc_id rows in `quality` must not fan the join: n_members
+    // stays the true cluster size and the keeper is the max-score argmax
+    val dupQ = Seq((1L, 5L), (1L, 8L), (2L, 7L)).toDF("doc_id", "quality")
+    val deduped = Dedup.keepBest(
+        Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id"),
+        dupQ, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(deduped == Set((1L, 2L, 1L, 8L)),
+      "dup quality rows collapsed to max; n_members not inflated")
   }
 }

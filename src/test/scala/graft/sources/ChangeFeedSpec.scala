@@ -136,4 +136,45 @@ class ChangeFeedSpec extends SparkSpec {
       countCol = "cnt", sums = Map("sum_x" -> "x"))
     assert(canon(streamed) == canon(viewOf(2)))
   }
+
+  test("change feed skips metadata-only re-list versions (lineage squash)") {
+    val t = fresh("relist")
+    def rows(ks: Seq[Long]) = ks.map(k => (k, k * 10)).toDF("k", "v")
+    TxnTable.commit(spark, rows(0L until 5L), t, overwrite = false)   // v1
+    TxnTable.commit(spark, rows(5L until 8L), t, overwrite = false)   // v2
+    // v3: checkpoint-style squash — re-lists v2's live set, zero row changes
+    TxnTable.publishFileList(t, TxnTable.liveFiles(t, Some(2)),
+      tag = Some("squash"))
+    TxnTable.commit(spark, rows(8L until 10L), t, overwrite = false)  // v4
+
+    def feed(from: Int, to: Int) =
+      TxnTable.changeFeed(spark, t, from, to, Seq("k"))
+        .select("version", "change", "k", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    // squash-only range: zero changes, correct schema, no exception
+    val squashOnly = TxnTable.changeFeed(spark, t, 2, 3, Seq("k"))
+    assert(squashOnly.columns.toSeq == Seq("version", "change", "k", "v"))
+    assert(squashOnly.count() == 0L,
+      "a re-list version has zero row-level changes")
+    // a range spanning the squash carries ONLY the real appends — before
+    // the guard, v3 fed every pre-existing row as a phantom insert and an
+    // applyCdc-maintained view double-counted
+    assert(feed(2, 4) == (8L until 10L).map(k => (4, "insert", k, k * 10)).toSet)
+    assert(feed(0, 4).size == 10, "exactly one insert per real row")
+
+    // a MIXED version (re-listed live files + genuinely new files) is
+    // row-level ambiguous — changeFeed must refuse, not guess
+    val extraDir = new File(t, "extra")
+    rows(Seq(99L)).coalesce(1).write.parquet(extraDir.getPath)
+    val extraRel = extraDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => s"extra/${f.getName}").toSeq
+    TxnTable.publishFileList(t,
+      TxnTable.liveFiles(t, Some(4)).take(1) ++ extraRel)              // v5
+    val ex = intercept[IllegalArgumentException] {
+      TxnTable.changeFeed(spark, t, 4, 5, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("re-listed"))
+  }
 }
