@@ -81,19 +81,31 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** A JOIN-AWARE summary: a pre-aggregated star/snowflake join — the
     * OLAP summary cache. `suffixes` names every participating scan
     * (fact + dims, each segment-anchored, all distinct); `edges` is the
-    * join's equi-condition set as UNORDERED column-name pairs. Matches
-    * an Aggregate over an all-INNER equi-join tree whose LEAF SET and
-    * CONDITION SET equal the registration — set equality, so Catalyst's
+    * INNER join equi-condition set as UNORDERED column-name pairs.
+    * Matches an Aggregate over an equi-join tree whose LEAF SET and
+    * CONDITION SETS equal the registration — set equality, so Catalyst's
     * join reordering cannot break the match. Column names must be
     * unique across the star (the build projects them into one flat
     * summary; TPC-H-style per-table prefixes give this for free), and
     * every join must be non-fanning on its dimension side
     * ([[Mv.buildStar]] enforces key uniqueness per dim at build time) —
-    * the one property that makes pre-aggregating through joins sound. */
+    * the one property that makes pre-aggregating through joins sound.
+    *
+    * `leftEdges` carries the LEFT-OUTER dimension joins as
+    * (unordered pair, dim suffix): unlike an inner edge, a left edge is
+    * DIRECTIONAL (which relation null-extends matters — `F LEFT JOIN D`
+    * and `D LEFT JOIN F` share the pair but differ semantically), so the
+    * registration also names the null-extended side and the match
+    * verifies the query's preserved/extended sides agree. The summary
+    * then holds NULL-key groups for unmatched fact rows, exactly as the
+    * query would produce them, so re-aggregation stays exact. A view
+    * built all-INNER refuses a LEFT query and vice versa — the edge-set
+    * comparison is per join type, never a silent approximation. */
   final case class MvStarDef(suffixes: Seq[String],
                              edges: Set[Set[String]],
                              keys: Seq[String], sumCols: Seq[String],
-                             template: LogicalRelation)
+                             template: LogicalRelation,
+                             leftEdges: Set[(Set[String], String)] = Set.empty)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   private val starRegistry = new ConcurrentHashMap[String, MvStarDef]()
@@ -166,34 +178,75 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Flatten a projection/filter/INNER-equi-join tree to its leaf scans,
-    * its equi-condition name pairs, and every filter predicate found
-    * anywhere in it. Any outer join, non-equi condition, or foreign node
-    * disqualifies the subtree. */
+  /** The equi-condition name pairs of a join condition, or None if any
+    * conjunct is not a plain column-to-column equality. */
+  private def equiPairs(cond: Expression): Option[Set[Set[String]]] = {
+    val cs = conjuncts(cond).map {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        Some(Set(x.name, y.name))
+      case _ => None
+    }
+    if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+  }
+
+  /** The bare dimension leaf of a LEFT join's null-extended side:
+    * projections peel; the ONLY admissible filter is a conjunction of
+    * `IsNotNull(<join key>)` — the optimizer infers exactly that on the
+    * right side of a left outer join (null-keyed dim rows never match,
+    * so dropping them is free) and it carries no semantics the summary
+    * must honor. ANY other dim-side node disqualifies: a real dim-side
+    * filter runs BEFORE the join (turning matched rows into null-extended
+    * ones), which re-applying above the summary cannot express. */
+  private def leftDimLeaf(p: LogicalPlan, keyNames: Set[String])
+      : Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      leftDimLeaf(c, keyNames)
+    case Filter(cond, c) if conjuncts(cond).forall {
+        case IsNotNull(ar: AttributeReference) => keyNames.contains(ar.name)
+        case _ => false
+      } => leftDimLeaf(c, keyNames)
+    case _ => None
+  }
+
+  /** Flatten a projection/filter/equi-join tree to its leaf scans, its
+    * INNER equi-condition name pairs, its LEFT-OUTER edges (pair + the
+    * null-extended leaf), and every filter predicate found on the
+    * preserved spine. Inner joins recurse on both sides (filters commute
+    * freely through them); a LEFT join recurses only on its PRESERVED
+    * side — the null-extended side must be a bare leaf (modulo inferred
+    * IsNotNull prefilters, see [[leftDimLeaf]]), which both pins the
+    * direction the match must verify and excludes the nested-outer
+    * shapes where set-matching stops being sound. Any other join type,
+    * non-equi condition, or foreign node disqualifies the subtree. */
   private def flattenJoin(p: LogicalPlan)
-      : Option[(Seq[LogicalRelation], Set[Set[String]], Seq[Expression])] = {
-    import org.apache.spark.sql.catalyst.plans.Inner
+      : Option[(Seq[LogicalRelation], Set[Set[String]],
+                Set[(Set[String], LogicalRelation)], Seq[Expression])] = {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     p match {
       case j: Join if j.joinType == Inner =>
         for {
           cond <- j.condition
-          pairs <- {
-            val cs = conjuncts(cond).map {
-              case EqualTo(x: AttributeReference, y: AttributeReference) =>
-                Some(Set(x.name, y.name))
-              case _ => None
-            }
-            if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
-          }
-          (lLeaves, lPairs, lFs) <- flattenJoin(j.left)
-          (rLeaves, rPairs, rFs) <- flattenJoin(j.right)
-        } yield (lLeaves ++ rLeaves, pairs ++ lPairs ++ rPairs, lFs ++ rFs)
+          pairs <- equiPairs(cond)
+          (lLeaves, lPairs, lLeft, lFs) <- flattenJoin(j.left)
+          (rLeaves, rPairs, rLeft, rFs) <- flattenJoin(j.right)
+        } yield (lLeaves ++ rLeaves, pairs ++ lPairs ++ rPairs,
+          lLeft ++ rLeft, lFs ++ rFs)
+      case j: Join if j.joinType == LeftOuter =>
+        for {
+          cond <- j.condition
+          pairs <- equiPairs(cond)
+          if pairs.size == 1 // one single-column key per dimension
+          dim <- leftDimLeaf(j.right, pairs.head)
+          (lLeaves, lPairs, lLeft, lFs) <- flattenJoin(j.left)
+        } yield (lLeaves :+ dim, lPairs,
+          lLeft + ((pairs.head, dim)), lFs)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         flattenJoin(c)
       case Filter(cond, c) =>
-        flattenJoin(c).map { case (ls, ps, fs) => (ls, ps, fs :+ cond) }
-      case lr: LogicalRelation => Some((Seq(lr), Set.empty, Nil))
+        flattenJoin(c).map { case (ls, ps, le, fs) => (ls, ps, le, fs :+ cond) }
+      case lr: LogicalRelation => Some((Seq(lr), Set.empty, Set.empty, Nil))
       case _ => None
     }
   }
@@ -209,14 +262,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     * drop before gating. */
   private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
     flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
-      case (leaves, pairs, filters) =>
+      case (leaves, pairs, leftPairs, filters) =>
         def matches(d: MvStarDef): Boolean =
-          leaves.size == d.suffixes.size && pairs == d.edges && {
+          leaves.size == d.suffixes.size && pairs == d.edges &&
+            leftPairs.map(_._1) == d.leftEdges.map(_._1) && {
             // every registered suffix claims exactly one distinct leaf
             val claimed = d.suffixes.map(sfx =>
               leaves.filter(suffixMatches(_, sfx)))
             claimed.forall(_.size == 1) &&
               claimed.map(_.head).distinct.size == leaves.size
+          } && d.leftEdges.forall { case (pair, dimSfx) =>
+            // DIRECTION: the query's null-extended leaf for this edge
+            // must be the registered dimension (F LEFT JOIN D and
+            // D LEFT JOIN F share the pair but differ semantically)
+            leftPairs.exists { case (p, leaf) =>
+              p == pair && suffixMatches(leaf, dimSfx) }
           }
         starRegistry.asScala.toSeq
           .filter { case (_, d) => matches(d) }
@@ -224,10 +284,15 @@ object MvRewrite extends Rule[LogicalPlan] {
             (d.template.computeStats().sizeInBytes, name) }
           .iterator
           .map { case (_, d) =>
-            val keyNames = d.edges.flatten
+            // IsNotNull(key) conjuncts are tautologies ONLY over INNER
+            // edges (the join proved those keys non-null); a left edge's
+            // keys CAN be null in the result — fact-side null keys
+            // survive, dim-side keys null-extend — so an IsNotNull there
+            // is a real predicate and stays for rewriteWith's gates
+            val innerKeyNames = d.edges.flatten -- d.leftEdges.flatMap(_._1)
             val fs = filters.flatMap(conjuncts).filterNot {
               case IsNotNull(ar: AttributeReference) =>
-                keyNames.contains(ar.name)
+                innerKeyNames.contains(ar.name)
               case _ => false
             }
             rewriteWith(agg, fs,
@@ -376,6 +441,15 @@ object Mv {
       MvRewrite.MvDef(baseSuffix, keys, sumCols, rel))
   }
 
+  private def checkJoinTypes(joinTypes: Seq[String], nDims: Int): Seq[String] = {
+    val jts = if (joinTypes.isEmpty) Seq.fill(nDims)("inner") else joinTypes
+    require(jts.size == nDims,
+      s"joinTypes must align with dims: ${jts.size} types for $nDims dims")
+    jts.foreach(jt => require(jt == "inner" || jt == "left",
+      s"star join type must be 'inner' or 'left', got '$jt'"))
+    jts
+  }
+
   /** Build the STAR/SNOWFLAKE summary: `fact` joined with each
     * `(dim, leftKey, dimKey)` in chain order (leftKey resolves against
     * the accumulated join, so a snowflake dim may key off an earlier
@@ -383,21 +457,31 @@ object Mv {
     * here: a fanning join would multiply fact rows and the summary
     * would be silently wrong) and the star's column names must be
     * globally unambiguous. Same summary layout as [[build]]
-    * (sum_/cnt_/min_/max_ per measure + cnt). */
+    * (sum_/cnt_/min_/max_ per measure + cnt).
+    *
+    * `joinTypes` (aligned with `dims`; empty = all inner) admits "left"
+    * per dim — the reference's own dimension joins are LEFT joins
+    * (unmatched fact rows kept with null dim attributes), and the
+    * summary then carries NULL-key groups for them, which is exactly
+    * what re-aggregation needs to answer the LEFT query. Key uniqueness
+    * matters identically (a fanning left join multiplies matched rows). */
   def buildStar(fact: DataFrame, dims: Seq[(DataFrame, String, String)],
                 keys: Seq[String], sumCols: Seq[String],
-                mvPath: String): Unit = {
+                mvPath: String, joinTypes: Seq[String] = Nil): Unit = {
     require(dims.nonEmpty, "a star needs at least one dimension")
-    val joined = dims.foldLeft(fact) { case (acc, (dim, leftKey, dimKey)) =>
-      // one aggregate job: non-null keys must be distinct (null keys
-      // never equi-match, so they cannot fan and don't count)
-      val r = dim.agg(count(col(dimKey)).as("nk"),
-        countDistinct(col(dimKey)).as("nd")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
-          s"${r.getLong(1)} distinct) — the join would fan out fact rows " +
-          "and the summary would be wrong")
-      acc.join(dim, acc(leftKey) === dim(dimKey))
+    val jts = checkJoinTypes(joinTypes, dims.size)
+    val joined = dims.zip(jts).foldLeft(fact) {
+      case (acc, ((dim, leftKey, dimKey), jt)) =>
+        // one aggregate job: non-null keys must be distinct (null keys
+        // never equi-match, so they cannot fan and don't count)
+        val r = dim.agg(count(col(dimKey)).as("nk"),
+          countDistinct(col(dimKey)).as("nd")).head()
+        require(r.getLong(0) == r.getLong(1),
+          s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
+            s"${r.getLong(1)} distinct) — the join would fan out fact rows " +
+            "and the summary would be wrong")
+        acc.join(dim, acc(leftKey) === dim(dimKey),
+          if (jt == "left") "left" else "inner")
     }
     val dup = joined.columns.groupBy(identity)
       .collect { case (n, a) if a.length > 1 => n }
@@ -409,36 +493,46 @@ object Mv {
   /** One-dimension convenience form of [[buildStar]]. */
   def buildJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                 dimKey: String, keys: Seq[String], sumCols: Seq[String],
-                mvPath: String): Unit =
-    buildStar(fact, Seq((dim, factKey, dimKey)), keys, sumCols, mvPath)
+                mvPath: String, joinType: String = "inner"): Unit =
+    buildStar(fact, Seq((dim, factKey, dimKey)), keys, sumCols, mvPath,
+      Seq(joinType))
 
   /** Register `mvPath` as the summary of the star `factSuffix ⋈ dims`
     * (each dim as (dimSuffix, leftKey, dimKey); all suffixes
     * segment-anchored and distinct). Queries aggregating that exact
-    * all-inner equi-join tree — in ANY join order — rewrite from the
-    * NEXT planning on. */
+    * equi-join tree — in ANY join order — rewrite from the NEXT
+    * planning on. `joinTypes` (aligned with `dims`; empty = all inner)
+    * must state the SAME types the summary was built with: a left edge
+    * registers directionally (pair + dim suffix) so an inner-built view
+    * refuses a LEFT query and vice versa. */
   def registerStar(spark: SparkSession, name: String, factSuffix: String,
                    dims: Seq[(String, String, String)], mvPath: String,
-                   keys: Seq[String], sumCols: Seq[String]): Unit = {
+                   keys: Seq[String], sumCols: Seq[String],
+                   joinTypes: Seq[String] = Nil): Unit = {
     val suffixes = factSuffix +: dims.map(_._1)
     require(suffixes.distinct.size == suffixes.size,
       s"star suffixes must be distinct: $suffixes")
-    val edges = dims.map(d => Set(d._2, d._3)).toSet
-    require(edges.size == dims.size,
+    val jts = checkJoinTypes(joinTypes, dims.size)
+    val allEdges = dims.map(d => Set(d._2, d._3))
+    require(allEdges.toSet.size == dims.size,
       "star join edges must be distinct unordered key pairs")
+    val edges = dims.zip(jts).collect {
+      case ((_, lk, dk), "inner") => Set(lk, dk) }.toSet
+    val leftEdges = dims.zip(jts).collect {
+      case ((sfx, lk, dk), "left") => (Set(lk, dk), sfx) }.toSet
     val rel = analyzedRelation(spark, mvPath)
     requireCols(rel, mvPath, keys, sumCols)
     MvRewrite.registerStar(name,
-      MvRewrite.MvStarDef(suffixes, edges, keys, sumCols, rel))
+      MvRewrite.MvStarDef(suffixes, edges, keys, sumCols, rel, leftEdges))
   }
 
   /** One-dimension convenience form of [[registerStar]]. */
   def registerJoin(spark: SparkSession, name: String, factSuffix: String,
                    dimSuffix: String, factKey: String, dimKey: String,
                    mvPath: String, keys: Seq[String],
-                   sumCols: Seq[String]): Unit =
+                   sumCols: Seq[String], joinType: String = "inner"): Unit =
     registerStar(spark, name, factSuffix,
-      Seq((dimSuffix, factKey, dimKey)), mvPath, keys, sumCols)
+      Seq((dimSuffix, factKey, dimKey)), mvPath, keys, sumCols, Seq(joinType))
 
   /** Build AND register a summary of txn table `table`'s CURRENT
     * snapshot, keyed to the snapshot's exact live-file set: a query

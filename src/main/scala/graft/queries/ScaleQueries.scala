@@ -501,6 +501,93 @@ object ScaleQueries {
           Seq("lineitem.parquet", "orders.parquet", "customer.parquet"),
           "c_mktsegment")
       } finally MvRewrite.deregister("li_snow")
+    },
+
+    // ── LEFT-OUTER MV rewrite: the reference's own dimension joins are
+    //    LEFT joins (listings keep rows whose enrichment lookup missed),
+    //    so this is the first star shape a real summary-cache user asks
+    //    for. The dim is DELIBERATELY incomplete (even orderkeys only):
+    //    half the fact rows are unmatched and land in a NULL-key group,
+    //    which the summary carries as a NULL-key row — the rewrite
+    //    answers the LEFT query, null group included, without touching
+    //    either base scan. Left edges register DIRECTIONALLY (pair + the
+    //    null-extended side), so an inner-built view can never claim
+    //    this query nor this view an inner query (spec'd in
+    //    MvRewriteSpec).
+    sql("q_scan_mv_join_left",
+      """WITH ord2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderpriority,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem LEFT JOIN ord2 ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dimDir = new java.io.File(s"/root/repo/target/mv/orders_even_$sfKey")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/li_ord_left_$sfKey")
+      val srcs = Seq(new java.io.File(s"$d/lineitem.parquet"),
+        new java.io.File(s"$d/orders.parquet"))
+      graft.DerivedCache.ensure(dimDir, srcs, "_SUCCESS") {
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(dimDir.getAbsolutePath)
+      }
+      graft.DerivedCache.ensure(mvDir, srcs, "_SUCCESS") {
+        Mv.buildJoin(s.read.parquet(s"$d/lineitem.parquet"),
+          s.read.parquet(dimDir.getAbsolutePath),
+          "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
+          Seq("l_partkey"), mvDir.getAbsolutePath, joinType = "left")
+      }
+      Mv.registerJoin(s, "li_ord_left", "lineitem.parquet",
+        dimDir.getName, "l_orderkey", "o_orderkey", mvDir.getAbsolutePath,
+        Seq("o_orderpriority"), Seq("l_partkey"), joinType = "left")
+      try {
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(dimDir.getAbsolutePath),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("o_orderpriority")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        mvStamped(q, "li_ord_left",
+          Seq("lineitem.parquet", "orders_even"), "o_orderpriority")
+      } finally MvRewrite.deregister("li_ord_left")
+    },
+
+    // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
+    //    partials joined to a dim, re-rolled to a dim attribute. The
+    //    INNER aggregate alone is the registered view shape, and the
+    //    rule's transformUp rewrites it IN PLACE under the join: the
+    //    fact scan disappears while the join and outer rollup stand
+    //    untouched. At 100 TB the per-key partial is the expensive leg
+    //    (full fact shuffle); the dim join over the summary is cheap.
+    sql("q_scan_mv_rollup_join",
+      """WITH x AS (SELECT l_orderkey, CAST(SUM(l_partkey) AS BIGINT) AS ps
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, CAST(SUM(ps) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n_orders, CAST(1 AS BIGINT) AS from_mv
+        |FROM x JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/li_by_order_$sfKey")
+      graft.DerivedCache.ensure(mvDir,
+          Seq(new java.io.File(s"$d/lineitem.parquet")), "_SUCCESS") {
+        Mv.build(s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_orderkey"), Seq("l_partkey"), mvDir.getAbsolutePath)
+      }
+      Mv.register(s, "li_by_order", "lineitem.parquet",
+        mvDir.getAbsolutePath, Seq("l_orderkey"), Seq("l_partkey"))
+      try {
+        val inner = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_orderkey").agg(sum("l_partkey").as("ps"))
+        val q = inner
+          .join(s.read.parquet(s"$d/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("ps").as("part_sum"), count(lit(1)).as("n_orders"))
+        mvStamped(q, "li_by_order", Seq("lineitem.parquet"), "o_orderpriority")
+      } finally MvRewrite.deregister("li_by_order")
     }
   )
 

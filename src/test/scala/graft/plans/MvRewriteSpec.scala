@@ -273,6 +273,118 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("snow")
   }
 
+  test("left-outer view: the LEFT star answers with NULL-key groups; inner/left never cross-claim") {
+    val factPath = s"$root/lfact_base.parquet"
+    val dimPath = s"$root/ldim_base.parquet"
+    val lmv = s"$root/lstar_summary.parquet"
+    // dim covers only EVEN keys: odd-key fact rows are unmatched and
+    // must group under NULL attr — the shape that distinguishes LEFT
+    (1L to 300L).map(i => (i % 20, i % 50)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L by 2).map(k => (k, s"g${k % 4}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("attr"), Seq("m"), lmv,
+      joinType = "left")
+    Mv.registerJoin(spark, "lstar", "lfact_base.parquet", "ldim_base.parquet",
+      "fk", "pk", lmv, Seq("attr"), Seq("m"), joinType = "left")
+    try {
+      def agg(df: DataFrame) = df.groupBy("attr")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      val q = agg(fact.join(dim, col("fk") === col("pk"), "left"))
+      val plan = scanPaths(q)
+      assert(plan.contains("lstar_summary"), plan.take(2000))
+      assert(!plan.contains("lfact_base") && !plan.contains("ldim_base"),
+        plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try rows(agg(fact.join(dim, col("fk") === col("pk"), "left")))
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(rows(q) == want, "LEFT rewrite must match base incl. NULL group")
+      assert(want.exists(_._1.isEmpty), "the fixture must exercise a NULL group")
+
+      // SOUNDNESS: a LEFT-built view refuses the INNER query (its summary
+      // contains unmatched-fact groups an inner join would drop)
+      val qInner = agg(fact.join(dim, col("fk") === col("pk")))
+      assert(scanPaths(qInner).contains("lfact_base"),
+        scanPaths(qInner).take(2000))
+      // DIRECTION: dim LEFT JOIN fact shares the pair but null-extends
+      // the other side — must not claim the view. (A fanning reversed
+      // join also trips the CrossJoinGuard-free plan only at scan level;
+      // the refusal must come from the matcher, so check the plan.)
+      val qFlip = agg(dim.join(fact, col("fk") === col("pk"), "left"))
+      assert(scanPaths(qFlip).contains("lfact_base"),
+        scanPaths(qFlip).take(2000))
+      // a REAL dim-side filter (not the inferred IsNotNull(key)) runs
+      // before the join — unanswerable from the summary, falls through
+      val qDimFilter = agg(fact.join(
+        dim.filter(col("attr") =!= "g0"), col("fk") === col("pk"), "left"))
+      assert(scanPaths(qDimFilter).contains("lfact_base"),
+        scanPaths(qDimFilter).take(2000))
+      // an IS NULL key filter above the join is a genuine predicate on
+      // the left result (keeps only unmatched rows) and rides the view
+      val qNullOnly = fact.join(dim, col("fk") === col("pk"), "left")
+        .filter(col("attr").isNull)
+        .groupBy("attr").agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      val planNull = scanPaths(qNullOnly)
+      assert(planNull.contains("lstar_summary"), planNull.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val wantNull = try rows(fact.join(dim, col("fk") === col("pk"), "left")
+          .filter(col("attr").isNull)
+          .groupBy("attr").agg(sum("m").as("sm"), count(lit(1)).as("n")))
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(rows(qNullOnly) == wantNull)
+    } finally MvRewrite.deregister("lstar")
+
+    // ...and the mirror: an INNER-built view refuses a LEFT query even
+    // when leaves and the key pair agree (already covered shape-wise in
+    // the join-aware test, re-pinned here against the left registration
+    // path: registering inner then querying left must fall through)
+    val imv = s"$root/lstar_inner_summary.parquet"
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("attr"), Seq("m"), imv)
+    Mv.registerJoin(spark, "lstar_i", "lfact_base.parquet", "ldim_base.parquet",
+      "fk", "pk", imv, Seq("attr"), Seq("m"))
+    try {
+      val qLeft = fact.join(dim, col("fk") === col("pk"), "left")
+        .groupBy("attr").agg(sum("m").as("sm"))
+      assert(scanPaths(qLeft).contains("lfact_base"),
+        scanPaths(qLeft).take(2000))
+    } finally MvRewrite.deregister("lstar_i")
+  }
+
+  test("aggregate-below-join: the inner rollup rewrites in place under a join") {
+    val factPath = s"$root/rfact_base.parquet"
+    val dimPath = s"$root/rdim_base.parquet"
+    val rmv = s"$root/rollup_summary.parquet"
+    (1L to 300L).map(i => (i % 20, i % 50)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L).map(k => (k, s"g${k % 4}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    Mv.build(fact, Seq("fk"), Seq("m"), rmv)
+    Mv.register(spark, "rollup", "rfact_base.parquet", rmv,
+      Seq("fk"), Seq("m"))
+    try {
+      def build() = fact.groupBy("fk").agg(sum("m").as("ps"))
+        .join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum("ps").as("sm"), count(lit(1)).as("n"))
+      val q = build()
+      val plan = scanPaths(q)
+      assert(plan.contains("rollup_summary") && !plan.contains("rfact_base"),
+        plan.take(2000))
+      assert(plan.contains("rdim_base"), "the dim join must stand untouched")
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try build().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == want)
+    } finally MvRewrite.deregister("rollup")
+  }
+
   test("refreshTxn across a metadata squash stays exact (live-diff, not log replay)") {
     import graft.sources.{TxnCatalog, TxnTable}
     import graft.sources.TxnCatalog.Write
