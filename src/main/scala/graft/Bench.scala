@@ -120,6 +120,8 @@ object Bench {
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted_fastest":$omitted,"full_per_query":${q(artifact)},"errors":$errsCompact,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
     println(compact)
+    // every timing is recorded — reclaim the lifecycle scratch dirs
+    Scratch.sweep()
     spark.stop()
   }
 }

@@ -42,6 +42,8 @@ object Verify {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every result is on disk — reclaim the lifecycle scratch dirs
+    Scratch.sweep()
     spark.stop()
   }
 }

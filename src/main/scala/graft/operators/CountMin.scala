@@ -54,6 +54,16 @@ object CountMin {
     lit(r.toLong * Width) + ((checked * A(r) + B(r)) % P) % Width
   }
 
+  /** JVM-side mirror of [[cell]] — the same flat index computed eagerly,
+    * for stateful processors that keep a sketch in streaming state
+    * ([[graft.streaming.TwsStreaming.cmsTopKTws]]). Must stay formula-
+    * identical to [[cell]]: both feed the same DuckDB oracle. */
+  def cellOf(item: Long, r: Int): Long = {
+    require(item >= 0 && item <= MaxItem,
+      s"count-min item out of [0, $MaxItem]: $item")
+    r.toLong * Width + ((item * A(r) + B(r)) % P) % Width
+  }
+
   private def cellRows(df: DataFrame, itemCol: String): DataFrame =
     df.select(explode(array(
       (0 until Depth).map(r => cell(col(itemCol), r)): _*)).as("cell"))

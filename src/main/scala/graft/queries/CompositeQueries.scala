@@ -318,8 +318,7 @@ object CompositeQueries {
         |  UNION ALL SELECT 'diff_changed', changed FROM cnt
         |  UNION ALL SELECT 'latest_sum_q', latest_sum_q FROM cnt)
         |ORDER BY metric""".stripMargin) { (s, d) =>
-      val table = "/root/repo/target/tmp/q07_lakehouse_orders"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val table = graft.Scratch.dir("/root/repo/target/tmp/q07_lakehouse_orders")
       val orders = Tables.orders(s, d)
       // prices travel as integer cents so every downstream sum is exact
       def slice(ms: Int*) = orders
@@ -567,8 +566,7 @@ object CompositeQueries {
         |ORDER BY stage""".stripMargin) { (s, d) =>
       import graft.sources.TxnTable
       import graft.operators.Merge
-      val table = "/root/repo/target/tmp/q_txn_lifecycle"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val table = graft.Scratch.dir("/root/repo/target/tmp/q_txn_lifecycle")
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
       TxnTable.commit(s, ord.filter((col("k") % 4).isin(0, 1)).repartition(3),
@@ -683,8 +681,7 @@ object CompositeQueries {
       import graft.sources.TxnCatalog
       import graft.sources.TxnCatalog.Write
       import graft.operators.Sampling
-      val cat = "/root/repo/target/tmp/q16_release_cat"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val cat = graft.Scratch.dir("/root/repo/target/tmp/q16_release_cat")
       TxnCatalog.commitAll(s, cat,
         Seq(Write("docs", Tables.documents(s, d))))            // txn 1: ingest
       TxnCatalog.deleteWhereMor(s, cat, "docs",
@@ -718,8 +715,7 @@ object CompositeQueries {
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
       import graft.sources.TxnCatalog
       import graft.sources.TxnCatalog.Write
-      val cat = "/root/repo/target/tmp/q17_governance_cat"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val cat = graft.Scratch.dir("/root/repo/target/tmp/q17_governance_cat")
       TxnCatalog.commitAll(s, cat, Seq(Write("users",
         Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"))))
       TxnCatalog.renameColumn(s, cat, "users", "c_mktsegment", "segment")

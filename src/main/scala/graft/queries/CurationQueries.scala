@@ -378,7 +378,7 @@ object CurationQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
          |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
-      val out = s"/root/repo/target/tmp/shard_export"
+      val out = graft.Scratch.dir("/root/repo/target/tmp/shard_export")
       new java.io.File(out).getParentFile.mkdirs()
       Tables.documents(s, d)
         .withColumn("shard_id", Sampling.shardId(col("doc_id"), 8))

@@ -383,10 +383,8 @@ object ScaleQueries {
       import graft.sources.TxnTable
       graft.plans.GraftPlanner.register(s)
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"/root/repo/target/tmp/mvlc_table_$sfKey"
-      val mvDir = s"/root/repo/target/tmp/mvlc_view_$sfKey"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mvDir))
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/mvlc_table_$sfKey")
+      val mvDir = graft.Scratch.dir(s"/root/repo/target/tmp/mvlc_view_$sfKey")
       val li = s.read.parquet(s"$d/lineitem.parquet")
       TxnTable.commit(s, li.filter(col("l_orderkey") % 3 =!= 0), table,
         overwrite = false)

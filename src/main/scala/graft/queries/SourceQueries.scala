@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
 object SourceQueries {
 
   private def tmp(name: String): String = {
-    val p = s"/root/repo/target/tmp/$name"
+    val p = graft.Scratch.register(s"/root/repo/target/tmp/$name")
     new java.io.File(p).getParentFile.mkdirs()
     p
   }
@@ -1571,6 +1571,62 @@ object SourceQueries {
           "user_id")
         .select(col("rank"), col("user_id"), col("est_cnt"), col("exact_cnt"),
           lit(identical).as("stream_eq_batch"))
+        .orderBy("rank")
+    },
+
+    // ── FULLY-streaming top-k (the r9 gap closed): candidates live in
+    //    transformWithState alongside the per-bucket count-min sketch —
+    //    no batch-side probe anywhere; the stream is FORCED through 4
+    //    micro-batches (repartitioned stage + maxFilesPerTrigger=1) and
+    //    still hashes against the pure-batch oracle because every state
+    //    transition is a vector sum or a deterministic re-estimate.
+    //    Buckets (user_id % 32) keep each key's full history on one
+    //    state key and spread the universe across partitions; the
+    //    safety-net flag re-derives the same top-k from a batch replay
+    //    of the bucketed sketches.
+    sql("q_stream_topk_tws",
+      """WITH h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 22695477, 1),
+        |                           (2, 1664525, 1013904223), (3, 69069, 362437)),
+        |sk AS (
+        |  SELECT e.user_id % 32 AS bkt,
+        |         (h.r * 4096 + ((e.user_id * h.a + h.b) % 2147483647) % 4096) AS cell,
+        |         COUNT(*) AS cnt
+        |  FROM events e CROSS JOIN h GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c.user_id, MIN(sk.cnt) AS est_cnt
+        |  FROM (SELECT DISTINCT user_id FROM events) c CROSS JOIN h
+        |  JOIN sk ON sk.bkt = c.user_id % 32 AND sk.cell =
+        |    h.r * 4096 + ((c.user_id * h.a + h.b) % 2147483647) % 4096
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT user_id, est_cnt,
+        |         row_number() OVER (ORDER BY est_cnt DESC, user_id) AS rank
+        |  FROM est)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id,
+        |       CAST(est_cnt AS BIGINT) AS est_cnt, TRUE AS stream_eq_batch
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+      import graft.operators.CountMin
+      import graft.streaming.TwsStreaming
+      val streamTop = TwsStreaming.cmsTopKTws(s, d, 10)
+      // batch replay of the SAME bucketed sketches — the in-Spark safety
+      // net proving the stream state transitions lost nothing
+      val ev = Tables.events(s, d)
+      val probe = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), (col("user_id") % 32).as("bkt"),
+          explode(array((0 until CountMin.Depth)
+            .map(r => CountMin.cell(col("user_id"), r)): _*)).as("cell"))
+      val skB = ev.select(col("user_id"), (col("user_id") % 32).as("bkt"))
+        .select(col("bkt"), explode(array((0 until CountMin.Depth)
+          .map(r => CountMin.cell(col("user_id"), r)): _*)).as("cell"))
+        .groupBy("bkt", "cell").agg(count(lit(1)).as("cnt"))
+      val estB = probe.join(broadcast(skB), Seq("bkt", "cell"), "left")
+        .groupBy("user_id").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      val topB = estB.orderBy(col("est_cnt").desc, col("user_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val topS = streamTop.collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      streamTop
+        .withColumn("stream_eq_batch", lit(topB == topS))
         .orderBy("rank")
     },
 

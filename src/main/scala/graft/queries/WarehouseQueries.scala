@@ -272,10 +272,9 @@ object WarehouseQueries {
       import graft.sources.TxnTable
       import graft.operators.Merge
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"/root/repo/target/tmp/cdcview_src_$sfKey"
-      val view = s"/root/repo/target/tmp/cdcview_agg_$sfKey"
-      Seq(table, view, s"$view.ckpt").foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/cdcview_src_$sfKey")
+      val view = graft.Scratch.dir(s"/root/repo/target/tmp/cdcview_agg_$sfKey")
+      graft.Scratch.dir(s"$view.ckpt")
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey").as("nation"),
           (col("c_custkey") % 100).as("spend"))
@@ -333,8 +332,7 @@ object WarehouseQueries {
         |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"/root/repo/target/tmp/backfill_events_$sfKey"
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/backfill_events_$sfKey")
       val ev = Tables.events(s, d)
         .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       val badDay = "2024-01-03"

@@ -379,40 +379,14 @@ object TxnCatalog {
     val branchTxn = currentTxn(branch)
     require(mainTxn >= 1 && branchTxn >= 1,
       s"$branch (t$branchTxn) / $main (t$mainTxn): nothing to publish")
-    val branchPath = new File(branch).toPath
-    val mainPath = new File(main).toPath
-    def entryIno(cat: String, t: Int): Option[AnyRef] = {
-      val f = new File(txnDir(cat), f"t$t%05d.json")
-      if (f.isFile) Some(Files.getAttribute(f.toPath, "unix:ino")) else None
-    }
-    val fork = (1 to math.min(mainTxn, branchTxn)).takeWhile { t =>
-      val (m, b) = (entryIno(main, t), entryIno(branch, t))
-      m.isDefined && m == b
-    }.lastOption.getOrElse(0)
-    require(fork >= 1,
-      s"$branch is not a clone of $main — no shared txn entry")
+    val fork = forkTxn(branch, main, branchTxn, mainTxn)
     if (branchTxn == fork) return mainTxn // audit committed nothing
-    // tables whose snapshot state moved since the fork, on each side:
-    // version, lineage, column mapping, or drop set — restores and
-    // metadata-only schema ops all surface here
-    def touched(cat: String, head: Int): Set[String] =
-      if (head == fork) Set.empty
-      else {
-        val (v0, v1) = (tableVersions(cat, Some(fork)), tableVersions(cat, Some(head)))
-        val (l0, l1) = (versionLists(cat, Some(fork)), versionLists(cat, Some(head)))
-        val (c0, c1) = (colMap(cat, Some(fork)), colMap(cat, Some(head)))
-        val (d0, d1) = (colDrops(cat, Some(fork)), colDrops(cat, Some(head)))
-        (v0.keySet ++ v1.keySet).filter { n =>
-          v0.get(n) != v1.get(n) || l0.get(n) != l1.get(n) ||
-            c0.get(n) != c1.get(n) || d0.get(n) != d1.get(n)
-        }
-      }
-    val auditTables = touched(branch, branchTxn)
+    val auditTables = touchedSince(branch, fork, branchTxn)
     // an audit whose NET state equals the fork (e.g. commits then a
     // restore back) has nothing to publish — don't burn a txn on a
     // byte-identical duplicate entry
     if (auditTables.isEmpty) return mainTxn
-    val conflicts = auditTables.intersect(touched(main, mainTxn))
+    val conflicts = auditTables.intersect(touchedSince(main, fork, mainTxn))
     require(conflicts.isEmpty,
       s"table(s) ${conflicts.toSeq.sorted.mkString(", ")} changed on BOTH " +
         s"$main and $branch since the fork (t$fork) — re-clone and replay " +
@@ -468,6 +442,191 @@ object TxnCatalog {
         bcmap.filter(kv => auditTables(kv._1)),
       (colDrops(main, Some(mainTxn)) -- auditTables) ++
         bdrops.filter(kv => auditTables(kv._1)))
+  }
+
+  /** The last catalog txn `branch` shares with `main` BY INODE — version
+    * numbers are not fork identity (two catalogs can both be "at t3" with
+    * different histories); the shared hard-linked entry file is. */
+  private def forkTxn(branch: String, main: String,
+                      branchTxn: Int, mainTxn: Int): Int = {
+    def entryIno(cat: String, t: Int): Option[AnyRef] = {
+      val f = new File(txnDir(cat), f"t$t%05d.json")
+      if (f.isFile) Some(Files.getAttribute(f.toPath, "unix:ino")) else None
+    }
+    val fork = (1 to math.min(mainTxn, branchTxn)).takeWhile { t =>
+      val (m, b) = (entryIno(main, t), entryIno(branch, t))
+      m.isDefined && m == b
+    }.lastOption.getOrElse(0)
+    require(fork >= 1,
+      s"$branch is not a clone of $main — no shared txn entry")
+    fork
+  }
+
+  /** Tables whose snapshot state moved in (`fork`, `head`]: version,
+    * lineage, column mapping, or drop set — restores and metadata-only
+    * schema ops all surface here. */
+  private def touchedSince(cat: String, fork: Int, head: Int): Set[String] =
+    if (head == fork) Set.empty
+    else {
+      val (v0, v1) = (tableVersions(cat, Some(fork)), tableVersions(cat, Some(head)))
+      val (l0, l1) = (versionLists(cat, Some(fork)), versionLists(cat, Some(head)))
+      val (c0, c1) = (colMap(cat, Some(fork)), colMap(cat, Some(head)))
+      val (d0, d1) = (colDrops(cat, Some(fork)), colDrops(cat, Some(head)))
+      (v0.keySet ++ v1.keySet).filter { n =>
+        v0.get(n) != v1.get(n) || l0.get(n) != l1.get(n) ||
+          c0.get(n) != c1.get(n) || d0.get(n) != d1.get(n)
+      }
+    }
+
+  /** WAP AUTO-REBASE — [[publishFrom]] with the manual re-clone-and-
+    * replay loop automated: when the publish refuses because a table
+    * changed on BOTH sides since the fork, re-fork a fresh clone from
+    * `main`'s CURRENT head, replay the audit's kept writes onto it, and
+    * publish that. The replay is mechanical because the branch's ledgers
+    * hold everything needed:
+    *
+    *  - a NON-conflicted audited table's state in the new clone equals
+    *    its fork state, so its branch log entries (version numbers and
+    *    all) and data files link over verbatim;
+    *  - a CONFLICTED table rebases only if the audit's versions are PURE
+    *    APPENDS (no removals, no re-lists — [[TxnTable.addedFiles]]'s
+    *    contract): the appended files re-publish as fresh versions on
+    *    top of main's advanced head. An audit that overwrote, deleted,
+    *    or remapped columns on a table main also changed is a GENUINE
+    *    conflict — it refuses, because replaying a removal computed
+    *    against the fork's file set onto a different head would remove
+    *    the wrong rows.
+    *
+    * The rebase clone lands beside the branch (`<branch>_rebase<k>`) and
+    * is published with ONE catalog txn, then [[publishFrom]] completes
+    * as usual. Returns main's new head txn. The original branch is left
+    * untouched (still a valid audit trail). */
+  def publishFromOrRebase(branch: String, main: String,
+                          tag: Option[String] = None): Int = {
+    try publishFrom(branch, main, tag)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("changed on BOTH") =>
+        rebaseAndPublish(branch, main, tag)
+    }
+  }
+
+  private def rebaseAndPublish(branch: String, main: String,
+                               tag: Option[String]): Int = {
+    val mainTxn = currentTxn(main)
+    val branchTxn = currentTxn(branch)
+    val fork = forkTxn(branch, main, branchTxn, mainTxn)
+    val auditTables = touchedSince(branch, fork, branchTxn)
+    val conflicts = auditTables.intersect(touchedSince(main, fork, mainTxn))
+    // the audit's colmap/drop changes on a conflicted table cannot be
+    // re-applied over main's independent changes — genuine conflict
+    val bcmapB = colMap(branch, Some(branchTxn))
+    val bdropB = colDrops(branch, Some(branchTxn))
+    val cmapF = colMap(branch, Some(fork))
+    val dropF = colDrops(branch, Some(fork))
+    for (t <- conflicts)
+      require(bcmapB.get(t) == cmapF.get(t) && bdropB.get(t) == dropF.get(t),
+        s"table '$t' changed on both sides AND the audit remapped/dropped " +
+          "columns on it — cannot rebase; re-run the audit on a new clone")
+    // conflicted tables must be pure appends on the audit side, and the
+    // appended files must not collide with anything main now holds
+    val forkV = tableVersions(branch, Some(fork))
+    val branchV = tableVersions(branch, Some(branchTxn))
+    val appended: Map[String, Seq[Seq[String]]] = conflicts.toSeq.map { t =>
+      val tPath = tablePath(branch, t)
+      val from = forkV.getOrElse(t, 0)
+      val to = branchV.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"table '$t' was dropped by the audit but changed on $main — " +
+            "cannot rebase"))
+      require(to > from,
+        s"table '$t': audit moved it backwards (restore) while $main " +
+          "changed it — cannot rebase; re-run the audit on a new clone")
+      val perVersion = (from + 1 to to).map { v =>
+        val f = new File(TxnTable.logDir(tPath), f"v$v%05d.json")
+        require(f.isFile, s"table '$t': missing branch log entry v$v")
+        val (added, removed) = TxnTable.parseEntry(f)
+        require(removed.isEmpty,
+          s"table '$t' changed on both sides and the audit REMOVED files " +
+            s"in v$v — a removal computed against the fork cannot replay " +
+            "onto main's head; re-run the audit on a new clone")
+        added
+      }
+      // a re-list (squash) re-adds fork-live files — refuse like addedFiles
+      val forkLive = TxnTable.liveFiles(tPath, Some(from)).toSet
+      perVersion.foreach { vs =>
+        val relist = vs.filter(forkLive)
+        require(relist.isEmpty,
+          s"table '$t': the audit squashed its lineage (re-list of " +
+            s"${relist.size} file(s)) — cannot rebase; re-run the audit")
+      }
+      t -> perVersion
+    }.toMap
+    // fresh clone of main's head — the rebase target
+    var k = 1
+    while (new File(s"${branch}_rebase$k").exists()) k += 1
+    val reb = s"${branch}_rebase$k"
+    cloneCatalog(main, reb)
+    val rebTxnAtClone = currentTxn(reb)
+    // replay: non-conflicted tables link verbatim (log entries included —
+    // their base state in the clone equals the fork state); conflicted
+    // tables re-publish their appended files as fresh versions
+    for (t <- auditTables -- conflicts) {
+      val bDir = new File(tablePath(branch, t)).toPath
+      val rDir = new File(tablePath(reb, t)).toPath
+      if (Files.isDirectory(bDir)) {
+        val stream = Files.walk(bDir)
+        try stream.filter(p => Files.isRegularFile(p)).forEach { p =>
+          if (!p.getFileName.toString.endsWith(".tmp")) {
+            val to = rDir.resolve(bDir.relativize(p))
+            if (!Files.exists(to)) {
+              Files.createDirectories(to.getParent)
+              try Files.createLink(to, p)
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            }
+          }
+        } finally stream.close()
+      }
+    }
+    val newVersions = appended.map { case (t, perVersion) =>
+      val bPath = tablePath(branch, t)
+      val rPath = tablePath(reb, t)
+      perVersion.flatten.foreach { rel =>
+        val from = new File(bPath, rel).toPath
+        val to = new File(rPath, rel).toPath
+        require(!Files.exists(to) ||
+            Files.getAttribute(to, "unix:ino") ==
+              Files.getAttribute(from, "unix:ino"),
+          s"table '$t': audit file $rel collides with a different file " +
+            s"on $main — cannot rebase")
+        if (!Files.exists(to)) {
+          Files.createDirectories(to.getParent)
+          try Files.createLink(to, from)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
+      t -> perVersion.map(files =>
+        TxnTable.publishFileList(rPath, files, tag = Some("rebase")))
+    }
+    // one catalog txn on the rebase clone carrying the whole audit
+    val rv = tableVersions(reb, Some(rebTxnAtClone))
+    val rlists = versionLists(reb, Some(rebTxnAtClone))
+    val bv = tableVersions(branch, Some(branchTxn))
+    val blists = versionLists(branch, Some(branchTxn))
+    val tablesOut = rv ++
+      (auditTables -- conflicts).flatMap(t => bv.get(t).map(t -> _)) ++
+      newVersions.map { case (t, vs) => t -> vs.max }
+    val listsOut = rlists ++
+      (auditTables -- conflicts).flatMap(t => blists.get(t).map(t -> _)) ++
+      newVersions.map { case (t, vs) =>
+        t -> (rlists.getOrElse(t, Seq.empty) ++ vs) }
+    val rcmap = colMap(reb, Some(rebTxnAtClone))
+    val rdrops = colDrops(reb, Some(rebTxnAtClone))
+    val nonConf = auditTables -- conflicts
+    publishEntry(reb, rebTxnAtClone + 1, tablesOut, listsOut, tag,
+      (rcmap -- nonConf) ++ bcmapB.filter(kv => nonConf(kv._1)),
+      (rdrops -- nonConf) ++ bdropB.filter(kv => nonConf(kv._1)))
+    publishFrom(reb, main, tag)
   }
 
   /** The catalog's OCC RETRY loop — [[TxnTable.commitWithRetry]]'s

@@ -404,4 +404,132 @@ object TwsStreaming {
     out.count() // pin: the memory table is per-run, the result outlives it
     out
   }
+
+  case class TopKCand(bkt: Long, seq: Long, user_id: Long, est_cnt: Long)
+
+  /** FULLY-streaming heavy-hitter candidates: per BUCKET (item mod NB —
+    * every occurrence of an item lands on one state key, so the bucket's
+    * state sees the item's complete history), two named state variables:
+    * a count-min sketch as a MapState (cell → count; the vector-sum merge
+    * is order- and batch-split-invariant, see
+    * [[graft.operators.CountMin]]) and the current CANDIDATE set as a
+    * MapState capped at `candCap` (evictions drop the lowest
+    * last-estimate, ties to the larger id — deterministic). This closes
+    * the r9 gap where candidates were probed from the batch table at
+    * read time: here the candidate set itself lives in stream state, so
+    * an unbounded key universe never needs a batch-side pass. Each batch
+    * the bucket re-estimates its candidates against the updated sketch
+    * and emits them with a per-bucket SEQUENCE (cumulative row count) —
+    * a bucket's sketch only changes in batches that touch it, so the
+    * max-seq emission per bucket IS its final state.
+    *
+    * Scale shape: state per bucket ≤ 4·distinct cells + candCap entries,
+    * bounded forever; buckets spread the universe across partitions. The
+    * oracle replays exactly while no bucket exceeds candCap distinct
+    * items (no eviction → candidates = all seen items, estimates pure
+    * arithmetic); past the cap the result degrades to approximate
+    * heavy-hitters, the documented production trade. */
+  private class CmsTopKProcessor(candCap: Int)
+      extends StatefulProcessor[Long, Long, TopKCand] {
+    import graft.operators.CountMin
+
+    @transient private var sketch: MapState[Long, Long] = _
+    @transient private var cand: MapState[Long, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getMapState[Long, Long](
+        "sketch", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      cand = getHandle.getMapState[Long, Long](
+        "cand", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def estimate(item: Long): Long =
+      (0 until CountMin.Depth).map { r =>
+        val c = CountMin.cellOf(item, r)
+        if (sketch.containsKey(c)) sketch.getValue(c) else 0L
+      }.min
+
+    override def handleInputRows(bkt: Long, rows: Iterator[Long],
+                                 timerValues: TimerValues): Iterator[TopKCand] = {
+      // fold the batch to per-item counts first: the merge into the
+      // sketch is then one vector add per item — row order irrelevant
+      val batch = scala.collection.mutable.HashMap.empty[Long, Long]
+      var n = 0L
+      rows.foreach { u => batch.update(u, batch.getOrElse(u, 0L) + 1L); n += 1 }
+      batch.foreach { case (u, c) =>
+        var r = 0
+        while (r < CountMin.Depth) {
+          val cl = CountMin.cellOf(u, r)
+          val prev = if (sketch.containsKey(cl)) sketch.getValue(cl) else 0L
+          sketch.updateValue(cl, prev + c)
+          r += 1
+        }
+      }
+      batch.keysIterator.foreach(u => cand.updateValue(u, estimate(u)))
+      val entries = cand.iterator().toArray
+      if (entries.length > candCap)
+        entries.sortBy { case (u, e) => (e, -u) }
+          .take(entries.length - candCap)
+          .foreach { case (u, _) => cand.removeKey(u) }
+      val s = (if (seen.exists()) seen.get() else 0L) + n
+      seen.update(s)
+      cand.iterator().map { case (u, _) => TopKCand(bkt, s, u, estimate(u)) }
+    }
+  }
+
+  /** Streaming top-k heavy hitters with NO batch-side probe: the staged
+    * events stream through [[CmsTopKProcessor]] buckets (forced into
+    * `nSplits` micro-batches via a repartitioned stage +
+    * maxFilesPerTrigger=1 — the result is batch-split-invariant, which
+    * the spec pins by varying the split), each bucket's final emission
+    * carries its candidates estimated against its final sketch, and the
+    * global top-k ranks the tiny union by (estimate desc, id asc).
+    * Output: (rank, user_id, est_cnt). */
+  def cmsTopKTws(spark: SparkSession, sfDir: String, k: Int,
+                 buckets: Int = 32, candCap: Int = 4096,
+                 nSplits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val name = s"stream_cms_tws_${System.nanoTime()}"
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new java.io.File(
+      s"/root/repo/target/tmp/stream/cms_split${nSplits}_$key")
+    graft.DerivedCache.ensure(dir,
+        Seq(new java.io.File(s"$sfDir/events.parquet")), "_SUCCESS") {
+      ss.read.schema(EventsStreaming.rawSchema)
+        .parquet(s"$sfDir/events.parquet")
+        .repartition(nSplits)
+        .write.mode("overwrite").parquet(dir.getPath)
+    }
+    val stream = ss.readStream.schema(EventsStreaming.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getPath)
+      .select($"user_id").as[Long]
+    val cands = stream
+      .groupByKey(_ % buckets)
+      .transformWithState(new CmsTopKProcessor(candCap),
+        TimeMode.None(), OutputMode.Update())
+    val q = cands.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val tbl = ss.table(name)
+    // latest emission per bucket = its final candidates + final sketch
+    val last = tbl
+      .withColumn("mx", max("seq").over(Window.partitionBy("bkt")))
+      .filter(col("seq") === col("mx"))
+    val out = last
+      .orderBy(col("est_cnt").desc, col("user_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est_cnt").desc, col("user_id"))).cast("long"))
+      .select(col("rank"), col("user_id"), col("est_cnt"))
+      .cache()
+    out.count() // pin: the memory table is per-run, the result outlives it
+    out
+  }
 }

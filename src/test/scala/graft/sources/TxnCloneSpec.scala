@@ -245,6 +245,54 @@ class TxnCloneSpec extends SparkSpec {
     assert(ids(main, "tx") == Set(1L, 2L, 9L))
   }
 
+  test("WAP auto-rebase: overlapping append audits land serially; genuine conflicts refuse") {
+    import graft.sources.TxnCatalog.Write
+    val main = freshTable("cwap3_main")
+    val a = freshTable("cwap3_a")
+    val b = freshTable("cwap3_b")
+    TxnCatalog.commitAll(spark, main, Seq(
+      Write("tx", Seq(1L).toDF("id")),
+      Write("ty", Seq(10L).toDF("id"))))                      // txn 1
+    // two audits fork the SAME head and BOTH append to tx (overlap)
+    TxnCatalog.cloneCatalog(main, a)
+    TxnCatalog.cloneCatalog(main, b)
+    TxnCatalog.commitAll(spark, a, Seq(Write("tx", Seq(2L).toDF("id"))))
+    TxnCatalog.commitAll(spark, b, Seq(Write("tx", Seq(3L).toDF("id")),
+      Write("ty", Seq(11L).toDF("id"))))                      // multi-table audit
+
+    assert(TxnCatalog.publishFromOrRebase(a, main) == 2)      // lands plain
+    // b now overlaps on tx: plain publish refuses, rebase lands it
+    intercept[IllegalArgumentException] { TxnCatalog.publishFrom(b, main) }
+    assert(TxnCatalog.publishFromOrRebase(b, main) == 3)
+    def ids(cat: String, t: String, asOf: Option[Int] = None): Set[Long] =
+      TxnCatalog.read(spark, cat, t, asOf).select("id").as[Long].collect().toSet
+    assert(ids(main, "tx") == Set(1L, 2L, 3L), "both appends present")
+    assert(ids(main, "ty") == Set(10L, 11L), "non-conflicted table rode along")
+    // history: each publish is one txn, pre-rebase snapshots travel
+    assert(ids(main, "tx", Some(2)) == Set(1L, 2L))
+    assert(ids(main, "tx", Some(1)) == Set(1L))
+
+    // a rebased-clone dir exists as the audit trail; the ORIGINAL branch
+    // is untouched (still shows only its own append)
+    assert(new File(s"${b}_rebase1").exists())
+    assert(ids(b, "tx") == Set(1L, 3L))
+
+    // GENUINE conflict: an audit that OVERWROTE a table main also
+    // changed cannot rebase (its removal list addresses the fork's
+    // file set, not main's head)
+    val c = freshTable("cwap3_c")
+    TxnCatalog.cloneCatalog(main, c)
+    TxnCatalog.commitAll(spark, c, Seq(
+      Write("tx", Seq(99L).toDF("id"), overwrite = true)))
+    TxnCatalog.commitAll(spark, main, Seq(Write("tx", Seq(4L).toDF("id"))))
+    val ex = intercept[IllegalArgumentException] {
+      TxnCatalog.publishFromOrRebase(c, main)
+    }
+    assert(ex.getMessage.contains("cannot rebase") ||
+      ex.getMessage.contains("REMOVED files"), ex.getMessage)
+    assert(ids(main, "tx") == Set(1L, 2L, 3L, 4L), "main untouched by refusal")
+  }
+
   test("catalog clone pins the head and keeps pre-restore versions travelable") {
     import graft.sources.TxnCatalog.Write
     val src = freshTable("cpin_src")

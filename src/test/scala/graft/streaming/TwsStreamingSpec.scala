@@ -164,4 +164,27 @@ class TwsStreamingSpec extends SparkSpec {
       assert(math.abs(single(t) - n).toDouble / n < 0.05, s"$t estimate off")
     }
   }
+
+  test("streaming cms top-k is batch-split invariant and needs no batch probe") {
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+    // the same top-k out of 1, 4, and 7 forced micro-batch splits — the
+    // candidate set and every estimate live in tws state, so any split
+    // must yield the identical rows
+    val one = top(TwsStreaming.cmsTopKTws(spark, sfDir, 10, nSplits = 1))
+    val four = top(TwsStreaming.cmsTopKTws(spark, sfDir, 10, nSplits = 4))
+    val seven = top(TwsStreaming.cmsTopKTws(spark, sfDir, 10, nSplits = 7))
+    assert(one === four, "1-batch vs 4-batch top-k differ")
+    assert(four === seven, "4-batch vs 7-batch top-k differ")
+    // count-min estimates upper-bound the exact counts
+    val exact = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    four.foreach { case (_, u, est) =>
+      assert(est >= exact(u), s"estimate below exact count for $u")
+    }
+    // the top estimate is sane: at least the true max count
+    assert(four.head._3 >= exact.values.max)
+  }
 }
