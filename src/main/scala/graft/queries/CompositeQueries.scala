@@ -163,11 +163,13 @@ object CompositeQueries {
         |                               i -> array_to_string(w[i:i+4], ' '))) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
         |  WHERE len(w) >= 5),
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, len(s) AS ns, unnest(s) AS g FROM sh),
         |p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.5),
         |edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  UNION ALL

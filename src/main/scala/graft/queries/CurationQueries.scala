@@ -345,11 +345,14 @@ object CurationQueries {
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
          |        FROM documents)
          |  WHERE len(w) >= 5),
+         |ex AS MATERIALIZED (
+         |  SELECT doc_id, len(s) AS ns, unnest(s) AS g FROM sh),
          |p AS (
          |  SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
-         |         CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
-         |           / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jac
-         |  FROM sh b JOIN sh c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+         |         CAST(COUNT(*) AS DOUBLE) / (b.ns + c.ns - COUNT(*)) AS jac
+         |  FROM ex b JOIN ex c ON b.g = c.g
+         |   AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |  GROUP BY b.doc_id, c.doc_id, b.ns, c.ns)
          |SELECT id_new, id_corpus, jac FROM p WHERE jac >= 0.5
          |ORDER BY id_new, id_corpus""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)

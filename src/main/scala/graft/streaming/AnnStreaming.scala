@@ -73,4 +73,64 @@ object AnnStreaming {
     q.awaitTermination()
     spark.read.parquet(out)
   }
+
+  /** FRESH streaming enrichment: each micro-batch is (1) enriched
+    * against the index as of the PREVIOUS batch, then (2) folded into
+    * the index via [[Similarity.appendToIvfPqIndex]] — so batch N+1's
+    * lookups see batch N's vectors without a restart or rebuild (the r9
+    * gap: [[enrichTopK]]'s index is static for the run). Enrich-then-
+    * append inside one foreachBatch keeps the semantics exact and
+    * deterministic: a batch never matches itself, and the enrichment is
+    * materialized to the sink BEFORE the index mutates. The index is a
+    * PER-RUN working copy (base trained on `baseFilter` rows only), so
+    * the shared DerivedCache index other queries read stays immutable.
+    * Model staleness is the standard IVF append trade — assignments use
+    * the base-trained centroids/codebooks; a skew/appendFraction
+    * threshold ([[Similarity.indexHealth]]) decides the rebuild, exactly
+    * as in the batch lifecycle.
+    *
+    * Streams the `vec_id < 10` slice in two micro-batches (ids < 5,
+    * then 5..9) against a base index of `vec_id >= 10` — batch 2's
+    * queries CAN and do hit batch 1's vectors (spec-pinned). Output:
+    * (q_id, rank, n_id, sim). `extraBatches` lets a spec append custom
+    * fixture batches after the two slices. */
+  def enrichTopKFresh(spark: SparkSession, sfDir: String, k: Int = 5,
+                      extraBatches: Seq[DataFrame] = Nil): DataFrame = {
+    val ss = streamSession(spark)
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("user.dir")}/target/tmp/stream/annfresh_$sfKey"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (idx, in, out, ckpt) =
+      (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    val embs = graft.Tables.embeddings(ss, sfDir)
+    Similarity.writeIvfPqIndex(embs.filter(col("vec_id") >= 10), idx)
+    val queries = embs.filter(col("vec_id") < 10)
+    // file mtimes order the micro-batches: a, b, then any extras
+    queries.filter(col("vec_id") < 5)
+      .coalesce(1).write.parquet(s"$in/batch_a")
+    queries.filter(col("vec_id") >= 5)
+      .coalesce(1).write.parquet(s"$in/batch_b")
+    extraBatches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.parquet(s"$in/batch_x$i")
+    }
+    val src = ss.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch feeds two jobs (enrich + append): pin it once
+        val pinned = batch.localCheckpoint(true)
+        Similarity.ivfPqTopKIndexed(pinned, idx, k)
+          .write.mode("append").parquet(out)
+        Similarity.appendToIvfPqIndex(pinned, idx)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val res = spark.read.parquet(out).cache()
+    res.count() // pin: the per-run index dir is scratch
+    res
+  }
 }

@@ -21,4 +21,39 @@ class AnnStreamingSpec extends SparkSpec {
     val batches = new java.io.File(ckpt).list().count(!_.startsWith("."))
     assert(batches === 2, s"expected 2 micro-batches, saw $batches offset files")
   }
+
+  test("fresh streaming enrichment: batch-2 queries hit batch-1 vectors") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = rows(AnnStreaming.enrichTopKFresh(spark, sfDir, k = 5))
+
+    // batch replay of the SAME lifecycle: base index over vec_id >= 10,
+    // batch a (ids < 5) enriched then appended, batch b enriched against
+    // base ∪ a — exact equality, stage by stage
+    val embs = Tables.embeddings(spark, sfDir)
+    val idx = "/root/repo/target/tmp/spec_annfresh_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    Similarity.writeIvfPqIndex(embs.filter($"vec_id" >= 10), idx)
+    val a = embs.filter($"vec_id" < 5)
+    val b = embs.filter($"vec_id" >= 5 && $"vec_id" < 10)
+    val wantA = rows(Similarity.ivfPqTopKIndexed(a, idx, k = 5)
+      .localCheckpoint(true))
+    Similarity.appendToIvfPqIndex(a, idx)
+    val wantB = rows(Similarity.ivfPqTopKIndexed(b, idx, k = 5))
+    assert(streamed === wantA ++ wantB,
+      "streamed enrich-then-append must equal the staged batch lifecycle")
+
+    // freshness is observable, not incidental: stream TWIN vectors —
+    // batch x0 re-labels ids 0..4 as 1000.., batch x1 re-labels the SAME
+    // embeddings as 2000.. — so each x1 query's nearest neighbour set
+    // must contain a vector that only entered the index via x0's append
+    val twin0 = a.select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val twin1 = a.select(($"vec_id" + 2000L).as("vec_id"), $"embedding")
+    val fresh = AnnStreaming.enrichTopKFresh(spark, sfDir, k = 5,
+      extraBatches = Seq(twin0, twin1))
+    val hit = fresh.filter($"q_id" >= 2000L && $"n_id" >= 1000L && $"n_id" < 2000L)
+    assert(hit.count() > 0,
+      "a twin query must retrieve its streamed-in twin vector")
+  }
 }
