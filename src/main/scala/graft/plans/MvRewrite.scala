@@ -92,20 +92,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the one property that makes pre-aggregating through joins sound.
     *
     * `leftEdges` carries the LEFT-OUTER dimension joins as
-    * (unordered pair, dim suffix): unlike an inner edge, a left edge is
-    * DIRECTIONAL (which relation null-extends matters — `F LEFT JOIN D`
-    * and `D LEFT JOIN F` share the pair but differ semantically), so the
-    * registration also names the null-extended side and the match
-    * verifies the query's preserved/extended sides agree. The summary
-    * then holds NULL-key groups for unmatched fact rows, exactly as the
-    * query would produce them, so re-aggregation stays exact. A view
-    * built all-INNER refuses a LEFT query and vice versa — the edge-set
-    * comparison is per join type, never a silent approximation. */
+    * (unordered pair, dim suffix, dim-side key): unlike an inner edge,
+    * a left edge is DIRECTIONAL (which relation null-extends matters —
+    * `F LEFT JOIN D` and `D LEFT JOIN F` share the pair but differ
+    * semantically), so the registration also names the null-extended
+    * side and the match verifies the query's preserved/extended sides
+    * agree. The summary then holds NULL-key groups for unmatched fact
+    * rows, exactly as the query would produce them, so re-aggregation
+    * stays exact. A view built all-INNER refuses a LEFT query — but a
+    * LEFT-built view ALSO answers the INNER form when every left dim's
+    * KEY is among the view keys: matched rows are exactly the summary
+    * groups with a non-null dim key (an equi-join never matches a null
+    * key), so the rewrite adds `IsNotNull(dimKey)` and re-aggregates —
+    * one summary serving both join shapes. */
   final case class MvStarDef(suffixes: Seq[String],
                              edges: Set[Set[String]],
                              keys: Seq[String], sumCols: Seq[String],
                              template: LogicalRelation,
-                             leftEdges: Set[(Set[String], String)] = Set.empty)
+                             leftEdges: Set[(Set[String], String, String)] =
+                               Set.empty)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   private val starRegistry = new ConcurrentHashMap[String, MvStarDef]()
@@ -263,40 +268,73 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
     flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
       case (leaves, pairs, leftPairs, filters) =>
-        def matches(d: MvStarDef): Boolean =
+        def leavesClaimed(d: MvStarDef): Boolean = {
+          // every registered suffix claims exactly one distinct leaf
+          val claimed = d.suffixes.map(sfx =>
+            leaves.filter(suffixMatches(_, sfx)))
+          claimed.forall(_.size == 1) &&
+            claimed.map(_.head).distinct.size == leaves.size
+        }
+        def matchesExact(d: MvStarDef): Boolean =
           leaves.size == d.suffixes.size && pairs == d.edges &&
-            leftPairs.map(_._1) == d.leftEdges.map(_._1) && {
-            // every registered suffix claims exactly one distinct leaf
-            val claimed = d.suffixes.map(sfx =>
-              leaves.filter(suffixMatches(_, sfx)))
-            claimed.forall(_.size == 1) &&
-              claimed.map(_.head).distinct.size == leaves.size
-          } && d.leftEdges.forall { case (pair, dimSfx) =>
-            // DIRECTION: the query's null-extended leaf for this edge
-            // must be the registered dimension (F LEFT JOIN D and
-            // D LEFT JOIN F share the pair but differ semantically)
-            leftPairs.exists { case (p, leaf) =>
-              p == pair && suffixMatches(leaf, dimSfx) }
-          }
+            leftPairs.map(_._1) == d.leftEdges.map(_._1) &&
+            leavesClaimed(d) &&
+            d.leftEdges.forall { case (pair, dimSfx, _) =>
+              // DIRECTION: the query's null-extended leaf for this edge
+              // must be the registered dimension (F LEFT JOIN D and
+              // D LEFT JOIN F share the pair but differ semantically)
+              leftPairs.exists { case (p, leaf) =>
+                p == pair && suffixMatches(leaf, dimSfx) }
+            }
+        // an all-INNER query over a LEFT-built view: matched rows are
+        // exactly the summary groups whose dim KEY is non-null, so the
+        // rewrite is sound whenever every left dim's key is a view key
+        def matchesInnerized(d: MvStarDef): Boolean =
+          d.leftEdges.nonEmpty && leftPairs.isEmpty &&
+            leaves.size == d.suffixes.size &&
+            pairs == d.edges ++ d.leftEdges.map(_._1) &&
+            d.leftEdges.forall { case (_, _, dimKey) =>
+              d.keys.contains(dimKey) } &&
+            leavesClaimed(d)
         starRegistry.asScala.toSeq
-          .filter { case (_, d) => matches(d) }
-          .sortBy { case (name, d) =>
+          .collect {
+            case (name, d) if matchesExact(d) => (name, d, false)
+            case (name, d) if matchesInnerized(d) => (name, d, true)
+          }
+          .sortBy { case (name, d, _) =>
             (d.template.computeStats().sizeInBytes, name) }
           .iterator
-          .map { case (_, d) =>
+          .map { case (_, d, innerized) =>
             // IsNotNull(key) conjuncts are tautologies ONLY over INNER
             // edges (the join proved those keys non-null); a left edge's
             // keys CAN be null in the result — fact-side null keys
             // survive, dim-side keys null-extend — so an IsNotNull there
-            // is a real predicate and stays for rewriteWith's gates
-            val innerKeyNames = d.edges.flatten -- d.leftEdges.flatMap(_._1)
+            // is a real predicate and stays for rewriteWith's gates.
+            // In the INNERIZED mode every edge is inner in the QUERY, so
+            // all its IsNotNull(key) conjuncts are tautologies — and the
+            // rewrite itself re-adds the load-bearing dim-key IsNotNull.
+            val innerKeyNames =
+              if (innerized) d.edges.flatten ++ d.leftEdges.flatMap(_._1)
+              else d.edges.flatten -- d.leftEdges.flatMap(_._1)
             val fs = filters.flatMap(conjuncts).filterNot {
               case IsNotNull(ar: AttributeReference) =>
                 innerKeyNames.contains(ar.name)
               case _ => false
             }
-            rewriteWith(agg, fs,
-              MvDef(d.suffixes.head, d.keys, d.sumCols, d.template))
+            // resolve the dim-key attrs from the leaves; a miss fails
+            // THIS candidate only (Option, not return — a non-local
+            // return would abort the whole candidate iteration)
+            val extra: Option[Seq[Expression]] =
+              if (!innerized) Some(Nil)
+              else {
+                val es = d.leftEdges.toSeq.map { case (_, _, dimKey) =>
+                  leaves.flatMap(_.output).find(_.name == dimKey)
+                    .map(IsNotNull(_): Expression)
+                }
+                if (es.forall(_.isDefined)) Some(es.flatten) else None
+              }
+            extra.flatMap(ex => rewriteWith(agg, fs ++ ex,
+              MvDef(d.suffixes.head, d.keys, d.sumCols, d.template)))
           }
           .collectFirst { case Some(p) => p }
     }
@@ -519,7 +557,7 @@ object Mv {
     val edges = dims.zip(jts).collect {
       case ((_, lk, dk), "inner") => Set(lk, dk) }.toSet
     val leftEdges = dims.zip(jts).collect {
-      case ((sfx, lk, dk), "left") => (Set(lk, dk), sfx) }.toSet
+      case ((sfx, lk, dk), "left") => (Set(lk, dk), sfx, dk) }.toSet
     val rel = analyzedRelation(spark, mvPath)
     requireCols(rel, mvPath, keys, sumCols)
     MvRewrite.registerStar(name,
@@ -604,6 +642,59 @@ object Mv {
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(deltaDir))
       }
+    }
+    registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
+    head
+  }
+
+  /** Advance a txn-table view across commits that REMOVE or REWRITE
+    * rows — the refresh [[refreshTxn]] refuses. Deletes, MERGE updates,
+    * and compactions retract additively for SUM/COUNT (a removed row's
+    * contribution subtracts exactly), so the view stays O(Δ-rows) via
+    * the row-level change feed; MIN/MAX cannot retract without history,
+    * so the refreshed summary DROPS its `min_`/`max_` columns — a
+    * MIN/MAX query then declines the rewrite (missing column = fall
+    * back to base, never a wrong answer) while SUM/AVG/COUNT keep
+    * answering from the view. `rowKeys` is the table's unique row key
+    * ([[graft.sources.TxnTable.changeFeed]]'s keyed-table contract — the
+    * MERGE invariant). Re-registers against the head's file set and
+    * returns it. */
+  def refreshTxnCdc(spark: SparkSession, name: String, table: String,
+                    builtVersion: Int, mvPath: String, keys: Seq[String],
+                    sumCols: Seq[String], rowKeys: Seq[String]): Int = {
+    import graft.sources.TxnTable
+    val head = TxnTable.currentVersion(table)
+    require(head >= builtVersion,
+      s"$table is at v$head, below the view's v$builtVersion — restore " +
+        "rewinds are not refreshable; rebuild via registerTxn")
+    if (head != builtVersion) {
+      val feed0 = TxnTable.changeFeed(spark, table, builtVersion, head,
+        rowKeys, updateImages = true)
+      // per-measure non-null indicator rides the feed so cnt_<c> (what
+      // AVG divides by) retracts with the same signed aggregate as cnt
+      val feed = sumCols.foldLeft(feed0) { (f, c) =>
+        f.withColumn(s"__nn_$c",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col(c).isNotNull, 1L)
+            .otherwise(0L))
+      }
+      val mv = spark.read.parquet(mvPath)
+      val slimCols = (keys :+ "cnt") ++
+        sumCols.flatMap(c => Seq(s"sum_$c", s"cnt_$c"))
+      val slim = mv.select(slimCols.map(col): _*)
+      val sums = sumCols.flatMap(c =>
+        Seq(s"sum_$c" -> c, s"cnt_$c" -> s"__nn_$c")).toMap
+      val merged = graft.operators.Incremental.applyCdc(
+        slim, feed, keys, "cnt", sums)
+      val staging = new java.io.File(mvPath + s"_v$head")
+      merged.write.mode("overwrite").parquet(staging.getPath)
+      MvRewrite.deregister(name)
+      val target = new java.io.File(mvPath)
+      val retired = new java.io.File(mvPath + s"_retired_v$head")
+      org.apache.commons.io.FileUtils.deleteQuietly(retired)
+      org.apache.commons.io.FileUtils.moveDirectory(target, retired)
+      org.apache.commons.io.FileUtils.moveDirectory(staging, target)
+      org.apache.commons.io.FileUtils.deleteDirectory(retired)
     }
     registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
     head

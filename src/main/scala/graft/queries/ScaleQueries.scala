@@ -586,6 +586,68 @@ object ScaleQueries {
           .agg(sum("ps").as("part_sum"), count(lit(1)).as("n_orders"))
         mvStamped(q, "li_by_order", Seq("lineitem.parquet"), "o_orderpriority")
       } finally MvRewrite.deregister("li_by_order")
+    },
+
+    // ── MV refresh UNDER DELETES/UPDATES via the change feed: the
+    //    lifecycle refreshTxn refuses (removed files) stays O(Δ) for
+    //    SUM/COUNT views — each removed row's contribution retracts by
+    //    the signed CDC aggregate. Stage a: snapshot-pinned view
+    //    answers. Stage b: a MERGE doubles every 11th order's v and a
+    //    DELETE drops every 7th, then refreshTxnCdc folds the row-level
+    //    feed into the summary — the SAME untouched query answers
+    //    from_mv=1 with post-change numbers. The refreshed summary
+    //    drops min_/max_ (unretractable), so MIN/MAX queries decline —
+    //    spec-pinned, never a wrong answer.
+    sql("q_scan_mv_cdc_refresh",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS g,
+        |         CAST(o_custkey AS BIGINT) AS v
+        |  FROM orders),
+        |s1 AS (SELECT g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n
+        |       FROM base GROUP BY g),
+        |s2 AS (SELECT g,
+        |              CAST(SUM(CASE WHEN k % 11 = 0 THEN v * 2 ELSE v END) AS BIGINT) AS sv,
+        |              COUNT(*) AS n
+        |       FROM base WHERE k % 7 <> 0 GROUP BY g)
+        |SELECT 'a_mv' AS stage, g, sv, n, CAST(1 AS BIGINT) AS from_mv FROM s1
+        |UNION ALL
+        |SELECT 'b_refreshed', g, sv, n, CAST(1 AS BIGINT) FROM s2
+        |ORDER BY stage, g""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      import graft.sources.TxnTable
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(
+        s"/root/repo/target/tmp/cdcmv_table_$sfKey")
+      val mvDir = graft.Scratch.dir(
+        s"/root/repo/target/tmp/cdcmv_view_$sfKey")
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("g"),
+          col("o_custkey").cast("long").as("v"))
+      TxnTable.commit(s, base, table, overwrite = false)
+      val v1 = Mv.registerTxn(s, "cdcmv_q", table, mvDir, Seq("g"), Seq("v"))
+      def staged(stage: String) = {
+        val q = TxnTable.read(s, table)
+          .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("cdcmv_view") && !plan.contains("cdcmv_table")
+        q.select(lit(stage).as("stage"), col("g"), col("sv"), col("n"),
+            lit(if (fromMv) 1L else 0L).as("from_mv"))
+          .localCheckpoint(true)
+      }
+      try {
+        val a = staged("a_mv")
+        graft.operators.Merge.upsert(s, table,
+          base.filter(col("k") % 11 === 0)
+            .select(col("k"), col("g"), (col("v") * 2).as("v")),
+          Seq("k"))
+        TxnTable.deleteWhere(s, table, col("k") % 7 === 0)
+        Mv.refreshTxnCdc(s, "cdcmv_q", table, v1, mvDir,
+          Seq("g"), Seq("v"), rowKeys = Seq("k"))
+        val b = staged("b_refreshed")
+        a.unionByName(b).orderBy("stage", "g")
+      } finally MvRewrite.deregister("cdcmv_q")
     }
   )
 

@@ -354,6 +354,108 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("lstar_i")
   }
 
+  test("a LEFT-built view answers the INNER query via the dim-key filter") {
+    val factPath = s"$root/lifact_base.parquet"
+    val dimPath = s"$root/lidim_base.parquet"
+    val mv = s"$root/listar_summary.parquet"
+    (1L to 300L).map(i => (i % 20, i % 50)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L by 2).map(k => (k, s"g${k % 4}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    // dim KEY among the view keys — the innerized answer needs it to
+    // tell matched groups (pk non-null) from unmatched (pk null)
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("pk", "attr"), Seq("m"), mv,
+      joinType = "left")
+    Mv.registerJoin(spark, "listar", "lifact_base.parquet",
+      "lidim_base.parquet", "fk", "pk", mv, Seq("pk", "attr"), Seq("m"),
+      joinType = "left")
+    try {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def innerQ() = fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      def leftQ() = fact.join(dim, col("fk") === col("pk"), "left")
+        .groupBy("attr").agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      val qi = innerQ()
+      assert(scanPaths(qi).contains("listar_summary") &&
+        !scanPaths(qi).contains("lifact_base"), scanPaths(qi).take(2000))
+      val ql = leftQ()
+      assert(scanPaths(ql).contains("listar_summary"),
+        scanPaths(ql).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val (wantI, wantL) = try {
+        (innerQ().collect().map(r =>
+           (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+         leftQ().collect().map(r =>
+           (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet)
+      } finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(rows(qi) == wantI,
+        "innerized answer must equal the base inner join exactly")
+      assert(ql.collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet == wantL)
+    } finally MvRewrite.deregister("listar")
+
+    // WITHOUT the dim key among the view keys, the innerized form is
+    // unsound (a matched row may carry a null attr) — must fall back
+    val mv2 = s"$root/listar2_summary.parquet"
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("attr"), Seq("m"), mv2,
+      joinType = "left")
+    Mv.registerJoin(spark, "listar2", "lifact_base.parquet",
+      "lidim_base.parquet", "fk", "pk", mv2, Seq("attr"), Seq("m"),
+      joinType = "left")
+    try {
+      val qi = fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum("m").as("sm"))
+      assert(scanPaths(qi).contains("lifact_base"),
+        scanPaths(qi).take(2000))
+    } finally MvRewrite.deregister("listar2")
+  }
+
+  test("refreshTxnCdc: sum/count views survive deletes and updates; MIN/MAX decline") {
+    import graft.sources.TxnTable
+    import graft.operators.Merge
+    val table = s"$root/cdcmv_table"
+    val mvPath = s"$root/cdcmv_view.parquet"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    def rowsDf(ks: Seq[Long]) =
+      ks.map(k => (k, k % 3, k)).toDF("k", "g", "v")
+    TxnTable.commit(spark, rowsDf(0L until 30L).coalesce(1), table,
+      overwrite = false)                                            // v1
+    val v1 = Mv.registerTxn(spark, "cdcmv", table, mvPath,
+      Seq("g"), Seq("v"))
+    try {
+      // v2: MERGE updates k=3 (v 3→300) and inserts k=100; v3: MOR-free
+      // delete of k%5==0 — removals refreshTxn would refuse
+      Merge.upsert(spark, table,
+        Seq((3L, 0L, 300L), (100L, 1L, 100L)).toDF("k", "g", "v"), Seq("k"))
+      TxnTable.deleteWhere(spark, table, col("k") % 5 === 0L)
+      intercept[IllegalArgumentException] {
+        Mv.refreshTxn(spark, "cdcmv", table, v1, mvPath, Seq("g"), Seq("v"))
+      }
+      Mv.refreshTxnCdc(spark, "cdcmv", table, v1, mvPath,
+        Seq("g"), Seq("v"), rowKeys = Seq("k"))
+      def agg() = TxnTable.read(spark, table)
+        .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val q = agg()
+      assert(scanPaths(q).contains("cdcmv_view"), scanPaths(q).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try agg().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want,
+        "CDC-refreshed sums/counts must equal the full recompute")
+      // the refreshed summary dropped min_/max_ — a MIN query DECLINES
+      // (falls back to base), never answers wrong
+      val qMin = TxnTable.read(spark, table)
+        .groupBy("g").agg(min("v").as("mn"))
+      assert(!scanPaths(qMin).contains("cdcmv_view"),
+        scanPaths(qMin).take(2000))
+    } finally MvRewrite.deregister("cdcmv")
+  }
+
   test("aggregate-below-join: the inner rollup rewrites in place under a join") {
     val factPath = s"$root/rfact_base.parquet"
     val dimPath = s"$root/rdim_base.parquet"
