@@ -255,6 +255,45 @@ object WarehouseQueries {
         .orderBy("event_type")
     },
 
+    // ── SELF-COMPACTING streaming sink (txnSinkIngestCompacting): six
+    //    forced micro-batches land one small file each, and the sink
+    //    folds compactSmall in whenever the live count exceeds 2 — the
+    //    steady-state small-file cure running INLINE with exactly-once
+    //    (tag adjudication instead of version pinning, since compaction
+    //    versions interleave). The oracle pins content equality PLUS the
+    //    lifecycle facts: the file count stayed bounded and compaction
+    //    versions actually interleaved with the ingest tags.
+    sql("q_stream_txn_sink_compact",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       TRUE AS files_bounded, TRUE AS compacted
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/tmp/stream/txnsink_split6_$sfKey")
+      graft.DerivedCache.ensure(stage,
+          Seq(new java.io.File(s"$d/events.parquet")), "_SUCCESS") {
+        s.read.parquet(s"$d/events.parquet")
+          .repartition(6).write.mode("overwrite").parquet(stage.getPath)
+      }
+      val landed = graft.streaming.EventsStreaming.txnSinkIngestCompacting(
+        s, d, maxLiveFiles = 2, inputDir = Some(stage.getPath),
+        maxFilesPerTrigger = Some(1))
+      val table = s"/root/repo/target/tmp/stream/txn_sink_compact_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val live = TxnTable.liveFiles(table, None).size
+      val versions = TxnTable.currentVersion(table)
+      val ingests = (1 to versions).count(v =>
+        TxnTable.commitTag(table, v).exists(_.startsWith("stream-batch-")))
+      landed.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .withColumn("files_bounded", lit(live <= 2))
+        .withColumn("compacted", lit(versions > ingests))
+        .orderBy("event_type")
+    },
+
     // ── CONTINUOUS CDC view maintenance (EventsStreaming
     //    .cdcViewMaintenance): a file stream on the source table's OWN
     //    transaction log folds each published version's change feed into

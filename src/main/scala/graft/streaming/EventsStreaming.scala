@@ -680,6 +680,58 @@ object EventsStreaming {
     TxnTable.read(spark, table)
   }
 
+  /** SELF-COMPACTING transactional stream sink — [[txnSinkIngest]] plus
+    * the steady-state lifecycle a forever-running ingest needs: every
+    * micro-batch lands one commit, and whenever the live file count
+    * exceeds `maxLiveFiles` the sink folds a
+    * [[graft.sources.TxnTable.compactSmall]] in right behind it — the
+    * small-file problem cured inline instead of by an out-of-band
+    * nightly job. Because compaction versions interleave with ingest
+    * versions, exactly-once switches from version-pinning to TAG
+    * adjudication: a batch first scans the log for its own
+    * `stream-batch-N` tag and no-ops on a hit (the replay case), so
+    * version numbers are free to drift. Readers mid-scan keep their
+    * snapshot (compaction removes bytes only at vacuum) and the change
+    * feed across a compaction version cancels to zero rows — both
+    * already spec-pinned on the primitives. Returns the landed table. */
+  def txnSinkIngestCompacting(spark: SparkSession, sfDir: String,
+                              maxLiveFiles: Int = 4,
+                              inputDir: Option[String] = None,
+                              maxFilesPerTrigger: Option[Int] = None)
+      : DataFrame = {
+    import graft.sources.TxnTable
+    require(maxLiveFiles >= 1, s"maxLiveFiles must be >= 1, got $maxLiveFiles")
+    val ss = streamSession(spark)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table = s"/root/repo/target/tmp/stream/txn_sink_compact_$key"
+    val ckpt = s"$table.ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val dir = inputDir.getOrElse(stageDir(sfDir))
+    val div = tsDivisor(ss, dir)
+    val reader = ss.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir).withColumn("ts", rawTs(div))
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchTag = s"stream-batch-$batchId"
+        val replayed = (1 to TxnTable.currentVersion(table))
+          .exists(v => TxnTable.commitTag(table, v).contains(batchTag))
+        if (!replayed) {
+          TxnTable.commit(batch.sparkSession, batch, table,
+            overwrite = false, tag = Some(batchTag))
+          if (TxnTable.liveFiles(table, None).size > maxLiveFiles)
+            TxnTable.compactSmall(batch.sparkSession, table,
+              smallBytes = 1L << 30, numFiles = 1)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    TxnTable.read(spark, table)
+  }
+
   /** MULTI-TABLE transactional stream sink — the cross-table
     * exactly-once [[txnSinkIngest]] cannot give: every micro-batch lands
     * BOTH derived tables (raw rows + per-type batch stats) through ONE

@@ -453,6 +453,21 @@ class MvRewriteSpec extends SparkSpec {
         .groupBy("g").agg(min("v").as("mn"))
       assert(!scanPaths(qMin).contains("cdcmv_view"),
         scanPaths(qMin).take(2000))
+      // an OPTIMIZE (layout-only rewrite) feeds zero row-level changes —
+      // the payload-hash survivor suppression cancels the whole diff —
+      // so a CDC refresh across it is a no-op merge that re-pins the view
+      val v3 = TxnTable.currentVersion(table)
+      TxnTable.optimize(spark, table, numFiles = 1)
+      Mv.refreshTxnCdc(spark, "cdcmv", table, v3, mvPath,
+        Seq("g"), Seq("v"), rowKeys = Seq("k"))
+      val q2 = agg()
+      assert(scanPaths(q2).contains("cdcmv_view"), scanPaths(q2).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want2 = try agg().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q2.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want2)
     } finally MvRewrite.deregister("cdcmv")
   }
 

@@ -186,5 +186,16 @@ class TwsStreamingSpec extends SparkSpec {
     }
     // the top estimate is sane: at least the true max count
     assert(four.head._3 >= exact.values.max)
+    // EVICTION path: with candCap below per-bucket cardinality the
+    // result is an approximation, but a DETERMINISTIC one — identical
+    // across runs at the same split (the (est asc, id desc) evict order
+    // has no ties left to chance), and still a heavy-hitter superset:
+    // the true top-1 recurs often enough to survive every eviction
+    val capA = top(TwsStreaming.cmsTopKTws(spark, sfDir, 10, candCap = 8))
+    val capB = top(TwsStreaming.cmsTopKTws(spark, sfDir, 10, candCap = 8))
+    assert(capA === capB, "eviction path must be deterministic per split")
+    val trueTop = exact.maxBy { case (u, n) => (n, -u) }._1
+    assert(capA.exists(_._2 == trueTop),
+      "true top-1 must survive capped candidate eviction")
   }
 }
