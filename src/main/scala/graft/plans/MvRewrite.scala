@@ -605,6 +605,7 @@ object Mv {
                  builtVersion: Int, mvPath: String, keys: Seq[String],
                  sumCols: Seq[String]): Int = {
     import graft.sources.TxnTable
+    recoverSwap(mvPath)
     val head = TxnTable.currentVersion(table)
     if (head != builtVersion) {
       val preLive = TxnTable.liveFiles(table, Some(builtVersion)).toSet
@@ -623,28 +624,58 @@ object Mv {
         val merged = graft.operators.Incremental.mergeAdditive(
           spark.read.parquet(mvPath), spark.read.parquet(deltaDir),
           keys, merges)
-        // stage the merge (it READS mvPath), then install via RENAME-
-        // SWAP: deregister the live view first (a planner that rewrote
-        // mid-swap would read a half-installed dir), move the old
-        // summary ASIDE, move staging in, and only then delete the old
-        // dir — mvPath holds a complete summary at every instant, so a
-        // crash between any two steps leaves either the old or the new
-        // summary installed, never neither. Sweep all scratch dirs last.
+        // stage the merge (it READS mvPath), then install via the
+        // recoverable rename-swap ([[installSwap]]); sweep the delta
+        // scratch last
         val staging = new java.io.File(mvPath + s"_v$head")
         merged.write.mode("overwrite").parquet(staging.getPath)
         MvRewrite.deregister(name)
-        val target = new java.io.File(mvPath)
-        val retired = new java.io.File(mvPath + s"_retired_v$head")
-        org.apache.commons.io.FileUtils.deleteQuietly(retired)
-        org.apache.commons.io.FileUtils.moveDirectory(target, retired)
-        org.apache.commons.io.FileUtils.moveDirectory(staging, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(retired)
+        installSwap(mvPath, staging, head)
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(deltaDir))
       }
     }
     registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
     head
+  }
+
+  /** Install `staging` at `mvPath` by renaming the old summary aside,
+    * moving staging in, then deleting the old dir. The two renames are
+    * not jointly atomic: a crash between them leaves mvPath ABSENT with
+    * both halves intact on disk — which is why every entry point runs
+    * [[recoverSwap]] first, making the DURABLE contract "old or new
+    * summary after recovery", never a half-written dir and never silent
+    * data loss. */
+  private def installSwap(mvPath: String, staging: java.io.File,
+                          head: Int): Unit = {
+    val target = new java.io.File(mvPath)
+    val retired = new java.io.File(mvPath + s"_retired_v$head")
+    org.apache.commons.io.FileUtils.deleteQuietly(retired)
+    org.apache.commons.io.FileUtils.moveDirectory(target, retired)
+    org.apache.commons.io.FileUtils.moveDirectory(staging, target)
+    org.apache.commons.io.FileUtils.deleteDirectory(retired)
+  }
+
+  /** Heal a crashed [[installSwap]]: when mvPath is missing, restore the
+    * newest COMPLETE staged summary (`<mv>_vN` carrying parquet's
+    * _SUCCESS — fully written before any swap began), else the retired
+    * old summary (`<mv>_retired_vN`, complete by construction). A crash
+    * mid-`merged.write` leaves no _SUCCESS, so a torn staging dir is
+    * never promoted. No-op when mvPath exists. */
+  private[graft] def recoverSwap(mvPath: String): Unit = {
+    val target = new java.io.File(mvPath)
+    if (target.exists()) return
+    val (parent, base) = (target.getParentFile, target.getName)
+    val siblings = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    def newest(prefix: String, complete: Boolean): Option[java.io.File] =
+      siblings.filter(f => f.getName.startsWith(prefix) &&
+          f.getName.stripPrefix(prefix).forall(_.isDigit) &&
+          (!complete || new java.io.File(f, "_SUCCESS").exists()))
+        .sortBy(f => f.getName.stripPrefix(prefix).toInt).lastOption
+    newest(base + "_v", complete = true)
+      .orElse(newest(base + "_retired_v", complete = false))
+      .foreach(f => org.apache.commons.io.FileUtils.moveDirectory(f, target))
   }
 
   /** Advance a txn-table view across commits that REMOVE or REWRITE
@@ -663,6 +694,7 @@ object Mv {
                     builtVersion: Int, mvPath: String, keys: Seq[String],
                     sumCols: Seq[String], rowKeys: Seq[String]): Int = {
     import graft.sources.TxnTable
+    recoverSwap(mvPath)
     val head = TxnTable.currentVersion(table)
     require(head >= builtVersion,
       s"$table is at v$head, below the view's v$builtVersion — restore " +
@@ -689,12 +721,7 @@ object Mv {
       val staging = new java.io.File(mvPath + s"_v$head")
       merged.write.mode("overwrite").parquet(staging.getPath)
       MvRewrite.deregister(name)
-      val target = new java.io.File(mvPath)
-      val retired = new java.io.File(mvPath + s"_retired_v$head")
-      org.apache.commons.io.FileUtils.deleteQuietly(retired)
-      org.apache.commons.io.FileUtils.moveDirectory(target, retired)
-      org.apache.commons.io.FileUtils.moveDirectory(staging, target)
-      org.apache.commons.io.FileUtils.deleteDirectory(retired)
+      installSwap(mvPath, staging, head)
     }
     registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
     head
@@ -704,6 +731,7 @@ object Mv {
                             version: Int, mvPath: String, keys: Seq[String],
                             sumCols: Seq[String]): Unit = {
     import graft.sources.TxnTable
+    recoverSwap(mvPath)
     val snap = TxnTable.read(spark, table, asOf = Some(version))
     val files = snap.queryExecution.analyzed
       .collect { case lr: LogicalRelation => lr.relation }

@@ -277,11 +277,10 @@ object WarehouseQueries {
         s.read.parquet(s"$d/events.parquet")
           .repartition(6).write.mode("overwrite").parquet(stage.getPath)
       }
-      val landed = graft.streaming.EventsStreaming.txnSinkIngestCompacting(
-        s, d, maxLiveFiles = 2, inputDir = Some(stage.getPath),
-        maxFilesPerTrigger = Some(1))
-      val table = s"/root/repo/target/tmp/stream/txn_sink_compact_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val (landed, table) =
+        graft.streaming.EventsStreaming.txnSinkIngestCompacting(
+          s, d, maxLiveFiles = 2, inputDir = Some(stage.getPath),
+          maxFilesPerTrigger = Some(1))
       val live = TxnTable.liveFiles(table, None).size
       val versions = TxnTable.currentVersion(table)
       val ingests = (1 to versions).count(v =>

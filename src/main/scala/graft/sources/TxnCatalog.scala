@@ -387,7 +387,7 @@ object TxnCatalog {
     // byte-identical duplicate entry
     if (auditTables.isEmpty) return mainTxn
     val conflicts = auditTables.intersect(touchedSince(main, fork, mainTxn))
-    require(conflicts.isEmpty,
+    if (conflicts.nonEmpty) throw new WapConflictException(
       s"table(s) ${conflicts.toSeq.sorted.mkString(", ")} changed on BOTH " +
         s"$main and $branch since the fork (t$fork) — re-clone and replay " +
         "the audit")
@@ -443,6 +443,13 @@ object TxnCatalog {
       (colDrops(main, Some(mainTxn)) -- auditTables) ++
         bdrops.filter(kv => auditTables(kv._1)))
   }
+
+  /** [[publishFrom]]'s refusal when an audited table also changed on
+    * main since the fork — TYPED so [[publishFromOrRebase]]'s dispatch
+    * doesn't hang off exception prose. Extends IllegalArgumentException
+    * to keep `require`-style handling at existing call sites. */
+  final class WapConflictException(msg: String)
+      extends IllegalArgumentException(msg)
 
   /** The last catalog txn `branch` shares with `main` BY INODE — version
     * numbers are not fork identity (two catalogs can both be "at t3" with
@@ -505,9 +512,7 @@ object TxnCatalog {
                           tag: Option[String] = None): Int = {
     try publishFrom(branch, main, tag)
     catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("changed on BOTH") =>
-        rebaseAndPublish(branch, main, tag)
+      case _: WapConflictException => rebaseAndPublish(branch, main, tag)
     }
   }
 
@@ -534,7 +539,15 @@ object TxnCatalog {
     val branchV = tableVersions(branch, Some(branchTxn))
     val appended: Map[String, Seq[Seq[String]]] = conflicts.toSeq.map { t =>
       val tPath = tablePath(branch, t)
-      val from = forkV.getOrElse(t, 0)
+      // a table the FORK never had but both sides now hold was CREATED
+      // independently on each — same name, unrelated content; replaying
+      // the audit's rows on top of main's would silently union two
+      // different tables. Genuine conflict.
+      require(forkV.contains(t),
+        s"table '$t' was created independently on both $main and the " +
+          "audit since the fork — cannot rebase; re-run the audit on a " +
+          "new clone")
+      val from = forkV(t)
       val to = branchV.getOrElse(t,
         throw new IllegalArgumentException(
           s"table '$t' was dropped by the audit but changed on $main — " +
@@ -550,6 +563,15 @@ object TxnCatalog {
           s"table '$t' changed on both sides and the audit REMOVED files " +
             s"in v$v — a removal computed against the fork cannot replay " +
             "onto main's head; re-run the audit on a new clone")
+        // a deletion-vector commit (MOR delete) has removed=[] but is a
+        // ROW REMOVAL addressed at fork-era (file, row) positions — on
+        // main's advanced head those addresses may point at rewritten or
+        // vanished files, silently deleting nothing (or the wrong rows)
+        require(added.forall(!_.startsWith("dv/")),
+          s"table '$t' changed on both sides and the audit added a " +
+            s"DELETION VECTOR in v$v — row addresses computed against " +
+            "the fork cannot replay onto main's head; re-run the audit " +
+            "on a new clone")
         added
       }
       // a re-list (squash) re-adds fork-live files — refuse like addedFiles

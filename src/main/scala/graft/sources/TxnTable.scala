@@ -699,11 +699,22 @@ object TxnTable {
     def readRel(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else Some(spark.read.parquet(fs.map(p => new File(table, p).getPath): _*))
+    // live-set at (v-1), maintained INCREMENTALLY as the versions replay
+    // in order — the re-list guard below needs it per version, and a
+    // fresh liveFiles() call there would replay the whole log once per
+    // version (O(N²) driver IO over a streaming-ingested range); same
+    // seen-set idiom as addedFiles
+    val seen = scala.collection.mutable.Set.empty[String]
+    seen ++= liveFiles(table, Some(fromExclusive))
     val frames = logFiles(table)
       .filter(f => versionOf(f) > fromExclusive && versionOf(f) <= toInclusive)
       .flatMap { f =>
         val v = versionOf(f)
         val (added, removed) = parseEntry(f)
+        val liveBefore = seen.toSet
+        // mirror liveFiles' replay exactly (dv/ paths included)
+        seen --= removed
+        seen ++= added
         val payloadOf = (df: DataFrame) =>
           df.columns.filterNot(keys.contains).toSeq
         def tagged(df: DataFrame, side: String): DataFrame = {
@@ -721,7 +732,7 @@ object TxnTable {
             .parquet(added.map(p => new File(table, p).getPath): _*)
             .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
           val pre = fileListWithAddress(spark, table,
-              liveFiles(table, Some(v - 1)))
+              liveBefore.toSeq.sorted)
             .join(dv, Seq("__fp", "__ri"), "left_semi")
             .drop("__fp", "__ri")
           Some(pre.select((lit(v).as("version") +:
@@ -734,8 +745,7 @@ object TxnTable {
           // maintained via applyCdc would double-count. Skip a full
           // re-list; refuse a PARTIAL overlap (neither a pure append nor
           // a pure squash — the row-level delta is ambiguous).
-          val live = liveFiles(table, Some(v - 1)).toSet
-          val relisted = added.count(live)
+          val relisted = added.count(liveBefore)
           require(relisted == 0 || relisted == added.size,
             s"version $v of $table mixes $relisted re-listed live file(s) " +
               s"with ${added.size - relisted} new file(s) — change feed " +

@@ -105,13 +105,25 @@ object AnnStreaming {
     val embs = graft.Tables.embeddings(ss, sfDir)
     Similarity.writeIvfPqIndex(embs.filter(col("vec_id") >= 10), idx)
     val queries = embs.filter(col("vec_id") < 10)
-    // file mtimes order the micro-batches: a, b, then any extras
+    // file mtimes order the micro-batches: a, b, then any extras. Local
+    // FS mtimes are ms-granular, so two back-to-back writes can TIE and
+    // FileStreamSource's tie order is unspecified — unlike enrichTopK
+    // (static index, order-irrelevant) ordering here changes OUTPUT, so
+    // pin strictly increasing mtimes explicitly.
+    val stagedDirs =
+      Seq(s"$in/batch_a", s"$in/batch_b") ++
+        extraBatches.indices.map(i => s"$in/batch_x$i")
     queries.filter(col("vec_id") < 5)
       .coalesce(1).write.parquet(s"$in/batch_a")
     queries.filter(col("vec_id") >= 5)
       .coalesce(1).write.parquet(s"$in/batch_b")
     extraBatches.zipWithIndex.foreach { case (b, i) =>
       b.coalesce(1).write.parquet(s"$in/batch_x$i")
+    }
+    stagedDirs.zipWithIndex.foreach { case (dir, i) =>
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(1000000L * (i + 1)))
     }
     val src = ss.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", "1")

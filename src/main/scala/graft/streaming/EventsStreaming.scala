@@ -693,12 +693,14 @@ object EventsStreaming {
     * version numbers are free to drift. Readers mid-scan keep their
     * snapshot (compaction removes bytes only at vacuum) and the change
     * feed across a compaction version cancels to zero rows — both
-    * already spec-pinned on the primitives. Returns the landed table. */
+    * already spec-pinned on the primitives. Returns the landed table
+    * AND its path, so callers inspecting the lifecycle (file counts,
+    * version tags) don't re-derive the scratch location. */
   def txnSinkIngestCompacting(spark: SparkSession, sfDir: String,
                               maxLiveFiles: Int = 4,
                               inputDir: Option[String] = None,
                               maxFilesPerTrigger: Option[Int] = None)
-      : DataFrame = {
+      : (DataFrame, String) = {
     import graft.sources.TxnTable
     require(maxLiveFiles >= 1, s"maxLiveFiles must be >= 1, got $maxLiveFiles")
     val ss = streamSession(spark)
@@ -712,13 +714,20 @@ object EventsStreaming {
     val reader = ss.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val src = reader.parquet(dir).withColumn("ts", rawTs(div))
+    // the replay probe scans each log entry's tag ONCE across the whole
+    // run (versions only append): a fresh rescan per batch would be
+    // O(V²) driver IO over a long ingest
+    var scannedTo = 0
+    val seenTags = scala.collection.mutable.Set.empty[String]
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val batchTag = s"stream-batch-$batchId"
-        val replayed = (1 to TxnTable.currentVersion(table))
-          .exists(v => TxnTable.commitTag(table, v).contains(batchTag))
-        if (!replayed) {
+        val head = TxnTable.currentVersion(table)
+        ((scannedTo + 1) to head).foreach(v =>
+          TxnTable.commitTag(table, v).foreach(seenTags.add))
+        scannedTo = head
+        if (!seenTags.contains(batchTag)) {
           TxnTable.commit(batch.sparkSession, batch, table,
             overwrite = false, tag = Some(batchTag))
           if (TxnTable.liveFiles(table, None).size > maxLiveFiles)
@@ -729,7 +738,7 @@ object EventsStreaming {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    TxnTable.read(spark, table)
+    (TxnTable.read(spark, table), table)
   }
 
   /** MULTI-TABLE transactional stream sink — the cross-table

@@ -471,6 +471,36 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("cdcmv")
   }
 
+  test("recoverSwap heals a crashed install: staged summary preferred, retired restored") {
+    import org.apache.commons.io.FileUtils
+    val mvPath = s"$root/swap_mv.parquet"
+    def write(dir: String, tagV: Long): Unit =
+      Seq((tagV, 1L)).toDF("g", "cnt").write.mode("overwrite").parquet(dir)
+    // crash shape A: mvPath missing, only the retired old summary left
+    FileUtils.deleteQuietly(new java.io.File(mvPath))
+    write(mvPath + "_retired_v3", 3L)
+    Mv.recoverSwap(mvPath)
+    assert(new java.io.File(mvPath).exists())
+    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 3L)
+    // crash shape B: mvPath missing, retired AND a COMPLETE staged new
+    // summary — the new one wins (it was fully written pre-swap)
+    FileUtils.deleteQuietly(new java.io.File(mvPath))
+    write(mvPath + "_retired_v4", 4L)
+    write(mvPath + "_v5", 5L)
+    Mv.recoverSwap(mvPath)
+    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 5L)
+    // a TORN staging (no _SUCCESS) is never promoted — retired restores
+    FileUtils.deleteQuietly(new java.io.File(mvPath))
+    write(mvPath + "_v6", 6L)
+    FileUtils.deleteQuietly(new java.io.File(mvPath + "_v6/_SUCCESS"))
+    write(mvPath + "_retired_v6", 4L)
+    Mv.recoverSwap(mvPath)
+    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 4L)
+    // no-op when mvPath exists
+    Mv.recoverSwap(mvPath)
+    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 4L)
+  }
+
   test("aggregate-below-join: the inner rollup rewrites in place under a join") {
     val factPath = s"$root/rfact_base.parquet"
     val dimPath = s"$root/rdim_base.parquet"

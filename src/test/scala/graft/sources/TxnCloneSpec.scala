@@ -291,6 +291,29 @@ class TxnCloneSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot rebase") ||
       ex.getMessage.contains("REMOVED files"), ex.getMessage)
     assert(ids(main, "tx") == Set(1L, 2L, 3L, 4L), "main untouched by refusal")
+
+    // a MOR (deletion-vector) delete has removed=[] but IS a row
+    // removal addressed at fork-era positions — must refuse like any
+    // other removal, not slip through the pure-append gate
+    val dvb = freshTable("cwap3_dv")
+    TxnCatalog.cloneCatalog(main, dvb)
+    TxnCatalog.deleteWhereMor(spark, dvb, "tx", $"id" === 2L)
+    TxnCatalog.commitAll(spark, main, Seq(Write("tx", Seq(5L).toDF("id"))))
+    val exDv = intercept[IllegalArgumentException] {
+      TxnCatalog.publishFromOrRebase(dvb, main)
+    }
+    assert(exDv.getMessage.contains("DELETION VECTOR"), exDv.getMessage)
+
+    // two tables CREATED independently on both sides share a name but
+    // not content — refuse instead of silently unioning them
+    val crt = freshTable("cwap3_crt")
+    TxnCatalog.cloneCatalog(main, crt)
+    TxnCatalog.commitAll(spark, crt, Seq(Write("tnew", Seq(1L).toDF("id"))))
+    TxnCatalog.commitAll(spark, main, Seq(Write("tnew", Seq(2L).toDF("id"))))
+    val exCrt = intercept[IllegalArgumentException] {
+      TxnCatalog.publishFromOrRebase(crt, main)
+    }
+    assert(exCrt.getMessage.contains("created independently"), exCrt.getMessage)
   }
 
   test("catalog clone pins the head and keeps pre-restore versions travelable") {
