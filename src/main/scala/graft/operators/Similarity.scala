@@ -627,12 +627,24 @@ object Similarity {
                        nprobe: Int = 4, rerank: Int = 64,
                        m: Int = 8, dim: Int = 64): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    val lists = spark.read.parquet(s"$dir/lists")
-    val codes = spark.read.parquet(s"$dir/codes")
-      .withColumnRenamed("vec_id", "n_id")
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    ivfPqTopKFrames(queries,
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/lists"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"),
+      k, nprobe, rerank, m, dim)
+  }
+
+  /** The IVFPQ query plan over ALREADY-LOADED index frames — shared by
+    * the directory-backed and the transactional index readers, so the
+    * probe/LUT/shortlist/re-rank shape cannot drift between them. */
+  private def ivfPqTopKFrames(queries: DataFrame, centroids: DataFrame,
+                              cb: DataFrame, lists: DataFrame,
+                              rawCodes: DataFrame, vectors: DataFrame,
+                              k: Int, nprobe: Int, rerank: Int,
+                              m: Int, dim: Int): DataFrame = {
+    val codes = rawCodes.withColumnRenamed("vec_id", "n_id")
     val probes = probeClusters(queries, centroids, nprobe)
     val lut = pqLut(queries, cb, m, dim)
     val cand = probes
@@ -655,6 +667,74 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** TRANSACTIONAL IVFPQ index — the five index tables committed through
+    * ONE [[graft.sources.TxnCatalog]] transaction, the Lance-style
+    * versioned vector store: an index version is all-or-nothing (a crash
+    * mid-build leaves only catalog-invisible orphans, never a model that
+    * disagrees with its lists), appends are atomic across
+    * lists/codes/vectors ([[appendToIvfPqIndexTxn]]), and every past
+    * index version stays QUERYABLE via `asOf` — "search yesterday's
+    * index" is a catalog read, not a restore. Model staleness under
+    * appends is the same documented IVF trade as the directory index. */
+  def writeIvfPqIndexTxn(spark: org.apache.spark.sql.SparkSession,
+                         corpus: DataFrame, catalog: String,
+                         nClusters: Int = 16, iters: Int = 2,
+                         m: Int = 8, ksub: Int = 16, dim: Int = 64): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    val corpusQ = quantizeCorpus(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = ivfCentroidsQ(corpusQ, nClusters, iters)
+      val cb = pqCodebooksQ(corpusQ, m, ksub, iters, dim)
+      TxnCatalog.commitAll(spark, catalog, Seq(
+        Write("centroids", centroids, overwrite = true),
+        Write("codebooks", cb, overwrite = true),
+        Write("lists", assignClustersQ(corpusQ, centroids), overwrite = true),
+        Write("codes", pqAssignQ(corpusQ, cb, m, dim), overwrite = true),
+        Write("vectors", corpus.select("vec_id", "embedding"),
+          overwrite = true)), tag = Some("index-build"))
+    } finally { corpusQ.unpersist(); () }
+  }
+
+  /** Atomic append to a transactional index: the batch assigns against
+    * the CURRENT model and lists/codes/vectors land in one catalog
+    * transaction — a reader never sees a vector whose codes are missing.
+    * Returns the new catalog txn. */
+  def appendToIvfPqIndexTxn(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, catalog: String,
+                            m: Int = 8, dim: Int = 64): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    val centroids = TxnCatalog.read(spark, catalog, "centroids")
+    val cb = TxnCatalog.read(spark, catalog, "codebooks")
+    val batchQ = quantizeCorpus(batch)
+    TxnCatalog.commitAll(spark, catalog, Seq(
+      Write("lists", assignClustersQ(batchQ, centroids)),
+      Write("codes", pqAssignQ(batchQ, cb, m, dim)),
+      Write("vectors", batch.select("vec_id", "embedding"))),
+      tag = Some("index-append"))
+  }
+
+  /** Query a transactional index — optionally AS OF a past catalog txn:
+    * the five tables resolve from that transaction's pinned snapshot, so
+    * the search runs against exactly the index that existed then. Same
+    * plan as [[ivfPqTopKIndexed]] ([[ivfPqTopKFrames]]). */
+  def ivfPqTopKIndexedTxn(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, catalog: String, k: Int,
+                          asOf: Option[Int] = None, nprobe: Int = 4,
+                          rerank: Int = 64, m: Int = 8,
+                          dim: Int = 64): DataFrame = {
+    import graft.sources.TxnCatalog
+    ivfPqTopKFrames(queries,
+      TxnCatalog.read(spark, catalog, "centroids", asOf),
+      TxnCatalog.read(spark, catalog, "codebooks", asOf),
+      TxnCatalog.read(spark, catalog, "lists", asOf),
+      TxnCatalog.read(spark, catalog, "codes", asOf),
+      TxnCatalog.read(spark, catalog, "vectors", asOf),
+      k, nprobe, rerank, m, dim)
   }
 
   /** Index-health snapshot for a persisted IVFPQ dir — the measurements

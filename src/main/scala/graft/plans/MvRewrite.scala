@@ -727,6 +727,35 @@ object Mv {
     head
   }
 
+  /** Build AND register a summary of a [[graft.sources.TxnCatalog]]
+    * table's CURRENT snapshot, pinned to the exact file set the
+    * catalog's head transaction resolves for it — the warehouse-level
+    * sibling of [[registerTxn]]: the moment ANY catalog transaction
+    * changes the table (commitAll, restore, WAP publish, forget), a
+    * live read's file set differs and queries fall back to base —
+    * stale answers structurally impossible across the whole catalog
+    * protocol, with zero registrar discipline. Returns the summarized
+    * catalog txn (re-register after it advances). */
+  def registerCatalog(spark: SparkSession, name: String, catalog: String,
+                      table: String, mvPath: String, keys: Seq[String],
+                      sumCols: Seq[String]): Int = {
+    import graft.sources.TxnCatalog
+    val txn = TxnCatalog.currentTxn(catalog)
+    val snap = TxnCatalog.read(spark, catalog, table, Some(txn))
+    build(snap, keys, sumCols, mvPath)
+    val files = snap.queryExecution.analyzed
+      .collect { case lr: LogicalRelation => lr.relation }
+      .collect { case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString) }
+      .flatten.toSet
+    require(files.nonEmpty, s"$catalog/$table txn $txn reads no files")
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
+    MvRewrite.register(name,
+      MvRewrite.MvDef(table, keys, sumCols, rel, fileSet = Some(files)))
+    txn
+  }
+
   private def registerTxnAt(spark: SparkSession, name: String, table: String,
                             version: Int, mvPath: String, keys: Seq[String],
                             sumCols: Seq[String]): Unit = {

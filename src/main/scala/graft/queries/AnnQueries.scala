@@ -482,6 +482,39 @@ object AnnQueries {
         .orderBy("q_id", "rank")
     },
 
+    // ── TRANSACTIONAL (versioned) vector index: the five IVFPQ tables
+    //    live in a TxnCatalog — build and append are each ONE atomic
+    //    catalog txn (a reader can never see vectors without their
+    //    codes), and the pre-append index stays queryable AS OF txn 1.
+    //    Rows hash against the same append replay as q_ann_index_append
+    //    (identical math, different storage); timetravel_eq_base pins
+    //    that the as-of-txn-1 search equals the pre-append search
+    //    EXACTLY — the versioned-store capability itself.
+    sql("q_ann_txn_index",
+      s"""SELECT q_id, rank, n_id, sim, TRUE AS timetravel_eq_base
+         |FROM ($ivfPqAppendOracleSql)
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = graft.Scratch.dir(
+        s"/root/repo/target/tmp/ann_txn_cat_$sfKey")
+      val batch = embs.filter(col("vec_id") < 10)
+      val t1 = Similarity.writeIvfPqIndexTxn(s,
+        embs.filter(col("vec_id") >= 10), cat)
+      val before = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
+        .localCheckpoint(true)
+      Similarity.appendToIvfPqIndexTxn(s, batch, cat)
+      val after = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
+      val asOf = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5,
+        asOf = Some(t1))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val ttEq = rows(asOf) == rows(before)
+      after.withColumn("timetravel_eq_base", lit(ttEq))
+        .orderBy("q_id", "rank")
+    },
+
     // ── the ONLINE half of the persisted index: new vectors arrive as a
     //    stream (two micro-batches) and leave tagged with their top-5
     //    corpus neighbours via foreachBatch(ivfPqTopKIndexed). Top-k is a

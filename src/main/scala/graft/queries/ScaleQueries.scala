@@ -648,6 +648,66 @@ object ScaleQueries {
         val b = staged("b_refreshed")
         a.unionByName(b).orderBy("stage", "g")
       } finally MvRewrite.deregister("cdcmv_q")
+    },
+
+    // ── WAREHOUSE-level MV: the summary pins the CATALOG transaction's
+    //    file set for its table, so every protocol action invalidates
+    //    or re-validates it structurally — stage a answers from the
+    //    view; stage b (a catalog append txn) falls back to base with
+    //    FULL fresh numbers; stage c (catalog RESTORE to txn 1) snaps
+    //    the file set back to the pinned snapshot and the SAME view
+    //    answers again without re-registration. Stale answers are
+    //    impossible by construction, not by registrar discipline.
+    sql("q_scan_mv_catalog",
+      """WITH base AS (
+        |  SELECT o_orderpriority AS g, CAST(o_custkey AS BIGINT) AS v
+        |  FROM orders),
+        |extra AS (
+        |  SELECT o_orderpriority AS g, CAST(o_custkey * 2 AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |s1 AS (SELECT g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n
+        |       FROM base GROUP BY g),
+        |s2 AS (SELECT g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n
+        |       FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |       GROUP BY g)
+        |SELECT 'a_mv' AS stage, g, sv, n, CAST(1 AS BIGINT) AS from_mv FROM s1
+        |UNION ALL
+        |SELECT 'b_live', g, sv, n, CAST(0 AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 'c_restored', g, sv, n, CAST(1 AS BIGINT) FROM s1
+        |ORDER BY stage, g""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = graft.Scratch.dir(s"/root/repo/target/tmp/catmv_cat_$sfKey")
+      val mvDir = graft.Scratch.dir(s"/root/repo/target/tmp/catmv_view_$sfKey")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val base = ord.select(col("o_orderpriority").as("g"),
+        col("o_custkey").cast("long").as("v"))
+      TxnCatalog.commitAll(s, cat, Seq(Write("facts", base)))     // txn 1
+      Mv.registerCatalog(s, "catmv_q", cat, "facts", mvDir, Seq("g"), Seq("v"))
+      def staged(stage: String) = {
+        val q = TxnCatalog.read(s, cat, "facts")
+          .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("catmv_view") && !plan.contains("catmv_cat")
+        q.select(lit(stage).as("stage"), col("g"), col("sv"), col("n"),
+            lit(if (fromMv) 1L else 0L).as("from_mv"))
+          .localCheckpoint(true)
+      }
+      try {
+        val a = staged("a_mv")
+        TxnCatalog.commitAll(s, cat, Seq(Write("facts",               // txn 2
+          ord.filter(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderpriority").as("g"),
+              (col("o_custkey") * 2).cast("long").as("v")))))
+        val b = staged("b_live")
+        TxnCatalog.restore(cat, toTxn = 1)                            // txn 3
+        val c = staged("c_restored")
+        a.unionByName(b).unionByName(c).orderBy("stage", "g")
+      } finally MvRewrite.deregister("catmv_q")
     }
   )
 

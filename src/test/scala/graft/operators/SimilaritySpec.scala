@@ -316,6 +316,43 @@ class SimilaritySpec extends SparkSpec {
       s"LSH near-dup plan contains an all-pairs join:\n$plan")
   }
 
+  test("transactional index: equals the dir index, atomic append, time travel exact") {
+    import graft.sources.TxnCatalog
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val base = embs.filter($"vec_id" >= 10)
+    val batch = embs.filter($"vec_id" < 10)
+    // dir-backed ground truth (the already-oracled machinery)
+    val dir = java.nio.file.Files.createTempDirectory("ann_txn_dir").toString
+    Similarity.writeIvfPqIndex(base, dir)
+    val wantBefore = rows(Similarity.ivfPqTopKIndexed(batch, dir, k = 5))
+    Similarity.appendToIvfPqIndex(batch, dir)
+    val wantAfter = rows(Similarity.ivfPqTopKIndexed(batch, dir, k = 5))
+
+    val cat = "/root/repo/target/tmp/spec_ann_txn_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    val t1 = Similarity.writeIvfPqIndexTxn(spark, base, cat)
+    assert(rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+      == wantBefore, "txn index must equal the dir index before append")
+    val t2 = Similarity.appendToIvfPqIndexTxn(spark, batch, cat)
+    assert(t2 == t1 + 1, "append is ONE catalog txn across all three tables")
+    assert(rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+      == wantAfter, "txn index must equal the dir index after append")
+    // time travel: searching AS OF the pre-append txn reproduces the
+    // pre-append answer exactly, even though the head index moved on
+    assert(rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      asOf = Some(t1))) == wantBefore)
+    // the catalog snapshot is consistent per txn: lists and vectors
+    // agree on membership at BOTH versions (no vector without codes)
+    for (t <- Seq(t1, t2)) {
+      val l = TxnCatalog.read(spark, cat, "lists", Some(t))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val v = TxnCatalog.read(spark, cat, "vectors", Some(t))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(l == v, s"lists/vectors disagree at txn $t")
+    }
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)

@@ -471,6 +471,47 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("cdcmv")
   }
 
+  test("catalog-table views: pinned to the catalog snapshot, any txn invalidates") {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    val cat = s"$root/catmv_cat"
+    val mvPath = s"$root/catmv_view.parquet"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    def rowsDf(ks: Seq[Long]) = ks.map(k => (k, k % 3, k)).toDF("k", "g", "v")
+    TxnCatalog.commitAll(spark, cat, Seq(
+      Write("facts", rowsDf(0L until 30L))))                       // txn 1
+    val t1 = Mv.registerCatalog(spark, "catmv", cat, "facts", mvPath,
+      Seq("g"), Seq("v"))
+    assert(t1 == 1)
+    try {
+      def agg() = TxnCatalog.read(spark, cat, "facts")
+        .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val q1 = agg()
+      assert(scanPaths(q1).contains("catmv_view"), scanPaths(q1).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try agg().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+      // ANY catalog transaction that changes the table invalidates:
+      // the live read resolves a different file set → base scan, fresh
+      // numbers — a stale summary answer is structurally impossible
+      TxnCatalog.commitAll(spark, cat, Seq(
+        Write("facts", rowsDf(100L until 110L))))                  // txn 2
+      val q2 = agg()
+      assert(!scanPaths(q2).contains("catmv_view"), scanPaths(q2).take(2000))
+      assert(q2.groupBy().sum("n").head().getLong(0) == 40L)
+      // a RESTORE snaps the file set back to the pinned snapshot — the
+      // view becomes valid again without re-registration
+      TxnCatalog.restore(cat, toTxn = 1)                           // txn 3
+      val q3 = agg()
+      assert(scanPaths(q3).contains("catmv_view"), scanPaths(q3).take(2000))
+      assert(q3.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    } finally MvRewrite.deregister("catmv")
+  }
+
   test("recoverSwap heals a crashed install: staged summary preferred, retired restored") {
     import org.apache.commons.io.FileUtils
     val mvPath = s"$root/swap_mv.parquet"
