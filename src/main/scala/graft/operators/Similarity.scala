@@ -689,12 +689,18 @@ object Similarity {
     try {
       val centroids = ivfCentroidsQ(corpusQ, nClusters, iters)
       val cb = pqCodebooksQ(corpusQ, m, ksub, iters, dim)
+      // base_total rides the same txn — [[indexHealthTxn]]'s
+      // appendFraction denominator, exactly like the dir index's stamp
+      val n = corpusQ.count()
       TxnCatalog.commitAll(spark, catalog, Seq(
         Write("centroids", centroids, overwrite = true),
         Write("codebooks", cb, overwrite = true),
         Write("lists", assignClustersQ(corpusQ, centroids), overwrite = true),
         Write("codes", pqAssignQ(corpusQ, cb, m, dim), overwrite = true),
         Write("vectors", corpus.select("vec_id", "embedding"),
+          overwrite = true),
+        Write("base_stats",
+          spark.createDataFrame(Seq(Tuple1(n))).toDF("base_total"),
           overwrite = true)), tag = Some("index-build"))
     } finally { corpusQ.unpersist(); () }
   }
@@ -710,12 +716,16 @@ object Similarity {
     import graft.sources.TxnCatalog.Write
     val centroids = TxnCatalog.read(spark, catalog, "centroids")
     val cb = TxnCatalog.read(spark, catalog, "codebooks")
+    // batchQ feeds lists AND codes — pin it so the quantization scan of
+    // the batch runs once per append, not twice (the hot, repeated op)
     val batchQ = quantizeCorpus(batch)
-    TxnCatalog.commitAll(spark, catalog, Seq(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try TxnCatalog.commitAll(spark, catalog, Seq(
       Write("lists", assignClustersQ(batchQ, centroids)),
       Write("codes", pqAssignQ(batchQ, cb, m, dim)),
       Write("vectors", batch.select("vec_id", "embedding"))),
       tag = Some("index-append"))
+    finally { batchQ.unpersist(); () }
   }
 
   /** Query a transactional index — optionally AS OF a past catalog txn:
@@ -756,15 +766,29 @@ object Similarity {
     * cardinalities — never touches codes or vectors) + the base row
     * count stamped by [[writeIvfPqIndex]]. Indexes written before the
     * stamp existed read as appendFraction 0. */
-  def indexHealth(spark: SparkSession, dir: String): IndexHealth = {
-    val byList = spark.read.parquet(s"$dir/lists")
+  def indexHealth(spark: SparkSession, dir: String): IndexHealth =
+    indexHealthFrames(spark.read.parquet(s"$dir/lists"),
+      try Some(spark.read.parquet(s"$dir/base_stats"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None })
+
+  /** [[indexHealth]] for the transactional index: the same measurements
+    * from the catalog's (optionally as-of) snapshot — the rebuild
+    * decision works identically on both storage forms. */
+  def indexHealthTxn(spark: SparkSession, catalog: String,
+                     asOf: Option[Int] = None): IndexHealth = {
+    import graft.sources.TxnCatalog
+    indexHealthFrames(TxnCatalog.read(spark, catalog, "lists", asOf),
+      Some(TxnCatalog.read(spark, catalog, "base_stats", asOf)))
+  }
+
+  private def indexHealthFrames(lists: DataFrame,
+                                baseStats: Option[DataFrame]): IndexHealth = {
+    val byList = lists
       .groupBy("cluster").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("lists"), sum("n").as("total"), max("n").as("mx"))
       .collect()(0)
     val (nLists, total, mx) = (byList.getLong(0).toInt, byList.getLong(1), byList.getLong(2))
-    val baseTotal =
-      try spark.read.parquet(s"$dir/base_stats").collect()(0).getLong(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => total }
+    val baseTotal = baseStats.map(_.collect()(0).getLong(0)).getOrElse(total)
     IndexHealth(
       nLists = nLists, total = total, baseTotal = baseTotal, maxList = mx,
       skewRatio = if (total == 0) 0.0 else mx.toDouble * nLists / total,
@@ -923,13 +947,18 @@ object Similarity {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebooks")
+    // batchQ feeds lists AND codes — pin it so the quantization scan of
+    // the batch runs once per append, not twice
     val batchQ = quantizeCorpus(batch)
-    assignClustersQ(batchQ, centroids)
-      .write.mode("append").parquet(s"$dir/lists")
-    pqAssignQ(batchQ, cb, m, dim)
-      .write.mode("append").parquet(s"$dir/codes")
-    batch.select("vec_id", "embedding")
-      .write.mode("append").parquet(s"$dir/vectors")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assignClustersQ(batchQ, centroids)
+        .write.mode("append").parquet(s"$dir/lists")
+      pqAssignQ(batchQ, cb, m, dim)
+        .write.mode("append").parquet(s"$dir/codes")
+      batch.select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/vectors")
+    } finally { batchQ.unpersist(); () }
   }
 
   /** Semantic dedup (the SemDeDup shape: arXiv:2303.09540): k-means the

@@ -695,11 +695,19 @@ object EventsStreaming {
     * feed across a compaction version cancels to zero rows — both
     * already spec-pinned on the primitives. Returns the landed table
     * AND its path, so callers inspecting the lifecycle (file counts,
-    * version tags) don't re-derive the scratch location. */
+    * version tags) don't re-derive the scratch location.
+    *
+    * `resume = true` keeps the table and stream checkpoint — the
+    * deployed AvailableNow lifecycle ([[txnSinkIngest]]'s resume), and
+    * the case the TAG adjudication exists for: an operator who loses the
+    * CHECKPOINT but keeps the TABLE restarts with batch ids back at 0;
+    * every replayed batch finds its own tag already published and
+    * no-ops, so the table never double-ingests (spec-pinned). */
   def txnSinkIngestCompacting(spark: SparkSession, sfDir: String,
                               maxLiveFiles: Int = 4,
                               inputDir: Option[String] = None,
-                              maxFilesPerTrigger: Option[Int] = None)
+                              maxFilesPerTrigger: Option[Int] = None,
+                              resume: Boolean = false)
       : (DataFrame, String) = {
     import graft.sources.TxnTable
     require(maxLiveFiles >= 1, s"maxLiveFiles must be >= 1, got $maxLiveFiles")
@@ -707,8 +715,9 @@ object EventsStreaming {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val table = s"/root/repo/target/tmp/stream/txn_sink_compact_$key"
     val ckpt = s"$table.ckpt"
-    Seq(table, ckpt).foreach(p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    if (!resume)
+      Seq(table, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     val dir = inputDir.getOrElse(stageDir(sfDir))
     val div = tsDivisor(ss, dir)
     val reader = ss.readStream.schema(rawSchema)

@@ -342,6 +342,16 @@ class SimilaritySpec extends SparkSpec {
     // pre-append answer exactly, even though the head index moved on
     assert(rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
       asOf = Some(t1))) == wantBefore)
+    // health reads from the same snapshots: fresh at t1, appendFraction
+    // = |batch|/|base| at head, and AS OF t1 it is fresh again — the
+    // rebuild decision time-travels with the index it measures
+    val baseN = base.count(); val batchN = batch.count()
+    val hHead = Similarity.indexHealthTxn(spark, cat)
+    assert(hHead.baseTotal == baseN && hHead.total == baseN + batchN, hHead)
+    assert(math.abs(hHead.appendFraction -
+      batchN.toDouble / (baseN + batchN)) < 1e-9, hHead)
+    val hT1 = Similarity.indexHealthTxn(spark, cat, asOf = Some(t1))
+    assert(hT1.appendFraction == 0.0 && hT1.total == baseN, hT1)
     // the catalog snapshot is consistent per txn: lists and vectors
     // agree on membership at BOTH versions (no vector without codes)
     for (t <- Seq(t1, t2)) {

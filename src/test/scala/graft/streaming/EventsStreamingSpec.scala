@@ -447,6 +447,35 @@ class EventsStreamingSpec extends SparkSpec {
     assert(run2.select("event_id").distinct().count() === events.length.toLong)
   }
 
+  test("compacting sink: files bounded, content exact, lost-checkpoint restart no-ops by tag") {
+    import graft.sources.TxnTable
+    // forced multi-batch stage (one file per batch)
+    val stage = new java.io.File("/root/repo/target/tmp/stream/compact_spec_stage")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(5).write.parquet(stage.getPath)
+    val (landed, table) = EventsStreaming.txnSinkIngestCompacting(
+      spark, sfDir, maxLiveFiles = 2, inputDir = Some(stage.getPath),
+      maxFilesPerTrigger = Some(1))
+    val want = Tables.events(spark, sfDir).count()
+    assert(landed.count() === want)
+    assert(TxnTable.liveFiles(table, None).size <= 2, "file count bounded")
+    val versions = TxnTable.currentVersion(table)
+    val ingests = (1 to versions).count(v =>
+      TxnTable.commitTag(table, v).exists(_.startsWith("stream-batch-")))
+    assert(versions > ingests, "compaction versions interleaved")
+    // the restart the TAG adjudication exists for: checkpoint LOST,
+    // table kept — batch ids restart at 0, every replayed batch finds
+    // its own published tag and no-ops; zero double-ingest
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$table.ckpt"))
+    val (again, _) = EventsStreaming.txnSinkIngestCompacting(
+      spark, sfDir, maxLiveFiles = 2, inputDir = Some(stage.getPath),
+      maxFilesPerTrigger = Some(1), resume = true)
+    assert(again.count() === want, "replay must not double-ingest")
+    assert(TxnTable.currentVersion(table) === versions,
+      "no new versions on a pure tag-replay run")
+  }
+
   test("streaming count-min sketch is batch-split invariant and bit-equal to batch") {
     import graft.operators.CountMin
     val dir = new java.io.File("/root/repo/target/tmp/stream/cms_multibatch")
