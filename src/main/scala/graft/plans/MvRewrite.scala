@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum}
@@ -39,7 +39,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    the NON-NULL measure rows, preserving AVG's null semantics; the
   *    integer sums are exact, so the single final division is
   *    bit-reproducible); `COUNT(*)`/`COUNT(lit)` → `COALESCE(SUM(cnt),
-  *    0)` (the coalesce preserves COUNT's zero-on-empty contract).
+  *    0)` (the coalesce preserves COUNT's zero-on-empty contract);
+  *    `COUNT(measureCol)` → `SUM(cnt_col)` (the per-group non-null
+  *    count already stored for AVG); `COUNT(keyCol)` →
+  *    `SUM(IF(key IS NOT NULL, cnt, 0))` (null key rows live in
+  *    NULL-key summary groups);
+  *  - DISTINCT aggregates over KEY columns re-apply verbatim on the
+  *    summary — the view's grain partitions base rows by the full key
+  *    tuple, so the distinct set of any key subset within any coarser
+  *    group is exactly its distinct set over the summary rows:
+  *    `COUNT(DISTINCT k…)`/`SUM(DISTINCT k)` read thousands of summary
+  *    rows instead of the fact scan Spark would otherwise need (the
+  *    expensive two-shuffle distinct runs over the summary). DISTINCT
+  *    over a MEASURE column is unrecoverable from sums → declines.
   *    A summary built before a capability existed simply lacks the
   *    column and the rewrite declines — never a wrong answer.
   *
@@ -104,13 +116,22 @@ object MvRewrite extends Rule[LogicalPlan] {
     * KEY is among the view keys: matched rows are exactly the summary
     * groups with a non-null dim key (an equi-join never matches a null
     * key), so the rewrite adds `IsNotNull(dimKey)` and re-aggregates —
-    * one summary serving both join shapes. */
+    * one summary serving both join shapes.
+    *
+    * `factFileSet` pins the FACT leaf to an exact root-path set (a
+    * [[graft.sources.TxnTable]] snapshot's live files — the star
+    * sibling of [[MvDef.fileSet]]): the moment the fact table commits
+    * past the summarized version, live reads scan a different file set
+    * and the star falls back to base — structural staleness protection
+    * for join views, no registrar discipline. Dims stay suffix-matched
+    * (the static-dimension contract). */
   final case class MvStarDef(suffixes: Seq[String],
                              edges: Set[Set[String]],
                              keys: Seq[String], sumCols: Seq[String],
                              template: LogicalRelation,
                              leftEdges: Set[(Set[String], String, String)] =
-                               Set.empty)
+                               Set.empty,
+                             factFileSet: Option[Set[String]] = None)
 
   private val registry = new ConcurrentHashMap[String, MvDef]()
   private val starRegistry = new ConcurrentHashMap[String, MvStarDef]()
@@ -129,7 +150,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!enabled || (registry.isEmpty && starRegistry.isEmpty)) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryStarRewrite(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryStarRewrite(agg))
+          .orElse(tryExpandRewrite(agg)).getOrElse(agg)
     }
 
   /** Peel pure-projection and filter nodes off the aggregate's child;
@@ -268,10 +290,19 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
     flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
       case (leaves, pairs, leftPairs, filters) =>
+        // the fact slot (suffixes.head) matches by exact file set when
+        // pinned to a txn snapshot, by segment-anchored suffix otherwise;
+        // dim slots always suffix-match
+        def slotMatches(d: MvStarDef, i: Int)(lr: LogicalRelation): Boolean =
+          if (i == 0 && d.factFileSet.isDefined) lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).toSet == d.factFileSet.get
+            case _ => false
+          } else suffixMatches(lr, d.suffixes(i))
         def leavesClaimed(d: MvStarDef): Boolean = {
-          // every registered suffix claims exactly one distinct leaf
-          val claimed = d.suffixes.map(sfx =>
-            leaves.filter(suffixMatches(_, sfx)))
+          // every registered slot claims exactly one distinct leaf
+          val claimed = d.suffixes.indices.map(i =>
+            leaves.filter(slotMatches(d, i)))
           claimed.forall(_.size == 1) &&
             claimed.map(_.head).distinct.size == leaves.size
         }
@@ -338,6 +369,191 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
           .collectFirst { case Some(p) => p }
     }
+
+  /** [[strip]] that ALSO peels the self-alias Project grouping analytics
+    * plants under its Expand (`ka AS ka#n` copies of the grouping
+    * columns — same name, new id, no semantics). A RENAMING alias would
+    * break the name-keyed view mapping, so only `alias == column` peels. */
+  private def stripAliased(p: LogicalPlan, fs: Seq[Expression])
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case lr: LogicalRelation => Some((lr, fs))
+    case Project(pl, c) if pl.forall {
+        case _: AttributeReference => true
+        case Alias(ar: AttributeReference, n) => ar.name == n
+        case _ => false
+      } => stripAliased(c, fs)
+    case Filter(cond, c) => stripAliased(c, fs :+ cond)
+    case _ => None
+  }
+
+  /** Answer ROLLUP / CUBE / GROUPING SETS from a registered summary.
+    * Spark plans grouping analytics as `Aggregate(Expand(base))`: the
+    * Expand replays every row once per grouping set, nulling out the
+    * keys that set drops and stamping a grouping-id literal. The same
+    * replay over the SUMMARY is exact for the composable measures —
+    * expansion commutes with re-aggregation — so the rewrite keeps the
+    * Expand's key and grouping-id output positions verbatim (the
+    * aggregate's references stay valid untouched) and swaps each
+    * measure pass-through for the needed summary columns:
+    * `SUM(m)`→`SUM(sum_m)`, `COUNT(*)`→`SUM(cnt)`, `COUNT(m)`→
+    * `SUM(cnt_m)`, `MIN`/`MAX`→over `min_`/`max_`, `AVG`→exact
+    * sum/cnt pair, and DISTINCT aggregates over expanded KEY copies
+    * pass through unchanged (duplication-insensitive, grain-preserved).
+    * At 100 TB a CUBE over the fact table becomes a CUBE over a few
+    * thousand summary rows — the Expand's ×|grouping sets| row
+    * multiplier applies to the summary, not the scan. Every soundness
+    * gate of [[rewriteWith]] applies: nulled positions must be view
+    * keys, filters deterministic over keys, unknown shapes decline. */
+  private def tryExpandRewrite(agg: Aggregate): Option[LogicalPlan] =
+    agg.child match {
+      case expand: Expand if expand.projections.nonEmpty =>
+        stripAliased(expand.child, Nil).flatMap { case (lr, filters) =>
+          registry.asScala.toSeq
+            .filter { case (_, d) => baseMatches(lr, d) }
+            .sortBy { case (name, d) =>
+              (d.template.computeStats().sizeInBytes, name) }
+            .iterator
+            .map { case (_, d) => rewriteExpandWith(agg, expand, filters, d) }
+            .collectFirst { case Some(p) => p }
+        }
+      case _ => None
+    }
+
+  private def rewriteExpandWith(agg: Aggregate, expand: Expand,
+                                filters: Seq[Expression],
+                                d: MvDef): Option[LogicalPlan] = {
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(r => d.keys.contains(r.name))))
+      return None
+    val fresh = d.template.newInstance()
+    val mvAttr: Map[String, Attribute] = fresh.output.map(a => a.name -> a).toMap
+
+    // classify each Expand output position by its column down the
+    // projections: KEY (one attr, nulled in some sets — must be a view
+    // key), GID (all non-null literals), MEASURE (one attr in every set,
+    // never nulled, a registered measure)
+    sealed trait Pos
+    case class KeyPos(name: String) extends Pos
+    case object GidPos extends Pos
+    case class MeasurePos(name: String) extends Pos
+    val positions: Seq[Pos] = expand.output.indices.map { i =>
+      val elems = expand.projections.map(_(i))
+      val attrs = elems.collect { case ar: AttributeReference => ar }
+      val nulls = elems.collect { case l: Literal if l.value == null => l }
+      if (attrs.size + nulls.size == elems.size && attrs.nonEmpty &&
+          attrs.map(_.exprId).distinct.size == 1) {
+        val n = attrs.head.name
+        if (d.keys.contains(n)) KeyPos(n)
+        else if (nulls.isEmpty && d.sumCols.contains(n)) MeasurePos(n)
+        else return None
+      } else if (elems.forall {
+          case l: Literal => l.value != null; case _ => false })
+        GidPos
+      else return None
+    }
+    val kept: Set[ExprId] = expand.output.zip(positions).collect {
+      case (a, KeyPos(_)) => a.exprId
+      case (a, GidPos) => a.exprId
+    }.toSet
+    val measureOf: Map[ExprId, String] = expand.output.zip(positions)
+      .collect { case (a, MeasurePos(n)) => a.exprId -> n }.toMap
+    // grouping must live entirely on kept positions — a query grouping
+    // by a MEASURE copy would reference an output the rewrite drops
+    if (!agg.groupingExpressions.forall(
+        _.references.forall(r => kept.contains(r.exprId))))
+      return None
+
+    def attr(n: String): Option[Attribute] = mvAttr.get(n)
+    val needed = scala.collection.mutable.LinkedHashSet[String]()
+    // None when the summary lacks the column (older view) → the
+    // caller's `.getOrElse(return None)` declines the whole candidate
+    def need(n: String): Option[Attribute] =
+      attr(n).map { a => needed += n; a }
+    def isPlain(ae: AggregateExpression): Boolean =
+      ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty
+    def measure(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => measureOf.get(ar.exprId)
+      case _ => None
+    }
+    def onlyKept(e: Expression): Boolean =
+      e.references.forall(r => kept.contains(r.exprId))
+
+    val newAggList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // grouping keys, grouping()/grouping_id() towers, plain key
+      // aliases: reference only kept attrs, carry no aggregate → verbatim
+      case ne if onlyKept(ne) &&
+          !ne.exists(_.isInstanceOf[AggregateExpression]) => ne
+      case al @ Alias(ae: AggregateExpression, name) if isPlain(ae) =>
+        ae.aggregateFunction match {
+          case s: Sum =>
+            val c = measure(s.child).getOrElse(return None)
+            Alias(Sum(need(s"sum_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case m: Min =>
+            val c = measure(m.child).getOrElse(return None)
+            Alias(Min(need(s"min_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case m: Max =>
+            val c = measure(m.child).getOrElse(return None)
+            Alias(Max(need(s"max_$c").getOrElse(return None)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          case a: Average =>
+            if (!conf.getConfString(
+                "spark.graft.mvRewrite.avg.enabled", "true").toBoolean)
+              return None
+            val c = measure(a.child).getOrElse(return None)
+            Alias(Divide(
+              Cast(Sum(need(s"sum_$c").getOrElse(return None)).toAggregateExpression(), DoubleType),
+              Cast(Sum(need(s"cnt_$c").getOrElse(return None)).toAggregateExpression(), DoubleType)),
+              name)(exprId = al.exprId)
+          case c: Count if c.children.forall(
+              ch => ch.isInstanceOf[Literal] && ch.asInstanceOf[Literal].value != null) =>
+            Alias(Coalesce(Seq(
+              Sum(need("cnt").getOrElse(return None)).toAggregateExpression(), Literal(0L))),
+              name)(exprId = al.exprId)
+          case c: Count => c.children match {
+            case Seq(m) if measure(m).isDefined =>
+              Alias(Coalesce(Seq(
+                Sum(need(s"cnt_${measure(m).get}").getOrElse(return None)).toAggregateExpression(),
+                Literal(0L))), name)(exprId = al.exprId)
+            case _ => return None
+          }
+          case _ => return None
+        }
+      // DISTINCT over expanded KEY copies: duplication-insensitive and
+      // grain-preserved — the expression re-applies over the summary
+      // replay untouched
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.mode == Complete && ae.isDistinct && ae.filter.isEmpty &&
+            (ae.aggregateFunction match {
+              case c: Count => c.children.nonEmpty && c.children.forall(onlyKept)
+              case s: Sum => onlyKept(s.child)
+              case _ => false
+            }) => al
+      case _ => return None
+    }
+
+    val newChild = filters.foldRight(fresh: LogicalPlan) { (c, p) =>
+      Filter(c.transform {
+        case ar: AttributeReference => mvAttr(ar.name)
+      }, p)
+    }
+    val extraAttrs = needed.toSeq.map(mvAttr)
+    val newOutput = expand.output.zip(positions).collect {
+      case (a, KeyPos(_)) => a
+      case (a, GidPos) => a
+    } ++ extraAttrs
+    val newProjections = expand.projections.map { proj =>
+      proj.zip(positions).collect {
+        case (e, KeyPos(n)) => e.transform {
+          case _: AttributeReference => mvAttr(n)
+        }
+        case (e, GidPos) => e
+      } ++ extraAttrs
+    }
+    Some(Aggregate(agg.groupingExpressions, newAggList,
+      Expand(newProjections, newOutput, newChild)))
+  }
 
   private def rewriteWith(agg: Aggregate, filters: Seq[Expression],
                           d: MvDef): Option[LogicalPlan] = {
@@ -407,6 +623,50 @@ object MvRewrite extends Rule[LogicalPlan] {
               ch => ch.isInstanceOf[Literal] && ch.asInstanceOf[Literal].value != null) =>
             Alias(Coalesce(Seq(
               Sum(attr("cnt").getOrElse(return None)).toAggregateExpression(), Literal(0L))),
+              name)(exprId = al.exprId)
+          case c: Count => c.children match {
+            // COUNT(measure): the non-null row count IS cnt_<c> (what AVG
+            // divides by) — summed across summary rows
+            case Seq(ar: AttributeReference) if d.sumCols.contains(ar.name) =>
+              Alias(Coalesce(Seq(
+                Sum(attr(s"cnt_${ar.name}").getOrElse(return None))
+                  .toAggregateExpression(), Literal(0L))),
+                name)(exprId = al.exprId)
+            // COUNT(key): a key column passes through groupBy unaggregated,
+            // so its null rows sit in NULL-key summary groups — count rows
+            // of groups whose key is non-null
+            case Seq(ar: AttributeReference) if d.keys.contains(ar.name) =>
+              Alias(Coalesce(Seq(
+                Sum(If(IsNotNull(mvAttr(ar.name)),
+                  attr("cnt").getOrElse(return None), Literal(0L)))
+                  .toAggregateExpression(), Literal(0L))),
+                name)(exprId = al.exprId)
+            case _ => return None
+          }
+          case _ => return None
+        }
+      // DISTINCT over a view KEY: the summary's grain partitions base
+      // rows by the full key tuple, so within any coarser group the
+      // distinct set of a key column equals the distinct set of that
+      // column over the summary rows — COUNT/SUM(DISTINCT k) re-apply
+      // verbatim (both ignore NULLs on both levels). DISTINCT over a
+      // MEASURE is unrecoverable from sums and declines.
+      case al @ Alias(ae: AggregateExpression, name)
+          if ae.mode == Complete && ae.isDistinct && ae.filter.isEmpty =>
+        def keyChild(e: Expression): Option[Attribute] = e match {
+          case ar: AttributeReference if d.keys.contains(ar.name) =>
+            attr(ar.name)
+          case _ => None
+        }
+        ae.aggregateFunction match {
+          case c: Count if c.children.nonEmpty =>
+            Alias(Count(c.children.map(ch =>
+                keyChild(ch).getOrElse(return None)))
+              .toAggregateExpression(isDistinct = true),
+              name)(exprId = al.exprId)
+          case s: Sum =>
+            Alias(Sum(keyChild(s.child).getOrElse(return None))
+              .toAggregateExpression(isDistinct = true),
               name)(exprId = al.exprId)
           case _ => return None
         }
@@ -572,6 +832,119 @@ object Mv {
     registerStar(spark, name, factSuffix,
       Seq((dimSuffix, factKey, dimKey)), mvPath, keys, sumCols, Seq(joinType))
 
+  /** Build AND register a STAR summary whose FACT is a
+    * [[graft.sources.TxnTable]] snapshot, pinned to the snapshot's exact
+    * live-file set ([[MvRewrite.MvStarDef.factFileSet]]): queries
+    * aggregating the fact⋈dims tree rewrite while the table sits at
+    * this version; the moment ANY commit advances it, live reads scan a
+    * different file set and fall back to base — structural staleness
+    * protection extended to JOIN views. `dims` rows are
+    * `(dim frame, dim scan suffix, leftKey, dimKey)`: the frame builds
+    * the summary, the suffix matches the query's dim scans. Dims are
+    * the STATIC side of the contract (a changed dim invalidates history
+    * the fact feed can't see — rebuild, or model it as SCD). Returns
+    * the summarized fact version (feed it to [[refreshStarTxnCdc]]). */
+  def registerStarTxn(spark: SparkSession, name: String, factTable: String,
+                      dims: Seq[(DataFrame, String, String, String)],
+                      mvPath: String, keys: Seq[String],
+                      sumCols: Seq[String],
+                      joinTypes: Seq[String] = Nil): Int = {
+    import graft.sources.TxnTable
+    val v = TxnTable.currentVersion(factTable)
+    buildStar(TxnTable.read(spark, factTable, asOf = Some(v)),
+      dims.map(t => (t._1, t._3, t._4)), keys, sumCols, mvPath, joinTypes)
+    registerStarTxnAt(spark, name, factTable, v,
+      dims.map(t => (t._2, t._3, t._4)), mvPath, keys, sumCols, joinTypes)
+    v
+  }
+
+  private def registerStarTxnAt(spark: SparkSession, name: String,
+                                factTable: String, version: Int,
+                                dims: Seq[(String, String, String)],
+                                mvPath: String, keys: Seq[String],
+                                sumCols: Seq[String],
+                                joinTypes: Seq[String]): Unit = {
+    import graft.sources.TxnTable
+    recoverSwap(mvPath)
+    val snap = TxnTable.read(spark, factTable, asOf = Some(version))
+    val files = snap.queryExecution.analyzed
+      .collect { case lr: LogicalRelation => lr.relation }
+      .collect { case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString) }
+      .flatten.toSet
+    require(files.nonEmpty, s"$factTable v$version reads no files")
+    require(dims.map(_._1).distinct.size == dims.size,
+      s"star dim suffixes must be distinct: ${dims.map(_._1)}")
+    val jts = checkJoinTypes(joinTypes, dims.size)
+    val allEdges = dims.map(d => Set(d._2, d._3))
+    require(allEdges.toSet.size == dims.size,
+      "star join edges must be distinct unordered key pairs")
+    val edges = dims.zip(jts).collect {
+      case ((_, lk, dk), "inner") => Set(lk, dk) }.toSet
+    val leftEdges = dims.zip(jts).collect {
+      case ((sfx, lk, dk), "left") => (Set(lk, dk), sfx, dk) }.toSet
+    val rel = analyzedRelation(spark, mvPath)
+    requireCols(rel, mvPath, keys, sumCols)
+    MvRewrite.registerStar(name,
+      MvRewrite.MvStarDef(factTable +: dims.map(_._1), edges, keys,
+        sumCols, rel, leftEdges, factFileSet = Some(files)))
+  }
+
+  /** Advance a txn-fact STAR view across ANY keyed fact mutation via
+    * the row-level change feed: the signed delta flows THROUGH the
+    * dimension join — each change row picks up its dim attributes
+    * exactly as the fact row did at build — then the same additive
+    * monoid as [[refreshTxnCdc]] folds it into the summary. Cost is
+    * O(Δ-rows · broadcast dim lookup), never the fact history; at
+    * 100 TB the refresh reads the feed and the summary, nothing else.
+    * Sound while dims are STATIC between refreshes (the
+    * [[graft.operators.Incremental.appendJoinView]] contract); dim-key
+    * uniqueness is re-checked so a dim that grew a duplicate key fails
+    * loudly instead of silently fanning the delta. `min_`/`max_` drop
+    * unless `repairMinMax` (recomputed for exactly the feed-touched
+    * groups from the head snapshot re-joined through the dims).
+    * Re-registers against the head's file set and returns it. */
+  def refreshStarTxnCdc(spark: SparkSession, name: String,
+                        factTable: String, builtVersion: Int,
+                        mvPath: String,
+                        dims: Seq[(DataFrame, String, String, String)],
+                        keys: Seq[String], sumCols: Seq[String],
+                        rowKeys: Seq[String],
+                        joinTypes: Seq[String] = Nil,
+                        repairMinMax: Boolean = false): Int = {
+    import graft.sources.TxnTable
+    recoverSwap(mvPath)
+    val head = TxnTable.currentVersion(factTable)
+    require(head >= builtVersion,
+      s"$factTable is at v$head, below the view's v$builtVersion — " +
+        "restore rewinds are not refreshable; rebuild via registerStarTxn")
+    val jts = checkJoinTypes(joinTypes, dims.size)
+    def throughDims(f: DataFrame): DataFrame =
+      dims.zip(jts).foldLeft(f) {
+        case (acc, ((dim, _, leftKey, dimKey), jt)) =>
+          acc.join(org.apache.spark.sql.functions.broadcast(dim),
+            acc(leftKey) === dim(dimKey),
+            if (jt == "left") "left" else "inner")
+      }
+    if (head != builtVersion) {
+      dims.foreach { case (dim, sfx, _, dimKey) =>
+        val r = dim.agg(count(col(dimKey)).as("nk"),
+          countDistinct(col(dimKey)).as("nd")).head()
+        require(r.getLong(0) == r.getLong(1),
+          s"dim $sfx is no longer unique on $dimKey — the delta join " +
+            "would fan out change rows; rebuild via registerStarTxn")
+      }
+      val feed0 = throughDims(TxnTable.changeFeed(spark, factTable,
+        builtVersion, head, rowKeys, updateImages = true))
+      cdcRefreshCore(name, mvPath, head, keys, sumCols, feed0,
+        throughDims(TxnTable.read(spark, factTable, Some(head))),
+        repairMinMax)
+    }
+    registerStarTxnAt(spark, name, factTable, head,
+      dims.map(t => (t._2, t._3, t._4)), mvPath, keys, sumCols, joinTypes)
+    head
+  }
+
   /** Build AND register a summary of txn table `table`'s CURRENT
     * snapshot, keyed to the snapshot's exact live-file set: a query
     * reading the table at this version rewrites; the moment a commit
@@ -657,25 +1030,33 @@ object Mv {
   }
 
   /** Heal a crashed [[installSwap]]: when mvPath is missing, restore the
-    * newest COMPLETE staged summary (`<mv>_vN` carrying parquet's
-    * _SUCCESS — fully written before any swap began), else the retired
-    * old summary (`<mv>_retired_vN`, complete by construction). A crash
-    * mid-`merged.write` leaves no _SUCCESS, so a torn staging dir is
-    * never promoted. No-op when mvPath exists. */
+    * newest RETIRED old summary (`<mv>_retired_vN` — complete by
+    * construction, and always present mid-swap: the old dir is renamed
+    * aside BEFORE staging moves in, and retired is deleted only after
+    * mvPath is whole again). The OLD summary — never the staged new
+    * one — is the correct recovery: the caller's retry still passes the
+    * pre-crash `builtVersion` and re-applies the same delta, which on
+    * top of an already-refreshed staging would DOUBLE-APPLY (doubled
+    * sums, double-retracted deletes) and re-register silently wrong.
+    * Once mvPath is healthy, every stale retired/staged sibling sweeps —
+    * a crash between the second rename and the retired delete must not
+    * leak a summary copy per refresh, nor leave an old sibling a later
+    * manual mvPath delete would resurrect. */
   private[graft] def recoverSwap(mvPath: String): Unit = {
     val target = new java.io.File(mvPath)
-    if (target.exists()) return
     val (parent, base) = (target.getParentFile, target.getName)
-    val siblings = Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-    def newest(prefix: String, complete: Boolean): Option[java.io.File] =
-      siblings.filter(f => f.getName.startsWith(prefix) &&
+    def siblings(prefix: String): Seq[java.io.File] =
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
           f.getName.stripPrefix(prefix).forall(_.isDigit) &&
-          (!complete || new java.io.File(f, "_SUCCESS").exists()))
-        .sortBy(f => f.getName.stripPrefix(prefix).toInt).lastOption
-    newest(base + "_v", complete = true)
-      .orElse(newest(base + "_retired_v", complete = false))
-      .foreach(f => org.apache.commons.io.FileUtils.moveDirectory(f, target))
+          f.getName.length > prefix.length)
+        .sortBy(f => f.getName.stripPrefix(prefix).toInt).toSeq
+    if (!target.exists())
+      siblings(base + "_retired_v").lastOption
+        .foreach(f => org.apache.commons.io.FileUtils.moveDirectory(f, target))
+    if (target.exists())
+      (siblings(base + "_retired_v") ++ siblings(base + "_v"))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
   /** Advance a txn-table view across commits that REMOVE or REWRITE
@@ -683,16 +1064,29 @@ object Mv {
     * and compactions retract additively for SUM/COUNT (a removed row's
     * contribution subtracts exactly), so the view stays O(Δ-rows) via
     * the row-level change feed; MIN/MAX cannot retract without history,
-    * so the refreshed summary DROPS its `min_`/`max_` columns — a
-    * MIN/MAX query then declines the rewrite (missing column = fall
-    * back to base, never a wrong answer) while SUM/AVG/COUNT keep
-    * answering from the view. `rowKeys` is the table's unique row key
+    * so by default the refreshed summary DROPS its `min_`/`max_`
+    * columns — a MIN/MAX query then declines the rewrite (missing
+    * column = fall back to base, never a wrong answer) while
+    * SUM/AVG/COUNT keep answering from the view. `repairMinMax = true`
+    * instead RECOMPUTES the extrema for exactly the feed-touched groups
+    * from the head snapshot ([[repairedMinMax]] — O(touched-group rows)
+    * extra), keeping the full measure surface live through deletes.
+    * `rowKeys` is the table's unique row key
     * ([[graft.sources.TxnTable.changeFeed]]'s keyed-table contract — the
     * MERGE invariant). Re-registers against the head's file set and
-    * returns it. */
+    * returns it.
+    *
+    * Cost caveat: O(Δ-rows) holds for deletes/MERGEs, but a COMPACTION
+    * or OPTIMIZE version in the range makes the underlying change feed
+    * diff every rewritten file (the survivor suppression is a full-outer
+    * join over that version's touched files) — the result is still an
+    * exact no-op merge, but the refresh pays O(rewritten bytes) for that
+    * version. Refresh BEFORE routine compaction, or re-register after
+    * it, when the table is large. */
   def refreshTxnCdc(spark: SparkSession, name: String, table: String,
                     builtVersion: Int, mvPath: String, keys: Seq[String],
-                    sumCols: Seq[String], rowKeys: Seq[String]): Int = {
+                    sumCols: Seq[String], rowKeys: Seq[String],
+                    repairMinMax: Boolean = false): Int = {
     import graft.sources.TxnTable
     recoverSwap(mvPath)
     val head = TxnTable.currentVersion(table)
@@ -702,29 +1096,99 @@ object Mv {
     if (head != builtVersion) {
       val feed0 = TxnTable.changeFeed(spark, table, builtVersion, head,
         rowKeys, updateImages = true)
-      // per-measure non-null indicator rides the feed so cnt_<c> (what
-      // AVG divides by) retracts with the same signed aggregate as cnt
-      val feed = sumCols.foldLeft(feed0) { (f, c) =>
-        f.withColumn(s"__nn_$c",
-          org.apache.spark.sql.functions.when(
-            org.apache.spark.sql.functions.col(c).isNotNull, 1L)
-            .otherwise(0L))
-      }
-      val mv = spark.read.parquet(mvPath)
-      val slimCols = (keys :+ "cnt") ++
-        sumCols.flatMap(c => Seq(s"sum_$c", s"cnt_$c"))
-      val slim = mv.select(slimCols.map(col): _*)
-      val sums = sumCols.flatMap(c =>
-        Seq(s"sum_$c" -> c, s"cnt_$c" -> s"__nn_$c")).toMap
-      val merged = graft.operators.Incremental.applyCdc(
-        slim, feed, keys, "cnt", sums)
-      val staging = new java.io.File(mvPath + s"_v$head")
-      merged.write.mode("overwrite").parquet(staging.getPath)
-      MvRewrite.deregister(name)
-      installSwap(mvPath, staging, head)
+      cdcRefreshCore(name, mvPath, head, keys, sumCols, feed0,
+        TxnTable.read(spark, table, Some(head)), repairMinMax)
     }
     registerTxnAt(spark, name, table, head, mvPath, keys, sumCols)
     head
+  }
+
+  /** The shared CDC-refresh body of [[refreshTxnCdc]] and
+    * [[refreshStarTxnCdc]]: signed-aggregate the (possibly dim-joined)
+    * change feed, merge additively into the slim summary, optionally
+    * repair min/max from `snapForRepair`, then stage + rename-swap. */
+  private def cdcRefreshCore(name: String, mvPath: String, head: Int,
+                             keys: Seq[String], sumCols: Seq[String],
+                             feed0: DataFrame, snapForRepair: => DataFrame,
+                             repairMinMax: Boolean): Unit = {
+    val spark = feed0.sparkSession
+    // per-measure non-null indicator rides the feed so cnt_<c> (what
+    // AVG divides by) retracts with the same signed aggregate as cnt
+    val feed = sumCols.foldLeft(feed0) { (f, c) =>
+      f.withColumn(s"__nn_$c",
+        org.apache.spark.sql.functions.when(col(c).isNotNull, 1L)
+          .otherwise(0L))
+    }
+    val mv = spark.read.parquet(mvPath)
+    val slimCols = (keys :+ "cnt") ++
+      sumCols.flatMap(c => Seq(s"sum_$c", s"cnt_$c"))
+    val slim = mv.select(slimCols.map(col): _*)
+    val sums = sumCols.flatMap(c =>
+      Seq(s"sum_$c" -> c, s"cnt_$c" -> s"__nn_$c")).toMap
+    val additive = graft.operators.Incremental.applyCdc(
+      slim, feed, keys, "cnt", sums)
+    val merged =
+      if (!repairMinMax) additive
+      else repairedMinMax(snapForRepair, mv, feed, additive, keys, sumCols)
+    val staging = new java.io.File(mvPath + s"_v$head")
+    merged.write.mode("overwrite").parquet(staging.getPath)
+    MvRewrite.deregister(name)
+    installSwap(mvPath, staging, head)
+  }
+
+  /** The `repairMinMax` half of [[refreshTxnCdc]]: MIN/MAX cannot
+    * retract additively (a deleted row may BE the extremum), so the
+    * refreshed summary recomputes `min_`/`max_` for EXACTLY the groups
+    * the feed touched — a null-safe semi-joined scan of the head
+    * snapshot, pruned to the touched keys — and keeps the stored values
+    * everywhere else. Cost: O(|feed| + rows of touched groups), never
+    * the full table (at scale the semi-join's key filter rides the scan,
+    * and a table clustered/partitioned by group key prunes to the
+    * touched files). A summary whose min/max columns were already
+    * dropped by a prior plain refresh upgrades by recomputing ALL
+    * surviving groups — a one-time full-snapshot aggregate, flagged here
+    * so callers choose the moment. All key joins are null-safe: NULL
+    * group keys are real groups ([[Mv.build]] keeps them) and an
+    * equi-join would silently strip their repaired extrema. `snap` is
+    * the view's CURRENT base frame — the head snapshot for a flat view,
+    * the head snapshot joined through the dimensions for a star. */
+  private def repairedMinMax(snap0: DataFrame,
+                             mv: DataFrame, feed: DataFrame,
+                             additive: DataFrame, keys: Seq[String],
+                             sumCols: Seq[String]): DataFrame = {
+    val mmCols = sumCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val hasStored = mmCols.forall(mv.columns.contains)
+    // every frame joined below shares lineage with mv or the snapshot —
+    // RENAMED key columns + name-based conditions sidestep the self-join
+    // exprId ambiguity df-reference resolution would trip on
+    val touched =
+      (if (hasStored) feed.select(keys.map(col): _*).distinct()
+       else additive.select(keys.map(col): _*))
+        .select(keys.map(k => col(k).as(s"__tk_$k")): _*)
+    def touchedOn = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+    val snap = snap0.select((keys ++ sumCols).map(col): _*)
+    val mmAggs = sumCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val recomputed = snap.join(touched, touchedOn, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(mmAggs.head, mmAggs.tail: _*)
+    val minmax =
+      if (!hasStored) recomputed
+      else {
+        val stored = mv.select((keys ++ mmCols).map(col): _*)
+        stored.join(touched, touchedOn, "left_anti")
+          .unionByName(recomputed)
+      }
+    val mmKeyed = minmax.select(
+      keys.map(k => col(k).as(s"__mmk_$k")) ++
+        mmCols.map(c => col(c).as(c)): _*)
+    // every additive group is either untouched (stored row) or touched
+    // and surviving (recomputed row) — the left join is total; the final
+    // select restores [[Mv.build]]'s exact column layout
+    additive.join(mmKeyed,
+        keys.map(k => col(k) <=> col(s"__mmk_$k")).reduce(_ && _), "left")
+      .select(((keys :+ "cnt") ++ sumCols.flatMap(c =>
+        Seq(s"sum_$c", s"cnt_$c", s"min_$c", s"max_$c"))).map(col): _*)
   }
 
   /** Build AND register a summary of a [[graft.sources.TxnCatalog]]
@@ -742,9 +1206,18 @@ object Mv {
     import graft.sources.TxnCatalog
     val txn = TxnCatalog.currentTxn(catalog)
     val snap = TxnCatalog.read(spark, catalog, table, Some(txn))
-    build(snap, keys, sumCols, mvPath)
-    val files = snap.queryExecution.analyzed
+    // a snapshot with live DELETION VECTORS reads through an anti-join —
+    // a plan shape the rewrite's matcher can never strip, so the view
+    // would build, register, and silently never fire. Fail fast instead
+    // (compact the MOR deletes away, then register).
+    val rels = snap.queryExecution.analyzed
       .collect { case lr: LogicalRelation => lr.relation }
+    require(rels.size == 1,
+      s"$catalog/$table txn $txn has live deletion vectors (MOR deletes) " +
+        "— its snapshot plan cannot match the rewrite; compact the " +
+        "deletes into the data files first")
+    build(snap, keys, sumCols, mvPath)
+    val files = rels
       .collect { case fs: HadoopFsRelation =>
         fs.location.rootPaths.map(_.toString) }
       .flatten.toSet

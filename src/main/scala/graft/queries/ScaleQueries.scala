@@ -356,6 +356,60 @@ object ScaleQueries {
       }
     },
 
+    // ── COUNT(DISTINCT key) + COUNT(measure) through the view: the
+    //    summary's grain preserves the exact distinct set of every key
+    //    subset within any coarser group, so the distinct re-applies
+    //    over thousands of summary rows instead of the fact scan (at
+    //    100 TB the two-shuffle distinct runs on the summary, not the
+    //    table); COUNT(measure) reads the stored non-null counts.
+    //    DISTINCT over a MEASURE declines (spec-pinned) — this query is
+    //    the sound half.
+    sql("q_scan_mv_distinct",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_linestatus) AS nd_ls,
+        |       COUNT(l_partkey) AS n_pk,
+        |       CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem WHERE l_linestatus <> 'O'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      withLineitemMv(s, d) {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_linestatus") =!= "O")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_linestatus")).as("nd_ls"),
+            count(col("l_partkey")).as("n_pk"))
+      }
+    },
+
+    // ── ROLLUP through the view: Spark plans grouping analytics as
+    //    Aggregate(Expand(base)); the rewrite replays the SAME Expand
+    //    over the summary (nulled key copies, grouping-id literals kept
+    //    verbatim), so at 100 TB the ×|grouping sets| row multiplier
+    //    applies to a few thousand summary rows, not the fact scan.
+    //    Per-column GROUPING flags (cast BIGINT both sides) pin the
+    //    subtotal rows; the row-sorting hash makes the engines' NULL
+    //    ordering difference irrelevant.
+    sql("q_scan_mv_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS sp,
+        |       MIN(l_partkey) AS mn, MAX(l_partkey) AS mx, COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |       CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      withLineitemMv(s, d) {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_partkey").as("sp"),
+            min("l_partkey").as("mn"), max("l_partkey").as("mx"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+      }
+    },
+
     // ── CAPSTONE: the MV lifecycle against a LIVE txn table — register
     //    a snapshot-pinned view (rewrites, from_mv=1), commit a delta
     //    (the SAME query silently falls back to base because the live
@@ -648,6 +702,149 @@ object ScaleQueries {
         val b = staged("b_refreshed")
         a.unionByName(b).orderBy("stage", "g")
       } finally MvRewrite.deregister("cdcmv_q")
+    },
+
+    // ── MIN/MAX surviving deletes: refreshTxnCdc(repairMinMax) keeps
+    //    the FULL measure surface live through a MERGE + DELETE wave by
+    //    recomputing extrema for exactly the feed-touched groups from
+    //    the head snapshot (null-safe semi-join, pruned scan) while
+    //    sums/counts retract additively. The same untouched
+    //    SUM/MIN/MAX/COUNT query answers from_mv=1 both before the wave
+    //    and after the repair refresh — where the plain refresh would
+    //    have declined MIN/MAX forever after the first delete.
+    sql("q_scan_mv_cdc_repair",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS g,
+        |         CAST(o_custkey AS BIGINT) AS v
+        |  FROM orders),
+        |post AS (SELECT k, g, CASE WHEN k % 11 = 0 THEN v * 2 ELSE v END AS v
+        |         FROM base WHERE k % 7 <> 0),
+        |s1 AS (SELECT g, CAST(SUM(v) AS BIGINT) AS sv, MIN(v) AS mn,
+        |              MAX(v) AS mx, COUNT(*) AS n
+        |       FROM base GROUP BY g),
+        |s2 AS (SELECT g, CAST(SUM(v) AS BIGINT) AS sv, MIN(v) AS mn,
+        |              MAX(v) AS mx, COUNT(*) AS n
+        |       FROM post GROUP BY g)
+        |SELECT 'a_mv' AS stage, g, sv, mn, mx, n,
+        |       CAST(1 AS BIGINT) AS from_mv FROM s1
+        |UNION ALL
+        |SELECT 'b_repaired', g, sv, mn, mx, n, CAST(1 AS BIGINT) FROM s2
+        |ORDER BY stage, g""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      import graft.sources.TxnTable
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(
+        s"/root/repo/target/tmp/cdcmvr_table_$sfKey")
+      val mvDir = graft.Scratch.dir(
+        s"/root/repo/target/tmp/cdcmvr_view_$sfKey")
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("g"),
+          col("o_custkey").cast("long").as("v"))
+      TxnTable.commit(s, base, table, overwrite = false)
+      val v1 = Mv.registerTxn(s, "cdcmvr_q", table, mvDir, Seq("g"), Seq("v"))
+      def staged(stage: String) = {
+        val q = TxnTable.read(s, table)
+          .groupBy("g").agg(sum("v").as("sv"), min("v").as("mn"),
+            max("v").as("mx"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("cdcmvr_view") && !plan.contains("cdcmvr_table")
+        q.select(lit(stage).as("stage"), col("g"), col("sv"), col("mn"),
+            col("mx"), col("n"), lit(if (fromMv) 1L else 0L).as("from_mv"))
+          .localCheckpoint(true)
+      }
+      try {
+        val a = staged("a_mv")
+        graft.operators.Merge.upsert(s, table,
+          base.filter(col("k") % 11 === 0)
+            .select(col("k"), col("g"), (col("v") * 2).as("v")),
+          Seq("k"))
+        TxnTable.deleteWhere(s, table, col("k") % 7 === 0)
+        Mv.refreshTxnCdc(s, "cdcmvr_q", table, v1, mvDir,
+          Seq("g"), Seq("v"), rowKeys = Seq("k"), repairMinMax = true)
+        val b = staged("b_repaired")
+        a.unionByName(b).orderBy("stage", "g")
+      } finally MvRewrite.deregister("cdcmvr_q")
+    },
+
+    // ── txn-pinned STAR view lifecycle: the summary of fact⋈customer
+    //    pins the FACT's exact live-file set, so stage a answers the
+    //    join-aggregate from the view (from_mv=1); a MERGE+DELETE commit
+    //    changes the file set and the SAME query falls back structurally
+    //    (from_mv=0, fresh numbers — stale answers impossible); then
+    //    refreshStarTxnCdc folds the signed change feed THROUGH the
+    //    broadcast dim join (O(Δ), min/max repaired from touched groups)
+    //    and the query answers from the view again (from_mv=1,
+    //    post-change numbers). At 100 TB: the star query reads thousands
+    //    of summary rows; the refresh reads the feed, never the fact.
+    sql("q_scan_mv_star_lifecycle",
+      """WITH fact AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |         CAST(o_custkey AS BIGINT) AS v
+        |  FROM orders),
+        |post AS (SELECT k, o_custkey,
+        |                CASE WHEN k % 11 = 0 THEN v * 2 ELSE v END AS v
+        |         FROM fact WHERE k % 7 <> 0),
+        |s1 AS (SELECT c_mktsegment, CAST(SUM(v) AS BIGINT) AS sv,
+        |              MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+        |       FROM fact JOIN customer ON o_custkey = c_custkey
+        |       GROUP BY c_mktsegment),
+        |s2 AS (SELECT c_mktsegment, CAST(SUM(v) AS BIGINT) AS sv,
+        |              MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+        |       FROM post JOIN customer ON o_custkey = c_custkey
+        |       GROUP BY c_mktsegment)
+        |SELECT 'a_mv' AS stage, c_mktsegment, sv, mn, mx, n,
+        |       CAST(1 AS BIGINT) AS from_mv FROM s1
+        |UNION ALL
+        |SELECT 'b_live', c_mktsegment, sv, mn, mx, n, CAST(0 AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 'c_refreshed', c_mktsegment, sv, mn, mx, n, CAST(1 AS BIGINT) FROM s2
+        |ORDER BY stage, c_mktsegment""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      import graft.sources.TxnTable
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(
+        s"/root/repo/target/tmp/starmv_fact_$sfKey")
+      val mvDir = graft.Scratch.dir(
+        s"/root/repo/target/tmp/starmv_view_$sfKey")
+      val fact = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_custkey").cast("long").as("v"))
+      TxnTable.commit(s, fact, table, overwrite = false)
+      val dim = s.read.parquet(s"$d/customer.parquet")
+      val dims = Seq((dim, "customer.parquet", "o_custkey", "c_custkey"))
+      val v1 = Mv.registerStarTxn(s, "starmv_q", table, dims, mvDir,
+        Seq("c_mktsegment"), Seq("v"))
+      def staged(stage: String) = {
+        val q = TxnTable.read(s, table)
+          .join(s.read.parquet(s"$d/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum("v").as("sv"), min("v").as("mn"), max("v").as("mx"),
+            count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("starmv_view") && !plan.contains("starmv_fact")
+        q.select(lit(stage).as("stage"), col("c_mktsegment"), col("sv"),
+            col("mn"), col("mx"), col("n"),
+            lit(if (fromMv) 1L else 0L).as("from_mv"))
+          .localCheckpoint(true)
+      }
+      try {
+        val a = staged("a_mv")
+        graft.operators.Merge.upsert(s, table,
+          fact.filter(col("k") % 11 === 0)
+            .select(col("k"), col("o_custkey"), (col("v") * 2).as("v")),
+          Seq("k"))
+        TxnTable.deleteWhere(s, table, col("k") % 7 === 0)
+        val b = staged("b_live")
+        Mv.refreshStarTxnCdc(s, "starmv_q", table, v1, mvDir, dims,
+          Seq("c_mktsegment"), Seq("v"), rowKeys = Seq("k"),
+          repairMinMax = true)
+        val c = staged("c_refreshed")
+        a.unionByName(b).unionByName(c).orderBy("stage", "c_mktsegment")
+      } finally MvRewrite.deregister("starmv_q")
     },
 
     // ── WAREHOUSE-level MV: the summary pins the CATALOG transaction's

@@ -122,6 +122,92 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("nulls")
   }
 
+  test("COUNT(col) and DISTINCT-over-key answer from the view with exact null semantics") {
+    val db = s"$root/dk_base.parquet"
+    val dm = s"$root/dk_mv.parquet"
+    // nulls in a string key, an integral key, AND the measure — every
+    // null contract the rewrites must preserve in one fixture
+    val rows = Seq[(Option[String], Option[Long], String, Option[Long])](
+      (Some("a"), Some(1L), "x", Some(10L)), (Some("a"), Some(1L), "x", None),
+      (Some("a"), Some(2L), "y", Some(20L)), (Some("b"), Some(2L), "x", Some(30L)),
+      (None, Some(3L), "y", Some(40L)), (Some("b"), None, "y", None),
+      (None, None, "x", Some(50L)), (Some("c"), Some(3L), "y", Some(60L)))
+    rows.toDF("ka", "kn", "kb", "m").write.parquet(db)
+    Mv.build(spark.read.parquet(db), Seq("ka", "kn", "kb"), Seq("m"), dm)
+    Mv.register(spark, "dk", "dk_base.parquet", dm,
+      Seq("ka", "kn", "kb"), Seq("m"))
+    try {
+      def check(q: => DataFrame): Unit = {
+        val plan = scanPaths(q)
+        assert(plan.contains("dk_mv"), plan.take(2000))
+        assert(!plan.contains("dk_base"), plan.take(2000))
+        spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+        val want = try q.collect().map(_.toSeq).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+        assert(q.collect().map(_.toSeq).toSet == want)
+      }
+      def base = spark.read.parquet(db)
+      // COUNT(measure) → SUM(cnt_m); COUNT(key) → null-key groups excluded
+      check(base.groupBy("kb").agg(count(col("m")).as("nm"),
+        count(col("ka")).as("nka"), count(lit(1)).as("n")))
+      // DISTINCT over keys: single, summed, and multi-column tuples
+      check(base.groupBy("kb").agg(countDistinct(col("ka")).as("nd")))
+      check(base.groupBy("kb").agg(sum_distinct(col("kn")).as("sd")))
+      check(base.groupBy("kb").agg(countDistinct(col("ka"), col("kn")).as("ndt")))
+      // global (no grouping) distinct also rides the view
+      check(base.agg(countDistinct(col("ka")).as("nd")))
+      // soundness: DISTINCT over the MEASURE is unrecoverable → base scan
+      assert(scanPaths(base.groupBy("kb")
+        .agg(countDistinct(col("m")).as("bad"))).contains("dk_base"))
+      // result types unchanged (Count → LongType, Sum(distinct long) → long)
+      val q = base.groupBy("kb").agg(sum_distinct(col("kn")).as("sd"))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val wantT = try base.groupBy("kb").agg(sum_distinct(col("kn")).as("sd"))
+        .schema("sd").dataType
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.schema("sd").dataType == wantT)
+    } finally MvRewrite.deregister("dk")
+  }
+
+  test("ROLLUP/CUBE/GROUPING SETS answer from the view through the Expand") {
+    def answered(q: => DataFrame): Unit = {
+      val plan = scanPaths(q)
+      assert(plan.contains("facts_mv"), plan.take(2000))
+      assert(!plan.contains("facts_base"), plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try q.collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(_.toSeq).toSet == want)
+    }
+    // rollup: every composable measure + the grouping flags
+    answered(baseDf.rollup("ka", "kb").agg(sum("m").as("sm"),
+      count(lit(1)).as("n"), min("m").as("mn"), max("m").as("mx"),
+      avg("m").as("av"), count(col("m")).as("nm"),
+      grouping_id().as("gid")))
+    // cube, with a key filter riding the view
+    answered(baseDf.filter(col("kb") =!= "s0").cube("ka", "kb")
+      .agg(sum("m").as("sm"), grouping(col("ka")).cast("long").as("g_ka")))
+    // explicit grouping sets via SQL on the same parquet
+    baseDf.createOrReplaceTempView("facts_gs")
+    answered(spark.sql(
+      """SELECT ka, kb, sum(m) AS sm, count(*) AS n
+        |FROM facts_gs GROUP BY GROUPING SETS ((ka, kb), (ka), ())"""
+        .stripMargin))
+    // DISTINCT over a key copy inside the rollup re-applies verbatim
+    answered(baseDf.rollup("ka").agg(countDistinct(col("kb")).as("nd"),
+      sum("m").as("sm")))
+    // declines: a measure inside the grouping, distinct over a measure
+    assert(scanPaths(baseDf.rollup("ka", "m").agg(count(lit(1)).as("n")))
+      .contains("facts_base"))
+    assert(scanPaths(baseDf.rollup("ka")
+        .agg(countDistinct(col("m")).as("nd")))
+      .contains("facts_base"))
+    // a non-key filter declines even through the Expand
+    assert(scanPaths(baseDf.filter(col("m") > 5).rollup("ka")
+        .agg(sum("m").as("sm")))
+      .contains("facts_base"))
+  }
+
   test("a non-deterministic filter falls through to the base scan") {
     // rand() references no columns, so a reference-only gate would pass
     // it — and re-evaluate it per summary row, sampling GROUPS.
@@ -471,6 +557,136 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("cdcmv")
   }
 
+  test("refreshTxnCdc(repairMinMax): MIN/MAX stay live through deletes; null keys repair too") {
+    import graft.sources.TxnTable
+    import graft.operators.Merge
+    val table = s"$root/cdcmm_table"
+    val mvPath = s"$root/cdcmm_view.parquet"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    // nullable group key (k%7==0 → NULL group) and nullable measure
+    def g(k: Long): Option[Long] = if (k % 7 == 0) None else Some(k % 3)
+    def v(k: Long): Option[Long] = if (k == 13) None else Some(k)
+    val base = (0L until 30L).map(k => (k, g(k), v(k))).toDF("k", "g", "v")
+    TxnTable.commit(spark, base.coalesce(1), table, overwrite = false) // v1
+    val v1 = Mv.registerTxn(spark, "cdcmm", table, mvPath,
+      Seq("g"), Seq("v"))
+    // the gold bar: the refreshed summary must EQUAL a from-scratch
+    // build of the head snapshot, row for row, min/max included
+    def assertEqualsFreshBuild(): Unit = {
+      val fresh = s"$root/cdcmm_fresh.parquet"
+      Mv.build(TxnTable.read(spark, table), Seq("g"), Seq("v"), fresh)
+      val cols = spark.read.parquet(fresh).columns.sorted.toSeq
+      def rows(p: String) = spark.read.parquet(p)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(rows(mvPath) == rows(fresh),
+        "repaired summary must equal a from-scratch build")
+    }
+    def minMaxAgg() = TxnTable.read(spark, table)
+      .groupBy("g").agg(min("v").as("mn"), max("v").as("mx"),
+        sum("v").as("sv"))
+    def checkMinMaxFromView(): Unit = {
+      val q = minMaxAgg()
+      assert(scanPaths(q).contains("cdcmm_view"), scanPaths(q).take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try minMaxAgg().collect().map(_.toSeq).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(_.toSeq).toSet == want)
+    }
+    try {
+      // v2: MERGE lifts one row past every max AND rewrites a group min;
+      // v3: delete the rows HOLDING extrema (k=29 is max of g=2, k=1 is
+      // min of g=1, k=0 is min of the NULL group) plus ALL of g=2 except
+      // one row — extremum retraction, null-group repair, and a near-
+      // empty group in one wave
+      Merge.upsert(spark, table,
+        Seq((5L, Some(2L), Some(500L))).toDF("k", "g", "v"), Seq("k"))
+      TxnTable.deleteWhere(spark, table,
+        col("k").isin(29L, 1L, 0L) || (col("k") % 3 === 2L && col("k") > 20L))
+      val h1 = Mv.refreshTxnCdc(spark, "cdcmm", table, v1, mvPath,
+        Seq("g"), Seq("v"), rowKeys = Seq("k"), repairMinMax = true)
+      assertEqualsFreshBuild()
+      checkMinMaxFromView()
+      // a plain refresh over the next delete DROPS the extrema — MIN
+      // declines — and a later repair refresh UPGRADES the summary back
+      // (the recompute-all path), equal to a fresh build again
+      TxnTable.deleteWhere(spark, table, col("k") === 4L)
+      Mv.refreshTxnCdc(spark, "cdcmm", table, h1, mvPath,
+        Seq("g"), Seq("v"), rowKeys = Seq("k"))
+      val declined = minMaxAgg()
+      assert(!scanPaths(declined).contains("cdcmm_view"),
+        scanPaths(declined).take(2000))
+      val h2 = TxnTable.currentVersion(table)
+      TxnTable.commit(spark,
+        Seq((200L, Some(1L), Some(2L))).toDF("k", "g", "v"), table,
+        overwrite = false)
+      Mv.refreshTxnCdc(spark, "cdcmm", table, h2, mvPath,
+        Seq("g"), Seq("v"), rowKeys = Seq("k"), repairMinMax = true)
+      assertEqualsFreshBuild()
+      checkMinMaxFromView()
+    } finally MvRewrite.deregister("cdcmm")
+  }
+
+  test("txn-pinned STAR views: fact commits invalidate structurally; CDC refresh flows through the join") {
+    import graft.sources.TxnTable
+    import graft.operators.Merge
+    val fact = s"$root/starmv_fact"
+    val dimPath = s"$root/starmv_dim.parquet"
+    val mvPath = s"$root/starmv_view.parquet"
+    FileUtils.deleteQuietly(new File(fact))
+    (0L until 10L).map(c => (c, s"seg${c % 4}")).toDF("pk", "seg")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val base = (0L until 60L).map(k => (k, k % 10, k)).toDF("k", "ck", "v")
+    TxnTable.commit(spark, base.coalesce(1), fact, overwrite = false)
+    val dims = Seq((dim, "starmv_dim.parquet", "ck", "pk"))
+    val v1 = Mv.registerStarTxn(spark, "starmv", fact, dims, mvPath,
+      Seq("seg"), Seq("v"))
+    def q() = TxnTable.read(spark, fact)
+      .join(spark.read.parquet(dimPath), col("ck") === col("pk"))
+      .groupBy("seg").agg(sum("v").as("sv"), count(lit(1)).as("n"),
+        min("v").as("mn"), max("v").as("mx"))
+    def checkEqual(f: => DataFrame): Unit = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try f.collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(f.collect().map(_.toSeq).toSet == want)
+    }
+    try {
+      // stage a: the star query answers from the view
+      assert(scanPaths(q()).contains("starmv_view"), scanPaths(q()).take(2000))
+      checkEqual(q())
+      // ANY fact commit → different live-file set → structural fallback
+      Merge.upsert(spark, fact,
+        Seq((3L, 3L, 300L), (100L, 9L, 100L)).toDF("k", "ck", "v"), Seq("k"))
+      TxnTable.deleteWhere(spark, fact, col("k") % 5 === 0)
+      assert(!scanPaths(q()).contains("starmv_view"), scanPaths(q()).take(2000))
+      checkEqual(q())
+      // CDC refresh: the signed delta picks up dim attrs through the
+      // broadcast join; repairMinMax keeps the full measure surface
+      Mv.refreshStarTxnCdc(spark, "starmv", fact, v1, mvPath, dims,
+        Seq("seg"), Seq("v"), rowKeys = Seq("k"), repairMinMax = true)
+      assert(scanPaths(q()).contains("starmv_view"), scanPaths(q()).take(2000))
+      checkEqual(q())
+      // the refreshed summary equals a from-scratch star build
+      val fresh = s"$root/starmv_fresh.parquet"
+      Mv.buildStar(TxnTable.read(spark, fact), Seq((dim, "ck", "pk")),
+        Seq("seg"), Seq("v"), fresh)
+      val cols = spark.read.parquet(fresh).columns.sorted.toSeq
+      def rows(p: String) = spark.read.parquet(p)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(rows(mvPath) == rows(fresh))
+      // a dim that grew a duplicate key fails the NEXT refresh loudly
+      TxnTable.deleteWhere(spark, fact, col("k") === 2L)
+      val dupDim = dim.unionByName(dim.limit(1))
+      intercept[IllegalArgumentException] {
+        Mv.refreshStarTxnCdc(spark, "starmv", fact,
+          TxnTable.currentVersion(fact) - 1, mvPath,
+          Seq((dupDim, "starmv_dim.parquet", "ck", "pk")),
+          Seq("seg"), Seq("v"), rowKeys = Seq("k"))
+      }
+    } finally MvRewrite.deregister("starmv")
+  }
+
   test("catalog-table views: pinned to the catalog snapshot, any txn invalidates") {
     import graft.sources.TxnCatalog
     import graft.sources.TxnCatalog.Write
@@ -512,7 +728,7 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("catmv")
   }
 
-  test("recoverSwap heals a crashed install: staged summary preferred, retired restored") {
+  test("recoverSwap restores the RETIRED old summary (retry re-applies the delta) and sweeps") {
     import org.apache.commons.io.FileUtils
     val mvPath = s"$root/swap_mv.parquet"
     def write(dir: String, tagV: Long): Unit =
@@ -523,23 +739,24 @@ class MvRewriteSpec extends SparkSpec {
     Mv.recoverSwap(mvPath)
     assert(new java.io.File(mvPath).exists())
     assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 3L)
-    // crash shape B: mvPath missing, retired AND a COMPLETE staged new
-    // summary — the new one wins (it was fully written pre-swap)
+    // crash shape B: retired AND a complete staged new summary — the
+    // OLD one must win: the caller's retry re-applies the same delta
+    // (same builtVersion), which on top of the staged already-refreshed
+    // summary would DOUBLE-APPLY; the staged sibling sweeps
     FileUtils.deleteQuietly(new java.io.File(mvPath))
     write(mvPath + "_retired_v4", 4L)
     write(mvPath + "_v5", 5L)
     Mv.recoverSwap(mvPath)
-    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 5L)
-    // a TORN staging (no _SUCCESS) is never promoted — retired restores
-    FileUtils.deleteQuietly(new java.io.File(mvPath))
-    write(mvPath + "_v6", 6L)
-    FileUtils.deleteQuietly(new java.io.File(mvPath + "_v6/_SUCCESS"))
-    write(mvPath + "_retired_v6", 4L)
+    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 4L)
+    assert(!new java.io.File(mvPath + "_v5").exists(), "staging swept")
+    assert(!new java.io.File(mvPath + "_retired_v4").exists(), "retired swept")
+    // crash between the second rename and the retired delete: mvPath is
+    // healthy, the leftover retired sibling sweeps (no leak, and no
+    // stale dir a later manual mvPath delete could resurrect)
+    write(mvPath + "_retired_v9", 9L)
     Mv.recoverSwap(mvPath)
     assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 4L)
-    // no-op when mvPath exists
-    Mv.recoverSwap(mvPath)
-    assert(spark.read.parquet(mvPath).select("g").head().getLong(0) == 4L)
+    assert(!new java.io.File(mvPath + "_retired_v9").exists())
   }
 
   test("aggregate-below-join: the inner rollup rewrites in place under a join") {
