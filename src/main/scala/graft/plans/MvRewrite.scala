@@ -269,8 +269,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           (lLeaves, lPairs, lLeft, lFs) <- flattenJoin(j.left)
         } yield (lLeaves :+ dim, lPairs,
           lLeft + ((pairs.head, dim)), lFs)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        flattenJoin(c)
+      // plain column projections peel; so do the SELF-alias copies
+      // grouping analytics plants above the join (`ka AS ka#n` — same
+      // name, new id, no semantics; a RENAMING alias would break the
+      // name-keyed matching, so only alias == column peels)
+      case Project(pl, c) if pl.forall {
+          case _: AttributeReference => true
+          case Alias(ar: AttributeReference, n) => ar.name == n
+          case _ => false
+        } => flattenJoin(c)
       case Filter(cond, c) =>
         flattenJoin(c).map { case (ls, ps, le, fs) => (ls, ps, le, fs :+ cond) }
       case lr: LogicalRelation => Some((Seq(lr), Set.empty, Set.empty, Nil))
@@ -290,6 +297,22 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
     flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
       case (leaves, pairs, leftPairs, filters) =>
+        starCandidates(leaves, pairs, leftPairs, filters)
+          .map { case (d, fs) => rewriteWith(agg, fs, d) }
+          .collectFirst { case Some(p) => p }
+    }
+
+  /** The star-candidate selection shared by [[tryStarRewrite]] and the
+    * grouping-analytics form ([[tryExpandRewrite]]): given a flattened
+    * join tree, yield every matching registered star as a flat
+    * single-base [[MvDef]] plus its ADJUSTED filter list (tautological
+    * IsNotNull conjuncts dropped; the innerized dim-key IsNotNull
+    * added), smallest summary first. */
+  private def starCandidates(leaves: Seq[LogicalRelation],
+                             pairs: Set[Set[String]],
+                             leftPairs: Set[(Set[String], LogicalRelation)],
+                             filters: Seq[Expression])
+      : Iterator[(MvDef, Seq[Expression])] = {
         // the fact slot (suffixes.head) matches by exact file set when
         // pinned to a txn snapshot, by segment-anchored suffix otherwise;
         // dim slots always suffix-match
@@ -335,7 +358,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           .sortBy { case (name, d, _) =>
             (d.template.computeStats().sizeInBytes, name) }
           .iterator
-          .map { case (_, d, innerized) =>
+          .flatMap { case (_, d, innerized) =>
             // IsNotNull(key) conjuncts are tautologies ONLY over INNER
             // edges (the join proved those keys non-null); a left edge's
             // keys CAN be null in the result — fact-side null keys
@@ -364,11 +387,11 @@ object MvRewrite extends Rule[LogicalPlan] {
                 }
                 if (es.forall(_.isDefined)) Some(es.flatten) else None
               }
-            extra.flatMap(ex => rewriteWith(agg, fs ++ ex,
-              MvDef(d.suffixes.head, d.keys, d.sumCols, d.template)))
+            extra.map(ex =>
+              (MvDef(d.suffixes.head, d.keys, d.sumCols, d.template),
+                fs ++ ex))
           }
-          .collectFirst { case Some(p) => p }
-    }
+  }
 
   /** [[strip]] that ALSO peels the self-alias Project grouping analytics
     * plants under its Expand (`ka AS ka#n` copies of the grouping
@@ -407,15 +430,27 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryExpandRewrite(agg: Aggregate): Option[LogicalPlan] =
     agg.child match {
       case expand: Expand if expand.projections.nonEmpty =>
-        stripAliased(expand.child, Nil).flatMap { case (lr, filters) =>
-          registry.asScala.toSeq
-            .filter { case (_, d) => baseMatches(lr, d) }
-            .sortBy { case (name, d) =>
-              (d.template.computeStats().sizeInBytes, name) }
-            .iterator
-            .map { case (_, d) => rewriteExpandWith(agg, expand, filters, d) }
-            .collectFirst { case Some(p) => p }
+        val flat = stripAliased(expand.child, Nil).flatMap {
+          case (lr, filters) =>
+            registry.asScala.toSeq
+              .filter { case (_, d) => baseMatches(lr, d) }
+              .sortBy { case (name, d) =>
+                (d.template.computeStats().sizeInBytes, name) }
+              .iterator
+              .map { case (_, d) =>
+                rewriteExpandWith(agg, expand, filters, d) }
+              .collectFirst { case Some(p) => p }
         }
+        // ROLLUP/CUBE over a STAR: the same Expand replay over the
+        // pre-joined summary — the grouping-set multiplier applies to
+        // summary rows instead of the fact⋈dims join
+        flat.orElse(
+          flattenJoin(expand.child).filter(_._1.size >= 2).flatMap {
+            case (leaves, pairs, leftPairs, filters) =>
+              starCandidates(leaves, pairs, leftPairs, filters)
+                .map { case (d, fs) => rewriteExpandWith(agg, expand, fs, d) }
+                .collectFirst { case Some(p) => p }
+          })
       case _ => None
     }
 

@@ -511,6 +511,59 @@ object ScaleQueries {
       } finally MvRewrite.deregister("li_ord_star")
     },
 
+    // ── the OLAP capstone: ROLLUP over the star schema answered from
+    //    the summary cache. Spark plans GROUP BY ROLLUP as
+    //    Aggregate(Expand(join)); the rewrite replays the identical
+    //    Expand (nulled key copies, grouping-id literals) over the
+    //    pre-joined summary, so the ×|grouping sets| multiplier applies
+    //    to summary rows — at 100 TB the subtotal cube costs thousands
+    //    of rows, not a fact⋈dim join. Plain SQL in, untouched.
+    sql("q_scan_mv_star_rollup",
+      """SELECT c_mktsegment, o_orderpriority,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sk,
+        |       MIN(o_orderkey) AS mn, COUNT(*) AS n,
+        |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g1,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+        |       CAST(1 AS BIGINT) AS from_mv
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY g1, g2, c_mktsegment, o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvRewrite}
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mvDir = new java.io.File(s"/root/repo/target/mv/ord_cust_roll_$sfKey")
+      graft.DerivedCache.ensure(mvDir,
+          Seq(new java.io.File(s"$d/orders.parquet"),
+            new java.io.File(s"$d/customer.parquet")), "_SUCCESS") {
+        Mv.buildJoin(s.read.parquet(s"$d/orders.parquet"),
+          s.read.parquet(s"$d/customer.parquet"),
+          "o_custkey", "c_custkey",
+          Seq("c_mktsegment", "o_orderpriority"), Seq("o_orderkey"),
+          mvDir.getAbsolutePath)
+      }
+      Mv.registerJoin(s, "ord_cust_roll", "orders.parquet",
+        "customer.parquet", "o_custkey", "c_custkey",
+        mvDir.getAbsolutePath, Seq("c_mktsegment", "o_orderpriority"),
+        Seq("o_orderkey"))
+      try {
+        s.read.parquet(s"$d/orders.parquet")
+          .createOrReplaceTempView("mvroll_orders")
+        s.read.parquet(s"$d/customer.parquet")
+          .createOrReplaceTempView("mvroll_customer")
+        val q = s.sql(
+          """SELECT c_mktsegment, o_orderpriority,
+            |       CAST(SUM(o_orderkey) AS BIGINT) AS sk,
+            |       MIN(o_orderkey) AS mn, COUNT(*) AS n,
+            |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g1,
+            |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2
+            |FROM mvroll_orders JOIN mvroll_customer
+            |  ON o_custkey = c_custkey
+            |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)""".stripMargin)
+        mvStamped(q, "ord_cust_roll",
+          Seq("orders.parquet", "customer.parquet"), "g1")
+      } finally MvRewrite.deregister("ord_cust_roll")
+    },
+
     // ── SNOWFLAKE MV rewrite: lineitem ⋈ orders ⋈ customer — customer
     //    keys ORDERS' o_custkey, not the fact (the snowflake hop) — and
     //    the whole two-hop chain answers from one pre-joined summary

@@ -249,6 +249,51 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("facts_coarse")
   }
 
+  test("ROLLUP/CUBE over the star join answer from the star summary") {
+    val factPath = s"$root/rfact_base.parquet"
+    val dimPath = s"$root/rdim_base.parquet"
+    val rmv = s"$root/rstar_summary.parquet"
+    (1L to 300L).map(i => (i % 20, i % 50)).toDF("fk", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L).map(k => (k, s"g${k % 4}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    Mv.buildJoin(fact, dim, "fk", "pk", Seq("attr", "pk"), Seq("m"), rmv)
+    Mv.registerJoin(spark, "rollstar", "rfact_base.parquet",
+      "rdim_base.parquet", "fk", "pk", rmv, Seq("attr", "pk"), Seq("m"))
+    try {
+      def answered(q: => DataFrame): Unit = {
+        val plan = scanPaths(q)
+        assert(plan.contains("rstar_summary"), plan.take(2000))
+        assert(!plan.contains("rfact_base") && !plan.contains("rdim_base"),
+          plan.take(2000))
+        spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+        val want = try q.collect().map(_.toSeq).toSet
+        finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+        assert(q.collect().map(_.toSeq).toSet == want)
+      }
+      // NOTE: rollup/cube columns passed as col(...) — the String form
+      // resolves via Dataset.col, whose dataset-id metadata trips
+      // Spark's ambiguous-self-join detection on join+grouping-analytics
+      // plans before any optimizer rule runs (plain groupBy is fine)
+      def joined = fact.join(dim, col("fk") === col("pk"))
+      answered(joined.rollup(col("attr"), col("pk"))
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"), min("m").as("mn"),
+          grouping_id().as("gid")))
+      answered(joined.filter(col("attr") =!= "g0").cube(col("attr"))
+        .agg(sum("m").as("sm"), avg("m").as("av")))
+      // a LEFT-join rollup is NOT the cached (inner) shape
+      assert(scanPaths(fact.join(dim, col("fk") === col("pk"), "left")
+          .rollup(col("attr")).agg(sum("m").as("sm")))
+        .contains("rfact_base"))
+      // a measure in the rollup keys falls through even over the star
+      assert(scanPaths(joined.rollup(col("attr"), col("m"))
+          .agg(count(lit(1)).as("n")))
+        .contains("rfact_base"))
+    } finally MvRewrite.deregister("rollstar")
+  }
+
   test("join-aware view: aggregates over fact ⋈ dim answer from the star summary") {
     val factPath = s"$root/jfact_base.parquet"
     val dimPath = s"$root/jdim_base.parquet"
