@@ -116,7 +116,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     * KEY is among the view keys: matched rows are exactly the summary
     * groups with a non-null dim key (an equi-join never matches a null
     * key), so the rewrite adds `IsNotNull(dimKey)` and re-aggregates —
-    * one summary serving both join shapes.
+    * one summary serving both join shapes. Left edges are also
+    * DROPPABLE (view subsumption): fact-preserving and non-fanning, a
+    * left dim the query never joins does not change the fact-row
+    * multiset the summary aggregated, so one wide LEFT-star summary
+    * answers every narrower sub-star — down to the bare fact
+    * aggregate — as long as the query only references view keys and
+    * measures. Inner edges are never droppable (removing one changes
+    * which fact rows survive).
     *
     * `factFileSet` pins the FACT leaf to an exact root-path set (a
     * [[graft.sources.TxnTable]] snapshot's live files — the star
@@ -295,7 +302,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     * over the summarized rows (inner joins proved the keys non-null) and
     * drop before gating. */
   private def tryStarRewrite(agg: Aggregate): Option[LogicalPlan] =
-    flattenJoin(agg.child).filter(_._1.size >= 2).flatMap {
+    // a SINGLE leaf is admissible: an all-LEFT star view answers the
+    // bare fact aggregate by dropping every dimension (subsumption)
+    flattenJoin(agg.child).flatMap {
       case (leaves, pairs, leftPairs, filters) =>
         starCandidates(leaves, pairs, leftPairs, filters)
           .map { case (d, fs) => rewriteWith(agg, fs, d) }
@@ -322,71 +331,87 @@ object MvRewrite extends Rule[LogicalPlan] {
               fs.location.rootPaths.map(_.toString).toSet == d.factFileSet.get
             case _ => false
           } else suffixMatches(lr, d.suffixes(i))
-        def leavesClaimed(d: MvStarDef): Boolean = {
-          // every registered slot claims exactly one distinct leaf
-          val claimed = d.suffixes.indices.map(i =>
-            leaves.filter(slotMatches(d, i)))
-          claimed.forall(_.size == 1) &&
-            claimed.map(_.head).distinct.size == leaves.size
+        // Classify the view's edges against the query's join tree.
+        // Every INNER view edge must appear as an inner query edge —
+        // removing one would change which fact rows the summary
+        // aggregated. Each LEFT view edge may be
+        //  - KEPT: the query LEFT-joins the same dim (direction
+        //    verified — the null-extended leaf is the registered dim);
+        //  - INNERIZED: the query INNER-joins it; matched rows are
+        //    exactly the summary groups whose dim key is non-null (an
+        //    equi-join never matches a null key), so the rewrite adds
+        //    IsNotNull(dimKey) — sound when the dim key is a view key;
+        //  - DROPPED: the query never touches the dim. Sound because a
+        //    left edge is fact-preserving and non-fanning (key
+        //    uniqueness enforced at build), so removing the dim leaves
+        //    the fact-row multiset the summary aggregated unchanged —
+        //    one wide LEFT-star summary answers its narrower sub-stars
+        //    down to the bare fact aggregate (view subsumption).
+        // Yields (innerized edges, kept pairs, dropped pairs) or None.
+        def classify(d: MvStarDef)
+            : Option[(Set[(Set[String], String, String)],
+                      Set[Set[String]], Set[Set[String]])] = {
+          if (!d.edges.subsetOf(pairs)) return None
+          val keptOk = leftPairs.forall { case (p, leaf) =>
+            d.leftEdges.exists { case (pair, dimSfx, _) =>
+              pair == p && suffixMatches(leaf, dimSfx) } }
+          if (!keptOk) return None
+          val keptPairs = leftPairs.map(_._1)
+          // inner query edges beyond the view's inner set must be
+          // innerized left edges (and a pair can't also be kept-left)
+          val innerizedPairs = pairs -- d.edges
+          if (innerizedPairs.exists(keptPairs)) return None
+          val innerized = d.leftEdges.filter(e => innerizedPairs(e._1))
+          if (innerized.map(_._1) != innerizedPairs) return None
+          if (!innerized.forall { case (_, _, dk) => d.keys.contains(dk) })
+            return None
+          val droppedSfx = d.leftEdges
+            .filterNot(e => keptPairs(e._1) || innerizedPairs(e._1))
+            .map(_._2)
+          // the present slots claim the query's leaves one-to-one
+          val presentIdx = d.suffixes.indices
+            .filterNot(i => i > 0 && droppedSfx.contains(d.suffixes(i)))
+          if (presentIdx.size != leaves.size) return None
+          val claimed = presentIdx.map(i => leaves.filter(slotMatches(d, i)))
+          if (!(claimed.forall(_.size == 1) &&
+              claimed.map(_.head).distinct.size == leaves.size)) return None
+          Some((innerized,
+            keptPairs,
+            d.leftEdges.map(_._1) -- keptPairs -- innerizedPairs))
         }
-        def matchesExact(d: MvStarDef): Boolean =
-          leaves.size == d.suffixes.size && pairs == d.edges &&
-            leftPairs.map(_._1) == d.leftEdges.map(_._1) &&
-            leavesClaimed(d) &&
-            d.leftEdges.forall { case (pair, dimSfx, _) =>
-              // DIRECTION: the query's null-extended leaf for this edge
-              // must be the registered dimension (F LEFT JOIN D and
-              // D LEFT JOIN F share the pair but differ semantically)
-              leftPairs.exists { case (p, leaf) =>
-                p == pair && suffixMatches(leaf, dimSfx) }
-            }
-        // an all-INNER query over a LEFT-built view: matched rows are
-        // exactly the summary groups whose dim KEY is non-null, so the
-        // rewrite is sound whenever every left dim's key is a view key
-        def matchesInnerized(d: MvStarDef): Boolean =
-          d.leftEdges.nonEmpty && leftPairs.isEmpty &&
-            leaves.size == d.suffixes.size &&
-            pairs == d.edges ++ d.leftEdges.map(_._1) &&
-            d.leftEdges.forall { case (_, _, dimKey) =>
-              d.keys.contains(dimKey) } &&
-            leavesClaimed(d)
         starRegistry.asScala.toSeq
-          .collect {
-            case (name, d) if matchesExact(d) => (name, d, false)
-            case (name, d) if matchesInnerized(d) => (name, d, true)
-          }
+          .flatMap { case (name, d) => classify(d).map((name, d, _)) }
           .sortBy { case (name, d, _) =>
             (d.template.computeStats().sizeInBytes, name) }
           .iterator
-          .flatMap { case (_, d, innerized) =>
-            // IsNotNull(key) conjuncts are tautologies ONLY over INNER
-            // edges (the join proved those keys non-null); a left edge's
-            // keys CAN be null in the result — fact-side null keys
-            // survive, dim-side keys null-extend — so an IsNotNull there
-            // is a real predicate and stays for rewriteWith's gates.
-            // In the INNERIZED mode every edge is inner in the QUERY, so
-            // all its IsNotNull(key) conjuncts are tautologies — and the
-            // rewrite itself re-adds the load-bearing dim-key IsNotNull.
+          .flatMap { case (_, d, (innerized, keptPairs, droppedPairs)) =>
+            // IsNotNull(key) conjuncts are tautologies over the edges
+            // the QUERY joins inner (the join proved those keys
+            // non-null) — the view's own inner edges plus the innerized
+            // ones. A kept-left or dropped edge's keys CAN be null in
+            // the result (fact-side null keys survive, dim-side keys
+            // null-extend), so an IsNotNull there is a real predicate
+            // and stays for rewriteWith's gates; names shared with an
+            // inner edge subtract out conservatively (kept = at worst a
+            // declined rewrite, never a wrong answer).
             val innerKeyNames =
-              if (innerized) d.edges.flatten ++ d.leftEdges.flatMap(_._1)
-              else d.edges.flatten -- d.leftEdges.flatMap(_._1)
+              (d.edges ++ innerized.map(_._1)).flatten --
+                (keptPairs ++ droppedPairs).flatten
             val fs = filters.flatMap(conjuncts).filterNot {
               case IsNotNull(ar: AttributeReference) =>
                 innerKeyNames.contains(ar.name)
               case _ => false
             }
-            // resolve the dim-key attrs from the leaves; a miss fails
-            // THIS candidate only (Option, not return — a non-local
-            // return would abort the whole candidate iteration)
-            val extra: Option[Seq[Expression]] =
-              if (!innerized) Some(Nil)
-              else {
-                val es = d.leftEdges.toSeq.map { case (_, _, dimKey) =>
-                  leaves.flatMap(_.output).find(_.name == dimKey)
-                    .map(IsNotNull(_): Expression)
-                }
-                if (es.forall(_.isDefined)) Some(es.flatten) else None
+            // resolve the innerized dim-key attrs from the leaves; a
+            // miss fails THIS candidate only (Option, not return — a
+            // non-local return would abort the whole iteration)
+            val extra: Option[Seq[Expression]] = {
+              val es = innerized.toSeq.map { case (_, _, dimKey) =>
+                leaves.flatMap(_.output).find(_.name == dimKey)
+                  .map(IsNotNull(_): Expression)
               }
+              if (es.forall(_.isDefined)) Some(es.flatten) else None
+            }
             extra.map(ex =>
               (MvDef(d.suffixes.head, d.keys, d.sumCols, d.template),
                 fs ++ ex))
@@ -445,7 +470,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         // pre-joined summary — the grouping-set multiplier applies to
         // summary rows instead of the fact⋈dims join
         flat.orElse(
-          flattenJoin(expand.child).filter(_._1.size >= 2).flatMap {
+          flattenJoin(expand.child).flatMap {
             case (leaves, pairs, leftPairs, filters) =>
               starCandidates(leaves, pairs, leftPairs, filters)
                 .map { case (d, fs) => rewriteExpandWith(agg, expand, fs, d) }

@@ -658,6 +658,52 @@ object ScaleQueries {
       } finally MvRewrite.deregister("li_ord_left")
     },
 
+    // ── VIEW SUBSUMPTION, narrowest form: ONE wide LEFT-star summary
+    //    (lineitem left⋈ odd-suppliers left⋈ even-orders) answers the
+    //    BARE fact aggregate — both dims dropped. Sound because left
+    //    edges are fact-preserving and non-fanning: removing them
+    //    leaves the fact-row multiset the summary aggregated unchanged.
+    //    At 100 TB one maintained wide summary serves the whole family
+    //    of narrower rollups instead of one view per query shape.
+    sql("q_scan_mv_narrow",
+      """SELECT l_linestatus,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      withWideLeftStar(s, d) {
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_linestatus")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        mvStamped(q, "li_wide", Seq("lineitem.parquet"), "l_linestatus")
+      }
+    },
+
+    // ── VIEW SUBSUMPTION, mixed form: the SAME wide LEFT-star view —
+    //    the query INNER-joins the supplier dim (innerized: matched
+    //    rows are exactly the summary groups with a non-null s_suppkey)
+    //    and never mentions the orders dim (dropped). The dim is odd
+    //    suppliers only, so the inner join genuinely filters — the
+    //    NULL-key groups the rewrite excludes carry real rows.
+    sql("q_scan_mv_narrow_mixed",
+      """WITH sup2 AS (SELECT * FROM supplier WHERE s_suppkey % 2 = 1)
+        |SELECT s_suppkey,
+        |       CAST(SUM(l_partkey) AS BIGINT) AS part_sum,
+        |       COUNT(*) AS n, CAST(1 AS BIGINT) AS from_mv
+        |FROM lineitem JOIN sup2 ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      withWideLeftStar(s, d) {
+        val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+        val q = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"/root/repo/target/mv/sup_odd_$sfKey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey")
+          .agg(sum("l_partkey").as("part_sum"), count(lit(1)).as("n"))
+        mvStamped(q, "li_wide", Seq("lineitem.parquet", "sup_odd"),
+          "s_suppkey")
+      }
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the
@@ -966,6 +1012,50 @@ object ScaleQueries {
     * `baseTokens`. Orders and PINS the rows (cache+count) so the result
     * survives the caller's deregistration. One implementation for every
     * MV-gated query — the heuristic must not drift per call site. */
+  /** Stage the two deliberately-incomplete dims (odd suppliers, even
+    * orders), build ONE wide all-LEFT star summary of lineitem over
+    * them (keys cover the narrow queries' groupings plus the supplier
+    * key so that edge is innerizable), register it as `li_wide`, run
+    * `body`, deregister. Shared by the subsumption queries — the point
+    * is both answer from the SAME registered view. */
+  private def withWideLeftStar(s: org.apache.spark.sql.SparkSession,
+                               d: String)(
+      body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.plans.{Mv, MvRewrite}
+    graft.plans.GraftPlanner.register(s)
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val supDir = new java.io.File(s"/root/repo/target/mv/sup_odd_$sfKey")
+    val ordDir = new java.io.File(s"/root/repo/target/mv/ord_even_$sfKey")
+    val mvDir = new java.io.File(s"/root/repo/target/mv/li_wide_$sfKey")
+    val srcs = Seq(new java.io.File(s"$d/lineitem.parquet"),
+      new java.io.File(s"$d/supplier.parquet"),
+      new java.io.File(s"$d/orders.parquet"))
+    graft.DerivedCache.ensure(supDir, srcs, "_SUCCESS") {
+      s.read.parquet(s"$d/supplier.parquet")
+        .filter(col("s_suppkey") % 2 === 1)
+        .write.mode("overwrite").parquet(supDir.getAbsolutePath)
+    }
+    graft.DerivedCache.ensure(ordDir, srcs, "_SUCCESS") {
+      s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(ordDir.getAbsolutePath)
+    }
+    graft.DerivedCache.ensure(mvDir, srcs, "_SUCCESS") {
+      Mv.buildStar(s.read.parquet(s"$d/lineitem.parquet"),
+        Seq((s.read.parquet(supDir.getAbsolutePath), "l_suppkey", "s_suppkey"),
+          (s.read.parquet(ordDir.getAbsolutePath), "l_orderkey", "o_orderkey")),
+        Seq("l_linestatus", "s_suppkey"), Seq("l_partkey"),
+        mvDir.getAbsolutePath, joinTypes = Seq("left", "left"))
+    }
+    Mv.registerStar(s, "li_wide", "lineitem.parquet",
+      Seq((supDir.getName, "l_suppkey", "s_suppkey"),
+        (ordDir.getName, "l_orderkey", "o_orderkey")),
+      mvDir.getAbsolutePath, Seq("l_linestatus", "s_suppkey"),
+      Seq("l_partkey"), joinTypes = Seq("left", "left"))
+    try body finally MvRewrite.deregister("li_wide")
+  }
+
   private def mvStamped(q: org.apache.spark.sql.DataFrame, viewToken: String,
                         baseTokens: Seq[String], orderCol: String)
       : org.apache.spark.sql.DataFrame = {

@@ -294,6 +294,74 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("rollstar")
   }
 
+  test("view subsumption: one wide LEFT-star view answers narrower sub-stars") {
+    val factPath = s"$root/wfact_base.parquet"
+    val dim1Path = s"$root/wdim1_base.parquet"
+    val dim2Path = s"$root/wdim2_base.parquet"
+    val wmv = s"$root/wstar_summary.parquet"
+    // fk1 has NULLs and unmatched keys; dims are incomplete on purpose,
+    // so dropping vs innerizing vs keeping an edge gives DIFFERENT rows
+    (1L to 300L).map { i =>
+      (i % 4, if (i % 5 == 0) None else Some(i % 20), i % 8, i % 50)
+    }.toDF("g", "fk1", "fk2", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 10L).map(k => (k, s"a${k % 3}")).toDF("pk1", "attr1")
+      .write.mode("overwrite").parquet(dim1Path)
+    (0L until 6L).map(k => (k, s"b${k % 2}")).toDF("pk2", "attr2")
+      .write.mode("overwrite").parquet(dim2Path)
+    def fact = spark.read.parquet(factPath)
+    def dim1 = spark.read.parquet(dim1Path)
+    def dim2 = spark.read.parquet(dim2Path)
+    // pk2 deliberately NOT a view key — innerizing dim2 must refuse
+    val keys = Seq("g", "pk1", "attr1", "attr2")
+    Mv.buildStar(fact, Seq((dim1, "fk1", "pk1"), (dim2, "fk2", "pk2")),
+      keys, Seq("m"), wmv, joinTypes = Seq("left", "left"))
+    Mv.registerStar(spark, "widestar", "wfact_base.parquet",
+      Seq(("wdim1_base.parquet", "fk1", "pk1"),
+        ("wdim2_base.parquet", "fk2", "pk2")),
+      wmv, keys, Seq("m"), joinTypes = Seq("left", "left"))
+    def answered(q: => DataFrame): Unit = {
+      val plan = scanPaths(q)
+      assert(plan.contains("wstar_summary"), plan.take(2000))
+      assert(!plan.contains("wfact_base") && !plan.contains("wdim1_base") &&
+        !plan.contains("wdim2_base"), plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try q.collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(_.toSeq).toSet == want)
+    }
+    try {
+      // both dims DROPPED: the bare fact aggregate (null/unmatched fk1
+      // rows included — they live in NULL-key summary groups)
+      answered(fact.groupBy("g")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"), min("m").as("mn")))
+      // and the global no-grouping form
+      answered(fact.agg(sum("m").as("sm"), count(lit(1)).as("n")))
+      // dim1 INNERIZED (pk1 is a view key), dim2 dropped
+      answered(fact.join(dim1, col("fk1") === col("pk1"))
+        .groupBy("attr1").agg(sum("m").as("sm"), count(lit(1)).as("n")))
+      // dim1 KEPT as left, dim2 dropped
+      answered(fact.join(dim1, col("fk1") === col("pk1"), "left")
+        .groupBy("attr1").agg(sum("m").as("sm")))
+      // innerizing dim2 needs pk2 among the view keys — refuse
+      assert(scanPaths(fact.join(dim2, col("fk2") === col("pk2"))
+          .groupBy("attr2").agg(sum("m").as("sm")))
+        .contains("wfact_base"))
+      // a rollup with both dims dropped rides the same subsumption
+      answered(fact.rollup(col("g")).agg(sum("m").as("sm"),
+        count(lit(1)).as("n")))
+    } finally MvRewrite.deregister("widestar")
+    // an INNER edge is never droppable: an inner-built view refuses the
+    // bare fact aggregate (removing the join would change the rows)
+    val imv = s"$root/wstar_inner_summary.parquet"
+    Mv.buildJoin(fact, dim1, "fk1", "pk1", Seq("g", "attr1"), Seq("m"), imv)
+    Mv.registerJoin(spark, "wideinner", "wfact_base.parquet",
+      "wdim1_base.parquet", "fk1", "pk1", imv, Seq("g", "attr1"), Seq("m"))
+    try assert(scanPaths(fact.groupBy("g").agg(sum("m").as("sm")))
+      .contains("wfact_base"))
+    finally MvRewrite.deregister("wideinner")
+  }
+
   test("join-aware view: aggregates over fact ⋈ dim answer from the star summary") {
     val factPath = s"$root/jfact_base.parquet"
     val dimPath = s"$root/jdim_base.parquet"
