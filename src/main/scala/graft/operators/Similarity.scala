@@ -701,9 +701,47 @@ object Similarity {
           overwrite = true),
         Write("base_stats",
           spark.createDataFrame(Seq(Tuple1(n))).toDF("base_total"),
+          overwrite = true),
+        // a (re)build starts from a clean slate: everything previously
+        // tombstoned is simply absent from the fresh lists/codes/vectors
+        Write("tombstones",
+          spark.range(0).select(col("id").as("vec_id")),
           overwrite = true)), tag = Some("index-build"))
     } finally { corpusQ.unpersist(); () }
   }
+
+  /** DELETE vectors from a transactional index — the LSM-style
+    * tombstone: ONE catalog txn appends the ids to a `tombstones`
+    * table; queries anti-join it from the same snapshot they read the
+    * lists from, so an `asOf` search BEFORE this txn still returns the
+    * vectors (deletes are versioned like every other index mutation)
+    * and a search after never does. O(Δ ids) per delete — the
+    * lists/codes/vectors rows stay on disk until the next full
+    * [[writeIvfPqIndexTxn]] rebuild clears the marker table, the only
+    * shape that stays O(Δ) at 100 TB (an in-place purge would rewrite
+    * the whole index per delete). [[indexHealthTxn]]'s deleteFraction
+    * is the "compact now" trigger. RE-INSERTING a tombstoned id is a
+    * rebuild-time operation (include it in the rebuild corpus) — the
+    * index has no upsert: [[appendToIvfPqIndexTxn]] assumes NEW ids,
+    * and an append of an existing id would duplicate its
+    * lists/codes/vectors rows regardless of tombstones. Returns the
+    * catalog txn. */
+  def deleteFromIvfPqIndexTxn(spark: org.apache.spark.sql.SparkSession,
+                              ids: DataFrame, catalog: String): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    TxnCatalog.commitAll(spark, catalog,
+      Seq(Write("tombstones", ids.select("vec_id"))),
+      tag = Some("index-delete"))
+  }
+
+  /** The tombstone set of a transactional index at `asOf` — None when
+    * the index predates the delete capability (no marker table). */
+  private def tombstonesAt(spark: SparkSession, catalog: String,
+                           asOf: Option[Int]): Option[DataFrame] =
+    try Some(graft.sources.TxnCatalog.read(spark, catalog, "tombstones", asOf)
+      .select("vec_id"))
+    catch { case _: IllegalArgumentException => None }
 
   /** Atomic append to a transactional index: the batch assigns against
     * the CURRENT model and lists/codes/vectors land in one catalog
@@ -738,10 +776,17 @@ object Similarity {
                           rerank: Int = 64, m: Int = 8,
                           dim: Int = 64): DataFrame = {
     import graft.sources.TxnCatalog
+    // tombstoned ids leave candidate generation at the LISTS — the
+    // cheapest point (codes/ADC/rerank never see them); the anti-join
+    // broadcasts (tombstones are ids-only and bounded by rebuild policy)
+    val lists0 = TxnCatalog.read(spark, catalog, "lists", asOf)
+    val lists = tombstonesAt(spark, catalog, asOf)
+      .map(t => lists0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(lists0)
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", asOf),
       TxnCatalog.read(spark, catalog, "codebooks", asOf),
-      TxnCatalog.read(spark, catalog, "lists", asOf),
+      lists,
       TxnCatalog.read(spark, catalog, "codes", asOf),
       TxnCatalog.read(spark, catalog, "vectors", asOf),
       k, nprobe, rerank, m, dim)
@@ -760,7 +805,8 @@ object Similarity {
     *    evenly (the model has seen none of them). */
   final case class IndexHealth(nLists: Int, total: Long, baseTotal: Long,
                                maxList: Long, skewRatio: Double,
-                               appendFraction: Double)
+                               appendFraction: Double,
+                               deleteFraction: Double = 0.0)
 
   /** Measure a persisted index: one aggregate over `lists` (per-cluster
     * cardinalities — never touches codes or vectors) + the base row
@@ -777,8 +823,16 @@ object Similarity {
   def indexHealthTxn(spark: SparkSession, catalog: String,
                      asOf: Option[Int] = None): IndexHealth = {
     import graft.sources.TxnCatalog
-    indexHealthFrames(TxnCatalog.read(spark, catalog, "lists", asOf),
+    // deleteFraction = tombstoned ids ÷ listed rows: the probed lists
+    // still pay for every tombstoned row (filtered only after candidate
+    // generation), so this is the compaction trigger the same way
+    // skewRatio is the rebuild trigger
+    val h = indexHealthFrames(TxnCatalog.read(spark, catalog, "lists", asOf),
       Some(TxnCatalog.read(spark, catalog, "base_stats", asOf)))
+    val nDead = tombstonesAt(spark, catalog, asOf)
+      .map(_.distinct().count()).getOrElse(0L)
+    h.copy(deleteFraction =
+      if (h.total == 0) 0.0 else nDead.toDouble / h.total)
   }
 
   private def indexHealthFrames(lists: DataFrame,

@@ -186,12 +186,14 @@ object AnnQueries {
   }
 
   /** The IVFPQ tail: probed lists × codes → ADC approx → rerank-64 →
-    * exact top-5. */
-  private lazy val ivfPqTailSql: String =
+    * exact top-5. `candExtra` narrows candidate generation (the
+    * tombstone-delete replay drops ids exactly where the engine's
+    * lists anti-join does). */
+  private def ivfPqTail(candExtra: String = ""): String =
     s"""cand AS (
        |  SELECT p.q_id, l.n_id
        |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
-       |  WHERE p.q_id <> l.n_id),
+       |  WHERE p.q_id <> l.n_id$candExtra),
        |approx AS (
        |  SELECT cand.q_id, cand.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
        |  FROM cand
@@ -212,7 +214,18 @@ object AnnQueries {
     s"""WITH $eCte,
        |${ivfCtes()},
        |${pqCtes()},
-       |$ivfPqTailSql""".stripMargin
+       |${ivfPqTail()}""".stripMargin
+
+  /** The DELETE replay: the model and lists are the FULL-corpus build
+    * (deletes never retrain), and candidate generation skips the
+    * tombstoned ids (vec_id % 3 = 0, vec_id >= 10) exactly where
+    * [[Similarity.ivfPqTopKIndexedTxn]]'s lists anti-join does. */
+  private lazy val ivfPqDeleteOracleSql: String =
+    s"""WITH $eCte,
+       |${ivfCtes()},
+       |${pqCtes()},
+       |${ivfPqTail(
+        candExtra = " AND NOT (l.n_id % 3 = 0 AND l.n_id >= 10)")}""".stripMargin
 
   /** The APPEND replay: the model (k-means + codebooks) trains on the
     * base slice only (vec_id >= 10 — "yesterday's corpus"), while
@@ -223,7 +236,7 @@ object AnnQueries {
        |e_base AS (SELECT * FROM e WHERE vec_id >= 10),
        |${ivfCtes(train = "e_base", corpus = "e")},
        |${pqCtes(train = "e_base", corpus = "e")},
-       |$ivfPqTailSql""".stripMargin
+       |${ivfPqTail()}""".stripMargin
 
   /** Exact (sim DESC, n_id) top-5 re-rank of a (q_id, n_id) shortlist
     * CTE — the tail every ANN oracle shares. */
@@ -512,6 +525,40 @@ object AnnQueries {
         .toSet
       val ttEq = rows(asOf) == rows(before)
       after.withColumn("timetravel_eq_base", lit(ttEq))
+        .orderBy("q_id", "rank")
+    },
+
+    // ── DELETE from the transactional index: tombstones land as ONE
+    //    catalog txn; searches anti-join them at the LISTS (candidate
+    //    generation never sees a deleted id, codes/rerank never score
+    //    one), and the pre-delete index stays queryable AS OF the build
+    //    txn — versioned deletes, O(Δ ids) per delete, rows reclaimed at
+    //    the next rebuild (LSM tombstone + compaction, the only shape
+    //    that stays O(Δ) at 100 TB). timetravel_eq_predelete pins the
+    //    as-of search equal to the pre-delete search EXACTLY.
+    sql("q_ann_txn_delete",
+      s"""SELECT q_id, rank, n_id, sim, TRUE AS timetravel_eq_predelete
+         |FROM ($ivfPqDeleteOracleSql)
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = graft.Scratch.dir(
+        s"/root/repo/target/tmp/ann_del_cat_$sfKey")
+      val batch = embs.filter(col("vec_id") < 10)
+      val t1 = Similarity.writeIvfPqIndexTxn(s, embs, cat)
+      val before = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
+        .localCheckpoint(true)
+      Similarity.deleteFromIvfPqIndexTxn(s,
+        embs.filter(col("vec_id") % 3 === 0 && col("vec_id") >= 10)
+          .select("vec_id"), cat)
+      val after = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
+      val asOf = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5,
+        asOf = Some(t1))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val ttEq = rows(asOf) == rows(before)
+      after.withColumn("timetravel_eq_predelete", lit(ttEq))
         .orderBy("q_id", "rank")
     },
 

@@ -338,6 +338,57 @@ object WarehouseQueries {
         .orderBy("nation")
     },
 
+    // ── CONTINUOUS STAR view maintenance (EventsStreaming
+    //    .cdcStarViewMaintenance): the same log-watching stream, but
+    //    each version's signed change feed flows THROUGH a broadcast
+    //    LEFT dim join before folding — the live view groups by a
+    //    DIMENSION attribute the fact rows don't carry. The dim is
+    //    deliberately incomplete (even custkeys), so unmatched orders
+    //    maintain a NULL-segment group exactly like a left-star
+    //    summary. Ingest + merge fold in batch one; an overwrite lands
+    //    after; the resumed stream folds only the overwrite — final
+    //    state equals the from-scratch recompute the oracle replays.
+    sql("q_stream_star_view",
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey,
+        |                  o_orderkey % 100 AS v
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |c2 AS (SELECT * FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT c_mktsegment, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM o LEFT JOIN c2 ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      import graft.operators.Merge
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/starview_src_$sfKey")
+      val view = graft.Scratch.dir(s"/root/repo/target/tmp/starview_agg_$sfKey")
+      graft.Scratch.dir(s"$view.ckpt")
+      val fact = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          (col("o_orderkey") % 100).as("v"))
+      val dim = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      val dims = Seq((dim, "o_custkey", "c_custkey"))
+      TxnTable.commit(s,                                    // v1: %3∈{0,1}
+        fact.filter((col("k") % 3).isin(0, 1)).repartition(4),
+        table, overwrite = false)
+      Merge.upsert(s, table,                                // v2: upd 1, ins 2
+        fact.filter((col("k") % 3).isin(1, 2))
+          .withColumn("v",
+            when(col("k") % 3 === 1, col("v") + 1000).otherwise(col("v"))),
+        Seq("k"))
+      graft.streaming.EventsStreaming.cdcStarViewMaintenance(s, table, view,
+        keys = Seq("k"), groupKeys = Seq("c_mktsegment"),
+        countCol = "cnt", sums = Map("sum_v" -> "v"),
+        dims = dims, joinTypes = Seq("left"))
+      TxnTable.commit(s,                                    // v3: keep %3=0
+        fact.filter(col("k") % 3 === 0), table, overwrite = true)
+      graft.streaming.EventsStreaming.cdcStarViewMaintenance(s, table, view,
+          keys = Seq("k"), groupKeys = Seq("c_mktsegment"),
+          countCol = "cnt", sums = Map("sum_v" -> "v"),
+          dims = dims, joinTypes = Seq("left"), resume = true)
+        .select("c_mktsegment", "cnt", "sum_v")
+        .orderBy("c_mktsegment")
+    },
+
     // ── MULTI-TABLE transactional stream sink (EventsStreaming
     //    .catalogSinkIngest × TxnCatalog): each micro-batch commits BOTH
     //    derived tables (raw rows + per-type stats) through ONE catalog

@@ -880,11 +880,58 @@ object EventsStreaming {
       TxnCatalog.read(spark, catalog, "quarantine"))
   }
 
+  /** [[cdcViewMaintenance]] for a STAR view: each published version's
+    * signed change feed flows THROUGH the broadcast dimension joins —
+    * every change row picks up its dim attributes exactly as the fact
+    * row did — before folding into the live aggregate, so the
+    * maintained view can group by DIMENSION attributes while each
+    * refresh stays O(Δ · broadcast dim lookup): the stream reads the
+    * log, the feed, and the summary, never the fact history. Dims are
+    * the STATIC side of the contract (the
+    * [[graft.plans.Mv.refreshStarTxnCdc]] framing — a changed dim
+    * invalidates history the feed can't see; rebuild, or model it as
+    * SCD); each dim's key uniqueness is checked once at stream start so
+    * a fanning join fails loudly instead of silently multiplying
+    * deltas. `joinTypes` aligned with `dims` ("inner"/"left"; empty =
+    * all inner): an INNER dim drops unmatched change rows — exactly the
+    * rows an inner star never stored — while a LEFT dim null-extends
+    * them into NULL-attribute groups, matching the left-star summary. */
+  def cdcStarViewMaintenance(spark: SparkSession, sourceTable: String,
+                             viewTable: String, keys: Seq[String],
+                             groupKeys: Seq[String], countCol: String,
+                             sums: Map[String, String],
+                             dims: Seq[(DataFrame, String, String)],
+                             joinTypes: Seq[String] = Nil,
+                             resume: Boolean = false): DataFrame = {
+    val jts = if (joinTypes.isEmpty) Seq.fill(dims.size)("inner") else joinTypes
+    require(jts.size == dims.size,
+      s"joinTypes must align with dims: ${jts.size} types for ${dims.size} dims")
+    jts.foreach(jt => require(jt == "inner" || jt == "left",
+      s"star join type must be 'inner' or 'left', got '$jt'"))
+    dims.foreach { case (dim, _, dimKey) =>
+      val r = dim.agg(count(col(dimKey)).as("nk"),
+        countDistinct(col(dimKey)).as("nd")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
+          s"${r.getLong(1)} distinct) — the feed join would fan out " +
+          "change rows")
+    }
+    cdcViewMaintenance(spark, sourceTable, viewTable, keys, groupKeys,
+      countCol, sums, resume,
+      through = f => dims.zip(jts).foldLeft(f) {
+        case (acc, ((dim, leftKey, dimKey), jt)) =>
+          acc.join(broadcast(dim), acc(leftKey) === dim(dimKey),
+            if (jt == "left") "left" else "inner")
+      })
+  }
+
   def cdcViewMaintenance(spark: SparkSession, sourceTable: String,
                          viewTable: String, keys: Seq[String],
                          groupKeys: Seq[String], countCol: String,
                          sums: Map[String, String] = Map.empty,
-                         resume: Boolean = false): DataFrame = {
+                         resume: Boolean = false,
+                         through: DataFrame => DataFrame = identity)
+      : DataFrame = {
     import graft.sources.TxnTable
     import graft.operators.Incremental
     val ss = streamSession(spark)
@@ -905,8 +952,8 @@ object EventsStreaming {
             s"non-contiguous version batch ${versions.mkString(",")} — " +
               "a concurrent writer reordered the log")
           val sess = batch.sparkSession
-          val feed = TxnTable.changeFeed(sess, sourceTable,
-            versions.head - 1, versions.last, keys, updateImages = true)
+          val feed = through(TxnTable.changeFeed(sess, sourceTable,
+            versions.head - 1, versions.last, keys, updateImages = true))
           val delta = Incremental.cdcDelta(feed, groupKeys, countCol, sums)
           val next =
             if (TxnTable.currentVersion(viewTable) >= 1)

@@ -363,6 +363,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("transactional index: tombstone deletes are versioned and compacted by rebuild") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = embs.filter($"vec_id" < 10)
+    val cat = "/root/repo/target/tmp/spec_ann_del_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    val t1 = Similarity.writeIvfPqIndexTxn(spark, embs, cat)
+    val before = rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    // delete every non-query neighbour in the pre-delete top-5 — the
+    // post-delete answer MUST differ, not merely may
+    val deadIds = before.map(_._3).filter(_ >= 10)
+    assert(deadIds.nonEmpty)
+    Similarity.deleteFromIvfPqIndexTxn(spark,
+      deadIds.toSeq.toDF("vec_id"), cat)
+    val after = rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(after.map(_._3).intersect(deadIds).isEmpty,
+      "a tombstoned id must never be returned")
+    assert(after != before)
+    // each query still finds a full k=5 from the surviving corpus
+    assert(after.groupBy(_._1).forall(_._2.size == 5), after.size.toString)
+    // versioned: AS OF the build txn the deleted vectors are still found
+    assert(rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      asOf = Some(t1))) == before)
+    // health: deleteFraction counts head markers; as-of t1 it is clean
+    val h = Similarity.indexHealthTxn(spark, cat)
+    assert(math.abs(h.deleteFraction - deadIds.size.toDouble / h.total) < 1e-9, h.toString)
+    assert(Similarity.indexHealthTxn(spark, cat, asOf = Some(t1))
+      .deleteFraction == 0.0)
+    // compaction: a full rebuild from the live corpus clears the
+    // markers — deleted ids stay gone because they left the data
+    Similarity.writeIvfPqIndexTxn(spark,
+      embs.filter(!$"vec_id".isin(deadIds.toSeq.map(Long.box): _*)), cat)
+    val h2 = Similarity.indexHealthTxn(spark, cat)
+    assert(h2.deleteFraction == 0.0, h2.toString)
+    val rebuilt = rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(rebuilt.map(_._3).intersect(deadIds).isEmpty)
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
