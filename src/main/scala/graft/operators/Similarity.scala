@@ -776,19 +776,24 @@ object Similarity {
                           rerank: Int = 64, m: Int = 8,
                           dim: Int = 64): DataFrame = {
     import graft.sources.TxnCatalog
+    // resolve the head ONCE and pin every table read to it — six
+    // independently-resolved head reads would leave a torn-read window
+    // (a rebuild committing mid-search could pair new-model centroids
+    // with old-model lists, or cleared tombstones with stale lists)
+    val at = asOf.orElse(Some(TxnCatalog.currentTxn(catalog)))
     // tombstoned ids leave candidate generation at the LISTS — the
     // cheapest point (codes/ADC/rerank never see them); the anti-join
     // broadcasts (tombstones are ids-only and bounded by rebuild policy)
-    val lists0 = TxnCatalog.read(spark, catalog, "lists", asOf)
-    val lists = tombstonesAt(spark, catalog, asOf)
+    val lists0 = TxnCatalog.read(spark, catalog, "lists", at)
+    val lists = tombstonesAt(spark, catalog, at)
       .map(t => lists0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(lists0)
     ivfPqTopKFrames(queries,
-      TxnCatalog.read(spark, catalog, "centroids", asOf),
-      TxnCatalog.read(spark, catalog, "codebooks", asOf),
+      TxnCatalog.read(spark, catalog, "centroids", at),
+      TxnCatalog.read(spark, catalog, "codebooks", at),
       lists,
-      TxnCatalog.read(spark, catalog, "codes", asOf),
-      TxnCatalog.read(spark, catalog, "vectors", asOf),
+      TxnCatalog.read(spark, catalog, "codes", at),
+      TxnCatalog.read(spark, catalog, "vectors", at),
       k, nprobe, rerank, m, dim)
   }
 
@@ -826,10 +831,13 @@ object Similarity {
     // deleteFraction = tombstoned ids ÷ listed rows: the probed lists
     // still pay for every tombstoned row (filtered only after candidate
     // generation), so this is the compaction trigger the same way
-    // skewRatio is the rebuild trigger
-    val h = indexHealthFrames(TxnCatalog.read(spark, catalog, "lists", asOf),
-      Some(TxnCatalog.read(spark, catalog, "base_stats", asOf)))
-    val nDead = tombstonesAt(spark, catalog, asOf)
+    // skewRatio is the rebuild trigger. Reads pin to ONE resolved txn —
+    // a denominator and numerator from different snapshots would skew
+    // the fraction across a concurrent delete/rebuild.
+    val at = asOf.orElse(Some(TxnCatalog.currentTxn(catalog)))
+    val h = indexHealthFrames(TxnCatalog.read(spark, catalog, "lists", at),
+      Some(TxnCatalog.read(spark, catalog, "base_stats", at)))
+    val nDead = tombstonesAt(spark, catalog, at)
       .map(_.distinct().count()).getOrElse(0L)
     h.copy(deleteFraction =
       if (h.total == 0) 0.0 else nDead.toDouble / h.total)

@@ -799,7 +799,11 @@ object Mv {
       MvRewrite.MvDef(baseSuffix, keys, sumCols, rel))
   }
 
-  private def checkJoinTypes(joinTypes: Seq[String], nDims: Int): Seq[String] = {
+  /** Shared star-dimension plumbing: build, CDC refresh, and the
+    * streaming maintenance
+    * ([[graft.streaming.EventsStreaming]].cdcStarViewMaintenance) must
+    * agree on these — ONE copy so the soundness checks can't drift. */
+  private[graft] def checkJoinTypes(joinTypes: Seq[String], nDims: Int): Seq[String] = {
     val jts = if (joinTypes.isEmpty) Seq.fill(nDims)("inner") else joinTypes
     require(jts.size == nDims,
       s"joinTypes must align with dims: ${jts.size} types for $nDims dims")
@@ -807,6 +811,33 @@ object Mv {
       s"star join type must be 'inner' or 'left', got '$jt'"))
     jts
   }
+
+  /** Require `dim` unique on its join key — the one property that makes
+    * pre-aggregating (or folding deltas) through a star join sound; a
+    * fanning join would silently multiply rows. Non-null keys must be
+    * distinct (null keys never equi-match, so they cannot fan).
+    * `consequence` names what would go wrong at THIS call site. */
+  private[graft] def requireDimUnique(dim: DataFrame, dimKey: String,
+                                      consequence: String): Unit = {
+    val r = dim.agg(count(col(dimKey)).as("nk"),
+      countDistinct(col(dimKey)).as("nd")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
+        s"${r.getLong(1)} distinct) — $consequence")
+  }
+
+  /** Fold `f` through the BROADCAST dimension joins in chain order —
+    * delta/feed rows pick up their dim attributes exactly as the fact
+    * rows did at build time. `jts` from [[checkJoinTypes]]. */
+  private[graft] def joinThroughDims(f: DataFrame,
+                                     dims: Seq[(DataFrame, String, String)],
+                                     jts: Seq[String]): DataFrame =
+    dims.zip(jts).foldLeft(f) {
+      case (acc, ((dim, leftKey, dimKey), jt)) =>
+        acc.join(org.apache.spark.sql.functions.broadcast(dim),
+          acc(leftKey) === dim(dimKey),
+          if (jt == "left") "left" else "inner")
+    }
 
   /** Build the STAR/SNOWFLAKE summary: `fact` joined with each
     * `(dim, leftKey, dimKey)` in chain order (leftKey resolves against
@@ -828,16 +859,12 @@ object Mv {
                 mvPath: String, joinTypes: Seq[String] = Nil): Unit = {
     require(dims.nonEmpty, "a star needs at least one dimension")
     val jts = checkJoinTypes(joinTypes, dims.size)
+    dims.foreach { case (dim, _, dimKey) =>
+      requireDimUnique(dim, dimKey,
+        "the join would fan out fact rows and the summary would be wrong")
+    }
     val joined = dims.zip(jts).foldLeft(fact) {
       case (acc, ((dim, leftKey, dimKey), jt)) =>
-        // one aggregate job: non-null keys must be distinct (null keys
-        // never equi-match, so they cannot fan and don't count)
-        val r = dim.agg(count(col(dimKey)).as("nk"),
-          countDistinct(col(dimKey)).as("nd")).head()
-        require(r.getLong(0) == r.getLong(1),
-          s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
-            s"${r.getLong(1)} distinct) — the join would fan out fact rows " +
-            "and the summary would be wrong")
         acc.join(dim, acc(leftKey) === dim(dimKey),
           if (jt == "left") "left" else "inner")
     }
@@ -980,19 +1007,12 @@ object Mv {
         "restore rewinds are not refreshable; rebuild via registerStarTxn")
     val jts = checkJoinTypes(joinTypes, dims.size)
     def throughDims(f: DataFrame): DataFrame =
-      dims.zip(jts).foldLeft(f) {
-        case (acc, ((dim, _, leftKey, dimKey), jt)) =>
-          acc.join(org.apache.spark.sql.functions.broadcast(dim),
-            acc(leftKey) === dim(dimKey),
-            if (jt == "left") "left" else "inner")
-      }
+      joinThroughDims(f, dims.map(t => (t._1, t._3, t._4)), jts)
     if (head != builtVersion) {
       dims.foreach { case (dim, sfx, _, dimKey) =>
-        val r = dim.agg(count(col(dimKey)).as("nk"),
-          countDistinct(col(dimKey)).as("nd")).head()
-        require(r.getLong(0) == r.getLong(1),
-          s"dim $sfx is no longer unique on $dimKey — the delta join " +
-            "would fan out change rows; rebuild via registerStarTxn")
+        requireDimUnique(dim, dimKey, s"dim $sfx is no longer unique: " +
+          "the delta join would fan out change rows; rebuild via " +
+          "registerStarTxn")
       }
       val feed0 = throughDims(TxnTable.changeFeed(spark, factTable,
         builtVersion, head, rowKeys, updateImages = true))

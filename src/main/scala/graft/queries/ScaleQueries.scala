@@ -1007,11 +1007,6 @@ object ScaleQueries {
     }
   )
 
-  /** Stamp the PLAN fact that `q` was answered from the view: from_mv=1
-    * iff the executed plan references `viewToken` and none of
-    * `baseTokens`. Orders and PINS the rows (cache+count) so the result
-    * survives the caller's deregistration. One implementation for every
-    * MV-gated query — the heuristic must not drift per call site. */
   /** Stage the two deliberately-incomplete dims (odd suppliers, even
     * orders), build ONE wide all-LEFT star summary of lineitem over
     * them (keys cover the narrow queries' groupings plus the supplier
@@ -1056,6 +1051,11 @@ object ScaleQueries {
     try body finally MvRewrite.deregister("li_wide")
   }
 
+  /** Stamp the PLAN fact that `q` was answered from the view: from_mv=1
+    * iff the executed plan references `viewToken` and none of
+    * `baseTokens`. Orders and PINS the rows (cache+count) so the result
+    * survives the caller's deregistration. One implementation for every
+    * MV-gated query — the heuristic must not drift per call site. */
   private def mvStamped(q: org.apache.spark.sql.DataFrame, viewToken: String,
                         baseTokens: Seq[String], orderCol: String)
       : org.apache.spark.sql.DataFrame = {

@@ -903,26 +903,15 @@ object EventsStreaming {
                              dims: Seq[(DataFrame, String, String)],
                              joinTypes: Seq[String] = Nil,
                              resume: Boolean = false): DataFrame = {
-    val jts = if (joinTypes.isEmpty) Seq.fill(dims.size)("inner") else joinTypes
-    require(jts.size == dims.size,
-      s"joinTypes must align with dims: ${jts.size} types for ${dims.size} dims")
-    jts.foreach(jt => require(jt == "inner" || jt == "left",
-      s"star join type must be 'inner' or 'left', got '$jt'"))
+    import graft.plans.Mv
+    val jts = Mv.checkJoinTypes(joinTypes, dims.size)
     dims.foreach { case (dim, _, dimKey) =>
-      val r = dim.agg(count(col(dimKey)).as("nk"),
-        countDistinct(col(dimKey)).as("nd")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
-          s"${r.getLong(1)} distinct) — the feed join would fan out " +
-          "change rows")
+      Mv.requireDimUnique(dim, dimKey,
+        "the feed join would fan out change rows")
     }
     cdcViewMaintenance(spark, sourceTable, viewTable, keys, groupKeys,
       countCol, sums, resume,
-      through = f => dims.zip(jts).foldLeft(f) {
-        case (acc, ((dim, leftKey, dimKey), jt)) =>
-          acc.join(broadcast(dim), acc(leftKey) === dim(dimKey),
-            if (jt == "left") "left" else "inner")
-      })
+      through = f => Mv.joinThroughDims(f, dims, jts))
   }
 
   def cdcViewMaintenance(spark: SparkSession, sourceTable: String,
