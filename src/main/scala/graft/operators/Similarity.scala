@@ -743,6 +743,30 @@ object Similarity {
       .select("vec_id"))
     catch { case _: IllegalArgumentException => None }
 
+  /** Commit a prebuilt DIR-layout index ([[writeIvfPqIndex]]) into a
+    * catalog as the same ONE atomic build txn [[writeIvfPqIndexTxn]]
+    * produces. The six tables are deterministic functions of the
+    * corpus, so a caller that caches the dir (build once, the
+    * q_ann_ivfpq_index pattern) gets the transactional lifecycle —
+    * atomic versions, as-of search, tombstone deletes — without
+    * retraining the model per run. Returns the catalog txn. */
+  def commitIvfPqIndexTxnFromDir(spark: SparkSession, dir: String,
+                                 catalog: String): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    def t(name: String) = spark.read.parquet(s"$dir/$name")
+    TxnCatalog.commitAll(spark, catalog, Seq(
+      Write("centroids", t("centroids"), overwrite = true),
+      Write("codebooks", t("codebooks"), overwrite = true),
+      Write("lists", t("lists"), overwrite = true),
+      Write("codes", t("codes"), overwrite = true),
+      Write("vectors", t("vectors"), overwrite = true),
+      Write("base_stats", t("base_stats"), overwrite = true),
+      Write("tombstones",
+        spark.range(0).select(col("id").as("vec_id")),
+        overwrite = true)), tag = Some("index-build"))
+  }
+
   /** Atomic append to a transactional index: the batch assigns against
     * the CURRENT model and lists/codes/vectors land in one catalog
     * transaction — a reader never sees a vector whose codes are missing.
@@ -875,6 +899,32 @@ object Similarity {
     val h = indexHealth(corpus.sparkSession, dir)
     val stale = h.skewRatio > maxSkewRatio || h.appendFraction > maxAppendFraction
     if (stale) writeIvfPqIndex(corpus, dir, nClusters, iters, m, ksub, dim)
+    stale
+  }
+
+  /** [[rebuildIfStale]] for the TRANSACTIONAL index, with the third
+    * trigger the txn form adds: `maxDeleteFraction` — tombstoned rows
+    * still sit in every probed list (filtered only after candidate
+    * generation), so past the threshold the rebuild IS the compaction
+    * that reclaims them. `corpus` must be the LIVE corpus (tombstoned
+    * ids excluded by the caller's source-of-truth table — the rebuild
+    * clears the marker table, so anything in the corpus resurrects by
+    * design). The rebuild lands as one atomic catalog txn; concurrent
+    * readers keep searching the prior version until it commits, then
+    * see the compacted index whole. Returns true iff a rebuild ran. */
+  def rebuildTxnIfStale(spark: SparkSession, corpus: DataFrame,
+                        catalog: String,
+                        maxSkewRatio: Double = 4.0,
+                        maxAppendFraction: Double = 1.0 / 3,
+                        maxDeleteFraction: Double = 0.2,
+                        nClusters: Int = 16, iters: Int = 2,
+                        m: Int = 8, ksub: Int = 16, dim: Int = 64): Boolean = {
+    val h = indexHealthTxn(spark, catalog)
+    val stale = h.skewRatio > maxSkewRatio ||
+      h.appendFraction > maxAppendFraction ||
+      h.deleteFraction > maxDeleteFraction
+    if (stale) writeIvfPqIndexTxn(spark, corpus, catalog,
+      nClusters, iters, m, ksub, dim)
     stale
   }
 

@@ -512,8 +512,15 @@ object AnnQueries {
       val cat = graft.Scratch.dir(
         s"/root/repo/target/tmp/ann_txn_cat_$sfKey")
       val batch = embs.filter(col("vec_id") < 10)
-      val t1 = Similarity.writeIvfPqIndexTxn(s,
-        embs.filter(col("vec_id") >= 10), cat)
+      // the model tables are deterministic — build once per sf
+      // (q_ann_ivfpq_index pattern), commit fresh per run: the CATALOG
+      // lifecycle is the test, the retrain is not
+      val baseDir = s"${sys.props("user.dir")}/target/ann_txn_base_$sfKey"
+      graft.DerivedCache.ensure(new java.io.File(baseDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "base_stats/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs.filter(col("vec_id") >= 10), baseDir)
+      }
+      val t1 = Similarity.commitIvfPqIndexTxnFromDir(s, baseDir, cat)
       val before = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
         .localCheckpoint(true)
       Similarity.appendToIvfPqIndexTxn(s, batch, cat)
@@ -545,7 +552,14 @@ object AnnQueries {
       val cat = graft.Scratch.dir(
         s"/root/repo/target/tmp/ann_del_cat_$sfKey")
       val batch = embs.filter(col("vec_id") < 10)
-      val t1 = Similarity.writeIvfPqIndexTxn(s, embs, cat)
+      // same cached full-corpus index dir as q_ann_ivfpq_index; the
+      // fresh-per-run part is the catalog: build txn, delete txn, reads
+      val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "codes/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      }
+      val t1 = Similarity.commitIvfPqIndexTxnFromDir(s, idxDir, cat)
       val before = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
         .localCheckpoint(true)
       Similarity.deleteFromIvfPqIndexTxn(s,

@@ -391,10 +391,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(h.deleteFraction - deadIds.size.toDouble / h.total) < 1e-9, h.toString)
     assert(Similarity.indexHealthTxn(spark, cat, asOf = Some(t1))
       .deleteFraction == 0.0)
-    // compaction: a full rebuild from the live corpus clears the
-    // markers — deleted ids stay gone because they left the data
-    Similarity.writeIvfPqIndexTxn(spark,
-      embs.filter(!$"vec_id".isin(deadIds.toSeq.map(Long.box): _*)), cat)
+    // compaction trigger: below the delete threshold nothing happens…
+    val live = embs.filter(!$"vec_id".isin(deadIds.toSeq.map(Long.box): _*))
+    assert(!Similarity.rebuildTxnIfStale(spark, live, cat,
+      maxSkewRatio = 1e9, maxAppendFraction = 1e9,
+      maxDeleteFraction = h.deleteFraction + 0.01))
+    assert(Similarity.indexHealthTxn(spark, cat).deleteFraction > 0)
+    // …past it the rebuild IS the compaction: markers cleared, deleted
+    // ids stay gone because they left the rebuild corpus
+    assert(Similarity.rebuildTxnIfStale(spark, live, cat,
+      maxSkewRatio = 1e9, maxAppendFraction = 1e9,
+      maxDeleteFraction = h.deleteFraction / 2))
     val h2 = Similarity.indexHealthTxn(spark, cat)
     assert(h2.deleteFraction == 0.0, h2.toString)
     val rebuilt = rows(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))

@@ -294,6 +294,28 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("rollstar")
   }
 
+  test("HAVING above the aggregate rides the rewrite untouched") {
+    // a HAVING plans as Filter ABOVE the Aggregate; the rule rewrites
+    // the Aggregate in place (output names AND exprIds preserved), so
+    // the filter — and any Project — never notices. Both API and SQL
+    // forms pinned.
+    def q = baseDf.groupBy("ka")
+      .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      .filter(col("sm") > 440)
+    val plan = scanPaths(q)
+    assert(plan.contains("facts_mv") && !plan.contains("facts_base"),
+      plan.take(2000))
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val want = try q.collect().map(_.toSeq).toSet
+    finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+    assert(q.collect().map(_.toSeq).toSet == want)
+    baseDf.createOrReplaceTempView("having_base")
+    val qs = spark.sql(
+      "SELECT ka, SUM(m) AS sm FROM having_base GROUP BY ka HAVING SUM(m) > 440")
+    assert(scanPaths(qs).contains("facts_mv") &&
+      !scanPaths(qs).contains("facts_base"), scanPaths(qs).take(2000))
+  }
+
   test("view subsumption: one wide LEFT-star view answers narrower sub-stars") {
     val factPath = s"$root/wfact_base.parquet"
     val dim1Path = s"$root/wdim1_base.parquet"
