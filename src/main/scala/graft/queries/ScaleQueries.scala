@@ -704,6 +704,51 @@ object ScaleQueries {
       }
     },
 
+    // ── WORKLOAD-DRIVEN MV ADVISOR: feed the advisor the queries a
+    //    deployment actually runs; it extracts each one's summary shape
+    //    from the PLAN (grouping + filter columns → keys, integral
+    //    agg children → measures, DISTINCT targets → keys), merges one
+    //    recommendation per base (the key-subset rewrite makes the
+    //    union view serve every contributor), prices it with the exact
+    //    summary cardinality, and flags recommend iff the summary is
+    //    ≤ half the base. A non-deterministic-filter query is skipped
+    //    (no view could ever serve it) — the oracle pins n_queries
+    //    counting only the three servable lineitem queries.
+    sql("q_mv_advisor",
+      """SELECT 'lineitem.parquet' AS base,
+        |       'l_linestatus,l_returnflag' AS view_keys,
+        |       'l_partkey,l_suppkey' AS view_measures,
+        |       CAST(3 AS BIGINT) AS n_queries,
+        |       (SELECT COUNT(*) FROM
+        |          (SELECT DISTINCT l_linestatus, l_returnflag FROM lineitem)) AS est_rows,
+        |       (SELECT COUNT(*) FROM lineitem) AS base_rows,
+        |       TRUE AS recommend
+        |UNION ALL
+        |SELECT 'orders.parquet', 'o_orderpriority', 'o_custkey',
+        |       CAST(1 AS BIGINT),
+        |       (SELECT COUNT(*) FROM
+        |          (SELECT DISTINCT o_orderpriority FROM orders)),
+        |       (SELECT COUNT(*) FROM orders), TRUE
+        |ORDER BY base""".stripMargin) { (s, d) =>
+      import graft.plans.MvAdvisor
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      MvAdvisor.recommend(s, Seq(
+        li.filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag").agg(sum("l_partkey").as("ps")),
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(avg("l_suppkey").as("asup"), min("l_partkey").as("mp")),
+        li.groupBy("l_linestatus")
+          .agg(countDistinct("l_returnflag").as("nrf"),
+            count(lit(1)).as("n")),
+        ord.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc")),
+        // unservable: sampling filter — no summary answers it
+        li.filter(rand() < 0.5)
+          .groupBy("l_returnflag").agg(sum("l_partkey").as("ps"))))
+        .orderBy("base")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the
