@@ -68,74 +68,77 @@ object MvAdvisor {
       case _ => None
     }
 
-  /** The summary shape of one query, or None when no single-base view
-    * could serve it (see the object doc for the decline list). */
-  def candidate(df: DataFrame): Option[Candidate] = {
+  /** The key/measure classification shared by the flat and star forms:
+    * (sorted distinct keys, sorted distinct measures) of the aggregate,
+    * or None when no summary could serve it. */
+  private def classifyAgg(a: Aggregate, filters: Seq[Expression])
+      : Option[(Seq[String], Seq[String])] = {
     val integral = Set[org.apache.spark.sql.types.DataType](IntegerType, LongType)
-    df.queryExecution.analyzed.collectFirst { case a: Aggregate => a }
-      .flatMap { a =>
-        strip(a.child, Nil).flatMap { case (lr, filters) =>
-          baseOf(lr).flatMap { case (base, basePath) =>
-            val groupKeys = a.groupingExpressions.map {
-              case ar: AttributeReference => Some(ar.name)
+    val groupKeys = a.groupingExpressions.map {
+      case ar: AttributeReference => Some(ar.name)
+      case _ => None
+    }
+    if (groupKeys.exists(_.isEmpty) || !filters.forall(_.deterministic)) None
+    else {
+      val filterKeys = filters.flatMap(_.references.map(_.name))
+      // (key additions, measure additions) per aggregate call
+      val classified: Seq[Option[(Seq[String], Seq[String])]] =
+        a.aggregateExpressions
+          .flatMap(_.collect { case ae: AggregateExpression => ae })
+          .map { ae =>
+            def attr(e: Expression): Option[AttributeReference] =
+              e match { case ar: AttributeReference => Some(ar); case _ => None }
+            ae.aggregateFunction match {
+              case _ if ae.isDistinct =>
+                // DISTINCT answers from the view GRAIN → keys
+                val as = ae.aggregateFunction.children.map(attr)
+                if (as.forall(_.isDefined))
+                  Some((as.flatten.map(_.name), Nil))
+                else None
+              case c: Count if c.children.forall(ch =>
+                  ch.isInstanceOf[Literal] &&
+                    ch.asInstanceOf[Literal].value != null) =>
+                Some((Nil, Nil)) // COUNT(*): cnt is always built
+              case c: Count => c.children match {
+                case Seq(e) => attr(e).map(ar =>
+                  if (integral(ar.dataType)) (Nil, Seq(ar.name))
+                  else (Seq(ar.name), Nil))
+                case _ => None
+              }
+              case s: Sum => attr(s.child)
+                .filter(ar => integral(ar.dataType))
+                .map(ar => (Nil, Seq(ar.name)))
+              case m: Min => attr(m.child)
+                .filter(ar => integral(ar.dataType))
+                .map(ar => (Nil, Seq(ar.name)))
+              case m: Max => attr(m.child)
+                .filter(ar => integral(ar.dataType))
+                .map(ar => (Nil, Seq(ar.name)))
+              case av: Average => attr(av.child)
+                .filter(ar => integral(ar.dataType))
+                .map(ar => (Nil, Seq(ar.name)))
               case _ => None
             }
-            if (groupKeys.exists(_.isEmpty) ||
-                !filters.forall(_.deterministic)) None
-            else {
-            val filterKeys = filters.flatMap(_.references.map(_.name))
-            // (isKey additions, measure additions) per aggregate call
-            val classified: Seq[Option[(Seq[String], Seq[String])]] =
-              a.aggregateExpressions
-                .flatMap(_.collect { case ae: AggregateExpression => ae })
-                .map { ae =>
-                  def attr(e: Expression): Option[AttributeReference] =
-                    e match { case ar: AttributeReference => Some(ar); case _ => None }
-                  ae.aggregateFunction match {
-                    case _ if ae.isDistinct =>
-                      // DISTINCT answers from the view GRAIN → keys
-                      val as = ae.aggregateFunction.children.map(attr)
-                      if (as.forall(_.isDefined))
-                        Some((as.flatten.map(_.name), Nil))
-                      else None
-                    case c: Count if c.children.forall(ch =>
-                        ch.isInstanceOf[Literal] &&
-                          ch.asInstanceOf[Literal].value != null) =>
-                      Some((Nil, Nil)) // COUNT(*): cnt is always built
-                    case c: Count => c.children match {
-                      case Seq(e) => attr(e).map(ar =>
-                        if (integral(ar.dataType)) (Nil, Seq(ar.name))
-                        else (Seq(ar.name), Nil))
-                      case _ => None
-                    }
-                    case s: Sum => attr(s.child)
-                      .filter(ar => integral(ar.dataType))
-                      .map(ar => (Nil, Seq(ar.name)))
-                    case m: Min => attr(m.child)
-                      .filter(ar => integral(ar.dataType))
-                      .map(ar => (Nil, Seq(ar.name)))
-                    case m: Max => attr(m.child)
-                      .filter(ar => integral(ar.dataType))
-                      .map(ar => (Nil, Seq(ar.name)))
-                    case av: Average => attr(av.child)
-                      .filter(ar => integral(ar.dataType))
-                      .map(ar => (Nil, Seq(ar.name)))
-                    case _ => None
-                  }
-                }
-            if (classified.exists(_.isEmpty)) None
-            else {
-              val (extraKeys, measures) = classified.flatten.unzip
-              Some(Candidate(base,
-                (groupKeys.flatten ++ filterKeys ++ extraKeys.flatten)
-                  .distinct.sorted,
-                measures.flatten.distinct.sorted, basePath))
-            }
-            }
           }
-        }
+      if (classified.exists(_.isEmpty)) None
+      else {
+        val (extraKeys, measures) = classified.flatten.unzip
+        Some(((groupKeys.flatten ++ filterKeys ++ extraKeys.flatten)
+          .distinct.sorted,
+          measures.flatten.distinct.sorted))
       }
+    }
   }
+
+  /** The summary shape of one query, or None when no single-base view
+    * could serve it (see the object doc for the decline list). */
+  def candidate(df: DataFrame): Option[Candidate] =
+    for {
+      a <- df.queryExecution.analyzed.collectFirst { case x: Aggregate => x }
+      (lr, filters) <- strip(a.child, Nil)
+      (base, basePath) <- baseOf(lr)
+      (keys, measures) <- classifyAgg(a, filters)
+    } yield Candidate(base, keys, measures, basePath)
 
   /** Merge the workload's candidates into ONE recommendation per base
     * (keys/measures union — the key-subset rewrite makes the merged
@@ -161,5 +164,160 @@ object MvAdvisor {
     import spark.implicits._
     rows.toDF("base", "view_keys", "view_measures", "n_queries",
       "est_rows", "base_rows", "recommend")
+  }
+
+  /** One dimension of a recommended star, in CHAIN order (leftKey
+    * resolves against fact + earlier dims — exactly what
+    * [[Mv.buildStar]]/[[Mv.registerStar]] consume). */
+  final case class StarDim(suffix: String, path: String, leftKey: String,
+                           dimKey: String, joinType: String)
+
+  final case class StarCandidate(factSuffix: String, factPath: String,
+                                 dims: Seq[StarDim], keys: Seq[String],
+                                 measures: Seq[String])
+
+  /** The STAR summary shape of one join-aggregate query: flatten the
+    * equi-join tree ([[MvRewrite.flattenJoin]] — the same matcher the
+    * rewrite uses, so a recommendation is by construction a shape it
+    * accepts), then ORIENT each edge by rooting the join tree at every
+    * fact candidate and probing the would-be dim keys for uniqueness
+    * (one cached aggregate per (leaf, key) — the data-driven stand-in
+    * for declared constraints; a real catalog would consult them).
+    * The fact is the unique root under which every dim key probes
+    * unique; LEFT edges additionally pin their dim to the query's
+    * null-extended side. Ties (all-unique 1:1 stars) break to the
+    * smallest fact suffix for determinism. Declines: non-tree shapes
+    * (composite-key edges flatten to two pairs between one leaf pair),
+    * ambiguous column ownership, non-parquet leaves, any
+    * [[classifyAgg]] decline. */
+  def starCandidate(spark: SparkSession, df: DataFrame)
+      : Option[StarCandidate] = {
+    val uniq = scala.collection.mutable.Map.empty[(String, String), Boolean]
+    def uniqueOn(path: String, key: String): Boolean =
+      uniq.getOrElseUpdate((path, key), {
+        val r = spark.read.parquet(path)
+          .agg(org.apache.spark.sql.functions.count(col(key)),
+            org.apache.spark.sql.functions.countDistinct(col(key))).head()
+        r.getLong(0) == r.getLong(1)
+      })
+    for {
+      a <- df.queryExecution.analyzed.collectFirst { case x: Aggregate => x }
+      (leaves, pairs, leftPairs, filters) <- MvRewrite.flattenJoin(a.child)
+      if leaves.size >= 2
+      bases = leaves.map(baseOf)
+      if bases.forall(_.isDefined)
+      names = bases.flatten
+      if names.map(_._1).distinct.size == names.size
+      // column ownership: every edge column must belong to exactly one leaf
+      owner = leaves.zipWithIndex.flatMap { case (lr, i) =>
+        lr.output.map(_.name -> i) }.groupBy(_._1)
+        .map { case (n, os) => n -> os.map(_._2).distinct }
+      allPairs = (pairs ++ leftPairs.map(_._1)).toSeq
+      if allPairs.size == leaves.size - 1 // a TREE of single-pair edges
+      edgesOpt = allPairs.map { p =>
+        p.toSeq match {
+          case Seq(x, y) =>
+            (owner.getOrElse(x, Nil), owner.getOrElse(y, Nil)) match {
+              case (Seq(ix), Seq(iy)) if ix != iy =>
+                Some((p, ix, x, iy, y))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      if edgesOpt.forall(_.isDefined)
+      edges = edgesOpt.flatten
+      // the query's null-extended leaf index per LEFT pair
+      leftDimIdx = leftPairs.toSeq.flatMap { case (p, leaf) =>
+        leaves.zipWithIndex.collectFirst {
+          case (l, i) if l.eq(leaf) => p -> i } }.toMap
+      oriented <- orient(edges, names, leftDimIdx, uniqueOn)
+      (keys, measures) <- classifyAgg(a, filters)
+    } yield {
+      val (factIdx, dims) = oriented
+      StarCandidate(names(factIdx)._1, names(factIdx)._2, dims,
+        keys, measures)
+    }
+  }
+
+  /** Root the join tree at each fact candidate (BFS, dims explored in
+    * suffix order for determinism); keep roots under which every edge's
+    * child key probes unique and every LEFT edge's child is the query's
+    * null-extended leaf; pick the smallest-suffix qualifying fact. */
+  private def orient(edges: Seq[(Set[String], Int, String, Int, String)],
+                     names: Seq[(String, String)],
+                     leftDimIdx: Map[Set[String], Int],
+                     uniqueOn: (String, String) => Boolean)
+      : Option[(Int, Seq[StarDim])] = {
+    val n = names.size
+    val adj = (0 until n).map(i => edges.filter(e => e._2 == i || e._4 == i))
+    def tryRoot(f: Int): Option[(Int, Seq[StarDim])] = {
+      val seen = scala.collection.mutable.Set(f)
+      val dims = scala.collection.mutable.ArrayBuffer.empty[StarDim]
+      var frontier = List(f)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap { u =>
+          adj(u).flatMap { case (p, ix, x, iy, y) =>
+            val (child, childKey, parentKey) =
+              if (ix == u && !seen(iy)) (iy, y, x)
+              else if (iy == u && !seen(ix)) (ix, x, y)
+              else (-1, "", "")
+            if (child < 0) None
+            else {
+              val jt = if (leftDimIdx.contains(p)) "left" else "inner"
+              // a LEFT edge's dim must be the null-extended side
+              if (jt == "left" && leftDimIdx(p) != child) return None
+              if (!uniqueOn(names(child)._2, childKey)) return None
+              seen += child
+              Some((names(child)._1,
+                StarDim(names(child)._1, names(child)._2, parentKey,
+                  childKey, jt), child))
+            }
+          }
+        }.sortBy(_._1)
+        dims ++= next.map(_._2)
+        frontier = next.map(_._3)
+      }
+      if (seen.size == n) Some((f, dims.toSeq)) else None
+    }
+    (0 until n).sortBy(names(_)._1).iterator
+      .map(tryRoot).collectFirst { case Some(r) => r }
+  }
+
+  /** [[recommend]] for STAR queries: merge per (fact, oriented dim
+    * chain) — key-subset rewrites make the union view serve every
+    * contributor — and price with the exact joined-summary cardinality.
+    * Output ordered (fact, star): one row per recommended star view,
+    * dims rendered `suffix:leftKey=dimKey:joinType` in chain order —
+    * feed them straight to [[Mv.buildStar]]/[[Mv.registerStar]]. */
+  def recommendStars(spark: SparkSession, queries: Seq[DataFrame],
+                     maxRowsFraction: Double = 0.5): DataFrame = {
+    val cands = queries.flatMap(starCandidate(spark, _))
+    val rows = cands
+      .groupBy(c => (c.factSuffix,
+        c.dims.map(d => (d.suffix, d.leftKey, d.dimKey, d.joinType))))
+      .toSeq
+      .map { case (_, cs) =>
+        val c = cs.head
+        val keys = cs.flatMap(_.keys).distinct.sorted
+        val measures = cs.flatMap(_.measures).distinct.sorted
+        val fact = spark.read.parquet(c.factPath)
+        val joined = c.dims.foldLeft(fact) { (acc, dm) =>
+          acc.join(spark.read.parquet(dm.path),
+            col(dm.leftKey) === col(dm.dimKey),
+            if (dm.joinType == "left") "left" else "inner")
+        }
+        val estRows = joined.select(keys.map(col): _*).distinct().count()
+        val factRows = fact.count()
+        val star = c.dims.map(d =>
+          s"${d.suffix}:${d.leftKey}=${d.dimKey}:${d.joinType}").mkString(",")
+        (c.factSuffix, star, keys.mkString(","), measures.mkString(","),
+          cs.size.toLong, estRows, factRows,
+          estRows <= maxRowsFraction * factRows)
+      }
+      .sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("fact", "star", "view_keys", "view_measures", "n_queries",
+      "est_rows", "fact_rows", "recommend")
   }
 }

@@ -253,7 +253,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * direction the match must verify and excludes the nested-outer
     * shapes where set-matching stops being sound. Any other join type,
     * non-equi condition, or foreign node disqualifies the subtree. */
-  private def flattenJoin(p: LogicalPlan)
+  private[plans] def flattenJoin(p: LogicalPlan)
       : Option[(Seq[LogicalRelation], Set[Set[String]],
                 Set[(Set[String], LogicalRelation)], Seq[Expression])] = {
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}

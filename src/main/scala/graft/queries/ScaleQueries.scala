@@ -749,6 +749,54 @@ object ScaleQueries {
         .orderBy("base")
     },
 
+    // ── STAR ADVISOR: the same workload analysis over JOIN-aggregate
+    //    queries. Edges orient by DATA: the advisor roots the join tree
+    //    at each fact candidate and probes the would-be dim keys for
+    //    uniqueness (orders unique on o_orderkey, customer on
+    //    c_custkey, lineitem on neither → fact = lineitem, dims in
+    //    chain order). Two queries over lineitem⋈orders merge into one
+    //    recommendation (key-subset rewrites serve both); the snowflake
+    //    query recommends its own two-hop view. Output rows feed
+    //    straight into Mv.buildStar/registerStar — the closing loop is
+    //    spec-pinned in MvAdvisorSpec.
+    sql("q_mv_advisor_star",
+      """SELECT 'lineitem.parquet' AS fact,
+        |       'orders.parquet:l_orderkey=o_orderkey:inner' AS star,
+        |       'l_linestatus,o_orderpriority' AS view_keys,
+        |       'l_partkey,l_suppkey' AS view_measures,
+        |       CAST(2 AS BIGINT) AS n_queries,
+        |       (SELECT COUNT(*) FROM
+        |          (SELECT DISTINCT l_linestatus, o_orderpriority
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)) AS est_rows,
+        |       (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+        |       TRUE AS recommend
+        |UNION ALL
+        |SELECT 'lineitem.parquet',
+        |       'orders.parquet:l_orderkey=o_orderkey:inner,customer.parquet:o_custkey=c_custkey:inner',
+        |       'c_mktsegment', 'l_partkey', CAST(1 AS BIGINT),
+        |       (SELECT COUNT(*) FROM
+        |          (SELECT DISTINCT c_mktsegment
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           JOIN customer ON o_custkey = c_custkey)),
+        |       (SELECT COUNT(*) FROM lineitem), TRUE
+        |ORDER BY star""".stripMargin) { (s, d) =>
+      import graft.plans.MvAdvisor
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      MvAdvisor.recommendStars(s, Seq(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(sum("l_partkey").as("ps")),
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum("l_partkey").as("ps"), count(lit(1)).as("n")),
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority", "l_linestatus")
+          .agg(min("l_suppkey").as("ms"))))
+        .orderBy("star")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the

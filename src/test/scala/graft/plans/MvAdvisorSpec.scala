@@ -91,4 +91,62 @@ class MvAdvisorSpec extends SparkSpec {
       assert(q.collect().map(_.toSeq).toSet == want)
     } finally MvRewrite.deregister("advised")
   }
+
+  test("star advisor: orientation by uniqueness probe, merging, closing loop") {
+    val factPath = s"$root/sfact_base.parquet"
+    val dimPath = s"$root/sdim_base.parquet"
+    (1L to 400L).map(i => (i % 20, s"g${i % 4}", i % 9)).toDF("fk", "gf", "m")
+      .write.mode("overwrite").parquet(factPath)
+    (0L until 20L).map(k => (k, s"a${k % 5}")).toDF("pk", "attr")
+      .write.mode("overwrite").parquet(dimPath)
+    def fact = spark.read.parquet(factPath)
+    def dim = spark.read.parquet(dimPath)
+    val wl = Seq[() => DataFrame](
+      () => fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr").agg(sum("m").as("sm")),
+      () => fact.join(dim, col("fk") === col("pk"))
+        .groupBy("attr", "gf").agg(count(lit(1)).as("n")))
+    val rec = MvAdvisor.recommendStars(spark, wl.map(_())).collect()
+    assert(rec.length == 1) // the two queries MERGED into one star view
+    val r = rec.head
+    // dim side probed unique on pk, fact not unique on fk → oriented
+    assert(r.getAs[String]("fact") == "sfact_base.parquet")
+    assert(r.getAs[String]("star") == "sdim_base.parquet:fk=pk:inner")
+    assert(r.getAs[String]("view_keys") == "attr,gf")
+    assert(r.getAs[String]("view_measures") == "m")
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Boolean]("recommend"))
+    // closing the loop: build + register EXACTLY the recommendation
+    val mvPath = s"$root/advised_star_mv.parquet"
+    val keys = r.getAs[String]("view_keys").split(",").toSeq
+    val ms = r.getAs[String]("view_measures").split(",").toSeq
+    Mv.buildJoin(fact, dim, "fk", "pk", keys, ms, mvPath)
+    Mv.registerJoin(spark, "advised_star", "sfact_base.parquet",
+      "sdim_base.parquet", "fk", "pk", mvPath, keys, ms)
+    try wl.foreach { mk =>
+      val q = mk()
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("advised_star_mv") && !plan.contains("sfact_base"),
+        plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try mk().collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(_.toSeq).toSet == want)
+    } finally MvRewrite.deregister("advised_star")
+    // a LEFT-join query pins the dim to the null-extended side
+    val lc = MvAdvisor.starCandidate(spark,
+      fact.join(dim, col("fk") === col("pk"), "left")
+        .groupBy("attr").agg(sum("m").as("sm"))).get
+    assert(lc.factSuffix == "sfact_base.parquet")
+    assert(lc.dims.map(d => (d.suffix, d.joinType)) ==
+      Seq(("sdim_base.parquet", "left")))
+    // a 1:1 edge (both sides unique) breaks the fact tie by suffix
+    val onePath = s"$root/sone_base.parquet"
+    (0L until 20L).map(k => (k, k % 3)).toDF("ok", "v")
+      .write.mode("overwrite").parquet(onePath)
+    val oc = MvAdvisor.starCandidate(spark,
+      dim.join(spark.read.parquet(onePath), col("pk") === col("ok"))
+        .groupBy("attr").agg(sum("v").as("sv"))).get
+    assert(oc.factSuffix == "sdim_base.parquet") // 'sdim…' < 'sone…'
+  }
 }
