@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+
+/** WORKLOAD-DRIVEN physical-layout advisor — the data-placement sibling
+  * of [[MvAdvisor]]: given the queries a deployment runs, recommend per
+  * (table, column) the layout move that makes those queries prune —
+  * partitioning, Z-order clustering, a file-level bloom index, or
+  * bucketing. The MV advisor caches ANSWERS; this one reorganizes the
+  * BYTES so the untouched queries read less of them, which at 100 TB is
+  * the first lever anyone pulls (a partition-pruned scan is free, a
+  * full scan of 100 TB is not).
+  *
+  * Per query, [[columnUses]] walks the ANALYZED plan (the user's
+  * declared shape, before pushdown rewrites it) and attributes each
+  * predicate to the single parquet scan that owns its column:
+  *  - `col = lit` / `col IN (lits…)`   → an EQUALITY use;
+  *  - `col {<,<=,>,>=} lit`            → a RANGE use;
+  *  - `colA = colB` join conditions    → a JOIN-KEY use on both sides.
+  * Anything else (functions of columns, OR-trees, non-foldable
+  * comparands) is ignored — the advisor under-counts rather than
+  * guesses, and an unused column is simply never recommended.
+  *
+  * [[recommend]] then measures each used column's NDV on the actual
+  * data (the decision input a catalog would hold as statistics) and
+  * applies the standard placement rules, first match wins:
+  *  - filtered AND ndv ≤ maxPartitions → `partition` (directory
+  *    pruning: the planner never lists the other partitions — the
+  *    cheapest possible skip, but only viable at low cardinality or
+  *    the small-files problem eats the win);
+  *  - range-filtered                   → `zorder` (cluster + min-max
+  *    file skipping: range predicates skip files whose stats exclude
+  *    them — [[graft.operators.Layout.zorderWrite]] +
+  *    `buildMinMaxIndex` is the apply path);
+  *  - equality-filtered (high ndv)     → `bloom` (point lookups on an
+  *    unclustered column, where min-max can't help —
+  *    `Layout.buildBloomIndex`);
+  *  - join-key only                    → `bucket` (co-located joins,
+  *    no per-query shuffle — the bucketed-join path q_bucketed_join
+  *    pins).
+  * Every decision input (the use counts, the measured ndv, row counts)
+  * is emitted alongside the verdict so the output is auditable — and
+  * oracle-checkable: the DuckDB replica recomputes ndv from the same
+  * parquet and must land on the same action.
+  */
+object LayoutAdvisor {
+
+  /** One (base, column) usage row aggregated over the workload. */
+  final case class ColUse(base: String, basePath: String, column: String,
+                          nEq: Long, nRange: Long, nJoin: Long)
+
+  /** exprId → (base file name, base root path, column name) for every
+    * single-root parquet leaf — the ownership map predicates resolve
+    * against. Non-parquet / multi-root leaves contribute nothing, so
+    * their predicates are ignored rather than misattributed. */
+  private def owners(p: LogicalPlan): Map[ExprId, (String, String, String)] =
+    p.collect { case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.location.rootPaths.size == 1 &&
+              fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val root = fs.location.rootPaths.head
+          lr.output.map(a => a.exprId -> (root.getName, root.toString, a.name))
+        case _ => Seq.empty
+      }
+    }.flatten.toMap
+
+  private object Conjuncts {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+  }
+
+  /** The per-column predicate uses of ONE query:
+    * (basePath → column → (nEq, nRange, nJoin)). */
+  def columnUses(df: DataFrame): Seq[ColUse] = {
+    val plan = df.queryExecution.analyzed
+    val own = owners(plan)
+    // see through implicit casts (type coercion wraps the COLUMN when a
+    // TIMESTAMP_NTZ scan meets an LTZ literal, an INT column meets a
+    // BIGINT literal, …): a cast is monotonic for these orderings, so
+    // the underlying column is still the prunable one
+    def attr(e: Expression): Option[AttributeReference] = e match {
+      case ar: AttributeReference => Some(ar)
+      case c: Cast => attr(c.child)
+      case _ => None
+    }
+    val uses = scala.collection.mutable.ArrayBuffer
+      .empty[(ExprId, Int)] // 0 = eq, 1 = range, 2 = join
+    def classify(cond: Expression, inJoin: Boolean): Unit =
+      Conjuncts.split(cond).foreach {
+        case EqualTo(a, b) if attr(a).isDefined && attr(b).isDefined =>
+          if (inJoin) { uses += ((attr(a).get.exprId, 2))
+                        uses += ((attr(b).get.exprId, 2)) }
+        case EqualTo(a, l) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 0))
+        case EqualTo(l, a) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 0))
+        case In(a, vs) if attr(a).isDefined && vs.forall(_.foldable) =>
+          uses += ((attr(a).get.exprId, 0))
+        case GreaterThan(a, l) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case GreaterThanOrEqual(a, l) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case LessThan(a, l) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case LessThanOrEqual(a, l) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case GreaterThan(l, a) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case GreaterThanOrEqual(l, a) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case LessThan(l, a) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case LessThanOrEqual(l, a) if attr(a).isDefined && l.foldable =>
+          uses += ((attr(a).get.exprId, 1))
+        case _ => ()
+      }
+    plan.foreach {
+      case Filter(cond, _) => classify(cond, inJoin = false)
+      case j: Join => j.condition.foreach(classify(_, inJoin = true))
+      case _ => ()
+    }
+    uses.flatMap { case (id, kind) => own.get(id).map(o => (o, kind)) }
+      .groupBy(_._1).toSeq
+      .map { case ((base, path, column), ks) =>
+        ColUse(base, path, column,
+          ks.count(_._2 == 0).toLong, ks.count(_._2 == 1).toLong,
+          ks.count(_._2 == 2).toLong)
+      }
+  }
+
+  /** Merge the workload's column uses, measure NDV per used column (ONE
+    * aggregate per base — |bases| scans total, driver holds only the
+    * |used columns| stats row), and emit one recommendation row per
+    * (base, column), ordered. Columns: (base, col_name, n_eq, n_range,
+    * n_join, ndv, base_rows, action). */
+  def recommend(spark: SparkSession, queries: Seq[DataFrame],
+                maxPartitions: Long = 1024L): DataFrame = {
+    val merged = queries.flatMap(columnUses)
+      .groupBy(u => (u.basePath, u.column)).toSeq
+      .map { case (_, us) =>
+        us.head.copy(nEq = us.map(_.nEq).sum, nRange = us.map(_.nRange).sum,
+          nJoin = us.map(_.nJoin).sum)
+      }
+    val rows = merged.groupBy(_.basePath).toSeq.flatMap { case (path, us) =>
+      val cols = us.map(_.column).distinct.sorted
+      val rel = spark.read.parquet(path)
+      val st = rel.agg(count(lit(1)).as("_n"),
+        cols.map(c => countDistinct(col(c)).as(s"_ndv_$c")): _*).head()
+      val baseRows = st.getAs[Long]("_n")
+      us.map { u =>
+        val ndv = st.getAs[Long](s"_ndv_${u.column}")
+        val action =
+          if (u.nEq + u.nRange > 0 && ndv <= maxPartitions) "partition"
+          else if (u.nRange > 0) "zorder"
+          else if (u.nEq > 0) "bloom"
+          else "bucket"
+        (u.base, u.column, u.nEq, u.nRange, u.nJoin, ndv, baseRows, action)
+      }
+    }.sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
+      "base_rows", "action")
+  }
+}

@@ -320,4 +320,83 @@ object MvAdvisor {
     rows.toDF("fact", "star", "view_keys", "view_measures", "n_queries",
       "est_rows", "fact_rows", "recommend")
   }
+
+  /** A lakehouse workload candidate: the query aggregates a
+    * [[graft.sources.TxnTable]] SNAPSHOT (the scan's root-path set is
+    * exactly one version's live file set). */
+  final case class TxnCandidate(table: String, tablePath: String,
+                                version: Int, keys: Seq[String],
+                                measures: Seq[String])
+
+  /** (table name, table root, pinned version) when the scan reads
+    * EXACTLY a TxnTable snapshot's live file set: ascend from the first
+    * scanned file to the directory holding `_graft_log`, then require
+    * set equality with that table's CURRENT live files — a scan of an
+    * older snapshot (the table committed since the workload was
+    * captured) declines rather than recommending a view the head would
+    * immediately invalidate. DV-bearing snapshots read through an
+    * anti-join, never a bare scan, so they decline upstream in
+    * [[strip]]. */
+  private def txnBaseOf(lr: LogicalRelation): Option[(String, String, Int)] =
+    lr.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.nonEmpty &&
+            fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+        import graft.sources.TxnTable
+        val roots = fs.location.rootPaths
+          .map(p => new java.io.File(p.toUri.getPath))
+        def tableDir(f: java.io.File): Option[java.io.File] =
+          Option(f).flatMap { dir =>
+            if (new java.io.File(dir, "_graft_log").isDirectory) Some(dir)
+            else tableDir(dir.getParentFile)
+          }
+        tableDir(roots.head.getParentFile).flatMap { t =>
+          val v = TxnTable.currentVersion(t.getPath)
+          val live = TxnTable.liveFiles(t.getPath, Some(v))
+            .map(rel => new java.io.File(t, rel).getCanonicalPath).toSet
+          if (roots.map(_.getCanonicalPath).toSet == live)
+            Some((t.getName, t.getPath, v))
+          else None
+        }
+      case _ => None
+    }
+
+  /** The summary shape of one LAKEHOUSE query, version-pinned. */
+  def txnCandidate(df: DataFrame): Option[TxnCandidate] =
+    for {
+      a <- df.queryExecution.analyzed.collectFirst { case x: Aggregate => x }
+      (lr, filters) <- strip(a.child, Nil)
+      (table, path, v) <- txnBaseOf(lr)
+      (keys, measures) <- classifyAgg(a, filters)
+    } yield TxnCandidate(table, path, v, keys, measures)
+
+  /** [[recommend]] for TXN-TABLE workloads: merge per (table, version),
+    * price against the PINNED snapshot, and emit rows that feed
+    * straight into [[Mv.registerTxn]] — whose structural staleness
+    * (file-set match) plus [[Mv.refreshTxn]] O(Δ) maintenance complete
+    * the self-driving loop: observe workload → recommend → build →
+    * serve → commit invalidates → refresh re-serves. Output: (table,
+    * version, view_keys, view_measures, n_queries, est_rows,
+    * base_rows, recommend), ordered. */
+  def recommendTxn(spark: SparkSession, queries: Seq[DataFrame],
+                   maxRowsFraction: Double = 0.5): DataFrame = {
+    import graft.sources.TxnTable
+    val cands = queries.flatMap(txnCandidate)
+    val rows = cands.groupBy(c => (c.tablePath, c.version)).toSeq
+      .map { case ((path, v), cs) =>
+        val keys = cs.flatMap(_.keys).distinct.sorted
+        val measures = cs.flatMap(_.measures).distinct.sorted
+        val rel = TxnTable.read(spark, path, asOf = Some(v))
+        val estRows = rel.select(keys.map(col): _*).distinct().count()
+        val baseRows = rel.count()
+        (cs.head.table, v.toLong, keys.mkString(","),
+          measures.mkString(","), cs.size.toLong, estRows, baseRows,
+          estRows <= maxRowsFraction * baseRows)
+      }
+      .sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("table", "version", "view_keys", "view_measures",
+      "n_queries", "est_rows", "base_rows", "recommend")
+  }
 }

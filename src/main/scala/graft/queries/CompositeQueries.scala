@@ -661,6 +661,91 @@ object CompositeQueries {
       s.sql(Q20_SQL)
     },
 
+    // ── TPC-H Q4 shape: order-priority checking via correlated EXISTS.
+    //    Catalyst decorrelates to a LEFT-SEMI join on o_orderkey, so
+    //    the per-order probe is one shuffle of the filtered lineitem
+    //    PROJECTION (two columns), never a per-row subquery — the shape
+    //    that survives 100 TB. Same SQL text runs on both engines.
+    sql("q22_order_priority_exists", Q22_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q22_SQL)
+    },
+
+    // ── TPC-H Q5 shape: local supplier volume — the 6-relation star
+    //    with the extra c_nationkey = s_nationkey equality that closes
+    //    the customer/supplier loop. Plan shape for scale: supplier/
+    //    nation/region broadcast (dims), lineitem⋈orders⋈customer
+    //    shuffle on their keys with the date filter pushed into the
+    //    orders scan; revenue quantized to cents pre-sum so the DESC
+    //    ranking is exact.
+    sql("q23_local_supplier_volume", Q23_SQL) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val asiaNations = broadcast(
+        s.read.parquet(s"$d/nation.parquet")
+          .join(broadcast(s.read.parquet(s"$d/region.parquet")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")))
+      li.join(broadcast(s.read.parquet(s"$d/supplier.parquet")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
+
+    // ── TPC-H Q7 shape: volume shipping between two nations — the
+    //    double-nation-join disjunction. Both nation joins broadcast;
+    //    the disjunctive pair filter applies AFTER them on broadcast
+    //    outputs, so the big tables still shuffle only on their join
+    //    keys. Shared SQL text.
+    sql("q24_nation_trade_volume", Q24_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q24_SQL)
+    },
+
+    // ── TPC-H Q8 shape: market share — a conditional-share aggregate
+    //    (CASE inside SUM over the full volume) across a 7-relation
+    //    join. Numerator and denominator are exact integer cent sums;
+    //    the single final division is the only float op, so the share
+    //    is bit-reproducible. Shared SQL text.
+    sql("q25_market_share", Q25_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q25_SQL)
+    },
+
+    // ── TPC-H Q10 shape: returned-item ranking — who returned the most
+    //    revenue last half-year. Group keys are customer-functional
+    //    (custkey determines name and nation), so the top-20 ORDER BY
+    //    cents DESC + unique custkey tiebreak is total; nation
+    //    broadcasts, the fact join shuffles once.
+    sql("q26_returned_items", Q26_SQL) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-07-01'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$d/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete
@@ -947,4 +1032,89 @@ object CompositeQueries {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c.c_mktsegment
       |ORDER BY segment""".stripMargin
+
+  private lazy val Q22_SQL: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private lazy val Q23_SQL: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  private lazy val Q24_SQL: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(vol_cents) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents
+      |  FROM supplier
+      |    JOIN lineitem ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private lazy val Q25_SQL: String =
+    """SELECT o_year,
+      |       CAST(CAST(SUM(CASE WHEN nat = 'NATION_3' THEN vol_cents ELSE 0 END) AS DOUBLE)
+      |            / CAST(SUM(vol_cents) AS DOUBLE) AS DOUBLE) AS mkt_share,
+      |       CAST(SUM(vol_cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents,
+      |         n2.n_name AS nat
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  private lazy val Q26_SQL: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       n_name, COUNT(*) AS n
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
 }

@@ -797,6 +797,137 @@ object ScaleQueries {
         .orderBy("star")
     },
 
+    // ── THE SELF-DRIVING SUMMARY CACHE (capstone): the advisor observes
+    //    a LAKEHOUSE workload (TxnTable snapshot scans — txnCandidate
+    //    resolves the scan's file set back to the table + version),
+    //    recommends the version-pinned view, registerTxn builds EXACTLY
+    //    the recommendation (from_mv=1), a commit drifts the live file
+    //    set (structural staleness → from_mv=0 with full-data numbers),
+    //    refreshTxn O(Δ) re-serves (from_mv=1). The rec column pins WHAT
+    //    was recommended; each stage hash pins that the recommended view
+    //    actually answered.
+    sql("q_mv_advisor_lifecycle",
+      """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT 'a_mv' AS stage, o_orderpriority,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum, COUNT(*) AS n,
+        |       CAST(1 AS BIGINT) AS from_mv,
+        |       'o_orderpriority,o_orderstatus|o_custkey' AS rec
+        |FROM v1 WHERE o_orderstatus <> 'P' GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'b_stale', o_orderpriority, CAST(SUM(o_custkey) AS BIGINT),
+        |       COUNT(*), CAST(0 AS BIGINT),
+        |       'o_orderpriority,o_orderstatus|o_custkey'
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'c_refreshed', o_orderpriority, CAST(SUM(o_custkey) AS BIGINT),
+        |       COUNT(*), CAST(1 AS BIGINT),
+        |       'o_orderpriority,o_orderstatus|o_custkey'
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderpriority
+        |ORDER BY stage, o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.plans.{Mv, MvAdvisor, MvRewrite}
+      import graft.sources.TxnTable
+      graft.plans.GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/mvadv_table_$sfKey")
+      val mvDir = graft.Scratch.dir(s"/root/repo/target/tmp/mvadv_view_$sfKey")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 =!= 0), table,
+        overwrite = false)
+      // the observed workload: two aggregates over the LIVE snapshot
+      val rec = MvAdvisor.recommendTxn(s, Seq(
+        TxnTable.read(s, table).groupBy("o_orderpriority")
+          .agg(sum("o_custkey").as("cs")),
+        TxnTable.read(s, table).filter(col("o_orderstatus") =!= "P")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n")))).head()
+      require(rec.getAs[Boolean]("recommend"),
+        s"advisor declined the lifecycle view: $rec")
+      val keys = rec.getAs[String]("view_keys").split(",").toSeq
+      val ms = rec.getAs[String]("view_measures").split(",")
+        .filter(_.nonEmpty).toSeq
+      val recStr =
+        s"${rec.getAs[String]("view_keys")}|${rec.getAs[String]("view_measures")}"
+      val v1 = Mv.registerTxn(s, "mvadv", table, mvDir, keys, ms)
+      require(v1.toLong == rec.getAs[Long]("version"),
+        s"head moved between advise and build: $v1 vs $rec")
+      def staged(stage: String) = {
+        val q = TxnTable.read(s, table)
+          .filter(col("o_orderstatus") =!= "P")
+          .groupBy("o_orderpriority")
+          .agg(sum("o_custkey").as("cust_sum"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString()
+        val fromMv = plan.contains("mvadv_view") && !plan.contains("mvadv_table")
+        // localCheckpoint, not cache: refreshTxn deletes and replaces the
+        // MV directory this stage's plan reads (q21's documented choice)
+        q.select(lit(stage).as("stage"), col("o_orderpriority"),
+            col("cust_sum"), col("n"),
+            lit(if (fromMv) 1L else 0L).as("from_mv"),
+            lit(recStr).as("rec"))
+          .localCheckpoint(true)
+      }
+      try {
+        val a = staged("a_mv")
+        TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 0), table,
+          overwrite = false)
+        val b = staged("b_stale")
+        Mv.refreshTxn(s, "mvadv", table, v1, mvDir, keys, ms)
+        val c = staged("c_refreshed")
+        a.unionByName(b).unionByName(c).orderBy("stage", "o_orderpriority")
+      } finally MvRewrite.deregister("mvadv")
+    },
+
+    // ── LAYOUT ADVISOR: the data-placement sibling of the MV advisor —
+    //    extract each query's predicate uses from the PLAN (equality /
+    //    range / join-key per base column), measure NDV on the actual
+    //    data, and recommend the layout move that makes the workload
+    //    prune: low-cardinality filters → partition (directory pruning),
+    //    range filters → zorder (+min-max file skipping), high-NDV point
+    //    lookups → bloom index, join-only keys → bucketing. The oracle
+    //    recomputes NDV from the same parquet and must land on the same
+    //    action — the decision is data-derived, not hardcoded.
+    sql("q_layout_advisor",
+      """WITH u(base, col_name, n_eq, n_range, n_join) AS (
+        |  VALUES ('lineitem.parquet', 'l_linestatus', 1, 0, 0),
+        |         ('lineitem.parquet', 'l_orderkey', 0, 0, 1),
+        |         ('lineitem.parquet', 'l_partkey', 1, 0, 0),
+        |         ('orders.parquet', 'o_orderdate', 0, 2, 0),
+        |         ('orders.parquet', 'o_orderkey', 0, 0, 1)),
+        |st AS (
+        |  SELECT 'lineitem.parquet' AS base, 'l_linestatus' AS col_name,
+        |         COUNT(DISTINCT l_linestatus) AS ndv, COUNT(*) AS base_rows
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.parquet', 'l_orderkey',
+        |         COUNT(DISTINCT l_orderkey), COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'lineitem.parquet', 'l_partkey',
+        |         COUNT(DISTINCT l_partkey), COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'orders.parquet', 'o_orderdate',
+        |         COUNT(DISTINCT o_orderdate), COUNT(*) FROM orders
+        |  UNION ALL SELECT 'orders.parquet', 'o_orderkey',
+        |         COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders)
+        |SELECT u.base, u.col_name, CAST(n_eq AS BIGINT) AS n_eq,
+        |       CAST(n_range AS BIGINT) AS n_range,
+        |       CAST(n_join AS BIGINT) AS n_join, ndv, base_rows,
+        |       CASE WHEN n_eq + n_range > 0 AND ndv <= 1024 THEN 'partition'
+        |            WHEN n_range > 0 THEN 'zorder'
+        |            WHEN n_eq > 0 THEN 'bloom'
+        |            ELSE 'bucket' END AS action
+        |FROM u JOIN st ON u.base = st.base AND u.col_name = st.col_name
+        |ORDER BY u.base, u.col_name""".stripMargin) { (s, d) =>
+      import graft.plans.LayoutAdvisor
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      LayoutAdvisor.recommend(s, Seq(
+        li.filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag").agg(sum("l_quantity").as("sq")),
+        li.filter(col("l_partkey") === 500)
+          .select("l_orderkey", "l_quantity"),
+        ord.filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n")),
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))))
+        .orderBy("base", "col_name")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the

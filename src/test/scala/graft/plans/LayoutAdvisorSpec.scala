@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** The layout advisor's extraction, decision rules, and the CLOSING
+  * LOOP: applying a recommendation makes the recommending workload
+  * prune (partition pruning / bloom file skipping on the real read
+  * path) — which is the only reason to take the advice. */
+class LayoutAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/layout_advisor_spec"
+
+  /** 4 low-card categories, high-card id, ids RANGE-clustered across 4
+    * files (so a point lookup is a genuine file-skipping case). */
+  private def writeBase(): String = {
+    val p = s"$root/base.parquet"
+    (0L until 4000L).map(i => (i, s"c${i % 4}", i % 97))
+      .toDF("id", "cat", "v")
+      .repartitionByRange(4, col("id")).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("extraction: eq / range / join uses attribute to the owning scan") {
+    val p = writeBase()
+    def base = spark.read.parquet(p)
+    val otherP = s"$root/other.parquet"
+    (0L until 40L).map(k => (k, k % 5)).toDF("k", "g")
+      .write.mode("overwrite").parquet(otherP)
+    val uses = LayoutAdvisor.columnUses(
+      base.filter(col("cat") === "c1" && col("v") >= 10 && col("v") < 50)
+        .join(spark.read.parquet(otherP), col("id") === col("k"))
+        .groupBy("g").agg(count(lit(1)).as("n")))
+    val byCol = uses.map(u => (u.base, u.column) -> (u.nEq, u.nRange, u.nJoin)).toMap
+    assert(byCol(("base.parquet", "cat")) == ((1L, 0L, 0L)))
+    assert(byCol(("base.parquet", "v")) == ((0L, 2L, 0L)))
+    assert(byCol(("base.parquet", "id")) == ((0L, 0L, 1L)))
+    assert(byCol(("other.parquet", "k")) == ((0L, 0L, 1L)))
+    // a function of a column is ignored, never misattributed
+    val none = LayoutAdvisor.columnUses(
+      base.filter(abs(col("v")) === 3).groupBy("cat").agg(count(lit(1)).as("n")))
+    assert(none.isEmpty)
+  }
+
+  test("decision rules: partition / zorder / bloom / bucket by ndv and use") {
+    val p = writeBase()
+    def base = spark.read.parquet(p)
+    val rec = LayoutAdvisor.recommend(spark, Seq(
+      base.filter(col("cat") === "c2").select("id"), // eq, ndv 4
+      base.filter(col("id") === 17L).select("cat"), // eq, ndv 4000
+      base.filter(col("v") >= 11 && col("v") < 22).select("id"), // range, ndv 97
+      base.join(base.select(col("id").as("id2")), col("id") === col("id2"))
+        .groupBy("cat").agg(count(lit(1)).as("n"))
+    ), maxPartitions = 100L).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
+    assert(rec("cat") == "partition") // low ndv, filtered
+    assert(rec("v") == "partition") // ndv 97 <= 100: directory pruning wins
+    assert(rec("id") == "bloom") // eq at ndv 4000 > maxPartitions
+    val rec2 = LayoutAdvisor.recommend(spark, Seq(
+      base.filter(col("v") >= 10).select("id"), // range only
+      base.join(base.select(col("id").as("id2")), col("id") === col("id2"))
+        .groupBy("cat").agg(count(lit(1)).as("n"))
+    ), maxPartitions = 50L).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
+    assert(rec2("v") == "zorder") // ndv 97 > 50 → cluster + min-max skip
+    assert(rec2("id") == "bucket") // join-only key
+  }
+
+  test("closing the loop: applying the advice makes the workload prune") {
+    val p = writeBase()
+    def base = spark.read.parquet(p)
+    val workload = Seq(
+      base.filter(col("cat") === "c3").select("id", "v"),
+      base.filter(col("id") === 123L).select("cat"))
+    val rec = LayoutAdvisor.recommend(spark, workload, maxPartitions = 100L)
+      .collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
+    assert(rec("cat") == "partition" && rec("id") == "bloom")
+    // APPLY partition: rewrite partitioned; the same filter prunes to 1 dir
+    val partP = s"$root/base_by_cat"
+    base.write.partitionBy("cat").mode("overwrite").parquet(partP)
+    val q = spark.read.parquet(partP).filter(col("cat") === "c3")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters"), scan.take(500))
+    assert(q.count() == 1000L)
+    // APPLY bloom: index files; a point lookup reads a strict file subset
+    val idx = Layout.buildBloomIndex(spark, p, "id", expectedPerFile = 2000)
+    val nFiles = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val pruned = Layout.bloomPrunedFiles(idx, Seq(123L))
+    assert(pruned.nonEmpty && pruned.length < nFiles, s"$nFiles -> ${pruned.length}")
+    assert(Layout.bloomPrunedRead(spark, idx, "id", Seq(123L))
+      .filter(col("id") === 123L).count() == 1L)
+  }
+}

@@ -149,4 +149,50 @@ class MvAdvisorSpec extends SparkSpec {
         .groupBy("attr").agg(sum("v").as("sv"))).get
     assert(oc.factSuffix == "sdim_base.parquet") // 'sdim…' < 'sone…'
   }
+
+  test("txn advisor: snapshot resolution, version pinning, closing loop") {
+    import graft.sources.TxnTable
+    val table = s"$root/txnadv_fact"
+    FileUtils.deleteQuietly(new File(table))
+    val mvP = s"$root/txnadv_mv.parquet"
+    TxnTable.commit(spark,
+      (1L to 300L).map(i => (i, s"g${i % 5}", i % 7)).toDF("id", "g", "m"),
+      table, overwrite = false)
+    def wl = Seq(
+      TxnTable.read(spark, table).groupBy("g").agg(sum("m").as("sm")),
+      TxnTable.read(spark, table).filter(col("g") =!= "g0")
+        .groupBy("g").agg(count(lit(1)).as("n")))
+    val rec = MvAdvisor.recommendTxn(spark, wl).collect()
+    assert(rec.length == 1)
+    val r = rec.head
+    assert(r.getAs[String]("table") == "txnadv_fact")
+    assert(r.getAs[Long]("version") == TxnTable.currentVersion(table).toLong)
+    assert(r.getAs[String]("view_keys") == "g")
+    assert(r.getAs[String]("view_measures") == "m")
+    assert(r.getAs[Boolean]("recommend"))
+    // a plain parquet scan is NOT a txn candidate
+    assert(MvAdvisor.txnCandidate(
+      spark.read.parquet(basePath).groupBy("ka").agg(sum("m1").as("s"))).isEmpty)
+    // closing the loop: build + register EXACTLY the recommendation
+    val v1 = Mv.registerTxn(spark, "txnadv", table, mvP,
+      r.getAs[String]("view_keys").split(",").toSeq,
+      r.getAs[String]("view_measures").split(",").toSeq)
+    try {
+      assert(v1.toLong == r.getAs[Long]("version"))
+      val q = wl.head
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("txnadv_mv") && !plan.contains("txnadv_fact"),
+        plan.take(2000))
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val want = try wl.head.collect().map(_.toSeq).toSet
+      finally spark.conf.unset("spark.graft.mvRewrite.enabled")
+      assert(q.collect().map(_.toSeq).toSet == want)
+      // version pinning: frames captured BEFORE a commit decline after it
+      val captured = wl
+      TxnTable.commit(spark,
+        (301L to 330L).map(i => (i, s"g${i % 5}", i % 7)).toDF("id", "g", "m"),
+        table, overwrite = false)
+      assert(MvAdvisor.recommendTxn(spark, captured).collect().isEmpty)
+    } finally MvRewrite.deregister("txnadv")
+  }
 }

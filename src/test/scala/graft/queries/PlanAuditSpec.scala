@@ -458,4 +458,19 @@ class PlanAuditSpec extends SparkSpec {
     // candidate estimates (the global row_number then ranks only k rows)
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("q22/q23/q26: EXISTS decorrelates to a semi join; OLAP dims broadcast") {
+    val p22 = planOf("q22_order_priority_exists")
+    // the correlated EXISTS must plan as a semi join on o_orderkey, never
+    // a per-row subquery or a nested loop over lineitem
+    assert(p22.contains("LeftSemi"), p22.take(2000))
+    assert(!p22.contains("BroadcastNestedLoopJoin"), p22.take(2000))
+    // Q5 shape: supplier + nation + region ride broadcast; the top-20
+    // ranking is a bounded heap in Q10's shape
+    val p23 = planOf("q23_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p23).size >= 3, p23.take(3000))
+    val p26 = planOf("q26_returned_items")
+    assert(p26.contains("BroadcastHashJoin"), p26.take(3000))
+    assert(p26.contains("TakeOrderedAndProject"), p26.take(3000))
+  }
 }
