@@ -169,4 +169,33 @@ object LayoutAdvisor {
     rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
       "base_rows", "action")
   }
+
+  /** Small-file health of a parquet directory, measured in ROWS per
+    * file — deterministic across environments, unlike byte sizes, so
+    * the verdict is oracle-checkable. One scan, two aggregates (per
+    * file, then totals); output one row: (n_files, total_rows,
+    * avg_rows_per_file, recommend_compact). Recommend when the average
+    * file carries under HALF the target and there is more than one
+    * file — the small-files problem is the first thing that kills a
+    * 100 TB table (every query pays per-file open + footer + task
+    * overhead; at millions of tiny files the driver's file listing
+    * alone dominates). Apply path: [[graft.operators.Layout.compact]]
+    * (crash-safe swap) or `compactSmall` for txn tables. */
+  def compactionAdvice(spark: SparkSession, path: String,
+                       targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val t = spark.read.parquet(path)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_files"),
+        org.apache.spark.sql.functions.sum("n").as("total_rows")).head()
+    val nFiles = t.getAs[Long]("n_files")
+    val rows = t.getAs[Long]("total_rows")
+    val avg = rows / math.max(1L, nFiles)
+    import spark.implicits._
+    Seq((nFiles, rows, avg,
+      nFiles > 1L && avg < targetRowsPerFile / 2L))
+      .toDF("n_files", "total_rows", "avg_rows_per_file",
+        "recommend_compact")
+  }
 }

@@ -746,6 +746,38 @@ object CompositeQueries {
         .limit(20)
     },
 
+    // ── TPC-H Q9 shape: product-type profit by nation and year —
+    //    the 5-relation profit rollup with a LIKE-filtered part dim
+    //    (p_retailprice stands in for the missing ps_supplycost).
+    //    Profit is an exact integer: cents revenue minus cents cost ×
+    //    integral quantity — no float accumulates. part/supplier/nation
+    //    broadcast; one fact shuffle. Shared SQL text.
+    sql("q27_product_profit", Q27_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q27_SQL)
+    },
+
+    // ── TPC-H Q12 shape: shipping-priority split — the CASE-count
+    //    pivot over a date-windowed fact⋈orders join (l_linestatus
+    //    stands in for the missing l_shipmode). Both CASE sums ride
+    //    one hash aggregate; the date filter pushes to the lineitem
+    //    scan. Shared SQL text.
+    sql("q28_priority_shipping", Q28_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q28_SQL)
+    },
+
+    // ── TPC-H Q6 shape: the forecast-revenue-change scan — a pure
+    //    filter + global aggregate whose predicates ALL push to the
+    //    parquet scan (date window, discount band, quantity cap;
+    //    plan-audited). The canonical "is pushdown working" probe: at
+    //    100 TB this query is min-max file skipping + a one-column sum,
+    //    or it is a full table scan.
+    sql("q29_revenue_delta", Q29_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q29_SQL)
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete
@@ -1117,4 +1149,43 @@ object CompositeQueries {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue_cents DESC, c_custkey
       |LIMIT 20""".stripMargin
+  private lazy val Q27_SQL: String =
+    """SELECT nation, o_year,
+      |       CAST(SUM(amount_cents) AS BIGINT) AS profit_cents,
+      |       COUNT(*) AS n
+      |FROM (
+      |  SELECT n_name AS nation,
+      |         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |           - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+      |             * CAST(l_quantity AS BIGINT) AS amount_cents
+      |  FROM part
+      |    JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private lazy val Q28_SQL: String =
+    """SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+  private lazy val Q29_SQL: String =
+    """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
 }

@@ -928,6 +928,42 @@ object ScaleQueries {
         .orderBy("base", "col_name")
     },
 
+    // ── SMALL-FILE / COMPACTION ADVISOR: rows-per-file health of a
+    //    directory (deterministic — byte sizes vary by encoder, row
+    //    counts don't), and the apply path: a 64-way fragmented write
+    //    is flagged, Layout.compact (crash-safe swap) collapses it to
+    //    one file, the re-measure clears the flag. The oracle derives
+    //    the SAME verdict from the row count and the advisor's rule —
+    //    at the sf where 600k rows make 64 files respectable, both
+    //    engines agree the flag drops.
+    sql("q_layout_compaction",
+      """SELECT 'a_fragmented' AS stage, CAST(64 AS BIGINT) AS n_files,
+        |       (SELECT COUNT(*) FROM lineitem) AS total_rows,
+        |       (SELECT COUNT(*) FROM lineitem) // 64 AS avg_rows_per_file,
+        |       ((SELECT COUNT(*) FROM lineitem) // 64) < 4096 AS recommend_compact
+        |UNION ALL
+        |SELECT 'b_compacted', CAST(1 AS BIGINT),
+        |       (SELECT COUNT(*) FROM lineitem),
+        |       (SELECT COUNT(*) FROM lineitem), FALSE
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      import graft.plans.LayoutAdvisor
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Scratch.dir(s"/root/repo/target/tmp/compadv_$sfKey")
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .repartition(64).write.parquet(dir)
+      def staged(stage: String) =
+        LayoutAdvisor.compactionAdvice(s, dir, targetRowsPerFile = 8192L)
+          .select(lit(stage).as("stage"), col("n_files"), col("total_rows"),
+            col("avg_rows_per_file"), col("recommend_compact"))
+          .localCheckpoint(true)
+      val a = staged("a_fragmented")
+      Layout.compact(s, dir, targetBytes = 1L << 40) // → one file
+      val b = staged("b_compacted")
+      a.unionByName(b).orderBy("stage")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the

@@ -94,4 +94,28 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(Layout.bloomPrunedRead(spark, idx, "id", Seq(123L))
       .filter(col("id") === 123L).count() == 1L)
   }
+
+  test("compaction advice: fragmented flags, compacted clears") {
+    import graft.operators.Layout
+    val p = s"$root/frag.parquet"
+    (0L until 2000L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(p)
+    val a = LayoutAdvisor.compactionAdvice(spark, p, targetRowsPerFile = 1000L)
+      .head()
+    assert(a.getAs[Long]("n_files") == 40L)
+    assert(a.getAs[Long]("total_rows") == 2000L)
+    assert(a.getAs[Long]("avg_rows_per_file") == 50L)
+    assert(a.getAs[Boolean]("recommend_compact")) // 50 < 500
+    Layout.compact(spark, p, targetBytes = 1L << 40)
+    val b = LayoutAdvisor.compactionAdvice(spark, p, targetRowsPerFile = 1000L)
+      .head()
+    assert(b.getAs[Long]("n_files") == 1L)
+    assert(b.getAs[Long]("total_rows") == 2000L)
+    assert(!b.getAs[Boolean]("recommend_compact"))
+    // a healthy single file is never flagged even at a huge target:
+    // n_files == 1 means there is nothing to merge
+    val c = LayoutAdvisor.compactionAdvice(spark, p,
+      targetRowsPerFile = 1000000L).head()
+    assert(!c.getAs[Boolean]("recommend_compact"))
+  }
 }

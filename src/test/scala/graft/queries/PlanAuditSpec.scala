@@ -473,4 +473,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p26.contains("BroadcastHashJoin"), p26.take(3000))
     assert(p26.contains("TakeOrderedAndProject"), p26.take(3000))
   }
+
+  test("q29_revenue_delta: date, discount, and quantity all push to the scan") {
+    val plan = planOf("q29_revenue_delta")
+    // the rendered PushedFilters list is elided mid-string, so pin the
+    // stable prefix (all three columns present) + the full predicate row
+    // in the Filter node (the scan-level filters are a superset re-check)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      plan.take(3000))
+    assert("l_quantity#\\d+ < 24".r.findFirstIn(plan).isDefined, plan.take(3000))
+    assert("l_discount#\\d+ >= 0\\.05".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
 }
