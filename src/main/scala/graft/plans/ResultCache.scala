@@ -1,0 +1,188 @@
+package graft.plans
+
+import java.io.File
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestampLike, LocalTimestamp}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+import graft.sources.TxnTable
+
+/** Plan-keyed RESULT CACHE over transactional snapshots (engine-added;
+  * the warehouse feature the reference approximates by hand — its
+  * notebooks re-run the same pandas aggregations over an unchanged
+  * SQLite load every session, `pipeline.py` re-reads whole tables per
+  * run). At 100 TB the dominant cost of a dashboard workload is
+  * RE-RUNNING yesterday's queries over data that did not change; a
+  * result cache turns those into a metadata check plus a read of the
+  * (tiny) cached result.
+  *
+  * Soundness comes from the lakehouse, not from timestamps: a query is
+  * cacheable only when EVERY scan in its plan resolves to a
+  * [[TxnTable]] snapshot — an immutable, version-addressed file set.
+  * The cache key is
+  *
+  *   sha-256( canonicalized plan with each scan replaced by a
+  *            schema-only placeholder  ++  the scans' (table path,
+  *            version) pins in traversal order )
+  *
+  * so the key IS the validity check — there is no separate
+  * invalidation protocol:
+  *   - re-running the same query over an unchanged table resolves to
+  *     the same (path, version) pins → same key → HIT;
+  *   - a commit to a scanned table moves its snapshot's file set → the
+  *     re-planned query resolves to the new version → different key →
+  *     MISS (recompute); the old entry is simply never asked for again;
+  *   - a commit to an UNRELATED table changes no pin → still a HIT —
+  *     the granularity a global "anything changed" timestamp can't give;
+  *   - time-travel reads (`asOf`) resolve to their own version pin, so
+  *     historical queries cache independently and stay valid forever
+  *     (snapshots are immutable).
+  *
+  * Declines (returns no key, caller computes normally) whenever a hit
+  * could be wrong: any scan that is not exactly a txn-table snapshot's
+  * live file set (plain parquet dirs mutate invisibly; DV-bearing
+  * snapshots read marker files that match no live set), any
+  * non-deterministic expression, any current_timestamp/date (constant-
+  * folded per query, so a hit would freeze time), streaming plans, and
+  * duplicate output names (unwritable as parquet).
+  *
+  * Scale shape: a lookup is driver-side metadata only — ascend each
+  * scan's root to its `_graft_log`, replay the log's file lists
+  * (O(commits), never data), hash one string. A hit reads the cached
+  * result's parquet; nothing else runs. Entries are self-contained
+  * parquet dirs installed by atomic rename (crash mid-write leaves only
+  * a staging dir the next write clears; a concurrent-writer race leaves
+  * whichever equivalent result renamed first).
+  */
+object ResultCache {
+
+  /** One cache interaction: the frame to use (cached read on a hit,
+    * the original query otherwise), whether it hit, and the key ("" when
+    * the plan was uncacheable). Row order of a hit is NOT the computed
+    * order — parquet round-trips preserve rows, not order; callers
+    * apply their own ORDER BY after, per house rule. */
+  final case class Outcome(df: DataFrame, hit: Boolean, key: String) {
+    def cacheable: Boolean = key.nonEmpty
+  }
+
+  /** (table path, resolved version) when the scan reads EXACTLY some
+    * version's live file set — unlike the MV advisor's head-only gate
+    * ([[MvAdvisor]]), ANY version is admissible here: an `asOf` read is
+    * perfectly cacheable because snapshots are immutable. Newest-first
+    * probe, so head reads (the common case) resolve in one comparison. */
+  private def snapshotOf(lr: LogicalRelation): Option[(String, Int)] =
+    lr.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.nonEmpty &&
+            fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+        val roots = fs.location.rootPaths
+          .map(p => new File(p.toUri.getPath))
+        def tableDir(f: File): Option[File] =
+          Option(f).flatMap { dir =>
+            if (new File(dir, "_graft_log").isDirectory) Some(dir)
+            else tableDir(dir.getParentFile)
+          }
+        tableDir(roots.head.getParentFile).flatMap { t =>
+          val rootSet = roots.map(_.getCanonicalPath).toSet
+          val head = TxnTable.currentVersion(t.getPath)
+          (head to 1 by -1).view
+            .map { v =>
+              val live = TxnTable.liveFiles(t.getPath, Some(v))
+                .map(rel => new File(t, rel).getCanonicalPath).toSet
+              (v, live)
+            }
+            .collectFirst { case (v, live) if live == rootSet =>
+              (t.getPath, v)
+            }
+        }
+      case _ => None
+    }
+
+  private def timeDependent(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists {
+      case _: CurrentTimestampLike | _: CurrentDate | _: LocalTimestamp => true
+      case e => !e.deterministic
+    }))
+
+  /** The cache key, or None when the plan is uncacheable. Pure
+    * metadata — touches the txn logs, never data. */
+  def keyOf(df: DataFrame): Option[String] = keyAndPins(df).map(_._1)
+
+  /** The (table path, version) pins of a cacheable plan, in plan
+    * traversal order — what a workload report names as the tables a
+    * repeated query depends on. None exactly when [[keyOf]] is None. */
+  def pinsOf(df: DataFrame): Option[Seq[(String, Int)]] =
+    keyAndPins(df).map(_._2)
+
+  private def keyAndPins(df: DataFrame): Option[(String, Seq[(String, Int)])] = {
+    if (df.isStreaming) return None
+    val plan = df.queryExecution.analyzed
+    if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
+    if (df.columns.distinct.length != df.columns.length) return None
+    val pins = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var unresolvable = false
+    // transformUpWithSubqueries visits children-first left-to-right and
+    // descends into subquery plans, so placeholder positions and the pin
+    // list stay aligned — and a scan hiding inside a scalar subquery can
+    // never be silently dropped from the key.
+    val template = plan.transformUpWithSubqueries {
+      case lr: LogicalRelation =>
+        snapshotOf(lr) match {
+          case Some(pin) => pins += pin; LocalRelation(lr.output)
+          case None => unresolvable = true; lr
+        }
+      case leaf: LocalRelation => leaf // literal data participates via toString
+    }
+    if (unresolvable || pins.isEmpty) None
+    else {
+      val text = template.canonicalized.toString + "\n" +
+        pins.map { case (p, v) => s"$p@$v" }.mkString("\n")
+      val digest = MessageDigest.getInstance("SHA-256")
+        .digest(text.getBytes("UTF-8"))
+      Some((digest.map("%02x".format(_)).mkString, pins.toSeq))
+    }
+  }
+
+  /** Serve `query` through the cache at `cacheDir`: a hit reads the
+    * stored result, a miss computes, installs (staging dir + atomic
+    * rename), and serves the installed copy; an uncacheable plan is
+    * returned as-is with hit=false. */
+  def run(spark: SparkSession, query: DataFrame, cacheDir: String): Outcome =
+    keyOf(query) match {
+      case None => Outcome(query, hit = false, key = "")
+      case Some(k) =>
+        val dir = new File(cacheDir, k)
+        def entryOk = new File(dir, "_SUCCESS").isFile &&
+          spark.read.parquet(dir.getPath).columns.sameElements(query.columns)
+        if (dir.isDirectory && entryOk)
+          Outcome(spark.read.parquet(dir.getPath), hit = true, key = k)
+        else {
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
+          val staging = new File(cacheDir, s".stage_$k")
+          org.apache.commons.io.FileUtils.deleteQuietly(staging)
+          query.write.parquet(staging.getPath)
+          if (!staging.renameTo(dir)) {
+            // lost an install race — the winner's entry is the same
+            // query at the same pins, i.e. equivalent; use theirs.
+            org.apache.commons.io.FileUtils.deleteQuietly(staging)
+            require(dir.isDirectory, s"result-cache install failed: $dir")
+          }
+          Outcome(spark.read.parquet(dir.getPath), hit = false, key = k)
+        }
+    }
+
+  /** Drop entries whose pinned versions no longer resolve — i.e. every
+    * key not in `liveKeys` (the keys the current workload still asks
+    * for). Metadata-only; safe to run any time no query is mid-install. */
+  def evict(cacheDir: String, liveKeys: Set[String]): Int = {
+    val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    val dead = entries.filterNot(f => liveKeys.contains(f.getName))
+    dead.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    dead.length
+  }
+}

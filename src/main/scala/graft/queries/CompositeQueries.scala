@@ -778,6 +778,54 @@ object CompositeQueries {
       s.sql(Q29_SQL)
     },
 
+    // ── TPC-H Q13 shape: customer order-count DISTRIBUTION — the
+    //    outer-join-aggregate double. The LEFT join must preserve
+    //    zero-order customers (the filter lives in the JOIN CONDITION,
+    //    not WHERE — moving it would silently drop them), COUNT(col)
+    //    turns the null-extended rows into real zeros, and the second
+    //    aggregate folds ~|customer| rows into a ~20-row histogram.
+    //    Scale shape: one shuffle on custkey, then a tiny final agg —
+    //    no window, no distinct. Shared SQL text.
+    sql("q30_customer_orders_dist", Q30_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q30_SQL)
+    },
+
+    // ── TPC-H Q18 shape: large-volume orders — the IN over a grouped
+    //    HAVING. Catalyst plans the subquery as an Aggregate feeding a
+    //    LEFT-SEMI join on o_orderkey (plan-audited), so the filter
+    //    costs one pre-aggregated pass over lineitem's two columns,
+    //    never a per-row probe; the surviving ~0.1 % of orders then
+    //    joins customer. Quantities are integral doubles — their sums
+    //    are exact and the >250 cut is deterministic. Shared SQL text.
+    sql("q31_big_quantity_orders", Q31_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q31_SQL)
+    },
+
+    // ── TPC-H Q16 shape: supplier breadth per part group — COUNT
+    //    DISTINCT over a join with a NOT-IN exclusion subquery. The
+    //    NOT IN plans as a null-aware ANTI join against the (tiny,
+    //    broadcast) dubious-supplier list; the p_size IN list and
+    //    p_type filter push to the part scan. Distinct-count shuffles
+    //    once on the group keys. Shared SQL text.
+    sql("q32_supplier_part_breadth", Q32_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q32_SQL)
+    },
+
+    // ── TPC-H Q14 shape: promo revenue share — the last of the 22
+    //    classic TPC-H query shapes (every other one is adapted above /
+    //    in the q09–q20 family). Numerator and denominator accumulate
+    //    as exact integer cents inside ONE hash aggregate (the CASE
+    //    rides the same pass); the single final division is the only
+    //    float op. The month filter pushes to the lineitem scan; part
+    //    broadcasts. Shared SQL text.
+    sql("q33_promo_revenue", Q33_SQL) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(Q33_SQL)
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete
@@ -1188,4 +1236,52 @@ object CompositeQueries {
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
+
+  private lazy val Q30_SQL: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private lazy val Q31_SQL: String =
+    """SELECT c_custkey, o_orderkey,
+      |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS qty
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+      |GROUP BY c_custkey, o_orderkey, o_totalprice
+      |ORDER BY total_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  private lazy val Q32_SQL: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 19, 29, 39, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  private lazy val Q33_SQL: String =
+    """SELECT CAST(CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+      |            AS DOUBLE) AS promo_share,
+      |       promo_cents, total_cents, n
+      |FROM (
+      |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS promo_cents,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |           AS total_cents,
+      |         COUNT(*) AS n
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01') t""".stripMargin
 }

@@ -1,0 +1,122 @@
+package graft.plans
+
+import java.io.File
+
+import graft.SparkSpec
+import graft.sources.TxnTable
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The result cache's contract: the key IS the validity check — same
+  * query over unchanged snapshots hits, a commit to a scanned table
+  * moves the key, unrelated commits don't, and anything a hit could be
+  * wrong for never gets a key at all. */
+class ResultCacheSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/spec_rescache"
+  private val tableA = s"$root/ta"
+  private val tableB = s"$root/tb"
+  private val cacheDir = s"$root/cache"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    FileUtils.deleteQuietly(new File(root))
+    TxnTable.commit(spark,
+      (1L to 300L).map(i => (s"k${i % 5}", i % 11)).toDF("ka", "m"),
+      tableA, overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 100L).map(i => (s"g${i % 3}", i % 7)).toDF("kb", "n"),
+      tableB, overwrite = false)
+  }
+
+  private def q(): DataFrame =
+    TxnTable.read(spark, tableA).groupBy("ka")
+      .agg(sum("m").cast("long").as("sm"))
+
+  private def sortedRows(df: DataFrame) =
+    df.orderBy("ka").collect().map(_.toSeq).toSeq
+
+  test("identical queries share a key; different constants/tables don't") {
+    val k1 = ResultCache.keyOf(q()).get
+    val k2 = ResultCache.keyOf(q()).get
+    assert(k1 == k2)
+    val kFiltered = ResultCache.keyOf(q().filter(col("sm") > 3)).get
+    assert(kFiltered != k1)
+    val kOther = ResultCache.keyOf(
+      TxnTable.read(spark, tableB).groupBy("kb")
+        .agg(sum("n").cast("long").as("sm"))).get
+    assert(kOther != k1)
+  }
+
+  test("uncacheable plans decline: plain parquet, nondeterminism, current_timestamp, dup names") {
+    val plain = s"$root/plain.parquet"
+    (1 to 10).toDF("x").write.mode("overwrite").parquet(plain)
+    assert(ResultCache.keyOf(spark.read.parquet(plain).groupBy("x").count()).isEmpty)
+    assert(ResultCache.keyOf(TxnTable.read(spark, tableA).filter(rand() < 0.5)).isEmpty)
+    assert(ResultCache.keyOf(
+      TxnTable.read(spark, tableA).select(current_timestamp().as("t"))).isEmpty)
+    assert(ResultCache.keyOf(
+      TxnTable.read(spark, tableA).select(col("m").as("x"), col("ka").as("x"))).isEmpty)
+    // a txn scan hiding inside a subquery does NOT make a plain-scan plan cacheable
+    val mixed = spark.read.parquet(plain).filter(
+      col("x") <= TxnTable.read(spark, tableA).agg(max("m")).first().getLong(0))
+    assert(ResultCache.keyOf(mixed).isEmpty)
+  }
+
+  test("miss computes and installs; second run hits with identical rows") {
+    val first = ResultCache.run(spark, q(), cacheDir)
+    assert(!first.hit && first.cacheable)
+    val expected = sortedRows(first.df)
+    val second = ResultCache.run(spark, q(), cacheDir)
+    assert(second.hit && second.key == first.key)
+    assert(sortedRows(second.df) == expected)
+    // the hit is served from the cache dir, not the table
+    val scanned = second.df.queryExecution.executedPlan.toString()
+    assert(scanned.contains("cache") && !scanned.contains("/ta"))
+  }
+
+  test("commit to the scanned table moves the key; unrelated commit doesn't") {
+    val before = ResultCache.run(spark, q(), cacheDir)
+    TxnTable.commit(spark, Seq(("kx", 99L)).toDF("kb", "n"),
+      tableB, overwrite = false)
+    val unrelated = ResultCache.run(spark, q(), cacheDir)
+    assert(unrelated.hit && unrelated.key == before.key)
+    TxnTable.commit(spark, Seq(("k9", 5L)).toDF("ka", "m"), tableA, overwrite = false)
+    val invalidated = ResultCache.run(spark, q(), cacheDir)
+    assert(!invalidated.hit && invalidated.key != before.key)
+    assert(invalidated.df.filter(col("ka") === "k9").count() == 1)
+    // the old snapshot is still addressable: the asOf read re-resolves
+    // to the ORIGINAL pin and hits the surviving entry
+    val v1 = TxnTable.read(spark, tableA,
+      asOf = Some(TxnTable.currentVersion(tableA) - 1))
+      .groupBy("ka").agg(sum("m").cast("long").as("sm"))
+    val historical = ResultCache.run(spark, v1, cacheDir)
+    assert(historical.hit && historical.key == before.key)
+  }
+
+  test("crash-safe install: a leftover staging dir never serves, next run clears it") {
+    val extra = TxnTable.read(spark, tableA).groupBy("ka")
+      .agg(max("m").cast("long").as("mx"))
+    val key = ResultCache.keyOf(extra).get
+    val staging = new File(cacheDir, s".stage_$key")
+    staging.mkdirs()
+    new File(staging, "junk").createNewFile()
+    val out = ResultCache.run(spark, extra, cacheDir)
+    assert(!out.hit) // staging is not an entry
+    assert(!staging.exists()) // cleared by the install
+    assert(ResultCache.run(spark, extra, cacheDir).hit)
+  }
+
+  test("evict drops everything outside the live key set") {
+    val live = ResultCache.keyOf(q()).get
+    ResultCache.run(spark, q(), cacheDir)
+    val entries = new File(cacheDir).listFiles().count(f => f.isDirectory && !f.getName.startsWith("."))
+    assert(entries > 1)
+    val dropped = ResultCache.evict(cacheDir, Set(live))
+    assert(dropped == entries - 1)
+    assert(ResultCache.run(spark, q(), cacheDir).hit)
+  }
+}

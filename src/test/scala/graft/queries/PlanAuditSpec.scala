@@ -486,4 +486,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("l_discount#\\d+ >= 0\\.05".r.findFirstIn(plan).isDefined,
       plan.take(3000))
   }
+
+  test("q30/q31/q32: outer-join histogram, semi-over-agg, and NOT-IN anti shapes") {
+    // Q13 shape: the priority filter lives in the LEFT join condition —
+    // zero-order customers must survive to the histogram, so the join
+    // stays outer (an optimizer pushing the filter to WHERE would turn
+    // it inner and silently drop them)
+    val p30 = planOf("q30_customer_orders_dist")
+    assert(p30.contains("LeftOuter"), p30.take(3000))
+    assert(!p30.contains("BroadcastNestedLoopJoin"), p30.take(3000))
+    // Q18 shape: the IN-over-HAVING plans as a semi join against the
+    // pre-aggregated lineitem, never a per-row subquery
+    val p31 = planOf("q31_big_quantity_orders")
+    assert(p31.contains("LeftSemi"), p31.take(3000))
+    assert(!p31.contains("BroadcastNestedLoopJoin"), p31.take(3000))
+    assert(p31.contains("TakeOrderedAndProject"), p31.take(3000))
+    // Q16 shape: the NOT-IN exclusion is an anti join (null-aware or
+    // plain — keys are non-nullable), and the part filters push down
+    val p32 = planOf("q32_supplier_part_breadth")
+    assert(p32.contains("LeftAnti"), p32.take(3000))
+    assert(p32.contains("PushedFilters: [IsNotNull(p_type), Not(EqualTo(p_type,PROMO)), In(p_size"),
+      p32.take(3000))
+  }
 }
