@@ -74,8 +74,10 @@ class ResultCacheSpec extends SparkSpec {
     assert(second.hit && second.key == first.key)
     assert(sortedRows(second.df) == expected)
     // the hit is served from the cache dir, not the table
+    // assert on the unambiguous segment: "/ta" alone would also match
+    // the "/target/" prefix every path in this checkout carries
     val scanned = second.df.queryExecution.executedPlan.toString()
-    assert(scanned.contains("cache") && !scanned.contains("/ta"))
+    assert(scanned.contains("cache") && !scanned.contains("spec_rescache/ta"))
   }
 
   test("commit to the scanned table moves the key; unrelated commit doesn't") {
