@@ -118,7 +118,24 @@ object ResultCache {
   def pinsOf(df: DataFrame): Option[Seq[(String, Int)]] =
     keyAndPins(df).map(_._2)
 
-  private def keyAndPins(df: DataFrame): Option[(String, Seq[(String, Int)])] = {
+  /** Render a plan WITHOUT the `spark.sql.debug.maxToStringFields`
+    * elision (default 25): `treeString` truncates long argument lists
+    * ("... 4 more fields"), so two plans differing only in a 26th+
+    * projection column would render identically — and a key built from
+    * the truncated text would collide, the one failure a result cache
+    * must structurally exclude. Rendering under an unbounded clone of
+    * the session conf keeps every field in the digest. */
+  private def fullPlanString(plan: LogicalPlan): String = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = SQLConf.get.clone()
+    conf.setConf(SQLConf.MAX_TO_STRING_FIELDS, Int.MaxValue)
+    SQLConf.withExistingConf(conf)(plan.toString)
+  }
+
+  /** [[keyOf]] and [[pinsOf]] in one traversal — a cacheability probe
+    * replays txn logs per scan, so workload analyzers that need both
+    * ([[WorkloadAdvisor]]) should pay that once, not twice. */
+  def keyAndPins(df: DataFrame): Option[(String, Seq[(String, Int)])] = {
     if (df.isStreaming) return None
     val plan = df.queryExecution.analyzed
     if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
@@ -139,7 +156,7 @@ object ResultCache {
     }
     if (unresolvable || pins.isEmpty) None
     else {
-      val text = template.canonicalized.toString + "\n" +
+      val text = fullPlanString(template.canonicalized) + "\n" +
         pins.map { case (p, v) => s"$p@$v" }.mkString("\n")
       val digest = MessageDigest.getInstance("SHA-256")
         .digest(text.getBytes("UTF-8"))

@@ -42,10 +42,7 @@ object WorkloadAdvisor {
              maxRowsFraction: Double = 0.5,
              maxPartitions: Long = 1024L): DataFrame = {
     import spark.implicits._
-    val keyed = queries.flatMap { q =>
-      for (k <- ResultCache.keyOf(q); p <- ResultCache.pinsOf(q))
-        yield (k, p)
-    }
+    val keyed = queries.flatMap(q => ResultCache.keyAndPins(q))
     val rc = keyed.groupBy(_._1).filter(_._2.size >= 2).toSeq
       .sortBy(_._1)
       .map { case (_, hits) =>

@@ -51,6 +51,21 @@ class ResultCacheSpec extends SparkSpec {
     assert(kOther != k1)
   }
 
+  test("keys do not collide past the maxToStringFields elision boundary") {
+    // treeString elides argument lists at spark.sql.debug.maxToStringFields
+    // (default 25): two projections differing only in their 28th column
+    // would render identically and collide on a truncated-text key —
+    // the key must hash the FULL plan
+    def wide(v: Int): DataFrame =
+      TxnTable.read(spark, tableA).select(
+        col("ka") +: (1 to 29).map(i =>
+          lit(if (i == 28) v else i).as(s"c$i")): _*)
+    val kA = ResultCache.keyOf(wide(0)).get
+    val kB = ResultCache.keyOf(wide(999)).get
+    assert(kA != kB)
+    assert(kA == ResultCache.keyOf(wide(0)).get)
+  }
+
   test("uncacheable plans decline: plain parquet, nondeterminism, current_timestamp, dup names") {
     val plain = s"$root/plain.parquet"
     (1 to 10).toDF("x").write.mode("overwrite").parquet(plain)
