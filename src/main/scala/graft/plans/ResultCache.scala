@@ -72,8 +72,12 @@ object ResultCache {
   /** (table path, resolved version) when the scan reads EXACTLY some
     * version's live file set — unlike the MV advisor's head-only gate
     * ([[MvAdvisor]]), ANY version is admissible here: an `asOf` read is
-    * perfectly cacheable because snapshots are immutable. Newest-first
-    * probe, so head reads (the common case) resolve in one comparison. */
+    * perfectly cacheable because snapshots are immutable. Resolution
+    * goes through [[TxnTable.resolveVersion]]'s one-pass set-hash
+    * index — O(1) per lookup plus one verification replay — instead of
+    * a newest-first probe that replays the log once per candidate
+    * version and makes a deep `asOf` pin on a long-lived table cost
+    * O(versions × entries) of driver IO per cache lookup. */
   private def snapshotOf(lr: LogicalRelation): Option[(String, Int)] =
     lr.relation match {
       case fs: HadoopFsRelation
@@ -87,17 +91,17 @@ object ResultCache {
             else tableDir(dir.getParentFile)
           }
         tableDir(roots.head.getParentFile).flatMap { t =>
-          val rootSet = roots.map(_.getCanonicalPath).toSet
-          val head = TxnTable.currentVersion(t.getPath)
-          (head to 1 by -1).view
-            .map { v =>
-              val live = TxnTable.liveFiles(t.getPath, Some(v))
-                .map(rel => new File(t, rel).getCanonicalPath).toSet
-              (v, live)
+          // relativize against the table root — the form the log records
+          val prefix = t.getCanonicalPath + File.separator
+          val rel = roots.foldLeft(Option(Set.empty[String])) { (acc, f) =>
+            acc.flatMap { s =>
+              val p = f.getCanonicalPath
+              if (p.startsWith(prefix)) Some(s + p.substring(prefix.length))
+              else None // a root outside the table dir matches no snapshot
             }
-            .collectFirst { case (v, live) if live == rootSet =>
-              (t.getPath, v)
-            }
+          }
+          rel.flatMap(TxnTable.resolveVersion(t.getPath, _)
+            .map(v => (t.getPath, v)))
         }
       case _ => None
     }

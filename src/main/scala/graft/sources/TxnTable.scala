@@ -61,11 +61,18 @@ object TxnTable {
   private def jsonArr(paths: Seq[String]): String =
     paths.map(p => "\"" + p + "\"").mkString("[", ",", "]")
 
+  /** Log-entry parse count — test instrumentation for the version
+    * index's complexity guarantees (see [[resolveVersion]]); the specs
+    * assert a deep-pin resolution costs one pass, not one per version. */
+  private[sources] val logEntryParses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parse one log entry without a JSON library: paths are part-file names
     * we wrote ourselves (no quotes/escapes), so a quoted-string scan is
     * exact. Kept dependency-free on purpose — the log format is the
     * contract here, not the parser. */
   private[sources] def parseEntry(f: File): (Seq[String], Seq[String]) = {
+    logEntryParses.incrementAndGet()
     val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
     def arr(key: String): Seq[String] = {
       val i = s.indexOf("\"" + key + "\":[")
@@ -141,6 +148,100 @@ object TxnTable {
         live ++= added
       }
     live.toSeq
+  }
+
+  // ───────────────────────── version-set index ─────────────────────────
+
+  /** Incrementally-maintained per-JVM index over one table's log:
+    * 128-bit XOR set-hash of each version's live-file set → the NEWEST
+    * version with that set. `live`/`xl`/`xh` carry the running state at
+    * `head` so a head bump extends in O(new entries); `headDigest`
+    * fingerprints the head log entry so a table deleted and recreated
+    * at the same path (same version numbers, different content — version
+    * numbers are not identity) is detected and the index rebuilt. */
+  private final case class SetIndex(head: Int, headDigest: String,
+                                    live: Set[String], xl: Long, xh: Long,
+                                    byKey: Map[(Long, Long, Int), Int])
+
+  private val setIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, SetIndex]()
+
+  /** First 128 bits of MD5 — per-path mixing for the XOR set-hash.
+    * XOR makes the set hash incrementally maintainable: add/remove a
+    * file = one XOR, independent of set size or order. */
+  private def pathHash128(p: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes(StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.wrap(d)
+    (bb.getLong, bb.getLong)
+  }
+
+  private def entryDigest(f: File): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+
+  private def extendIndex(table: String, prev: Option[SetIndex],
+                          head: Int): SetIndex = {
+    var live = prev.map(_.live).getOrElse(Set.empty[String])
+    var xl = prev.map(_.xl).getOrElse(0L)
+    var xh = prev.map(_.xh).getOrElse(0L)
+    var byKey = prev.map(_.byKey).getOrElse(Map.empty[(Long, Long, Int), Int])
+    val from = prev.map(_.head).getOrElse(0)
+    logFiles(table)
+      .filter(f => versionOf(f) > from && versionOf(f) <= head)
+      .foreach { f =>
+        val (added, removed) = parseEntry(f)
+        removed.foreach { r =>
+          if (live(r)) {
+            live -= r; val (a, b) = pathHash128(r); xl ^= a; xh ^= b
+          }
+        }
+        added.foreach { a =>
+          if (!live(a)) {
+            live += a; val (l, h) = pathHash128(a); xl ^= l; xh ^= h
+          }
+        }
+        byKey += ((xl, xh, live.size) -> versionOf(f))
+      }
+    SetIndex(head, entryDigest(new File(logDir(table), f"v$head%05d.json")),
+      live, xl, xh, byKey)
+  }
+
+  /** Which committed version's live-file set equals `files`
+    * (table-relative paths, as the log records them)? The NEWEST such
+    * version when several tie (a restore re-publishes an old set) —
+    * the same answer a newest-first [[liveFiles]] probe would give, at
+    * a different cost: the probe replays the log once PER candidate
+    * version (O(versions × entries) driver IO for a deep `asOf` pin —
+    * the [[graft.plans.ResultCache]] lookup cost on a long-lived
+    * table), while this resolves any pin from the one-pass index:
+    * O(total log entries) once per JVM per table, O(new entries) per
+    * head bump, O(1) per lookup, plus ONE verification replay of the
+    * candidate version. The verification keeps correctness structural —
+    * a (2⁻¹²⁸-improbable) set-hash collision yields a miss, never a
+    * wrong version. Returns None when no version matches (foreign
+    * files, a DV-bearing snapshot's marker view, a mid-race head). */
+  def resolveVersion(table: String, files: Set[String]): Option[Int] = {
+    if (currentVersion(table) == 0) return None
+    val key = new File(table).getCanonicalPath
+    val idx = setIndexes.compute(key, (_, cur) => {
+      val head = currentVersion(table)
+      def digestOk(c: SetIndex) = {
+        val f = new File(logDir(table), f"v${c.head}%05d.json")
+        f.isFile && entryDigest(f) == c.headDigest
+      }
+      cur match {
+        case c: SetIndex if c.head == head && digestOk(c) => c
+        case c: SetIndex if c.head < head && digestOk(c) =>
+          extendIndex(table, Some(c), head)
+        case _ => extendIndex(table, None, head) // cold or recreated table
+      }
+    })
+    var xl = 0L; var xh = 0L
+    files.foreach { p => val (a, b) = pathHash128(p); xl ^= a; xh ^= b }
+    idx.byKey.get((xl, xh, files.size))
+      .filter(v => liveFiles(table, Some(v)).toSet == files)
   }
 
   /** Commit `df` as the next version. `overwrite = true` logically removes
