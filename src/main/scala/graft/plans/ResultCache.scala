@@ -173,9 +173,9 @@ object ResultCache {
     * rename), and serves the installed copy; an uncacheable plan is
     * returned as-is with hit=false. */
   def run(spark: SparkSession, query: DataFrame, cacheDir: String): Outcome =
-    keyOf(query) match {
+    keyAndPins(query) match {
       case None => Outcome(query, hit = false, key = "")
-      case Some(k) =>
+      case Some((k, pins)) =>
         val dir = new File(cacheDir, k)
         def entryOk = new File(dir, "_SUCCESS").isFile &&
           spark.read.parquet(dir.getPath).columns.sameElements(query.columns)
@@ -186,6 +186,14 @@ object ResultCache {
           val staging = new File(cacheDir, s".stage_$k")
           org.apache.commons.io.FileUtils.deleteQuietly(staging)
           query.write.parquet(staging.getPath)
+          // pins metadata rides inside the entry (underscore-prefixed,
+          // invisible to the parquet read) — what [[retain]] ages by
+          val pinsJson = pins.map { case (p, v) =>
+            s"""{"table":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}","version":$v}"""
+          }.mkString("[", ",", "]")
+          java.nio.file.Files.write(
+            new File(staging, "_pins.json").toPath,
+            s"""{"pins":$pinsJson}""".getBytes("UTF-8"))
           if (!staging.renameTo(dir)) {
             // lost an install race — the winner's entry is the same
             // query at the same pins, i.e. equivalent; use theirs.
@@ -195,6 +203,38 @@ object ResultCache {
           Outcome(spark.read.parquet(dir.getPath), hit = false, key = k)
         }
     }
+
+  /** AGE-BASED retention, measured in VERSION DISTANCE — no wall clocks
+    * in the decision: drop every entry one of whose pins has fallen
+    * more than `maxLag` commits behind its table's current head (or
+    * whose table is gone). A long-lived deployment calls this
+    * periodically to bound the cache dir without knowing the workload:
+    * dashboards re-pin to new heads every commit, so an entry `maxLag`
+    * versions back is one nobody asks for — and if an `asOf`-pinned
+    * historical reader DOES come back, [[run]] simply misses and
+    * re-installs (snapshots are immutable, so the recompute is
+    * identical). Entries without pins metadata (foreign files) are left
+    * to [[evict]]. Returns the number of entries dropped. */
+  def retain(cacheDir: String, maxLag: Int): Int = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
+    val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    val dead = entries.filter { dir =>
+      val pf = new File(dir, "_pins.json")
+      pf.isFile && {
+        val s = new String(java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8")
+        pinRe.findAllMatchIn(s).exists { m =>
+          val table = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+          val pinned = m.group(2).toInt
+          val head = TxnTable.currentVersion(table)
+          head == 0 || head - pinned > maxLag
+        }
+      }
+    }
+    dead.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    dead.length
+  }
 
   /** Drop entries whose pinned versions no longer resolve — i.e. every
     * key not in `liveKeys` (the keys the current workload still asks

@@ -114,6 +114,32 @@ class ResultCacheSpec extends SparkSpec {
     assert(historical.hit && historical.key == before.key)
   }
 
+  test("retention drops entries beyond the version lag; pinned readers re-install") {
+    val t = s"$root/ret_t"
+    val retCache = s"$root/ret_cache"
+    TxnTable.commit(spark, Seq(("a", 1L)).toDF("k", "v"), t, overwrite = false)
+    def headQ() = TxnTable.read(spark, t).groupBy("k")
+      .agg(sum("v").cast("long").as("sv"))
+    val e1 = ResultCache.run(spark, headQ(), retCache) // pinned at v1
+    (2 to 4).foreach(i => TxnTable.commit(spark,
+      Seq(("a", i.toLong)).toDF("k", "v"), t, overwrite = false))
+    val e4 = ResultCache.run(spark, headQ(), retCache) // pinned at v4
+    assert(e1.key != e4.key)
+    // lag(e1) = 3 > 2 → dropped; lag(e4) = 0 → kept
+    assert(ResultCache.retain(retCache, maxLag = 2) == 1)
+    assert(!new File(retCache, e1.key).isDirectory)
+    assert(new File(retCache, e4.key).isDirectory)
+    // an asOf-pinned reader of the dropped snapshot misses once and
+    // re-installs — retention never makes a result unreachable
+    def v1Q() = TxnTable.read(spark, t, asOf = Some(1)).groupBy("k")
+      .agg(sum("v").cast("long").as("sv"))
+    val back = ResultCache.run(spark, v1Q(), retCache)
+    assert(!back.hit && back.key == e1.key)
+    assert(ResultCache.run(spark, v1Q(), retCache).hit)
+    // nothing within the lag is touched on a re-run
+    assert(ResultCache.retain(retCache, maxLag = 5) == 0)
+  }
+
   test("crash-safe install: a leftover staging dir never serves, next run clears it") {
     val extra = TxnTable.read(spark, tableA).groupBy("ka")
       .agg(max("m").cast("long").as("mx"))
