@@ -140,9 +140,26 @@ object LayoutAdvisor {
     * aggregate per base — |bases| scans total, driver holds only the
     * |used columns| stats row), and emit one recommendation row per
     * (base, column), ordered. Columns: (base, col_name, n_eq, n_range,
-    * n_join, ndv, base_rows, action). */
+    * n_join, ndv, base_rows, action).
+    *
+    * NDV is measured with `approx_count_distinct` (HLL++, relative
+    * error `rsd`) by default — advisory statistics over a 100 TB base
+    * must not themselves cost an expand-shuffle per column, and a
+    * sketch error never changes WHICH columns the workload filters on,
+    * only where the partition/bloom cardinality boundary falls. The
+    * boundary is therefore taken ERROR-AWARE in approx mode: partition
+    * is admitted only when `ndv·(1 + 2·rsd) ≤ maxPartitions` — the
+    * failure directions are asymmetric (partitioning a column whose
+    * true NDV overshoots the budget mints runaway directories and the
+    * small-files problem; falling back to bloom/zorder on a column that
+    * would just have fit merely skips a minor win), so the band is
+    * one-sided. `exactNdv = true` keeps the exact `countDistinct` path
+    * with the exact boundary — the oracle-gated test configuration,
+    * and fine at any sf a test runs. */
   def recommend(spark: SparkSession, queries: Seq[DataFrame],
-                maxPartitions: Long = 1024L): DataFrame = {
+                maxPartitions: Long = 1024L,
+                exactNdv: Boolean = false,
+                rsd: Double = 0.05): DataFrame = {
     val merged = queries.flatMap(columnUses)
       .groupBy(u => (u.basePath, u.column)).toSeq
       .map { case (_, us) =>
@@ -153,12 +170,20 @@ object LayoutAdvisor {
       val cols = us.map(_.column).distinct.sorted
       val rel = spark.read.parquet(path)
       val st = rel.agg(count(lit(1)).as("_n"),
-        cols.map(c => countDistinct(col(c)).as(s"_ndv_$c")): _*).head()
+        cols.map { c =>
+          val d = if (exactNdv) countDistinct(col(c))
+                  else org.apache.spark.sql.functions
+                    .approx_count_distinct(col(c), rsd)
+          d.as(s"_ndv_$c")
+        }: _*).head()
       val baseRows = st.getAs[Long]("_n")
       us.map { u =>
         val ndv = st.getAs[Long](s"_ndv_${u.column}")
+        val partitionable =
+          if (exactNdv) ndv <= maxPartitions
+          else ndv * (1 + 2 * rsd) <= maxPartitions
         val action =
-          if (u.nEq + u.nRange > 0 && ndv <= maxPartitions) "partition"
+          if (u.nEq + u.nRange > 0 && partitionable) "partition"
           else if (u.nRange > 0) "zorder"
           else if (u.nEq > 0) "bloom"
           else "bucket"

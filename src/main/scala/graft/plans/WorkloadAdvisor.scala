@@ -40,7 +40,8 @@ object WorkloadAdvisor {
              dataDirs: Seq[String] = Nil,
              targetRowsPerFile: Long = 8192L,
              maxRowsFraction: Double = 0.5,
-             maxPartitions: Long = 1024L): DataFrame = {
+             maxPartitions: Long = 1024L,
+             exactNdv: Boolean = false): DataFrame = {
     import spark.implicits._
     val keyed = queries.flatMap(q => ResultCache.keyAndPins(q))
     val rc = keyed.groupBy(_._1).filter(_._2.size >= 2).toSeq
@@ -62,7 +63,8 @@ object WorkloadAdvisor {
         r.getAs[String]("star") + "|" + r.getAs[String]("view_keys") + "|" +
           r.getAs[String]("view_measures"),
         r.getAs[Long]("n_queries"), r.getAs[Boolean]("recommend")))
-    val lay = LayoutAdvisor.recommend(spark, queries, maxPartitions)
+    val lay = LayoutAdvisor.recommend(spark, queries, maxPartitions,
+        exactNdv = exactNdv)
       .collect().toSeq
       .map(r => ("layout",
         r.getAs[String]("base") + "." + r.getAs[String]("col_name"),

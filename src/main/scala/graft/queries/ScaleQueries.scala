@@ -924,7 +924,10 @@ object ScaleQueries {
             col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
           .groupBy("o_orderpriority").agg(count(lit(1)).as("n")),
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
+        // exact NDV pinned: the oracle recomputes COUNT(DISTINCT);
+        // deployments default to the approx path (LayoutAdvisorSpec)
+        exactNdv = true)
         .orderBy("base", "col_name")
     },
 
@@ -1408,7 +1411,10 @@ object ScaleQueries {
         rep(), rep(),
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(sum("l_partkey").as("sp"))),
-        dataDirs = Seq(frag))
+        dataDirs = Seq(frag),
+        // exact NDV pinned for the DuckDB re-derivation; deployments
+        // default to the approx path
+        exactNdv = true)
     }
   )
 

@@ -53,7 +53,7 @@ class LayoutAdvisorSpec extends SparkSpec {
       base.filter(col("v") >= 11 && col("v") < 22).select("id"), // range, ndv 97
       base.join(base.select(col("id").as("id2")), col("id") === col("id2"))
         .groupBy("cat").agg(count(lit(1)).as("n"))
-    ), maxPartitions = 100L).collect()
+    ), maxPartitions = 100L, exactNdv = true).collect()
       .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
     assert(rec("cat") == "partition") // low ndv, filtered
     assert(rec("v") == "partition") // ndv 97 <= 100: directory pruning wins
@@ -62,7 +62,7 @@ class LayoutAdvisorSpec extends SparkSpec {
       base.filter(col("v") >= 10).select("id"), // range only
       base.join(base.select(col("id").as("id2")), col("id") === col("id2"))
         .groupBy("cat").agg(count(lit(1)).as("n"))
-    ), maxPartitions = 50L).collect()
+    ), maxPartitions = 50L, exactNdv = true).collect()
       .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
     assert(rec2("v") == "zorder") // ndv 97 > 50 → cluster + min-max skip
     assert(rec2("id") == "bucket") // join-only key
@@ -74,7 +74,8 @@ class LayoutAdvisorSpec extends SparkSpec {
     val workload = Seq(
       base.filter(col("cat") === "c3").select("id", "v"),
       base.filter(col("id") === 123L).select("cat"))
-    val rec = LayoutAdvisor.recommend(spark, workload, maxPartitions = 100L)
+    val rec = LayoutAdvisor.recommend(spark, workload, maxPartitions = 100L,
+      exactNdv = true)
       .collect()
       .map(r => r.getAs[String]("col_name") -> r.getAs[String]("action")).toMap
     assert(rec("cat") == "partition" && rec("id") == "bloom")
@@ -93,6 +94,36 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.length < nFiles, s"$nFiles -> ${pruned.length}")
     assert(Layout.bloomPrunedRead(spark, idx, "id", Seq(123L))
       .filter(col("id") === 123L).count() == 1L)
+  }
+
+  test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
+    val p = s"$root/approx.parquet"
+    (0L until 20000L).map(i => (i % 1000, i % 8))
+      .toDF("h", "l").write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val workload = Seq(
+      base.filter(col("h") === 5L).select("l"),
+      base.filter(col("l") === 1L).select("h"))
+    def decisions(exact: Boolean) =
+      LayoutAdvisor.recommend(spark, workload, maxPartitions = 1024L,
+        exactNdv = exact).collect()
+        .map(r => r.getAs[String]("col_name") ->
+          ((r.getAs[Long]("ndv"), r.getAs[String]("action")))).toMap
+    val approx = decisions(exact = false)
+    val exact = decisions(exact = true)
+    // far from the boundary the sketch cannot flip the decision
+    assert(approx("l")._2 == "partition" && exact("l")._2 == "partition")
+    // the sketch estimate lands inside its error bound
+    assert(math.abs(approx("h")._1 - 1000L) <= (3 * 0.05 * 1000).toLong,
+      s"approx ndv ${approx("h")._1} off true 1000")
+    // AT the boundary (true ndv 1000 vs budget 1024) a ±5% sketch error
+    // could land either side; exact admits partition, the approx rule
+    // declines CONSERVATIVELY (1000·1.1 > 1024) and falls back to
+    // bloom — the action that stays safe whichever way the sketch
+    // erred, since over-partitioning mints runaway directories while
+    // bloom merely trades a minor pruning win
+    assert(exact("h")._2 == "partition")
+    assert(approx("h")._2 == "bloom")
   }
 
   test("compaction advice: fragmented flags, compacted clears") {
