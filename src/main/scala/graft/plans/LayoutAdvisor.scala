@@ -63,7 +63,10 @@ object LayoutAdvisor {
         case fs: HadoopFsRelation
             if fs.location.rootPaths.size == 1 &&
               fs.fileFormat.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+              // a txn snapshot's one-file list is not a stable layout
+              // target (the next commit moves it) — decline those
+              !MvAdvisor.underTxnTable(fs.location.rootPaths.head) =>
           val root = fs.location.rootPaths.head
           lr.output.map(a => a.exprId -> (root.getName, root.toString, a.name))
         case _ => Seq.empty

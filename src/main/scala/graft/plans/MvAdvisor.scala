@@ -55,16 +55,31 @@ object MvAdvisor {
     case _ => None
   }
 
+  /** True when `p` sits inside a [[graft.sources.TxnTable]] (some
+    * ancestor dir holds `_graft_log`): such a scan is one SNAPSHOT's
+    * file list — when that list happens to be a single file it must
+    * not masquerade as a stable standalone base (the snapshot moves on
+    * the next commit); txn workloads go through the txn-aware paths. */
+  private[plans] def underTxnTable(p: org.apache.hadoop.fs.Path): Boolean = {
+    def up(f: java.io.File): Boolean =
+      f != null &&
+        (new java.io.File(f, "_graft_log").isDirectory || up(f.getParentFile))
+    up(new java.io.File(p.toUri.getPath).getParentFile)
+  }
+
   /** (last path segment, full root path) of a single-root PARQUET scan
     * — the advisor re-reads the base to price the summary, so only
-    * re-readable scans qualify. */
+    * re-readable scans qualify; txn-snapshot file lists decline (see
+    * [[underTxnTable]]) and are served by [[recommendTxn]]. */
   private def baseOf(lr: LogicalRelation): Option[(String, String)] =
     lr.relation match {
       case fs: HadoopFsRelation
           if fs.location.rootPaths.size == 1 &&
             fs.fileFormat.isInstanceOf[
               org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
-        fs.location.rootPaths.headOption.map(p => (p.getName, p.toString))
+        fs.location.rootPaths.headOption
+          .filterNot(underTxnTable)
+          .map(p => (p.getName, p.toString))
       case _ => None
     }
 

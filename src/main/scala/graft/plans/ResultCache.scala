@@ -139,7 +139,19 @@ object ResultCache {
   /** [[keyOf]] and [[pinsOf]] in one traversal — a cacheability probe
     * replays txn logs per scan, so workload analyzers that need both
     * ([[WorkloadAdvisor]]) should pay that once, not twice. */
-  def keyAndPins(df: DataFrame): Option[(String, Seq[(String, Int)])] = {
+  def keyAndPins(df: DataFrame): Option[(String, Seq[(String, Int)])] =
+    templateKeyAndPins(df).map { case (_, k, p) => (k, p) }
+
+  /** (template hash, full key, pins): the template hash covers the
+    * canonicalized plan with every snapshot scan replaced by a
+    * placeholder but NOT the pins — two runs of the same query over
+    * different versions share a template and differ in key. That split
+    * is how a workload analyzer tells a cache-friendly repeat (same
+    * template, same pins → serve from the result cache) from a
+    * CHURNING repeat (same template, moving pins — the cache can never
+    * hit; the right tool is a maintained summary view). */
+  def templateKeyAndPins(df: DataFrame)
+      : Option[(String, String, Seq[(String, Int)])] = {
     if (df.isStreaming) return None
     val plan = df.queryExecution.analyzed
     if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
@@ -160,11 +172,12 @@ object ResultCache {
     }
     if (unresolvable || pins.isEmpty) None
     else {
-      val text = fullPlanString(template.canonicalized) + "\n" +
-        pins.map { case (p, v) => s"$p@$v" }.mkString("\n")
-      val digest = MessageDigest.getInstance("SHA-256")
-        .digest(text.getBytes("UTF-8"))
-      Some((digest.map("%02x".format(_)).mkString, pins.toSeq))
+      def sha(text: String): String = MessageDigest.getInstance("SHA-256")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val templateText = fullPlanString(template.canonicalized)
+      val key = sha(templateText + "\n" +
+        pins.map { case (p, v) => s"$p@$v" }.mkString("\n"))
+      Some((sha(templateText), key, pins.toSeq))
     }
   }
 

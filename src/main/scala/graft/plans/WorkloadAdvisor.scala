@@ -1,40 +1,70 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, desc}
+
+import graft.sources.TxnTable
 
 /** The self-driving warehouse's FRONT DOOR: one call over an observed
   * workload, one ranked action plan — unifying the advisor family this
-  * engine grew piecewise ([[MvAdvisor]] flat + star, [[LayoutAdvisor]]
-  * predicates + small files) with repeated-plan detection from the
-  * result cache's key ([[ResultCache.keyOf]]). The reference has a
-  * human in this seat (its pipeline re-runs the same pandas rollups and
-  * reloads whole tables every run, `pipeline.py`); at 100 TB the seat
-  * must be held by measurements, because no operator can eyeball a
-  * thousand-query workload's scan stats.
+  * engine grew piecewise ([[MvAdvisor]] flat + star + txn,
+  * [[LayoutAdvisor]] predicates + small files) with repeated-plan
+  * detection from the result cache's key ([[ResultCache]]). The
+  * reference has a human in this seat (its pipeline re-runs the same
+  * pandas rollups and reloads whole tables every run, `pipeline.py`);
+  * at 100 TB the seat must be held by measurements, because no operator
+  * can eyeball a thousand-query workload's scan stats.
   *
   * Output: one row per proposed action, normalized to
-  * (family, target, action, detail, weight, recommend) —
-  *   - `result_cache`: a plan whose cache key occurred ≥2 times —
-  *     identical query over identical snapshot pins; serving it from
-  *     the result cache is pure win (target = the pinned tables).
-  *   - `view` / `star_view`: the MV advisor's merged single-base /
-  *     star-join summary recommendations (detail = keys|measures —
-  *     feed them straight to `Mv.register`/`registerStar`).
+  * (pos, family, target, action, detail, weight, saved_rows, recommend):
+  *   - `result_cache`: a plan family repeated over IDENTICAL snapshot
+  *     pins — serving it from the result cache is pure win. A family
+  *     whose pins MOVE between runs (the scanned table churns) can
+  *     never hit the cache; it is routed away (`route_to_view`,
+  *     recommend = false) and the `view` families below carry its
+  *     actionable recommendation instead — the cache/MV handshake.
+  *   - `view` / `star_view`: the MV advisor's single-base
+  *     (`materialize`), txn-snapshot (`materialize_txn`), and
+  *     star-join (`materialize_star`) summary recommendations
+  *     (detail = keys|measures — feed them straight to
+  *     `Mv.register`/`registerTxn`/`registerStar`).
   *   - `layout`: per (base, column) data-placement moves — partition /
   *     zorder / bloom / bucket, decided from predicate shape × measured
-  *     NDV (detail carries the evidence).
+  *     NDV. `detail` carries the evidence plus the OTHER admissible
+  *     actions, each priced (`alt=bloom:2970/...`), so conflicting
+  *     advice on one column is one row with costed alternatives.
   *   - `compaction`: rows-per-file health of the supplied data dirs.
+  *
   * `weight` is the size of the evidence (queries served, predicate
-  * uses, file count); `recommend` is each family's own admission rule.
-  * Everything is deterministic — decisions derive from plans and data,
-  * never from wall clocks — so the full report is oracle-checkable.
+  * uses, file count). `saved_rows` PRICES the action in row-units of
+  * scanning avoided — deterministic integer arithmetic over measured
+  * row counts, so conflicting recommendations are comparable and the
+  * whole report is oracle-checkable:
+  *   - view: n_queries × (base_rows − summary_rows) — each serving
+  *     reads the summary instead of the base;
+  *   - star_view: n_queries × (fact_rows − summary_rows);
+  *   - result_cache: (occurrences − 1) × Σ pinned-snapshot rows — every
+  *     repeat after the first skips its scans entirely;
+  *   - layout partition/bloom: uses × (rows − rows/ndv) — an equality
+  *     predicate keeps 1-in-ndv of the base; zorder prices its range
+  *     uses the same way; bucket: joins × rows — the per-join shuffle
+  *     of the base avoided by co-location;
+  *   - compaction: excess files × a fixed per-file open cost
+  *     ([[FileOpenCostRows]] row-equivalents).
+  * `pos` ranks by (recommend DESC, saved_rows DESC, then name) — the
+  * order an operator should act in. Everything derives from plans and
+  * data, never wall clocks.
   *
   * Scale shape: the report itself is metadata plus one stats aggregate
   * per touched base (NDV / distinct-key pricing, inherited from the
-  * underlying advisors) — it never materializes a candidate.
-  */
+  * underlying advisors — approximate NDV by default, `exactNdv` for
+  * the oracle-gated configuration) — it never materializes a
+  * candidate. */
 object WorkloadAdvisor {
+
+  /** Per-file open overhead (footer read + task schedule) expressed in
+    * row-equivalents — the deterministic stand-in for the byte-side
+    * cost a small file carries regardless of its contents. */
+  val FileOpenCostRows = 1024L
 
   def report(spark: SparkSession, queries: Seq[DataFrame],
              dataDirs: Seq[String] = Nil,
@@ -43,49 +73,104 @@ object WorkloadAdvisor {
              maxPartitions: Long = 1024L,
              exactNdv: Boolean = false): DataFrame = {
     import spark.implicits._
-    val keyed = queries.flatMap(q => ResultCache.keyAndPins(q))
-    val rc = keyed.groupBy(_._1).filter(_._2.size >= 2).toSeq
-      .sortBy(_._1)
+    // ── repeated-plan families, grouped by TEMPLATE (pins stripped):
+    //    identical pins → result cache; moving pins → routed to views
+    val keyed = queries.flatMap(q => ResultCache.templateKeyAndPins(q))
+    val pinRowCache = scala.collection.mutable.Map.empty[(String, Int), Long]
+    def rowsOfPin(p: (String, Int)): Long =
+      pinRowCache.getOrElseUpdate(p,
+        TxnTable.read(spark, p._1, asOf = Some(p._2)).count())
+    // family identity = (template, scanned-table set): two runs of the
+    // same SHAPE over different tables are unrelated queries, not churn
+    val rc = keyed.groupBy(k => (k._1, k._3.map(_._1)))
+      .filter(_._2.size >= 2).toSeq
+      .sortBy { case ((th, tabs), _) => (th, tabs.mkString(",")) }
       .map { case (_, hits) =>
-        val tables = hits.head._2
+        val tables = hits.head._3
           .map(p => new java.io.File(p._1).getName).distinct.sorted
-        ("result_cache", tables.mkString(","), "cache", "repeated_plan",
-          hits.size.toLong, true)
+          .mkString(",")
+        if (hits.map(_._2).distinct.size == 1) {
+          val saved = (hits.size - 1L) * hits.head._3.map(rowsOfPin).sum
+          ("result_cache", tables, "cache", "repeated_plan",
+            hits.size.toLong, saved, true)
+        } else
+          ("result_cache", tables, "route_to_view", "pins_moved",
+            hits.size.toLong, 0L, false)
       }
     val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction)
       .collect().toSeq
-      .map(r => ("view", r.getAs[String]("base"), "materialize",
-        r.getAs[String]("view_keys") + "|" + r.getAs[String]("view_measures"),
-        r.getAs[Long]("n_queries"), r.getAs[Boolean]("recommend")))
+      .map { r =>
+        val n = r.getAs[Long]("n_queries")
+        val saved = n * (r.getAs[Long]("base_rows") - r.getAs[Long]("est_rows"))
+        ("view", r.getAs[String]("base"), "materialize",
+          r.getAs[String]("view_keys") + "|" + r.getAs[String]("view_measures"),
+          n, saved, r.getAs[Boolean]("recommend"))
+      }
+    val mvTxn = MvAdvisor.recommendTxn(spark, queries, maxRowsFraction)
+      .collect().toSeq
+      .map { r =>
+        val n = r.getAs[Long]("n_queries")
+        val saved = n * (r.getAs[Long]("base_rows") - r.getAs[Long]("est_rows"))
+        ("view", r.getAs[String]("table"), "materialize_txn",
+          r.getAs[String]("view_keys") + "|" + r.getAs[String]("view_measures"),
+          n, saved, r.getAs[Boolean]("recommend"))
+      }
     val stars = MvAdvisor.recommendStars(spark, queries, maxRowsFraction)
       .collect().toSeq
-      .map(r => ("star_view", r.getAs[String]("fact"), "materialize_star",
-        r.getAs[String]("star") + "|" + r.getAs[String]("view_keys") + "|" +
-          r.getAs[String]("view_measures"),
-        r.getAs[Long]("n_queries"), r.getAs[Boolean]("recommend")))
+      .map { r =>
+        val n = r.getAs[Long]("n_queries")
+        val saved = n * (r.getAs[Long]("fact_rows") - r.getAs[Long]("est_rows"))
+        ("star_view", r.getAs[String]("fact"), "materialize_star",
+          r.getAs[String]("star") + "|" + r.getAs[String]("view_keys") + "|" +
+            r.getAs[String]("view_measures"),
+          n, saved, r.getAs[Boolean]("recommend"))
+      }
     val lay = LayoutAdvisor.recommend(spark, queries, maxPartitions,
         exactNdv = exactNdv)
       .collect().toSeq
-      .map(r => ("layout",
-        r.getAs[String]("base") + "." + r.getAs[String]("col_name"),
-        r.getAs[String]("action"),
-        s"eq=${r.getAs[Long]("n_eq")},range=${r.getAs[Long]("n_range")}," +
-          s"join=${r.getAs[Long]("n_join")},ndv=${r.getAs[Long]("ndv")}",
-        r.getAs[Long]("n_eq") + r.getAs[Long]("n_range") +
-          r.getAs[Long]("n_join"),
-        true))
+      .map { r =>
+        val (nEq, nRange, nJoin) = (r.getAs[Long]("n_eq"),
+          r.getAs[Long]("n_range"), r.getAs[Long]("n_join"))
+        val (ndv, rows) = (r.getAs[Long]("ndv"), r.getAs[Long]("base_rows"))
+        val chosen = r.getAs[String]("action")
+        def price(a: String): Long = a match {
+          case "partition" => (nEq + nRange) * (rows - rows / ndv)
+          case "zorder" => nRange * (rows - rows / ndv)
+          case "bloom" => nEq * (rows - rows / ndv)
+          case _ => nJoin * rows // bucket
+        }
+        // partition is rule-first, so it is never a losing alternative;
+        // the others are admissible whenever their evidence is nonzero
+        val alts = Seq("zorder" -> (nRange > 0), "bloom" -> (nEq > 0),
+            "bucket" -> (nJoin > 0))
+          .collect { case (a, true) if a != chosen => s"$a:${price(a)}" }
+          .mkString("/")
+        ("layout",
+          r.getAs[String]("base") + "." + r.getAs[String]("col_name"),
+          chosen,
+          s"eq=$nEq,range=$nRange,join=$nJoin,ndv=$ndv,alt=$alts",
+          nEq + nRange + nJoin, price(chosen), true)
+      }
     val comp = dataDirs.sorted.map { p =>
       val a = LayoutAdvisor.compactionAdvice(spark, p, targetRowsPerFile)
         .head()
+      val nFiles = a.getAs[Long]("n_files")
+      val total = a.getAs[Long]("total_rows")
+      val ideal = (total + targetRowsPerFile - 1) / targetRowsPerFile
+      val saved = math.max(0L, nFiles - ideal) * FileOpenCostRows
       ("compaction", new java.io.File(p).getName, "compact",
-        s"files=${a.getAs[Long]("n_files")}," +
-          s"avg_rows=${a.getAs[Long]("avg_rows_per_file")}",
-        a.getAs[Long]("n_files"),
-        a.getAs[Boolean]("recommend_compact"))
+        s"files=$nFiles,avg_rows=${a.getAs[Long]("avg_rows_per_file")}",
+        nFiles, saved, a.getAs[Boolean]("recommend_compact"))
     }
-    (rc ++ mv ++ stars ++ lay ++ comp)
-      .toDF("family", "target", "action", "detail", "weight", "recommend")
-      .orderBy(desc("recommend"), col("family"), col("target"),
-        col("action"), col("detail"))
+    (rc ++ mv ++ mvTxn ++ stars ++ lay ++ comp)
+      .sortBy { case (f, t, a, d, _, saved, rec) =>
+        (!rec, -saved, f, t, a, d)
+      }
+      .zipWithIndex
+      .map { case ((f, t, a, d, w, saved, rec), i) =>
+        (i + 1L, f, t, a, d, w, saved, rec)
+      }
+      .toDF("pos", "family", "target", "action", "detail", "weight",
+        "saved_rows", "recommend")
   }
 }

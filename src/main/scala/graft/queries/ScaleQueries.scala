@@ -1340,75 +1340,119 @@ object ScaleQueries {
     },
 
     // ── UNIFIED WORKLOAD ADVISOR (capstone): one call over an observed
-    //    workload → one ranked action plan, merging every advisor the
-    //    engine grew — repeated-plan detection (result cache), flat +
-    //    star MV recommendations, predicate-driven layout moves, and
-    //    small-file health. Every row is data-derived (plan shapes ×
-    //    measured NDV / distinct-key pricing / row counts), so DuckDB
-    //    re-derives the ENTIRE report from the same parquet and the
-    //    same admission rules — including the sf-dependent pieces
-    //    (NDV strings, rows-per-file).
+    //    workload → one ranked, PRICED action plan, merging every
+    //    advisor the engine grew — repeated-plan detection (result
+    //    cache, with churn routed to the MV family), flat + txn + star
+    //    MV recommendations, predicate-driven layout moves with costed
+    //    alternatives, and small-file health. saved_rows prices each
+    //    action in row-units of scanning avoided (deterministic integer
+    //    arithmetic over measured counts) and pos ranks by it, so
+    //    DuckDB re-derives the ENTIRE report — prices, alternatives,
+    //    and ordering included — from the same parquet and rules.
+    //    The churning repeat (same template, pins moved by a commit
+    //    between runs) must come out `route_to_view` recommend=false,
+    //    with the actionable `materialize_txn` view row beside it —
+    //    the cache/MV handshake.
     sql("q_advisor_unified",
-      """SELECT * FROM (
-        |SELECT 'compaction' AS family, 'frag' AS target, 'compact' AS action,
-        |       'files=64,avg_rows=' ||
-        |         CAST((SELECT COUNT(*) FROM orders) // 64 AS VARCHAR) AS detail,
-        |       CAST(64 AS BIGINT) AS weight,
-        |       ((SELECT COUNT(*) FROM orders) // 64) < 4096 AS recommend
-        |UNION ALL
-        |SELECT 'layout', 'lineitem.parquet.l_linestatus', 'partition',
-        |       'eq=1,range=0,join=0,ndv=' ||
-        |         CAST((SELECT COUNT(DISTINCT l_linestatus) FROM lineitem) AS VARCHAR),
-        |       CAST(1 AS BIGINT), TRUE
-        |UNION ALL
-        |SELECT 'layout', 'lineitem.parquet.l_orderkey', 'bucket',
-        |       'eq=0,range=0,join=1,ndv=' ||
-        |         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS VARCHAR),
-        |       CAST(1 AS BIGINT), TRUE
-        |UNION ALL
-        |SELECT 'layout', 'orders.parquet.o_orderkey', 'bucket',
-        |       'eq=0,range=0,join=1,ndv=' ||
-        |         CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS VARCHAR),
-        |       CAST(1 AS BIGINT), TRUE
-        |UNION ALL
-        |SELECT 'result_cache', 'wl_fact', 'cache', 'repeated_plan',
-        |       CAST(2 AS BIGINT), TRUE
-        |UNION ALL
-        |SELECT 'star_view', 'lineitem.parquet', 'materialize_star',
-        |       'orders.parquet:l_orderkey=o_orderkey:inner|o_orderpriority|l_partkey',
-        |       CAST(1 AS BIGINT),
-        |       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority
-        |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
-        |         <= 0.5 * (SELECT COUNT(*) FROM lineitem)
-        |UNION ALL
-        |SELECT 'view', 'lineitem.parquet', 'materialize',
-        |       'l_linestatus,l_returnflag|l_partkey', CAST(2 AS BIGINT),
-        |       (SELECT COUNT(*) FROM (SELECT DISTINCT l_linestatus, l_returnflag
-        |          FROM lineitem))
-        |         <= 0.5 * (SELECT COUNT(*) FROM lineitem)) r
-        |ORDER BY recommend DESC, family, target, action, detail""".stripMargin) { (s, d) =>
+      """WITH r(family, target, action, detail, weight, saved_rows, recommend) AS (
+        |  SELECT 'result_cache', 'wl_fact', 'cache', 'repeated_plan',
+        |         CAST(2 AS BIGINT), (SELECT COUNT(*) FROM orders), TRUE
+        |  UNION ALL SELECT 'result_cache', 'wl_churn', 'route_to_view',
+        |         'pins_moved', CAST(2 AS BIGINT), CAST(0 AS BIGINT), FALSE
+        |  UNION ALL SELECT 'view', 'lineitem.parquet', 'materialize',
+        |         'l_linestatus,l_returnflag|l_partkey', CAST(2 AS BIGINT),
+        |         2 * ((SELECT COUNT(*) FROM lineitem) -
+        |              (SELECT COUNT(*) FROM (SELECT DISTINCT l_linestatus,
+        |                 l_returnflag FROM lineitem))),
+        |         (SELECT COUNT(*) FROM (SELECT DISTINCT l_linestatus,
+        |            l_returnflag FROM lineitem))
+        |           <= 0.5 * (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL SELECT 'view', 'wl_churn', 'materialize_txn',
+        |         'o_orderpriority|o_custkey', CAST(1 AS BIGINT),
+        |         (SELECT COUNT(*) FROM orders)
+        |           + (SELECT COUNT(*) FROM orders WHERE o_custkey % 7 = 0)
+        |           - (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+        |         (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        |           <= 0.5 * ((SELECT COUNT(*) FROM orders)
+        |              + (SELECT COUNT(*) FROM orders WHERE o_custkey % 7 = 0))
+        |  UNION ALL SELECT 'star_view', 'lineitem.parquet', 'materialize_star',
+        |         'orders.parquet:l_orderkey=o_orderkey:inner|o_orderpriority|l_partkey',
+        |         CAST(1 AS BIGINT),
+        |         (SELECT COUNT(*) FROM lineitem) -
+        |           (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority
+        |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+        |         (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
+        |           <= 0.5 * (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL SELECT 'layout', 'lineitem.parquet.l_linestatus', 'partition',
+        |         'eq=1,range=0,join=0,ndv=' ||
+        |           CAST((SELECT COUNT(DISTINCT l_linestatus) FROM lineitem) AS VARCHAR) ||
+        |           ',alt=bloom:' ||
+        |           CAST((SELECT COUNT(*) FROM lineitem) -
+        |                (SELECT COUNT(*) FROM lineitem)
+        |                  // (SELECT COUNT(DISTINCT l_linestatus) FROM lineitem) AS VARCHAR),
+        |         CAST(1 AS BIGINT),
+        |         (SELECT COUNT(*) FROM lineitem) -
+        |           (SELECT COUNT(*) FROM lineitem)
+        |             // (SELECT COUNT(DISTINCT l_linestatus) FROM lineitem),
+        |         TRUE
+        |  UNION ALL SELECT 'layout', 'lineitem.parquet.l_orderkey', 'bucket',
+        |         'eq=0,range=0,join=1,ndv=' ||
+        |           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS VARCHAR)
+        |           || ',alt=',
+        |         CAST(1 AS BIGINT), (SELECT COUNT(*) FROM lineitem), TRUE
+        |  UNION ALL SELECT 'layout', 'orders.parquet.o_orderkey', 'bucket',
+        |         'eq=0,range=0,join=1,ndv=' ||
+        |           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS VARCHAR)
+        |           || ',alt=',
+        |         CAST(1 AS BIGINT), (SELECT COUNT(*) FROM orders), TRUE
+        |  UNION ALL SELECT 'compaction', 'frag', 'compact',
+        |         'files=64,avg_rows=' ||
+        |           CAST((SELECT COUNT(*) FROM orders) // 64 AS VARCHAR),
+        |         CAST(64 AS BIGINT),
+        |         (64 - ((SELECT COUNT(*) FROM orders) + 8191) // 8192) * 1024,
+        |         ((SELECT COUNT(*) FROM orders) // 64) < 4096
+        |)
+        |SELECT ROW_NUMBER() OVER (ORDER BY recommend DESC, saved_rows DESC,
+        |         family, target, action, detail) AS pos,
+        |       family, target, action, detail, weight,
+        |       CAST(saved_rows AS BIGINT) AS saved_rows, recommend
+        |FROM r ORDER BY pos""".stripMargin) { (s, d) =>
       import graft.plans.WorkloadAdvisor
       import graft.sources.TxnTable
       val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
       val root = graft.Scratch.dir(s"/root/repo/target/tmp/wladv_$sfKey")
       val fact = s"$root/wl_fact"
+      val churn = s"$root/wl_churn"
       val frag = s"$root/frag"
       val ord = s.read.parquet(s"$d/orders.parquet")
       TxnTable.commit(s,
         ord.select("o_orderkey", "o_orderpriority", "o_totalprice"), fact,
         overwrite = false)
+      TxnTable.commit(s, ord.select("o_orderpriority", "o_custkey"), churn,
+        overwrite = false)
       ord.select("o_orderkey").repartition(64).write.parquet(frag)
       val li = s.read.parquet(s"$d/lineitem.parquet")
-      // repeated dashboard query over the txn snapshot: DOUBLE measure,
-      // so only the result cache claims it (the MV advisor declines)
+      // repeated dashboard query over a STABLE snapshot: DOUBLE measure,
+      // so only the result cache claims it (every MV advisor declines)
       def rep() = TxnTable.read(s, fact).groupBy("o_orderpriority")
         .agg(sum("o_totalprice").as("rev"))
+      // the CHURNING repeat: same template, but the table commits
+      // between runs → pins move → the cache can never hit; routed to
+      // the MV family (integral measure, so recommendTxn claims the
+      // head-pinned run)
+      def rep2() = TxnTable.read(s, churn).groupBy("o_orderpriority")
+        .agg(sum("o_custkey").as("sc"))
+      val churnA = rep2() // pins v1 (read resolves files eagerly)
+      TxnTable.commit(s, ord.filter(col("o_custkey") % 7 === 0)
+        .select("o_orderpriority", "o_custkey"), churn, overwrite = false)
+      val churnB = rep2() // pins v2 = head
       WorkloadAdvisor.report(s, Seq(
         li.filter(col("l_linestatus") === "F").groupBy("l_returnflag")
           .agg(sum("l_partkey").as("sp")),
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n")),
-        rep(), rep(),
+        rep(), rep(), churnA, churnB,
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(sum("l_partkey").as("sp"))),
         dataDirs = Seq(frag),

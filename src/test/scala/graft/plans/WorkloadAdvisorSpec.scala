@@ -1,0 +1,91 @@
+package graft.plans
+
+import java.io.File
+
+import graft.SparkSpec
+import graft.sources.TxnTable
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** The unified advisor's contract: repeated plans over STABLE pins are
+  * cache rows, repeated plans whose pins MOVE are routed to the MV
+  * family (the cache/MV handshake), every action is priced in
+  * saved-row units, and `pos` ranks recommend-first by price. */
+class WorkloadAdvisorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/spec_wladv"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("stable repeats cache; churning repeats route to a view; prices rank") {
+    val stable = s"$root/stable"
+    val churn = s"$root/churn"
+    TxnTable.commit(spark,
+      (1L to 200L).map(i => (s"g${i % 4}", i)).toDF("g", "v"), stable,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 200L).map(i => (s"h${i % 4}", i)).toDF("g", "v"), churn,
+      overwrite = false)
+    def qs() = TxnTable.read(spark, stable).groupBy("g")
+      .agg(sum("v").as("sv"))
+    def qc() = TxnTable.read(spark, churn).groupBy("g")
+      .agg(sum("v").as("sv"))
+    // same template as qs over a DIFFERENT table — the family key is
+    // (template, table set), so this must not merge with either family
+    val a = qc()
+    TxnTable.commit(spark, Seq(("h9", 9L)).toDF("g", "v"), churn,
+      overwrite = false)
+    val b = qc() // same template as `a`, pins moved by the commit
+    val rep = WorkloadAdvisor.report(spark, Seq(qs(), qs(), a, b)).collect()
+    val byKey = rep.map(r => (r.getAs[String]("family"),
+      r.getAs[String]("target"), r.getAs[String]("action")) -> r).toMap
+    // stable family: identical pins → cache, priced at the repeat's
+    // skipped scan: (2 − 1) × 200 pinned rows
+    val cacheRow = byKey(("result_cache", "stable", "cache"))
+    assert(cacheRow.getAs[Boolean]("recommend"))
+    assert(cacheRow.getAs[Long]("saved_rows") == 200L)
+    // churning family: the cache can never hit → routed away…
+    val routed = byKey(("result_cache", "churn", "route_to_view"))
+    assert(!routed.getAs[Boolean]("recommend"))
+    assert(routed.getAs[String]("detail") == "pins_moved")
+    // …and the actionable recommendation is the maintained txn view of
+    // the head-pinned run: 201 head rows − 5 distinct keys
+    val view = byKey(("view", "churn", "materialize_txn"))
+    assert(view.getAs[Boolean]("recommend"))
+    assert(view.getAs[String]("detail") == "g|v")
+    assert(view.getAs[Long]("saved_rows") == 196L)
+    // pos is a permutation ranking recommend-first, price-descending
+    val ordered = rep.sortBy(_.getAs[Long]("pos"))
+    assert(ordered.map(_.getAs[Long]("pos")).toSeq ==
+      (1L to rep.length.toLong))
+    val ranked = ordered.map(r =>
+      (r.getAs[Boolean]("recommend"), r.getAs[Long]("saved_rows")))
+    assert(ranked.sliding(2).forall {
+      case Array((r1, s1), (r2, s2)) => r1 > r2 || (r1 == r2 && s1 >= s2)
+      case _ => true
+    })
+  }
+
+  test("layout conflicts surface as one row with priced alternatives") {
+    val p = s"$root/base.parquet"
+    (0L until 1000L).map(i => (i % 10, i)).toDF("c", "x")
+      .write.mode("overwrite").parquet(p)
+    def lq() = spark.read.parquet(p)
+      .filter(col("c") === 3L && col("c") >= 1L).select("x")
+    val rep = WorkloadAdvisor.report(spark, Seq(lq())).collect()
+    val lay = rep.filter(_.getAs[String]("family") == "layout")
+    assert(lay.length == 1)
+    val r = lay.head
+    // eq + range at ndv 10: partition wins (2 uses × 900 pruned rows);
+    // the losing-but-admissible actions ride along, each priced
+    assert(r.getAs[String]("action") == "partition")
+    assert(r.getAs[Long]("saved_rows") == 1800L)
+    assert(r.getAs[String]("detail") ==
+      "eq=1,range=1,join=0,ndv=10,alt=zorder:900/bloom:900")
+  }
+}
