@@ -389,6 +389,70 @@ object WarehouseQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ── DIM-DELTA star-view maintenance: the one refresh the fact feed
+    //    can't express — a DIMENSION update (segment rename) mid-stream.
+    //    The view's grain retains the fact-side join key, so the rename
+    //    folds as signed VIEW rows (retract at the renamed keys, re-emit
+    //    under the new segment), O(dim Δ) with no fact scan and no
+    //    rebuild; the stream then resumes folding fact deltas through
+    //    the UPDATED dim. The oracle recomputes from scratch with the
+    //    renamed dim — only a correct reallocation hash-matches.
+    sql("q_stream_star_dim_delta",
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey,
+        |                  o_orderkey % 100 +
+        |                    CASE WHEN o_orderkey % 3 = 1 THEN 1000 ELSE 0 END AS v
+        |           FROM orders),
+        |c2 AS (SELECT c_custkey,
+        |              CASE WHEN c_custkey % 10 = 0 THEN 'RENAMED'
+        |                   ELSE c_mktsegment END AS c_mktsegment
+        |       FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT c_mktsegment, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM o LEFT JOIN c2 ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      import graft.operators.Merge
+      import graft.streaming.EventsStreaming
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Scratch.dir(s"/root/repo/target/tmp/stardelta_src_$sfKey")
+      val dimT = graft.Scratch.dir(s"/root/repo/target/tmp/stardelta_dim_$sfKey")
+      val view = graft.Scratch.dir(s"/root/repo/target/tmp/stardelta_agg_$sfKey")
+      graft.Scratch.dir(s"$view.ckpt")
+      val fact = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          (col("o_orderkey") % 100).as("v"))
+      TxnTable.commit(s, Tables.customer(s, d)                // dim v1
+          .filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_mktsegment"), dimT, overwrite = false)
+      def dims() = Seq((TxnTable.read(s, dimT), "o_custkey", "c_custkey"))
+      // grain keeps o_custkey — the handle the dim delta reallocates by
+      val gk = Seq("c_mktsegment", "o_custkey")
+      TxnTable.commit(s, fact.filter((col("k") % 3).isin(0, 1))  // fact v1
+        .repartition(4), table, overwrite = false)
+      EventsStreaming.cdcStarViewMaintenance(s, table, view,
+        keys = Seq("k"), groupKeys = gk, countCol = "cnt",
+        sums = Map("sum_v" -> "v"), dims = dims(), joinTypes = Seq("left"))
+      Merge.upsert(s, dimT,                                   // dim v2: rename
+        TxnTable.read(s, dimT).filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("RENAMED")),
+        Seq("c_custkey"))
+      EventsStreaming.dimDeltaStarRefresh(s, view, gk,
+        measureCols = Seq("cnt", "sum_v"), leftKey = "o_custkey",
+        dimKey = "c_custkey", dimTable = dimT,
+        fromVersion = 1, toVersion = 2, joinType = "left")
+      Merge.upsert(s, table,                                  // fact v2
+        fact.filter((col("k") % 3).isin(1, 2))
+          .withColumn("v",
+            when(col("k") % 3 === 1, col("v") + 1000).otherwise(col("v"))),
+        Seq("k"))
+      EventsStreaming.cdcStarViewMaintenance(s, table, view,  // resume w/ new dim
+          keys = Seq("k"), groupKeys = gk, countCol = "cnt",
+          sums = Map("sum_v" -> "v"), dims = dims(), joinTypes = Seq("left"),
+          resume = true)
+        .groupBy("c_mktsegment")
+        .agg(sum("cnt").as("cnt"), sum("sum_v").cast("long").as("sum_v"))
+        .orderBy("c_mktsegment")
+    },
+
     // ── MULTI-TABLE transactional stream sink (EventsStreaming
     //    .catalogSinkIngest × TxnCatalog): each micro-batch commits BOTH
     //    derived tables (raw rows + per-type stats) through ONE catalog

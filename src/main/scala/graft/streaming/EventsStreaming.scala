@@ -914,6 +914,98 @@ object EventsStreaming {
       through = f => Mv.joinThroughDims(f, dims, jts))
   }
 
+  /** Fold a DIMENSION-side change feed into a maintained star view —
+    * the refresh [[cdcStarViewMaintenance]] alone can't do (its dims
+    * are the static side; a dim update invalidates attributes the fact
+    * feed never re-delivers). The trick that makes it O(Δ) is GRAIN:
+    * when the view's group keys retain the dim's fact-side join key
+    * (`leftKey`), every fact row's contribution is addressable BY dim
+    * key inside the view itself, so a dim change folds as signed view
+    * rows with no fact scan at all:
+    *   - retract every view row whose `leftKey` is a changed dim key
+    *     (its stored attributes are the pre-image by maintenance
+    *     invariant — including the NULL-attribute rows a LEFT star
+    *     keeps for unmatched keys);
+    *   - re-emit the same measures re-attributed to the key's POST
+    *     state: the new image's attributes, or (LEFT) NULL-extended
+    *     when the key was deleted, or (INNER) nothing — an inner star
+    *     never stored unmatched rows.
+    * A dim INSERT is recoverable only for LEFT stars (the measures
+    * live in the NULL-attribute rows); an INNER star's previously-
+    * unmatched fact rows were never stored, so a pure insert refuses
+    * loudly instead of silently under-counting — rebuild that view.
+    *
+    * `dimTable` is a [[graft.sources.TxnTable]]; the delta is its
+    * change feed over `(fromVersion, toVersion]` with update images,
+    * collapsed to one final state per key (intermediate flips cancel).
+    * `measureCols` are the view's additive measure columns (count +
+    * sums). Scale shape: broadcast the dim delta, one semi-join-sized
+    * pass over the view, merge, commit — never the fact. */
+  def dimDeltaStarRefresh(spark: SparkSession, viewTable: String,
+                          groupKeys: Seq[String], measureCols: Seq[String],
+                          leftKey: String, dimKey: String,
+                          dimTable: String, fromVersion: Int,
+                          toVersion: Int,
+                          joinType: String = "left"): DataFrame = {
+    import graft.operators.Incremental
+    import graft.sources.TxnTable
+    import org.apache.spark.sql.expressions.Window
+    require(Seq("left", "inner").contains(joinType),
+      s"joinType must be left|inner, got $joinType")
+    require(groupKeys.contains(leftKey),
+      s"dim-delta maintenance needs the dim's fact-side key '$leftKey' " +
+        "in the view grain — group keys that drop it cannot reallocate " +
+        "measures between attribute values; rebuild instead")
+    val feed = TxnTable.changeFeed(spark, dimTable, fromVersion, toVersion,
+      Seq(dimKey), updateImages = true)
+    val dimAttrCols = feed.columns
+      .filterNot(Set(dimKey, "version", "change")).filter(groupKeys.contains)
+    require(dimAttrCols.nonEmpty,
+      s"no view group key is a '$dimTable' attribute — nothing to refresh")
+    // one FINAL state per key: the newest new-state image wins; a key
+    // whose newest row is an old-state image ended up deleted
+    val isNew = col("change").isin("insert", "update_postimage")
+    val last = feed
+      .withColumn("__isnew", isNew)
+      .withColumn("__rn", row_number().over(Window.partitionBy(dimKey)
+        .orderBy(col("version").desc, col("__isnew").desc)))
+      .filter(col("__rn") === 1)
+    if (joinType == "inner") {
+      val pureInserts = last.filter(col("__isnew"))
+        .join(feed.filter(!isNew).select(dimKey).distinct(),
+          Seq(dimKey), "left_anti").count()
+      require(pureInserts == 0,
+        s"$pureInserts dim key(s) newly inserted: an INNER star never " +
+          "stored their fact rows, so the view cannot absorb the " +
+          "insert — rebuild it")
+    }
+    val lastR = last.select(col(dimKey).as("__dk") +:
+      col("__isnew") +: dimAttrCols.map(c => col(c).as(s"__new_$c")): _*)
+    val view = TxnTable.read(spark, viewTable)
+    val touched = view.join(broadcast(lastR),
+      col(leftKey) === col("__dk"), "inner")
+    val retract = touched.select(groupKeys.map(col) ++
+      measureCols.map(c => (-col(c)).as(c)): _*)
+    def reattributed(rows: DataFrame, attr: String => org.apache.spark.sql.Column) =
+      rows.select(groupKeys.map(k =>
+        if (dimAttrCols.contains(k)) attr(k).as(k) else col(k)) ++
+        measureCols.map(col): _*)
+    val emitMatched = reattributed(
+      touched.filter(col("__isnew")), k => col(s"__new_$k"))
+    val emitDeleted =
+      if (joinType == "left")
+        reattributed(touched.filter(!col("__isnew")),
+          k => lit(null).cast(view.schema(k).dataType))
+      else emitMatched.limit(0)
+    val delta = retract.unionByName(emitMatched).unionByName(emitDeleted)
+    val countCol = measureCols.head
+    val next = Incremental.mergeAdditive(view, delta, groupKeys)
+      .filter(col(countCol) > 0)
+    TxnTable.commit(spark, next, viewTable, overwrite = true,
+      tag = Some(s"dim-delta-${new java.io.File(dimTable).getName}-v$toVersion"))
+    TxnTable.read(spark, viewTable)
+  }
+
   def cdcViewMaintenance(spark: SparkSession, sourceTable: String,
                          viewTable: String, keys: Seq[String],
                          groupKeys: Seq[String], countCol: String,
