@@ -1055,7 +1055,8 @@ object Similarity {
     * (q_ann_index_append trains its CTEs on the base slice and
     * lists/codes the union). */
   def appendToIvfPqIndex(batch: DataFrame, dir: String,
-                         m: Int = 8, dim: Int = 64): Unit = {
+                         m: Int = 8, dim: Int = 64,
+                         dedupe: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebooks")
@@ -1063,12 +1064,22 @@ object Similarity {
     // the batch runs once per append, not twice
     val batchQ = quantizeCorpus(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dedupe = true makes the append IDEMPOTENT for a batch of distinct
+    // vec_ids: each sub-table independently skips ids it already holds,
+    // so a retry after a crash ANYWHERE mid-append (this dir layout has
+    // no transaction — that is appendToIvfPqIndexTxn's job) completes
+    // the torn pieces instead of duplicating the done ones. Cost: one
+    // ids-only read per sub-table, streaming-sink scale.
+    def fresh(df: DataFrame, sub: String) =
+      if (!dedupe) df
+      else df.join(spark.read.parquet(s"$dir/$sub").select("vec_id"),
+        Seq("vec_id"), "left_anti")
     try {
-      assignClustersQ(batchQ, centroids)
+      fresh(assignClustersQ(batchQ, centroids), "lists")
         .write.mode("append").parquet(s"$dir/lists")
-      pqAssignQ(batchQ, cb, m, dim)
+      fresh(pqAssignQ(batchQ, cb, m, dim), "codes")
         .write.mode("append").parquet(s"$dir/codes")
-      batch.select("vec_id", "embedding")
+      fresh(batch.select("vec_id", "embedding"), "vectors")
         .write.mode("append").parquet(s"$dir/vectors")
     } finally { batchQ.unpersist(); () }
   }

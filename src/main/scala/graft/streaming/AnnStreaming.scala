@@ -131,18 +131,28 @@ object AnnStreaming {
       .parquet(in)
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the batch feeds two jobs (enrich + append): pin it once
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch feeds two jobs (enrich + append): pin it once.
+        // RETRY idempotence (a micro-batch re-fires after a failure
+        // between these side effects and the checkpoint commit): the
+        // enrichment lands in a per-batch dir via overwrite (a re-run
+        // replaces, never duplicates) and the index append dedupes by
+        // vec_id per sub-table, so a torn append completes instead of
+        // double-adding the batch's vectors
         val pinned = batch.localCheckpoint(true)
         Similarity.ivfPqTopKIndexed(pinned, idx, k)
-          .write.mode("append").parquet(out)
-        Similarity.appendToIvfPqIndex(pinned, idx)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        Similarity.appendToIvfPqIndex(pinned, idx, dedupe = true)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val res = spark.read.parquet(out).cache()
-    res.count() // pin: the per-run index dir is scratch
-    res
+    // localCheckpoint, not cache: CacheManager matches file scans by
+    // root path (InMemoryFileIndex equality), so a cached read of this
+    // per-run scratch path can serve STALE rows to a later run over
+    // the same sfDir; a checkpoint pins the rows without entering the
+    // plan cache at all
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .localCheckpoint(true)
   }
 }

@@ -56,4 +56,35 @@ class AnnStreamingSpec extends SparkSpec {
     assert(hit.count() > 0,
       "a twin query must retrieve its streamed-in twin vector")
   }
+
+  test("retried index append is idempotent under dedupe, even when torn") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val idx = "/root/repo/target/tmp/spec_annfresh_retry"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    Similarity.writeIvfPqIndex(embs.filter($"vec_id" >= 10), idx)
+    val batch = embs.filter($"vec_id" < 5)
+    def sizes() = Seq("lists", "codes", "vectors")
+      .map(t => spark.read.parquet(s"$idx/$t").count())
+    Similarity.appendToIvfPqIndex(batch, idx, dedupe = true)
+    val once = sizes()
+    // a full retry (foreachBatch re-fired after an ack-lost crash)
+    Similarity.appendToIvfPqIndex(batch, idx, dedupe = true)
+    assert(sizes() == once, "a retried append must not double-add")
+    // a TORN retry: simulate a crash after lists landed but before
+    // codes/vectors by appending a second batch's lists only, then
+    // retrying the whole append — the done piece must not duplicate and
+    // the missing pieces must complete
+    val batch2 = embs.filter($"vec_id" >= 5 && $"vec_id" < 10)
+    Similarity.assignClustersQ(Similarity.quantizeCorpus(batch2),
+        spark.read.parquet(s"$idx/centroids"))
+      .write.mode("append").parquet(s"$idx/lists")
+    Similarity.appendToIvfPqIndex(batch2, idx, dedupe = true)
+    val after = sizes()
+    // lists/vectors hold 1 row per vector, codes m=8: the torn piece
+    // (lists) must not duplicate, the missing pieces must complete
+    assert(after == Seq(once(0) + 5, once(1) + 40, once(2) + 5),
+      s"torn retry must converge, got $once -> $after")
+    assert(spark.read.parquet(s"$idx/vectors").select("vec_id")
+      .distinct().count() == after(2))
+  }
 }
