@@ -60,12 +60,10 @@ object MvAdvisor {
     * file list — when that list happens to be a single file it must
     * not masquerade as a stable standalone base (the snapshot moves on
     * the next commit); txn workloads go through the txn-aware paths. */
-  private[plans] def underTxnTable(p: org.apache.hadoop.fs.Path): Boolean = {
-    def up(f: java.io.File): Boolean =
-      f != null &&
-        (new java.io.File(f, "_graft_log").isDirectory || up(f.getParentFile))
-    up(new java.io.File(p.toUri.getPath).getParentFile)
-  }
+  private[plans] def underTxnTable(p: org.apache.hadoop.fs.Path): Boolean =
+    graft.sources.TxnTable
+      .tableRootOf(new java.io.File(p.toUri.getPath).getParentFile)
+      .isDefined
 
   /** (last path segment, full root path) of a single-root PARQUET scan
     * — the advisor re-reads the base to price the summary, so only

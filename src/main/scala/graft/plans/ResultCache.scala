@@ -85,12 +85,7 @@ object ResultCache {
             fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
         val roots = fs.location.rootPaths
           .map(p => new File(p.toUri.getPath))
-        def tableDir(f: File): Option[File] =
-          Option(f).flatMap { dir =>
-            if (new File(dir, "_graft_log").isDirectory) Some(dir)
-            else tableDir(dir.getParentFile)
-          }
-        tableDir(roots.head.getParentFile).flatMap { t =>
+        TxnTable.tableRootOf(roots.head.getParentFile).flatMap { t =>
           // relativize against the table root — the form the log records
           val prefix = t.getCanonicalPath + File.separator
           val rel = roots.foldLeft(Option(Set.empty[String])) { (acc, f) =>
@@ -192,8 +187,11 @@ object ResultCache {
         val dir = new File(cacheDir, k)
         def entryOk = new File(dir, "_SUCCESS").isFile &&
           spark.read.parquet(dir.getPath).columns.sameElements(query.columns)
-        if (dir.isDirectory && entryOk)
+        if (dir.isDirectory && entryOk) {
+          // actively served → reprieve from a pending two-phase retire
+          new File(dir, "_retired").delete()
           Outcome(spark.read.parquet(dir.getPath), hit = true, key = k)
+        }
         else {
           org.apache.commons.io.FileUtils.deleteQuietly(dir)
           val staging = new File(cacheDir, s".stage_$k")
@@ -227,7 +225,19 @@ object ResultCache {
     * historical reader DOES come back, [[run]] simply misses and
     * re-installs (snapshots are immutable, so the recompute is
     * identical). Entries without pins metadata (foreign files) are left
-    * to [[evict]]. Returns the number of entries dropped. */
+    * to [[evict]].
+    *
+    * Retirement is TWO-PHASE because a hit's DataFrame is lazy — a
+    * reader served just before this call may still be scanning the
+    * entry's files. The first cycle that finds an entry lagging only
+    * MARKS it (`_retired`, underscore-invisible to the parquet read);
+    * the entry is deleted by a LATER retain call that finds the mark
+    * still present. [[run]] removes the mark on every hit, so an entry
+    * actively being served keeps earning reprieves — size the retain
+    * cadence above the longest query and no in-flight reader ever loses
+    * its files mid-scan. No wall clocks in the decision: the grace
+    * window is "one retention cycle", whatever cadence the operator
+    * runs at. Returns the number of entries DELETED this cycle. */
   def retain(cacheDir: String, maxLag: Int): Int = {
     require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
     val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
@@ -245,8 +255,13 @@ object ResultCache {
         }
       }
     }
-    dead.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-    dead.length
+    val (marked, fresh) = dead.partition(d => new File(d, "_retired").isFile)
+    fresh.foreach(d => new File(d, "_retired").createNewFile())
+    marked.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // an entry within the lag sheds any stale mark (e.g. the operator
+    // widened maxLag between cycles) — marks always reflect THIS cycle
+    entries.filterNot(dead.contains).foreach(d => new File(d, "_retired").delete())
+    marked.length
   }
 
   /** Drop entries whose pinned versions no longer resolve — i.e. every

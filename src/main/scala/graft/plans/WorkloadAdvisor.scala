@@ -73,30 +73,6 @@ object WorkloadAdvisor {
              maxPartitions: Long = 1024L,
              exactNdv: Boolean = false): DataFrame = {
     import spark.implicits._
-    // ── repeated-plan families, grouped by TEMPLATE (pins stripped):
-    //    identical pins → result cache; moving pins → routed to views
-    val keyed = queries.flatMap(q => ResultCache.templateKeyAndPins(q))
-    val pinRowCache = scala.collection.mutable.Map.empty[(String, Int), Long]
-    def rowsOfPin(p: (String, Int)): Long =
-      pinRowCache.getOrElseUpdate(p,
-        TxnTable.read(spark, p._1, asOf = Some(p._2)).count())
-    // family identity = (template, scanned-table set): two runs of the
-    // same SHAPE over different tables are unrelated queries, not churn
-    val rc = keyed.groupBy(k => (k._1, k._3.map(_._1)))
-      .filter(_._2.size >= 2).toSeq
-      .sortBy { case ((th, tabs), _) => (th, tabs.mkString(",")) }
-      .map { case (_, hits) =>
-        val tables = hits.head._3
-          .map(p => new java.io.File(p._1).getName).distinct.sorted
-          .mkString(",")
-        if (hits.map(_._2).distinct.size == 1) {
-          val saved = (hits.size - 1L) * hits.head._3.map(rowsOfPin).sum
-          ("result_cache", tables, "cache", "repeated_plan",
-            hits.size.toLong, saved, true)
-        } else
-          ("result_cache", tables, "route_to_view", "pins_moved",
-            hits.size.toLong, 0L, false)
-      }
     val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction)
       .collect().toSeq
       .map { r =>
@@ -133,10 +109,14 @@ object WorkloadAdvisor {
           r.getAs[Long]("n_range"), r.getAs[Long]("n_join"))
         val (ndv, rows) = (r.getAs[Long]("ndv"), r.getAs[Long]("base_rows"))
         val chosen = r.getAs[String]("action")
+        // ndv can measure 0 (an all-NULL filtered column, an empty
+        // base): floor the divisor — a 0-NDV column prunes nothing, and
+        // one degenerate column must not throw away the whole report
+        val d = math.max(1L, ndv)
         def price(a: String): Long = a match {
-          case "partition" => (nEq + nRange) * (rows - rows / ndv)
-          case "zorder" => nRange * (rows - rows / ndv)
-          case "bloom" => nEq * (rows - rows / ndv)
+          case "partition" => (nEq + nRange) * (rows - rows / d)
+          case "zorder" => nRange * (rows - rows / d)
+          case "bloom" => nEq * (rows - rows / d)
           case _ => nJoin * rows // bucket
         }
         // partition is rule-first, so it is never a losing alternative;
@@ -150,6 +130,42 @@ object WorkloadAdvisor {
           chosen,
           s"eq=$nEq,range=$nRange,join=$nJoin,ndv=$ndv,alt=$alts",
           nEq + nRange + nJoin, price(chosen), true)
+      }
+    // ── repeated-plan families, grouped by TEMPLATE (pins stripped):
+    //    identical pins → result cache; moving pins → routed to views.
+    //    Pin pricing reads FOOTER row counts off the snapshot's live
+    //    files ([[TxnTable.snapshotRowCount]]) — driver metadata, never
+    //    a scan, keeping the report's never-materialize contract honest.
+    val keyed = queries.flatMap(q => ResultCache.templateKeyAndPins(q))
+    val pinRowCache = scala.collection.mutable.Map.empty[(String, Int), Long]
+    def rowsOfPin(p: (String, Int)): Long =
+      pinRowCache.getOrElseUpdate(p,
+        TxnTable.snapshotRowCount(p._1, asOf = Some(p._2)))
+    // a churning family's routed-away row is only honest when some view
+    // family CAN carry its recommendation — measures the MV advisor
+    // declines (non-integral, non-head pins) would otherwise leave the
+    // workload's most expensive repeat with no actionable row at all
+    val viewTargets = (mv ++ mvTxn ++ stars)
+      .collect { case (_, target, _, _, _, _, true) => target }.toSet
+    // family identity = (template, scanned-table set): two runs of the
+    // same SHAPE over different tables are unrelated queries, not churn
+    val rc = keyed.groupBy(k => (k._1, k._3.map(_._1)))
+      .filter(_._2.size >= 2).toSeq
+      .sortBy { case ((th, tabs), _) => (th, tabs.mkString(",")) }
+      .map { case (_, hits) =>
+        val tableNames = hits.head._3
+          .map(p => new java.io.File(p._1).getName).distinct.sorted
+        val tables = tableNames.mkString(",")
+        if (hits.map(_._2).distinct.size == 1) {
+          val saved = (hits.size - 1L) * hits.head._3.map(rowsOfPin).sum
+          ("result_cache", tables, "cache", "repeated_plan",
+            hits.size.toLong, saved, true)
+        } else {
+          val covered = tableNames.exists(viewTargets.contains)
+          ("result_cache", tables, "route_to_view",
+            if (covered) "pins_moved" else "pins_moved,no_view",
+            hits.size.toLong, 0L, false)
+        }
       }
     val comp = dataDirs.sorted.map { p =>
       val a = LayoutAdvisor.compactionAdvice(spark, p, targetRowsPerFile)

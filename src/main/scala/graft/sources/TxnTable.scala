@@ -58,6 +58,40 @@ object TxnTable {
   def liveSplit(table: String, asOf: Option[Int] = None): (Seq[String], Seq[String]) =
     liveFiles(table, asOf).partition(!_.startsWith("dv/"))
 
+  /** Ascend from a directory to the nearest enclosing txn-table root
+    * (the dir owning a `_graft_log`), if any — the ONE definition of
+    * "this path reads txn-table files", shared by the result cache's
+    * snapshot resolution and the advisors' base classification. */
+  def tableRootOf(f: File): Option[File] =
+    Option(f).flatMap { dir =>
+      if (new File(dir, "_graft_log").isDirectory) Some(dir)
+      else tableRootOf(dir.getParentFile)
+    }
+
+  /** Parquet footer row count — metadata IO only (footer bytes), no
+    * row-group reads. */
+  private[graft] def footerRowCount(f: File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toURI),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Total rows of a snapshot from parquet FOOTER metadata of its live
+    * files, minus deletion-vector rows (one DV row per deleted address;
+    * stacked vectors are built against the DV-applied snapshot, so they
+    * never overlap). Driver-side O(files) footer IO, never a data
+    * scan — the row count a 100 TB advisor prices with: a real catalog
+    * would hold these as table statistics; here the immutable files ARE
+    * the statistics store. */
+  def snapshotRowCount(table: String, asOf: Option[Int] = None): Long = {
+    val (data, dv) = liveSplit(table, asOf)
+    def rows(rel: Seq[String]): Long =
+      rel.map(f => footerRowCount(new File(table, f))).sum
+    rows(data) - rows(dv)
+  }
+
   private def jsonArr(paths: Seq[String]): String =
     paths.map(p => "\"" + p + "\"").mkString("[", ",", "]")
 
@@ -163,8 +197,18 @@ object TxnTable {
                                     live: Set[String], xl: Long, xh: Long,
                                     byKey: Map[(Long, Long, Int), Int])
 
-  private val setIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, SetIndex]()
+  /** LRU-bounded: a long-lived driver resolving pins across MANY tables
+    * (the result-cache deployment) must not retain every table's full
+    * live-file set forever — an evicted table merely pays one fresh log
+    * replay on its next lookup, never a wrong answer. */
+  private val MaxIndexedTables = 64
+  private val setIndexes: java.util.Map[String, SetIndex] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SetIndex](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, SetIndex]): Boolean =
+          size() > MaxIndexedTables
+      })
 
   /** First 128 bits of MD5 — per-path mixing for the XOR set-hash.
     * XOR makes the set hash incrementally maintainable: add/remove a

@@ -135,13 +135,21 @@ object AnnStreaming {
         // the batch feeds two jobs (enrich + append): pin it once.
         // RETRY idempotence (a micro-batch re-fires after a failure
         // between these side effects and the checkpoint commit): the
-        // enrichment lands in a per-batch dir via overwrite (a re-run
-        // replaces, never duplicates) and the index append dedupes by
-        // vec_id per sub-table, so a torn append completes instead of
-        // double-adding the batch's vectors
+        // enrichment lands in a per-batch dir, and a COMPLETED one
+        // (_SUCCESS present) is never recomputed — it always predates
+        // the index append, so a retry that finds it cannot re-enrich
+        // against an index already holding the batch's own vectors
+        // (which would self-match at sim=1 and displace real
+        // neighbours). The index append then dedupes by vec_id per
+        // sub-table, so a torn append completes instead of
+        // double-adding the batch's vectors.
         val pinned = batch.localCheckpoint(true)
-        Similarity.ivfPqTopKIndexed(pinned, idx, k)
-          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        val bDir = new java.io.File(s"$out/b$batchId")
+        if (!new java.io.File(bDir, "_SUCCESS").isFile) {
+          org.apache.commons.io.FileUtils.deleteQuietly(bDir) // torn write
+          Similarity.ivfPqTopKIndexed(pinned, idx, k)
+            .write.parquet(bDir.getPath)
+        }
         Similarity.appendToIvfPqIndex(pinned, idx, dedupe = true)
         ()
       }

@@ -125,7 +125,12 @@ class ResultCacheSpec extends SparkSpec {
       Seq(("a", i.toLong)).toDF("k", "v"), t, overwrite = false))
     val e4 = ResultCache.run(spark, headQ(), retCache) // pinned at v4
     assert(e1.key != e4.key)
-    // lag(e1) = 3 > 2 → dropped; lag(e4) = 0 → kept
+    // lag(e1) = 3 > 2 → MARKED on the first cycle (a just-served lazy
+    // reader may still be scanning), DELETED on the second; lag(e4) = 0
+    // → untouched by both
+    assert(ResultCache.retain(retCache, maxLag = 2) == 0)
+    assert(new File(new File(retCache, e1.key), "_retired").isFile)
+    assert(new File(retCache, e1.key).isDirectory)
     assert(ResultCache.retain(retCache, maxLag = 2) == 1)
     assert(!new File(retCache, e1.key).isDirectory)
     assert(new File(retCache, e4.key).isDirectory)
@@ -136,6 +141,14 @@ class ResultCacheSpec extends SparkSpec {
     val back = ResultCache.run(spark, v1Q(), retCache)
     assert(!back.hit && back.key == e1.key)
     assert(ResultCache.run(spark, v1Q(), retCache).hit)
+    // a hit REPRIEVES a marked entry: mark, serve, re-mark — the entry
+    // survives as long as readers keep coming
+    assert(ResultCache.retain(retCache, maxLag = 2) == 0) // marks e1 again
+    assert(new File(new File(retCache, e1.key), "_retired").isFile)
+    assert(ResultCache.run(spark, v1Q(), retCache).hit)   // reprieve
+    assert(!new File(new File(retCache, e1.key), "_retired").isFile)
+    assert(ResultCache.retain(retCache, maxLag = 2) == 0) // mark cycle anew
+    assert(new File(retCache, e1.key).isDirectory)
     // nothing within the lag is touched on a re-run
     assert(ResultCache.retain(retCache, maxLag = 5) == 0)
   }

@@ -71,6 +71,42 @@ class WorkloadAdvisorSpec extends SparkSpec {
     })
   }
 
+  test("an all-NULL filtered column (ndv 0) prices to zero instead of crashing") {
+    val p = s"$root/nullcol.parquet"
+    (0L until 100L).map(i => (Option.empty[String], i)).toDF("c", "x")
+      .write.mode("overwrite").parquet(p)
+    def nq() = spark.read.parquet(p).filter(col("c") === "z").select("x")
+    val rep = WorkloadAdvisor.report(spark, Seq(nq()),
+      exactNdv = true).collect()
+    val lay = rep.filter(_.getAs[String]("family") == "layout")
+    assert(lay.length == 1)
+    // ndv 0 → the divisor floors to 1 → rows − rows/1 = 0 saved: the
+    // degenerate column is reported worthless, and the report survives
+    assert(lay.head.getAs[Long]("saved_rows") == 0L)
+  }
+
+  test("churn no view family can express is flagged no_view, not silently dropped") {
+    val t = s"$root/churn_dbl"
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v"), t,
+      overwrite = false)
+    // avg of a DOUBLE: every MV-family advisor declines the shape
+    def q() = TxnTable.read(spark, t).groupBy("g").agg(avg("v").as("av"))
+    val a = q()
+    TxnTable.commit(spark, Seq(("g9", 9.0)).toDF("g", "v"), t,
+      overwrite = false)
+    val b = q()
+    val rep = WorkloadAdvisor.report(spark, Seq(a, b)).collect()
+    val routed = rep.filter(r => r.getAs[String]("family") == "result_cache" &&
+      r.getAs[String]("target") == "churn_dbl")
+    assert(routed.length == 1)
+    assert(routed.head.getAs[String]("action") == "route_to_view")
+    // the handshake's promise fails here — the report says so
+    assert(routed.head.getAs[String]("detail") == "pins_moved,no_view")
+    assert(!rep.exists(r => r.getAs[String]("family") == "view" &&
+      r.getAs[String]("target") == "churn_dbl"))
+  }
+
   test("layout conflicts surface as one row with priced alternatives") {
     val p = s"$root/base.parquet"
     (0L until 1000L).map(i => (i % 10, i)).toDF("c", "x")

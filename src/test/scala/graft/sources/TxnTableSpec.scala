@@ -36,6 +36,22 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.currentVersion(t) == 4)
   }
 
+  test("snapshotRowCount: footer metadata equals a full count, DVs subtract") {
+    val t = freshTable("tt_rowcount")
+    TxnTable.commit(spark, (1L to 40L).toDF("id"), t, overwrite = false)
+    TxnTable.commit(spark, (41L to 60L).toDF("id"), t, overwrite = false)
+    assert(TxnTable.snapshotRowCount(t) == 60L)
+    assert(TxnTable.snapshotRowCount(t, asOf = Some(1)) == 40L)
+    // a MOR delete adds a vector, rewrites nothing — the footer-side
+    // count must agree with what a reader actually sees
+    import org.apache.spark.sql.functions.col
+    TxnTable.deleteWhereMor(spark, t, col("id") % 4 === 0L)
+    assert(TxnTable.snapshotRowCount(t) == TxnTable.read(spark, t).count())
+    assert(TxnTable.snapshotRowCount(t) == 45L)
+    // time travel still prices the pre-delete snapshot
+    assert(TxnTable.snapshotRowCount(t, asOf = Some(2)) == 60L)
+  }
+
   test("vacuum deletes only what no retained snapshot references") {
     val t = freshTable("tt_vacuum")
     TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
