@@ -161,23 +161,49 @@ object MvAdvisor {
     * serve are simply not counted — the advisor proposes, the
     * [[MvRewrite]] gates dispose. */
   def recommend(spark: SparkSession, queries: Seq[DataFrame],
-                maxRowsFraction: Double = 0.5): DataFrame = {
+                maxRowsFraction: Double = 0.5,
+                exactNdv: Boolean = false,
+                rsd: Double = 0.05): DataFrame = {
     val cands = queries.flatMap(candidate)
     val rows = cands.groupBy(_.base).toSeq.sortBy(_._1).map {
       case (base, cs) =>
         val keys = cs.flatMap(_.keys).distinct.sorted
         val measures = cs.flatMap(_.measures).distinct.sorted
         val rel = spark.read.parquet(cs.head.basePath)
-        val estRows = rel.select(keys.map(col): _*).distinct().count()
+        val estRows = estKeyRows(rel, keys, exactNdv, rsd)
         val baseRows = rel.count()
         (base, keys.mkString(","), measures.mkString(","),
           cs.size.toLong, estRows, baseRows,
-          estRows <= maxRowsFraction * baseRows)
+          admits(estRows, baseRows, maxRowsFraction, exactNdv, rsd))
     }
     import spark.implicits._
     rows.toDF("base", "view_keys", "view_measures", "n_queries",
       "est_rows", "base_rows", "recommend")
   }
+
+  /** Distinct key-combination cardinality of `rel` — the summary's
+    * estimated row count. Approximate (HLL++ over the key struct,
+    * relative error `rsd`) by default: advisory statistics over a
+    * 100 TB base must not cost the expand-shuffle an exact DISTINCT
+    * does, and sketch error never changes WHICH shape the workload
+    * aggregates, only where the size boundary falls. `exactNdv = true`
+    * keeps the exact path — the oracle-gated test configuration. */
+  private def estKeyRows(rel: DataFrame, keys: Seq[String],
+                         exactNdv: Boolean, rsd: Double): Long =
+    if (exactNdv) rel.select(keys.map(col): _*).distinct().count()
+    else rel.agg(org.apache.spark.sql.functions.approx_count_distinct(
+      org.apache.spark.sql.functions.struct(keys.map(col): _*), rsd))
+      .head().getLong(0)
+
+  /** The size gate, ERROR-AWARE in approx mode: materializing a view
+    * whose true cardinality overshoots the budget wastes the build and
+    * the refresh forever after, while declining a borderline fit merely
+    * skips a minor win — so the band is one-sided, like
+    * [[LayoutAdvisor.recommend]]'s partition boundary. */
+  private def admits(estRows: Long, baseRows: Long, maxRowsFraction: Double,
+                     exactNdv: Boolean, rsd: Double): Boolean =
+    if (exactNdv) estRows <= maxRowsFraction * baseRows
+    else estRows * (1 + 2 * rsd) <= maxRowsFraction * baseRows
 
   /** One dimension of a recommended star, in CHAIN order (leftKey
     * resolves against fact + earlier dims — exactly what
@@ -304,7 +330,9 @@ object MvAdvisor {
     * dims rendered `suffix:leftKey=dimKey:joinType` in chain order —
     * feed them straight to [[Mv.buildStar]]/[[Mv.registerStar]]. */
   def recommendStars(spark: SparkSession, queries: Seq[DataFrame],
-                     maxRowsFraction: Double = 0.5): DataFrame = {
+                     maxRowsFraction: Double = 0.5,
+                     exactNdv: Boolean = false,
+                     rsd: Double = 0.05): DataFrame = {
     val cands = queries.flatMap(starCandidate(spark, _))
     val rows = cands
       .groupBy(c => (c.factSuffix,
@@ -320,13 +348,13 @@ object MvAdvisor {
             col(dm.leftKey) === col(dm.dimKey),
             if (dm.joinType == "left") "left" else "inner")
         }
-        val estRows = joined.select(keys.map(col): _*).distinct().count()
+        val estRows = estKeyRows(joined, keys, exactNdv, rsd)
         val factRows = fact.count()
         val star = c.dims.map(d =>
           s"${d.suffix}:${d.leftKey}=${d.dimKey}:${d.joinType}").mkString(",")
         (c.factSuffix, star, keys.mkString(","), measures.mkString(","),
           cs.size.toLong, estRows, factRows,
-          estRows <= maxRowsFraction * factRows)
+          admits(estRows, factRows, maxRowsFraction, exactNdv, rsd))
       }
       .sortBy(r => (r._1, r._2))
     import spark.implicits._
@@ -359,12 +387,7 @@ object MvAdvisor {
         import graft.sources.TxnTable
         val roots = fs.location.rootPaths
           .map(p => new java.io.File(p.toUri.getPath))
-        def tableDir(f: java.io.File): Option[java.io.File] =
-          Option(f).flatMap { dir =>
-            if (new java.io.File(dir, "_graft_log").isDirectory) Some(dir)
-            else tableDir(dir.getParentFile)
-          }
-        tableDir(roots.head.getParentFile).flatMap { t =>
+        TxnTable.tableRootOf(roots.head.getParentFile).flatMap { t =>
           val v = TxnTable.currentVersion(t.getPath)
           val live = TxnTable.liveFiles(t.getPath, Some(v))
             .map(rel => new java.io.File(t, rel).getCanonicalPath).toSet
@@ -393,7 +416,9 @@ object MvAdvisor {
     * version, view_keys, view_measures, n_queries, est_rows,
     * base_rows, recommend), ordered. */
   def recommendTxn(spark: SparkSession, queries: Seq[DataFrame],
-                   maxRowsFraction: Double = 0.5): DataFrame = {
+                   maxRowsFraction: Double = 0.5,
+                   exactNdv: Boolean = false,
+                   rsd: Double = 0.05): DataFrame = {
     import graft.sources.TxnTable
     val cands = queries.flatMap(txnCandidate)
     val rows = cands.groupBy(c => (c.tablePath, c.version)).toSeq
@@ -401,11 +426,13 @@ object MvAdvisor {
         val keys = cs.flatMap(_.keys).distinct.sorted
         val measures = cs.flatMap(_.measures).distinct.sorted
         val rel = TxnTable.read(spark, path, asOf = Some(v))
-        val estRows = rel.select(keys.map(col): _*).distinct().count()
-        val baseRows = rel.count()
+        val estRows = estKeyRows(rel, keys, exactNdv, rsd)
+        // base rows come off the snapshot's parquet footers — metadata,
+        // not a scan; the pinned file set makes the count exact
+        val baseRows = TxnTable.snapshotRowCount(path, asOf = Some(v))
         (cs.head.table, v.toLong, keys.mkString(","),
           measures.mkString(","), cs.size.toLong, estRows, baseRows,
-          estRows <= maxRowsFraction * baseRows)
+          admits(estRows, baseRows, maxRowsFraction, exactNdv, rsd))
       }
       .sortBy(r => (r._1, r._2))
     import spark.implicits._

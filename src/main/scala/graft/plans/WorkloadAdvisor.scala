@@ -73,7 +73,8 @@ object WorkloadAdvisor {
              maxPartitions: Long = 1024L,
              exactNdv: Boolean = false): DataFrame = {
     import spark.implicits._
-    val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction)
+    val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction,
+        exactNdv = exactNdv)
       .collect().toSeq
       .map { r =>
         val n = r.getAs[Long]("n_queries")
@@ -82,7 +83,8 @@ object WorkloadAdvisor {
           r.getAs[String]("view_keys") + "|" + r.getAs[String]("view_measures"),
           n, saved, r.getAs[Boolean]("recommend"))
       }
-    val mvTxn = MvAdvisor.recommendTxn(spark, queries, maxRowsFraction)
+    val mvTxn = MvAdvisor.recommendTxn(spark, queries, maxRowsFraction,
+        exactNdv = exactNdv)
       .collect().toSeq
       .map { r =>
         val n = r.getAs[Long]("n_queries")
@@ -91,7 +93,8 @@ object WorkloadAdvisor {
           r.getAs[String]("view_keys") + "|" + r.getAs[String]("view_measures"),
           n, saved, r.getAs[Boolean]("recommend"))
       }
-    val stars = MvAdvisor.recommendStars(spark, queries, maxRowsFraction)
+    val stars = MvAdvisor.recommendStars(spark, queries, maxRowsFraction,
+        exactNdv = exactNdv)
       .collect().toSeq
       .map { r =>
         val n = r.getAs[Long]("n_queries")

@@ -745,7 +745,8 @@ object ScaleQueries {
           .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc")),
         // unservable: sampling filter — no summary answers it
         li.filter(rand() < 0.5)
-          .groupBy("l_returnflag").agg(sum("l_partkey").as("ps"))))
+          .groupBy("l_returnflag").agg(sum("l_partkey").as("ps"))),
+        exactNdv = true)
         .orderBy("base")
     },
 
@@ -793,7 +794,8 @@ object ScaleQueries {
           .agg(sum("l_partkey").as("ps"), count(lit(1)).as("n")),
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority", "l_linestatus")
-          .agg(min("l_suppkey").as("ms"))))
+          .agg(min("l_suppkey").as("ms"))),
+        exactNdv = true)
         .orderBy("star")
     },
 
@@ -838,7 +840,8 @@ object ScaleQueries {
         TxnTable.read(s, table).groupBy("o_orderpriority")
           .agg(sum("o_custkey").as("cs")),
         TxnTable.read(s, table).filter(col("o_orderstatus") =!= "P")
-          .groupBy("o_orderpriority").agg(count(lit(1)).as("n")))).head()
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
+        exactNdv = true).head()
       require(rec.getAs[Boolean]("recommend"),
         s"advisor declined the lifecycle view: $rec")
       val keys = rec.getAs[String]("view_keys").split(",").toSeq

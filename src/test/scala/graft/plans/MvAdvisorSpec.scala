@@ -53,6 +53,36 @@ class MvAdvisorSpec extends SparkSpec {
       base.filter(rand() < 0.5).groupBy("ka").agg(sum("m1"))).isEmpty)
   }
 
+  test("approx NDV pricing: sketch and exact agree on the verdict; band is one-sided") {
+    // a cardinality where a sketch overshoot near the boundary matters:
+    // 500 distinct keys over 1000 rows sits exactly AT fraction 0.5 —
+    // exact admits (500 <= 500); the error-aware approx band must NOT
+    // (est·1.1 > 500 even with a perfect sketch), because materializing
+    // an overshooting view wastes the build forever while declining a
+    // borderline fit merely skips a minor win
+    import spark.implicits._
+    val p = "/root/repo/target/tmp/spec_mvadv_band.parquet"
+    (0L until 1000L).map(i => (s"k${i % 500}", i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(p)
+    def q() = spark.read.parquet(p).groupBy("k").agg(sum("v").as("sv"))
+    val exact = MvAdvisor.recommend(spark, Seq(q()), exactNdv = true).head()
+    assert(exact.getAs[Long]("est_rows") == 500L)
+    assert(exact.getAs[Boolean]("recommend"))
+    val approx = MvAdvisor.recommend(spark, Seq(q())).head()
+    // HLL++ error at this cardinality stays inside the declared rsd
+    assert(math.abs(approx.getAs[Long]("est_rows") - 500L) <= 50L)
+    assert(!approx.getAs[Boolean]("recommend"),
+      "the one-sided band must decline an at-the-boundary view in approx mode")
+    // far from the boundary the sketch never flips the verdict
+    val pSmall = "/root/repo/target/tmp/spec_mvadv_band2.parquet"
+    (0L until 1000L).map(i => (s"k${i % 8}", i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(pSmall)
+    def qs() = spark.read.parquet(pSmall).groupBy("k").agg(sum("v").as("sv"))
+    assert(MvAdvisor.recommend(spark, Seq(qs())).head().getAs[Boolean]("recommend"))
+    assert(MvAdvisor.recommend(spark, Seq(qs()), exactNdv = true)
+      .head().getAs[Boolean]("recommend"))
+  }
+
   test("closing the loop: build what the advisor recommends and the workload rewrites") {
     // thunks: a Dataset memoizes its plan at creation, so the
     // from_mv probe and the rule-disabled ground truth each need a
