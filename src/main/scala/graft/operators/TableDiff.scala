@@ -1,50 +1,101 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Keyed snapshot diff (engine-added, builder brief): what changed between
-  * two versions of a table — the reconciliation/audit pass behind CDC
-  * validation, warehouse-load verification (the reference reloads whole
-  * tables and trusts the load; a diff is how you'd check one), and
-  * incremental-pipeline debugging ("which docs changed since the last
-  * curation run?").
+import graft.sources.TxnTable
+
+/** Keyed TABLE DIFF — set reconciliation between two relations sharing
+  * a schema: one output row per key present in either side, classified
+  * `added` / `removed` / `changed` / `unchanged`, with the exact value
+  * columns that moved. The operation every large deployment runs
+  * between pipeline generations (did the rewrite change anything?),
+  * environments (staging vs prod), and snapshots (what did last night's
+  * load actually do?) — the reference has no machine answer to any of
+  * these: its pipeline reloads tables wholesale each run
+  * (`pipeline.py`'s full-table to_sql loads), so "what changed" is
+  * answerable only by eyeballing row counts.
   *
-  * Scale shape: each side is reduced to (key, fingerprint) BEFORE the
-  * join — the full-outer join shuffles two narrow columns, never payloads,
-  * so a 100-column 100 TB table diffs at the cost of its key column plus
-  * one hash. The fingerprint is xxhash64 over the non-key columns in
-  * sorted-name order (layout-independent); fingerprint equality stands in
-  * for row equality with the usual ~1e-19 per-pair collision odds.
+  * Semantics: `keys` identifies rows (the caller guarantees per-side
+  * uniqueness — under duplicate keys a diff is ill-posed, and the join
+  * would multiply); every non-key column participates in change
+  * detection with NULL-safe equality (`<=>`), so NULL→value, value→NULL
+  * and NULL→NULL classify correctly. `changed_cols` lists the moved
+  * columns comma-joined in sorted-name order ("" for added/removed
+  * rows, whose columns have no counterpart to compare).
+  *
+  * Scale shape: ONE shuffle — a full-outer hash join on the key
+  * columns; comparison and classification are scan-side expressions
+  * inside whole-stage codegen (no UDFs, no driver involvement, output
+  * row count ≤ |left| + |right|). Skewed keys are AQE's skew-join
+  * problem, co-location is bucketing's — both orthogonal and both
+  * compose. At 100 TB the usual deployment diffs PARTITIONS of the two
+  * sides in parallel (the key set is normally partition-stable), or two
+  * versions of a [[TxnTable]] via [[diffVersions]], where time travel
+  * makes both sides immutable file sets of ONE table.
   */
 object TableDiff {
 
-  /** Diff `after` against `before` on `keys`: one row per key whose row
-    * set changed, classified `added` / `removed` / `changed`. Keys are
-    * assumed unique per side (snapshot semantics — dedupe first if not). */
-  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "need at least one key column")
-    require(before.columns.sorted.sameElements(after.columns.sorted),
-      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
-    val payload = before.columns.filterNot(keys.contains).sorted
-    // xxhash64 SKIPS null arguments (the running hash passes through), so
-    // (null, "x") and ("x", null) would collide. No in-band sentinel is
-    // safe — a string column can legally hold ANY value, including NUL —
-    // so null-ness travels as its own hash argument: (isnull-flag, value)
-    // per column, both never-null, keeps every position firm
-    def fingered(df: DataFrame, fp: String) = df.select(
-      keys.map(col) :+
-        xxhash64(payload.flatMap(c => Seq(
-          isnull(col(c)).cast("string"),
-          coalesce(col(c).cast("string"), lit("")))): _*).as(fp): _*)
-    val b = fingered(before, "__fp_b")
-    val a = fingered(after, "__fp_a")
-    b.join(a, keys, "full_outer")
-      .withColumn("change",
-        when(col("__fp_b").isNull, lit("added"))
-          .when(col("__fp_a").isNull, lit("removed"))
-          .when(col("__fp_a") =!= col("__fp_b"), lit("changed")))
-      .filter(col("change").isNotNull)
-      .select(keys.map(col) :+ col("change"): _*)
+  /** Diff `right` against `left` (left = the before side: a row only in
+    * `right` is `added`, only in `left` is `removed`). Output columns:
+    * the keys, `change`, `changed_cols` — pass `includeUnchanged` to
+    * keep the (normally dominant, normally dropped) unchanged class. */
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
+           includeUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(left.columns.toSet == right.columns.toSet,
+      s"schemas differ: ${left.columns.toSeq.sorted} vs ${right.columns.toSeq.sorted}")
+    require(keys.forall(left.columns.contains),
+      s"keys $keys missing from ${left.columns.toSeq.sorted}")
+    val valueCols = left.columns.filterNot(keys.contains).toSeq.sorted
+    val l = left.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__l", lit(true))
+    val r = right.select(
+        keys.map(col) ++ valueCols.map(c => col(c).as(s"${c}__r")): _*)
+      .withColumn("__r", lit(true))
+    val j = l.join(r, keys, "full_outer")
+    val bothSides = col("__l").isNotNull && col("__r").isNotNull
+    // sorted-name order is built statically, so no array_sort at runtime
+    val moved: Seq[Column] = valueCols.map(c =>
+      when(!(col(c) <=> col(s"${c}__r")), lit(c)))
+    val changedCols = when(bothSides,
+      concat_ws(",", filter(array(moved: _*), x => x.isNotNull)))
+      .otherwise(lit(""))
+    val change = when(col("__l").isNull, lit("added"))
+      .when(col("__r").isNull, lit("removed"))
+      .when(changedCols =!= "", lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = j.select(keys.map(col) :+ change.as("change") :+
+      changedCols.as("changed_cols"): _*)
+    if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
   }
+
+  /** The diff rolled up to an audit report: one row per change class
+    * (`added` / `removed` / `changed` / `unchanged`) plus one
+    * `col:<name>` row per value column that moved anywhere, each with
+    * its row count. Two aggregations over the one-shuffle diff. */
+  def diffSummary(left: DataFrame, right: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val d = diff(left, right, keys, includeUnchanged = true)
+    val byChange = d.groupBy(col("change").as("metric"))
+      .agg(count(lit(1)).as("n"))
+    val byCol = d.filter(col("change") === "changed")
+      .select(explode(split(col("changed_cols"), ",")).as("c"))
+      .groupBy(concat(lit("col:"), col("c")).as("metric"))
+      .agg(count(lit(1)).as("n"))
+    byChange.unionByName(byCol)
+  }
+
+  /** Diff two committed versions of one [[TxnTable]] — reconciliation
+    * over time travel: both sides are immutable file sets, so the
+    * answer is stable no matter when it runs. The row-level complement
+    * of [[TxnTable.changeFeed]]: the feed replays WHAT each commit did
+    * (file-granular, O(Δ)); this compares two chosen points regardless
+    * of how many commits separate them, keyed and column-attributed. */
+  def diffVersions(spark: SparkSession, table: String, fromVersion: Int,
+                   toVersion: Int, keys: Seq[String],
+                   includeUnchanged: Boolean = false): DataFrame =
+    diff(TxnTable.read(spark, table, asOf = Some(fromVersion)),
+      TxnTable.read(spark, table, asOf = Some(toVersion)),
+      keys, includeUnchanged)
 }

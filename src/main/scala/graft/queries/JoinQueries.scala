@@ -260,6 +260,128 @@ object JoinQueries {
       graft.operators.FuzzyJoin.fuzzyPairs(names, names, "p_name",
           t => split(t, " ").getItem(1), maxDist = 3)
         .orderBy("name_a", "name_b")
+    },
+
+    // ── keyed TABLE DIFF (TableDiff.diff): reconciliation between two
+    //    generations of a table — one full-outer hash join on the key,
+    //    rows classified added/removed/changed with NULL-safe per-column
+    //    attribution. The "after" side is derived deterministically from
+    //    orders (delete %10, reprice %7, restatus %14, insert %13 under
+    //    shifted keys) so DuckDB rebuilds both sides and the whole diff.
+    sql("q_table_diff",
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 14 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |d AS (
+        |  SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NULL THEN 'added'
+        |         WHEN r.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+        |           OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+        |           OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice) THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN ''
+        |         ELSE concat_ws(',',
+        |           CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN 'o_custkey' END,
+        |           CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN 'o_orderstatus' END,
+        |           CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN 'o_totalprice' END)
+        |    END AS changed_cols
+        |  FROM base l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+        |SELECT o_orderkey, change, changed_cols FROM d
+        |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val (base, right) = diffFixture(s, d)
+      graft.operators.TableDiff.diff(base, right, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── diff SUMMARY (TableDiff.diffSummary): the audit report — class
+    //    counts plus one col:<name> row per moved column.
+    sql("q_table_diff_summary",
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 14 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |d AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN l.o_orderkey IS NULL THEN 'added'
+        |         WHEN r.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+        |           OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+        |           OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice) THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN ''
+        |         ELSE concat_ws(',',
+        |           CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN 'o_custkey' END,
+        |           CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN 'o_orderstatus' END,
+        |           CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN 'o_totalprice' END)
+        |    END AS changed_cols
+        |  FROM base l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+        |SELECT metric, n FROM (
+        |  SELECT change AS metric, COUNT(*) AS n FROM d GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'col:' || u.c AS metric, COUNT(*) AS n
+        |  FROM d, unnest(string_split(changed_cols, ',')) AS u(c)
+        |  WHERE change = 'changed' GROUP BY 1)
+        |ORDER BY metric""".stripMargin) { (s, d) =>
+      val (base, right) = diffFixture(s, d)
+      graft.operators.TableDiff.diffSummary(base, right, Seq("o_orderkey"))
+        .orderBy("metric")
+    },
+
+    // ── diff over TIME TRAVEL (TableDiff.diffVersions): reconcile two
+    //    committed versions of one txn table — a CoW delete and an
+    //    append later, the diff names exactly what the commits did.
+    sql("q_table_diff_versions",
+      """WITH base AS MATERIALIZED (SELECT o_orderkey, o_custkey FROM orders)
+        |SELECT o_orderkey, 'removed' AS change, '' AS changed_cols
+        |FROM base WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'added', '' FROM base WHERE o_orderkey % 13 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = graft.Scratch.dir(s"/root/repo/target/tmp/tdiff_txn_$sfKey")
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      TxnTable.commit(s, base, t, overwrite = false)
+      TxnTable.deleteWhere(s, t, col("o_orderkey") % 10 === 0)
+      TxnTable.commit(s,
+        base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)),
+        t, overwrite = false)
+      graft.operators.TableDiff.diffVersions(s, t, 1,
+          TxnTable.currentVersion(t), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
     }
   )
+
+  /** The shared q_table_diff fixture: (before, after) sides derived
+    * deterministically from orders so the oracle rebuilds both. */
+  private def diffFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = s.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val right = base.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 14 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    (base, right)
+  }
 }

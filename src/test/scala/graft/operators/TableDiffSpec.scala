@@ -1,63 +1,93 @@
 package graft.operators
 
-import graft.SparkSpec
+import java.io.File
 
-/** Behavior specs for the keyed snapshot diff: classification, null
-  * payloads (the xxhash64 null-skip trap), composite keys, and the
-  * no-change fast exit.
-  */
+import graft.SparkSpec
+import graft.sources.TxnTable
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** Keyed diff semantics: the four change classes, NULL-safe column
+  * attribution, multi-key identity, the summary rollup, and version
+  * diff over the txn log. */
 class TableDiffSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("added / removed / changed / unchanged classify correctly") {
-    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
-      .toDF("id", "name", "v")
-    val after = Seq((2L, "b", 20.0), (3L, "c", 99.0), (4L, "d", 40.0))
-      .toDF("id", "name", "v")
-    val got = TableDiff.diff(before, after, Seq("id"))
-      .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("added/removed/changed/unchanged with NULL-safe column attribution") {
+    val l = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(20L)),
+      (3L, Some("c"), Some(30L)),
+      (5L, None, Some(50L)),
+      (6L, Some("f"), None)).toDF("k", "s", "v")
+    val r = Seq(
+      (2L, Some("b"), Some(21L)),   // changed: v
+      (3L, Some("c"), Some(30L)),   // unchanged
+      (4L, Some("d"), Some(40L)),   // added
+      (5L, None, Some(50L)),        // unchanged (NULL <=> NULL)
+      (6L, Some("g"), Some(60L))).toDF("k", "s", "v") // changed: s AND v (NULL→60)
+    val d = TableDiff.diff(l, r, Seq("k"))
+    assert(rowsOf(d) == Set(
+      (1L, "removed", ""),
+      (2L, "changed", "v"),
+      (4L, "added", ""),
+      (6L, "changed", "s,v")))
+    val full = TableDiff.diff(l, r, Seq("k"), includeUnchanged = true)
+    assert(full.count() == 6)
+    assert(full.filter(col("change") === "unchanged").count() == 2)
   }
 
-  test("null payloads diff by position, not by hash pass-through") {
-    val before = Seq((1L, Option.empty[String], Option("x"))).toDF("id", "a", "b")
-    val after = Seq((1L, Option("x"), Option.empty[String])).toDF("id", "a", "b")
-    // (null, x) -> (x, null): xxhash64 skips nulls, so without the
-    // sentinel these would hash equal and the change would vanish
-    val got = TableDiff.diff(before, after, Seq("id"))
-      .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "changed")))
+  test("multi-column keys identify rows jointly") {
+    val l = Seq(("x", 1L, 10L), ("x", 2L, 20L)).toDF("a", "b", "v")
+    val r = Seq(("x", 1L, 11L), ("y", 2L, 20L)).toDF("a", "b", "v")
+    val d = TableDiff.diff(l, r, Seq("a", "b")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    assert(d == Set(("x", 1L, "changed"), ("x", 2L, "removed"),
+      ("y", 2L, "added")))
   }
 
-  test("no data value collides with the null encoding — not even NUL") {
-    // a literal NUL-byte string vs NULL: an in-band sentinel would hash
-    // them identical and the change would vanish
-    val before = Seq((1L, Option("\u0000")), (2L, Option("")))
-      .toDF("id", "a")
-    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
-      .toDF("id", "a")
-    val got = TableDiff.diff(before, after, Seq("id"))
-      .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "changed"), (2L, "changed")))
+  test("summary counts classes and per-column movement") {
+    val l = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val r = Seq((1L, "z", 11L), (2L, "b", 20L), (4L, "d", 40L)).toDF("k", "s", "v")
+    val m = TableDiff.diffSummary(l, r, Seq("k")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L, "col:s" -> 1L, "col:v" -> 1L))
   }
 
-  test("composite keys and identical snapshots") {
-    val snap = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k1", "k2", "v")
-    assert(TableDiff.diff(snap, snap, Seq("k1", "k2")).isEmpty)
-    val moved = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k1", "k2", "v")
-    val got = TableDiff.diff(snap, moved, Seq("k1", "k2"))
-      .select("k1", "k2", "change").as[(Long, Long, String)].collect().toSet
-    assert(got == Set((1L, 2L, "removed"), (2L, 2L, "added")))
+  test("diffVersions reconciles two txn snapshots across many commits") {
+    val t = "/root/repo/target/tmp/spec_tdiff_txn"
+    FileUtils.deleteQuietly(new File(t))
+    TxnTable.commit(spark,
+      (1L to 10L).map(i => (i, i * 100L)).toDF("k", "v"), t, overwrite = false)
+    // three commits later: delete 3, rewrite 7's value, append 11
+    TxnTable.deleteWhere(spark, t, col("k") === 3L)
+    TxnTable.commit(spark,
+      TxnTable.read(spark, t).withColumn("v",
+        when(col("k") === 7L, lit(777L)).otherwise(col("v"))), t,
+      overwrite = true)
+    TxnTable.commit(spark, Seq((11L, 1100L)).toDF("k", "v"), t,
+      overwrite = false)
+    val d = TableDiff.diffVersions(spark, t, 1, TxnTable.currentVersion(t),
+      Seq("k"))
+    assert(rowsOf(d.select(col("k"), col("change"), col("changed_cols"))) ==
+      Set((3L, "removed", ""), (7L, "changed", "v"), (11L, "added", "")))
   }
 
-  test("column order never matters; schema mismatch fails loudly") {
-    val before = Seq((1L, "a", 2L)).toDF("id", "s", "n")
-    val after = Seq((1L, 2L, "a")).toDF("id", "n", "s") // same data, reordered
-    assert(TableDiff.diff(before, after, Seq("id")).isEmpty)
-    val other = Seq((1L, "a")).toDF("id", "s")
+  test("shape misuse refuses loudly") {
+    val l = Seq((1L, "a")).toDF("k", "s")
     intercept[IllegalArgumentException] {
-      TableDiff.diff(before, other, Seq("id"))
+      TableDiff.diff(l, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(l, l, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(l, l, Nil)
     }
   }
 }
