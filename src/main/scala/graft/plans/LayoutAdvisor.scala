@@ -217,8 +217,29 @@ object LayoutAdvisor {
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_files"),
         org.apache.spark.sql.functions.sum("n").as("total_rows")).head()
-    val nFiles = t.getAs[Long]("n_files")
-    val rows = t.getAs[Long]("total_rows")
+    adviceRow(spark, t.getAs[Long]("n_files"), t.getAs[Long]("total_rows"),
+      targetRowsPerFile)
+  }
+
+  /** [[compactionAdvice]] for a [[graft.sources.TxnTable]] snapshot,
+    * computed WITHOUT a scan: the live data files and their row counts
+    * come off the txn log's commit-time stats sidecars (parquet footers
+    * for pre-stats files) — at 100 TB the advice itself must be a
+    * metadata read, because the table it diagnoses is exactly the one
+    * too expensive to rescan per health check. Same output shape and
+    * same verdict rule as the scanning form; the apply path is
+    * `TxnTable.compactSmall` / `optimize`. */
+  def compactionAdviceTxn(spark: SparkSession, table: String,
+                          targetRowsPerFile: Long,
+                          asOf: Option[Int] = None): DataFrame = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val counts = graft.sources.TxnTable.liveFileRowCounts(table, asOf)
+    adviceRow(spark, counts.size.toLong, counts.map(_._2).sum,
+      targetRowsPerFile)
+  }
+
+  private def adviceRow(spark: SparkSession, nFiles: Long, rows: Long,
+                        targetRowsPerFile: Long): DataFrame = {
     val avg = rows / math.max(1L, nFiles)
     import spark.implicits._
     Seq((nFiles, rows, avg,

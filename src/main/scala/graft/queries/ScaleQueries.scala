@@ -970,6 +970,43 @@ object ScaleQueries {
       a.unionByName(b).orderBy("stage")
     },
 
+    // ── compaction advice WITHOUT a scan (compactionAdviceTxn): the
+    //    same verdict off the txn log's commit-time stats sidecars —
+    //    at 100 TB the health check must be a metadata read, because
+    //    the table it diagnoses is the one too big to rescan. Two
+    //    fragmented commits (4 + 3 pinned files) → advise → OPTIMIZE
+    //    to one file → advise again; both verdicts replayed by DuckDB
+    //    from the deterministic file counts and orders' row count.
+    sql("q_layout_compaction_txn",
+      """SELECT 'a_fragmented' AS stage, CAST(7 AS BIGINT) AS n_files,
+        |       (SELECT COUNT(*) FROM orders) AS total_rows,
+        |       (SELECT COUNT(*) FROM orders) // 7 AS avg_rows_per_file,
+        |       ((SELECT COUNT(*) FROM orders) // 7) < 4096 AS recommend_compact
+        |UNION ALL
+        |SELECT 'b_optimized', CAST(1 AS BIGINT),
+        |       (SELECT COUNT(*) FROM orders),
+        |       (SELECT COUNT(*) FROM orders), FALSE
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.plans.LayoutAdvisor
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = graft.Scratch.dir(s"/root/repo/target/tmp/compadvtxn_$sfKey")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 === 0)
+        .repartition(4), t, overwrite = false)
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 =!= 0)
+        .repartition(3), t, overwrite = false)
+      def staged(stage: String) =
+        LayoutAdvisor.compactionAdviceTxn(s, t, targetRowsPerFile = 8192L)
+          .select(lit(stage).as("stage"), col("n_files"), col("total_rows"),
+            col("avg_rows_per_file"), col("recommend_compact"))
+          .localCheckpoint(true)
+      val a = staged("a_fragmented")
+      TxnTable.optimize(s, t, numFiles = 1)
+      val b = staged("b_optimized")
+      a.unionByName(b).orderBy("stage")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the

@@ -70,25 +70,77 @@ object TxnTable {
 
   /** Parquet footer row count — metadata IO only (footer bytes), no
     * row-group reads. */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
   private[graft] def footerRowCount(f: File): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.toURI),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(f.toURI), footerConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
 
-  /** Total rows of a snapshot from parquet FOOTER metadata of its live
-    * files, minus deletion-vector rows (one DV row per deleted address;
-    * stacked vectors are built against the DV-applied snapshot, so they
-    * never overlap). Driver-side O(files) footer IO, never a data
-    * scan — the row count a 100 TB advisor prices with: a real catalog
-    * would hold these as table statistics; here the immutable files ARE
-    * the statistics store. */
+  private def statsFile(table: String, version: Int) =
+    new File(logDir(table), f"v$version%05d.stats.json")
+
+  /** COMMIT-TIME per-file statistics sidecar: each published version
+    * records its added files' parquet-footer row counts beside the log
+    * entry (`vNNNNN.stats.json`). Best-effort and ADVISORY — a crash
+    * between the commit link and the sidecar write, or a pre-stats
+    * table, just means [[snapshotRowCount]] falls back to reading the
+    * footers; the files themselves remain the truth. Cost at commit is
+    * O(added files) local footer reads of bytes just written. */
+  private def writeStats(table: String, version: Int,
+                         added: Seq[String]): Unit =
+    try {
+      val body = added.map { rel =>
+        s""""$rel":${footerRowCount(new File(table, rel))}"""
+      }.mkString("{", ",", "}")
+      val tmp = new File(logDir(table), f".v$version%05d-" +
+        java.util.UUID.randomUUID.toString.take(8) + ".stats.tmp")
+      Files.write(tmp.toPath,
+        s"""{"rows":$body}""".getBytes(StandardCharsets.UTF_8))
+      if (!tmp.renameTo(statsFile(table, version)))
+        Files.deleteIfExists(tmp.toPath)
+    } catch { case _: Exception => () } // advisory; footers stay the truth
+
+  /** Every row count the log's stats sidecars recorded, file → rows.
+    * Files are immutable, so re-listings (lineage compaction, restore)
+    * can only repeat identical values; later entries never change
+    * earlier files. Pure log-dir IO — O(versions) small JSON reads. */
+  private[sources] def recordedRowCounts(table: String): Map[String, Long] = {
+    val re = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+    logFiles(table).flatMap { f =>
+      val sf = statsFile(table, versionOf(f))
+      if (!sf.isFile) Nil
+      else re.findAllMatchIn(
+          new String(Files.readAllBytes(sf.toPath), StandardCharsets.UTF_8))
+        .map(m => m.group(1) -> m.group(2).toLong).toSeq
+    }.toMap
+  }
+
+  /** A snapshot's live DATA files with their row counts — commit-time
+    * sidecar stats where recorded, parquet footers for the rest. The
+    * per-file health input a compaction advisor reads WITHOUT scanning
+    * ([[graft.plans.LayoutAdvisor.compactionAdviceTxn]]). */
+  def liveFileRowCounts(table: String,
+                        asOf: Option[Int] = None): Seq[(String, Long)] = {
+    val recorded = recordedRowCounts(table)
+    liveSplit(table, asOf)._1.map(f =>
+      f -> recorded.getOrElse(f, footerRowCount(new File(table, f))))
+  }
+
+  /** Total rows of a snapshot, minus deletion-vector rows (one DV row
+    * per deleted address; stacked vectors are built against the
+    * DV-applied snapshot, so they never overlap). Commit-time sidecar
+    * stats where recorded, parquet FOOTER metadata for the rest —
+    * driver-side metadata IO either way, never a data scan: the row
+    * count a 100 TB advisor prices with. A real catalog would hold
+    * these as table statistics; here the log + immutable files ARE the
+    * statistics store. */
   def snapshotRowCount(table: String, asOf: Option[Int] = None): Long = {
+    val recorded = recordedRowCounts(table)
     val (data, dv) = liveSplit(table, asOf)
     def rows(rel: Seq[String]): Long =
-      rel.map(f => footerRowCount(new File(table, f))).sum
+      rel.map(f => recorded.getOrElse(f, footerRowCount(new File(table, f)))).sum
     rows(data) - rows(dv)
   }
 
@@ -410,6 +462,9 @@ object TxnTable {
         throw new java.util.ConcurrentModificationException(
           s"commit conflict: version $version of $table was published by another writer", e)
     }
+    // the commit is durable; record the added files' row counts beside
+    // it so later pricing/advice is a log read, not a footer sweep
+    writeStats(table, version, added)
     version
   }
 

@@ -149,4 +149,35 @@ class LayoutAdvisorSpec extends SparkSpec {
       targetRowsPerFile = 1000000L).head()
     assert(!c.getAs[Boolean]("recommend_compact"))
   }
+
+  test("txn compaction advice reads the log, agrees with the scan, survives lost sidecars") {
+    import graft.sources.TxnTable
+    import org.apache.commons.io.FileUtils
+    val t = s"$root/txn_comp"
+    FileUtils.deleteQuietly(new java.io.File(t))
+    TxnTable.commit(spark, (0L until 900L).map(i => (i, i % 5)).toDF("id", "v")
+      .repartition(6), t, overwrite = false)
+    TxnTable.commit(spark, (900L until 1200L).map(i => (i, i % 5)).toDF("id", "v")
+      .repartition(3), t, overwrite = false)
+    def adv() = LayoutAdvisor
+      .compactionAdviceTxn(spark, t, targetRowsPerFile = 1000L).head()
+    val a = adv()
+    assert(a.getAs[Long]("n_files") == 9L)
+    assert(a.getAs[Long]("total_rows") == 1200L)
+    assert(a.getAs[Boolean]("recommend_compact")) // avg 133 < 500
+    // lose every stats sidecar (pre-stats table / crashed writer):
+    // footer fallback yields the identical verdict
+    Option(new java.io.File(t, "_graft_log").listFiles()).get
+      .filter(_.getName.endsWith(".stats.json")).foreach(_.delete())
+    val b = adv()
+    assert(b.getAs[Long]("n_files") == 9L &&
+      b.getAs[Long]("total_rows") == 1200L &&
+      b.getAs[Boolean]("recommend_compact"))
+    // optimize clears the flag; the advice prices the NEW snapshot only
+    TxnTable.optimize(spark, t, numFiles = 1)
+    val c = adv()
+    assert(c.getAs[Long]("n_files") == 1L &&
+      c.getAs[Long]("total_rows") == 1200L &&
+      !c.getAs[Boolean]("recommend_compact"))
+  }
 }

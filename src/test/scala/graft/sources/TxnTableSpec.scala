@@ -50,6 +50,15 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.snapshotRowCount(t) == 45L)
     // time travel still prices the pre-delete snapshot
     assert(TxnTable.snapshotRowCount(t, asOf = Some(2)) == 60L)
+    // every commit (incl. the DV commit) recorded a stats sidecar, so
+    // the counts above were log reads; dropping the sidecars must not
+    // change a single answer (footer fallback)
+    val log = new File(t, "_graft_log")
+    val sidecars = log.listFiles().filter(_.getName.endsWith(".stats.json"))
+    assert(sidecars.length == 3)
+    sidecars.foreach(_.delete())
+    assert(TxnTable.snapshotRowCount(t) == 45L)
+    assert(TxnTable.snapshotRowCount(t, asOf = Some(1)) == 40L)
   }
 
   test("vacuum deletes only what no retained snapshot references") {
