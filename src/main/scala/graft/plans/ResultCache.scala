@@ -61,11 +61,14 @@ import graft.sources.TxnTable
 object ResultCache {
 
   /** One cache interaction: the frame to use (cached read on a hit,
-    * the original query otherwise), whether it hit, and the key ("" when
-    * the plan was uncacheable). Row order of a hit is NOT the computed
-    * order — parquet round-trips preserve rows, not order; callers
-    * apply their own ORDER BY after, per house rule. */
-  final case class Outcome(df: DataFrame, hit: Boolean, key: String) {
+    * the original query otherwise), whether it hit, the key ("" when
+    * the plan was uncacheable), and whether an entry now exists for it
+    * (false when uncacheable OR when admission declined the install —
+    * see [[run]]'s `maxResultFraction`). Row order of a hit is NOT the
+    * computed order — parquet round-trips preserve rows, not order;
+    * callers apply their own ORDER BY after, per house rule. */
+  final case class Outcome(df: DataFrame, hit: Boolean, key: String,
+                           installed: Boolean = true) {
     def cacheable: Boolean = key.nonEmpty
   }
 
@@ -179,10 +182,22 @@ object ResultCache {
   /** Serve `query` through the cache at `cacheDir`: a hit reads the
     * stored result, a miss computes, installs (staging dir + atomic
     * rename), and serves the installed copy; an uncacheable plan is
-    * returned as-is with hit=false. */
-  def run(spark: SparkSession, query: DataFrame, cacheDir: String): Outcome =
+    * returned as-is with hit=false.
+    *
+    * ADMISSION CONTROL: `maxResultFraction` caps what a miss may
+    * install, as a fraction of the pinned snapshots' total rows (from
+    * log/footer metadata, never a scan). A result bigger than the cap —
+    * an identity projection, a barely-reducing join — would cost more
+    * to store and serve than the scan it saves, and one such entry can
+    * crowd a whole cache; it is computed to staging, measured by its
+    * parquet footers, and DROPPED, with the original query served
+    * (`installed = false`; the caller's collect recomputes — the price
+    * of learning the result was oversize, paid once per miss, never
+    * amortized into a bloated cache). The default admits everything. */
+  def run(spark: SparkSession, query: DataFrame, cacheDir: String,
+          maxResultFraction: Double = Double.PositiveInfinity): Outcome =
     keyAndPins(query) match {
-      case None => Outcome(query, hit = false, key = "")
+      case None => Outcome(query, hit = false, key = "", installed = false)
       case Some((k, pins)) =>
         val dir = new File(cacheDir, k)
         def entryOk = new File(dir, "_SUCCESS").isFile &&
@@ -197,6 +212,19 @@ object ResultCache {
           val staging = new File(cacheDir, s".stage_$k")
           org.apache.commons.io.FileUtils.deleteQuietly(staging)
           query.write.parquet(staging.getPath)
+          if (!maxResultFraction.isPosInfinity) {
+            val resultRows = Option(staging.listFiles())
+              .getOrElse(Array.empty[File])
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(TxnTable.footerRowCount).sum
+            val pinnedRows = pins
+              .map { case (p, v) => TxnTable.snapshotRowCount(p, Some(v)) }
+              .sum
+            if (resultRows > maxResultFraction * pinnedRows) {
+              org.apache.commons.io.FileUtils.deleteQuietly(staging)
+              return Outcome(query, hit = false, key = k, installed = false)
+            }
+          }
           // pins metadata rides inside the entry (underscore-prefixed,
           // invisible to the parquet read) — what [[retain]] ages by
           val pinsJson = pins.map { case (p, v) =>
@@ -262,6 +290,48 @@ object ResultCache {
     // widened maxLag between cycles) — marks always reflect THIS cycle
     entries.filterNot(dead.contains).foreach(d => new File(d, "_retired").delete())
     marked.length
+  }
+
+  /** Evict down to a BYTE budget: drop entries, stalest pin first
+    * (largest version lag behind its table's head; missing/foreign
+    * tables count as infinitely stale), ties to the LARGEST entry, until
+    * the cache dir's entry bytes fit `maxBytes`. The companion to
+    * [[retain]] for deployments sized in storage rather than versions —
+    * staleness still leads the order because a lagging entry is one the
+    * head-following workload has already stopped asking for, while a
+    * big FRESH entry may be the cache's most valuable resident. Same
+    * caveat as [[evict]]: run it when no query is mid-flight (deletion
+    * here is immediate — a byte budget that deferred deletion would not
+    * actually free bytes). Returns entries dropped. */
+  def evictToBudget(cacheDir: String, maxBytes: Long): Int = {
+    require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
+    val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
+    val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    final case class E(dir: File, bytes: Long, lag: Long)
+    val es = entries.map { d =>
+      val pf = new File(d, "_pins.json")
+      val lag =
+        if (!pf.isFile) Long.MaxValue
+        else {
+          val s = new String(
+            java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8")
+          val lags = pinRe.findAllMatchIn(s).map { m =>
+            val table = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+            val head = TxnTable.currentVersion(table)
+            if (head == 0) Long.MaxValue
+            else (head - m.group(2).toInt).toLong
+          }.toSeq
+          if (lags.isEmpty) Long.MaxValue else lags.max
+        }
+      E(d, org.apache.commons.io.FileUtils.sizeOfDirectory(d), lag)
+    }
+    var total = es.map(_.bytes).sum
+    val dead = scala.collection.mutable.ArrayBuffer.empty[E]
+    for (e <- es.sortBy(e => (-e.lag, -e.bytes, e.dir.getName)))
+      if (total > maxBytes) { dead += e; total -= e.bytes }
+    dead.foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(e.dir))
+    dead.length
   }
 
   /** Drop entries whose pinned versions no longer resolve — i.e. every

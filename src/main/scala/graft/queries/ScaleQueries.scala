@@ -1379,6 +1379,63 @@ object ScaleQueries {
         .orderBy("stage", "o_orderpriority")
     },
 
+    // ── result-cache ADMISSION (ResultCache.run's maxResultFraction):
+    //    a result bigger than the cap (vs the pinned snapshots' rows,
+    //    measured from log/footer metadata) is computed and SERVED but
+    //    never installed — one identity projection must not crowd the
+    //    cache — while a genuinely reducing aggregate passes the same
+    //    cap, installs, and hits on re-run. Stages emit (n_rows,
+    //    from_cache, installed) so DuckDB re-derives the whole ledger.
+    sql("q_result_cache_admission",
+      """WITH v1 AS MATERIALIZED (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT 'a_install_agg' AS stage,
+        |       (SELECT COUNT(DISTINCT o_orderpriority) FROM v1) AS n_rows,
+        |       CAST(0 AS BIGINT) AS from_cache, CAST(1 AS BIGINT) AS installed
+        |UNION ALL
+        |SELECT 'b_decline_wide',
+        |       (SELECT COUNT(*) FROM v1 WHERE o_orderkey % 2 = 0),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'c_decline_wide_again',
+        |       (SELECT COUNT(*) FROM v1 WHERE o_orderkey % 2 = 0),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'd_hit_agg',
+        |       (SELECT COUNT(DISTINCT o_orderpriority) FROM v1),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.plans.ResultCache
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val fact = graft.Scratch.dir(s"/root/repo/target/tmp/rescadm_fact_$sfKey")
+      val cache = graft.Scratch.dir(s"/root/repo/target/tmp/rescadm_store_$sfKey")
+      TxnTable.commit(s,
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") % 3 =!= 0), fact, overwrite = false)
+      def agg() = TxnTable.read(s, fact).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      def wide() = TxnTable.read(s, fact)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+      def staged(stage: String, out: ResultCache.Outcome) =
+        out.df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(stage).as("stage"), col("n_rows"),
+            lit(if (out.hit) 1L else 0L).as("from_cache"),
+            lit(if (out.installed) 1L else 0L).as("installed"))
+          .localCheckpoint(true)
+      val cap = 0.4 // wide keeps ~half the snapshot → over; 5 agg rows → under
+      val a = staged("a_install_agg",
+        ResultCache.run(s, agg(), cache, maxResultFraction = cap))
+      val b = staged("b_decline_wide",
+        ResultCache.run(s, wide(), cache, maxResultFraction = cap))
+      val c = staged("c_decline_wide_again",
+        ResultCache.run(s, wide(), cache, maxResultFraction = cap))
+      val e = staged("d_hit_agg",
+        ResultCache.run(s, agg(), cache, maxResultFraction = cap))
+      a.unionByName(b).unionByName(c).unionByName(e).orderBy("stage")
+    },
+
     // ── UNIFIED WORKLOAD ADVISOR (capstone): one call over an observed
     //    workload → one ranked, PRICED action plan, merging every
     //    advisor the engine grew — repeated-plan detection (result

@@ -153,6 +153,60 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.retain(retCache, maxLag = 5) == 0)
   }
 
+  test("admission: an oversize result is served but never installed") {
+    val admCache = s"$root/adm_cache"
+    // identity projection = 100% of the pinned rows: over any cap < 1
+    def wide() = TxnTable.read(spark, tableA).select("ka", "m")
+    val w1 = ResultCache.run(spark, wide(), admCache, maxResultFraction = 0.5)
+    assert(!w1.hit && w1.cacheable && !w1.installed)
+    assert(!new File(admCache, w1.key).isDirectory)
+    assert(w1.df.count() == TxnTable.read(spark, tableA).count())
+    // declined is declined every time — no slow leak into the cache
+    val w2 = ResultCache.run(spark, wide(), admCache, maxResultFraction = 0.5)
+    assert(!w2.hit && !w2.installed && w2.key == w1.key)
+    // a genuinely reducing aggregate passes the same cap and installs
+    def agg() = TxnTable.read(spark, tableA).groupBy("ka")
+      .agg(sum("m").cast("long").as("sm"))
+    val a1 = ResultCache.run(spark, agg(), admCache, maxResultFraction = 0.5)
+    assert(!a1.hit && a1.installed)
+    assert(ResultCache.run(spark, agg(), admCache, maxResultFraction = 0.5).hit)
+    // the default admits everything, identity included
+    val w3 = ResultCache.run(spark, wide(), admCache)
+    assert(!w3.hit && w3.installed)
+    assert(ResultCache.run(spark, wide(), admCache).hit)
+  }
+
+  test("evictToBudget drops stalest-then-largest until the bytes fit") {
+    val t = s"$root/bud_t"
+    val budCache = s"$root/bud_cache"
+    TxnTable.commit(spark, (1L to 50L).map(i => (s"k${i % 5}", i))
+      .toDF("k", "v"), t, overwrite = false)
+    def qAgg() = TxnTable.read(spark, t).groupBy("k")
+      .agg(sum("v").cast("long").as("sv"))
+    def qWide() = TxnTable.read(spark, t).select("k", "v")
+    val stAgg = ResultCache.run(spark, qAgg(), budCache)   // stale after commit
+    val stWide = ResultCache.run(spark, qWide(), budCache) // stale + larger
+    TxnTable.commit(spark, Seq(("k9", 9L)).toDF("k", "v"), t, overwrite = false)
+    val fresh = ResultCache.run(spark, qAgg(), budCache)   // pinned at head
+    assert(Seq(stAgg, stWide, fresh).forall(_.installed))
+    val freshBytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new File(budCache, fresh.key))
+    // budget that fits only the fresh entry: both stale ones go, the
+    // larger stale one first — order provable by a budget that fits
+    // fresh + the smaller stale
+    val smallStale = math.min(
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new File(budCache, stAgg.key)),
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new File(budCache, stWide.key)))
+    assert(ResultCache.evictToBudget(budCache,
+      freshBytes + smallStale) == 1)
+    assert(!new File(budCache, stWide.key).isDirectory) // largest stale died
+    assert(new File(budCache, stAgg.key).isDirectory)
+    assert(ResultCache.evictToBudget(budCache, freshBytes) == 1)
+    assert(new File(budCache, fresh.key).isDirectory)
+    assert(ResultCache.evictToBudget(budCache, 0L) == 1) // nothing is sacred
+    assert(!new File(budCache, fresh.key).isDirectory)
+  }
+
   test("crash-safe install: a leftover staging dir never serves, next run clears it") {
     val extra = TxnTable.read(spark, tableA).groupBy("ka")
       .agg(max("m").cast("long").as("mx"))
