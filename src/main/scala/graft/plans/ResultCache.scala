@@ -4,10 +4,12 @@ import java.io.File
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestampLike, LocalTimestamp}
-import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentDate, CurrentTimestampLike, Literal, LocalTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
 
 import graft.sources.TxnTable
 
@@ -151,9 +153,16 @@ object ResultCache {
   def templateKeyAndPins(df: DataFrame)
       : Option[(String, String, Seq[(String, Int)])] = {
     if (df.isStreaming) return None
-    val plan = df.queryExecution.analyzed
-    if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
     if (df.columns.distinct.length != df.columns.length) return None
+    planTemplateKeyAndPins(df.queryExecution.analyzed)
+  }
+
+  /** [[templateKeyAndPins]] over a bare ANALYZED plan — the form the
+    * rollup matcher needs for an Aggregate's CHILD subplan, which has
+    * no DataFrame wrapper. */
+  private def planTemplateKeyAndPins(plan: LogicalPlan)
+      : Option[(String, String, Seq[(String, Int)])] = {
+    if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
     val pins = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var unresolvable = false
     // transformUpWithSubqueries visits children-first left-to-right and
@@ -207,41 +216,270 @@ object ResultCache {
           new File(dir, "_retired").delete()
           Outcome(spark.read.parquet(dir.getPath), hit = true, key = k)
         }
-        else {
-          org.apache.commons.io.FileUtils.deleteQuietly(dir)
-          val staging = new File(cacheDir, s".stage_$k")
-          org.apache.commons.io.FileUtils.deleteQuietly(staging)
-          query.write.parquet(staging.getPath)
-          if (!maxResultFraction.isPosInfinity) {
-            val resultRows = Option(staging.listFiles())
-              .getOrElse(Array.empty[File])
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .map(TxnTable.footerRowCount).sum
-            val pinnedRows = pins
-              .map { case (p, v) => TxnTable.snapshotRowCount(p, Some(v)) }
-              .sum
-            if (resultRows > maxResultFraction * pinnedRows) {
-              org.apache.commons.io.FileUtils.deleteQuietly(staging)
-              return Outcome(query, hit = false, key = k, installed = false)
-            }
-          }
-          // pins metadata rides inside the entry (underscore-prefixed,
-          // invisible to the parquet read) — what [[retain]] ages by
-          val pinsJson = pins.map { case (p, v) =>
-            s"""{"table":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}","version":$v}"""
-          }.mkString("[", ",", "]")
-          java.nio.file.Files.write(
-            new File(staging, "_pins.json").toPath,
-            s"""{"pins":$pinsJson}""".getBytes("UTF-8"))
-          if (!staging.renameTo(dir)) {
-            // lost an install race — the winner's entry is the same
-            // query at the same pins, i.e. equivalent; use theirs.
-            org.apache.commons.io.FileUtils.deleteQuietly(staging)
-            require(dir.isDirectory, s"result-cache install failed: $dir")
-          }
-          Outcome(spark.read.parquet(dir.getPath), hit = false, key = k)
-        }
+        else installAndServe(spark, cacheDir, k, pins, query,
+          maxResultFraction, aggMetaOf(query))
     }
+
+  /** The miss path: compute `df` to staging, apply admission, attach
+    * pins (and aggregate-shape) metadata, atomic-rename into place,
+    * serve the installed copy. Shared by [[run]] (storing the query
+    * itself) and [[runOrRollup]] (storing a rollup of another entry
+    * under the narrower query's own key). */
+  private def installAndServe(spark: SparkSession, cacheDir: String,
+                              k: String, pins: Seq[(String, Int)],
+                              df: DataFrame, maxResultFraction: Double,
+                              aggMeta: Option[(String, Seq[AggCol])])
+      : Outcome = {
+    val dir = new File(cacheDir, k)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val staging = new File(cacheDir, s".stage_$k")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    df.write.parquet(staging.getPath)
+    if (!maxResultFraction.isPosInfinity) {
+      val resultRows = Option(staging.listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(TxnTable.footerRowCount).sum
+      val pinnedRows = pins
+        .map { case (p, v) => TxnTable.snapshotRowCount(p, Some(v)) }
+        .sum
+      if (resultRows > maxResultFraction * pinnedRows) {
+        org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        return Outcome(df, hit = false, key = k, installed = false)
+      }
+    }
+    // pins metadata rides inside the entry (underscore-prefixed,
+    // invisible to the parquet read) — what [[retain]] ages by
+    val pinsJson = pins.map { case (p, v) =>
+      s"""{"table":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}","version":$v}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      new File(staging, "_pins.json").toPath,
+      s"""{"pins":$pinsJson}""".getBytes("UTF-8"))
+    // aggregate-shaped entries also record their shape (child subplan
+    // template + column roles) so a LATER, NARROWER aggregate over the
+    // same pins can be served by re-aggregating this entry instead of
+    // rescanning the base ([[runOrRollup]])
+    aggMeta.foreach { case (childTpl, cols) =>
+      java.nio.file.Files.write(
+        new File(staging, "_agg.json").toPath,
+        aggJson(childTpl, cols).getBytes("UTF-8"))
+    }
+    if (!staging.renameTo(dir)) {
+      // lost an install race — the winner's entry is the same
+      // query at the same pins, i.e. equivalent; use theirs.
+      org.apache.commons.io.FileUtils.deleteQuietly(staging)
+      require(dir.isDirectory, s"result-cache install failed: $dir")
+    }
+    Outcome(spark.read.parquet(dir.getPath), hit = false, key = k)
+  }
+
+  // ───────────────────── semantic rollup serving ─────────────────────
+
+  /** One output column of a cached aggregate: its stored NAME, its ROLE
+    * (`key` / `sum` / `min` / `max` / `count` / `count_star`), and the
+    * child-plan column it derives from ("" for count_star). */
+  private[plans] final case class AggCol(name: String, kind: String,
+                                         src: String)
+
+  /** The (grouping keys + re-aggregatable measures, child subplan) of a
+    * plain one-level aggregate, or None for any shape whose rollup
+    * algebra is not closed: DISTINCT / FILTERed aggregates, expression
+    * grouping, AVG and friends (not decomposed here — register a
+    * summary view for those), aggregates over expressions, or a child
+    * whose output names are ambiguous (two attrs, one name — the
+    * name-keyed column mapping would guess). */
+  private def aggShape(plan: LogicalPlan)
+      : Option[(Seq[AggCol], LogicalPlan)] = plan match {
+    case agg: Aggregate =>
+      val childNames = agg.child.output.map(_.name)
+      val keyIdsOpt = agg.groupingExpressions.map {
+        case a: AttributeReference => Some(a.exprId)
+        case _ => None
+      }
+      if (childNames.distinct.length != childNames.length ||
+          keyIdsOpt.exists(_.isEmpty)) None
+      else {
+        val keySet = keyIdsOpt.flatten.toSet
+        def ofAgg(fn: AggregateFunction): Option[(String, String)] = fn match {
+          case s: Sum => s.child match {
+            case a: AttributeReference => Some(("sum", a.name))
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference => Some(("min", a.name))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference => Some(("max", a.name))
+            case _ => None
+          }
+          case c: Count => c.children match {
+            case Seq(l: Literal) if l.value != null => Some(("count_star", ""))
+            case Seq(a: AttributeReference) => Some(("count", a.name))
+            case _ => None
+          }
+          case _ => None
+        }
+        val colsOpt = agg.aggregateExpressions.map {
+          case a: AttributeReference if keySet.contains(a.exprId) =>
+            Some(AggCol(a.name, "key", a.name))
+          case Alias(a: AttributeReference, n) if keySet.contains(a.exprId) =>
+            Some(AggCol(n, "key", a.name))
+          case Alias(ae: AggregateExpression, n)
+              if !ae.isDistinct && ae.filter.isEmpty && ae.mode == Complete =>
+            ofAgg(ae.aggregateFunction).map { case (kind, src) =>
+              AggCol(n, kind, src)
+            }
+          case _ => None
+        }
+        val outNames = colsOpt.flatten.map(_.name)
+        if (colsOpt.exists(_.isEmpty) ||
+            outNames.distinct.length != outNames.length) None
+        else Some((colsOpt.flatten, agg.child))
+      }
+    case _ => None
+  }
+
+  /** Template hash + column roles of a servable aggregate query — what
+    * an installed entry records in `_agg.json`. */
+  private def aggMetaOf(df: DataFrame): Option[(String, Seq[AggCol])] =
+    for {
+      (cols, child) <- aggShape(df.queryExecution.analyzed)
+      (childTpl, _, _) <- planTemplateKeyAndPins(child)
+    } yield (childTpl, cols)
+
+  private def aggJson(childTpl: String, cols: Seq[AggCol]): String = {
+    val cs = cols.map(c =>
+      s"""{"name":"${c.name}","kind":"${c.kind}","src":"${c.src}"}""")
+      .mkString("[", ",", "]")
+    s"""{"child":"$childTpl","cols":$cs}"""
+  }
+
+  private def parseAggJson(f: File): Option[(String, Seq[AggCol])] = {
+    if (!f.isFile) return None
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val childRe = """"child":"([0-9a-f]{64})"""".r
+    val colRe =
+      """\{"name":"((?:[^"\\]|\\.)*)","kind":"(\w+)","src":"((?:[^"\\]|\\.)*)"\}""".r
+    childRe.findFirstMatchIn(s).map { m =>
+      (m.group(1), colRe.findAllMatchIn(s)
+        .map(c => AggCol(c.group(1), c.group(2), c.group(3))).toSeq)
+    }
+  }
+
+  private def parsePinsJson(f: File): Seq[(String, Int)] = {
+    if (!f.isFile) return Nil
+    val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    pinRe.findAllMatchIn(s).map { m =>
+      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+        m.group(2).toInt)
+    }.toSeq
+  }
+
+  /** Serve `query` through the cache WITH SEMANTIC ROLLUP: everything
+    * [[run]] does, plus — on an exact-key miss — a sweep of the
+    * installed entries for a BROADER aggregate of the same child
+    * subplan at the same snapshot pins whose keys are a superset of the
+    * query's and whose measures re-aggregate (SUM of SUMs, MIN of MINs,
+    * MAX of MAXes, SUM of COUNTs). A match is re-aggregated from the
+    * (tiny) cached summary — never the base — and the rolled-up result
+    * installs under the query's own exact key, so the NEXT run is a
+    * plain hit. This is where the result cache and the materialized-
+    * view rewriter converge: every cached aggregate doubles as an
+    * unregistered, version-pinned summary view of its subplan, and the
+    * GROUP BY lattice (day→month, (region,sku)→region, anything→()) is
+    * served top-down without recomputation. Soundness is the same
+    * structural argument as [[run]]'s: identical child template =
+    * identical input relation, identical pins = identical bytes, and
+    * the rollup algebra is exact for the admitted measure set (AVG and
+    * DISTINCT decline at [[aggShape]]).
+    *
+    * Global rollups (no GROUP BY) coalesce summed COUNTs to 0 so an
+    * empty summary re-aggregates to the same one row a direct global
+    * aggregate over zero rows yields. */
+  def runOrRollup(spark: SparkSession, query: DataFrame, cacheDir: String,
+                  maxResultFraction: Double = Double.PositiveInfinity)
+      : Outcome = {
+    val exactKey = keyOf(query)
+    val exactDir = exactKey.map(k => new File(cacheDir, k))
+    val exactHit = exactDir.exists(d => d.isDirectory &&
+      new File(d, "_SUCCESS").isFile)
+    if (exactKey.isEmpty || exactHit)
+      return run(spark, query, cacheDir, maxResultFraction)
+    val served = for {
+      (qCols, child) <- aggShape(query.queryExecution.analyzed)
+      (childTpl, _, pins) <- planTemplateKeyAndPins(child)
+      (entryDir, eCols) <- findRollupSource(cacheDir, childTpl, pins, qCols)
+    } yield {
+      val bySrc = eCols.groupBy(c => (c.kind, c.src))
+      def entryName(kind: String, src: String): String =
+        bySrc((kind, src)).head.name
+      val e = spark.read.parquet(entryDir.getPath)
+      val keyCols = qCols.filter(_.kind == "key")
+        .map(c => col(entryName("key", c.src)).as(c.name))
+      val aggCols = qCols.filter(_.kind != "key").map {
+        case AggCol(n, "sum", src) => sum(col(entryName("sum", src))).as(n)
+        case AggCol(n, "min", src) => min(col(entryName("min", src))).as(n)
+        case AggCol(n, "max", src) => max(col(entryName("max", src))).as(n)
+        case AggCol(n, "count", src) =>
+          coalesce(sum(col(entryName("count", src))), lit(0L)).as(n)
+        case AggCol(n, "count_star", _) =>
+          coalesce(sum(col(entryName("count_star", ""))), lit(0L)).as(n)
+        case c => throw new IllegalStateException(s"unreachable: $c")
+      }
+      val rolled =
+        if (aggCols.isEmpty) e.select(keyCols: _*).distinct()
+        else e.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // select into the query's declared column ORDER (grouping keys
+      // and measures may interleave arbitrarily in the original SELECT)
+      (rolled.select(qCols.map(c => col(c.name)): _*),
+        childTpl, pins, qCols)
+    }
+    served match {
+      case None => run(spark, query, cacheDir, maxResultFraction)
+      case Some((rolled, childTpl, pins, qCols)) =>
+        // install the rolled-up result under the query's own exact key
+        // (the rollup's plan reads cache storage, so its pins are the
+        // QUERY's, passed explicitly): strictly no bigger than its
+        // source entry, and the next identical query is a plain hit.
+        // The new entry records its own (narrower) aggregate shape, so
+        // the lattice keeps serving top-down: day→month→year each roll
+        // from the previous level, never the base.
+        installAndServe(spark, cacheDir, exactKey.get, pins, rolled,
+          Double.PositiveInfinity, Some((childTpl, qCols)))
+          .copy(hit = true)
+    }
+  }
+
+  /** The first installed entry (deterministic: sorted key order) whose
+    * `_agg.json` names the same child template, whose pins match, and
+    * whose columns can serve every query column: each query KEY must be
+    * an entry key (subset grouping), each query measure must appear
+    * with the same role and source. */
+  private def findRollupSource(cacheDir: String, childTpl: String,
+                               pins: Seq[(String, Int)], qCols: Seq[AggCol])
+      : Option[(File, Seq[AggCol])] = {
+    val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        new File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+    entries.iterator.flatMap { d =>
+      parseAggJson(new File(d, "_agg.json")).flatMap { case (tpl, eCols) =>
+        val eKeys = eCols.collect { case AggCol(_, "key", src) => src }.toSet
+        val eMeasures = eCols.collect {
+          case c if c.kind != "key" => (c.kind, c.src) }.toSet
+        val servable = tpl == childTpl &&
+          parsePinsJson(new File(d, "_pins.json")) == pins &&
+          qCols.forall {
+            case AggCol(_, "key", src) => eKeys.contains(src)
+            case c => eMeasures.contains((c.kind, c.src))
+          }
+        if (servable) Some((d, eCols)) else None
+      }
+    }.nextOption()
+  }
 
   /** AGE-BASED retention, measured in VERSION DISTANCE — no wall clocks
     * in the decision: drop every entry one of whose pins has fallen

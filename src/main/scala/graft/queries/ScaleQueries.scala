@@ -1436,6 +1436,81 @@ object ScaleQueries {
       a.unionByName(b).unionByName(c).unionByName(e).orderBy("stage")
     },
 
+    // ── SEMANTIC CACHE (ResultCache.runOrRollup): where the result
+    //    cache and the MV rewriter converge — a cached broad aggregate
+    //    doubles as a version-pinned summary view of its subplan, and a
+    //    narrower GROUP BY over the SAME snapshot is served by
+    //    re-aggregating the (tiny) entry, never rescanning the base:
+    //    SUM of SUMs, SUM of COUNTs, the GROUP BY lattice walked
+    //    top-down. Every rollup stage requires its served plan to read
+    //    ONLY cache storage; the rolled result installs under its own
+    //    key so the repeat is a plain hit.
+    sql("q_result_cache_rollup",
+      """WITH v1 AS MATERIALIZED (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT 'a_wide' AS stage, o_orderpriority, o_orderstatus,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS cs, COUNT(*) AS n,
+        |       CAST(0 AS BIGINT) AS from_cache
+        |FROM v1 GROUP BY o_orderpriority, o_orderstatus
+        |UNION ALL
+        |SELECT 'b_rollup_priority', o_orderpriority, CAST(NULL AS VARCHAR),
+        |       CAST(SUM(o_custkey) AS BIGINT), COUNT(*), CAST(1 AS BIGINT)
+        |FROM v1 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'c_rollup_total', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |       CAST(SUM(o_custkey) AS BIGINT), COUNT(*), CAST(1 AS BIGINT)
+        |FROM v1
+        |UNION ALL
+        |SELECT 'd_exact_hit', o_orderpriority, CAST(NULL AS VARCHAR),
+        |       CAST(SUM(o_custkey) AS BIGINT), COUNT(*), CAST(1 AS BIGINT)
+        |FROM v1 GROUP BY o_orderpriority
+        |ORDER BY stage, o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.plans.ResultCache
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val fact = graft.Scratch.dir(s"/root/repo/target/tmp/rescroll_fact_$sfKey")
+      val cache = graft.Scratch.dir(s"/root/repo/target/tmp/rescroll_store_$sfKey")
+      TxnTable.commit(s,
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") % 3 =!= 0), fact, overwrite = false)
+      def base() = TxnTable.read(s, fact)
+      def staged(stage: String, out: ResultCache.Outcome,
+                 requireCacheOnly: Boolean) = {
+        if (requireCacheOnly) {
+          val plan = out.df.queryExecution.executedPlan.toString()
+          require(out.hit && plan.contains("rescroll_store") &&
+            !plan.contains("rescroll_fact"),
+            s"$stage not served from cache storage")
+        }
+        val cols = out.df.columns.toSet
+        out.df.select(lit(stage).as("stage"),
+            (if (cols("o_orderpriority")) col("o_orderpriority")
+             else lit(null).cast("string")).as("o_orderpriority"),
+            (if (cols("o_orderstatus")) col("o_orderstatus")
+             else lit(null).cast("string")).as("o_orderstatus"),
+            col("cs"), col("n"),
+            lit(if (out.hit) 1L else 0L).as("from_cache"))
+          .localCheckpoint(true)
+      }
+      val a = staged("a_wide", ResultCache.runOrRollup(s,
+        base().groupBy("o_orderpriority", "o_orderstatus")
+          .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+        cache), requireCacheOnly = false)
+      val b = staged("b_rollup_priority", ResultCache.runOrRollup(s,
+        base().groupBy("o_orderpriority")
+          .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+        cache), requireCacheOnly = true)
+      val c = staged("c_rollup_total", ResultCache.runOrRollup(s,
+        base().agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+        cache), requireCacheOnly = true)
+      val e = staged("d_exact_hit", ResultCache.runOrRollup(s,
+        base().groupBy("o_orderpriority")
+          .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+        cache), requireCacheOnly = true)
+      a.unionByName(b).unionByName(c).unionByName(e)
+        .orderBy("stage", "o_orderpriority", "o_orderstatus")
+    },
+
     // ── UNIFIED WORKLOAD ADVISOR (capstone): one call over an observed
     //    workload → one ranked, PRICED action plan, merging every
     //    advisor the engine grew — repeated-plan detection (result

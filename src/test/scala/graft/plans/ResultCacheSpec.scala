@@ -207,6 +207,65 @@ class ResultCacheSpec extends SparkSpec {
     assert(!new File(budCache, fresh.key).isDirectory)
   }
 
+  test("rollup serving: a narrower GROUP BY rolls from the cached broader one") {
+    val t = s"$root/roll_t"
+    val rc = s"$root/roll_cache"
+    TxnTable.commit(spark,
+      (1L to 60L).map(i => (s"a${i % 3}", s"b${i % 4}", i, i * 2))
+        .toDF("ka", "kb", "m", "m2"), t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    def broad() = base().groupBy("ka", "kb").agg(
+      sum("m").as("sm"), count(lit(1)).as("n"), min("m2").as("mn"))
+    def narrow() = base().groupBy("ka").agg(
+      sum("m").as("sm"), count(lit(1)).as("n"))
+    val b = ResultCache.runOrRollup(spark, broad(), rc)
+    assert(!b.hit && b.installed)
+    val direct = narrow().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val n1 = ResultCache.runOrRollup(spark, narrow(), rc)
+    assert(n1.hit, "narrower aggregate must be served from the broad entry")
+    // the served plan reads CACHE storage, never the base table
+    val scanned = n1.df.queryExecution.executedPlan.toString()
+    assert(scanned.contains("roll_cache") && !scanned.contains("roll_t/"))
+    assert(n1.df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+    // the rollup installed under its own key: a plain run now hits
+    assert(ResultCache.run(spark, narrow(), rc).hit)
+    // lattice keeps descending: the GLOBAL aggregate rolls from level 2
+    val g = ResultCache.runOrRollup(spark,
+      base().agg(sum("m").as("sm"), count(lit(1)).as("n")), rc)
+    assert(g.hit)
+    assert(g.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1830L, 60L)))
+    // MIN re-aggregates too; a measure the entry lacks falls through
+    val mn = ResultCache.runOrRollup(spark,
+      base().groupBy("kb").agg(min("m2").as("mn")), rc)
+    assert(mn.hit)
+    val missing = ResultCache.runOrRollup(spark,
+      base().groupBy("ka").agg(max("m2").as("mx")), rc) // no max in entry
+    assert(!missing.hit && missing.installed) // computed from base, cached
+  }
+
+  test("rollup declines across pins: a commit makes the broad entry unusable") {
+    val t = s"$root/rollpin_t"
+    val rc = s"$root/rollpin_cache"
+    TxnTable.commit(spark, (1L to 20L).map(i => (s"k${i % 2}", s"s${i % 5}", i))
+      .toDF("ka", "kb", "m"), t, overwrite = false)
+    def broad() = TxnTable.read(spark, t).groupBy("ka", "kb")
+      .agg(sum("m").as("sm"))
+    def narrow() = TxnTable.read(spark, t).groupBy("ka")
+      .agg(sum("m").as("sm"))
+    assert(!ResultCache.runOrRollup(spark, broad(), rc).hit)
+    TxnTable.commit(spark, Seq(("k0", "s0", 100L)).toDF("ka", "kb", "m"), t,
+      overwrite = false)
+    // the narrow query now pins the NEW head — the broad entry's pins
+    // are one commit behind, serving it would be wrong, so it recomputes
+    val n = ResultCache.runOrRollup(spark, narrow(), rc)
+    assert(!n.hit && n.installed)
+    assert(n.df.filter(col("ka") === "k0").collect().head.getLong(1) ==
+      (1L to 20L).filter(_ % 2 == 0).sum + 100L)
+  }
+
   test("crash-safe install: a leftover staging dir never serves, next run clears it") {
     val extra = TxnTable.read(spark, tableA).groupBy("ka")
       .agg(max("m").cast("long").as("mx"))
