@@ -5,78 +5,106 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.TxnTable
 
-/** Keyed TABLE DIFF — set reconciliation between two relations sharing
-  * a schema: one output row per key present in either side, classified
-  * `added` / `removed` / `changed` / `unchanged`, with the exact value
-  * columns that moved. The operation every large deployment runs
-  * between pipeline generations (did the rewrite change anything?),
-  * environments (staging vs prod), and snapshots (what did last night's
-  * load actually do?) — the reference has no machine answer to any of
-  * these: its pipeline reloads tables wholesale each run
-  * (`pipeline.py`'s full-table to_sql loads), so "what changed" is
-  * answerable only by eyeballing row counts.
+/** Keyed snapshot diff (engine-added, builder brief): what changed between
+  * two versions of a table — the reconciliation/audit pass behind CDC
+  * validation, warehouse-load verification (the reference reloads whole
+  * tables and trusts the load; a diff is how you'd check one), and
+  * incremental-pipeline debugging ("which docs changed since the last
+  * curation run?").
   *
-  * Semantics: `keys` identifies rows (the caller guarantees per-side
-  * uniqueness — under duplicate keys a diff is ill-posed, and the join
-  * would multiply); every non-key column participates in change
-  * detection with NULL-safe equality (`<=>`), so NULL→value, value→NULL
-  * and NULL→NULL classify correctly. `changed_cols` lists the moved
-  * columns comma-joined in sorted-name order ("" for added/removed
-  * rows, whose columns have no counterpart to compare).
+  * Scale shape: each side is reduced to (key, fingerprint) BEFORE the
+  * join — the full-outer join shuffles two narrow columns, never payloads,
+  * so a 100-column 100 TB table diffs at the cost of its key column plus
+  * one hash. The fingerprint is xxhash64 over the non-key columns in
+  * sorted-name order (layout-independent); fingerprint equality stands in
+  * for row equality with the usual ~1e-19 per-pair collision odds.
   *
-  * Scale shape: ONE shuffle — a full-outer hash join on the key
-  * columns; comparison and classification are scan-side expressions
-  * inside whole-stage codegen (no UDFs, no driver involvement, output
-  * row count ≤ |left| + |right|). Skewed keys are AQE's skew-join
-  * problem, co-location is bucketing's — both orthogonal and both
-  * compose. At 100 TB the usual deployment diffs PARTITIONS of the two
-  * sides in parallel (the key set is normally partition-stable), or two
-  * versions of a [[TxnTable]] via [[diffVersions]], where time travel
-  * makes both sides immutable file sets of ONE table.
+  * Three escalating forms, all keyed on caller-guaranteed-unique keys
+  * (under duplicates a diff is multiset-ambiguous — dedupe first):
+  *  - [[diff]]: WHICH keys changed (added/removed/changed) — the narrow
+  *    hash join above; the first-pass tool at any scale.
+  *  - [[diffDetailed]]: which COLUMNS moved per changed key — payloads
+  *    travel only for the (normally tiny) changed-key set, which the
+  *    narrow pass identifies first.
+  *  - [[diffVersionsIncremental]]: the same answer priced O(Δ) from a
+  *    [[TxnTable]] change feed — an untouched key never enters the plan.
   */
 object TableDiff {
 
-  /** Diff `right` against `left` (left = the before side: a row only in
-    * `right` is `added`, only in `left` is `removed`). Output columns:
-    * the keys, `change`, `changed_cols` — pass `includeUnchanged` to
-    * keep the (normally dominant, normally dropped) unchanged class. */
-  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
-           includeUnchanged: Boolean = false): DataFrame = {
-    require(keys.nonEmpty, "diff needs at least one key column")
-    require(left.columns.toSet == right.columns.toSet,
-      s"schemas differ: ${left.columns.toSeq.sorted} vs ${right.columns.toSeq.sorted}")
-    require(keys.forall(left.columns.contains),
-      s"keys $keys missing from ${left.columns.toSeq.sorted}")
-    val valueCols = left.columns.filterNot(keys.contains).toSeq.sorted
-    val l = left.select((keys ++ valueCols).map(col): _*)
-      .withColumn("__l", lit(true))
-    val r = right.select(
-        keys.map(col) ++ valueCols.map(c => col(c).as(s"${c}__r")): _*)
-      .withColumn("__r", lit(true))
-    val j = l.join(r, keys, "full_outer")
-    val bothSides = col("__l").isNotNull && col("__r").isNotNull
-    // sorted-name order is built statically, so no array_sort at runtime
-    val moved: Seq[Column] = valueCols.map(c =>
+  /** Diff `after` against `before` on `keys`: one row per key whose row
+    * set changed, classified `added` / `removed` / `changed`. Keys are
+    * assumed unique per side (snapshot semantics — dedupe first if not). */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame =
+    classified(before, after, keys)
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+
+  /** The narrow (key, fingerprint) full-outer join; `change` is NULL for
+    * unchanged keys so each caller picks its own keep/drop/label. */
+  private def classified(before: DataFrame, after: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(keys.contains).sorted
+    // xxhash64 SKIPS null arguments (the running hash passes through), so
+    // (null, "x") and ("x", null) would collide. No in-band sentinel is
+    // safe — a string column can legally hold ANY value, including NUL —
+    // so null-ness travels as its own hash argument: (isnull-flag, value)
+    // per column, both never-null, keeps every position firm
+    def fingered(df: DataFrame, fp: String) = df.select(
+      keys.map(col) :+
+        xxhash64(payload.flatMap(c => Seq(
+          isnull(col(c)).cast("string"),
+          coalesce(col(c).cast("string"), lit("")))): _*).as(fp): _*)
+    fingered(before, "__fp_b").join(fingered(after, "__fp_a"), keys, "full_outer")
+      .withColumn("change",
+        when(col("__fp_b").isNull, lit("added"))
+          .when(col("__fp_a").isNull, lit("removed"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("changed")))
+  }
+
+  /** [[diff]] with per-column CHANGE ATTRIBUTION: adds `changed_cols` —
+    * the moved value columns, comma-joined in sorted-name order ("" for
+    * added/removed rows, whose columns have no counterpart) — and, with
+    * `includeUnchanged`, the (normally dominant, normally dropped)
+    * unchanged class. Comparison is NULL-safe (`<=>`) per column.
+    *
+    * Scale shape: the narrow hash pass runs first; full payloads are
+    * then semi-joined down to the CHANGED keys only before the
+    * column-level compare — attribution costs what changed, not what
+    * the table weighs. */
+  def diffDetailed(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   includeUnchanged: Boolean = false): DataFrame = {
+    val base = classified(before, after, keys)
+    val payload = before.columns.filterNot(keys.contains).toSeq.sorted
+    val changedKeys = base.filter(col("change") === "changed")
+      .select(keys.map(col): _*)
+    val l = before.join(changedKeys, keys, "left_semi")
+    val r = after.join(changedKeys, keys, "left_semi")
+      .select(keys.map(col) ++ payload.map(c => col(c).as(s"${c}__r")): _*)
+    val moved: Seq[Column] = payload.map(c =>
       when(!(col(c) <=> col(s"${c}__r")), lit(c)))
-    val changedCols = when(bothSides,
-      concat_ws(",", filter(array(moved: _*), x => x.isNotNull)))
-      .otherwise(lit(""))
-    val change = when(col("__l").isNull, lit("added"))
-      .when(col("__r").isNull, lit("removed"))
-      .when(changedCols =!= "", lit("changed"))
-      .otherwise(lit("unchanged"))
-    val out = j.select(keys.map(col) :+ change.as("change") :+
-      changedCols.as("changed_cols"): _*)
+    val det = l.join(r, keys, "inner")
+      .select(keys.map(col) :+ lit("changed").as("change") :+
+        concat_ws(",", filter(array(moved: _*), x => x.isNotNull))
+          .as("changed_cols"): _*)
+    val rest = base
+      .withColumn("change", coalesce(col("change"), lit("unchanged")))
+      .filter(col("change") =!= "changed")
+      .select(keys.map(col) :+ col("change") :+
+        lit("").as("changed_cols"): _*)
+    val out = rest.unionByName(det)
     if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
   }
 
   /** The diff rolled up to an audit report: one row per change class
     * (`added` / `removed` / `changed` / `unchanged`) plus one
     * `col:<name>` row per value column that moved anywhere, each with
-    * its row count. Two aggregations over the one-shuffle diff. */
-  def diffSummary(left: DataFrame, right: DataFrame,
+    * its row count. */
+  def diffSummary(before: DataFrame, after: DataFrame,
                   keys: Seq[String]): DataFrame = {
-    val d = diff(left, right, keys, includeUnchanged = true)
+    val d = diffDetailed(before, after, keys, includeUnchanged = true)
     val byChange = d.groupBy(col("change").as("metric"))
       .agg(count(lit(1)).as("n"))
     val byCol = d.filter(col("change") === "changed")
@@ -86,16 +114,58 @@ object TableDiff {
     byChange.unionByName(byCol)
   }
 
-  /** Diff two committed versions of one [[TxnTable]] — reconciliation
-    * over time travel: both sides are immutable file sets, so the
-    * answer is stable no matter when it runs. The row-level complement
-    * of [[TxnTable.changeFeed]]: the feed replays WHAT each commit did
-    * (file-granular, O(Δ)); this compares two chosen points regardless
-    * of how many commits separate them, keyed and column-attributed. */
+  /** [[diffDetailed]] across two committed versions of one [[TxnTable]]
+    * — reconciliation over time travel: both sides are immutable file
+    * sets, so the answer is stable no matter when it runs. */
   def diffVersions(spark: SparkSession, table: String, fromVersion: Int,
                    toVersion: Int, keys: Seq[String],
                    includeUnchanged: Boolean = false): DataFrame =
-    diff(TxnTable.read(spark, table, asOf = Some(fromVersion)),
+    diffDetailed(TxnTable.read(spark, table, asOf = Some(fromVersion)),
       TxnTable.read(spark, table, asOf = Some(toVersion)),
       keys, includeUnchanged)
+
+  /** [[diffVersions]] priced by WHAT CHANGED, not table size: fold the
+    * row-level change feed over (fromVersion, toVersion] into one
+    * first/last event per touched key — an untouched key never enters
+    * the plan, so the reconciliation is O(Δ) where the snapshot join is
+    * O(table) (appends, merges, CoW/MOR deletes; an overwrite commit's
+    * feed is itself O(table), the documented [[TxnTable.changeFeed]]
+    * trade). Emits exactly the rows [[diffVersions]] would: a key
+    * touched but RESTORED (updated away and back) folds to unchanged
+    * and is dropped; a key inserted then deleted inside the range never
+    * appears. One shuffle over feed rows; first/last selection is
+    * min_by/max_by on (version, pre/post rank), which is unique per key
+    * per version, so there is no tie ambiguity. */
+  def diffVersionsIncremental(spark: SparkSession, table: String,
+                              fromVersion: Int, toVersion: Int,
+                              keys: Seq[String]): DataFrame = {
+    val feed = TxnTable.changeFeed(spark, table, fromVersion, toVersion,
+      keys, updateImages = true)
+    val valueCols = feed.columns
+      .filterNot((keys ++ Seq("version", "change")).contains).toSeq.sorted
+    // pre-side events (the key existed BEFORE the version) rank under
+    // post-side ones, so min picks the v1 image and max the v2 image
+    val rank = when(col("change").isin("delete", "update_preimage"), 0)
+      .otherwise(1)
+    val ev = feed.select(keys.map(col) ++ Seq(
+      (col("version") * 2 + rank).as("__o"),
+      struct(col("change") +: valueCols.map(col): _*).as("__img")): _*)
+    val folded = ev.groupBy(keys.map(col): _*).agg(
+      min_by(col("__img"), col("__o")).as("__first"),
+      max_by(col("__img"), col("__o")).as("__last"))
+    val presentV1 = col("__first.change").isin("delete", "update_preimage")
+    val presentV2 = col("__last.change").isin("insert", "update_postimage")
+    val moved: Seq[Column] = valueCols.map(c =>
+      when(!(col(s"__first.$c") <=> col(s"__last.$c")), lit(c)))
+    val changedCols = when(presentV1 && presentV2,
+      concat_ws(",", filter(array(moved: _*), x => x.isNotNull)))
+      .otherwise(lit(""))
+    val change = when(!presentV1 && presentV2, lit("added"))
+      .when(presentV1 && !presentV2, lit("removed"))
+      .when(changedCols =!= "", lit("changed"))
+      .otherwise(lit("unchanged")) // touched but restored — not a change
+    folded.select(keys.map(col) :+ change.as("change") :+
+        changedCols.as("changed_cols"): _*)
+      .filter(col("change").isin("added", "removed", "changed"))
+  }
 }

@@ -297,7 +297,7 @@ object JoinQueries {
         |SELECT o_orderkey, change, changed_cols FROM d
         |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val (base, right) = diffFixture(s, d)
-      graft.operators.TableDiff.diff(base, right, Seq("o_orderkey"))
+      graft.operators.TableDiff.diffDetailed(base, right, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
 
@@ -365,6 +365,45 @@ object JoinQueries {
       graft.operators.TableDiff.diffVersions(s, t, 1,
           TxnTable.currentVersion(t), Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    },
+
+    // ── O(Δ) INCREMENTAL diff (TableDiff.diffVersionsIncremental):
+    //    the same reconciliation priced by what changed — folded from
+    //    the row-level change feed, so an untouched key never enters
+    //    the plan. Lifecycle: CoW delete, shifted-key append, then an
+    //    update pass; the fold must agree with the snapshot join (the
+    //    spec pins that equality; here DuckDB replays the expectation).
+    sql("q_table_diff_incremental",
+      """WITH base AS MATERIALIZED (SELECT o_orderkey, o_custkey FROM orders)
+        |SELECT o_orderkey, 'removed' AS change, '' AS changed_cols
+        |FROM base WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'added', ''
+        |FROM base WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed', 'o_custkey'
+        |FROM base WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+        |ORDER BY o_orderkey, change""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = graft.Scratch.dir(s"/root/repo/target/tmp/tdiff_incr_$sfKey")
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      TxnTable.commit(s, base, t, overwrite = false)
+      TxnTable.deleteWhere(s, t, col("o_orderkey") % 10 === 0)
+      TxnTable.commit(s,
+        base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)),
+        t, overwrite = false)
+      // the update pass: +1 every %7 custkey (kept keys and shifted
+      // appends alike — for ADDED keys the post-image is what counts)
+      TxnTable.commit(s, TxnTable.read(s, t)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey"))), t, overwrite = true)
+      graft.operators.TableDiff.diffVersionsIncremental(s, t, 1,
+          TxnTable.currentVersion(t), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "change")
     }
   )
 

@@ -78,12 +78,15 @@ object TxnTable {
     try r.getRecordCount finally r.close()
   }
 
+  // named OUTSIDE the v*.json namespace: the commit-watch streams glob
+  // the log dir for entries (`_graft_log/v*.json`), and a sidecar
+  // matching that glob would feed them schema-less rows
   private def statsFile(table: String, version: Int) =
-    new File(logDir(table), f"v$version%05d.stats.json")
+    new File(logDir(table), f"stats_v$version%05d.json")
 
   /** COMMIT-TIME per-file statistics sidecar: each published version
     * records its added files' parquet-footer row counts beside the log
-    * entry (`vNNNNN.stats.json`). Best-effort and ADVISORY — a crash
+    * entry (`stats_vNNNNN.json`). Best-effort and ADVISORY — a crash
     * between the commit link and the sidecar write, or a pre-stats
     * table, just means [[snapshotRowCount]] falls back to reading the
     * footers; the files themselves remain the truth. Cost at commit is

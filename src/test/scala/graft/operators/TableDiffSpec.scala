@@ -7,17 +7,69 @@ import graft.sources.TxnTable
 import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.functions._
 
-/** Keyed diff semantics: the four change classes, NULL-safe column
-  * attribution, multi-key identity, the summary rollup, and version
-  * diff over the txn log. */
+/** Behavior specs for the keyed snapshot diff family: the narrow hash
+  * form's classification and null traps, per-column attribution on the
+  * detailed form, the summary rollup, version diff over the txn log,
+  * and the O(Δ) feed-driven form's equality with the snapshot join. */
 class TableDiffSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+  test("added / removed / changed / unchanged classify correctly") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val after = Seq((2L, "b", 20.0), (3L, "c", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    val got = TableDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("null payloads diff by position, not by hash pass-through") {
+    val before = Seq((1L, Option.empty[String], Option("x"))).toDF("id", "a", "b")
+    val after = Seq((1L, Option("x"), Option.empty[String])).toDF("id", "a", "b")
+    // (null, x) -> (x, null): xxhash64 skips nulls, so without the
+    // sentinel these would hash equal and the change would vanish
+    val got = TableDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "changed")))
+  }
+
+  test("no data value collides with the null encoding — not even NUL") {
+    // a literal NUL-byte string vs NULL: an in-band sentinel would hash
+    // them identical and the change would vanish
+    val before = Seq((1L, Option("\u0000")), (2L, Option("")))
+      .toDF("id", "a")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "a")
+    val got = TableDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "changed"), (2L, "changed")))
+  }
+
+  test("composite keys and identical snapshots") {
+    val snap = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k1", "k2", "v")
+    assert(TableDiff.diff(snap, snap, Seq("k1", "k2")).isEmpty)
+    val moved = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k1", "k2", "v")
+    val got = TableDiff.diff(snap, moved, Seq("k1", "k2"))
+      .select("k1", "k2", "change").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "removed"), (2L, 2L, "added")))
+  }
+
+  test("column order never matters; schema mismatch fails loudly") {
+    val before = Seq((1L, "a", 2L)).toDF("id", "s", "n")
+    val after = Seq((1L, 2L, "a")).toDF("id", "n", "s") // same data, reordered
+    assert(TableDiff.diff(before, after, Seq("id")).isEmpty)
+    val other = Seq((1L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(before, other, Seq("id"))
+    }
+  }
+
+  private def detRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
-  test("added/removed/changed/unchanged with NULL-safe column attribution") {
+  test("detailed form attributes the moved columns, NULL-safely") {
     val l = Seq(
       (1L, Some("a"), Some(10L)),
       (2L, Some("b"), Some(20L)),
@@ -29,25 +81,19 @@ class TableDiffSpec extends SparkSpec {
       (3L, Some("c"), Some(30L)),   // unchanged
       (4L, Some("d"), Some(40L)),   // added
       (5L, None, Some(50L)),        // unchanged (NULL <=> NULL)
-      (6L, Some("g"), Some(60L))).toDF("k", "s", "v") // changed: s AND v (NULL→60)
-    val d = TableDiff.diff(l, r, Seq("k"))
-    assert(rowsOf(d) == Set(
+      (6L, Some("g"), Some(60L))).toDF("k", "s", "v") // changed: s AND v
+    val d = TableDiff.diffDetailed(l, r, Seq("k"))
+    assert(detRows(d) == Set(
       (1L, "removed", ""),
       (2L, "changed", "v"),
       (4L, "added", ""),
       (6L, "changed", "s,v")))
-    val full = TableDiff.diff(l, r, Seq("k"), includeUnchanged = true)
+    val full = TableDiff.diffDetailed(l, r, Seq("k"), includeUnchanged = true)
     assert(full.count() == 6)
     assert(full.filter(col("change") === "unchanged").count() == 2)
-  }
-
-  test("multi-column keys identify rows jointly") {
-    val l = Seq(("x", 1L, 10L), ("x", 2L, 20L)).toDF("a", "b", "v")
-    val r = Seq(("x", 1L, 11L), ("y", 2L, 20L)).toDF("a", "b", "v")
-    val d = TableDiff.diff(l, r, Seq("a", "b")).collect()
-      .map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
-    assert(d == Set(("x", 1L, "changed"), ("x", 2L, "removed"),
-      ("y", 2L, "added")))
+    // the detailed form never disagrees with the narrow form on classes
+    assert(TableDiff.diff(l, r, Seq("k")).as[(Long, String)].collect().toSet ==
+      d.select("k", "change").as[(Long, String)].collect().toSet)
   }
 
   test("summary counts classes and per-column movement") {
@@ -72,22 +118,41 @@ class TableDiffSpec extends SparkSpec {
       overwrite = true)
     TxnTable.commit(spark, Seq((11L, 1100L)).toDF("k", "v"), t,
       overwrite = false)
+    val expected = Set((3L, "removed", ""), (7L, "changed", "v"),
+      (11L, "added", ""))
     val d = TableDiff.diffVersions(spark, t, 1, TxnTable.currentVersion(t),
       Seq("k"))
-    assert(rowsOf(d.select(col("k"), col("change"), col("changed_cols"))) ==
-      Set((3L, "removed", ""), (7L, "changed", "v"), (11L, "added", "")))
+    assert(detRows(d) == expected)
+    // the O(Δ) feed-driven form gives the identical answer — including
+    // across the overwrite commit (payload-hash survivor suppression)
+    val incr = TableDiff.diffVersionsIncremental(spark, t, 1,
+      TxnTable.currentVersion(t), Seq("k"))
+    assert(detRows(incr) == expected)
   }
 
-  test("shape misuse refuses loudly") {
-    val l = Seq((1L, "a")).toDF("k", "s")
-    intercept[IllegalArgumentException] {
-      TableDiff.diff(l, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
-    }
-    intercept[IllegalArgumentException] {
-      TableDiff.diff(l, l, Seq("nope"))
-    }
-    intercept[IllegalArgumentException] {
-      TableDiff.diff(l, l, Nil)
-    }
+  test("incremental diff folds churn: restored keys and transients vanish") {
+    val t = "/root/repo/target/tmp/spec_tdiff_incr"
+    FileUtils.deleteQuietly(new File(t))
+    TxnTable.commit(spark,
+      (1L to 6L).map(i => (i, i * 10L)).toDF("k", "v"), t, overwrite = false)
+    // v2: key 2 updated away; key 9 appears (transient)
+    TxnTable.commit(spark, TxnTable.read(spark, t).withColumn("v",
+        when(col("k") === 2L, lit(999L)).otherwise(col("v")))
+      .unionByName(Seq((9L, 90L)).toDF("k", "v")), t, overwrite = true)
+    // v3: key 2 restored to its v1 value; key 9 deleted; key 5 MOR-deleted
+    TxnTable.commit(spark, TxnTable.read(spark, t)
+      .filter(col("k") =!= 9L)
+      .withColumn("v", when(col("k") === 2L, lit(20L)).otherwise(col("v"))),
+      t, overwrite = true)
+    TxnTable.deleteWhereMor(spark, t, col("k") === 5L)
+    val expected = Set((5L, "removed", ""))
+    val incr = TableDiff.diffVersionsIncremental(spark, t, 1,
+      TxnTable.currentVersion(t), Seq("k"))
+    assert(detRows(incr) == expected)
+    assert(detRows(TableDiff.diffVersions(spark, t, 1,
+      TxnTable.currentVersion(t), Seq("k"))) == expected)
+    // a narrower window sees the intermediate churn as real change
+    val mid = TableDiff.diffVersionsIncremental(spark, t, 1, 2, Seq("k"))
+    assert(detRows(mid) == Set((2L, "changed", "v"), (9L, "added", "")))
   }
 }

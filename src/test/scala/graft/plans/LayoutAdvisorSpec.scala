@@ -168,7 +168,7 @@ class LayoutAdvisorSpec extends SparkSpec {
     // lose every stats sidecar (pre-stats table / crashed writer):
     // footer fallback yields the identical verdict
     Option(new java.io.File(t, "_graft_log").listFiles()).get
-      .filter(_.getName.endsWith(".stats.json")).foreach(_.delete())
+      .filter(_.getName.startsWith("stats_v")).foreach(_.delete())
     val b = adv()
     assert(b.getAs[Long]("n_files") == 9L &&
       b.getAs[Long]("total_rows") == 1200L &&

@@ -54,7 +54,7 @@ class TxnTableSpec extends SparkSpec {
     // the counts above were log reads; dropping the sidecars must not
     // change a single answer (footer fallback)
     val log = new File(t, "_graft_log")
-    val sidecars = log.listFiles().filter(_.getName.endsWith(".stats.json"))
+    val sidecars = log.listFiles().filter(_.getName.startsWith("stats_v"))
     assert(sidecars.length == 3)
     sidecars.foreach(_.delete())
     assert(TxnTable.snapshotRowCount(t) == 45L)
