@@ -238,6 +238,29 @@ object LayoutAdvisor {
       targetRowsPerFile)
   }
 
+  /** VACUUM advisor — what a `TxnTable.vacuum(retainFrom)` would
+    * reclaim, priced WITHOUT deleting (or scanning) anything: the
+    * dry-run orphan set from the log, its row weight from footer
+    * metadata. One row: (n_referenced_files, n_reclaimable_files,
+    * reclaimable_rows, recommend_vacuum) — recommend when the
+    * reclaimable rows weigh at least half the HEAD snapshot (dead
+    * bytes ≥ ~⅓ of the table dir: the point where time-travel debt,
+    * not data, dominates storage). At 100 TB retention is a real bill;
+    * this is the measurement an operator acts on, with `vacuum` as the
+    * one-call apply path. */
+  def vacuumAdvice(spark: SparkSession, table: String,
+                   retainFrom: Int): DataFrame = {
+    import graft.sources.TxnTable
+    val (keep, doomed) = TxnTable.reclaimable(table, retainFrom)
+    val reclaimRows = doomed.map(TxnTable.footerRowCount).sum
+    val headRows = TxnTable.snapshotRowCount(table)
+    import spark.implicits._
+    Seq((keep.size.toLong, doomed.size.toLong, reclaimRows,
+      doomed.nonEmpty && reclaimRows * 2L >= headRows))
+      .toDF("n_referenced_files", "n_reclaimable_files",
+        "reclaimable_rows", "recommend_vacuum")
+  }
+
   private def adviceRow(spark: SparkSession, nFiles: Long, rows: Long,
                         targetRowsPerFile: Long): DataFrame = {
     val avg = rows / math.max(1L, nFiles)

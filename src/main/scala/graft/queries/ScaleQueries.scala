@@ -1007,6 +1007,40 @@ object ScaleQueries {
       a.unionByName(b).orderBy("stage")
     },
 
+    // ── VACUUM advisor (LayoutAdvisor.vacuumAdvice): what a retention
+    //    choice would reclaim, priced from the log's dry-run orphan set
+    //    and footer row counts — nothing deleted, nothing scanned. An
+    //    overwrite leaves the whole v1 snapshot as time-travel debt:
+    //    retaining only the head prices it reclaimable (and worth it —
+    //    dead rows outweigh live); retaining from v1 reclaims nothing.
+    sql("q_layout_vacuum",
+      """SELECT 'a_retain_head' AS stage, CAST(2 AS BIGINT) AS n_referenced_files,
+        |       CAST(3 AS BIGINT) AS n_reclaimable_files,
+        |       (SELECT COUNT(*) FROM orders) AS reclaimable_rows,
+        |       TRUE AS recommend_vacuum
+        |UNION ALL
+        |SELECT 'b_retain_all', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), FALSE
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.plans.LayoutAdvisor
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val t = graft.Scratch.dir(s"/root/repo/target/tmp/vacadv_$sfKey")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      TxnTable.commit(s, ord.repartition(3), t, overwrite = false)
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 2 === 0)
+        .repartition(2), t, overwrite = true)
+      def staged(stage: String, retainFrom: Int) =
+        LayoutAdvisor.vacuumAdvice(s, t, retainFrom)
+          .select(lit(stage).as("stage"), col("n_referenced_files"),
+            col("n_reclaimable_files"), col("reclaimable_rows"),
+            col("recommend_vacuum"))
+          .localCheckpoint(true)
+      val a = staged("a_retain_head", retainFrom = 2)
+      val b = staged("b_retain_all", retainFrom = 1)
+      a.unionByName(b).orderBy("stage")
+    },
+
     // ── AGGREGATE-BELOW-JOIN rewrite: the two-level rollup — per-order
     //    partials joined to a dim, re-rolled to a dim attribute. The
     //    INNER aggregate alone is the registered view shape, and the

@@ -1110,7 +1110,13 @@ object TxnTable {
     * exchange for space — exactly Delta's VACUUM trade. Orphans from
     * crashed commits (data dir without a log entry) die here too. Returns
     * the deleted file count. */
-  def vacuum(table: String, retainFrom: Int): Int = {
+  /** DRY-RUN of [[vacuum]]: (the referenced file set a
+    * `vacuum(retainFrom)` would keep, the physical orphans it would
+    * delete) — the shared computation behind the delete itself and the
+    * advisor that prices it ([[graft.plans.LayoutAdvisor.vacuumAdvice]])
+    * without touching a byte. Driver-side log replay + dir listing. */
+  private[graft] def reclaimable(table: String,
+                                 retainFrom: Int): (Set[String], Seq[File]) = {
     val keep = logFiles(table).map(versionOf).filter(_ >= retainFrom)
       .flatMap(v => liveFiles(table, Some(v))).toSet ++
       liveFiles(table, None).toSet
@@ -1121,6 +1127,11 @@ object TxnTable {
         .filter(f => f.isFile && f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .filter(f => !keep.contains(s"$cls/${f.getParentFile.getName}/${f.getName}"))
     }
+    (keep, doomed)
+  }
+
+  def vacuum(table: String, retainFrom: Int): Int = {
+    val (_, doomed) = reclaimable(table, retainFrom)
     doomed.foreach(_.delete())
     val dataRoot = new File(table, "data")
     // torn tmp log entries from crashed commits are invisible to readers

@@ -180,4 +180,32 @@ class LayoutAdvisorSpec extends SparkSpec {
       c.getAs[Long]("total_rows") == 1200L &&
       !c.getAs[Boolean]("recommend_compact"))
   }
+
+  test("vacuum advice prices the dry-run orphans; nothing is deleted") {
+    import graft.sources.TxnTable
+    import org.apache.commons.io.FileUtils
+    val t = s"$root/txn_vac"
+    FileUtils.deleteQuietly(new java.io.File(t))
+    TxnTable.commit(spark, (0L until 300L).toDF("id").repartition(3), t,
+      overwrite = false)
+    TxnTable.commit(spark, (0L until 100L).toDF("id").repartition(2), t,
+      overwrite = true)
+    // the optimize just superseded v1's 3 files entirely
+    val a = LayoutAdvisor.vacuumAdvice(spark, t, retainFrom = 2).head()
+    assert(a.getAs[Long]("n_referenced_files") == 2L)
+    assert(a.getAs[Long]("n_reclaimable_files") == 3L)
+    assert(a.getAs[Long]("reclaimable_rows") == 300L)
+    assert(a.getAs[Boolean]("recommend_vacuum")) // 300·2 ≥ 100 live
+    // ADVICE deletes nothing — time travel to v1 still works after it
+    assert(TxnTable.read(spark, t, asOf = Some(1)).count() == 300L)
+    // retaining everything reclaims nothing
+    val b = LayoutAdvisor.vacuumAdvice(spark, t, retainFrom = 1).head()
+    assert(b.getAs[Long]("n_reclaimable_files") == 0L &&
+      !b.getAs[Boolean]("recommend_vacuum"))
+    // apply path: vacuum deletes exactly what the advice priced, and a
+    // re-advice reports a clean table
+    assert(TxnTable.vacuum(t, retainFrom = 2) == 3)
+    val c = LayoutAdvisor.vacuumAdvice(spark, t, retainFrom = 2).head()
+    assert(c.getAs[Long]("n_reclaimable_files") == 0L)
+  }
 }

@@ -278,6 +278,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("xxhash64"), plan.take(2000))
   }
 
+  test("q_table_diff: narrow hash pass first; payloads semi-join to changed keys") {
+    val plan = planOf("q_table_diff")
+    // the classification join is still the narrow (key, xxhash64) form…
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(plan.contains("xxhash64"), plan.take(2000))
+    // …and full payloads only travel AFTER a LeftSemi prune to the
+    // changed-key set — attribution costs what changed, not the table
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q_text_subword: tokenization is scan-side — no shuffle below the sort") {
     val plan = planOf("q_text_subword")
     assert(plan.contains("greedy_tokenize"), plan.take(2000))
