@@ -341,6 +341,18 @@ object ResultCache {
     case _ => None
   }
 
+  /** (child template hash, pins, agg shape) of a rollup-servable
+    * aggregate — what a workload analyzer groups by to spot a GROUP BY
+    * LATTICE ([[WorkloadAdvisor]]): several shapes over one
+    * child@pins means the broadest cached once serves all the rest by
+    * re-aggregation ([[runOrRollup]]). */
+  private[plans] def latticeInfo(df: DataFrame)
+      : Option[(String, Seq[(String, Int)], Seq[AggCol])] =
+    for {
+      (cols, child) <- aggShape(df.queryExecution.analyzed)
+      (tpl, _, pins) <- planTemplateKeyAndPins(child)
+    } yield (tpl, pins, cols)
+
   /** Template hash + column roles of a servable aggregate query — what
     * an installed entry records in `_agg.json`. */
   private def aggMetaOf(df: DataFrame): Option[(String, Seq[AggCol])] =

@@ -20,8 +20,13 @@ import graft.sources.TxnTable
   *     pins — serving it from the result cache is pure win. A family
   *     whose pins MOVE between runs (the scanned table churns) can
   *     never hit the cache; it is routed away (`route_to_view`,
-  *     recommend = false) and the `view` families below carry its
+  *     recommend = false; `pins_moved,no_view` when no view family can
+  *     express it either) and the `view` families below carry its
   *     actionable recommendation instead — the cache/MV handshake.
+  *     Several aggregate SHAPES over one subplan at one snapshot, one
+  *     subsuming the rest, emit a `cache_lattice` row: cache the
+  *     broadest, the semantic cache rolls up the others
+  *     ([[ResultCache.runOrRollup]]).
   *   - `view` / `star_view`: the MV advisor's single-base
   *     (`materialize`), txn-snapshot (`materialize_txn`), and
   *     star-join (`materialize_star`) summary recommendations
@@ -32,7 +37,10 @@ import graft.sources.TxnTable
   *     NDV. `detail` carries the evidence plus the OTHER admissible
   *     actions, each priced (`alt=bloom:2970/...`), so conflicting
   *     advice on one column is one row with costed alternatives.
-  *   - `compaction`: rows-per-file health of the supplied data dirs.
+  *   - `compaction`: rows-per-file health of the supplied data dirs —
+  *     and, for `txnTables`, the SCAN-FREE log-side form
+  *     (`compact_txn`) plus a `vacuum` row pricing the time-travel
+  *     debt a `vacuum(head − vacuumRetainLag)` would reclaim.
   *
   * `weight` is the size of the evidence (queries served, predicate
   * uses, file count). `saved_rows` PRICES the action in row-units of
@@ -66,12 +74,25 @@ object WorkloadAdvisor {
     * cost a small file carries regardless of its contents. */
   val FileOpenCostRows = 1024L
 
+  private def compactionRow(a: org.apache.spark.sql.Row, target: String,
+                            action: String, targetRowsPerFile: Long) = {
+    val nFiles = a.getAs[Long]("n_files")
+    val total = a.getAs[Long]("total_rows")
+    val ideal = (total + targetRowsPerFile - 1) / targetRowsPerFile
+    val saved = math.max(0L, nFiles - ideal) * FileOpenCostRows
+    ("compaction", target, action,
+      s"files=$nFiles,avg_rows=${a.getAs[Long]("avg_rows_per_file")}",
+      nFiles, saved, a.getAs[Boolean]("recommend_compact"))
+  }
+
   def report(spark: SparkSession, queries: Seq[DataFrame],
              dataDirs: Seq[String] = Nil,
              targetRowsPerFile: Long = 8192L,
              maxRowsFraction: Double = 0.5,
              maxPartitions: Long = 1024L,
-             exactNdv: Boolean = false): DataFrame = {
+             exactNdv: Boolean = false,
+             txnTables: Seq[String] = Nil,
+             vacuumRetainLag: Int = 0): DataFrame = {
     import spark.implicits._
     val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction,
         exactNdv = exactNdv)
@@ -173,15 +194,63 @@ object WorkloadAdvisor {
     val comp = dataDirs.sorted.map { p =>
       val a = LayoutAdvisor.compactionAdvice(spark, p, targetRowsPerFile)
         .head()
-      val nFiles = a.getAs[Long]("n_files")
-      val total = a.getAs[Long]("total_rows")
-      val ideal = (total + targetRowsPerFile - 1) / targetRowsPerFile
-      val saved = math.max(0L, nFiles - ideal) * FileOpenCostRows
-      ("compaction", new java.io.File(p).getName, "compact",
-        s"files=$nFiles,avg_rows=${a.getAs[Long]("avg_rows_per_file")}",
-        nFiles, saved, a.getAs[Boolean]("recommend_compact"))
+      compactionRow(a, new java.io.File(p).getName, "compact",
+        targetRowsPerFile)
     }
-    (rc ++ mv ++ mvTxn ++ stars ++ lay ++ comp)
+    // ── txn-table HEALTH, entirely from the log (no scans): small-file
+    //    state via the stats sidecars, time-travel debt via the vacuum
+    //    dry-run — `vacuumRetainLag` versions behind head stay readable
+    val txnHealth = txnTables.sorted.flatMap { t =>
+      val name = new java.io.File(t).getName
+      val c = LayoutAdvisor.compactionAdviceTxn(spark, t, targetRowsPerFile)
+        .head()
+      val retainFrom = math.max(1,
+        graft.sources.TxnTable.currentVersion(t) - vacuumRetainLag)
+      val v = LayoutAdvisor.vacuumAdvice(spark, t, retainFrom).head()
+      Seq(
+        compactionRow(c, name, "compact_txn", targetRowsPerFile),
+        ("vacuum", name, "vacuum",
+          s"retain_from=$retainFrom," +
+            s"reclaim_files=${v.getAs[Long]("n_reclaimable_files")}",
+          v.getAs[Long]("n_reclaimable_files"),
+          v.getAs[Long]("reclaimable_rows"),
+          v.getAs[Boolean]("recommend_vacuum")))
+    }
+    // ── GROUP-BY-LATTICE detection: several aggregate shapes over ONE
+    //    child subplan at ONE snapshot, one of which subsumes the rest
+    //    (keys and measures both supersets) — cache the broadest once
+    //    and the semantic cache serves every narrower shape by
+    //    re-aggregating the entry (ResultCache.runOrRollup), never
+    //    rescanning the base. Priced at the narrower occurrences'
+    //    skipped scans; shapes with no common broadest emit nothing
+    //    (the MV family already covers merged-view candidates).
+    val lattice = queries.flatMap(q => ResultCache.latticeInfo(q))
+      .groupBy { case (tpl, pins, _) => (tpl, pins) }
+      .toSeq
+      .sortBy { case ((tpl, pins), _) =>
+        (tpl, pins.map { case (p, v) => s"$p@$v" }.mkString(",")) }
+      .flatMap { case ((_, pins), infos) =>
+        val shapes = infos.map(_._3.toSet)
+        val distinctShapes = shapes.distinct
+        def keysOf(s: Set[ResultCache.AggCol]) =
+          s.collect { case ResultCache.AggCol(_, "key", src) => src }
+        def measOf(s: Set[ResultCache.AggCol]) =
+          s.collect { case c if c.kind != "key" => (c.kind, c.src) }
+        if (distinctShapes.size < 2) None
+        else distinctShapes.find(b => distinctShapes.forall(o =>
+            keysOf(o).subsetOf(keysOf(b)) && measOf(o).subsetOf(measOf(b))))
+          .map { broad =>
+            val narrowN = shapes.count(_ != broad)
+            val saved = narrowN.toLong * pins.map(rowsOfPin).sum
+            val tables = pins.map(p => new java.io.File(p._1).getName)
+              .distinct.sorted.mkString(",")
+            ("result_cache", tables, "cache_lattice",
+              s"broad=${keysOf(broad).toSeq.sorted.mkString("+")}" +
+                s",served=$narrowN",
+              shapes.size.toLong, saved, true)
+          }
+      }
+    (rc ++ lattice ++ mv ++ mvTxn ++ stars ++ lay ++ comp ++ txnHealth)
       .sortBy { case (f, t, a, d, _, saved, rec) =>
         (!rec, -saved, f, t, a, d)
       }

@@ -1665,6 +1665,71 @@ object ScaleQueries {
         // exact NDV pinned for the DuckDB re-derivation; deployments
         // default to the approx path
         exactNdv = true)
+    },
+
+    // ── ADVISOR: LATTICE + TXN HEALTH (the round-11 families): a
+    //    GROUP BY lattice over one snapshot (broad ⊇ narrow ⊇ global)
+    //    emits ONE cache_lattice row — cache the broadest, the
+    //    semantic cache rolls up the rest — beside the MV family's
+    //    merged view row; and a txn table with small-file state AND
+    //    time-travel debt contributes the scan-free compact_txn and
+    //    vacuum rows, all priced so DuckDB re-derives every number.
+    sql("q_advisor_health",
+      """WITH v1 AS MATERIALIZED (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |half AS MATERIALIZED (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT 'result_cache' AS family, 'adv_fact' AS target,
+        |       'cache_lattice' AS action,
+        |       'broad=o_orderpriority+o_orderstatus,served=2' AS detail,
+        |       CAST(3 AS BIGINT) AS weight,
+        |       2 * (SELECT COUNT(*) FROM v1) AS saved_rows, TRUE AS recommend
+        |UNION ALL
+        |SELECT 'view', 'adv_fact', 'materialize_txn',
+        |       'o_orderpriority,o_orderstatus|o_custkey', CAST(3 AS BIGINT),
+        |       3 * ((SELECT COUNT(*) FROM v1) -
+        |            (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority,
+        |               o_orderstatus FROM v1))),
+        |       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority,
+        |          o_orderstatus FROM v1))
+        |         <= 0.5 * (SELECT COUNT(*) FROM v1)
+        |UNION ALL
+        |SELECT 'compaction', 'adv_frag', 'compact_txn',
+        |       'files=4,avg_rows=' ||
+        |         CAST((SELECT COUNT(*) FROM half) // 4 AS VARCHAR),
+        |       CAST(4 AS BIGINT),
+        |       (4 - CAST(CEIL((SELECT COUNT(*) FROM half) / 8192.0) AS BIGINT))
+        |         * 1024,
+        |       ((SELECT COUNT(*) FROM half) // 4) < 4096
+        |UNION ALL
+        |SELECT 'vacuum', 'adv_frag', 'vacuum',
+        |       'retain_from=2,reclaim_files=6', CAST(6 AS BIGINT),
+        |       (SELECT COUNT(*) FROM orders),
+        |       2 * (SELECT COUNT(*) FROM orders) >=
+        |         (SELECT COUNT(*) FROM half)
+        |ORDER BY family, target, action""".stripMargin) { (s, d) =>
+      import graft.plans.WorkloadAdvisor
+      import graft.sources.TxnTable
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/wlhealth_$sfKey")
+      val fact = s"$root/adv_fact"
+      val frag = s"$root/adv_frag"
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 3 =!= 0), fact,
+        overwrite = false)
+      TxnTable.commit(s, ord.repartition(6), frag, overwrite = false)
+      TxnTable.commit(s, ord.filter(col("o_orderkey") % 2 === 0)
+        .repartition(4), frag, overwrite = true)
+      def base() = TxnTable.read(s, fact)
+      WorkloadAdvisor.report(s, Seq(
+          base().groupBy("o_orderpriority", "o_orderstatus")
+            .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+          base().groupBy("o_orderpriority").agg(sum("o_custkey").as("cs")),
+          base().agg(count(lit(1)).as("n"))),
+        txnTables = Seq(frag), exactNdv = true)
+        .select("family", "target", "action", "detail", "weight",
+          "saved_rows", "recommend")
+        .orderBy("family", "target", "action")
     }
   )
 

@@ -107,6 +107,56 @@ class WorkloadAdvisorSpec extends SparkSpec {
       r.getAs[String]("target") == "churn_dbl"))
   }
 
+  test("a GROUP BY lattice over one snapshot emits cache_lattice; no-subsumer doesn't") {
+    val t = s"$root/lat_t"
+    TxnTable.commit(spark,
+      (1L to 80L).map(i => (s"a${i % 4}", s"b${i % 5}", i)).toDF("ka", "kb", "m"),
+      t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    val broad = base().groupBy("ka", "kb")
+      .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+    val nar1 = base().groupBy("ka").agg(sum("m").as("sm"))
+    val nar2 = base().agg(count(lit(1)).as("n"))
+    val rep = WorkloadAdvisor.report(spark, Seq(broad, nar1, nar2)).collect()
+    val lat = rep.filter(_.getAs[String]("action") == "cache_lattice")
+    assert(lat.length == 1)
+    val r = lat.head
+    assert(r.getAs[String]("target") == "lat_t")
+    assert(r.getAs[String]("detail") == "broad=ka+kb,served=2")
+    assert(r.getAs[Long]("weight") == 3L)
+    // each narrower shape's scan is skipped: 2 × 80 pinned rows
+    assert(r.getAs[Long]("saved_rows") == 160L)
+    assert(r.getAs[Boolean]("recommend"))
+    // shapes with no common broadest (disjoint measures) emit nothing
+    val m1 = base().groupBy("ka").agg(sum("m").as("sm"))
+    val m2 = base().groupBy("ka").agg(min("m").as("mn"))
+    val rep2 = WorkloadAdvisor.report(spark, Seq(m1, m2)).collect()
+    assert(!rep2.exists(_.getAs[String]("action") == "cache_lattice"))
+  }
+
+  test("txn tables contribute scan-free compaction and vacuum health rows") {
+    val t = s"$root/health_t"
+    TxnTable.commit(spark,
+      (1L to 600L).map(i => (i, i % 7)).toDF("k", "v").repartition(6), t,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 100L).map(i => (i, i % 7)).toDF("k", "v").repartition(4), t,
+      overwrite = true)
+    val rep = WorkloadAdvisor.report(spark, Nil, txnTables = Seq(t),
+      targetRowsPerFile = 1000L).collect()
+    val comp = rep.filter(_.getAs[String]("action") == "compact_txn")
+    assert(comp.length == 1)
+    assert(comp.head.getAs[String]("target") == "health_t")
+    assert(comp.head.getAs[String]("detail") == "files=4,avg_rows=25")
+    assert(comp.head.getAs[Boolean]("recommend")) // 25 < 500
+    val vac = rep.filter(_.getAs[String]("action") == "vacuum")
+    assert(vac.length == 1)
+    // retain head only: v1's 6 files (600 rows) are reclaimable debt
+    assert(vac.head.getAs[String]("detail") == "retain_from=2,reclaim_files=6")
+    assert(vac.head.getAs[Long]("saved_rows") == 600L)
+    assert(vac.head.getAs[Boolean]("recommend")) // 600·2 ≥ 100
+  }
+
   test("layout conflicts surface as one row with priced alternatives") {
     val p = s"$root/base.parquet"
     (0L until 1000L).map(i => (i % 10, i)).toDF("c", "x")
