@@ -341,6 +341,69 @@ object ResultCache {
     case _ => None
   }
 
+  /** A filter conjunct admissible ABOVE the cached child: one bare
+    * column compared against literals, re-applicable on the entry when
+    * that column is an entry KEY (a predicate on an aggregated-away
+    * payload column can never be replayed on the summary — declined). */
+  private final case class KeyPred(
+      src: String,
+      apply: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  private def admissiblePred(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[KeyPred] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    def ext(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        Some(KeyPred(a.name, _ === lit(ext(l))))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        Some(KeyPred(a.name, _ === lit(ext(l))))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        Some(KeyPred(a.name, _ > lit(ext(l))))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        Some(KeyPred(a.name, _ < lit(ext(l))))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(KeyPred(a.name, _ >= lit(ext(l))))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(KeyPred(a.name, _ <= lit(ext(l))))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        Some(KeyPred(a.name, _ < lit(ext(l))))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        Some(KeyPred(a.name, _ > lit(ext(l))))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(KeyPred(a.name, _ <= lit(ext(l))))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(KeyPred(a.name, _ >= lit(ext(l))))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val vals = vs.map(v => ext(v.asInstanceOf[Literal]))
+        Some(KeyPred(a.name, _.isin(vals: _*)))
+      case IsNull(a: AttributeReference) => Some(KeyPred(a.name, _.isNull))
+      case IsNotNull(a: AttributeReference) => Some(KeyPred(a.name, _.isNotNull))
+      case _ => None
+    }
+  }
+
+  /** Strip ONE admissible key-column filter off the aggregate's child:
+    * (re-applicable predicates, the plan below). No filter → (Nil,
+    * plan); a filter with any inadmissible conjunct → None (the whole
+    * query falls back to a computed miss rather than guessing). */
+  private def splitKeyFilter(plan: LogicalPlan)
+      : Option[(Seq[KeyPred], LogicalPlan)] = plan match {
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, gc) =>
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+      val preds = conjuncts(cond).map(admissiblePred)
+      if (preds.exists(_.isEmpty)) None else Some((preds.flatten, gc))
+    case p => Some((Nil, p))
+  }
+
   /** (child template hash, pins, agg shape) of a rollup-servable
     * aggregate — what a workload analyzer groups by to spot a GROUP BY
     * LATTICE ([[WorkloadAdvisor]]): several shapes over one
@@ -421,14 +484,21 @@ object ResultCache {
     if (exactKey.isEmpty || exactHit)
       return run(spark, query, cacheDir, maxResultFraction)
     val served = for {
-      (qCols, child) <- aggShape(query.queryExecution.analyzed)
+      (qCols, child0) <- aggShape(query.queryExecution.analyzed)
+      // FILTER SUBSUMPTION: a key-column filter between the aggregate
+      // and the cached child (WHERE prio = '1' GROUP BY status) replays
+      // on the entry — the filter columns just have to be entry KEYS
+      (keyPreds, child) <- splitKeyFilter(child0)
       (childTpl, _, pins) <- planTemplateKeyAndPins(child)
-      (entryDir, eCols) <- findRollupSource(cacheDir, childTpl, pins, qCols)
+      (entryDir, eCols) <- findRollupSource(cacheDir, childTpl, pins, qCols,
+        keyPreds.map(_.src))
     } yield {
       val bySrc = eCols.groupBy(c => (c.kind, c.src))
       def entryName(kind: String, src: String): String =
         bySrc((kind, src)).head.name
-      val e = spark.read.parquet(entryDir.getPath)
+      val e = keyPreds.foldLeft(spark.read.parquet(entryDir.getPath)) {
+        (df, p) => df.filter(p.apply(col(entryName("key", p.src))))
+      }
       val keyCols = qCols.filter(_.kind == "key")
         .map(c => col(entryName("key", c.src)).as(c.name))
       val aggCols = qCols.filter(_.kind != "key").map {
@@ -444,14 +514,19 @@ object ResultCache {
       val rolled =
         if (aggCols.isEmpty) e.select(keyCols: _*).distinct()
         else e.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // the installed entry's own identity is its FULL child — filter
+      // included: a filtered rollup must never masquerade as an
+      // unfiltered aggregate (it is missing the filtered-out groups)
+      val ownMeta = planTemplateKeyAndPins(child0)
+        .map { case (tpl, _, _) => (tpl, qCols) }
       // select into the query's declared column ORDER (grouping keys
       // and measures may interleave arbitrarily in the original SELECT)
       (rolled.select(qCols.map(c => col(c.name)): _*),
-        childTpl, pins, qCols)
+        ownMeta, pins, qCols)
     }
     served match {
       case None => run(spark, query, cacheDir, maxResultFraction)
-      case Some((rolled, childTpl, pins, qCols)) =>
+      case Some((rolled, ownMeta, pins, _)) =>
         // install the rolled-up result under the query's own exact key
         // (the rollup's plan reads cache storage, so its pins are the
         // QUERY's, passed explicitly): strictly no bigger than its
@@ -460,18 +535,19 @@ object ResultCache {
         // the lattice keeps serving top-down: day→month→year each roll
         // from the previous level, never the base.
         installAndServe(spark, cacheDir, exactKey.get, pins, rolled,
-          Double.PositiveInfinity, Some((childTpl, qCols)))
+          Double.PositiveInfinity, ownMeta)
           .copy(hit = true)
     }
   }
 
   /** The first installed entry (deterministic: sorted key order) whose
     * `_agg.json` names the same child template, whose pins match, and
-    * whose columns can serve every query column: each query KEY must be
-    * an entry key (subset grouping), each query measure must appear
-    * with the same role and source. */
+    * whose columns can serve every query column: each query KEY — and
+    * each filter column (`extraKeySrcs`) — must be an entry key, each
+    * query measure must appear with the same role and source. */
   private def findRollupSource(cacheDir: String, childTpl: String,
-                               pins: Seq[(String, Int)], qCols: Seq[AggCol])
+                               pins: Seq[(String, Int)], qCols: Seq[AggCol],
+                               extraKeySrcs: Seq[String])
       : Option[(File, Seq[AggCol])] = {
     val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
@@ -484,6 +560,7 @@ object ResultCache {
           case c if c.kind != "key" => (c.kind, c.src) }.toSet
         val servable = tpl == childTpl &&
           parsePinsJson(new File(d, "_pins.json")) == pins &&
+          extraKeySrcs.forall(eKeys.contains) &&
           qCols.forall {
             case AggCol(_, "key", src) => eKeys.contains(src)
             case c => eMeasures.contains((c.kind, c.src))

@@ -1498,6 +1498,10 @@ object ScaleQueries {
         |SELECT 'd_exact_hit', o_orderpriority, CAST(NULL AS VARCHAR),
         |       CAST(SUM(o_custkey) AS BIGINT), COUNT(*), CAST(1 AS BIGINT)
         |FROM v1 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'e_rollup_filtered', CAST(NULL AS VARCHAR), o_orderstatus,
+        |       CAST(SUM(o_custkey) AS BIGINT), COUNT(*), CAST(1 AS BIGINT)
+        |FROM v1 WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
         |ORDER BY stage, o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
       import graft.plans.ResultCache
       import graft.sources.TxnTable
@@ -1541,7 +1545,15 @@ object ScaleQueries {
         base().groupBy("o_orderpriority")
           .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
         cache), requireCacheOnly = true)
-      a.unionByName(b).unionByName(c).unionByName(e)
+      // FILTER SUBSUMPTION: WHERE on one grouping key of the cached
+      // wide entry, GROUP BY the other — replayed on the entry, the
+      // base never rescanned
+      val f = staged("e_rollup_filtered", ResultCache.runOrRollup(s,
+        base().filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderstatus")
+          .agg(sum("o_custkey").as("cs"), count(lit(1)).as("n")),
+        cache), requireCacheOnly = true)
+      a.unionByName(b).unionByName(c).unionByName(e).unionByName(f)
         .orderBy("stage", "o_orderpriority", "o_orderstatus")
     },
 

@@ -246,6 +246,56 @@ class ResultCacheSpec extends SparkSpec {
     assert(!missing.hit && missing.installed) // computed from base, cached
   }
 
+  test("filter subsumption: a key-column WHERE replays on the cached entry") {
+    val t = s"$root/rollf_t"
+    val rc = s"$root/rollf_cache"
+    TxnTable.commit(spark,
+      (1L to 60L).map(i => (s"a${i % 3}", s"b${i % 4}", i))
+        .toDF("ka", "kb", "m"), t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    val b = ResultCache.runOrRollup(spark,
+      base().groupBy("ka", "kb").agg(sum("m").as("sm"), count(lit(1)).as("n")),
+      rc)
+    assert(!b.hit && b.installed)
+    // WHERE on one key, GROUP BY the other: filters + rolls from the entry
+    def filtered() = base().filter(col("ka") === "a1").groupBy("kb")
+      .agg(sum("m").as("sm"))
+    val direct = filtered().collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    val f1 = ResultCache.runOrRollup(spark, filtered(), rc)
+    assert(f1.hit, "key-filtered aggregate must be served from the entry")
+    val scanned = f1.df.queryExecution.executedPlan.toString()
+    assert(scanned.contains("rollf_cache") && !scanned.contains("rollf_t/"))
+    assert(f1.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == direct)
+    // the filtered result installed under its own (filtered) identity:
+    // an identical run is a plain hit…
+    assert(ResultCache.run(spark, filtered(), rc).hit)
+    // …and it can NEVER serve the unfiltered shape (missing groups):
+    // that one rolls from the broad entry instead and must equal direct
+    val unf = ResultCache.runOrRollup(spark,
+      base().groupBy("kb").agg(sum("m").as("sm")), rc)
+    assert(unf.hit)
+    assert(unf.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      base().groupBy("kb").agg(sum("m").as("sm")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    // range + IN forms replay too
+    val rng = ResultCache.runOrRollup(spark,
+      base().filter(col("ka") >= "a1" && col("kb").isin("b0", "b2"))
+        .groupBy("ka").agg(count(lit(1)).as("n")), rc)
+    assert(rng.hit)
+    assert(rng.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      base().filter(col("ka") >= "a1" && col("kb").isin("b0", "b2"))
+        .groupBy("ka").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    // a filter on a NON-key (aggregated-away) column cannot replay on
+    // the summary — computed from base, never served wrong
+    val nonKey = ResultCache.runOrRollup(spark,
+      base().filter(col("m") > 30).groupBy("ka").agg(count(lit(1)).as("n")),
+      rc)
+    assert(!nonKey.hit && nonKey.installed)
+  }
+
   test("rollup declines across pins: a commit makes the broad entry unusable") {
     val t = s"$root/rollpin_t"
     val rc = s"$root/rollpin_cache"
