@@ -540,34 +540,44 @@ object ResultCache {
     }
   }
 
-  /** The first installed entry (deterministic: sorted key order) whose
-    * `_agg.json` names the same child template, whose pins match, and
-    * whose columns can serve every query column: each query KEY — and
-    * each filter column (`extraKeySrcs`) — must be an entry key, each
-    * query measure must appear with the same role and source. */
-  private def findRollupSource(cacheDir: String, childTpl: String,
-                               pins: Seq[(String, Int)], qCols: Seq[AggCol],
-                               extraKeySrcs: Seq[String])
+  /** The SMALLEST installed entry (by footer row count, ties to key
+    * order — deterministic) whose `_agg.json` names the same child
+    * template, whose pins match, and whose columns can serve every
+    * query column: each query KEY — and each filter column
+    * (`extraKeySrcs`) — must be an entry key, each query measure must
+    * appear with the same role and source. Smallest-first is the
+    * lattice walking itself: once the (ka) level is installed, the
+    * global rollup re-aggregates THAT, not the wider (ka, kb) level. */
+  private[plans] def findRollupSource(cacheDir: String, childTpl: String,
+                                      pins: Seq[(String, Int)],
+                                      qCols: Seq[AggCol],
+                                      extraKeySrcs: Seq[String])
       : Option[(File, Seq[AggCol])] = {
     val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
         new File(f, "_SUCCESS").isFile)
       .sortBy(_.getName)
-    entries.iterator.flatMap { d =>
+    val servable = entries.flatMap { d =>
       parseAggJson(new File(d, "_agg.json")).flatMap { case (tpl, eCols) =>
         val eKeys = eCols.collect { case AggCol(_, "key", src) => src }.toSet
         val eMeasures = eCols.collect {
           case c if c.kind != "key" => (c.kind, c.src) }.toSet
-        val servable = tpl == childTpl &&
+        val ok = tpl == childTpl &&
           parsePinsJson(new File(d, "_pins.json")) == pins &&
           extraKeySrcs.forall(eKeys.contains) &&
           qCols.forall {
             case AggCol(_, "key", src) => eKeys.contains(src)
             case c => eMeasures.contains((c.kind, c.src))
           }
-        if (servable) Some((d, eCols)) else None
+        if (ok) Some((d, eCols)) else None
       }
-    }.nextOption()
+    }
+    def entryRows(d: File): Long = Option(d.listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(TxnTable.footerRowCount).sum
+    if (servable.isEmpty) None
+    else Some(servable.minBy { case (d, _) => (entryRows(d), d.getName) })
   }
 
   /** AGE-BASED retention, measured in VERSION DISTANCE — no wall clocks

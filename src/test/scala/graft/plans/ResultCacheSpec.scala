@@ -246,6 +246,63 @@ class ResultCacheSpec extends SparkSpec {
     assert(!missing.hit && missing.installed) // computed from base, cached
   }
 
+  test("rollup descends the lattice from the SMALLEST servable level") {
+    val t = s"$root/rolsz_t"
+    val rc = s"$root/rolsz_cache"
+    TxnTable.commit(spark,
+      (1L to 90L).map(i => (s"a${i % 30}", s"b${i % 3}", i))
+        .toDF("ka", "kb", "m"), t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    // level 2: 90 groups (ka×kb); level 1: 3 groups (kb)
+    assert(!ResultCache.runOrRollup(spark, base().groupBy("ka", "kb")
+      .agg(sum("m").as("sm")), rc).hit)
+    def mid() = base().groupBy("kb").agg(sum("m").as("sm"))
+    assert(ResultCache.runOrRollup(spark, mid(), rc).hit) // rolls from level 2
+    val midKey = ResultCache.keyOf(mid()).get
+    // the GLOBAL rollup must re-aggregate the 3-row kb level, not the
+    // 90-row (ka, kb) level — smallest servable wins (white-box: the
+    // served frame reads its own installed copy, so source selection is
+    // only observable at the finder)
+    def global() = base().agg(sum("m").as("sm"))
+    val (tpl, pins, qCols) = ResultCache.latticeInfo(global()).get
+    val chosen = ResultCache.findRollupSource(rc, tpl, pins, qCols, Nil)
+    assert(chosen.map(_._1.getName).contains(midKey))
+    val g = ResultCache.runOrRollup(spark, global(), rc)
+    assert(g.hit)
+    assert(g.df.head().getLong(0) == (1L to 90L).sum)
+  }
+
+  test("rollup serves aggregates over JOIN children too") {
+    val ft = s"$root/rolj_fact"
+    val dt = s"$root/rolj_dim"
+    val rc = s"$root/rolj_cache"
+    TxnTable.commit(spark,
+      (1L to 40L).map(i => (i % 5, i)).toDF("fk", "m"), ft, overwrite = false)
+    TxnTable.commit(spark,
+      (0L until 5L).map(k => (k, s"seg${k % 2}")).toDF("dk", "seg"), dt,
+      overwrite = false)
+    def joined() = TxnTable.read(spark, ft)
+      .join(TxnTable.read(spark, dt), col("fk") === col("dk"))
+    val broad = joined().groupBy("seg", "fk")
+      .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+    assert(!ResultCache.runOrRollup(spark, broad, rc).hit)
+    // the narrower aggregate over the SAME join serves from the entry —
+    // the join never re-executes, let alone the base scans
+    val nar = ResultCache.runOrRollup(spark,
+      joined().groupBy("seg").agg(sum("m").as("sm"), count(lit(1)).as("n")),
+      rc)
+    assert(nar.hit)
+    val scanned = nar.df.queryExecution.executedPlan.toString()
+    assert(scanned.contains("rolj_cache") && !scanned.contains("rolj_fact") &&
+      !scanned.contains("rolj_dim"))
+    val direct = TxnTable.read(spark, ft)
+      .join(TxnTable.read(spark, dt), col("fk") === col("dk"))
+      .groupBy("seg").agg(sum("m").as("sm"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nar.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+  }
+
   test("filter subsumption: a key-column WHERE replays on the cached entry") {
     val t = s"$root/rollf_t"
     val rc = s"$root/rollf_cache"
