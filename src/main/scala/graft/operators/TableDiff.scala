@@ -114,6 +114,59 @@ object TableDiff {
     byChange.unionByName(byCol)
   }
 
+  /** Order-independent per-row fingerprint over EVERY column (sorted
+    * name order, the diff's null-firm (isnull, value) encoding) — what
+    * [[suspectPartitions]] sums per partition: any row change, add, or
+    * remove moves the partition digest. */
+  private def rowHash(columns: Seq[String]): Column =
+    xxhash64(columns.sorted.flatMap(c => Seq(
+      isnull(col(c)).cast("string"),
+      coalesce(col(c).cast("string"), lit("")))): _*)
+
+  /** The partitions whose content DIFFERS between the sides: compare
+    * one (xor-of-row-hashes, count) digest row per partition — two
+    * narrow aggregates and a partitions-sized join, no row-level work.
+    * XOR is commutative, so the digest is layout- and order-independent
+    * (and never overflows under ANSI arithmetic — the same set-hash
+    * idiom as the txn log's version index); its pair-cancellation
+    * blind spot needs two IDENTICAL rows, impossible under the keyed
+    * uniqueness contract since the key is hashed too. The count guards
+    * the empty-vs-empty degenerate. */
+  private[operators] def suspectPartitions(before: DataFrame,
+                                           after: DataFrame,
+                                           partCol: String): DataFrame = {
+    def digest(df: DataFrame, tag: String) = df
+      .select(col(partCol), rowHash(df.columns.toSeq).as("__rh"))
+      .groupBy(partCol)
+      .agg(expr("bit_xor(__rh)").as(s"__d$tag"), count(lit(1)).as(s"__n$tag"))
+    digest(before, "b").join(digest(after, "a"), Seq(partCol), "full_outer")
+      .filter(col("__db").isNull || col("__da").isNull ||
+        col("__db") =!= col("__da") || col("__nb") =!= col("__na"))
+      .select(partCol)
+  }
+
+  /** [[diffDetailed]] with MERKLE-STYLE partition pruning: compare one
+    * digest per `partCol` value first, then run the row-level diff on
+    * the suspect partitions ONLY — the daily-churn reconciliation
+    * shape, where a 100 TB date-partitioned table differs in a handful
+    * of recent partitions and the other thousands never leave their
+    * digest aggregate. A row that MOVES between partitions flags both
+    * its partitions, so it still classifies correctly (partCol is an
+    * ordinary compared column). Same fingerprint-equality caveat as
+    * [[diff]]. */
+  def diffPartitioned(before: DataFrame, after: DataFrame,
+                      keys: Seq[String], partCol: String): DataFrame = {
+    require(before.columns.contains(partCol),
+      s"partition column $partCol missing from ${before.columns.toSeq.sorted}")
+    val suspects = suspectPartitions(before, after, partCol)
+    // changes only (no includeUnchanged): rows in pruned partitions
+    // never reach the row level, so an unchanged class here would lie
+    diffDetailed(
+      before.join(broadcast(suspects), Seq(partCol), "left_semi"),
+      after.join(broadcast(suspects), Seq(partCol), "left_semi"),
+      keys)
+  }
+
   /** [[diffDetailed]] across two committed versions of one [[TxnTable]]
     * — reconciliation over time travel: both sides are immutable file
     * sets, so the answer is stable no matter when it runs. */

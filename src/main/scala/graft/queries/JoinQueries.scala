@@ -404,6 +404,35 @@ object JoinQueries {
       graft.operators.TableDiff.diffVersionsIncremental(s, t, 1,
           TxnTable.currentVersion(t), Seq("o_orderkey"))
         .orderBy("o_orderkey", "change")
+    },
+
+    // ── MERKLE-STYLE partitioned diff (TableDiff.diffPartitioned):
+    //    per-partition digests compare first; only the partitions whose
+    //    digest moved reach the row-level join — the daily-churn
+    //    reconciliation shape (changes confined to '1-URGENT' here; the
+    //    other four priorities never leave their digest aggregate).
+    sql("q_table_diff_partitioned",
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+        |  FROM orders),
+        |u AS (SELECT * FROM base WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, 'removed' AS change, '' AS changed_cols
+        |FROM u WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed', 'o_totalprice'
+        |FROM u WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+      val urgent = col("o_orderpriority") === "1-URGENT"
+      val right = base.filter(!urgent)
+        .unionByName(base.filter(urgent && col("o_orderkey") % 10 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice"))))
+      graft.operators.TableDiff.diffPartitioned(base, right,
+          Seq("o_orderkey"), "o_orderpriority")
+        .orderBy("o_orderkey")
     }
   )
 

@@ -130,6 +130,35 @@ class TableDiffSpec extends SparkSpec {
     assert(detRows(incr) == expected)
   }
 
+  test("partitioned diff prunes identical partitions, equals the plain diff") {
+    val l = (1L to 40L).map(i => (s"p${i % 4}", i, i * 10L)).toDF("p", "k", "v")
+    // touch ONLY p1 (value change) and p3 (remove 3, add 43): p0/p2 must
+    // never reach the row level
+    val r = l.filter(!(col("k") === 3L))
+      .withColumn("v", when(col("k") === 5L, lit(999L)).otherwise(col("v")))
+      .unionByName(Seq(("p3", 43L, 430L)).toDF("p", "k", "v"))
+    val suspects = TableDiff.suspectPartitions(l, r, "p")
+      .collect().map(_.getString(0)).toSet
+    assert(suspects == Set("p1", "p3")) // 3 % 4 = 3, 5 % 4 = 1
+    val part = TableDiff.diffPartitioned(l, r, Seq("k"), "p")
+      .select("k", "change", "changed_cols")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    val plain = TableDiff.diffDetailed(l, r, Seq("k"))
+      .select("k", "change", "changed_cols")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(part == plain)
+    assert(part == Set((3L, "removed", ""), (5L, "changed", "v"),
+      (43L, "added", "")))
+    // a row MOVING between partitions flags both and classifies changed
+    val moved = l.withColumn("p",
+      when(col("k") === 8L, lit("p2")).otherwise(col("p"))) // was p0
+    assert(TableDiff.suspectPartitions(l, moved, "p")
+      .collect().map(_.getString(0)).toSet == Set("p0", "p2"))
+    assert(TableDiff.diffPartitioned(l, moved, Seq("k"), "p")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+      .toSet == Set((8L, "changed", "p")))
+  }
+
   test("incremental diff folds churn: restored keys and transients vanish") {
     val t = "/root/repo/target/tmp/spec_tdiff_incr"
     FileUtils.deleteQuietly(new File(t))
