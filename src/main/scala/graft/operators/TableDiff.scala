@@ -167,6 +167,30 @@ object TableDiff {
       keys)
   }
 
+  /** SCHEMA diff — the metadata half of reconciliation ([[diff]] covers
+    * the rows): one row per column whose presence or type moved between
+    * the two relations, (col_name, change ∈ added|removed|type_changed,
+    * before_type, after_type). Driver-side over the StructTypes —
+    * nothing runs. Nullability is layout, not schema, here: it changes
+    * with join shapes and file merges without moving a single value, so
+    * it never flags. */
+  def schemaDiff(spark: SparkSession, before: DataFrame,
+                 after: DataFrame): DataFrame = {
+    import spark.implicits._
+    val b = before.schema.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.schema.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), "")) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (c, "added", "", a(c))) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if b(c) != a(c) => (c, "type_changed", b(c), a(c))
+      }
+    rows.sortBy(r => (r._1, r._2))
+      .toDF("col_name", "change", "before_type", "after_type")
+  }
+
   /** [[diffDetailed]] across two committed versions of one [[TxnTable]]
     * — reconciliation over time travel: both sides are immutable file
     * sets, so the answer is stable no matter when it runs. */

@@ -433,6 +433,25 @@ object JoinQueries {
       graft.operators.TableDiff.diffPartitioned(base, right,
           Seq("o_orderkey"), "o_orderpriority")
         .orderBy("o_orderkey")
+    },
+
+    // ── SCHEMA diff (TableDiff.schemaDiff): the metadata half of
+    //    reconciliation — presence and type moves between two
+    //    generations of a table, driver-side, nothing runs.
+    sql("q_table_diff_schema",
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'type_changed', 'BIGINT', 'INT'),
+        |  ('o_flag', 'added', '', 'BOOLEAN'),
+        |  ('o_totalprice', 'removed', 'DOUBLE', ''))
+        |  AS t(col_name, change, before_type, after_type)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val after = base.select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_orderstatus"), lit(true).as("o_flag"))
+      graft.operators.TableDiff.schemaDiff(s, base, after)
+        .orderBy("col_name")
     }
   )
 

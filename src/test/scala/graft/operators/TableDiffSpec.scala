@@ -159,6 +159,24 @@ class TableDiffSpec extends SparkSpec {
       .toSet == Set((8L, "changed", "p")))
   }
 
+  test("schema diff flags presence and type moves, never nullability") {
+    val before = Seq((1L, "a", 2.0)).toDF("id", "s", "v")
+    val after = before.select(col("id").cast("int").as("id"), col("s"),
+      lit(true).as("flag"))
+    val got = TableDiff.schemaDiff(spark, before, after).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("flag", "added", "", "BOOLEAN"),
+      ("id", "type_changed", "BIGINT", "INT"),
+      ("v", "removed", "DOUBLE", "")))
+    assert(TableDiff.schemaDiff(spark, before, before).isEmpty)
+    // nullability shifts alone (outer-join shapes) flag nothing
+    val nullable = before.select(when(col("id") > 0, col("s")).as("s"),
+      col("id"), col("v"))
+    assert(TableDiff.schemaDiff(spark, before, nullable).isEmpty)
+  }
+
   test("incremental diff folds churn: restored keys and transients vanish") {
     val t = "/root/repo/target/tmp/spec_tdiff_incr"
     FileUtils.deleteQuietly(new File(t))

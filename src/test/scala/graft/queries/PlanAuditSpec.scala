@@ -278,6 +278,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("xxhash64"), plan.take(2000))
   }
 
+  test("q_table_diff_partitioned: digests prune via a broadcast semi-join") {
+    val plan = planOf("q_table_diff_partitioned")
+    // the per-partition digest is the xor aggregate…
+    assert(plan.contains("bit_xor"), plan.take(2000))
+    // …and the tiny suspect set broadcasts into BOTH row-level sides
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size >= 2,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q_table_diff: narrow hash pass first; payloads semi-join to changed keys") {
     val plan = planOf("q_table_diff")
     // the classification join is still the narrow (key, xxhash64) form…
