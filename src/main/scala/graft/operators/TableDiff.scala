@@ -159,12 +159,15 @@ object TableDiff {
     require(before.columns.contains(partCol),
       s"partition column $partCol missing from ${before.columns.toSeq.sorted}")
     val suspects = suspectPartitions(before, after, partCol)
+      .withColumnRenamed(partCol, "__suspect_p")
+    // NULL-SAFE semi join: the NULL partition is a legal partition
+    // value (and a classic dumping ground for exactly the rows that
+    // change) — a plain equi-semi-join would silently prune it
+    def keep(df: DataFrame) = df.join(broadcast(suspects),
+      col(partCol) <=> col("__suspect_p"), "left_semi")
     // changes only (no includeUnchanged): rows in pruned partitions
     // never reach the row level, so an unchanged class here would lie
-    diffDetailed(
-      before.join(broadcast(suspects), Seq(partCol), "left_semi"),
-      after.join(broadcast(suspects), Seq(partCol), "left_semi"),
-      keys)
+    diffDetailed(keep(before), keep(after), keys)
   }
 
   /** SCHEMA diff — the metadata half of reconciliation ([[diff]] covers

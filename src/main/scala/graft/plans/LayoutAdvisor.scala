@@ -252,7 +252,11 @@ object LayoutAdvisor {
                    retainFrom: Int): DataFrame = {
     import graft.sources.TxnTable
     val (keep, doomed) = TxnTable.reclaimable(table, retainFrom)
-    val reclaimRows = doomed.map(TxnTable.footerRowCount).sum
+    // orphans include CRASH DEBRIS (truncated part files a dying writer
+    // left, no log entry) — exactly what vacuum cleans; an unreadable
+    // footer prices as 0 rows rather than killing the health report
+    val reclaimRows = doomed.map(f =>
+      scala.util.Try(TxnTable.footerRowCount(f)).getOrElse(0L)).sum
     val headRows = TxnTable.snapshotRowCount(table)
     import spark.implicits._
     Seq((keep.size.toLong, doomed.size.toLong, reclaimRows,

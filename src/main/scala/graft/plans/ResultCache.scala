@@ -499,16 +499,25 @@ object ResultCache {
       val e = keyPreds.foldLeft(spark.read.parquet(entryDir.getPath)) {
         (df, p) => df.filter(p.apply(col(entryName("key", p.src))))
       }
+      // re-aggregating widens some types (SUM over decimal adds
+      // precision at EVERY level): cast each measure back to the
+      // entry's stored type — which IS the direct query's result type,
+      // since the entry computed the same aggregate one level up
+      def stored(kind: String, src: String) = e.schema(entryName(kind, src))
       val keyCols = qCols.filter(_.kind == "key")
         .map(c => col(entryName("key", c.src)).as(c.name))
       val aggCols = qCols.filter(_.kind != "key").map {
-        case AggCol(n, "sum", src) => sum(col(entryName("sum", src))).as(n)
+        case AggCol(n, "sum", src) =>
+          sum(col(entryName("sum", src)))
+            .cast(stored("sum", src).dataType).as(n)
         case AggCol(n, "min", src) => min(col(entryName("min", src))).as(n)
         case AggCol(n, "max", src) => max(col(entryName("max", src))).as(n)
         case AggCol(n, "count", src) =>
-          coalesce(sum(col(entryName("count", src))), lit(0L)).as(n)
+          coalesce(sum(col(entryName("count", src))), lit(0L))
+            .cast(stored("count", src).dataType).as(n)
         case AggCol(n, "count_star", _) =>
-          coalesce(sum(col(entryName("count_star", ""))), lit(0L)).as(n)
+          coalesce(sum(col(entryName("count_star", ""))), lit(0L))
+            .cast(stored("count_star", "").dataType).as(n)
         case c => throw new IllegalStateException(s"unreachable: $c")
       }
       val rolled =
@@ -605,19 +614,13 @@ object ResultCache {
     * runs at. Returns the number of entries DELETED this cycle. */
   def retain(cacheDir: String, maxLag: Int): Int = {
     require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
-    val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
     val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !f.getName.startsWith("."))
     val dead = entries.filter { dir =>
-      val pf = new File(dir, "_pins.json")
-      pf.isFile && {
-        val s = new String(java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8")
-        pinRe.findAllMatchIn(s).exists { m =>
-          val table = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-          val pinned = m.group(2).toInt
+      parsePinsJson(new File(dir, "_pins.json")).exists {
+        case (table, pinned) =>
           val head = TxnTable.currentVersion(table)
           head == 0 || head - pinned > maxLag
-        }
       }
     }
     val (marked, fresh) = dead.partition(d => new File(d, "_retired").isFile)
@@ -642,25 +645,16 @@ object ResultCache {
     * actually free bytes). Returns entries dropped. */
   def evictToBudget(cacheDir: String, maxBytes: Long): Int = {
     require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
-    val pinRe = """\{"table":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
     val entries = Option(new File(cacheDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !f.getName.startsWith("."))
     final case class E(dir: File, bytes: Long, lag: Long)
     val es = entries.map { d =>
-      val pf = new File(d, "_pins.json")
-      val lag =
-        if (!pf.isFile) Long.MaxValue
-        else {
-          val s = new String(
-            java.nio.file.Files.readAllBytes(pf.toPath), "UTF-8")
-          val lags = pinRe.findAllMatchIn(s).map { m =>
-            val table = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-            val head = TxnTable.currentVersion(table)
-            if (head == 0) Long.MaxValue
-            else (head - m.group(2).toInt).toLong
-          }.toSeq
-          if (lags.isEmpty) Long.MaxValue else lags.max
-        }
+      val pins = parsePinsJson(new File(d, "_pins.json"))
+      val lags = pins.map { case (table, pinned) =>
+        val head = TxnTable.currentVersion(table)
+        if (head == 0) Long.MaxValue else (head - pinned).toLong
+      }
+      val lag = if (lags.isEmpty) Long.MaxValue else lags.max
       E(d, org.apache.commons.io.FileUtils.sizeOfDirectory(d), lag)
     }
     var total = es.map(_.bytes).sum

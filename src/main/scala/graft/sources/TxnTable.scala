@@ -94,15 +94,23 @@ object TxnTable {
   private def writeStats(table: String, version: Int,
                          added: Seq[String]): Unit =
     try {
-      val body = added.map { rel =>
-        s""""$rel":${footerRowCount(new File(table, rel))}"""
-      }.mkString("{", ",", "}")
-      val tmp = new File(logDir(table), f".v$version%05d-" +
-        java.util.UUID.randomUUID.toString.take(8) + ".stats.tmp")
-      Files.write(tmp.toPath,
-        s"""{"rows":$body}""".getBytes(StandardCharsets.UTF_8))
-      if (!tmp.renameTo(statsFile(table, version)))
-        Files.deleteIfExists(tmp.toPath)
+      // metadata-only RE-LISTS (lineage compaction, restore, clone)
+      // "add" files earlier commits already measured — recording them
+      // again would turn an O(1)-intent commit into a footer sweep of
+      // the whole live set; only genuinely new files are read
+      val known = recordedRowCounts(table)
+      val fresh = added.filterNot(known.contains)
+      if (fresh.nonEmpty) {
+        val body = fresh.map { rel =>
+          s""""$rel":${footerRowCount(new File(table, rel))}"""
+        }.mkString("{", ",", "}")
+        val tmp = new File(logDir(table), f".v$version%05d-" +
+          java.util.UUID.randomUUID.toString.take(8) + ".stats.tmp")
+        Files.write(tmp.toPath,
+          s"""{"rows":$body}""".getBytes(StandardCharsets.UTF_8))
+        if (!tmp.renameTo(statsFile(table, version)))
+          Files.deleteIfExists(tmp.toPath)
+      }
     } catch { case _: Exception => () } // advisory; footers stay the truth
 
   /** Every row count the log's stats sidecars recorded, file → rows.
@@ -1137,7 +1145,8 @@ object TxnTable {
     // torn tmp log entries from crashed commits are invisible to readers
     // but would otherwise accumulate — sweep them with the orphans
     Option(logDir(table).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".json.tmp"))
+      .filter(f => f.isFile && (f.getName.endsWith(".json.tmp") ||
+        f.getName.endsWith(".stats.tmp")))
       .foreach(_.delete())
     // drop now-empty commit dirs so the layout stays readable at a glance
     Option(dataRoot.listFiles()).getOrElse(Array.empty)

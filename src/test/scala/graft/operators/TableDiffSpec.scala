@@ -157,6 +157,15 @@ class TableDiffSpec extends SparkSpec {
     assert(TableDiff.diffPartitioned(l, moved, Seq("k"), "p")
       .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
       .toSet == Set((8L, "changed", "p")))
+    // the NULL partition is a legal partition: a change inside it must
+    // survive the prune (the semi join is null-safe)
+    val ln = l.withColumn("p",
+      when(col("k") === 2L, lit(null).cast("string")).otherwise(col("p")))
+    val rn = ln.withColumn("v",
+      when(col("k") === 2L, lit(888L)).otherwise(col("v")))
+    assert(TableDiff.diffPartitioned(ln, rn, Seq("k"), "p")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+      .toSet == Set((2L, "changed", "v")))
   }
 
   test("schema diff flags presence and type moves, never nullability") {

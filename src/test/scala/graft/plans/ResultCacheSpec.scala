@@ -303,6 +303,30 @@ class ResultCacheSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
   }
 
+  test("rollup over DECIMAL sums keeps the direct query's type") {
+    val t = s"$root/roldec_t"
+    val rc = s"$root/roldec_cache"
+    TxnTable.commit(spark,
+      (1L to 30L).map(i => (s"a${i % 3}", s"b${i % 2}", i))
+        .toDF("ka", "kb", "m0")
+        .withColumn("m", col("m0").cast("decimal(12,2)")).drop("m0"),
+      t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    assert(!ResultCache.runOrRollup(spark, base().groupBy("ka", "kb")
+      .agg(sum("m").as("sm")), rc).hit)
+    def nar() = base().groupBy("ka").agg(sum("m").as("sm"))
+    val direct = nar()
+    val rolled = ResultCache.runOrRollup(spark, nar(), rc)
+    assert(rolled.hit)
+    // SUM(decimal(12,2)) = decimal(22,2); a naive sum-of-sums would
+    // widen to decimal(32,2) and poison every later exact hit
+    assert(rolled.df.schema("sm").dataType == direct.schema("sm").dataType)
+    assert(ResultCache.run(spark, nar(), rc).hit)
+    assert(rolled.df.collect().map(r =>
+      (r.getString(0), r.getDecimal(1))).toSet ==
+      direct.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet)
+  }
+
   test("filter subsumption: a key-column WHERE replays on the cached entry") {
     val t = s"$root/rollf_t"
     val rc = s"$root/rollf_cache"

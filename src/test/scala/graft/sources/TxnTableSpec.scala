@@ -61,6 +61,26 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.snapshotRowCount(t, asOf = Some(1)) == 40L)
   }
 
+  test("metadata-only re-lists record no stats; vacuum sweeps stats debris") {
+    val t = freshTable("tt_stats_relist")
+    TxnTable.commit(spark, (1L to 20L).toDF("id"), t, overwrite = false)
+    TxnTable.commit(spark, (21L to 30L).toDF("id"), t, overwrite = false)
+    val log = new File(t, "_graft_log")
+    def sidecars() = log.listFiles().filter(_.getName.startsWith("stats_v"))
+    assert(sidecars().length == 2)
+    // RESTORE re-lists v1's already-measured files: a zero-copy commit
+    // must not pay (or record) a footer sweep of the live set
+    TxnTable.restore(spark, t, toVersion = 1)
+    assert(TxnTable.currentVersion(t) == 3)
+    assert(sidecars().length == 2, "re-list must not add a sidecar")
+    assert(TxnTable.snapshotRowCount(t) == 20L) // v3 == v1's content
+    // crash debris from a dying stats writer is swept with the orphans
+    val debris = new File(log, ".v00009-deadbeef.stats.tmp")
+    java.nio.file.Files.write(debris.toPath, "junk".getBytes("UTF-8"))
+    TxnTable.vacuum(t, retainFrom = 1)
+    assert(!debris.exists())
+  }
+
   test("vacuum deletes only what no retained snapshot references") {
     val t = freshTable("tt_vacuum")
     TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false)
