@@ -1,0 +1,297 @@
+package graft.plans
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+import graft.sources.{TableConstraints, TxnTable}
+
+/** Constraint-driven rewrites (engine-added): the optimizer side of
+  * [[graft.sources.TableConstraints]] — declared RELY keys turn into
+  * plan surgery the way Delta/Snowflake use informational constraints,
+  * because at 100 TB the properties themselves are unaffordable to
+  * re-derive per query:
+  *
+  *  1. JOIN ELIMINATION — a join whose dimension side contributes no
+  *     output column disappears when the dim key is declared UNIQUE
+  *     (the join cannot fan out) and the join type preserves the fact
+  *     side: LEFT/RIGHT-outer joins drop outright; INNER joins drop
+  *     when a declared FOREIGN KEY guarantees every non-null fact key a
+  *     match, leaving only an `IsNotNull(factKey)` filter (pushed next
+  *     to the fact scan so it reaches the parquet reader). The classic
+  *     view-over-star case: `SELECT fact.cols FROM view` where the view
+  *     joins five dimensions the query never touches — at scale, five
+  *     shuffles and five dimension scans gone.
+  *  2. DEDUP ELIMINATION — `dropDuplicates(pk)` over a row-preserving
+  *     chain (Project/Filter) on a table whose `pk` is declared unique
+  *     is a no-op: the two-shuffle distinct vanishes.
+  *  3. DISTINCT ELIMINATION — the `Aggregate(out, out, child)` form
+  *     Spark plans for `.distinct()`, same argument.
+  *  4. GROUP-BY ELIMINATION — an aggregate whose grouping keys include
+  *     a declared-unique key has exactly one row per group, so every
+  *     supported aggregate is a per-row expression: `SUM(x) → x`,
+  *     `MIN/MAX/FIRST/LAST(x) → x`, `AVG(x) → CAST(x)`,
+  *     `COUNT(x) → IF(x IS NULL, 0, 1)` — the aggregation shuffle
+  *     replaced by a projection.
+  *
+  * Soundness gates, each spec-pinned in ConstraintRulesSpec:
+  *  - only `rely = true` constraints feed the rewrites (a non-RELY
+  *    declaration is documentation, not a contract);
+  *  - a [[graft.sources.TxnTable]] scan must read EXACTLY the head
+  *    snapshot's live file set with no live deletion vectors —
+  *    constraints describe the table NOW, and an `asOf` read of an
+  *    older snapshot carries no such contract (a key present today may
+  *    be missing then, which would make inner-join elimination invent
+  *    rows). Plain parquet directories match by root identity, the same
+  *    registrar's contract as [[MvRewrite]] suffix registrations;
+  *  - the dimension side must be a bare scan (Project of attributes /
+  *    `IsNotNull` filters on the join keys only — the shapes column
+  *    pruning and the join's own constraint inference plant); any real
+  *    dim-side filter disqualifies (it could unmatch fact rows);
+  *  - every join conjunct must be a plain `EqualTo` across the sides
+  *    (`<=>` would match null keys, changing the elimination math), and
+  *    for INNER the conjunct set must equal the declared FK pairs
+  *    exactly — an extra equality beyond the FK is not guaranteed a
+  *    match;
+  *  - dedup/distinct/group-by elimination require the unique key's
+  *    attributes to reach the operator UNALIASED from the scan through
+  *    Project/Filter only (attribute identity — a join in between could
+  *    fan the key out).
+  *
+  * Kill switch: `spark.graft.constraintRewrite.enabled=false`.
+  */
+object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.constraintRewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case p @ Project(_, j: Join) =>
+        elimJoin(p.references, j).map(c => p.copy(child = c)).getOrElse(p)
+      case a @ Aggregate(_, _, j: Join, _) =>
+        elimJoin(a.references, j).map(c => a.copy(child = c)).getOrElse(a)
+      case d @ Deduplicate(keys, child)
+          if coveredByUnique(AttributeSet(keys), child) =>
+        child
+      case a: Aggregate =>
+        distinctElim(a).orElse(aggElim(a)).getOrElse(a)
+    }
+
+  /** The directory whose declared constraints govern this scan, or None.
+    * A plain single-directory parquet scan matches by root identity; a
+    * file-list scan must be EXACTLY some txn table's head live data set
+    * (no live deletion vectors — a DV'd read is not a bare scan anyway). */
+  private def constraintRoot(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.nonEmpty &&
+            fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+        val roots = fs.location.rootPaths.map(p => new File(p.toUri.getPath))
+        if (roots.size == 1 && roots.head.isDirectory) {
+          // a directory scan of a txn ROOT would see every version's
+          // files — not a snapshot of anything; refuse
+          if (new File(roots.head, "_graft_log").isDirectory) None
+          else Some(roots.head.getPath)
+        } else {
+          TxnTable.tableRootOf(roots.head.getParentFile).flatMap { t =>
+            val prefix = t.getCanonicalPath + File.separator
+            val rel = roots.foldLeft(Option(Set.empty[String])) { (acc, f) =>
+              acc.flatMap { s =>
+                val p = f.getCanonicalPath
+                if (p.startsWith(prefix)) Some(s + p.substring(prefix.length))
+                else None
+              }
+            }
+            rel.flatMap { files =>
+              val (data, dv) = TxnTable.liveSplit(t.getPath)
+              if (dv.isEmpty && files == data.toSet) Some(t.getPath) else None
+            }
+          }
+        }
+      case _ => None
+    }
+
+  // ── join elimination ───────────────────────────────────────────────
+
+  private def elimJoin(used: AttributeSet, j: Join): Option[LogicalPlan] = {
+    if (j.condition.isEmpty) return None
+    val candidates: Seq[(LogicalPlan, LogicalPlan)] = j.joinType match {
+      case Inner => Seq((j.left, j.right), (j.right, j.left))
+      case LeftOuter => Seq((j.left, j.right))
+      case RightOuter => Seq((j.right, j.left))
+      case _ => return None
+    }
+    val conj = splitConjunctivePredicates(j.condition.get)
+    candidates.view
+      .flatMap { case (fact, dim) => tryElim(used, j, fact, dim, conj) }
+      .headOption
+  }
+
+  private def tryElim(used: AttributeSet, j: Join, fact: LogicalPlan,
+                      dim: LogicalPlan, conj: Seq[Expression])
+      : Option[LogicalPlan] = {
+    if (used.intersect(dim.outputSet).nonEmpty) return None
+    // every conjunct a plain fact-attr = dim-attr equality
+    val pairsOpt = conj.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (fact.outputSet.contains(a) && dim.outputSet.contains(b)) Some((a, b))
+        else if (fact.outputSet.contains(b) && dim.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (pairsOpt.exists(_.isEmpty) || pairsOpt.isEmpty) return None
+    val pairs = pairsOpt.flatten
+    for {
+      lr <- stripDim(dim, AttributeSet(pairs.map(_._2)))
+      dimRoot <- constraintRoot(lr)
+      if TableConstraints.isUniqueOn(dimRoot, pairs.map(_._2.name).toSet)
+      result <- j.joinType match {
+        case LeftOuter | RightOuter =>
+          Some(fact) // fact rows preserved verbatim; dim output unused
+        case Inner =>
+          val factKeys = pairs.map(_._1)
+          val factAttrSet = AttributeSet(factKeys)
+          fact.collectFirst {
+            case flr: LogicalRelation if factAttrSet.subsetOf(flr.outputSet) => flr
+          }.flatMap(constraintRoot).filter { factRoot =>
+            TableConstraints.fkCovers(factRoot,
+              pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot)
+          }.map { _ =>
+            // FK constrains non-null keys only: the inner join drops
+            // null-keyed fact rows, so the rewrite must too
+            val notNull = factKeys.filter(_.nullable)
+            if (notNull.isEmpty) fact
+            else insertFilter(fact, factAttrSet,
+              notNull.map(IsNotNull(_): Expression).reduce(And))
+          }
+        case _ => None
+      }
+    } yield result
+  }
+
+  /** Place the residual IsNotNull next to the scan that owns the keys —
+    * below any Project — so FileSourceStrategy still pushes it into the
+    * parquet reader. */
+  private def insertFilter(fact: LogicalPlan, keys: AttributeSet,
+                           cond: Expression): LogicalPlan = {
+    var done = false
+    val out = fact.transformUp {
+      case lr: LogicalRelation if !done && keys.subsetOf(lr.outputSet) =>
+        done = true
+        Filter(cond, lr)
+    }
+    if (done) out else Filter(cond, fact)
+  }
+
+  /** Bare dimension scan: Projects of plain attributes and Filters whose
+    * conjuncts are all IsNotNull on the JOIN KEYS (the inference the
+    * inner join itself plants; such rows could never match, so dropping
+    * them changes neither join shape). Anything else disqualifies. */
+  private def stripDim(p: LogicalPlan, keyAttrs: AttributeSet)
+      : Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripDim(c, keyAttrs)
+    case Filter(cond, c) if splitConjunctivePredicates(cond).forall {
+        case IsNotNull(a: AttributeReference) => keyAttrs.contains(a)
+        case _ => false
+      } =>
+      stripDim(c, keyAttrs)
+    case _ => None
+  }
+
+  // ── dedup / distinct / group-by elimination ────────────────────────
+
+  /** True when `attrs` contains, UNALIASED, every column of some RELY
+    * unique constraint of the scan under `plan` — reached through
+    * row-multiplicity-preserving operators only (Project never
+    * duplicates, Filter only drops). */
+  private def coveredByUnique(attrs: AttributeSet, plan: LogicalPlan): Boolean = {
+    def chase(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(_, c) => chase(c)
+      case Filter(_, c) => chase(c)
+      case _ => None
+    }
+    chase(plan).exists { lr =>
+      constraintRoot(lr).exists { root =>
+        TableConstraints.uniques(root).exists(u => u.rely &&
+          u.cols.forall(cn =>
+            lr.output.exists(a => a.name == cn && attrs.contains(a))))
+      }
+    }
+  }
+
+  /** `.distinct()` plans as Aggregate(out, out, child): a no-op when the
+    * child rows are already unique on a declared key. */
+  private def distinctElim(a: Aggregate): Option[LogicalPlan] = {
+    val ae = a.aggregateExpressions
+    if (a.groupingExpressions.length == ae.length &&
+        ae.forall(_.isInstanceOf[Attribute]) &&
+        a.groupingExpressions.zip(ae).forall { case (g, x) => g.semanticEquals(x) } &&
+        coveredByUnique(AttributeSet(ae.map(_.asInstanceOf[Attribute])), a.child)) {
+      val attrs = ae.map(_.asInstanceOf[Attribute])
+      Some(
+        if (a.child.output.map(_.exprId) == attrs.map(_.exprId)) a.child
+        else Project(ae, a.child))
+    } else None
+  }
+
+  /** Grouping on a declared-unique key ⇒ one row per group ⇒ aggregates
+    * become per-row expressions and the shuffle becomes a Project. */
+  private def aggElim(a: Aggregate): Option[LogicalPlan] = {
+    val ge = a.groupingExpressions
+    if (ge.isEmpty || !ge.forall(_.isInstanceOf[AttributeReference])) return None
+    // cheap shape gates first — the uniqueness check below reads the
+    // filesystem (constraint file + txn log), so it must come last
+    val aggs = a.aggregateExpressions.flatMap(_.collect {
+      case x: AggregateExpression => x
+    })
+    if (aggs.isEmpty || !aggs.forall(rewritableAgg)) return None
+    if (!a.aggregateExpressions.forall(_.deterministic)) return None
+    if (!coveredByUnique(
+        AttributeSet(ge.map(_.asInstanceOf[AttributeReference])), a.child))
+      return None
+    val newList = a.aggregateExpressions.map(ne =>
+      ne.transform { case x: AggregateExpression => rewriteAgg(x) }
+        .asInstanceOf[NamedExpression])
+    Some(Project(newList, a.child))
+  }
+
+  private def rewritableAgg(x: AggregateExpression): Boolean =
+    x.filter.isEmpty && (x.aggregateFunction match {
+      case _: Sum | _: Min | _: Max | _: Average | _: First | _: Last |
+           _: Count => true
+      case _ => false
+    })
+
+  /** The single-row value of each aggregate. Result types follow the
+    * aggregate's own dataType (SUM(int) is BIGINT, AVG(int) is DOUBLE,
+    * SUM(decimal) widens — the casts are exact on one value), so the
+    * rewritten Project is schema-identical to the Aggregate. DISTINCT
+    * flags are irrelevant on one row; FILTER clauses were refused. */
+  private def rewriteAgg(x: AggregateExpression): Expression =
+    x.aggregateFunction match {
+      case f: Sum => Cast(f.child, f.dataType)
+      case f: Average => Cast(f.child, f.dataType)
+      case f: Min => f.child
+      case f: Max => f.child
+      case f: First => f.child
+      case f: Last => f.child
+      case f: Count =>
+        val nullable = f.children.filter(_.nullable)
+        if (nullable.isEmpty) Literal(1L)
+        else If(nullable.map(IsNull(_): Expression).reduce(Or),
+          Literal(0L), Literal(1L))
+      case other =>
+        throw new IllegalStateException(s"unreachable: $other gated by rewritableAgg")
+    }
+}

@@ -234,10 +234,19 @@ object MvAdvisor {
     val uniq = scala.collection.mutable.Map.empty[(String, String), Boolean]
     def uniqueOn(path: String, key: String): Boolean =
       uniq.getOrElseUpdate((path, key), {
-        val r = spark.read.parquet(path)
-          .agg(org.apache.spark.sql.functions.count(col(key)),
-            org.apache.spark.sql.functions.countDistinct(col(key))).head()
-        r.getLong(0) == r.getLong(1)
+        // a declared RELY unique constraint answers from METADATA — at
+        // 100 TB the probe below is itself a full shuffle per candidate
+        // dim, which is exactly what TableConstraints exists to avoid;
+        // absence of a declaration proves nothing, so fall through
+        val dir = // leaf paths arrive as URIs (`file:/…`) from the plan
+          if (path.contains(":")) new java.net.URI(path).getPath else path
+        if (graft.sources.TableConstraints.isUniqueOn(dir, Set(key))) true
+        else {
+          val r = spark.read.parquet(path)
+            .agg(org.apache.spark.sql.functions.count(col(key)),
+              org.apache.spark.sql.functions.countDistinct(col(key))).head()
+          r.getLong(0) == r.getLong(1)
+        }
       })
     for {
       a <- df.queryExecution.analyzed.collectFirst { case x: Aggregate => x }

@@ -100,6 +100,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
+    if (!spark.experimental.extraOptimizations.contains(ConstraintRules))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ConstraintRules
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

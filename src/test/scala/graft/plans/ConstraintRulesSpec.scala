@@ -1,0 +1,246 @@
+package graft.plans
+
+import java.io.File
+
+import graft.SparkSpec
+import graft.sources.{TableConstraints, TxnTable}
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the constraint-driven rewrites: join elimination
+  * (inner via FK, outer via uniqueness alone), dedup/distinct/group-by
+  * elimination on declared-unique keys, and every soundness gate
+  * refusing — non-RELY declarations, referenced dim columns, real
+  * dim-side filters, missing FKs, extra join conjuncts, null-safe
+  * equality, stale txn snapshots, fanning joins under a dedup. */
+class ConstraintRulesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/spec_constraints_rules"
+  private val factT = s"$root/crfact"
+  private val dimA = s"$root/crdima"      // unique + FK target (txn)
+  private val dimB = s"$root/crdimb"      // unique, PARTIAL keys, no FK (txn)
+  private val dimC = s"$root/crdimc"      // plain parquet dir, unique + FK target
+  private val dimD = s"$root/crdimd"      // declared rely = false
+  private val dimE = s"$root/crdime"      // two-version txn (stale-read gate)
+  private val dimF = s"$root/crdimf"      // undeclared
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftPlanner.register(spark)
+    FileUtils.deleteQuietly(new File(root))
+    new File(root).mkdirs()
+
+    // fact: pk unique; fk ∈ 1..7 with NULLs every 10th row; m NULL every
+    // 5th row (exercises the single-row null semantics of agg-elim)
+    val fact = (1L to 100L).map { pk =>
+      (pk,
+        if (pk % 10 == 0) Option.empty[Long] else Some(pk % 7 + 1),
+        s"g${pk % 3}",
+        if (pk % 5 == 0) Option.empty[Long] else Some(pk * 3))
+    }.toDF("pk", "fk", "grp", "m")
+    TxnTable.commit(spark, fact, factT, overwrite = false)
+
+    def dimDf(keys: Seq[Long], kName: String, aName: String) =
+      keys.map(k => (k, s"attr$k")).toDF(kName, aName)
+
+    TxnTable.commit(spark, dimDf(1L to 8L, "k", "attr"), dimA, overwrite = false)
+    TxnTable.commit(spark, dimDf(Seq(2L, 4L, 6L), "kb", "attrb"), dimB, overwrite = false)
+    dimDf(1L to 8L, "kc", "attrc").write.parquet(dimC)
+    TxnTable.commit(spark, dimDf(1L to 8L, "kd", "attrd"), dimD, overwrite = false)
+    TxnTable.commit(spark, dimDf(1L to 8L, "ke", "attre"), dimE, overwrite = false)
+    TxnTable.commit(spark, dimDf(Seq(9L, 10L), "ke", "attre"), dimE, overwrite = false)
+    TxnTable.commit(spark, dimDf(1L to 8L, "kf", "attrf"), dimF, overwrite = false)
+
+    TableConstraints.declareUnique(factT, Seq("pk"), validate = Some(spark))
+    TableConstraints.declareUnique(dimA, Seq("k"), validate = Some(spark))
+    TableConstraints.declareForeignKey(factT, Seq("fk"), dimA, Seq("k"),
+      validate = Some(spark))
+    TableConstraints.declareUnique(dimB, Seq("kb"), validate = Some(spark))
+    TableConstraints.declareUnique(dimC, Seq("kc"), validate = Some(spark))
+    TableConstraints.declareForeignKey(factT, Seq("fk"), dimC, Seq("kc"),
+      validate = Some(spark))
+    TableConstraints.declareUnique(dimD, Seq("kd"), rely = false)
+    TableConstraints.declareUnique(dimE, Seq("ke"), validate = Some(spark))
+    TableConstraints.declareForeignKey(factT, Seq("fk"), dimE, Seq("ke"),
+      validate = Some(spark))
+  }
+
+  private def factDf = TxnTable.read(spark, factT)
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+  private def optimized(df: DataFrame) = df.queryExecution.optimizedPlan
+
+  /** Rows with the rule off — the ground truth every rewrite must equal. */
+  private def ruleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.constraintRewrite.enabled", "false")
+    try body
+    finally spark.conf.unset("spark.graft.constraintRewrite.enabled")
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  // ── join elimination ───────────────────────────────────────────────
+
+  test("INNER join to a unique FK-covered dim eliminates; null fact keys stay dropped") {
+    def q = factDf.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+      .groupBy("grp").agg(sum("m").as("sm"), count(lit(1)).as("n"))
+    val p = plan(q)
+    assert(!p.contains("crdima"), p.take(3000))
+    assert(p.contains("crfact"), p.take(3000))
+    // the FK covers only non-null keys: 10 null-fk rows must still drop
+    assert(q.agg(sum("n")).head.getLong(0) == 90L)
+    assert(rows(q) == ruleOff(rows(q)))
+  }
+
+  test("LEFT join to a unique dim eliminates WITHOUT an FK — even a partial dim") {
+    // dimB holds only keys {2,4,6}: an inner elimination here would be
+    // wrong (and is refused below); the left form preserves fact rows
+    def q = factDf.join(TxnTable.read(spark, dimB), $"fk" === $"kb", "left")
+      .select("pk", "grp", "m")
+    val p = plan(q)
+    assert(!p.contains("crdimb"), p.take(3000))
+    assert(q.count() == 100L)
+    assert(rows(q) == ruleOff(rows(q)))
+  }
+
+  test("RIGHT join with the dim on the LEFT eliminates symmetrically") {
+    def q = TxnTable.read(spark, dimB)
+      .join(factDf, $"kb" === $"fk", "right").select("pk", "grp")
+    val p = plan(q)
+    assert(!p.contains("crdimb"), p.take(3000))
+    assert(rows(q) == ruleOff(rows(q)))
+  }
+
+  test("INNER join to a PLAIN parquet dir dim eliminates via its declared FK") {
+    def q = factDf.join(spark.read.parquet(dimC), $"fk" === $"kc")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    assert(!p.contains("crdimc"), p.take(3000))
+    assert(rows(q) == ruleOff(rows(q)))
+  }
+
+  test("refusals: dim column used / undeclared / rely=false / real dim filter") {
+    val dA = TxnTable.read(spark, dimA)
+    // dim column in the output → join must stay
+    assert(plan(factDf.join(dA, $"fk" === $"k").select("pk", "attr"))
+      .contains("crdima"))
+    // undeclared dim → stays
+    assert(plan(factDf.join(TxnTable.read(spark, dimF), $"fk" === $"kf", "left")
+      .select("pk")).contains("crdimf"))
+    // rely = false → stays (documentation, not a contract)
+    assert(plan(factDf.join(TxnTable.read(spark, dimD), $"fk" === $"kd", "left")
+      .select("pk")).contains("crdimd"))
+    // a REAL dim-side filter could unmatch fact rows → stays
+    assert(plan(factDf.join(dA.filter($"attr" =!= "attr3"), $"fk" === $"k", "left")
+      .select("pk")).contains("crdima"))
+  }
+
+  test("refusals: inner without FK / extra conjunct / null-safe equality") {
+    // unique alone does not license INNER elimination (dimB is partial:
+    // the join genuinely drops fact rows)
+    val inner = factDf.join(TxnTable.read(spark, dimB), $"fk" === $"kb")
+      .select("pk")
+    assert(plan(inner).contains("crdimb"))
+    assert(ruleOff(inner.count()) < 100L)
+    // an equality beyond the declared FK pairs is not guaranteed a match
+    assert(plan(factDf.join(TxnTable.read(spark, dimA),
+        $"fk" === $"k" && $"grp" === $"attr").select("pk"))
+      .contains("crdima"))
+    // <=> matches null keys — different elimination math, refused
+    assert(plan(factDf.join(TxnTable.read(spark, dimA), $"fk" <=> $"k", "left")
+      .select("pk")).contains("crdima"))
+  }
+
+  test("a stale txn snapshot read refuses; the head read eliminates") {
+    val stale = factDf.join(TxnTable.read(spark, dimE, asOf = Some(1)),
+      $"fk" === $"ke").select("pk")
+    assert(plan(stale).contains("crdime"))
+    val head = factDf.join(TxnTable.read(spark, dimE), $"fk" === $"ke")
+      .select("pk")
+    assert(!plan(head).contains("crdime"))
+    assert(rows(head) == ruleOff(rows(head)))
+  }
+
+  test("kill switch disables every rewrite") {
+    ruleOff {
+      assert(plan(factDf.join(TxnTable.read(spark, dimA), $"fk" === $"k", "left")
+        .select("pk")).contains("crdima"))
+    }
+  }
+
+  // ── dedup / distinct / group-by elimination ────────────────────────
+
+  private def hasAggLike(df: DataFrame): Boolean =
+    optimized(df).exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => true
+      case _ => false
+    }
+
+  test("dropDuplicates on the declared key is a no-op; supersets too") {
+    val q = factDf.dropDuplicates("pk")
+    assert(!hasAggLike(q), optimized(q).toString)
+    assert(q.count() == 100L)
+    val q2 = factDf.filter($"grp" =!= "g9").dropDuplicates(Seq("pk", "grp"))
+    assert(!hasAggLike(q2))
+    // non-key dedup keeps the operator
+    assert(hasAggLike(factDf.dropDuplicates("grp")))
+    // a join between the scan and the dedup could fan the key — stays
+    val fanned = factDf.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+      .dropDuplicates("pk")
+    assert(hasAggLike(fanned))
+  }
+
+  test("distinct over a projection carrying the key is a no-op") {
+    val q = factDf.select("pk", "grp").distinct()
+    assert(!hasAggLike(q), optimized(q).toString)
+    assert(q.count() == 100L)
+    assert(hasAggLike(factDf.select("grp").distinct()))
+  }
+
+  test("group-by on the unique key becomes a projection, null semantics intact") {
+    def q = factDf.groupBy("pk")
+      .agg(sum("m").as("sm"), count($"m").as("cm"), count(lit(1)).as("n"),
+        min("grp").as("mg"), avg("m").as("am"))
+      .orderBy("pk")
+    assert(!hasAggLike(q), optimized(q).toString)
+    val got = rows(q)
+    assert(got == ruleOff(rows(q)))
+    // the null-m rows pin the semantics: SUM/AVG null, COUNT(m) 0, n 1
+    val nullRow = q.filter($"pk" === 5L).head
+    assert(nullRow.isNullAt(1) && nullRow.getLong(2) == 0L &&
+      nullRow.getLong(3) == 1L && nullRow.isNullAt(5))
+  }
+
+  test("group-by elimination refuses FILTER clauses and unsupported aggregates") {
+    val filtered = factDf.groupBy("pk")
+      .agg(expr("sum(m) FILTER (WHERE grp = 'g1')").as("s"))
+    assert(hasAggLike(filtered))
+    assert(hasAggLike(factDf.groupBy("pk").agg(collect_list("grp").as("l"))))
+    // grouping on a non-key column keeps the aggregate
+    assert(hasAggLike(factDf.groupBy("grp").agg(sum("m").as("s"))))
+  }
+
+  // ── advisor integration ────────────────────────────────────────────
+
+  test("star orientation trusts a declared RELY key instead of probing") {
+    // dim with a DUPLICATED key: the data probe refuses orientation
+    val fDir = s"$root/adv_fact.parquet"
+    val dDir = s"$root/adv_dim.parquet"
+    (1L to 40L).map(i => (i % 4 + 1, i)).toDF("dk", "meas").write.parquet(fDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (4L, "dup"))
+      .toDF("dkk", "seg").write.parquet(dDir)
+    def q = spark.read.parquet(fDir)
+      .join(spark.read.parquet(dDir), $"dk" === $"dkk")
+      .groupBy("seg").agg(sum("meas").as("sm"))
+    assert(MvAdvisor.starCandidate(spark, q).isEmpty) // probe sees the dup
+    // RELY declaration (knowingly unvalidated) short-circuits the probe —
+    // proving orientation consulted metadata, not data
+    TableConstraints.declareUnique(dDir, Seq("dkk"))
+    assert(MvAdvisor.starCandidate(spark, q).isDefined)
+  }
+}
