@@ -18,7 +18,7 @@ object SparkEntry {
       TextQueries.all ++ AnnQueries.all ++ SourceQueries.all ++
       E2eQueries.all ++ ScaleQueries.all ++ JoinQueries.all ++
       CompositeQueries.all ++ SampleQueries.all ++ CurationQueries.all ++
-      WebCurationQueries.all ++ WarehouseQueries.all
+      WebCurationQueries.all ++ WarehouseQueries.all ++ OptimizerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1-shaped: filter → two broadcast dim joins → group-avg → order → limit

@@ -1,0 +1,215 @@
+package graft.queries
+
+import java.io.File
+
+import graft.{DerivedCache, QueryDef, Tables}
+import graft.QueryDef.sql
+import graft.plans.GraftPlanner
+import graft.sources.{TableConstraints, TxnTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constraint-driven optimizer queries (engine-added): declared RELY
+  * keys ([[graft.sources.TableConstraints]]) feeding the
+  * [[graft.plans.ConstraintRules]] rewrites, each gated end-to-end —
+  * the ORACLE always computes the UNREWRITTEN semantics (the real join,
+  * the real distinct, the real aggregation), so a rewrite that changed
+  * results would hash-mismatch, while the `elim` column pins the PLAN
+  * fact that the operator is actually gone. At 100 TB these are the
+  * rewrites with the largest single wins available to any engine: a
+  * five-dimension view queried for fact columns only drops five
+  * shuffles and five dimension scans.
+  */
+object OptimizerQueries {
+
+  /** Per-sf txn-table fixture with declared constraints: a lineitem
+    * fact and an orders dim (PK `o_orderkey`, FK `l_orderkey` →
+    * `o_orderkey`, both VALIDATED at declare time), plus a PARTIAL
+    * orders dim (even keys only — the left-elimination witness: inner
+    * elimination against it would be wrong and is refused, spec-pinned)
+    * carrying one deliberately violated non-RELY declaration for the
+    * verify audit. Built once per sf, reused across runs. */
+  private def fixture(s: SparkSession, d: String): (String, String, String) = {
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val factDir = new File(s"/root/repo/target/constraints/optfact_$sfKey")
+    val dimDir = new File(s"/root/repo/target/constraints/optdim_$sfKey")
+    val partDir = new File(s"/root/repo/target/constraints/optdimpart_$sfKey")
+    val srcs = Seq(new File(s"$d/lineitem.parquet"), new File(s"$d/orders.parquet"))
+    val marker = "_graft_log/v00001.json"
+    DerivedCache.ensure(dimDir, srcs, marker) {
+      TxnTable.commit(s, Tables.orders(s, d), dimDir.getPath, overwrite = false)
+      TableConstraints.declareUnique(dimDir.getPath, Seq("o_orderkey"),
+        validate = Some(s))
+    }
+    DerivedCache.ensure(partDir, srcs, marker) {
+      TxnTable.commit(s, Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0),
+        partDir.getPath, overwrite = false)
+      TableConstraints.declareUnique(partDir.getPath, Seq("o_orderkey"),
+        validate = Some(s))
+      // knowingly violated, knowingly non-RELY: the verify-audit query
+      // pins that the store reports it false without the optimizer ever
+      // consuming it
+      TableConstraints.declareUnique(partDir.getPath, Seq("o_orderpriority"),
+        rely = false)
+    }
+    DerivedCache.ensure(factDir, srcs, marker) {
+      TxnTable.commit(s, Tables.lineitem(s, d), factDir.getPath, overwrite = false)
+      // non-RELY on purpose: the testdata generator DOES emit duplicate
+      // (orderkey, linenumber, partkey, suppkey) tuples, so this is a
+      // documentation row the optimizer must ignore and verify() must
+      // report honestly from the data (the audit query pins both)
+      TableConstraints.declareUnique(factDir.getPath,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        rely = false)
+      TableConstraints.declareForeignKey(factDir.getPath, Seq("l_orderkey"),
+        dimDir.getPath, Seq("o_orderkey"), validate = Some(s))
+    }
+    (factDir.getPath, dimDir.getPath, partDir.getPath)
+  }
+
+  /** Stamp the PLAN fact that elimination happened: `elim = 1` iff the
+    * executed plan scans every `mustHave` token and none of `mustNot`.
+    * Same heuristic discipline as the MV family's from_mv stamp. */
+  private def stamped(q: DataFrame, mustHave: Seq[String],
+                      mustNot: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val p = q.queryExecution.executedPlan.toString()
+    val ok = mustHave.forall(p.contains) && mustNot.forall(t => !p.contains(t))
+    q.withColumn("elim", lit(if (ok) 1L else 0L))
+      .orderBy(orderCols.map(col): _*)
+  }
+
+  /** `elim = 1` iff the OPTIMIZED plan holds no aggregation-shaped node
+    * (Aggregate/Deduplicate) — the dedup/group-by elimination stamp. */
+  private def stampedNoAgg(q: DataFrame, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate}
+    val ok = !q.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Deduplicate => true
+      case _ => false
+    }
+    q.withColumn("elim", lit(if (ok) 1L else 0L))
+      .orderBy(orderCols.map(col): _*)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── INNER join elimination: the query joins orders but uses no
+    //    orders column, so under PK(o_orderkey) + FK(l_orderkey) the
+    //    join disappears — only the IsNotNull residue remains (pushed to
+    //    the scan). The oracle computes the REAL join, so the rewrite
+    //    must preserve semantics exactly (incl. dropping nothing: the
+    //    FK is total here). At 100 TB this is a full shuffle of the
+    //    fact table gone.
+    sql("q_opt_join_elim",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |       CAST(1 AS BIGINT) AS elim
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val (fact, dim, _) = fixture(s, d)
+      val q = TxnTable.read(s, fact)
+        .join(TxnTable.read(s, dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sq"))
+      stamped(q, Seq("optfact_"), Seq("optdim_"), Seq("rf"))
+    },
+
+    // ── LEFT join elimination: uniqueness alone suffices (no FK), even
+    //    against a dim missing half its keys — the left join preserves
+    //    every fact row regardless, so dropping the join is sound
+    //    exactly when no dim column is used. The oracle runs the real
+    //    left join against the real partial dim.
+    sql("q_opt_join_elim_left",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_orderkey % 2 = 0) d
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val (fact, _, part) = fixture(s, d)
+      val q = TxnTable.read(s, fact)
+        .join(TxnTable.read(s, part), col("l_orderkey") === col("o_orderkey"),
+          "left")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("optfact_"), Seq("optdimpart_"), Seq("rf"))
+    },
+
+    // ── dedup elimination: dropDuplicates on the declared PK is a
+    //    no-op — the two-shuffle distinct vanishes from the plan while
+    //    the oracle computes the real DISTINCT (equal because the key
+    //    really is unique; the declaration was validated).
+    sql("q_opt_dedup_elim",
+      """SELECT DISTINCT o_orderkey, o_orderpriority,
+        |       CAST(1 AS BIGINT) AS elim
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val (_, dim, _) = fixture(s, d)
+      val q = TxnTable.read(s, dim)
+        .dropDuplicates("o_orderkey")
+        .select("o_orderkey", "o_orderpriority")
+      stampedNoAgg(q, Seq("o_orderkey"))
+    },
+
+    // ── group-by elimination: grouping on the declared PK has one row
+    //    per group, so the aggregation becomes a projection — COUNT is
+    //    a literal, SUM/MIN are the row's own values (null semantics
+    //    preserved by construction, spec-pinned on a null-measure
+    //    table). The oracle runs the real GROUP BY.
+    sql("q_opt_agg_elim",
+      """SELECT o_orderkey AS k, COUNT(*) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sc,
+        |       MIN(o_orderpriority) AS mp,
+        |       CAST(1 AS BIGINT) AS elim
+        |FROM orders GROUP BY o_orderkey ORDER BY k""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val (_, dim, _) = fixture(s, d)
+      val q = TxnTable.read(s, dim)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc"),
+          min("o_orderpriority").as("mp"))
+      stampedNoAgg(q, Seq("k"))
+    },
+
+    // ── the RELY audit: verify() re-derives every declared constraint
+    //    from the CURRENT data — the honesty half of informational
+    //    constraints. The deliberately violated non-RELY declaration
+    //    reports false; the oracle recomputes each verdict from the
+    //    same relations in SQL.
+    sql("q_constraint_verify",
+      """SELECT con, rely, holds FROM (
+        |  SELECT 'fk(l_orderkey)' AS con, TRUE AS rely,
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0 AS holds
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber,l_partkey,l_suppkey)', FALSE,
+        |         (SELECT COUNT(*) = 0 FROM (
+        |            SELECT 1 FROM lineitem
+        |            GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |            HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', TRUE,
+        |         (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey) [part]', TRUE,
+        |         (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders
+        |          WHERE o_orderkey % 2 = 0)
+        |  UNION ALL
+        |  SELECT 'unique(o_orderpriority) [part]', FALSE,
+        |         (SELECT COUNT(*) = COUNT(DISTINCT o_orderpriority) FROM orders
+        |          WHERE o_orderkey % 2 = 0)
+        |) ORDER BY con""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (fact, dim, part) = fixture(s, d)
+      val rows =
+        TableConstraints.verify(s, fact).map { case (c, r, h) =>
+          (c.split("->").head, r, h) } ++
+          TableConstraints.verify(s, dim) ++
+          TableConstraints.verify(s, part).map { case (c, r, h) =>
+            (s"$c [part]", r, h) }
+      rows.toDF("con", "rely", "holds").orderBy("con")
+    }
+  )
+}

@@ -107,20 +107,40 @@ object TableConstraints {
     if (TxnTable.logDir(dir).isDirectory) TxnTable.read(spark, dir)
     else spark.read.parquet(dir)
 
+  /** Validation must NEVER run under the rewrites it validates: with
+    * [[graft.plans.ConstraintRules]] active, a (violated) RELY unique
+    * declaration would rewrite the validation's own `GROUP BY keys
+    * HAVING COUNT > 1` probe into a constant `count = 1` projection —
+    * the constraint hiding its own violation. Caught live by
+    * q_constraint_verify's oracle before this guard existed. */
+  private def withRewriteOff[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.graft.constraintRewrite.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** True iff the current data satisfies strict uniqueness on `cols`. */
   def holdsUnique(spark: SparkSession, dir: String, cols: Seq[String]): Boolean =
-    readDir(spark, dir).groupBy(cols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count() == 0
+    withRewriteOff(spark) {
+      readDir(spark, dir).groupBy(cols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0
+    }
 
   /** True iff every row of `dir` with all-non-null `cols` matches a row
     * of `refDir` on `refCols` (standard SQL FK). */
   def holdsForeignKey(spark: SparkSession, dir: String, cols: Seq[String],
-                      refDir: String, refCols: Seq[String]): Boolean = {
-    val fact = readDir(spark, dir).select(cols.map(col): _*).na.drop("any")
-    val ref = readDir(spark, refDir)
-      .select(refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*)
-    fact.join(ref, cols, "left_anti").limit(1).count() == 0
-  }
+                      refDir: String, refCols: Seq[String]): Boolean =
+    withRewriteOff(spark) {
+      val fact = readDir(spark, dir).select(cols.map(col): _*).na.drop("any")
+      val ref = readDir(spark, refDir)
+        .select(refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*)
+      fact.join(ref, cols, "left_anti").limit(1).count() == 0
+    }
 
   /** Declare strict uniqueness on `cols`. With `validate`, the current
     * data is checked first and a violation REFUSES the declaration —

@@ -225,6 +225,20 @@ class ConstraintRulesSpec extends SparkSpec {
     assert(hasAggLike(factDf.groupBy("grp").agg(sum("m").as("s"))))
   }
 
+  test("validation never runs under the rewrite it validates") {
+    // a VIOLATED unique declared RELY without validation: the group-by
+    // elimination would rewrite the validation probe itself into a
+    // constant count=1 projection, hiding the violation (caught live by
+    // q_constraint_verify's oracle) — holdsUnique must see the data
+    val t = s"$root/selfref"
+    TxnTable.commit(spark, Seq((1L, "a"), (1L, "b")).toDF("k", "v"), t,
+      overwrite = false)
+    TableConstraints.declareUnique(t, Seq("k")) // false, asserted anyway
+    assert(!TableConstraints.holdsUnique(spark, t, Seq("k")))
+    assert(TableConstraints.verify(spark, t) ==
+      Seq(("unique(k)", true, false)))
+  }
+
   // ── advisor integration ────────────────────────────────────────────
 
   test("star orientation trusts a declared RELY key instead of probing") {
