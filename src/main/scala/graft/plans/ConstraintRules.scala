@@ -166,8 +166,17 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
               pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot)
           }.map { _ =>
             // FK constrains non-null keys only: the inner join drops
-            // null-keyed fact rows, so the rewrite must too
-            val notNull = factKeys.filter(_.nullable)
+            // null-keyed fact rows, so the rewrite must too — except
+            // keys a fact-side filter already pins non-null (the join's
+            // own inference usually has), which would duplicate the
+            // pushed filter
+            val already = fact.collect { case Filter(c, _) =>
+              splitConjunctivePredicates(c).collect {
+                case IsNotNull(a: AttributeReference) => a.exprId
+              }
+            }.flatten.toSet
+            val notNull = factKeys.filter(a =>
+              a.nullable && !already.contains(a.exprId))
             if (notNull.isEmpty) fact
             else insertFilter(fact, factAttrSet,
               notNull.map(IsNotNull(_): Expression).reduce(And))

@@ -67,6 +67,39 @@ object OptimizerQueries {
     (factDir.getPath, dimDir.getPath, partDir.getPath)
   }
 
+  /** The wide-view extension: part and supplier dims with validated PKs
+    * and FKs from the fact — the four-relation star q_opt_wide_view
+    * queries through. */
+  private def wideFixture(s: SparkSession, d: String)
+      : (String, String, String, String) = {
+    val (factDir, dimOrd, _) = fixture(s, d)
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val partDim = new File(s"/root/repo/target/constraints/optdimpartkey_$sfKey")
+    val suppDim = new File(s"/root/repo/target/constraints/optdimsupp_$sfKey")
+    val marker = "_graft_log/v00001.json"
+    DerivedCache.ensure(partDim, Seq(new File(s"$d/part.parquet")), marker) {
+      TxnTable.commit(s, Tables.part(s, d), partDim.getPath, overwrite = false)
+      TableConstraints.declareUnique(partDim.getPath, Seq("p_partkey"),
+        validate = Some(s))
+    }
+    DerivedCache.ensure(suppDim, Seq(new File(s"$d/supplier.parquet")), marker) {
+      TxnTable.commit(s, Tables.supplier(s, d), suppDim.getPath, overwrite = false)
+      TableConstraints.declareUnique(suppDim.getPath, Seq("s_suppkey"),
+        validate = Some(s))
+    }
+    // FKs live in the FACT's constraint file — append them once (the
+    // file survives the fixture cache, so guard on presence)
+    if (!TableConstraints.fkCovers(factDir, Set("l_partkey" -> "p_partkey"),
+        partDim.getPath))
+      TableConstraints.declareForeignKey(factDir, Seq("l_partkey"),
+        partDim.getPath, Seq("p_partkey"), validate = Some(s))
+    if (!TableConstraints.fkCovers(factDir, Set("l_suppkey" -> "s_suppkey"),
+        suppDim.getPath))
+      TableConstraints.declareForeignKey(factDir, Seq("l_suppkey"),
+        suppDim.getPath, Seq("s_suppkey"), validate = Some(s))
+    (factDir, dimOrd, partDim.getPath, suppDim.getPath)
+  }
+
   /** Stamp the PLAN fact that elimination happened: `elim = 1` iff the
     * executed plan scans every `mustHave` token and none of `mustNot`.
     * Same heuristic discipline as the MV family's from_mv stamp. */
@@ -170,6 +203,41 @@ object OptimizerQueries {
         .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc"),
           min("o_orderpriority").as("mp"))
       stampedNoAgg(q, Seq("k"))
+    },
+
+    // ── the WIDE-VIEW case — the single largest win informational
+    //    constraints buy at 100 TB: a reusable four-relation star (fact
+    //    ⋈ orders ⋈ part ⋈ supplier, every dim key a validated PK with
+    //    a validated FK) queried for ONE dim's attribute. The two
+    //    untouched dimension joins VANISH (their scans and shuffles with
+    //    them — `elim` pins both dirs absent from the plan), the used
+    //    one stays; the oracle executes the full three-join star, so the
+    //    surviving semantics are hash-checked, not assumed. Per-query
+    //    cost becomes proportional to the dims actually referenced —
+    //    the property that makes one wide view servable as EVERY
+    //    narrower query's access path.
+    sql("q_opt_wide_view",
+      """SELECT l_returnflag AS rf, o_orderpriority AS pri, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(1 AS BIGINT) AS elim
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY rf, pri""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val (fact, ord, partD, suppD) = wideFixture(s, d)
+      val wide = TxnTable.read(s, fact)
+        .join(TxnTable.read(s, ord), col("l_orderkey") === col("o_orderkey"))
+        .join(TxnTable.read(s, partD), col("l_partkey") === col("p_partkey"))
+        .join(TxnTable.read(s, suppD), col("l_suppkey") === col("s_suppkey"))
+      val q = wide
+        .groupBy(col("l_returnflag").as("rf"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      stamped(q, Seq("optfact_", "optdim_"),
+        Seq("optdimpartkey_", "optdimsupp_"), Seq("rf", "pri"))
     },
 
     // ── the RELY audit: verify() re-derives every declared constraint

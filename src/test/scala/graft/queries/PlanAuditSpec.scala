@@ -530,4 +530,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p32.contains("PushedFilters: [IsNotNull(p_type), Not(EqualTo(p_type,PROMO)), In(p_size"),
       p32.take(3000))
   }
+
+  test("constraint elimination: joins and shuffles are really GONE from the plans") {
+    // inner elimination leaves a join-free plan whose only residue is
+    // the FK IsNotNull, pushed into the fact scan
+    val pJoin = planOf("q_opt_join_elim")
+    assert(!pJoin.contains("Join"), pJoin.take(3000))
+    assert(pJoin.contains("PushedFilters: [IsNotNull(l_orderkey)]"),
+      pJoin.take(3000))
+    // the wide view keeps EXACTLY the one join whose dim the query uses
+    val pWide = planOf("q_opt_wide_view")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(pWide).size == 1, pWide.take(3000))
+    assert(!pWide.contains("optdimpartkey_") && !pWide.contains("optdimsupp_"),
+      pWide.take(3000))
+    // dedup/group-by elimination: no aggregate EXCHANGE anywhere — the
+    // scan feeds the projection directly
+    val pAgg = planOf("q_opt_agg_elim")
+    assert(!pAgg.contains("HashAggregate") && !pAgg.contains("SortAggregate"),
+      pAgg.take(3000))
+    val pDedup = planOf("q_opt_dedup_elim")
+    assert(!pDedup.contains("HashAggregate") && !pDedup.contains("SortAggregate"),
+      pDedup.take(3000))
+  }
 }
