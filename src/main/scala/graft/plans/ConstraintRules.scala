@@ -135,11 +135,14 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
       .headOption
   }
 
-  private def tryElim(used: AttributeSet, j: Join, fact: LogicalPlan,
-                      dim: LogicalPlan, conj: Seq[Expression])
-      : Option[LogicalPlan] = {
+  /** The STRUCTURAL half of elimination, shared with the advisor's
+    * candidate walk: dim output unused, every conjunct a plain cross-
+    * side equality, dim a bare constraint-rooted scan. Returns the
+    * (factKey, dimKey) pairs and the dim's constraint root. */
+  private def admissible(used: AttributeSet, fact: LogicalPlan,
+                         dim: LogicalPlan, conj: Seq[Expression])
+      : Option[(Seq[(AttributeReference, AttributeReference)], String)] = {
     if (used.intersect(dim.outputSet).nonEmpty) return None
-    // every conjunct a plain fact-attr = dim-attr equality
     val pairsOpt = conj.map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         if (fact.outputSet.contains(a) && dim.outputSet.contains(b)) Some((a, b))
@@ -152,6 +155,14 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     for {
       lr <- stripDim(dim, AttributeSet(pairs.map(_._2)))
       dimRoot <- constraintRoot(lr)
+    } yield (pairs, dimRoot)
+  }
+
+  private def tryElim(used: AttributeSet, j: Join, fact: LogicalPlan,
+                      dim: LogicalPlan, conj: Seq[Expression])
+      : Option[LogicalPlan] = {
+    for {
+      (pairs, dimRoot) <- admissible(used, fact, dim, conj)
       if TableConstraints.isUniqueOn(dimRoot, pairs.map(_._2.name).toSet)
       result <- j.joinType match {
         case LeftOuter | RightOuter =>
@@ -303,4 +314,56 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
       case other =>
         throw new IllegalStateException(s"unreachable: $other gated by rewritableAgg")
     }
+
+  // ── advisor support ────────────────────────────────────────────────
+
+  /** One join the rules COULD eliminate if the right constraints were
+    * declared — the workload advisor's raw material. `factRoot` is None
+    * for outer joins (no FK needed) and for facts that are not
+    * constraint-capable roots. */
+  private[plans] final case class JoinAdvice(
+      inner: Boolean, dimRoot: String, dimKeys: Seq[String],
+      factRoot: Option[String], factKeys: Seq[String])
+
+  /** Walk an OPTIMIZED plan for structurally eliminable joins. Run on
+    * the optimized plan on purpose: a join whose constraints ARE
+    * declared has already been eliminated by the time this walk sees
+    * the plan, so whatever joins remain are exactly the missing-
+    * declaration candidates. */
+  private[plans] def adviceCandidates(plan: LogicalPlan): Seq[JoinAdvice] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[JoinAdvice]
+    def scanJoin(used: AttributeSet, j: Join): Unit = {
+      if (j.condition.isEmpty) return
+      val sides: Seq[(LogicalPlan, LogicalPlan)] = j.joinType match {
+        case Inner => Seq((j.left, j.right), (j.right, j.left))
+        case LeftOuter => Seq((j.left, j.right))
+        case RightOuter => Seq((j.right, j.left))
+        case _ => return
+      }
+      val conj = splitConjunctivePredicates(j.condition.get)
+      sides.foreach { case (fact, dim) =>
+        admissible(used, fact, dim, conj).foreach { case (pairs, dimRoot) =>
+          val inner = j.joinType == Inner
+          val factKeys = pairs.map(_._1)
+          val factRoot =
+            if (!inner) None
+            else fact.collectFirst {
+              case flr: LogicalRelation
+                  if AttributeSet(factKeys).subsetOf(flr.outputSet) => flr
+            }.flatMap(constraintRoot)
+          // an inner candidate with no constraint-capable fact root can
+          // never be declared for — not a candidate
+          if (!inner || factRoot.isDefined)
+            out += JoinAdvice(inner, dimRoot, pairs.map(_._2.name),
+              factRoot, factKeys.map(_.name))
+        }
+      }
+    }
+    plan.foreach {
+      case p @ Project(_, j: Join) => scanJoin(p.references, j)
+      case a @ Aggregate(_, _, j: Join, _) => scanJoin(a.references, j)
+      case _ => ()
+    }
+    out.toSeq
+  }
 }

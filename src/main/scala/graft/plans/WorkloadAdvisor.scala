@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.TxnTable
+import graft.sources.{TableConstraints, TxnTable}
 
 /** The self-driving warehouse's FRONT DOOR: one call over an observed
   * workload, one ranked action plan — unifying the advisor family this
@@ -41,6 +41,12 @@ import graft.sources.TxnTable
   *     and, for `txnTables`, the SCAN-FREE log-side form
   *     (`compact_txn`) plus a `vacuum` row pricing the time-travel
   *     debt a `vacuum(head − vacuumRetainLag)` would reclaim.
+  *   - `constraint`: joins [[ConstraintRules]] could ELIMINATE if a
+  *     RELY key existed — `declare_unique` on the dim key (outer joins
+  *     become droppable immediately) and `declare_fk` on the fact
+  *     (inner joins too). Candidates are probed against the data before
+  *     being recommended; a candidate the data refutes reports
+  *     recommend = false with the refutation named.
   *
   * `weight` is the size of the evidence (queries served, predicate
   * uses, file count). `saved_rows` PRICES the action in row-units of
@@ -250,7 +256,66 @@ object WorkloadAdvisor {
               shapes.size.toLong, saved, true)
           }
       }
-    (rc ++ lattice ++ mv ++ mvTxn ++ stars ++ lay ++ comp ++ txnHealth)
+    // ── CONSTRAINT candidates: joins [[ConstraintRules]] could erase if
+    //    the right RELY keys existed. Walked on the OPTIMIZED plans, so
+    //    already-declared joins have vanished before the walk — whatever
+    //    remains is exactly the missing declarations. Each candidate is
+    //    PROBED before it is recommended (an advisor must never tell an
+    //    operator to assert a false constraint): uniqueness on the dim —
+    //    the small side — and the FK anti-join for inner candidates, a
+    //    one-time cost every subsequent elimination amortizes. Priced at
+    //    occurrences × (dim rows + fact rows): the dim scan and the
+    //    fact's trip through the join both disappear.
+    val consRows = {
+      val rootRows = scala.collection.mutable.Map.empty[String, Long]
+      def rowsOfRoot(root: String): Long =
+        rootRows.getOrElseUpdate(root, {
+          if (new java.io.File(root, "_graft_log").isDirectory)
+            TxnTable.snapshotRowCount(root)
+          else
+            Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(TxnTable.footerRowCount).sum
+        })
+      val cands = queries.flatMap(q =>
+        ConstraintRules.adviceCandidates(q.queryExecution.optimizedPlan))
+      val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
+        .sortBy { case ((r, ks), _) => (r, ks.mkString(",")) }
+        .map { case ((dimRoot, dimKeys), cs) =>
+          val name = new java.io.File(dimRoot).getName
+          val holds = TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) ||
+            TableConstraints.holdsUnique(spark, dimRoot, dimKeys)
+          val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
+            c.factRoot.fold(0L)(rowsOfRoot)).sum
+          ("constraint", s"$name.${dimKeys.mkString("+")}", "declare_unique",
+            if (holds) s"joins=${cs.size}" else "not_unique_in_data",
+            cs.size.toLong, if (holds) saved else 0L, holds)
+        }
+      val fks = cands.collect {
+          case c if c.inner && c.factRoot.isDefined => c
+        }.groupBy(c => (c.factRoot.get, c.factKeys, c.dimRoot, c.dimKeys))
+        .toSeq
+        .sortBy { case ((f, ks, d, _), _) => (f, ks.mkString(","), d) }
+        .map { case ((factRoot, factKeys, dimRoot, dimKeys), cs) =>
+          val fName = new java.io.File(factRoot).getName
+          val dName = new java.io.File(dimRoot).getName
+          // the FK is only worth declaring where the dim key is (or can
+          // be declared) unique — and only sound where the data holds it
+          val holds =
+            (TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) ||
+              TableConstraints.holdsUnique(spark, dimRoot, dimKeys)) &&
+            TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
+              dimRoot, dimKeys)
+          val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
+            c.factRoot.fold(0L)(rowsOfRoot)).sum
+          ("constraint", s"$fName.${factKeys.mkString("+")}", "declare_fk",
+            if (holds) s"ref=$dName,joins=${cs.size}" else "fk_violated_in_data",
+            cs.size.toLong, if (holds) saved else 0L, holds)
+        }
+      uniq ++ fks
+    }
+    (rc ++ lattice ++ mv ++ mvTxn ++ stars ++ lay ++ comp ++ txnHealth ++
+        consRows)
       .sortBy { case (f, t, a, d, _, saved, rec) =>
         (!rec, -saved, f, t, a, d)
       }

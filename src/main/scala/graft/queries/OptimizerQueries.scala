@@ -240,6 +240,71 @@ object OptimizerQueries {
         Seq("optdimpartkey_", "optdimsupp_"), Seq("rf", "pri"))
     },
 
+    // ── CONSTRAINT ADVICE: the workload advisor names the RELY keys
+    //    that would erase joins — probed against the data before being
+    //    recommended (declare_unique on the dim, declare_fk on the fact
+    //    for inner joins), with a data-refuted candidate reported
+    //    recommend=false, and a join against an ALREADY-declared dim
+    //    contributing no row at all (the walk runs on optimized plans,
+    //    where that join no longer exists — pinned by this oracle
+    //    enumerating the complete row set). Priced at occurrences ×
+    //    (dim rows + fact rows): the dim scan and the fact's trip
+    //    through the join both vanish.
+    sql("q_advisor_constraints",
+      """SELECT * FROM (
+        |  SELECT 'constraint' AS family, 'cns_fact.l_orderkey' AS target,
+        |         'declare_fk' AS action, 'ref=cns_dim,joins=1' AS detail,
+        |         CAST(1 AS BIGINT) AS weight,
+        |         (SELECT COUNT(*) FROM orders) +
+        |           (SELECT COUNT(*) FROM lineitem) AS saved_rows,
+        |         TRUE AS recommend
+        |  UNION ALL
+        |  SELECT 'constraint', 'cns_bad.bk', 'declare_unique',
+        |         'not_unique_in_data', CAST(1 AS BIGINT),
+        |         CAST(0 AS BIGINT), FALSE
+        |  UNION ALL
+        |  SELECT 'constraint', 'cns_dim.o_orderkey', 'declare_unique',
+        |         'joins=1', CAST(1 AS BIGINT),
+        |         (SELECT COUNT(*) FROM orders) +
+        |           (SELECT COUNT(*) FROM lineitem), TRUE
+        |) ORDER BY action, target""".stripMargin) { (s, d) =>
+      import graft.plans.WorkloadAdvisor
+      GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/cnsadv_$sfKey")
+      val factNc = s"$root/cns_fact"
+      val dimNc = s"$root/cns_dim"
+      val dimBad = s"$root/cns_bad"
+      TxnTable.commit(s, Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag"), factNc, overwrite = false)
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice"), dimNc, overwrite = false)
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select(col("o_orderpriority").as("bk"), col("o_custkey")), dimBad,
+        overwrite = false)
+      val (_, declaredDim, _) = fixture(s, d)
+      val workload = Seq(
+        // inner join, no declarations anywhere → unique + fk candidates
+        TxnTable.read(s, factNc)
+          .join(TxnTable.read(s, dimNc), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n")),
+        // left join to a key the data REFUTES → recommend=false row
+        TxnTable.read(s, factNc)
+          .join(TxnTable.read(s, dimBad), col("l_returnflag") === col("bk"),
+            "left")
+          .select("l_orderkey"),
+        // control: the DECLARED dim — eliminated before the walk, no row
+        TxnTable.read(s, factNc)
+          .join(TxnTable.read(s, declaredDim),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select("l_returnflag"))
+      WorkloadAdvisor.report(s, workload, exactNdv = true)
+        .filter(col("family") === "constraint")
+        .select("family", "target", "action", "detail", "weight",
+          "saved_rows", "recommend")
+        .orderBy("action", "target")
+    },
+
     // ── the RELY audit: verify() re-derives every declared constraint
     //    from the CURRENT data — the honesty half of informational
     //    constraints. The deliberately violated non-RELY declaration

@@ -174,4 +174,38 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(r.getAs[String]("detail") ==
       "eq=1,range=1,join=0,ndv=10,alt=zorder:900/bloom:900")
   }
+
+  test("constraint advice closes its loop: declare the recommendation, the join dies") {
+    GraftPlanner.register(spark)
+    val fact = s"$root/cns_fact"
+    val dim = s"$root/cns_dim"
+    TxnTable.commit(spark,
+      (1L to 300L).map(i => (i % 50 + 1, s"g${i % 3}")).toDF("fk", "g"), fact,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("k", "nm"), dim,
+      overwrite = false)
+    def wl = Seq(
+      TxnTable.read(spark, fact)
+        .join(TxnTable.read(spark, dim), $"fk" === $"k")
+        .groupBy("g").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+    val before = WorkloadAdvisor.report(spark, wl)
+      .filter($"family" === "constraint").collect()
+    assert(before.map(r => (r.getAs[String]("action"),
+        r.getAs[Boolean]("recommend"))).toSet ==
+      Set(("declare_unique", true), ("declare_fk", true)))
+    // priced at occurrences × (dim rows + fact rows)
+    assert(before.forall(_.getAs[Long]("saved_rows") == 350L))
+    // act on the advice — the workload's join disappears and the
+    // advisor has nothing left to say
+    graft.sources.TableConstraints.declareUnique(dim, Seq("k"),
+      validate = Some(spark))
+    graft.sources.TableConstraints.declareForeignKey(fact, Seq("fk"),
+      dim, Seq("k"), validate = Some(spark))
+    val plan = wl.head.queryExecution.executedPlan.toString()
+    assert(!plan.contains("cns_dim"), plan.take(2000))
+    assert(WorkloadAdvisor.report(spark, wl)
+      .filter($"family" === "constraint").isEmpty)
+  }
 }
