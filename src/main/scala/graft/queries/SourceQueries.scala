@@ -663,6 +663,44 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── FOOTER-fed skipping stats (TxnStats.refreshFromFooters): the
+    //    metadata-only twin of q_scan_txn_skipping — min/max/rows come
+    //    from the new files' parquet FOOTER statistics, no data pages
+    //    read, so at 100 TB the stats refresh costs O(Δ files) of
+    //    footer IO instead of an O(Δ rows) scan job (the same economics
+    //    as the commit-time row-count sidecars). The pruning contract
+    //    is unchanged and hash-pinned: the mid-range scan opens exactly
+    //    ONE of three range-clustered files.
+    sql("q_scan_stats_footer",
+      """WITH m AS (SELECT MAX(event_id) // 3 AS t FROM events)
+        |SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       CAST(3 AS BIGINT) AS files_total,
+        |       CAST(1 AS BIGINT) AS files_read
+        |FROM events, m WHERE event_id >= m.t AND event_id < 2 * m.t""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("stats_footer")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val ev = Tables.events(s, d).select("event_id", "value")
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val t1 = maxId / 3
+      val t2 = 2 * (maxId / 3)
+      TxnTable.commit(s, ev.filter(col("event_id") < t1).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        ev.filter(col("event_id") >= t1 && col("event_id") < t2).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, ev.filter(col("event_id") >= t2).coalesce(1),
+        table, overwrite = false)
+      TxnStats.refreshFromFooters(s, table, "event_id")
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "event_id", t1, t2 - 1)
+      TxnStats.prunedRead(s, table, "event_id", t1, t2 - 1)
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
     // ── small-file-only compaction (TxnTable.compactSmall): one healthy
     //    ingest file plus four micro-batch-sized stragglers; the
     //    compaction merges ONLY the stragglers (5 files → 2, the big

@@ -99,6 +99,79 @@ object TxnStats {
     newRel.size
   }
 
+  /** Per-file (min, max, rows) for an INT64 column straight from the
+    * parquet FOOTER's row-group statistics — metadata IO only, no data
+    * pages, the same read class as [[TxnTable.footerRowCount]]. None
+    * when any row group lacks usable stats for the column (then the
+    * file stays unindexed, which the pruner treats as always-read) or
+    * when every value is NULL (no min/max exists). */
+  private def footerMinMax(f: File, column: String): Option[(Long, Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toURI),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty)
+          .map(s =>
+            if (!s.hasNonNullValue) None // all-null chunk: no min/max
+            else (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => throw new IllegalArgumentException(
+                s"stats column '$column' must be BIGINT; footer says otherwise")
+            })
+      }
+      // every chunk must CARRY stats (else the file can't be summarized
+      // soundly); all-null chunks contribute no bound
+      if (perBlock.exists(_.isEmpty)) None
+      else {
+        val bounds = perBlock.flatten.flatten
+        if (bounds.isEmpty) None // all rows null — nothing to bound
+        else Some((bounds.map(_._1).min, bounds.map(_._2).max, rows))
+      }
+    } finally r.close()
+  }
+
+  /** [[refresh]]'s METADATA-ONLY twin: bring the stats up to head by
+    * reading the new files' parquet footers instead of their data pages
+    * — at 100 TB the difference between an O(Δ rows) scan job and
+    * O(Δ files) footer reads, the same economics as the commit-time
+    * row-count sidecars. A new file whose footer lacks usable stats is
+    * simply left unindexed (the pruner always reads unindexed live
+    * files — safety is never delegated to the footer). Interchangeable
+    * with [[refresh]] per file: both record the exact same
+    * (file, min, max, n_rows) row (spec-pinned). */
+  def refreshFromFooters(spark: SparkSession, table: String,
+                         column: String): Int = {
+    val current = TxnTable.currentVersion(table)
+    val wm = indexedVersion(table, column)
+    if (wm >= current) return 0
+    val newRel = addedInRange(table, wm, current)
+    val rows = newRel.flatMap { rel =>
+      footerMinMax(new File(table, rel), column)
+        .map { case (mn, mx, n) => (rel, mn, mx, n) }
+    }
+    if (rows.nonEmpty) {
+      statsDir(table, column).mkdirs()
+      // one small parquet per refresh, same layout as the scan path:
+      // |new files| rows of driver metadata
+      import spark.implicits._
+      rows.toDF("file", "min", "max", "n_rows")
+        .coalesce(1).write.mode("append").parquet(statsDir(table, column).getPath)
+    }
+    statsDir(table, column).mkdirs()
+    Files.write(wmFile(table, column).toPath,
+      s"""{"version":$current}""".getBytes(StandardCharsets.UTF_8))
+    rows.size
+  }
+
   /** The live files a `[lo, hi]` point/range lookup must read:
     * stats-known files whose [min, max] overlaps the range, plus every
     * live file the stats have not indexed yet (never skip blind).

@@ -62,6 +62,58 @@ class TxnStatsSpec extends SparkSpec {
     assert(ids(1000, 1004) == (1000L to 1004L))
   }
 
+  test("footer refresh records the same stats as the scan refresh, metadata-only") {
+    val ta = fresh("foot_a")
+    val tb = fresh("foot_b")
+    Seq((0L, 100L), (100L, 250L), (250L, 300L)).foreach { case (lo, hi) =>
+      commitRange(ta, lo, hi); commitRange(tb, lo, hi)
+    }
+    assert(TxnStats.refresh(spark, ta, "id") == 3)
+    assert(TxnStats.refreshFromFooters(spark, tb, "id") == 3)
+    def statsOf(t: String) = spark.read
+      .parquet(s"$t/_graft_stats/id")
+      .collect().map(r => (r.getString(0).split("/").last.take(0), // file names differ per table
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(statsOf(ta).map { case (_, mn, mx, n) => (mn, mx, n) } ==
+      statsOf(tb).map { case (_, mn, mx, n) => (mn, mx, n) })
+    assert(statsOf(tb).map { case (_, mn, mx, n) => (mn, mx, n) } ==
+      Set((0L, 99L, 100L), (100L, 249L, 150L), (250L, 299L, 50L)))
+    // pruning behaves identically
+    assert(TxnStats.pruneFiles(spark, tb, "id", 120L, 130L)._1.size == 1)
+    assert(TxnStats.refreshFromFooters(spark, tb, "id") == 0, "idempotent")
+    // incremental: one more commit, one more footer read
+    commitRange(tb, 300L, 350L)
+    assert(TxnStats.refreshFromFooters(spark, tb, "id") == 1)
+    assert(TxnStats.prunedRead(spark, tb, "id", 310L, 312L)
+      .select("id").as[Long].collect().sorted.toSeq == (310L to 312L))
+    // the two refresh flavors INTERLEAVE on one table: scan path picks
+    // up where the footer watermark left off
+    commitRange(tb, 350L, 400L)
+    assert(TxnStats.refresh(spark, tb, "id") == 1)
+    assert(TxnStats.prunedRead(spark, tb, "id", 360L, 361L)
+      .select("id").as[Long].collect().sorted.toSeq == (360L to 361L))
+  }
+
+  test("footer refresh skips an all-NULL column file as unindexed, never wrong") {
+    val t = fresh("foot_null")
+    TxnTable.commit(spark,
+      spark.range(0L, 50L).select(col("id"),
+        org.apache.spark.sql.functions.lit(null).cast("long").as("maybe"))
+        .coalesce(1),
+      t, overwrite = false)
+    TxnTable.commit(spark,
+      spark.range(50L, 100L).select(col("id"), col("id").as("maybe"))
+        .coalesce(1),
+      t, overwrite = false)
+    // the all-null file records no stats row → it is ALWAYS read
+    assert(TxnStats.refreshFromFooters(spark, t, "maybe") == 1)
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "maybe", 60L, 70L)
+    assert(nLive == 2 && toRead.size == 2,
+      s"unindexed all-null file must stay in the read set: $toRead")
+    assert(TxnStats.prunedRead(spark, t, "maybe", 60L, 70L)
+      .select("maybe").as[Long].collect().sorted.toSeq == (60L to 70L))
+  }
+
   test("deleteWhere rewrites only matching files and keeps NULL-predicate rows") {
     val t = fresh("delete")
     Seq((0L, 100L), (100L, 200L), (200L, 300L))
