@@ -89,7 +89,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * A plain single-directory parquet scan matches by root identity; a
     * file-list scan must be EXACTLY some txn table's head live data set
     * (no live deletion vectors — a DV'd read is not a bare scan anyway). */
-  private def constraintRoot(lr: LogicalRelation): Option[String] =
+  private[plans] def constraintRoot(lr: LogicalRelation): Option[String] =
     lr.relation match {
       case fs: HadoopFsRelation
           if fs.location.rootPaths.nonEmpty &&
@@ -215,7 +215,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * conjuncts are all IsNotNull on the JOIN KEYS (the inference the
     * inner join itself plants; such rows could never match, so dropping
     * them changes neither join shape). Anything else disqualifies. */
-  private def stripDim(p: LogicalPlan, keyAttrs: AttributeSet)
+  private[plans] def stripDim(p: LogicalPlan, keyAttrs: AttributeSet)
       : Option[LogicalRelation] = p match {
     case lr: LogicalRelation => Some(lr)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>

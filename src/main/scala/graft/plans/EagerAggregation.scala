@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.sources.TableConstraints
+
+/** EAGER AGGREGATION (join-aggregation reorder, Yan & Larson '95): an
+  * aggregate above a fact⋈dim join pre-aggregates the FACT side below
+  * the join, keyed by (fact grouping columns ∪ fact join keys), and
+  * merges the partials above — classic warehouse plan surgery no stock
+  * Spark rule performs. At 100 TB the difference is the join and its
+  * shuffle processing |distinct keys| pre-aggregated rows instead of
+  * |fact| raw rows: `GROUP BY dim.attr` over a billion-row fact joined
+  * to a thousand-row dim shuffles a thousand partials instead of a
+  * billion rows.
+  *
+  * Soundness rests on ONE property: the join must not fan the fact side
+  * out (a fact row matching two dim rows would count its partial
+  * twice). That is exactly what a declared RELY unique key on the dim's
+  * join columns guarantees ([[TableConstraints]]), checked through the
+  * same head-snapshot gate as [[ConstraintRules]]. Further gates:
+  *  - INNER or fact-preserving OUTER joins only, plain `EqualTo`
+  *    conjuncts (an unmatched partial drops (inner) or null-extends
+  *    (outer) exactly as its raw rows would — one partial row per
+  *    group, never split);
+  *  - the dim side is a bare scan (Projects / IsNotNull-on-key
+  *    filters);
+  *  - grouping expressions are plain attributes (either side);
+  *  - every aggregate is an undistinct, unfiltered SUM / MIN / MAX /
+  *    COUNT over FACT-side expressions: these decompose exactly
+  *    (SUM of partial SUMs, MIN of MINs, COUNT as SUM of partial
+  *    COUNTs). AVG does not ride (its decomposition changes the result
+  *    type), DISTINCT cannot be pre-counted, DECIMAL sums widen twice
+  *    (partial decimal(p+10) would re-widen — refused to keep result
+  *    types identical);
+  *  - the fact side is not itself an Aggregate (also the fixed-point
+  *    terminator: one application produces exactly that shape).
+  *
+  * Whether eager aggregation WINS is a cost call — the pre-aggregation
+  * pays a pass over the fact, repaid only when the partial key space is
+  * much smaller than the fact (at 1000× compression it is the largest
+  * single-join win a warehouse plan can take; at 1× it is pure loss).
+  * This engine keeps the rule cost-gated behind an explicit opt-in,
+  * `spark.graft.eagerAgg.enabled=true` (default OFF), the same contract
+  * as Spark's own opt-in optimizer flags; NDV stats from the layout
+  * advisor are the intended decision input.
+  */
+object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.eagerAgg.enabled", "false") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case a @ Aggregate(_, _, j: Join, _) =>
+        rewrite(a, j).getOrElse(a)
+      // column pruning leaves an attribute-only Project between the
+      // aggregate and the join — transparent for this rewrite (the new
+      // aggregate references partial outputs and dim attrs, all present
+      // in the join's own output), so it is dropped with the reorder
+      case a @ Aggregate(_, _, p: Project, _)
+          if p.projectList.forall(_.isInstanceOf[AttributeReference]) &&
+            p.child.isInstanceOf[Join] =>
+        rewrite(a, p.child.asInstanceOf[Join]).getOrElse(a)
+    }
+
+  private def decomposable(x: AggregateExpression): Boolean =
+    x.filter.isEmpty && !x.isDistinct && (x.aggregateFunction match {
+      case s: Sum => !s.dataType.isInstanceOf[DecimalType]
+      case _: Min | _: Max | _: Count => true
+      case _ => false
+    })
+
+  private def rewrite(a: Aggregate, j: Join): Option[LogicalPlan] = {
+    if (j.condition.isEmpty) return None
+    if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
+    val sides: Seq[(LogicalPlan, LogicalPlan, Boolean)] = j.joinType match {
+      case Inner => Seq((j.left, j.right, true), (j.right, j.left, false))
+      case LeftOuter => Seq((j.left, j.right, true))
+      case RightOuter => Seq((j.right, j.left, false))
+      case _ => return None
+    }
+    val conj = splitConjunctivePredicates(j.condition.get)
+    sides.view.flatMap { case (fact, dim, factLeft) =>
+      tryRewrite(a, j, fact, dim, factLeft, conj)
+    }.headOption
+  }
+
+  private def tryRewrite(a: Aggregate, j: Join, fact: LogicalPlan,
+                         dim: LogicalPlan, factLeft: Boolean,
+                         conj: Seq[Expression]): Option[LogicalPlan] = {
+    if (fact.isInstanceOf[Aggregate]) return None // applied already
+    // every conjunct a plain fact-attr = dim-attr equality
+    val pairsOpt = conj.map {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        if (fact.outputSet.contains(x) && dim.outputSet.contains(y)) Some((x, y))
+        else if (fact.outputSet.contains(y) && dim.outputSet.contains(x)) Some((y, x))
+        else None
+      case _ => None
+    }
+    if (pairsOpt.exists(_.isEmpty) || pairsOpt.isEmpty) return None
+    val pairs = pairsOpt.flatten
+    // non-fanning guarantee: dim join keys declared RELY unique
+    val dimOk = ConstraintRules.stripDim(dim, AttributeSet(pairs.map(_._2)))
+      .flatMap(ConstraintRules.constraintRoot)
+      .exists(root =>
+        TableConstraints.isUniqueOn(root, pairs.map(_._2.name).toSet))
+    if (!dimOk) return None
+    // every aggregate decomposable and over FACT-side inputs only
+    val aggs = a.aggregateExpressions.flatMap(_.collect {
+      case x: AggregateExpression => x
+    }).distinct
+    if (aggs.isEmpty || !aggs.forall(decomposable)) return None
+    if (!aggs.forall(_.references.subsetOf(fact.outputSet))) return None
+    if (!a.aggregateExpressions.forall(_.deterministic)) return None
+
+    // partial aggregate below the join: keyed by the fact-side grouping
+    // attrs ∪ fact join keys, one named partial per distinct aggregate
+    val geAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    val partialKeys = (geAttrs.filter(fact.outputSet.contains) ++
+      pairs.map(_._1)).distinct
+    val partialAliases = aggs.zipWithIndex.map { case (x, i) =>
+      Alias(x, s"_eager_p$i")()
+    }
+    val partial = Aggregate(partialKeys,
+      (partialKeys: Seq[NamedExpression]) ++ partialAliases, fact)
+    val merged: Map[Expression, Expression] = aggs.zip(partialAliases).map {
+      case (x, p) =>
+        val attr = p.toAttribute
+        val fin: Expression = x.aggregateFunction match {
+          case _: Sum => Sum(attr).toAggregateExpression()
+          case _: Min => Min(attr).toAggregateExpression()
+          case _: Max => Max(attr).toAggregateExpression()
+          case _: Count =>
+            // COUNT is non-null LONG; SUM over partials is nullable —
+            // coalesce restores both the type contract and the
+            // zero-on-empty behavior
+            Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L)))
+          case other => throw new IllegalStateException(
+            s"unreachable: $other gated by decomposable")
+        }
+        (x: Expression) -> fin
+    }.toMap
+    val newAe = a.aggregateExpressions.map(ne =>
+      ne.transform {
+        case x: AggregateExpression if merged.contains(x) => merged(x)
+      }.asInstanceOf[NamedExpression])
+    val newJoin =
+      if (factLeft) j.copy(left = partial)
+      else j.copy(right = partial)
+    Some(Aggregate(a.groupingExpressions, newAe, newJoin))
+  }
+}

@@ -103,6 +103,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(ConstraintRules))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ConstraintRules
+    if (!spark.experimental.extraOptimizations.contains(EagerAggregation))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ EagerAggregation
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

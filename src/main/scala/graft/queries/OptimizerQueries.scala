@@ -240,6 +240,39 @@ object OptimizerQueries {
         Seq("optdimpartkey_", "optdimsupp_"), Seq("rf", "pri"))
     },
 
+    // ── EAGER AGGREGATION (join-aggregation reorder): GROUP BY a DIM
+    //    attribute over fact⋈dim pre-aggregates the fact below the join
+    //    keyed by the join key — the join and its shuffle then process
+    //    |distinct keys| partials instead of |fact| rows, the classic
+    //    Yan-Larson reorder no stock Spark rule performs, sound here
+    //    because the declared unique key makes the join non-fanning.
+    //    Cost-gated opt-in (a derived session enables it); the `eager`
+    //    column pins the PLAN fact that a partial aggregate sits BELOW
+    //    the join, while the oracle computes the plain join+aggregate.
+    sql("q_opt_eager_agg",
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |       CAST(1 AS BIGINT) AS eager
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
+      val (fact, dim, _) = fixture(s, d)
+      val ss = s.newSession()
+      GraftPlanner.register(ss)
+      ss.conf.set("spark.graft.eagerAgg.enabled", "true")
+      val q = TxnTable.read(ss, fact)
+        .join(TxnTable.read(ss, dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sq"))
+      val eager = q.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      })
+      q.withColumn("eager", lit(if (eager) 1L else 0L)).orderBy("pri")
+    },
+
     // ── CONSTRAINT ADVICE: the workload advisor names the RELY keys
     //    that would erase joins — probed against the data before being
     //    recommended (declare_unique on the dim, declare_fk on the fact

@@ -1,0 +1,140 @@
+package graft.plans
+
+import java.io.File
+
+import graft.SparkSpec
+import graft.sources.{TableConstraints, TxnTable}
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for eager aggregation: the partial aggregate really
+  * lands below the join, results equal the unrewritten plan across
+  * inner/outer joins and null measures, and every gate refuses —
+  * default-off, undeclared dims, distinct/avg/decimal aggregates,
+  * dim-side aggregate inputs, double application. */
+class EagerAggregationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/spec_eager"
+  private val factT = s"$root/egfact"
+  private val dimT = s"$root/egdim"      // unique key 1..6 (partial: fact fk reaches 8)
+  private val dimDup = s"$root/egdup"    // duplicated key, undeclared
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftPlanner.register(spark)
+    FileUtils.deleteQuietly(new File(root))
+    // fk ∈ 1..8 (7,8 unmatched in dimT); m NULL every 5th row
+    val fact = (1L to 120L).map { i =>
+      (i % 8 + 1, s"g${i % 3}",
+        if (i % 5 == 0) Option.empty[Long] else Some(i))
+    }.toDF("fk", "grp", "m")
+    TxnTable.commit(spark, fact, factT, overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 6L).map(k => (k, s"seg${k % 2}")).toDF("k", "seg"), dimT,
+      overwrite = false)
+    TableConstraints.declareUnique(dimT, Seq("k"), validate = Some(spark))
+    TxnTable.commit(spark,
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k2", "seg2"), dimDup,
+      overwrite = false)
+  }
+
+  private def withEager[A](body: => A): A = {
+    spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    try body
+    finally spark.conf.unset("spark.graft.eagerAgg.enabled")
+  }
+
+  private def aggCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+
+  /** True when the optimized plan holds an Aggregate BELOW the join. */
+  private def partialBelowJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    })
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def factDf = TxnTable.read(spark, factT)
+  private def dimDf = TxnTable.read(spark, dimT)
+
+  test("inner join: partials below the join, results identical, nulls intact") {
+    def q = factDf.join(dimDf, $"fk" === $"k")
+      .groupBy("seg")
+      .agg(sum("m").as("sm"), count($"m").as("cm"), count(lit(1)).as("n"),
+        min("m").as("mn"), max("m").as("mx"))
+      .orderBy("seg")
+    val (got, eager) = withEager((rows(q), q))
+    assert(withEager(partialBelowJoin(eager)))
+    assert(withEager(aggCount(eager)) == 2)
+    assert(got == rows(q)) // plain run, rule off by default
+  }
+
+  test("LEFT join: unmatched partials null-extend into the NULL-dim group") {
+    def q = factDf.join(dimDf, $"fk" === $"k", "left")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+      .orderBy("seg")
+    val got = withEager {
+      assert(partialBelowJoin(q))
+      rows(q)
+    }
+    assert(got == rows(q))
+    // fk 7,8 rows really exist and really land in the null group
+    assert(q.filter($"seg".isNull).head.getLong(1) == 30L)
+  }
+
+  test("mixed grouping (fact grp + dim seg) keys the partial by both") {
+    def q = factDf.join(dimDf, $"fk" === $"k")
+      .groupBy("grp", "seg").agg(sum("m").as("sm"))
+      .orderBy("grp", "seg")
+    val got = withEager {
+      assert(partialBelowJoin(q))
+      rows(q)
+    }
+    assert(got == rows(q))
+  }
+
+  test("gates: default-off, undeclared dim, distinct, avg, dim-side input, filter") {
+    def base = factDf.join(dimDf, $"fk" === $"k")
+    // default OFF — no partial below the join
+    assert(!partialBelowJoin(base.groupBy("seg").agg(sum("m").as("s"))))
+    withEager {
+      // dup-key dim, undeclared → a fanning pre-aggregate would be wrong
+      assert(!partialBelowJoin(
+        factDf.join(TxnTable.read(spark, dimDup), $"fk" === $"k2")
+          .groupBy("seg2").agg(sum("m").as("s"))))
+      // non-decomposable aggregates decline
+      assert(!partialBelowJoin(
+        base.groupBy("seg").agg(countDistinct($"m").as("s"))))
+      assert(!partialBelowJoin(base.groupBy("seg").agg(avg("m").as("s"))))
+      assert(!partialBelowJoin(base.groupBy("seg")
+        .agg(expr("sum(m) FILTER (WHERE grp = 'g1')").as("s"))))
+      // aggregate over a DIM column cannot pre-aggregate on the fact
+      assert(!partialBelowJoin(base.groupBy("grp")
+        .agg(countDistinct($"seg").as("s"))))
+      // one application only: the rewritten plan holds exactly 2
+      // aggregates however many fixed-point rounds run
+      assert(aggCount(base.groupBy("seg").agg(sum("m").as("s"))) == 2)
+    }
+  }
+
+  test("decimal sums decline (double widening would change the result type)") {
+    withEager {
+      val q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
+        .join(dimDf, $"fk" === $"k")
+        .groupBy("seg").agg(sum("dm").as("s"))
+      assert(!partialBelowJoin(q))
+      assert(rows(q) == rows(q))
+    }
+  }
+}
