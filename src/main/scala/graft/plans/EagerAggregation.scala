@@ -157,4 +157,88 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       else j.copy(right = partial)
     Some(Aggregate(a.groupingExpressions, newAe, newJoin))
   }
+
+  // ── advisor support ────────────────────────────────────────────────
+
+  /** One aggregate-over-join the rule COULD reorder: where to measure
+    * the compression (fact root + the partial key columns) and whether
+    * the non-fanning guarantee is already declared. `factRoot` is a
+    * constraint-capable root whose data the advisor may price against
+    * (fact sides deeper than a Project/Filter chain decline — their NDV
+    * is not measurable from any one table). */
+  private[plans] final case class EagerCandidate(
+      factRoot: String, dimRoot: String, partialKeyCols: Seq[String],
+      dimKeyCols: Seq[String], dimDeclared: Boolean)
+
+  /** Walk a DEFAULT-optimized plan (rule off) for reorder candidates —
+    * the workload advisor's raw material for pricing
+    * `spark.graft.eagerAgg.enabled`. */
+  private[plans] def adviceCandidates(plan: LogicalPlan): Seq[EagerCandidate] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[EagerCandidate]
+    def chaseRoot(p: LogicalPlan): Option[String] = p match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        ConstraintRules.constraintRoot(lr)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        chaseRoot(c)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
+        chaseRoot(c)
+      case _ => None
+    }
+    def scan(a: Aggregate, j: Join): Unit = {
+      if (j.condition.isEmpty) return
+      if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+        return
+      val sides: Seq[(LogicalPlan, LogicalPlan)] = j.joinType match {
+        case Inner => Seq((j.left, j.right), (j.right, j.left))
+        case LeftOuter => Seq((j.left, j.right))
+        case RightOuter => Seq((j.right, j.left))
+        case _ => return
+      }
+      val conj = splitConjunctivePredicates(j.condition.get)
+      sides.foreach { case (fact, dim) =>
+        val pairsOpt = conj.map {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            if (fact.outputSet.contains(x) && dim.outputSet.contains(y))
+              Some((x, y))
+            else if (fact.outputSet.contains(y) && dim.outputSet.contains(x))
+              Some((y, x))
+            else None
+          case _ => None
+        }
+        if (!pairsOpt.exists(_.isEmpty) && pairsOpt.nonEmpty) {
+          val pairs = pairsOpt.flatten
+          val aggs = a.aggregateExpressions.flatMap(_.collect {
+            case x: AggregateExpression => x
+          }).distinct
+          val aggsOk = aggs.nonEmpty && aggs.forall(decomposable) &&
+            aggs.forall(_.references.subsetOf(fact.outputSet))
+          if (aggsOk) {
+            for {
+              dimLr <- ConstraintRules.stripDim(dim, AttributeSet(pairs.map(_._2)))
+              dimRoot <- ConstraintRules.constraintRoot(dimLr)
+              factRoot <- chaseRoot(fact)
+            } {
+              val geAttrs = a.groupingExpressions
+                .map(_.asInstanceOf[AttributeReference])
+              val partialKeys = (geAttrs.filter(fact.outputSet.contains) ++
+                pairs.map(_._1)).distinct
+              out += EagerCandidate(factRoot, dimRoot,
+                partialKeys.map(_.name), pairs.map(_._2.name),
+                TableConstraints.isUniqueOn(dimRoot,
+                  pairs.map(_._2.name).toSet))
+            }
+          }
+        }
+      }
+    }
+    plan.foreach {
+      case a @ Aggregate(_, _, j: Join, _) => scan(a, j)
+      case a @ Aggregate(_, _, p: Project, _)
+          if p.projectList.forall(_.isInstanceOf[AttributeReference]) &&
+            p.child.isInstanceOf[Join] =>
+        scan(a, p.child.asInstanceOf[Join])
+      case _ => ()
+    }
+    out.toSeq
+  }
 }

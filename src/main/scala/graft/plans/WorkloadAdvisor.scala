@@ -41,6 +41,12 @@ import graft.sources.{TableConstraints, TxnTable}
   *     and, for `txnTables`, the SCAN-FREE log-side form
   *     (`compact_txn`) plus a `vacuum` row pricing the time-travel
   *     debt a `vacuum(head − vacuumRetainLag)` would reclaim.
+  *   - `plan`: aggregate-over-join shapes [[EagerAggregation]] could
+  *     reorder — the advisor measures the partial key space's NDV on
+  *     the fact and recommends enabling the (opt-in, cost-gated) rule
+  *     when the pre-aggregation compresses ≥ `eagerMinCompression`×,
+  *     priced at occurrences × (fact rows − NDV): the rows the join's
+  *     shuffle no longer carries.
   *   - `constraint`: joins [[ConstraintRules]] could ELIMINATE if a
   *     RELY key existed — `declare_unique` on the dim key (outer joins
   *     become droppable immediately) and `declare_fk` on the fact
@@ -98,7 +104,8 @@ object WorkloadAdvisor {
              maxPartitions: Long = 1024L,
              exactNdv: Boolean = false,
              txnTables: Seq[String] = Nil,
-             vacuumRetainLag: Int = 0): DataFrame = {
+             vacuumRetainLag: Int = 0,
+             eagerMinCompression: Long = 8L): DataFrame = {
     import spark.implicits._
     val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction,
         exactNdv = exactNdv)
@@ -266,17 +273,21 @@ object WorkloadAdvisor {
     //    one-time cost every subsequent elimination amortizes. Priced at
     //    occurrences × (dim rows + fact rows): the dim scan and the
     //    fact's trip through the join both disappear.
+    val rootRows = scala.collection.mutable.Map.empty[String, Long]
+    def rowsOfRoot(root: String): Long =
+      rootRows.getOrElseUpdate(root, {
+        if (new java.io.File(root, "_graft_log").isDirectory)
+          TxnTable.snapshotRowCount(root)
+        else
+          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(TxnTable.footerRowCount).sum
+      })
+    def readRoot(root: String) =
+      if (new java.io.File(root, "_graft_log").isDirectory)
+        TxnTable.read(spark, root)
+      else spark.read.parquet(root)
     val consRows = {
-      val rootRows = scala.collection.mutable.Map.empty[String, Long]
-      def rowsOfRoot(root: String): Long =
-        rootRows.getOrElseUpdate(root, {
-          if (new java.io.File(root, "_graft_log").isDirectory)
-            TxnTable.snapshotRowCount(root)
-          else
-            Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .map(TxnTable.footerRowCount).sum
-        })
       val cands = queries.flatMap(q =>
         ConstraintRules.adviceCandidates(q.queryExecution.optimizedPlan))
       val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
@@ -314,8 +325,50 @@ object WorkloadAdvisor {
         }
       uniq ++ fks
     }
+    // ── EAGER-AGGREGATION pricing: the cost decision the rule itself
+    //    refuses to make ([[EagerAggregation]] is opt-in). For every
+    //    reorderable aggregate-over-join, measure the partial key
+    //    space's NDV on the fact and recommend enabling the reorder
+    //    when it compresses ≥ eagerMinCompression× — at 100 TB this is
+    //    the difference between shuffling the fact and shuffling its
+    //    distinct keys. A dim whose uniqueness the data refutes
+    //    reports recommend=false (the rule could never fire soundly);
+    //    a unique-but-undeclared dim names the prerequisite.
+    val eagerRows = {
+      val cands = queries.flatMap(q =>
+        EagerAggregation.adviceCandidates(q.queryExecution.optimizedPlan))
+      cands.groupBy(c => (c.factRoot, c.dimRoot, c.partialKeyCols,
+          c.dimKeyCols, c.dimDeclared)).toSeq
+        .sortBy { case ((f, d, ks, _, _), _) => (f, d, ks.mkString(",")) }
+        .map { case ((factRoot, dimRoot, keys, dimKeys, declared), cs) =>
+          val fName = new java.io.File(factRoot).getName
+          val dName = new java.io.File(dimRoot).getName
+          val uniqueOk = declared ||
+            TableConstraints.holdsUnique(spark, dimRoot, dimKeys)
+          val factRows = rowsOfRoot(factRoot)
+          val ndv =
+            if (!uniqueOk) 0L
+            else {
+              val keyStruct = org.apache.spark.sql.functions.struct(
+                keys.map(org.apache.spark.sql.functions.col): _*)
+              val agg =
+                if (exactNdv)
+                  org.apache.spark.sql.functions.countDistinct(keyStruct)
+                else org.apache.spark.sql.functions
+                  .approx_count_distinct(keyStruct)
+              readRoot(factRoot).agg(agg).head().getLong(0)
+            }
+          val recommend = uniqueOk && ndv * eagerMinCompression <= factRows
+          val detail =
+            if (!uniqueOk) "dim_not_unique"
+            else (if (declared) "" else "declare_unique_first,") +
+              s"keys=${keys.mkString("+")},ndv=$ndv,rows=$factRows"
+          ("plan", s"$fName:$dName", "eager_agg", detail, cs.size.toLong,
+            if (recommend) cs.size * (factRows - ndv) else 0L, recommend)
+        }
+    }
     (rc ++ lattice ++ mv ++ mvTxn ++ stars ++ lay ++ comp ++ txnHealth ++
-        consRows)
+        consRows ++ eagerRows)
       .sortBy { case (f, t, a, d, _, saved, rec) =>
         (!rec, -saved, f, t, a, d)
       }

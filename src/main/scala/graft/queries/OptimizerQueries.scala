@@ -22,18 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object OptimizerQueries {
 
-  /** Per-sf txn-table fixture with declared constraints: a lineitem
-    * fact and an orders dim (PK `o_orderkey`, FK `l_orderkey` →
-    * `o_orderkey`, both VALIDATED at declare time), plus a PARTIAL
-    * orders dim (even keys only — the left-elimination witness: inner
-    * elimination against it would be wrong and is refused, spec-pinned)
-    * carrying one deliberately violated non-RELY declaration for the
-    * verify audit. Built once per sf, reused across runs. */
-  private def fixture(s: SparkSession, d: String): (String, String, String) = {
+  private final case class Fx(fact: String, ord: String, ordPartial: String,
+                              part: String, supp: String)
+
+  /** Per-sf txn-table fixture with declared constraints — ONE
+    * deterministic declaration set, whatever order the queries run in
+    * (the audit query q_constraint_verify enumerates the complete set):
+    * a lineitem fact with three VALIDATED FKs (orders, part, supplier)
+    * and one deliberately non-RELY unique (the 4-column tuple the
+    * testdata generator genuinely duplicates); orders/part/supplier
+    * dims with validated PKs; and a PARTIAL orders dim (even keys only
+    * — the left-elimination witness: inner elimination against it would
+    * be wrong and is refused, spec-pinned) carrying one deliberately
+    * violated non-RELY declaration. Built once per sf, reused across
+    * runs; a pre-existing cache missing a declaration is healed in
+    * place (declarations replace by column set, so healing is
+    * idempotent). */
+  private def fixture(s: SparkSession, d: String): Fx = {
     val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
     val factDir = new File(s"/root/repo/target/constraints/optfact_$sfKey")
     val dimDir = new File(s"/root/repo/target/constraints/optdim_$sfKey")
     val partDir = new File(s"/root/repo/target/constraints/optdimpart_$sfKey")
+    val partDim = new File(s"/root/repo/target/constraints/optdimpartkey_$sfKey")
+    val suppDim = new File(s"/root/repo/target/constraints/optdimsupp_$sfKey")
     val srcs = Seq(new File(s"$d/lineitem.parquet"), new File(s"$d/orders.parquet"))
     val marker = "_graft_log/v00001.json"
     DerivedCache.ensure(dimDir, srcs, marker) {
@@ -52,31 +63,6 @@ object OptimizerQueries {
       TableConstraints.declareUnique(partDir.getPath, Seq("o_orderpriority"),
         rely = false)
     }
-    DerivedCache.ensure(factDir, srcs, marker) {
-      TxnTable.commit(s, Tables.lineitem(s, d), factDir.getPath, overwrite = false)
-      // non-RELY on purpose: the testdata generator DOES emit duplicate
-      // (orderkey, linenumber, partkey, suppkey) tuples, so this is a
-      // documentation row the optimizer must ignore and verify() must
-      // report honestly from the data (the audit query pins both)
-      TableConstraints.declareUnique(factDir.getPath,
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-        rely = false)
-      TableConstraints.declareForeignKey(factDir.getPath, Seq("l_orderkey"),
-        dimDir.getPath, Seq("o_orderkey"), validate = Some(s))
-    }
-    (factDir.getPath, dimDir.getPath, partDir.getPath)
-  }
-
-  /** The wide-view extension: part and supplier dims with validated PKs
-    * and FKs from the fact — the four-relation star q_opt_wide_view
-    * queries through. */
-  private def wideFixture(s: SparkSession, d: String)
-      : (String, String, String, String) = {
-    val (factDir, dimOrd, _) = fixture(s, d)
-    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
-    val partDim = new File(s"/root/repo/target/constraints/optdimpartkey_$sfKey")
-    val suppDim = new File(s"/root/repo/target/constraints/optdimsupp_$sfKey")
-    val marker = "_graft_log/v00001.json"
     DerivedCache.ensure(partDim, Seq(new File(s"$d/part.parquet")), marker) {
       TxnTable.commit(s, Tables.part(s, d), partDim.getPath, overwrite = false)
       TableConstraints.declareUnique(partDim.getPath, Seq("p_partkey"),
@@ -87,17 +73,32 @@ object OptimizerQueries {
       TableConstraints.declareUnique(suppDim.getPath, Seq("s_suppkey"),
         validate = Some(s))
     }
-    // FKs live in the FACT's constraint file — append them once (the
-    // file survives the fixture cache, so guard on presence)
-    if (!TableConstraints.fkCovers(factDir, Set("l_partkey" -> "p_partkey"),
-        partDim.getPath))
-      TableConstraints.declareForeignKey(factDir, Seq("l_partkey"),
-        partDim.getPath, Seq("p_partkey"), validate = Some(s))
-    if (!TableConstraints.fkCovers(factDir, Set("l_suppkey" -> "s_suppkey"),
-        suppDim.getPath))
-      TableConstraints.declareForeignKey(factDir, Seq("l_suppkey"),
-        suppDim.getPath, Seq("s_suppkey"), validate = Some(s))
-    (factDir, dimOrd, partDim.getPath, suppDim.getPath)
+    DerivedCache.ensure(factDir, srcs, marker) {
+      TxnTable.commit(s, Tables.lineitem(s, d), factDir.getPath, overwrite = false)
+    }
+    // the fact's declarations, healed idempotently outside the cache
+    // block (an older cache may predate a declaration; validation runs
+    // only on first declare — re-declares replace by column set)
+    val fact = factDir.getPath
+    if (!TableConstraints.uniques(fact).exists(_.cols ==
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+      // non-RELY on purpose: the testdata generator DOES emit duplicate
+      // tuples here — a documentation row the optimizer must ignore and
+      // verify() must report honestly from the data (audit-pinned)
+      TableConstraints.declareUnique(fact,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        rely = false)
+    Seq((Seq("l_orderkey"), dimDir, Seq("o_orderkey")),
+        (Seq("l_partkey"), partDim, Seq("p_partkey")),
+        (Seq("l_suppkey"), suppDim, Seq("s_suppkey"))).foreach {
+      case (cols, ref, refCols) =>
+        if (!TableConstraints.fkCovers(fact,
+            cols.zip(refCols).toSet, ref.getPath))
+          TableConstraints.declareForeignKey(fact, cols, ref.getPath, refCols,
+            validate = Some(s))
+    }
+    Fx(fact, dimDir.getPath, partDir.getPath, partDim.getPath,
+      suppDim.getPath)
   }
 
   /** Stamp the PLAN fact that elimination happened: `elim = 1` iff the
@@ -139,9 +140,9 @@ object OptimizerQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
       GraftPlanner.register(s)
-      val (fact, dim, _) = fixture(s, d)
-      val q = TxnTable.read(s, fact)
-        .join(TxnTable.read(s, dim), col("l_orderkey") === col("o_orderkey"))
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ord), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag").as("rf"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sq"))
@@ -160,10 +161,10 @@ object OptimizerQueries {
         |  ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
       GraftPlanner.register(s)
-      val (fact, _, part) = fixture(s, d)
-      val q = TxnTable.read(s, fact)
-        .join(TxnTable.read(s, part), col("l_orderkey") === col("o_orderkey"),
-          "left")
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ordPartial),
+          col("l_orderkey") === col("o_orderkey"), "left")
         .groupBy(col("l_returnflag").as("rf"))
         .agg(count(lit(1)).as("n"))
       stamped(q, Seq("optfact_"), Seq("optdimpart_"), Seq("rf"))
@@ -178,8 +179,8 @@ object OptimizerQueries {
         |       CAST(1 AS BIGINT) AS elim
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       GraftPlanner.register(s)
-      val (_, dim, _) = fixture(s, d)
-      val q = TxnTable.read(s, dim)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.ord)
         .dropDuplicates("o_orderkey")
         .select("o_orderkey", "o_orderpriority")
       stampedNoAgg(q, Seq("o_orderkey"))
@@ -197,8 +198,8 @@ object OptimizerQueries {
         |       CAST(1 AS BIGINT) AS elim
         |FROM orders GROUP BY o_orderkey ORDER BY k""".stripMargin) { (s, d) =>
       GraftPlanner.register(s)
-      val (_, dim, _) = fixture(s, d)
-      val q = TxnTable.read(s, dim)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.ord)
         .groupBy(col("o_orderkey").as("k"))
         .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc"),
           min("o_orderpriority").as("mp"))
@@ -227,11 +228,11 @@ object OptimizerQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2 ORDER BY rf, pri""".stripMargin) { (s, d) =>
       GraftPlanner.register(s)
-      val (fact, ord, partD, suppD) = wideFixture(s, d)
-      val wide = TxnTable.read(s, fact)
-        .join(TxnTable.read(s, ord), col("l_orderkey") === col("o_orderkey"))
-        .join(TxnTable.read(s, partD), col("l_partkey") === col("p_partkey"))
-        .join(TxnTable.read(s, suppD), col("l_suppkey") === col("s_suppkey"))
+      val fx = fixture(s, d)
+      val wide = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ord), col("l_orderkey") === col("o_orderkey"))
+        .join(TxnTable.read(s, fx.part), col("l_partkey") === col("p_partkey"))
+        .join(TxnTable.read(s, fx.supp), col("l_suppkey") === col("s_suppkey"))
       val q = wide
         .groupBy(col("l_returnflag").as("rf"), col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n"),
@@ -255,12 +256,12 @@ object OptimizerQueries {
         |       CAST(1 AS BIGINT) AS eager
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
-      val (fact, dim, _) = fixture(s, d)
+      val fx = fixture(s, d)
       val ss = s.newSession()
       GraftPlanner.register(ss)
       ss.conf.set("spark.graft.eagerAgg.enabled", "true")
-      val q = TxnTable.read(ss, fact)
-        .join(TxnTable.read(ss, dim), col("l_orderkey") === col("o_orderkey"))
+      val q = TxnTable.read(ss, fx.fact)
+        .join(TxnTable.read(ss, fx.ord), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sq"))
@@ -315,7 +316,7 @@ object OptimizerQueries {
       TxnTable.commit(s, Tables.orders(s, d)
         .select(col("o_orderpriority").as("bk"), col("o_custkey")), dimBad,
         overwrite = false)
-      val (_, declaredDim, _) = fixture(s, d)
+      val declaredDim = fixture(s, d).ord
       val workload = Seq(
         // inner join, no declarations anywhere → unique + fk candidates
         TxnTable.read(s, factNc)
@@ -350,6 +351,16 @@ object OptimizerQueries {
         |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0 AS holds
         |  UNION ALL
+        |  SELECT 'fk(l_partkey)', TRUE,
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |          WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'fk(l_suppkey)', TRUE,
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |          WHERE l.l_suppkey IS NOT NULL AND su.s_suppkey IS NULL) = 0
+        |  UNION ALL
         |  SELECT 'unique(l_orderkey,l_linenumber,l_partkey,l_suppkey)', FALSE,
         |         (SELECT COUNT(*) = 0 FROM (
         |            SELECT 1 FROM lineitem
@@ -368,12 +379,12 @@ object OptimizerQueries {
         |          WHERE o_orderkey % 2 = 0)
         |) ORDER BY con""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (fact, dim, part) = fixture(s, d)
+      val fx = fixture(s, d)
       val rows =
-        TableConstraints.verify(s, fact).map { case (c, r, h) =>
+        TableConstraints.verify(s, fx.fact).map { case (c, r, h) =>
           (c.split("->").head, r, h) } ++
-          TableConstraints.verify(s, dim) ++
-          TableConstraints.verify(s, part).map { case (c, r, h) =>
+          TableConstraints.verify(s, fx.ord) ++
+          TableConstraints.verify(s, fx.ordPartial).map { case (c, r, h) =>
             (s"$c [part]", r, h) }
       rows.toDF("con", "rely", "holds").orderBy("con")
     }

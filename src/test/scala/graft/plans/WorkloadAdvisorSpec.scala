@@ -208,4 +208,49 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(WorkloadAdvisor.report(spark, wl)
       .filter($"family" === "constraint").isEmpty)
   }
+
+  test("eager-agg advice prices the reorder and names the missing declaration") {
+    GraftPlanner.register(spark)
+    val fact = s"$root/eg_fact"
+    val dim = s"$root/eg_dim"         // declared unique
+    val dimU = s"$root/eg_dimu"       // unique in data, undeclared
+    TxnTable.commit(spark,
+      (1L to 400L).map(i => (i % 10 + 1, i)).toDF("fk", "m"), fact,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 10L).map(k => (k, s"s${k % 2}")).toDF("k", "seg"), dim,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 10L).map(k => (k, s"t${k % 2}")).toDF("ku", "segu"), dimU,
+      overwrite = false)
+    graft.sources.TableConstraints.declareUnique(dim, Seq("k"),
+      validate = Some(spark))
+    def f = TxnTable.read(spark, fact)
+    val wl = Seq(
+      f.join(TxnTable.read(spark, dim), $"fk" === $"k")
+        .groupBy("seg").agg(org.apache.spark.sql.functions.sum("m").as("sm")),
+      f.join(TxnTable.read(spark, dimU), $"fk" === $"ku")
+        .groupBy("segu").agg(org.apache.spark.sql.functions.sum("m").as("sm")))
+    val rows = WorkloadAdvisor.report(spark, wl, exactNdv = true)
+      .filter($"family" === "plan").collect()
+      .map(r => (r.getAs[String]("target"), r.getAs[String]("detail"),
+        r.getAs[Long]("saved_rows"), r.getAs[Boolean]("recommend"))).toSet
+    // 400 rows compress to 10 partials: 40× ≥ the 8× bar → recommend;
+    // the undeclared dim names its prerequisite but prices identically
+    assert(rows == Set(
+      ("eg_fact:eg_dim", "keys=fk,ndv=10,rows=400", 390L, true),
+      ("eg_fact:eg_dimu", "declare_unique_first,keys=fk,ndv=10,rows=400",
+        390L, true)), rows.toString)
+    // a non-compressing key space keeps the row but recommends against
+    // (a reference-free COUNT(*) makes BOTH orientations candidates —
+    // filter to the fact-side one)
+    val wide = WorkloadAdvisor.report(spark, Seq(
+        f.join(TxnTable.read(spark, dim), $"m" === $"k")
+          .groupBy("seg").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))),
+      exactNdv = true)
+      .filter($"family" === "plan" && $"target" === "eg_fact:eg_dim").collect()
+    assert(wide.length == 1 && !wide.head.getAs[Boolean]("recommend") &&
+      wide.head.getAs[Long]("saved_rows") == 0L)
+  }
 }
