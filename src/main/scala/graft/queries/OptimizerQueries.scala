@@ -339,6 +339,46 @@ object OptimizerQueries {
         .orderBy("action", "target")
     },
 
+    // ── EAGER-AGG ADVICE: the advisor measures the reorder's
+    //    compression on the fact (exact NDV for the oracle; approx in
+    //    deployment) and prices enabling the cost-gated rule — here
+    //    lineitem compresses ~4× onto its order key, clearing a 2× bar,
+    //    and DuckDB re-derives the NDV, the price, and the verdict from
+    //    the same data.
+    sql("q_advisor_eager",
+      """SELECT 'plan' AS family, 'egq_fact:egq_dim' AS target,
+        |       'eager_agg' AS action,
+        |       'keys=l_orderkey,ndv=' ||
+        |         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS VARCHAR)
+        |         || ',rows=' ||
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS VARCHAR) AS detail,
+        |       CAST(1 AS BIGINT) AS weight,
+        |       (SELECT COUNT(*) FROM lineitem) -
+        |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS saved_rows,
+        |       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) * 2
+        |         <= (SELECT COUNT(*) FROM lineitem) AS recommend""".stripMargin) { (s, d) =>
+      import graft.plans.WorkloadAdvisor
+      GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/egadv_$sfKey")
+      val fact = s"$root/egq_fact"
+      val dim = s"$root/egq_dim"
+      TxnTable.commit(s, Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity"), fact, overwrite = false)
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority"), dim, overwrite = false)
+      TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+        validate = Some(s))
+      WorkloadAdvisor.report(s, Seq(
+          TxnTable.read(s, fact)
+            .join(TxnTable.read(s, dim), col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(sum("l_quantity").as("sq"))),
+        exactNdv = true, eagerMinCompression = 2L)
+        .filter(col("family") === "plan")
+        .select("family", "target", "action", "detail", "weight",
+          "saved_rows", "recommend")
+    },
+
     // ── the RELY audit: verify() re-derives every declared constraint
     //    from the CURRENT data — the honesty half of informational
     //    constraints. The deliberately violated non-RELY declaration
