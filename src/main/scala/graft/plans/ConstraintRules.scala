@@ -4,7 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -78,6 +78,16 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         elimJoin(p.references, j).map(c => p.copy(child = c)).getOrElse(p)
       case a @ Aggregate(_, _, j: Join, _) =>
         elimJoin(a.references, j).map(c => a.copy(child = c)).getOrElse(a)
+      // EXISTS/NOT-EXISTS under a declared FK: a semi join to the FK's
+      // target keeps exactly the non-null-key fact rows (every one
+      // matches), an anti join keeps exactly the null-key ones — both
+      // become filters, no dim scan, no join. Uniqueness is not even
+      // needed (semi/anti joins never fan out), and the join's output
+      // IS the fact side, so the rewrite needs no parent cooperation.
+      case j @ Join(fact, dim, LeftSemi, Some(_), _) =>
+        semiAntiElim(j, fact, dim, anti = false).getOrElse(j)
+      case j @ Join(fact, dim, LeftAnti, Some(_), _) =>
+        semiAntiElim(j, fact, dim, anti = true).getOrElse(j)
       case d @ Deduplicate(keys, child)
           if coveredByUnique(AttributeSet(keys), child) =>
         child
@@ -195,6 +205,59 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     } yield result
+  }
+
+  /** Semi/anti-join elimination under an exact-cover FK. The fact rows
+    * a semi join keeps are those with a match — under the FK, exactly
+    * those whose keys are ALL non-null; the anti join keeps the
+    * complement (any-key-null rows: an equality against NULL never
+    * matches). Gates mirror [[tryElim]] minus uniqueness (semi/anti
+    * never fan): bare head-snapshot dim, plain equalities, pairs ==
+    * the declared FK exactly. */
+  private def semiAntiElim(j: Join, fact: LogicalPlan, dim: LogicalPlan,
+                           anti: Boolean): Option[LogicalPlan] = {
+    val conj = splitConjunctivePredicates(j.condition.get)
+    val pairsOpt = conj.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (fact.outputSet.contains(a) && dim.outputSet.contains(b)) Some((a, b))
+        else if (fact.outputSet.contains(b) && dim.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (pairsOpt.exists(_.isEmpty) || pairsOpt.isEmpty) return None
+    val pairs = pairsOpt.flatten
+    val factKeys = pairs.map(_._1)
+    val factAttrSet = AttributeSet(factKeys)
+    for {
+      lr <- stripDim(dim, AttributeSet(pairs.map(_._2)))
+      dimRoot <- constraintRoot(lr)
+      flr <- fact.collectFirst {
+        case x: LogicalRelation if factAttrSet.subsetOf(x.outputSet) => x
+      }
+      factRoot <- constraintRoot(flr)
+      if TableConstraints.fkCovers(factRoot,
+        pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot)
+    } yield {
+      if (anti) {
+        // kept rows: any FK column null (they can never match)
+        val nullable = factKeys.filter(_.nullable)
+        if (nullable.isEmpty)
+          // non-nullable keys: the anti join is provably empty
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(fact.output)
+        else Filter(nullable.map(IsNull(_): Expression).reduce(Or), fact)
+      } else {
+        val already = fact.collect { case Filter(c, _) =>
+          splitConjunctivePredicates(c).collect {
+            case IsNotNull(a: AttributeReference) => a.exprId
+          }
+        }.flatten.toSet
+        val notNull = factKeys.filter(a =>
+          a.nullable && !already.contains(a.exprId))
+        if (notNull.isEmpty) fact
+        else insertFilter(fact, factAttrSet,
+          notNull.map(IsNotNull(_): Expression).reduce(And))
+      }
+    }
   }
 
   /** Place the residual IsNotNull next to the scan that owns the keys —

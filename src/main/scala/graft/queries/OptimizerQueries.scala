@@ -206,6 +206,44 @@ object OptimizerQueries {
       stampedNoAgg(q, Seq("k"))
     },
 
+    // ── EXISTS under the FK: the semi join the subquery decorrelates to
+    //    keeps exactly the non-null-key fact rows, so it rewrites to a
+    //    filter — the dim is never scanned (plan-pinned) while the
+    //    oracle runs the real EXISTS.
+    sql("q_opt_semi_elim",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = lineitem.l_orderkey)
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ord),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("optfact_"), Seq("optdim_"), Seq("rf"))
+    },
+
+    // ── NOT EXISTS under the FK: the anti join keeps exactly the
+    //    null-key rows — none here (the testdata FK is total), and the
+    //    hash pins that BOTH engines agree on the empty complement
+    //    without this engine ever scanning the dim.
+    sql("q_opt_anti_elim",
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = lineitem.l_orderkey)""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ord),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq.empty, Seq("optdim_"), Seq("n"))
+    },
+
     // ── the WIDE-VIEW case — the single largest win informational
     //    constraints buy at 100 TB: a reusable four-relation star (fact
     //    ⋈ orders ⋈ part ⋈ supplier, every dim key a validated PK with

@@ -155,6 +155,27 @@ class ConstraintRulesSpec extends SparkSpec {
       .select("pk")).contains("crdima"))
   }
 
+  test("EXISTS/NOT-EXISTS under the FK become filters — no dim scan at all") {
+    val dA = TxnTable.read(spark, dimA)
+    // semi join (EXISTS): kept rows = non-null-fk rows, dim never read
+    val semi = factDf.join(dA, $"fk" === $"k", "left_semi").select("pk")
+    assert(!plan(semi).contains("crdima"), plan(semi).take(2000))
+    assert(semi.count() == 90L)
+    assert(rows(semi) == ruleOff(rows(semi)))
+    // anti join (NOT EXISTS): kept rows = exactly the null-fk rows
+    val anti = factDf.join(dA, $"fk" === $"k", "left_anti").select("pk", "fk")
+    assert(!plan(anti).contains("crdima"), plan(anti).take(2000))
+    assert(anti.count() == 10L)
+    assert(anti.collect().forall(_.isNullAt(1)))
+    assert(rows(anti) == ruleOff(rows(anti)))
+    // no FK (dimB): both stay
+    val dB = TxnTable.read(spark, dimB)
+    assert(plan(factDf.join(dB, $"fk" === $"kb", "left_semi").select("pk"))
+      .contains("crdimb"))
+    assert(plan(factDf.join(dB, $"fk" === $"kb", "left_anti").select("pk"))
+      .contains("crdimb"))
+  }
+
   test("a stale txn snapshot read refuses; the head read eliminates") {
     val stale = factDf.join(TxnTable.read(spark, dimE, asOf = Some(1)),
       $"fk" === $"ke").select("pk")
