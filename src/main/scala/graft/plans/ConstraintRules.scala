@@ -71,9 +71,25 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.constraintRewrite.enabled", "true") == "true"
 
+  /** Per-optimization-pass memo for [[constraintRoot]]: the root
+    * resolution does real filesystem IO (canonical paths, a txn-log
+    * replay for file-list scans), and one optimizer pass probes the
+    * same relations from several rules and fixed-point rounds. Scoped
+    * to one `apply` (or one advisor walk) so a commit between queries
+    * is always observed — a global cache would serve stale snapshots. */
+  private val rootCache =
+    new ThreadLocal[scala.collection.mutable.Map[LogicalRelation, Option[String]]]
+
+  private[plans] def withRootCache[T](body: => T): T = {
+    val prev = rootCache.get()
+    rootCache.set(scala.collection.mutable.Map.empty)
+    try body
+    finally rootCache.set(prev)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
+    else withRootCache(plan.transformUp {
       case p @ Project(_, j: Join) =>
         elimJoin(p.references, j).map(c => p.copy(child = c)).getOrElse(p)
       case a @ Aggregate(_, _, j: Join, _) =>
@@ -93,13 +109,19 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         child
       case a: Aggregate =>
         distinctElim(a).orElse(aggElim(a)).getOrElse(a)
-    }
+    })
 
   /** The directory whose declared constraints govern this scan, or None.
     * A plain single-directory parquet scan matches by root identity; a
     * file-list scan must be EXACTLY some txn table's head live data set
     * (no live deletion vectors — a DV'd read is not a bare scan anyway). */
-  private[plans] def constraintRoot(lr: LogicalRelation): Option[String] =
+  private[plans] def constraintRoot(lr: LogicalRelation): Option[String] = {
+    val memo = rootCache.get()
+    if (memo == null) resolveConstraintRoot(lr)
+    else memo.getOrElseUpdate(lr, resolveConstraintRoot(lr))
+  }
+
+  private def resolveConstraintRoot(lr: LogicalRelation): Option[String] =
     lr.relation match {
       case fs: HadoopFsRelation
           if fs.location.rootPaths.nonEmpty &&
@@ -178,30 +200,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         case LeftOuter | RightOuter =>
           Some(fact) // fact rows preserved verbatim; dim output unused
         case Inner =>
-          val factKeys = pairs.map(_._1)
-          val factAttrSet = AttributeSet(factKeys)
-          fact.collectFirst {
-            case flr: LogicalRelation if factAttrSet.subsetOf(flr.outputSet) => flr
-          }.flatMap(constraintRoot).filter { factRoot =>
-            TableConstraints.fkCovers(factRoot,
-              pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot)
-          }.map { _ =>
-            // FK constrains non-null keys only: the inner join drops
-            // null-keyed fact rows, so the rewrite must too — except
-            // keys a fact-side filter already pins non-null (the join's
-            // own inference usually has), which would duplicate the
-            // pushed filter
-            val already = fact.collect { case Filter(c, _) =>
-              splitConjunctivePredicates(c).collect {
-                case IsNotNull(a: AttributeReference) => a.exprId
-              }
-            }.flatten.toSet
-            val notNull = factKeys.filter(a =>
-              a.nullable && !already.contains(a.exprId))
-            if (notNull.isEmpty) fact
-            else insertFilter(fact, factAttrSet,
-              notNull.map(IsNotNull(_): Expression).reduce(And))
-          }
+          fkGate(fact, pairs, dimRoot).map(notNullResidual(fact, _))
         case _ => None
       }
     } yield result
@@ -213,51 +212,95 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * complement (any-key-null rows: an equality against NULL never
     * matches). Gates mirror [[tryElim]] minus uniqueness (semi/anti
     * never fan): bare head-snapshot dim, plain equalities, pairs ==
-    * the declared FK exactly. */
+    * the declared FK exactly, FK-clean fact provenance. */
   private def semiAntiElim(j: Join, fact: LogicalPlan, dim: LogicalPlan,
                            anti: Boolean): Option[LogicalPlan] = {
     val conj = splitConjunctivePredicates(j.condition.get)
-    val pairsOpt = conj.map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (fact.outputSet.contains(a) && dim.outputSet.contains(b)) Some((a, b))
-        else if (fact.outputSet.contains(b) && dim.outputSet.contains(a)) Some((b, a))
-        else None
-      case _ => None
-    }
-    if (pairsOpt.exists(_.isEmpty) || pairsOpt.isEmpty) return None
-    val pairs = pairsOpt.flatten
-    val factKeys = pairs.map(_._1)
-    val factAttrSet = AttributeSet(factKeys)
     for {
-      lr <- stripDim(dim, AttributeSet(pairs.map(_._2)))
-      dimRoot <- constraintRoot(lr)
-      flr <- fact.collectFirst {
-        case x: LogicalRelation if factAttrSet.subsetOf(x.outputSet) => x
-      }
-      factRoot <- constraintRoot(flr)
-      if TableConstraints.fkCovers(factRoot,
-        pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot)
+      // used = ∅: a semi/anti join's output IS its fact side
+      (pairs, dimRoot) <- admissible(AttributeSet.empty, fact, dim, conj)
+      factKeys <- fkGate(fact, pairs, dimRoot)
     } yield {
       if (anti) {
         // kept rows: any FK column null (they can never match)
         val nullable = factKeys.filter(_.nullable)
         if (nullable.isEmpty)
-          // non-nullable keys: the anti join is provably empty
+          // non-nullable keys: the anti join is provably empty (the
+          // provenance walk refused null-extension, so the flag holds)
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(fact.output)
         else Filter(nullable.map(IsNull(_): Expression).reduce(Or), fact)
-      } else {
-        val already = fact.collect { case Filter(c, _) =>
-          splitConjunctivePredicates(c).collect {
-            case IsNotNull(a: AttributeReference) => a.exprId
-          }
-        }.flatten.toSet
-        val notNull = factKeys.filter(a =>
-          a.nullable && !already.contains(a.exprId))
-        if (notNull.isEmpty) fact
-        else insertFilter(fact, factAttrSet,
-          notNull.map(IsNotNull(_): Expression).reduce(And))
-      }
+      } else notNullResidual(fact, factKeys)
     }
+  }
+
+  /** FK-CLEAN provenance: the key attrs' values above `p` are a
+    * sub-multiset of the owning scan's column values — rows may be
+    * filtered or duplicated on the way up, never null-extended
+    * (outer-join sides), unioned with another source (Union reuses its
+    * first child's exprIds, so a scan match would claim the other
+    * children's unconstrained values), expanded, limited, or windowed
+    * (a row dropped early under a Limit/Window changes which rows
+    * survive / what the frames compute — the residual filter would not
+    * commute). Whitelist walk; anything unrecognized refuses. Returns
+    * the owning scan when clean. */
+  private def fkCleanScan(p: LogicalPlan, keys: AttributeSet)
+      : Option[LogicalRelation] = p match {
+    case lr: LogicalRelation if keys.subsetOf(lr.outputSet) => Some(lr)
+    case Project(_, c) if keys.subsetOf(c.outputSet) => fkCleanScan(c, keys)
+    case Filter(_, c) => fkCleanScan(c, keys)
+    case jn: Join =>
+      val side: Option[LogicalPlan] = jn.joinType match {
+        case Inner | org.apache.spark.sql.catalyst.plans.Cross |
+             LeftSemi | LeftAnti | LeftOuter =>
+          // keys must live on the preserved (left) side for outer; for
+          // inner/cross either side preserves provenance — pick by
+          // ownership
+          if (keys.subsetOf(jn.left.outputSet)) Some(jn.left)
+          else if ((jn.joinType == Inner ||
+              jn.joinType == org.apache.spark.sql.catalyst.plans.Cross) &&
+            keys.subsetOf(jn.right.outputSet)) Some(jn.right)
+          else None
+        case RightOuter =>
+          if (keys.subsetOf(jn.right.outputSet)) Some(jn.right) else None
+        case _ => None
+      }
+      side.flatMap(fkCleanScan(_, keys))
+    case _ => None
+  }
+
+  /** The FK half shared by inner and semi/anti elimination: the join
+    * pairs must exactly cover a declared RELY FK whose fact keys reach
+    * their owning scan through FK-clean provenance. Returns the fact
+    * key attrs. */
+  private def fkGate(fact: LogicalPlan,
+                     pairs: Seq[(AttributeReference, AttributeReference)],
+                     dimRoot: String): Option[Seq[AttributeReference]] = {
+    val factKeys = pairs.map(_._1)
+    fkCleanScan(fact, AttributeSet(factKeys))
+      .flatMap(constraintRoot)
+      .filter(factRoot => TableConstraints.fkCovers(factRoot,
+        pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot))
+      .map(_ => factKeys)
+  }
+
+  /** FK constrains non-null keys only: the dropped join also dropped
+    * null-keyed fact rows, so the rewrite must too — except keys a
+    * fact-side filter already pins non-null (the join's own inference
+    * usually has), which would duplicate the pushed filter. Sound to
+    * place at the scan because [[fkCleanScan]] admitted only operators
+    * a key-null filter commutes with. */
+  private def notNullResidual(fact: LogicalPlan,
+                              factKeys: Seq[AttributeReference]): LogicalPlan = {
+    val already = fact.collect { case Filter(c, _) =>
+      splitConjunctivePredicates(c).collect {
+        case IsNotNull(a: AttributeReference) => a.exprId
+      }
+    }.flatten.toSet
+    val notNull = factKeys.filter(a =>
+      a.nullable && !already.contains(a.exprId))
+    if (notNull.isEmpty) fact
+    else insertFilter(fact, AttributeSet(factKeys),
+      notNull.map(IsNotNull(_): Expression).reduce(And))
   }
 
   /** Place the residual IsNotNull next to the scan that owns the keys —
@@ -410,10 +453,8 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
           val factKeys = pairs.map(_._1)
           val factRoot =
             if (!inner) None
-            else fact.collectFirst {
-              case flr: LogicalRelation
-                  if AttributeSet(factKeys).subsetOf(flr.outputSet) => flr
-            }.flatMap(constraintRoot)
+            else fkCleanScan(fact, AttributeSet(factKeys))
+              .flatMap(constraintRoot)
           // an inner candidate with no constraint-capable fact root can
           // never be declared for — not a candidate
           if (!inner || factRoot.isDefined)

@@ -57,7 +57,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
+    else ConstraintRules.withRootCache(plan.transformUp {
       case a @ Aggregate(_, _, j: Join, _) =>
         rewrite(a, j).getOrElse(a)
       // column pruning leaves an attribute-only Project between the
@@ -68,7 +68,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           if p.projectList.forall(_.isInstanceOf[AttributeReference]) &&
             p.child.isInstanceOf[Join] =>
         rewrite(a, p.child.asInstanceOf[Join]).getOrElse(a)
-    }
+    })
 
   private def decomposable(x: AggregateExpression): Boolean =
     x.filter.isEmpty && !x.isDistinct && (x.aggregateFunction match {

@@ -238,8 +238,11 @@ object MvAdvisor {
         // 100 TB the probe below is itself a full shuffle per candidate
         // dim, which is exactly what TableConstraints exists to avoid;
         // absence of a declaration proves nothing, so fall through
-        val dir = // leaf paths arrive as URIs (`file:/…`) from the plan
-          if (path.contains(":")) new java.net.URI(path).getPath else path
+        // leaf paths arrive as Hadoop Path strings (`file:/…`), which
+        // are NOT percent-encoded — java.net.URI would throw on a space;
+        // strip the scheme literally instead
+        val dir =
+          if (path.startsWith("file:")) path.stripPrefix("file:") else path
         if (graft.sources.TableConstraints.isUniqueOn(dir, Set(key))) true
         else {
           val r = spark.read.parquet(path)

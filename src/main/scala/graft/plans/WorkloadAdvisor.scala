@@ -278,24 +278,34 @@ object WorkloadAdvisor {
       rootRows.getOrElseUpdate(root, {
         if (new java.io.File(root, "_graft_log").isDirectory)
           TxnTable.snapshotRowCount(root)
-        else
-          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .map(TxnTable.footerRowCount).sum
+        else {
+          // recurse: a partitionBy layout nests its files under key= dirs
+          def files(d: java.io.File): Seq[java.io.File] =
+            Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+              if (f.isDirectory && !f.getName.startsWith("_")) files(f)
+              else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+              else Nil
+            }
+          files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
+        }
       })
     def readRoot(root: String) =
       if (new java.io.File(root, "_graft_log").isDirectory)
         TxnTable.read(spark, root)
       else spark.read.parquet(root)
     val consRows = {
-      val cands = queries.flatMap(q =>
-        ConstraintRules.adviceCandidates(q.queryExecution.optimizedPlan))
+      val cands = ConstraintRules.withRootCache(queries.flatMap(q =>
+        ConstraintRules.adviceCandidates(q.queryExecution.optimizedPlan)))
       val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
         .sortBy { case ((r, ks), _) => (r, ks.mkString(",")) }
+        // a dim whose key is ALREADY declared needs no declare_unique
+        // row — the join survived for another reason (usually the FK,
+        // which the fks branch below carries)
+        .filterNot { case ((dimRoot, dimKeys), _) =>
+          TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) }
         .map { case ((dimRoot, dimKeys), cs) =>
           val name = new java.io.File(dimRoot).getName
-          val holds = TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) ||
-            TableConstraints.holdsUnique(spark, dimRoot, dimKeys)
+          val holds = TableConstraints.holdsUnique(spark, dimRoot, dimKeys)
           val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
             c.factRoot.fold(0L)(rowsOfRoot)).sum
           ("constraint", s"$name.${dimKeys.mkString("+")}", "declare_unique",
@@ -335,8 +345,8 @@ object WorkloadAdvisor {
     //    reports recommend=false (the rule could never fire soundly);
     //    a unique-but-undeclared dim names the prerequisite.
     val eagerRows = {
-      val cands = queries.flatMap(q =>
-        EagerAggregation.adviceCandidates(q.queryExecution.optimizedPlan))
+      val cands = ConstraintRules.withRootCache(queries.flatMap(q =>
+        EagerAggregation.adviceCandidates(q.queryExecution.optimizedPlan)))
       cands.groupBy(c => (c.factRoot, c.dimRoot, c.partialKeyCols,
           c.dimKeyCols, c.dimDeclared)).toSeq
         .sortBy { case ((f, d, ks, _, _), _) => (f, d, ks.mkString(",")) }

@@ -53,6 +53,15 @@ object TableConstraints {
 
   private def file(dir: String) = new File(dir, "_graft_constraints.json")
 
+  /** Declarations are a read-modify-write of one JSON file; two threads
+    * declaring on one table concurrently (parallel spec suites, two
+    * queries healing a shared fixture) must not drop each other's rows.
+    * One JVM-wide lock serializes writers — cheap (declarations are
+    * rare control-plane events) and honest about scope: cross-PROCESS
+    * racing declarations remain the operator's problem, like every
+    * other registrar-contract surface here. */
+  private val writeLock = new Object
+
   private def canon(dir: String): String = new File(dir).getCanonicalPath
 
   /** Parse without a JSON library — we wrote the file ourselves and
@@ -153,8 +162,11 @@ object TableConstraints {
       require(holdsUnique(s, dir, cols),
         s"unique(${cols.mkString(",")}) does not hold in $dir — declaration refused")
     }
-    val (us, fks) = parse(dir)
-    write(dir, us.filterNot(_.cols.sorted == cols.sorted) :+ Unique(cols, rely), fks)
+    writeLock.synchronized {
+      val (us, fks) = parse(dir)
+      write(dir, us.filterNot(_.cols.sorted == cols.sorted) :+ Unique(cols, rely),
+        fks)
+    }
   }
 
   /** Declare an FK from `dir`.`cols` to `refDir`.`refCols` (positional
@@ -169,10 +181,12 @@ object TableConstraints {
       require(holdsForeignKey(s, dir, cols, refDir, refCols),
         s"fk(${cols.mkString(",")}) -> $refDir(${refCols.mkString(",")}) does not hold — declaration refused")
     }
-    val (us, fks) = parse(dir)
-    val fk = ForeignKey(cols, canon(refDir), refCols, rely)
-    write(dir, us,
-      fks.filterNot(x => x.cols == cols && x.refTable == fk.refTable) :+ fk)
+    writeLock.synchronized {
+      val (us, fks) = parse(dir)
+      val fk = ForeignKey(cols, canon(refDir), refCols, rely)
+      write(dir, us,
+        fks.filterNot(x => x.cols == cols && x.refTable == fk.refTable) :+ fk)
+    }
   }
 
   def uniques(dir: String): Seq[Unique] = parse(dir)._1

@@ -176,6 +176,33 @@ class ConstraintRulesSpec extends SparkSpec {
       .contains("crdimb"))
   }
 
+  test("FK provenance: null-extended or unioned fact keys refuse elimination") {
+    // the FK constrains the SCAN's values; a LEFT join above the scan
+    // null-extends fk for unmatched probe rows. In a stock optimized
+    // plan the dim equi-join's null-intolerance inner-izes that outer
+    // join BEFORE this rule runs (EliminateOuterJoin), making the
+    // provenance clean again — results must stay exact either way,
+    // and the provenance walk guards the shapes that DON'T inner-ize
+    // (the Union below, anti joins)
+    val probe = Seq(("x1", 1L), ("x2", 2L), ("nohit", -1L))
+      .toDF("tag", "pk2")
+    val factSide = probe.join(factDf, $"pk2" === $"pk", "left")
+    val q = factSide.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+      .select("tag")
+    assert(rows(q) == ruleOff(rows(q)))
+    // a UNION reuses its first child's exprIds — the second child's fk
+    // values carry no FK contract, so elimination must refuse
+    val unioned = factDf.unionByName(
+      factDf.withColumn("fk", lit(999999L))) // 999999 matches no dim key
+    val qu = unioned.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(plan(qu).contains("crdima"), plan(qu).take(3000))
+    assert(rows(qu) == ruleOff(rows(qu)))
+    // same refusals on the semi/anti path (shared fkGate)
+    assert(plan(unioned.join(TxnTable.read(spark, dimA), $"fk" === $"k",
+      "left_semi").select("pk")).contains("crdima"))
+  }
+
   test("a stale txn snapshot read refuses; the head read eliminates") {
     val stale = factDf.join(TxnTable.read(spark, dimE, asOf = Some(1)),
       $"fk" === $"ke").select("pk")

@@ -129,12 +129,13 @@ class EagerAggregationSpec extends SparkSpec {
   }
 
   test("decimal sums decline (double widening would change the result type)") {
-    withEager {
-      val q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
-        .join(dimDf, $"fk" === $"k")
-        .groupBy("seg").agg(sum("dm").as("s"))
+    def q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
+      .join(dimDf, $"fk" === $"k")
+      .groupBy("seg").agg(sum("dm").as("s"))
+    val got = withEager {
       assert(!partialBelowJoin(q))
-      assert(rows(q) == rows(q))
+      rows(q)
     }
+    assert(got == rows(q)) // eager-on equals rule-off
   }
 }
