@@ -77,8 +77,8 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * same relations from several rules and fixed-point rounds. Scoped
     * to one `apply` (or one advisor walk) so a commit between queries
     * is always observed — a global cache would serve stale snapshots. */
-  private val rootCache =
-    new ThreadLocal[scala.collection.mutable.Map[LogicalRelation, Option[String]]]
+  private val rootCache = new ThreadLocal[
+    scala.collection.mutable.Map[(LogicalRelation, Boolean), Option[String]]]
 
   private[plans] def withRootCache[T](body: => T): T = {
     val prev = rootCache.get()
@@ -115,13 +115,22 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * A plain single-directory parquet scan matches by root identity; a
     * file-list scan must be EXACTLY some txn table's head live data set
     * (no live deletion vectors — a DV'd read is not a bare scan anyway). */
-  private[plans] def constraintRoot(lr: LogicalRelation): Option[String] = {
+  /** `declaredOnly = true` (the rewrite paths) fast-exits BEFORE the
+    * txn-log replay when the root carries no constraints file at all —
+    * the common case for every scan in a deployment that never declared
+    * anything, which must not pay a log replay per optimizer pass. The
+    * advisor walks pass false: an UNDECLARED root is exactly what they
+    * advise about. */
+  private[plans] def constraintRoot(lr: LogicalRelation,
+                                    declaredOnly: Boolean = true): Option[String] = {
     val memo = rootCache.get()
-    if (memo == null) resolveConstraintRoot(lr)
-    else memo.getOrElseUpdate(lr, resolveConstraintRoot(lr))
+    if (memo == null) resolveConstraintRoot(lr, declaredOnly)
+    else memo.getOrElseUpdate((lr, declaredOnly),
+      resolveConstraintRoot(lr, declaredOnly))
   }
 
-  private def resolveConstraintRoot(lr: LogicalRelation): Option[String] =
+  private def resolveConstraintRoot(lr: LogicalRelation,
+                                    declaredOnly: Boolean): Option[String] =
     lr.relation match {
       case fs: HadoopFsRelation
           if fs.location.rootPaths.nonEmpty &&
@@ -134,6 +143,10 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
           else Some(roots.head.getPath)
         } else {
           TxnTable.tableRootOf(roots.head.getParentFile).flatMap { t =>
+            // nothing declared: skip the log replay below
+            if (declaredOnly &&
+                !new File(t, "_graft_constraints.json").isFile) None
+            else {
             val prefix = t.getCanonicalPath + File.separator
             val rel = roots.foldLeft(Option(Set.empty[String])) { (acc, f) =>
               acc.flatMap { s =>
@@ -145,6 +158,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
             rel.flatMap { files =>
               val (data, dv) = TxnTable.liveSplit(t.getPath)
               if (dv.isEmpty && files == data.toSet) Some(t.getPath) else None
+            }
             }
           }
         }
@@ -172,7 +186,8 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * side equality, dim a bare constraint-rooted scan. Returns the
     * (factKey, dimKey) pairs and the dim's constraint root. */
   private def admissible(used: AttributeSet, fact: LogicalPlan,
-                         dim: LogicalPlan, conj: Seq[Expression])
+                         dim: LogicalPlan, conj: Seq[Expression],
+                         declaredOnly: Boolean = true)
       : Option[(Seq[(AttributeReference, AttributeReference)], String)] = {
     if (used.intersect(dim.outputSet).nonEmpty) return None
     val pairsOpt = conj.map {
@@ -186,7 +201,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     val pairs = pairsOpt.flatten
     for {
       lr <- stripDim(dim, AttributeSet(pairs.map(_._2)))
-      dimRoot <- constraintRoot(lr)
+      dimRoot <- constraintRoot(lr, declaredOnly)
     } yield (pairs, dimRoot)
   }
 
@@ -277,7 +292,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
                      dimRoot: String): Option[Seq[AttributeReference]] = {
     val factKeys = pairs.map(_._1)
     fkCleanScan(fact, AttributeSet(factKeys))
-      .flatMap(constraintRoot)
+      .flatMap(constraintRoot(_))
       .filter(factRoot => TableConstraints.fkCovers(factRoot,
         pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot))
       .map(_ => factKeys)
@@ -448,13 +463,14 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
       }
       val conj = splitConjunctivePredicates(j.condition.get)
       sides.foreach { case (fact, dim) =>
-        admissible(used, fact, dim, conj).foreach { case (pairs, dimRoot) =>
+        admissible(used, fact, dim, conj, declaredOnly = false)
+            .foreach { case (pairs, dimRoot) =>
           val inner = j.joinType == Inner
           val factKeys = pairs.map(_._1)
           val factRoot =
             if (!inner) None
             else fkCleanScan(fact, AttributeSet(factKeys))
-              .flatMap(constraintRoot)
+              .flatMap(constraintRoot(_, declaredOnly = false))
           // an inner candidate with no constraint-capable fact root can
           // never be declared for — not a candidate
           if (!inner || factRoot.isDefined)

@@ -109,7 +109,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val pairs = pairsOpt.flatten
     // non-fanning guarantee: dim join keys declared RELY unique
     val dimOk = ConstraintRules.stripDim(dim, AttributeSet(pairs.map(_._2)))
-      .flatMap(ConstraintRules.constraintRoot)
+      .flatMap(ConstraintRules.constraintRoot(_))
       .exists(root =>
         TableConstraints.isUniqueOn(root, pairs.map(_._2.name).toSet))
     if (!dimOk) return None
@@ -177,7 +177,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val out = scala.collection.mutable.ArrayBuffer.empty[EagerCandidate]
     def chaseRoot(p: LogicalPlan): Option[String] = p match {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        ConstraintRules.constraintRoot(lr)
+        ConstraintRules.constraintRoot(lr, declaredOnly = false)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         chaseRoot(c)
       case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
@@ -215,7 +215,8 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           if (aggsOk) {
             for {
               dimLr <- ConstraintRules.stripDim(dim, AttributeSet(pairs.map(_._2)))
-              dimRoot <- ConstraintRules.constraintRoot(dimLr)
+              dimRoot <- ConstraintRules.constraintRoot(dimLr,
+                declaredOnly = false)
               factRoot <- chaseRoot(fact)
             } {
               val geAttrs = a.groupingExpressions
