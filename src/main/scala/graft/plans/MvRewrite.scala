@@ -819,11 +819,30 @@ object Mv {
     * `consequence` names what would go wrong at THIS call site. */
   private[graft] def requireDimUnique(dim: DataFrame, dimKey: String,
                                       consequence: String): Unit = {
-    val r = dim.agg(count(col(dimKey)).as("nk"),
-      countDistinct(col(dimKey)).as("nd")).head()
-    require(r.getLong(0) == r.getLong(1),
-      s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
-        s"${r.getLong(1)} distinct) — $consequence")
+    // a declared RELY unique key answers from METADATA (strict
+    // uniqueness implies the non-null form needed here) — at 100 TB
+    // the probe below is a full shuffle of the dim per build/refresh,
+    // which is exactly what TableConstraints exists to avoid; absence
+    // of a declaration proves nothing, so fall through to the probe
+    def chase(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[LogicalRelation] = p match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        chase(c)
+      case Filter(_, c) => chase(c)
+      case _ => None
+    }
+    val declared = chase(dim.queryExecution.analyzed)
+      .flatMap(ConstraintRules.constraintRoot(_))
+      .exists(root =>
+        graft.sources.TableConstraints.isUniqueOn(root, Set(dimKey)))
+    if (!declared) {
+      val r = dim.agg(count(col(dimKey)).as("nk"),
+        countDistinct(col(dimKey)).as("nd")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"dim is not unique on $dimKey (${r.getLong(0)} non-null keys, " +
+          s"${r.getLong(1)} distinct) — $consequence")
+    }
   }
 
   /** Fold `f` through the BROADCAST dimension joins in chain order —

@@ -289,6 +289,23 @@ class ConstraintRulesSpec extends SparkSpec {
 
   // ── advisor integration ────────────────────────────────────────────
 
+  test("star BUILD trusts a declared RELY key instead of probing") {
+    // requireDimUnique is the per-dim build/refresh gate: with a
+    // declared key it must not scan — proven by declaring a knowingly
+    // FALSE unique on a dup-keyed dim (RELY semantics: the declarer
+    // owns it) and watching the probe get skipped; undeclared, the
+    // same dim throws
+    val dup = s"$root/mvdup"
+    TxnTable.commit(spark, Seq((1L, "a"), (1L, "b")).toDF("dk", "v"), dup,
+      overwrite = false)
+    val dim = TxnTable.read(spark, dup)
+    intercept[IllegalArgumentException] {
+      Mv.requireDimUnique(dim, "dk", "spec")
+    }
+    TableConstraints.declareUnique(dup, Seq("dk")) // knowingly false, RELY
+    Mv.requireDimUnique(TxnTable.read(spark, dup), "dk", "spec")
+  }
+
   test("star orientation trusts a declared RELY key instead of probing") {
     // dim with a DUPLICATED key: the data probe refuses orientation
     val fDir = s"$root/adv_fact.parquet"
