@@ -243,7 +243,14 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
           // non-nullable keys: the anti join is provably empty (the
           // provenance walk refused null-extension, so the flag holds)
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(fact.output)
-        else Filter(nullable.map(IsNull(_): Expression).reduce(Or), fact)
+        else
+          // pushed to the owning scan like the semi residual — sound to
+          // commute through exactly the operators fkCleanScan admitted,
+          // and the parquet reader then prunes the (usually tiny)
+          // null-key complement instead of the whole fact flowing
+          // through the fact side's own joins first
+          insertFilter(fact, AttributeSet(factKeys),
+            nullable.map(IsNull(_): Expression).reduce(Or))
       } else notNullResidual(fact, factKeys)
     }
   }
@@ -331,6 +338,18 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (done) out else Filter(cond, fact)
   }
+
+  /** Chase through attribute-only Projects and Filters to the scan —
+    * the provenance-preserving prefix every metadata consumer
+    * (requireDimUnique, the eager advisor's fact walk) shares. */
+  private[plans] def chaseScan(p: LogicalPlan): Option[LogicalRelation] =
+    p match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        chaseScan(c)
+      case Filter(_, c) => chaseScan(c)
+      case _ => None
+    }
 
   /** Bare dimension scan: Projects of plain attributes and Filters whose
     * conjuncts are all IsNotNull on the JOIN KEYS (the inference the

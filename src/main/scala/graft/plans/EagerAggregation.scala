@@ -175,15 +175,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     * `spark.graft.eagerAgg.enabled`. */
   private[plans] def adviceCandidates(plan: LogicalPlan): Seq[EagerCandidate] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[EagerCandidate]
-    def chaseRoot(p: LogicalPlan): Option[String] = p match {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        ConstraintRules.constraintRoot(lr, declaredOnly = false)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        chaseRoot(c)
-      case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
-        chaseRoot(c)
-      case _ => None
-    }
+    def chaseRoot(p: LogicalPlan): Option[String] =
+      ConstraintRules.chaseScan(p)
+        .flatMap(ConstraintRules.constraintRoot(_, declaredOnly = false))
     def scan(a: Aggregate, j: Join): Unit = {
       if (j.condition.isEmpty) return
       if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))

@@ -824,15 +824,7 @@ object Mv {
     // the probe below is a full shuffle of the dim per build/refresh,
     // which is exactly what TableConstraints exists to avoid; absence
     // of a declaration proves nothing, so fall through to the probe
-    def chase(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Option[LogicalRelation] = p match {
-      case lr: LogicalRelation => Some(lr)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        chase(c)
-      case Filter(_, c) => chase(c)
-      case _ => None
-    }
-    val declared = chase(dim.queryExecution.analyzed)
+    val declared = ConstraintRules.chaseScan(dim.queryExecution.analyzed)
       .flatMap(ConstraintRules.constraintRoot(_))
       .exists(root =>
         graft.sources.TableConstraints.isUniqueOn(root, Set(dimKey)))

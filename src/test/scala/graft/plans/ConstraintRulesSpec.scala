@@ -158,12 +158,12 @@ class ConstraintRulesSpec extends SparkSpec {
   test("EXISTS/NOT-EXISTS under the FK become filters — no dim scan at all") {
     val dA = TxnTable.read(spark, dimA)
     // semi join (EXISTS): kept rows = non-null-fk rows, dim never read
-    val semi = factDf.join(dA, $"fk" === $"k", "left_semi").select("pk")
+    def semi = factDf.join(dA, $"fk" === $"k", "left_semi").select("pk")
     assert(!plan(semi).contains("crdima"), plan(semi).take(2000))
     assert(semi.count() == 90L)
     assert(rows(semi) == ruleOff(rows(semi)))
     // anti join (NOT EXISTS): kept rows = exactly the null-fk rows
-    val anti = factDf.join(dA, $"fk" === $"k", "left_anti").select("pk", "fk")
+    def anti = factDf.join(dA, $"fk" === $"k", "left_anti").select("pk", "fk")
     assert(!plan(anti).contains("crdima"), plan(anti).take(2000))
     assert(anti.count() == 10L)
     assert(anti.collect().forall(_.isNullAt(1)))
@@ -187,14 +187,14 @@ class ConstraintRulesSpec extends SparkSpec {
     val probe = Seq(("x1", 1L), ("x2", 2L), ("nohit", -1L))
       .toDF("tag", "pk2")
     val factSide = probe.join(factDf, $"pk2" === $"pk", "left")
-    val q = factSide.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+    def q = factSide.join(TxnTable.read(spark, dimA), $"fk" === $"k")
       .select("tag")
     assert(rows(q) == ruleOff(rows(q)))
     // a UNION reuses its first child's exprIds — the second child's fk
     // values carry no FK contract, so elimination must refuse
     val unioned = factDf.unionByName(
       factDf.withColumn("fk", lit(999999L))) // 999999 matches no dim key
-    val qu = unioned.join(TxnTable.read(spark, dimA), $"fk" === $"k")
+    def qu = unioned.join(TxnTable.read(spark, dimA), $"fk" === $"k")
       .groupBy("grp").agg(count(lit(1)).as("n"))
     assert(plan(qu).contains("crdima"), plan(qu).take(3000))
     assert(rows(qu) == ruleOff(rows(qu)))
@@ -207,7 +207,7 @@ class ConstraintRulesSpec extends SparkSpec {
     val stale = factDf.join(TxnTable.read(spark, dimE, asOf = Some(1)),
       $"fk" === $"ke").select("pk")
     assert(plan(stale).contains("crdime"))
-    val head = factDf.join(TxnTable.read(spark, dimE), $"fk" === $"ke")
+    def head = factDf.join(TxnTable.read(spark, dimE), $"fk" === $"ke")
       .select("pk")
     assert(!plan(head).contains("crdime"))
     assert(rows(head) == ruleOff(rows(head)))
