@@ -593,6 +593,12 @@ object TxnTable {
       to.getParentFile.mkdirs()
       Files.createLink(to.toPath, new File(src, p).toPath)
     }
+    // declared constraints describe the data being cloned — they travel
+    // (COPIED, not linked: each side re-declares independently after)
+    val constraints = new File(src, "_graft_constraints.json")
+    if (constraints.isFile)
+      Files.copy(constraints.toPath,
+        new File(dst, "_graft_constraints.json").toPath)
     publishFileList(dst, files, tag = Some("clone"), expectedVersion = Some(1))
   }
 

@@ -96,6 +96,22 @@ class TxnCloneSpec extends SparkSpec {
     assert(rows(src) == (4L to 8L).toSet)
   }
 
+  test("declared constraints travel with the clone, then diverge independently") {
+    val src = freshTable("clone_cons_src")
+    val dst = freshTable("clone_cons_dst")
+    TxnTable.commit(spark, (1L to 20L).toDF("id"), src, overwrite = false)
+    TableConstraints.declareUnique(src, Seq("id"), validate = Some(spark))
+    TxnTable.cloneShallow(src, dst)
+    // the declaration describes the cloned data — it must be there
+    assert(TableConstraints.isUniqueOn(dst, Set("id")))
+    // COPIED, not linked: a re-declare on the clone leaves the source
+    TableConstraints.declareUnique(dst, Seq("id"), rely = false)
+    assert(TableConstraints.isUniqueOn(src, Set("id")))
+    assert(!TableConstraints.isUniqueOn(dst, Set("id")))
+    TableConstraints.clear(dst)
+    assert(TableConstraints.uniques(src).nonEmpty)
+  }
+
   test("clone refuses a non-empty target and an empty source") {
     val src = freshTable("clone_ref_src")
     val dst = freshTable("clone_ref_dst")
