@@ -32,12 +32,14 @@ import graft.sources.TableConstraints
   *    filters);
   *  - grouping expressions are plain attributes (either side);
   *  - every aggregate is an undistinct, unfiltered SUM / MIN / MAX /
-  *    COUNT over FACT-side expressions: these decompose exactly
+  *    COUNT / AVG over FACT-side expressions: these decompose exactly
   *    (SUM of partial SUMs, MIN of MINs, COUNT as SUM of partial
-  *    COUNTs). AVG does not ride (its decomposition changes the result
-  *    type), DISTINCT cannot be pre-counted, DECIMAL sums widen twice
-  *    (partial decimal(p+10) would re-widen — refused to keep result
-  *    types identical);
+  *    COUNTs, AVG as the (sum, non-null count) pair Spark's own
+  *    distributed Average accumulates — with an explicit zero-count
+  *    guard so an all-null group stays NULL instead of raising ANSI
+  *    DIVIDE_BY_ZERO). DISTINCT cannot be pre-counted, DECIMAL
+  *    sums/averages widen twice (a partial decimal(p+10) would
+  *    re-widen — refused to keep result types identical);
   *  - the fact side is not itself an Aggregate (also the fixed-point
   *    terminator: one application produces exactly that shape).
   *
@@ -73,6 +75,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   private def decomposable(x: AggregateExpression): Boolean =
     x.filter.isEmpty && !x.isDistinct && (x.aggregateFunction match {
       case s: Sum => !s.dataType.isInstanceOf[DecimalType]
+      case a: Average => !a.dataType.isInstanceOf[DecimalType]
       case _: Min | _: Max | _: Count => true
       case _ => false
     })
@@ -126,14 +129,23 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val geAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
     val partialKeys = (geAttrs.filter(fact.outputSet.contains) ++
       pairs.map(_._1)).distinct
-    val partialAliases = aggs.zipWithIndex.map { case (x, i) =>
-      Alias(x, s"_eager_p$i")()
+    val partialAliases: Seq[Seq[Alias]] = aggs.zipWithIndex.map { case (x, i) =>
+      x.aggregateFunction match {
+        // AVG decomposes as a (sum, non-null count) pair — exactly how
+        // Spark's own distributed Average accumulates, so integral
+        // inputs stay exact and doubles stay in the same
+        // order-sensitivity class as any distributed sum
+        case f: Average => Seq(
+          Alias(Sum(f.child).toAggregateExpression(), s"_eager_p${i}s")(),
+          Alias(Count(f.child).toAggregateExpression(), s"_eager_p${i}c")())
+        case _ => Seq(Alias(x, s"_eager_p$i")())
+      }
     }
     val partial = Aggregate(partialKeys,
-      (partialKeys: Seq[NamedExpression]) ++ partialAliases, fact)
+      (partialKeys: Seq[NamedExpression]) ++ partialAliases.flatten, fact)
     val merged: Map[Expression, Expression] = aggs.zip(partialAliases).map {
-      case (x, p) =>
-        val attr = p.toAttribute
+      case (x, ps) =>
+        val attr = ps.head.toAttribute
         val fin: Expression = x.aggregateFunction match {
           case _: Sum => Sum(attr).toAggregateExpression()
           case _: Min => Min(attr).toAggregateExpression()
@@ -143,6 +155,14 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
             // coalesce restores both the type contract and the
             // zero-on-empty behavior
             Coalesce(Seq(Sum(attr).toAggregateExpression(), Literal(0L)))
+          case f: Average =>
+            val s = Sum(attr).toAggregateExpression()
+            val c = Sum(ps(1).toAttribute).toAggregateExpression()
+            // the zero-count guard matters under ANSI: an all-null
+            // measure group has c = 0 (not null), and a bare Divide
+            // would raise DIVIDE_BY_ZERO where AVG returns null
+            If(EqualTo(c, Literal(0L)), Literal(null, f.dataType),
+              Divide(Cast(s, f.dataType), Cast(c, f.dataType)))
           case other => throw new IllegalStateException(
             s"unreachable: $other gated by decomposable")
         }

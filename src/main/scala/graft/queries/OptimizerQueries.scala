@@ -291,6 +291,7 @@ object OptimizerQueries {
     sql("q_opt_eager_agg",
       """SELECT o_orderpriority AS pri, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |       CAST(AVG(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS aq,
         |       CAST(1 AS BIGINT) AS eager
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY pri""".stripMargin) { (s, d) =>
@@ -302,7 +303,8 @@ object OptimizerQueries {
         .join(TxnTable.read(ss, fx.ord), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("long")).as("sq"))
+          sum(col("l_quantity").cast("long")).as("sq"),
+          avg(col("l_quantity").cast("long")).as("aq"))
       val eager = q.queryExecution.optimizedPlan.collectFirst {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.exists(_.exists {

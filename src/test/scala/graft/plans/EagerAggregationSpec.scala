@@ -71,7 +71,7 @@ class EagerAggregationSpec extends SparkSpec {
     def q = factDf.join(dimDf, $"fk" === $"k")
       .groupBy("seg")
       .agg(sum("m").as("sm"), count($"m").as("cm"), count(lit(1)).as("n"),
-        min("m").as("mn"), max("m").as("mx"))
+        min("m").as("mn"), max("m").as("mx"), avg("m").as("am"))
       .orderBy("seg")
     val (got, eager) = withEager((rows(q), q))
     assert(withEager(partialBelowJoin(eager)))
@@ -116,7 +116,6 @@ class EagerAggregationSpec extends SparkSpec {
       // non-decomposable aggregates decline
       assert(!partialBelowJoin(
         base.groupBy("seg").agg(countDistinct($"m").as("s"))))
-      assert(!partialBelowJoin(base.groupBy("seg").agg(avg("m").as("s"))))
       assert(!partialBelowJoin(base.groupBy("seg")
         .agg(expr("sum(m) FILTER (WHERE grp = 'g1')").as("s"))))
       // aggregate over a DIM column cannot pre-aggregate on the fact
@@ -128,10 +127,39 @@ class EagerAggregationSpec extends SparkSpec {
     }
   }
 
+  test("AVG decomposes; an all-null measure group stays NULL under ANSI") {
+    // a fact whose fk=9 rows are ALL null-measured: the merged AVG's
+    // count is 0 (not null) for that group — the zero-count guard must
+    // return NULL, not raise DIVIDE_BY_ZERO
+    val t = s"$root/egnull"
+    TxnTable.commit(spark,
+      (1L to 40L).map(i =>
+        (i % 2 + 8L, if (i % 2 == 1) Option.empty[Long] else Some(i)))
+        .toDF("fk", "m"),
+      t, overwrite = false)
+    val dimN = s"$root/egnulldim"
+    TxnTable.commit(spark,
+      Seq((8L, "even"), (9L, "odd")).toDF("k", "seg"), dimN,
+      overwrite = false)
+    graft.sources.TableConstraints.declareUnique(dimN, Seq("k"),
+      validate = Some(spark))
+    def q = TxnTable.read(spark, t)
+      .join(TxnTable.read(spark, dimN), $"fk" === $"k")
+      .groupBy("seg").agg(avg("m").as("am")).orderBy("seg")
+    val got = withEager {
+      assert(partialBelowJoin(q))
+      q.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    }
+    assert(got == q.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getDouble(1))).toSeq)
+    assert(got.find(_._1 == "odd").get._2 == null) // all-null group
+  }
+
   test("decimal sums decline (double widening would change the result type)") {
     def q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
       .join(dimDf, $"fk" === $"k")
-      .groupBy("seg").agg(sum("dm").as("s"))
+      .groupBy("seg").agg(sum("dm").as("s"), avg("dm").as("a"))
     val got = withEager {
       assert(!partialBelowJoin(q))
       rows(q)
