@@ -128,10 +128,12 @@ object TableDiff {
     * narrow aggregates and a partitions-sized join, no row-level work.
     * XOR is commutative, so the digest is layout- and order-independent
     * (and never overflows under ANSI arithmetic — the same set-hash
-    * idiom as the txn log's version index); its pair-cancellation
-    * blind spot needs two IDENTICAL rows, impossible under the keyed
-    * uniqueness contract since the key is hashed too. The count guards
-    * the empty-vs-empty degenerate. */
+    * idiom as the txn log's version index). Blind spot: any change set
+    * whose per-row hash deltas XOR to zero cancels — ~2⁻⁶⁴ per
+    * partition for random edits, the same probabilistic class as the
+    * xxhash64 fingerprint-collision caveat on [[diff]] (and, like it,
+    * adversarially constructible). The count guards the
+    * empty-vs-empty degenerate. */
   private[operators] def suspectPartitions(before: DataFrame,
                                            after: DataFrame,
                                            partCol: String): DataFrame = {
@@ -153,7 +155,8 @@ object TableDiff {
     * digest aggregate. A row that MOVES between partitions flags both
     * its partitions, so it still classifies correctly (partCol is an
     * ordinary compared column). Same fingerprint-equality caveat as
-    * [[diff]]. */
+    * [[diff]], plus the ~2⁻⁶⁴-per-partition XOR-cancellation odds of
+    * [[suspectPartitions]] (a changed partition pruned as clean). */
   def diffPartitioned(before: DataFrame, after: DataFrame,
                       keys: Seq[String], partCol: String): DataFrame = {
     require(before.columns.contains(partCol),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.sources.TableConstraints
 
@@ -75,7 +75,10 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   private def decomposable(x: AggregateExpression): Boolean =
     x.filter.isEmpty && !x.isDistinct && (x.aggregateFunction match {
       case s: Sum => !s.dataType.isInstanceOf[DecimalType]
-      case a: Average => !a.dataType.isInstanceOf[DecimalType]
+      // AVG must land on DoubleType: decimals re-widen (refused like
+      // SUM), and interval averages have bespoke sum types this
+      // decomposition does not reproduce
+      case a: Average => a.dataType == DoubleType
       case _: Min | _: Max | _: Count => true
       case _ => false
     })
@@ -132,11 +135,15 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val partialAliases: Seq[Seq[Alias]] = aggs.zipWithIndex.map { case (x, i) =>
       x.aggregateFunction match {
         // AVG decomposes as a (sum, non-null count) pair — exactly how
-        // Spark's own distributed Average accumulates, so integral
-        // inputs stay exact and doubles stay in the same
-        // order-sensitivity class as any distributed sum
+        // Spark's own distributed Average accumulates, INCLUDING its
+        // sum type: native Average sums non-decimal input as DOUBLE
+        // (Average.sumDataType), so the partial casts the child to
+        // double too. A raw integral Sum here would raise ANSI
+        // ARITHMETIC_OVERFLOW on group sums past Long.MaxValue that
+        // the native AVG handles fine
         case f: Average => Seq(
-          Alias(Sum(f.child).toAggregateExpression(), s"_eager_p${i}s")(),
+          Alias(Sum(Cast(f.child, DoubleType)).toAggregateExpression(),
+            s"_eager_p${i}s")(),
           Alias(Count(f.child).toAggregateExpression(), s"_eager_p${i}c")())
         case _ => Seq(Alias(x, s"_eager_p$i")())
       }

@@ -5,11 +5,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentDate, CurrentTimestampLike, Literal, LocalTimestamp}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
 
 import graft.sources.TxnTable
 
@@ -164,6 +164,7 @@ object ResultCache {
       : Option[(String, String, Seq[(String, Int)])] = {
     if ((plan +: plan.subqueriesAll).exists(timeDependent)) return None
     val pins = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
     var unresolvable = false
     // transformUpWithSubqueries visits children-first left-to-right and
     // descends into subquery plans, so placeholder positions and the pin
@@ -175,17 +176,63 @@ object ResultCache {
           case Some(pin) => pins += pin; LocalRelation(lr.output)
           case None => unresolvable = true; lr
         }
-      case leaf: LocalRelation => leaf // literal data participates via toString
+      case leaf: LocalRelation =>
+        // literal data does NOT participate via toString: a non-empty
+        // LocalRelation's stringArgs prints only its output attrs, so
+        // two queries identical except inline rows (Seq(...).toDF
+        // joined to pinned scans) would share a key and the second
+        // would be served the first's rows. The rows are digested into
+        // the template separately; a relation whose schema this
+        // serializer can't render deterministically declines the whole
+        // plan (a conservative non-key, never a wrong hit).
+        if (leaf.data.nonEmpty) literalRowsText(leaf) match {
+          case Some(txt) => literals += txt
+          case None => unresolvable = true
+        }
+        leaf
     }
     if (unresolvable || pins.isEmpty) None
     else {
       def sha(text: String): String = MessageDigest.getInstance("SHA-256")
         .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val templateText = fullPlanString(template.canonicalized)
+      val templateText = fullPlanString(template.canonicalized) +
+        (if (literals.isEmpty) ""
+         else "\nliteral-rows:\n" + literals.mkString("\n"))
       val key = sha(templateText + "\n" +
         pins.map { case (p, v) => s"$p@$v" }.mkString("\n"))
       Some((sha(templateText), key, pins.toSeq))
     }
+  }
+
+  /** Deterministic text form of a LocalRelation's rows, for the cache
+    * key — length-prefixed per value so no payload can fake a field
+    * boundary. Atomic types only: array/map/struct cells have no
+    * stable toString contract on InternalRow values, so a relation
+    * carrying them declines (None) rather than risking a key that two
+    * different literal sets share. */
+  private def literalRowsText(lr: LocalRelation): Option[String] = {
+    import org.apache.spark.sql.types._
+    val fieldTypes = lr.schema.fields.map(_.dataType)
+    val atomic = fieldTypes.forall {
+      case StringType | BooleanType | BinaryType | DateType |
+           TimestampType | TimestampNTZType | ByteType | ShortType |
+           IntegerType | LongType | FloatType | DoubleType | NullType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    if (!atomic) return None
+    Some(lr.data.map { row =>
+      fieldTypes.zipWithIndex.map { case (t, i) =>
+        if (row.isNullAt(i)) "~"
+        else {
+          val s = row.get(i, t) match {
+            case b: Array[Byte] => b.map("%02x".format(_)).mkString
+            case v => String.valueOf(v)
+          }
+          s"${s.length}:$s"
+        }
+      }.mkString(",")
+    }.mkString(";"))
   }
 
   /** Serve `query` through the cache at `cacheDir`: a hit reads the
@@ -277,15 +324,22 @@ object ResultCache {
   // ───────────────────── semantic rollup serving ─────────────────────
 
   /** One output column of a cached aggregate: its stored NAME, its ROLE
-    * (`key` / `sum` / `min` / `max` / `count` / `count_star`), and the
-    * child-plan column it derives from ("" for count_star). */
+    * (`key` / `sum` / `min` / `max` / `count` / `count_star` / `avg`),
+    * and the child-plan column it derives from ("" for count_star).
+    * An `avg` column is a QUERY-side role only as far as serving goes:
+    * an entry's stored average cannot be re-aggregated (avg-of-avgs is
+    * wrong), so [[findRollupSource]] serves an avg measure from an
+    * entry holding BOTH sum and count of the same source column —
+    * the (sum, count) decomposition Spark's own distributed Average
+    * uses. */
   private[plans] final case class AggCol(name: String, kind: String,
                                          src: String)
 
   /** The (grouping keys + re-aggregatable measures, child subplan) of a
     * plain one-level aggregate, or None for any shape whose rollup
     * algebra is not closed: DISTINCT / FILTERed aggregates, expression
-    * grouping, AVG and friends (not decomposed here — register a
+    * grouping, decimal AVG (its division rounds at a precision the
+    * sum/count pair does not reproduce bit-for-bit — register a
     * summary view for those), aggregates over expressions, or a child
     * whose output names are ambiguous (two attrs, one name — the
     * name-keyed column mapping would guess). */
@@ -319,6 +373,15 @@ object ResultCache {
             case Seq(a: AttributeReference) => Some(("count", a.name))
             case _ => None
           }
+          // non-decimal AVG only: its result is DOUBLE and its algebra
+          // is sum(double)/count — exactly re-derivable from a wide
+          // entry's sum+count pair. Decimal AVG's scale arithmetic is
+          // not reproduced by a late division, so it stays out.
+          case f: Average if f.dataType == org.apache.spark.sql.types.DoubleType =>
+            f.child match {
+              case a: AttributeReference => Some(("avg", a.name))
+              case _ => None
+            }
           case _ => None
         }
         val colsOpt = agg.aggregateExpressions.map {
@@ -458,7 +521,9 @@ object ResultCache {
     * installed entries for a BROADER aggregate of the same child
     * subplan at the same snapshot pins whose keys are a superset of the
     * query's and whose measures re-aggregate (SUM of SUMs, MIN of MINs,
-    * MAX of MAXes, SUM of COUNTs). A match is re-aggregated from the
+    * MAX of MAXes, SUM of COUNTs, AVG as a late division over the
+    * entry's SUM+COUNT pair of the same column). A match is
+    * re-aggregated from the
     * (tiny) cached summary — never the base — and the rolled-up result
     * installs under the query's own exact key, so the NEXT run is a
     * plain hit. This is where the result cache and the materialized-
@@ -468,8 +533,11 @@ object ResultCache {
     * served top-down without recomputation. Soundness is the same
     * structural argument as [[run]]'s: identical child template =
     * identical input relation, identical pins = identical bytes, and
-    * the rollup algebra is exact for the admitted measure set (AVG and
-    * DISTINCT decline at [[aggShape]]).
+    * the rollup algebra is exact for the admitted measure set
+    * (DISTINCT and decimal AVG decline at [[aggShape]]; double AVG is
+    * served as a late sum/count division — the decomposition native
+    * Average itself distributes by, so the result is in the same
+    * double-rounding class as any distributed average).
     *
     * Global rollups (no GROUP BY) coalesce summed COUNTs to 0 so an
     * empty summary re-aggregates to the same one row a direct global
@@ -518,6 +586,16 @@ object ResultCache {
         case AggCol(n, "count_star", _) =>
           coalesce(sum(col(entryName("count_star", ""))), lit(0L))
             .cast(stored("count_star", "").dataType).as(n)
+        case AggCol(n, "avg", src) =>
+          // AVG = sum(entry sums as double) / sum(entry counts), with
+          // the zero-count guard: an all-null (or filtered-empty)
+          // group divides by a 0-count under ANSI where the direct
+          // AVG returns null. Summing the entry's exact per-group sums
+          // cast to double matches native Average's own sum type.
+          val s = sum(col(entryName("sum", src)).cast("double"))
+          val c = sum(col(entryName("count", src)))
+          when(coalesce(c, lit(0L)) === 0L, lit(null).cast("double"))
+            .otherwise(s / c.cast("double")).as(n)
         case c => throw new IllegalStateException(s"unreachable: $c")
       }
       val rolled =
@@ -576,6 +654,12 @@ object ResultCache {
           extraKeySrcs.forall(eKeys.contains) &&
           qCols.forall {
             case AggCol(_, "key", src) => eKeys.contains(src)
+            // an avg measure is served from the entry's (sum, count)
+            // pair of the same source — a stored avg column cannot be
+            // re-aggregated and never matches
+            case AggCol(_, "avg", src) =>
+              eMeasures.contains(("sum", src)) &&
+                eMeasures.contains(("count", src))
             case c => eMeasures.contains((c.kind, c.src))
           }
         if (ok) Some((d, eCols)) else None

@@ -249,9 +249,21 @@ object WorkloadAdvisor {
           s.collect { case ResultCache.AggCol(_, "key", src) => src }
         def measOf(s: Set[ResultCache.AggCol]) =
           s.collect { case c if c.kind != "key" => (c.kind, c.src) }
+        // an avg measure is servable from a broad shape holding the
+        // (sum, count) pair of the same column — mirror exactly what
+        // ResultCache.findRollupSource admits, or the advisor would
+        // price lattices the cache then refuses to serve
+        def servable(o: Set[ResultCache.AggCol],
+                     b: Set[ResultCache.AggCol]): Boolean =
+          o == b || // the broad shape serves itself as an exact-key hit
+          keysOf(o).subsetOf(keysOf(b)) && measOf(o).forall {
+            case ("avg", src) => measOf(b).contains(("sum", src)) &&
+              measOf(b).contains(("count", src))
+            case m => measOf(b).contains(m)
+          }
         if (distinctShapes.size < 2) None
         else distinctShapes.find(b => distinctShapes.forall(o =>
-            keysOf(o).subsetOf(keysOf(b)) && measOf(o).subsetOf(measOf(b))))
+            servable(o, b)))
           .map { broad =>
             val narrowN = shapes.count(_ != broad)
             val saved = narrowN.toLong * pins.map(rowsOfPin).sum

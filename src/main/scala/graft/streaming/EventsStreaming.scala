@@ -932,8 +932,11 @@ object EventsStreaming {
     *     never stored unmatched rows.
     * A dim INSERT is recoverable only for LEFT stars (the measures
     * live in the NULL-attribute rows); an INNER star's previously-
-    * unmatched fact rows were never stored, so a pure insert refuses
-    * loudly instead of silently under-counting — rebuild that view.
+    * unmatched fact rows were never stored, so any key absent at
+    * `fromVersion` that ends up present — including one inserted and
+    * then UPDATED (or deleted and reinserted) inside the window, whose
+    * first feed event is the insert — refuses loudly instead of
+    * silently under-counting: rebuild that view.
     *
     * `dimTable` is a [[graft.sources.TxnTable]]; the delta is its
     * change feed over `(fromVersion, toVersion]` with update images,
@@ -971,13 +974,28 @@ object EventsStreaming {
         .orderBy(col("version").desc, col("__isnew").desc)))
       .filter(col("__rn") === 1)
     if (joinType == "inner") {
-      val pureInserts = last.filter(col("__isnew"))
-        .join(feed.filter(!isNew).select(dimKey).distinct(),
+      // existence at fromVersion is decided by the key's FIRST feed
+      // event, not by "has any old-state event": a key inserted and
+      // then updated (or inserted, deleted, reinserted) inside the
+      // window has update_preimage/delete rows too, but its first
+      // event is the insert — it did NOT exist at fromVersion, its
+      // fact rows were never stored by the inner star, and folding
+      // would silently under-count. Old-state events order before
+      // new-state within a version (__isnew asc), so an update's
+      // preimage ranks ahead of its postimage.
+      val firstEvent = feed
+        .withColumn("__isnew", isNew)
+        .withColumn("__rn", row_number().over(Window.partitionBy(dimKey)
+          .orderBy(col("version").asc, col("__isnew").asc)))
+        .filter(col("__rn") === 1)
+        .select(col(dimKey), (!col("__isnew")).as("__existed"))
+      val inserts = last.filter(col("__isnew"))
+        .join(firstEvent.filter(col("__existed")).select(dimKey),
           Seq(dimKey), "left_anti").count()
-      require(pureInserts == 0,
-        s"$pureInserts dim key(s) newly inserted: an INNER star never " +
-          "stored their fact rows, so the view cannot absorb the " +
-          "insert — rebuild it")
+      require(inserts == 0,
+        s"$inserts dim key(s) absent at version $fromVersion now " +
+          "present: an INNER star never stored their fact rows, so " +
+          "the view cannot absorb the insert — rebuild it")
     }
     val lastR = last.select(col(dimKey).as("__dk") +:
       col("__isnew") +: dimAttrCols.map(c => col(c).as(s"__new_$c")): _*)

@@ -156,6 +156,39 @@ class EagerAggregationSpec extends SparkSpec {
     assert(got.find(_._1 == "odd").get._2 == null) // all-null group
   }
 
+  test("AVG over huge longs survives where an exact long partial would overflow") {
+    // native Average sums non-decimal input as DOUBLE: group sums past
+    // Long.MaxValue succeed natively, so the eager partial must also
+    // sum a double-cast — a Sum(long) partial would raise ANSI
+    // ARITHMETIC_OVERFLOW on exactly the inputs the plain plan handles
+    val t = s"$root/eghuge"
+    val dimH = s"$root/eghugedim"
+    TxnTable.commit(spark,
+      (1L to 40L).map(i => (i % 2 + 1L, Long.MaxValue / 4)).toDF("fk", "m"),
+      t, overwrite = false)
+    TxnTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "seg"), dimH, overwrite = false)
+    TableConstraints.declareUnique(dimH, Seq("k"), validate = Some(spark))
+    def q = TxnTable.read(spark, t)
+      .join(TxnTable.read(spark, dimH), $"fk" === $"k")
+      .groupBy("seg").agg(avg("m").as("am")).orderBy("seg")
+    val plain = q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = withEager {
+      assert(partialBelowJoin(q))
+      q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    assert(got == plain)
+    assert(got.forall(_._2 == (Long.MaxValue / 4).toDouble))
+  }
+
+  test("interval AVG declines (its sum type is not the double decomposition)") {
+    def q = factDf
+      .withColumn("iv", expr("make_ym_interval(0, cast(m % 6 as int))"))
+      .join(dimDf, $"fk" === $"k")
+      .groupBy("seg").agg(avg($"iv").as("a"))
+    withEager(assert(!partialBelowJoin(q)))
+  }
+
   test("decimal sums decline (double widening would change the result type)") {
     def q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
       .join(dimDf, $"fk" === $"k")

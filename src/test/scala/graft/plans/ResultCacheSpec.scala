@@ -207,6 +207,73 @@ class ResultCacheSpec extends SparkSpec {
     assert(!new File(budCache, fresh.key).isDirectory)
   }
 
+  test("inline literal rows participate in the key — equal rows share, different rows split") {
+    // LocalRelation.stringArgs prints only output attrs for non-empty
+    // relations, so a key built from the plan text alone would serve
+    // one literal set the other's cached rows — the rows must be
+    // digested into the template separately
+    def withDim(rows: Seq[(String, String)]): DataFrame =
+      TxnTable.read(spark, tableA)
+        .join(rows.toDF("ka", "seg"), Seq("ka"))
+        .groupBy("seg").agg(sum("m").cast("long").as("sm"))
+    val d1 = Seq(("k0", "x"), ("k1", "y"))
+    val d2 = Seq(("k0", "x"), ("k2", "y")) // same shape, one literal differs
+    assert(ResultCache.keyOf(withDim(d1)).get ==
+      ResultCache.keyOf(withDim(d1)).get)
+    assert(ResultCache.keyOf(withDim(d1)).get !=
+      ResultCache.keyOf(withDim(d2)).get)
+    // end-to-end: caching d1 must not serve d2's query
+    val rc = s"$root/lit_cache"
+    assert(!ResultCache.run(spark, withDim(d1), rc).hit)
+    val got2 = ResultCache.run(spark, withDim(d2), rc)
+    assert(!got2.hit, "a different literal set must MISS")
+    assert(got2.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      withDim(d2).collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(ResultCache.run(spark, withDim(d1), rc).hit)
+    // nested-typed literal cells have no stable serialization: decline
+    val arr = Seq(("k0", Seq(1, 2))).toDF("ka", "xs")
+    assert(ResultCache.keyOf(
+      TxnTable.read(spark, tableA).join(arr, Seq("ka"))).isEmpty)
+  }
+
+  test("rollup serves AVG from the broad entry's sum+count pair") {
+    val t = s"$root/rolavg_t"
+    val rc = s"$root/rolavg_cache"
+    TxnTable.commit(spark,
+      (1L to 60L).map(i => (s"a${i % 3}", s"b${i % 4}",
+          if (i % 3 == 2) None else Some(i)))
+        .toDF("ka", "kb", "m"), t, overwrite = false)
+    def base() = TxnTable.read(spark, t)
+    // the broad entry stores SUM(m) and COUNT(m) — the non-null count,
+    // exactly AVG's denominator (count(*) would not serve)
+    assert(!ResultCache.runOrRollup(spark, base().groupBy("ka", "kb")
+      .agg(sum("m").as("sm"), count(col("m")).as("cm")), rc).hit)
+    def avgQ() = base().groupBy("ka").agg(avg("m").as("am"))
+    val direct = avgQ().collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    val served = ResultCache.runOrRollup(spark, avgQ(), rc)
+    assert(served.hit, "AVG must be served from the sum+count entry")
+    val scanned = served.df.queryExecution.executedPlan.toString()
+    assert(scanned.contains("rolavg_cache") && !scanned.contains("rolavg_t/"))
+    val got = served.df.collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(got == direct, s"got $got\nwant $direct")
+    // the all-null group: ka=a2 has every m NULL — AVG is NULL, and the
+    // late division must take the zero-count guard, not divide by 0
+    assert(got("a2").isEmpty)
+    assert(got("a0").contains(direct("a0").get))
+    // installed under its own key: a plain re-run hits
+    assert(ResultCache.run(spark, avgQ(), rc).hit)
+    // an entry holding only a stored AVG can NOT serve a different-keyed
+    // AVG (avg-of-avgs is wrong): global avg over an avg-only entry at
+    // fresh pins must re-aggregate from sum+count or compute from base
+    val globalAvg = ResultCache.runOrRollup(spark,
+      base().agg(avg("m").as("am")), rc)
+    assert(globalAvg.hit) // still servable — from the ORIGINAL sum+count entry
+    assert(Option(globalAvg.df.head().get(0)) ==
+      Option(base().agg(avg("m")).head().get(0)))
+  }
+
   test("rollup serving: a narrower GROUP BY rolls from the cached broader one") {
     val t = s"$root/roll_t"
     val rc = s"$root/roll_cache"

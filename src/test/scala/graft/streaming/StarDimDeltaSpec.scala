@@ -95,6 +95,58 @@ class StarDimDeltaSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("inner star refuses an insert-then-update; absorbs delete-then-reinsert") {
+    val dimT = s"$root/dim_insupd"
+    val viewT = s"$root/view_insupd"
+    val f = fact.toDF("fk", "v")
+    TxnTable.commit(spark,
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("dk", "seg"), dimT,
+      overwrite = false)
+    def viewOf(dim: org.apache.spark.sql.DataFrame) =
+      f.join(dim, col("fk") === col("dk"), "inner")
+        .groupBy("seg", "fk")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    TxnTable.commit(spark, viewOf(TxnTable.read(spark, dimT)), viewT,
+      overwrite = false)
+    // v2 inserts dk=9; v3 updates it — the key's feed over (1,3] now
+    // carries an update_preimage, but its FIRST event is the insert:
+    // it did not exist at v1 and the inner view never stored fk=9.
+    // The pre-fix guard ("has any old-state event") let this escape.
+    TxnTable.commit(spark,
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (9L, "D")).toDF("dk", "seg"),
+      dimT, overwrite = true)
+    TxnTable.commit(spark,
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (9L, "E")).toDF("dk", "seg"),
+      dimT, overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      EventsStreaming.dimDeltaStarRefresh(spark, viewT, Seq("seg", "fk"),
+        measureCols = Seq("cnt", "sum_v"), leftKey = "fk", dimKey = "dk",
+        dimTable = dimT, fromVersion = 1, toVersion = 3, joinType = "inner")
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // v4 deletes dk=3; v5 reinserts it renamed — first event for dk=3
+    // over (3,5] is the DELETE, so it existed at fromVersion and the
+    // fold is sound (its fact rows are in the view to retract).
+    TxnTable.commit(spark,
+      Seq((1L, "A"), (2L, "A"), (9L, "E")).toDF("dk", "seg"),
+      dimT, overwrite = true)
+    TxnTable.commit(spark,
+      Seq((1L, "A"), (2L, "A"), (3L, "Z"), (9L, "E")).toDF("dk", "seg"),
+      dimT, overwrite = true)
+    EventsStreaming.dimDeltaStarRefresh(spark, viewT, Seq("seg", "fk"),
+      measureCols = Seq("cnt", "sum_v"), leftKey = "fk", dimKey = "dk",
+      dimTable = dimT, fromVersion = 3, toVersion = 5, joinType = "inner")
+    val got = TxnTable.read(spark, viewT)
+      .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
+    // recompute EXCLUDING fk=9 (the refused insert was never folded;
+    // the view legitimately lacks it until a rebuild)
+    val recomputed = viewOf(TxnTable.read(spark, dimT))
+      .filter(col("fk") =!= 9L)
+      .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
+    assert(got == recomputed, s"got $got\nwant $recomputed")
+    assert(got.contains(Seq("Z", 3L, 1L, 7L))) // reinserted rename folded
+  }
+
   test("the grain guard: group keys without the fact-side key refuse") {
     val dimT = s"$root/dim_grain"
     val viewT = s"$root/view_grain"
