@@ -19,6 +19,13 @@ object GraftSession {
       // documented small-data global windows pass via the 10 MiB size
       // gate, and bench/verify now exercise the guard continuously
       .config("spark.graft.globalWindowGuard.enabled", "true")
+      // eager aggregation in AUTO: per-plan cost decision from
+      // persisted NDV sketches — fires only where the fact provably
+      // compresses onto the partial key (declared-unique dim, complete
+      // sketch, ≥minCompression×). Sound whenever it fires; a table
+      // without refreshNdv stats never reorders, so the deployed
+      // default costs nothing until stats exist.
+      .config("spark.graft.eagerAgg.enabled", "auto")
       .config("spark.ui.enabled", "false")
 
   /** Build + finish engine registration (planner rules can't ride the

@@ -109,7 +109,29 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         child
       case a: Aggregate =>
         distinctElim(a).orElse(aggElim(a)).getOrElse(a)
+      // IS NOT NULL on a declared-NOT-NULL column is a tautology —
+      // whether the user wrote it or join inference planted it, the
+      // conjunct drops (the filter row-count cost is trivial; what this
+      // buys is plan hygiene and, for a filter that becomes empty, the
+      // whole node). RELY contract like every rewrite here.
+      case f @ Filter(cond, child) =>
+        val conj = splitConjunctivePredicates(cond)
+        val kept = conj.filterNot {
+          case IsNotNull(a: AttributeReference) => declaredNotNull(child, a)
+          case _ => false
+        }
+        if (kept.length == conj.length) f
+        else if (kept.isEmpty) child
+        else Filter(kept.reduce(And), child)
     })
+
+  /** True when `a` reaches its scan UNALIASED through row-preserving
+    * operators and the scan's root declares a RELY NOT NULL on it. */
+  private def declaredNotNull(plan: LogicalPlan, a: AttributeReference): Boolean =
+    chaseScan(plan).exists { lr =>
+      lr.outputSet.contains(a) &&
+        constraintRoot(lr).exists(TableConstraints.isNotNullOn(_, a.name))
+    }
 
   /** The directory whose declared constraints govern this scan, or None.
     * A plain single-directory parquet scan matches by root identity; a
@@ -215,7 +237,8 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
         case LeftOuter | RightOuter =>
           Some(fact) // fact rows preserved verbatim; dim output unused
         case Inner =>
-          fkGate(fact, pairs, dimRoot).map(notNullResidual(fact, _))
+          fkGate(fact, pairs, dimRoot).map { case (keys, factRoot) =>
+            notNullResidual(fact, keys, factRoot) }
         case _ => None
       }
     } yield result
@@ -234,11 +257,13 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     for {
       // used = ∅: a semi/anti join's output IS its fact side
       (pairs, dimRoot) <- admissible(AttributeSet.empty, fact, dim, conj)
-      factKeys <- fkGate(fact, pairs, dimRoot)
+      (factKeys, factRoot) <- fkGate(fact, pairs, dimRoot)
     } yield {
       if (anti) {
-        // kept rows: any FK column null (they can never match)
-        val nullable = factKeys.filter(_.nullable)
+        // kept rows: any FK column null (they can never match) — a
+        // declared RELY NOT NULL counts as non-null even when the
+        // parquet type says nullable
+        val nullable = factKeys.filterNot(knownNotNull(factRoot, _))
         if (nullable.isEmpty)
           // non-nullable keys: the anti join is provably empty (the
           // provenance walk refused null-extension, so the flag holds)
@@ -251,7 +276,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
           // through the fact side's own joins first
           insertFilter(fact, AttributeSet(factKeys),
             nullable.map(IsNull(_): Expression).reduce(Or))
-      } else notNullResidual(fact, factKeys)
+      } else notNullResidual(fact, factKeys, factRoot)
     }
   }
 
@@ -293,33 +318,44 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   /** The FK half shared by inner and semi/anti elimination: the join
     * pairs must exactly cover a declared RELY FK whose fact keys reach
     * their owning scan through FK-clean provenance. Returns the fact
-    * key attrs. */
+    * key attrs and the fact's constraint root (whose NOT NULL
+    * declarations refine the residual). */
   private def fkGate(fact: LogicalPlan,
                      pairs: Seq[(AttributeReference, AttributeReference)],
-                     dimRoot: String): Option[Seq[AttributeReference]] = {
+                     dimRoot: String)
+      : Option[(Seq[AttributeReference], String)] = {
     val factKeys = pairs.map(_._1)
     fkCleanScan(fact, AttributeSet(factKeys))
       .flatMap(constraintRoot(_))
       .filter(factRoot => TableConstraints.fkCovers(factRoot,
         pairs.map(p => (p._1.name, p._2.name)).toSet, dimRoot))
-      .map(_ => factKeys)
+      .map(factRoot => (factKeys, factRoot))
   }
+
+  /** A key is known non-null when its TYPE says so or a RELY NOT NULL
+    * is declared on it at the fact root — the declaration upgrades
+    * nullable-typed parquet columns (the usual case: parquet readers
+    * type everything nullable) to the same contract. */
+  private def knownNotNull(factRoot: String, a: AttributeReference): Boolean =
+    !a.nullable || TableConstraints.isNotNullOn(factRoot, a.name)
 
   /** FK constrains non-null keys only: the dropped join also dropped
     * null-keyed fact rows, so the rewrite must too — except keys a
     * fact-side filter already pins non-null (the join's own inference
-    * usually has), which would duplicate the pushed filter. Sound to
-    * place at the scan because [[fkCleanScan]] admitted only operators
-    * a key-null filter commutes with. */
+    * usually has), which would duplicate the pushed filter, and keys
+    * DECLARED NOT NULL (no null rows exist to drop). Sound to place at
+    * the scan because [[fkCleanScan]] admitted only operators a
+    * key-null filter commutes with. */
   private def notNullResidual(fact: LogicalPlan,
-                              factKeys: Seq[AttributeReference]): LogicalPlan = {
+                              factKeys: Seq[AttributeReference],
+                              factRoot: String): LogicalPlan = {
     val already = fact.collect { case Filter(c, _) =>
       splitConjunctivePredicates(c).collect {
         case IsNotNull(a: AttributeReference) => a.exprId
       }
     }.flatten.toSet
     val notNull = factKeys.filter(a =>
-      a.nullable && !already.contains(a.exprId))
+      !knownNotNull(factRoot, a) && !already.contains(a.exprId))
     if (notNull.isEmpty) fact
     else insertFilter(fact, AttributeSet(factKeys),
       notNull.map(IsNotNull(_): Expression).reduce(And))

@@ -47,18 +47,32 @@ import graft.sources.TableConstraints
   * pays a pass over the fact, repaid only when the partial key space is
   * much smaller than the fact (at 1000× compression it is the largest
   * single-join win a warehouse plan can take; at 1× it is pure loss).
-  * This engine keeps the rule cost-gated behind an explicit opt-in,
-  * `spark.graft.eagerAgg.enabled=true` (default OFF), the same contract
-  * as Spark's own opt-in optimizer flags; NDV stats from the layout
-  * advisor are the intended decision input.
+  * `spark.graft.eagerAgg.enabled` picks the decision mode:
+  *  - `false` (default): never fires;
+  *  - `true`: fires wherever sound — the blunt session-wide opt-in;
+  *  - `auto`: PER-PLAN cost decision from persisted stats — fires only
+  *    where the fact's recorded row count compresses at least
+  *    `spark.graft.eagerAgg.minCompression` (default 4)× onto the
+  *    partial key tuple's persisted NDV
+  *    ([[graft.sources.TxnStats.refreshNdv]] sketches, one driver-side
+  *    JSON read per candidate — no stats job inside the optimizer).
+  *    Missing, incomplete, or non-root stats decline conservatively.
+  *    This is the closed advisor loop: [[WorkloadAdvisor]] prices the
+  *    reorder and names the key columns; `refreshNdv` persists their
+  *    NDV; `auto` then fires exactly where it compresses instead of a
+  *    human flipping a global flag. NDV staleness is advisory (the
+  *    rewrite is CORRECT regardless — stats only decide profit).
   */
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def enabled: Boolean =
-    conf.getConfString("spark.graft.eagerAgg.enabled", "false") == "true"
+  private def mode: String =
+    conf.getConfString("spark.graft.eagerAgg.enabled", "false")
+
+  private def minCompression: Long =
+    conf.getConfString("spark.graft.eagerAgg.minCompression", "4").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
+    if (mode != "true" && mode != "auto") plan
     else ConstraintRules.withRootCache(plan.transformUp {
       case a @ Aggregate(_, _, j: Join, _) =>
         rewrite(a, j).getOrElse(a)
@@ -132,6 +146,8 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val geAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
     val partialKeys = (geAttrs.filter(fact.outputSet.contains) ++
       pairs.map(_._1)).distinct
+    // auto mode: fire only where the persisted stats PROVE compression
+    if (mode == "auto" && !autoProfitable(fact, partialKeys)) return None
     val partialAliases: Seq[Seq[Alias]] = aggs.zipWithIndex.map { case (x, i) =>
       x.aggregateFunction match {
         // AVG decomposes as a (sum, non-null count) pair — exactly how
@@ -183,6 +199,45 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       if (factLeft) j.copy(left = partial)
       else j.copy(right = partial)
     Some(Aggregate(a.groupingExpressions, newAe, newJoin))
+  }
+
+  /** The auto-mode cost gate: the fact must be a bare constraint-capable
+    * root with a COMPLETE persisted NDV summary for exactly the partial
+    * key tuple, and its recorded row count must compress at least
+    * `minCompression`× onto that NDV. Driver-side metadata reads only
+    * (two small JSONs) — an optimizer rule must never launch a stats
+    * job. A fact behind real filters declines: the table-level NDV and
+    * row count no longer describe the filtered input, and a wrong guess
+    * here costs performance both ways. */
+  private def autoProfitable(fact: LogicalPlan,
+                             partialKeys: Seq[AttributeReference]): Boolean = {
+    import graft.sources.{TxnStats, TxnTable}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // near-bare: attribute Projects and IsNotNull-only Filters (the
+    // join's own inference plants those; dropping null rows barely
+    // moves a key NDV). A real predicate declines — the table-level
+    // stats no longer describe the filtered input.
+    def bareish(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        bareish(c)
+      case Filter(cond, c) if splitConjunctivePredicates(cond).forall {
+          case IsNotNull(_: AttributeReference) => true
+          case _ => false
+        } => bareish(c)
+      case _ => false
+    }
+    if (!bareish(fact)) return false
+    ConstraintRules.chaseScan(fact)
+      .flatMap(ConstraintRules.constraintRoot(_, declaredOnly = false))
+      .exists { root =>
+        TxnStats.ndvOf(root, partialKeys.map(_.name)) match {
+          case Some((ndv, _, complete)) if complete && ndv > 0 =>
+            TxnTable.snapshotRowCount(root) >= minCompression * ndv
+          case _ => false
+        }
+      }
   }
 
   // ── advisor support ────────────────────────────────────────────────

@@ -308,6 +308,22 @@ object WorkloadAdvisor {
     val consRows = {
       val cands = ConstraintRules.withRootCache(queries.flatMap(q =>
         ConstraintRules.adviceCandidates(q.queryExecution.optimizedPlan)))
+      // METADATA-FIRST refutation (the r11 "probes are full scans" nit):
+      // a persisted NDV sketch well below the row count DISPROVES
+      // uniqueness from two JSON reads — no scan. The sketch must be
+      // complete and cover the CURRENT version (stale completeness
+      // could falsely refute a post-overwrite table), and the 0.9
+      // margin keeps HLL error (~2% at the default lgK) from refuting
+      // a truly-unique key. Only refutation short-circuits: a positive
+      // verdict still needs the exact probe (an advisor must never
+      // recommend asserting a false constraint).
+      def uniqueHolds(root: String, keys: Seq[String]): Boolean =
+        graft.sources.TxnStats.ndvOf(root, keys) match {
+          case Some((ndv, v, complete))
+              if complete && v == TxnTable.currentVersion(root) &&
+                ndv.toDouble < rowsOfRoot(root) * 0.9 => false
+          case _ => TableConstraints.holdsUnique(spark, root, keys)
+        }
       val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
         .sortBy { case ((r, ks), _) => (r, ks.mkString(",")) }
         // a dim whose key is ALREADY declared needs no declare_unique
@@ -317,7 +333,7 @@ object WorkloadAdvisor {
           TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) }
         .map { case ((dimRoot, dimKeys), cs) =>
           val name = new java.io.File(dimRoot).getName
-          val holds = TableConstraints.holdsUnique(spark, dimRoot, dimKeys)
+          val holds = uniqueHolds(dimRoot, dimKeys)
           val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
             c.factRoot.fold(0L)(rowsOfRoot)).sum
           ("constraint", s"$name.${dimKeys.mkString("+")}", "declare_unique",
@@ -336,7 +352,7 @@ object WorkloadAdvisor {
           // be declared) unique — and only sound where the data holds it
           val holds =
             (TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) ||
-              TableConstraints.holdsUnique(spark, dimRoot, dimKeys)) &&
+              uniqueHolds(dimRoot, dimKeys)) &&
             TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
               dimRoot, dimKeys)
           val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
@@ -345,7 +361,28 @@ object WorkloadAdvisor {
             if (holds) s"ref=$dName,joins=${cs.size}" else "fk_violated_in_data",
             cs.size.toLong, if (holds) saved else 0L, holds)
         }
-      uniq ++ fks
+      // NOT NULL riders: every FK worth declaring is worth pairing with
+      // a NOT NULL on its fact columns — the inner elimination then
+      // needs no residual and NOT EXISTS against the dim is PROVABLY
+      // EMPTY (a 100 TB audit query answered from metadata). Probed
+      // (one predicate pass, no shuffle — the cheap probe class);
+      // nullable data reports recommend=false honestly. Priced at the
+      // fact rows the empty anti-join never scans.
+      val nns = cands.collect {
+          case c if c.inner && c.factRoot.isDefined => c
+        }.groupBy(c => (c.factRoot.get, c.factKeys)).toSeq
+        .sortBy { case ((f, ks), _) => (f, ks.mkString(",")) }
+        .filterNot { case ((factRoot, factKeys), _) =>
+          factKeys.forall(TableConstraints.isNotNullOn(factRoot, _)) }
+        .map { case ((factRoot, factKeys), cs) =>
+          val fName = new java.io.File(factRoot).getName
+          val holds = TableConstraints.holdsNotNull(spark, factRoot, factKeys)
+          ("constraint", s"$fName.${factKeys.mkString("+")}",
+            "declare_notnull",
+            if (holds) s"joins=${cs.size}" else "nulls_in_data",
+            cs.size.toLong, if (holds) rowsOfRoot(factRoot) else 0L, holds)
+        }
+      uniq ++ fks ++ nns
     }
     // ── EAGER-AGGREGATION pricing: the cost decision the rule itself
     //    refuses to make ([[EagerAggregation]] is opt-in). For every

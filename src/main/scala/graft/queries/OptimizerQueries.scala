@@ -97,6 +97,12 @@ object OptimizerQueries {
           TableConstraints.declareForeignKey(fact, cols, ref.getPath, refCols,
             validate = Some(s))
     }
+    // NOT NULL on the orders FK column (validated — the generator never
+    // nulls it): upgrades the nullable parquet type so the inner
+    // elimination needs no residual and NOT EXISTS is provably empty
+    if (!TableConstraints.notNulls(fact).exists(_.cols == Seq("l_orderkey")))
+      TableConstraints.declareNotNull(fact, Seq("l_orderkey"),
+        validate = Some(s))
     Fx(fact, dimDir.getPath, partDir.getPath, partDim.getPath,
       suppDim.getPath)
   }
@@ -333,6 +339,10 @@ object OptimizerQueries {
         |           (SELECT COUNT(*) FROM lineitem) AS saved_rows,
         |         TRUE AS recommend
         |  UNION ALL
+        |  SELECT 'constraint', 'cns_fact.l_orderkey', 'declare_notnull',
+        |         'joins=1', CAST(1 AS BIGINT),
+        |         (SELECT COUNT(*) FROM lineitem), TRUE
+        |  UNION ALL
         |  SELECT 'constraint', 'cns_bad.bk', 'declare_unique',
         |         'not_unique_in_data', CAST(1 AS BIGINT),
         |         CAST(0 AS BIGINT), FALSE
@@ -419,6 +429,175 @@ object OptimizerQueries {
           "saved_rows", "recommend")
     },
 
+    // ── NOT NULL × anti join: under the exact-cover FK *plus* a
+    //    declared NOT NULL on the fact key, NOT EXISTS is PROVABLY
+    //    empty — the plan scans NEITHER the fact nor the dim (at 100 TB
+    //    that is an audit query answered from metadata). The oracle
+    //    runs the real NOT EXISTS; `elim` pins both scans absent.
+    sql("q_opt_notnull_anti",
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = lineitem.l_orderkey)""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .join(TxnTable.read(s, fx.ord),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq.empty, Seq("optdim_", "optfact_"), Seq("n"))
+    },
+
+    // ── NOT NULL × filter: a user-written IS NOT NULL on the declared
+    //    column is a tautology — the conjunct drops from the plan
+    //    (pinned: no isnotnull(l_orderkey) anywhere) while the oracle
+    //    evaluates the real predicate.
+    sql("q_opt_notnull_filter",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem WHERE l_orderkey IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val fx = fixture(s, d)
+      val q = TxnTable.read(s, fx.fact)
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("optfact_"),
+        Seq("isnotnull(l_orderkey", "IsNotNull(l_orderkey"), Seq("rf"))
+    },
+
+    // ── EAGER AGGREGATION, AUTO MODE — the closed advisor loop: the
+    //    advisor names the reorder (q_advisor_eager), refreshNdv
+    //    persists the partial key's NDV as per-file HLL sketches, and
+    //    `auto` then decides PER PLAN from two driver-side JSON reads —
+    //    stage a fires at the measured ~4× compression (bar 2), stage b
+    //    refuses a bar the same data cannot clear. No human flips a
+    //    session-global flag; the oracle computes the plain join+agg for
+    //    both stages and the `eager` column pins each decision.
+    sql("q_opt_eager_auto",
+      """WITH agg AS MATERIALIZED (
+        |  SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderpriority)
+        |SELECT * FROM (
+        |  SELECT 'a_auto_fired' AS stage, pri, n, sq,
+        |         CAST(1 AS BIGINT) AS eager FROM agg
+        |  UNION ALL
+        |  SELECT 'b_bar_uncleared', pri, n, sq, CAST(0 AS BIGINT) FROM agg
+        |) ORDER BY stage, pri""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/egauto_$sfKey")
+      val fact = s"$root/egauto_fact"
+      val dim = s"$root/egauto_dim"
+      TxnTable.commit(s, Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity"), fact, overwrite = false)
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority"), dim, overwrite = false)
+      TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+        validate = Some(s))
+      TxnStats.refreshNdv(s, fact, Seq("l_orderkey"))
+      def stage(ss: SparkSession, name: String, fires: Boolean) = {
+        val q = TxnTable.read(ss, fact)
+          .join(TxnTable.read(ss, dim),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sq"))
+        val eager = q.queryExecution.optimizedPlan.collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+          case _ => false
+        })
+        q.withColumn("stage", lit(name))
+          .withColumn("eager", lit(if (eager == fires) {
+            if (fires) 1L else 0L
+          } else -1L))
+      }
+      val sa = s.newSession()
+      GraftPlanner.register(sa)
+      sa.conf.set("spark.graft.eagerAgg.enabled", "auto")
+      sa.conf.set("spark.graft.eagerAgg.minCompression", "2")
+      val a = stage(sa, "a_auto_fired", fires = true)
+      val sb = s.newSession()
+      GraftPlanner.register(sb)
+      sb.conf.set("spark.graft.eagerAgg.enabled", "auto")
+      sb.conf.set("spark.graft.eagerAgg.minCompression", "1000000")
+      val b = stage(sb, "b_bar_uncleared", fires = false)
+      a.unionByName(b)
+        .select("stage", "pri", "n", "sq", "eager")
+        .orderBy("stage", "pri")
+    },
+
+    // ── O(Δ) INCREMENTAL CONSTRAINT AUDIT — the honesty check priced
+    //    for 100 TB: verify() re-shuffles the whole fact per audit;
+    //    verifyIncremental audits ONLY the rows appended since the last
+    //    all-green audit (watermark sidecar), anti-joining the Δ against
+    //    the current ref for FKs and probing Δ alone for NOT NULL. The
+    //    `mode` column pins which path ran (first audit full, appends
+    //    incremental); the dangling append is caught FROM THE Δ — and
+    //    the oracle re-derives every verdict, including that the
+    //    injected key matches no order, from the same data in SQL.
+    sql("q_constraint_verify_incr",
+      """SELECT * FROM (
+        |  SELECT 'a_first' AS stage, 'fk(l_orderkey)' AS con, 'full' AS mode,
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          WHERE l.l_orderkey IS NOT NULL AND l.l_linenumber <= 3
+        |            AND o.o_orderkey IS NULL) = 0 AS holds
+        |  UNION ALL
+        |  SELECT 'a_first', 'notnull(l_orderkey)', 'full',
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_linenumber <= 3 AND l_orderkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'b_append', 'fk(l_orderkey)', 'incremental',
+        |         (SELECT COUNT(*) FROM lineitem l
+        |          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          WHERE l.l_orderkey IS NOT NULL AND l.l_linenumber > 3
+        |            AND o.o_orderkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'b_append', 'notnull(l_orderkey)', 'incremental',
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_linenumber > 3 AND l_orderkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'c_dangling', 'fk(l_orderkey)', 'incremental',
+        |         EXISTS (SELECT 1 FROM orders WHERE o_orderkey = -1)
+        |  UNION ALL
+        |  SELECT 'c_dangling', 'notnull(l_orderkey)', 'incremental', TRUE
+        |) ORDER BY stage, con""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/cvincr_$sfKey")
+      val fact = s"$root/cvi_fact"
+      val dim = s"$root/cvi_dim"
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority"), dim, overwrite = false)
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+      TxnTable.commit(s, li.filter(col("l_linenumber") <= 3), fact,
+        overwrite = false)
+      TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+        validate = Some(s))
+      TableConstraints.declareForeignKey(fact, Seq("l_orderkey"), dim,
+        Seq("o_orderkey"), validate = Some(s))
+      TableConstraints.declareNotNull(fact, Seq("l_orderkey"),
+        validate = Some(s))
+      def auditRows(stage: String) =
+        TableConstraints.verifyIncremental(s, fact).map { case (c, _, h, m) =>
+          (stage, c.split("->").head, m, h)
+        }
+      val a = auditRows("a_first")           // no watermark → full
+      TxnTable.commit(s, li.filter(col("l_linenumber") > 3), fact,
+        overwrite = false)
+      val b = auditRows("b_append")          // Δ-only audit
+      TxnTable.commit(s, Seq((-1L, 99)).toDF("l_orderkey", "l_linenumber"),
+        fact, overwrite = false)
+      val c = auditRows("c_dangling")        // Δ catches the dangling key
+      (a ++ b ++ c).toDF("stage", "con", "mode", "holds")
+        .orderBy("stage", "con")
+    },
+
     // ── the RELY audit: verify() re-derives every declared constraint
     //    from the CURRENT data — the honesty half of informational
     //    constraints. The deliberately violated non-RELY declaration
@@ -446,6 +625,9 @@ object OptimizerQueries {
         |            SELECT 1 FROM lineitem
         |            GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
         |            HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'notnull(l_orderkey)', TRUE,
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) = 0
         |  UNION ALL
         |  SELECT 'unique(o_orderkey)', TRUE,
         |         (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders)

@@ -701,6 +701,82 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── TYPED skipping stats, DATE column from parquet footers: the
+    //    dominant pruning predicate on an unpartitioned 100 TB fact is
+    //    a date window (every TPC-H flagship), and footer row-group
+    //    stats already carry date bounds — min/max here are stored AS
+    //    DateType and compared under date ordering, no BIGINT detour.
+    //    Three date-tercile-clustered files; the middle window opens
+    //    exactly ONE (hash-pinned via files_read).
+    sql("q_scan_stats_date",
+      """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+        |                  MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |     w AS (SELECT mn + CAST((mx - mn) // 3 AS INTEGER) AS t1,
+        |                  mn + CAST(2 * ((mx - mn) // 3) AS INTEGER) AS t2 FROM b)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(3 AS BIGINT) AS files_total,
+        |       CAST(1 AS BIGINT) AS files_read
+        |FROM orders, w
+        |WHERE CAST(o_orderdate AS DATE) >= w.t1
+        |  AND CAST(o_orderdate AS DATE) < w.t2""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("stats_date")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      val b = o.agg(min("od").as("mn"), max("od").as("mx")).head()
+      val mn = b.getDate(0).toLocalDate
+      val span = java.time.temporal.ChronoUnit.DAYS
+        .between(mn, b.getDate(1).toLocalDate)
+      val t1 = java.sql.Date.valueOf(mn.plusDays(span / 3))
+      val t2 = java.sql.Date.valueOf(mn.plusDays(2 * (span / 3)))
+      TxnTable.commit(s, o.filter(col("od") < lit(t1)).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        o.filter(col("od") >= lit(t1) && col("od") < lit(t2)).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, o.filter(col("od") >= lit(t2)).coalesce(1),
+        table, overwrite = false)
+      TxnStats.refreshFromFooters(s, table, "od")
+      val hi = java.sql.Date.valueOf(t2.toLocalDate.minusDays(1))
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "od", t1, hi)
+      TxnStats.prunedRead(s, table, "od", t1, hi)
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
+    // ── TYPED skipping stats, STRING column via the scan refresh:
+    //    priority-clustered files pruned by a lexicographic range
+    //    (binary collation in both engines). The '3' ≤ p ≤ '3~' window
+    //    covers every '3-…' priority and opens exactly one file.
+    sql("q_scan_stats_string",
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(3 AS BIGINT) AS files_total,
+        |       CAST(1 AS BIGINT) AS files_read
+        |FROM orders
+        |WHERE o_orderpriority >= '3' AND o_orderpriority <= '3~'""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("stats_string")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      TxnTable.commit(s, o.filter(col("o_orderpriority") < "3").coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        o.filter(col("o_orderpriority") >= "3" && col("o_orderpriority") < "4")
+          .coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, o.filter(col("o_orderpriority") >= "4").coalesce(1),
+        table, overwrite = false)
+      TxnStats.refresh(s, table, "o_orderpriority")
+      val (toRead, nLive) =
+        TxnStats.pruneFiles(s, table, "o_orderpriority", "3", "3~")
+      TxnStats.prunedRead(s, table, "o_orderpriority", "3", "3~")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
     // ── small-file-only compaction (TxnTable.compactSmall): one healthy
     //    ingest file plus four micro-batch-sized stragglers; the
     //    compaction merges ONLY the stragglers (5 files → 2, the big

@@ -7,8 +7,9 @@ import java.nio.file.{Files, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-/** Declared table constraints (engine-added): UNIQUE/PRIMARY-KEY and
-  * FOREIGN-KEY declarations an optimizer may RELY on — the lakehouse
+/** Declared table constraints (engine-added): UNIQUE/PRIMARY-KEY,
+  * FOREIGN-KEY, and NOT NULL declarations an optimizer may RELY on —
+  * the lakehouse
   * informational-constraint surface (Delta/Snowflake `RELY`, Trino's
   * `NOT ENFORCED` keys). At 100 TB the optimizer cannot AFFORD to
   * discover these properties per query (a uniqueness probe is a full
@@ -50,6 +51,7 @@ object TableConstraints {
   final case class Unique(cols: Seq[String], rely: Boolean)
   final case class ForeignKey(cols: Seq[String], refTable: String,
                               refCols: Seq[String], rely: Boolean)
+  final case class NotNull(cols: Seq[String], rely: Boolean)
 
   private def file(dir: String) = new File(dir, "_graft_constraints.json")
 
@@ -67,9 +69,9 @@ object TableConstraints {
   /** Parse without a JSON library — we wrote the file ourselves and
     * column/path strings never contain quotes (house rule shared with
     * the txn log parser, [[TxnTable.parseEntry]]). */
-  private def parse(dir: String): (Seq[Unique], Seq[ForeignKey]) = {
+  private def parse(dir: String): (Seq[Unique], Seq[ForeignKey], Seq[NotNull]) = {
     val f = file(dir)
-    if (!f.isFile) (Nil, Nil)
+    if (!f.isFile) (Nil, Nil, Nil)
     else {
       val s = new String(Files.readAllBytes(f.toPath), UTF_8)
       def cols(body: String): Seq[String] =
@@ -78,36 +80,49 @@ object TableConstraints {
         """\{"cols":\[([^\]]*)\],"rely":(true|false)\}""".r
       val fkRe =
         """\{"cols":\[([^\]]*)\],"ref":"([^"]*)","refCols":\[([^\]]*)\],"rely":(true|false)\}""".r
+      // a notnull row has the SAME shape as a unique row, so section
+      // boundaries carry the family (unique, then fk, then notnull;
+      // files written before notnull existed simply lack the section)
       val uSec = s.indexOf("\"unique\":[")
       val fkSec = s.indexOf("\"fk\":[")
-      val uBody = if (uSec < 0) "" else s.substring(uSec, if (fkSec > uSec) fkSec else s.length)
-      val fkBody = if (fkSec < 0) "" else s.substring(fkSec)
+      val nnSec = s.indexOf("\"notnull\":[")
+      val uEnd = Seq(fkSec, nnSec, s.length).filter(_ > uSec).min
+      val fkEnd = Seq(nnSec, s.length).filter(_ > fkSec).min
+      val uBody = if (uSec < 0) "" else s.substring(uSec, uEnd)
+      val fkBody = if (fkSec < 0) "" else s.substring(fkSec, fkEnd)
+      val nnBody = if (nnSec < 0) "" else s.substring(nnSec)
       val us = uRe.findAllMatchIn(uBody)
         .map(m => Unique(cols(m.group(1)), m.group(2) == "true")).toSeq
       val fks = fkRe.findAllMatchIn(fkBody)
         .map(m => ForeignKey(cols(m.group(1)), m.group(2),
           cols(m.group(3)), m.group(4) == "true")).toSeq
-      (us, fks)
+      val nns = uRe.findAllMatchIn(nnBody)
+        .map(m => NotNull(cols(m.group(1)), m.group(2) == "true")).toSeq
+      (us, fks, nns)
     }
   }
 
-  private def render(us: Seq[Unique], fks: Seq[ForeignKey]): String = {
+  private def render(us: Seq[Unique], fks: Seq[ForeignKey],
+                     nns: Seq[NotNull]): String = {
     def arr(cs: Seq[String]) = cs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val u = us.map(x => s"""{"cols":${arr(x.cols)},"rely":${x.rely}}""")
       .mkString("[", ",", "]")
     val f = fks.map(x =>
         s"""{"cols":${arr(x.cols)},"ref":"${x.refTable}","refCols":${arr(x.refCols)},"rely":${x.rely}}""")
       .mkString("[", ",", "]")
-    s"""{"unique":$u,"fk":$f}"""
+    val n = nns.map(x => s"""{"cols":${arr(x.cols)},"rely":${x.rely}}""")
+      .mkString("[", ",", "]")
+    s"""{"unique":$u,"fk":$f,"notnull":$n}"""
   }
 
-  private def write(dir: String, us: Seq[Unique], fks: Seq[ForeignKey]): Unit = {
+  private def write(dir: String, us: Seq[Unique], fks: Seq[ForeignKey],
+                    nns: Seq[NotNull]): Unit = {
     val target = file(dir)
     require(target.getParentFile.isDirectory,
       s"constraint target is not a directory: $dir")
     val tmp = new File(dir,
       "._graft_constraints-" + java.util.UUID.randomUUID.toString.take(8) + ".tmp")
-    Files.write(tmp.toPath, render(us, fks).getBytes(UTF_8))
+    Files.write(tmp.toPath, render(us, fks, nns).getBytes(UTF_8))
     Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -151,6 +166,14 @@ object TableConstraints {
       fact.join(ref, cols, "left_anti").limit(1).count() == 0
     }
 
+  /** True iff no row of `dir` has a NULL in any of `cols`. */
+  def holdsNotNull(spark: SparkSession, dir: String, cols: Seq[String]): Boolean =
+    withRewriteOff(spark) {
+      readDir(spark, dir)
+        .filter(cols.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() == 0
+    }
+
   /** Declare strict uniqueness on `cols`. With `validate`, the current
     * data is checked first and a violation REFUSES the declaration —
     * without it this is a pure RELY assertion. Re-declaring the same
@@ -163,9 +186,26 @@ object TableConstraints {
         s"unique(${cols.mkString(",")}) does not hold in $dir — declaration refused")
     }
     writeLock.synchronized {
-      val (us, fks) = parse(dir)
+      val (us, fks, nns) = parse(dir)
       write(dir, us.filterNot(_.cols.sorted == cols.sorted) :+ Unique(cols, rely),
-        fks)
+        fks, nns)
+    }
+  }
+
+  /** Declare NOT NULL on every column of `cols`. With `validate`, the
+    * current data is checked first (a present NULL refuses). Same RELY
+    * semantics and replacement-by-column-set as [[declareUnique]]. */
+  def declareNotNull(dir: String, cols: Seq[String], rely: Boolean = true,
+                     validate: Option[SparkSession] = None): Unit = {
+    require(cols.nonEmpty, "not-null constraint needs at least one column")
+    validate.foreach { s =>
+      require(holdsNotNull(s, dir, cols),
+        s"notnull(${cols.mkString(",")}) does not hold in $dir — declaration refused")
+    }
+    writeLock.synchronized {
+      val (us, fks, nns) = parse(dir)
+      write(dir, us, fks,
+        nns.filterNot(_.cols.sorted == cols.sorted) :+ NotNull(cols, rely))
     }
   }
 
@@ -182,16 +222,24 @@ object TableConstraints {
         s"fk(${cols.mkString(",")}) -> $refDir(${refCols.mkString(",")}) does not hold — declaration refused")
     }
     writeLock.synchronized {
-      val (us, fks) = parse(dir)
+      val (us, fks, nns) = parse(dir)
       val fk = ForeignKey(cols, canon(refDir), refCols, rely)
       write(dir, us,
-        fks.filterNot(x => x.cols == cols && x.refTable == fk.refTable) :+ fk)
+        fks.filterNot(x => x.cols == cols && x.refTable == fk.refTable) :+ fk,
+        nns)
     }
   }
 
   def uniques(dir: String): Seq[Unique] = parse(dir)._1
 
   def foreignKeys(dir: String): Seq[ForeignKey] = parse(dir)._2
+
+  def notNulls(dir: String): Seq[NotNull] = parse(dir)._3
+
+  /** True when some RELY NOT NULL declaration covers `column` — the
+    * optimizer's view (non-RELY rows are documentation). */
+  def isNotNullOn(dir: String, column: String): Boolean =
+    notNulls(dir).exists(n => n.rely && n.cols.contains(column))
 
   def clear(dir: String): Unit = { file(dir).delete(); () }
 
@@ -213,10 +261,176 @@ object TableConstraints {
   /** Re-check every declared constraint against the CURRENT data — the
     * audit half of RELY: (description, rely, holds) per constraint. */
   def verify(spark: SparkSession, dir: String): Seq[(String, Boolean, Boolean)] = {
-    val (us, fks) = parse(dir)
+    val (us, fks, nns) = parse(dir)
     us.map(u => (s"unique(${u.cols.mkString(",")})", u.rely,
         holdsUnique(spark, dir, u.cols))) ++
       fks.map(fk => (s"fk(${fk.cols.mkString(",")})->${fk.refTable}(${fk.refCols.mkString(",")})",
-        fk.rely, holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols)))
+        fk.rely, holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols))) ++
+      nns.map(n => (s"notnull(${n.cols.mkString(",")})", n.rely,
+        holdsNotNull(spark, dir, n.cols)))
+  }
+
+  // ── O(Δ) incremental audit ───────────────────────────────────────────
+
+  private def auditFile(dir: String) = new File(dir, "_graft_constraints_audit.json")
+
+  /** The audit watermark: the table version the last all-green audit
+    * covered, plus each FK target's version at that moment. */
+  private def readAudit(dir: String): Option[(Int, Map[String, Int])] = {
+    val f = auditFile(dir)
+    if (!f.isFile) None
+    else {
+      val s = new String(Files.readAllBytes(f.toPath), UTF_8)
+      val v = "\"version\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val refs = """\{"ref":"([^"]*)","version":(\d+)\}""".r
+        .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toInt).toMap
+      v.map((_, refs))
+    }
+  }
+
+  private def writeAudit(dir: String, version: Int,
+                         refs: Map[String, Int]): Unit = {
+    val rs = refs.toSeq.sortBy(_._1)
+      .map { case (r, v) => s"""{"ref":"$r","version":$v}""" }
+      .mkString("[", ",", "]")
+    val tmp = new File(dir,
+      "._graft_constraints_audit-" +
+        java.util.UUID.randomUUID.toString.take(8) + ".tmp")
+    Files.write(tmp.toPath,
+      s"""{"version":$version,"refs":$rs}""".getBytes(UTF_8))
+    Files.move(tmp.toPath, auditFile(dir).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** True when every version in (fromExclusive, toInclusive] only ADDED
+    * files — the shape under which "the rows that changed" is exactly
+    * "the rows in the added files". */
+  private def appendOnly(table: String, fromExclusive: Int,
+                         toInclusive: Int): Boolean =
+    TxnTable.logFiles(table)
+      .filter(f => TxnTable.versionOf(f) > fromExclusive &&
+        TxnTable.versionOf(f) <= toInclusive)
+      .forall(f => TxnTable.parseEntry(f)._2.isEmpty)
+
+  /** The rows appended in (fromExclusive, toInclusive] as a DataFrame —
+    * only meaningful under [[appendOnly]]. */
+  private def appendedRows(spark: SparkSession, table: String,
+                           fromExclusive: Int, toInclusive: Int) = {
+    val files = TxnTable.logFiles(table)
+      .filter(f => TxnTable.versionOf(f) > fromExclusive &&
+        TxnTable.versionOf(f) <= toInclusive)
+      .flatMap(f => TxnTable.parseEntry(f)._1)
+      .filterNot(_.startsWith("dv/"))
+    TxnTable.readFileList(spark, table, files)
+  }
+
+  /** The O(Δ) half of the RELY honesty check — [[verify]] re-derives
+    * every constraint from the COMPLETE data, a full shuffle of a
+    * 100 TB fact per audit; this form audits ONLY the rows appended
+    * since the last all-green audit (recorded in an
+    * `_graft_constraints_audit.json` watermark beside the constraints):
+    *
+    *  - UNIQUE: the appended rows must be duplicate-free among
+    *    themselves AND not collide with the pre-append snapshot — a
+    *    broadcast-sized probe of Δ against one streaming pass of the
+    *    old snapshot (null-SAFE equality: strict uniqueness counts null
+    *    tuples, which a plain equi-join would silently admit);
+    *  - FK: the appended fact rows anti-join the CURRENT referenced
+    *    table. Sound while the ref only grew since the watermark (a
+    *    superset preserves old matches); a ref that REMOVED files since
+    *    then re-audits that FK fully;
+    *  - NOT NULL: the appended rows alone are probed.
+    *
+    * Any removal version on the audited table itself (overwrite,
+    * compaction, delete) falls back to the full [[verify]] — "what
+    * changed" is no longer "the appended rows". The watermark advances
+    * ONLY when every constraint holds, so a violation keeps being
+    * re-audited until healed (or the declaration is withdrawn); a
+    * non-txn directory always audits fully.
+    *
+    * Returns (description, rely, holds, mode) with mode ∈
+    * {"incremental", "full"} per constraint. */
+  def verifyIncremental(spark: SparkSession, dir: String)
+      : Seq[(String, Boolean, Boolean, String)] = {
+    val (us, fks, nns) = parse(dir)
+    val isTxn = TxnTable.logDir(dir).isDirectory
+    val cur = if (isTxn) TxnTable.currentVersion(dir) else 0
+    val audit = if (isTxn) readAudit(dir) else None
+    def full(): Seq[(String, Boolean, Boolean, String)] =
+      verify(spark, dir).map { case (c, r, h) => (c, r, h, "full") }
+    val out: Seq[(String, Boolean, Boolean, String)] = audit match {
+      case None => full()
+      case Some((wm, _)) if !appendOnly(dir, wm, cur) => full()
+      case Some((wm, refVs)) => withRewriteOff(spark) {
+        // NOT cached/checkpointed: at 100 TB a day's Δ can be big, and
+        // each probe is one clean re-scan of the Δ files — spill-safe
+        val delta =
+          if (wm >= cur) None
+          else Some(appendedRows(spark, dir, wm, cur))
+        def deltaUniqueHolds(cols: Seq[String]): Boolean = delta match {
+          case None => true // nothing appended since the green audit
+          case Some(d) =>
+            val dupWithin = d.groupBy(cols.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count() > 0
+            if (dupWithin) false
+            else {
+              // null-safe overlap probe against the PRE-append snapshot
+              val old = TxnTable.read(spark, dir, asOf = Some(wm))
+              val cond = cols.map(c => d(c) <=> old(c)).reduce(_ && _)
+              d.join(old, cond, "left_semi").limit(1).count() == 0
+            }
+        }
+        def deltaFkHolds(fk: ForeignKey): (Boolean, String) = {
+          val refIsTxn = TxnTable.logDir(fk.refTable).isDirectory
+          if (!refIsTxn)
+            // an untracked ref can shrink invisibly — audit fully
+            (holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols),
+              "full")
+          else {
+            val refCur = TxnTable.currentVersion(fk.refTable)
+            val refWm = refVs.getOrElse(canon(fk.refTable), 0)
+            if (!appendOnly(fk.refTable, refWm, refCur))
+              // ref removals may dangle OLD fact rows — full re-audit
+              (holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols),
+                "full")
+            else delta match {
+              case None => (true, "incremental")
+              case Some(d) =>
+                val fact = d.select(fk.cols.map(col): _*).na.drop("any")
+                val ref = readDir(spark, fk.refTable)
+                  .select(fk.refCols.zip(fk.cols)
+                    .map { case (rc, c) => col(rc).as(c) }: _*)
+                (fact.join(ref, fk.cols, "left_anti").limit(1).count() == 0,
+                  "incremental")
+            }
+        }
+        }
+        def deltaNotNullHolds(cols: Seq[String]): Boolean = delta match {
+          case None => true
+          case Some(d) =>
+            d.filter(cols.map(col(_).isNull).reduce(_ || _))
+              .limit(1).count() == 0
+        }
+        us.map(u => (s"unique(${u.cols.mkString(",")})", u.rely,
+            deltaUniqueHolds(u.cols), "incremental")) ++
+          fks.map { fk =>
+            val (h, mode) = deltaFkHolds(fk)
+            (s"fk(${fk.cols.mkString(",")})->${fk.refTable}(${fk.refCols.mkString(",")})",
+              fk.rely, h, mode)
+          } ++
+          nns.map(n => (s"notnull(${n.cols.mkString(",")})", n.rely,
+            deltaNotNullHolds(n.cols), "incremental"))
+      }
+    }
+    // the watermark advances only on an all-green audit: a violation
+    // keeps the same Δ (or the full set) under audit until healed
+    if (isTxn && out.forall(_._3)) {
+      val refs = fks.map(fk => canon(fk.refTable) -> (
+        if (TxnTable.logDir(fk.refTable).isDirectory)
+          TxnTable.currentVersion(fk.refTable)
+        else 0)).toMap
+      writeAudit(dir, cur, refs)
+    }
+    out
   }
 }

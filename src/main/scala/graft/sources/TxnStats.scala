@@ -4,8 +4,9 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Per-file min-max statistics maintained INCREMENTALLY under the
   * transaction log — Delta's data-skipping stats, kept honest about
@@ -26,8 +27,17 @@ import org.apache.spark.sql.functions._
   * stats don't know yet (commits since the last refresh) is always
   * READ, never skipped — a stale index costs I/O, never rows.
   *
-  * Stats are integral (LongType column required, like the bloom index's
-  * hash-parity rule): exact long min/max, no float-boundary ambiguity.
+  * TYPED stats: min/max are stored AS THE COLUMN'S OWN TYPE (the stats
+  * parquet schema is `file STRING, min <dt>, max <dt>, n_rows BIGINT`),
+  * so range pruning compares under Spark's native type ordering — no
+  * lossy canonical encoding. Supported: all integrals, STRING, DATE,
+  * TIMESTAMP / TIMESTAMP_NTZ, DECIMAL — the dominant pruning predicates
+  * on an unpartitioned 100 TB fact (every TPC-H date window). FLOAT /
+  * DOUBLE are refused: parquet footers may carry NaN-polluted bounds
+  * the format itself documents as unreliable, and a wrong bound here
+  * skips ROWS, not I/O. Files whose indexed column is ALL NULL store a
+  * (null, null) bound and are SKIPPED by range reads — sound because
+  * `BETWEEN` is null-rejecting.
   */
 object TxnStats {
 
@@ -36,6 +46,16 @@ object TxnStats {
 
   private def wmFile(table: String, column: String) =
     new File(statsDir(table, column), "_watermark.json")
+
+  /** The stats-storable types. Bounds under every one of these are
+    * exact total orders; floats are excluded (NaN), binary/complex are
+    * excluded (no useful range predicates reach them). */
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   /** The table version the stats cover (0 = never refreshed). */
   def indexedVersion(table: String, column: String): Int = {
@@ -60,6 +80,29 @@ object TxnStats {
       // deletion vectors carry no stats column — they are not data
       .filterNot(_.startsWith("dv/"))
 
+  private def writeStatsRows(spark: SparkSession, table: String,
+                             column: String, dt: DataType,
+                             rows: Seq[Row]): Unit = {
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("min", dt), StructField("max", dt),
+      StructField("n_rows", LongType, nullable = false)))
+    statsDir(table, column).mkdirs()
+    // one small parquet per refresh: |new files| rows of metadata
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1).write.mode("append")
+      .parquet(statsDir(table, column).getPath)
+  }
+
+  private def writeWatermark(table: String, column: String,
+                             version: Int): Unit = {
+    statsDir(table, column).mkdirs()
+    Files.write(wmFile(table, column).toPath,
+      s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Bring the stats for `column` up to the table's current version by
     * scanning ONLY the newly added files. Returns the number of files
     * indexed (0 when already fresh). Idempotent per version. */
@@ -72,8 +115,9 @@ object TxnStats {
       val abs = newRel.map(p => new File(table, p).getPath)
       val src = spark.read.parquet(abs: _*)
       val dt = src.schema(column).dataType
-      require(dt == org.apache.spark.sql.types.LongType,
-        s"stats column '$column' must be BIGINT (exact long min/max); got $dt")
+      require(supported(dt),
+        s"stats column '$column' must be an exactly-ordered type " +
+          s"(integral/string/date/timestamp/decimal); got $dt")
       val tableAbs = new File(table).getAbsolutePath
       // |new files| rows — a model fetch, never data
       val rows = src.groupBy(input_file_name().as("file"))
@@ -85,27 +129,82 @@ object TxnStats {
             new File(new java.net.URI(p)).getAbsolutePath else p
           require(abs0.startsWith(tableAbs + "/"),
             s"stats file outside table root: $abs0")
-          (abs0.stripPrefix(tableAbs + "/"),
-            r.getLong(1), r.getLong(2), r.getLong(3))
+          Row(abs0.stripPrefix(tableAbs + "/"),
+            r.get(1), r.get(2), r.getLong(3))
         }
-      import spark.implicits._
-      statsDir(table, column).mkdirs()
-      rows.toSeq.toDF("file", "min", "max", "n_rows")
-        .coalesce(1).write.mode("append").parquet(statsDir(table, column).getPath)
+      writeStatsRows(spark, table, column, dt, rows.toSeq)
     }
-    statsDir(table, column).mkdirs()
-    Files.write(wmFile(table, column).toPath,
-      s"""{"version":$current}""".getBytes(StandardCharsets.UTF_8))
+    writeWatermark(table, column, current)
     newRel.size
   }
 
-  /** Per-file (min, max, rows) for an INT64 column straight from the
+  /** Map one parquet footer statistics value to the EXTERNAL Scala
+    * value the stats table stores, verifying the footer's physical +
+    * logical type actually is the representation Spark writes for
+    * `dt` — any mismatch (INT96 timestamps, foreign encodings) returns
+    * None and the file stays unindexed: always read, never wrong. */
+  private def footerValue(v: AnyRef, dt: DataType,
+                          pt: org.apache.parquet.schema.PrimitiveType)
+      : Option[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    val ann = pt.getLogicalTypeAnnotation
+    (dt, v) match {
+      case (LongType, x: java.lang.Long) => Some(x.longValue)
+      case (IntegerType, x: java.lang.Integer) => Some(x.intValue)
+      case (ShortType, x: java.lang.Integer) => Some(x.intValue.toShort)
+      case (ByteType, x: java.lang.Integer) => Some(x.intValue.toByte)
+      case (StringType, b: Binary)
+          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(new String(b.getBytes, StandardCharsets.UTF_8))
+      case (DateType, x: java.lang.Integer)
+          if ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.longValue)))
+      case (TimestampType | TimestampNTZType, x: java.lang.Long)
+          if pt.getPrimitiveTypeName == INT64 &&
+            ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val ta = ann.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        val micros = ta.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x.longValue)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            Some(Math.multiplyExact(x.longValue, 1000L))
+          case _ => None // NANOS: sub-micro truncation could move a bound
+        }
+        micros.map { us =>
+          val inst = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+          if (dt == TimestampType) inst
+          else java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+        }
+      case (d: DecimalType, _)
+          if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] &&
+            ann.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+              .getScale == d.scale =>
+        v match {
+          case x: java.lang.Integer =>
+            Some(java.math.BigDecimal.valueOf(x.longValue, d.scale))
+          case x: java.lang.Long =>
+            Some(java.math.BigDecimal.valueOf(x.longValue, d.scale))
+          case b: Binary => Some(new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), d.scale))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-file (min, max, rows) for a supported column straight from the
     * parquet FOOTER's row-group statistics — metadata IO only, no data
     * pages, the same read class as [[TxnTable.footerRowCount]]. None
     * when any row group lacks usable stats for the column (then the
-    * file stays unindexed, which the pruner treats as always-read) or
-    * when every value is NULL (no min/max exists). */
-  private def footerMinMax(f: File, column: String): Option[(Long, Long, Long)] = {
+    * file stays unindexed, which the pruner treats as always-read), or
+    * when the footer's physical representation is not the one `dt`
+    * expects (INT96 timestamps, scale drift). A file whose every value
+    * is NULL yields (None, None, rows) — stored as a null bound the
+    * range pruner SKIPS. */
+  private def footerMinMax(f: File, dt: DataType, column: String)
+      : Option[(Option[Any], Option[Any], Long)] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.toURI),
       new org.apache.hadoop.conf.Configuration())
@@ -114,29 +213,61 @@ object TxnStats {
       import scala.jdk.CollectionConverters._
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val perBlock = blocks.map { b =>
+      // per chunk: None = unusable (missing stats / foreign encoding —
+      // the whole file declines); Some(None) = all-null chunk (no
+      // bound); Some(Some((mn, mx))) = a converted bound
+      val perBlock: Seq[Option[Option[(Any, Any)]]] = blocks.map { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == column)
-          .map(_.getStatistics)
-          .filter(s => s != null && !s.isEmpty)
-          .map(s =>
-            if (!s.hasNonNullValue) None // all-null chunk: no min/max
-            else (s.genericGetMin, s.genericGetMax) match {
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some((mn.longValue, mx.longValue))
-              case _ => throw new IllegalArgumentException(
-                s"stats column '$column' must be BIGINT; footer says otherwise")
-            })
+          .map(c => (c.getStatistics, c.getPrimitiveType))
+          .filter { case (s, _) => s != null && !s.isEmpty } match {
+          case None => None
+          case Some((s, pt)) =>
+            if (!s.hasNonNullValue) Some(None) // all-null chunk: no bound
+            else (for {
+              mn <- footerValue(s.genericGetMin.asInstanceOf[AnyRef], dt, pt)
+              mx <- footerValue(s.genericGetMax.asInstanceOf[AnyRef], dt, pt)
+            } yield (mn, mx)) match {
+              case None => None // footer encoding is not dt's — decline
+              case some => Some(some)
+            }
+        }
       }
-      // every chunk must CARRY stats (else the file can't be summarized
-      // soundly); all-null chunks contribute no bound
+      // every chunk must CARRY usable stats (else the file can't be
+      // summarized soundly); all-null chunks contribute no bound
       if (perBlock.exists(_.isEmpty)) None
       else {
-        val bounds = perBlock.flatten.flatten
-        if (bounds.isEmpty) None // all rows null — nothing to bound
-        else Some((bounds.map(_._1).min, bounds.map(_._2).max, rows))
+        val bounds: Seq[(Any, Any)] = perBlock.flatten.flatten
+        if (bounds.isEmpty) Some((None, None, rows)) // all rows null
+        else {
+          val ord = boundOrdering(dt)
+          Some((Some(bounds.map(_._1).min(ord)),
+            Some(bounds.map(_._2).max(ord)), rows))
+        }
       }
     } finally r.close()
+  }
+
+  /** Total order over the EXTERNAL representations [[footerValue]]
+    * emits — used only to merge per-row-group bounds into one file
+    * bound. */
+  private def boundOrdering(dt: DataType): Ordering[Any] = {
+    val o: Ordering[_] = dt match {
+      case LongType => Ordering.Long
+      case IntegerType => Ordering.Int
+      case ShortType => Ordering.Short
+      case ByteType => Ordering.Byte
+      case StringType => Ordering.String
+      case DateType => Ordering.fromLessThan[java.sql.Date](_.compareTo(_) < 0)
+      case TimestampType =>
+        Ordering.fromLessThan[java.time.Instant](_.compareTo(_) < 0)
+      case TimestampNTZType =>
+        Ordering.fromLessThan[java.time.LocalDateTime](_.compareTo(_) < 0)
+      case _: DecimalType =>
+        Ordering.fromLessThan[java.math.BigDecimal](_.compareTo(_) < 0)
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+    o.asInstanceOf[Ordering[Any]]
   }
 
   /** [[refresh]]'s METADATA-ONLY twin: bring the stats up to head by
@@ -147,59 +278,177 @@ object TxnStats {
     * simply left unindexed (the pruner always reads unindexed live
     * files — safety is never delegated to the footer). Interchangeable
     * with [[refresh]] per file: both record the exact same
-    * (file, min, max, n_rows) row (spec-pinned). */
+    * (file, min, max, n_rows) row (spec-pinned). `column`'s Spark type
+    * is resolved from the table schema; the footer's physical type must
+    * agree or the file stays unindexed. */
   def refreshFromFooters(spark: SparkSession, table: String,
                          column: String): Int = {
     val current = TxnTable.currentVersion(table)
     val wm = indexedVersion(table, column)
     if (wm >= current) return 0
     val newRel = addedInRange(table, wm, current)
-    val rows = newRel.flatMap { rel =>
-      footerMinMax(new File(table, rel), column)
-        .map { case (mn, mx, n) => (rel, mn, mx, n) }
+    if (newRel.nonEmpty) {
+      val dt = TxnTable.read(spark, table).schema(column).dataType
+      require(supported(dt),
+        s"stats column '$column' must be an exactly-ordered type " +
+          s"(integral/string/date/timestamp/decimal); got $dt")
+      val rows = newRel.flatMap { rel =>
+        footerMinMax(new File(table, rel), dt, column)
+          .map { case (mn, mx, n) =>
+            Row(rel, mn.orNull, mx.orNull, n) }
+      }
+      if (rows.nonEmpty) writeStatsRows(spark, table, column, dt, rows)
+      writeWatermark(table, column, current)
+      rows.size
+    } else {
+      writeWatermark(table, column, current)
+      0
     }
-    if (rows.nonEmpty) {
-      statsDir(table, column).mkdirs()
-      // one small parquet per refresh, same layout as the scan path:
-      // |new files| rows of driver metadata
-      import spark.implicits._
-      rows.toDF("file", "min", "max", "n_rows")
-        .coalesce(1).write.mode("append").parquet(statsDir(table, column).getPath)
-    }
-    statsDir(table, column).mkdirs()
-    Files.write(wmFile(table, column).toPath,
-      s"""{"version":$current}""".getBytes(StandardCharsets.UTF_8))
-    rows.size
   }
 
-  /** The live files a `[lo, hi]` point/range lookup must read:
-    * stats-known files whose [min, max] overlaps the range, plus every
-    * live file the stats have not indexed yet (never skip blind).
-    * Returns (filesToRead, nLive) — both table-relative. */
+  /** The live files a `[lo, hi]` range lookup must read: stats-known
+    * files whose [min, max] overlaps the range, plus every live file
+    * the stats have not indexed yet (never skip blind). Indexed files
+    * whose column is ALL NULL are skipped — `BETWEEN` can never select
+    * their rows. Bounds are compared under the COLUMN'S OWN type
+    * (`lo`/`hi` must be literal-able as that type: Long for BIGINT,
+    * java.sql.Date / LocalDate for DATE, String, java.math.BigDecimal,
+    * Instant / Timestamp…). Returns (filesToRead, nLive) — both
+    * table-relative. */
   def pruneFiles(spark: SparkSession, table: String, column: String,
-                 lo: Long, hi: Long): (Seq[String], Int) = {
-    require(lo <= hi, s"bad range [$lo, $hi]")
+                 lo: Any, hi: Any): (Seq[String], Int) = {
     val live = TxnTable.liveSplit(table)._1
     val sd = statsDir(table, column)
-    val stats: Map[String, (Long, Long)] =
-      if (!sd.isDirectory) Map.empty
-      else spark.read.parquet(sd.getPath)
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-    val toRead = live.filter { f =>
-      stats.get(f) match {
-        case Some((mn, mx)) => mn <= hi && mx >= lo
-        case None => true // unindexed live file: read, never skip
-      }
-    }
+    if (!sd.isDirectory) return (live, live.size)
+    val stats = spark.read.parquet(sd.getPath)
+    val rows = stats.select(col("file"),
+        (col("min") <= lit(hi) && col("max") >= lit(lo)).as("overlap"))
+      .collect()
+    val indexed = rows.map(_.getString(0)).toSet
+    val overlapping = rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(_.getString(0)).toSet
+    val toRead = live.filter(f =>
+      !indexed.contains(f) || overlapping.contains(f))
     (toRead, live.size)
+  }
+
+  // ── persisted NDV sketches ───────────────────────────────────────────
+
+  private def ndvDir(table: String, cols: Seq[String]) =
+    new File(table, s"_graft_stats/ndv/${cols.sorted.mkString(",")}")
+
+  private def ndvSummaryFile(table: String, cols: Seq[String]) =
+    new File(ndvDir(table, cols), "_summary.json")
+
+  /** The table version the NDV sketches cover (0 = never refreshed). */
+  def ndvIndexedVersion(table: String, cols: Seq[String]): Int = {
+    val f = new File(ndvDir(table, cols), "_watermark.json")
+    if (!f.isFile) 0
+    else "\"version\":(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Bring the PER-FILE HLL sketches for the `cols` tuple up to head —
+    * one Datasketches register set per new file over
+    * `xxhash64(cols…)` — then merge the LIVE files' sketches into one
+    * table-level NDV estimate persisted as a summary sidecar. The
+    * cost model that makes this 100 TB-shaped:
+    *  - refresh reads ONLY the files added since the watermark (O(Δ),
+    *    the same incrementality as the min-max stats);
+    *  - removals need no surgery — the merge intersects sketches with
+    *    the live set, so overwrites just orphan stale rows;
+    *  - the merge job itself reads |files| sketch rows, never data.
+    * The summary records `complete` = every live file is sketched; an
+    * incomplete estimate (files committed before the first refresh of
+    * some overwritten lineage) is still written but flagged, so a
+    * cost-based consumer ([[graft.plans.EagerAggregation]]'s auto
+    * mode) can decline rather than mis-price. Returns the merged
+    * estimate. */
+  def refreshNdv(spark: SparkSession, table: String,
+                 cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "ndv needs at least one column")
+    val cur = TxnTable.currentVersion(table)
+    val wm = ndvIndexedVersion(table, cols)
+    val dir = ndvDir(table, cols)
+    val newRel = if (wm >= cur) Nil else addedInRange(table, wm, cur)
+    if (newRel.nonEmpty) {
+      val abs = newRel.map(p => new File(table, p).getPath)
+      val tableAbs = new File(table).getAbsolutePath
+      val rows = spark.read.parquet(abs: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(hll_sketch_agg(xxhash64(cols.map(col): _*)).as("sketch"),
+          count(lit(1)).as("n_rows"))
+        .collect().map { r =>
+          val p = r.getString(0)
+          val abs0 = if (p.startsWith("file:"))
+            new File(new java.net.URI(p)).getAbsolutePath else p
+          require(abs0.startsWith(tableAbs + "/"),
+            s"ndv file outside table root: $abs0")
+          Row(abs0.stripPrefix(tableAbs + "/"),
+            r.getAs[Array[Byte]](1), r.getLong(2))
+        }
+      val schema = StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("sketch", BinaryType),
+        StructField("n_rows", LongType, nullable = false)))
+      dir.mkdirs()
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows.toSeq).asJava), schema)
+        .coalesce(1).write.mode("append").parquet(dir.getPath)
+    }
+    dir.mkdirs()
+    Files.write(new File(dir, "_watermark.json").toPath,
+      s"""{"version":$cur}""".getBytes(StandardCharsets.UTF_8))
+    // merge the LIVE files' sketches into the summary
+    val live = TxnTable.liveSplit(table)._1.toSet
+    val hasSketches = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val (ndv, complete) =
+      if (!hasSketches) (0L, live.isEmpty)
+      else {
+        val sketches = spark.read.parquet(dir.getPath)
+          .filter(col("file").isin(live.toSeq: _*))
+        val indexedLive = sketches.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val est = sketches
+          .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"))
+          .head()
+        (if (est.isNullAt(0)) 0L else est.getLong(0), indexedLive == live)
+      }
+    Files.write(ndvSummaryFile(table, cols).toPath,
+      s"""{"ndv":$ndv,"version":$cur,"complete":$complete}"""
+        .getBytes(StandardCharsets.UTF_8))
+    ndv
+  }
+
+  /** The persisted (ndv, version, complete) summary for the `cols`
+    * tuple — pure driver-side metadata IO (one small JSON), safe to
+    * consult from inside an optimizer rule. None until [[refreshNdv]]
+    * has run. The estimate describes the summary's `version`; a head
+    * that moved since is advisory staleness, not unsoundness — NDV
+    * feeds COST decisions only. */
+  def ndvOf(table: String, cols: Seq[String]): Option[(Long, Int, Boolean)] = {
+    val f = ndvSummaryFile(table, cols)
+    if (!f.isFile) None
+    else {
+      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      for {
+        n <- "\"ndv\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        v <- "\"version\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        c <- "\"complete\":(true|false)".r.findFirstMatchIn(s)
+          .map(_.group(1) == "true")
+      } yield (n, v, c)
+    }
   }
 
   /** Range scan pruned by the stats: only overlapping (or unindexed)
     * live files are opened; the exact filter follows, so a skipped file
     * never costs a row and an opened file never leaks one. */
   def prunedRead(spark: SparkSession, table: String, column: String,
-                 lo: Long, hi: Long): DataFrame = {
+                 lo: Any, hi: Any): DataFrame = {
     val (toRead, _) = pruneFiles(spark, table, column, lo, hi)
     val (live, dvFiles) = TxnTable.liveSplit(table)
     require(live.nonEmpty, s"no live files in $table")
@@ -207,7 +456,7 @@ object TxnStats {
     // route through the DV-aware file-list read: live deletion vectors
     // must anti-join the picked files or deleted rows resurface here
     val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
-      .filter(col(column).between(lo, hi))
+      .filter(col(column).between(lit(lo), lit(hi)))
     if (toRead.nonEmpty) df else df.filter(lit(false))
   }
 }

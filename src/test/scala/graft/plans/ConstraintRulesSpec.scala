@@ -203,6 +203,52 @@ class ConstraintRulesSpec extends SparkSpec {
       "left_semi").select("pk")).contains("crdima"))
   }
 
+  test("declared NOT NULL: anti join provably empty, isnotnull filters drop") {
+    val f2 = s"$root/crfact_nn"
+    // fk2 is nullable-TYPED (Option) but never null in the data — the
+    // shape every parquet-read column has, which only a declaration
+    // can upgrade
+    val fact2 = (1L to 50L).map(pk =>
+      (pk, Some(pk % 7 + 1): Option[Long], s"g${pk % 3}"))
+      .toDF("pk2", "fk2", "grp2")
+    TxnTable.commit(spark, fact2, f2, overwrite = false)
+    TableConstraints.declareForeignKey(f2, Seq("fk2"), dimA, Seq("k"),
+      validate = Some(spark))
+    TableConstraints.declareNotNull(f2, Seq("fk2"), validate = Some(spark))
+    def fd = TxnTable.read(spark, f2)
+    assert(fd.schema("fk2").nullable, "fixture must be nullable-typed")
+    val dA = TxnTable.read(spark, dimA)
+    // NOT EXISTS under FK + NOT NULL: provably empty — NOTHING scans
+    def anti = fd.join(dA, $"fk2" === $"k", "left_anti").select("pk2")
+    val pAnti = plan(anti)
+    assert(!pAnti.contains("crdima") && !pAnti.contains("crfact_nn"),
+      pAnti.take(2000))
+    assert(anti.count() == 0 && ruleOff(anti.count()) == 0)
+    // a user-written IS NOT NULL on the declared column is a tautology:
+    // the filter conjunct drops from the plan, rows identical
+    def flt = fd.filter($"fk2".isNotNull && $"pk2" <= 10L).select("pk2")
+    val pFlt = plan(flt)
+    assert(!pFlt.toLowerCase.contains("isnotnull(fk2"), pFlt.take(2000))
+    assert(rows(flt) == ruleOff(rows(flt)))
+    // a filter that is ONLY the tautology vanishes entirely
+    def fltOnly = fd.filter($"fk2".isNotNull)
+    assert(!plan(fltOnly).toLowerCase.contains("isnotnull(fk2"))
+    assert(fltOnly.count() == 50L)
+    // inner elimination under FK + NOT NULL: no dim, no residual planted
+    def inner = fd.join(dA, $"fk2" === $"k")
+      .groupBy("grp2").agg(count(lit(1)).as("n"))
+    val pInner = plan(inner)
+    assert(!pInner.contains("crdima"), pInner.take(3000))
+    assert(!pInner.toLowerCase.contains("isnotnull(fk2"), pInner.take(3000))
+    assert(rows(inner) == ruleOff(rows(inner)))
+    // rely=false NOT NULL never feeds any of it
+    val f3 = s"$root/crfact_nn_doc"
+    TxnTable.commit(spark, fact2, f3, overwrite = false)
+    TableConstraints.declareNotNull(f3, Seq("fk2"), rely = false)
+    def fltDoc = TxnTable.read(spark, f3).filter($"fk2".isNotNull)
+    assert(plan(fltDoc).toLowerCase.contains("isnotnull(fk2"))
+  }
+
   test("a stale txn snapshot read refuses; the head read eliminates") {
     val stale = factDf.join(TxnTable.read(spark, dimE, asOf = Some(1)),
       $"fk" === $"ke").select("pk")

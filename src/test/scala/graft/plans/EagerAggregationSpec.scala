@@ -189,6 +189,43 @@ class EagerAggregationSpec extends SparkSpec {
     withEager(assert(!partialBelowJoin(q)))
   }
 
+  test("auto mode fires from persisted NDV stats exactly where it compresses") {
+    import graft.sources.TxnStats
+    def q = factDf.join(dimDf, $"fk" === $"k")
+      .groupBy("seg").agg(sum("m").as("sm"))
+    def withConf[A](kvs: (String, String)*)(body: => A): A = {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    // no NDV stats persisted yet → auto declines (conservative)
+    withConf("spark.graft.eagerAgg.enabled" -> "auto") {
+      assert(!partialBelowJoin(q), "auto must decline without stats")
+    }
+    // refresh: fact has 120 rows over 8 fk keys — ~15× compression.
+    // The partial key tuple is (fk) alone for a dim-attr grouping.
+    val ndv = TxnStats.refreshNdv(spark, factT, Seq("fk"))
+    assert(ndv >= 7 && ndv <= 10, s"~8-9 expected (8 keys + null), got $ndv")
+    val autoRows = withConf("spark.graft.eagerAgg.enabled" -> "auto") {
+      assert(partialBelowJoin(q), "auto must fire at 15x compression")
+      rows(q)
+    }
+    assert(autoRows == rows(q), "auto-fired plan must equal rule-off rows")
+    // a higher bar than the data clears → auto declines
+    withConf("spark.graft.eagerAgg.enabled" -> "auto",
+        "spark.graft.eagerAgg.minCompression" -> "100") {
+      assert(!partialBelowJoin(q), "auto must respect the compression bar")
+    }
+    // mixed grouping widens the partial key to (grp, fk): NDV for that
+    // tuple is NOT persisted → decline until it is
+    def qm = factDf.join(dimDf, $"fk" === $"k")
+      .groupBy("grp", "seg").agg(sum("m").as("sm"))
+    withConf("spark.graft.eagerAgg.enabled" -> "auto") {
+      assert(!partialBelowJoin(qm), "per-tuple stats: (grp,fk) unknown")
+      TxnStats.refreshNdv(spark, factT, Seq("grp", "fk"))
+      assert(partialBelowJoin(qm), "fires once the tuple NDV is persisted")
+    }
+  }
+
   test("decimal sums decline (double widening would change the result type)") {
     def q = factDf.withColumn("dm", $"m".cast("decimal(10,2)"))
       .join(dimDf, $"fk" === $"k")

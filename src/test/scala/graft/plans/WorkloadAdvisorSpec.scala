@@ -194,9 +194,12 @@ class WorkloadAdvisorSpec extends SparkSpec {
       .filter($"family" === "constraint").collect()
     assert(before.map(r => (r.getAs[String]("action"),
         r.getAs[Boolean]("recommend"))).toSet ==
-      Set(("declare_unique", true), ("declare_fk", true)))
-    // priced at occurrences × (dim rows + fact rows)
-    assert(before.forall(_.getAs[Long]("saved_rows") == 350L))
+      Set(("declare_unique", true), ("declare_fk", true),
+        ("declare_notnull", true)))
+    // unique/fk priced at occurrences × (dim rows + fact rows); the
+    // NOT NULL rider at the fact rows its empty anti-join never scans
+    assert(before.forall(r => r.getAs[Long]("saved_rows") ==
+      (if (r.getAs[String]("action") == "declare_notnull") 300L else 350L)))
     // act on the advice — the workload's join disappears and the
     // advisor has nothing left to say
     graft.sources.TableConstraints.declareUnique(dim, Seq("k"),
@@ -207,6 +210,44 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(!plan.contains("cns_dim"), plan.take(2000))
     assert(WorkloadAdvisor.report(spark, wl)
       .filter($"family" === "constraint").isEmpty)
+  }
+
+  test("a fresh NDV sketch refutes a duplicate dim key from metadata") {
+    GraftPlanner.register(spark)
+    val fact = s"$root/ndvref_fact"
+    val dim = s"$root/ndvref_dim"
+    TxnTable.commit(spark,
+      (1L to 200L).map(i => (i % 40 + 1, i)).toDF("fk", "m"), fact,
+      overwrite = false)
+    // 300 rows over ~40 keys: NOT unique, and the sketch knows it
+    TxnTable.commit(spark,
+      (1L to 300L).map(i => (i % 40 + 1, s"n$i")).toDF("k", "nm"), dim,
+      overwrite = false)
+    graft.sources.TxnStats.refreshNdv(spark, dim, Seq("k"))
+    // def, not val: a val frame pins the pre-overwrite snapshot and the
+    // head-snapshot gate would (rightly) refuse the stale scan below
+    def wl = Seq(
+      TxnTable.read(spark, fact)
+        .join(TxnTable.read(spark, dim), $"fk" === $"k", "left")
+        .select("m"))
+    val rows = WorkloadAdvisor.report(spark, wl)
+      .filter($"family" === "constraint" && $"action" === "declare_unique")
+      .collect()
+    assert(rows.length == 1)
+    assert(!rows.head.getAs[Boolean]("recommend"),
+      "sketch-refuted key must not be recommended")
+    assert(rows.head.getAs[String]("detail") == "not_unique_in_data")
+    // stale sketches never refute: an overwrite that MAKES the key
+    // unique invalidates the old sketch's completeness/version, so the
+    // exact probe runs and recommends
+    TxnTable.commit(spark,
+      (1L to 40L).map(k => (k, s"n$k")).toDF("k", "nm"), dim,
+      overwrite = true)
+    val after = WorkloadAdvisor.report(spark, wl)
+      .filter($"family" === "constraint" && $"action" === "declare_unique")
+      .collect()
+    assert(after.length == 1 && after.head.getAs[Boolean]("recommend"),
+      "post-overwrite uniqueness must be probed exactly, not stale-refuted")
   }
 
   test("eager-agg advice prices the reorder and names the missing declaration") {

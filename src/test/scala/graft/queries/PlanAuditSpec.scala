@@ -532,12 +532,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("constraint elimination: joins and shuffles are really GONE from the plans") {
-    // inner elimination leaves a join-free plan whose only residue is
-    // the FK IsNotNull, pushed into the fact scan
+    // inner elimination leaves a join-free plan — and since r12 the
+    // fixture declares NOT NULL on l_orderkey, so even the IsNotNull
+    // residue is gone: the fact scan runs bare
     val pJoin = planOf("q_opt_join_elim")
     assert(!pJoin.contains("Join"), pJoin.take(3000))
-    assert(pJoin.contains("PushedFilters: [IsNotNull(l_orderkey)]"),
-      pJoin.take(3000))
+    assert(!pJoin.contains("IsNotNull(l_orderkey"), pJoin.take(3000))
     // the wide view keeps EXACTLY the one join whose dim the query uses
     val pWide = planOf("q_opt_wide_view")
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r

@@ -122,6 +122,148 @@ class TableConstraintsSpec extends SparkSpec {
     assert(TableConstraints.verify(spark, d).head._3 == false)
   }
 
+  test("NOT NULL: declare/validate/verify/replace; rely gates the optimizer view") {
+    val d = freshDir("nn_dim")
+    Seq((Some(1L), Some("a")), (Some(2L), None: Option[String]))
+      .toDF("k", "v").write.mode("overwrite").parquet(d)
+    TableConstraints.declareNotNull(d, Seq("k"), validate = Some(spark))
+    assert(TableConstraints.notNulls(d) ==
+      Seq(TableConstraints.NotNull(Seq("k"), rely = true)))
+    assert(TableConstraints.isNotNullOn(d, "k"))
+    assert(!TableConstraints.isNotNullOn(d, "v"))
+    // a violated candidate refuses at declare
+    intercept[IllegalArgumentException] {
+      TableConstraints.declareNotNull(d, Seq("v"), validate = Some(spark))
+    }
+    // non-RELY documentation never feeds the optimizer
+    TableConstraints.declareNotNull(d, Seq("v"), rely = false)
+    assert(!TableConstraints.isNotNullOn(d, "v"))
+    // replacement by column set, like unique
+    TableConstraints.declareNotNull(d, Seq("k"), rely = false)
+    assert(TableConstraints.notNulls(d).count(_.cols == Seq("k")) == 1)
+    assert(!TableConstraints.isNotNullOn(d, "k"))
+    // verify() reports all three families; the violated non-RELY is false
+    TableConstraints.declareNotNull(d, Seq("k"), rely = true)
+    val v = TableConstraints.verify(spark, d)
+    assert(v.contains(("notnull(k)", true, true)))
+    assert(v.contains(("notnull(v)", false, false)))
+    // coexists with unique/fk rows in one file (round-trips the parser)
+    TableConstraints.declareUnique(d, Seq("k"))
+    assert(TableConstraints.uniques(d).nonEmpty &&
+      TableConstraints.notNulls(d).size == 2)
+  }
+
+  test("verifyIncremental audits appended rows only; removals fall back to full") {
+    val dim = s"$root/incr_dim"
+    val fact = s"$root/incr_fact"
+    TxnTable.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dim,
+      overwrite = false)
+    TxnTable.commit(spark,
+      Seq((Some(1L), 10L), (Some(2L), 20L), (None: Option[Long], 0L))
+        .toDF("fk", "m"), fact, overwrite = false)
+    TableConstraints.declareUnique(dim, Seq("k"), validate = Some(spark))
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"),
+      validate = Some(spark))
+    TableConstraints.declareNotNull(fact, Seq("m"), validate = Some(spark))
+
+    // first audit: no watermark yet → FULL, all hold, watermark advances
+    val first = TableConstraints.verifyIncremental(spark, fact)
+    assert(first.forall(_._3), s"first audit must hold: $first")
+    assert(first.forall(_._4 == "full"), s"first audit is full: $first")
+    val firstDim = TableConstraints.verifyIncremental(spark, dim)
+    assert(firstDim.forall(r => r._3 && r._4 == "full"))
+
+    // clean appends on both sides → INCREMENTAL, all hold
+    TxnTable.commit(spark, Seq((3L, "c")).toDF("k", "v"), dim,
+      overwrite = false)
+    TxnTable.commit(spark,
+      Seq((Some(3L), 30L), (None: Option[Long], 1L)).toDF("fk", "m"), fact,
+      overwrite = false)
+    val incr = TableConstraints.verifyIncremental(spark, fact)
+    assert(incr.forall(_._3), s"clean appends must hold: $incr")
+    assert(incr.forall(_._4 == "incremental"), s"must be O(Δ): $incr")
+    assert(TableConstraints.verifyIncremental(spark, dim)
+      .forall(r => r._3 && r._4 == "incremental"))
+
+    // nothing new → incremental no-op, still holds
+    assert(TableConstraints.verifyIncremental(spark, fact)
+      .forall(r => r._3 && r._4 == "incremental"))
+
+    // a dangling append is CAUGHT incrementally (new rows anti-join ref)
+    TxnTable.commit(spark, Seq((Some(99L), 99L)).toDF("fk", "m"), fact,
+      overwrite = false)
+    val bad = TableConstraints.verifyIncremental(spark, fact)
+    val fkRow = bad.find(_._1.startsWith("fk(")).get
+    assert(!fkRow._3 && fkRow._4 == "incremental")
+    // the violation did NOT advance the watermark: the same Δ re-audits
+    val badAgain = TableConstraints.verifyIncremental(spark, fact)
+    assert(!badAgain.find(_._1.startsWith("fk(")).get._3)
+
+    // heal by appending the missing dim key; audit goes green again
+    TxnTable.commit(spark, Seq((99L, "z")).toDF("k", "v"), dim,
+      overwrite = false)
+    assert(TableConstraints.verifyIncremental(spark, fact).forall(_._3))
+
+    // a REMOVAL version (overwrite) on the audited table → full fallback
+    TxnTable.commit(spark, TxnTable.read(spark, dim), dim, overwrite = true)
+    val afterRewrite = TableConstraints.verifyIncremental(spark, dim)
+    assert(afterRewrite.forall(_._3))
+    assert(afterRewrite.forall(_._4 == "full"),
+      s"removals must fall back to a full audit: $afterRewrite")
+  }
+
+  test("verifyIncremental catches a duplicate key split across old and new (null-safe)") {
+    val d = s"$root/incr_dup"
+    TxnTable.commit(spark,
+      Seq(Some(1L), Some(2L), None: Option[Long]).toDF("k"), d,
+      overwrite = false)
+    TableConstraints.declareUnique(d, Seq("k"), validate = None)
+    // strict uniqueness holds at v1 (one null tuple) — full pass, wm set
+    assert(TableConstraints.verifyIncremental(spark, d).forall(_._3))
+    // append a key that duplicates an OLD row: within-new is clean, so
+    // only the new-vs-old overlap probe can catch it
+    TxnTable.commit(spark, Seq(Some(2L): Option[Long]).toDF("k"), d,
+      overwrite = false)
+    val dup = TableConstraints.verifyIncremental(spark, d)
+    assert(!dup.head._3 && dup.head._4 == "incremental", s"got $dup")
+    // and the NULL tuple: strict uniqueness counts nulls, so a second
+    // null row is a violation an equi-join would MISS — null-safe probe
+    val dn = s"$root/incr_dupnull"
+    TxnTable.commit(spark, Seq(Some(1L), None: Option[Long]).toDF("k"), dn,
+      overwrite = false)
+    TableConstraints.declareUnique(dn, Seq("k"), validate = None)
+    assert(TableConstraints.verifyIncremental(spark, dn).forall(_._3))
+    TxnTable.commit(spark, Seq(None: Option[Long]).toDF("k"), dn,
+      overwrite = false)
+    val dupNull = TableConstraints.verifyIncremental(spark, dn)
+    assert(!dupNull.head._3, s"null-tuple duplicate must be caught: $dupNull")
+
+    // within-new duplicates are caught too
+    val dw = s"$root/incr_dupnew"
+    TxnTable.commit(spark, Seq(1L).toDF("k"), dw, overwrite = false)
+    TableConstraints.declareUnique(dw, Seq("k"), validate = None)
+    assert(TableConstraints.verifyIncremental(spark, dw).forall(_._3))
+    TxnTable.commit(spark, Seq(7L, 7L).toDF("k"), dw, overwrite = false)
+    assert(!TableConstraints.verifyIncremental(spark, dw).head._3)
+  }
+
+  test("verifyIncremental: a ref-side removal forces a full FK audit") {
+    val dim = s"$root/incr_refdim"
+    val fact = s"$root/incr_reffact"
+    TxnTable.commit(spark, Seq(1L, 2L, 3L).toDF("k"), dim, overwrite = false)
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("fk"), fact, overwrite = false)
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"),
+      validate = Some(spark))
+    assert(TableConstraints.verifyIncremental(spark, fact).forall(_._3))
+    // shrink the REF: old fact rows may now dangle — incremental-on-Δ
+    // alone would miss it, so the fk row must re-audit FULLY
+    TxnTable.commit(spark, Seq(1L).toDF("k"), dim, overwrite = true)
+    val afterShrink = TableConstraints.verifyIncremental(spark, fact)
+    val fkRow = afterShrink.find(_._1.startsWith("fk(")).get
+    assert(fkRow._4 == "full", s"ref removal needs a full fk audit: $afterShrink")
+    assert(!fkRow._3, "fk=2 now dangles")
+  }
+
   test("constraints on a TxnTable live beside the log and read the snapshot") {
     val t = s"$root/txn_tbl"
     TxnTable.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t,

@@ -94,7 +94,7 @@ class TxnStatsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == (360L to 361L))
   }
 
-  test("footer refresh skips an all-NULL column file as unindexed, never wrong") {
+  test("an all-NULL column file indexes a null bound and is skipped (BETWEEN is null-rejecting)") {
     val t = fresh("foot_null")
     TxnTable.commit(spark,
       spark.range(0L, 50L).select(col("id"),
@@ -105,11 +105,12 @@ class TxnStatsSpec extends SparkSpec {
       spark.range(50L, 100L).select(col("id"), col("id").as("maybe"))
         .coalesce(1),
       t, overwrite = false)
-    // the all-null file records no stats row → it is ALWAYS read
-    assert(TxnStats.refreshFromFooters(spark, t, "maybe") == 1)
+    // the all-null file records a (null, null) stats row: a range read
+    // can never select its rows, so it is soundly SKIPPED
+    assert(TxnStats.refreshFromFooters(spark, t, "maybe") == 2)
     val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "maybe", 60L, 70L)
-    assert(nLive == 2 && toRead.size == 2,
-      s"unindexed all-null file must stay in the read set: $toRead")
+    assert(nLive == 2 && toRead.size == 1,
+      s"all-null file must be pruned from the read set: $toRead")
     assert(TxnStats.prunedRead(spark, t, "maybe", 60L, 70L)
       .select("maybe").as[Long].collect().sorted.toSeq == (60L to 70L))
   }
@@ -167,14 +168,108 @@ class TxnStatsSpec extends SparkSpec {
       grid.filter(col("y") <= 15L).count())
   }
 
-  test("a non-BIGINT stats column is refused") {
+  test("float/double stats columns are refused (NaN-polluted footer bounds)") {
     val t = fresh("type")
     TxnTable.commit(spark,
-      spark.range(0, 10).select(col("id").cast("int").as("id")),
+      spark.range(0, 10).select(col("id").cast("double").as("id")),
       t, overwrite = false)
     intercept[IllegalArgumentException] {
       TxnStats.refresh(spark, t, "id")
     }
+    intercept[IllegalArgumentException] {
+      TxnStats.refreshFromFooters(spark, t, "id")
+    }
+  }
+
+  test("typed stats: DATE, STRING, TIMESTAMP, DECIMAL, INT — scan and footer agree") {
+    import java.sql.Date
+    val mk = (i: Long) => (
+      Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+      f"s$i%04d",
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 3600)),
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(i * 100 + 7), 2),
+      i.toInt)
+    def commitBatch(t: String, lo: Long, hi: Long): Unit =
+      TxnTable.commit(spark, (lo until hi).map(mk)
+        .toDF("d", "s", "ts", "dec", "i").coalesce(1), t, overwrite = false)
+    val ta = fresh("typed_scan")
+    val tb = fresh("typed_foot")
+    // INT96 timestamps carry no usable footer stats (the footer path
+    // declines them safely); pin the modern INT64-micros layout so the
+    // footer assertions are about the conversion, not the writer conf
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Seq((0L, 40L), (40L, 80L), (80L, 120L)).foreach { case (lo, hi) =>
+      commitBatch(ta, lo, hi); commitBatch(tb, lo, hi)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    for (c <- Seq("d", "s", "ts", "dec", "i")) {
+      assert(TxnStats.refresh(spark, ta, c) == 3)
+      assert(TxnStats.refreshFromFooters(spark, tb, c) == 3)
+      // footer path records the exact same bounds the scan path does
+      def statsOf(t: String) = spark.read.parquet(s"$t/_graft_stats/$c")
+        .collect().map(r => (r.get(1), r.get(2), r.getLong(3))).toSet
+      assert(statsOf(ta) == statsOf(tb), s"column $c: scan != footer stats")
+    }
+    // DATE range prune: days 50..59 live in file 2 only
+    val (dRead, dLive) = TxnStats.pruneFiles(spark, tb, "d",
+      Date.valueOf("2024-02-20"), Date.valueOf("2024-02-28"))
+    assert(dLive == 3 && dRead.size == 1, s"date prune: $dRead")
+    assert(TxnStats.prunedRead(spark, tb, "d",
+        Date.valueOf("2024-02-20"), Date.valueOf("2024-02-28"))
+      .count() == 9)
+    // STRING prune
+    val (sRead, _) = TxnStats.pruneFiles(spark, tb, "s", "s0050", "s0059")
+    assert(sRead.size == 1, s"string prune: $sRead")
+    assert(TxnStats.prunedRead(spark, tb, "s", "s0050", "s0059").count() == 10)
+    // TIMESTAMP prune (hour 90..95 → file 3)
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val (tsRead, _) = TxnStats.pruneFiles(spark, tb, "ts",
+      t0.plusSeconds(90 * 3600), t0.plusSeconds(95 * 3600))
+    assert(tsRead.size == 1, s"timestamp prune: $tsRead")
+    assert(TxnStats.prunedRead(spark, tb, "ts",
+      t0.plusSeconds(90 * 3600), t0.plusSeconds(95 * 3600)).count() == 6)
+    // DECIMAL prune: dec = i*100+7 / 100 → [10.07, 15.07] in file 1
+    val (decRead, _) = TxnStats.pruneFiles(spark, tb, "dec",
+      new java.math.BigDecimal("10.07"), new java.math.BigDecimal("15.07"))
+    assert(decRead.size == 1, s"decimal prune: $decRead")
+    assert(TxnStats.prunedRead(spark, tb, "dec",
+      new java.math.BigDecimal("10.07"),
+      new java.math.BigDecimal("15.07")).count() == 6)
+    // INT prune
+    val (iRead, _) = TxnStats.pruneFiles(spark, tb, "i", 100, 110)
+    assert(iRead.size == 1, s"int prune: $iRead")
+    assert(TxnStats.prunedRead(spark, tb, "i", 100, 110).count() == 11)
+  }
+
+  test("NDV sketches: O(Δ) refresh, live-set merge across overwrites, completeness flag") {
+    val t = fresh("ndv")
+    TxnTable.commit(spark,
+      spark.range(0, 300).select((col("id") % 50).as("k"), col("id").as("v"))
+        .coalesce(1), t, overwrite = false)
+    val n1 = TxnStats.refreshNdv(spark, t, Seq("k"))
+    assert(math.abs(n1 - 50L) <= 3, s"~50 expected, got $n1")
+    assert(TxnStats.ndvOf(t, Seq("k")).exists {
+      case (n, v, complete) => n == n1 && v == 1 && complete })
+    // append 25 NEW keys: only the new file is sketched (watermark),
+    // the merged estimate covers both
+    TxnTable.commit(spark,
+      spark.range(0, 100).select((col("id") % 25 + 100).as("k"),
+        col("id").as("v")).coalesce(1), t, overwrite = false)
+    val n2 = TxnStats.refreshNdv(spark, t, Seq("k"))
+    assert(math.abs(n2 - 75L) <= 4, s"~75 expected, got $n2")
+    // an overwrite orphans old sketches: the merge intersects with the
+    // LIVE set, no index surgery
+    TxnTable.commit(spark,
+      spark.range(0, 40).select((col("id") % 10).as("k"), col("id").as("v"))
+        .coalesce(1), t, overwrite = true)
+    val n3 = TxnStats.refreshNdv(spark, t, Seq("k"))
+    assert(math.abs(n3 - 10L) <= 2, s"~10 expected, got $n3")
+    assert(TxnStats.ndvOf(t, Seq("k")).exists(_._3), "live set fully sketched")
+    // multi-column tuples sketch independently
+    val nt = TxnStats.refreshNdv(spark, t, Seq("k", "v"))
+    assert(math.abs(nt - 40L) <= 3, s"~40 expected, got $nt")
+    assert(TxnStats.ndvOf(t, Seq("v", "k")) ==
+      TxnStats.ndvOf(t, Seq("k", "v")), "tuple key is order-insensitive")
   }
 
   test("pruned read applies live deletion vectors; refresh skips dv files") {
