@@ -80,11 +80,28 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private val rootCache = new ThreadLocal[
     scala.collection.mutable.Map[(LogicalRelation, Boolean), Option[String]]]
 
+  /** Per-pass memo of each root's RELY NOT NULL column set: the Filter
+    * tautology case consults it per IsNotNull conjunct per fixed-point
+    * round, and an unmemoized lookup re-reads + re-parses the
+    * constraints JSON every time. Same lifecycle as [[rootCache]]. */
+  private val notNullCache =
+    new ThreadLocal[scala.collection.mutable.Map[String, Set[String]]]
+
+  private[plans] def relyNotNullCols(root: String): Set[String] = {
+    def compute = TableConstraints.notNulls(root)
+      .filter(_.rely).flatMap(_.cols).toSet
+    val memo = notNullCache.get()
+    if (memo == null) compute
+    else memo.getOrElseUpdate(root, compute)
+  }
+
   private[plans] def withRootCache[T](body: => T): T = {
     val prev = rootCache.get()
+    val prevNn = notNullCache.get()
     rootCache.set(scala.collection.mutable.Map.empty)
+    notNullCache.set(scala.collection.mutable.Map.empty)
     try body
-    finally rootCache.set(prev)
+    finally { rootCache.set(prev); notNullCache.set(prevNn) }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -130,7 +147,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private def declaredNotNull(plan: LogicalPlan, a: AttributeReference): Boolean =
     chaseScan(plan).exists { lr =>
       lr.outputSet.contains(a) &&
-        constraintRoot(lr).exists(TableConstraints.isNotNullOn(_, a.name))
+        constraintRoot(lr).exists(relyNotNullCols(_).contains(a.name))
     }
 
   /** The directory whose declared constraints govern this scan, or None.
@@ -337,7 +354,7 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     * nullable-typed parquet columns (the usual case: parquet readers
     * type everything nullable) to the same contract. */
   private def knownNotNull(factRoot: String, a: AttributeReference): Boolean =
-    !a.nullable || TableConstraints.isNotNullOn(factRoot, a.name)
+    !a.nullable || relyNotNullCols(factRoot).contains(a.name)
 
   /** FK constrains non-null keys only: the dropped join also dropped
     * null-keyed fact rows, so the rewrite must too — except keys a

@@ -234,7 +234,11 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       .exists { root =>
         TxnStats.ndvOf(root, partialKeys.map(_.name)) match {
           case Some((ndv, _, complete)) if complete && ndv > 0 =>
-            TxnTable.snapshotRowCount(root) >= minCompression * ndv
+            // divide, don't multiply: minCompression × ndv can wrap
+            // Long and a negative bar would fire on every plan —
+            // floor(rows / m) >= ndv  ⟺  rows >= m × ndv for m > 0
+            TxnTable.snapshotRowCount(root) /
+              math.max(1L, minCompression) >= ndv
           case _ => false
         }
       }

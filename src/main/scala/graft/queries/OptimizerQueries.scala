@@ -531,6 +531,58 @@ object OptimizerQueries {
         .orderBy("stage", "pri")
     },
 
+    // ── ENFORCE-AT-INGEST — the write-side half of RELY, completing
+    //    the declared-constraint lifecycle: enforce here (batch-sized
+    //    probes: a predicate for NOT NULL, a broadcast join against the
+    //    dim's distinct keys for the FK), RELY in the optimizer
+    //    (q_opt_*), audit in O(Δ) (q_constraint_verify_incr). Conforming
+    //    rows append; the dangling-key and null-key rows quarantine with
+    //    reasons; the post-ingest incremental audit is GREEN — pinned in
+    //    the d_audit row — because violators never landed. The oracle
+    //    recomputes the split from the same data plus the two injected
+    //    violators.
+    sql("q_constraint_enforce",
+      """SELECT * FROM (
+        |  SELECT 'a_good' AS bucket, COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  UNION ALL SELECT 'b_fk', CAST(1 AS BIGINT), CAST(7 AS BIGINT)
+        |  UNION ALL SELECT 'c_notnull', CAST(1 AS BIGINT), CAST(5 AS BIGINT)
+        |  UNION ALL SELECT 'd_audit_green', CAST(2 AS BIGINT),
+        |            CAST(1 AS BIGINT)
+        |) ORDER BY bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/cenf_$sfKey")
+      val dim = s"$root/enf_dim"
+      val fact = s"$root/enf_fact"
+      val quar = s"$root/enf_quar"
+      TxnTable.commit(s, Tables.orders(s, d).select("o_orderkey"), dim,
+        overwrite = false)
+      new File(fact).mkdirs()
+      TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+        validate = Some(s))
+      TableConstraints.declareForeignKey(fact, Seq("l_orderkey"), dim,
+        Seq("o_orderkey"))
+      TableConstraints.declareNotNull(fact, Seq("l_orderkey"))
+      val batch = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        .unionByName(Seq((Some(-1L), 7L)).toDF("l_orderkey", "qty"))
+        .unionByName(Seq((Option.empty[Long], 5L)).toDF("l_orderkey", "qty"))
+      TableConstraints.commitEnforced(s, batch, fact, quar)
+      val good = TxnTable.read(s, fact)
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+        .select(lit("a_good").as("bucket"), col("cnt"), col("qty"))
+      val bad = TxnTable.read(s, quar)
+        .groupBy(when(col("reason").startsWith("fk"), "b_fk")
+          .otherwise("c_notnull").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+      val audit = TableConstraints.verifyIncremental(s, fact)
+      val green = Seq(("d_audit_green", audit.size.toLong,
+        if (audit.forall(_._3)) 1L else 0L)).toDF("bucket", "cnt", "qty")
+      good.unionByName(bad).unionByName(green).orderBy("bucket")
+    },
+
     // ── O(Δ) INCREMENTAL CONSTRAINT AUDIT — the honesty check priced
     //    for 100 TB: verify() re-shuffles the whole fact per audit;
     //    verifyIncremental audits ONLY the rows appended since the last

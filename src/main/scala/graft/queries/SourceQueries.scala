@@ -1783,6 +1783,57 @@ object SourceQueries {
       a.unionByName(dead).orderBy("grp")
     },
 
+    // ── streaming ENFORCE-AT-INGEST (declared constraints at the stream
+    //    boundary — the cross-TABLE sibling of q_stream_quarantine_sink's
+    //    row-local contracts): each micro-batch splits by the target's
+    //    declared RELY constraints — the FK probe joins the DIM's
+    //    distinct keys, something a row-local rule can never express —
+    //    conforming rows append as txn versions (replay-idempotent by
+    //    batch tag), violators quarantine with reasons.
+    sql("q_stream_enforced_ingest",
+      """SELECT * FROM (
+        |  SELECT 'a_good' AS bucket, COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  UNION ALL SELECT 'b_fk', CAST(1 AS BIGINT), CAST(7 AS BIGINT)
+        |  UNION ALL SELECT 'c_notnull', CAST(1 AS BIGINT), CAST(5 AS BIGINT)
+        |) ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.sources.TableConstraints
+      import graft.streaming.EventsStreaming
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/senf_$sfKey")
+      val dim = s"$root/dim"
+      val fact = s"$root/fact"
+      val quar = s"$root/quar"
+      val in = s"$root/in"
+      TxnTable.commit(s, Tables.orders(s, d).select("o_orderkey"), dim,
+        overwrite = false)
+      new java.io.File(fact).mkdirs()
+      TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+        validate = Some(s))
+      TableConstraints.declareForeignKey(fact, Seq("l_orderkey"), dim,
+        Seq("o_orderkey"))
+      TableConstraints.declareNotNull(fact, Seq("l_orderkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        .unionByName(Seq((Some(-1L), 7L)).toDF("l_orderkey", "qty"))
+        .unionByName(Seq((Option.empty[Long], 5L)).toDF("l_orderkey", "qty"))
+        .write.parquet(in)
+      val schema = new StructType()
+        .add("l_orderkey", LongType).add("qty", LongType)
+      val (goodT, quarT) = EventsStreaming.constrainedIngest(s, in, schema,
+        fact, quar)
+      val good = goodT.agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+        .select(lit("a_good").as("bucket"), col("cnt"), col("qty"))
+      val bad = quarT
+        .groupBy(when(col("reason").startsWith("fk"), "b_fk")
+          .otherwise("c_notnull").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+      good.unionByName(bad).orderBy("bucket")
+    },
+
     // ── transformWithState INITIAL STATE (the batch→streaming migration
     //    path): history before 2024-01-15 folds into per-user state by ONE
     //    batch aggregation, only later events stream — the old APIs could

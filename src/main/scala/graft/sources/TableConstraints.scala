@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Declared table constraints (engine-added): UNIQUE/PRIMARY-KEY,
@@ -270,13 +270,157 @@ object TableConstraints {
         holdsNotNull(spark, dir, n.cols)))
   }
 
+  // ── enforced ingest ──────────────────────────────────────────────────
+
+  /** True when `table` already holds rows a uniqueness probe must
+    * collide against (a fresh target has nothing to collide with). */
+  private def hasData(table: String): Boolean =
+    if (TxnTable.logDir(table).isDirectory) TxnTable.currentVersion(table) > 0
+    else Option(new File(table).listFiles()).getOrElse(Array.empty[File])
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Split an incoming batch by `table`'s declared RELY constraints:
+    * (conforming rows, violators + a `reason` column naming every
+    * violated constraint, comma-joined). The write-side half of RELY:
+    * [[graft.plans.ConstraintRules]] RELIES, [[verifyIncremental]]
+    * audits in O(Δ), and this gate keeps the declarations TRUE at the
+    * only place rows enter. Probes are batch-sized:
+    *  - NOT NULL: a predicate over the batch alone;
+    *  - FK: the batch left-joins the referenced table's DISTINCT keys
+    *    (a dim-sized build side — broadcastable at 100 TB);
+    *  - UNIQUE: a batch-keyed window counts within-batch duplicates,
+    *    and a null-SAFE join flags collisions with the CURRENT table
+    *    (strict uniqueness counts null tuples, which an equi-join
+    *    would silently admit). Every row of a violating key
+    *    quarantines — keeping "first of the dupes" would make the
+    *    outcome partitioning-dependent.
+    * Non-RELY declarations are documentation and do not gate ingest. */
+  def enforceSplit(spark: SparkSession, batch: DataFrame, table: String)
+      : (DataFrame, DataFrame) = withRewriteOff(spark) {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{concat_ws, count => cnt, lit, when}
+    val (us, fks, nns) = parse(table)
+    val keep = batch.columns.toSeq
+    var flagged = batch
+    val reasons = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    nns.filter(_.rely).foreach { n =>
+      reasons += (s"notnull(${n.cols.mkString(",")})" ->
+        n.cols.map(col(_).isNull).reduce(_ || _))
+    }
+    fks.filter(_.rely).zipWithIndex.foreach { case (fk, i) =>
+      val hit = s"__fk_hit_$i"
+      val ref = readDir(spark, fk.refTable)
+        .select(fk.refCols.zipWithIndex.map { case (rc, j) =>
+          col(rc).as(s"__rk_${i}_$j") }: _*)
+        .distinct()
+        .withColumn(hit, lit(1))
+      val cond = fk.cols.zipWithIndex.map { case (c, j) =>
+        col(c) === col(s"__rk_${i}_$j") }.reduce(_ && _)
+      flagged = flagged.join(ref, cond, "left")
+        .drop(fk.cols.indices.map(j => s"__rk_${i}_$j"): _*)
+      // SQL FK: null-keyed rows are unconstrained
+      reasons += (s"fk(${fk.cols.mkString(",")})" ->
+        (fk.cols.map(col(_).isNotNull).reduce(_ && _) && col(hit).isNull))
+    }
+    us.filter(_.rely).zipWithIndex.foreach { case (u, i) =>
+      val w = s"__u_cnt_$i"
+      flagged = flagged.withColumn(w,
+        cnt(lit(1)).over(Window.partitionBy(u.cols.map(col): _*)))
+      val hit = s"__u_hit_$i"
+      var dup: Column = col(w) > 1
+      if (hasData(table)) {
+        val exist = readDir(spark, table)
+          .select(u.cols.zipWithIndex.map { case (c, j) =>
+            col(c).as(s"__uk_${i}_$j") }: _*)
+          .distinct()
+          .withColumn(hit, lit(1))
+        val cond = u.cols.zipWithIndex.map { case (c, j) =>
+          col(c) <=> col(s"__uk_${i}_$j") }.reduce(_ && _)
+        flagged = flagged.join(exist, cond, "left")
+          .drop(u.cols.indices.map(j => s"__uk_${i}_$j"): _*)
+        dup = dup || col(hit).isNotNull
+      }
+      reasons += (s"unique(${u.cols.mkString(",")})" -> dup)
+    }
+    val reasonCol: Column =
+      if (reasons.isEmpty) lit("")
+      else concat_ws(",", reasons.toSeq.map { case (name, cond) =>
+        when(cond, name) }: _*) // concat_ws skips the null (passing) arms
+    val tagged = flagged.withColumn("__reason", reasonCol)
+    (tagged.filter(col("__reason") === "").select(keep.map(col): _*),
+      tagged.filter(col("__reason") =!= "")
+        .select(keep.map(col) :+ col("__reason").as("reason"): _*))
+  }
+
+  /** Enforce-at-ingest: append `batch`'s conforming rows to `table` and
+    * its violators (with `reason`) to `quarantineTable`, both as txn
+    * commits. Returns (goodRows, badRows) — (0, 0) for a replayed
+    * batch. With `tag`, the WHOLE batch is replay-idempotent: a tag
+    * that already landed in EITHER table skips both commits, because a
+    * replayed split re-evaluates against the post-append state — the
+    * batch's own keys are installed by then, and a per-table guard
+    * would re-classify the good rows as uniqueness collisions and
+    * quarantine them spuriously. The two commits are not atomic: a
+    * crash between them loses that batch's quarantine rows on replay
+    * (the good-table invariant — every declared RELY constraint stays
+    * TRUE — holds regardless; quarantine is diagnostics). A deployment
+    * needing the two routes version-locked writes through
+    * [[TxnCatalog.commitAll]] instead, the
+    * [[graft.streaming.EventsStreaming.quarantineSinkIngest]] shape. */
+  def commitEnforced(spark: SparkSession, batch: DataFrame, table: String,
+                     quarantineTable: String,
+                     tag: Option[String] = None): (Long, Long) = {
+    // reverse scan: a replayed tag is almost always the LAST version
+    // (the streaming restart case), so the common path is O(1); a
+    // fresh tag still proves absence in O(versions) log reads — the
+    // same cost class as the CDC view's tag adjudication
+    def landed(t: String): Boolean = tag.exists(tg =>
+      (TxnTable.currentVersion(t) to 1 by -1)
+        .exists(v => TxnTable.commitTag(t, v).contains(tg)))
+    if (landed(table) || landed(quarantineTable)) return (0L, 0L)
+    // the ENTIRE evaluation — split, counts, commits — runs with the
+    // constraint rewrites off: the probe frames are lazy, and a
+    // withRewriteOff scoped to plan CONSTRUCTION would expire before
+    // the optimizer reads the conf at count()/commit time, handing a
+    // violated RELY declaration its own enforcement probe to rewrite
+    withRewriteOff(spark) {
+      val (good, bad) = enforceSplit(spark, batch, table)
+      // both counts BEFORE any commit: a txn read pins its snapshot's
+      // file list at construction, but counting first keeps the split
+      // manifestly pre-append even if a future probe loses that property
+      val g = good.count()
+      val b = bad.count()
+      if (g > 0)
+        TxnTable.commit(spark, good, table, overwrite = false, tag = tag)
+      if (b > 0)
+        TxnTable.commit(spark, bad, quarantineTable, overwrite = false,
+          tag = tag)
+      (g, b)
+    }
+  }
+
   // ── O(Δ) incremental audit ───────────────────────────────────────────
 
   private def auditFile(dir: String) = new File(dir, "_graft_constraints_audit.json")
 
+  /** Digest of the constraints FILE — the audit watermark covers a
+    * specific declared set. A constraint declared (or re-RELY'd, or
+    * dropped) after the last all-green audit moves the digest, and the
+    * next audit runs FULLY: old rows were never checked against the
+    * new declaration, so an incremental Δ-only pass would report a
+    * false green (the whole-table data may already violate it). */
+  private def constraintsDigest(dir: String): String = {
+    val f = file(dir)
+    if (!f.isFile) "none"
+    else java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+  }
+
   /** The audit watermark: the table version the last all-green audit
-    * covered, plus each FK target's version at that moment. */
-  private def readAudit(dir: String): Option[(Int, Map[String, Int])] = {
+    * covered, each FK target's version at that moment, and the digest
+    * of the constraint set it audited. */
+  private def readAudit(dir: String): Option[(Int, Map[String, Int], String)] = {
     val f = auditFile(dir)
     if (!f.isFile) None
     else {
@@ -284,7 +428,9 @@ object TableConstraints {
       val v = "\"version\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
       val refs = """\{"ref":"([^"]*)","version":(\d+)\}""".r
         .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toInt).toMap
-      v.map((_, refs))
+      val cons = "\"cons\":\"([0-9a-f]+|none)\"".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      v.map((_, refs, cons))
     }
   }
 
@@ -297,20 +443,26 @@ object TableConstraints {
       "._graft_constraints_audit-" +
         java.util.UUID.randomUUID.toString.take(8) + ".tmp")
     Files.write(tmp.toPath,
-      s"""{"version":$version,"refs":$rs}""".getBytes(UTF_8))
+      s"""{"version":$version,"cons":"${constraintsDigest(dir)}","refs":$rs}"""
+        .getBytes(UTF_8))
     Files.move(tmp.toPath, auditFile(dir).toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** True when every version in (fromExclusive, toInclusive] only ADDED
-    * files — the shape under which "the rows that changed" is exactly
-    * "the rows in the added files". */
+    * data files — the shape under which "the rows that changed" is
+    * exactly "the rows in the added files". A DELETION-VECTOR commit
+    * (`deleteWhereMor`) removes no files yet removes ROWS, so a version
+    * adding any `dv/` entry is NOT append-only. */
   private def appendOnly(table: String, fromExclusive: Int,
                          toInclusive: Int): Boolean =
     TxnTable.logFiles(table)
       .filter(f => TxnTable.versionOf(f) > fromExclusive &&
         TxnTable.versionOf(f) <= toInclusive)
-      .forall(f => TxnTable.parseEntry(f)._2.isEmpty)
+      .forall { f =>
+        val (added, removed) = TxnTable.parseEntry(f)
+        removed.isEmpty && !added.exists(_.startsWith("dv/"))
+      }
 
   /** The rows appended in (fromExclusive, toInclusive] as a DataFrame —
     * only meaningful under [[appendOnly]]. */
@@ -342,9 +494,13 @@ object TableConstraints {
     *  - NOT NULL: the appended rows alone are probed.
     *
     * Any removal version on the audited table itself (overwrite,
-    * compaction, delete) falls back to the full [[verify]] — "what
-    * changed" is no longer "the appended rows". The watermark advances
-    * ONLY when every constraint holds, so a violation keeps being
+    * compaction, delete — INCLUDING a deletion-vector commit, which
+    * removes rows without removing files) falls back to the full
+    * [[verify]] — "what changed" is no longer "the appended rows"; so
+    * does any change to the DECLARED SET since the green audit (a
+    * constraint declared afterward was never checked against the old
+    * rows — Δ-only would false-green it). The watermark advances ONLY
+    * when every constraint holds, so a violation keeps being
     * re-audited until healed (or the declaration is withdrawn); a
     * non-txn directory always audits fully.
     *
@@ -360,8 +516,11 @@ object TableConstraints {
       verify(spark, dir).map { case (c, r, h) => (c, r, h, "full") }
     val out: Seq[(String, Boolean, Boolean, String)] = audit match {
       case None => full()
-      case Some((wm, _)) if !appendOnly(dir, wm, cur) => full()
-      case Some((wm, refVs)) => withRewriteOff(spark) {
+      // the declared set moved since the green audit: old rows were
+      // never checked against the new declarations — full re-audit
+      case Some((_, _, cons)) if cons != constraintsDigest(dir) => full()
+      case Some((wm, _, _)) if !appendOnly(dir, wm, cur) => full()
+      case Some((wm, refVs, _)) => withRewriteOff(spark) {
         // NOT cached/checkpointed: at 100 TB a day's Δ can be big, and
         // each probe is one clean re-scan of the Δ files — spill-safe
         val delta =

@@ -80,27 +80,45 @@ object TxnStats {
       // deletion vectors carry no stats column — they are not data
       .filterNot(_.startsWith("dv/"))
 
-  private def writeStatsRows(spark: SparkSession, table: String,
-                             column: String, dt: DataType,
-                             rows: Seq[Row]): Unit = {
-    val schema = StructType(Seq(
-      StructField("file", StringType, nullable = false),
-      StructField("min", dt), StructField("max", dt),
-      StructField("n_rows", LongType, nullable = false)))
-    statsDir(table, column).mkdirs()
-    // one small parquet per refresh: |new files| rows of metadata
+  /** Append `rows` as one small parquet under `dir` — |new files| rows
+    * of driver metadata per refresh, shared by the min-max and NDV
+    * sidecar families. */
+  private def writeSidecarRows(spark: SparkSession, dir: File,
+                               schema: StructType, rows: Seq[Row]): Unit = {
+    dir.mkdirs()
     spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), schema)
-      .coalesce(1).write.mode("append")
-      .parquet(statsDir(table, column).getPath)
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+  }
+
+  private def writeStatsRows(spark: SparkSession, table: String,
+                             column: String, dt: DataType,
+                             rows: Seq[Row]): Unit =
+    writeSidecarRows(spark, statsDir(table, column), StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("min", dt), StructField("max", dt),
+      StructField("n_rows", LongType, nullable = false))), rows)
+
+  private def writeWatermarkAt(dir: File, version: Int): Unit = {
+    dir.mkdirs()
+    Files.write(new File(dir, "_watermark.json").toPath,
+      s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
   }
 
   private def writeWatermark(table: String, column: String,
-                             version: Int): Unit = {
-    statsDir(table, column).mkdirs()
-    Files.write(wmFile(table, column).toPath,
-      s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+                             version: Int): Unit =
+    writeWatermarkAt(statsDir(table, column), version)
+
+  /** `input_file_name()` → the table-relative path, refusing files
+    * outside the table root — ONE definition for every sidecar
+    * refresher. */
+  private def relFile(tableAbs: String, p: String): String = {
+    val abs0 = if (p.startsWith("file:"))
+      new File(new java.net.URI(p)).getAbsolutePath else p
+    require(abs0.startsWith(tableAbs + "/"),
+      s"sidecar file outside table root: $abs0")
+    abs0.stripPrefix(tableAbs + "/")
   }
 
   /** Bring the stats for `column` up to the table's current version by
@@ -123,15 +141,8 @@ object TxnStats {
       val rows = src.groupBy(input_file_name().as("file"))
         .agg(min(col(column)).as("min"), max(col(column)).as("max"),
           count(lit(1)).as("n_rows"))
-        .collect().map { r =>
-          val p = r.getString(0)
-          val abs0 = if (p.startsWith("file:"))
-            new File(new java.net.URI(p)).getAbsolutePath else p
-          require(abs0.startsWith(tableAbs + "/"),
-            s"stats file outside table root: $abs0")
-          Row(abs0.stripPrefix(tableAbs + "/"),
-            r.get(1), r.get(2), r.getLong(3))
-        }
+        .collect().map(r => Row(relFile(tableAbs, r.getString(0)),
+          r.get(1), r.get(2), r.getLong(3)))
       writeStatsRows(spark, table, column, dt, rows.toSeq)
     }
     writeWatermark(table, column, current)
@@ -376,32 +387,22 @@ object TxnStats {
     if (newRel.nonEmpty) {
       val abs = newRel.map(p => new File(table, p).getPath)
       val tableAbs = new File(table).getAbsolutePath
+      // hash the SORTED column order — the sketch dir is keyed by
+      // cols.sorted, so two refreshes invoked with different caller
+      // orders must land register-compatible sketches (a caller-order
+      // hash would union two incompatible hash spaces and inflate NDV)
       val rows = spark.read.parquet(abs: _*)
         .groupBy(input_file_name().as("file"))
-        .agg(hll_sketch_agg(xxhash64(cols.map(col): _*)).as("sketch"),
+        .agg(hll_sketch_agg(xxhash64(cols.sorted.map(col): _*)).as("sketch"),
           count(lit(1)).as("n_rows"))
-        .collect().map { r =>
-          val p = r.getString(0)
-          val abs0 = if (p.startsWith("file:"))
-            new File(new java.net.URI(p)).getAbsolutePath else p
-          require(abs0.startsWith(tableAbs + "/"),
-            s"ndv file outside table root: $abs0")
-          Row(abs0.stripPrefix(tableAbs + "/"),
-            r.getAs[Array[Byte]](1), r.getLong(2))
-        }
-      val schema = StructType(Seq(
+        .collect().map(r => Row(relFile(tableAbs, r.getString(0)),
+          r.getAs[Array[Byte]](1), r.getLong(2)))
+      writeSidecarRows(spark, dir, StructType(Seq(
         StructField("file", StringType, nullable = false),
         StructField("sketch", BinaryType),
-        StructField("n_rows", LongType, nullable = false)))
-      dir.mkdirs()
-      spark.createDataFrame(
-          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-            .SeqHasAsJava(rows.toSeq).asJava), schema)
-        .coalesce(1).write.mode("append").parquet(dir.getPath)
+        StructField("n_rows", LongType, nullable = false))), rows.toSeq)
     }
-    dir.mkdirs()
-    Files.write(new File(dir, "_watermark.json").toPath,
-      s"""{"version":$cur}""".getBytes(StandardCharsets.UTF_8))
+    writeWatermarkAt(dir, cur)
     // merge the LIVE files' sketches into the summary
     val live = TxnTable.liveSplit(table)._1.toSet
     val hasSketches = Option(dir.listFiles()).getOrElse(Array.empty[File])

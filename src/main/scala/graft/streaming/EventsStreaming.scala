@@ -1133,6 +1133,42 @@ object EventsStreaming {
     okRows.unionByName(badRows)
   }
 
+  /** Streaming ENFORCE-AT-INGEST: a parquet file source drains through
+    * [[graft.sources.TableConstraints.commitEnforced]] per micro-batch —
+    * conforming rows append to `table` as txn versions, violators land
+    * in `quarantineTable` with a `reason` column naming what they broke.
+    * The lifecycle completion of the declared-constraint family: enforce
+    * here, RELY in the optimizer, audit in O(Δ). Replay-idempotent by
+    * batch tag (an acked-but-unrecorded micro-batch re-delivers after a
+    * crash; its tag already landed, so the re-append is skipped).
+    * Returns (table rows, quarantine rows — empty-schema'd when nothing
+    * violated). */
+  def constrainedIngest(spark: SparkSession, inDir: String,
+                        schema: StructType, table: String,
+                        quarantineTable: String)
+      : (DataFrame, DataFrame) = {
+    import graft.sources.TableConstraints
+    val ss = streamSession(spark)
+    val ckpt = s"$table.ckpt"
+    val q = ss.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        TableConstraints.commitEnforced(batch.sparkSession, batch, table,
+          quarantineTable, tag = Some(s"enforced-$batchId"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def readOrEmpty(t: String, s: StructType) =
+      if (graft.sources.TxnTable.currentVersion(t) > 0)
+        graft.sources.TxnTable.read(spark, t)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    (readOrEmpty(table, schema),
+      readOrEmpty(quarantineTable, schema.add("reason", StringType)))
+  }
+
   /** Streaming COUNT-MIN SKETCH accumulation over `user_id` — the
     * order-independent heavy-hitters state ([[graft.operators.CountMin]];
     * Misra-Gries counts are merge-order-sensitive, so this is the form a

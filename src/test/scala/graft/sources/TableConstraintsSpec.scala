@@ -247,6 +247,45 @@ class TableConstraintsSpec extends SparkSpec {
     assert(!TableConstraints.verifyIncremental(spark, dw).head._3)
   }
 
+  test("verifyIncremental: a post-audit declaration forces a full re-audit") {
+    val dim = s"$root/incr_drift_dim"
+    val fact = s"$root/incr_drift_fact"
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("k"), dim, overwrite = false)
+    TxnTable.commit(spark,
+      Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("fk", "m"), fact,
+      overwrite = false)
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"),
+      validate = Some(spark))
+    assert(TableConstraints.verifyIncremental(spark, fact).forall(_._3))
+    // a NOT NULL asserted AFTER the green audit, unvalidated, violated
+    // by rows the audit already covered: Δ-only would false-green it —
+    // the changed declared set must force a FULL re-audit that reports
+    // the violation honestly
+    TableConstraints.declareNotNull(fact, Seq("m"))
+    val drift = TableConstraints.verifyIncremental(spark, fact)
+    val nn = drift.find(_._1 == "notnull(m)").get
+    assert(nn._4 == "full" && !nn._3,
+      s"post-audit declaration must re-audit fully and catch it: $drift")
+  }
+
+  test("verifyIncremental: a DV delete (rows gone, files kept) forces a full FK audit") {
+    val dim = s"$root/incr_dv_dim"
+    val fact = s"$root/incr_dv_fact"
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("k"), dim, overwrite = false)
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("fk"), fact, overwrite = false)
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"),
+      validate = Some(spark))
+    assert(TableConstraints.verifyIncremental(spark, fact).forall(_._3))
+    // a deletion-vector commit removes the referenced key WITHOUT
+    // removing files — its log entry has an empty removal list, which
+    // the append-only gate must still refuse
+    TxnTable.deleteWhereMor(spark, dim, $"k" === 2L)
+    val afterDv = TableConstraints.verifyIncremental(spark, fact)
+    val fkRow = afterDv.find(_._1.startsWith("fk(")).get
+    assert(fkRow._4 == "full" && !fkRow._3,
+      s"a DV delete on the ref must force a full FK audit: $afterDv")
+  }
+
   test("verifyIncremental: a ref-side removal forces a full FK audit") {
     val dim = s"$root/incr_refdim"
     val fact = s"$root/incr_reffact"
@@ -262,6 +301,56 @@ class TableConstraintsSpec extends SparkSpec {
     val fkRow = afterShrink.find(_._1.startsWith("fk(")).get
     assert(fkRow._4 == "full", s"ref removal needs a full fk audit: $afterShrink")
     assert(!fkRow._3, "fk=2 now dangles")
+  }
+
+  test("enforced ingest quarantines violators with reasons; the RELY loop stays green") {
+    val dim = s"$root/enf_dim"
+    val fact = s"$root/enf_fact"
+    val quar = s"$root/enf_quar"
+    TxnTable.commit(spark, Seq(1L, 2L, 3L).toDF("k"), dim, overwrite = false)
+    new File(fact).mkdirs()
+    TableConstraints.declareUnique(dim, Seq("k"), validate = Some(spark))
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"))
+    TableConstraints.declareNotNull(fact, Seq("m"))
+    TableConstraints.declareUnique(fact, Seq("pk"))
+    val b1 = Seq(
+      (1L, Some(1L), Some(10L)),  // good
+      (2L, Some(2L), Some(20L)),  // good
+      (3L, Some(3L), Some(30L)),  // good
+      (4L, Some(9L), Some(40L)),  // fk dangling
+      (5L, Some(1L), None: Option[Long]), // null measure
+      (6L, Some(2L), Some(60L)),  // within-batch dup pk →
+      (6L, Some(3L), Some(61L)),  //   BOTH rows quarantine
+      (7L, Some(9L), None: Option[Long])  // fk + notnull together
+    ).toDF("pk", "fk", "m")
+    assert(TableConstraints.commitEnforced(spark, b1, fact, quar) == (3L, 5L))
+    val reasons = TxnTable.read(spark, quar).select("pk", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(4L) == "fk(fk)")
+    assert(reasons(5L) == "notnull(m)")
+    assert(reasons(6L) == "unique(pk)")
+    assert(reasons(7L) == "notnull(m),fk(fk)", reasons(7L))
+    // a later batch colliding with an INSTALLED key quarantines too
+    val b2 = Seq((1L, Some(1L), Some(11L)), (8L, Some(2L), Some(80L)))
+      .toDF("pk", "fk", "m")
+    assert(TableConstraints.commitEnforced(spark, b2, fact, quar) == (1L, 1L))
+    assert(TxnTable.read(spark, fact).count() == 4)
+    // enforcement kept every declaration TRUE: the O(Δ) audit is green
+    assert(TableConstraints.verifyIncremental(spark, fact).forall(_._3))
+    // tagged replays are idempotent AS A WHOLE batch: a landed tag
+    // skips both commits — a re-evaluated split would see the batch's
+    // own keys installed and spuriously quarantine them as collisions
+    val b3 = Seq((9L, Some(3L), Some(90L))).toDF("pk", "fk", "m")
+    assert(TableConstraints.commitEnforced(spark, b3, fact, quar,
+      tag = Some("batch-3")) == (1L, 0L))
+    val v = TxnTable.currentVersion(fact)
+    val quarN = TxnTable.read(spark, quar).count()
+    assert(TableConstraints.commitEnforced(spark, b3, fact, quar,
+      tag = Some("batch-3")) == (0L, 0L), "replay must report (0,0)")
+    assert(TxnTable.currentVersion(fact) == v, "tagged replay must no-op")
+    assert(TxnTable.read(spark, fact).filter($"pk" === 9L).count() == 1)
+    assert(TxnTable.read(spark, quar).count() == quarN,
+      "a replay must not quarantine the batch's own installed keys")
   }
 
   test("constraints on a TxnTable live beside the log and read the snapshot") {
