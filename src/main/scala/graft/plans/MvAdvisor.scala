@@ -188,6 +188,50 @@ object MvAdvisor {
     * does, and sketch error never changes WHICH shape the workload
     * aggregates, only where the size boundary falls. `exactNdv = true`
     * keeps the exact path — the oracle-gated test configuration. */
+  /** The fact-side key remap for a FULLY-DECLARED star, or None when
+    * any edge lacks its declarations (then the exact joined probe
+    * runs). Every view key owned by a dim is replaced, transitively
+    * through snowflake hops, by the edge's parent-side join key until
+    * it reaches the fact — sound because a RELY-unique dim key makes
+    * every dim attribute a function of it, and the RELY FK makes the
+    * inner join fact-preserving (left edges preserve unconditionally).
+    * Paths arrive as Hadoop `file:`-prefixed strings; the constraint
+    * store keys by plain dirs. */
+  private def factSideKeys(c: StarCandidate,
+                           keys: Seq[String]): Option[Seq[String]] = {
+    import graft.sources.TableConstraints
+    def dirOf(path: String): String =
+      if (path.startsWith("file:")) path.stripPrefix("file:") else path
+    if (c.colOwner.isEmpty || c.edgeParents.isEmpty) return None
+    val declared = c.dims.forall { dm =>
+      TableConstraints.isUniqueOn(dirOf(dm.path), Set(dm.dimKey)) &&
+        (dm.joinType == "left" ||
+          c.edgeParents.get(dm.suffix).exists(parent =>
+            TableConstraints.fkCovers(dirOf(parent),
+              Set(dm.leftKey -> dm.dimKey), dirOf(dm.path))))
+    }
+    if (!declared) return None
+    val bySuffix = c.dims.map(d => d.suffix -> d).toMap
+    def remap(k: String): Option[String] = {
+      var cur = k
+      var guard = c.dims.size + 1
+      while (guard > 0) {
+        c.colOwner.get(cur) match {
+          case Some(s) if s == c.factSuffix => return Some(cur)
+          case Some(s) => bySuffix.get(s) match {
+            case Some(dm) => cur = dm.leftKey; guard -= 1
+            case None => return None
+          }
+          case None => return None
+        }
+      }
+      None
+    }
+    val remapped = keys.map(remap)
+    if (remapped.exists(_.isEmpty)) None
+    else Some(remapped.flatten.distinct)
+  }
+
   private def estKeyRows(rel: DataFrame, keys: Seq[String],
                          exactNdv: Boolean, rsd: Double): Long =
     if (exactNdv) rel.select(keys.map(col): _*).distinct().count()
@@ -211,9 +255,15 @@ object MvAdvisor {
   final case class StarDim(suffix: String, path: String, leftKey: String,
                            dimKey: String, joinType: String)
 
+  /** `colOwner` maps every view key and edge column to its owning
+    * leaf's suffix; `edgeParents` maps each dim suffix to its PARENT
+    * leaf's path in the oriented tree (the fact, or an earlier dim for
+    * snowflake hops) — what the declared-FK pricing upgrade consults. */
   final case class StarCandidate(factSuffix: String, factPath: String,
                                  dims: Seq[StarDim], keys: Seq[String],
-                                 measures: Seq[String])
+                                 measures: Seq[String],
+                                 colOwner: Map[String, String] = Map.empty,
+                                 edgeParents: Map[String, String] = Map.empty)
 
   /** The STAR summary shape of one join-aggregate query: flatten the
     * equi-join tree ([[MvRewrite.flattenJoin]] — the same matcher the
@@ -285,9 +335,12 @@ object MvAdvisor {
       oriented <- orient(edges, names, leftDimIdx, uniqueOn)
       (keys, measures) <- classifyAgg(a, filters)
     } yield {
-      val (factIdx, dims) = oriented
+      val (factIdx, dims, edgeParents) = oriented
+      val edgeCols = dims.flatMap(d => Seq(d.leftKey, d.dimKey))
+      val colOwner = (keys ++ edgeCols).distinct.flatMap(cn =>
+        owner.get(cn).collect { case Seq(i) => cn -> names(i)._1 }).toMap
       StarCandidate(names(factIdx)._1, names(factIdx)._2, dims,
-        keys, measures)
+        keys, measures, colOwner, edgeParents)
     }
   }
 
@@ -299,12 +352,13 @@ object MvAdvisor {
                      names: Seq[(String, String)],
                      leftDimIdx: Map[Set[String], Int],
                      uniqueOn: (String, String) => Boolean)
-      : Option[(Int, Seq[StarDim])] = {
+      : Option[(Int, Seq[StarDim], Map[String, String])] = {
     val n = names.size
     val adj = (0 until n).map(i => edges.filter(e => e._2 == i || e._4 == i))
-    def tryRoot(f: Int): Option[(Int, Seq[StarDim])] = {
+    def tryRoot(f: Int): Option[(Int, Seq[StarDim], Map[String, String])] = {
       val seen = scala.collection.mutable.Set(f)
       val dims = scala.collection.mutable.ArrayBuffer.empty[StarDim]
+      val parents = scala.collection.mutable.Map.empty[String, String]
       var frontier = List(f)
       while (frontier.nonEmpty) {
         val next = frontier.flatMap { u =>
@@ -320,6 +374,7 @@ object MvAdvisor {
               if (jt == "left" && leftDimIdx(p) != child) return None
               if (!uniqueOn(names(child)._2, childKey)) return None
               seen += child
+              parents(names(child)._1) = names(u)._2
               Some((names(child)._1,
                 StarDim(names(child)._1, names(child)._2, parentKey,
                   childKey, jt), child))
@@ -329,7 +384,7 @@ object MvAdvisor {
         dims ++= next.map(_._2)
         frontier = next.map(_._3)
       }
-      if (seen.size == n) Some((f, dims.toSeq)) else None
+      if (seen.size == n) Some((f, dims.toSeq, parents.toMap)) else None
     }
     (0 until n).sortBy(names(_)._1).iterator
       .map(tryRoot).collectFirst { case Some(r) => r }
@@ -355,12 +410,30 @@ object MvAdvisor {
         val keys = cs.flatMap(_.keys).distinct.sorted
         val measures = cs.flatMap(_.measures).distinct.sorted
         val fact = spark.read.parquet(c.factPath)
-        val joined = c.dims.foldLeft(fact) { (acc, dm) =>
-          acc.join(spark.read.parquet(dm.path),
-            col(dm.leftKey) === col(dm.dimKey),
-            if (dm.joinType == "left") "left" else "inner")
+        // CONSTRAINT-AWARE pricing: a star whose every edge is fully
+        // DECLARED (dim key RELY-unique; inner edges also covered by a
+        // RELY FK on the edge's parent) is provably non-fanning AND
+        // fact-preserving, so each dim attribute is a FUNCTION of its
+        // fact-side join key — the summary cardinality is bounded by
+        // the NDV of the keys REMAPPED to the fact (transitively
+        // through snowflake hops), measured on the FACT SCAN ALONE:
+        // the dims are never read, let alone joined. The bound is
+        // one-sided the safe way (distinct attrs ≤ distinct keys), so
+        // an admitted star truly compresses; an undeclared star keeps
+        // the exact joined probe.
+        // merged candidates may each own only their OWN keys' columns
+        val factOnlyKeys = factSideKeys(
+          c.copy(colOwner = cs.flatMap(_.colOwner).toMap), keys)
+        val estRows = factOnlyKeys match {
+          case Some(fk) => estKeyRows(fact, fk, exactNdv, rsd)
+          case None =>
+            val joined = c.dims.foldLeft(fact) { (acc, dm) =>
+              acc.join(spark.read.parquet(dm.path),
+                col(dm.leftKey) === col(dm.dimKey),
+                if (dm.joinType == "left") "left" else "inner")
+            }
+            estKeyRows(joined, keys, exactNdv, rsd)
         }
-        val estRows = estKeyRows(joined, keys, exactNdv, rsd)
         val factRows = fact.count()
         val star = c.dims.map(d =>
           s"${d.suffix}:${d.leftKey}=${d.dimKey}:${d.joinType}").mkString(",")

@@ -105,7 +105,9 @@ object WorkloadAdvisor {
              exactNdv: Boolean = false,
              txnTables: Seq[String] = Nil,
              vacuumRetainLag: Int = 0,
-             eagerMinCompression: Long = 8L): DataFrame = {
+             eagerMinCompression: Long = 8L,
+             sampledProbes: Boolean = false,
+             sampleRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val mv = MvAdvisor.recommend(spark, queries, maxRowsFraction,
         exactNdv = exactNdv)
@@ -322,7 +324,37 @@ object WorkloadAdvisor {
           case Some((ndv, v, complete))
               if complete && v == TxnTable.currentVersion(root) &&
                 ndv.toDouble < rowsOfRoot(root) * 0.9 => false
-          case _ => TableConstraints.holdsUnique(spark, root, keys)
+          case _ if !sampledProbes =>
+            TableConstraints.holdsUnique(spark, root, keys)
+          case _ =>
+            // SAMPLED advisory probe (the r11 full-scan nit): a
+            // duplicate inside the first `sampleRows` rows is an EXACT
+            // refutation; a clean sample is a SCREEN — the
+            // recommendation's own act (declare with validate) is the
+            // exact gate, so a screened false positive is refused at
+            // declare time, never asserted
+            import org.apache.spark.sql.functions.{col, lit, count}
+            readRoot(root).select(keys.map(col): _*).limit(sampleRows)
+              .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+              .filter(col("c") > 1).limit(1).count() == 0
+        }
+      def fkHolds(factRoot: String, factKeys: Seq[String],
+                  dimRoot: String, dimKeys: Seq[String]): Boolean =
+        if (!sampledProbes)
+          TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
+            dimRoot, dimKeys)
+        else {
+          // a dangling key in the sample refutes exactly; a clean
+          // sample screens (declare validates) — at 100 TB this turns
+          // the advisory anti-join of the whole fact into a
+          // sample-sized probe against the dim's keys
+          import org.apache.spark.sql.functions.col
+          val sample = readRoot(factRoot).select(factKeys.map(col): _*)
+            .na.drop("any").limit(sampleRows)
+          val ref = readRoot(dimRoot)
+            .select(dimKeys.zip(factKeys)
+              .map { case (dk, fk) => col(dk).as(fk) }: _*)
+          sample.join(ref, factKeys, "left_anti").limit(1).count() == 0
         }
       val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
         .sortBy { case ((r, ks), _) => (r, ks.mkString(",")) }
@@ -353,8 +385,7 @@ object WorkloadAdvisor {
           val holds =
             (TableConstraints.isUniqueOn(dimRoot, dimKeys.toSet) ||
               uniqueHolds(dimRoot, dimKeys)) &&
-            TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
-              dimRoot, dimKeys)
+            fkHolds(factRoot, factKeys, dimRoot, dimKeys)
           val saved = cs.map(c => rowsOfRoot(c.dimRoot) +
             c.factRoot.fold(0L)(rowsOfRoot)).sum
           ("constraint", s"$fName.${factKeys.mkString("+")}", "declare_fk",
@@ -376,7 +407,16 @@ object WorkloadAdvisor {
           factKeys.forall(TableConstraints.isNotNullOn(factRoot, _)) }
         .map { case ((factRoot, factKeys), cs) =>
           val fName = new java.io.File(factRoot).getName
-          val holds = TableConstraints.holdsNotNull(spark, factRoot, factKeys)
+          val holds =
+            if (!sampledProbes)
+              TableConstraints.holdsNotNull(spark, factRoot, factKeys)
+            else {
+              import org.apache.spark.sql.functions.col
+              readRoot(factRoot).select(factKeys.map(col): _*)
+                .limit(sampleRows)
+                .filter(factKeys.map(col(_).isNull).reduce(_ || _))
+                .limit(1).count() == 0
+            }
           ("constraint", s"$fName.${factKeys.mkString("+")}",
             "declare_notnull",
             if (holds) s"joins=${cs.size}" else "nulls_in_data",

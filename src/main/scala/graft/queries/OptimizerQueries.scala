@@ -382,7 +382,13 @@ object OptimizerQueries {
           .join(TxnTable.read(s, declaredDim),
             col("l_orderkey") === col("o_orderkey"), "left")
           .select("l_returnflag"))
-      WorkloadAdvisor.report(s, workload, exactNdv = true)
+      // the SAMPLED advisory path (the deployed configuration): probes
+      // refute from a bounded sample — the data-refuted candidate is
+      // still caught (a duplicate inside the sample is an exact
+      // refutation) — while clean samples SCREEN; the recommendation's
+      // own declare-with-validate is the exact gate
+      WorkloadAdvisor.report(s, workload, exactNdv = true,
+          sampledProbes = true)
         .filter(col("family") === "constraint")
         .select("family", "target", "action", "detail", "weight",
           "saved_rows", "recommend")

@@ -45,7 +45,7 @@ object EventsStreaming {
   /** The file streaming source requires a directory; the testdata ships
     * single-file tables. Stage events.parquet into a scratch dir keyed by
     * the sf dir (copy once, reuse). */
-  private[streaming] def stageDir(sfDir: String): String = {
+  private[graft] def stageDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = Paths.get(s"/root/repo/target/tmp/stream/$key")

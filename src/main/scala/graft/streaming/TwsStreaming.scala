@@ -379,7 +379,9 @@ object TwsStreaming {
     * state path in specs. */
   def typeDistinctUsers(spark: SparkSession, sfDir: String, p: Int = 11,
                         inputDir: Option[String] = None,
-                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                        maxFilesPerTrigger: Option[Int] = None,
+                        onQuery: org.apache.spark.sql.streaming.StreamingQuery
+                          => Unit = _ => ()): DataFrame = {
     val ss = EventsStreaming.streamSession(spark)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -398,6 +400,7 @@ object TwsStreaming {
     val q = ests.toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    onQuery(q) // profiler hook: recentProgress (micro-batch count/times)
     val out = ss.table(name)
       .groupBy("event_type").agg(max("est").as("est"))
       .cache()

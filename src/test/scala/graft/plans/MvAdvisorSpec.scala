@@ -180,6 +180,55 @@ class MvAdvisorSpec extends SparkSpec {
     assert(oc.factSuffix == "sdim_base.parquet") // 'sdim…' < 'sone…'
   }
 
+  test("a fully-declared star prices from the fact alone — dims never read") {
+    import graft.sources.TableConstraints
+    val factP = s"$root/decl_fact"
+    val dimP = s"$root/decl_dim"
+    (1L to 200L).map(i => (i % 20 + 1, i)).toDF("fk", "m")
+      .write.parquet(factP)
+    (1L to 20L).map(k => (k, s"a${k % 4}")).toDF("k", "attr")
+      .write.parquet(dimP)
+    TableConstraints.declareUnique(dimP, Seq("k"), validate = Some(spark))
+    TableConstraints.declareForeignKey(factP, Seq("fk"), dimP, Seq("k"),
+      validate = Some(spark))
+    // frame constructed (schema footers read) BEFORE the dim data is
+    // removed — the pricing pass must never touch dim DATA pages
+    val wl = spark.read.parquet(factP)
+      .join(spark.read.parquet(dimP), col("fk") === col("k"))
+      .groupBy("attr").agg(sum("m").as("sm"))
+    new File(dimP).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") ||
+        f.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    // the PROBE COUNT on the dim is pinned at zero the hard way: any
+    // dim read now fails loudly — a passing recommendStars IS the pin
+    val rows = MvAdvisor.recommendStars(spark, Seq(wl), exactNdv = true)
+      .collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    // est = NDV over the REMAPPED fact-side key (fk: 20 values) — the
+    // provable upper bound of the 4-value attr grouping; fact-preserving
+    // by the declared FK, so fact_rows is the honest base
+    assert(r.getAs[Long]("est_rows") == 20L, r.toString)
+    assert(r.getAs[Long]("fact_rows") == 200L)
+    assert(r.getAs[Boolean]("recommend"))
+    // control: an UNDECLARED star still runs the exact joined probe —
+    // with dim data present it prices the true summary cardinality
+    val factU = s"$root/undecl_fact"
+    val dimU = s"$root/undecl_dim"
+    (1L to 200L).map(i => (i % 20 + 1, i)).toDF("fku", "mu")
+      .write.parquet(factU)
+    (1L to 20L).map(k => (k, s"a${k % 4}")).toDF("ku", "attru")
+      .write.parquet(dimU)
+    val wlU = spark.read.parquet(factU)
+      .join(spark.read.parquet(dimU), col("fku") === col("ku"))
+      .groupBy("attru").agg(sum("mu").as("sm"))
+    val rU = MvAdvisor.recommendStars(spark, Seq(wlU), exactNdv = true)
+      .collect()
+    assert(rU.length == 1 && rU.head.getAs[Long]("est_rows") == 4L,
+      rU.mkString(";")) // the exact joined probe sees the 4 attr values
+  }
+
   test("txn advisor: snapshot resolution, version pinning, closing loop") {
     import graft.sources.TxnTable
     val table = s"$root/txnadv_fact"

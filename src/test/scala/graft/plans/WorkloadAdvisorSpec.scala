@@ -212,6 +212,40 @@ class WorkloadAdvisorSpec extends SparkSpec {
       .filter($"family" === "constraint").isEmpty)
   }
 
+  test("sampled probes still refuse a false candidate; screened truths recommend") {
+    GraftPlanner.register(spark)
+    val fact = s"$root/smp_fact"
+    val dimDup = s"$root/smp_dimdup"   // every row the SAME key
+    val dimOk = s"$root/smp_dimok"
+    TxnTable.commit(spark,
+      (1L to 200L).map(i => (7L, i)).toDF("fk", "m"), fact,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 300L).map(_ => (7L, "x")).toDF("k", "nm"), dimDup,
+      overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("ko", "nmo"), dimOk,
+      overwrite = false)
+    def wl = Seq(
+      TxnTable.read(spark, fact)
+        .join(TxnTable.read(spark, dimDup), $"fk" === $"k", "left")
+        .select("m"),
+      TxnTable.read(spark, fact)
+        .join(TxnTable.read(spark, dimOk), $"fk" === $"ko", "left")
+        .select("m"))
+    // a TINY sample must still catch the constant-key duplicate — any
+    // two sampled rows collide — while the clean dim screens true
+    val rows = WorkloadAdvisor.report(spark, wl, sampledProbes = true,
+        sampleRows = 10)
+      .filter($"family" === "constraint" && $"action" === "declare_unique")
+      .collect()
+      .map(r => (r.getAs[String]("target"), r.getAs[Boolean]("recommend"),
+        r.getAs[String]("detail"))).toSet
+    assert(rows == Set(
+      ("smp_dimdup.k", false, "not_unique_in_data"),
+      ("smp_dimok.ko", true, "joins=1")), rows.toString)
+  }
+
   test("a fresh NDV sketch refutes a duplicate dim key from metadata") {
     GraftPlanner.register(spark)
     val fact = s"$root/ndvref_fact"
