@@ -319,43 +319,27 @@ object WorkloadAdvisor {
       // a truly-unique key. Only refutation short-circuits: a positive
       // verdict still needs the exact probe (an advisor must never
       // recommend asserting a false constraint).
+      // SAMPLED advisory probes (the r11 full-scan nit): a violation
+      // inside the first `sampleRows` rows is an EXACT refutation; a
+      // clean sample is a SCREEN — the recommendation's own act
+      // (declare with validate) is the exact gate, so a screened false
+      // positive is refused at declare time, never asserted. Routed
+      // through the TableConstraints helpers so every probe runs under
+      // withRewriteOff — a probe shape a constraint rewrite could
+      // otherwise turn into its own tautology.
+      val probeLimit = if (sampledProbes) Some(sampleRows) else None
       def uniqueHolds(root: String, keys: Seq[String]): Boolean =
         graft.sources.TxnStats.ndvOf(root, keys) match {
           case Some((ndv, v, complete))
               if complete && v == TxnTable.currentVersion(root) &&
                 ndv.toDouble < rowsOfRoot(root) * 0.9 => false
-          case _ if !sampledProbes =>
-            TableConstraints.holdsUnique(spark, root, keys)
           case _ =>
-            // SAMPLED advisory probe (the r11 full-scan nit): a
-            // duplicate inside the first `sampleRows` rows is an EXACT
-            // refutation; a clean sample is a SCREEN — the
-            // recommendation's own act (declare with validate) is the
-            // exact gate, so a screened false positive is refused at
-            // declare time, never asserted
-            import org.apache.spark.sql.functions.{col, lit, count}
-            readRoot(root).select(keys.map(col): _*).limit(sampleRows)
-              .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-              .filter(col("c") > 1).limit(1).count() == 0
+            TableConstraints.holdsUnique(spark, root, keys, probeLimit)
         }
       def fkHolds(factRoot: String, factKeys: Seq[String],
                   dimRoot: String, dimKeys: Seq[String]): Boolean =
-        if (!sampledProbes)
-          TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
-            dimRoot, dimKeys)
-        else {
-          // a dangling key in the sample refutes exactly; a clean
-          // sample screens (declare validates) — at 100 TB this turns
-          // the advisory anti-join of the whole fact into a
-          // sample-sized probe against the dim's keys
-          import org.apache.spark.sql.functions.col
-          val sample = readRoot(factRoot).select(factKeys.map(col): _*)
-            .na.drop("any").limit(sampleRows)
-          val ref = readRoot(dimRoot)
-            .select(dimKeys.zip(factKeys)
-              .map { case (dk, fk) => col(dk).as(fk) }: _*)
-          sample.join(ref, factKeys, "left_anti").limit(1).count() == 0
-        }
+        TableConstraints.holdsForeignKey(spark, factRoot, factKeys,
+          dimRoot, dimKeys, probeLimit)
       val uniq = cands.groupBy(c => (c.dimRoot, c.dimKeys)).toSeq
         .sortBy { case ((r, ks), _) => (r, ks.mkString(",")) }
         // a dim whose key is ALREADY declared needs no declare_unique
@@ -407,16 +391,8 @@ object WorkloadAdvisor {
           factKeys.forall(TableConstraints.isNotNullOn(factRoot, _)) }
         .map { case ((factRoot, factKeys), cs) =>
           val fName = new java.io.File(factRoot).getName
-          val holds =
-            if (!sampledProbes)
-              TableConstraints.holdsNotNull(spark, factRoot, factKeys)
-            else {
-              import org.apache.spark.sql.functions.col
-              readRoot(factRoot).select(factKeys.map(col): _*)
-                .limit(sampleRows)
-                .filter(factKeys.map(col(_).isNull).reduce(_ || _))
-                .limit(1).count() == 0
-            }
+          val holds = TableConstraints.holdsNotNull(spark, factRoot,
+            factKeys, probeLimit)
           ("constraint", s"$fName.${factKeys.mkString("+")}",
             "declare_notnull",
             if (holds) s"joins=${cs.size}" else "nulls_in_data",

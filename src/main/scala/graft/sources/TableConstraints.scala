@@ -148,28 +148,44 @@ object TableConstraints {
     }
   }
 
-  /** True iff the current data satisfies strict uniqueness on `cols`. */
-  def holdsUnique(spark: SparkSession, dir: String, cols: Seq[String]): Boolean =
+  /** True iff the current data satisfies strict uniqueness on `cols`.
+    * With `sampleRows`, only the first N rows are probed — a duplicate
+    * inside the sample is an EXACT refutation, a clean sample is a
+    * SCREEN (the advisory contract: declare-with-validate is the exact
+    * gate). Runs under [[withRewriteOff]] either way, so a violated
+    * RELY declaration can never rewrite its own probe. */
+  def holdsUnique(spark: SparkSession, dir: String, cols: Seq[String],
+                  sampleRows: Option[Int] = None): Boolean =
     withRewriteOff(spark) {
-      readDir(spark, dir).groupBy(cols.map(col): _*).count()
+      val src = readDir(spark, dir)
+      sampleRows.fold(src)(src.limit(_))
+        .groupBy(cols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count() == 0
     }
 
   /** True iff every row of `dir` with all-non-null `cols` matches a row
-    * of `refDir` on `refCols` (standard SQL FK). */
+    * of `refDir` on `refCols` (standard SQL FK). `sampleRows` limits
+    * the PROBED side (the fact) — same screen-or-exact-refute contract
+    * as [[holdsUnique]]; the ref is always read whole. */
   def holdsForeignKey(spark: SparkSession, dir: String, cols: Seq[String],
-                      refDir: String, refCols: Seq[String]): Boolean =
+                      refDir: String, refCols: Seq[String],
+                      sampleRows: Option[Int] = None): Boolean =
     withRewriteOff(spark) {
-      val fact = readDir(spark, dir).select(cols.map(col): _*).na.drop("any")
+      val src = readDir(spark, dir)
+      val fact = sampleRows.fold(src)(src.limit(_))
+        .select(cols.map(col): _*).na.drop("any")
       val ref = readDir(spark, refDir)
         .select(refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*)
       fact.join(ref, cols, "left_anti").limit(1).count() == 0
     }
 
-  /** True iff no row of `dir` has a NULL in any of `cols`. */
-  def holdsNotNull(spark: SparkSession, dir: String, cols: Seq[String]): Boolean =
+  /** True iff no row of `dir` has a NULL in any of `cols` (`sampleRows`:
+    * screen-or-exact-refute, as above). */
+  def holdsNotNull(spark: SparkSession, dir: String, cols: Seq[String],
+                   sampleRows: Option[Int] = None): Boolean =
     withRewriteOff(spark) {
-      readDir(spark, dir)
+      val src = readDir(spark, dir)
+      sampleRows.fold(src)(src.limit(_))
         .filter(cols.map(col(_).isNull).reduce(_ || _))
         .limit(1).count() == 0
     }
@@ -273,11 +289,21 @@ object TableConstraints {
   // ── enforced ingest ──────────────────────────────────────────────────
 
   /** True when `table` already holds rows a uniqueness probe must
-    * collide against (a fresh target has nothing to collide with). */
+    * collide against (a fresh target has nothing to collide with).
+    * Plain directories are walked RECURSIVELY — a partitionBy layout
+    * nests its files under key= subdirectories, and treating such a
+    * table as empty would skip the collision probe entirely. */
   private def hasData(table: String): Boolean =
     if (TxnTable.logDir(table).isDirectory) TxnTable.currentVersion(table) > 0
-    else Option(new File(table).listFiles()).getOrElse(Array.empty[File])
-      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    else {
+      def walk(d: File): Boolean =
+        Option(d.listFiles()).getOrElse(Array.empty[File]).exists { f =>
+          (f.isFile && f.getName.endsWith(".parquet")) ||
+            (f.isDirectory && !f.getName.startsWith("_") &&
+              !f.getName.startsWith(".") && walk(f))
+        }
+      walk(new File(table))
+    }
 
   /** Split an incoming batch by `table`'s declared RELY constraints:
     * (conforming rows, violators + a `reason` column naming every
@@ -296,7 +322,20 @@ object TableConstraints {
     *    outcome partitioning-dependent.
     * Non-RELY declarations are documentation and do not gate ingest. */
   def enforceSplit(spark: SparkSession, batch: DataFrame, table: String)
-      : (DataFrame, DataFrame) = withRewriteOff(spark) {
+      : (DataFrame, DataFrame) = {
+    val (tagged, keep) = enforceTagged(spark, batch, table)
+    (tagged.filter(col("__reason") === "").select(keep.map(col): _*),
+      tagged.filter(col("__reason") =!= "")
+        .select(keep.map(col) :+ col("__reason").as("reason"): _*))
+  }
+
+  /** The shared core of [[enforceSplit]]/[[commitEnforced]]: the batch
+    * with every probe folded into one `__reason` column — ONE frame the
+    * committer can persist so the probe pipeline (FK joins, uniqueness
+    * window + snapshot join) runs once, not once per count/commit. */
+  private def enforceTagged(spark: SparkSession, batch: DataFrame,
+                            table: String)
+      : (DataFrame, Seq[String]) = withRewriteOff(spark) {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{concat_ws, count => cnt, lit, when}
@@ -347,10 +386,7 @@ object TableConstraints {
       if (reasons.isEmpty) lit("")
       else concat_ws(",", reasons.toSeq.map { case (name, cond) =>
         when(cond, name) }: _*) // concat_ws skips the null (passing) arms
-    val tagged = flagged.withColumn("__reason", reasonCol)
-    (tagged.filter(col("__reason") === "").select(keep.map(col): _*),
-      tagged.filter(col("__reason") =!= "")
-        .select(keep.map(col) :+ col("__reason").as("reason"): _*))
+    (flagged.withColumn("__reason", reasonCol), keep)
   }
 
   /** Enforce-at-ingest: append `batch`'s conforming rows to `table` and
@@ -385,18 +421,31 @@ object TableConstraints {
     // the optimizer reads the conf at count()/commit time, handing a
     // violated RELY declaration its own enforcement probe to rewrite
     withRewriteOff(spark) {
-      val (good, bad) = enforceSplit(spark, batch, table)
-      // both counts BEFORE any commit: a txn read pins its snapshot's
-      // file list at construction, but counting first keeps the split
-      // manifestly pre-append even if a future probe loses that property
-      val g = good.count()
-      val b = bad.count()
-      if (g > 0)
-        TxnTable.commit(spark, good, table, overwrite = false, tag = tag)
-      if (b > 0)
-        TxnTable.commit(spark, bad, quarantineTable, overwrite = false,
-          tag = tag)
-      (g, b)
+      // the probe pipeline (FK joins, uniqueness window + snapshot
+      // join) runs ONCE: the tagged frame persists, and the counts and
+      // both commits read the materialized split instead of
+      // re-executing it per consumer
+      val (tagged0, keep) = enforceTagged(spark, batch, table)
+      val tagged = tagged0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val good = tagged.filter(col("__reason") === "")
+          .select(keep.map(col): _*)
+        val bad = tagged.filter(col("__reason") =!= "")
+          .select(keep.map(col) :+ col("__reason").as("reason"): _*)
+        // both counts BEFORE any commit: a txn read pins its snapshot's
+        // file list at construction, but counting first keeps the split
+        // manifestly pre-append even if a future probe loses that
+        // property (the persist also materializes it here)
+        val g = good.count()
+        val b = bad.count()
+        if (g > 0)
+          TxnTable.commit(spark, good, table, overwrite = false, tag = tag)
+        if (b > 0)
+          TxnTable.commit(spark, bad, quarantineTable, overwrite = false,
+            tag = tag)
+        (g, b)
+      } finally { tagged.unpersist(); () }
     }
   }
 

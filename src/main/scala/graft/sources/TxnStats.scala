@@ -348,6 +348,19 @@ object TxnStats {
   private def ndvDir(table: String, cols: Seq[String]) =
     new File(table, s"_graft_stats/ndv/${cols.sorted.mkString(",")}")
 
+  /** Sketch-format version: bumped whenever the per-file hash changes
+    * (the register spaces are then incompatible and a live-set merge
+    * of old+new sketches would inflate NDV). A sidecar whose watermark
+    * lacks the current marker is REBUILT from scratch on the next
+    * refresh instead of appended to. */
+  private val NdvFmt = "xxh64-sorted-1"
+
+  private def ndvFmtCurrent(dir: File): Boolean = {
+    val f = new File(dir, "_watermark.json")
+    !f.isFile || new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).contains(s""""fmt":"$NdvFmt"""")
+  }
+
   private def ndvSummaryFile(table: String, cols: Seq[String]) =
     new File(ndvDir(table, cols), "_summary.json")
 
@@ -381,8 +394,11 @@ object TxnStats {
                  cols: Seq[String]): Long = {
     require(cols.nonEmpty, "ndv needs at least one column")
     val cur = TxnTable.currentVersion(table)
-    val wm = ndvIndexedVersion(table, cols)
     val dir = ndvDir(table, cols)
+    // a pre-format-bump sidecar is register-incompatible — rebuild
+    if (!ndvFmtCurrent(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val wm = ndvIndexedVersion(table, cols)
     val newRel = if (wm >= cur) Nil else addedInRange(table, wm, cur)
     if (newRel.nonEmpty) {
       val abs = newRel.map(p => new File(table, p).getPath)
@@ -402,7 +418,10 @@ object TxnStats {
         StructField("sketch", BinaryType),
         StructField("n_rows", LongType, nullable = false))), rows.toSeq)
     }
-    writeWatermarkAt(dir, cur)
+    dir.mkdirs()
+    Files.write(new File(dir, "_watermark.json").toPath,
+      s"""{"version":$cur,"fmt":"$NdvFmt"}"""
+        .getBytes(StandardCharsets.UTF_8))
     // merge the LIVE files' sketches into the summary
     val live = TxnTable.liveSplit(table)._1.toSet
     val hasSketches = Option(dir.listFiles()).getOrElse(Array.empty[File])

@@ -1150,12 +1150,29 @@ object EventsStreaming {
     import graft.sources.TableConstraints
     val ss = streamSession(spark)
     val ckpt = s"$table.ckpt"
+    // the replay tag is scoped to THIS checkpoint's identity: batchIds
+    // restart at 0 when a checkpoint is reset or a second stream feeds
+    // the same table, and an unscoped "enforced-<batchId>" would then
+    // match an OLD batch's landed tag and silently drop genuinely new
+    // data as a phantom replay. The UUID lives in the checkpoint dir,
+    // so checkpoint-consistent restarts keep their tags and a reset
+    // mints fresh ones.
+    val idFile = new java.io.File(ckpt, "_graft_ingest_id")
+    val streamId =
+      if (idFile.isFile)
+        new String(java.nio.file.Files.readAllBytes(idFile.toPath), "UTF-8")
+      else {
+        val id = java.util.UUID.randomUUID.toString.take(12)
+        idFile.getParentFile.mkdirs()
+        java.nio.file.Files.write(idFile.toPath, id.getBytes("UTF-8"))
+        id
+      }
     val q = ss.readStream.schema(schema).parquet(inDir)
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         TableConstraints.commitEnforced(batch.sparkSession, batch, table,
-          quarantineTable, tag = Some(s"enforced-$batchId"))
+          quarantineTable, tag = Some(s"enforced-$streamId-$batchId"))
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
