@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Declared table constraints (engine-added): UNIQUE/PRIMARY-KEY,
   * FOREIGN-KEY, and NOT NULL declarations an optimizer may RELY on —
@@ -294,7 +294,12 @@ object TableConstraints {
     * nests its files under key= subdirectories, and treating such a
     * table as empty would skip the collision probe entirely. */
   private def hasData(table: String): Boolean =
-    if (TxnTable.logDir(table).isDirectory) TxnTable.currentVersion(table) > 0
+    // the LIVE file set, not currentVersion > 0: a rewrite commit that
+    // removes every file while adding none leaves the version positive
+    // but the table empty, and readDir's require(files.nonEmpty) would
+    // crash the uniqueness probe instead of skipping the snapshot join
+    if (TxnTable.logDir(table).isDirectory)
+      TxnTable.liveSplit(table)._1.nonEmpty
     else {
       def walk(d: File): Boolean =
         Option(d.listFiles()).getOrElse(Array.empty[File]).exists { f =>
@@ -304,6 +309,33 @@ object TableConstraints {
         }
       walk(new File(table))
     }
+
+  /** FK enforcement broadcasts the parent's distinct keys only below
+    * this metadata row count; above it the probe semi-prunes the parent
+    * by the batch's keys instead (see [[enforceSplit]]). */
+  val BroadcastMaxRowsKey = "spark.graft.enforce.broadcastMaxRows"
+  private val BroadcastMaxRowsDefault = "5000000"
+
+  /** Row count of a table from METADATA alone — log + stats sidecars +
+    * footers for a txn table, a recursive footer sweep for a plain
+    * parquet dir; never a data scan (this gates a per-micro-batch
+    * probe). Anything unreadable counts as LARGE: the semi-prune
+    * fallback is always correct, a failed broadcast is an OOM. */
+  private def metadataRowCount(table: String): Long =
+    try {
+      if (TxnTable.logDir(table).isDirectory) TxnTable.snapshotRowCount(table)
+      else {
+        def walk(d: File): Long =
+          Option(d.listFiles()).getOrElse(Array.empty[File]).map { f =>
+            if (f.isFile && f.getName.endsWith(".parquet"))
+              TxnTable.footerRowCount(f)
+            else if (f.isDirectory && !f.getName.startsWith("_") &&
+              !f.getName.startsWith(".")) walk(f)
+            else 0L
+          }.sum
+        walk(new File(table))
+      }
+    } catch { case _: Exception => Long.MaxValue }
 
   /** Split an incoming batch by `table`'s declared RELY constraints:
     * (conforming rows, violators + a `reason` column naming every
@@ -320,10 +352,27 @@ object TableConstraints {
     *    would silently admit). Every row of a violating key
     *    quarantines — keeping "first of the dupes" would make the
     *    outcome partitioning-dependent.
-    * Non-RELY declarations are documentation and do not gate ingest. */
+    * Non-RELY declarations are documentation and do not gate ingest.
+    *
+    * The FK probe is SIZE-GATED (`spark.graft.enforce.broadcastMaxRows`,
+    * metadata row count from the log/footers — never a scan): a
+    * dim-sized ref broadcasts its distinct keys; a high-NDV parent
+    * (user_id-style FK at 100 TB) would OOM the driver as a broadcast,
+    * so it is instead SEMI-PRUNED by the batch's own keys first — one
+    * pass over the ref, candidates bounded by the batch — and only the
+    * pruned hit set joins back. */
   def enforceSplit(spark: SparkSession, batch: DataFrame, table: String)
-      : (DataFrame, DataFrame) = {
-    val (tagged, keep) = enforceTagged(spark, batch, table)
+      : (DataFrame, DataFrame) = withRewriteOff(spark) {
+    val (tagged0, keep) = enforceTagged(spark, batch, table)
+    // EAGER checkpoint inside the rewrite-off scope: the probe pipeline
+    // (FK joins, uniqueness window + snapshot join) evaluates HERE, not
+    // when the caller acts on the lazy frames — by which time the
+    // constraint rewrites are back on and a violated RELY declaration
+    // could rewrite its own enforcement probe (the hazard
+    // commitEnforced's comment documents; it persists + counts for the
+    // same reason). The returned frames scan checkpointed blocks, so no
+    // later optimizer pass can reach into the probe plan.
+    val tagged = tagged0.localCheckpoint(true)
     (tagged.filter(col("__reason") === "").select(keep.map(col): _*),
       tagged.filter(col("__reason") =!= "")
         .select(keep.map(col) :+ col("__reason").as("reason"): _*))
@@ -333,8 +382,8 @@ object TableConstraints {
     * with every probe folded into one `__reason` column — ONE frame the
     * committer can persist so the probe pipeline (FK joins, uniqueness
     * window + snapshot join) runs once, not once per count/commit. */
-  private def enforceTagged(spark: SparkSession, batch: DataFrame,
-                            table: String)
+  private[sources] def enforceTagged(spark: SparkSession, batch: DataFrame,
+                                     table: String)
       : (DataFrame, Seq[String]) = withRewriteOff(spark) {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
@@ -349,11 +398,32 @@ object TableConstraints {
     }
     fks.filter(_.rely).zipWithIndex.foreach { case (fk, i) =>
       val hit = s"__fk_hit_$i"
-      val ref = readDir(spark, fk.refTable)
+      val rkCols = fk.refCols.indices.map(j => s"__rk_${i}_$j")
+      val refKeys = readDir(spark, fk.refTable)
         .select(fk.refCols.zipWithIndex.map { case (rc, j) =>
-          col(rc).as(s"__rk_${i}_$j") }: _*)
-        .distinct()
-        .withColumn(hit, lit(1))
+          col(rc).as(rkCols(j)) }: _*)
+      val maxRows = spark.conf
+        .get(BroadcastMaxRowsKey, BroadcastMaxRowsDefault).toLong
+      val ref =
+        if (metadataRowCount(fk.refTable) <= maxRows)
+          // dim-sized parent: one distinct + explicit broadcast — the
+          // batch never shuffles, the probe is a map-side lookup
+          broadcast(refKeys.distinct()).withColumn(hit, lit(1))
+        else {
+          // high-NDV parent: broadcasting its distinct keys would OOM
+          // the driver, and distinct() alone is a full shuffle of the
+          // parent PER BATCH. Instead the ref is semi-joined down to
+          // the keys the batch actually carries (batch keys are the
+          // small side — Spark/AQE broadcasts them), so the parent is
+          // READ once but never shuffled or broadcast, and the hit set
+          // that joins back is bounded by the batch's distinct keys.
+          val batchKeys = batch
+            .select(fk.cols.zipWithIndex.map { case (c, j) =>
+              col(c).as(rkCols(j)) }: _*)
+            .na.drop("any").distinct()
+          refKeys.join(batchKeys, rkCols, "left_semi")
+            .distinct().withColumn(hit, lit(1))
+        }
       val cond = fk.cols.zipWithIndex.map { case (c, j) =>
         col(c) === col(s"__rk_${i}_$j") }.reduce(_ && _)
       flagged = flagged.join(ref, cond, "left")
@@ -407,13 +477,12 @@ object TableConstraints {
   def commitEnforced(spark: SparkSession, batch: DataFrame, table: String,
                      quarantineTable: String,
                      tag: Option[String] = None): (Long, Long) = {
-    // reverse scan: a replayed tag is almost always the LAST version
-    // (the streaming restart case), so the common path is O(1); a
-    // fresh tag still proves absence in O(versions) log reads — the
-    // same cost class as the CDC view's tag adjudication
-    def landed(t: String): Boolean = tag.exists(tg =>
-      (TxnTable.currentVersion(t) to 1 by -1)
-        .exists(v => TxnTable.commitTag(t, v).contains(tg)))
+    // indexed adjudication: the common case is a FRESH tag (every new
+    // micro-batch), and proving absence by reverse scan reads every log
+    // entry per batch — O(versions²) over a long-lived stream. The
+    // per-JVM tag index scans each entry once (recreate-detected by
+    // entry digest, so a reset table can never false-claim a tag).
+    def landed(t: String): Boolean = tag.exists(TxnTable.tagLanded(t, _))
     if (landed(table) || landed(quarantineTable)) return (0L, 0L)
     // the ENTIRE evaluation — split, counts, commits — runs with the
     // constraint rewrites off: the probe frames are lazy, and a
@@ -561,6 +630,20 @@ object TableConstraints {
     val isTxn = TxnTable.logDir(dir).isDirectory
     val cur = if (isTxn) TxnTable.currentVersion(dir) else 0
     val audit = if (isTxn) readAudit(dir) else None
+    // each FK ref's version is captured ONCE, before any probe runs,
+    // and this same snapshot is what the green audit records: a ref
+    // removal committed by a concurrent writer between the probe and
+    // the watermark write then lands ABOVE the recorded version, so the
+    // next audit's appendOnly(refWm, refCur) check sees it and falls
+    // back to the full FK verify. Recording an older-than-probed
+    // version is safe (extra re-audit); recording a newer one would
+    // silently skip the removal — the false-green this ordering closes.
+    val refSnapshot: Map[String, Int] = fks.map { fk =>
+      canon(fk.refTable) -> (
+        if (TxnTable.logDir(fk.refTable).isDirectory)
+          TxnTable.currentVersion(fk.refTable)
+        else 0)
+    }.toMap
     def full(): Seq[(String, Boolean, Boolean, String)] =
       verify(spark, dir).map { case (c, r, h) => (c, r, h, "full") }
     val out: Seq[(String, Boolean, Boolean, String)] = audit match {
@@ -595,7 +678,7 @@ object TableConstraints {
             (holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols),
               "full")
           else {
-            val refCur = TxnTable.currentVersion(fk.refTable)
+            val refCur = refSnapshot(canon(fk.refTable))
             val refWm = refVs.getOrElse(canon(fk.refTable), 0)
             if (!appendOnly(fk.refTable, refWm, refCur))
               // ref removals may dangle OLD fact rows — full re-audit
@@ -631,14 +714,10 @@ object TableConstraints {
       }
     }
     // the watermark advances only on an all-green audit: a violation
-    // keeps the same Δ (or the full set) under audit until healed
-    if (isTxn && out.forall(_._3)) {
-      val refs = fks.map(fk => canon(fk.refTable) -> (
-        if (TxnTable.logDir(fk.refTable).isDirectory)
-          TxnTable.currentVersion(fk.refTable)
-        else 0)).toMap
-      writeAudit(dir, cur, refs)
-    }
+    // keeps the same Δ (or the full set) under audit until healed.
+    // The recorded ref versions are the PRE-probe snapshot, never a
+    // re-read (see refSnapshot above).
+    if (isTxn && out.forall(_._3)) writeAudit(dir, cur, refSnapshot)
     out
   }
 }

@@ -353,7 +353,7 @@ object TxnStats {
     * of old+new sketches would inflate NDV). A sidecar whose watermark
     * lacks the current marker is REBUILT from scratch on the next
     * refresh instead of appended to. */
-  private val NdvFmt = "xxh64-sorted-1"
+  private val NdvFmt = "xxh64-sorted-null-2"
 
   private def ndvFmtCurrent(dir: File): Boolean = {
     val f = new File(dir, "_watermark.json")
@@ -406,10 +406,17 @@ object TxnStats {
       // hash the SORTED column order — the sketch dir is keyed by
       // cols.sorted, so two refreshes invoked with different caller
       // orders must land register-compatible sketches (a caller-order
-      // hash would union two incompatible hash spaces and inflate NDV)
+      // hash would union two incompatible hash spaces and inflate NDV).
+      // Each column is paired with its isNull flag: Spark's xxhash64
+      // SKIPS a null input (the running hash passes through unchanged),
+      // so without the flag the distinct tuples (5,null) and (null,5)
+      // collide into one register and the deflated estimate can falsely
+      // refute a truly-unique composite key (advisor
+      // not_unique_in_data on null-bearing keys).
+      val hashIn = cols.sorted.flatMap(c => Seq(col(c), col(c).isNull))
       val rows = spark.read.parquet(abs: _*)
         .groupBy(input_file_name().as("file"))
-        .agg(hll_sketch_agg(xxhash64(cols.sorted.map(col): _*)).as("sketch"),
+        .agg(hll_sketch_agg(xxhash64(hashIn: _*)).as("sketch"),
           count(lit(1)).as("n_rows"))
         .collect().map(r => Row(relFile(tableAbs, r.getString(0)),
           r.getAs[Array[Byte]](1), r.getLong(2)))

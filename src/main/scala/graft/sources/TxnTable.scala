@@ -192,6 +192,53 @@ object TxnTable {
     }
   }
 
+  /** Incrementally-maintained tag index: the set of writer tags
+    * published anywhere in `table`'s log up to the version last
+    * scanned, plus the digest of that version's entry so a table
+    * deleted and recreated at the same path (version numbers are not
+    * identity) is detected and the index rebuilt. */
+  private final case class TagIndex(scanned: Int, scannedDigest: String,
+                                    tags: Set[String])
+
+  /** LRU-bounded like [[setIndexes]] — an evicted table pays one fresh
+    * log sweep on its next lookup, never a wrong answer. */
+  private val tagIndexes: java.util.Map[String, TagIndex] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, TagIndex](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, TagIndex]): Boolean =
+          size() > MaxIndexedTables
+      })
+
+  /** Has any committed version of `table` published `tag`? The replay-
+    * adjudication read for enforce-at-ingest: the common case is a
+    * FRESH tag (every new micro-batch), which a plain reverse scan
+    * proves absent only after reading EVERY log entry — O(versions²)
+    * driver IO over a long-lived stream's lifetime. This index scans
+    * each log entry once per JVM (O(new versions) per head bump,
+    * O(1) per lookup). A digest mismatch on the last-scanned entry
+    * (table recreated at the same path) rebuilds from scratch, so a
+    * stale index can never claim a tag the current log doesn't hold —
+    * the failure mode that would silently drop a batch. */
+  def tagLanded(table: String, tag: String): Boolean = {
+    val cur = currentVersion(table)
+    if (cur == 0) return false
+    val key = new File(table).getCanonicalPath
+    val idx = tagIndexes.compute(key, (_, prev) => {
+      def digestOk(c: TagIndex) = c.scanned == 0 || {
+        val f = new File(logDir(table), f"v${c.scanned}%05d.json")
+        f.isFile && entryDigest(f) == c.scannedDigest
+      }
+      val base = Option(prev).filter(c => c.scanned <= cur && digestOk(c))
+      val from = base.map(_.scanned).getOrElse(0)
+      val tags = base.map(_.tags).getOrElse(Set.empty[String]) ++
+        ((from + 1) to cur).flatMap(v => commitTag(table, v))
+      TagIndex(cur, entryDigest(new File(logDir(table), f"v$cur%05d.json")),
+        tags)
+    })
+    idx.tags.contains(tag)
+  }
+
   private def checkpointFiles(table: String): Seq[File] =
     Option(logDir(table).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("c\\d{5}\\.json"))

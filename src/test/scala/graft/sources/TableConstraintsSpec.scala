@@ -366,4 +366,68 @@ class TableConstraintsSpec extends SparkSpec {
     TxnTable.commit(spark, Seq((1L, "dup")).toDF("k", "v"), t, overwrite = false)
     assert(!TableConstraints.holdsUnique(spark, t, Seq("k")))
   }
+
+  test("FK enforcement size gate: a large parent semi-prunes instead of broadcasting, same split") {
+    val dim = s"$root/gate_dim"
+    val factA = s"$root/gate_fact_a"
+    val factB = s"$root/gate_fact_b"
+    val quarA = s"$root/gate_quar_a"
+    val quarB = s"$root/gate_quar_b"
+    TxnTable.commit(spark, (1L to 100L).toDF("k"), dim, overwrite = false)
+    Seq(factA, factB).foreach { f =>
+      new File(f).mkdirs()
+      TableConstraints.declareForeignKey(f, Seq("fk"), dim, Seq("k"))
+    }
+    val batch = Seq((1L, 5L), (2L, 100L), (3L, 999L), (4L, 777L))
+      .toDF("pk", "fk")
+    // small-parent path: the parent's distinct keys broadcast —
+    // inspect the LAZY probe plan (the package-private core) directly
+    spark.conf.set(TableConstraints.BroadcastMaxRowsKey, "1000000")
+    val smallProbe = TableConstraints.enforceTagged(spark, batch, factA)._1
+    assert(smallProbe.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "small parent must broadcast its distinct keys")
+    assert(!smallProbe.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "small parent must not take the semi-prune path")
+    val (gA, bA) = TableConstraints.enforceSplit(spark, batch, factA)
+    val goodA = gA.collect().map(_.getLong(0)).toSet
+    val badA = bA.select("pk", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // forced-large path: the parent must NOT broadcast its full
+    // distinct key set — it is semi-pruned by the batch's keys first
+    spark.conf.set(TableConstraints.BroadcastMaxRowsKey, "0")
+    try {
+      val largePlan = TableConstraints.enforceTagged(spark, batch, factB)
+        ._1.queryExecution.optimizedPlan.toString
+      assert(largePlan.contains("LeftSemi"),
+        s"large parent must semi-prune by the batch's keys:\n$largePlan")
+      val (gB, bB) = TableConstraints.enforceSplit(spark, batch, factB)
+      assert(gB.collect().map(_.getLong(0)).toSet == goodA)
+      assert(bB.select("pk", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == badA)
+      assert(badA == Set((3L, "fk(fk)"), (4L, "fk(fk)")))
+    } finally spark.conf.unset(TableConstraints.BroadcastMaxRowsKey)
+  }
+
+  test("enforceSplit returns materialized (checkpoint-backed) frames — probes never re-run under rewrites") {
+    val dim = s"$root/ckpt_dim"
+    val fact = s"$root/ckpt_fact"
+    TxnTable.commit(spark, Seq(1L, 2L).toDF("k"), dim, overwrite = false)
+    new File(fact).mkdirs()
+    TableConstraints.declareForeignKey(fact, Seq("fk"), dim, Seq("k"))
+    val (good, bad) =
+      TableConstraints.enforceSplit(spark,
+        Seq((1L, 1L), (2L, 9L)).toDF("pk", "fk"), fact)
+    // the probe pipeline (FK join) evaluated INSIDE enforceSplit's
+    // rewrite-off scope: the returned frames scan checkpointed blocks,
+    // so no later optimizer pass (a violated RELY rewriting its own
+    // enforcement probe) can reach into the probe plan
+    Seq(good, bad).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join"),
+        s"enforceSplit frames must be checkpoint-backed, not lazy probe plans:\n$plan")
+    }
+    assert(good.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(bad.select("pk").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }

@@ -488,4 +488,30 @@ class TxnTableSpec extends SparkSpec {
         expectedVersion = Some(stale))
     }
   }
+
+  test("tagLanded: incremental index, and a recreated table never false-claims a tag") {
+    val t = freshTable("tag_idx")
+    assert(!TxnTable.tagLanded(t, "b1"), "empty table holds no tags")
+    TxnTable.commit(spark, Seq(1L).toDF("id"), t, overwrite = false,
+      tag = Some("b1"))
+    TxnTable.commit(spark, Seq(2L).toDF("id"), t, overwrite = false)
+    assert(TxnTable.tagLanded(t, "b1"))
+    assert(!TxnTable.tagLanded(t, "b2"), "fresh tag must prove absent")
+    // versions added AFTER the index was built are picked up (O(new))
+    TxnTable.commit(spark, Seq(3L).toDF("id"), t, overwrite = false,
+      tag = Some("b2"))
+    assert(TxnTable.tagLanded(t, "b2"))
+    // recreate the table at the SAME path with the same version count:
+    // a stale index claiming b1/b2 would silently DROP those batches
+    // on replay — the digest check must rebuild instead
+    FileUtils.deleteQuietly(new File(t))
+    TxnTable.commit(spark, Seq(10L).toDF("id"), t, overwrite = false)
+    TxnTable.commit(spark, Seq(11L).toDF("id"), t, overwrite = false,
+      tag = Some("b9"))
+    TxnTable.commit(spark, Seq(12L).toDF("id"), t, overwrite = false)
+    assert(!TxnTable.tagLanded(t, "b1"),
+      "a recreated table must not inherit the old log's tags")
+    assert(!TxnTable.tagLanded(t, "b2"))
+    assert(TxnTable.tagLanded(t, "b9"))
+  }
 }
