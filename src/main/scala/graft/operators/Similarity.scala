@@ -608,6 +608,15 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes")
     corpus.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/vectors")
+    // every non-embedding corpus column rides the index as `meta` —
+    // the FILTERED-search side table ([[ivfPqTopKIndexed]]'s
+    // `predicate`): production vector search is almost always
+    // "top-k WHERE lang='en' AND license='ok'", and post-filtering the
+    // k results silently under-returns. In a real deployment this is
+    // the corpus table itself (no copy); kept here so a query session
+    // needs only the index dir, same rationale as `vectors`.
+    corpus.drop("embedding")
+      .write.mode("overwrite").parquet(s"$dir/meta")
     // stamp the base row count — [[indexHealth]]'s appendFraction
     // denominator; read back from the written lists (metadata-cheap)
     // instead of re-running the corpus scan
@@ -622,15 +631,35 @@ object Similarity {
     * from the persisted lists × codes — the corpus is never re-read and
     * nothing is re-trained. Output is IDENTICAL to [[ivfPqTopK]] over
     * the indexed corpus (differential spec; q_ann_ivfpq_index shares
-    * q_ann_ivfpq's replay oracle verbatim). */
+    * q_ann_ivfpq's replay oracle verbatim).
+    *
+    * FILTERED search: `predicate` (over the index's `meta` columns —
+    * every non-embedding corpus column) is pushed into CANDIDATE
+    * GENERATION — the lists semi-join the eligible ids before any code
+    * is scored, so the rerank window ranks k ELIGIBLE vectors, where
+    * post-filtering a finished top-k silently under-returns (the
+    * reference's flagship has the same filter-before-aggregate shape:
+    * distance < 1 km before AVG). No broadcast hint on the eligible
+    * set: a selective predicate yields a broadcast-sized id list and a
+    * loose one yields most of the corpus, where a shuffled semi-join is
+    * the right plan — Spark/AQE picks per actual size. Recall under a
+    * selective predicate is recovered by WIDENING `nprobe`/`rerank`
+    * (roughly ÷ the predicate's selectivity): the probed lists must
+    * still contain k eligible vectors. */
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, rerank: Int = 64,
-                       m: Int = 8, dim: Int = 64): DataFrame = {
+                       m: Int = 8, dim: Int = 64,
+                       predicate: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
+    val lists0 = spark.read.parquet(s"$dir/lists")
+    val lists = predicate.fold(lists0) { p =>
+      lists0.join(spark.read.parquet(s"$dir/meta").filter(p)
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+    }
     ivfPqTopKFrames(queries,
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/lists"),
+      lists,
       spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"),
       k, nprobe, rerank, m, dim)
@@ -699,6 +728,8 @@ object Similarity {
         Write("codes", pqAssignQ(corpusQ, cb, m, dim), overwrite = true),
         Write("vectors", corpus.select("vec_id", "embedding"),
           overwrite = true),
+        // the filtered-search side table (see [[writeIvfPqIndex]])
+        Write("meta", corpus.drop("embedding"), overwrite = true),
         Write("base_stats",
           spark.createDataFrame(Seq(Tuple1(n))).toDF("base_total"),
           overwrite = true),
@@ -755,13 +786,20 @@ object Similarity {
     import graft.sources.TxnCatalog
     import graft.sources.TxnCatalog.Write
     def t(name: String) = spark.read.parquet(s"$dir/$name")
+    // `meta` only exists on dirs written since filtered search landed —
+    // an older cached dir commits without it (filtered queries on such
+    // a catalog fail loudly at the meta read, never silently)
+    val meta =
+      if (new java.io.File(s"$dir/meta").isDirectory)
+        Seq(Write("meta", t("meta"), overwrite = true))
+      else Nil
     TxnCatalog.commitAll(spark, catalog, Seq(
       Write("centroids", t("centroids"), overwrite = true),
       Write("codebooks", t("codebooks"), overwrite = true),
       Write("lists", t("lists"), overwrite = true),
       Write("codes", t("codes"), overwrite = true),
       Write("vectors", t("vectors"), overwrite = true),
-      Write("base_stats", t("base_stats"), overwrite = true),
+      Write("base_stats", t("base_stats"), overwrite = true)) ++ meta ++ Seq(
       Write("tombstones",
         spark.range(0).select(col("id").as("vec_id")),
         overwrite = true)), tag = Some("index-build"))
@@ -782,10 +820,16 @@ object Similarity {
     // the batch runs once per append, not twice (the hot, repeated op)
     val batchQ = quantizeCorpus(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an index built before filtered search landed has no meta table —
+    // appends stay compatible (no meta row for the batch either)
+    val meta =
+      if (TxnCatalog.tableVersions(catalog).contains("meta"))
+        Seq(Write("meta", batch.drop("embedding")))
+      else Nil
     try TxnCatalog.commitAll(spark, catalog, Seq(
       Write("lists", assignClustersQ(batchQ, centroids)),
       Write("codes", pqAssignQ(batchQ, cb, m, dim)),
-      Write("vectors", batch.select("vec_id", "embedding"))),
+      Write("vectors", batch.select("vec_id", "embedding"))) ++ meta,
       tag = Some("index-append"))
     finally { batchQ.unpersist(); () }
   }
@@ -793,12 +837,17 @@ object Similarity {
   /** Query a transactional index — optionally AS OF a past catalog txn:
     * the five tables resolve from that transaction's pinned snapshot, so
     * the search runs against exactly the index that existed then. Same
-    * plan as [[ivfPqTopKIndexed]] ([[ivfPqTopKFrames]]). */
+    * plan as [[ivfPqTopKIndexed]] ([[ivfPqTopKFrames]]), including the
+    * filtered-search `predicate` (over the `meta` table AT THE SAME
+    * pinned txn — an as-of filtered search evaluates the predicate
+    * against the metadata as it stood then, composing with the
+    * tombstones of that same snapshot). */
   def ivfPqTopKIndexedTxn(spark: org.apache.spark.sql.SparkSession,
                           queries: DataFrame, catalog: String, k: Int,
                           asOf: Option[Int] = None, nprobe: Int = 4,
                           rerank: Int = 64, m: Int = 8,
-                          dim: Int = 64): DataFrame = {
+                          dim: Int = 64,
+                          predicate: Option[Column] = None): DataFrame = {
     import graft.sources.TxnCatalog
     // resolve the head ONCE and pin every table read to it — six
     // independently-resolved head reads would leave a torn-read window
@@ -809,9 +858,16 @@ object Similarity {
     // cheapest point (codes/ADC/rerank never see them); the anti-join
     // broadcasts (tombstones are ids-only and bounded by rebuild policy)
     val lists0 = TxnCatalog.read(spark, catalog, "lists", at)
-    val lists = tombstonesAt(spark, catalog, at)
+    val lists1 = tombstonesAt(spark, catalog, at)
       .map(t => lists0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(lists0)
+    // the filter prunes at the same point (no broadcast hint: the
+    // eligible set's size is the predicate's selectivity — see
+    // [[ivfPqTopKIndexed]])
+    val lists = predicate.fold(lists1) { p =>
+      lists1.join(TxnCatalog.read(spark, catalog, "meta", at).filter(p)
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+    }
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", at),
       TxnCatalog.read(spark, catalog, "codebooks", at),
@@ -1081,6 +1137,11 @@ object Similarity {
         .write.mode("append").parquet(s"$dir/codes")
       fresh(batch.select("vec_id", "embedding"), "vectors")
         .write.mode("append").parquet(s"$dir/vectors")
+      // keep the filtered-search side table in sync (pre-meta dirs
+      // stay meta-less — same compatibility rule as the txn append)
+      if (new java.io.File(s"$dir/meta").isDirectory)
+        fresh(batch.drop("embedding"), "meta")
+          .write.mode("append").parquet(s"$dir/meta")
     } finally { batchQ.unpersist(); () }
   }
 

@@ -216,6 +216,20 @@ object AnnQueries {
        |${pqCtes()},
        |${ivfPqTail()}""".stripMargin
 
+  /** The FILTERED-search replay: the model, lists, codes, probes, and
+    * LUT are the full-corpus build (a filter never retrains), and
+    * candidate generation keeps ONLY ids passing the metadata predicate
+    * (label even) — exactly where [[Similarity.ivfPqTopKIndexed]]'s
+    * lists semi-join prunes, so the rerank ranks eligible vectors only
+    * (the pre-filter contract; a post-filtered top-k would under-return
+    * and hash-mismatch). */
+  private lazy val ivfPqFilteredOracleSql: String =
+    s"""WITH $eCte,
+       |${ivfCtes()},
+       |${pqCtes()},
+       |${ivfPqTail(candExtra =
+        " AND l.n_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}""".stripMargin
+
   /** The DELETE replay: the model and lists are the FULL-corpus build
     * (deletes never retrain), and candidate generation skips the
     * tombstoned ids (vec_id % 3 = 0, vec_id >= 10) exactly where
@@ -420,6 +434,28 @@ object AnnQueries {
         Similarity.writeIvfPqIndex(embs, idxDir)
       }
       Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // ── FILTERED ANN: the one production vector-search shape beyond
+    //    plain top-k — "top-k WHERE <metadata predicate>" (lang, license,
+    //    date window). The predicate is pushed into CANDIDATE GENERATION
+    //    (the index's lists semi-join the eligible ids from the meta
+    //    side table before any PQ code is scored); post-filtering a
+    //    finished top-k under-returns, which the replay would catch as a
+    //    hash mismatch. Same cached index dir as q_ann_ivfpq_index plus
+    //    its meta table (the `meta/_SUCCESS` marker rebuilds a pre-meta
+    //    cached dir once).
+    sql("q_ann_filtered", ivfPqFilteredOracleSql) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "meta/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      }
+      Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir,
+          k = 5, predicate = Some(col("label") % 2 === 0))
         .orderBy("q_id", "rank")
     },
 

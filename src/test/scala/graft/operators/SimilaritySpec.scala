@@ -408,6 +408,69 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.map(_._3).intersect(deadIds).isEmpty)
   }
 
+  test("filtered ANN: predicate prunes candidate generation, recall vs filtered brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_filter_spec").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    val qs = embs.filter($"vec_id" < 20)
+    val pred = col("label") % 2 === 0
+    val eligible = embs.filter(pred).select("vec_id").as[Long].collect().toSet
+    // widened knobs: a ~50%-selective filter halves each probed list's
+    // eligible population, so nprobe/rerank widen to keep k eligible
+    // candidates in reach — the documented recovery lever
+    val got = Similarity.ivfPqTopKIndexed(qs, dir, k = 5,
+      nprobe = 8, rerank = 128, predicate = Some(pred))
+    val rows = got.collect()
+    // every returned neighbour satisfies the predicate
+    assert(rows.forall(r => eligible(r.getLong(2))),
+      "a returned neighbour violates the predicate")
+    // PRE-filtering proof: every query still returns a FULL k=5 of
+    // eligible neighbours — post-filtering a finished unfiltered top-5
+    // would keep only the ~half that happened to pass (under-return)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5),
+      "filtered search must return k eligible results, not post-filter k")
+    // recall vs FILTERED brute force (ground truth over eligible corpus)
+    val truth = Similarity.bruteForceTopK(embs.filter(pred), qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & gotSet).size.toDouble / truth.size
+    info(f"filtered IVFPQ recall@5 = $recall%.3f (nprobe=8, rerank=128)")
+    assert(recall >= 0.4, f"filtered recall@5 $recall%.3f below floor")
+    // plan: candidates come from a semi-join prune, never a cross join,
+    // and the predicate is evaluated at the LISTS — before ADC/rerank
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(got.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "the predicate must prune candidate generation via a semi-join")
+  }
+
+  test("filtered ANN on the txn index composes with tombstones and as-of") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = embs.filter($"vec_id" < 10)
+    val pred = col("label") % 2 === 0
+    val cat = "/root/repo/target/tmp/spec_ann_filter_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    val t1 = Similarity.writeIvfPqIndexTxn(spark, embs, cat)
+    val before = pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat,
+      k = 5, nprobe = 8, rerank = 128, predicate = Some(pred)))
+    val eligible = embs.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(before.forall(p => eligible(p._2)))
+    // tombstone some of the filtered answers: the filtered search must
+    // now exclude BOTH the tombstones and the predicate-failers
+    val dead = before.map(_._2).filter(_ >= 10)
+    assert(dead.nonEmpty)
+    Similarity.deleteFromIvfPqIndexTxn(spark, dead.toSeq.toDF("vec_id"), cat)
+    val after = pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat,
+      k = 5, nprobe = 8, rerank = 128, predicate = Some(pred)))
+    assert(after.forall(p => eligible(p._2) && !dead(p._2)))
+    // as-of the build txn: the tombstoned ids come back, the predicate
+    // still applies (meta resolves from the same pinned snapshot)
+    assert(pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      nprobe = 8, rerank = 128, asOf = Some(t1),
+      predicate = Some(pred))) == before)
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
