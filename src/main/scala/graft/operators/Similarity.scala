@@ -737,7 +737,17 @@ object Similarity {
         // tombstoned is simply absent from the fresh lists/codes/vectors
         Write("tombstones",
           spark.range(0).select(col("id").as("vec_id")),
-          overwrite = true)), tag = Some("index-build"))
+          overwrite = true)) ++
+        // …and the upsert delta overlay folds in the same way: the
+        // caller's corpus is the source of truth (corrections included),
+        // so the overlay tables clear with the rebuild — the compaction
+        // half of the deltaFraction trigger. Emptied AT THEIR OWN SCHEMA
+        // (a limit-0 read, no scan) so later upserts keep appending.
+        Seq("dlists", "dcodes", "dvectors", "dmeta", "dtombs")
+          .filter(TxnCatalog.tableVersions(catalog).contains)
+          .map(n => Write(n, TxnCatalog.read(spark, catalog, n).limit(0),
+            overwrite = true)),
+        tag = Some("index-build"))
     } finally { corpusQ.unpersist(); () }
   }
 
@@ -751,20 +761,87 @@ object Similarity {
     * [[writeIvfPqIndexTxn]] rebuild clears the marker table, the only
     * shape that stays O(Δ) at 100 TB (an in-place purge would rewrite
     * the whole index per delete). [[indexHealthTxn]]'s deleteFraction
-    * is the "compact now" trigger. RE-INSERTING a tombstoned id is a
-    * rebuild-time operation (include it in the rebuild corpus) — the
-    * index has no upsert: [[appendToIvfPqIndexTxn]] assumes NEW ids,
-    * and an append of an existing id would duplicate its
-    * lists/codes/vectors rows regardless of tombstones. Returns the
-    * catalog txn. */
+    * is the "compact now" trigger. RE-INSERTING or CORRECTING an id
+    * between rebuilds is [[upsertIntoIvfPqIndexTxn]]'s job (the delta
+    * overlay); [[appendToIvfPqIndexTxn]] still assumes NEW ids.
+    * When the index carries a delta overlay, the delete also lands a
+    * generation-stamped `dtombs` row so it kills the delta versions
+    * written BEFORE it while a later upsert (higher generation)
+    * revives the id. Returns the catalog txn. */
   def deleteFromIvfPqIndexTxn(spark: org.apache.spark.sql.SparkSession,
                               ids: DataFrame, catalog: String): Int = {
     import graft.sources.TxnCatalog
     import graft.sources.TxnCatalog.Write
+    val gen = TxnCatalog.currentTxn(catalog) + 1
+    val dt =
+      if (TxnCatalog.tableVersions(catalog).contains("dlists"))
+        Seq(Write("dtombs",
+          ids.select("vec_id").withColumn("gen", lit(gen))))
+      else Nil
     TxnCatalog.commitAll(spark, catalog,
-      Seq(Write("tombstones", ids.select("vec_id"))),
+      Seq(Write("tombstones", ids.select("vec_id"))) ++ dt,
       tag = Some("index-delete"))
   }
+
+  /** UPSERT into a transactional index WITHOUT a rebuild — the delta
+    * overlay (the verdict-r10 "the index has no upsert" gap): the batch
+    * assigns against the CURRENT model and lands as generation-stamped
+    * rows in parallel delta tables (`dlists`/`dcodes`/`dvectors`, plus
+    * `dmeta` when the index carries metadata), all in ONE catalog txn.
+    * Read-side semantics ([[ivfPqTopKIndexedTxn]]):
+    *
+    *  - any delta generation SHADOWS the id's base rows entirely (a
+    *    corrected vector replaces, never duplicates — the reason plain
+    *    [[appendToIvfPqIndexTxn]] cannot express this);
+    *  - the NEWEST generation wins within the delta (upsert-again);
+    *  - a delete stamped with a HIGHER generation kills the delta row
+    *    (upsert → delete → gone), while a later upsert revives it
+    *    (insert → delete → reinsert — the id returns with the new
+    *    vector, and base rows stay dead under the id's tombstone);
+    *  - `asOf` reads resolve the delta tables at the pinned txn, so
+    *    every historical answer is exact.
+    *
+    * Cost is O(batch) per upsert and O(delta) per search (the overlay
+    * is an anti-join + union over generation-pruned delta rows — both
+    * sides bounded by rebuild policy: [[indexHealthTxn]].deltaFraction
+    * feeds [[rebuildTxnIfStale]], and the rebuild folds the corrections
+    * into the base and clears the overlay, exactly like tombstone
+    * compaction). Generations are stamped `currentTxn + 1` — the
+    * single-writer assumption every mutation of one index already
+    * carries. Returns the catalog txn. */
+  def upsertIntoIvfPqIndexTxn(spark: org.apache.spark.sql.SparkSession,
+                              batch: DataFrame, catalog: String,
+                              m: Int = 8, dim: Int = 64): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    val gen = TxnCatalog.currentTxn(catalog) + 1
+    val centroids = TxnCatalog.read(spark, catalog, "centroids")
+    val cb = TxnCatalog.read(spark, catalog, "codebooks")
+    val batchQ = quantizeCorpus(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meta =
+      if (TxnCatalog.tableVersions(catalog).contains("meta"))
+        Seq(Write("dmeta", batch.drop("embedding").withColumn("gen", lit(gen))))
+      else Nil
+    try TxnCatalog.commitAll(spark, catalog, Seq(
+      Write("dlists",
+        assignClustersQ(batchQ, centroids).withColumn("gen", lit(gen))),
+      Write("dcodes",
+        pqAssignQ(batchQ, cb, m, dim).withColumn("gen", lit(gen))),
+      Write("dvectors",
+        batch.select("vec_id", "embedding").withColumn("gen", lit(gen)))) ++
+      meta,
+      tag = Some("index-upsert"))
+    finally { batchQ.unpersist(); () }
+  }
+
+  /** A delta-overlay table at the pinned txn — None when the index has
+    * no overlay (no upsert ever ran) or the table didn't exist yet at
+    * `asOf` (historical reads see no later upserts, by construction). */
+  private def deltaTableAt(spark: SparkSession, catalog: String,
+                           name: String, asOf: Option[Int]): Option[DataFrame] =
+    try Some(graft.sources.TxnCatalog.read(spark, catalog, name, asOf))
+    catch { case _: IllegalArgumentException => None }
 
   /** The tombstone set of a transactional index at `asOf` — None when
     * the index predates the delete capability (no marker table). */
@@ -861,19 +938,61 @@ object Similarity {
     val lists1 = tombstonesAt(spark, catalog, at)
       .map(t => lists0.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(lists0)
+    // the UPSERT delta overlay ([[upsertIntoIvfPqIndexTxn]]): any delta
+    // generation shadows the id's base rows; the newest generation not
+    // killed by a later delete wins. The overlay is bounded by rebuild
+    // policy (deltaFraction trigger), so the anti-joins broadcast like
+    // the tombstones do.
+    val overlay: DataFrame => DataFrame =
+      deltaTableAt(spark, catalog, "dlists", at) match {
+        case None => identity
+        case Some(dl) =>
+          val winners = dl.groupBy("vec_id").agg(max("gen").as("gen"))
+          val live = deltaTableAt(spark, catalog, "dtombs", at)
+            .fold(winners) { t =>
+              val kills = t.select(col("vec_id").as("t_id"),
+                col("gen").as("t_gen"))
+              winners.join(kills, winners("vec_id") === kills("t_id") &&
+                kills("t_gen") > winners("gen"), "left_anti")
+            }.localCheckpoint(true) // small; reused by all four overlays
+          val deltaIds = dl.select("vec_id").distinct().localCheckpoint(true)
+          base => {
+            // base rows of every upserted id vanish (even a killed delta
+            // keeps them dead: the upsert shadowed, the delete killed)
+            val name = base.columns.head // "vec_id" always first here
+            require(name == "vec_id", name)
+            val dTable = base.columns.toSet match {
+              case c if c("cluster") => "dlists"
+              case c if c("code") => "dcodes"
+              case c if c("embedding") => "dvectors"
+              case _ => "dmeta"
+            }
+            val drows = deltaTableAt(spark, catalog, dTable, at)
+              .getOrElse(dl.sparkSession.emptyDataFrame)
+            val winning =
+              if (drows.columns.isEmpty) None
+              else Some(drows.join(broadcast(live), Seq("vec_id", "gen"))
+                .drop("gen"))
+            val pruned = base.join(broadcast(deltaIds), Seq("vec_id"),
+              "left_anti")
+            winning.fold(pruned)(w => pruned.unionByName(w))
+          }
+      }
     // the filter prunes at the same point (no broadcast hint: the
     // eligible set's size is the predicate's selectivity — see
-    // [[ivfPqTopKIndexed]])
-    val lists = predicate.fold(lists1) { p =>
-      lists1.join(TxnCatalog.read(spark, catalog, "meta", at).filter(p)
-        .select("vec_id"), Seq("vec_id"), "left_semi")
+    // [[ivfPqTopKIndexed]]); the meta it reads is the OVERLAID meta, so
+    // a predicate evaluates against an upserted row's NEW metadata
+    val lists2 = overlay(lists1)
+    val lists = predicate.fold(lists2) { p =>
+      lists2.join(overlay(TxnCatalog.read(spark, catalog, "meta", at))
+        .filter(p).select("vec_id"), Seq("vec_id"), "left_semi")
     }
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", at),
       TxnCatalog.read(spark, catalog, "codebooks", at),
       lists,
-      TxnCatalog.read(spark, catalog, "codes", at),
-      TxnCatalog.read(spark, catalog, "vectors", at),
+      overlay(TxnCatalog.read(spark, catalog, "codes", at)),
+      overlay(TxnCatalog.read(spark, catalog, "vectors", at)),
       k, nprobe, rerank, m, dim)
   }
 
@@ -891,7 +1010,8 @@ object Similarity {
   final case class IndexHealth(nLists: Int, total: Long, baseTotal: Long,
                                maxList: Long, skewRatio: Double,
                                appendFraction: Double,
-                               deleteFraction: Double = 0.0)
+                               deleteFraction: Double = 0.0,
+                               deltaFraction: Double = 0.0)
 
   /** Measure a persisted index: one aggregate over `lists` (per-cluster
     * cardinalities — never touches codes or vectors) + the base row
@@ -919,8 +1039,15 @@ object Similarity {
       Some(TxnCatalog.read(spark, catalog, "base_stats", at)))
     val nDead = tombstonesAt(spark, catalog, at)
       .map(_.distinct().count()).getOrElse(0L)
-    h.copy(deleteFraction =
-      if (h.total == 0) 0.0 else nDead.toDouble / h.total)
+    // deltaFraction = distinct upserted ids ÷ listed rows: every search
+    // pays the overlay's anti-join + union over these, so like
+    // deleteFraction it is a compaction trigger — the rebuild folds the
+    // corrections into the base and clears the delta tables.
+    val nDelta = deltaTableAt(spark, catalog, "dlists", at)
+      .map(_.select("vec_id").distinct().count()).getOrElse(0L)
+    h.copy(
+      deleteFraction = if (h.total == 0) 0.0 else nDead.toDouble / h.total,
+      deltaFraction = if (h.total == 0) 0.0 else nDelta.toDouble / h.total)
   }
 
   private def indexHealthFrames(lists: DataFrame,
@@ -973,12 +1100,14 @@ object Similarity {
                         maxSkewRatio: Double = 4.0,
                         maxAppendFraction: Double = 1.0 / 3,
                         maxDeleteFraction: Double = 0.2,
+                        maxDeltaFraction: Double = 0.2,
                         nClusters: Int = 16, iters: Int = 2,
                         m: Int = 8, ksub: Int = 16, dim: Int = 64): Boolean = {
     val h = indexHealthTxn(spark, catalog)
     val stale = h.skewRatio > maxSkewRatio ||
       h.appendFraction > maxAppendFraction ||
-      h.deleteFraction > maxDeleteFraction
+      h.deleteFraction > maxDeleteFraction ||
+      h.deltaFraction > maxDeltaFraction
     if (stale) writeIvfPqIndexTxn(spark, corpus, catalog,
       nClusters, iters, m, ksub, dim)
     stale

@@ -189,7 +189,8 @@ object AnnQueries {
     * exact top-5. `candExtra` narrows candidate generation (the
     * tombstone-delete replay drops ids exactly where the engine's
     * lists anti-join does). */
-  private def ivfPqTail(candExtra: String = ""): String =
+  private def ivfPqTail(candExtra: String = "",
+                        rerankRel: String = "embeddings"): String =
     s"""cand AS (
        |  SELECT p.q_id, l.n_id
        |  FROM ivf_probes p JOIN ivf_lists l USING (cluster)
@@ -205,7 +206,7 @@ object AnnQueries {
        |    SELECT q_id, n_id,
        |           row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id) AS rn
        |    FROM approx) WHERE rn <= 64),
-       |${rerankSql("short")}""".stripMargin
+       |${rerankSql("short", rerankRel)}""".stripMargin
 
   /** The IVFPQ replay (both stages' CTEs composed) — shared verbatim by
     * q_ann_ivfpq, q_ann_ivfpq_index, and q_stream_ann_enrich, whose
@@ -241,6 +242,33 @@ object AnnQueries {
        |${ivfPqTail(
         candExtra = " AND NOT (l.n_id % 3 = 0 AND l.n_id >= 10)")}""".stripMargin
 
+  /** The UPSERT replay: after delete vec_id%3=0,>=10 then upsert
+    * {12 ← donor 112 (revival of a tombstoned id), 13 ← donor 113
+    * (correction of a live id)}, the head-state corpus is (all ∖
+    * deleted) with 12 revived and 13 redefined — `e3` (quantized, feeds
+    * lists/codes) and `er3` (raw, feeds the exact re-rank) express it
+    * directly; the model stays the full-corpus build (upserts never
+    * retrain, exactly like appends). This is the whole delta-overlay
+    * semantics flattened: shadow + newest-generation-wins reduce to
+    * "each id appears once, with its current vector". */
+  private lazy val ivfPqUpsertOracleSql: String = {
+    def cur(rel: String, valueCol: String): String =
+      s"""  SELECT vec_id, $valueCol FROM $rel
+         |  WHERE NOT (vec_id % 3 = 0 AND vec_id >= 10) AND vec_id <> 13
+         |  UNION ALL
+         |  SELECT 12 AS vec_id, $valueCol FROM $rel WHERE vec_id = 112
+         |  UNION ALL
+         |  SELECT 13 AS vec_id, $valueCol FROM $rel WHERE vec_id = 113""".stripMargin
+    s"""WITH $eCte,
+       |e3 AS (
+       |${cur("e", "eq")}),
+       |er3 AS (
+       |${cur("embeddings", "embedding")}),
+       |${ivfCtes(corpus = "e3")},
+       |${pqCtes(corpus = "e3")},
+       |${ivfPqTail(rerankRel = "er3")}""".stripMargin
+  }
+
   /** The APPEND replay: the model (k-means + codebooks) trains on the
     * base slice only (vec_id >= 10 — "yesterday's corpus"), while
     * lists, codes, probes, and the LUT read the union — exactly what
@@ -253,13 +281,16 @@ object AnnQueries {
        |${ivfPqTail()}""".stripMargin
 
   /** Exact (sim DESC, n_id) top-5 re-rank of a (q_id, n_id) shortlist
-    * CTE — the tail every ANN oracle shares. */
-  private def rerankSql(shortCte: String): String =
+    * CTE — the tail every ANN oracle shares. `corpusRel` swaps the
+    * NEIGHBOUR side's raw-embedding relation (the upsert replay scores
+    * corrected ids against their NEW vectors). */
+  private def rerankSql(shortCte: String,
+                        corpusRel: String = "embeddings"): String =
     s"""scored AS (
        |  SELECT $shortCte.q_id, $shortCte.n_id, $quantDotSql AS sim
        |  FROM $shortCte
        |  JOIN embeddings q ON q.vec_id = $shortCte.q_id
-       |  JOIN embeddings c ON c.vec_id = $shortCte.n_id),
+       |  JOIN $corpusRel c ON c.vec_id = $shortCte.n_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
        |      FROM scored)
        |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, sim FROM r WHERE rn <= 5
@@ -609,6 +640,58 @@ object AnnQueries {
         .toSet
       val ttEq = rows(asOf) == rows(before)
       after.withColumn("timetravel_eq_predelete", lit(ttEq))
+        .orderBy("q_id", "rank")
+    },
+
+    // ── UPSERT into the transactional index: corrections land as
+    //    generation-stamped delta-overlay rows in ONE catalog txn —
+    //    a delta generation shadows the id's base rows, the newest
+    //    un-deleted generation wins, and a tombstoned id REVIVES with
+    //    its new vector (insert → delete → reinsert), all without a
+    //    rebuild (O(batch) per upsert; deltaFraction is the compaction
+    //    trigger). The output is the head search after
+    //    delete-then-upsert, with as-of pins at the build and
+    //    post-delete txns — three searches, three index states, one
+    //    versioned store.
+    sql("q_ann_txn_upsert",
+      s"""SELECT q_id, rank, n_id, sim, TRUE AS timetravel_eq_base,
+         |       TRUE AS timetravel_eq_postdelete
+         |FROM ($ivfPqUpsertOracleSql)
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = graft.Scratch.dir(
+        s"/root/repo/target/tmp/ann_ups_cat_$sfKey")
+      val batch = embs.filter(col("vec_id") < 10)
+      val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "meta/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val t1 = Similarity.commitIvfPqIndexTxnFromDir(s, idxDir, cat)
+      val before = rows(Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5))
+      Similarity.deleteFromIvfPqIndexTxn(s,
+        embs.filter(col("vec_id") % 3 === 0 && col("vec_id") >= 10)
+          .select("vec_id"), cat)
+      val t2 = graft.sources.TxnCatalog.currentTxn(cat)
+      val postDel = rows(Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5))
+      // revive tombstoned 12 with donor 112's vector; correct live 13
+      // with donor 113's — the oracle's e3/er3 corpus exactly
+      val up = embs.filter(col("vec_id") === 112)
+        .withColumn("vec_id", lit(12L))
+        .unionByName(embs.filter(col("vec_id") === 113)
+          .withColumn("vec_id", lit(13L)))
+      Similarity.upsertIntoIvfPqIndexTxn(s, up, cat)
+      val after = Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5)
+      val pin1 = rows(Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5,
+        asOf = Some(t1))) == before
+      val pin2 = rows(Similarity.ivfPqTopKIndexedTxn(s, batch, cat, k = 5,
+        asOf = Some(t2))) == postDel
+      after.withColumn("timetravel_eq_base", lit(pin1))
+        .withColumn("timetravel_eq_postdelete", lit(pin2))
         .orderBy("q_id", "rank")
     },
 

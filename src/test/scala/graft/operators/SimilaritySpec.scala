@@ -408,6 +408,72 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.map(_._3).intersect(deadIds).isEmpty)
   }
 
+  test("txn upsert: shadow, revive, upsert-again, delete-after-upsert; rebuild compacts") {
+    def top1(df: org.apache.spark.sql.DataFrame) = df.filter($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // an upsert batch: ids re-defined to EXACT copies of a query vector
+    // — the unambiguous assertion (top-1 at sim ≈ 1e12)
+    def copyOf(qid: Long, asId: Long) = embs.filter($"vec_id" === qid)
+      .withColumn("vec_id", lit(asId))
+    val batch = embs.filter($"vec_id" < 10)
+    val cat = "/root/repo/target/tmp/spec_ann_upsert_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    val t1 = Similarity.writeIvfPqIndexTxn(spark, embs, cat)
+    val before = pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    // delete 42, then REVIVE it via upsert (insert→delete→reinsert),
+    // and CORRECT the live 57 — both redefined as exact query copies
+    Similarity.deleteFromIvfPqIndexTxn(spark, Seq(42L).toDF("vec_id"), cat)
+    val t2 = graft.sources.TxnCatalog.currentTxn(cat)
+    val afterDel = pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(!afterDel.exists(_._3 == 42L))
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      copyOf(3L, 42L).unionByName(copyOf(5L, 57L)), cat)
+    val t3 = graft.sources.TxnCatalog.currentTxn(cat)
+    val up1 = Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5)
+    val up1Top = top1(up1)
+    assert(up1Top(3L)._1 == 42L && up1Top(3L)._2 >= 990000000000L,
+      s"revived 42 must be q3's exact-copy top-1: ${up1Top(3L)}")
+    assert(up1Top(5L)._1 == 57L && up1Top(5L)._2 >= 990000000000L,
+      s"corrected 57 must be q5's exact-copy top-1: ${up1Top(5L)}")
+    // upsert-again: 42 re-redefined as a copy of q7 — newest gen wins
+    Similarity.upsertIntoIvfPqIndexTxn(spark, copyOf(7L, 42L), cat)
+    val up2Top = top1(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(up2Top(7L)._1 == 42L && up2Top(7L)._2 >= 990000000000L)
+    assert(up2Top(3L)._1 != 42L || up2Top(3L)._2 < 990000000000L,
+      "the older generation of 42 must be shadowed")
+    // delete AFTER upsert kills the delta row (and base stays dead)
+    Similarity.deleteFromIvfPqIndexTxn(spark, Seq(57L).toDF("vec_id"), cat)
+    val afterDel2 = pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(!afterDel2.exists(_._3 == 57L), "deleted-after-upsert id returned")
+    // as-of pins: every historical stage is exact
+    assert(pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      asOf = Some(t1))) == before)
+    assert(pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      asOf = Some(t2))) == afterDel)
+    assert(pairs(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5,
+      asOf = Some(t3))) == pairs(up1))
+    // health: deltaFraction counts distinct upserted ids; the rebuild
+    // folds the corrections into the base and clears the overlay
+    val h = Similarity.indexHealthTxn(spark, cat)
+    assert(h.deltaFraction > 0.0, h.toString)
+    val corrected = embs.filter($"vec_id" =!= 42L && $"vec_id" =!= 57L)
+      .unionByName(copyOf(7L, 42L))
+    assert(Similarity.rebuildTxnIfStale(spark, corrected, cat,
+      maxSkewRatio = 1e9, maxAppendFraction = 1e9, maxDeleteFraction = 1e9,
+      maxDeltaFraction = h.deltaFraction / 2))
+    val h2 = Similarity.indexHealthTxn(spark, cat)
+    assert(h2.deltaFraction == 0.0 && h2.deleteFraction == 0.0, h2.toString)
+    val rebuiltTop = top1(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(rebuiltTop(7L)._1 == 42L && rebuiltTop(7L)._2 >= 990000000000L,
+      "the folded-in correction must survive the rebuild")
+    // a post-rebuild upsert keeps working against the cleared overlay
+    Similarity.upsertIntoIvfPqIndexTxn(spark, copyOf(2L, 99L), cat)
+    val again = top1(Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5))
+    assert(again(2L)._1 == 99L && again(2L)._2 >= 990000000000L)
+  }
+
   test("filtered ANN: predicate prunes candidate generation, recall vs filtered brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ann_filter_spec").toString
     Similarity.writeIvfPqIndex(embs, dir)
