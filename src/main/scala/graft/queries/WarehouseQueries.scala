@@ -453,6 +453,66 @@ object WarehouseQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ── INNER-star dim INSERT fold (the r12 loud-refusal shape made
+    //    total): keys inserted then UPDATED inside the refresh window
+    //    never had fact rows stored by an inner view, so the fold takes
+    //    the fact (+ sums) and composes each net-inserted key's
+    //    contribution from ONE fact pass pruned by the broadcast dim
+    //    delta, attributed at the key's POST image — no rebuild, no
+    //    full re-join. The oracle recomputes from scratch against the
+    //    head dim: only a fold that lands the inserted keys at their
+    //    final segment (not the intermediate one, not missing)
+    //    hash-matches.
+    sql("q_stream_star_dim_insert",
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey,
+        |                  o_orderkey % 100 AS v
+        |           FROM orders),
+        |c2 AS (SELECT c_custkey,
+        |              CASE WHEN c_custkey % 10 = 0 THEN 'NEW2'
+        |                   ELSE c_mktsegment END AS c_mktsegment
+        |       FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT c_mktsegment, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM o JOIN c2 ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      import graft.sources.TxnTable
+      import graft.operators.Merge
+      import graft.streaming.EventsStreaming
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dimT = graft.Scratch.dir(s"/root/repo/target/tmp/starins_dim_$sfKey")
+      val view = graft.Scratch.dir(s"/root/repo/target/tmp/starins_agg_$sfKey")
+      val fact = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          (col("o_orderkey") % 100).as("v"))
+      val custEven = Tables.customer(s, d)
+        .filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_mktsegment")
+      // dim v1 LACKS the %10 keys — their fact rows never enter the view
+      TxnTable.commit(s, custEven.filter(col("c_custkey") % 10 =!= 0),
+        dimT, overwrite = false)
+      val gk = Seq("c_mktsegment", "o_custkey")
+      TxnTable.commit(s,
+        fact.join(TxnTable.read(s, dimT),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy(gk.map(col): _*)
+          .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")),
+        view, overwrite = false)
+      // dim v2: INSERT the missing keys at 'NEW1'; v3: UPDATE to 'NEW2'
+      // — the net-inserted composite whose first feed event is the
+      // insert (the shape r12 refused)
+      Merge.upsert(s, dimT, custEven.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("NEW1")), Seq("c_custkey"))
+      Merge.upsert(s, dimT, custEven.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("NEW2")), Seq("c_custkey"))
+      EventsStreaming.dimDeltaStarRefresh(s, view, gk,
+          measureCols = Seq("cnt", "sum_v"), leftKey = "o_custkey",
+          dimKey = "c_custkey", dimTable = dimT,
+          fromVersion = 1, toVersion = 3, joinType = "inner",
+          fact = Some(fact), sums = Map("sum_v" -> "v"))
+        .groupBy("c_mktsegment")
+        .agg(sum("cnt").as("cnt"), sum("sum_v").cast("long").as("sum_v"))
+        .orderBy("c_mktsegment")
+    },
+
     // ── MULTI-TABLE transactional stream sink (EventsStreaming
     //    .catalogSinkIngest × TxnCatalog): each micro-batch commits BOTH
     //    derived tables (raw rows + per-type stats) through ONE catalog

@@ -930,13 +930,21 @@ object EventsStreaming {
     *     state: the new image's attributes, or (LEFT) NULL-extended
     *     when the key was deleted, or (INNER) nothing — an inner star
     *     never stored unmatched rows.
-    * A dim INSERT is recoverable only for LEFT stars (the measures
-    * live in the NULL-attribute rows); an INNER star's previously-
-    * unmatched fact rows were never stored, so any key absent at
-    * `fromVersion` that ends up present — including one inserted and
-    * then UPDATED (or deleted and reinserted) inside the window, whose
-    * first feed event is the insert — refuses loudly instead of
-    * silently under-counting: rebuild that view.
+    * A dim INSERT folds from the view alone only for LEFT stars (the
+    * measures live in the NULL-attribute rows); an INNER star's
+    * previously-unmatched fact rows were never stored, so any key
+    * absent at `fromVersion` that ends up present — including one
+    * inserted and then UPDATED (or deleted and reinserted) inside the
+    * window, whose first feed event is the insert — needs OUTSIDE
+    * information. With `fact` (+ `sums` naming each non-count
+    * measure's fact column, the [[cdcViewMaintenance]] contract), the
+    * refresh COMPOSES the key's net effect: the fact is read ONCE,
+    * filtered to the inserted keys by a broadcast join against the
+    * dim delta's post-images, and aggregated at the view grain — a
+    * pruned fact pass for exactly the keys the view lacks, still no
+    * rebuild (which would re-join and re-aggregate EVERY key). Without
+    * `fact` the refresh refuses loudly instead of silently
+    * under-counting: rebuild that view or pass the fact.
     *
     * `dimTable` is a [[graft.sources.TxnTable]]; the delta is its
     * change feed over `(fromVersion, toVersion]` with update images,
@@ -949,7 +957,9 @@ object EventsStreaming {
                           leftKey: String, dimKey: String,
                           dimTable: String, fromVersion: Int,
                           toVersion: Int,
-                          joinType: String = "left"): DataFrame = {
+                          joinType: String = "left",
+                          fact: Option[DataFrame] = None,
+                          sums: Map[String, String] = Map.empty): DataFrame = {
     import graft.operators.Incremental
     import graft.sources.TxnTable
     import org.apache.spark.sql.expressions.Window
@@ -973,30 +983,61 @@ object EventsStreaming {
       .withColumn("__rn", row_number().over(Window.partitionBy(dimKey)
         .orderBy(col("version").desc, col("__isnew").desc)))
       .filter(col("__rn") === 1)
-    if (joinType == "inner") {
+    val insertContrib: Option[DataFrame] = if (joinType == "inner") {
       // existence at fromVersion is decided by the key's FIRST feed
       // event, not by "has any old-state event": a key inserted and
       // then updated (or inserted, deleted, reinserted) inside the
       // window has update_preimage/delete rows too, but its first
       // event is the insert — it did NOT exist at fromVersion, its
       // fact rows were never stored by the inner star, and folding
-      // would silently under-count. Old-state events order before
-      // new-state within a version (__isnew asc), so an update's
-      // preimage ranks ahead of its postimage.
+      // from the view alone would silently under-count. Old-state
+      // events order before new-state within a version (__isnew asc),
+      // so an update's preimage ranks ahead of its postimage.
       val firstEvent = feed
         .withColumn("__isnew", isNew)
         .withColumn("__rn", row_number().over(Window.partitionBy(dimKey)
           .orderBy(col("version").asc, col("__isnew").asc)))
         .filter(col("__rn") === 1)
         .select(col(dimKey), (!col("__isnew")).as("__existed"))
-      val inserts = last.filter(col("__isnew"))
+      // NET-inserted keys (absent at fromVersion, present at the end) —
+      // dim-delta-sized, pinned once for the guard and the fold
+      val insertedKeys = last.filter(col("__isnew"))
         .join(firstEvent.filter(col("__existed")).select(dimKey),
-          Seq(dimKey), "left_anti").count()
-      require(inserts == 0,
-        s"$inserts dim key(s) absent at version $fromVersion now " +
-          "present: an INNER star never stored their fact rows, so " +
-          "the view cannot absorb the insert — rebuild it")
-    }
+          Seq(dimKey), "left_anti")
+        .select(dimKey).localCheckpoint(true)
+      if (insertedKeys.isEmpty) None
+      else {
+        require(fact.nonEmpty,
+          s"${insertedKeys.count()} dim key(s) absent at version " +
+            s"$fromVersion now present: an INNER star never stored " +
+            "their fact rows, so the view alone cannot absorb the " +
+            "insert — rebuild it, or pass fact= (+ sums=) to fold the " +
+            "inserted keys from one pruned fact pass")
+        require(measureCols.tail.forall(sums.contains),
+          s"folding inserted keys needs a sums= entry per non-count " +
+            s"measure; missing ${measureCols.tail.filterNot(sums.contains).mkString(",")}")
+        val f = fact.get
+        val factKeys = groupKeys.filterNot(dimAttrCols.contains)
+        factKeys.foreach(k => require(f.columns.contains(k),
+          s"view group key '$k' is neither a '$dimTable' attribute nor " +
+            "a fact column — a multi-dim grain folds per dim, rebuild"))
+        // the inserted keys' POST images attribute their fact rows; the
+        // fact is read once, pruned by the broadcast dim delta — the
+        // exact rows the inner view was missing, nothing else
+        val newImg = last.filter(col("__isnew"))
+          .join(insertedKeys, Seq(dimKey), "left_semi")
+          .select(col(dimKey).as("__ik") +:
+            dimAttrCols.map(c => col(c).as(s"__ins_$c")): _*)
+        val proj = f.join(broadcast(newImg), col(leftKey) === col("__ik"),
+            "inner")
+          .select(groupKeys.map(k =>
+            if (dimAttrCols.contains(k)) col(s"__ins_$k").as(k) else col(k)) ++
+            measureCols.tail.map(mc => col(sums(mc)).as(s"__m_$mc")): _*)
+        Some(proj.groupBy(groupKeys.map(col): _*)
+          .agg(count(lit(1)).as(measureCols.head),
+            measureCols.tail.map(mc => sum(col(s"__m_$mc")).as(mc)): _*))
+      }
+    } else None
     val lastR = last.select(col(dimKey).as("__dk") +:
       col("__isnew") +: dimAttrCols.map(c => col(c).as(s"__new_$c")): _*)
     val view = TxnTable.read(spark, viewTable)
@@ -1015,7 +1056,9 @@ object EventsStreaming {
         reattributed(touched.filter(!col("__isnew")),
           k => lit(null).cast(view.schema(k).dataType))
       else emitMatched.limit(0)
-    val delta = retract.unionByName(emitMatched).unionByName(emitDeleted)
+    val delta = insertContrib.foldLeft(
+      retract.unionByName(emitMatched).unionByName(emitDeleted))(
+      _.unionByName(_))
     val countCol = measureCols.head
     val next = Incremental.mergeAdditive(view, delta, groupKeys)
       .filter(col(countCol) > 0)

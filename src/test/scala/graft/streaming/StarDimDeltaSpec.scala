@@ -124,6 +124,21 @@ class StarDimDeltaSpec extends SparkSpec {
         dimTable = dimT, fromVersion = 1, toVersion = 3, joinType = "inner")
     }
     assert(e.getMessage.contains("rebuild"))
+    // WITH the fact (+ sums), the same window FOLDS: the inserted key's
+    // contribution comes from one pruned fact pass at its POST image
+    // (9→"E", the net of insert-then-update), everything else from the
+    // view — equality with the from-scratch recompute proves it
+    EventsStreaming.dimDeltaStarRefresh(spark, viewT, Seq("seg", "fk"),
+      measureCols = Seq("cnt", "sum_v"), leftKey = "fk", dimKey = "dk",
+      dimTable = dimT, fromVersion = 1, toVersion = 3, joinType = "inner",
+      fact = Some(f), sums = Map("sum_v" -> "v"))
+    val foldGot = TxnTable.read(spark, viewT)
+      .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
+    val foldWant = viewOf(TxnTable.read(spark, dimT))
+      .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
+    assert(foldGot == foldWant, s"got $foldGot\nwant $foldWant")
+    assert(foldGot.contains(Seq("E", 9L, 1L, 1L)),
+      "the inserted-then-updated key must appear at its post image")
     // v4 deletes dk=3; v5 reinserts it renamed — first event for dk=3
     // over (3,5] is the DELETE, so it existed at fromVersion and the
     // fold is sound (its fact rows are in the view to retract).
@@ -138,10 +153,8 @@ class StarDimDeltaSpec extends SparkSpec {
       dimTable = dimT, fromVersion = 3, toVersion = 5, joinType = "inner")
     val got = TxnTable.read(spark, viewT)
       .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
-    // recompute EXCLUDING fk=9 (the refused insert was never folded;
-    // the view legitimately lacks it until a rebuild)
+    // full recompute — fk=9 is in the view since the fact-assisted fold
     val recomputed = viewOf(TxnTable.read(spark, dimT))
-      .filter(col("fk") =!= 9L)
       .select("seg", "fk", "cnt", "sum_v").collect().map(_.toSeq).toSet
     assert(got == recomputed, s"got $got\nwant $recomputed")
     assert(got.contains(Seq("Z", 3L, 1L, 7L))) // reinserted rename folded
