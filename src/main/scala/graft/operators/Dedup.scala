@@ -337,13 +337,22 @@ object Dedup {
     *    case — LSH bounds pairs to a sliver of the corpus) are collected
     *    and solved with driver union-find: one collect, zero iterative
     *    jobs. 4M edges ≈ 64 MB on the driver.
-    *  - larger graphs run synchronous min-label propagation: each round
-    *    joins the edge list against current labels and takes the
-    *    neighborhood min — one equi-join shuffle per round, O(cluster
-    *    diameter) rounds (dup clusters are near-cliques, diameter ≤ 3);
-    *    `maxIter` bounds the pathological chain and the operator fails
-    *    loudly rather than returning partial components. Per-round state
-    *    is (id, label) pairs, never corpus rows — the GraphX CC shape.
+    *  - larger graphs run synchronous min-label propagation WITH
+    *    POINTER DOUBLING: each round joins the edge list against
+    *    current labels for the neighborhood min, then follows each
+    *    label one hop (label := min(label, label(label))) — the
+    *    path-halving step that turns O(component diameter) rounds into
+    *    O(log diameter), so a pathological near-dup CHAIN (pairwise-
+    *    similar drift sequences — real in crawl data) converges inside
+    *    `maxIter` instead of failing at the diameter bound; the same
+    *    round-bounding job large-star/small-star does, one join
+    *    cheaper. Every third round the label frame is EAGERLY
+    *    localCheckpoint'd — each round's plan otherwise references
+    *    every prior round's (persist caches data, not lineage), and
+    *    the accumulated DAG is the round-8 OOM class. `maxIter` still
+    *    bounds the loop and the operator fails loudly rather than
+    *    returning partial components. Per-round state is (id, label)
+    *    pairs, never corpus rows — the GraphX CC shape.
     * Only docs appearing in ≥1 pair are returned — everything else is
     * trivially its own keeper. Ids must be integral (they are doc ids).
     * Output: (doc_id, cluster_id). */
@@ -394,18 +403,38 @@ object Dedup {
           .join(labels.select(col("doc_id").as("dst"),
             col("cluster_id").as("nbr_label")), "dst")
           .groupBy("src").agg(min("nbr_label").as("nbr_min"))
-        val updated = labels
+        val stepped = labels
           .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"),
               coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        // pointer doubling: follow each label one hop through the label
+        // table itself (label values are node ids, so every hop
+        // resolves). Labels only decrease and stay inside the
+        // component, so every invariant holds — and a distance-2^k
+        // pointer becomes distance-2^(k+1), the O(log diameter) bound.
+        val lbl2 = stepped.select(col("doc_id").as("__lid"),
+          col("cluster_id").as("__lval"))
+        val updated = stepped.withColumnRenamed("cluster_id", "__cur")
+          .join(lbl2, col("__cur") === col("__lid"), "left")
+          .select(col("doc_id"),
+            least(col("__cur"), coalesce(col("__lval"), col("__cur")))
+              .as("cluster_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val changed = updated
           .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
           .filter(col("cluster_id") < col("old")).count()
         labels.unpersist()
-        labels = updated
+        // an eager checkpoint every third round cuts the accumulated
+        // lineage (each round's plan otherwise chains every prior
+        // round's joins — the OOM-by-DAG class, not data size)
+        labels =
+          if (round % 3 == 2) {
+            val cut = updated.localCheckpoint(true)
+            updated.unpersist(false)
+            cut
+          } else updated
         converged = changed == 0
         round += 1
       }

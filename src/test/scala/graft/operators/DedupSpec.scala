@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(viaDistributed === expected)
   }
 
+  test("distributed clustering: pointer doubling bounds rounds on a long chain") {
+    // a 512-node PATH (diameter 511) — the pathological pairwise-drift
+    // chain. Plain min-label propagation needs ~511 rounds and would
+    // blow the bound; pointer doubling (label := label(label) each
+    // round) converges in O(log diameter), comfortably inside 20, with
+    // the every-3-rounds localCheckpoint keeping the plan DAG bounded.
+    val chain = (1L to 512L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(chain, maxIter = 20, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 512)
+    assert(got.values.forall(_ == 1L),
+      s"every chain member labels to the min id: ${got.filter(_._2 != 1L).take(5)}")
+  }
+
   test("near-dup clustering fails loudly when the iteration bound is hit") {
     val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
