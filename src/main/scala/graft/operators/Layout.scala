@@ -30,13 +30,45 @@ object Layout {
   def mortonCode(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).cast("long")
 
+  /** N-column Morton code: column i's bit j lands at output bit
+    * j·n + i, so column 0 owns the even-most lanes — for n = 2 this is
+    * bit-identical to [[mortonCode]] (spec-pinned). Built as explicit
+    * shift/mask/or terms (16·n of them): all scan-side integer ops
+    * inside whole-stage codegen, no UDF. n·bits must fit a signed
+    * long; callers quantize wide domains down first, same contract as
+    * the 2-column form. This is the composite-layout key for the
+    * 3-plus-dimension box-filter workloads [[graft.plans.LayoutAdvisor
+    * .zorderAdvice]] prices — a lexicographic sort serves only its
+    * leading column, 2-D Morton only two. */
+  def mortonCodeN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, s"z-order needs at least 2 columns, got $n")
+    require(n * bits <= 63, s"$n columns × $bits bits overflows a long")
+    val mask = (1L << bits) - 1
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long").bitwiseAND(lit(mask)), j).bitwiseAND(lit(1L)),
+      j * n + i)
+    terms.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition + sort by the
     * Morton code so every output file owns a disjoint morton range and
     * row-group stats tighten on BOTH columns. The morton column itself is
     * dropped — layout is a storage property, not schema. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
                   numFiles: Int = 8): Unit =
-    df.withColumn("__z", mortonCode(col(xCol), col(yCol)))
+    zorderWriteN(df, Seq(xCol, yCol), path, numFiles)
+
+  /** [[zorderWrite]] for ANY number of clustering columns (each
+    * quantized to its low 16 bits): one range shuffle + sort by the
+    * N-column Morton code, every output file owning a disjoint code
+    * range so per-file min/max tighten on EVERY clustered column. */
+  def zorderWriteN(df: DataFrame, cols: Seq[String], path: String,
+                   numFiles: Int = 8): Unit =
+    df.withColumn("__z", mortonCodeN(cols.map(col)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -179,6 +211,41 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"),
         count(lit(1)).as("n_rows"))
+
+  /** [[buildMinMaxIndex]] over SEVERAL columns in the same single scan:
+    * one row per file with `[min_c, max_c]` per column — the stats
+    * table a [[zorderWriteN]] layout needs, since a box filter prunes
+    * on every dimension's interval at once. */
+  def buildMinMaxIndexN(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Box-filter scan pruned by a [[buildMinMaxIndexN]] index: only
+    * files whose per-column [min, max] intersects EVERY bound are
+    * opened (driver-side listing over |files| index rows), then the
+    * exact conjunctive filter applies. On a z-ordered layout each
+    * dimension's interval tightens per file, so a k-dim box opens a
+    * vanishing fraction of the files — the pruning a lexicographic
+    * sort only gives its leading column. */
+  def prunedReadBox(spark: org.apache.spark.sql.SparkSession,
+                    index: DataFrame,
+                    bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "need at least one box bound")
+    val hit = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val files = index.filter(hit).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(bounds.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi }.reduce(_ && _))
+  }
 
   /** Index-pruned scan: reads ONLY the files whose [min, max] intersects
     * `[lo, hi]` (driver-side file listing from the index — |files| rows,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+import org.apache.spark.sql.functions.{col, collect_list, concat_ws, count,
+  countDistinct, lit, max, sort_array, sum}
 
 /** WORKLOAD-DRIVEN physical-layout advisor — the data-placement sibling
   * of [[MvAdvisor]]: given the queries a deployment runs, recommend per
@@ -197,6 +198,36 @@ object LayoutAdvisor {
     rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
       "base_rows", "action")
   }
+
+  /** COMPOSITE Z-ORDER recommendation — the multi-dimension form
+    * [[recommend]]'s per-column rows cannot express: a base whose
+    * workload range-filters SEVERAL high-NDV columns wants ONE
+    * [[graft.operators.Layout.zorderWriteN]] layout over all of them
+    * together (a box filter then prunes on every dimension's per-file
+    * interval; k separate single-column recommendations would fight
+    * over the one physical sort order). Reuses the same plan
+    * extraction and NDV measurement; columns already served by
+    * `partition` (low NDV) stay out of the composite — directory
+    * pruning beats clustering wherever it fits. One row per base with
+    * any surviving range-filtered column: (base, cols — sorted csv —,
+    * n_cols, n_range, base_rows, recommend), recommending exactly when
+    * 2 ≤ n_cols ≤ maxCols: one range column is a plain sort, and past
+    * ~4 dimensions bit-interleaving dilutes each dimension's per-file
+    * interval until min/max stops excluding anything. */
+  def zorderAdvice(spark: SparkSession, queries: Seq[DataFrame],
+                   maxPartitions: Long = 1024L, exactNdv: Boolean = false,
+                   rsd: Double = 0.05, maxCols: Int = 4): DataFrame =
+    recommend(spark, queries, maxPartitions, exactNdv, rsd)
+      .filter(col("action") === "zorder")
+      .groupBy("base")
+      .agg(sort_array(collect_list("col_name")).as("cs"),
+        count(lit(1)).as("n_cols"),
+        sum("n_range").as("n_range"),
+        max("base_rows").as("base_rows"))
+      .select(col("base"), concat_ws(",", col("cs")).as("cols"),
+        col("n_cols"), col("n_range"), col("base_rows"),
+        (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"))
+      .orderBy("base")
 
   /** Small-file health of a parquet directory, measured in ROWS per
     * file — deterministic across environments, unlike byte sizes, so

@@ -934,6 +934,82 @@ object ScaleQueries {
         .orderBy("base", "col_name")
     },
 
+    // ── N-COLUMN Z-ORDER apply path: a 3-dimension box-filter workload
+    //    over a zorderWriteN layout — per-file min/max tighten on EVERY
+    //    clustered column, so the multi-col index opens a STRICT subset
+    //    of the files (the pruned_strict pin rides the hash; a layout
+    //    that stopped clustering would flip it false). Content equals
+    //    the plain filter — pruning may never drop a row.
+    sql("q_layout_zorder",
+      """WITH e AS (
+        |  SELECT event_id, event_id % 251 AS x, user_id,
+        |         CAST(FLOOR(value * 100) AS BIGINT) % 263 AS v
+        |  FROM events)
+        |SELECT event_id, v, TRUE AS pruned_strict
+        |FROM e
+        |WHERE x BETWEEN 20 AND 90 AND user_id BETWEEN 2 AND 8
+        |  AND v BETWEEN 30 AND 150
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Scratch.dir(s"/root/repo/target/tmp/zorder3_$sfKey")
+      val cols = Seq("x", "user_id", "v")
+      Layout.zorderWriteN(Tables.events(s, d).select(
+          col("event_id"),
+          (col("event_id") % 251).as("x"),
+          col("user_id"),
+          (floor(col("value") * 100) % 263).as("v")),
+        cols, dir, numFiles = 16)
+      val idx = Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
+      val bounds = Seq(("x", 20L, 90L), ("user_id", 2L, 8L), ("v", 30L, 150L))
+      val opened = idx.filter(bounds.map { case (c, lo, hi) =>
+        col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)).count()
+      Layout.prunedReadBox(s, idx, bounds)
+        .select(col("event_id"), col("v"),
+          lit(opened < idx.count()).as("pruned_strict"))
+        .orderBy("event_id")
+    },
+
+    // ── COMPOSITE Z-ORDER ADVISOR: a workload range-filtering SEVERAL
+    //    high-NDV columns of one base gets ONE multi-column layout
+    //    recommendation (k single-column zorder rows would fight over
+    //    the physical sort order); low-NDV range columns stay with
+    //    `partition`. Data-derived like q_layout_advisor: the oracle
+    //    recomputes NDV and must assemble the same column set — at
+    //    sf0.001 l_partkey (ndv 200) partitions OUT of the composite,
+    //    at sf0.01 (ndv 2000) it joins it, both engines agreeing.
+    sql("q_layout_zorder_advice",
+      """WITH u(base, col_name, n_range) AS (
+        |  VALUES ('lineitem.parquet', 'l_extendedprice', 1),
+        |         ('lineitem.parquet', 'l_orderkey', 2),
+        |         ('lineitem.parquet', 'l_partkey', 1)),
+        |st AS (
+        |  SELECT 'l_extendedprice' AS col_name,
+        |         COUNT(DISTINCT l_extendedprice) AS ndv,
+        |         COUNT(*) AS base_rows FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', COUNT(DISTINCT l_orderkey),
+        |         COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', COUNT(DISTINCT l_partkey),
+        |         COUNT(*) FROM lineitem),
+        |z AS (SELECT u.base, u.col_name, u.n_range, st.base_rows
+        |      FROM u JOIN st USING (col_name) WHERE st.ndv > 1024)
+        |SELECT base, string_agg(col_name, ',' ORDER BY col_name) AS cols,
+        |       COUNT(*) AS n_cols, CAST(SUM(n_range) AS BIGINT) AS n_range,
+        |       MAX(base_rows) AS base_rows,
+        |       COUNT(*) BETWEEN 2 AND 4 AS recommend
+        |FROM z GROUP BY base ORDER BY base""".stripMargin) { (s, d) =>
+      import graft.plans.LayoutAdvisor
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      LayoutAdvisor.zorderAdvice(s, Seq(
+        li.filter(col("l_orderkey") >= 100 && col("l_orderkey") < 5000)
+          .select("l_orderkey", "l_quantity"),
+        li.filter(col("l_partkey") <= 150).select("l_partkey"),
+        li.filter(col("l_extendedprice") > 1000.0)
+          .select("l_extendedprice")),
+        exactNdv = true)
+        .orderBy("base")
+    },
+
     // ── SMALL-FILE / COMPACTION ADVISOR: rows-per-file health of a
     //    directory (deterministic — byte sizes vary by encoder, row
     //    counts don't), and the apply path: a 64-way fragmented write

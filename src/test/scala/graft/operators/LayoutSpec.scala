@@ -26,6 +26,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("mortonCodeN: n=2 bit-identical to mortonCode; n=3 matches the reference interleave") {
+    val rng = new scala.util.Random(7)
+    val pts = Seq.fill(100)(
+      (rng.nextInt(65536), rng.nextInt(65536), rng.nextInt(65536))) ++
+      Seq((0, 0, 0), (65535, 65535, 65535), (1, 2, 4))
+    val df = pts.toDF("x", "y", "z")
+    assert(df.filter(Layout.mortonCode($"x", $"y") =!=
+      Layout.mortonCodeN(Seq($"x", $"y"))).count() === 0,
+      "2-column N-form must be bit-identical to the magic-mask form")
+    def ref3(x: Int, y: Int, z: Int): Long = {
+      var out = 0L
+      (0 until 16).foreach { j =>
+        out |= ((x >> j) & 1).toLong << (3 * j)
+        out |= ((y >> j) & 1).toLong << (3 * j + 1)
+        out |= ((z >> j) & 1).toLong << (3 * j + 2)
+      }
+      out
+    }
+    val got = df.select($"x", $"y", $"z",
+        Layout.mortonCodeN(Seq($"x", $"y", $"z")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    pts.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) === ref3(x, y, z), s"($x, $y, $z)") }
+    intercept[IllegalArgumentException] {
+      Layout.mortonCodeN(Seq($"x", $"y", $"z", $"x", $"y"), bits = 16)
+    } // 5 × 16 bits overflows a long
+  }
+
   test("zorderWrite: files own disjoint morton ranges, content round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val events = Tables.events(spark, sfDir)

@@ -96,6 +96,45 @@ class LayoutAdvisorSpec extends SparkSpec {
       .filter(col("id") === 123L).count() == 1L)
   }
 
+  test("composite z-order advice: one 3-column recommendation; applying it prunes a box") {
+    val p = s"$root/base3.parquet"
+    // independent dims (seeded): a linear-mod derivation is a 1-D
+    // lattice in 3-space and a small box can miss every point of it
+    val rng = new scala.util.Random(13)
+    (0L until 4000L).map(i =>
+        (i, rng.nextInt(4000).toLong, rng.nextInt(4000).toLong, s"c${i % 4}"))
+      .toDF("a", "b", "c", "cat")
+      .repartitionByRange(4, col("a")).write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val adv = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 100 && col("a") < 900).select("b"),
+      base.filter(col("b") < 500).select("a"),
+      base.filter(col("c") >= 2000).select("c"),
+      base.filter(col("cat") === "c1").select("a")), // low-NDV eq: partition-served, stays out
+      maxPartitions = 100L, exactNdv = true).collect()
+    assert(adv.length == 1, adv.mkString(";"))
+    assert(adv.head.getAs[String]("cols") == "a,b,c")
+    assert(adv.head.getAs[Long]("n_cols") == 3L)
+    assert(adv.head.getAs[Long]("n_range") == 4L) // two conjuncts on a
+    assert(adv.head.getAs[Boolean]("recommend"))
+    // closing the loop: zorderWriteN on exactly the recommended columns
+    // makes a 3-dim box open a STRICT subset of the files, no row lost
+    val zp = s"$root/base3_z"
+    graft.operators.Layout.zorderWriteN(base, Seq("a", "b", "c"), zp,
+      numFiles = 16)
+    val idx = graft.operators.Layout.buildMinMaxIndexN(spark, zp,
+      Seq("a", "b", "c")).localCheckpoint(true)
+    val bounds = Seq(("a", 100L, 899L), ("b", 0L, 499L), ("c", 2000L, 2600L))
+    val opened = idx.filter(bounds.map { case (cName, lo, hi) =>
+      col(s"min_$cName") <= hi && col(s"max_$cName") >= lo }
+      .reduce(_ && _)).count()
+    assert(opened < idx.count(), s"box opened $opened of ${idx.count()} files")
+    val got = graft.operators.Layout.prunedReadBox(spark, idx, bounds).count()
+    val want = base.filter(col("a").between(100, 899) &&
+      col("b").between(0, 499) && col("c").between(2000, 2600)).count()
+    assert(want > 0 && got == want, s"pruned read lost rows: $got vs $want")
+  }
+
   test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
     val p = s"$root/approx.parquet"
     (0L until 20000L).map(i => (i % 1000, i % 8))
