@@ -31,6 +31,49 @@ object Bench {
     // doesn't absorb ~4s of session start
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
+    // …and the three other fixed per-JVM bootstraps ProfileWatch
+    // attributed (r12/r13): the streaming machinery + HDFS state store,
+    // the RocksDB state-store provider (native lib load + column-family
+    // setup — ~6 s measured on the first transformWithState stream),
+    // and the embedded Derby JDBC engine. Without this, those one-time
+    // costs land on WHICHEVER measured query happens to run its family
+    // first and move per-round depending on sweep order — the exact
+    // variance the r11–r13 watch items chased. At 100 TB these amortize
+    // to zero; a bench of per-query steady-state costs should not
+    // re-measure them per round.
+    def warmStream(rocksDb: Boolean): Unit = {
+      // the ENTIRE warm-up is guarded (tempdir creation included — a
+      // full /tmp must not crash the bench before any query runs), and
+      // only NonFatal: an interrupt must not be silently eaten
+      var wdir: Option[java.nio.file.Path] = None
+      try {
+        val tag = if (rocksDb) "rocks" else "hdfs"
+        val d = java.nio.file.Files.createTempDirectory(s"bench_warm_$tag")
+        wdir = Some(d)
+        val src = d.resolve("src").toString
+        spark.range(4).selectExpr("id", "id % 2 AS g").write.parquet(src)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "2")
+        if (rocksDb) ss.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ss.readStream
+          .schema("id LONG, g LONG").parquet(src)
+          .groupBy("g").count()
+          .writeStream.format("noop")
+          .option("checkpointLocation", d.resolve("ckpt").toString)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      finally wdir.foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
+    }
+    warmStream(rocksDb = false)
+    warmStream(rocksDb = true)
+    try java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:benchwarm;create=true").close()
+    catch { case scala.util.control.NonFatal(_) => () }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

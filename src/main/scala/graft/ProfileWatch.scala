@@ -56,6 +56,40 @@ object ProfileWatch {
     }
 
     for (rep <- 1 to reps) {
+      println(s"[watch] ── q_src_cdf_scd2 rep $rep ──")
+      import graft.sources.TxnTable
+      val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = Scratch.dir(s"/root/repo/target/tmp/pw_cdfscd2_$sfKey")
+      val base = t("scd2 base ckpt")(
+        spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+          .coalesce(1).localCheckpoint(true))
+      t("scd2 commit v1")(TxnTable.commit(spark, base, table,
+        overwrite = false))
+      t("scd2 upsert v2")(graft.operators.Merge.upsert(spark, table,
+        base.filter(col("k") % 5 === 0).withColumn("seg", lit("SEG_A")),
+        Seq("k")))
+      t("scd2 upsert v3")(graft.operators.Merge.upsert(spark, table,
+        base.filter(col("k") % 7 === 0).withColumn("seg", lit("SEG_B")),
+        Seq("k")))
+      var dim = TxnTable.read(spark, table, asOf = Some(1))
+        .select(col("k"), col("seg"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      for (v <- 2 to 3) {
+        val changes = t(s"scd2 feed v$v")(TxnTable
+          .changeFeed(spark, table, fromExclusive = v - 1, toInclusive = v,
+            keys = Seq("k"))
+          .filter(col("change").isin("insert", "update"))
+          .select(col("k"), col("seg"))
+          .localCheckpoint(true))
+        dim = t(s"scd2 fold v$v")(graft.operators.Scd.scd2Apply(dim, changes,
+          "k", Seq("seg"), effectiveTs = lit(v.toLong))
+          .localCheckpoint(true))
+      }
+      t("scd2 collect")(dim.orderBy("k", "valid_from").collect())
+    }
+
+    for (rep <- 1 to reps) {
       println(s"[watch] ── q_scan_mv_cdc_repair rep $rep ──")
       import graft.plans.{Mv, MvRewrite}
       import graft.sources.TxnTable

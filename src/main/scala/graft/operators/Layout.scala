@@ -134,7 +134,8 @@ object Layout {
                       index: DataFrame, column: String,
                       keys: Seq[Long]): DataFrame = {
     val files = bloomPrunedFiles(index, keys)
-    if (files.isEmpty) spark.emptyDataFrame
+    if (files.isEmpty)
+      emptyLike(spark, index) // schema-preserving (see prunedReadBox)
     else spark.read.parquet(files.toIndexedSeq: _*)
       .filter(col(column).isin(keys: _*))
   }
@@ -241,10 +242,21 @@ object Layout {
       col(s"min_$c") <= hi && col(s"max_$c") >= lo
     }.reduce(_ && _)
     val files = index.filter(hit).select("file").collect().map(_.getString(0))
-    if (files.isEmpty) spark.emptyDataFrame
+    if (files.isEmpty) emptyLike(spark, index)
     else spark.read.parquet(files.toIndexedSeq: _*)
       .filter(bounds.map { case (c, lo, hi) =>
         col(c) >= lo && col(c) <= hi }.reduce(_ && _))
+  }
+
+  /** A zero-row frame WITH the indexed table's schema — a pruned read
+    * whose box missed every file must still select/filter downstream
+    * (the schema-less `spark.emptyDataFrame` throws on the first
+    * column reference). One file's footer supplies the schema. */
+  private def emptyLike(spark: org.apache.spark.sql.SparkSession,
+                        index: DataFrame): DataFrame = {
+    val any = index.select("file").limit(1).collect()
+    require(any.nonEmpty, "empty min-max index: nothing was ever indexed")
+    spark.read.parquet(any(0).getString(0)).limit(0)
   }
 
   /** Index-pruned scan: reads ONLY the files whose [min, max] intersects
@@ -258,7 +270,7 @@ object Layout {
       .filter(col("min_v") <= hi && col("max_v") >= lo)
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
-      spark.emptyDataFrame
+      emptyLike(spark, index) // schema-preserving (see prunedReadBox)
     else
       spark.read.parquet(files.toIndexedSeq: _*)
         .filter(col(column) >= lo && col(column) <= hi)

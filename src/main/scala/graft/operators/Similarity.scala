@@ -820,9 +820,18 @@ object Similarity {
     val batchQ = quantizeCorpus(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val meta =
-      if (TxnCatalog.tableVersions(catalog).contains("meta"))
-        Seq(Write("dmeta", batch.drop("embedding").withColumn("gen", lit(gen))))
-      else Nil
+      if (TxnCatalog.tableVersions(catalog).contains("meta")) {
+        // fail at the MUTATION, not at some later filtered search: a
+        // narrow batch would land a column-poor dmeta whose unionByName
+        // with meta only blows up at query time, far from the cause
+        val metaCols = TxnCatalog.read(spark, catalog, "meta")
+          .columns.toSet
+        val batchMeta = batch.drop("embedding")
+        require(batchMeta.columns.toSet == metaCols,
+          s"upsert batch metadata columns ${batchMeta.columns.sorted.mkString(",")} " +
+            s"must match the index's meta table ${metaCols.toSeq.sorted.mkString(",")}")
+        Seq(Write("dmeta", batchMeta.withColumn("gen", lit(gen))))
+      } else Nil
     try TxnCatalog.commitAll(spark, catalog, Seq(
       Write("dlists",
         assignClustersQ(batchQ, centroids).withColumn("gen", lit(gen))),
@@ -943,9 +952,14 @@ object Similarity {
     // killed by a later delete wins. The overlay is bounded by rebuild
     // policy (deltaFraction trigger), so the anti-joins broadcast like
     // the tombstones do.
-    val overlay: DataFrame => DataFrame =
-      deltaTableAt(spark, catalog, "dlists", at) match {
-        case None => identity
+    val overlay: (DataFrame, String) => DataFrame =
+      deltaTableAt(spark, catalog, "dlists", at)
+          // an emptied overlay (post-rebuild) must cost nothing: without
+          // the isEmpty short-circuit every later search would forever
+          // pay two eager checkpoint jobs plus three anti-join/union
+          // plans over empty frames
+          .filter(!_.isEmpty) match {
+        case None => (base, _) => base
         case Some(dl) =>
           val winners = dl.groupBy("vec_id").agg(max("gen").as("gen"))
           val live = deltaTableAt(spark, catalog, "dtombs", at)
@@ -956,23 +970,14 @@ object Similarity {
                 kills("t_gen") > winners("gen"), "left_anti")
             }.localCheckpoint(true) // small; reused by all four overlays
           val deltaIds = dl.select("vec_id").distinct().localCheckpoint(true)
-          base => {
+          // the delta table is NAMED by the caller — inferring it from
+          // base column names would mis-route an index whose metadata
+          // happens to carry a 'cluster' or 'code' column
+          (base, dTable) => {
             // base rows of every upserted id vanish (even a killed delta
             // keeps them dead: the upsert shadowed, the delete killed)
-            val name = base.columns.head // "vec_id" always first here
-            require(name == "vec_id", name)
-            val dTable = base.columns.toSet match {
-              case c if c("cluster") => "dlists"
-              case c if c("code") => "dcodes"
-              case c if c("embedding") => "dvectors"
-              case _ => "dmeta"
-            }
-            val drows = deltaTableAt(spark, catalog, dTable, at)
-              .getOrElse(dl.sparkSession.emptyDataFrame)
-            val winning =
-              if (drows.columns.isEmpty) None
-              else Some(drows.join(broadcast(live), Seq("vec_id", "gen"))
-                .drop("gen"))
+            val winning = deltaTableAt(spark, catalog, dTable, at).map(
+              _.join(broadcast(live), Seq("vec_id", "gen")).drop("gen"))
             val pruned = base.join(broadcast(deltaIds), Seq("vec_id"),
               "left_anti")
             winning.fold(pruned)(w => pruned.unionByName(w))
@@ -982,17 +987,18 @@ object Similarity {
     // eligible set's size is the predicate's selectivity — see
     // [[ivfPqTopKIndexed]]); the meta it reads is the OVERLAID meta, so
     // a predicate evaluates against an upserted row's NEW metadata
-    val lists2 = overlay(lists1)
+    val lists2 = overlay(lists1, "dlists")
     val lists = predicate.fold(lists2) { p =>
-      lists2.join(overlay(TxnCatalog.read(spark, catalog, "meta", at))
-        .filter(p).select("vec_id"), Seq("vec_id"), "left_semi")
+      lists2.join(
+        overlay(TxnCatalog.read(spark, catalog, "meta", at), "dmeta")
+          .filter(p).select("vec_id"), Seq("vec_id"), "left_semi")
     }
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", at),
       TxnCatalog.read(spark, catalog, "codebooks", at),
       lists,
-      overlay(TxnCatalog.read(spark, catalog, "codes", at)),
-      overlay(TxnCatalog.read(spark, catalog, "vectors", at)),
+      overlay(TxnCatalog.read(spark, catalog, "codes", at), "dcodes"),
+      overlay(TxnCatalog.read(spark, catalog, "vectors", at), "dvectors"),
       k, nprobe, rerank, m, dim)
   }
 

@@ -311,29 +311,64 @@ object TableConstraints {
     }
 
   /** FK enforcement broadcasts the parent's distinct keys only below
-    * this metadata row count; above it the probe semi-prunes the parent
-    * by the batch's keys instead (see [[enforceSplit]]). */
+    * this metadata ROW count; above it the probe semi-prunes the parent
+    * by the batch's keys instead (see [[enforceSplit]]). The knob is
+    * rows, not bytes — the size a metadata read can know. The 1M
+    * default keeps even a 64-byte composite string key under ~64 MB
+    * broadcast; a deployment with wide keys tunes it DOWN (the
+    * semi-prune fallback is always correct, a failed broadcast is a
+    * driver OOM — the asymmetry that sizes the default small). */
   val BroadcastMaxRowsKey = "spark.graft.enforce.broadcastMaxRows"
-  private val BroadcastMaxRowsDefault = "5000000"
+  private val BroadcastMaxRowsDefault = "1000000"
+
+  /** Cached [[metadataRowCountUncached]]: the gate runs once per
+    * micro-batch per FK, and re-walking a 10k-file static parent's
+    * footers per 5-second trigger is ~170M footer reads a day for a
+    * value that almost never changes. Txn tables key on
+    * currentVersion; plain dirs key on a walk digest (names + lengths
+    * + mtimes — the listing without the footer reads). LRU-capped like
+    * [[TxnTable.resolveVersion]]'s index; an eviction costs one fresh
+    * sweep, never a wrong answer. */
+  private val rowCountCache: java.util.Map[String, (String, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (String, Long)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+          size() > 64
+      })
+
+  private def walkParquet(d: File): Seq[File] =
+    Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap { f =>
+      if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+      else if (f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) walkParquet(f)
+      else Nil
+    }
 
   /** Row count of a table from METADATA alone — log + stats sidecars +
-    * footers for a txn table, a recursive footer sweep for a plain
-    * parquet dir; never a data scan (this gates a per-micro-batch
-    * probe). Anything unreadable counts as LARGE: the semi-prune
-    * fallback is always correct, a failed broadcast is an OOM. */
+    * footers for a txn table, a footer sweep for a plain parquet dir;
+    * never a data scan (this gates a per-micro-batch probe). Anything
+    * unreadable counts as LARGE: the semi-prune fallback is always
+    * correct, a failed broadcast is an OOM. */
   private def metadataRowCount(table: String): Long =
     try {
-      if (TxnTable.logDir(table).isDirectory) TxnTable.snapshotRowCount(table)
+      val key = canon(table)
+      val (stamp, count) =
+        if (TxnTable.logDir(table).isDirectory) {
+          val v = TxnTable.currentVersion(table)
+          (s"txn:$v", () => TxnTable.snapshotRowCount(table))
+        } else {
+          val files = walkParquet(new File(table))
+          (files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+            .sorted.mkString("|"),
+            () => files.map(TxnTable.footerRowCount).sum)
+        }
+      val cached = rowCountCache.get(key)
+      if (cached != null && cached._1 == stamp) cached._2
       else {
-        def walk(d: File): Long =
-          Option(d.listFiles()).getOrElse(Array.empty[File]).map { f =>
-            if (f.isFile && f.getName.endsWith(".parquet"))
-              TxnTable.footerRowCount(f)
-            else if (f.isDirectory && !f.getName.startsWith("_") &&
-              !f.getName.startsWith(".")) walk(f)
-            else 0L
-          }.sum
-        walk(new File(table))
+        val n = count()
+        rowCountCache.put(key, (stamp, n))
+        n
       }
     } catch { case _: Exception => Long.MaxValue }
 

@@ -192,13 +192,23 @@ object TxnTable {
     }
   }
 
-  /** Incrementally-maintained tag index: the set of writer tags
-    * published anywhere in `table`'s log up to the version last
-    * scanned, plus the digest of that version's entry so a table
-    * deleted and recreated at the same path (version numbers are not
-    * identity) is detected and the index rebuilt. */
-  private final case class TagIndex(scanned: Int, scannedDigest: String,
+  /** Incrementally-maintained tag index: the writer tags published in
+    * versions (floor, scanned] of `table`'s log, plus the digest of the
+    * last-scanned entry so a table deleted and recreated at the same
+    * path (version numbers are not identity) is detected and the index
+    * rebuilt. `floor` bounds DRIVER MEMORY: a long-lived stream commits
+    * one uniquely-tagged version per micro-batch, and an uncapped set
+    * would grow with the entire log's lifetime — once the window
+    * exceeds [[MaxTagWindow]] versions the oldest are dropped and a
+    * set miss falls back to scanning versions ≤ floor (the rare path:
+    * replayed tags are overwhelmingly recent). */
+  private final case class TagIndex(scanned: Int, floor: Int,
+                                    scannedDigest: String,
                                     tags: Set[String])
+
+  /** Versions of tag history kept in memory per table (~tens of MB at
+    * worst-case tag sizes); beyond it, older tags resolve by log scan. */
+  private val MaxTagWindow = 100000
 
   /** LRU-bounded like [[setIndexes]] — an evicted table pays one fresh
     * log sweep on its next lookup, never a wrong answer. */
@@ -230,13 +240,27 @@ object TxnTable {
         f.isFile && entryDigest(f) == c.scannedDigest
       }
       val base = Option(prev).filter(c => c.scanned <= cur && digestOk(c))
-      val from = base.map(_.scanned).getOrElse(0)
-      val tags = base.map(_.tags).getOrElse(Set.empty[String]) ++
-        ((from + 1) to cur).flatMap(v => commitTag(table, v))
-      TagIndex(cur, entryDigest(new File(logDir(table), f"v$cur%05d.json")),
-        tags)
+      if (base.exists(c => cur - c.floor > MaxTagWindow)) {
+        // window overflow: rebuild from only the newest MaxTagWindow
+        // versions — amortized O(1) per head bump, bounded memory
+        val floor = cur - MaxTagWindow
+        TagIndex(cur, floor,
+          entryDigest(new File(logDir(table), f"v$cur%05d.json")),
+          ((floor + 1) to cur).flatMap(v => commitTag(table, v)).toSet)
+      } else {
+        val from = base.map(_.scanned).getOrElse(math.max(0, cur - MaxTagWindow))
+        val floor = base.map(_.floor).getOrElse(math.max(0, cur - MaxTagWindow))
+        val tags = base.map(_.tags).getOrElse(Set.empty[String]) ++
+          ((from + 1) to cur).flatMap(v => commitTag(table, v))
+        TagIndex(cur, floor,
+          entryDigest(new File(logDir(table), f"v$cur%05d.json")), tags)
+      }
     })
-    idx.tags.contains(tag)
+    idx.tags.contains(tag) ||
+      // below-window history: the rare path (a replayed tag is almost
+      // always recent); proves absence exactly, never from the index
+      (idx.floor > 0 && (idx.floor to 1 by -1)
+        .exists(v => commitTag(table, v).contains(tag)))
   }
 
   private def checkpointFiles(table: String): Seq[File] =

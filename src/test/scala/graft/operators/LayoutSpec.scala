@@ -77,6 +77,23 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("pruned reads that miss every file keep the data schema") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_empty").toString
+    val src = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("a", "b", "c")
+    Layout.zorderWriteN(src, Seq("a", "b", "c"), dir, numFiles = 2)
+    val idx = Layout.buildMinMaxIndexN(spark, dir, Seq("a", "b", "c"))
+    // a box outside the data domain prunes EVERY file — the result must
+    // still be selectable/filterable (schema-less emptyDataFrame throws)
+    val out = Layout.prunedReadBox(spark, idx,
+      Seq(("a", 900L, 999L), ("b", 0L, 5L), ("c", 0L, 5L)))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.select("a").filter(col("b") > 0).count() === 0)
+    val idx1 = Layout.buildMinMaxIndex(spark, dir, "a")
+    assert(Layout.prunedRead(spark, idx1, "a", 900L, 999L)
+      .select("c").count() === 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("min-max index prunes files on a range layout and loses no rows") {
     val dir = "/root/repo/target/tmp/layout_minmax_spec"
     val orders = graft.Tables.orders(spark, sfDir)

@@ -474,6 +474,32 @@ class SimilaritySpec extends SparkSpec {
     assert(again(2L)._1 == 99L && again(2L)._2 >= 990000000000L)
   }
 
+  test("upsert overlay routes by table name: a meta column named 'cluster' cannot mis-route") {
+    // the overlay once inferred the delta table from base COLUMN NAMES —
+    // metadata carrying a column named 'cluster' or 'code' would join
+    // dmeta against dlists winners. Pin the by-name routing.
+    val corpus = embs.withColumnRenamed("label", "cluster")
+    val cat = "/root/repo/target/tmp/spec_ann_metaclash_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    Similarity.writeIvfPqIndexTxn(spark, corpus, cat)
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      corpus.filter($"vec_id" === 3L).withColumn("vec_id", lit(77L)), cat)
+    val eligible = corpus.filter($"cluster" % 2 === 0)
+      .select("vec_id").as[Long].collect().toSet + 77L
+    val got = Similarity.ivfPqTopKIndexedTxn(spark,
+        corpus.filter($"vec_id" < 10), cat, k = 5, nprobe = 8,
+        predicate = Some((col("cluster") % 2 === 0) || col("vec_id") === 77L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty && got.forall(p => eligible(p._2)), got.take(5).toSeq)
+    // …and a schema-poor upsert batch is refused AT the mutation, not
+    // at some later filtered search's unionByName
+    val e = intercept[IllegalArgumentException] {
+      Similarity.upsertIntoIvfPqIndexTxn(spark,
+        corpus.filter($"vec_id" === 4L).select("vec_id", "embedding"), cat)
+    }
+    assert(e.getMessage.contains("meta"), e.getMessage)
+  }
+
   test("filtered ANN: predicate prunes candidate generation, recall vs filtered brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ann_filter_spec").toString
     Similarity.writeIvfPqIndex(embs, dir)
