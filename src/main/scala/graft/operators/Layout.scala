@@ -68,7 +68,29 @@ object Layout {
     * range so per-file min/max tighten on EVERY clustered column. */
   def zorderWriteN(df: DataFrame, cols: Seq[String], path: String,
                    numFiles: Int = 8): Unit =
-    df.withColumn("__z", mortonCodeN(cols.map(col)))
+    clusteredWrite(df, mortonCodeN(cols.map(col)), path, numFiles)
+
+  /** N-column HILBERT-curve code (the native
+    * [[graft.plans.HilbertCode]] expression, whole-stage codegen): the
+    * locality-preserving alternative to [[mortonCodeN]] — consecutive
+    * Hilbert codes are always spatially ADJACENT (the Morton curve
+    * jumps diagonally at power-of-two boundaries), so a file's code
+    * range covers a tighter box and per-dimension min/max prune more,
+    * increasingly so past 2 dimensions. */
+  def hilbertCode(cols: Seq[Column], bits: Int = 16): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("hilbert_code", lit(bits) +: cols: _*)
+  }
+
+  /** [[zorderWriteN]] with the Hilbert curve as the clustering key. */
+  def hilbertWriteN(df: DataFrame, cols: Seq[String], path: String,
+                    numFiles: Int = 8): Unit =
+    clusteredWrite(df, hilbertCode(cols.map(col)), path, numFiles)
+
+  private def clusteredWrite(df: DataFrame, code: Column, path: String,
+                             numFiles: Int): Unit =
+    df.withColumn("__z", code)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -46,6 +46,12 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("hilbert_code"),
+      new ExpressionInfo(classOf[HilbertCode].getName, "hilbert_code"),
+      // hilbert_code(bits, c1, c2, …) — bits leads because the
+      // coordinate list is variadic
+      (children: Seq[Expression]) =>
+        HilbertCode(children.drop(1), literalInt(children.head, "hilbert_code"))),
     (FunctionIdentifier("list_divider"),
       new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),
       (children: Seq[Expression]) => ListDivider(children(0), children(1))),

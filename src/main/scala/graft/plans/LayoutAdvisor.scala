@@ -226,7 +226,15 @@ object LayoutAdvisor {
         max("base_rows").as("base_rows"))
       .select(col("base"), concat_ws(",", col("cs")).as("cols"),
         col("n_cols"), col("n_range"), col("base_rows"),
-        (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"))
+        (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"),
+        // curve choice: at 2 dims Morton's cheap bit-interleave is
+        // within a few percent of Hilbert's pruning; from 3 dims the
+        // Morton curve's diagonal jumps widen per-file intervals enough
+        // that Hilbert's continuity pays for its encoder
+        // ([[graft.operators.Layout.hilbertWriteN]] is the apply path)
+        org.apache.spark.sql.functions
+          .when(col("n_cols") >= 3, "hilbert").otherwise("morton")
+          .as("curve"))
       .orderBy("base")
 
   /** Small-file health of a parquet directory, measured in ROWS per

@@ -970,6 +970,44 @@ object ScaleQueries {
         .orderBy("event_id")
     },
 
+    // ── HILBERT-curve clustering, same box workload as q_layout_zorder:
+    //    the locality-preserving alternative the advisor names for 3+
+    //    dimensions (consecutive Hilbert codes are always spatially
+    //    adjacent — Morton jumps diagonally at power-of-two boundaries,
+    //    widening per-file intervals). The native hilbert_code
+    //    expression (Skilling transpose, whole-stage codegen) is the
+    //    clustering key; content must equal the plain filter and the
+    //    box must open a strict file subset, pinned on the hash.
+    sql("q_layout_hilbert",
+      """WITH e AS (
+        |  SELECT event_id, event_id % 251 AS x, user_id,
+        |         CAST(FLOOR(value * 100) AS BIGINT) % 263 AS v
+        |  FROM events)
+        |SELECT event_id, v, TRUE AS pruned_strict
+        |FROM e
+        |WHERE x BETWEEN 20 AND 90 AND user_id BETWEEN 2 AND 8
+        |  AND v BETWEEN 30 AND 150
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Scratch.dir(s"/root/repo/target/tmp/hilbert3_$sfKey")
+      val cols = Seq("x", "user_id", "v")
+      Layout.hilbertWriteN(Tables.events(s, d).select(
+          col("event_id"),
+          (col("event_id") % 251).as("x"),
+          col("user_id"),
+          (floor(col("value") * 100) % 263).as("v")),
+        cols, dir, numFiles = 16)
+      val idx = Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
+      val bounds = Seq(("x", 20L, 90L), ("user_id", 2L, 8L), ("v", 30L, 150L))
+      val opened = idx.filter(bounds.map { case (c, lo, hi) =>
+        col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)).count()
+      Layout.prunedReadBox(s, idx, bounds)
+        .select(col("event_id"), col("v"),
+          lit(opened < idx.count()).as("pruned_strict"))
+        .orderBy("event_id")
+    },
+
     // ── COMPOSITE Z-ORDER ADVISOR: a workload range-filtering SEVERAL
     //    high-NDV columns of one base gets ONE multi-column layout
     //    recommendation (k single-column zorder rows would fight over
@@ -996,7 +1034,8 @@ object ScaleQueries {
         |SELECT base, string_agg(col_name, ',' ORDER BY col_name) AS cols,
         |       COUNT(*) AS n_cols, CAST(SUM(n_range) AS BIGINT) AS n_range,
         |       MAX(base_rows) AS base_rows,
-        |       COUNT(*) BETWEEN 2 AND 4 AS recommend
+        |       COUNT(*) BETWEEN 2 AND 4 AS recommend,
+        |       CASE WHEN COUNT(*) >= 3 THEN 'hilbert' ELSE 'morton' END AS curve
         |FROM z GROUP BY base ORDER BY base""".stripMargin) { (s, d) =>
       import graft.plans.LayoutAdvisor
       val li = s.read.parquet(s"$d/lineitem.parquet")

@@ -77,6 +77,72 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {
+    // 2D, bits=4: the code must be a BIJECTION onto [0, 256) AND
+    // unit-step continuous — consecutive codes decode to Manhattan-
+    // adjacent cells. Bijection + unit steps is the defining Hilbert
+    // property (Morton fails it: code 1→2 jumps diagonally), so this
+    // is an algorithm-independent correctness check, not a replay.
+    def gridCheck(dims: Int, bits: Int): Unit = {
+      val side = 1 << bits
+      val cells = Seq.tabulate(math.pow(side, dims).toInt) { i =>
+        Array.tabulate(dims)(d =>
+          ((i / math.pow(side, d).toInt) % side).toLong)
+      }
+      val codes = cells.map(c =>
+        c.toSeq -> graft.plans.HilbertCode.encode(c, bits))
+      assert(codes.map(_._2).toSet == (0L until cells.size.toLong).toSet,
+        s"${dims}D/bits=$bits not a bijection onto the grid")
+      codes.sortBy(_._2).map(_._1).sliding(2).foreach {
+        case Seq(a, b) =>
+          val dist = a.zip(b).map { case (p, q) => math.abs(p - q) }.sum
+          assert(dist == 1, s"${dims}D jump between $a and $b")
+        case _ =>
+      }
+    }
+    gridCheck(dims = 2, bits = 4)
+    gridCheck(dims = 3, bits = 3) // the 3-dim continuity Morton lacks
+    // the codegen'd column equals the driver encoder on random coords
+    val rng = new scala.util.Random(19)
+    val pts = Seq.fill(200)((rng.nextInt(65536).toLong,
+      rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y", "z")
+      .select($"x", $"y", $"z",
+        Layout.hilbertCode(Seq($"x", $"y", $"z")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    got.foreach { case ((x, y, z), h) =>
+      assert(h === graft.plans.HilbertCode.encode(Array(x, y, z), 16),
+        s"codegen/encoder divergence at ($x, $y, $z)")
+    }
+    // null coordinate → null code (layout keys group nulls together)
+    val n = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(Layout.hilbertCode(Seq($"x", $"y")).as("h")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("hilbertWriteN: content round-trips and a 3-dim box opens a strict file subset") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert3_spec").toString
+    val rng = new scala.util.Random(23)
+    val src = Seq.tabulate(4000)(i =>
+      (i.toLong, rng.nextInt(4000).toLong, rng.nextInt(4000).toLong))
+      .toDF("a", "b", "c")
+    Layout.hilbertWriteN(src, Seq("a", "b", "c"), dir, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4000L)
+    val idx = Layout.buildMinMaxIndexN(spark, dir, Seq("a", "b", "c"))
+      .localCheckpoint(true)
+    val bounds = Seq(("a", 100L, 899L), ("b", 0L, 499L), ("c", 2000L, 2600L))
+    val opened = idx.filter(bounds.map { case (cn, lo, hi) =>
+      col(s"min_$cn") <= hi && col(s"max_$cn") >= lo }.reduce(_ && _)).count()
+    assert(opened < idx.count(), s"box opened $opened of ${idx.count()}")
+    val want = src.filter($"a".between(100, 899) && $"b".between(0, 499) &&
+      $"c".between(2000, 2600)).count()
+    assert(want > 0 &&
+      Layout.prunedReadBox(spark, idx, bounds).count() === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pruned reads that miss every file keep the data schema") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_empty").toString
     val src = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("a", "b", "c")
