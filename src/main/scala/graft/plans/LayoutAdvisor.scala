@@ -304,6 +304,36 @@ object LayoutAdvisor {
         "reclaimable_rows", "recommend_vacuum")
   }
 
+  /** CLUSTER-HEALTH advisor for a [[graft.sources.TxnLayout]]-maintained
+    * table — metadata only, like every txn advisor here (sidecar + the
+    * log's row-count stats): one row naming the clustering (curve,
+    * columns) and the live set's clustered/stale split. Stale files are
+    * opened by every pruned scan, so `stale_rows / total_rows` is
+    * exactly the pruning quality ingest has eroded; recommend when it
+    * reaches `maxStaleFraction` (the threshold
+    * `TxnLayout.maintainClustered` applies). A never-clustered table
+    * reports curve='none' and never recommends — whether to cluster AT
+    * ALL is [[zorderAdvice]]'s question, this row answers whether to
+    * MAINTAIN what exists. */
+  def clusterAdvice(spark: SparkSession, table: String,
+                    maxStaleFraction: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TxnLayout
+    TxnLayout.readSpec(table) match {
+      case None =>
+        Seq(("none", "", 0L, 0L, 0L, 0L, false))
+          .toDF("curve", "cols", "n_clustered_files", "n_stale_files",
+            "stale_rows", "total_rows", "recommend_recluster")
+      case Some(spec) =>
+        val (cl, st, staleRows, totalRows) = TxnLayout.staleness(table)
+        Seq((spec.curve, spec.cols.mkString(","), cl.toLong, st.toLong,
+          staleRows, totalRows,
+          st > 0 && staleRows >= maxStaleFraction * totalRows))
+          .toDF("curve", "cols", "n_clustered_files", "n_stale_files",
+            "stale_rows", "total_rows", "recommend_recluster")
+    }
+  }
+
   private def adviceRow(spark: SparkSession, nFiles: Long, rows: Long,
                         targetRowsPerFile: Long): DataFrame = {
     val avg = rows / math.max(1L, nFiles)

@@ -777,6 +777,56 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── JOIN-DRIVEN dynamic file pruning (TxnStats.dfpFiles/dfpRead):
+    //    the fact is key-clustered into four quartile files and joined
+    //    to a three-key dim known only at RUNTIME (min key, smallest
+    //    key ≥ 2·quartile, max key) — a static range filter can't
+    //    exist, and the range envelope [min,max] spans ALL four files.
+    //    Exact-key gap pruning is the win being pinned: the dim's keys
+    //    land in files 0/2/3, so the scan opens THREE of four — the
+    //    second-quartile file is skipped because no dim key falls in
+    //    its [min,max]. The star-join shape at 100 TB: dim selectivity
+    //    → fact file list, before any fact bytes move. files_read
+    //    rides the hash; the oracle replays the same join unpruned.
+    sql("q_scan_dfp",
+      """WITH t AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+        |d AS (SELECT MIN(o_orderkey) AS k FROM orders
+        |      UNION ALL
+        |      SELECT MIN(o_orderkey) FROM orders, t WHERE o_orderkey >= 2 * t.q
+        |      UNION ALL
+        |      SELECT MAX(o_orderkey) FROM orders)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(4 AS BIGINT) AS files_total,
+        |       CAST(3 AS BIGINT) AS files_read
+        |FROM orders JOIN d ON o_orderkey = d.k""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("txn_dfp")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val q = mx / 4
+      TxnTable.commit(s, o.filter(col("o_orderkey") < q).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        o.filter(col("o_orderkey") >= q && col("o_orderkey") < 2 * q).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s,
+        o.filter(col("o_orderkey") >= 2 * q && col("o_orderkey") < 3 * q).coalesce(1),
+        table, overwrite = false)
+      TxnTable.commit(s, o.filter(col("o_orderkey") >= 3 * q).coalesce(1),
+        table, overwrite = false)
+      TxnStats.refresh(s, table, "o_orderkey")
+      val dim = o.agg(min("o_orderkey").as("k"))
+        .union(o.filter(col("o_orderkey") >= 2 * q).agg(min("o_orderkey")))
+        .union(o.agg(max("o_orderkey")))
+      val (toRead, nLive) = TxnStats.dfpFiles(s, table, "o_orderkey", dim)
+      val fact = TxnStats.dfpRead(s, table, "o_orderkey", dim)
+      fact.join(dim, fact("o_orderkey") === dim("k"))
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("cust_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
     // ── small-file-only compaction (TxnTable.compactSmall): one healthy
     //    ingest file plus four micro-batch-sized stragglers; the
     //    compaction merges ONLY the stragglers (5 files → 2, the big
@@ -805,6 +855,98 @@ object SourceQueries {
         .agg(count(lit(1)).as("cnt"), sum("event_id").as("id_sum"))
         .withColumn("files_before", lit(before))
         .withColumn("files_after", lit(after))
+    },
+
+    // ── INCREMENTAL clustered maintenance (TxnLayout.optimizeClustered /
+    //    reclusterIncremental): the steady-state layout lifecycle at
+    //    100 TB — one full Z-order rewrite records per-file code ranges,
+    //    then each maintenance pass rewrites ONLY the files ingest
+    //    staled plus the clustered files their codes land in, never the
+    //    table. Staged pins ride the hash: the far-range append
+    //    reclusters exactly ONE file with all four clustered files kept
+    //    (r1/k1), the in-range append pulls exactly its ONE covering
+    //    clustered file into the rewrite (r2, with k2 = 5-1 survivors:
+    //    the 4 seed-round files + round-1's output minus the hit).
+    //    Content equality proves every round moved layout, not data.
+    sql("q_src_recluster",
+      """WITH base AS (
+        |  SELECT o_orderkey % 32768 AS x, o_custkey % 32768 AS y,
+        |         o_orderkey AS v FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (0, 0, -100), (40000, 40000, 1),
+        |                        (40001, 40001, 2), (40002, 40002, 3),
+        |                        (0, 0, -101)) AS t(x, y, v))
+        |SELECT COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |       CAST(SUM(x + y) AS BIGINT) AS xy_sum,
+        |       CAST(1 AS BIGINT) AS r1, CAST(4 AS BIGINT) AS k1,
+        |       CAST(2 AS BIGINT) AS r2, CAST(4 AS BIGINT) AS k2
+        |FROM base""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLayout
+      import s.implicits._
+      val table = tmp("txn_recluster")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select(
+        (col("o_orderkey") % 32768).as("x"),
+        (col("o_custkey") % 32768).as("y"),
+        col("o_orderkey").as("v"))
+      // the (0,0,-100) literal pins the global-min morton code so the
+      // in-range stage below provably lands inside the first file
+      TxnTable.commit(s, o.union(Seq((0L, 0L, -100L)).toDF("x", "y", "v")),
+        table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("x", "y"), numFiles = 4)
+      TxnTable.commit(s,
+        Seq((40000L, 40000L, 1L), (40001L, 40001L, 2L), (40002L, 40002L, 3L))
+          .toDF("x", "y", "v").coalesce(1), table, overwrite = false)
+      val (_, r1, k1) = TxnLayout.reclusterIncremental(s, table)
+      TxnTable.commit(s, Seq((0L, 0L, -101L)).toDF("x", "y", "v").coalesce(1),
+        table, overwrite = false)
+      val (_, r2, k2) = TxnLayout.reclusterIncremental(s, table)
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"),
+          sum(col("x") + col("y")).as("xy_sum"))
+        .withColumn("r1", lit(r1.toLong)).withColumn("k1", lit(k1.toLong))
+        .withColumn("r2", lit(r2.toLong)).withColumn("k2", lit(k2.toLong))
+    },
+
+    // ── O(Δ) cross-site replication (TxnTable.replicate): seed = the
+    //    source's live snapshot copied + published as the replica's
+    //    genesis; each sync ships ONLY the log suffix — here the third
+    //    slice's file plus the single survivor file a one-file
+    //    copy-on-write DELETE rewrote (2 files, pinned), never the
+    //    whole table. The replica ends at v3 = seed + two replayed
+    //    versions; its v1 time-travel count is the two seeded slices.
+    //    Content equality with the source's final state rides the hash.
+    sql("q_src_replicate",
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 < 2) AS seed_cnt,
+        |       CAST(2 AS BIGINT) AS seed_copied,
+        |       CAST(2 AS BIGINT) AS sync_copied,
+        |       CAST(3 AS BIGINT) AS dst_version
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0 AND o_custkey % 10 = 3)""".stripMargin) { (s, d) =>
+      val src = tmp("replica_src"); val dst = tmp("replica_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      TxnTable.commit(s, o.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+        src, overwrite = false)
+      TxnTable.commit(s, o.filter(col("o_orderkey") % 3 === 1).coalesce(1),
+        src, overwrite = false)
+      val (_, seedCopied) = TxnTable.replicate(src, dst)
+      TxnTable.commit(s, o.filter(col("o_orderkey") % 3 === 2).coalesce(1),
+        src, overwrite = false, tag = Some("slice_c"))
+      // the delete matches rows in the FIRST slice's file only, so the
+      // sync ships exactly two files: the new slice + one survivor
+      TxnTable.deleteWhere(s, src,
+        col("o_orderkey") % 3 === 0 && col("o_custkey") % 10 === 3)
+      val (dstV, syncCopied) = TxnTable.replicate(src, dst)
+      val seedCnt = TxnTable.read(s, dst, asOf = Some(1)).count()
+      TxnTable.read(s, dst)
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("cust_sum"))
+        .withColumn("seed_cnt", lit(seedCnt))
+        .withColumn("seed_copied", lit(seedCopied.toLong))
+        .withColumn("sync_copied", lit(syncCopied.toLong))
+        .withColumn("dst_version", lit(dstV.toLong))
     },
 
     // ── SQL over one consistent catalog snapshot (TxnCatalog

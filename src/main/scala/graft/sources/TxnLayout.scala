@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLUSTERED-LAYOUT MAINTENANCE for transactional tables — the lifecycle
+  * that keeps a multi-dimensional clustering useful while the table keeps
+  * ingesting (engine-added; Delta's `OPTIMIZE ZORDER BY`, liquid-
+  * clustering shape).
+  *
+  * [[graft.operators.Layout.zorderWriteN]] clusters a STATIC directory
+  * once; [[TxnTable.optimizeZorder]] re-clusters a whole txn table. At
+  * 100 TB neither is the steady state: every micro-batch commit lands
+  * files that ignore the layout, and a FULL re-cluster per maintenance
+  * cycle is an O(table) rewrite nobody can afford. The fix is the same
+  * watermark idea the skipping stats use, applied to layout:
+  *
+  *  - [[optimizeClustered]] performs the one full clustered rewrite and
+  *    records a SIDECAR (`_graft_stats/cluster.json`) naming the curve,
+  *    the columns, and each clustered file's [lo, hi] CODE RANGE — the
+  *    clustering's own metadata, |files| entries, never data.
+  *  - [[reclusterIncremental]] then maintains it in O(Δ): live files the
+  *    sidecar doesn't know are STALE (post-clustering ingest, or some
+  *    other rewrite's output). One scan of the stale files computes
+  *    their codes; a broadcast range-join against the sidecar's ranges
+  *    names the clustered files whose range some stale code lands in;
+  *    ONLY stale + hit files rewrite. Clustered files the new data never
+  *    touches are not read, not rewritten — at steady state (time-
+  *    correlated ingest into a time-leading layout) that is almost all
+  *    of them.
+  *
+  * The disjointness invariant — live clustered files have pairwise
+  * disjoint code ranges — is preserved by construction: a stale code
+  * either pulls its covering file into the rewrite or lies in a gap no
+  * surviving range covers, and the rewrite itself range-partitions its
+  * output. So box-filter pruning quality survives any number of
+  * incremental rounds (spec-pinned).
+  *
+  * Single-writer like the other sidecar maintainers: the sidecar is
+  * advisory metadata (a wrong one costs rewrite IO, never rows — reads
+  * never consult it), written atomically via tmp + move.
+  */
+object TxnLayout {
+
+  final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
+                               version: Int, ranges: Map[String, (Long, Long)])
+
+  private def sidecarFile(table: String) =
+    new File(table, "_graft_stats/cluster.json")
+
+  /** The clustering key expression for a (cols, curve, bits) choice —
+    * morton ([[graft.operators.Layout.mortonCodeN]]) or hilbert
+    * ([[graft.operators.Layout.hilbertCode]]), both pure integer
+    * whole-stage-codegen terms. */
+  def codeExpr(cols: Seq[String], curve: String, bits: Int): Column =
+    curve match {
+      case "morton" => graft.operators.Layout.mortonCodeN(cols.map(col), bits)
+      case "hilbert" => graft.operators.Layout.hilbertCode(cols.map(col), bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (morton|hilbert)")
+    }
+
+  def readSpec(table: String): Option[ClusterSpec] = {
+    val f = sidecarFile(table)
+    if (!f.isFile) None
+    else {
+      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      for {
+        colsM <- "\"cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+        curve <- "\"curve\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+        bits <- "\"bits\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        version <- "\"version\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      } yield {
+        val cols = "\"([^\"]*)\"".r.findAllMatchIn(colsM.group(1))
+          .map(_.group(1)).toSeq
+        val ranges = "\\{\"file\":\"([^\"]+)\",\"lo\":(-?\\d+),\"hi\":(-?\\d+)\\}".r
+          .findAllMatchIn(s)
+          .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
+          .toMap
+        ClusterSpec(cols, curve, bits, version, ranges)
+      }
+    }
+  }
+
+  private def writeSpec(table: String, spec: ClusterSpec): Unit = {
+    val files = spec.ranges.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+      s"""{"file":"$f","lo":$lo,"hi":$hi}"""
+    }.mkString("[", ",", "]")
+    val body =
+      s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
+        s""""curve":"${spec.curve}","bits":${spec.bits},""" +
+        s""""version":${spec.version},"files":$files}"""
+    val f = sidecarFile(table)
+    f.getParentFile.mkdirs()
+    val tmp = new File(f.getParentFile,
+      s".cluster-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Per-file [min, max] of `code` over exactly `files` (table-relative)
+    * — one scan of those files, grouped by provenance. */
+  private def rangesOf(spark: SparkSession, table: String,
+                       files: Seq[String], code: Column): Map[String, (Long, Long)] = {
+    if (files.isEmpty) return Map.empty
+    val tableAbs = new File(table).getAbsolutePath
+    val abs = files.map(f => new File(table, f).getPath)
+    spark.read.parquet(abs: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(code).as("lo"), max(code).as("hi"))
+      .collect().map { r =>
+        val uri = r.getString(0)
+        val p = if (uri.startsWith("file:"))
+          new File(new java.net.URI(uri)).getAbsolutePath else uri
+        require(p.startsWith(tableAbs + "/"),
+          s"scanned file outside the table root: $p")
+        p.stripPrefix(tableAbs + "/") -> (r.getLong(1), r.getLong(2))
+      }.toMap
+  }
+
+  /** FULL clustered rewrite: every live row re-sorted by the curve code
+    * and range-partitioned into `numFiles`, one atomic
+    * [[TxnTable.commitRewrite]] (same ACID shape as optimize: snapshots
+    * intact, empty change feed), plus the cluster sidecar recording each
+    * new file's code range — the baseline [[reclusterIncremental]]
+    * maintains. Returns the committed version. */
+  def optimizeClustered(spark: SparkSession, table: String,
+                        cols: Seq[String], curve: String = "morton",
+                        numFiles: Int = 8, bits: Int = 16): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    TxnTable.requireNoDv(table, "clustered optimize")
+    val live = TxnTable.liveSplit(table)._1
+    require(live.nonEmpty, s"nothing to cluster in $table")
+    val code = codeExpr(cols, curve, bits)
+    val rewritten = TxnTable.read(spark, table)
+      .withColumn("__z", code)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val v = TxnTable.commitRewrite(spark, rewritten, table, live)
+    val now = TxnTable.liveSplit(table)._1
+    writeSpec(table, ClusterSpec(cols, curve, bits, v,
+      rangesOf(spark, table, now, code)))
+    v
+  }
+
+  /** INCREMENTAL cluster maintenance — O(Δ), never O(table):
+    * rewrites ONLY (a) live data files the sidecar doesn't list (stale:
+    * ingested or rewritten since the last clustering) and (b) the
+    * clustered files whose recorded code range some stale row's code
+    * lands in. Everything else is untouched — not rewritten, not even
+    * read. No-op when nothing is stale. `numFiles` sizes the rewrite's
+    * output; 0 (default) keeps the rewrite set's own file count.
+    * Returns (version, filesRewritten, filesKept) — version is the
+    * current head when nothing needed doing. */
+  def reclusterIncremental(spark: SparkSession, table: String,
+                           numFiles: Int = 0): (Int, Int, Int) = {
+    val spec = readSpec(table).getOrElse(throw new IllegalStateException(
+      s"$table has no cluster sidecar — run optimizeClustered first"))
+    TxnTable.requireNoDv(table, "incremental recluster")
+    val live = TxnTable.liveSplit(table)._1
+    val clustered = live.filter(spec.ranges.contains)
+    val stale = live.filterNot(spec.ranges.contains)
+    if (stale.isEmpty) return (TxnTable.currentVersion(table), 0, clustered.size)
+    val code = codeExpr(spec.cols, spec.curve, spec.bits)
+    // which clustered files does the stale data land in? |files| ranges
+    // broadcast against one scan of the STALE files only
+    val hit: Set[String] =
+      if (clustered.isEmpty) Set.empty
+      else {
+        val ranges = spark.createDataFrame(
+          clustered.map(f => (f, spec.ranges(f)._1, spec.ranges(f)._2)))
+          .toDF("file", "lo", "hi")
+        TxnTable.readFileList(spark, table, stale)
+          .select(code.as("__z"))
+          .join(broadcast(ranges), col("__z").between(col("lo"), col("hi")))
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val rewriteSet = stale ++ clustered.filter(hit.contains)
+    val n = if (numFiles >= 1) numFiles else rewriteSet.size
+    val rewritten = TxnTable.readFileList(spark, table, rewriteSet)
+      .withColumn("__z", code)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val v = TxnTable.commitRewrite(spark, rewritten, table, rewriteSet)
+    // sidecar: surviving entries stay as recorded; only the rewrite's
+    // own new files are scanned for their ranges — O(rewritten)
+    val survivors = spec.ranges.filter { case (f, _) =>
+      clustered.contains(f) && !hit.contains(f) }
+    val fresh = TxnTable.liveSplit(table)._1
+      .filterNot(f => survivors.contains(f))
+    writeSpec(table, spec.copy(version = v,
+      ranges = survivors ++ rangesOf(spark, table, fresh, code)))
+    (v, rewriteSet.size, survivors.size)
+  }
+
+  /** Cluster-staleness measurement, METADATA-ONLY (sidecar + the log's
+    * row-count stats, footers for pre-stats files — never a scan): the
+    * live set split into clustered/stale file and row counts. Stale
+    * files are opened by EVERY pruned scan (the pruner never skips
+    * blind), so staleRows / totalRows is exactly the fraction of the
+    * table clustering no longer shields. (0,0,0,0) when the table was
+    * never clustered. */
+  def staleness(table: String): (Int, Int, Long, Long) =
+    readSpec(table) match {
+      case None => (0, 0, 0L, 0L)
+      case Some(spec) =>
+        val counts = TxnTable.liveFileRowCounts(table)
+        val (cl, st) = counts.partition { case (f, _) => spec.ranges.contains(f) }
+        (cl.size, st.size, st.map(_._2).sum, counts.map(_._2).sum)
+    }
+
+  /** The steady-state maintenance policy: recluster ONLY when the stale
+    * fraction reaches `maxStaleFraction` of the snapshot's rows —
+    * below it the pruning loss is cheaper than the rewrite IO, the same
+    * economics as small-file compaction thresholds. Metadata-only when
+    * it declines. Returns Some(reclusterIncremental result) when it
+    * ran, None when the clustering is still healthy (or absent). */
+  def maintainClustered(spark: SparkSession, table: String,
+                        maxStaleFraction: Double = 0.2,
+                        numFiles: Int = 0): Option[(Int, Int, Int)] = {
+    require(maxStaleFraction > 0.0, "maxStaleFraction must be positive")
+    val (_, staleFiles, staleRows, totalRows) = staleness(table)
+    if (staleFiles == 0 || staleRows < maxStaleFraction * totalRows) None
+    else Some(reclusterIncremental(spark, table, numFiles))
+  }
+}

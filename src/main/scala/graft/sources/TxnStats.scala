@@ -486,4 +486,106 @@ object TxnStats {
       .filter(col(column).between(lit(lo), lit(hi)))
     if (toRead.nonEmpty) df else df.filter(lit(false))
   }
+
+  // ── join-driven dynamic file pruning ─────────────────────────────────
+
+  /** JOIN-DRIVEN dynamic file pruning — the fact files an INNER
+    * equi-join `fact.column = dim.key` can possibly match, decided at
+    * RUNTIME from the dim side. Spark's own DPP prunes directory
+    * partitions; this is its file-level sibling for an UNPARTITIONED
+    * fact whose layout clusters the join column (range/Z-order/Hilbert
+    * writes) — at 100 TB the star-join shape where the filtered dim
+    * names a handful of key islands and the fact scan should open a
+    * handful of files, not all of them.
+    *
+    * Two pruning regimes, both sound because a skipped file provably
+    * holds no joinable row:
+    *  1. RANGE: one (min, max, count) aggregate over the dim keys —
+    *     always bounded (one row to the driver, any dim size) — then
+    *     [[pruneFiles]] on `[min, max]`.
+    *  2. EXACT-KEY (gap pruning), gated by `maxExactKeys`: the sorted
+    *     distinct keys come to the driver and each stats-indexed file
+    *     is kept only if SOME key lands inside its [min, max] — a
+    *     binary search per file, O(|files|·log|keys|) driver work on
+    *     metadata only. This is what skips the files BETWEEN key
+    *     islands that a single [min, max] envelope must keep.
+    * Above the gate (a high-NDV dim) regime 1 alone applies — the
+    * collect stays bounded by construction. Unindexed live files are
+    * always read (stats freshness is a safety property), and dim-side
+    * NULL keys are dropped — an inner equi-join can never match them.
+    *
+    * `dimKeys` must be a SINGLE-column frame (the join keys, pre-
+    * filtered); it is persisted for the duration of the two passes this
+    * function runs over it. Keys are cast to the fact column's own type
+    * so driver-side comparisons see one representation. Returns
+    * (filesToRead, nLive). Sound ONLY for inner/left-semi joins from
+    * the fact side — outer joins keep unmatched fact rows that live in
+    * skipped files. */
+  def dfpFiles(spark: SparkSession, table: String, column: String,
+               dimKeys: DataFrame,
+               maxExactKeys: Long = 1000000L): (Seq[String], Int) = {
+    require(dimKeys.columns.length == 1,
+      s"dfpFiles wants the single join-key column, got ${dimKeys.columns.length}")
+    val live = TxnTable.liveSplit(table)._1
+    val factDt = TxnTable.read(spark, table)
+      .schema.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$column is not a column of $table")).dataType
+    val keyed = dimKeys
+      .select(col(dimKeys.columns.head).cast(factDt).as("k")).na.drop()
+      .persist()
+    try {
+      val agg = keyed
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+          count(lit(1)).as("n")).head()
+      if (agg.isNullAt(0)) return (Seq.empty, live.size) // no joinable key
+      val (lo, hi, n) = (agg.get(0), agg.get(1), agg.getLong(2))
+      val sd = statsDir(table, column)
+      if (n > maxExactKeys || !sd.isDirectory)
+        return pruneFiles(spark, table, column, lo, hi)
+      // exact-key regime: sorted distinct keys, binary search per file.
+      // Both sides collect from the SAME Spark type, so every external
+      // representation here (Long/Integer/String/Date/Timestamp/
+      // BigDecimal) is Comparable with itself.
+      val keys: Array[AnyRef] = keyed.distinct().collect()
+        .map(_.get(0).asInstanceOf[AnyRef])
+      java.util.Arrays.sort(keys,
+        (a: AnyRef, b: AnyRef) => a.asInstanceOf[Comparable[AnyRef]].compareTo(b))
+      def someKeyIn(mn: AnyRef, mx: AnyRef): Boolean = {
+        // lower bound: first key >= mn
+        var loI = 0; var hiI = keys.length
+        while (loI < hiI) {
+          val mid = (loI + hiI) >>> 1
+          if (keys(mid).asInstanceOf[Comparable[AnyRef]].compareTo(mn) < 0)
+            loI = mid + 1
+          else hiI = mid
+        }
+        loI < keys.length &&
+          keys(loI).asInstanceOf[Comparable[AnyRef]].compareTo(mx) <= 0
+      }
+      val rows = spark.read.parquet(sd.getPath)
+        .select("file", "min", "max").collect()
+      val indexed = rows.map(_.getString(0)).toSet
+      val hit = rows.filter(r => !r.isNullAt(1) && // all-NULL files never join
+          someKeyIn(r.get(1).asInstanceOf[AnyRef], r.get(2).asInstanceOf[AnyRef]))
+        .map(_.getString(0)).toSet
+      (live.filter(f => !indexed.contains(f) || hit.contains(f)), live.size)
+    } finally keyed.unpersist()
+  }
+
+  /** The fact scan [[dfpFiles]] prunes, DV-aware like [[prunedRead]]:
+    * the returned frame holds every fact row an inner equi-join on
+    * `column` against `dimKeys` can match (and possibly rows it won't —
+    * pruning is file-granular; the JOIN is the exact filter). Feed it
+    * to the join in place of the full table read. */
+  def dfpRead(spark: SparkSession, table: String, column: String,
+              dimKeys: DataFrame,
+              maxExactKeys: Long = 1000000L): DataFrame = {
+    val (toRead, _) = dfpFiles(spark, table, column, dimKeys, maxExactKeys)
+    val (live, dvFiles) = TxnTable.liveSplit(table)
+    require(live.nonEmpty, s"no live files in $table")
+    val pick = if (toRead.nonEmpty) toRead else live.take(1)
+    val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
+    if (toRead.nonEmpty) df else df.filter(lit(false))
+  }
 }

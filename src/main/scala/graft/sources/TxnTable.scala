@@ -712,6 +712,122 @@ object TxnTable {
     publish(main, mainV + 1, added, removed, tag)
   }
 
+  private def replicaFile(dst: String) = new File(dst, "_graft_replica.json")
+
+  /** CROSS-SITE REPLICATION — mirror `src` into `dst` with O(Δ) work per
+    * sync, the lakehouse DR/locality story (Delta deep clone + AS OF
+    * incremental re-sync, done honestly on the log):
+    *
+    *  - FIRST call SEEDS the replica: src's current live set (deletion
+    *    vectors included — their addresses are table-relative) is
+    *    physically COPIED (bytes, not links — a replica that shares
+    *    inodes with its source protects against nothing) and published
+    *    as dst's v1, a genesis snapshot exactly like a clone's. History
+    *    BELOW the seed point intentionally collapses — replicating a
+    *    table is not replaying its every dead byte.
+    *  - Each LATER call ships only the log suffix: for every src version
+    *    since the last sync, copy that entry's newly-added files and
+    *    publish the same {added, removed} lists (and writer tag) as the
+    *    next dst version. Removals always resolve: any file a
+    *    post-seed entry removes was either live at the seed or added by
+    *    a replayed entry, so the replica has it. Cost is O(new versions
+    *    + new files) — a sync with nothing new copies nothing.
+    *
+    * The replica is a real table: reads, time travel back to the seed,
+    * change feeds over the synced range (identical to src's, file
+    * contents are byte-equal), and its OWN downstream writes all work —
+    * though local writes FORK the replica (the next sync finds its slot
+    * occupied by a foreign entry and refuses rather than silently
+    * interleave histories). Declared constraints travel on every sync,
+    * like clones. Re-running against an already-current replica is a
+    * no-op; a sync interrupted anywhere resumes idempotently — the
+    * marker sidecar watermarks the synced src version after each
+    * publish, copies skip files already present, and a re-landed
+    * publish is accepted iff its content lists match. Returns
+    * (dst head version, files copied). */
+  def replicate(src: String, dst: String): (Int, Int) = {
+    val srcHead = currentVersion(src)
+    require(srcHead >= 1, s"nothing to replicate: $src is empty")
+    val srcAbs = new File(src).getAbsolutePath
+    var copied = 0
+    def copyIn(rel: String): Unit = {
+      val to = new File(dst, rel)
+      if (!to.isFile) {
+        to.getParentFile.mkdirs()
+        Files.copy(new File(src, rel).toPath, to.toPath)
+        copied += 1
+      }
+    }
+    def copyConstraints(): Unit = {
+      val c = new File(src, "_graft_constraints.json")
+      if (c.isFile)
+        Files.copy(c.toPath, new File(dst, "_graft_constraints.json").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def writeMarker(seed: Int, synced: Int): Unit = {
+      val tmp = new File(dst,
+        s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp.toPath,
+        s"""{"src":"$srcAbs","seedSrcVersion":$seed,"syncedSrcVersion":$synced}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, replicaFile(dst).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // seed publish is re-runnable: copies are skip-if-present, and a
+    // racing/previous publish of the same v1 is accepted as done
+    def seedPublish(seed: Int): Unit = {
+      val live = liveFiles(src, Some(seed))
+      require(live.nonEmpty, s"nothing to replicate: $src has no live files")
+      live.foreach(copyIn)
+      copyConstraints()
+      try publishFileList(dst, live, tag = Some("replica_seed"),
+        expectedVersion = Some(1))
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    val marker = replicaFile(dst)
+    if (!marker.isFile) {
+      require(currentVersion(dst) == 0,
+        s"replica target $dst already exists and is not a replica of $srcAbs")
+      // marker BEFORE the publish: a crash in between leaves an empty-
+      // logged dst the next sync's recovery step completes
+      new File(dst).mkdirs()
+      writeMarker(srcHead, srcHead)
+      seedPublish(srcHead)
+      (1, copied)
+    } else {
+      val m = new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
+      val recordedSrc = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m)
+        .map(_.group(1)).getOrElse("")
+      require(recordedSrc == srcAbs,
+        s"$dst replicates $recordedSrc, refusing to sync from $srcAbs")
+      def field(k: String): Int = s""""$k":(\\d+)""".r.findFirstMatchIn(m)
+        .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+          s"malformed replica marker in $dst: missing $k"))
+      val seed = field("seedSrcVersion")
+      val synced = field("syncedSrcVersion")
+      if (currentVersion(dst) == 0) seedPublish(seed) // seed-crash recovery
+      ((synced + 1) to srcHead).foreach { v =>
+        val entry = new File(logDir(src), f"v$v%05d.json")
+        require(entry.isFile,
+          s"replication gap: $src has no log entry for v$v")
+        val (added, removed) = parseEntry(entry)
+        added.foreach(copyIn)
+        val dstV = 1 + (v - seed)
+        try publish(dst, dstV, added, removed, commitTag(src, v))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            // a resumed sync re-lands on its own entry (accept); a LOCAL
+            // dst write occupying the slot is a forked replica (refuse)
+            val have = parseEntry(new File(logDir(dst), f"v$dstV%05d.json"))
+            if (have != ((added, removed))) throw e
+        }
+        writeMarker(seed, v)
+      }
+      if (srcHead > synced) copyConstraints()
+      (currentVersion(dst), copied)
+    }
+  }
+
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort
     * by the Morton interleave of (`xCol`, `yCol`) and range-partition
     * into `numFiles`, so every output file owns a disjoint morton range

@@ -563,6 +563,35 @@ class SimilaritySpec extends SparkSpec {
       predicate = Some(pred))) == before)
   }
 
+  test("filtered search evaluates the predicate on UPSERTED metadata") {
+    val q3 = embs.filter($"vec_id" === 3L)
+    val pred = col("label") % 2 === 0
+    val cat = "/root/repo/target/tmp/spec_ann_filter_upsert_cat"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    Similarity.writeIvfPqIndexTxn(spark, embs, cat)
+    def top1(): (Long, Long) = {
+      val r = Similarity.ivfPqTopKIndexedTxn(spark, q3, cat, k = 3,
+        nprobe = 8, rerank = 128, predicate = Some(pred))
+        .filter($"rank" === 1).head()
+      (r.getLong(2), r.getLong(3))
+    }
+    // id 142 redefined as q3's EXACT vector copy but with an ODD label:
+    // the perfect-similarity candidate must stay invisible — the
+    // predicate reads the upserted row's NEW metadata, not the base's
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      q3.withColumn("vec_id", lit(142L)).withColumn("label", lit(1)), cat)
+    val (hid1, _) = top1()
+    assert(hid1 != 142L,
+      "an upserted-ineligible exact copy leaked through the filter")
+    // newest generation wins: re-upsert 142 with an EVEN label — now it
+    // is the eligible exact copy and must dominate the filtered top-1
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      q3.withColumn("vec_id", lit(142L)).withColumn("label", lit(2)), cat)
+    val (hid2, sim2) = top1()
+    assert(hid2 == 142L && sim2 >= 990000000000L,
+      s"eligible upserted exact copy must be top-1, got ($hid2, $sim2)")
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** O(Δ) cross-site replication on the txn log: seed snapshot, suffix
+  * sync shipping only new files, change-feed equality over the synced
+  * range, fork refusal, deletion vectors, and crash-resume idempotency.
+  */
+class ReplicateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_replica_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  private def contentOf(t: String): Set[(Long, Long)] =
+    TxnTable.read(spark, t).select("k", "p")
+      .as[(Long, Long)].collect().toSet
+
+  private def commitRange(t: String, lo: Long, hi: Long,
+                          tag: Option[String] = None): Int =
+    TxnTable.commit(spark,
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .coalesce(1),
+      t, overwrite = false, tag = tag)
+
+  test("seed snapshot, O(Δ) sync, tags and change feed travel") {
+    val src = fresh("src"); val dst = fresh("dst")
+    commitRange(src, 0, 100)
+    commitRange(src, 100, 200)
+
+    val (v1, copied1) = TxnTable.replicate(src, dst)
+    assert(v1 == 1 && copied1 == 2, "seed copies the two live files")
+    assert(contentOf(dst) == contentOf(src))
+    assert(TxnTable.commitTag(dst, 1).contains("replica_seed"))
+
+    // re-sync with nothing new: copies nothing, publishes nothing
+    assert(TxnTable.replicate(src, dst) == ((1, 0)))
+
+    // src advances: one tagged append + one copy-on-write delete
+    commitRange(src, 200, 250, tag = Some("batch_x"))
+    TxnTable.deleteWhere(spark, src, col("k") < 10)
+    val (v2, copied2) = TxnTable.replicate(src, dst)
+    assert(v2 == 3, "two src versions become two dst versions")
+    assert(copied2 == 2,
+      s"only the appended file and the delete's rewrite copy, got $copied2")
+    assert(contentOf(dst) == contentOf(src))
+    assert(TxnTable.commitTag(dst, 2).contains("batch_x"),
+      "writer tags travel with the entries")
+
+    // change feed over the synced range is identical (byte-equal files)
+    def feed(t: String, from: Int) = TxnTable
+      .changeFeed(spark, t, from, TxnTable.currentVersion(t), Seq("k"))
+      .select("k", "p", "change")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(feed(dst, 1) == feed(src, 2),
+      "the replica's post-seed feed replays the source's post-seed feed")
+
+    // time travel on the replica: the seed is its genesis snapshot
+    assert(TxnTable.read(spark, dst, asOf = Some(1)).count() == 200)
+  }
+
+  test("deletion vectors replicate; replica reads apply them") {
+    val src = fresh("dv_src"); val dst = fresh("dv_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    TxnTable.deleteWhereMor(spark, src, col("k") % 10 === 0L)
+    TxnTable.replicate(src, dst)
+    assert(contentOf(dst) == contentOf(src))
+    assert(TxnTable.read(spark, dst).count() == 90,
+      "dv rows must not resurface in the replica")
+  }
+
+  test("a locally-written replica is a fork: sync refuses its slot") {
+    val src = fresh("fork_src"); val dst = fresh("fork_dst")
+    commitRange(src, 0, 50)
+    TxnTable.replicate(src, dst)
+    commitRange(dst, 1000, 1010) // local write occupies dst v2
+    commitRange(src, 50, 60)
+    intercept[java.util.ConcurrentModificationException] {
+      TxnTable.replicate(src, dst)
+    }
+  }
+
+  test("replica refuses a different source; marker pins identity") {
+    val a = fresh("id_a"); val b = fresh("id_b"); val dst = fresh("id_dst")
+    commitRange(a, 0, 10); commitRange(b, 0, 10)
+    TxnTable.replicate(a, dst)
+    intercept[IllegalArgumentException] { TxnTable.replicate(b, dst) }
+  }
+
+  test("seed-crash recovery: a marker without a published v1 completes") {
+    val src = fresh("crash_src"); val dst = fresh("crash_dst")
+    commitRange(src, 0, 30)
+    commitRange(src, 30, 60)
+    // simulate the crash window: marker durable, nothing else happened
+    new File(dst).mkdirs()
+    Files.write(new File(dst, "_graft_replica.json").toPath,
+      (s"""{"src":"${new File(src).getAbsolutePath}",""" +
+        s""""seedSrcVersion":1,"syncedSrcVersion":1}""")
+        .getBytes(StandardCharsets.UTF_8))
+    val (v, copied) = TxnTable.replicate(src, dst)
+    assert(v == 2, "seed at src v1 + one synced version")
+    assert(copied == 2, "the seed file and the second commit's file")
+    assert(contentOf(dst) == contentOf(src))
+  }
+
+  test("constraints travel on seed and on sync") {
+    val src = fresh("con_src"); val dst = fresh("con_dst")
+    commitRange(src, 0, 40)
+    TableConstraints.declareUnique(src, Seq("k"), validate = Some(spark))
+    TxnTable.replicate(src, dst)
+    assert(TableConstraints.uniques(dst).map(_.cols).contains(Seq("k")),
+      "seed carries the declared constraints")
+  }
+}

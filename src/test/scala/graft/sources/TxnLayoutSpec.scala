@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** Incremental clustered-layout maintenance: the full rewrite records a
+  * range sidecar, the incremental pass rewrites ONLY stale + overlapped
+  * files, untouched files stay live byte-identically, and the pairwise
+  * range-disjointness invariant (pruning quality) survives rounds.
+  */
+class TxnLayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_layout_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  /** 1000 rows spread over the (x, y) grid, both coords < 1024. */
+  private def seed(t: String): Unit =
+    TxnTable.commit(spark,
+      spark.range(0, 1000).select(
+        (col("id") * 37 % 1024).as("x"),
+        (col("id") * 101 % 1024).as("y"),
+        col("id").as("v")),
+      t, overwrite = false)
+
+  private def contentOf(t: String): Set[(Long, Long, Long)] =
+    TxnTable.read(spark, t).select("x", "y", "v")
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def assertDisjoint(spec: TxnLayout.ClusterSpec): Unit = {
+    val sorted = spec.ranges.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping clustered ranges: $sorted")
+      case _ => ()
+    }
+  }
+
+  test("full clustered rewrite records disjoint ranges; clean recluster is a no-op") {
+    val t = fresh("full")
+    seed(t)
+    val before = contentOf(t)
+    val v = TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 4)
+    assert(v == 2 && contentOf(t) == before)
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.cols == Seq("x", "y") && spec.curve == "morton")
+    assert(spec.ranges.keySet == TxnTable.liveSplit(t)._1.toSet)
+    assertDisjoint(spec)
+    val (vNoop, rewrote, kept) = TxnLayout.reclusterIncremental(spark, t)
+    assert(vNoop == v && rewrote == 0 && kept == spec.ranges.size,
+      "nothing stale: the incremental pass must not commit")
+  }
+
+  test("incremental recluster rewrites only stale + overlapped files") {
+    val t = fresh("incr")
+    seed(t)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 4)
+    val clustered = TxnTable.liveSplit(t)._1.toSet
+    val before = contentOf(t)
+
+    // far-range append: coords above every seeded code → overlaps nothing
+    TxnTable.commit(spark,
+      Seq((40000L, 40000L, -1L), (40001L, 40001L, -2L)).toDF("x", "y", "v")
+        .coalesce(1), t, overwrite = false)
+    val (_, r1, k1) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r1 == 1 && k1 == clustered.size,
+      s"only the appended file rewrites, got rewrote=$r1 kept=$k1")
+    assert(clustered.subsetOf(TxnTable.liveSplit(t)._1.toSet),
+      "untouched clustered files must stay live")
+    assert(contentOf(t) == before ++ Set((40000L, 40000L, -1L), (40001L, 40001L, -2L)))
+    assertDisjoint(TxnLayout.readSpec(t).get)
+
+    // in-range append: duplicate a seeded row → lands inside exactly one
+    // clustered file's range, pulling it (and only it) into the rewrite
+    val live2 = TxnTable.liveSplit(t)._1.toSet
+    TxnTable.commit(spark, Seq((0L, 0L, -3L)).toDF("x", "y", "v").coalesce(1),
+      t, overwrite = false) // seed row id=0 has (x,y) = (0,0): code 0 exists
+    val (_, r2, k2) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r2 == 2, s"stale file + its one covering clustered file, got $r2")
+    assert(k2 == live2.size - 1)
+    assert(contentOf(t) == before ++
+      Set((40000L, 40000L, -1L), (40001L, 40001L, -2L), (0L, 0L, -3L)))
+    assertDisjoint(TxnLayout.readSpec(t).get)
+  }
+
+  test("hilbert curve maintenance: same lifecycle, hilbert code ranges") {
+    val t = fresh("hilbert")
+    seed(t)
+    val before = contentOf(t)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"),
+      curve = "hilbert", numFiles = 3)
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.curve == "hilbert")
+    assertDisjoint(spec)
+    TxnTable.commit(spark, Seq((40000L, 1L, -9L)).toDF("x", "y", "v")
+      .coalesce(1), t, overwrite = false)
+    val (_, r, _) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r >= 1 && contentOf(t) == before + ((40000L, 1L, -9L)))
+    assertDisjoint(TxnLayout.readSpec(t).get)
+    // a foreign rewrite's files count as stale and fold back in
+    TxnTable.optimize(spark, t, numFiles = 2)
+    val (_, r3, k3) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r3 >= 1 && k3 == 0,
+      "a full optimize stales every clustered file; recluster absorbs it")
+    assert(contentOf(t) == before + ((40000L, 1L, -9L)))
+    assertDisjoint(TxnLayout.readSpec(t).get)
+  }
+
+  test("staleness is metadata-only; maintain policy fires on the row fraction") {
+    val t = fresh("maintain")
+    seed(t)
+    assert(TxnLayout.staleness(t) == ((0, 0, 0L, 0L)),
+      "never-clustered: nothing to measure")
+    assert(TxnLayout.maintainClustered(spark, t).isEmpty)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 4)
+    assert(TxnLayout.staleness(t) == ((4, 0, 0L, 1000L)))
+
+    // 100 stale rows of 1100 ≈ 9%: healthy at 20%, stale at 5%
+    TxnTable.commit(spark,
+      spark.range(2000, 2100).select((col("id") % 1024).as("x"),
+        (col("id") % 1024).as("y"), col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    assert(TxnLayout.staleness(t) == ((4, 1, 100L, 1100L)))
+    assert(TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2).isEmpty,
+      "below threshold: maintenance must decline without a commit")
+    assert(TxnTable.currentVersion(t) == 3)
+    val ran = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.05)
+    assert(ran.isDefined && ran.get._2 >= 1)
+    assert(TxnLayout.staleness(t)._2 == 0, "maintenance leaves nothing stale")
+
+    // the advisor row mirrors the same rule, metadata-only
+    val adv = graft.plans.LayoutAdvisor.clusterAdvice(spark, t).head()
+    assert(adv.getAs[String]("curve") == "morton" &&
+      adv.getAs[Long]("n_stale_files") == 0L &&
+      !adv.getAs[Boolean]("recommend_recluster"))
+    val advNone = graft.plans.LayoutAdvisor
+      .clusterAdvice(spark, fresh("maintain_none")).head()
+    assert(advNone.getAs[String]("curve") == "none" &&
+      !advNone.getAs[Boolean]("recommend_recluster"))
+  }
+}

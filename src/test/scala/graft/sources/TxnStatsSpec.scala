@@ -286,4 +286,80 @@ class TxnStatsSpec extends SparkSpec {
     assert(got == (1L to 40L).filter(_ % 10 != 0).toSet,
       "deleted rows must not resurface through the stats-pruned read")
   }
+
+  test("dfp: exact-key gap pruning skips files the range envelope keeps") {
+    val t = fresh("dfp")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L))
+      .foreach { case (lo, hi) => commitRange(t, lo, hi) }
+    TxnStats.refresh(spark, t, "id")
+    // keys 5 / 250 / 399 land in files 0, 2, 3 — the [100, 200) file
+    // holds none, but the range envelope [5, 399] covers all four
+    val dim = Seq(5L, 250L, 399L).toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "id", dim)
+    assert(nLive == 4 && toRead.size == 3,
+      s"gap pruning should skip exactly the keyless file, got $toRead")
+    assert(TxnStats.pruneFiles(spark, t, "id", 5L, 399L)._1.size == 4,
+      "the range envelope alone keeps every file — the gap is the win")
+    // soundness: the pruned join equals the full join, row for row
+    val fact = TxnStats.dfpRead(spark, t, "id", dim)
+    val pruned = fact.join(dim, fact("id") === dim("k"))
+      .select("id", "payload").as[(Long, Long)].collect().sorted.toSeq
+    val full = TxnTable.read(spark, t)
+    val all = full.join(dim, full("id") === dim("k"))
+      .select("id", "payload").as[(Long, Long)].collect().sorted.toSeq
+    assert(pruned == all && all.size == 3)
+  }
+
+  test("dfp: key-count gate falls back to range pruning; empty dim reads nothing") {
+    val t = fresh("dfp_gate")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L))
+      .foreach { case (lo, hi) => commitRange(t, lo, hi) }
+    TxnStats.refresh(spark, t, "id")
+    val dim = Seq(5L, 250L, 399L).toDF("k")
+    // gate below the key count: no driver collect of keys, range-only
+    val (gated, _) = TxnStats.dfpFiles(spark, t, "id", dim, maxExactKeys = 2)
+    assert(gated.size == 4, "above the gate only the [min,max] envelope prunes")
+    // empty dim: an inner join can match nothing — zero files, empty frame
+    val none = Seq.empty[Long].toDF("k")
+    val (files0, n0) = TxnStats.dfpFiles(spark, t, "id", none)
+    assert(files0.isEmpty && n0 == 4)
+    assert(TxnStats.dfpRead(spark, t, "id", none).count() == 0)
+    // all-NULL dim keys are identical to an empty dim under inner-join
+    val nulls = Seq[Option[Long]](None, None).toDF("k")
+    assert(TxnStats.dfpFiles(spark, t, "id", nulls)._1.isEmpty)
+  }
+
+  test("dfp: unindexed live files are always read; int keys cast to the fact type") {
+    val t = fresh("dfp_unidx")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (lo, hi) =>
+      commitRange(t, lo, hi) }
+    TxnStats.refresh(spark, t, "id")
+    commitRange(t, 200L, 300L) // never indexed
+    // Int dim keys against a BIGINT fact column: key 5 hits file 0 only,
+    // but the unindexed third file must still be read (never skip blind)
+    val dim = Seq(5).toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "id", dim)
+    assert(nLive == 3 && toRead.size == 2,
+      s"file 0 (key hit) + the unindexed file, got $toRead")
+    val fact = TxnStats.dfpRead(spark, t, "id", dim)
+    assert(fact.join(dim, fact("id") === dim("k")).count() == 1)
+  }
+
+  test("dfp: string keys prune under lexicographic file bounds") {
+    val t = fresh("dfp_str")
+    Seq("a", "b", "c").foreach { p =>
+      TxnTable.commit(spark,
+        spark.range(0, 50).select(concat(lit(p), lpad(col("id").cast("string"),
+          3, "0")).as("s"), col("id")).coalesce(1),
+        t, overwrite = false)
+    }
+    TxnStats.refresh(spark, t, "s")
+    val dim = Seq("a007", "c031").toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "s", dim)
+    assert(nLive == 3 && toRead.size == 2,
+      s"the all-b middle file holds neither key, got $toRead")
+    val fact = TxnStats.dfpRead(spark, t, "s", dim)
+    assert(fact.join(dim, fact("s") === dim("k"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 31L))
+  }
 }
