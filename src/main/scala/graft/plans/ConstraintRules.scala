@@ -87,6 +87,18 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private val notNullCache =
     new ThreadLocal[scala.collection.mutable.Map[String, Set[String]]]
 
+  /** Per-pass memo of each (root, scan)'s RELY CHECK predicates,
+    * RESOLVED against that scan's own attributes (exprIds matter for
+    * semanticEquals) and constant-folded to the same form the optimizer
+    * leaves a user filter in — paired with each predicate's SIMPLIFIED
+    * NEGATION (BooleanSimplification turns a user's `NOT (q > 0)` into
+    * `q <= 0` before this rule runs, so the violation probe must
+    * compare against the same normal form). Same lifecycle as
+    * [[rootCache]]. */
+  private val checkCache = new ThreadLocal[
+    scala.collection.mutable.Map[(String, LogicalRelation),
+      Seq[(Expression, Expression)]]]
+
   private[plans] def relyNotNullCols(root: String): Set[String] = {
     def compute = TableConstraints.notNulls(root)
       .filter(_.rely).flatMap(_.cols).toSet
@@ -98,10 +110,14 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def withRootCache[T](body: => T): T = {
     val prev = rootCache.get()
     val prevNn = notNullCache.get()
+    val prevCk = checkCache.get()
     rootCache.set(scala.collection.mutable.Map.empty)
     notNullCache.set(scala.collection.mutable.Map.empty)
+    checkCache.set(scala.collection.mutable.Map.empty)
     try body
-    finally { rootCache.set(prev); notNullCache.set(prevNn) }
+    finally {
+      rootCache.set(prev); notNullCache.set(prevNn); checkCache.set(prevCk)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -130,25 +146,119 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
       // whether the user wrote it or join inference planted it, the
       // conjunct drops (the filter row-count cost is trivial; what this
       // buys is plan hygiene and, for a filter that becomes empty, the
-      // whole node). RELY contract like every rewrite here.
+      // whole node). Likewise a conjunct equal to a declared RELY CHECK
+      // (STRICT: every row TRUE) is a tautology; and NOT(check) makes
+      // the whole filter PROVABLY EMPTY — a 100 TB violation audit
+      // answered from metadata. RELY contract like every rewrite here.
       case f @ Filter(cond, child) =>
         val conj = splitConjunctivePredicates(cond)
-        val kept = conj.filterNot {
-          case IsNotNull(a: AttributeReference) => declaredNotNull(child, a)
-          case _ => false
+        if (conj.exists(declaredCheckViolation(child, _)))
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(f.output)
+        else {
+          val kept = conj.filterNot {
+            case IsNotNull(a: AttributeReference) => declaredNotNull(child, a)
+            case c => declaredCheck(child, c)
+          }
+          if (kept.length == conj.length) f
+          else if (kept.isEmpty) child
+          else Filter(kept.reduce(And), child)
         }
-        if (kept.length == conj.length) f
-        else if (kept.isEmpty) child
-        else Filter(kept.reduce(And), child)
     })
 
   /** True when `a` reaches its scan UNALIASED through row-preserving
-    * operators and the scan's root declares a RELY NOT NULL on it. */
+    * operators and the scan's root declares a RELY NOT NULL on it — or
+    * a RELY CHECK *implies* it: a strict check being TRUE on every row
+    * proves non-null for any attribute the predicate reaches through
+    * null-intolerant operators only (were it NULL, the conjunct would
+    * evaluate NULL, not TRUE). Without the implication, the IsNotNull
+    * the optimizer itself infers from the user's predicate would
+    * survive the tautology drop and keep the column in the scan. */
   private def declaredNotNull(plan: LogicalPlan, a: AttributeReference): Boolean =
     chaseScan(plan).exists { lr =>
-      lr.outputSet.contains(a) &&
-        constraintRoot(lr).exists(relyNotNullCols(_).contains(a.name))
+      lr.outputSet.contains(a) && constraintRoot(lr).exists { root =>
+        relyNotNullCols(root).contains(a.name) ||
+          relyChecksFor(root, lr).exists { case (ck, _) =>
+            impliedNotNull(ck).exists(_.semanticEquals(a)) }
+      }
     }
+
+  /** Attributes a TRUE strict predicate proves non-null: each conjunct
+    * is TRUE, so any attribute it reaches through exclusively
+    * null-intolerant operators cannot be NULL (the same walk Spark's
+    * own InferFiltersFromConstraints does over query predicates). */
+  private def impliedNotNull(e: Expression): Seq[Attribute] = {
+    def scan(x: Expression): Seq[Attribute] = x match {
+      case a: Attribute => Seq(a)
+      case y if y.nullIntolerant => y.children.flatMap(scan)
+      case _ => Nil
+    }
+    splitConjunctivePredicates(e).flatMap(scan)
+  }
+
+  /** True when `e` is semantically one of the scan root's declared RELY
+    * CHECK predicates — the row-preserving chase and bare-scan gates
+    * are [[declaredNotNull]]'s; the declared expression is resolved
+    * against the SCAN'S OWN attributes (same exprIds the user's
+    * conjunct carries when it reached the scan unaliased), so
+    * semanticEquals compares like with like. */
+  private def declaredCheck(plan: LogicalPlan, e: Expression): Boolean =
+    chaseScan(plan).exists { lr =>
+      constraintRoot(lr).exists { root =>
+        relyChecksFor(root, lr).exists(_._1.semanticEquals(e))
+      }
+    }
+
+  /** True when `e` is semantically the NEGATION of a declared RELY
+    * check — every row satisfies the check (STRICT: TRUE), so a filter
+    * carrying `e` as a conjunct is provably empty. */
+  private def declaredCheckViolation(plan: LogicalPlan, e: Expression): Boolean =
+    chaseScan(plan).exists { lr =>
+      constraintRoot(lr).exists { root =>
+        relyChecksFor(root, lr).exists(_._2.semanticEquals(e))
+      }
+    }
+
+  /** The root's RELY checks parsed, analyzed against `lr.output`, and
+    * constant-folded — the exact form an optimizer-resident user
+    * conjunct has by the time this rule sees it (the analyzer has
+    * inserted literal casts, constant folding has collapsed them). A
+    * check that fails to parse, resolve, or analyze here simply never
+    * matches (its columns may be pruned from this scan, or it may use
+    * syntax the bare resolver can't take) — conservative, never wrong. */
+  private def relyChecksFor(root: String,
+                            lr: LogicalRelation): Seq[(Expression, Expression)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def fold(e: Expression): Expression = e.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        Literal.create(x.eval(EmptyRow), x.dataType)
+    }
+    // the negation, pushed through the SAME simplification the user's
+    // own `!pred` goes through before this rule sees it
+    def simplifiedNot(c: Expression): Expression =
+      org.apache.spark.sql.catalyst.optimizer.BooleanSimplification(
+        Filter(Not(c), LocalRelation(lr.output))) match {
+        case Filter(n, _) => fold(n)
+        case _ => Not(c)
+      }
+    def compute: Seq[(Expression, Expression)] =
+      TableConstraints.checks(root).filter(_.rely).flatMap { ck =>
+        try {
+          val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(ck.expr)
+          val analyzed = org.apache.spark.sql.catalyst.analysis.SimpleAnalyzer
+            .execute(Filter(parsed, LocalRelation(lr.output)))
+          analyzed match {
+            case Filter(c, _) if c.resolved =>
+              val folded = fold(c)
+              Some((folded, simplifiedNot(folded)))
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val memo = checkCache.get()
+    if (memo == null) compute
+    else memo.getOrElseUpdate((root, lr), compute)
+  }
 
   /** The directory whose declared constraints govern this scan, or None.
     * A plain single-directory parquet scan matches by root identity; a
@@ -558,4 +668,37 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     }
     out.toSeq
   }
+
+  /** One declare_check candidate: a deterministic, subquery-free filter
+    * conjunct whose references all reach ONE constrainable scan. */
+  final case class CheckAdvice(root: String, cols: Seq[String], sql: String)
+
+  /** Workload CHECK-advice extraction — the filter-predicate sibling of
+    * [[adviceCandidates]]: each qualifying conjunct of each Filter is a
+    * candidate strict check on its scan's root. IsNotNull conjuncts are
+    * excluded (the NOT NULL family owns them, and the optimizer plants
+    * them by inference), as is anything non-deterministic or carrying a
+    * subquery. A conjunct whose check is ALREADY declared never appears
+    * — the tautology drop removed it from the optimized plan before
+    * this walk sees it, which is exactly the advisor's closed loop. */
+  private[plans] def checkCandidates(plan: LogicalPlan): Seq[CheckAdvice] =
+    plan.collect {
+      case Filter(cond, child) =>
+        chaseScan(child).toSeq
+          .flatMap(lr => constraintRoot(lr, declaredOnly = false)
+            .map(root => (lr, root)))
+          .flatMap { case (lr, root) =>
+            splitConjunctivePredicates(cond)
+              .filter { c =>
+                c.deterministic && c.references.nonEmpty &&
+                  c.references.subsetOf(lr.outputSet) &&
+                  !c.isInstanceOf[IsNotNull] &&
+                  !c.exists(_.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+                  !c.sql.contains("\"") // must round-trip declareCheck
+              }
+              .map(c => CheckAdvice(root,
+                c.references.toSeq.map(_.name).sorted, c.sql))
+          }
+    }.flatten
 }

@@ -454,4 +454,56 @@ object WorkloadAdvisor {
       .toDF("pos", "family", "target", "action", "detail", "weight",
         "saved_rows", "recommend")
   }
+
+  /** The CHECK-family advisor, standalone (the key families ride
+    * [[report]]'s constraint section; checks get their own surface
+    * because their candidate space is every filter conjunct in the
+    * workload): a conjunct the DATA satisfies table-wide is a defensive
+    * tautology — declared (strict, with validate as the exact gate) it
+    * vanishes from every plan, along with any IsNotNull the optimizer
+    * inferred from it — while a genuinely selective predicate reports
+    * recommend=false (it actually filters rows; declaring it would be
+    * refused anyway). A conjunct whose check is ALREADY declared
+    * contributes NO row: the tautology drop removed it from the
+    * optimized plan before the walk, which is the closed loop (same
+    * proof shape as q_advisor_constraints' declared-dim control).
+    * Probes are the sampled screen-or-exact-refute class; pricing is
+    * occurrences × table rows — the per-row predicate evaluations every
+    * run of the workload re-pays. */
+  def checkAdvice(spark: SparkSession, queries: Seq[DataFrame],
+                  sampledProbes: Boolean = false,
+                  sampleRows: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val probeLimit = if (sampledProbes) Some(sampleRows) else None
+    val rowsMemo = scala.collection.mutable.Map.empty[String, Long]
+    def rowsOf(root: String): Long =
+      rowsMemo.getOrElseUpdate(root, {
+        if (new java.io.File(root, "_graft_log").isDirectory)
+          TxnTable.snapshotRowCount(root)
+        else {
+          def files(d: java.io.File): Seq[java.io.File] =
+            Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+              if (f.isDirectory && !f.getName.startsWith("_")) files(f)
+              else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+              else Nil
+            }
+          files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
+        }
+      })
+    val cands = ConstraintRules.withRootCache(queries.flatMap(q =>
+      ConstraintRules.checkCandidates(q.queryExecution.optimizedPlan)))
+    cands.groupBy(c => (c.root, c.cols, c.sql)).toSeq
+      .sortBy { case ((r, cols, t), _) => (r, cols.mkString(","), t) }
+      .filterNot { case ((root, _, t), _) =>
+        TableConstraints.checks(root).exists(_.expr == t) }
+      .map { case ((root, cols, t), cs) =>
+        val name = new java.io.File(root).getName
+        val holds = TableConstraints.holdsCheck(spark, root, t, probeLimit)
+        (s"$name.${cols.mkString("+")}", "declare_check",
+          if (holds) s"expr=$t,filters=${cs.size}" else "filter_is_selective",
+          cs.size.toLong, if (holds) cs.size * rowsOf(root) else 0L, holds)
+      }
+      .toDF("target", "action", "detail", "weight", "saved_rows",
+        "recommend")
+  }
 }

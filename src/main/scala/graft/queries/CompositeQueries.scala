@@ -826,6 +826,83 @@ object CompositeQueries {
       s.sql(Q33_SQL)
     },
 
+    // ── GOVERNED-REPLICATION capstone (this round's surface composed
+    //    end to end): declared constraints (a strict CHECK + NOT NULL)
+    //    enforce at ingest — violators quarantine under their family's
+    //    reason (b_quarantine) — the post-ingest O(Δ) audit is green by
+    //    construction; REPLICATION seeds the mirror and the constraints
+    //    TRAVEL with it, so the replica re-audits green from its own
+    //    metadata (c_replica_audit); a second enforced ingest syncs as
+    //    one O(Δ) version (exactly one copied file, the pin inside
+    //    d_sync's ok) and the mirror's content equals everything that
+    //    ever passed the gate (d_sync cnt/val); quarantine keeps the
+    //    full violation history (e_quarantine_total). The DuckDB oracle
+    //    re-derives every stage from the raw table.
+    sql("q34_dr_governance",
+      """SELECT * FROM (
+        |  SELECT 'a_seed' AS stage,
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS cnt,
+        |         CAST(0 AS BIGINT) AS val, CAST(1 AS BIGINT) AS ok
+        |  UNION ALL
+        |  SELECT 'b_quarantine', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c_replica_audit', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'd_sync', COUNT(*),
+        |         CAST(SUM(o_custkey + 1) AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'e_quarantine_total', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT)
+        |) ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.{TableConstraints, TxnTable}
+      import s.implicits._
+      val root = graft.Scratch.dir("/root/repo/target/tmp/q34_dr")
+      val fact = s"$root/gov_fact"
+      val quar = s"$root/gov_quar"
+      val mirror = s"$root/gov_mirror"
+      new java.io.File(fact).mkdirs()
+      TableConstraints.declareCheck(fact, "qty_pos", "qty > 0")
+      TableConstraints.declareNotNull(fact, Seq("flag"))
+      def slice(parity: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === parity)
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") + 1).as("qty"), lit("A").as("flag"))
+      val batch1 = slice(0)
+        .unionByName(Seq((-1L, 0L, "A")).toDF("k", "qty", "flag"))
+        .unionByName(Seq((Some(-2L), Some(5L), Option.empty[String]))
+          .toDF("k", "qty", "flag"))
+        .coalesce(1)
+      val (good1, bad1) = TableConstraints.commitEnforced(s, batch1, fact, quar)
+      val auditSrc = TableConstraints.verifyIncremental(s, fact)
+      val (_, seedCopied) = TxnTable.replicate(fact, mirror)
+      // the mirror audits ITSELF: constraints traveled with the seed
+      val auditDst = TableConstraints.verify(s, mirror)
+      val batch2 = slice(1)
+        .unionByName(Seq((-3L, 0L, "B")).toDF("k", "qty", "flag"))
+        .coalesce(1)
+      TableConstraints.commitEnforced(s, batch2, fact, quar)
+      val (dstV, syncCopied) = TxnTable.replicate(fact, mirror)
+      def row(stage: String, cnt: Long, v: Long, ok: Boolean) =
+        Seq((stage, cnt, v, if (ok) 1L else 0L))
+          .toDF("stage", "cnt", "val", "ok")
+      val mirrorAgg = TxnTable.read(s, mirror)
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("val")).head()
+      row("a_seed", good1, 0L,
+          bad1 == 2L && seedCopied == 1 && auditSrc.forall(_._3))
+        .unionByName(row("b_quarantine",
+          TxnTable.read(s, quar, asOf = Some(1)).count(), 0L, ok = true))
+        .unionByName(row("c_replica_audit", auditDst.size.toLong, 0L,
+          auditDst.forall(_._3)))
+        .unionByName(row("d_sync", mirrorAgg.getLong(0), mirrorAgg.getLong(1),
+          dstV == 2 && syncCopied == 1))
+        .unionByName(row("e_quarantine_total",
+          TxnTable.read(s, quar).count(), 0L, ok = true))
+        .orderBy("stage")
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete

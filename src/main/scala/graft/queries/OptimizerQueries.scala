@@ -107,6 +107,25 @@ object OptimizerQueries {
       suppDim.getPath)
   }
 
+  /** Per-sf txn fixture for the CHECK-consuming optimizer queries: a
+    * lineitem slice carrying ONE validated strict check
+    * (l_quantity > 0). Kept SEPARATE from [[fixture]] so the audit
+    * query's complete-declaration-set oracle stays exact. */
+  private def checkFixture(s: SparkSession, d: String): String = {
+    val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new File(s"/root/repo/target/constraints/ckfact_$sfKey")
+    DerivedCache.ensure(dir, Seq(new File(s"$d/lineitem.parquet")),
+      "_graft_log/v00001.json") {
+      TxnTable.commit(s, Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity"), dir.getPath, overwrite = false)
+    }
+    // healed idempotently like the fixture's declarations
+    if (!TableConstraints.checks(dir.getPath).exists(_.name == "qty_pos"))
+      TableConstraints.declareCheck(dir.getPath, "qty_pos",
+        "l_quantity > 0", validate = Some(s))
+    dir.getPath
+  }
+
   /** Stamp the PLAN fact that elimination happened: `elim = 1` iff the
     * executed plan scans every `mustHave` token and none of `mustNot`.
     * Same heuristic discipline as the MV family's from_mv stamp. */
@@ -395,6 +414,48 @@ object OptimizerQueries {
         .orderBy("action", "target")
     },
 
+    // ── CHECK ADVICE: the advisor's fourth-family loop — recurring
+    //    filter conjuncts probed against the data: `qty > 0` holds
+    //    table-wide (a defensive tautology worth declaring — two
+    //    queries carry it, priced at 2× the table's rows), `amt < 10`
+    //    genuinely filters (recommend=false, saved 0), and the
+    //    ALREADY-declared grp check contributes NO row at all — its
+    //    conjunct was tautology-dropped from the optimized plan before
+    //    the advisor's walk (the closed loop, pinned by this oracle
+    //    enumerating the complete row set).
+    sql("q_advisor_checks",
+      """SELECT * FROM (
+        |  SELECT 'ckadv_fact.amt' AS target, 'declare_check' AS action,
+        |         'filter_is_selective' AS detail, CAST(1 AS BIGINT) AS weight,
+        |         CAST(0 AS BIGINT) AS saved_rows, FALSE AS recommend
+        |  UNION ALL
+        |  SELECT 'ckadv_fact.qty', 'declare_check',
+        |         'expr=(qty > 0L),filters=2', CAST(2 AS BIGINT),
+        |         2 * (SELECT COUNT(*) FROM orders), TRUE
+        |) ORDER BY target""".stripMargin) { (s, d) =>
+      import graft.plans.WorkloadAdvisor
+      GraftPlanner.register(s)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/ckadv_$sfKey")
+      val fact = s"$root/ckadv_fact"
+      TxnTable.commit(s, Tables.orders(s, d).select(
+        (col("o_custkey") + 1).as("qty"),
+        (col("o_custkey") % 100).as("amt"),
+        concat(lit("g"), col("o_orderkey") % 3).as("grp")), fact,
+        overwrite = false)
+      TableConstraints.declareCheck(fact, "grp_known",
+        "grp IN ('g0','g1','g2')", validate = Some(s))
+      def t = TxnTable.read(s, fact)
+      val workload = Seq(
+        t.filter(col("qty") > 0).groupBy("grp").agg(count(lit(1)).as("n")),
+        t.filter(col("qty") > 0 && col("amt") < 10).select("qty"),
+        // control: the declared check's own conjunct — dropped from the
+        // optimized plan before the advisor walks it → no advice row
+        t.filter(col("grp").isin("g0", "g1", "g2")).select("amt"))
+      WorkloadAdvisor.checkAdvice(s, workload, sampledProbes = true)
+        .orderBy("target")
+    },
+
     // ── EAGER-AGG ADVICE: the advisor measures the reorder's
     //    compression on the fact (exact NDV for the oracle; approx in
     //    deployment) and prices enabling the cost-gated rule — here
@@ -470,6 +531,43 @@ object OptimizerQueries {
         .agg(count(lit(1)).as("n"))
       stamped(q, Seq("optfact_"),
         Seq("isnotnull(l_orderkey", "IsNotNull(l_orderkey"), Seq("rf"))
+    },
+
+    // ── CHECK × filter: a user predicate equal to a declared RELY
+    //    strict check is a tautology — the conjunct drops, and with it
+    //    the IsNotNull the optimizer inferred from it (a TRUE strict
+    //    check implies non-null through null-intolerant operators), so
+    //    column pruning removes l_quantity from the scan entirely. The
+    //    pin is the strongest available: the column NAME is absent from
+    //    the executed plan. The oracle evaluates the real predicate.
+    sql("q_opt_check_filter",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      val q = TxnTable.read(s, ck)
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("ckfact_"), Seq("l_quantity"), Seq("rf"))
+    },
+
+    // ── CHECK × violation audit: `WHERE NOT(check)` is PROVABLY EMPTY
+    //    under the declared strict check — the user's `!(qty > 0)`
+    //    reaches the rule simplified to `qty <= 0` and the whole filter
+    //    collapses to an empty relation: at 100 TB a violation audit
+    //    answered from metadata, no fact scan. The oracle runs the real
+    //    (empty) filter; `elim` pins the scan absent.
+    sql("q_opt_check_empty",
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem WHERE NOT (l_quantity > 0)""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      val q = TxnTable.read(s, ck)
+        .filter(!(col("l_quantity") > 0))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq.empty, Seq("ckfact_"), Seq("n"))
     },
 
     // ── EAGER AGGREGATION, AUTO MODE — the closed advisor loop: the
@@ -587,6 +685,71 @@ object OptimizerQueries {
       val green = Seq(("d_audit_green", audit.size.toLong,
         if (audit.forall(_._3)) 1L else 0L)).toDF("bucket", "cnt", "qty")
       good.unionByName(bad).unionByName(green).orderBy("bucket")
+    },
+
+    // ── CHECK CONSTRAINTS, full lifecycle — the fourth declared family
+    //    (unique / fk / notnull / check), STRICT semantics throughout
+    //    (a row passes iff the predicate is TRUE; NULL fails — the form
+    //    the optimizer rewrites rely on): a violated validate-at-declare
+    //    REFUSES (a_refused); enforce-at-ingest appends the conforming
+    //    rows and quarantines each violator under its check's NAME —
+    //    including the NULL-qty row the strictness catches (c_qty
+    //    counts it) and the unknown return flag (d_flag); the
+    //    post-ingest O(Δ)
+    //    audit is green by construction (e_audit_green). The oracle
+    //    recomputes the whole split from the same data.
+    sql("q_constraint_check",
+      """SELECT * FROM (
+        |  SELECT 'a_refused' AS bucket, CAST(1 AS BIGINT) AS cnt,
+        |         CAST(0 AS BIGINT) AS qty
+        |  UNION ALL
+        |  SELECT 'b_good', COUNT(*),
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'c_qty', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'd_flag', CAST(1 AS BIGINT), CAST(9 AS BIGINT)
+        |  UNION ALL SELECT 'e_audit_green', CAST(2 AS BIGINT),
+        |            CAST(1 AS BIGINT)
+        |) ORDER BY bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/cck_$sfKey")
+      val fact = s"$root/ck_fact"
+      val quar = s"$root/ck_quar"
+      val seeded = s"$root/ck_violated"
+      // a validated declaration on data that violates it REFUSES
+      TxnTable.commit(s, Seq((0L, "AIR")).toDF("qty", "mode"), seeded,
+        overwrite = false)
+      val refused =
+        try {
+          TableConstraints.declareCheck(seeded, "qty_pos", "qty > 0",
+            validate = Some(s)); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      new File(fact).mkdirs()
+      TableConstraints.declareCheck(fact, "qty_pos", "qty > 0")
+      TableConstraints.declareCheck(fact, "flag_known",
+        "flag IN ('A','N','R')")
+      val batch = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("qty"),
+          col("l_returnflag").as("flag"))
+        .unionByName(Seq((Some(0L), "A"), (Option.empty[Long], "N"))
+          .toDF("qty", "flag"))
+        .unionByName(Seq((9L, "X")).toDF("qty", "flag"))
+      TableConstraints.commitEnforced(s, batch, fact, quar)
+      val good = TxnTable.read(s, fact)
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+        .select(lit("b_good").as("bucket"), col("cnt"), col("qty"))
+      val bad = TxnTable.read(s, quar)
+        .groupBy(when(col("reason") === "check(qty_pos)", "c_qty")
+          .otherwise("d_flag").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+      val audit = TableConstraints.verifyIncremental(s, fact)
+      val stages = Seq(
+        ("a_refused", refused, 0L),
+        ("e_audit_green", audit.size.toLong,
+          if (audit.forall(_._3)) 1L else 0L))
+        .toDF("bucket", "cnt", "qty")
+      good.unionByName(bad).unionByName(stages).orderBy("bucket")
     },
 
     // ── O(Δ) INCREMENTAL CONSTRAINT AUDIT — the honesty check priced

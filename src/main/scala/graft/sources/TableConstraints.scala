@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit}
 
 /** Declared table constraints (engine-added): UNIQUE/PRIMARY-KEY,
   * FOREIGN-KEY, and NOT NULL declarations an optimizer may RELY on —
@@ -53,6 +53,15 @@ object TableConstraints {
                               refCols: Seq[String], rely: Boolean)
   final case class NotNull(cols: Seq[String], rely: Boolean)
 
+  /** Row-predicate (CHECK) constraint. STRICT semantics, deliberately
+    * stronger than SQL's (which passes UNKNOWN): a row satisfies the
+    * check iff `expr` evaluates to TRUE — a NULL result fails. The
+    * optimizer rewrites need exactly that invariant (a tautology drop
+    * of `Filter(expr)` is only sound when every row is TRUE, not merely
+    * not-FALSE), and enforcement/validation probe the same form, so the
+    * declared meaning and the consumed meaning never diverge. */
+  final case class Check(name: String, expr: String, rely: Boolean)
+
   private def file(dir: String) = new File(dir, "_graft_constraints.json")
 
   /** Declarations are a read-modify-write of one JSON file; two threads
@@ -69,9 +78,10 @@ object TableConstraints {
   /** Parse without a JSON library — we wrote the file ourselves and
     * column/path strings never contain quotes (house rule shared with
     * the txn log parser, [[TxnTable.parseEntry]]). */
-  private def parse(dir: String): (Seq[Unique], Seq[ForeignKey], Seq[NotNull]) = {
+  private def parse(dir: String)
+      : (Seq[Unique], Seq[ForeignKey], Seq[NotNull], Seq[Check]) = {
     val f = file(dir)
-    if (!f.isFile) (Nil, Nil, Nil)
+    if (!f.isFile) (Nil, Nil, Nil, Nil)
     else {
       val s = new String(Files.readAllBytes(f.toPath), UTF_8)
       def cols(body: String): Seq[String] =
@@ -80,17 +90,23 @@ object TableConstraints {
         """\{"cols":\[([^\]]*)\],"rely":(true|false)\}""".r
       val fkRe =
         """\{"cols":\[([^\]]*)\],"ref":"([^"]*)","refCols":\[([^\]]*)\],"rely":(true|false)\}""".r
+      val ckRe =
+        """\{"name":"([^"]*)","expr":"([^"]*)","rely":(true|false)\}""".r
       // a notnull row has the SAME shape as a unique row, so section
-      // boundaries carry the family (unique, then fk, then notnull;
-      // files written before notnull existed simply lack the section)
+      // boundaries carry the family (unique, then fk, then notnull,
+      // then check; files written before a family existed simply lack
+      // its section)
       val uSec = s.indexOf("\"unique\":[")
       val fkSec = s.indexOf("\"fk\":[")
       val nnSec = s.indexOf("\"notnull\":[")
-      val uEnd = Seq(fkSec, nnSec, s.length).filter(_ > uSec).min
-      val fkEnd = Seq(nnSec, s.length).filter(_ > fkSec).min
+      val ckSec = s.indexOf("\"check\":[")
+      val uEnd = Seq(fkSec, nnSec, ckSec, s.length).filter(_ > uSec).min
+      val fkEnd = Seq(nnSec, ckSec, s.length).filter(_ > fkSec).min
+      val nnEnd = Seq(ckSec, s.length).filter(_ > nnSec).min
       val uBody = if (uSec < 0) "" else s.substring(uSec, uEnd)
       val fkBody = if (fkSec < 0) "" else s.substring(fkSec, fkEnd)
-      val nnBody = if (nnSec < 0) "" else s.substring(nnSec)
+      val nnBody = if (nnSec < 0) "" else s.substring(nnSec, nnEnd)
+      val ckBody = if (ckSec < 0) "" else s.substring(ckSec)
       val us = uRe.findAllMatchIn(uBody)
         .map(m => Unique(cols(m.group(1)), m.group(2) == "true")).toSeq
       val fks = fkRe.findAllMatchIn(fkBody)
@@ -98,12 +114,14 @@ object TableConstraints {
           cols(m.group(3)), m.group(4) == "true")).toSeq
       val nns = uRe.findAllMatchIn(nnBody)
         .map(m => NotNull(cols(m.group(1)), m.group(2) == "true")).toSeq
-      (us, fks, nns)
+      val cks = ckRe.findAllMatchIn(ckBody)
+        .map(m => Check(m.group(1), m.group(2), m.group(3) == "true")).toSeq
+      (us, fks, nns, cks)
     }
   }
 
   private def render(us: Seq[Unique], fks: Seq[ForeignKey],
-                     nns: Seq[NotNull]): String = {
+                     nns: Seq[NotNull], cks: Seq[Check]): String = {
     def arr(cs: Seq[String]) = cs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val u = us.map(x => s"""{"cols":${arr(x.cols)},"rely":${x.rely}}""")
       .mkString("[", ",", "]")
@@ -112,17 +130,20 @@ object TableConstraints {
       .mkString("[", ",", "]")
     val n = nns.map(x => s"""{"cols":${arr(x.cols)},"rely":${x.rely}}""")
       .mkString("[", ",", "]")
-    s"""{"unique":$u,"fk":$f,"notnull":$n}"""
+    val c = cks.map(x =>
+        s"""{"name":"${x.name}","expr":"${x.expr}","rely":${x.rely}}""")
+      .mkString("[", ",", "]")
+    s"""{"unique":$u,"fk":$f,"notnull":$n,"check":$c}"""
   }
 
   private def write(dir: String, us: Seq[Unique], fks: Seq[ForeignKey],
-                    nns: Seq[NotNull]): Unit = {
+                    nns: Seq[NotNull], cks: Seq[Check]): Unit = {
     val target = file(dir)
     require(target.getParentFile.isDirectory,
       s"constraint target is not a directory: $dir")
     val tmp = new File(dir,
       "._graft_constraints-" + java.util.UUID.randomUUID.toString.take(8) + ".tmp")
-    Files.write(tmp.toPath, render(us, fks, nns).getBytes(UTF_8))
+    Files.write(tmp.toPath, render(us, fks, nns, cks).getBytes(UTF_8))
     Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -190,6 +211,18 @@ object TableConstraints {
         .limit(1).count() == 0
     }
 
+  /** True iff EVERY row satisfies `exprSql` STRICTLY (evaluates TRUE —
+    * a NULL result fails, see [[Check]]); `sampleRows`:
+    * screen-or-exact-refute, as above. */
+  def holdsCheck(spark: SparkSession, dir: String, exprSql: String,
+                 sampleRows: Option[Int] = None): Boolean =
+    withRewriteOff(spark) {
+      val src = readDir(spark, dir)
+      sampleRows.fold(src)(src.limit(_))
+        .filter(!coalesce(expr(exprSql), lit(false)))
+        .limit(1).count() == 0
+    }
+
   /** Declare strict uniqueness on `cols`. With `validate`, the current
     * data is checked first and a violation REFUSES the declaration —
     * without it this is a pure RELY assertion. Re-declaring the same
@@ -202,9 +235,9 @@ object TableConstraints {
         s"unique(${cols.mkString(",")}) does not hold in $dir — declaration refused")
     }
     writeLock.synchronized {
-      val (us, fks, nns) = parse(dir)
+      val (us, fks, nns, cks) = parse(dir)
       write(dir, us.filterNot(_.cols.sorted == cols.sorted) :+ Unique(cols, rely),
-        fks, nns)
+        fks, nns, cks)
     }
   }
 
@@ -219,9 +252,36 @@ object TableConstraints {
         s"notnull(${cols.mkString(",")}) does not hold in $dir — declaration refused")
     }
     writeLock.synchronized {
-      val (us, fks, nns) = parse(dir)
+      val (us, fks, nns, cks) = parse(dir)
       write(dir, us, fks,
-        nns.filterNot(_.cols.sorted == cols.sorted) :+ NotNull(cols, rely))
+        nns.filterNot(_.cols.sorted == cols.sorted) :+ NotNull(cols, rely), cks)
+    }
+  }
+
+  /** Declare a named STRICT row-predicate (see [[Check]]): with
+    * `validate`, a present violating row (expr not TRUE) refuses the
+    * declaration. The expression must parse NOW (a malformed predicate
+    * fails at declare time, not at its first enforcement) and must not
+    * contain double quotes (the file parser is quote-scan exact — use
+    * single-quoted SQL string literals). Re-declaring a name replaces
+    * its row. */
+  def declareCheck(dir: String, name: String, exprSql: String,
+                   rely: Boolean = true,
+                   validate: Option[SparkSession] = None): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"check name must be [A-Za-z0-9._-]+: '$name'")
+    require(!exprSql.contains("\""),
+      "check expression must not contain double quotes; use single-quoted SQL literals")
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql)
+    validate.foreach { s =>
+      require(holdsCheck(s, dir, exprSql),
+        s"check $name ($exprSql) does not hold in $dir — declaration refused")
+    }
+    writeLock.synchronized {
+      val (us, fks, nns, cks) = parse(dir)
+      write(dir, us, fks, nns,
+        cks.filterNot(_.name == name) :+ Check(name, exprSql, rely))
     }
   }
 
@@ -238,11 +298,11 @@ object TableConstraints {
         s"fk(${cols.mkString(",")}) -> $refDir(${refCols.mkString(",")}) does not hold — declaration refused")
     }
     writeLock.synchronized {
-      val (us, fks, nns) = parse(dir)
+      val (us, fks, nns, cks) = parse(dir)
       val fk = ForeignKey(cols, canon(refDir), refCols, rely)
       write(dir, us,
         fks.filterNot(x => x.cols == cols && x.refTable == fk.refTable) :+ fk,
-        nns)
+        nns, cks)
     }
   }
 
@@ -251,6 +311,8 @@ object TableConstraints {
   def foreignKeys(dir: String): Seq[ForeignKey] = parse(dir)._2
 
   def notNulls(dir: String): Seq[NotNull] = parse(dir)._3
+
+  def checks(dir: String): Seq[Check] = parse(dir)._4
 
   /** True when some RELY NOT NULL declaration covers `column` — the
     * optimizer's view (non-RELY rows are documentation). */
@@ -277,13 +339,15 @@ object TableConstraints {
   /** Re-check every declared constraint against the CURRENT data — the
     * audit half of RELY: (description, rely, holds) per constraint. */
   def verify(spark: SparkSession, dir: String): Seq[(String, Boolean, Boolean)] = {
-    val (us, fks, nns) = parse(dir)
+    val (us, fks, nns, cks) = parse(dir)
     us.map(u => (s"unique(${u.cols.mkString(",")})", u.rely,
         holdsUnique(spark, dir, u.cols))) ++
       fks.map(fk => (s"fk(${fk.cols.mkString(",")})->${fk.refTable}(${fk.refCols.mkString(",")})",
         fk.rely, holdsForeignKey(spark, dir, fk.cols, fk.refTable, fk.refCols))) ++
       nns.map(n => (s"notnull(${n.cols.mkString(",")})", n.rely,
-        holdsNotNull(spark, dir, n.cols)))
+        holdsNotNull(spark, dir, n.cols))) ++
+      cks.map(ck => (s"check(${ck.name})", ck.rely,
+        holdsCheck(spark, dir, ck.expr)))
   }
 
   // ── enforced ingest ──────────────────────────────────────────────────
@@ -422,14 +486,20 @@ object TableConstraints {
       : (DataFrame, Seq[String]) = withRewriteOff(spark) {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{concat_ws, count => cnt, lit, when}
-    val (us, fks, nns) = parse(table)
+    import org.apache.spark.sql.functions.{concat_ws, count => cnt, when}
+    val (us, fks, nns, cks) = parse(table)
     val keep = batch.columns.toSeq
     var flagged = batch
     val reasons = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
     nns.filter(_.rely).foreach { n =>
       reasons += (s"notnull(${n.cols.mkString(",")})" ->
         n.cols.map(col(_).isNull).reduce(_ || _))
+    }
+    // checks are row-local predicates like NOT NULL — no joins, one
+    // batch pass; STRICT semantics (a NULL result quarantines)
+    cks.filter(_.rely).foreach { ck =>
+      reasons += (s"check(${ck.name})" ->
+        !coalesce(expr(ck.expr), lit(false)))
     }
     fks.filter(_.rely).zipWithIndex.foreach { case (fk, i) =>
       val hit = s"__fk_hit_$i"
@@ -661,7 +731,7 @@ object TableConstraints {
     * {"incremental", "full"} per constraint. */
   def verifyIncremental(spark: SparkSession, dir: String)
       : Seq[(String, Boolean, Boolean, String)] = {
-    val (us, fks, nns) = parse(dir)
+    val (us, fks, nns, cks) = parse(dir)
     val isTxn = TxnTable.logDir(dir).isDirectory
     val cur = if (isTxn) TxnTable.currentVersion(dir) else 0
     val audit = if (isTxn) readAudit(dir) else None
@@ -737,6 +807,15 @@ object TableConstraints {
             d.filter(cols.map(col(_).isNull).reduce(_ || _))
               .limit(1).count() == 0
         }
+        // row-local like NOT NULL: appended rows alone decide (old rows
+        // passed the audit that set the watermark; appends can't break
+        // a predicate that only reads the row itself)
+        def deltaCheckHolds(exprSql: String): Boolean = delta match {
+          case None => true
+          case Some(d) =>
+            d.filter(!coalesce(expr(exprSql), lit(false)))
+              .limit(1).count() == 0
+        }
         us.map(u => (s"unique(${u.cols.mkString(",")})", u.rely,
             deltaUniqueHolds(u.cols), "incremental")) ++
           fks.map { fk =>
@@ -745,7 +824,9 @@ object TableConstraints {
               fk.rely, h, mode)
           } ++
           nns.map(n => (s"notnull(${n.cols.mkString(",")})", n.rely,
-            deltaNotNullHolds(n.cols), "incremental"))
+            deltaNotNullHolds(n.cols), "incremental")) ++
+          cks.map(ck => (s"check(${ck.name})", ck.rely,
+            deltaCheckHolds(ck.expr), "incremental"))
       }
     }
     // the watermark advances only on an all-green audit: a violation

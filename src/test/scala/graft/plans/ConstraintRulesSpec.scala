@@ -368,4 +368,60 @@ class ConstraintRulesSpec extends SparkSpec {
     TableConstraints.declareUnique(dDir, Seq("dkk"))
     assert(MvAdvisor.starCandidate(spark, q).isDefined)
   }
+
+  // ── CHECK constraints ───────────────────────────────────────────────
+
+  test("a declared RELY check drops its tautological filter conjunct") {
+    val t = s"$root/ck_taut"
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, i % 7 + 1.0, s"g${i % 3}"))
+        .toDF("pk", "amt", "grp"),
+      t, overwrite = false)
+    TableConstraints.declareCheck(t, "amt_pos", "amt > 0",
+      validate = Some(spark))
+    def q = TxnTable.read(spark, t)
+      .filter($"amt" > 0 && $"grp" =!= "g9")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    // the check conjunct is gone; the residual grp filter survives —
+    // strongest pin: with amt unfiltered, pruning removes the column
+    // from the scan entirely
+    val p = plan(q)
+    assert(!p.contains("amt"), p.take(3000))
+    assert(p.contains("g9"), p.take(3000))
+    assert(rows(q) == ruleOff(rows(q)))
+  }
+
+  test("NOT(check) makes the filter provably empty: no scan at all") {
+    val t = s"$root/ck_empty"
+    TxnTable.commit(spark,
+      (1L to 30L).map(i => (i, i + 0.5)).toDF("pk", "amt"),
+      t, overwrite = false)
+    TableConstraints.declareCheck(t, "amt_pos", "amt > 0",
+      validate = Some(spark))
+    // the user's !(amt > 0) reaches the rule as amt <= 0
+    // (BooleanSimplification) — the violation audit answers from
+    // metadata: zero rows, neither file read
+    def q = TxnTable.read(spark, t).filter(!($"amt" > 0))
+      .agg(count(lit(1)).as("n"))
+    assert(q.head.getLong(0) == 0L)
+    val p = plan(q)
+    assert(!p.contains("ck_empty"), p.take(3000))
+    assert(ruleOff(q.head.getLong(0)) == 0L)
+  }
+
+  test("check gates: non-RELY never consumed; violated RELY is the user's lie") {
+    val t = s"$root/ck_norely"
+    TxnTable.commit(spark,
+      (1L to 20L).map(i => (i, i - 10.0)).toDF("pk", "amt"), // amt spans 0
+      t, overwrite = false)
+    TableConstraints.declareCheck(t, "amt_pos", "amt > 0", rely = false)
+    def q = TxnTable.read(spark, t).filter($"amt" > 0)
+    assert(plan(q).contains("amt"), "non-RELY check must not drop the filter")
+    assert(q.count() == 10L)
+    // declared RELY but false: the rewrite fires and the count is wrong
+    // — exactly the RELY contract (verify() reports the lie honestly)
+    TableConstraints.declareCheck(t, "amt_pos", "amt > 0", rely = true)
+    assert(TableConstraints.verify(spark, t)
+      .contains(("check(amt_pos)", true, false)))
+  }
 }

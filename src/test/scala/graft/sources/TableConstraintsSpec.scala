@@ -430,4 +430,76 @@ class TableConstraintsSpec extends SparkSpec {
     assert(good.collect().map(_.getLong(0)).toSet == Set(1L))
     assert(bad.select("pk").collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("check declarations: round-trip, replacement by name, refusals") {
+    val t = freshDir("check_rt")
+    Seq((1L, "AIR"), (2L, "RAIL")).toDF("qty", "mode")
+      .write.mode("overwrite").parquet(t)
+    TableConstraints.declareCheck(t, "qty_pos", "qty > 0")
+    TableConstraints.declareCheck(t, "mode_known",
+      "mode IN ('AIR','RAIL')", rely = false)
+    assert(TableConstraints.checks(t).toSet == Set(
+      TableConstraints.Check("qty_pos", "qty > 0", rely = true),
+      TableConstraints.Check("mode_known", "mode IN ('AIR','RAIL')",
+        rely = false)))
+    // mixed-family file still parses section-exact
+    TableConstraints.declareUnique(t, Seq("qty"))
+    TableConstraints.declareNotNull(t, Seq("mode"))
+    assert(TableConstraints.checks(t).size == 2 &&
+      TableConstraints.uniques(t).size == 1 &&
+      TableConstraints.notNulls(t).size == 1)
+    // re-declaring a NAME replaces its row
+    TableConstraints.declareCheck(t, "qty_pos", "qty >= 1")
+    assert(TableConstraints.checks(t).count(_.name == "qty_pos") == 1)
+    assert(TableConstraints.checks(t).find(_.name == "qty_pos")
+      .get.expr == "qty >= 1")
+    // refusals: malformed expression, double quotes, bad name — all at
+    // declare time, never at first consumption
+    intercept[Exception] {
+      TableConstraints.declareCheck(t, "bad_syntax", "qty > (")
+    }
+    intercept[IllegalArgumentException] {
+      TableConstraints.declareCheck(t, "bad_quote", "mode = \"AIR\"")
+    }
+    intercept[IllegalArgumentException] {
+      TableConstraints.declareCheck(t, "bad name!", "qty > 0")
+    }
+  }
+
+  test("check validation is STRICT: a NULL-evaluating row refuses the declaration") {
+    val t = freshDir("check_strict")
+    Seq(Some(5L), Some(7L), None).map(Tuple1(_)).toDF("qty")
+      .write.mode("overwrite").parquet(t)
+    // qty > 0 is UNKNOWN on the null row — SQL CHECK would pass it,
+    // strict graft checks refuse (the optimizer rewrites need TRUE)
+    intercept[IllegalArgumentException] {
+      TableConstraints.declareCheck(t, "qty_pos", "qty > 0",
+        validate = Some(spark))
+    }
+    assert(!TableConstraints.holdsCheck(spark, t, "qty > 0"))
+    assert(TableConstraints.holdsCheck(spark, t, "qty > 0 OR qty IS NULL"))
+    TableConstraints.declareCheck(t, "qty_pos_or_null",
+      "qty > 0 OR qty IS NULL", validate = Some(spark))
+    assert(TableConstraints.verify(spark, t) ==
+      Seq(("check(qty_pos_or_null)", true, true)))
+  }
+
+  test("enforceSplit quarantines check violators with named reasons") {
+    val fact = freshDir("check_enf")
+    TableConstraints.declareCheck(fact, "qty_pos", "qty > 0")
+    TableConstraints.declareCheck(fact, "mode_known", "mode IN ('AIR','RAIL')")
+    val batch = Seq(
+      (Some(5L), "AIR"), (Some(0L), "RAIL"), (Option.empty[Long], "AIR"),
+      (Some(3L), "XXX"), (Some(-1L), "XXX")).toDF("qty", "mode")
+    val (good, bad) = TableConstraints.enforceSplit(spark, batch, fact)
+    assert(good.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val reasons = bad.select("qty", "reason").collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0), r.getString(1)))
+      .toSet
+    assert(reasons == Set(
+      (0L, "check(qty_pos)"),
+      (-99L, "check(qty_pos)"), // NULL qty fails strictly
+      (3L, "check(mode_known)"),
+      (-1L, "check(qty_pos),check(mode_known)")))
+  }
 }
