@@ -324,8 +324,11 @@ object LayoutAdvisor {
         Seq(("none", "", 0L, 0L, 0L, 0L, false))
           .toDF("curve", "cols", "n_clustered_files", "n_stale_files",
             "stale_rows", "total_rows", "recommend_recluster")
-      case Some(spec) =>
-        val (cl, st, staleRows, totalRows) = TxnLayout.staleness(table)
+      case specOpt @ Some(spec) =>
+        // one sidecar read: the split below measures the SAME spec the
+        // row names (no re-read between naming and measuring)
+        val (cl, st, staleRows, totalRows) =
+          TxnLayout.stalenessOf(table, specOpt)
         Seq((spec.curve, spec.cols.mkString(","), cl.toLong, st.toLong,
           staleRows, totalRows,
           st > 0 && staleRows >= maxStaleFraction * totalRows))

@@ -289,20 +289,7 @@ object WorkloadAdvisor {
     //    fact's trip through the join both disappear.
     val rootRows = scala.collection.mutable.Map.empty[String, Long]
     def rowsOfRoot(root: String): Long =
-      rootRows.getOrElseUpdate(root, {
-        if (new java.io.File(root, "_graft_log").isDirectory)
-          TxnTable.snapshotRowCount(root)
-        else {
-          // recurse: a partitionBy layout nests its files under key= dirs
-          def files(d: java.io.File): Seq[java.io.File] =
-            Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-              if (f.isDirectory && !f.getName.startsWith("_")) files(f)
-              else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
-              else Nil
-            }
-          files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
-        }
-      })
+      rootRows.getOrElseUpdate(root, rowsUnderRoot(root))
     def readRoot(root: String) =
       if (new java.io.File(root, "_graft_log").isDirectory)
         TxnTable.read(spark, root)
@@ -470,6 +457,23 @@ object WorkloadAdvisor {
     * Probes are the sampled screen-or-exact-refute class; pricing is
     * occurrences × table rows — the per-row predicate evaluations every
     * run of the workload re-pays. */
+  /** Metadata row count under a root: txn tables from the log's stats
+    * sidecars, plain dirs from a recursive footer walk (a partitionBy
+    * layout nests its files under key= subdirectories). Shared pricing
+    * input for [[report]] and [[checkAdvice]] — callers memoize. */
+  private def rowsUnderRoot(root: String): Long =
+    if (new java.io.File(root, "_graft_log").isDirectory)
+      TxnTable.snapshotRowCount(root)
+    else {
+      def files(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+          if (f.isDirectory && !f.getName.startsWith("_")) files(f)
+          else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+          else Nil
+        }
+      files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
+    }
+
   def checkAdvice(spark: SparkSession, queries: Seq[DataFrame],
                   sampledProbes: Boolean = false,
                   sampleRows: Int = 100000): DataFrame = {
@@ -477,19 +481,7 @@ object WorkloadAdvisor {
     val probeLimit = if (sampledProbes) Some(sampleRows) else None
     val rowsMemo = scala.collection.mutable.Map.empty[String, Long]
     def rowsOf(root: String): Long =
-      rowsMemo.getOrElseUpdate(root, {
-        if (new java.io.File(root, "_graft_log").isDirectory)
-          TxnTable.snapshotRowCount(root)
-        else {
-          def files(d: java.io.File): Seq[java.io.File] =
-            Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-              if (f.isDirectory && !f.getName.startsWith("_")) files(f)
-              else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
-              else Nil
-            }
-          files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
-        }
-      })
+      rowsMemo.getOrElseUpdate(root, rowsUnderRoot(root))
     val cands = ConstraintRules.withRootCache(queries.flatMap(q =>
       ConstraintRules.checkCandidates(q.queryExecution.optimizedPlan)))
     cands.groupBy(c => (c.root, c.cols, c.sql)).toSeq

@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   * The disjointness invariant — live clustered files have pairwise
   * disjoint code ranges — is preserved by construction: a stale code
   * either pulls its covering file into the rewrite or lies in a gap no
-  * surviving range covers, and the rewrite itself range-partitions its
-  * output. So box-filter pruning quality survives any number of
-  * incremental rounds (spec-pinned).
+  * surviving range covers, and the rewrite range-partitions each
+  * inter-survivor GAP independently (one output file never spans codes
+  * from gaps on both sides of a survivor). So box-filter pruning
+  * quality survives any number of incremental rounds (spec-pinned).
   *
   * Single-writer like the other sidecar maintainers: the sidecar is
   * advisory metadata (a wrong one costs rewrite IO, never rows — reads
@@ -181,18 +182,93 @@ object TxnLayout {
           .select("file").distinct()
           .collect().map(_.getString(0)).toSet
       }
-    val rewriteSet = stale ++ clustered.filter(hit.contains)
-    val n = if (numFiles >= 1) numFiles else rewriteSet.size
-    val rewritten = TxnTable.readFileList(spark, table, rewriteSet)
-      .withColumn("__z", code)
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    val v = TxnTable.commitRewrite(spark, rewritten, table, rewriteSet)
+    var hitSet = hit
+    var rewriteSet = stale ++ clustered.filter(hitSet.contains)
+    // ── disjointness by construction. Every rewrite row's code sits
+    // strictly OUTSIDE the surviving ranges (a code touching one pulled
+    // its file into the rewrite), but ONE output file could still span
+    // codes from gaps on BOTH SIDES of a survivor — its [lo, hi] would
+    // then cover the survivor's and box pruning would open both
+    // forever. So the rewrite is SEGMENTED: rows are tagged with which
+    // inter-survivor gap their code falls in (broadcast range join,
+    // |survivors|+1 intervals) and each present segment range-partitions
+    // INDEPENDENTLY — a file holds one gap's codes only. When the stale
+    // data is scattered across more than `maxSegments` gaps, the
+    // survivors inside the stale hull fold into the rewrite instead
+    // (one contiguous region, one segment) — the degenerate case
+    // genuinely needs the broad recluster it gets.
+    val maxSegments = 16
+    def survivorRanges(h: Set[String]): Seq[(Long, Long)] =
+      clustered.filterNot(h.contains).map(spec.ranges).sortBy(_._1)
+    def segmentsDf(h: Set[String]) = {
+      val rs = survivorRanges(h)
+      val bounds = (Long.MinValue +: rs.map(_._2)).zipWithIndex.map {
+        case (prevHi, i) =>
+          (i.toLong, prevHi,
+            if (i < rs.size) rs(i)._1 else Long.MaxValue)
+      }
+      spark.createDataFrame(bounds).toDF("__seg", "glo", "ghi")
+    }
+    def taggedRows(set: Seq[String], h: Set[String]) =
+      TxnTable.readFileList(spark, table, set)
+        .withColumn("__z", code)
+        .join(broadcast(segmentsDf(h)),
+          col("__z") > col("glo") && col("__z") < col("ghi"))
+        .drop("glo", "ghi")
+    var tagged = taggedRows(rewriteSet, hitSet)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var segs = tagged.select("__seg").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (segs.size > maxSegments) {
+      // hull fallback: pull every survivor inside [min, max] of the
+      // stale codes — afterwards all rewrite codes share one gap
+      val b = tagged.agg(min(col("__z")), max(col("__z"))).head()
+      tagged.unpersist()
+      val (zLo, zHi) = (b.getLong(0), b.getLong(1))
+      hitSet = hitSet ++ clustered.filter { f =>
+        val (l, h) = spec.ranges(f); l <= zHi && h >= zLo
+      }
+      rewriteSet = stale ++ clustered.filter(hitSet.contains)
+      tagged = taggedRows(rewriteSet, hitSet)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      segs = tagged.select("__seg").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val perSeg = math.max(1,
+      (if (numFiles >= 1) numFiles else rewriteSet.size) / math.max(1, segs.size))
+    // ONE WRITE JOB PER SEGMENT: a single unioned write would let the
+    // engine merge output partitions across segments (observed under
+    // AQE), producing exactly the gap-bridging file the segmentation
+    // exists to prevent. Each job's dir is staged under the anticipated
+    // version; the publish below is the atomic commit point and a
+    // crashed/raced attempt leaves ordinary vacuum orphans.
+    val version = TxnTable.currentVersion(table) + 1
+    val stamp = java.util.UUID.randomUUID.toString.take(8)
+    def writeSeg(df: DataFrame, i: Int): Seq[String] = {
+      val dir = new File(table, f"data/v$version%05d-$stamp-s$i")
+      df.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(dir.getPath)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(f => s"data/${dir.getName}/${f.getName}").sorted.toSeq
+    }
+    val added =
+      if (segs.isEmpty) // stale files held no rows: remove-only rewrite
+        Seq.empty[String]
+      else segs.zipWithIndex.flatMap { case (sg, i) =>
+        writeSeg(tagged.filter(col("__seg") === sg)
+          .repartitionByRange(perSeg, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z", "__seg"), i)
+      }
+    val v =
+      try TxnTable.publishRewrite(table, added, rewriteSet, Some(version))
+      finally tagged.unpersist()
     // sidecar: surviving entries stay as recorded; only the rewrite's
     // own new files are scanned for their ranges — O(rewritten)
     val survivors = spec.ranges.filter { case (f, _) =>
-      clustered.contains(f) && !hit.contains(f) }
+      clustered.contains(f) && !hitSet.contains(f) }
     val fresh = TxnTable.liveSplit(table)._1
       .filterNot(f => survivors.contains(f))
     writeSpec(table, spec.copy(version = v,
@@ -205,14 +281,20 @@ object TxnLayout {
     * live set split into clustered/stale file and row counts. Stale
     * files are opened by EVERY pruned scan (the pruner never skips
     * blind), so staleRows / totalRows is exactly the fraction of the
-    * table clustering no longer shields. (0,0,0,0) when the table was
-    * never clustered. */
+    * table clustering no longer shields. Counts are FILE-level (footer
+    * rows): live deletion vectors are not subtracted — a DV'd table
+    * can't recluster anyway (see [[maintainClustered]]). (0,0,0,0) when
+    * the table was never clustered. */
   def staleness(table: String): (Int, Int, Long, Long) =
-    readSpec(table) match {
+    stalenessOf(table, readSpec(table))
+
+  private[graft] def stalenessOf(table: String,
+                                 spec: Option[ClusterSpec]): (Int, Int, Long, Long) =
+    spec match {
       case None => (0, 0, 0L, 0L)
-      case Some(spec) =>
+      case Some(sp) =>
         val counts = TxnTable.liveFileRowCounts(table)
-        val (cl, st) = counts.partition { case (f, _) => spec.ranges.contains(f) }
+        val (cl, st) = counts.partition { case (f, _) => sp.ranges.contains(f) }
         (cl.size, st.size, st.map(_._2).sum, counts.map(_._2).sum)
     }
 
@@ -220,12 +302,16 @@ object TxnLayout {
     * fraction reaches `maxStaleFraction` of the snapshot's rows —
     * below it the pruning loss is cheaper than the rewrite IO, the same
     * economics as small-file compaction thresholds. Metadata-only when
-    * it declines. Returns Some(reclusterIncremental result) when it
-    * ran, None when the clustering is still healthy (or absent). */
+    * it declines. A table carrying live deletion vectors DECLINES
+    * rather than throws (a periodic policy must not crash its cycle) —
+    * run `TxnTable.optimize` to materialize the vectors first. Returns
+    * Some(reclusterIncremental result) when it ran, None when the
+    * clustering is still healthy, absent, or DV-blocked. */
   def maintainClustered(spark: SparkSession, table: String,
                         maxStaleFraction: Double = 0.2,
                         numFiles: Int = 0): Option[(Int, Int, Int)] = {
     require(maxStaleFraction > 0.0, "maxStaleFraction must be positive")
+    if (TxnTable.liveSplit(table)._2.nonEmpty) return None
     val (_, staleFiles, staleRows, totalRows) = staleness(table)
     if (staleFiles == 0 || staleRows < maxStaleFraction * totalRows) None
     else Some(reclusterIncremental(spark, table, numFiles))

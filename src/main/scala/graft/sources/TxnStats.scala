@@ -500,9 +500,9 @@ object TxnStats {
     *
     * Two pruning regimes, both sound because a skipped file provably
     * holds no joinable row:
-    *  1. RANGE: one (min, max, count) aggregate over the dim keys —
-    *     always bounded (one row to the driver, any dim size) — then
-    *     [[pruneFiles]] on `[min, max]`.
+    *  1. RANGE: one (min, max, approx-distinct) aggregate over the dim
+    *     keys — always bounded (one row to the driver, any dim size) —
+    *     then [[pruneFiles]] on `[min, max]`.
     *  2. EXACT-KEY (gap pruning), gated by `maxExactKeys`: the sorted
     *     distinct keys come to the driver and each stats-indexed file
     *     is kept only if SOME key lands inside its [min, max] — a
@@ -535,33 +535,38 @@ object TxnStats {
       .select(col(dimKeys.columns.head).cast(factDt).as("k")).na.drop()
       .persist()
     try {
+      // the gate measures DISTINCT keys (approximate, one pass): a
+      // 10M-row dim with 50 distinct keys is exactly the filtered-dim
+      // star shape this feature targets and must not lose gap pruning
+      // to a row-count gate. The gate is a resource guard, not a
+      // correctness line — HLL's ±2% just moves the cutoff slightly.
       val agg = keyed
         .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
-          count(lit(1)).as("n")).head()
+          approx_count_distinct(col("k")).as("n")).head()
       if (agg.isNullAt(0)) return (Seq.empty, live.size) // no joinable key
       val (lo, hi, n) = (agg.get(0), agg.get(1), agg.getLong(2))
       val sd = statsDir(table, column)
       if (n > maxExactKeys || !sd.isDirectory)
         return pruneFiles(spark, table, column, lo, hi)
       // exact-key regime: sorted distinct keys, binary search per file.
-      // Both sides collect from the SAME Spark type, so every external
-      // representation here (Long/Integer/String/Date/Timestamp/
-      // BigDecimal) is Comparable with itself.
+      // Both sides collect from the SAME Spark type; comparisons run
+      // under dfpOrdering — the driver-side replica of SPARK's ordering
+      // for that type (for strings, unsigned UTF-8 bytes, NOT Java's
+      // UTF-16 compareTo: they diverge above the BMP, and a mismatched
+      // order here would unsoundly SKIP a file holding a joinable row).
+      val cmp = dfpOrdering(factDt)
       val keys: Array[AnyRef] = keyed.distinct().collect()
         .map(_.get(0).asInstanceOf[AnyRef])
-      java.util.Arrays.sort(keys,
-        (a: AnyRef, b: AnyRef) => a.asInstanceOf[Comparable[AnyRef]].compareTo(b))
+      java.util.Arrays.sort(keys, cmp)
       def someKeyIn(mn: AnyRef, mx: AnyRef): Boolean = {
         // lower bound: first key >= mn
         var loI = 0; var hiI = keys.length
         while (loI < hiI) {
           val mid = (loI + hiI) >>> 1
-          if (keys(mid).asInstanceOf[Comparable[AnyRef]].compareTo(mn) < 0)
-            loI = mid + 1
+          if (cmp.compare(keys(mid), mn) < 0) loI = mid + 1
           else hiI = mid
         }
-        loI < keys.length &&
-          keys(loI).asInstanceOf[Comparable[AnyRef]].compareTo(mx) <= 0
+        loI < keys.length && cmp.compare(keys(loI), mx) <= 0
       }
       val rows = spark.read.parquet(sd.getPath)
         .select("file", "min", "max").collect()
@@ -572,6 +577,33 @@ object TxnStats {
       (live.filter(f => !indexed.contains(f) || hit.contains(f)), live.size)
     } finally keyed.unpersist()
   }
+
+  /** Driver-side replica of Spark's ordering for the external
+    * representations a collect() of `dt` yields. Every type here is
+    * Comparable with itself in the SAME order Spark sorts it — except
+    * STRING: UTF8String compares unsigned UTF-8 bytes while Java's
+    * String.compareTo compares UTF-16 code units, and the two disagree
+    * above the BMP (a supplementary character sorts above U+FFFF in
+    * byte order, below it in code-unit order). */
+  private def dfpOrdering(dt: DataType): java.util.Comparator[AnyRef] =
+    dt match {
+      case StringType => (a: AnyRef, b: AnyRef) => {
+        val x = a.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val m = math.min(x.length, y.length)
+        var r = 0
+        while (r == 0 && i < m) {
+          r = (x(i) & 0xFF) - (y(i) & 0xFF)
+          i += 1
+        }
+        if (r != 0) r else x.length - y.length
+      }
+      case _ => (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[Comparable[AnyRef]].compareTo(b)
+    }
 
   /** The fact scan [[dfpFiles]] prunes, DV-aware like [[prunedRead]]:
     * the returned frame holds every fact row an inner equi-join on

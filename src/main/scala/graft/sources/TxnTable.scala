@@ -491,6 +491,29 @@ object TxnTable {
     commitWithRemovals(spark, df, table, version, removedFiles, tag)
   }
 
+  /** Publish a REWRITE whose data files were already written under the
+    * table root — the multi-writer-job sibling of [[commitRewrite]],
+    * for rewrites that need MORE THAN ONE write job to control file
+    * boundaries (the per-gap segmented recluster: a single unioned
+    * write lets the engine merge output partitions across segments).
+    * Same guarantees: added files must exist, removed must be live at
+    * the expected version, the publish is the atomic commit point, and
+    * a loser's pre-written dirs are ordinary vacuum orphans. */
+  private[sources] def publishRewrite(table: String, added: Seq[String],
+                                      removed: Seq[String],
+                                      expectedVersion: Option[Int] = None): Int = {
+    val version = expectedVersion.getOrElse(currentVersion(table) + 1)
+    require(version >= 1, s"expectedVersion must be >= 1, got $version")
+    added.foreach(p => require(new File(table, p).isFile,
+      s"rewrite commit references a missing file: $table/$p"))
+    val live = liveFiles(table, Some(version - 1)).toSet
+    val unknown = removed.filterNot(live.contains)
+    require(unknown.isEmpty,
+      s"cannot remove files that are not live in $table at v${version - 1}: " +
+        unknown.take(3).mkString(", "))
+    publish(table, version, added, removed, None)
+  }
+
   private def commitWithRemovals(spark: SparkSession, df: DataFrame,
                                  table: String, version: Int,
                                  removed: Seq[String],
@@ -754,7 +777,13 @@ object TxnTable {
       val to = new File(dst, rel)
       if (!to.isFile) {
         to.getParentFile.mkdirs()
-        Files.copy(new File(src, rel).toPath, to.toPath)
+        // tmp + atomic move: the resume path's skip-if-present check
+        // must never mistake a crash-truncated copy for a finished one
+        val tmp = new File(to.getParentFile,
+          s".${to.getName}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        Files.copy(new File(src, rel).toPath, tmp.toPath)
+        Files.move(tmp.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         copied += 1
       }
     }
@@ -806,6 +835,11 @@ object TxnTable {
       val seed = field("seedSrcVersion")
       val synced = field("syncedSrcVersion")
       if (currentVersion(dst) == 0) seedPublish(seed) // seed-crash recovery
+      else require(commitTag(dst, 1).contains("replica_seed"),
+        // a local write landing dst v1 inside the marker→publish crash
+        // window is a FORK the per-version slot check below can't see
+        // (v1 is the seed's slot, never re-published): refuse here
+        s"$dst v1 is not a replica seed — the replica was forked by a local write")
       ((synced + 1) to srcHead).foreach { v =>
         val entry = new File(logDir(src), f"v$v%05d.json")
         require(entry.isFile,
@@ -823,7 +857,10 @@ object TxnTable {
         }
         writeMarker(seed, v)
       }
-      if (srcHead > synced) copyConstraints()
+      // unconditional: declarations move without data commits, and a
+      // "successful sync" must never leave the replica auditing against
+      // a stale constraint set
+      copyConstraints()
       (currentVersion(dst), copied)
     }
   }

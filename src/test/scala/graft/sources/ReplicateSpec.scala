@@ -122,5 +122,26 @@ class ReplicateSpec extends SparkSpec {
     TxnTable.replicate(src, dst)
     assert(TableConstraints.uniques(dst).map(_.cols).contains(Seq("k")),
       "seed carries the declared constraints")
+    // a declaration BETWEEN syncs travels even when no data moved — a
+    // "successful sync" must never leave the replica auditing stale
+    TableConstraints.declareNotNull(src, Seq("p"), validate = Some(spark))
+    TxnTable.replicate(src, dst)
+    assert(TableConstraints.notNulls(dst).map(_.cols).contains(Seq("p")),
+      "a data-less sync still ships the current declaration set")
+  }
+
+  test("a local write inside the seed-crash window is a fork, refused") {
+    val src = fresh("winfork_src"); val dst = fresh("winfork_dst")
+    commitRange(src, 0, 20)
+    // the crash window: marker durable, seed v1 never published —
+    // then a LOCAL write lands dst v1 (no replica_seed tag)
+    new File(dst).mkdirs()
+    Files.write(new File(dst, "_graft_replica.json").toPath,
+      (s"""{"src":"${new File(src).getAbsolutePath}",""" +
+        s""""seedSrcVersion":1,"syncedSrcVersion":1}""")
+        .getBytes(StandardCharsets.UTF_8))
+    commitRange(dst, 500, 510)
+    commitRange(src, 20, 40)
+    intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
   }
 }

@@ -144,5 +144,40 @@ class TxnLayoutSpec extends SparkSpec {
       .clusterAdvice(spark, fresh("maintain_none")).head()
     assert(advNone.getAs[String]("curve") == "none" &&
       !advNone.getAs[Boolean]("recommend_recluster"))
+
+    // a live deletion vector DECLINES maintenance instead of crashing
+    // the policy's cycle (requireNoDv would throw inside the rewrite)
+    TxnTable.deleteWhereMor(spark, t, col("v") % 97 === 0L)
+    TxnTable.commit(spark,
+      spark.range(3000, 3400).select((col("id") % 1024).as("x"),
+        (col("id") % 1024).as("y"), col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    assert(TxnLayout.maintainClustered(spark, t, maxStaleFraction = 1e-9).isEmpty,
+      "DV-blocked maintenance must decline, not throw")
+  }
+
+  test("one rewrite never bridges a gap across a survivor (segmented output)") {
+    val t = fresh("seg")
+    // bimodal seed with y = 0: the morton code is monotone in x, so
+    // file code ranges ARE x ranges and the gap layout is controlled
+    TxnTable.commit(spark,
+      spark.range(0, 30).select(col("id").as("x"), lit(0L).as("y"),
+          col("id").as("v"))
+        .union(spark.range(60, 90).select(col("id"), lit(0L), col("id"))),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 2)
+    assertDisjoint(TxnLayout.readSpec(t).get)
+    // ONE stale file holding codes in the gaps on BOTH sides of the
+    // second clustered file: an unsegmented rewrite would emit a single
+    // output file whose [lo, hi] covers that survivor — breaking the
+    // disjointness every pruned box read relies on
+    TxnTable.commit(spark,
+      Seq((45L, 0L, -1L), (200L, 0L, -2L)).toDF("x", "y", "v").coalesce(1),
+      t, overwrite = false)
+    val before = contentOf(t)
+    val (_, r, _) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r >= 1)
+    assertDisjoint(TxnLayout.readSpec(t).get)
+    assert(contentOf(t) == before)
   }
 }

@@ -362,4 +362,22 @@ class TxnStatsSpec extends SparkSpec {
     assert(fact.join(dim, fact("s") === dim("k"))
       .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 31L))
   }
+
+  test("dfp: string keys compare in Spark's UTF-8 byte order, not UTF-16") {
+    val t = fresh("dfp_utf8")
+    // one file holding U+FFFF and U+1F600: Spark's byte-order stats put
+    // min=U+FFFF, max=U+1F600 (0xF0.. > 0xEF..); Java compareTo calls
+    // the emoji SMALLER than that min — a UTF-16 search would skip the
+    // file and silently lose its join row
+    TxnTable.commit(spark,
+      Seq("￿", "😀").toDF("s").coalesce(1),
+      t, overwrite = false)
+    TxnStats.refresh(spark, t, "s")
+    val dim = Seq("😀").toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "s", dim)
+    assert(nLive == 1 && toRead.size == 1,
+      "the file holds the key — skipping it loses the matching row")
+    val fact = TxnStats.dfpRead(spark, t, "s", dim)
+    assert(fact.join(dim, fact("s") === dim("k")).count() == 1)
+  }
 }
