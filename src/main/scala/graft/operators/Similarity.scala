@@ -645,24 +645,47 @@ object Similarity {
     * the right plan — Spark/AQE picks per actual size. Recall under a
     * selective predicate is recovered by WIDENING `nprobe`/`rerank`
     * (roughly ÷ the predicate's selectivity): the probed lists must
-    * still contain k eligible vectors. */
+    * still contain k eligible vectors — `autoWiden` does that
+    * automatically (see [[widenedKnobs]]). */
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, rerank: Int = 64,
                        m: Int = 8, dim: Int = 64,
-                       predicate: Option[Column] = None): DataFrame = {
+                       predicate: Option[Column] = None,
+                       autoWiden: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val lists0 = spark.read.parquet(s"$dir/lists")
-    val lists = predicate.fold(lists0) { p =>
-      lists0.join(spark.read.parquet(s"$dir/meta").filter(p)
-        .select("vec_id"), Seq("vec_id"), "left_semi")
-    }
+    val eligible = predicate.map(p =>
+      spark.read.parquet(s"$dir/meta").filter(p).select("vec_id"))
+    val lists = eligible.fold(lists0)(e =>
+      lists0.join(e, Seq("vec_id"), "left_semi"))
+    val (np, rr) =
+      if (!autoWiden || eligible.isEmpty) (nprobe, rerank)
+      else widenedKnobs(nprobe, rerank,
+        spark.read.parquet(s"$dir/meta").count(), eligible.get.count(),
+        spark.read.parquet(s"$dir/centroids").count().toInt)
     ivfPqTopKFrames(queries,
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
       lists,
       spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"),
-      k, nprobe, rerank, m, dim)
+      k, np, rr, m, dim)
+  }
+
+  /** SELECTIVITY-driven widening for filtered ANN search: with an
+    * s-selective predicate, a probed list's ELIGIBLE population is
+    * ~s × its size, so holding recall needs ~1/s more probed lists and
+    * a ~1/s wider rerank window. The factor is measured (two counts
+    * over the id-only meta projection — never the vectors), capped at
+    * 64× (a sub-2% predicate should move to its own partition/index,
+    * not a 64-probe scan), nprobe clamped to the cluster count. The
+    * user's explicit knobs are the floor, never reduced. */
+  private[graft] def widenedKnobs(nprobe: Int, rerank: Int, total: Long,
+                                  eligible: Long, nClusters: Int): (Int, Int) = {
+    val f = math.min(64L,
+      (total + math.max(1L, eligible) - 1) / math.max(1L, eligible))
+    (math.min(nClusters.toLong, nprobe * f).toInt.max(nprobe min nClusters),
+      math.min(1000000L, rerank * f).toInt.max(rerank))
   }
 
   /** The IVFPQ query plan over ALREADY-LOADED index frames — shared by
@@ -933,7 +956,8 @@ object Similarity {
                           asOf: Option[Int] = None, nprobe: Int = 4,
                           rerank: Int = 64, m: Int = 8,
                           dim: Int = 64,
-                          predicate: Option[Column] = None): DataFrame = {
+                          predicate: Option[Column] = None,
+                          autoWiden: Boolean = false): DataFrame = {
     import graft.sources.TxnCatalog
     // resolve the head ONCE and pin every table read to it — six
     // independently-resolved head reads would leave a torn-read window
@@ -988,18 +1012,26 @@ object Similarity {
     // [[ivfPqTopKIndexed]]); the meta it reads is the OVERLAID meta, so
     // a predicate evaluates against an upserted row's NEW metadata
     val lists2 = overlay(lists1, "dlists")
+    val metaAt = predicate.map(_ =>
+      overlay(TxnCatalog.read(spark, catalog, "meta", at), "dmeta"))
     val lists = predicate.fold(lists2) { p =>
-      lists2.join(
-        overlay(TxnCatalog.read(spark, catalog, "meta", at), "dmeta")
-          .filter(p).select("vec_id"), Seq("vec_id"), "left_semi")
+      lists2.join(metaAt.get.filter(p).select("vec_id"),
+        Seq("vec_id"), "left_semi")
     }
+    // auto-widening measures selectivity on the SAME overlaid,
+    // same-pinned meta the filter consults (id-only counts)
+    val (np, rr) =
+      if (!autoWiden || predicate.isEmpty) (nprobe, rerank)
+      else widenedKnobs(nprobe, rerank, metaAt.get.count(),
+        metaAt.get.filter(predicate.get).count(),
+        TxnCatalog.read(spark, catalog, "centroids", at).count().toInt)
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", at),
       TxnCatalog.read(spark, catalog, "codebooks", at),
       lists,
       overlay(TxnCatalog.read(spark, catalog, "codes", at), "dcodes"),
       overlay(TxnCatalog.read(spark, catalog, "vectors", at), "dvectors"),
-      k, nprobe, rerank, m, dim)
+      k, np, rr, m, dim)
   }
 
   /** Index-health snapshot for a persisted IVFPQ dir — the measurements

@@ -563,6 +563,38 @@ class SimilaritySpec extends SparkSpec {
       predicate = Some(pred))) == before)
   }
 
+  test("autoWiden recovers filtered recall from measured selectivity") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_widen_spec").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    val qs = embs.filter($"vec_id" < 20)
+    val pred = col("label") % 8 === 0 // ~12.5% selective
+    val truth = Similarity.bruteForceTopK(embs.filter(pred), qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // deliberately starved knobs: the filter thins each probed list ~8×
+    val narrow = Similarity.ivfPqTopKIndexed(qs, dir, k = 5,
+      nprobe = 1, rerank = 8, predicate = Some(pred))
+    val wide = Similarity.ivfPqTopKIndexed(qs, dir, k = 5,
+      nprobe = 1, rerank = 8, predicate = Some(pred), autoWiden = true)
+    val (rN, rW) = (recall(narrow), recall(wide))
+    info(f"filtered recall: narrow=$rN%.3f autoWiden=$rW%.3f")
+    assert(rW >= rN, "widening must never lose recall")
+    assert(rW >= 0.5, f"auto-widened recall $rW%.3f below floor")
+    assert(wide.collect().groupBy(_.getLong(0)).forall(_._2.length == 5),
+      "auto-widened search must return a full k per query")
+    // the knob arithmetic itself
+    assert(Similarity.widenedKnobs(1, 8, 1000, 125, 32) == ((8, 64)))
+    assert(Similarity.widenedKnobs(4, 64, 1000, 1000, 32) == ((4, 64)),
+      "a non-selective predicate leaves the user's knobs untouched")
+    assert(Similarity.widenedKnobs(4, 64, 1000, 3, 32)._1 == 32,
+      "nprobe clamps to the cluster count")
+    assert(Similarity.widenedKnobs(4, 64, 1000, 0, 32)._2 == 64 * 64,
+      "empty eligible set: the 64x cap bounds the blowup")
+  }
+
   test("filtered search evaluates the predicate on UPSERTED metadata") {
     val q3 = embs.filter($"vec_id" === 3L)
     val pred = col("label") % 2 === 0
