@@ -146,6 +146,9 @@ object TxnLayout {
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
       rangesOf(spark, table, now, code)))
+    // same stats-freshness contract as reclusterIncremental
+    TxnStats.indexedColumns(table)
+      .foreach(c => TxnStats.refreshFromFooters(spark, table, c))
     v
   }
 
@@ -273,6 +276,13 @@ object TxnLayout {
       .filterNot(f => survivors.contains(f))
     writeSpec(table, spec.copy(version = v,
       ranges = survivors ++ rangesOf(spark, table, fresh, code)))
+    // maintenance leaves the SKIPPING STATS fresh too: the rewrite's
+    // new files would otherwise sit unindexed (read by every pruned
+    // scan) until someone remembers to refresh — each refresh is O(new
+    // files) under the stats' own watermark, for exactly the columns a
+    // sidecar already exists for
+    TxnStats.indexedColumns(table)
+      .foreach(c => TxnStats.refreshFromFooters(spark, table, c))
     (v, rewriteSet.size, survivors.size)
   }
 

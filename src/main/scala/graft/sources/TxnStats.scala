@@ -578,6 +578,16 @@ object TxnStats {
     } finally keyed.unpersist()
   }
 
+  /** The columns carrying a min-max stats sidecar — the set a
+    * maintenance rewrite must re-freshen so its new files prune (a
+    * stale index is safe but unpruned: unindexed live files are always
+    * read). `ndv` holds the sketch sidecars, not a column. */
+  def indexedColumns(table: String): Seq[String] =
+    Option(new File(table, "_graft_stats").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != "ndv")
+      .map(_.getName).sorted.toSeq
+
   /** Driver-side replica of Spark's ordering for the external
     * representations a collect() of `dt` yields. Every type here is
     * Comparable with itself in the SAME order Spark sorts it — except

@@ -156,6 +156,25 @@ class TxnLayoutSpec extends SparkSpec {
       "DV-blocked maintenance must decline, not throw")
   }
 
+  test("maintenance leaves existing skipping stats fresh") {
+    val t = fresh("statsfresh")
+    seed(t)
+    TxnStats.refresh(spark, t, "v")
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 3)
+    assert(TxnStats.indexedVersion(t, "v") == TxnTable.currentVersion(t),
+      "the full clustered rewrite must re-freshen the v stats")
+    TxnTable.commit(spark,
+      Seq((50000L, 50000L, 9999L)).toDF("x", "y", "v").coalesce(1),
+      t, overwrite = false)
+    TxnLayout.reclusterIncremental(spark, t)
+    assert(TxnStats.indexedVersion(t, "v") == TxnTable.currentVersion(t),
+      "incremental maintenance must re-freshen the stats too")
+    // and the freshness is USEFUL: a narrow v-range prunes immediately
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "v", 9999L, 9999L)
+    assert(toRead.size < nLive,
+      s"post-maintenance pruning must skip files, read $toRead of $nLive")
+  }
+
   test("one rewrite never bridges a gap across a survivor (segmented output)") {
     val t = fresh("seg")
     // bimodal seed with y = 0: the morton code is monotone in x, so
