@@ -388,6 +388,63 @@ object SourceQueries {
         .orderBy("snap")
     },
 
+    // ── CATALOG-LEVEL replication (TxnCatalog.replicate): the
+    //    multi-table DR mirror — full fidelity (per-table logs keep
+    //    their numbering, so every catalog entry's version lineage
+    //    resolves at the replica: time travel and restore both work
+    //    there), O(Δ) per sync (lineage DELTAS only: the one-table txn
+    //    ships 3 files — its log entry, stats sidecar, data file — and
+    //    the source-side RESTORE ships zero, its entry re-lists known
+    //    versions), and cross-table snapshot atomicity (the catalog txn
+    //    entry publishes LAST; a replica reader never sees half a
+    //    transaction — spec-pinned with a staged crash window). Copy
+    //    counts and replica txn heads ride the hash; the oracle
+    //    re-derives each stage's table contents from raw orders.
+    sql("q_src_catalog_replicate",
+      """SELECT * FROM (
+        |  SELECT 'a_seed' AS stage,
+        |         (SELECT COUNT(*) FROM orders) +
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS cnt,
+        |         CAST(9 AS BIGINT) AS copied, CAST(2 AS BIGINT) AS txn
+        |  UNION ALL
+        |  SELECT 'b_sync', (SELECT COUNT(*) FROM orders),
+        |         CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c_restore',
+        |         (SELECT COUNT(*) FROM orders) +
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0),
+        |         CAST(0 AS BIGINT), CAST(4 AS BIGINT)
+        |) ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnCatalog
+      import graft.sources.TxnCatalog.Write
+      val root = graft.Scratch.dir(s"/root/repo/target/tmp/catrepl_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+      val src = s"$root/cat_src"; val dst = s"$root/cat_mirror"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      TxnCatalog.commitAll(s, src, Seq(
+        Write("c", o.filter(col("k") % 2 === 0).coalesce(1)),
+        Write("o", o.filter(col("k") % 3 === 0).coalesce(1))))
+      TxnCatalog.commitAll(s, src, Seq(
+        Write("c", o.filter(col("k") % 2 =!= 0).coalesce(1))))
+      val (seedTxn, seedCopied) = TxnCatalog.replicate(src, dst)
+      val aCnt = TxnCatalog.read(s, dst, "c").count() +
+        TxnCatalog.read(s, dst, "o").count()
+      TxnCatalog.commitAll(s, src, Seq(
+        Write("o", o.filter(col("k") % 3 =!= 0).coalesce(1))))
+      val (syncTxn, syncCopied) = TxnCatalog.replicate(src, dst)
+      val bCnt = TxnCatalog.read(s, dst, "o").count()
+      TxnCatalog.restore(src, toTxn = 2)
+      val (rTxn, rCopied) = TxnCatalog.replicate(src, dst)
+      val cCnt = TxnCatalog.read(s, dst, "c").count() +
+        TxnCatalog.read(s, dst, "o").count()
+      import s.implicits._
+      Seq(("a_seed", aCnt, seedCopied.toLong, seedTxn.toLong),
+          ("b_sync", bCnt, syncCopied.toLong, syncTxn.toLong),
+          ("c_restore", cCnt, rCopied.toLong, rTxn.toLong))
+        .toDF("stage", "cnt", "copied", "txn").orderBy("stage")
+    },
+
     // ── catalog-level WRITE-AUDIT-PUBLISH (TxnCatalog.publishFrom): a
     //    cloned warehouse branch takes TWO audit transactions (a load
     //    into an existing table and a brand-new table) and lands on main

@@ -870,6 +870,140 @@ object TxnCatalog {
       dmap + (name -> (dmap.getOrElse(name, Set.empty) + phys)))
   }
 
+  private def catReplicaFile(dst: String) = new File(dst, "_graft_replica.json")
+
+  /** CATALOG-LEVEL replication — the multi-table DR story: mirror `src`
+    * into `dst` with O(Δ txns) per sync and the consistency guarantee a
+    * warehouse actually needs, CROSS-TABLE SNAPSHOT ATOMICITY. For each
+    * unsynced catalog transaction: every per-table log entry in its
+    * version lineage copies first (atomic tmp+move; equality-verified
+    * if the slot is somehow occupied — a foreign entry is a fork and
+    * refuses), then that version's data files (skip-if-present,
+    * skip-if-src-vacuumed: the mirror reflects the source's retention),
+    * then — LAST — the catalog txn entry via the same put-if-absent
+    * link(2) every commit here uses. A replica reader therefore sees
+    * whole transactions or nothing, even mid-sync, even mid-crash; a
+    * crashed sync resumes idempotently from the marker's watermark.
+    *
+    * Unlike [[TxnTable.replicate]] there is NO seed collapse: catalog
+    * entries pin per-table version LINEAGES by NUMBER, so the per-table
+    * logs must replay with their original numbering — the mirror is
+    * full-fidelity (catalog restore, time travel, and per-table as-of
+    * reads all work at the replica). Constraints files travel per sync.
+    * Returns (replica head txn, files copied). */
+  def replicate(src: String, dst: String): (Int, Int) = {
+    val head = currentTxn(src)
+    require(head >= 1, s"nothing to replicate: $src has no txns")
+    val srcAbs = new File(src).getAbsolutePath
+    var copied = 0
+    def atomicCopy(from: File, to: File): Unit = {
+      to.getParentFile.mkdirs()
+      val tmp = new File(to.getParentFile,
+        s".${to.getName}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.copy(from.toPath, tmp.toPath)
+      Files.move(tmp.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      copied += 1
+    }
+    def copyData(rel: String): Unit = {
+      val from = new File(src, rel)
+      // missing at src = vacuumed there; the mirror reflects retention
+      if (from.isFile && !new File(dst, rel).isFile)
+        atomicCopy(from, new File(dst, rel))
+    }
+    def copyVerified(rel: String): Unit = {
+      val from = new File(src, rel)
+      val to = new File(dst, rel)
+      if (!to.isFile) atomicCopy(from, to)
+      else require(java.util.Arrays.equals(Files.readAllBytes(from.toPath),
+        Files.readAllBytes(to.toPath)),
+        s"replica fork: $dst/$rel differs from the source's entry")
+    }
+    val marker = catReplicaFile(dst)
+    val synced =
+      if (marker.isFile) {
+        val m = new String(Files.readAllBytes(marker.toPath),
+          StandardCharsets.UTF_8)
+        val rec = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse("")
+        require(rec == srcAbs,
+          s"$dst replicates $rec, refusing to sync from $srcAbs")
+        "\"syncedTxn\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"malformed catalog replica marker in $dst"))
+      } else {
+        require(currentTxn(dst) == 0,
+          s"replica target $dst already exists and is not a replica of $srcAbs")
+        new File(dst).mkdirs()
+        0
+      }
+    def writeMarker(t: Int): Unit = {
+      val tmp = new File(dst,
+        s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp.toPath,
+        s"""{"src":"$srcAbs","syncedTxn":$t}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (!marker.isFile) writeMarker(0)
+    // entries carry CUMULATIVE lineages; syncing copies only each
+    // entry's DELTA against its predecessor — O(new versions) per txn,
+    // not O(history) (a restore's re-listed old versions are in the
+    // prior lineage and skip here)
+    var prevLin: Map[String, Seq[Int]] =
+      if (synced == 0) Map.empty else versionLists(src, Some(synced))
+    ((synced + 1) to head).foreach { t =>
+      val entry = new File(txnDir(src), f"t$t%05d.json")
+      require(entry.isFile, s"replication gap: $src has no txn entry t$t")
+      val lin = versionLists(src, Some(t))
+      lin.toSeq.sortBy(_._1).foreach { case (name, vs) =>
+        val srcTable = tablePath(src, name)
+        val dstTable = tablePath(dst, name)
+        val known = prevLin.getOrElse(name, Seq.empty).toSet
+        vs.filterNot(known.contains).foreach { v =>
+          val logRel = f"_graft_log/v$v%05d.json"
+          val srcLog = new File(srcTable, logRel)
+          require(srcLog.isFile,
+            s"replication gap: $src table $name has no log entry v$v")
+          copyVerified(s"tables/$name/$logRel")
+          val stats = f"_graft_log/stats_v$v%05d.json"
+          if (new File(srcTable, stats).isFile)
+            copyData(s"tables/$name/$stats")
+          TxnTable.parseEntry(srcLog)._1
+            .foreach(f => copyData(s"tables/$name/$f"))
+        }
+        val cons = new File(srcTable, "_graft_constraints.json")
+        if (cons.isFile) {
+          new File(dstTable).mkdirs()
+          Files.copy(cons.toPath,
+            new File(dstTable, "_graft_constraints.json").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      prevLin = lin
+      // the catalog entry LAST — the cross-table commit point: a reader
+      // of the replica never sees half a transaction
+      val tmpE = new File(txnDir(dst),
+        f".t$t%05d-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
+      txnDir(dst).mkdirs()
+      Files.copy(entry.toPath, tmpE.toPath)
+      val target = new File(txnDir(dst), f"t$t%05d.json").toPath
+      try {
+        Files.createLink(target, tmpE.toPath)
+        Files.deleteIfExists(tmpE.toPath)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmpE.toPath)
+          require(java.util.Arrays.equals(
+            Files.readAllBytes(entry.toPath), Files.readAllBytes(target)),
+            s"replica fork: $dst txn t$t was published by a local writer")
+      }
+      writeMarker(t)
+    }
+    (currentTxn(dst), copied)
+  }
+
   /** Multi-table atomic FORGET — the right-to-be-forgotten transaction:
     * one predicate per table, each staged as a deletion-vector version
     * against the CATALOG-visible snapshot, all made visible through ONE

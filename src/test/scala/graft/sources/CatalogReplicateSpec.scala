@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** Catalog-level replication: full-fidelity mirror (per-table logs keep
+  * their numbering, so every catalog entry's version lineage resolves at
+  * the replica), O(Δ) sync, cross-table snapshot atomicity (the txn
+  * entry publishes LAST), fork refusal, and restore fidelity.
+  */
+class CatalogReplicateSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.sources.TxnCatalog.Write
+
+  private def fresh(name: String): String = {
+    val p = s"/root/repo/target/tmp/spec_catrepl_$name"
+    FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  private def contentOf(cat: String, name: String,
+                        at: Option[Int] = None): Set[(Long, Long)] =
+    TxnCatalog.read(spark, cat, name, at).select("k", "v")
+      .as[(Long, Long)].collect().toSet
+
+  private def df(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1)
+
+  test("seed, O(Δ) sync, cross-table consistency, time travel, restore") {
+    val src = fresh("src"); val dst = fresh("dst")
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("cust", df(0, 50)), Write("ord", df(100, 180))))
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("cust", df(50, 60)), Write("ord", df(180, 200))))
+
+    val (t1, copied1) = TxnCatalog.replicate(src, dst)
+    assert(t1 == 2)
+    // 2 tables × 2 versions × (log entry + data file) = 8 + best-effort
+    // stats sidecars; the exact data+log floor is what we pin
+    assert(copied1 >= 8, s"seed must copy both tables' history, got $copied1")
+    Seq("cust", "ord").foreach { n =>
+      assert(contentOf(dst, n) == contentOf(src, n))
+      assert(contentOf(dst, n, Some(1)) == contentOf(src, n, Some(1)),
+        "the replica time-travels to every synced txn")
+    }
+
+    // idempotent no-op
+    assert(TxnCatalog.replicate(src, dst) == ((2, 0)))
+
+    // Δ sync: one txn touching ONE table ships only its delta
+    TxnCatalog.commitAll(spark, src, Seq(Write("cust", df(60, 70))))
+    val (t3, copied3) = TxnCatalog.replicate(src, dst)
+    assert(t3 == 3)
+    assert(copied3 <= 3,
+      s"a one-table txn must sync O(its delta), copied $copied3")
+    assert(contentOf(dst, "cust") == contentOf(src, "cust"))
+
+    // catalog RESTORE is a lineage re-list: the sync ships the entry
+    // alone (every pinned version is already at the replica)
+    TxnCatalog.restore(src, toTxn = 1)
+    val (t4, copied4) = TxnCatalog.replicate(src, dst)
+    assert(t4 == 4 && copied4 == 0,
+      s"a restore entry re-lists known versions: zero files, got $copied4")
+    Seq("cust", "ord").foreach(n =>
+      assert(contentOf(dst, n) == contentOf(dst, n, Some(1)),
+        "the replica's head follows the source's restore"))
+  }
+
+  test("a crashed sync is invisible to replica readers and resumes") {
+    val src = fresh("crash_src"); val dst = fresh("crash_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 30))))
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(30, 50))))
+    TxnCatalog.replicate(src, dst)
+    // simulate the crash window of a THIRD txn's sync: table files and
+    // log entries copied, the catalog entry NOT yet published
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(50, 60))))
+    val entry = new File(s"$dst/_graft_txn/t00003.json")
+    TxnCatalog.replicate(src, dst)
+    assert(entry.isFile)
+    entry.delete() // roll the commit point back: pre-publish crash state
+    Files.write(new File(dst, "_graft_replica.json").toPath,
+      (s"""{"src":"${new File(src).getAbsolutePath}",""" +
+        """"syncedTxn":2}""").getBytes(StandardCharsets.UTF_8))
+    // the replica reader sees the LAST WHOLE transaction — never a
+    // half-synced one (the data files for txn 3 are on disk, invisible)
+    assert(contentOf(dst, "t") == contentOf(src, "t", Some(2)))
+    // and the re-run completes exactly (copies skip, entry re-links)
+    val (t, _) = TxnCatalog.replicate(src, dst)
+    assert(t == 3 && contentOf(dst, "t") == contentOf(src, "t"))
+  }
+
+  test("a locally-written replica catalog is a fork: sync refuses") {
+    val src = fresh("fork_src"); val dst = fresh("fork_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 10))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.commitAll(spark, dst, Seq(Write("t", df(900, 910))))
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(10, 20))))
+    intercept[IllegalArgumentException] { TxnCatalog.replicate(src, dst) }
+  }
+
+  test("replica identity pins the source; constraints travel") {
+    val a = fresh("id_a"); val b = fresh("id_b"); val dst = fresh("id_dst")
+    TxnCatalog.commitAll(spark, a, Seq(Write("t", df(0, 10))))
+    TxnCatalog.commitAll(spark, b, Seq(Write("t", df(0, 10))))
+    TableConstraints.declareUnique(TxnCatalog.tablePath(a, "t"), Seq("k"),
+      validate = Some(spark))
+    TxnCatalog.replicate(a, dst)
+    assert(TableConstraints.uniques(TxnCatalog.tablePath(dst, "t"))
+      .map(_.cols).contains(Seq("k")))
+    intercept[IllegalArgumentException] { TxnCatalog.replicate(b, dst) }
+  }
+}
