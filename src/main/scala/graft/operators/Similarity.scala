@@ -659,10 +659,14 @@ object Similarity {
     val lists = eligible.fold(lists0)(e =>
       lists0.join(e, Seq("vec_id"), "left_semi"))
     val (np, rr) =
-      if (!autoWiden || eligible.isEmpty) (nprobe, rerank)
-      else widenedKnobs(nprobe, rerank,
-        spark.read.parquet(s"$dir/meta").count(), eligible.get.count(),
-        spark.read.parquet(s"$dir/centroids").count().toInt)
+      if (!autoWiden || predicate.isEmpty) (nprobe, rerank)
+      else {
+        // ONE pass measures both counts (total, eligible)
+        val c = spark.read.parquet(s"$dir/meta")
+          .agg(count(lit(1)), count(when(predicate.get, 1))).head()
+        widenedKnobs(nprobe, rerank, c.getLong(0), c.getLong(1),
+          spark.read.parquet(s"$dir/centroids").count().toInt)
+      }
     ivfPqTopKFrames(queries,
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"),
@@ -1019,12 +1023,16 @@ object Similarity {
         Seq("vec_id"), "left_semi")
     }
     // auto-widening measures selectivity on the SAME overlaid,
-    // same-pinned meta the filter consults (id-only counts)
+    // same-pinned meta the filter consults — ONE aggregate pass for
+    // both counts (the overlay pipeline is not free to re-run)
     val (np, rr) =
       if (!autoWiden || predicate.isEmpty) (nprobe, rerank)
-      else widenedKnobs(nprobe, rerank, metaAt.get.count(),
-        metaAt.get.filter(predicate.get).count(),
-        TxnCatalog.read(spark, catalog, "centroids", at).count().toInt)
+      else {
+        val c = metaAt.get
+          .agg(count(lit(1)), count(when(predicate.get, 1))).head()
+        widenedKnobs(nprobe, rerank, c.getLong(0), c.getLong(1),
+          TxnCatalog.read(spark, catalog, "centroids", at).count().toInt)
+      }
     ivfPqTopKFrames(queries,
       TxnCatalog.read(spark, catalog, "centroids", at),
       TxnCatalog.read(spark, catalog, "codebooks", at),

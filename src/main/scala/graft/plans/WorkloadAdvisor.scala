@@ -442,21 +442,6 @@ object WorkloadAdvisor {
         "saved_rows", "recommend")
   }
 
-  /** The CHECK-family advisor, standalone (the key families ride
-    * [[report]]'s constraint section; checks get their own surface
-    * because their candidate space is every filter conjunct in the
-    * workload): a conjunct the DATA satisfies table-wide is a defensive
-    * tautology — declared (strict, with validate as the exact gate) it
-    * vanishes from every plan, along with any IsNotNull the optimizer
-    * inferred from it — while a genuinely selective predicate reports
-    * recommend=false (it actually filters rows; declaring it would be
-    * refused anyway). A conjunct whose check is ALREADY declared
-    * contributes NO row: the tautology drop removed it from the
-    * optimized plan before the walk, which is the closed loop (same
-    * proof shape as q_advisor_constraints' declared-dim control).
-    * Probes are the sampled screen-or-exact-refute class; pricing is
-    * occurrences × table rows — the per-row predicate evaluations every
-    * run of the workload re-pays. */
   /** Metadata row count under a root: txn tables from the log's stats
     * sidecars, plain dirs from a recursive footer walk (a partitionBy
     * layout nests its files under key= subdirectories). Shared pricing
@@ -474,6 +459,21 @@ object WorkloadAdvisor {
       files(new java.io.File(root)).map(TxnTable.footerRowCount).sum
     }
 
+  /** The CHECK-family advisor, standalone (the key families ride
+    * [[report]]'s constraint section; checks get their own surface
+    * because their candidate space is every filter conjunct in the
+    * workload): a conjunct the DATA satisfies table-wide is a defensive
+    * tautology — declared (strict, with validate as the exact gate) it
+    * vanishes from every plan, along with any IsNotNull the optimizer
+    * inferred from it — while a genuinely selective predicate reports
+    * recommend=false (it actually filters rows; declaring it would be
+    * refused anyway). A conjunct whose check is ALREADY declared
+    * contributes NO row: the tautology drop removed it from the
+    * optimized plan before the walk, which is the closed loop (same
+    * proof shape as q_advisor_constraints' declared-dim control).
+    * Probes are the sampled screen-or-exact-refute class; pricing is
+    * occurrences × table rows — the per-row predicate evaluations every
+    * run of the workload re-pays. */
   def checkAdvice(spark: SparkSession, queries: Seq[DataFrame],
                   sampledProbes: Boolean = false,
                   sampleRows: Int = 100000): DataFrame = {

@@ -928,9 +928,18 @@ object TxnCatalog {
           .map(_.group(1)).getOrElse("")
         require(rec == srcAbs,
           s"$dst replicates $rec, refusing to sync from $srcAbs")
-        "\"syncedTxn\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toInt)
+        val sy = "\"syncedTxn\":(\\d+)".r.findFirstMatchIn(m)
+          .map(_.group(1).toInt)
           .getOrElse(throw new IllegalStateException(
             s"malformed catalog replica marker in $dst"))
+        // a replica forked AHEAD of the source (local txns past the
+        // source's head) would otherwise report a clean no-op sync; a
+        // legitimate crash-resume is at most one entry past the marker
+        // and never past the source's head
+        require(currentTxn(dst) <= head,
+          s"$dst has local transactions past the source's head t$head — " +
+            "a forked replica, refusing to sync")
+        sy
       } else {
         require(currentTxn(dst) == 0,
           s"replica target $dst already exists and is not a replica of $srcAbs")
@@ -959,7 +968,6 @@ object TxnCatalog {
       val lin = versionLists(src, Some(t))
       lin.toSeq.sortBy(_._1).foreach { case (name, vs) =>
         val srcTable = tablePath(src, name)
-        val dstTable = tablePath(dst, name)
         val known = prevLin.getOrElse(name, Seq.empty).toSet
         vs.filterNot(known.contains).foreach { v =>
           val logRel = f"_graft_log/v$v%05d.json"
@@ -972,13 +980,6 @@ object TxnCatalog {
             copyData(s"tables/$name/$stats")
           TxnTable.parseEntry(srcLog)._1
             .foreach(f => copyData(s"tables/$name/$f"))
-        }
-        val cons = new File(srcTable, "_graft_constraints.json")
-        if (cons.isFile) {
-          new File(dstTable).mkdirs()
-          Files.copy(cons.toPath,
-            new File(dstTable, "_graft_constraints.json").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       }
       prevLin = lin
@@ -1000,6 +1001,23 @@ object TxnCatalog {
             s"replica fork: $dst txn t$t was published by a local writer")
       }
       writeMarker(t)
+    }
+    // constraints travel UNCONDITIONALLY and ATOMICALLY, once per table
+    // per sync (not per txn — a backlog sync would re-copy them per
+    // entry), data-less syncs included: a declaration moved between
+    // transactions must never leave the replica auditing a stale set
+    versionLists(src, Some(head)).keys.toSeq.sorted.foreach { name =>
+      val cons = new File(tablePath(src, name), "_graft_constraints.json")
+      if (cons.isFile) {
+        val to = new File(tablePath(dst, name), "_graft_constraints.json")
+        to.getParentFile.mkdirs()
+        val tmp = new File(to.getParentFile,
+          s"._graft_constraints-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        Files.copy(cons.toPath, tmp.toPath)
+        Files.move(tmp.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     (currentTxn(dst), copied)
   }

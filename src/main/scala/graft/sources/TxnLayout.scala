@@ -119,7 +119,12 @@ object TxnLayout {
           new File(new java.net.URI(uri)).getAbsolutePath else uri
         require(p.startsWith(tableAbs + "/"),
           s"scanned file outside the table root: $p")
-        p.stripPrefix(tableAbs + "/") -> (r.getLong(1), r.getLong(2))
+        // a file holding only NULL-coded rows (NULL cluster columns)
+        // has no code range: the sentinel is disjoint from every real
+        // code (curves emit >= 0) and marks it for re-merge
+        val range = if (r.isNullAt(1)) (Long.MinValue, Long.MinValue)
+                    else (r.getLong(1), r.getLong(2))
+        p.stripPrefix(tableAbs + "/") -> range
       }.toMap
   }
 
@@ -146,10 +151,20 @@ object TxnLayout {
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
       rangesOf(spark, table, now, code)))
-    // same stats-freshness contract as reclusterIncremental
-    TxnStats.indexedColumns(table)
-      .foreach(c => TxnStats.refreshFromFooters(spark, table, c))
+    refreshStats(spark, table)
     v
+  }
+
+  /** Maintenance leaves the SKIPPING STATS fresh: re-freshen every
+    * min-max sidecar whose column still EXISTS in the current schema —
+    * an orphaned sidecar (its column dropped by a schema-changing
+    * overwrite) is skipped, never a crash: the rewrite it follows is
+    * already committed, and a maintenance policy must not fail its
+    * cycle over stale metadata. */
+  private def refreshStats(spark: SparkSession, table: String): Unit = {
+    val cols = TxnTable.read(spark, table).schema.fieldNames.toSet
+    TxnStats.indexedColumns(table).filter(cols.contains)
+      .foreach(c => TxnStats.refreshFromFooters(spark, table, c))
   }
 
   /** INCREMENTAL cluster maintenance — O(Δ), never O(table):
@@ -172,9 +187,14 @@ object TxnLayout {
     if (stale.isEmpty) return (TxnTable.currentVersion(table), 0, clustered.size)
     val code = codeExpr(spec.cols, spec.curve, spec.bits)
     // which clustered files does the stale data land in? |files| ranges
-    // broadcast against one scan of the STALE files only
-    val hit: Set[String] =
-      if (clustered.isEmpty) Set.empty
+    // broadcast against one scan of the STALE files only. NULL-code
+    // files (sentinel range) always fold in: new null-coded stale rows
+    // can never range-match them, and re-merging keeps exactly one
+    // null-segment file at steady state instead of one per round.
+    val nullFiles = clustered
+      .filter(f => spec.ranges(f) == ((Long.MinValue, Long.MinValue))).toSet
+    val hit: Set[String] = nullFiles ++ (
+      if (clustered.isEmpty) Set.empty[String]
       else {
         val ranges = spark.createDataFrame(
           clustered.map(f => (f, spec.ranges(f)._1, spec.ranges(f)._2)))
@@ -184,7 +204,7 @@ object TxnLayout {
           .join(broadcast(ranges), col("__z").between(col("lo"), col("hi")))
           .select("file").distinct()
           .collect().map(_.getString(0)).toSet
-      }
+      })
     var hitSet = hit
     var rewriteSet = stale ++ clustered.filter(hitSet.contains)
     // ── disjointness by construction. Every rewrite row's code sits
@@ -212,11 +232,17 @@ object TxnLayout {
       }
       spark.createDataFrame(bounds).toDF("__seg", "glo", "ghi")
     }
+    // LEFT join + coalesce(-1): the curve code of a row with a NULL
+    // cluster column is NULL (the expressions null-propagate), which an
+    // inner range join would DROP — and publishRewrite then removes its
+    // source file: silent data loss. NULL-coded rows get their own
+    // segment instead and rewrite like any other.
     def taggedRows(set: Seq[String], h: Set[String]) =
       TxnTable.readFileList(spark, table, set)
         .withColumn("__z", code)
         .join(broadcast(segmentsDf(h)),
-          col("__z") > col("glo") && col("__z") < col("ghi"))
+          col("__z") > col("glo") && col("__z") < col("ghi"), "left")
+        .withColumn("__seg", coalesce(col("__seg"), lit(-1L)))
         .drop("glo", "ghi")
     var tagged = taggedRows(rewriteSet, hitSet)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -256,18 +282,19 @@ object TxnLayout {
           f.getName.endsWith(".parquet"))
         .map(f => s"data/${dir.getName}/${f.getName}").sorted.toSeq
     }
-    val added =
-      if (segs.isEmpty) // stale files held no rows: remove-only rewrite
-        Seq.empty[String]
-      else segs.zipWithIndex.flatMap { case (sg, i) =>
-        writeSeg(tagged.filter(col("__seg") === sg)
-          .repartitionByRange(perSeg, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z", "__seg"), i)
-      }
     val v =
-      try TxnTable.publishRewrite(table, added, rewriteSet, Some(version))
-      finally tagged.unpersist()
+      try {
+        val added =
+          if (segs.isEmpty) // stale files held no rows: remove-only rewrite
+            Seq.empty[String]
+          else segs.zipWithIndex.flatMap { case (sg, i) =>
+            writeSeg(tagged.filter(col("__seg") === sg)
+              .repartitionByRange(perSeg, col("__z"))
+              .sortWithinPartitions("__z")
+              .drop("__z", "__seg"), i)
+          }
+        TxnTable.publishRewrite(table, added, rewriteSet, Some(version))
+      } finally tagged.unpersist() // incl. a failed segment write
     // sidecar: surviving entries stay as recorded; only the rewrite's
     // own new files are scanned for their ranges — O(rewritten)
     val survivors = spec.ranges.filter { case (f, _) =>
@@ -276,13 +303,10 @@ object TxnLayout {
       .filterNot(f => survivors.contains(f))
     writeSpec(table, spec.copy(version = v,
       ranges = survivors ++ rangesOf(spark, table, fresh, code)))
-    // maintenance leaves the SKIPPING STATS fresh too: the rewrite's
-    // new files would otherwise sit unindexed (read by every pruned
-    // scan) until someone remembers to refresh — each refresh is O(new
-    // files) under the stats' own watermark, for exactly the columns a
-    // sidecar already exists for
-    TxnStats.indexedColumns(table)
-      .foreach(c => TxnStats.refreshFromFooters(spark, table, c))
+    // the rewrite's new files would otherwise sit unindexed (read by
+    // every pruned scan) until someone remembers to refresh — each
+    // refresh is O(new files) under the stats' own watermark
+    refreshStats(spark, table)
     (v, rewriteSet.size, survivors.size)
   }
 

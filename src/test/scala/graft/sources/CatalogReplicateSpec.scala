@@ -96,6 +96,24 @@ class CatalogReplicateSpec extends SparkSpec {
     assert(t == 3 && contentOf(dst, "t") == contentOf(src, "t"))
   }
 
+  test("constraints travel on data-less syncs; a replica ahead of the source refuses") {
+    val src = fresh("dl_src"); val dst = fresh("dl_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 20))))
+    TxnCatalog.replicate(src, dst)
+    // declaration between transactions: the next sync ships it even
+    // though no txn moved
+    TableConstraints.declareUnique(TxnCatalog.tablePath(src, "t"), Seq("k"),
+      validate = Some(spark))
+    TxnCatalog.replicate(src, dst)
+    assert(TableConstraints.uniques(TxnCatalog.tablePath(dst, "t"))
+      .map(_.cols).contains(Seq("k")),
+      "a data-less sync must still ship the declaration set")
+    // a replica that advanced PAST the source's head is a fork even
+    // when the source never catches up to collide on a slot
+    TxnCatalog.commitAll(spark, dst, Seq(Write("t", df(500, 510))))
+    intercept[IllegalArgumentException] { TxnCatalog.replicate(src, dst) }
+  }
+
   test("a locally-written replica catalog is a fork: sync refuses") {
     val src = fresh("fork_src"); val dst = fresh("fork_dst")
     TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 10))))

@@ -175,6 +175,39 @@ class TxnLayoutSpec extends SparkSpec {
       s"post-maintenance pruning must skip files, read $toRead of $nLive")
   }
 
+  test("NULL cluster-column rows survive the segmented recluster") {
+    val t = fresh("nulls")
+    seed(t)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 3)
+    // a NULL cluster column null-propagates into the curve code; the
+    // segment assignment must keep the row (left join → own segment),
+    // or the rewrite silently destroys it with its source file
+    TxnTable.commit(spark,
+      Seq((Option.empty[Long], Some(5L), Some(-7L))).toDF("x", "y", "v")
+        .coalesce(1), t, overwrite = false)
+    val (_, r, _) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r == 1)
+    val nullRows = TxnTable.read(spark, t).filter(col("x").isNull)
+      .select("v").as[Long].collect().toSeq
+    assert(nullRows == Seq(-7L), "a NULL-coded row must survive the rewrite")
+    assert(TxnTable.read(spark, t).count() == 1001)
+    assertDisjoint(TxnLayout.readSpec(t).get)
+  }
+
+  test("an orphaned stats sidecar never crashes maintenance") {
+    val t = fresh("orphan")
+    seed(t)
+    TxnStats.refresh(spark, t, "v")
+    // schema-changing overwrite drops the indexed column: the sidecar
+    // is now orphaned and the post-rewrite stats refresh must SKIP it
+    TxnTable.commit(spark,
+      spark.range(0, 100).select((col("id") % 64).as("x"),
+        (col("id") % 32).as("y"), col("id").as("w")),
+      t, overwrite = true)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 2)
+    assert(TxnTable.read(spark, t).count() == 100)
+  }
+
   test("one rewrite never bridges a gap across a survivor (segmented output)") {
     val t = fresh("seg")
     // bimodal seed with y = 0: the morton code is monotone in x, so
