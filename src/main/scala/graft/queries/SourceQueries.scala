@@ -965,6 +965,59 @@ object SourceQueries {
         .withColumn("r2", lit(r2.toLong)).withColumn("k2", lit(k2.toLong))
     },
 
+    // ── CLUSTER-HEALTH advice + maintenance policy
+    //    (LayoutAdvisor.clusterAdvice / TxnLayout.maintainClustered):
+    //    the metadata-only row that decides WHEN to recluster. Clean
+    //    layout reports zero staleness and declines; a far-range append
+    //    makes one stale file whose rows cross the (deliberately tiny)
+    //    threshold and recommends; the policy then reclusters and the
+    //    follow-up row is clean again with the rewrite's output counted
+    //    clustered (4 seed files + 1 reclustered = 5). Every number is
+    //    derived from metadata sidecars — no data scan prices the
+    //    advice — and the oracle re-derives all three stages.
+    sql("q_layout_cluster_advice",
+      """SELECT * FROM (
+        |  SELECT 'a_clean' AS stage, 'morton' AS curve,
+        |         CAST(4 AS BIGINT) AS n_clustered, CAST(0 AS BIGINT) AS n_stale,
+        |         CAST(0 AS BIGINT) AS stale_rows,
+        |         (SELECT COUNT(*) FROM orders) AS total_rows,
+        |         CAST(0 AS BIGINT) AS rec
+        |  UNION ALL
+        |  SELECT 'b_stale', 'morton', CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+        |         CAST(3 AS BIGINT),
+        |         (SELECT COUNT(*) + 3 FROM orders), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c_maintained', 'morton', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT),
+        |         (SELECT COUNT(*) + 3 FROM orders), CAST(0 AS BIGINT)
+        |) ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.sources.TxnLayout
+      import s.implicits._
+      val table = tmp("cluster_advice")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      TxnTable.commit(s, Tables.orders(s, d).select(
+        (col("o_orderkey") % 32768).as("x"),
+        (col("o_custkey") % 32768).as("y"),
+        col("o_orderkey").as("v")), table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("x", "y"), numFiles = 4)
+      def advice(stage: String) = graft.plans.LayoutAdvisor
+        .clusterAdvice(s, table, maxStaleFraction = 1e-9)
+        .select(lit(stage).as("stage"), col("curve"),
+          col("n_clustered_files").as("n_clustered"),
+          col("n_stale_files").as("n_stale"),
+          col("stale_rows"), col("total_rows"),
+          col("recommend_recluster").cast("long").as("rec"))
+      val a = advice("a_clean")
+      TxnTable.commit(s,
+        Seq((40000L, 40000L, 1L), (40001L, 40001L, 2L), (40002L, 40002L, 3L))
+          .toDF("x", "y", "v").coalesce(1), table, overwrite = false)
+      val b = advice("b_stale")
+      assert(TxnLayout.maintainClustered(s, table,
+        maxStaleFraction = 1e-9).isDefined)
+      val c = advice("c_maintained")
+      a.unionByName(b).unionByName(c).orderBy("stage")
+    },
+
     // ── O(Δ) cross-site replication (TxnTable.replicate): seed = the
     //    source's live snapshot copied + published as the replica's
     //    genesis; each sync ships ONLY the log suffix — here the third
