@@ -54,6 +54,84 @@ object Layout {
     terms.reduce(_.bitwiseOR(_)).cast("long")
   }
 
+  /** Monotone RANGE QUANTIZATION of a clustering column to [0, 2^bits):
+    * `v ↦ clamp(floor((v − mn) / (mx − mn) · 2^bits))`. This is what
+    * makes curve clustering work on NATURAL domains — [[mortonCodeN]] /
+    * [[hilbertCode]] mask each coordinate to its low `bits`, so a raw
+    * column whose domain exceeds 2^bits ALIASES mod 2^bits: rows far
+    * apart in true value share code neighborhoods, every file's true
+    * [min, max] goes wide, and box pruning collapses (exactly the
+    * high-NDV columns — order keys, timestamps — clustering targets).
+    * Scaling first is monotone, so near-in-value stays near-in-bucket
+    * and per-file intervals tighten again (LayoutSpec pins the aliased
+    * regime head-to-head).
+    *
+    * The arithmetic runs in doubles: `(v − mn)` in longs can overflow
+    * when the recorded bounds span most of the long range, while the
+    * double path is overflow-free and still MONOTONE (long→double
+    * conversion, division by a positive constant, and floor are each
+    * monotone non-decreasing) — sub-2^53 domains bucket exactly, wider
+    * ones merely fuzz bucket boundaries, never their order. Values
+    * OUTSIDE [mn, mx] clamp to the edge buckets: bounds are measured
+    * once at clustering time, and later ingest beyond them lands in an
+    * edge bucket and is swept up by the next incremental recluster —
+    * layout quality, never correctness (reads never consult the
+    * quantization). NULL in → NULL out, matching the curve codes'
+    * null propagation. */
+  def rangeScale(c: Column, mn: Long, mx: Long, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"rangeScale bits=$bits out of [1,31]")
+    if (mn >= mx) when(c.isNull, lit(null).cast("long")).otherwise(lit(0L))
+    else {
+      val top = (1L << bits) - 1
+      val raw = floor((c.cast("double") - lit(mn.toDouble)) /
+        lit(mx.toDouble - mn.toDouble) * lit((1L << bits).toDouble))
+        .cast("long")
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(least(lit(top), greatest(lit(0L), raw)))
+    }
+  }
+
+  /** Per-column [min, max] of `cols` in ONE aggregate pass — the
+    * quantization bounds [[zorderWriteRanged]] and
+    * [[graft.sources.TxnLayout.optimizeClustered]] scale against (one
+    * row to the driver, any table size). All-NULL columns record
+    * (0, 0) — every real value of such a column is NULL and codes NULL
+    * regardless of bounds. */
+  def measureRanges(df: DataFrame, cols: Seq[String]): Seq[(String, Long, Long)] = {
+    require(cols.nonEmpty, "need at least one clustering column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      if (r.isNullAt(2 * i)) (c, 0L, 0L)
+      else (c, r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+  }
+
+  /** [[zorderWriteN]] / [[hilbertWriteN]] over RANGE-QUANTIZED
+    * coordinates: measures each clustering column's [min, max]
+    * ([[measureRanges]]), scales it to [0, 2^bits) ([[rangeScale]]),
+    * and clusters by the curve code of the SCALED coordinates — the
+    * natural-domain form of the write (the unscaled variants serve
+    * already-bucketed inputs). Returns the measured bounds so callers
+    * can persist them (a sidecar, an index row) and re-derive the same
+    * codes later. */
+  def zorderWriteRanged(df: DataFrame, cols: Seq[String], path: String,
+                        numFiles: Int = 8, curve: String = "morton",
+                        bits: Int = 16): Seq[(String, Long, Long)] = {
+    val ranges = measureRanges(df, cols)
+    val scaled = ranges.map { case (c, mn, mx) => rangeScale(col(c), mn, mx, bits) }
+    val code = curve match {
+      case "morton" => mortonCodeN(scaled, bits)
+      case "hilbert" => hilbertCode(scaled, bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (morton|hilbert)")
+    }
+    clusteredWrite(df, code, path, numFiles)
+    ranges
+  }
+
   /** Write `df` z-ordered on (xCol, yCol): range-partition + sort by the
     * Morton code so every output file owns a disjoint morton range and
     * row-group stats tighten on BOTH columns. The morton column itself is

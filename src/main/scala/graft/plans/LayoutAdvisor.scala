@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, collect_list, concat_ws, count,
-  countDistinct, lit, max, sort_array, sum}
+  countDistinct, floor, least, lit, max, sort_array, sum}
 
 /** WORKLOAD-DRIVEN physical-layout advisor — the data-placement sibling
   * of [[MvAdvisor]]: given the queries a deployment runs, recommend per
@@ -227,6 +227,14 @@ object LayoutAdvisor {
       .select(col("base"), concat_ws(",", col("cs")).as("cols"),
         col("n_cols"), col("n_range"), col("base_rows"),
         (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"),
+        // per-column quantization width the APPLY path must use:
+        // n_cols × bits has to fit a signed long (mortonCodeN /
+        // HilbertCode both require n·bits ≤ 63), so a 4-column
+        // recommendation cannot ride the default 16 — advising the
+        // width here is what keeps every advisor row applyable
+        // end-to-end (LayoutAdvisorSpec applies the 4-column row)
+        least(lit(16L), floor(lit(63L) / col("n_cols")).cast("long"))
+          .as("bits"),
         // curve choice: at 2 dims Morton's cheap bit-interleave is
         // within a few percent of Hilbert's pruning; from 3 dims the
         // Morton curve's diagonal jumps widen per-file intervals enough

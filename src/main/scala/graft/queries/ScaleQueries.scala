@@ -1008,6 +1008,67 @@ object ScaleQueries {
         .orderBy("event_id")
     },
 
+    // ── RANGE-QUANTIZED Z-ORDER on RAW wide domains — the aliasing
+    //    regime the masked curves cannot serve: both clustering columns
+    //    (event_id·1000003, user_id·999983) span domains ≫ 2^16, so the
+    //    unscaled code's low-16-bit mask SCRAMBLES them (odd multiplier
+    //    mod 65536 ≈ a bijection on consecutive ids) and every file's
+    //    true [min, max] goes domain-wide — box pruning collapses.
+    //    zorderWriteRanged measures each column's [min, max] and scales
+    //    it to [0, 2^16) first (monotone), so per-file intervals
+    //    tighten again. TWO pins ride the hash: the quantized layout
+    //    opens a strict subset of its files (pruned_strict), and
+    //    STRICTLY FEWER files than the same write without quantization
+    //    on the same data, box, and file count (beats_aliased) —
+    //    content equality with the plain filter proves pruning never
+    //    cost a row.
+    sql("q_layout_zorder_raw",
+      """WITH e AS (
+        |  SELECT event_id, event_id * 1000003 AS x, user_id * 999983 AS y
+        |  FROM events),
+        |b AS (SELECT (MAX(event_id) // 5) * 1000003 AS xlo,
+        |             ((MAX(event_id) * 2) // 5) * 1000003 AS xhi,
+        |             (MAX(user_id) // 5) * 999983 AS ylo,
+        |             ((MAX(user_id) * 4) // 5) * 999983 AS yhi
+        |      FROM events)
+        |SELECT event_id, CAST(x AS BIGINT) AS x,
+        |       TRUE AS pruned_strict, TRUE AS beats_aliased
+        |FROM e, b
+        |WHERE x BETWEEN b.xlo AND b.xhi AND y BETWEEN b.ylo AND b.yhi
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dirR = graft.Scratch.dir(s"/root/repo/target/tmp/zraw_ranged_$sfKey")
+      val dirA = graft.Scratch.dir(s"/root/repo/target/tmp/zraw_aliased_$sfKey")
+      val cols = Seq("x", "y")
+      val src = Tables.events(s, d).select(
+        col("event_id"),
+        (col("event_id") * 1000003L).as("x"),
+        (col("user_id") * 999983L).as("y"))
+      val m = Tables.events(s, d)
+        .agg(max(col("event_id").cast("long")), max(col("user_id").cast("long")))
+        .head()
+      val (maxId, maxU) = (m.getLong(0), m.getLong(1))
+      Layout.zorderWriteRanged(src, cols, dirR, numFiles = 16)
+      Layout.zorderWriteN(src, cols, dirA, numFiles = 16)
+      val bounds = Seq(
+        ("x", (maxId / 5) * 1000003L, (maxId * 2 / 5) * 1000003L),
+        ("y", (maxU / 5) * 999983L, (maxU * 4 / 5) * 999983L))
+      def indexOf(dir: String) =
+        Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
+      def openedIn(idx: org.apache.spark.sql.DataFrame): Long =
+        idx.filter(bounds.map { case (c, lo, hi) =>
+          col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)).count()
+      val idxR = indexOf(dirR)
+      val (openR, totR) = (openedIn(idxR), idxR.count())
+      val openA = openedIn(indexOf(dirA))
+      Layout.prunedReadBox(s, idxR, bounds)
+        .select(col("event_id"), col("x"),
+          lit(openR < totR).as("pruned_strict"),
+          lit(openR < openA).as("beats_aliased"))
+        .orderBy("event_id")
+    },
+
     // ── COMPOSITE Z-ORDER ADVISOR: a workload range-filtering SEVERAL
     //    high-NDV columns of one base gets ONE multi-column layout
     //    recommendation (k single-column zorder rows would fight over
@@ -1035,6 +1096,7 @@ object ScaleQueries {
         |       COUNT(*) AS n_cols, CAST(SUM(n_range) AS BIGINT) AS n_range,
         |       MAX(base_rows) AS base_rows,
         |       COUNT(*) BETWEEN 2 AND 4 AS recommend,
+        |       CAST(LEAST(16, FLOOR(63 / COUNT(*))) AS BIGINT) AS bits,
         |       CASE WHEN COUNT(*) >= 3 THEN 'hilbert' ELSE 'morton' END AS curve
         |FROM z GROUP BY base ORDER BY base""".stripMargin) { (s, d) =>
       import graft.plans.LayoutAdvisor

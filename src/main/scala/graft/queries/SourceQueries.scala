@@ -965,6 +965,81 @@ object SourceQueries {
         .withColumn("r2", lit(r2.toLong)).withColumn("k2", lit(k2.toLong))
     },
 
+    // ── RANGE-QUANTIZED clustering on RAW wide-domain keys, txn
+    //    lifecycle (TxnLayout.optimizeClustered quantize=true — the
+    //    default): both clustering columns span domains ≫ 2^16
+    //    (o_orderkey·1000003, o_custkey·999983), the regime where the
+    //    curve's low-16-bit mask would alias and box pruning would
+    //    collapse. optimizeClustered measures each column's [min, max],
+    //    scales to [0, 2^16), and RECORDS the bounds in the cluster
+    //    sidecar so incremental rounds map stale rows into the same
+    //    code space. Staged pins ride the hash: the skipping stats
+    //    prune a strict file subset for an x-range box on the RAW
+    //    values (prune_strict); the far append CLAMPS to the top edge
+    //    bucket — the (qmax,qmax) literal pins the max code — so it
+    //    provably pulls exactly the top clustered file (r1=2, k1=3);
+    //    the (0,0) append lands in the min-pinned first file (r2=2,
+    //    k2=3). Content equality proves every round moved layout only.
+    sql("q_src_recluster_raw",
+      """WITH base AS (
+        |  SELECT o_orderkey * 1000003 AS x, o_custkey * 999983 AS y,
+        |         o_orderkey AS v FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (0, 0, -100),
+        |    (20000060000, 19999660000, -102),
+        |    (30000090000, 29999490000, 1),
+        |    (30001090003, 29999490000, 2),
+        |    (30000090000, 30000489983, 3),
+        |    (0, 0, -101)) AS t(x, y, v))
+        |SELECT COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |       CAST(SUM(x + y) AS BIGINT) AS xy_sum,
+        |       CAST(2 AS BIGINT) AS r1, CAST(3 AS BIGINT) AS k1,
+        |       CAST(2 AS BIGINT) AS r2, CAST(3 AS BIGINT) AS k2,
+        |       TRUE AS prune_strict
+        |FROM base""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      import s.implicits._
+      val table = tmp("txn_recluster_raw")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select(
+        (col("o_orderkey") * 1000003L).as("x"),
+        (col("o_custkey") * 999983L).as("y"),
+        col("o_orderkey").as("v"))
+      val maxOk = Tables.orders(s, d)
+        .agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      // (0,0) pins the min code; (20000·m_x, 20000·m_y) pins the max —
+      // 20000 clears o_orderkey at every test sf, so later far appends
+      // clamp INTO the top file's recorded range, deterministically
+      TxnTable.commit(s, o.union(Seq(
+          (0L, 0L, -100L),
+          (20000L * 1000003L, 20000L * 999983L, -102L)).toDF("x", "y", "v")),
+        table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("x", "y"), numFiles = 4)
+      TxnStats.refresh(s, table, "x")
+      // strict-subset pruning on the RAW values: the quantized layout
+      // keeps per-file x intervals tight, so a quarter-domain box
+      // cannot open every file (the aliased regime would)
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "x",
+        0L, (maxOk / 4) * 1000003L)
+      val pruneStrict = toRead.size < nLive
+      TxnTable.commit(s, Seq(
+          (30000L * 1000003L, 30000L * 999983L, 1L),
+          (30001L * 1000003L, 30000L * 999983L, 2L),
+          (30000L * 1000003L, 30001L * 999983L, 3L))
+        .toDF("x", "y", "v").coalesce(1), table, overwrite = false)
+      val (_, r1, k1) = TxnLayout.reclusterIncremental(s, table, numFiles = 1)
+      TxnTable.commit(s, Seq((0L, 0L, -101L)).toDF("x", "y", "v").coalesce(1),
+        table, overwrite = false)
+      val (_, r2, k2) = TxnLayout.reclusterIncremental(s, table, numFiles = 1)
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"),
+          sum(col("x") + col("y")).as("xy_sum"))
+        .withColumn("r1", lit(r1.toLong)).withColumn("k1", lit(k1.toLong))
+        .withColumn("r2", lit(r2.toLong)).withColumn("k2", lit(k2.toLong))
+        .withColumn("prune_strict", lit(pruneStrict))
+    },
+
     // ── CLUSTER-HEALTH advice + maintenance policy
     //    (LayoutAdvisor.clusterAdvice / TxnLayout.maintainClustered):
     //    the metadata-only row that decides WHEN to recluster. Clean

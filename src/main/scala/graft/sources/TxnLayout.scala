@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * cycle is an O(table) rewrite nobody can afford. The fix is the same
   * watermark idea the skipping stats use, applied to layout:
   *
-  *  - [[optimizeClustered]] performs the one full clustered rewrite and
-  *    records a SIDECAR (`_graft_stats/cluster.json`) naming the curve,
-  *    the columns, and each clustered file's [lo, hi] CODE RANGE — the
-  *    clustering's own metadata, |files| entries, never data.
+  *  - [[optimizeClustered]] performs the one full clustered rewrite —
+  *    RANGE-QUANTIZING each clustering column to [0, 2^bits) against
+  *    its measured [min, max] by default, so natural wide domains
+  *    (order keys, timestamps) don't alias mod 2^bits — and records a
+  *    SIDECAR (`_graft_stats/cluster.json`) naming the curve, the
+  *    columns, the quantization bounds, and each clustered file's
+  *    [lo, hi] CODE RANGE — the clustering's own metadata, |files|
+  *    entries, never data.
   *  - [[reclusterIncremental]] then maintains it in O(Δ): live files the
   *    sidecar doesn't know are STALE (post-clustering ingest, or some
   *    other rewrite's output). One scan of the stale files computes
@@ -47,23 +51,47 @@ import org.apache.spark.sql.functions._
   */
 object TxnLayout {
 
+  /** `quant` — the per-column RANGE-QUANTIZATION bounds the codes were
+    * computed under (column → measured [min, max], scaled to
+    * [0, 2^bits) by [[graft.operators.Layout.rangeScale]]); empty for
+    * a clustering of already-bucketed coordinates. Recording the
+    * bounds in the spec is what keeps [[reclusterIncremental]]
+    * consistent with the baseline clustering: stale rows must map to
+    * the SAME code space as the recorded file ranges, so the bounds
+    * are measured once at [[optimizeClustered]] time and reused —
+    * never re-measured — until the next full rewrite (later ingest
+    * beyond them clamps to the edge buckets and is swept up by the
+    * next incremental round; layout quality, never correctness). */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
-                               version: Int, ranges: Map[String, (Long, Long)])
+                               version: Int, ranges: Map[String, (Long, Long)],
+                               quant: Seq[(String, Long, Long)] = Nil)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
 
-  /** The clustering key expression for a (cols, curve, bits) choice —
-    * morton ([[graft.operators.Layout.mortonCodeN]]) or hilbert
-    * ([[graft.operators.Layout.hilbertCode]]), both pure integer
-    * whole-stage-codegen terms. */
-  def codeExpr(cols: Seq[String], curve: String, bits: Int): Column =
+  /** The clustering key expression for a (cols, curve, bits, quant)
+    * choice — morton ([[graft.operators.Layout.mortonCodeN]]) or
+    * hilbert ([[graft.operators.Layout.hilbertCode]]) over the
+    * range-quantized coordinates, all pure whole-stage-codegen terms.
+    * Columns without a `quant` entry pass through raw (the
+    * pre-bucketed legacy contract — low-`bits` masking applies). */
+  def codeExpr(cols: Seq[String], curve: String, bits: Int,
+               quant: Seq[(String, Long, Long)] = Nil): Column = {
+    val q = quant.map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+    val coords = cols.map { c =>
+      q.get(c) match {
+        case Some((mn, mx)) =>
+          graft.operators.Layout.rangeScale(col(c), mn, mx, bits)
+        case None => col(c)
+      }
+    }
     curve match {
-      case "morton" => graft.operators.Layout.mortonCodeN(cols.map(col), bits)
-      case "hilbert" => graft.operators.Layout.hilbertCode(cols.map(col), bits)
+      case "morton" => graft.operators.Layout.mortonCodeN(coords, bits)
+      case "hilbert" => graft.operators.Layout.hilbertCode(coords, bits)
       case other => throw new IllegalArgumentException(
         s"unknown clustering curve '$other' (morton|hilbert)")
     }
+  }
 
   def readSpec(table: String): Option[ClusterSpec] = {
     val f = sidecarFile(table)
@@ -82,7 +110,11 @@ object TxnLayout {
           .findAllMatchIn(s)
           .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
           .toMap
-        ClusterSpec(cols, curve, bits, version, ranges)
+        val quant = "\\{\"col\":\"([^\"]+)\",\"qlo\":(-?\\d+),\"qhi\":(-?\\d+)\\}".r
+          .findAllMatchIn(s)
+          .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+          .toSeq
+        ClusterSpec(cols, curve, bits, version, ranges, quant)
       }
     }
   }
@@ -91,10 +123,13 @@ object TxnLayout {
     val files = spec.ranges.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
       s"""{"file":"$f","lo":$lo,"hi":$hi}"""
     }.mkString("[", ",", "]")
+    val quant = spec.quant.map { case (c, mn, mx) =>
+      s"""{"col":"$c","qlo":$mn,"qhi":$mx}"""
+    }.mkString("[", ",", "]")
     val body =
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
-        s""""version":${spec.version},"files":$files}"""
+        s""""version":${spec.version},"quant":$quant,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile,
@@ -136,12 +171,24 @@ object TxnLayout {
     * maintains. Returns the committed version. */
   def optimizeClustered(spark: SparkSession, table: String,
                         cols: Seq[String], curve: String = "morton",
-                        numFiles: Int = 8, bits: Int = 16): Int = {
+                        numFiles: Int = 8, bits: Int = 16,
+                        quantize: Boolean = true): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     TxnTable.requireNoDv(table, "clustered optimize")
     val live = TxnTable.liveSplit(table)._1
     require(live.nonEmpty, s"nothing to cluster in $table")
-    val code = codeExpr(cols, curve, bits)
+    // range-quantize by default: curve codes mask each coordinate to
+    // its low `bits`, so a natural domain wider than 2^bits would
+    // ALIAS mod 2^bits and box pruning would collapse — scale every
+    // column to [0, 2^bits) against its measured [min, max] (one
+    // aggregate pass) and RECORD the bounds so incremental rounds map
+    // stale rows into the same code space. quantize=false keeps the
+    // raw-coordinate contract for pre-bucketed inputs.
+    val quant =
+      if (quantize)
+        graft.operators.Layout.measureRanges(TxnTable.read(spark, table), cols)
+      else Nil
+    val code = codeExpr(cols, curve, bits, quant)
     val rewritten = TxnTable.read(spark, table)
       .withColumn("__z", code)
       .repartitionByRange(numFiles, col("__z"))
@@ -150,7 +197,7 @@ object TxnLayout {
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
-      rangesOf(spark, table, now, code)))
+      rangesOf(spark, table, now, code), quant))
     refreshStats(spark, table)
     v
   }
@@ -185,7 +232,7 @@ object TxnLayout {
     val clustered = live.filter(spec.ranges.contains)
     val stale = live.filterNot(spec.ranges.contains)
     if (stale.isEmpty) return (TxnTable.currentVersion(table), 0, clustered.size)
-    val code = codeExpr(spec.cols, spec.curve, spec.bits)
+    val code = codeExpr(spec.cols, spec.curve, spec.bits, spec.quant)
     // which clustered files does the stale data land in? |files| ranges
     // broadcast against one scan of the STALE files only. NULL-code
     // files (sentinel range) always fold in: new null-coded stale rows

@@ -77,6 +77,67 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("rangeScale: monotone into [0, 2^bits), clamps outside the bounds, null-propagates") {
+    val mn = -1000000000L
+    val mx = 7000000000L // spans > 2^32 — the long path would alias
+    val vals = Seq(Long.MinValue, mn - 1, mn, mn + 1, -1L, 0L, 123456789L,
+      mx / 2, mx - 1, mx, mx + 1, Long.MaxValue)
+    val got = vals.toDF("v")
+      .select(Layout.rangeScale(col("v"), mn, mx, 16).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(b => b >= 0 && b < 65536), got.mkString(","))
+    // monotone over in-range inputs (the property pruning rests on)
+    assert(got.toSeq == got.sorted.toSeq)
+    // edges: below-min clamps to 0, above-max to the top bucket
+    assert(got.take(2).forall(_ == 0L) && got.takeRight(2).forall(_ == 65535L))
+    // min→bucket 0, max→top bucket (the measured bounds span the space)
+    assert(got(2) == 0L && got(9) == 65535L)
+    // NULL in → NULL out, matching the curve codes
+    val nul = Seq[Option[Long]](None).toDF("v")
+      .select(Layout.rangeScale(col("v"), mn, mx, 16).as("b")).head()
+    assert(nul.isNullAt(0))
+    // degenerate bounds: a constant column buckets to 0, never divides by 0
+    assert(Seq(5L).toDF("v").select(Layout.rangeScale(col("v"), 5L, 5L, 16))
+      .head().getLong(0) == 0L)
+  }
+
+  test("zorderWriteRanged: wide natural domains prune where the masked code aliases") {
+    // both coordinates span ≫ 2^16, the regime where mortonCodeN's
+    // low-bit mask scrambles the layout (odd multiplier mod 65536)
+    val df = spark.range(0, 4000).select(
+      (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"))
+    val dirR = java.nio.file.Files.createTempDirectory("zranged").toString
+    val dirA = java.nio.file.Files.createTempDirectory("zaliased").toString
+    val ranges = Layout.zorderWriteRanged(df, Seq("x", "y"), dirR, numFiles = 16)
+    assert(ranges == Seq(("x", 0L, 3999L * 1000003L), ("y", 0L, 3999L * 999983L)),
+      s"measured bounds must be the true [min, max]: $ranges")
+    Layout.zorderWriteN(df, Seq("x", "y"), dirA, numFiles = 16)
+    val bounds = Seq(("x", 800L * 1000003L, 1600L * 1000003L),
+      ("y", 800L * 999983L, 1600L * 999983L))
+    def opened(dir: String): (Long, Long) = {
+      val idx = Layout.buildMinMaxIndexN(spark, dir, Seq("x", "y"))
+        .localCheckpoint(true)
+      (idx.filter(bounds.map { case (c, lo, hi) =>
+        col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)).count(),
+        idx.count())
+    }
+    val (openR, totR) = opened(dirR)
+    val (openA, totA) = opened(dirA)
+    // the aliased layout's per-file [min, max] go domain-wide: every
+    // file overlaps the box; the quantized layout opens a strict subset
+    assert(openA == totA, s"aliased regime unexpectedly pruned: $openA/$totA")
+    assert(openR < totR, s"quantized layout failed to prune: $openR/$totR")
+    assert(openR < openA)
+    // and pruning costs no rows
+    val idx = Layout.buildMinMaxIndexN(spark, dirR, Seq("x", "y"))
+      .localCheckpoint(true)
+    assert(Layout.prunedReadBox(spark, idx, bounds).count() ==
+      df.filter(col("x").between(bounds(0)._2, bounds(0)._3) &&
+        col("y").between(bounds(1)._2, bounds(1)._3)).count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirR))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+  }
+
   test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {
     // 2D, bits=4: the code must be a BIJECTION onto [0, 256) AND
     // unit-step continuous — consecutive codes decode to Manhattan-

@@ -135,6 +135,47 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(want > 0 && got == want, s"pruned read lost rows: $got vs $want")
   }
 
+  test("4-column advice carries an applyable bits width; the advised row applies end-to-end") {
+    val p = s"$root/base4.parquet"
+    val rng = new scala.util.Random(17)
+    (0L until 4000L).map(i => (i, rng.nextInt(4000).toLong,
+        rng.nextInt(4000).toLong, rng.nextInt(4000).toLong))
+      .toDF("a", "b", "c", "d")
+      .repartitionByRange(4, col("a")).write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val adv = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 100 && col("a") < 900).select("b"),
+      base.filter(col("b") < 500).select("a"),
+      base.filter(col("c") >= 2000).select("c"),
+      base.filter(col("d") >= 10).select("d")), exactNdv = true).collect()
+    assert(adv.length == 1, adv.mkString(";"))
+    val row = adv.head
+    assert(row.getAs[Long]("n_cols") == 4L && row.getAs[Boolean]("recommend"))
+    // 4 × 16 = 64 overflows a signed long — the advised width must fit
+    assert(row.getAs[Long]("bits") == 15L,
+      s"4-column advice must advise bits = 63/4 = 15, got ${row.getAs[Long]("bits")}")
+    assert(row.getAs[String]("curve") == "hilbert")
+    // apply EVERY advised field (cols, curve, bits) — the loop the
+    // advisor exists for; at the default bits=16 this application
+    // would trip the curve's n·bits ≤ 63 check instead of clustering
+    val t = s"$root/txn_adv4"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.TxnTable.commit(spark, base, t, overwrite = false)
+    val cols = row.getAs[String]("cols").split(",").toSeq
+    val want = base.select("a", "b", "c", "d")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.sources.TxnLayout.optimizeClustered(spark, t, cols,
+      curve = row.getAs[String]("curve"), numFiles = 8,
+      bits = row.getAs[Long]("bits").toInt)
+    assert(graft.sources.TxnTable.read(spark, t).select("a", "b", "c", "d")
+      .as[(Long, Long, Long, Long)].collect().toSet == want,
+      "clustered rewrite must round-trip content")
+    intercept[Exception] {
+      graft.sources.TxnLayout.optimizeClustered(spark, t, cols,
+        curve = row.getAs[String]("curve"), numFiles = 8, bits = 16)
+    }
+  }
+
   test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
     val p = s"$root/approx.parquet"
     (0L until 20000L).map(i => (i % 1000, i % 8))

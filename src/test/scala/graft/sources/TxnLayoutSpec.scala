@@ -90,6 +90,61 @@ class TxnLayoutSpec extends SparkSpec {
     assertDisjoint(TxnLayout.readSpec(t).get)
   }
 
+  test("range quantization: wide natural domains prune, bounds round-trip, clamped ingest reclusters") {
+    // domains ≫ 2^16 — the regime where the curve's low-bit mask
+    // aliases (id·1000003 mod 65536 scrambles consecutive ids) and the
+    // whole point of clustering dies at scale
+    def wide(t: String): Unit =
+      TxnTable.commit(spark,
+        spark.range(0, 2000).select(
+          (col("id") * 1000003L).as("x"),
+          (col("id") * 999983L).as("y"),
+          col("id").as("v")),
+        t, overwrite = false)
+
+    val tQ = fresh("quant"); wide(tQ)
+    val tA = fresh("aliased"); wide(tA)
+    val before = contentOf(tQ)
+    TxnLayout.optimizeClustered(spark, tQ, Seq("x", "y"), numFiles = 8)
+    TxnLayout.optimizeClustered(spark, tA, Seq("x", "y"), numFiles = 8,
+      quantize = false)
+    // the sidecar records the measured bounds and they survive the trip
+    val spec = TxnLayout.readSpec(tQ).get
+    assert(spec.quant == Seq(("x", 0L, 1999L * 1000003L),
+      ("y", 0L, 1999L * 999983L)))
+    assert(TxnLayout.readSpec(tA).get.quant.isEmpty)
+    assertDisjoint(spec)
+    assert(contentOf(tQ) == before && contentOf(tA) == before)
+    // head-to-head on the same box over the RAW values: quantized
+    // prunes a strict subset, the aliased layout cannot exclude a file
+    def openedOf(t: String): (Int, Int) = {
+      TxnStats.refresh(spark, t, "x")
+      val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "x",
+        400L * 1000003L, 800L * 1000003L)
+      (toRead.size, nLive)
+    }
+    val (openQ, totQ) = openedOf(tQ)
+    val (openA, totA) = openedOf(tA)
+    assert(openA == totA, s"aliased layout unexpectedly pruned: $openA/$totA")
+    assert(openQ < totQ, s"quantized layout failed to prune: $openQ/$totQ")
+    // ingest BEYOND the recorded bounds clamps to the edge bucket —
+    // layout only — and the incremental round sweeps it up with the
+    // SAME recorded bounds (content + disjointness survive)
+    TxnTable.commit(spark,
+      Seq((5000L * 1000003L, 5000L * 999983L, -1L),
+          (6000L * 1000003L, 6000L * 999983L, -2L))
+        .toDF("x", "y", "v").coalesce(1), tQ, overwrite = false)
+    val (_, r1, _) = TxnLayout.reclusterIncremental(spark, tQ)
+    assert(r1 >= 1)
+    val specAfter = TxnLayout.readSpec(tQ).get
+    assert(specAfter.quant == spec.quant,
+      "incremental maintenance must reuse the recorded bounds, never re-measure")
+    assertDisjoint(specAfter)
+    assert(contentOf(tQ) == before ++ Set(
+      (5000L * 1000003L, 5000L * 999983L, -1L),
+      (6000L * 1000003L, 6000L * 999983L, -2L)))
+  }
+
   test("hilbert curve maintenance: same lifecycle, hilbert code ranges") {
     val t = fresh("hilbert")
     seed(t)
