@@ -643,10 +643,14 @@ object Similarity {
     * set: a selective predicate yields a broadcast-sized id list and a
     * loose one yields most of the corpus, where a shuffled semi-join is
     * the right plan — Spark/AQE picks per actual size. Recall under a
-    * selective predicate is recovered by WIDENING `nprobe`/`rerank`
-    * (roughly ÷ the predicate's selectivity): the probed lists must
-    * still contain k eligible vectors — `autoWiden` does that
-    * automatically (see [[widenedKnobs]]). */
+    * selective predicate is recovered by `autoWiden`: the rerank
+    * window widens by the measured global selectivity
+    * ([[widenedKnobs]]) and probing goes PER-QUERY ADAPTIVE
+    * ([[adaptiveProbes]]) — each query probes nearest lists until the
+    * nearer lists' ELIGIBLE mass covers the window, so a predicate
+    * correlated with the embedding space (the common case) deepens
+    * exactly the starved queries instead of scaling one global factor
+    * that under-probes them. */
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, rerank: Int = 64,
                        m: Int = 8, dim: Int = 64,
@@ -654,26 +658,41 @@ object Similarity {
                        autoWiden: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val lists0 = spark.read.parquet(s"$dir/lists")
-    val eligible = predicate.map(p =>
-      spark.read.parquet(s"$dir/meta").filter(p).select("vec_id"))
+    val meta = predicate.map(_ => spark.read.parquet(s"$dir/meta"))
+    val eligible = predicate.map(p => meta.get.filter(p).select("vec_id"))
     val lists = eligible.fold(lists0)(e =>
       lists0.join(e, Seq("vec_id"), "left_semi"))
-    val (np, rr) =
-      if (!autoWiden || predicate.isEmpty) (nprobe, rerank)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val (np, rr, probes) =
+      if (!autoWiden || predicate.isEmpty) (nprobe, rerank, None)
       else {
-        // ONE pass measures both counts (total, eligible)
-        val c = spark.read.parquet(s"$dir/meta")
+        // ONE pass over the already-constructed meta frame measures
+        // both counts (total, eligible)
+        val c = meta.get
           .agg(count(lit(1)), count(when(predicate.get, 1))).head()
-        widenedKnobs(nprobe, rerank, c.getLong(0), c.getLong(1),
-          spark.read.parquet(s"$dir/centroids").count().toInt)
+        val (total, elig) = (c.getLong(0), c.getLong(1))
+        // zero eligible rows: the semi-joined lists are EMPTY and the
+        // result is provably empty — widening to the cap would only
+        // buy a 64× probe of a guaranteed-empty join
+        if (elig == 0L) (nprobe, rerank, None)
+        else {
+          val nClusters = centroids.count().toInt
+          val (wnp, wrr) = widenedKnobs(nprobe, rerank, total, elig, nClusters)
+          (wnp, wrr, Some(adaptiveProbes(queries, centroids,
+            npFloor = nprobe,
+            npCap = math.min(nClusters.toLong, 64L * nprobe).toInt.max(nprobe),
+            listElig = lists.groupBy("cluster")
+              .agg(count(lit(1)).as("n_elig")),
+            target = wrr.toLong)))
+        }
       }
     ivfPqTopKFrames(queries,
-      spark.read.parquet(s"$dir/centroids"),
+      centroids,
       spark.read.parquet(s"$dir/codebooks"),
       lists,
       spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/vectors"),
-      k, np, rr, m, dim)
+      k, np, rr, m, dim, probes)
   }
 
   /** SELECTIVITY-driven widening for filtered ANN search: with an
@@ -692,16 +711,55 @@ object Similarity {
       math.min(1000000L, rerank * f).toInt.max(rerank))
   }
 
+  /** PER-QUERY ADAPTIVE probing for filtered search — the fix for
+    * predicates CORRELATED with the embedding space (language, domain,
+    * license all cluster): a single global widening factor measures
+    * selectivity over the WHOLE corpus, but a query whose nearest
+    * lists hold ~no eligible vectors needs far deeper probing than the
+    * global factor says, while a query in a predicate-rich region
+    * needs none. Each query probes its nearest lists IN ORDER and
+    * keeps a list while the ELIGIBLE mass of the strictly-nearer lists
+    * is still below `target` (floor `npFloor` lists always probed,
+    * hard cap `npCap`) — starved queries deepen, well-served queries
+    * stop at the floor, nobody pays for the other's region.
+    *
+    * `listElig` is the per-list eligible count — one group-by over the
+    * ALREADY-SEMI-JOINED lists, |clusters| rows, broadcast here. The
+    * running-mass window is over |queries| × npCap rows, model-sized
+    * per query, never corpus-sized. */
+  private[graft] def adaptiveProbes(queries: DataFrame, centroids: DataFrame,
+                                    npFloor: Int, npCap: Int,
+                                    listElig: DataFrame,
+                                    target: Long): DataFrame = {
+    val cl = centroidLit(centroidLocal(centroids))
+    val ranked = queries.select(col("vec_id").as("q_id"),
+        quantizeVec(col("embedding")).as("__qq"))
+      .select(col("q_id"), posexplode(transform(
+        slice(array_sort(centroidScores(col("__qq"), cl)), 1, npCap),
+        x => x.getField("cluster"))))
+      .toDF("q_id", "pos", "cluster")
+    val nearer = Window.partitionBy("q_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked.join(broadcast(listElig), Seq("cluster"), "left")
+      .withColumn("__elig", coalesce(col("n_elig"), lit(0L)))
+      .withColumn("__before", coalesce(sum("__elig").over(nearer), lit(0L)))
+      .filter(col("pos") < npFloor || col("__before") < target)
+      .select("q_id", "cluster")
+  }
+
   /** The IVFPQ query plan over ALREADY-LOADED index frames — shared by
     * the directory-backed and the transactional index readers, so the
-    * probe/LUT/shortlist/re-rank shape cannot drift between them. */
+    * probe/LUT/shortlist/re-rank shape cannot drift between them.
+    * `probeOverride` substitutes the (q_id, cluster) probe set — the
+    * filtered-search adaptive prober rides here. */
   private def ivfPqTopKFrames(queries: DataFrame, centroids: DataFrame,
                               cb: DataFrame, lists: DataFrame,
                               rawCodes: DataFrame, vectors: DataFrame,
                               k: Int, nprobe: Int, rerank: Int,
-                              m: Int, dim: Int): DataFrame = {
+                              m: Int, dim: Int,
+                              probeOverride: Option[DataFrame] = None): DataFrame = {
     val codes = rawCodes.withColumnRenamed("vec_id", "n_id")
-    val probes = probeClusters(queries, centroids, nprobe)
+    val probes = probeOverride.getOrElse(probeClusters(queries, centroids, nprobe))
     val lut = pqLut(queries, cb, m, dim)
     val cand = probes
       .join(lists.withColumnRenamed("vec_id", "n_id"), "cluster")
@@ -1024,22 +1082,36 @@ object Similarity {
     }
     // auto-widening measures selectivity on the SAME overlaid,
     // same-pinned meta the filter consults — ONE aggregate pass for
-    // both counts (the overlay pipeline is not free to re-run)
-    val (np, rr) =
-      if (!autoWiden || predicate.isEmpty) (nprobe, rerank)
+    // both counts (the overlay pipeline is not free to re-run) — then
+    // probes per-query adaptively, exactly like the directory index
+    val centroids = TxnCatalog.read(spark, catalog, "centroids", at)
+    val (np, rr, probes) =
+      if (!autoWiden || predicate.isEmpty) (nprobe, rerank, None)
       else {
         val c = metaAt.get
           .agg(count(lit(1)), count(when(predicate.get, 1))).head()
-        widenedKnobs(nprobe, rerank, c.getLong(0), c.getLong(1),
-          TxnCatalog.read(spark, catalog, "centroids", at).count().toInt)
+        val (total, elig) = (c.getLong(0), c.getLong(1))
+        // zero eligible: the semi-joined lists are empty — don't pay a
+        // capped-out probe of a provably-empty join
+        if (elig == 0L) (nprobe, rerank, None)
+        else {
+          val nClusters = centroids.count().toInt
+          val (wnp, wrr) = widenedKnobs(nprobe, rerank, total, elig, nClusters)
+          (wnp, wrr, Some(adaptiveProbes(queries, centroids,
+            npFloor = nprobe,
+            npCap = math.min(nClusters.toLong, 64L * nprobe).toInt.max(nprobe),
+            listElig = lists.groupBy("cluster")
+              .agg(count(lit(1)).as("n_elig")),
+            target = wrr.toLong)))
+        }
       }
     ivfPqTopKFrames(queries,
-      TxnCatalog.read(spark, catalog, "centroids", at),
+      centroids,
       TxnCatalog.read(spark, catalog, "codebooks", at),
       lists,
       overlay(TxnCatalog.read(spark, catalog, "codes", at), "dcodes"),
       overlay(TxnCatalog.read(spark, catalog, "vectors", at), "dvectors"),
-      k, np, rr, m, dim)
+      k, np, rr, m, dim, probes)
   }
 
   /** Index-health snapshot for a persisted IVFPQ dir — the measurements

@@ -595,6 +595,65 @@ class SimilaritySpec extends SparkSpec {
       "empty eligible set: the 64x cap bounds the blowup")
   }
 
+  test("correlated predicate: per-list adaptive probing recovers where global widening starves") {
+    // a deterministic DOT LADDER of 10 blobs, 50 vectors each: blob 0
+    // is 2·e0, blob j≥1 is e_j + γ_j·e0 with γ_j strictly decreasing,
+    // so a blob-0 query's centroid-dot order is exactly blob order —
+    // and ids go round-robin (id % 10 = blob) so the k-means seeds
+    // (the 10 smallest ids) start one-per-blob and converge there.
+    // Blobs 8 and 9 — the two FARTHEST from a blob-0 query — carry
+    // label 'b': the predicate (label='b') is PERFECTLY correlated
+    // with cluster assignment, the regime a single global widening
+    // factor gets wrong: global selectivity says 20% (widen ×5), but
+    // the query's 5 nearest lists are 'a' lists with ZERO eligible
+    // vectors. Per-blob magnitudes (1 + 0.3u) make the within-blob
+    // ranking strict.
+    def vec(id: Long): Seq[Float] = {
+      val blob = (id % 10).toInt
+      val scale = 1.0f + 0.3f * (id / 10).toFloat / 50.0f
+      (0 until 64).map { d =>
+        val base =
+          if (blob == 0) { if (d == 0) 2.0f else 0.0f }
+          else if (d == blob) 1.0f
+          else if (d == 0) 0.8f - 0.08f * blob
+          else 0.0f
+        base * scale
+      }
+    }
+    val corpus = (0L until 500L)
+      .map(i => (i, vec(i), if (i % 10 >= 8) "b" else "a"))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(4).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("ann_corr_spec").toString
+    Similarity.writeIvfPqIndex(corpus, dir, nClusters = 10)
+    val qs = corpus.filter($"vec_id".isin(0L, 10L, 20L, 30L, 40L)) // blob-0 queries
+    val pred = col("label") === "b"
+    val truth = Similarity.bruteForceTopK(corpus.filter(pred), qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // what the old GLOBAL widening would do: selectivity 100/500 → ×5,
+    // nprobe 1→5, rerank 16→80 — probes 5 'a' lists, finds nothing
+    val global = recall(Similarity.ivfPqTopKIndexed(qs, dir, k = 5,
+      nprobe = 5, rerank = 80, predicate = Some(pred)))
+    // adaptive: same user knobs, autoWiden measures per-list eligible
+    // mass and deepens past the empty 'a' lists until 'b' mass covers
+    // the window
+    val adaptive = recall(Similarity.ivfPqTopKIndexed(qs, dir, k = 5,
+      nprobe = 1, rerank = 16, predicate = Some(pred), autoWiden = true))
+    info(f"correlated-predicate recall: global=$global%.3f adaptive=$adaptive%.3f")
+    assert(adaptive > global,
+      f"per-list probing must beat the global factor here: $adaptive%.3f <= $global%.3f")
+    assert(adaptive >= 0.8, f"adaptive recall $adaptive%.3f below floor")
+    // zero eligible rows: short-circuits to an empty result, never a
+    // 64×-widened probe of a guaranteed-empty join
+    assert(Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nprobe = 1,
+      rerank = 8, predicate = Some(lit(false)), autoWiden = true).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("filtered search evaluates the predicate on UPSERTED metadata") {
     val q3 = embs.filter($"vec_id" === 3L)
     val pred = col("label") % 2 === 0
