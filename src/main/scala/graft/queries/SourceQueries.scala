@@ -1134,6 +1134,61 @@ object SourceQueries {
         .withColumn("dst_version", lit(dstV.toLong))
     },
 
+    // ── REPLICA FAILOVER lifecycle (TxnTable.promoteReplica /
+    //    demoteToReplica): the half of DR a one-way mirror lacks. The
+    //    replica promotes to writable primary (the dead source's sync
+    //    attempt REFUSES — pinned), takes an append + a copy-on-write
+    //    delete, then the old source demotes under it and the REVERSE
+    //    sync ships exactly the post-promotion commits. Pins: the
+    //    refusal, the heads (dst v3: seed + 2 post-failover commits;
+    //    src v4: its own 2 commits + the 2 replayed — the seed collapse
+    //    offsets the numbering by design), and
+    //    src/dst content equality after failback (the old source's
+    //    rows, read back FROM the old source, must equal the new
+    //    primary's state — the oracle recomputes it from scratch).
+    sql("q_src_replicate_failover",
+      """WITH state AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL SELECT * FROM (VALUES (900001, 11), (900002, 12),
+        |                                  (900003, 13)) t(o_orderkey, o_custkey))
+        |SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(3 AS BIGINT) AS dst_version,
+        |       CAST(4 AS BIGINT) AS src_version,
+        |       TRUE AS old_sync_refused, TRUE AS content_equal
+        |FROM state WHERE o_custkey % 10 <> 3""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val src = tmp("failover_src"); val dst = tmp("failover_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      TxnTable.commit(s, o.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+        src, overwrite = false)
+      TxnTable.commit(s, o.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+        src, overwrite = false)
+      TxnTable.replicate(src, dst)
+      // source dies → promote; new primary appends and deletes
+      TxnTable.promoteReplica(dst)
+      TxnTable.commit(s,
+        Seq((900001L, 11L), (900002L, 12L), (900003L, 13L))
+          .toDF("o_orderkey", "o_custkey").coalesce(1),
+        dst, overwrite = false, tag = Some("post_failover"))
+      TxnTable.deleteWhere(s, dst, col("o_custkey") % 10 === 3)
+      val refused =
+        try { TxnTable.replicate(src, dst); false }
+        catch { case _: IllegalArgumentException => true }
+      // failback: demote the old source, reverse the sync direction
+      TxnTable.demoteToReplica(src, dst)
+      val (srcV, _) = TxnTable.replicate(dst, src)
+      val back = TxnTable.read(s, src)
+      val live = TxnTable.read(s, dst)
+      val equal = back.exceptAll(live).isEmpty && live.exceptAll(back).isEmpty
+      back.agg(count(lit(1)).as("cnt"), sum("o_custkey").as("cust_sum"))
+        .withColumn("dst_version", lit(TxnTable.currentVersion(dst).toLong))
+        .withColumn("src_version", lit(srcV.toLong))
+        .withColumn("old_sync_refused", lit(refused))
+        .withColumn("content_equal", lit(equal))
+    },
+
     // ── SQL over one consistent catalog snapshot (TxnCatalog
     //    .registerViews): both tables' views pin file lists from the
     //    SAME catalog entry, so the spark.sql join can never mix a new

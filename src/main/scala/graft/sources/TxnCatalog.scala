@@ -1022,6 +1022,65 @@ object TxnCatalog {
     (currentTxn(dst), copied)
   }
 
+  private def catPromotedFile(t: String) = new File(t, "_graft_promoted.json")
+
+  /** FAILOVER, step 1 — PROMOTE a catalog replica to a writable
+    * primary: the replica marker moves aside to `_graft_promoted.json`
+    * (preserving the lineage [[demoteToReplica]] checks), local commits
+    * become legitimate, and the old source can no longer sync in (its
+    * next [[replicate]] refuses on the missing marker). Returns the
+    * promoted head txn. */
+  def promoteReplica(dst: String): Int = {
+    val marker = catReplicaFile(dst)
+    require(marker.isFile, s"$dst is not a catalog replica — nothing to promote")
+    require(currentTxn(dst) >= 1,
+      s"$dst has no replicated transactions — sync before promoting")
+    Files.move(marker.toPath, catPromotedFile(dst).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    currentTxn(dst)
+  }
+
+  /** FAILOVER, step 2 — DEMOTE the old source catalog under its
+    * promoted replica, reversing the sync direction: afterwards
+    * `replicate(newPrimary, oldSrc)` ships every txn the new primary
+    * committed since promotion. Catalog replication is full-fidelity
+    * (shared txn numbering), so the adopted marker is exactly the
+    * promoted marker with the roles swapped — no version arithmetic.
+    *
+    * FORK CHECK, refused loudly: the old source's head must equal the
+    * last txn the promoted replica ever synced; anything past it is a
+    * commit the new primary never saw (the outage's data-loss window) —
+    * export it manually before demoting. */
+  def demoteToReplica(oldSrc: String, newPrimary: String): Unit = {
+    val pm = catPromotedFile(newPrimary)
+    require(pm.isFile,
+      s"$newPrimary was never promoted from a catalog replica — cannot demote $oldSrc under it")
+    val m = new String(Files.readAllBytes(pm.toPath), StandardCharsets.UTF_8)
+    val rec = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m)
+      .map(_.group(1)).getOrElse("")
+    val oldAbs = new File(oldSrc).getAbsolutePath
+    require(rec == oldAbs,
+      s"$newPrimary was promoted from a replica of $rec, not of $oldAbs")
+    require(!catReplicaFile(oldSrc).isFile,
+      s"$oldSrc is already a catalog replica — demoting it again is a state error")
+    val synced = "\"syncedTxn\":(\\d+)".r.findFirstMatchIn(m)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"malformed promoted marker in $newPrimary: missing syncedTxn"))
+    val head = currentTxn(oldSrc)
+    require(head == synced,
+      s"$oldSrc is at t$head but the promoted replica last synced t$synced — " +
+        (if (head > synced)
+          "it holds transactions the new primary never saw; export them before demoting"
+        else "it lost synced history; re-seed a fresh replica instead"))
+    val tmp = new File(oldSrc,
+      s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp.toPath,
+      s"""{"src":"${new File(newPrimary).getAbsolutePath}","syncedTxn":$synced}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, catReplicaFile(oldSrc).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Multi-table atomic FORGET — the right-to-be-forgotten transaction:
     * one predicate per table, each staged as a deletion-vector version
     * against the CATALOG-visible snapshot, all made visible through ONE

@@ -773,15 +773,23 @@ object TxnTable {
     require(srcHead >= 1, s"nothing to replicate: $src is empty")
     val srcAbs = new File(src).getAbsolutePath
     var copied = 0
-    def copyIn(rel: String): Unit = {
+    def copyIn(rel: String, allowMissing: Boolean = false): Unit = {
       val to = new File(dst, rel)
+      val from = new File(src, rel)
+      // a replayed version's file can be legitimately GONE at src: added
+      // then removed between syncs and vacuumed there. Skipping mirrors
+      // the source's retention (the catalog replicator's contract) —
+      // refusing would wedge the replica on that version forever. Only
+      // the suffix replay opts in: a SEED file is live at the seed
+      // snapshot, so its absence is real corruption and still throws.
+      if (allowMissing && !from.isFile) return
       if (!to.isFile) {
         to.getParentFile.mkdirs()
         // tmp + atomic move: the resume path's skip-if-present check
         // must never mistake a crash-truncated copy for a finished one
         val tmp = new File(to.getParentFile,
           s".${to.getName}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-        Files.copy(new File(src, rel).toPath, tmp.toPath)
+        Files.copy(from.toPath, tmp.toPath)
         Files.move(tmp.toPath, to.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         copied += 1
@@ -793,21 +801,14 @@ object TxnTable {
         Files.copy(c.toPath, new File(dst, "_graft_constraints.json").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    def writeMarker(seed: Int, synced: Int): Unit = {
-      val tmp = new File(dst,
-        s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-      Files.write(tmp.toPath,
-        s"""{"src":"$srcAbs","seedSrcVersion":$seed,"syncedSrcVersion":$synced}"""
-          .getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp.toPath, replicaFile(dst).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    def writeMarker(seed: Int, synced: Int, adopted: Boolean = false): Unit =
+      writeReplicaMarker(dst, srcAbs, seed, synced, adopted)
     // seed publish is re-runnable: copies are skip-if-present, and a
     // racing/previous publish of the same v1 is accepted as done
     def seedPublish(seed: Int): Unit = {
       val live = liveFiles(src, Some(seed))
       require(live.nonEmpty, s"nothing to replicate: $src has no live files")
-      live.foreach(copyIn)
+      live.foreach(copyIn(_))
       copyConstraints()
       try publishFileList(dst, live, tag = Some("replica_seed"),
         expectedVersion = Some(1))
@@ -829,23 +830,31 @@ object TxnTable {
         .map(_.group(1)).getOrElse("")
       require(recordedSrc == srcAbs,
         s"$dst replicates $recordedSrc, refusing to sync from $srcAbs")
-      def field(k: String): Int = s""""$k":(\\d+)""".r.findFirstMatchIn(m)
+      def field(k: String): Int = s""""$k":(-?\\d+)""".r.findFirstMatchIn(m)
         .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
           s"malformed replica marker in $dst: missing $k"))
       val seed = field("seedSrcVersion")
       val synced = field("syncedSrcVersion")
-      if (currentVersion(dst) == 0) seedPublish(seed) // seed-crash recovery
-      else require(commitTag(dst, 1).contains("replica_seed"),
-        // a local write landing dst v1 inside the marker→publish crash
-        // window is a FORK the per-version slot check below can't see
-        // (v1 is the seed's slot, never re-published): refuse here
-        s"$dst v1 is not a replica seed — the replica was forked by a local write")
+      // an ADOPTED replica (a demoted old primary, [[demoteToReplica]])
+      // carries its own full history: v1 is its original genesis, not a
+      // seed entry, and version 0 is impossible — the seed-recovery and
+      // v1-tag checks below only apply to seeded replicas
+      val adopted = m.contains("\"adopted\":true")
+      if (currentVersion(dst) == 0) {
+        require(!adopted, s"adopted replica $dst has an empty log — corrupt")
+        seedPublish(seed) // seed-crash recovery
+      } else if (!adopted)
+        require(commitTag(dst, 1).contains("replica_seed"),
+          // a local write landing dst v1 inside the marker→publish crash
+          // window is a FORK the per-version slot check below can't see
+          // (v1 is the seed's slot, never re-published): refuse here
+          s"$dst v1 is not a replica seed — the replica was forked by a local write")
       ((synced + 1) to srcHead).foreach { v =>
         val entry = new File(logDir(src), f"v$v%05d.json")
         require(entry.isFile,
           s"replication gap: $src has no log entry for v$v")
         val (added, removed) = parseEntry(entry)
-        added.foreach(copyIn)
+        added.foreach(copyIn(_, allowMissing = true))
         val dstV = 1 + (v - seed)
         try publish(dst, dstV, added, removed, commitTag(src, v))
         catch {
@@ -855,7 +864,7 @@ object TxnTable {
             val have = parseEntry(new File(logDir(dst), f"v$dstV%05d.json"))
             if (have != ((added, removed))) throw e
         }
-        writeMarker(seed, v)
+        writeMarker(seed, v, adopted)
       }
       // unconditional: declarations move without data commits, and a
       // "successful sync" must never leave the replica auditing against
@@ -863,6 +872,80 @@ object TxnTable {
       copyConstraints()
       (currentVersion(dst), copied)
     }
+  }
+
+  private def promotedFile(t: String) = new File(t, "_graft_promoted.json")
+
+  private def writeReplicaMarker(dst: String, srcAbs: String, seed: Int,
+                                 synced: Int, adopted: Boolean): Unit = {
+    val tmp = new File(dst,
+      s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val flag = if (adopted) ""","adopted":true""" else ""
+    Files.write(tmp.toPath,
+      (s"""{"src":"$srcAbs","seedSrcVersion":$seed,""" +
+        s""""syncedSrcVersion":$synced$flag}""").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, replicaFile(dst).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** FAILOVER, step 1 — PROMOTE a replica to a writable primary: the
+    * replica marker comes off (local commits stop being "forks" and the
+    * old source can no longer sync into it — its next [[replicate]]
+    * refuses on the missing marker), and the marker's lineage fields
+    * are preserved as `_graft_promoted.json` — the record
+    * [[demoteToReplica]] needs to later turn the OLD source into this
+    * table's replica (failback). Returns the promoted head version.
+    * Idempotent-hostile by design: promoting twice is a state error. */
+  def promoteReplica(dst: String): Int = {
+    val marker = replicaFile(dst)
+    require(marker.isFile, s"$dst is not a replica — nothing to promote")
+    require(currentVersion(dst) >= 1,
+      s"$dst has no published versions — seed before promoting")
+    Files.move(marker.toPath, promotedFile(dst).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    currentVersion(dst)
+  }
+
+  /** FAILOVER, step 2 — DEMOTE the old source under the promoted
+    * replica, reversing the replication direction: after
+    * `promoteReplica(dst)`, `demoteToReplica(oldSrc, dst)` makes
+    * `oldSrc` a fork-checked replica of `dst`, and `replicate(dst,
+    * oldSrc)` then ships everything the new primary committed since
+    * promotion. Version arithmetic: the old source's version v maps to
+    * the promoted table's version 1 + v − seed (the seed collapse), so
+    * the adopted marker records seed' = 2 − seed / synced' = 1 + y −
+    * seed in the NEW primary's coordinates — the ordinary sync replay
+    * then lands dst's v+1 as oldSrc's next local version.
+    *
+    * FORK CHECK, refused loudly: the old source must sit EXACTLY at the
+    * last version the promoted replica ever synced (`y`). Anything past
+    * it is a commit the new primary never saw — silently adopting would
+    * un-happen those writes; export them manually first. */
+  def demoteToReplica(oldSrc: String, newPrimary: String): Unit = {
+    val pm = promotedFile(newPrimary)
+    require(pm.isFile,
+      s"$newPrimary was never promoted from a replica — cannot demote $oldSrc under it")
+    val m = new String(Files.readAllBytes(pm.toPath), StandardCharsets.UTF_8)
+    val rec = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m)
+      .map(_.group(1)).getOrElse("")
+    val oldAbs = new File(oldSrc).getAbsolutePath
+    require(rec == oldAbs,
+      s"$newPrimary was promoted from a replica of $rec, not of $oldAbs")
+    require(!replicaFile(oldSrc).isFile,
+      s"$oldSrc is already a replica — demoting it again is a state error")
+    def field(k: String): Int = s""""$k":(-?\\d+)""".r.findFirstMatchIn(m)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"malformed promoted marker in $newPrimary: missing $k"))
+    val seed = field("seedSrcVersion")
+    val synced = field("syncedSrcVersion")
+    val head = currentVersion(oldSrc)
+    require(head == synced,
+      s"$oldSrc is at v$head but the promoted replica last synced v$synced — " +
+        (if (head > synced)
+          "it holds commits the new primary never saw; export them before demoting"
+        else "it lost synced history; re-seed a fresh replica instead"))
+    writeReplicaMarker(oldSrc, new File(newPrimary).getAbsolutePath,
+      seed = 2 - seed, synced = 1 + synced - seed, adopted = true)
   }
 
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort

@@ -134,4 +134,51 @@ class CatalogReplicateSpec extends SparkSpec {
       .map(_.cols).contains(Seq("k")))
     intercept[IllegalArgumentException] { TxnCatalog.replicate(b, dst) }
   }
+
+  test("catalog failover: promote, local txns, demote + reverse-sync, fork refusals") {
+    val src = fresh("promo_src"); val dst = fresh("promo_dst")
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("cust", df(0, 50)), Write("ord", df(100, 150))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.commitAll(spark, src, Seq(Write("cust", df(50, 70))))
+    TxnCatalog.replicate(src, dst)
+
+    // source dies → promote; the new primary commits cross-table txns
+    assert(TxnCatalog.promoteReplica(dst) == 2)
+    TxnCatalog.commitAll(spark, dst, Seq(
+      Write("cust", df(70, 90)), Write("ord", df(150, 170))))
+    // the old source can no longer sync into the promoted catalog
+    intercept[IllegalArgumentException] { TxnCatalog.replicate(src, dst) }
+
+    // failback: demote the old source, reverse the direction
+    TxnCatalog.demoteToReplica(src, dst)
+    val (t, copied) = TxnCatalog.replicate(dst, src)
+    assert(t == 3 && copied >= 4,
+      s"reverse sync ships the post-promotion txn, got t=$t copied=$copied")
+    Seq("cust", "ord").foreach { n =>
+      assert(contentOf(src, n) == contentOf(dst, n))
+    }
+    // the demoted source is fork-checked: a local txn occupies the next
+    // slot and the sync refuses
+    TxnCatalog.commitAll(spark, src, Seq(Write("cust", df(900, 910))))
+    TxnCatalog.commitAll(spark, dst, Seq(Write("cust", df(90, 95))))
+    intercept[Exception] { TxnCatalog.replicate(dst, src) }
+  }
+
+  test("catalog demote refuses lost writes, wrong lineage, and double states") {
+    val src = fresh("lost_src"); val dst = fresh("lost_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 10))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(10, 20)))) // unsynced
+    TxnCatalog.promoteReplica(dst)
+    val e = intercept[IllegalArgumentException] {
+      TxnCatalog.demoteToReplica(src, dst)
+    }
+    assert(e.getMessage.contains("never saw"), e.getMessage)
+    val other = fresh("lost_other")
+    TxnCatalog.commitAll(spark, other, Seq(Write("t", df(0, 5))))
+    intercept[IllegalArgumentException] { TxnCatalog.demoteToReplica(other, dst) }
+    intercept[IllegalArgumentException] { TxnCatalog.promoteReplica(other) }
+    intercept[IllegalArgumentException] { TxnCatalog.promoteReplica(dst) }
+  }
 }

@@ -144,4 +144,76 @@ class ReplicateSpec extends SparkSpec {
     commitRange(src, 20, 40)
     intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
   }
+
+  test("a source-side vacuum of an add-then-removed file never wedges the sync") {
+    val src = fresh("vac_src"); val dst = fresh("vac_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    // between syncs: a file is added (v2) and fully rewritten away
+    // (v3's optimize removes it), then src vacuums history — the v2
+    // file is GONE at src. The sync must skip it (the mirror reflects
+    // the source's retention), not throw and re-hit it on every retry.
+    commitRange(src, 100, 120)
+    TxnTable.optimize(spark, src, numFiles = 1)
+    TxnTable.vacuum(src, retainFrom = TxnTable.currentVersion(src))
+    val (v, _) = TxnTable.replicate(src, dst)
+    assert(v == 3, s"sync must advance past the vacuumed version, got v$v")
+    assert(contentOf(dst) == contentOf(src))
+    // and a FURTHER sync still works (the marker advanced)
+    commitRange(src, 120, 130)
+    TxnTable.replicate(src, dst)
+    assert(contentOf(dst) == contentOf(src))
+  }
+
+  test("failover: promote the replica, write locally, demote + reverse-sync the old source") {
+    val src = fresh("promo_src"); val dst = fresh("promo_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    commitRange(src, 100, 150)
+    TxnTable.replicate(src, dst)
+
+    // source dies; the replica PROMOTES and accepts local writes
+    val head = TxnTable.promoteReplica(dst)
+    assert(head == 2)
+    commitRange(dst, 150, 200, tag = Some("post_failover"))
+    TxnTable.deleteWhere(spark, dst, col("k") < 5)
+    // the old source can no longer sync into the promoted table
+    intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
+
+    // FAILBACK: the old source demotes under the new primary and the
+    // reverse sync ships the post-promotion commits
+    TxnTable.demoteToReplica(src, dst)
+    val (v, copied) = TxnTable.replicate(dst, src)
+    assert(copied >= 2, s"the append and the delete's rewrite must ship, got $copied")
+    assert(contentOf(src) == contentOf(dst))
+    assert(TxnTable.commitTag(src, v - 1).contains("post_failover"),
+      "tags travel on the reverse sync too")
+    // further new-primary commits keep flowing
+    commitRange(dst, 200, 210)
+    TxnTable.replicate(dst, src)
+    assert(contentOf(src) == contentOf(dst))
+    // and the demoted source is fork-checked like any replica: a local
+    // write occupies the next slot and the sync refuses it
+    commitRange(src, 900, 910)
+    commitRange(dst, 210, 220)
+    intercept[Exception] { TxnTable.replicate(dst, src) }
+  }
+
+  test("demote refuses an old source holding commits the new primary never saw") {
+    val src = fresh("lost_src"); val dst = fresh("lost_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    // the outage window: src commits AFTER the last sync
+    commitRange(src, 100, 120)
+    TxnTable.promoteReplica(dst)
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.demoteToReplica(src, dst)
+    }
+    assert(e.getMessage.contains("never saw"), e.getMessage)
+    // a table that was never the promoted one's source also refuses
+    val other = fresh("lost_other"); commitRange(other, 0, 10)
+    intercept[IllegalArgumentException] { TxnTable.demoteToReplica(other, dst) }
+    // and promoting a non-replica refuses
+    intercept[IllegalArgumentException] { TxnTable.promoteReplica(other) }
+  }
 }
