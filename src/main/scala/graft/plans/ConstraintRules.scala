@@ -152,12 +152,13 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
       // answered from metadata. RELY contract like every rewrite here.
       case f @ Filter(cond, child) =>
         val conj = splitConjunctivePredicates(cond)
-        if (conj.exists(declaredCheckViolation(child, _)))
+        if (conj.exists(e => declaredCheckViolation(child, e) ||
+            checkContradicts(child, e)))
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(f.output)
         else {
           val kept = conj.filterNot {
             case IsNotNull(a: AttributeReference) => declaredNotNull(child, a)
-            case c => declaredCheck(child, c)
+            case c => declaredCheck(child, c) || checkImplies(child, c)
           }
           if (kept.length == conj.length) f
           else if (kept.isEmpty) child
@@ -215,6 +216,132 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     chaseScan(plan).exists { lr =>
       constraintRoot(lr).exists { root =>
         relyChecksFor(root, lr).exists(_._2.semanticEquals(e))
+      }
+    }
+
+  // ── interval implication for comparison conjuncts ────────────────────
+  //
+  // Equality matching alone leaves the obvious cases on the table:
+  // `x < 10` under a declared `x < 5` is a tautology, `x > 10` under it
+  // is provably empty. Both directions reduce to interval arithmetic on
+  // single-attribute comparisons against literals of the attribute's own
+  // type (the analyzer has folded casts by the time the rule runs):
+  // the declared STRICT check is TRUE on every row — so the attribute is
+  // non-null (comparisons are null-intolerant) and its value lies in the
+  // check's interval — hence a user conjunct whose interval CONTAINS the
+  // check's is TRUE on every row (drop it), and one DISJOINT from it is
+  // FALSE on every row (the filter is empty). NaN follows Spark's own
+  // comparison order (largest double), which the interpreted ordering
+  // reproduces, so the reasoning holds on NaN-carrying columns too.
+
+  /** One-sided or two-sided interval: (value, inclusive?) bounds. */
+  private case class Interval(lo: Option[(Any, Boolean)],
+                              hi: Option[(Any, Boolean)])
+
+  /** `e` as (attribute, interval) when it is a comparison of a bare
+    * attribute against a non-null literal of the SAME type — the only
+    * shape the arithmetic is sound for (a cast on the attribute side
+    * could change comparison semantics; conservative, never wrong). */
+  private def boundOf(e: Expression): Option[(AttributeReference, Interval)] = {
+    def mk(a: AttributeReference, l: Literal,
+           lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) =
+      if (l.value == null || l.dataType != a.dataType) None
+      else Some((a, Interval(lo, hi)))
+    e match {
+      case LessThan(a: AttributeReference, l: Literal) =>
+        mk(a, l, None, Some((l.value, false)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        mk(a, l, None, Some((l.value, true)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        mk(a, l, Some((l.value, false)), None)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        mk(a, l, Some((l.value, true)), None)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        mk(a, l, Some((l.value, true)), Some((l.value, true)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        mk(a, l, Some((l.value, false)), None)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        mk(a, l, Some((l.value, true)), None)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        mk(a, l, None, Some((l.value, false)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        mk(a, l, None, Some((l.value, true)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        mk(a, l, Some((l.value, true)), Some((l.value, true)))
+      case _ => None
+    }
+  }
+
+  private def orderingFor(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    // getInterpretedOrdering throws on unorderable types — conservative
+    // None, the conjunct simply never matches
+    try Some(org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** inner ⊆ outer under `ord` (bound-by-bound: an absent outer bound
+    * contains everything; equal values need the outer bound inclusive
+    * or the inner one exclusive). */
+  private def subsumes(outer: Interval, inner: Interval, ord: Ordering[Any]): Boolean = {
+    val loOk = outer.lo.forall { case (ov, oi) =>
+      inner.lo.exists { case (iv, ii) =>
+        val c = ord.compare(iv, ov)
+        c > 0 || (c == 0 && (oi || !ii))
+      }
+    }
+    val hiOk = outer.hi.forall { case (ov, oi) =>
+      inner.hi.exists { case (iv, ii) =>
+        val c = ord.compare(iv, ov)
+        c < 0 || (c == 0 && (oi || !ii))
+      }
+    }
+    loOk && hiOk
+  }
+
+  /** a ∩ b = ∅ under `ord` (one's upper bound falls below the other's
+    * lower; touching bounds intersect only when both are inclusive). */
+  private def disjoint(a: Interval, b: Interval, ord: Ordering[Any]): Boolean = {
+    def below(hi: Option[(Any, Boolean)], lo: Option[(Any, Boolean)]): Boolean =
+      (hi, lo) match {
+        case (Some((hv, hi0)), Some((lv, li0))) =>
+          val c = ord.compare(hv, lv)
+          c < 0 || (c == 0 && !(hi0 && li0))
+        case _ => false
+      }
+    below(a.hi, b.lo) || below(b.hi, a.lo)
+  }
+
+  /** Declared-check intervals for `a` at its scan: every comparison
+    * conjunct of every RELY check naming this attribute. */
+  private def checkIntervalsFor(plan: LogicalPlan,
+                                a: AttributeReference): Seq[Interval] =
+    chaseScan(plan).toSeq.flatMap { lr =>
+      if (!lr.outputSet.contains(a)) Nil
+      else constraintRoot(lr).toSeq.flatMap { root =>
+        relyChecksFor(root, lr).flatMap { case (ck, _) =>
+          splitConjunctivePredicates(ck).flatMap(boundOf).collect {
+            case (ka, iv) if ka.semanticEquals(a) => iv
+          }
+        }
+      }
+    }
+
+  /** True when a declared check's interval is contained in `e`'s — the
+    * conjunct is TRUE on every row and drops. */
+  private def checkImplies(plan: LogicalPlan, e: Expression): Boolean =
+    boundOf(e).exists { case (a, userIv) =>
+      orderingFor(a.dataType).exists { ord =>
+        checkIntervalsFor(plan, a).exists(kIv => subsumes(userIv, kIv, ord))
+      }
+    }
+
+  /** True when a declared check's interval is disjoint from `e`'s — the
+    * conjunct is FALSE on every row and the filter is provably empty. */
+  private def checkContradicts(plan: LogicalPlan, e: Expression): Boolean =
+    boundOf(e).exists { case (a, userIv) =>
+      orderingFor(a.dataType).exists { ord =>
+        checkIntervalsFor(plan, a).exists(kIv => disjoint(kIv, userIv, ord))
       }
     }
 

@@ -570,6 +570,45 @@ object OptimizerQueries {
       stamped(q, Seq.empty, Seq("ckfact_"), Seq("n"))
     },
 
+    // ── CHECK × INTERVAL IMPLICATION, drop direction: the user's
+    //    predicate is strictly WEAKER than the declared check
+    //    (l_quantity > -5 under RELY CHECK l_quantity > 0 — not equal,
+    //    so semantic matching alone would keep it) — interval
+    //    subsumption proves it TRUE on every row, the conjunct drops,
+    //    and column pruning removes l_quantity from the scan (pinned by
+    //    name-absence, like q_opt_check_filter). Oracle evaluates the
+    //    real predicate.
+    sql("q_opt_check_implied",
+      """SELECT l_returnflag AS rf, COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem WHERE l_quantity > -5
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      val q = TxnTable.read(s, ck)
+        .filter(col("l_quantity") > -5)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("ckfact_"), Seq("l_quantity"), Seq("rf"))
+    },
+
+    // ── CHECK × INTERVAL IMPLICATION, empty direction: the user's
+    //    predicate is DISJOINT from the declared check's interval
+    //    (l_quantity < -1 under RELY CHECK l_quantity > 0 — not the
+    //    check's negation, so the exact-violation match can't see it) —
+    //    the filter is provably FALSE on every row and collapses to an
+    //    empty relation with no fact scan, pinned by the table name's
+    //    absence from the plan.
+    sql("q_opt_check_disjoint",
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem WHERE l_quantity < -1""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      val q = TxnTable.read(s, ck)
+        .filter(col("l_quantity") < -1)
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq.empty, Seq("ckfact_"), Seq("n"))
+    },
+
     // ── EAGER AGGREGATION, AUTO MODE — the closed advisor loop: the
     //    advisor names the reorder (q_advisor_eager), refreshNdv
     //    persists the partial key's NDV as per-file HLL sketches, and

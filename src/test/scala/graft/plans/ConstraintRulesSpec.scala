@@ -409,6 +409,70 @@ class ConstraintRulesSpec extends SparkSpec {
     assert(ruleOff(q.head.getLong(0)) == 0L)
   }
 
+  test("interval implication: a conjunct WEAKER than the check drops; empty on disjoint") {
+    val t = s"$root/ck_interval"
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, i % 7 + 1.0, s"g${i % 3}"))
+        .toDF("pk", "amt", "grp"),
+      t, overwrite = false)
+    // amt ∈ (0, 5]: two comparison conjuncts in ONE declared check
+    TableConstraints.declareCheck(t, "amt_band", "amt > 0 AND amt <= 8",
+      validate = Some(spark))
+    // amt < 10 is implied by amt <= 8 — the conjunct drops and pruning
+    // removes amt from the scan (same strongest pin as the exact match)
+    def weaker = TxnTable.read(spark, t)
+      .filter($"amt" < 10 && $"grp" =!= "g9")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!plan(weaker).contains("amt"), plan(weaker).take(3000))
+    assert(rows(weaker) == ruleOff(rows(weaker)))
+    // amt >= -3 implied by amt > 0; boundary: amt >= 0 implied by amt > 0
+    def ge = TxnTable.read(spark, t).filter($"amt" >= 0)
+      .agg(count(lit(1)).as("n"))
+    assert(!plan(ge).contains("amt"), plan(ge).take(3000))
+    assert(ge.head.getLong(0) == 50L)
+    // DISJOINT: amt > 12 under amt <= 8 is provably empty — no scan
+    def empty = TxnTable.read(spark, t).filter($"amt" > 12)
+      .agg(count(lit(1)).as("n"))
+    assert(empty.head.getLong(0) == 0L)
+    assert(!plan(empty).contains("ck_interval"), plan(empty).take(3000))
+    // equality point outside the band is empty too (amt = 12)
+    def eqOut = TxnTable.read(spark, t).filter($"amt" === 12.0)
+      .agg(count(lit(1)).as("n"))
+    assert(eqOut.head.getLong(0) == 0L)
+    assert(!plan(eqOut).contains("ck_interval"), plan(eqOut).take(3000))
+    // touching bounds: amt <= 0 under amt > 0 is empty (open endpoint)
+    def touch = TxnTable.read(spark, t).filter($"amt" <= 0)
+      .agg(count(lit(1)).as("n"))
+    assert(touch.head.getLong(0) == 0L)
+    assert(!plan(touch).contains("ck_interval"), plan(touch).take(3000))
+  }
+
+  test("interval implication refuses what the check does not imply") {
+    val t = s"$root/ck_noimply"
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, i % 7 + 1.0)).toDF("pk", "amt"),
+      t, overwrite = false)
+    TableConstraints.declareCheck(t, "amt_band", "amt > 0 AND amt <= 8",
+      validate = Some(spark))
+    // NOT implied: amt < 5 genuinely filters (check allows up to 8)
+    def narrower = TxnTable.read(spark, t).filter($"amt" < 5)
+    assert(plan(narrower).contains("amt"),
+      "a conjunct STRICTER than the check must survive")
+    assert(narrower.count() == ruleOff(narrower.count()))
+    // NOT disjoint: amt > 5 overlaps (5, 8] — must scan and filter
+    def overlap = TxnTable.read(spark, t).filter($"amt" > 5)
+    assert(plan(overlap).contains("amt"))
+    assert(overlap.count() == ruleOff(overlap.count()))
+    // boundary refusal: amt < 8 is NOT implied by amt <= 8 (8 itself)
+    def openUnderClosed = TxnTable.read(spark, t).filter($"amt" < 8)
+    assert(plan(openUnderClosed).contains("amt"),
+      "x < 8 under check x <= 8 must survive — the check admits 8")
+    // and a conjunct on a DIFFERENT column never matches
+    def other = TxnTable.read(spark, t).filter($"pk" < 10)
+    assert(plan(other).contains("pk"))
+    assert(other.count() == 9L)
+  }
+
   test("check gates: non-RELY never consumed; violated RELY is the user's lie") {
     val t = s"$root/ck_norely"
     TxnTable.commit(spark,
