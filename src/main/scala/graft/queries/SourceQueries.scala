@@ -884,6 +884,56 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── OUTER-JOIN dynamic file pruning (TxnStats.dfpReadOuter): the
+    //    left-outer star probe. The probe side is PRESERVED — a key
+    //    with no fact match (-1 here) must still surface null-extended,
+    //    so the probe is never pruned — but the fact table is the
+    //    NULL-EXTENDING side: a fact row only reaches the output by
+    //    matching, so the same gap pruning as q_scan_dfp applies and
+    //    the second-quartile file skips. Pins: files_read = 3 of 4 AND
+    //    cnt = matched + 1 (the null-extended probe row survives the
+    //    pruned read — the oracle replays the LEFT join unpruned).
+    sql("q_scan_dfp_outer",
+      """WITH t AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+        |d AS (SELECT MIN(o_orderkey) AS k FROM orders
+        |      UNION ALL
+        |      SELECT MIN(o_orderkey) FROM orders, t WHERE o_orderkey >= 2 * t.q
+        |      UNION ALL
+        |      SELECT MAX(o_orderkey) FROM orders
+        |      UNION ALL
+        |      SELECT -1)
+        |SELECT COUNT(*) AS cnt, COUNT(o_orderkey) AS matched,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(4 AS BIGINT) AS files_total,
+        |       CAST(3 AS BIGINT) AS files_read
+        |FROM d LEFT JOIN orders ON d.k = o_orderkey""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      import s.implicits._
+      val table = tmp("txn_dfp_outer")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val q = mx / 4
+      Seq(col("o_orderkey") < q,
+        col("o_orderkey") >= q && col("o_orderkey") < 2 * q,
+        col("o_orderkey") >= 2 * q && col("o_orderkey") < 3 * q,
+        col("o_orderkey") >= 3 * q).foreach(p =>
+        TxnTable.commit(s, o.filter(p).coalesce(1), table, overwrite = false))
+      TxnStats.refresh(s, table, "o_orderkey")
+      val probe = o.agg(min("o_orderkey").as("k"))
+        .union(o.filter(col("o_orderkey") >= 2 * q).agg(min("o_orderkey")))
+        .union(o.agg(max("o_orderkey")))
+        .union(Seq(-1L).toDF("k"))
+      val (toRead, nLive) = TxnStats.dfpFiles(s, table, "o_orderkey", probe)
+      val fact = TxnStats.dfpReadOuter(s, table, "o_orderkey", probe)
+      probe.join(fact, probe("k") === fact("o_orderkey"), "left")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_orderkey")).as("matched"),
+          sum("o_custkey").as("cust_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(toRead.size.toLong))
+    },
+
     // ── small-file-only compaction (TxnTable.compactSmall): one healthy
     //    ingest file plus four micro-batch-sized stragglers; the
     //    compaction merges ONLY the stragglers (5 files → 2, the big

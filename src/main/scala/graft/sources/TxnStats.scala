@@ -516,11 +516,14 @@ object TxnStats {
     *
     * `dimKeys` must be a SINGLE-column frame (the join keys, pre-
     * filtered); it is persisted for the duration of the two passes this
-    * function runs over it. Keys are cast to the fact column's own type
-    * so driver-side comparisons see one representation. Returns
-    * (filesToRead, nLive). Sound ONLY for inner/left-semi joins from
-    * the fact side — outer joins keep unmatched fact rows that live in
-    * skipped files. */
+    * function runs over it. Key and fact types must be identical or
+    * both integral (widened to long, the join's own promotion) — any
+    * other cross-type pair is refused, because the join's coercion may
+    * compare under a type where the cast-side pruning is unsound.
+    * Returns (filesToRead, nLive). Sound for inner/left-semi joins from
+    * the fact side AND for the fact table as an outer join's
+    * NULL-EXTENDING side ([[dfpReadOuter]]) — never for a preserved
+    * side, whose unmatched rows live in skipped files. */
   def dfpFiles(spark: SparkSession, table: String, column: String,
                dimKeys: DataFrame,
                maxExactKeys: Long = 1000000L): (Seq[String], Int) = {
@@ -531,8 +534,32 @@ object TxnStats {
       .schema.find(_.name == column)
       .getOrElse(throw new IllegalArgumentException(
         s"$column is not a column of $table")).dataType
+    // TYPE DISCIPLINE: silently casting arbitrary dim keys to the fact
+    // column's type is UNSOUND — the caller's actual join may coerce
+    // both sides to a different common type (Spark compares a string
+    // fact column against numeric keys numerically, so fact '07'
+    // matches key 7; cast-to-string pruning would skip its file —
+    // wrong join results, not just lost pruning). Accepted forms only:
+    // identical types, or integral↔integral, where both sides WIDEN to
+    // LongType (always exact, matching the join's own promotion).
+    val dimDt = dimKeys.schema.head.dataType
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val bothIntegral = integral(dimDt) && integral(factDt)
+    require(dimDt == factDt || bothIntegral,
+      s"dfp key type $dimDt does not equal fact column type $factDt " +
+        "(and they are not both integral) — the join's comparison type " +
+        "may differ from the cast, which can unsoundly skip files")
+    val keyDt: DataType = if (dimDt == factDt) factDt else LongType
+    // sidecar min/max collect in the FACT type; lift them to the key
+    // comparison type (exact for integral widening)
+    val liftBound: AnyRef => AnyRef =
+      if (keyDt == factDt) identity
+      else v => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
     val keyed = dimKeys
-      .select(col(dimKeys.columns.head).cast(factDt).as("k")).na.drop()
+      .select(col(dimKeys.columns.head).cast(keyDt).as("k")).na.drop()
       .persist()
     try {
       // the gate measures DISTINCT keys (approximate, one pass): a
@@ -554,7 +581,7 @@ object TxnStats {
       // for that type (for strings, unsigned UTF-8 bytes, NOT Java's
       // UTF-16 compareTo: they diverge above the BMP, and a mismatched
       // order here would unsoundly SKIP a file holding a joinable row).
-      val cmp = dfpOrdering(factDt)
+      val cmp = dfpOrdering(keyDt)
       val keys: Array[AnyRef] = keyed.distinct().collect()
         .map(_.get(0).asInstanceOf[AnyRef])
       java.util.Arrays.sort(keys, cmp)
@@ -572,7 +599,8 @@ object TxnStats {
         .select("file", "min", "max").collect()
       val indexed = rows.map(_.getString(0)).toSet
       val hit = rows.filter(r => !r.isNullAt(1) && // all-NULL files never join
-          someKeyIn(r.get(1).asInstanceOf[AnyRef], r.get(2).asInstanceOf[AnyRef]))
+          someKeyIn(liftBound(r.get(1).asInstanceOf[AnyRef]),
+            liftBound(r.get(2).asInstanceOf[AnyRef])))
         .map(_.getString(0)).toSet
       (live.filter(f => !indexed.contains(f) || hit.contains(f)), live.size)
     } finally keyed.unpersist()
@@ -630,4 +658,23 @@ object TxnStats {
     val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
     if (toRead.nonEmpty) df else df.filter(lit(false))
   }
+
+  /** OUTER-JOIN dynamic file pruning — the left-outer star probe
+    * `probe LEFT JOIN fact ON probe.k = fact.column`: the PROBE side is
+    * preserved (every probe row survives, matched or null-extended) and
+    * must never be pruned, but the fact table is the NULL-EXTENDING
+    * side — a fact row only reaches the output by MATCHING a probe key,
+    * exactly inner semantics from the fact side — so fact files whose
+    * [min, max] no probe key can land in are safely skipped: the rows
+    * they hold could only have produced matches that provably don't
+    * exist, and the probe rows they fail to match null-extend
+    * identically whether the file was read or not. Same two pruning
+    * regimes as [[dfpRead]] (one bounded aggregate; gap pruning under
+    * the NDV gate); `preservedKeys` is the probe side's key column,
+    * pre-filtered. Feed the result to the outer join AS the
+    * null-extending side in place of the full fact read. */
+  def dfpReadOuter(spark: SparkSession, table: String, column: String,
+                   preservedKeys: DataFrame,
+                   maxExactKeys: Long = 1000000L): DataFrame =
+    dfpRead(spark, table, column, preservedKeys, maxExactKeys)
 }

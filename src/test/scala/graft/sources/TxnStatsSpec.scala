@@ -345,6 +345,60 @@ class TxnStatsSpec extends SparkSpec {
     assert(fact.join(dim, fact("id") === dim("k")).count() == 1)
   }
 
+  test("dfp: cross-type keys refuse; integral pairs widen soundly either way") {
+    val t = fresh("dfp_types")
+    // INT fact column — a LONG dim key must not cast-narrow (overflow
+    // would wrap); both sides widen to long instead
+    TxnTable.commit(spark,
+      spark.range(0, 100).select(col("id").cast("int").as("id"),
+        col("id").as("payload")).coalesce(1),
+      t, overwrite = false)
+    TxnTable.commit(spark,
+      spark.range(100, 200).select(col("id").cast("int").as("id"),
+        col("id").as("payload")).coalesce(1),
+      t, overwrite = false)
+    TxnStats.refresh(spark, t, "id")
+    // a key beyond int range can never match an int fact — and must
+    // not WRAP into a false file hit (2^33 + 5 wraps to 5)
+    val dim = Seq(5L, (1L << 33) + 5L).toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "id", dim)
+    assert(nLive == 2 && toRead.size == 1,
+      s"key 5 hits file 0 only; the overflowing key hits nothing, got $toRead")
+    // a STRING dim against the int fact is refused loudly: the join's
+    // own coercion compares numerically ('07' matches 7), which a
+    // cast-to-fact-type prune would get wrong
+    val e = intercept[IllegalArgumentException] {
+      TxnStats.dfpFiles(spark, t, "id", Seq("07").toDF("k"))
+    }
+    assert(e.getMessage.contains("fact column type"), e.getMessage)
+  }
+
+  test("dfp outer: the null-extending fact side prunes, preserved probe rows survive") {
+    val t = fresh("dfp_outer")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L))
+      .foreach { case (lo, hi) => commitRange(t, lo, hi) }
+    TxnStats.refresh(spark, t, "id")
+    // probe keys land in files 0/2/3 plus one key matching NOTHING —
+    // the fact (null-extending) side skips the keyless file, while the
+    // unmatched probe row must still null-extend identically
+    val probe = Seq(5L, 250L, 399L, -1L).toDF("k")
+    val (toRead, nLive) = TxnStats.dfpFiles(spark, t, "id", probe)
+    assert(nLive == 4 && toRead.size == 3, s"got $toRead")
+    val fact = TxnStats.dfpReadOuter(spark, t, "id", probe)
+    val pruned = probe.join(fact, probe("k") === fact("id"), "left")
+      .select("k", "id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1)))
+      .sorted.toSeq
+    val full = TxnTable.read(spark, t)
+    val all = probe.join(full, probe("k") === full("id"), "left")
+      .select("k", "id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1)))
+      .sorted.toSeq
+    assert(pruned == all, "outer-join results must be identical pruned vs full")
+    assert(pruned.contains((-1L, -999L)),
+      "the unmatched probe key must surface null-extended")
+  }
+
   test("dfp: string keys prune under lexicographic file bounds") {
     val t = fresh("dfp_str")
     Seq("a", "b", "c").foreach { p =>
