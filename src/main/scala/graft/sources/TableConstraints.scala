@@ -274,6 +274,34 @@ object TableConstraints {
       "check expression must not contain double quotes; use single-quoted SQL literals")
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(exprSql)
+    // RESOLVE against the table's schema when one is readable: a typo'd
+    // column name must refuse NOW, not as an AnalysisException at every
+    // later commitEnforced/verify. The probe is the exact plan shape
+    // enforcement builds (filter(expr(...)) over the schema, zero rows
+    // created, nothing scanned — schema comes from the log/footers).
+    // A table with no readable schema yet (declare-before-first-commit)
+    // skips the probe — the parse check above still gates syntax.
+    validate.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .foreach { s =>
+        val schemaOpt =
+          try Some(TxnTable.read(s, dir).schema)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              try Some(s.read.parquet(dir).schema)
+              catch { case scala.util.control.NonFatal(_) => None }
+          }
+        schemaOpt.foreach { schema =>
+          try s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            schema).filter(org.apache.spark.sql.functions.expr(exprSql))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"check $name ($exprSql) does not resolve against $dir's " +
+                  s"schema [${schema.fieldNames.mkString(", ")}] — " +
+                  s"declaration refused: ${e.getMessage}")
+          }
+        }
+      }
     validate.foreach { s =>
       require(holdsCheck(s, dir, exprSql),
         s"check $name ($exprSql) does not hold in $dir — declaration refused")

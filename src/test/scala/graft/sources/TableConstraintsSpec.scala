@@ -464,6 +464,19 @@ class TableConstraintsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TableConstraints.declareCheck(t, "bad name!", "qty > 0")
     }
+    // a TYPO'D COLUMN refuses at declare time too (resolved against the
+    // readable schema) — without this, every later commitEnforced /
+    // verify on the table dies with an AnalysisException at ingest
+    val typo = intercept[IllegalArgumentException] {
+      TableConstraints.declareCheck(t, "typo", "qtyy > 0")
+    }
+    assert(typo.getMessage.contains("does not resolve"), typo.getMessage)
+    assert(!TableConstraints.checks(t).exists(_.name == "typo"))
+    // declare-before-first-commit still works: no readable schema means
+    // no resolution probe, only the syntax gate
+    val empty = freshDir("check_predeclare")
+    TableConstraints.declareCheck(empty, "future_col", "whatever > 0")
+    assert(TableConstraints.checks(empty).exists(_.name == "future_col"))
   }
 
   test("check validation is STRICT: a NULL-evaluating row refuses the declaration") {
