@@ -89,6 +89,33 @@ object Bench {
     // hot queries; unset (driver runs) benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      sys.props.getOrElse("user.dir", "."))
+    // PRIOR-ROUND baseline (the committed BENCH_LATEST.json, or
+    // SPARK_GRAFT_BASELINE): any query whose first pass exceeds its
+    // prior-round time by the per-round gate's own bar (40% + 1 s)
+    // re-runs regardless of the absolute threshold — r13's gate flagged
+    // 14 phantom movers on ±12% host drift of an UNCHANGED tree, every
+    // one of which re-measured at its prior level; min-of-two kills
+    // them at the source. Only a same-sf baseline applies.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      java.nio.file.Paths.get(repoDir).resolve("BENCH_LATEST.json").toString)
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else {
+          val start = txt.indexOf("\"queries\":{")
+          if (start < 0) Map.empty
+          else {
+            val obj = txt.substring(start + 11, txt.indexOf('}', start))
+            "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -116,8 +143,11 @@ object Bench {
     // "first_pass" for anyone auditing the delta.
     val rerunThreshold = sys.env.get("SPARK_GRAFT_RERUN_SEC")
       .map(_.toDouble).getOrElse(3.0)
+    def overPriorBar(name: String, t1: Double): Boolean =
+      baseline.get(name).exists(p => t1 > p * 1.4 + 1.0)
     val results = firstPass.map { case (name, fn, t1, err1) =>
-      if (err1.isDefined || t1 < rerunThreshold) (name, t1, err1, None)
+      if (err1.isDefined || (t1 < rerunThreshold && !overPriorBar(name, t1)))
+        (name, t1, err1, None)
       else {
         val (t2, err2) = runOnce(name, fn)
         // a re-run failure is noise too (e.g. an external teardown) —
@@ -126,6 +156,12 @@ object Bench {
         else (name, math.min(t1, t2), None, Some(t1))
       }
     }.map { case (name, t, err, first) => (name, t, err, first) }
+    // movers that tripped the prior-round bar on their FIRST pass — the
+    // audit column: a steady-state regression keeps its name here AND a
+    // final time still over the bar; host drift loses the time on the
+    // min and shows up as a first_pass-only blip
+    val barMovers = firstPass.collect {
+      case (name, _, t1, None) if overPriorBar(name, t1) => name }
     val ok = results.filter(_._3.isEmpty)
     val qs = results.map { case (k, v, _, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val firsts = results.collect { case (k, _, _, Some(t1)) => s"${q(k)}:$t1" }
@@ -134,11 +170,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def fmt(v: Double): String = f"$v%.3f"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firsts,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
+    val movers = barMovers.map(q).mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$firsts,"rerun_bar_movers":$movers,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":${q(sfDir)}}"""
     // Full per-query JSON goes to a file (ADVICE r3: path configurable,
     // not hardcoded to one checkout location).
-    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO",
-      sys.props.getOrElse("user.dir", "."))
     // a SPARK_GRAFT_ONLY iteration run must not clobber the full-sweep
     // artifact STATUS cites — partial results land in BENCH_PARTIAL.json
     val artifact = if (only.isEmpty) "BENCH_LATEST.json" else "BENCH_PARTIAL.json"

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Stage-level profiling of the two repeat bench watch items the r11
-  * verdict named (q_stream_hll, q_scan_mv_cdc_repair) — measures the
+/** Stage-level profiling of the rotating bench watch items (r11:
+  * q_stream_hll, q_scan_mv_cdc_repair; r12: q_src_cdf_scd2; r13:
+  * q_stream_enforced_ingest, q_stream_join_outer) — measures the
   * micro-batch count and per-phase wall time instead of claiming VM
   * drift. `runMain graft.ProfileWatch <sfDir> [reps]`. Each rep prints
   * one line per phase; the driver-visible bench number is the SUM of
@@ -123,6 +124,63 @@ object ProfileWatch {
           rowKeys = Seq("k"), repairMinMax = true))
         t("cdcr stage b (mv answer)")(staged("b_repaired"))
       } finally MvRewrite.deregister("pw_cdcmvr_q")
+    }
+
+    for (rep <- 1 to reps) {
+      println(s"[watch] ── q_stream_join_outer rep $rep ──")
+      // phase 1: the per-sf stream staging (cached across reps)
+      t("ljoin stage dir")(graft.streaming.EventsStreaming.stageDir(sfDir))
+      // phase 2: stream build + bounded drain (watermarked outer join,
+      // sentinel-flushed) — the streaming machinery itself
+      val joined = t("ljoin stream build+drain")(
+        graft.streaming.EventsStreaming.clickPurchaseLeftJoin(spark, sfDir,
+          withinMinutes = 30))
+      // phase 3: the batch-side sort + materialization the query adds
+      val n = t("ljoin sort+collect")(
+        joined.orderBy("click_id", "purchase_id").collect().length)
+      println(s"[watch] ljoin rows = $n")
+    }
+
+    for (rep <- 1 to reps) {
+      println(s"[watch] ── q_stream_enforced_ingest rep $rep ──")
+      import graft.sources.{TableConstraints, TxnTable}
+      import org.apache.spark.sql.types.{LongType, StructType}
+      import spark.implicits._
+      val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = Scratch.dir(s"/root/repo/target/tmp/pw_senf_$sfKey")
+      val dim = s"$root/dim"; val fact = s"$root/fact"
+      val quar = s"$root/quar"; val in = s"$root/in"
+      t("senf dim commit+declare") {
+        TxnTable.commit(spark,
+          spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey"),
+          dim, overwrite = false)
+        new java.io.File(fact).mkdirs()
+        TableConstraints.declareUnique(dim, Seq("o_orderkey"),
+          validate = Some(spark))
+        TableConstraints.declareForeignKey(fact, Seq("l_orderkey"), dim,
+          Seq("o_orderkey"))
+        TableConstraints.declareNotNull(fact, Seq("l_orderkey"))
+      }
+      t("senf input write")(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+          .unionByName(Seq((Some(-1L), 7L)).toDF("l_orderkey", "qty"))
+          .unionByName(Seq((Option.empty[Long], 5L)).toDF("l_orderkey", "qty"))
+          .write.parquet(in))
+      val schema = new StructType()
+        .add("l_orderkey", LongType).add("qty", LongType)
+      val (goodT, quarT) = t("senf constrained stream")(
+        graft.streaming.EventsStreaming.constrainedIngest(spark, in, schema,
+          fact, quar))
+      t("senf agg+collect") {
+        val good = goodT.agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+          .select(lit("a_good").as("bucket"), col("cnt"), col("qty"))
+        val bad = quarT
+          .groupBy(when(col("reason").startsWith("fk"), "b_fk")
+            .otherwise("c_notnull").as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum("qty").as("qty"))
+        good.unionByName(bad).orderBy("bucket").collect().length
+      }
     }
     spark.stop()
   }

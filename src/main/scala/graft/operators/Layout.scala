@@ -96,12 +96,34 @@ object Layout {
     * [[graft.sources.TxnLayout.optimizeClustered]] scale against (one
     * row to the driver, any table size). All-NULL columns record
     * (0, 0) — every real value of such a column is NULL and codes NULL
-    * regardless of bounds. */
-  def measureRanges(df: DataFrame, cols: Seq[String]): Seq[(String, Long, Long)] = {
+    * regardless of bounds.
+    *
+    * `clipQuantile` > 0 WINSORIZES the bounds to the
+    * [clip, 1 − clip] quantiles (one `approx_percentile` pass) — the
+    * outlier-skew defence: a column whose true [min, max] is stretched
+    * by a handful of extreme values (a sentinel 2^62, one corrupt
+    * timestamp) would otherwise squeeze the entire real distribution
+    * into a few buckets and pruning would collapse exactly like the
+    * unquantized regime. Clipped bounds keep full bucket resolution for
+    * the bulk; the outliers clamp to the edge buckets ([[rangeScale]]),
+    * which costs layout quality for those few rows only, never
+    * correctness. */
+  def measureRanges(df: DataFrame, cols: Seq[String],
+                    clipQuantile: Double = 0.0): Seq[(String, Long, Long)] = {
     require(cols.nonEmpty, "need at least one clustering column")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__mn_$c"),
-      max(col(c).cast("long")).as(s"__mx_$c")))
+    require(clipQuantile >= 0.0 && clipQuantile < 0.5,
+      s"clipQuantile must be in [0, 0.5), got $clipQuantile")
+    val aggs =
+      if (clipQuantile == 0.0)
+        cols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__mn_$c"),
+          max(col(c).cast("long")).as(s"__mx_$c")))
+      else
+        cols.flatMap(c => Seq(
+          expr(s"approx_percentile(CAST(`$c` AS BIGINT), $clipQuantile)")
+            .as(s"__mn_$c"),
+          expr(s"approx_percentile(CAST(`$c` AS BIGINT), ${1.0 - clipQuantile})")
+            .as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
       if (r.isNullAt(2 * i)) (c, 0L, 0L)
@@ -119,8 +141,9 @@ object Layout {
     * codes later. */
   def zorderWriteRanged(df: DataFrame, cols: Seq[String], path: String,
                         numFiles: Int = 8, curve: String = "morton",
-                        bits: Int = 16): Seq[(String, Long, Long)] = {
-    val ranges = measureRanges(df, cols)
+                        bits: Int = 16,
+                        clipQuantile: Double = 0.0): Seq[(String, Long, Long)] = {
+    val ranges = measureRanges(df, cols, clipQuantile)
     val scaled = ranges.map { case (c, mn, mx) => rangeScale(col(c), mn, mx, bits) }
     val code = curve match {
       case "morton" => mortonCodeN(scaled, bits)

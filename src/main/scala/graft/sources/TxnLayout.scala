@@ -172,7 +172,8 @@ object TxnLayout {
   def optimizeClustered(spark: SparkSession, table: String,
                         cols: Seq[String], curve: String = "morton",
                         numFiles: Int = 8, bits: Int = 16,
-                        quantize: Boolean = true): Int = {
+                        quantize: Boolean = true,
+                        clipQuantile: Double = 0.0): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     TxnTable.requireNoDv(table, "clustered optimize")
     val live = TxnTable.liveSplit(table)._1
@@ -184,9 +185,13 @@ object TxnLayout {
     // aggregate pass) and RECORD the bounds so incremental rounds map
     // stale rows into the same code space. quantize=false keeps the
     // raw-coordinate contract for pre-bucketed inputs.
+    // clipQuantile > 0 winsorizes the measured bounds (outlier-skew
+    // defence — see Layout.measureRanges); the CLIPPED bounds are what
+    // the sidecar records, so incremental rounds and the baseline agree
     val quant =
       if (quantize)
-        graft.operators.Layout.measureRanges(TxnTable.read(spark, table), cols)
+        graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
+          cols, clipQuantile)
       else Nil
     val code = codeExpr(cols, curve, bits, quant)
     val rewritten = TxnTable.read(spark, table)

@@ -138,6 +138,56 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
   }
 
+  test("clipQuantile: winsorized bounds survive outlier skew that collapses plain range scaling") {
+    // bulk in [0, 4e9], two sentinel outliers near 2^62: plain min/max
+    // scaling maps the ENTIRE bulk to bucket 0 (4e9 / 2^62 of the
+    // range) and pruning collapses like the unquantized regime;
+    // clipped bounds keep resolution for the bulk and clamp the
+    // outliers to the top bucket
+    val df = spark.range(0, 4000).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"))
+      .union(Seq((1L << 62, 1L << 62), ((1L << 62) + 1, 1L << 62))
+        .toDF("x", "y"))
+    val dirP = java.nio.file.Files.createTempDirectory("zplain").toString
+    val dirC = java.nio.file.Files.createTempDirectory("zclip").toString
+    Layout.zorderWriteRanged(df, Seq("x", "y"), dirP, numFiles = 16)
+    val clipped = Layout.zorderWriteRanged(df, Seq("x", "y"), dirC,
+      numFiles = 16, clipQuantile = 0.01)
+    // the clipped bounds sit in the bulk, not at the sentinels
+    assert(clipped.forall { case (_, _, hi) => hi < (1L << 40) },
+      s"clip must ignore the sentinels: $clipped")
+    val bounds = Seq(("x", 800L * 1000003L, 1600L * 1000003L),
+      ("y", 800L * 999983L, 1600L * 999983L))
+    // metric = ROWS the pruned scan must read (plain scaling collapses
+    // the bulk into one bucket-0 file, so FILE counts aren't comparable
+    // across the two layouts — rows are)
+    def openedRows(dir: String): (Long, Long) = {
+      val idx = Layout.buildMinMaxIndexN(spark, dir, Seq("x", "y"))
+        .localCheckpoint(true)
+      val open = idx.filter(bounds.map { case (c, lo, hi) =>
+        col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _))
+        .agg(sum("n_rows")).head().getLong(0)
+      (open, idx.agg(sum("n_rows")).head().getLong(0))
+    }
+    val (rowsP, _) = openedRows(dirP)
+    val (rowsC, totC) = openedRows(dirC)
+    assert(rowsP > totC / 2,
+      s"plain scaling should have collapsed (bulk in one bucket), read $rowsP of $totC")
+    assert(rowsC < rowsP / 2,
+      s"clipped must read far fewer rows than outlier-collapsed plain scaling: $rowsC vs $rowsP")
+    // pruning still costs no rows — outliers clamp to the edge, they
+    // don't vanish
+    val idx = Layout.buildMinMaxIndexN(spark, dirC, Seq("x", "y"))
+      .localCheckpoint(true)
+    assert(Layout.prunedReadBox(spark, idx, bounds).count() ==
+      df.filter(col("x").between(bounds(0)._2, bounds(0)._3) &&
+        col("y").between(bounds(1)._2, bounds(1)._3)).count())
+    assert(spark.read.parquet(dirC).count() == 4002L,
+      "the outlier rows must round-trip")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirP))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirC))
+  }
+
   test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {
     // 2D, bits=4: the code must be a BIJECTION onto [0, 256) AND
     // unit-step continuous — consecutive codes decode to Manhattan-
