@@ -1069,6 +1069,71 @@ object ScaleQueries {
         .orderBy("event_id")
     },
 
+    // ── WINSORIZED quantization under OUTLIER SKEW: two sentinel rows
+    //    near 2^62 stretch the true [min, max] so far that plain range
+    //    scaling squeezes the whole bulk into bucket 0 — pruning
+    //    collapses exactly like the unquantized regime. clipQuantile
+    //    measures the [1%, 99%] bounds instead (one approx-percentile
+    //    pass); the bulk keeps full bucket resolution and the sentinels
+    //    clamp to the edge buckets. Pins ride the hash: the clipped
+    //    layout's box scan reads under half the rows the plain-scaled
+    //    one must (rows, not files — the collapsed layout also
+    //    degenerates to fewer files), and the clamped sentinel rows
+    //    provably round-trip (outliers_kept).
+    sql("q_layout_zorder_clip",
+      """WITH e AS (
+        |  SELECT event_id, event_id * 1000003 AS x, user_id * 999983 AS y
+        |  FROM events),
+        |b AS (SELECT (MAX(event_id) // 20) * 1000003 AS xlo,
+        |             (MAX(event_id) // 5) * 1000003 AS xhi
+        |      FROM events)
+        |SELECT event_id, CAST(x AS BIGINT) AS x,
+        |       TRUE AS clip_in_bulk, TRUE AS beats_plain,
+        |       TRUE AS outliers_kept
+        |FROM e, b
+        |WHERE x BETWEEN b.xlo AND b.xhi
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      import s.implicits._
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dirP = graft.Scratch.dir(s"/root/repo/target/tmp/zclip_plain_$sfKey")
+      val dirC = graft.Scratch.dir(s"/root/repo/target/tmp/zclip_clip_$sfKey")
+      val cols = Seq("x", "y")
+      val big = 1L << 62
+      val src = Tables.events(s, d).select(
+          col("event_id"),
+          (col("event_id") * 1000003L).as("x"),
+          (col("user_id") * 999983L).as("y"))
+        .unionByName(Seq((-1L, big, big), (-2L, big + 1, big))
+          .toDF("event_id", "x", "y"))
+      val maxId = Tables.events(s, d)
+        .agg(max(col("event_id").cast("long"))).head().getLong(0)
+      Layout.zorderWriteRanged(src, cols, dirP, numFiles = 16)
+      val clipped = Layout.zorderWriteRanged(src, cols, dirC, numFiles = 16,
+        clipQuantile = 0.01)
+      val clipInBulk = clipped.forall { case (_, _, hi) => hi < (1L << 40) }
+      // open-box rows metric on a bulk-interior x range narrow enough
+      // to sit inside one x-quarter of the morton layout
+      val bounds = Seq(("x", (maxId / 20) * 1000003L, (maxId / 5) * 1000003L))
+      def openedRows(dir: String): Long =
+        Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
+          .filter(bounds.map { case (c, lo, hi) =>
+            col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _))
+          .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val (rowsP, rowsC) = (openedRows(dirP), openedRows(dirC))
+      // the clamped outliers never vanish: both land in the clipped
+      // layout's edge file and read back
+      val outliersKept = s.read.parquet(dirC)
+        .filter(col("x") >= lit(big)).count() == 2L
+      val idxC = Layout.buildMinMaxIndexN(s, dirC, cols).localCheckpoint(true)
+      Layout.prunedReadBox(s, idxC, bounds)
+        .select(col("event_id"), col("x"),
+          lit(clipInBulk).as("clip_in_bulk"),
+          lit(rowsC * 2 < rowsP).as("beats_plain"),
+          lit(outliersKept).as("outliers_kept"))
+        .orderBy("event_id")
+    },
+
     // ── COMPOSITE Z-ORDER ADVISOR: a workload range-filtering SEVERAL
     //    high-NDV columns of one base gets ONE multi-column layout
     //    recommendation (k single-column zorder rows would fight over
