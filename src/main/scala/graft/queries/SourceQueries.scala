@@ -1090,6 +1090,69 @@ object SourceQueries {
         .withColumn("prune_strict", lit(pruneStrict))
     },
 
+    // ── GROWING-DOMAIN maintenance (TxnLayout.boundsStaleness /
+    //    maintainClustered maxClampedFraction): quantization bounds are
+    //    measured once, so time-correlated ingest (timestamps, monotone
+    //    ids — the common 100 TB case) eventually lands EVERY new row
+    //    beyond them, clamped into one edge bucket no incremental
+    //    round can spread back out. The policy measures the clamped
+    //    mass from footer metadata (fresh ingest files fully outside
+    //    the bounds) and RE-OPTIMIZES with re-measured bounds when it
+    //    crosses the threshold. Staged pins: clamped counts before/
+    //    after (b_clamped = the whole shifted batch, d_clamped = 0),
+    //    the full-rewrite shape (kept = 0), the re-measured upper
+    //    bound covering the grown domain, and a grown-region x-box
+    //    pruning a strict file subset — impossible under the old
+    //    bounds. Content equality proves only layout moved.
+    sql("q_layout_regrow",
+      """WITH grown AS (
+        |  SELECT o_orderkey * 1000003 AS x, o_orderkey AS v FROM orders
+        |  UNION ALL
+        |  SELECT (o_orderkey + 100000) * 1000003, o_orderkey + 100000
+        |  FROM orders)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |       (SELECT COUNT(*) FROM orders) AS b_clamped,
+        |       CAST(0 AS BIGINT) AS d_clamped,
+        |       CAST(0 AS BIGINT) AS kept,
+        |       (SELECT (MAX(o_orderkey) + 100000) * 1000003 FROM orders)
+        |         AS new_qhi,
+        |       TRUE AS prune_strict
+        |FROM grown""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      val table = tmp("txn_regrow")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select(
+        (col("o_orderkey") * 1000003L).as("x"),
+        col("o_orderkey").cast("long").as("v"))
+      TxnTable.commit(s, o.withColumn("y", col("v") * 999983L)
+        .select("x", "y", "v"), table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("x", "y"), numFiles = 4)
+      // the domain grows: a same-sized batch entirely beyond the bounds
+      TxnTable.commit(s, Tables.orders(s, d).select(
+          ((col("o_orderkey") + 100000L) * 1000003L).as("x"),
+          ((col("o_orderkey") + 100000L) * 999983L).as("y"),
+          (col("o_orderkey") + 100000L).as("v")),
+        table, overwrite = false)
+      val (bClamped, _) = TxnLayout.boundsStaleness(s, table)
+      val r = TxnLayout.maintainClustered(s, table,
+        maxStaleFraction = 1e-9, maxClampedFraction = 0.4).get
+      val (dClamped, _) = TxnLayout.boundsStaleness(s, table)
+      val qhi = TxnLayout.readSpec(table).get
+        .quant.find(_._1 == "x").get._3
+      val maxOk = Tables.orders(s, d)
+        .agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      // a box in the GROWN region prunes only after the re-measure
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "x",
+        (100000L + maxOk / 2) * 1000003L, (100000L + maxOk) * 1000003L)
+      TxnTable.read(s, table)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .withColumn("b_clamped", lit(bClamped))
+        .withColumn("d_clamped", lit(dClamped))
+        .withColumn("kept", lit(r._3.toLong))
+        .withColumn("new_qhi", lit(qhi))
+        .withColumn("prune_strict", lit(toRead.size < nLive))
+    },
+
     // ── CLUSTER-HEALTH advice + maintenance policy
     //    (LayoutAdvisor.clusterAdvice / TxnLayout.maintainClustered):
     //    the metadata-only row that decides WHEN to recluster. Clean

@@ -64,7 +64,8 @@ object TxnLayout {
     * next incremental round; layout quality, never correctness). */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
-                               quant: Seq[(String, Long, Long)] = Nil)
+                               quant: Seq[(String, Long, Long)] = Nil,
+                               clip: Double = 0.0)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -114,7 +115,9 @@ object TxnLayout {
           .findAllMatchIn(s)
           .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
           .toSeq
-        ClusterSpec(cols, curve, bits, version, ranges, quant)
+        val clip = "\"clip\":([0-9.eE+-]+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toDouble).getOrElse(0.0)
+        ClusterSpec(cols, curve, bits, version, ranges, quant, clip)
       }
     }
   }
@@ -129,7 +132,8 @@ object TxnLayout {
     val body =
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
-        s""""version":${spec.version},"quant":$quant,"files":$files}"""
+        s""""version":${spec.version},"clip":${spec.clip},""" +
+        s""""quant":$quant,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile,
@@ -202,7 +206,15 @@ object TxnLayout {
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
-      rangesOf(spark, table, now, code), quant))
+      rangesOf(spark, table, now, code), quant, clipQuantile))
+    // index the clustering columns' min-max stats: they are exactly the
+    // box-filter columns the layout serves (the whole point of the
+    // rewrite is that their per-file intervals now prune), and the
+    // metadata [[boundsStaleness]] reads. Unsupported column types
+    // (float/double stats are refused) simply skip.
+    cols.foreach(c =>
+      try TxnStats.refreshFromFooters(spark, table, c)
+      catch { case scala.util.control.NonFatal(_) => () })
     refreshStats(spark, table)
     v
   }
@@ -384,20 +396,79 @@ object TxnLayout {
         (cl.size, st.size, st.map(_._2).sum, counts.map(_._2).sum)
     }
 
+  /** BOUNDS staleness — the GROWING-DOMAIN measure [[staleness]] cannot
+    * see: quantization bounds are measured once at [[optimizeClustered]]
+    * and reused, so time-correlated ingest (timestamps, monotone ids —
+    * the common 100 TB case) eventually lands EVERY new row beyond the
+    * recorded [qlo, qhi], clamped into one edge bucket. Incremental
+    * reclustering cannot fix that — the rows are "clustered", just all
+    * in the same degenerate bucket — only re-measuring the bounds can.
+    *
+    * Footer-metadata cost only: the quant columns' min-max sidecars
+    * (which [[optimizeClustered]] seeds for its own columns) freshen
+    * under their own watermark FIRST — O(files committed since the last
+    * refresh), never a data scan — precisely because fresh ingest is
+    * what carries the clamped mass; then the per-file bounds name the
+    * live files lying ENTIRELY outside the recorded quantization
+    * bounds, and their row counts (log/footer) sum to the clamped mass.
+    * Conservative: a file partially outside counts 0, a missing
+    * sidecar or non-numeric bounds count 0 — the measure only ever
+    * under-triggers, never fires on healthy layout. Returns
+    * (clampedRows, totalRows); (0, 0) when unclustered or unquantized. */
+  def boundsStaleness(spark: SparkSession, table: String): (Long, Long) = {
+    val spec = readSpec(table).getOrElse(return (0L, 0L))
+    if (spec.quant.isEmpty) return (0L, 0L)
+    spec.quant.foreach { case (c, _, _) =>
+      try TxnStats.refreshFromFooters(spark, table, c)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val counts = TxnTable.liveFileRowCounts(table)
+    val total = counts.map(_._2).sum
+    val clamped = scala.collection.mutable.Set.empty[String]
+    spec.quant.foreach { case (c, qlo, qhi) =>
+      TxnStats.fileBounds(spark, table, c).foreach {
+        case (f, mn: Number, mx: Number) =>
+          if (mn.longValue > qhi || mx.longValue < qlo) clamped += f
+        case _ => () // null or non-numeric bounds: conservative skip
+      }
+    }
+    (counts.collect { case (f, n) if clamped(f) => n }.sum, total)
+  }
+
   /** The steady-state maintenance policy: recluster ONLY when the stale
     * fraction reaches `maxStaleFraction` of the snapshot's rows —
     * below it the pruning loss is cheaper than the rewrite IO, the same
-    * economics as small-file compaction thresholds. Metadata-only when
-    * it declines. A table carrying live deletion vectors DECLINES
-    * rather than throws (a periodic policy must not crash its cycle) —
-    * run `TxnTable.optimize` to materialize the vectors first. Returns
-    * Some(reclusterIncremental result) when it ran, None when the
-    * clustering is still healthy, absent, or DV-blocked. */
+    * economics as small-file compaction thresholds — and RE-OPTIMIZE
+    * (full rewrite, bounds re-measured, same cols/curve/bits/clip) when
+    * the CLAMPED mass crosses `maxClampedFraction`: rows beyond the
+    * recorded quantization bounds pile into one edge bucket that no
+    * incremental round can spread back out ([[boundsStaleness]]).
+    * Both measures are metadata-only when the policy declines. A table
+    * carrying live deletion vectors DECLINES rather than throws (a
+    * periodic policy must not crash its cycle) — run
+    * `TxnTable.optimize` to materialize the vectors first. Returns
+    * Some((version, filesRewritten, filesKept)) when it ran (kept = 0
+    * for the full re-optimize), None when the clustering is still
+    * healthy, absent, or DV-blocked. */
   def maintainClustered(spark: SparkSession, table: String,
                         maxStaleFraction: Double = 0.2,
-                        numFiles: Int = 0): Option[(Int, Int, Int)] = {
+                        numFiles: Int = 0,
+                        maxClampedFraction: Double = 0.5): Option[(Int, Int, Int)] = {
     require(maxStaleFraction > 0.0, "maxStaleFraction must be positive")
+    require(maxClampedFraction > 0.0, "maxClampedFraction must be positive")
     if (TxnTable.liveSplit(table)._2.nonEmpty) return None
+    val spec = readSpec(table)
+    if (spec.exists(_.quant.nonEmpty)) {
+      val (clampedRows, totalRows) = boundsStaleness(spark, table)
+      if (totalRows > 0 && clampedRows > maxClampedFraction * totalRows) {
+        val sp = spec.get
+        val nf = if (numFiles >= 1) numFiles else math.max(1, sp.ranges.size)
+        val rewritten = TxnTable.liveSplit(table)._1.size
+        val v = optimizeClustered(spark, table, sp.cols, sp.curve, nf,
+          sp.bits, quantize = true, clipQuantile = sp.clip)
+        return Some((v, rewritten, 0))
+      }
+    }
     val (_, staleFiles, staleRows, totalRows) = staleness(table)
     if (staleFiles == 0 || staleRows < maxStaleFraction * totalRows) None
     else Some(reclusterIncremental(spark, table, numFiles))

@@ -606,6 +606,19 @@ object TxnStats {
     } finally keyed.unpersist()
   }
 
+  /** Per-file [min, max] rows of `column`'s stats sidecar (empty when
+    * the column is not indexed) — metadata only, the inputs
+    * [[graft.sources.TxnLayout.boundsStaleness]] folds. */
+  def fileBounds(spark: SparkSession, table: String,
+                 column: String): Seq[(String, AnyRef, AnyRef)] = {
+    val sd = statsDir(table, column)
+    if (!sd.isDirectory) Seq.empty
+    else spark.read.parquet(sd.getPath).select("file", "min", "max")
+      .collect()
+      .map(r => (r.getString(0), r.get(1).asInstanceOf[AnyRef],
+        r.get(2).asInstanceOf[AnyRef])).toSeq
+  }
+
   /** The columns carrying a min-max stats sidecar — the set a
     * maintenance rewrite must re-freshen so its new files prune (a
     * stale index is safe but unpruned: unindexed live files are always

@@ -145,6 +145,57 @@ class TxnLayoutSpec extends SparkSpec {
       (6000L * 1000003L, 6000L * 999983L, -2L)))
   }
 
+  test("growing domain: clamped mass triggers a full re-optimize with fresh bounds") {
+    val t = fresh("regrow")
+    TxnTable.commit(spark,
+      spark.range(0, 1000).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"),
+        col("id").as("v")),
+      t, overwrite = false)
+    val before = contentOf(t)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 4)
+    val spec0 = TxnLayout.readSpec(t).get
+    assert(spec0.quant.head._3 == 999L * 1000003L)
+    assert(TxnLayout.boundsStaleness(spark, t) == ((0L, 1000L)))
+    // a SMALL out-of-bounds batch: its fresh ingest file measures
+    // fully-clamped, but below the threshold — maintenance stays
+    // incremental and the bounds must not re-measure
+    TxnTable.commit(spark,
+      spark.range(2000, 2050).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"),
+        col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    assert(TxnLayout.boundsStaleness(spark, t) == ((50L, 1050L)))
+    assert(TxnLayout.maintainClustered(spark, t,
+      maxStaleFraction = 1e-9).isDefined) // the stale-file path ran
+    assert(TxnLayout.readSpec(t).get.quant == spec0.quant,
+      "below the clamped threshold the bounds must not re-measure")
+    // the DOMAIN GROWS: a bulk beyond the bounds crosses the clamped
+    // threshold — maintenance re-optimizes in full, re-measuring
+    TxnTable.commit(spark,
+      spark.range(3000, 5000).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"),
+        col("id").as("v")),
+      t, overwrite = false)
+    val r = TxnLayout.maintainClustered(spark, t,
+      maxStaleFraction = 1e-9, maxClampedFraction = 0.5)
+    assert(r.isDefined && r.get._3 == 0, s"full re-optimize expected, got $r")
+    val spec1 = TxnLayout.readSpec(t).get
+    assert(spec1.quant.head._3 == 4999L * 1000003L,
+      s"bounds must cover the grown domain: ${spec1.quant}")
+    assert(TxnLayout.boundsStaleness(spark, t)._1 == 0L,
+      "after re-measuring nothing is clamped")
+    assertDisjoint(spec1)
+    // pruning works on the NEW region now — impossible under the old
+    // bounds, where every grown row shared the top edge bucket
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "x",
+      3500L * 1000003L, 4000L * 1000003L)
+    assert(toRead.size < nLive, s"grown-domain box must prune: $toRead / $nLive")
+    assert(contentOf(t) == before ++
+      (2000L until 2050L).map(i => (i * 1000003L, i * 999983L, i)).toSet ++
+      (3000L until 5000L).map(i => (i * 1000003L, i * 999983L, i)).toSet)
+  }
+
   test("hilbert curve maintenance: same lifecycle, hilbert code ranges") {
     val t = fresh("hilbert")
     seed(t)
