@@ -163,7 +163,23 @@ object LayoutAdvisor {
   def recommend(spark: SparkSession, queries: Seq[DataFrame],
                 maxPartitions: Long = 1024L,
                 exactNdv: Boolean = false,
-                rsd: Double = 0.05): DataFrame = {
+                rsd: Double = 0.05): DataFrame =
+    measured(spark, queries, maxPartitions, exactNdv, rsd,
+      clipRatio = 0.0).drop("skewed")
+
+  /** [[recommend]] plus an internal per-column OUTLIER-SKEW flag
+    * (`skewed`): with `clipRatio` > 0, a numeric column whose full
+    * [min, max] span exceeds `clipRatio` × its [p1, p99] span is
+    * dominated by a handful of extreme values — the regime where plain
+    * range quantization squeezes the bulk into one bucket and the
+    * apply path should pass `clipQuantile` (see
+    * [[graft.operators.Layout.measureRanges]]). Measured in the SAME
+    * per-base aggregate as NDV (min/max + two approx percentiles per
+    * column — no extra scan); non-numeric columns and clipRatio = 0
+    * flag false. */
+  private def measured(spark: SparkSession, queries: Seq[DataFrame],
+                       maxPartitions: Long, exactNdv: Boolean,
+                       rsd: Double, clipRatio: Double): DataFrame = {
     val merged = queries.flatMap(columnUses)
       .groupBy(u => (u.basePath, u.column)).toSeq
       .map { case (_, us) =>
@@ -173,13 +189,28 @@ object LayoutAdvisor {
     val rows = merged.groupBy(_.basePath).toSeq.flatMap { case (path, us) =>
       val cols = us.map(_.column).distinct.sorted
       val rel = spark.read.parquet(path)
+      def numeric(c: String): Boolean = rel.schema.find(_.name == c)
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val skewAggs =
+        if (clipRatio <= 0.0) Nil
+        else cols.filter(numeric).flatMap { c =>
+          val d = col(c).cast("double")
+          Seq(org.apache.spark.sql.functions.min(d).as(s"_mn_$c"),
+            max(d).as(s"_mx_$c"),
+            org.apache.spark.sql.functions
+              .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), 0.01)")
+              .as(s"_p1_$c"),
+            org.apache.spark.sql.functions
+              .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), 0.99)")
+              .as(s"_p99_$c"))
+        }
       val st = rel.agg(count(lit(1)).as("_n"),
         cols.map { c =>
           val d = if (exactNdv) countDistinct(col(c))
                   else org.apache.spark.sql.functions
                     .approx_count_distinct(col(c), rsd)
           d.as(s"_ndv_$c")
-        }: _*).head()
+        } ++ skewAggs: _*).head()
       val baseRows = st.getAs[Long]("_n")
       us.map { u =>
         val ndv = st.getAs[Long](s"_ndv_${u.column}")
@@ -191,12 +222,22 @@ object LayoutAdvisor {
           else if (u.nRange > 0) "zorder"
           else if (u.nEq > 0) "bloom"
           else "bucket"
-        (u.base, u.column, u.nEq, u.nRange, u.nJoin, ndv, baseRows, action)
+        val skewed = clipRatio > 0.0 && numeric(u.column) && {
+          val c = u.column
+          !st.isNullAt(st.fieldIndex(s"_mn_$c")) &&
+            !st.isNullAt(st.fieldIndex(s"_p1_$c")) && {
+            val span = st.getAs[Double](s"_mx_$c") - st.getAs[Double](s"_mn_$c")
+            val bulk = st.getAs[Double](s"_p99_$c") - st.getAs[Double](s"_p1_$c")
+            span > clipRatio * math.max(bulk, java.lang.Double.MIN_NORMAL)
+          }
+        }
+        (u.base, u.column, u.nEq, u.nRange, u.nJoin, ndv, baseRows, action,
+          skewed)
       }
     }.sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
-      "base_rows", "action")
+      "base_rows", "action", "skewed")
   }
 
   /** COMPOSITE Z-ORDER recommendation — the multi-dimension form
@@ -216,14 +257,21 @@ object LayoutAdvisor {
     * interval until min/max stops excluding anything. */
   def zorderAdvice(spark: SparkSession, queries: Seq[DataFrame],
                    maxPartitions: Long = 1024L, exactNdv: Boolean = false,
-                   rsd: Double = 0.05, maxCols: Int = 4): DataFrame =
-    recommend(spark, queries, maxPartitions, exactNdv, rsd)
+                   rsd: Double = 0.05, maxCols: Int = 4,
+                   clipRatio: Double = 10.0): DataFrame =
+    measured(spark, queries, maxPartitions, exactNdv, rsd, clipRatio)
       .filter(col("action") === "zorder")
       .groupBy("base")
       .agg(sort_array(collect_list("col_name")).as("cs"),
         count(lit(1)).as("n_cols"),
         sum("n_range").as("n_range"),
-        max("base_rows").as("base_rows"))
+        max("base_rows").as("base_rows"),
+        // quantization advice: ANY composite column dominated by
+        // outliers (full span ≫ p1–p99 span) wants winsorized bounds —
+        // the apply path's clipQuantile knob — or plain range scaling
+        // squeezes the bulk into one bucket (see
+        // Layout.measureRanges/rangeScale)
+        max(col("skewed").cast("int")).as("_any_skew"))
       .select(col("base"), concat_ws(",", col("cs")).as("cols"),
         col("n_cols"), col("n_range"), col("base_rows"),
         (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"),
@@ -235,6 +283,7 @@ object LayoutAdvisor {
         // end-to-end (LayoutAdvisorSpec applies the 4-column row)
         least(lit(16L), floor(lit(63L) / col("n_cols")).cast("long"))
           .as("bits"),
+        (col("_any_skew") === 1).as("clip_recommended"),
         // curve choice: at 2 dims Morton's cheap bit-interleave is
         // within a few percent of Hilbert's pruning; from 3 dims the
         // Morton curve's diagonal jumps widen per-file intervals enough

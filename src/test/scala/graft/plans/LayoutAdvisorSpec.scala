@@ -155,6 +155,8 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(row.getAs[Long]("bits") == 15L,
       s"4-column advice must advise bits = 63/4 = 15, got ${row.getAs[Long]("bits")}")
     assert(row.getAs[String]("curve") == "hilbert")
+    assert(!row.getAs[Boolean]("clip_recommended"),
+      "uniform columns must not recommend winsorized bounds")
     // apply EVERY advised field (cols, curve, bits) — the loop the
     // advisor exists for; at the default bits=16 this application
     // would trip the curve's n·bits ≤ 63 check instead of clustering
@@ -174,6 +176,31 @@ class LayoutAdvisorSpec extends SparkSpec {
       graft.sources.TxnLayout.optimizeClustered(spark, t, cols,
         curve = row.getAs[String]("curve"), numFiles = 8, bits = 16)
     }
+  }
+
+  test("skew probe: an outlier-dominated composite column recommends winsorized bounds") {
+    val p = s"$root/skewed.parquet"
+    // bulk in [0, 4000) plus two sentinels near 2^50 on column a — the
+    // full span dwarfs the p1–p99 span, the regime plain range
+    // quantization collapses on (Layout.rangeScale clipQuantile)
+    ((0L until 4000L).map(i => (i, i * 7 % 4000)) ++
+      Seq((1L << 50, 0L), ((1L << 50) + 1, 1L)))
+      .toDF("a", "b")
+      .repartition(2).write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val adv = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 100 && col("a") < 900).select("b"),
+      base.filter(col("b") < 500).select("a")), exactNdv = true).collect()
+    assert(adv.length == 1, adv.mkString(";"))
+    assert(adv.head.getAs[String]("cols") == "a,b")
+    assert(adv.head.getAs[Boolean]("clip_recommended"),
+      "the sentinel-stretched column must flag winsorized quantization")
+    // clipRatio = 0 disables the probe entirely (no skew aggregates)
+    val off = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 100 && col("a") < 900).select("b"),
+      base.filter(col("b") < 500).select("a")),
+      exactNdv = true, clipRatio = 0.0).collect()
+    assert(!off.head.getAs[Boolean]("clip_recommended"))
   }
 
   test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
