@@ -52,6 +52,20 @@ object GraftExtensions {
       // coordinate list is variadic
       (children: Seq[Expression]) =>
         HilbertCode(children.drop(1), literalInt(children.head, "hilbert_code"))),
+    (FunctionIdentifier("rank_bucket"),
+      new ExpressionInfo(classOf[RankBucket].getName, "rank_bucket"),
+      // rank_bucket(value, boundaries) — boundaries is a foldable
+      // array literal (the equi-depth model is driver-measured and
+      // broadcast through the plan, like the centroid literals)
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "rank_bucket(value, boundaries_array)")
+        require(children(1).foldable,
+          "rank_bucket boundaries must be a literal array")
+        RankBucket(children(0), children(1)
+          .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray())
+      }),
     (FunctionIdentifier("list_divider"),
       new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),
       (children: Seq[Expression]) => ListDivider(children(0), children(1))),

@@ -1090,6 +1090,56 @@ object SourceQueries {
         .withColumn("prune_strict", lit(pruneStrict))
     },
 
+    // ── EQUI-DEPTH clustering quantization (TxnLayout.optimizeClustered
+    //    quantMode="equidepth", the native RankBucket expression): the
+    //    value-concentration regime range scaling cannot serve — 90% of
+    //    the rows tie over 100 small values while a 10% tail stretches
+    //    the domain ~3·10^7×, so range scaling maps the dense mass to
+    //    ONE bucket (a tied code repartitionByRange cannot split: one
+    //    fat file, and any dense-region box reads it whole), where
+    //    equi-depth boundaries are the column's own quantiles and the
+    //    dense mass spreads over most buckets. Pins ride the hash: the
+    //    range layout reads over half the table for the dense box
+    //    (dense_collapsed), equi-depth under half of that
+    //    (equidepth_wins), and the box content — read THROUGH the
+    //    pruned scan — equals the oracle's plain filter.
+    sql("q_layout_equidepth",
+      """WITH d AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 9 THEN o_orderkey % 100
+        |              ELSE o_orderkey * 3000000 END AS x,
+        |         o_orderkey AS v
+        |  FROM orders)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |       TRUE AS dense_collapsed, TRUE AS equidepth_wins
+        |FROM d WHERE x BETWEEN 40 AND 60""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      val tR = tmp("txn_eqd_range"); val tE = tmp("txn_eqd_equi")
+      Seq(tR, tE).foreach(t =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t)))
+      val data = Tables.orders(s, d).select(
+          when(col("o_orderkey") % 10 < 9, col("o_orderkey") % 100)
+            .otherwise(col("o_orderkey") * 3000000L).as("x"),
+          col("o_orderkey").cast("long").as("v"))
+        .withColumn("y", col("x"))
+        .select("x", "y", "v")
+      Seq(tR, tE).foreach(t =>
+        TxnTable.commit(s, data, t, overwrite = false))
+      TxnLayout.optimizeClustered(s, tR, Seq("x", "y"), numFiles = 16)
+      TxnLayout.optimizeClustered(s, tE, Seq("x", "y"), numFiles = 16,
+        quantMode = "equidepth")
+      def rowsRead(t: String): (Long, Long) = {
+        val (toRead, _) = TxnStats.pruneFiles(s, t, "x", 40L, 60L)
+        val counts = TxnTable.liveFileRowCounts(t).toMap
+        (toRead.map(counts).sum, counts.values.sum)
+      }
+      val (rR, tot) = rowsRead(tR)
+      val (rE, _) = rowsRead(tE)
+      TxnStats.prunedRead(s, tE, "x", 40L, 60L)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .withColumn("dense_collapsed", lit(rR * 2 > tot))
+        .withColumn("equidepth_wins", lit(rE * 2 < rR))
+    },
+
     // ── GROWING-DOMAIN maintenance (TxnLayout.boundsStaleness /
     //    maintainClustered maxClampedFraction): quantization bounds are
     //    measured once, so time-correlated ingest (timestamps, monotone

@@ -62,10 +62,16 @@ object TxnLayout {
     * never re-measured — until the next full rewrite (later ingest
     * beyond them clamps to the edge buckets and is swept up by the
     * next incremental round; layout quality, never correctness). */
+  /** `qbounds` — EQUI-DEPTH boundary arrays per column (quantMode =
+    * "equidepth"): strictly-increasing quantile cut points the
+    * [[graft.plans.RankBucket]] expression binary-searches, taking
+    * precedence over `quant` for its columns. Recorded whole so
+    * incremental rounds bucket stale rows identically. */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
                                quant: Seq[(String, Long, Long)] = Nil,
-                               clip: Double = 0.0)
+                               clip: Double = 0.0,
+                               qbounds: Seq[(String, Seq[Long])] = Nil)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -77,13 +83,24 @@ object TxnLayout {
     * Columns without a `quant` entry pass through raw (the
     * pre-bucketed legacy contract — low-`bits` masking applies). */
   def codeExpr(cols: Seq[String], curve: String, bits: Int,
-               quant: Seq[(String, Long, Long)] = Nil): Column = {
+               quant: Seq[(String, Long, Long)] = Nil,
+               qbounds: Seq[(String, Seq[Long])] = Nil): Column = {
     val q = quant.map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
+    val qb = qbounds.toMap
+    if (qb.nonEmpty)
+      graft.plans.GraftExtensions.register(SparkSession.active)
     val coords = cols.map { c =>
-      q.get(c) match {
-        case Some((mn, mx)) =>
-          graft.operators.Layout.rangeScale(col(c), mn, mx, bits)
-        case None => col(c)
+      qb.get(c) match {
+        case Some(bs) if bs.nonEmpty =>
+          // equi-depth: binary-searched quantile bucket (RankBucket),
+          // monotone like rangeScale, |bs| < 2^bits so no aliasing
+          call_function("rank_bucket", col(c).cast("long"),
+            lit(bs.toArray))
+        case _ => q.get(c) match {
+          case Some((mn, mx)) =>
+            graft.operators.Layout.rangeScale(col(c), mn, mx, bits)
+          case None => col(c)
+        }
       }
     }
     curve match {
@@ -117,7 +134,12 @@ object TxnLayout {
           .toSeq
         val clip = "\"clip\":([0-9.eE+-]+)".r.findFirstMatchIn(s)
           .map(_.group(1).toDouble).getOrElse(0.0)
-        ClusterSpec(cols, curve, bits, version, ranges, quant, clip)
+        val qbounds = "\\{\"col\":\"([^\"]+)\",\"bs\":\\[([^\\]]*)\\]\\}".r
+          .findAllMatchIn(s)
+          .map(m => (m.group(1),
+            m.group(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq))
+          .toSeq
+        ClusterSpec(cols, curve, bits, version, ranges, quant, clip, qbounds)
       }
     }
   }
@@ -129,11 +151,14 @@ object TxnLayout {
     val quant = spec.quant.map { case (c, mn, mx) =>
       s"""{"col":"$c","qlo":$mn,"qhi":$mx}"""
     }.mkString("[", ",", "]")
+    val qbounds = spec.qbounds.map { case (c, bs) =>
+      s"""{"col":"$c","bs":${bs.mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
     val body =
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
         s""""version":${spec.version},"clip":${spec.clip},""" +
-        s""""quant":$quant,"files":$files}"""
+        s""""quant":$quant,"qbounds":$qbounds,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile,
@@ -173,12 +198,35 @@ object TxnLayout {
     * intact, empty change feed), plus the cluster sidecar recording each
     * new file's code range — the baseline [[reclusterIncremental]]
     * maintains. Returns the committed version. */
+  /** EQUI-DEPTH boundary measurement: up to min(2^bits − 1, 255)
+    * quantile cut points per column in ONE approx-percentile aggregate,
+    * deduplicated to strict increase (value ties beyond quantile
+    * resolution collapse — the only residue equi-depth carries). */
+  private def measureQuantiles(df: org.apache.spark.sql.DataFrame,
+                               cols: Seq[String],
+                               bits: Int): Seq[(String, Seq[Long])] = {
+    val b = math.min((1 << bits) - 1, 255)
+    val fracs = (1 to b).map(i => i.toDouble / (b + 1)).mkString(",")
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile(CAST(`$c` AS BIGINT), array($fracs))")
+        .as(s"__q_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val bs = if (r.isNullAt(i)) Seq.empty[Long]
+               else r.getSeq[Long](i).distinct.sorted
+      (c, bs)
+    }
+  }
+
   def optimizeClustered(spark: SparkSession, table: String,
                         cols: Seq[String], curve: String = "morton",
                         numFiles: Int = 8, bits: Int = 16,
                         quantize: Boolean = true,
-                        clipQuantile: Double = 0.0): Int = {
+                        clipQuantile: Double = 0.0,
+                        quantMode: String = "range"): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(quantMode == "range" || quantMode == "equidepth",
+      s"unknown quantMode '$quantMode' (range|equidepth)")
     TxnTable.requireNoDv(table, "clustered optimize")
     val live = TxnTable.liveSplit(table)._1
     require(live.nonEmpty, s"nothing to cluster in $table")
@@ -191,13 +239,23 @@ object TxnLayout {
     // raw-coordinate contract for pre-bucketed inputs.
     // clipQuantile > 0 winsorizes the measured bounds (outlier-skew
     // defence — see Layout.measureRanges); the CLIPPED bounds are what
-    // the sidecar records, so incremental rounds and the baseline agree
+    // the sidecar records, so incremental rounds and the baseline agree.
+    // quantMode = "equidepth" replaces range scaling with quantile
+    // buckets ([[graft.plans.RankBucket]]) — the value-concentration
+    // defence winsorizing can't give (90% of rows on a handful of
+    // values leaves range scaling with one fat bucket no
+    // repartitionByRange can split; equi-depth spreads it).
+    val equidepth = quantize && quantMode == "equidepth"
+    val qbounds =
+      if (equidepth)
+        measureQuantiles(TxnTable.read(spark, table), cols, bits)
+      else Nil
     val quant =
-      if (quantize)
+      if (quantize && !equidepth)
         graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
           cols, clipQuantile)
       else Nil
-    val code = codeExpr(cols, curve, bits, quant)
+    val code = codeExpr(cols, curve, bits, quant, qbounds)
     val rewritten = TxnTable.read(spark, table)
       .withColumn("__z", code)
       .repartitionByRange(numFiles, col("__z"))
@@ -206,7 +264,7 @@ object TxnLayout {
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
-      rangesOf(spark, table, now, code), quant, clipQuantile))
+      rangesOf(spark, table, now, code), quant, clipQuantile, qbounds))
     // index the clustering columns' min-max stats: they are exactly the
     // box-filter columns the layout serves (the whole point of the
     // rewrite is that their per-file intervals now prune), and the
@@ -249,7 +307,8 @@ object TxnLayout {
     val clustered = live.filter(spec.ranges.contains)
     val stale = live.filterNot(spec.ranges.contains)
     if (stale.isEmpty) return (TxnTable.currentVersion(table), 0, clustered.size)
-    val code = codeExpr(spec.cols, spec.curve, spec.bits, spec.quant)
+    val code = codeExpr(spec.cols, spec.curve, spec.bits, spec.quant,
+      spec.qbounds)
     // which clustered files does the stale data land in? |files| ranges
     // broadcast against one scan of the STALE files only. NULL-code
     // files (sentinel range) always fold in: new null-coded stale rows
@@ -417,15 +476,20 @@ object TxnLayout {
     * (clampedRows, totalRows); (0, 0) when unclustered or unquantized. */
   def boundsStaleness(spark: SparkSession, table: String): (Long, Long) = {
     val spec = readSpec(table).getOrElse(return (0L, 0L))
-    if (spec.quant.isEmpty) return (0L, 0L)
-    spec.quant.foreach { case (c, _, _) =>
+    // equi-depth columns clamp outside [first, last] boundary exactly
+    // like range columns outside [qlo, qhi] — one measure serves both
+    val bounds = spec.quant ++ spec.qbounds.collect {
+      case (c, bs) if bs.nonEmpty => (c, bs.head, bs.last)
+    }
+    if (bounds.isEmpty) return (0L, 0L)
+    bounds.foreach { case (c, _, _) =>
       try TxnStats.refreshFromFooters(spark, table, c)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val counts = TxnTable.liveFileRowCounts(table)
     val total = counts.map(_._2).sum
     val clamped = scala.collection.mutable.Set.empty[String]
-    spec.quant.foreach { case (c, qlo, qhi) =>
+    bounds.foreach { case (c, qlo, qhi) =>
       TxnStats.fileBounds(spark, table, c).foreach {
         case (f, mn: Number, mx: Number) =>
           if (mn.longValue > qhi || mx.longValue < qlo) clamped += f
@@ -458,14 +522,15 @@ object TxnLayout {
     require(maxClampedFraction > 0.0, "maxClampedFraction must be positive")
     if (TxnTable.liveSplit(table)._2.nonEmpty) return None
     val spec = readSpec(table)
-    if (spec.exists(_.quant.nonEmpty)) {
+    if (spec.exists(sp => sp.quant.nonEmpty || sp.qbounds.nonEmpty)) {
       val (clampedRows, totalRows) = boundsStaleness(spark, table)
       if (totalRows > 0 && clampedRows > maxClampedFraction * totalRows) {
         val sp = spec.get
         val nf = if (numFiles >= 1) numFiles else math.max(1, sp.ranges.size)
         val rewritten = TxnTable.liveSplit(table)._1.size
         val v = optimizeClustered(spark, table, sp.cols, sp.curve, nf,
-          sp.bits, quantize = true, clipQuantile = sp.clip)
+          sp.bits, quantize = true, clipQuantile = sp.clip,
+          quantMode = if (sp.qbounds.nonEmpty) "equidepth" else "range")
         return Some((v, rewritten, 0))
       }
     }

@@ -145,6 +145,59 @@ class TxnLayoutSpec extends SparkSpec {
       (6000L * 1000003L, 6000L * 999983L, -2L)))
   }
 
+  test("equi-depth quantization spreads value concentration that range scaling cannot") {
+    // 90% of the rows tie over 100 small values, a 10% tail stretches
+    // the domain to ~1.2e9: range scaling maps the ENTIRE dense mass
+    // to bucket 0 — one tied code repartitionByRange cannot split, one
+    // fat file, and any dense-region box reads it whole. Equi-depth
+    // boundaries are the column's own quantiles, so the dense region
+    // spreads over most of the buckets.
+    def data = spark.range(0, 4000).select(
+      when(col("id") < 3600, col("id") % 100)
+        .otherwise((col("id") - 3600L) * 3000000L).as("x"),
+      col("id").as("v"))
+      .withColumn("y", col("x"))
+      .select("x", "y", "v")
+    val tR = fresh("eqd_range"); val tE = fresh("eqd_equi")
+    TxnTable.commit(spark, data, tR, overwrite = false)
+    TxnTable.commit(spark, data, tE, overwrite = false)
+    val before = contentOf(tE)
+    TxnLayout.optimizeClustered(spark, tR, Seq("x", "y"), numFiles = 16)
+    TxnLayout.optimizeClustered(spark, tE, Seq("x", "y"), numFiles = 16,
+      quantMode = "equidepth")
+    val spec = TxnLayout.readSpec(tE).get
+    assert(spec.qbounds.map(_._1) == Seq("x", "y") && spec.quant.isEmpty)
+    spec.qbounds.foreach { case (_, bs) =>
+      assert(bs.nonEmpty && bs == bs.distinct.sorted, "strictly increasing")
+    }
+    assertDisjoint(spec)
+    assert(contentOf(tE) == before && contentOf(tR) == before)
+    // a box INSIDE the dense region, measured in rows the pruned scan
+    // must read (stats are seeded by optimizeClustered)
+    def rowsRead(t: String): (Long, Long) = {
+      val (toRead, _) = TxnStats.pruneFiles(spark, t, "x", 40L, 60L)
+      val counts = TxnTable.liveFileRowCounts(t).toMap
+      (toRead.map(counts).sum, counts.values.sum)
+    }
+    val (rR, tot) = rowsRead(tR)
+    val (rE, _) = rowsRead(tE)
+    assert(rR > tot / 2,
+      s"range scaling should have collapsed the dense mass: $rR of $tot")
+    assert(rE * 2 < rR,
+      s"equi-depth must read far fewer dense-box rows: $rE vs $rR")
+    // incremental rounds bucket stale rows with the RECORDED boundaries
+    // (same-distribution append, disjointness + content survive)
+    TxnTable.commit(spark,
+      Seq((42L, 42L, -1L), (55L, 55L, -2L)).toDF("x", "y", "v").coalesce(1),
+      tE, overwrite = false)
+    val (_, r1, _) = TxnLayout.reclusterIncremental(spark, tE)
+    assert(r1 >= 1)
+    assert(TxnLayout.readSpec(tE).get.qbounds == spec.qbounds,
+      "incremental maintenance must reuse the recorded boundaries")
+    assertDisjoint(TxnLayout.readSpec(tE).get)
+    assert(contentOf(tE) == before ++ Set((42L, 42L, -1L), (55L, 55L, -2L)))
+  }
+
   test("growing domain: clamped mass triggers a full re-optimize with fresh bounds") {
     val t = fresh("regrow")
     TxnTable.commit(spark,
