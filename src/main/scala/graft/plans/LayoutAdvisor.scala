@@ -165,7 +165,7 @@ object LayoutAdvisor {
                 exactNdv: Boolean = false,
                 rsd: Double = 0.05): DataFrame =
     measured(spark, queries, maxPartitions, exactNdv, rsd,
-      clipRatio = 0.0).drop("skewed")
+      clipRatio = 0.0).drop("skewed", "concentrated")
 
   /** [[recommend]] plus an internal per-column OUTLIER-SKEW flag
     * (`skewed`): with `clipRatio` > 0, a numeric column whose full
@@ -202,7 +202,13 @@ object LayoutAdvisor {
               .as(s"_p1_$c"),
             org.apache.spark.sql.functions
               .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), 0.99)")
-              .as(s"_p99_$c"))
+              .as(s"_p99_$c"),
+            org.apache.spark.sql.functions
+              .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), 0.25)")
+              .as(s"_p25_$c"),
+            org.apache.spark.sql.functions
+              .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), 0.75)")
+              .as(s"_p75_$c"))
         }
       val st = rel.agg(count(lit(1)).as("_n"),
         cols.map { c =>
@@ -222,22 +228,31 @@ object LayoutAdvisor {
           else if (u.nRange > 0) "zorder"
           else if (u.nEq > 0) "bloom"
           else "bucket"
-        val skewed = clipRatio > 0.0 && numeric(u.column) && {
+        val measuredCol = clipRatio > 0.0 && numeric(u.column) &&
+          !st.isNullAt(st.fieldIndex(s"_mn_${u.column}")) &&
+          !st.isNullAt(st.fieldIndex(s"_p1_${u.column}"))
+        val skewed = measuredCol && {
           val c = u.column
-          !st.isNullAt(st.fieldIndex(s"_mn_$c")) &&
-            !st.isNullAt(st.fieldIndex(s"_p1_$c")) && {
-            val span = st.getAs[Double](s"_mx_$c") - st.getAs[Double](s"_mn_$c")
-            val bulk = st.getAs[Double](s"_p99_$c") - st.getAs[Double](s"_p1_$c")
-            span > clipRatio * math.max(bulk, java.lang.Double.MIN_NORMAL)
-          }
+          val span = st.getAs[Double](s"_mx_$c") - st.getAs[Double](s"_mn_$c")
+          val bulk = st.getAs[Double](s"_p99_$c") - st.getAs[Double](s"_p1_$c")
+          span > clipRatio * math.max(bulk, java.lang.Double.MIN_NORMAL)
+        }
+        // value CONCENTRATION (the equi-depth trigger, distinct from
+        // outlier skew): a collapsed interquartile range means at
+        // least half the rows tie over (nearly) one value — range
+        // scaling would put that mass in one bucket no range partition
+        // can split; quantile buckets spread it
+        val concentrated = measuredCol && {
+          val c = u.column
+          st.getAs[Double](s"_p75_$c") == st.getAs[Double](s"_p25_$c")
         }
         (u.base, u.column, u.nEq, u.nRange, u.nJoin, ndv, baseRows, action,
-          skewed)
+          skewed, concentrated)
       }
     }.sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
-      "base_rows", "action", "skewed")
+      "base_rows", "action", "skewed", "concentrated")
   }
 
   /** COMPOSITE Z-ORDER recommendation — the multi-dimension form
@@ -270,8 +285,11 @@ object LayoutAdvisor {
         // outliers (full span ≫ p1–p99 span) wants winsorized bounds —
         // the apply path's clipQuantile knob — or plain range scaling
         // squeezes the bulk into one bucket (see
-        // Layout.measureRanges/rangeScale)
-        max(col("skewed").cast("int")).as("_any_skew"))
+        // Layout.measureRanges/rangeScale); ANY value-concentrated
+        // column (collapsed IQR: half the rows tie) wants the
+        // equi-depth mode outright
+        max(col("skewed").cast("int")).as("_any_skew"),
+        max(col("concentrated").cast("int")).as("_any_conc"))
       .select(col("base"), concat_ws(",", col("cs")).as("cols"),
         col("n_cols"), col("n_range"), col("base_rows"),
         (col("n_cols") >= 2 && col("n_cols") <= maxCols).as("recommend"),
@@ -284,6 +302,9 @@ object LayoutAdvisor {
         least(lit(16L), floor(lit(63L) / col("n_cols")).cast("long"))
           .as("bits"),
         (col("_any_skew") === 1).as("clip_recommended"),
+        org.apache.spark.sql.functions
+          .when(col("_any_conc") === 1, "equidepth").otherwise("range")
+          .as("quant_mode"),
         // curve choice: at 2 dims Morton's cheap bit-interleave is
         // within a few percent of Hilbert's pruning; from 3 dims the
         // Morton curve's diagonal jumps widen per-file intervals enough

@@ -1153,19 +1153,26 @@ object ScaleQueries {
         |         COUNT(*) AS base_rows,
         |         (MAX(l_extendedprice) - MIN(l_extendedprice)) >
         |           10 * (quantile_cont(l_extendedprice, 0.99) -
-        |                 quantile_cont(l_extendedprice, 0.01)) AS skewed
+        |                 quantile_cont(l_extendedprice, 0.01)) AS skewed,
+        |         quantile_cont(l_extendedprice, 0.75) =
+        |           quantile_cont(l_extendedprice, 0.25) AS conc
         |  FROM lineitem
         |  UNION ALL SELECT 'l_orderkey', COUNT(DISTINCT l_orderkey),
         |         COUNT(*),
         |         (MAX(l_orderkey) - MIN(l_orderkey)) >
         |           10 * (quantile_cont(l_orderkey, 0.99) -
-        |                 quantile_cont(l_orderkey, 0.01)) FROM lineitem
+        |                 quantile_cont(l_orderkey, 0.01)),
+        |         quantile_cont(l_orderkey, 0.75) =
+        |           quantile_cont(l_orderkey, 0.25) FROM lineitem
         |  UNION ALL SELECT 'l_partkey', COUNT(DISTINCT l_partkey),
         |         COUNT(*),
         |         (MAX(l_partkey) - MIN(l_partkey)) >
         |           10 * (quantile_cont(l_partkey, 0.99) -
-        |                 quantile_cont(l_partkey, 0.01)) FROM lineitem),
-        |z AS (SELECT u.base, u.col_name, u.n_range, st.base_rows, st.skewed
+        |                 quantile_cont(l_partkey, 0.01)),
+        |         quantile_cont(l_partkey, 0.75) =
+        |           quantile_cont(l_partkey, 0.25) FROM lineitem),
+        |z AS (SELECT u.base, u.col_name, u.n_range, st.base_rows,
+        |             st.skewed, st.conc
         |      FROM u JOIN st USING (col_name) WHERE st.ndv > 1024)
         |SELECT base, string_agg(col_name, ',' ORDER BY col_name) AS cols,
         |       COUNT(*) AS n_cols, CAST(SUM(n_range) AS BIGINT) AS n_range,
@@ -1173,6 +1180,8 @@ object ScaleQueries {
         |       COUNT(*) BETWEEN 2 AND 4 AS recommend,
         |       CAST(LEAST(16, FLOOR(63 / COUNT(*))) AS BIGINT) AS bits,
         |       BOOL_OR(skewed) AS clip_recommended,
+        |       CASE WHEN BOOL_OR(conc) THEN 'equidepth' ELSE 'range' END
+        |         AS quant_mode,
         |       CASE WHEN COUNT(*) >= 3 THEN 'hilbert' ELSE 'morton' END AS curve
         |FROM z GROUP BY base ORDER BY base""".stripMargin) { (s, d) =>
       import graft.plans.LayoutAdvisor

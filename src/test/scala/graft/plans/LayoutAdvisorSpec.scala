@@ -195,12 +195,47 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(adv.head.getAs[String]("cols") == "a,b")
     assert(adv.head.getAs[Boolean]("clip_recommended"),
       "the sentinel-stretched column must flag winsorized quantization")
+    assert(adv.head.getAs[String]("quant_mode") == "range",
+      "distinct-valued columns are range territory, not equi-depth")
     // clipRatio = 0 disables the probe entirely (no skew aggregates)
     val off = LayoutAdvisor.zorderAdvice(spark, Seq(
       base.filter(col("a") >= 100 && col("a") < 900).select("b"),
       base.filter(col("b") < 500).select("a")),
       exactNdv = true, clipRatio = 0.0).collect()
     assert(!off.head.getAs[Boolean]("clip_recommended"))
+    assert(off.head.getAs[String]("quant_mode") == "range")
+  }
+
+  test("concentration probe: a collapsed-IQR column advises equi-depth; the advised row applies") {
+    val p = s"$root/conc.parquet"
+    // 87.5% of rows tie on value 7 (collapsed IQR) while the remaining
+    // 2000 rows carry distinct high values (NDV > 1024, so the column
+    // stays zorder territory) — range scaling would put the tied mass
+    // in one bucket
+    (0L until 16000L).map { i =>
+      val a = if (i % 8 != 0) 7L else 100000L + i * 997L
+      (a, i % 2000, i)
+    }.toDF("a", "b", "v")
+      .repartition(2).write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val adv = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 5 && col("a") < 200000).select("v"),
+      base.filter(col("b") < 500).select("a")), exactNdv = true).collect()
+    assert(adv.length == 1, adv.mkString(";"))
+    val row = adv.head
+    assert(row.getAs[String]("quant_mode") == "equidepth", row.toString)
+    // close the loop: apply EVERY advised field including the mode
+    val t = s"$root/txn_conc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.TxnTable.commit(spark, base, t, overwrite = false)
+    graft.sources.TxnLayout.optimizeClustered(spark, t,
+      row.getAs[String]("cols").split(",").toSeq,
+      curve = row.getAs[String]("curve"), numFiles = 8,
+      bits = row.getAs[Long]("bits").toInt,
+      quantMode = row.getAs[String]("quant_mode"))
+    val spec = graft.sources.TxnLayout.readSpec(t).get
+    assert(spec.qbounds.nonEmpty, "the applied mode must record boundaries")
+    assert(graft.sources.TxnTable.read(spark, t).count() == 16000L)
   }
 
   test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
