@@ -231,6 +231,63 @@ object AnnQueries {
        |${ivfPqTail(candExtra =
         " AND l.n_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}""".stripMargin
 
+  /** The ADAPTIVE-WIDENING replay ([[Similarity.adaptiveProbes]] under
+    * autoWiden): the global selectivity widens only the rerank window
+    * (widenedKnobs' integer arithmetic, `//` truncating like Spark);
+    * probing is PER QUERY — every cluster ranked by integer dot (the
+    * same (dot DESC, cluster) order as the probe slice), a running sum
+    * of the strictly-nearer clusters' ELIGIBLE counts, and a cluster
+    * kept while that mass is below the widened window (floor = the
+    * user's nprobe = 1). Candidate generation and the rerank then see
+    * eligible ids only, exactly like the filtered replay. */
+  private lazy val ivfPqAdaptiveOracleSql: String = {
+    val dot = "list_sum(list_transform(range(1, 65), i -> x.eq[i] * c.cq[i]))"
+    s"""WITH $eCte,
+       |${ivfCtes()},
+       |${pqCtes()},
+       |elig AS (SELECT vec_id FROM embeddings WHERE label % 8 = 0),
+       |knobs AS (
+       |  SELECT LEAST(1000000, 8 * LEAST(64,
+       |    ((SELECT COUNT(*) FROM embeddings) +
+       |     GREATEST(1, (SELECT COUNT(*) FROM elig)) - 1)
+       |      // GREATEST(1, (SELECT COUNT(*) FROM elig)))) AS rr),
+       |list_elig AS (
+       |  SELECT l.cluster, COUNT(*) AS n_elig
+       |  FROM ivf_lists l JOIN elig ON l.n_id = elig.vec_id
+       |  GROUP BY l.cluster),
+       |ranked AS (
+       |  SELECT q_id, cluster, rn - 1 AS pos FROM (
+       |    SELECT x.vec_id AS q_id, c.cluster,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY $dot DESC, c.cluster) AS rn
+       |    FROM e x CROSS JOIN c2 c WHERE x.vec_id < 10) WHERE rn <= 16),
+       |aprobes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT r.q_id, r.cluster, r.pos,
+       |           COALESCE(SUM(le.n_elig) OVER (PARTITION BY r.q_id
+       |             ORDER BY r.pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS bef
+       |    FROM ranked r LEFT JOIN list_elig le USING (cluster))
+       |  WHERE pos < 1 OR bef < (SELECT rr FROM knobs)),
+       |cand AS (
+       |  SELECT p.q_id, l.n_id
+       |  FROM aprobes p JOIN ivf_lists l USING (cluster)
+       |  WHERE p.q_id <> l.n_id
+       |    AND l.n_id IN (SELECT vec_id FROM elig)),
+       |approx AS (
+       |  SELECT cand.q_id, cand.n_id, CAST(SUM(l.partial) AS BIGINT) AS approx
+       |  FROM cand JOIN pq_codes c USING (n_id)
+       |  JOIN pq_lut l ON l.q_id = cand.q_id AND l.j = c.j AND l.code = c.code
+       |  GROUP BY cand.q_id, cand.n_id),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx DESC, n_id) AS rn FROM approx)
+       |  WHERE rn <= (SELECT rr FROM knobs)),
+       |${rerankSql("short")}""".stripMargin
+  }
+
   /** The DELETE replay: the model and lists are the FULL-corpus build
     * (deletes never retrain), and candidate generation skips the
     * tombstoned ids (vec_id % 3 = 0, vec_id >= 10) exactly where
@@ -487,6 +544,30 @@ object AnnQueries {
       }
       Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir,
           k = 5, predicate = Some(col("label") % 2 === 0))
+        .orderBy("q_id", "rank")
+    },
+
+    // ── ADAPTIVE FILTERED ANN (autoWiden): the ~20%-selective
+    //    predicate widens the rerank window by the measured global
+    //    factor, and probing goes PER-QUERY — each query walks its
+    //    nearest lists until the nearer lists' ELIGIBLE mass covers
+    //    the window, deepening exactly where the predicate starves the
+    //    probe set (a single global nprobe factor under-probes
+    //    correlated predicates). The oracle replays the WHOLE control
+    //    loop in DuckDB: knob arithmetic, per-list eligible counts,
+    //    the ranked-cluster running-mass walk, and the widened rerank
+    //    — any drift in the adaptive policy hash-mismatches.
+    sql("q_ann_filtered_adaptive", ivfPqAdaptiveOracleSql) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$d/embeddings.parquet")), "meta/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      }
+      Similarity.ivfPqTopKIndexed(embs.filter(col("vec_id") < 10), idxDir,
+          k = 5, nprobe = 1, rerank = 8,
+          predicate = Some(col("label") % 8 === 0), autoWiden = true)
         .orderBy("q_id", "rank")
     },
 
