@@ -499,40 +499,82 @@ object TxnLayout {
     (counts.collect { case (f, n) if clamped(f) => n }.sum, total)
   }
 
-  /** The steady-state maintenance policy: recluster ONLY when the stale
-    * fraction reaches `maxStaleFraction` of the snapshot's rows —
-    * below it the pruning loss is cheaper than the rewrite IO, the same
-    * economics as small-file compaction thresholds — and RE-OPTIMIZE
-    * (full rewrite, bounds re-measured, same cols/curve/bits/clip) when
-    * the CLAMPED mass crosses `maxClampedFraction`: rows beyond the
-    * recorded quantization bounds pile into one edge bucket that no
-    * incremental round can spread back out ([[boundsStaleness]]).
-    * Both measures are metadata-only when the policy declines. A table
-    * carrying live deletion vectors DECLINES rather than throws (a
-    * periodic policy must not crash its cycle) — run
+  /** CLUSTERED-FILE population skew, metadata-only (sidecar file set ×
+    * log/footer row counts): max clustered-file rows ÷ mean. A healthy
+    * range-partitioned layout is row-balanced by construction
+    * (`repartitionByRange` splits on code quantiles), so a fat file
+    * can only mean TIED CODES the partitioner could not split — the
+    * value-concentration regime where range quantization degenerates
+    * (most rows on one bucket) and every box touching the dense region
+    * reads the fat file whole. 0.0 when unclustered or fewer than 2
+    * clustered files. */
+  def fileSkew(table: String): Double = {
+    val spec = readSpec(table).getOrElse(return 0.0)
+    val counts = TxnTable.liveFileRowCounts(table)
+      .collect { case (f, n) if spec.ranges.contains(f) => n }
+    if (counts.size < 2) return 0.0
+    val mean = counts.sum.toDouble / counts.size
+    if (mean == 0.0) 0.0 else counts.max / mean
+  }
+
+  /** The steady-state maintenance policy, three metadata-only measures
+    * in escalation order:
+    *
+    *  1. CLAMPED MASS > `maxClampedFraction` ([[boundsStaleness]]):
+    *     rows beyond the recorded quantization bounds pile into one
+    *     edge bucket no incremental round can spread out → full
+    *     re-optimize with RE-MEASURED bounds, same mode/clip.
+    *  2. FILE SKEW > `maxFileSkew` ([[fileSkew]], range-quantized
+    *     tables with ≥ `minFilesForSkew` clustered files): a fat file
+    *     means tied codes the range partitioner could not split —
+    *     re-measuring the same range bounds would reproduce it, so the
+    *     policy ESCALATES the mode to equi-depth (quantile buckets
+    *     split the tie mass by construction). Self-healing: the
+    *     degenerate layout is detected and repaired from metadata,
+    *     no operator in the loop.
+    *  3. STALE ROWS ≥ `maxStaleFraction` ([[staleness]]): the ordinary
+    *     incremental recluster — below it the pruning loss is cheaper
+    *     than the rewrite IO, the small-file-compaction economics.
+    *
+    * A table carrying live deletion vectors DECLINES rather than
+    * throws (a periodic policy must not crash its cycle) — run
     * `TxnTable.optimize` to materialize the vectors first. Returns
     * Some((version, filesRewritten, filesKept)) when it ran (kept = 0
-    * for the full re-optimize), None when the clustering is still
+    * for the full re-optimizes), None when the clustering is still
     * healthy, absent, or DV-blocked. */
   def maintainClustered(spark: SparkSession, table: String,
                         maxStaleFraction: Double = 0.2,
                         numFiles: Int = 0,
-                        maxClampedFraction: Double = 0.5): Option[(Int, Int, Int)] = {
+                        maxClampedFraction: Double = 0.5,
+                        maxFileSkew: Double = 8.0,
+                        minFilesForSkew: Int = 4): Option[(Int, Int, Int)] = {
     require(maxStaleFraction > 0.0, "maxStaleFraction must be positive")
     require(maxClampedFraction > 0.0, "maxClampedFraction must be positive")
+    require(maxFileSkew > 1.0, "maxFileSkew must exceed 1")
     if (TxnTable.liveSplit(table)._2.nonEmpty) return None
     val spec = readSpec(table)
+    def reoptimize(sp: ClusterSpec, mode: String): Some[(Int, Int, Int)] = {
+      val nf = if (numFiles >= 1) numFiles else math.max(1, sp.ranges.size)
+      val rewritten = TxnTable.liveSplit(table)._1.size
+      val v = optimizeClustered(spark, table, sp.cols, sp.curve, nf,
+        sp.bits, quantize = true, clipQuantile = sp.clip, quantMode = mode)
+      Some((v, rewritten, 0))
+    }
     if (spec.exists(sp => sp.quant.nonEmpty || sp.qbounds.nonEmpty)) {
       val (clampedRows, totalRows) = boundsStaleness(spark, table)
-      if (totalRows > 0 && clampedRows > maxClampedFraction * totalRows) {
-        val sp = spec.get
-        val nf = if (numFiles >= 1) numFiles else math.max(1, sp.ranges.size)
-        val rewritten = TxnTable.liveSplit(table)._1.size
-        val v = optimizeClustered(spark, table, sp.cols, sp.curve, nf,
-          sp.bits, quantize = true, clipQuantile = sp.clip,
-          quantMode = if (sp.qbounds.nonEmpty) "equidepth" else "range")
-        return Some((v, rewritten, 0))
-      }
+      if (totalRows > 0 && clampedRows > maxClampedFraction * totalRows)
+        return reoptimize(spec.get,
+          if (spec.get.qbounds.nonEmpty) "equidepth" else "range")
+    }
+    spec match {
+      // skew escalation applies to RANGE-quantized layouts only: an
+      // equi-depth layout's residual ties are already past quantile
+      // resolution, and an unquantized layout is the pre-bucketed
+      // legacy contract whose coordinates the caller owns
+      case Some(sp) if sp.quant.nonEmpty && sp.ranges.size >= minFilesForSkew &&
+          fileSkew(table) > maxFileSkew =>
+        return reoptimize(sp, "equidepth")
+      case _ => ()
     }
     val (_, staleFiles, staleRows, totalRows) = staleness(table)
     if (staleFiles == 0 || staleRows < maxStaleFraction * totalRows) None

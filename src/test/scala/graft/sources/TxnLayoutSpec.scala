@@ -198,6 +198,46 @@ class TxnLayoutSpec extends SparkSpec {
     assert(contentOf(tE) == before ++ Set((42L, 42L, -1L), (55L, 55L, -2L)))
   }
 
+  test("tie collapse self-heals: file skew escalates a range layout to equi-depth") {
+    // the q_layout_equidepth shape clustered in RANGE mode: the tied
+    // 90% collapses into one fat file (codes the range partitioner
+    // cannot split), which the metadata skew measure sees — and since
+    // re-measuring range bounds would reproduce it, the policy
+    // escalates the MODE
+    val t = fresh("skewheal")
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(
+        when(col("id") < 3600, col("id") % 100)
+          .otherwise((col("id") - 3600L) * 3000000L).as("x"),
+        col("id").as("v"))
+        .withColumn("y", col("x")).select("x", "y", "v"),
+      t, overwrite = false)
+    val before = contentOf(t)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 16)
+    assert(TxnLayout.fileSkew(t) > 8.0,
+      s"the tied mass should make one fat file: skew ${TxnLayout.fileSkew(t)}")
+    val r = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2)
+    assert(r.isDefined && r.get._3 == 0, s"full re-optimize expected, got $r")
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.qbounds.nonEmpty && spec.quant.isEmpty,
+      "the policy must have escalated to equi-depth")
+    assert(TxnLayout.fileSkew(t) < 4.0,
+      s"equi-depth must rebalance the files: skew ${TxnLayout.fileSkew(t)}")
+    assert(contentOf(t) == before)
+    // healthy after: the policy declines on the repaired layout
+    assert(TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2).isEmpty)
+    // and a BALANCED range layout never escalates (the existing wide-
+    // domain fixtures stay range-mode — their specs pin quant nonEmpty)
+    val tOk = fresh("skewheal_ok")
+    TxnTable.commit(spark,
+      spark.range(0, 2000).select((col("id") * 1000003L).as("x"),
+        (col("id") * 999983L).as("y"), col("id").as("v")),
+      tOk, overwrite = false)
+    TxnLayout.optimizeClustered(spark, tOk, Seq("x", "y"), numFiles = 8)
+    assert(TxnLayout.maintainClustered(spark, tOk, maxStaleFraction = 0.2).isEmpty)
+    assert(TxnLayout.readSpec(tOk).get.quant.nonEmpty)
+  }
+
   test("growing domain: clamped mass triggers a full re-optimize with fresh bounds") {
     val t = fresh("regrow")
     TxnTable.commit(spark,
