@@ -677,8 +677,19 @@ object Similarity {
         if (elig == 0L) (nprobe, rerank, None)
         else {
           val nClusters = centroids.count().toInt
-          val (wnp, wrr) = widenedKnobs(nprobe, rerank, total, elig, nClusters)
-          (wnp, wrr, Some(adaptiveProbes(queries, centroids,
+          // only the widened RERANK window survives from the global
+          // factor — probing is per-query now (the adaptive walk's
+          // floor is the user's UNwidened nprobe, its depth the
+          // eligible mass), so widenedKnobs' nprobe component is
+          // deliberately unused here.
+          val wrr = widenedKnobs(nprobe, rerank, total, elig, nClusters)._2
+          // listElig is ONE deliberate measure pass over the
+          // semi-joined lists (|clusters| rows out) — the same
+          // measure-then-join shape as the selectivity aggregate
+          // above. Persisting the semi-joined lists to dodge the
+          // second scan would materialize a corpus-sized frame; two
+          // column-pruned scans are the cheaper trade at scale.
+          (nprobe, wrr, Some(adaptiveProbes(queries, centroids,
             npFloor = nprobe,
             npCap = math.min(nClusters.toLong, 64L * nprobe).toInt.max(nprobe),
             listElig = lists.groupBy("cluster")
@@ -1096,8 +1107,14 @@ object Similarity {
         if (elig == 0L) (nprobe, rerank, None)
         else {
           val nClusters = centroids.count().toInt
-          val (wnp, wrr) = widenedKnobs(nprobe, rerank, total, elig, nClusters)
-          (wnp, wrr, Some(adaptiveProbes(queries, centroids,
+          // as in the directory reader: only the widened rerank is
+          // used; probing is the per-query adaptive walk. The listElig
+          // aggregate re-runs the overlaid semi-joined lists pipeline
+          // once as a MEASURE pass (|clusters| rows out) — persisting
+          // that frame to avoid it would materialize corpus-scale
+          // state, the wrong trade at 100 TB.
+          val wrr = widenedKnobs(nprobe, rerank, total, elig, nClusters)._2
+          (nprobe, wrr, Some(adaptiveProbes(queries, centroids,
             npFloor = nprobe,
             npCap = math.min(nClusters.toLong, 64L * nprobe).toInt.max(nprobe),
             listElig = lists.groupBy("cluster")

@@ -61,10 +61,25 @@ object GraftExtensions {
         require(children.size == 2, "rank_bucket(value, boundaries_array)")
         require(children(1).foldable,
           "rank_bucket boundaries must be a literal array")
-        RankBucket(children(0), children(1)
-          .eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toLongArray())
+        import org.apache.spark.sql.types._
+        // accept any integral element type (SQL's bare array(1,2,3)
+        // folds to array<int>), widening to long — anything else is a
+        // clean argument error, not a ClassCastException mid-analysis
+        val bs = (children(1).dataType,
+          children(1).eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)) match {
+          case (ArrayType(LongType, _),
+              ad: org.apache.spark.sql.catalyst.util.ArrayData) =>
+            ad.toLongArray()
+          case (ArrayType(et @ (IntegerType | ShortType | ByteType), _),
+              ad: org.apache.spark.sql.catalyst.util.ArrayData) =>
+            ad.toObjectArray(et).map { x =>
+              require(x != null, "rank_bucket boundaries must not contain NULL")
+              x.asInstanceOf[Number].longValue()
+            }
+          case (dt, _) => throw new IllegalArgumentException(
+            s"rank_bucket boundaries must be a literal integral array, got $dt")
+        }
+        RankBucket(children(0), bs)
       }),
     (FunctionIdentifier("list_divider"),
       new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),

@@ -1067,15 +1067,25 @@ object TxnCatalog {
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
         s"malformed promoted marker in $newPrimary: missing syncedTxn"))
     val head = currentTxn(oldSrc)
-    require(head == synced,
-      s"$oldSrc is at t$head but the promoted replica last synced t$synced — " +
-        (if (head > synced)
-          "it holds transactions the new primary never saw; export them before demoting"
-        else "it lost synced history; re-seed a fresh replica instead"))
+    require(head >= synced,
+      s"$oldSrc is at t$head but the promoted replica synced t$synced — " +
+        "it lost synced history; re-seed a fresh replica instead")
+    // tolerate the sync's publish→marker crash window: a txn past the
+    // marker counts as synced iff the new primary's slot holds the
+    // byte-identical entry; anything else is a commit the new primary
+    // never saw and refuses loudly
+    ((synced + 1) to head).foreach { t =>
+      val se = new File(txnDir(oldSrc), f"t$t%05d.json")
+      val de = new File(txnDir(newPrimary), f"t$t%05d.json")
+      require(se.isFile && de.isFile && java.util.Arrays.equals(
+        Files.readAllBytes(se.toPath), Files.readAllBytes(de.toPath)),
+        s"$oldSrc holds transaction t$t the new primary never saw; " +
+          "export it before demoting")
+    }
     val tmp = new File(oldSrc,
       s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp.toPath,
-      s"""{"src":"${new File(newPrimary).getAbsolutePath}","syncedTxn":$synced}"""
+      s"""{"src":"${new File(newPrimary).getAbsolutePath}","syncedTxn":$head}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, catReplicaFile(oldSrc).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -67,11 +67,18 @@ object TxnLayout {
     * [[graft.plans.RankBucket]] expression binary-searches, taking
     * precedence over `quant` for its columns. Recorded whole so
     * incremental rounds bucket stale rows identically. */
+  /** `raw` — each clustering column's UNCLIPPED [min, max] at measure
+    * time: the domain [[boundsStaleness]] judges clamping against.
+    * Winsorized and equi-depth modes deliberately leave in-distribution
+    * outliers outside their scaling bounds — judging staleness against
+    * the SCALING bounds would count that by-design residue as clamped
+    * mass and loop the re-optimize policy forever on a healthy layout. */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
                                quant: Seq[(String, Long, Long)] = Nil,
                                clip: Double = 0.0,
-                               qbounds: Seq[(String, Seq[Long])] = Nil)
+                               qbounds: Seq[(String, Seq[Long])] = Nil,
+                               raw: Seq[(String, Long, Long)] = Nil)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -139,7 +146,12 @@ object TxnLayout {
           .map(m => (m.group(1),
             m.group(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq))
           .toSeq
-        ClusterSpec(cols, curve, bits, version, ranges, quant, clip, qbounds)
+        val raw = "\\{\"col\":\"([^\"]+)\",\"rlo\":(-?\\d+),\"rhi\":(-?\\d+)\\}".r
+          .findAllMatchIn(s)
+          .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+          .toSeq
+        ClusterSpec(cols, curve, bits, version, ranges, quant, clip,
+          qbounds, raw)
       }
     }
   }
@@ -154,11 +166,14 @@ object TxnLayout {
     val qbounds = spec.qbounds.map { case (c, bs) =>
       s"""{"col":"$c","bs":${bs.mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
+    val raw = spec.raw.map { case (c, lo, hi) =>
+      s"""{"col":"$c","rlo":$lo,"rhi":$hi}"""
+    }.mkString("[", ",", "]")
     val body =
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
         s""""version":${spec.version},"clip":${spec.clip},""" +
-        s""""quant":$quant,"qbounds":$qbounds,"files":$files}"""
+        s""""quant":$quant,"qbounds":$qbounds,"raw":$raw,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile,
@@ -255,6 +270,16 @@ object TxnLayout {
         graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
           cols, clipQuantile)
       else Nil
+    // the UNCLIPPED domain at measure time — what boundsStaleness
+    // judges clamping against (the winsorized/quantile scaling bounds
+    // deliberately exclude in-distribution outliers; counting those as
+    // clamped would loop the re-optimize policy on a healthy layout).
+    // When nothing was clipped the clean quant bounds ARE the domain.
+    val raw =
+      if (!quantize) Nil
+      else if (!equidepth && clipQuantile == 0.0) quant
+      else graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
+        cols)
     val code = codeExpr(cols, curve, bits, quant, qbounds)
     val rewritten = TxnTable.read(spark, table)
       .withColumn("__z", code)
@@ -264,7 +289,7 @@ object TxnLayout {
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
-      rangesOf(spark, table, now, code), quant, clipQuantile, qbounds))
+      rangesOf(spark, table, now, code), quant, clipQuantile, qbounds, raw))
     // index the clustering columns' min-max stats: they are exactly the
     // box-filter columns the layout serves (the whole point of the
     // rewrite is that their per-file intervals now prune), and the
@@ -476,11 +501,18 @@ object TxnLayout {
     * (clampedRows, totalRows); (0, 0) when unclustered or unquantized. */
   def boundsStaleness(spark: SparkSession, table: String): (Long, Long) = {
     val spec = readSpec(table).getOrElse(return (0L, 0L))
-    // equi-depth columns clamp outside [first, last] boundary exactly
-    // like range columns outside [qlo, qhi] — one measure serves both
-    val bounds = spec.quant ++ spec.qbounds.collect {
-      case (c, bs) if bs.nonEmpty => (c, bs.head, bs.last)
-    }
+    // judge against the recorded UNCLIPPED domain (`raw`): the
+    // winsorized/quantile SCALING bounds deliberately exclude
+    // in-distribution outliers, and counting that by-design residue as
+    // clamped would re-trigger a full re-optimize on a healthy layout
+    // forever. Pre-`raw` sidecars fall back to the scaling bounds —
+    // conservative for clip = 0 (identical), over-eager only for old
+    // clipped sidecars until their next rewrite records the domain.
+    val bounds =
+      if (spec.raw.nonEmpty) spec.raw
+      else spec.quant ++ spec.qbounds.collect {
+        case (c, bs) if bs.nonEmpty => (c, bs.head, bs.last)
+      }
     if (bounds.isEmpty) return (0L, 0L)
     bounds.foreach { case (c, _, _) =>
       try TxnStats.refreshFromFooters(spark, table, c)

@@ -773,16 +773,27 @@ object TxnTable {
     require(srcHead >= 1, s"nothing to replicate: $src is empty")
     val srcAbs = new File(src).getAbsolutePath
     var copied = 0
+    lazy val srcHeadLive: Set[String] = liveFiles(src, None).toSet
     def copyIn(rel: String, allowMissing: Boolean = false): Unit = {
       val to = new File(dst, rel)
       val from = new File(src, rel)
       // a replayed version's file can be legitimately GONE at src: added
-      // then removed between syncs and vacuumed there. Skipping mirrors
+      // then removed between syncs and VACUUMED there. Skipping mirrors
       // the source's retention (the catalog replicator's contract) —
       // refusing would wedge the replica on that version forever. Only
-      // the suffix replay opts in: a SEED file is live at the seed
-      // snapshot, so its absence is real corruption and still throws.
-      if (allowMissing && !from.isFile) return
+      // the suffix replay opts in, and only for files that are NOT live
+      // at src's head: vacuum never removes live files, so a
+      // live-at-head-but-missing file is real corruption — skipping it
+      // would publish a replica head that references a nonexistent file
+      // and advance the watermark past it forever. (A SEED file is live
+      // at the seed snapshot, so its absence always throws.)
+      if (allowMissing && !from.isFile) {
+        require(!srcHeadLive(rel),
+          s"replication source corruption: $src/$rel is live at the " +
+            "source's head but missing on disk — refusing to mirror a " +
+            "table that cannot be read")
+        return
+      }
       if (!to.isFile) {
         to.getParentFile.mkdirs()
         // tmp + atomic move: the resume path's skip-if-present check
@@ -939,13 +950,24 @@ object TxnTable {
     val seed = field("seedSrcVersion")
     val synced = field("syncedSrcVersion")
     val head = currentVersion(oldSrc)
-    require(head == synced,
-      s"$oldSrc is at v$head but the promoted replica last synced v$synced — " +
-        (if (head > synced)
-          "it holds commits the new primary never saw; export them before demoting"
-        else "it lost synced history; re-seed a fresh replica instead"))
+    require(head >= synced,
+      s"$oldSrc is at v$head but the promoted replica synced v$synced — " +
+        "it lost synced history; re-seed a fresh replica instead")
+    // a sync that crashed between its publish and its marker write left
+    // the marker one (or more) versions behind versions the replica DID
+    // land — the resume path the live sync tolerates. Those versions
+    // are provably synced when the new primary's corresponding slots
+    // hold the SAME {added, removed} lists; anything else is a commit
+    // the new primary never saw and must refuse loudly.
+    ((synced + 1) to head).foreach { v =>
+      val se = new File(logDir(oldSrc), f"v$v%05d.json")
+      val de = new File(logDir(newPrimary), f"v${1 + v - seed}%05d.json")
+      require(se.isFile && de.isFile && parseEntry(se) == parseEntry(de),
+        s"$oldSrc holds v$v the new primary never saw; " +
+          "export it before demoting")
+    }
     writeReplicaMarker(oldSrc, new File(newPrimary).getAbsolutePath,
-      seed = 2 - seed, synced = 1 + synced - seed, adopted = true)
+      seed = 2 - seed, synced = 1 + head - seed, adopted = true)
   }
 
   /** OPTIMIZE ZORDER — [[optimize]] with a CLUSTERED rewrite: rows sort

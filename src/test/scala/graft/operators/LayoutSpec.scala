@@ -188,6 +188,24 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirC))
   }
 
+  test("rank_bucket SQL surface: integral arrays widen, bad arrays refuse cleanly") {
+    graft.plans.GraftExtensions.register(spark)
+    // SQL's bare array(1,2,3) folds to array<int> — must widen, not CCE
+    assert(spark.sql("SELECT rank_bucket(5, array(1, 2, 3))")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT rank_bucket(CAST(2 AS BIGINT), array(1, 2, 3))")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT rank_bucket(0, array(1, 2, 3))")
+      .head().getLong(0) == 0L)
+    // non-integral and null-holding arrays are clean argument errors
+    intercept[Exception] { spark.sql("SELECT rank_bucket(1, array('a'))").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT rank_bucket(1, array(1, NULL, 3))").collect() }
+    // NULL value in → NULL out
+    assert(spark.sql("SELECT rank_bucket(CAST(NULL AS BIGINT), array(1, 2))")
+      .head().isNullAt(0))
+  }
+
   test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {
     // 2D, bits=4: the code must be a BIJECTION onto [0, 256) AND
     // unit-step continuous — consecutive codes decode to Manhattan-

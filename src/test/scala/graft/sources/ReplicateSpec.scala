@@ -165,6 +165,48 @@ class ReplicateSpec extends SparkSpec {
     assert(contentOf(dst) == contentOf(src))
   }
 
+  test("a live-at-head file missing at src is corruption: the sync throws, never mirrors") {
+    val src = fresh("corrupt_src"); val dst = fresh("corrupt_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    commitRange(src, 100, 120)
+    // simulate corruption/bad manual vacuum: the v2 file is LIVE at
+    // src's head but gone on disk — a silent skip would publish a
+    // replica head referencing a nonexistent file and advance the
+    // marker past it forever
+    val v2File = TxnTable.liveFiles(src).filterNot(
+      TxnTable.liveFiles(src, Some(1)).toSet)
+    assert(v2File.size == 1)
+    new File(src, v2File.head).delete()
+    val e = intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
+    assert(e.getMessage.contains("corruption"), e.getMessage)
+    // the replica stayed at its last good state and still reads
+    assert(contentOf(dst) == (0L until 100L).map(i => (i, i % 7)).toSet)
+  }
+
+  test("demote tolerates the sync's publish-before-marker crash window") {
+    val src = fresh("window_src"); val dst = fresh("window_dst")
+    commitRange(src, 0, 100)
+    TxnTable.replicate(src, dst)
+    commitRange(src, 100, 150)
+    TxnTable.replicate(src, dst)
+    TxnTable.promoteReplica(dst)
+    // simulate the crash: the marker (now the promoted record) says one
+    // version LESS than what was actually published — src v2 was synced
+    // (dst v2 holds the identical entry) but the marker never advanced
+    val pm = new File(dst, "_graft_promoted.json")
+    val body = new String(Files.readAllBytes(pm.toPath), StandardCharsets.UTF_8)
+    Files.write(pm.toPath,
+      body.replace("\"syncedSrcVersion\":2", "\"syncedSrcVersion\":1")
+        .getBytes(StandardCharsets.UTF_8))
+    // demote must recognize v2 as provably synced (entry equality), not
+    // demand a pointless export from a dead source
+    TxnTable.demoteToReplica(src, dst)
+    commitRange(dst, 150, 170)
+    TxnTable.replicate(dst, src)
+    assert(contentOf(src) == contentOf(dst))
+  }
+
   test("failover: promote the replica, write locally, demote + reverse-sync the old source") {
     val src = fresh("promo_src"); val dst = fresh("promo_dst")
     commitRange(src, 0, 100)

@@ -198,6 +198,39 @@ class TxnLayoutSpec extends SparkSpec {
     assert(contentOf(tE) == before ++ Set((42L, 42L, -1L), (55L, 55L, -2L)))
   }
 
+  test("by-design clipped outliers never read as clamped mass (no re-optimize loop)") {
+    val t = fresh("clipstale")
+    // bulk plus ~2% in-distribution outliers far beyond the winsorized
+    // bounds: after a CLEAN clipped optimize they fill their own edge
+    // files — judging staleness against the scaling bounds would count
+    // them clamped forever and loop the re-optimize policy
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(
+        when(col("id") < 3920, col("id") * 1000003L)
+          .otherwise(col("id") * 1000003L * 4096L).as("x"),
+        col("id").as("v"))
+        .withColumn("y", col("x")).select("x", "y", "v"),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 16,
+      clipQuantile = 0.01)
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.raw.nonEmpty && spec.raw.head._3 > spec.quant.head._3,
+      "the sidecar records the unclipped domain alongside the scaling bounds")
+    assert(TxnLayout.boundsStaleness(spark, t)._1 == 0L,
+      "a freshly optimized clipped layout has zero clamped mass")
+    assert(TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2,
+      maxClampedFraction = 0.01).isEmpty,
+      "the policy must decline on a healthy clipped layout even at a tight threshold")
+    // genuinely NEW domain still triggers: ingest beyond the RAW bounds
+    TxnTable.commit(spark,
+      spark.range(100000, 104000).select((col("id") * 1000003L * 4096L).as("x"),
+        (col("id") * 1000003L * 4096L).as("y"), col("id").as("v")),
+      t, overwrite = false)
+    val r = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2,
+      maxClampedFraction = 0.4)
+    assert(r.isDefined && r.get._3 == 0, s"grown domain must re-optimize, got $r")
+  }
+
   test("tie collapse self-heals: file skew escalates a range layout to equi-depth") {
     // the q_layout_equidepth shape clustered in RANGE mode: the tied
     // 90% collapses into one fat file (codes the range partitioner
