@@ -397,24 +397,43 @@ object LayoutAdvisor {
     * ALL is [[zorderAdvice]]'s question, this row answers whether to
     * MAINTAIN what exists. */
   def clusterAdvice(spark: SparkSession, table: String,
-                    maxStaleFraction: Double = 0.2): DataFrame = {
+                    maxStaleFraction: Double = 0.2,
+                    maxClampedFraction: Double = 0.5,
+                    maxFileSkew: Double = 8.0,
+                    minFilesForSkew: Int = 4): DataFrame = {
     import spark.implicits._
     import graft.sources.TxnLayout
     TxnLayout.readSpec(table) match {
       case None =>
-        Seq(("none", "", 0L, 0L, 0L, 0L, false))
+        Seq(("none", "", 0L, 0L, 0L, 0L, false, 0L, "none"))
           .toDF("curve", "cols", "n_clustered_files", "n_stale_files",
-            "stale_rows", "total_rows", "recommend_recluster")
+            "stale_rows", "total_rows", "recommend_recluster",
+            "clamped_rows", "action")
       case specOpt @ Some(spec) =>
         // one sidecar read: the split below measures the SAME spec the
         // row names (no re-read between naming and measuring)
         val (cl, st, staleRows, totalRows) =
           TxnLayout.stalenessOf(table, specOpt)
+        val recommend = st > 0 && staleRows >= maxStaleFraction * totalRows
+        // the ACTION column mirrors maintainClustered's decision order
+        // exactly (clamped regrow → skew escalation → incremental →
+        // healthy), so the advice names what the policy will do —
+        // every measure footer-metadata only, like the staleness split
+        val (clamped, clTotal) = TxnLayout.boundsStaleness(spark, table)
+        val action =
+          if (clTotal > 0 && clamped > maxClampedFraction * clTotal)
+            if (spec.qbounds.nonEmpty) "reoptimize_equidepth"
+            else "reoptimize_bounds"
+          else if (spec.quant.nonEmpty && spec.ranges.size >= minFilesForSkew &&
+              TxnLayout.fileSkew(table) > maxFileSkew)
+            "escalate_equidepth"
+          else if (recommend) "recluster_incremental"
+          else "healthy"
         Seq((spec.curve, spec.cols.mkString(","), cl.toLong, st.toLong,
-          staleRows, totalRows,
-          st > 0 && staleRows >= maxStaleFraction * totalRows))
+          staleRows, totalRows, recommend, clamped, action))
           .toDF("curve", "cols", "n_clustered_files", "n_stale_files",
-            "stale_rows", "total_rows", "recommend_recluster")
+            "stale_rows", "total_rows", "recommend_recluster",
+            "clamped_rows", "action")
     }
   }
 

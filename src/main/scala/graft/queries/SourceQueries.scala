@@ -1219,15 +1219,18 @@ object SourceQueries {
         |         CAST(4 AS BIGINT) AS n_clustered, CAST(0 AS BIGINT) AS n_stale,
         |         CAST(0 AS BIGINT) AS stale_rows,
         |         (SELECT COUNT(*) FROM orders) AS total_rows,
-        |         CAST(0 AS BIGINT) AS rec
+        |         CAST(0 AS BIGINT) AS rec,
+        |         CAST(0 AS BIGINT) AS clamped, 'healthy' AS action
         |  UNION ALL
         |  SELECT 'b_stale', 'morton', CAST(4 AS BIGINT), CAST(1 AS BIGINT),
         |         CAST(3 AS BIGINT),
-        |         (SELECT COUNT(*) + 3 FROM orders), CAST(1 AS BIGINT)
+        |         (SELECT COUNT(*) + 3 FROM orders), CAST(1 AS BIGINT),
+        |         CAST(3 AS BIGINT), 'recluster_incremental'
         |  UNION ALL
         |  SELECT 'c_maintained', 'morton', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT),
-        |         (SELECT COUNT(*) + 3 FROM orders), CAST(0 AS BIGINT)
+        |         (SELECT COUNT(*) + 3 FROM orders), CAST(0 AS BIGINT),
+        |         CAST(3 AS BIGINT), 'healthy'
         |) ORDER BY stage""".stripMargin) { (s, d) =>
       import graft.sources.TxnLayout
       import s.implicits._
@@ -1244,7 +1247,8 @@ object SourceQueries {
           col("n_clustered_files").as("n_clustered"),
           col("n_stale_files").as("n_stale"),
           col("stale_rows"), col("total_rows"),
-          col("recommend_recluster").cast("long").as("rec"))
+          col("recommend_recluster").cast("long").as("rec"),
+          col("clamped_rows").as("clamped"), col("action"))
       val a = advice("a_clean")
       TxnTable.commit(s,
         Seq((40000L, 40000L, 1L), (40001L, 40001L, 2L), (40002L, 40002L, 3L))
