@@ -1085,13 +1085,14 @@ object ScaleQueries {
         |  SELECT event_id, event_id * 1000003 AS x, user_id * 999983 AS y
         |  FROM events),
         |b AS (SELECT (MAX(event_id) // 20) * 1000003 AS xlo,
-        |             (MAX(event_id) // 5) * 1000003 AS xhi
+        |             (MAX(event_id) // 5) * 1000003 AS xhi,
+        |             (MAX(user_id) // 2) * 999983 AS yhi
         |      FROM events)
         |SELECT event_id, CAST(x AS BIGINT) AS x,
         |       TRUE AS clip_in_bulk, TRUE AS beats_plain,
         |       TRUE AS outliers_kept
         |FROM e, b
-        |WHERE x BETWEEN b.xlo AND b.xhi
+        |WHERE x BETWEEN b.xlo AND b.xhi AND y BETWEEN 0 AND b.yhi
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       import graft.operators.Layout
       import s.implicits._
@@ -1106,15 +1107,22 @@ object ScaleQueries {
           (col("user_id") * 999983L).as("y"))
         .unionByName(Seq((-1L, big, big), (-2L, big + 1, big))
           .toDF("event_id", "x", "y"))
-      val maxId = Tables.events(s, d)
-        .agg(max(col("event_id").cast("long"))).head().getLong(0)
+      val mm = Tables.events(s, d)
+        .agg(max(col("event_id").cast("long")),
+          max(col("user_id").cast("long"))).head()
+      val (maxId, maxU) = (mm.getLong(0), mm.getLong(1))
       Layout.zorderWriteRanged(src, cols, dirP, numFiles = 16)
       val clipped = Layout.zorderWriteRanged(src, cols, dirC, numFiles = 16,
         clipQuantile = 0.01)
       val clipInBulk = clipped.forall { case (_, _, hi) => hi < (1L << 40) }
-      // open-box rows metric on a bulk-interior x range narrow enough
-      // to sit inside one x-quarter of the morton layout
-      val bounds = Seq(("x", (maxId / 20) * 1000003L, (maxId / 5) * 1000003L))
+      // open-box rows metric: BOTH dimensions bounded (an x-only box
+      // inflates through y-straddling files — repartitionByRange's
+      // SAMPLED boundaries shift run to run, so the margin must not
+      // depend on where they land), x narrow enough to sit inside one
+      // x-quarter of the morton layout
+      val bounds = Seq(
+        ("x", (maxId / 20) * 1000003L, (maxId / 5) * 1000003L),
+        ("y", 0L, (maxU / 2) * 999983L))
       def openedRows(dir: String): Long =
         Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
           .filter(bounds.map { case (c, lo, hi) =>
