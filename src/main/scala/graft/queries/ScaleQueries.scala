@@ -1069,6 +1069,61 @@ object ScaleQueries {
         .orderBy("event_id")
     },
 
+    // ── RANGE-QUANTIZED HILBERT on RAW wide domains — the hilbert
+    //    sibling of q_layout_zorder_raw (the advisor's curve choice for
+    //    3+ dimensions rides the same rangeScale composition): same
+    //    aliasing regime, same head-to-head pins — the quantized
+    //    hilbert layout opens a strict subset of its files AND strictly
+    //    fewer than the same write without quantization; content equals
+    //    the plain filter.
+    sql("q_layout_hilbert_raw",
+      """WITH e AS (
+        |  SELECT event_id, event_id * 1000003 AS x, user_id * 999983 AS y
+        |  FROM events),
+        |b AS (SELECT (MAX(event_id) // 5) * 1000003 AS xlo,
+        |             ((MAX(event_id) * 2) // 5) * 1000003 AS xhi,
+        |             (MAX(user_id) // 5) * 999983 AS ylo,
+        |             ((MAX(user_id) * 4) // 5) * 999983 AS yhi
+        |      FROM events)
+        |SELECT event_id, CAST(x AS BIGINT) AS x,
+        |       TRUE AS pruned_strict, TRUE AS beats_aliased
+        |FROM e, b
+        |WHERE x BETWEEN b.xlo AND b.xhi AND y BETWEEN b.ylo AND b.yhi
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Layout
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dirR = graft.Scratch.dir(s"/root/repo/target/tmp/hraw_ranged_$sfKey")
+      val dirA = graft.Scratch.dir(s"/root/repo/target/tmp/hraw_aliased_$sfKey")
+      val cols = Seq("x", "y")
+      val src = Tables.events(s, d).select(
+        col("event_id"),
+        (col("event_id") * 1000003L).as("x"),
+        (col("user_id") * 999983L).as("y"))
+      val m = Tables.events(s, d)
+        .agg(max(col("event_id").cast("long")), max(col("user_id").cast("long")))
+        .head()
+      val (maxId, maxU) = (m.getLong(0), m.getLong(1))
+      Layout.zorderWriteRanged(src, cols, dirR, numFiles = 16,
+        curve = "hilbert")
+      Layout.hilbertWriteN(src, cols, dirA, numFiles = 16)
+      val bounds = Seq(
+        ("x", (maxId / 5) * 1000003L, (maxId * 2 / 5) * 1000003L),
+        ("y", (maxU / 5) * 999983L, (maxU * 4 / 5) * 999983L))
+      def indexOf(dir: String) =
+        Layout.buildMinMaxIndexN(s, dir, cols).localCheckpoint(true)
+      def openedIn(idx: org.apache.spark.sql.DataFrame): Long =
+        idx.filter(bounds.map { case (c, lo, hi) =>
+          col(s"min_$c") <= hi && col(s"max_$c") >= lo }.reduce(_ && _)).count()
+      val idxR = indexOf(dirR)
+      val (openR, totR) = (openedIn(idxR), idxR.count())
+      val openA = openedIn(indexOf(dirA))
+      Layout.prunedReadBox(s, idxR, bounds)
+        .select(col("event_id"), col("x"),
+          lit(openR < totR).as("pruned_strict"),
+          lit(openR < openA).as("beats_aliased"))
+        .orderBy("event_id")
+    },
+
     // ── WINSORIZED quantization under OUTLIER SKEW: two sentinel rows
     //    near 2^62 stretch the true [min, max] so far that plain range
     //    scaling squeezes the whole bulk into bucket 0 — pruning

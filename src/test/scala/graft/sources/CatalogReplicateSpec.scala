@@ -165,6 +165,27 @@ class CatalogReplicateSpec extends SparkSpec {
     intercept[Exception] { TxnCatalog.replicate(dst, src) }
   }
 
+  test("catalog demote tolerates the sync's publish-before-marker crash window") {
+    val src = fresh("window_src"); val dst = fresh("window_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 50))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(50, 70))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.promoteReplica(dst)
+    // simulate the crash: the promoted marker says one txn LESS than
+    // what was actually mirrored — t2 landed at dst byte-identically
+    // but the marker never advanced
+    val pm = new File(dst, "_graft_promoted.json")
+    val body = new String(Files.readAllBytes(pm.toPath), StandardCharsets.UTF_8)
+    Files.write(pm.toPath, body.replace("\"syncedTxn\":2", "\"syncedTxn\":1")
+      .getBytes(StandardCharsets.UTF_8))
+    // demote recognizes t2 as provably synced (byte-equal entries)
+    TxnCatalog.demoteToReplica(src, dst)
+    TxnCatalog.commitAll(spark, dst, Seq(Write("t", df(70, 90))))
+    TxnCatalog.replicate(dst, src)
+    assert(contentOf(src, "t") == contentOf(dst, "t"))
+  }
+
   test("catalog demote refuses lost writes, wrong lineage, and double states") {
     val src = fresh("lost_src"); val dst = fresh("lost_dst")
     TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 10))))
