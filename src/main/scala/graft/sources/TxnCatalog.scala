@@ -895,7 +895,7 @@ object TxnCatalog {
     val head = currentTxn(src)
     require(head >= 1, s"nothing to replicate: $src has no txns")
     val srcAbs = new File(src).getAbsolutePath
-    var copied = 0
+    val copied = new java.util.concurrent.atomic.AtomicInteger(0)
     def atomicCopy(from: File, to: File): Unit = {
       to.getParentFile.mkdirs()
       val tmp = new File(to.getParentFile,
@@ -903,7 +903,7 @@ object TxnCatalog {
       Files.copy(from.toPath, tmp.toPath)
       Files.move(tmp.toPath, to.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      copied += 1
+      copied.incrementAndGet()
     }
     def copyData(rel: String): Unit = {
       val from = new File(src, rel)
@@ -919,6 +919,9 @@ object TxnCatalog {
         Files.readAllBytes(to.toPath)),
         s"replica fork: $dst/$rel differs from the source's entry")
     }
+    require(!catPromotedFile(dst).isFile,
+      s"$dst was promoted to primary — the old source can no longer sync into it; " +
+        "demote it under the new primary instead")
     val marker = catReplicaFile(dst)
     val synced =
       if (marker.isFile) {
@@ -947,6 +950,12 @@ object TxnCatalog {
         0
       }
     def writeMarker(t: Int): Unit = {
+      // promotion race (see TxnTable.replicate's writeMarker): a
+      // concurrent promoteReplica moved the marker aside — writing here
+      // would resurrect it on a now-primary catalog. The promotion wins.
+      require(!catPromotedFile(dst).isFile,
+        s"$dst was promoted to primary mid-sync — the promotion wins; " +
+          "aborting without resurrecting the replica marker")
       val tmp = new File(dst,
         s"._graft_replica-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       Files.write(tmp.toPath,
@@ -966,6 +975,12 @@ object TxnCatalog {
       val entry = new File(txnDir(src), f"t$t%05d.json")
       require(entry.isFile, s"replication gap: $src has no txn entry t$t")
       val lin = versionLists(src, Some(t))
+      // the txn's DATA files are the bulk and are order-free among
+      // themselves — gather them across every table/version in the
+      // lineage delta and fan the copies out; the tiny fork-checked log
+      // entries copy serially first, and the catalog entry below (the
+      // cross-table commit point) waits for the whole batch
+      val dataRels = Seq.newBuilder[String]
       lin.toSeq.sortBy(_._1).foreach { case (name, vs) =>
         val srcTable = tablePath(src, name)
         val known = prevLin.getOrElse(name, Seq.empty).toSet
@@ -977,11 +992,12 @@ object TxnCatalog {
           copyVerified(s"tables/$name/$logRel")
           val stats = f"_graft_log/stats_v$v%05d.json"
           if (new File(srcTable, stats).isFile)
-            copyData(s"tables/$name/$stats")
+            dataRels += s"tables/$name/$stats"
           TxnTable.parseEntry(srcLog)._1
-            .foreach(f => copyData(s"tables/$name/$f"))
+            .foreach(f => dataRels += s"tables/$name/$f")
         }
       }
+      ParallelCopy.foreachPar(dataRels.result())(copyData)
       prevLin = lin
       // the catalog entry LAST — the cross-table commit point: a reader
       // of the replica never sees half a transaction
@@ -1000,6 +1016,7 @@ object TxnCatalog {
             Files.readAllBytes(entry.toPath), Files.readAllBytes(target)),
             s"replica fork: $dst txn t$t was published by a local writer")
       }
+      replicateMidSyncHook(t)
       writeMarker(t)
     }
     // constraints travel UNCONDITIONALLY and ATOMICALLY, once per table
@@ -1019,10 +1036,15 @@ object TxnCatalog {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    (currentTxn(dst), copied)
+    (currentTxn(dst), copied.get)
   }
 
   private def catPromotedFile(t: String) = new File(t, "_graft_promoted.json")
+
+  /** Spec-only interleaving point, the catalog sibling of
+    * [[TxnTable.replicateMidSyncHook]]: invoked between a synced txn's
+    * entry publish and its marker write. A no-op in production. */
+  private[graft] var replicateMidSyncHook: Int => Unit = _ => ()
 
   /** FAILOVER, step 1 — PROMOTE a catalog replica to a writable
     * primary: the replica marker moves aside to `_graft_promoted.json`

@@ -772,8 +772,17 @@ object TxnTable {
     val srcHead = currentVersion(src)
     require(srcHead >= 1, s"nothing to replicate: $src is empty")
     val srcAbs = new File(src).getAbsolutePath
-    var copied = 0
-    lazy val srcHeadLive: Set[String] = liveFiles(src, None).toSet
+    val copied = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the liveness set the vacuum-tolerance guard judges against is the
+    // snapshot this sync REPLICATES (the srcHead captured at entry), not
+    // whatever the source's head is by the time a copy task runs: a
+    // removal committed + vacuumed at src DURING the sync would make a
+    // file the replica's published head still references look "not
+    // live" under a current-head check, and the skip would publish a
+    // replica head pointing at a missing file. (lazy: only a replay
+    // that actually hits a missing file pays the log walk; Scala lazy
+    // vals are synchronized, so the parallel copy tasks race safely.)
+    lazy val srcHeadLive: Set[String] = liveFiles(src, Some(srcHead)).toSet
     def copyIn(rel: String, allowMissing: Boolean = false): Unit = {
       val to = new File(dst, rel)
       val from = new File(src, rel)
@@ -782,16 +791,17 @@ object TxnTable {
       // the source's retention (the catalog replicator's contract) —
       // refusing would wedge the replica on that version forever. Only
       // the suffix replay opts in, and only for files that are NOT live
-      // at src's head: vacuum never removes live files, so a
-      // live-at-head-but-missing file is real corruption — skipping it
-      // would publish a replica head that references a nonexistent file
-      // and advance the watermark past it forever. (A SEED file is live
-      // at the seed snapshot, so its absence always throws.)
+      // at the replicated snapshot (v$srcHead): vacuum never removes
+      // files live at the head it ran under, so a live-at-snapshot-but-
+      // missing file is real corruption — skipping it would publish a
+      // replica head that references a nonexistent file and advance the
+      // watermark past it forever. (A SEED file is live at the seed
+      // snapshot, so its absence always throws.)
       if (allowMissing && !from.isFile) {
         require(!srcHeadLive(rel),
           s"replication source corruption: $src/$rel is live at the " +
-            "source's head but missing on disk — refusing to mirror a " +
-            "table that cannot be read")
+            s"replicated snapshot (v$srcHead) but missing on disk — " +
+            "refusing to mirror a table that cannot be read")
         return
       }
       if (!to.isFile) {
@@ -803,7 +813,7 @@ object TxnTable {
         Files.copy(from.toPath, tmp.toPath)
         Files.move(tmp.toPath, to.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        copied += 1
+        copied.incrementAndGet()
       }
     }
     def copyConstraints(): Unit = {
@@ -812,19 +822,40 @@ object TxnTable {
         Files.copy(c.toPath, new File(dst, "_graft_constraints.json").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    def writeMarker(seed: Int, synced: Int, adopted: Boolean = false): Unit =
+    def writeMarker(seed: Int, synced: Int, adopted: Boolean = false): Unit = {
+      // PROMOTION RACE: [[promoteReplica]] moves the replica marker
+      // aside while a sync is mid-flight (the marker was read at
+      // entry). Writing here would RESURRECT it — the promoted primary
+      // would silently become "a replica" again and its legitimate
+      // local commits would start refusing as forks. The promotion
+      // wins: abort without touching the marker. A version this sync
+      // already published past the promoted marker's watermark is the
+      // same publish-before-marker window the demote path already
+      // tolerates (its slot holds the identical entry).
+      require(!promotedFile(dst).isFile,
+        s"$dst was promoted to primary mid-sync — the promotion wins; " +
+          "aborting without resurrecting the replica marker")
       writeReplicaMarker(dst, srcAbs, seed, synced, adopted)
+    }
     // seed publish is re-runnable: copies are skip-if-present, and a
     // racing/previous publish of the same v1 is accepted as done
     def seedPublish(seed: Int): Unit = {
       val live = liveFiles(src, Some(seed))
       require(live.nonEmpty, s"nothing to replicate: $src has no live files")
-      live.foreach(copyIn(_))
+      // the seed is the sync's bulk-copy phase (the whole live snapshot)
+      // — fan it out; every copy lands before the publish below
+      ParallelCopy.foreachPar(live)(copyIn(_))
       copyConstraints()
       try publishFileList(dst, live, tag = Some("replica_seed"),
         expectedVersion = Some(1))
       catch { case _: java.util.ConcurrentModificationException => () }
     }
+    // a PROMOTED table is a primary now — the old source must never
+    // sync into it again (clear refusal here; without it the missing
+    // marker would fall into the generic "not a replica" message)
+    require(!promotedFile(dst).isFile,
+      s"$dst was promoted to primary — the old source can no longer sync into it; " +
+        "demote it under the new primary instead")
     val marker = replicaFile(dst)
     if (!marker.isFile) {
       require(currentVersion(dst) == 0,
@@ -834,7 +865,7 @@ object TxnTable {
       new File(dst).mkdirs()
       writeMarker(srcHead, srcHead)
       seedPublish(srcHead)
-      (1, copied)
+      (1, copied.get)
     } else {
       val m = new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
       val recordedSrc = "\"src\":\"([^\"]+)\"".r.findFirstMatchIn(m)
@@ -865,7 +896,9 @@ object TxnTable {
         require(entry.isFile,
           s"replication gap: $src has no log entry for v$v")
         val (added, removed) = parseEntry(entry)
-        added.foreach(copyIn(_, allowMissing = true))
+        // within one version the copies are order-free; the version's
+        // publish (the commit point) waits for the whole batch
+        ParallelCopy.foreachPar(added)(copyIn(_, allowMissing = true))
         val dstV = 1 + (v - seed)
         try publish(dst, dstV, added, removed, commitTag(src, v))
         catch {
@@ -875,17 +908,24 @@ object TxnTable {
             val have = parseEntry(new File(logDir(dst), f"v$dstV%05d.json"))
             if (have != ((added, removed))) throw e
         }
+        replicateMidSyncHook(v)
         writeMarker(seed, v, adopted)
       }
       // unconditional: declarations move without data commits, and a
       // "successful sync" must never leave the replica auditing against
       // a stale constraint set
       copyConstraints()
-      (currentVersion(dst), copied)
+      (currentVersion(dst), copied.get)
     }
   }
 
   private def promotedFile(t: String) = new File(t, "_graft_promoted.json")
+
+  /** Spec-only interleaving point: invoked between a replayed version's
+    * publish and its marker write, with the src version just landed —
+    * the window a concurrent [[promoteReplica]] can race into. A no-op
+    * in production. */
+  private[graft] var replicateMidSyncHook: Int => Unit = _ => ()
 
   private def writeReplicaMarker(dst: String, srcAbs: String, seed: Int,
                                  synced: Int, adopted: Boolean): Unit = {

@@ -202,4 +202,46 @@ class CatalogReplicateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxnCatalog.promoteReplica(other) }
     intercept[IllegalArgumentException] { TxnCatalog.promoteReplica(dst) }
   }
+
+  test("catalog promotion landing mid-sync wins: the sync aborts, the marker stays gone") {
+    val src = fresh("race_src"); val dst = fresh("race_dst")
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(0, 20))))
+    TxnCatalog.replicate(src, dst)
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(20, 30))))
+    TxnCatalog.commitAll(spark, src, Seq(Write("t", df(30, 40))))
+    TxnCatalog.replicateMidSyncHook = t =>
+      if (t == 2) TxnCatalog.promoteReplica(dst)
+    try {
+      val e = intercept[IllegalArgumentException] { TxnCatalog.replicate(src, dst) }
+      assert(e.getMessage.contains("promotion wins"), e.getMessage)
+    } finally TxnCatalog.replicateMidSyncHook = _ => ()
+    assert(!new File(dst, "_graft_replica.json").isFile,
+      "the sync must not resurrect the replica marker on a promoted catalog")
+    assert(new File(dst, "_graft_promoted.json").isFile)
+    // t2 published inside the window is visible and whole at the new
+    // primary (the entry is the commit point); t3 never shipped
+    assert(TxnCatalog.currentTxn(dst) == 2)
+    assert(contentOf(dst, "t") == contentOf(src, "t", Some(2)))
+    // and the old source can never sync into the promoted catalog again
+    val e2 = intercept[IllegalArgumentException] { TxnCatalog.replicate(src, dst) }
+    assert(e2.getMessage.contains("promoted to primary"), e2.getMessage)
+  }
+
+  test("a many-file txn's data copies fan out; the catalog entry still publishes last") {
+    val src = fresh("par_src"); val dst = fresh("par_dst")
+    // one txn, two tables, 30 data files total — the copies are
+    // order-free among themselves; only the catalog entry is ordered
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("fact", spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") * 2).as("v")).repartition(24)),
+      Write("dim", df(0, 60).repartition(6))))
+    val (t, copied) = TxnCatalog.replicate(src, dst)
+    assert(t == 1)
+    assert(copied >= 32, s"30 data files + 2 log entries, got $copied")
+    assert(ParallelCopy.lastThreads > 1,
+      s"a 30-file txn must fan out, used ${ParallelCopy.lastThreads} thread(s)")
+    Seq("fact", "dim").foreach(n => assert(contentOf(dst, n) == contentOf(src, n)))
+    // resume semantics unchanged: a re-sync copies nothing
+    assert(TxnCatalog.replicate(src, dst) == ((1, 0)))
+  }
 }

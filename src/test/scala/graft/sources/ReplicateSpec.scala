@@ -258,4 +258,89 @@ class ReplicateSpec extends SparkSpec {
     // and promoting a non-replica refuses
     intercept[IllegalArgumentException] { TxnTable.promoteReplica(other) }
   }
+
+  test("promotion landing mid-sync wins: the sync aborts and never resurrects the marker") {
+    val src = fresh("race_src"); val dst = fresh("race_dst")
+    commitRange(src, 0, 50)
+    TxnTable.replicate(src, dst)
+    commitRange(src, 50, 80)
+    commitRange(src, 80, 100)
+    // the race, deterministically: promote lands in the window between
+    // the FIRST replayed version's publish and its marker write
+    TxnTable.replicateMidSyncHook = v =>
+      if (v == 2) TxnTable.promoteReplica(dst)
+    try {
+      val e = intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
+      assert(e.getMessage.contains("promotion wins"), e.getMessage)
+    } finally TxnTable.replicateMidSyncHook = _ => ()
+    // the marker was NOT resurrected: dst is a primary, local commits
+    // are legitimate, and the old source can never sync into it again
+    assert(!new File(dst, "_graft_replica.json").isFile)
+    assert(new File(dst, "_graft_promoted.json").isFile)
+    commitRange(dst, 1000, 1010) // a local write on the new primary: fine
+    val e2 = intercept[IllegalArgumentException] { TxnTable.replicate(src, dst) }
+    assert(e2.getMessage.contains("promoted to primary"), e2.getMessage)
+    // the version published inside the window is the same
+    // publish-before-marker state the demote path tolerates: src sits
+    // at the synced v2 slot with the identical entry, so after
+    // exporting nothing (src holds one version past the promote — the
+    // outage window) demote refuses loudly, exactly the data-loss gate
+    val e3 = intercept[IllegalArgumentException] {
+      TxnTable.demoteToReplica(src, dst)
+    }
+    assert(e3.getMessage.contains("never saw"), e3.getMessage)
+  }
+
+  test("many-file seed fans out over a thread pool and a mid-copy crash resumes cleanly") {
+    val src = fresh("par_src"); val dst = fresh("par_dst")
+    // one commit, 40 data files — the bulk-copy shape where a
+    // driver-serial sync is the 100 TB wall
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(40),
+      src, overwrite = false)
+    val live = TxnTable.liveFiles(src)
+    assert(live.size == 40)
+
+    // ── the mid-copy crash state, exactly what an interrupted parallel
+    // seed leaves behind: marker durable, SOME copies finished (whole
+    // files, atomically moved), one in-flight copy dead as a private
+    // tmp, v1 never published
+    new File(dst).mkdirs()
+    Files.write(new File(dst, "_graft_replica.json").toPath,
+      (s"""{"src":"${new File(src).getAbsolutePath}",""" +
+        s""""seedSrcVersion":1,"syncedSrcVersion":1}""")
+        .getBytes(StandardCharsets.UTF_8))
+    live.take(17).foreach { rel =>
+      val to = new File(dst, rel)
+      to.getParentFile.mkdirs()
+      Files.copy(new File(src, rel).toPath, to.toPath)
+    }
+    val straggler = new File(dst, live(17))
+    straggler.getParentFile.mkdirs()
+    val tmp = new File(straggler.getParentFile,
+      s".${straggler.getName}-deadbeef.tmp")
+    Files.write(tmp.toPath, Array[Byte](1, 2, 3)) // truncated in-flight copy
+
+    // resume: the 17 finished copies skip, the 23 missing ones (the
+    // tmp-only straggler included) copy fresh, v1 publishes once
+    val (v, copied) = TxnTable.replicate(src, dst)
+    assert(v == 1)
+    assert(copied == 23, s"resume must copy exactly the missing files, got $copied")
+    assert(ParallelCopy.lastThreads > 1,
+      s"a 23-file batch must fan out, used ${ParallelCopy.lastThreads} thread(s)")
+    assert(contentOf(dst) == contentOf(src))
+    assert(tmp.isFile,
+      "the dead tmp is an inert orphan — never promoted, never mistaken for the target")
+
+    // and a later Δ sync of a many-file version fans out too
+    TxnTable.commit(spark,
+      spark.range(4000, 5000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(20),
+      src, overwrite = false)
+    val (v2, copied2) = TxnTable.replicate(src, dst)
+    assert(v2 == 2 && copied2 == 20)
+    assert(ParallelCopy.lastThreads > 1)
+    assert(contentOf(dst) == contentOf(src))
+  }
 }
