@@ -12,6 +12,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as INT64 micros, not the legacy INT96: INT96
+      // carries NO footer statistics (parquet-mr emits an empty stats
+      // object), so every footer-driven feature — min-max skipping,
+      // commit-time sidecars, clamped-mass staleness — would leave
+      // timestamp columns permanently unindexed; micros is also what
+      // every other engine (DuckDB, Trino, Iceberg writers) speaks
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // tripwire ON by default (VERDICT r6 #6): an accidental
       // no-partition window over a large input fails at PLAN time

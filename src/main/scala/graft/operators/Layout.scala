@@ -91,6 +91,56 @@ object Layout {
     }
   }
 
+  /** The LONG ORDINAL of a clustering column — the monotone injection
+    * every quantization path (range scaling, winsorized bounds,
+    * equi-depth rank buckets) runs on, extended beyond integrals to the
+    * temporal and decimal types a real 100 TB fact clusters on first
+    * (`events.ts`, `o_orderdate`, a price):
+    *
+    *  - integrals → the value itself (widened to long);
+    *  - DATE → days since epoch (`unix_date`; pre-1970 dates are
+    *    negative ordinals — ordinary longs, spec-pinned);
+    *  - TIMESTAMP → microseconds since epoch (`unix_micros`);
+    *  - TIMESTAMP_NTZ → microseconds of the session-zone instant (cast
+    *    to TIMESTAMP first). For fixed-offset zones this is exactly
+    *    monotone; a DST-observing session zone wobbles by one hour at
+    *    transitions, which can only cost LAYOUT quality for rows inside
+    *    the transition hour, never correctness — reads never consult
+    *    the quantization;
+    *  - DECIMAL(p ≤ 18, s) → the unscaled long (`v · 10^s`, exact in
+    *    decimal arithmetic because p ≤ 18 means the unscaled value
+    *    fits a long; the multiply-then-cast IS the unscaled
+    *    representation). Wider decimals refuse — their unscaled values
+    *    do not fit the 63-bit curve domain.
+    *
+    * Every branch is scan-side, codegen-friendly, and NULL-propagating
+    * (matching the curve codes). Anything else (strings, floats)
+    * refuses loudly: floats carry NaN into footer stats and strings
+    * have no bounded ordinal — neither belongs in a curve coordinate. */
+  def ordinalExpr(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case DateType => call_function("unix_date", c).cast("long")
+      case TimestampType => call_function("unix_micros", c)
+      case TimestampNTZType =>
+        call_function("unix_micros", c.cast(TimestampType))
+      case d: DecimalType if d.precision <= 18 =>
+        (c * lit(BigInt(10).pow(d.scale).toLong)).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"clustering column type $other has no monotone long ordinal — " +
+          "supported: integral, DATE, TIMESTAMP, TIMESTAMP_NTZ, DECIMAL(p<=18)")
+    }
+  }
+
+  /** [[ordinalExpr]] resolved from a frame's schema — the form the
+    * measure/write paths use (refuses on a missing column). */
+  private[graft] def ordinalOfCol(df: DataFrame, c: String): Column =
+    ordinalExpr(col(c), df.schema.find(_.name == c)
+      .getOrElse(throw new IllegalArgumentException(
+        s"clustering column '$c' is not in the schema " +
+          s"[${df.schema.fieldNames.mkString(", ")}]")).dataType)
+
   /** Per-column [min, max] of `cols` in ONE aggregate pass — the
     * quantization bounds [[zorderWriteRanged]] and
     * [[graft.sources.TxnLayout.optimizeClustered]] scale against (one
@@ -113,17 +163,21 @@ object Layout {
     require(cols.nonEmpty, "need at least one clustering column")
     require(clipQuantile >= 0.0 && clipQuantile < 0.5,
       s"clipQuantile must be in [0, 0.5), got $clipQuantile")
+    // bounds are measured over each column's LONG ORDINAL
+    // ([[ordinalExpr]]) — identical to the raw value for integrals, and
+    // the monotone epoch/unscaled mapping for temporal/decimal columns,
+    // so [[rangeScale]] buckets every supported type the same way
     val aggs =
       if (clipQuantile == 0.0)
         cols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__mn_$c"),
-          max(col(c).cast("long")).as(s"__mx_$c")))
+          min(ordinalOfCol(df, c)).as(s"__mn_$c"),
+          max(ordinalOfCol(df, c)).as(s"__mx_$c")))
       else
         cols.flatMap(c => Seq(
-          expr(s"approx_percentile(CAST(`$c` AS BIGINT), $clipQuantile)")
+          percentile_approx(ordinalOfCol(df, c), lit(clipQuantile), lit(10000))
             .as(s"__mn_$c"),
-          expr(s"approx_percentile(CAST(`$c` AS BIGINT), ${1.0 - clipQuantile})")
-            .as(s"__mx_$c")))
+          percentile_approx(ordinalOfCol(df, c), lit(1.0 - clipQuantile),
+            lit(10000)).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
       if (r.isNullAt(2 * i)) (c, 0L, 0L)
@@ -144,7 +198,8 @@ object Layout {
                         bits: Int = 16,
                         clipQuantile: Double = 0.0): Seq[(String, Long, Long)] = {
     val ranges = measureRanges(df, cols, clipQuantile)
-    val scaled = ranges.map { case (c, mn, mx) => rangeScale(col(c), mn, mx, bits) }
+    val scaled = ranges.map { case (c, mn, mx) =>
+      rangeScale(ordinalOfCol(df, c), mn, mx, bits) }
     val code = curve match {
       case "morton" => mortonCodeN(scaled, bits)
       case "hilbert" => hilbertCode(scaled, bits)

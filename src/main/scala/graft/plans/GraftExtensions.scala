@@ -54,11 +54,14 @@ object GraftExtensions {
         HilbertCode(children.drop(1), literalInt(children.head, "hilbert_code"))),
     (FunctionIdentifier("rank_bucket"),
       new ExpressionInfo(classOf[RankBucket].getName, "rank_bucket"),
-      // rank_bucket(value, boundaries) — boundaries is a foldable
-      // array literal (the equi-depth model is driver-measured and
-      // broadcast through the plan, like the centroid literals)
+      // rank_bucket(value, boundaries[, sub_bits, dom_lo, dom_hi]) —
+      // boundaries is a foldable array literal (the equi-depth model is
+      // driver-measured and broadcast through the plan, like the
+      // centroid literals); the optional tail composes the within-
+      // bucket range position under the rank (see RankBucket.code)
       (children: Seq[Expression]) => {
-        require(children.size == 2, "rank_bucket(value, boundaries_array)")
+        require(children.size == 2 || children.size == 5,
+          "rank_bucket(value, boundaries_array[, sub_bits, dom_lo, dom_hi])")
         require(children(1).foldable,
           "rank_bucket boundaries must be a literal array")
         import org.apache.spark.sql.types._
@@ -79,7 +82,20 @@ object GraftExtensions {
           case (dt, _) => throw new IllegalArgumentException(
             s"rank_bucket boundaries must be a literal integral array, got $dt")
         }
-        RankBucket(children(0), bs)
+        if (children.size == 2) RankBucket(children(0), bs.toSeq)
+        else {
+          def longLit(e: Expression, what: String): Long = {
+            require(e.foldable, s"rank_bucket $what must be a literal")
+            e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow) match {
+              case n: java.lang.Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"rank_bucket $what must be an integral literal, got $other")
+            }
+          }
+          RankBucket(children(0), bs.toSeq,
+            longLit(children(2), "sub_bits").toInt,
+            longLit(children(3), "dom_lo"), longLit(children(4), "dom_hi"))
+        }
       }),
     (FunctionIdentifier("list_divider"),
       new ExpressionInfo(classOf[ListDivider].getName, "list_divider"),

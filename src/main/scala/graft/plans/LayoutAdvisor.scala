@@ -189,8 +189,21 @@ object LayoutAdvisor {
     val rows = merged.groupBy(_.basePath).toSeq.flatMap { case (path, us) =>
       val cols = us.map(_.column).distinct.sorted
       val rel = spark.read.parquet(path)
-      def numeric(c: String): Boolean = rel.schema.find(_.name == c)
-        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      // the skew/concentration probes run on a column's double-cast
+      // ORDINAL: numerics directly, temporal columns via their epoch
+      // ordinal (Layout.ordinalExpr) — a timestamp is the FIRST column
+      // a 100 TB fact clusters on, so the advice must probe it too
+      def probeCol(c: String): Option[org.apache.spark.sql.Column] =
+        rel.schema.find(_.name == c).flatMap { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: NumericType => Some(col(c).cast("double"))
+            case DateType | TimestampType | TimestampNTZType =>
+              Some(graft.operators.Layout.ordinalExpr(col(c), f.dataType)
+                .cast("double"))
+            case _ => None
+          }
+        }
       val st = rel.agg(count(lit(1)).as("_n"),
         cols.map { c =>
           val d = if (exactNdv) countDistinct(col(c))
@@ -205,21 +218,21 @@ object LayoutAdvisor {
       // non-distinct sketch then processes the expanded row stream
       // (measured 1.6 s → 11 s on the advice query at sf0.1); two
       // narrow scans are far cheaper than one multiplied one.
-      val skewCols = if (clipRatio <= 0.0) Nil else cols.filter(numeric)
+      val skewCols =
+        if (clipRatio <= 0.0) Nil else cols.filter(probeCol(_).isDefined)
+      val fracs = Seq(0.01, 0.25, 0.75, 0.99)
+      def qAgg(c: String) =
+        org.apache.spark.sql.functions.percentile_approx(probeCol(c).get,
+          org.apache.spark.sql.functions.typedLit(fracs), lit(10000))
+          .as(s"_q_$c")
       val sk: Option[org.apache.spark.sql.Row] =
         if (skewCols.isEmpty) None
-        else Some(rel.agg(
-          org.apache.spark.sql.functions
-            .expr(s"approx_percentile(CAST(`${skewCols.head}` AS DOUBLE), " +
-              "array(0.01, 0.25, 0.75, 0.99))").as(s"_q_${skewCols.head}"),
-          skewCols.tail.map(c =>
-            org.apache.spark.sql.functions
-              .expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
-                "array(0.01, 0.25, 0.75, 0.99))").as(s"_q_$c")) ++
+        else Some(rel.agg(qAgg(skewCols.head),
+          skewCols.tail.map(qAgg) ++
             skewCols.flatMap(c => Seq(
-              org.apache.spark.sql.functions.min(col(c).cast("double"))
+              org.apache.spark.sql.functions.min(probeCol(c).get)
                 .as(s"_mn_$c"),
-              max(col(c).cast("double")).as(s"_mx_$c"))): _*).head())
+              max(probeCol(c).get).as(s"_mx_$c"))): _*).head())
       val baseRows = st.getAs[Long]("_n")
       us.map { u =>
         val ndv = st.getAs[Long](s"_ndv_${u.column}")
@@ -233,7 +246,7 @@ object LayoutAdvisor {
           else "bucket"
         val c = u.column
         val qs: Option[Seq[Double]] = sk.flatMap { row =>
-          if (!numeric(c) || row.isNullAt(row.fieldIndex(s"_q_$c")) ||
+          if (probeCol(c).isEmpty || row.isNullAt(row.fieldIndex(s"_q_$c")) ||
               row.isNullAt(row.fieldIndex(s"_mn_$c"))) None
           else Some(row.getSeq[Double](row.fieldIndex(s"_q_$c")))
         }
@@ -395,12 +408,23 @@ object LayoutAdvisor {
     * `TxnLayout.maintainClustered` applies). A never-clustered table
     * reports curve='none' and never recommends — whether to cluster AT
     * ALL is [[zorderAdvice]]'s question, this row answers whether to
-    * MAINTAIN what exists. */
+    * MAINTAIN what exists.
+    *
+    * NOTE the one write this advisor defaults to: the clamped-mass
+    * measure freshens the quant columns' min-max sidecars first
+    * (O(files since the last refresh), footer metadata — but a WRITE
+    * into the table directory). Fresh ingest is exactly what carries
+    * clamped mass, so the default keeps the advice current; on a
+    * read-only mount pass `refreshStats = false` for a strictly
+    * read-only call — files committed since the last refresh then
+    * count 0 clamped (the measure under-reports, never falsely
+    * recommends). */
   def clusterAdvice(spark: SparkSession, table: String,
                     maxStaleFraction: Double = 0.2,
                     maxClampedFraction: Double = 0.5,
                     maxFileSkew: Double = 8.0,
-                    minFilesForSkew: Int = 4): DataFrame = {
+                    minFilesForSkew: Int = 4,
+                    refreshStats: Boolean = true): DataFrame = {
     import spark.implicits._
     import graft.sources.TxnLayout
     TxnLayout.readSpec(table) match {
@@ -419,7 +443,8 @@ object LayoutAdvisor {
         // exactly (clamped regrow → skew escalation → incremental →
         // healthy), so the advice names what the policy will do —
         // every measure footer-metadata only, like the staleness split
-        val (clamped, clTotal) = TxnLayout.boundsStaleness(spark, table)
+        val (clamped, clTotal) =
+          TxnLayout.boundsStaleness(spark, table, refresh = refreshStats)
         val action =
           if (clTotal > 0 && clamped > maxClampedFraction * clTotal)
             if (spec.qbounds.nonEmpty) "reoptimize_equidepth"

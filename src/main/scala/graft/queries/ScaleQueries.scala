@@ -1169,7 +1169,14 @@ object ScaleQueries {
       Layout.zorderWriteRanged(src, cols, dirP, numFiles = 16)
       val clipped = Layout.zorderWriteRanged(src, cols, dirC, numFiles = 16,
         clipQuantile = 0.01)
-      val clipInBulk = clipped.forall { case (_, _, hi) => hi < (1L << 40) }
+      // the "bounds landed in the bulk, not on the sentinels" pin is
+      // derived from the MEASURED bulk domain (the 99th percentile can
+      // never exceed twice the bulk max while the sentinels sit at
+      // 2^62) — a fixed absolute constant would flip FALSE at larger
+      // scale factors once max(event_id)·1000003 outgrows it, failing
+      // the oracle even though clipping worked
+      val bulkMax = Map("x" -> maxId * 1000003L, "y" -> maxU * 999983L)
+      val clipInBulk = clipped.forall { case (c, _, hi) => hi <= 2 * bulkMax(c) }
       // open-box rows metric: BOTH dimensions bounded (an x-only box
       // inflates through y-straddling files — repartitionByRange's
       // SAMPLED boundaries shift run to run, so the margin must not

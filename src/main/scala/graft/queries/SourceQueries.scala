@@ -884,6 +884,63 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── MULTI-COLUMN dynamic file pruning (TxnStats.dfpFilesMulti):
+    //    the fact probed by TWO filtered dims at once — the common star
+    //    shape (date dim AND customer dim both filtered). The fact is a
+    //    3×3 grid of files over (o_orderkey, o_custkey) terciles; the
+    //    orderkey dim alone keeps one ROW of the grid (3 files), the
+    //    custkey dim alone one COLUMN (3 files), and the intersection —
+    //    sound because each single-column prune is individually sound
+    //    for the inner fact side — opens exactly their ONE shared cell:
+    //    strictly fewer files than either single-column prune. All
+    //    three prune counts ride the hash; the oracle replays the
+    //    two-dim join unpruned.
+    sql("q_scan_dfp_multi",
+      """WITH t AS (SELECT MAX(o_orderkey) // 3 AS qk,
+        |                  MAX(o_custkey) // 3 AS qc FROM orders)
+        |SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS key_sum,
+        |       CAST(9 AS BIGINT) AS files_total,
+        |       CAST(3 AS BIGINT) AS files_a,
+        |       CAST(3 AS BIGINT) AS files_b,
+        |       CAST(1 AS BIGINT) AS files_multi
+        |FROM orders, t
+        |WHERE o_orderkey < t.qk
+        |  AND o_custkey >= t.qc AND o_custkey < 2 * t.qc""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("txn_dfp_multi")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val m = o.agg(max("o_orderkey"), max("o_custkey")).head()
+      val (qk, qc) = (m.getLong(0) / 3, m.getLong(1) / 3)
+      def band(c: org.apache.spark.sql.Column, q: Long, i: Int) =
+        if (i < 2) c >= i * q && c < (i + 1) * q else c >= 2 * q
+      for (i <- 0 to 2; j <- 0 to 2)
+        TxnTable.commit(s,
+          o.filter(band(col("o_orderkey"), qk, i) &&
+            band(col("o_custkey"), qc, j)).coalesce(1),
+          table, overwrite = false)
+      TxnStats.refresh(s, table, "o_orderkey")
+      TxnStats.refresh(s, table, "o_custkey")
+      val dimA = o.filter(col("o_orderkey") < qk)
+        .select(col("o_orderkey").as("ka")).distinct()
+      val dimB = o.filter(col("o_custkey") >= qc && col("o_custkey") < 2 * qc)
+        .select(col("o_custkey").as("kb")).distinct()
+      val (aFiles, nLive) = TxnStats.dfpFiles(s, table, "o_orderkey", dimA)
+      val (bFiles, _) = TxnStats.dfpFiles(s, table, "o_custkey", dimB)
+      val probes = Seq("o_orderkey" -> dimA, "o_custkey" -> dimB)
+      val (mFiles, _) = TxnStats.dfpFilesMulti(s, table, probes)
+      val fact = TxnStats.dfpReadMulti(s, table, probes)
+      fact.join(dimA, fact("o_orderkey") === dimA("ka"))
+        .join(dimB, fact("o_custkey") === dimB("kb"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey") + col("o_custkey")).as("key_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_a", lit(aFiles.size.toLong))
+        .withColumn("files_b", lit(bFiles.size.toLong))
+        .withColumn("files_multi", lit(mFiles.size.toLong))
+    },
+
     // ── OUTER-JOIN dynamic file pruning (TxnStats.dfpReadOuter): the
     //    left-outer star probe. The probe side is PRESERVED — a key
     //    with no fact match (-1 here) must still surface null-extended,
@@ -1088,6 +1145,69 @@ object SourceQueries {
         .withColumn("r1", lit(r1.toLong)).withColumn("k1", lit(k1.toLong))
         .withColumn("r2", lit(r2.toLong)).withColumn("k2", lit(k2.toLong))
         .withColumn("prune_strict", lit(pruneStrict))
+    },
+
+    // ── TEMPORAL clustering on the RAW timestamp column — no manual
+    //    epoch-cast: optimizeClustered quantizes o_orderdate on its
+    //    micro-second ORDINAL (Layout.ordinalExpr), the leading
+    //    clustering column of any real 100 TB fact. Pins ride the hash:
+    //    a quarter-long time window prunes a STRICT file subset through
+    //    the typed skipping stats (pruned_strict) and the pruned read's
+    //    content equals the oracle's plain filter; then time marches on
+    //    — a far-future append lands wholly CLAMPED beyond the recorded
+    //    bounds (the Timestamp sidecars convert to ordinals), the
+    //    maintenance policy re-optimizes with re-measured bounds
+    //    covering the new epoch, and the window still prunes (regrown).
+    sql("q_layout_time_raw",
+      """SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us,
+        |       TRUE AS pruned_strict, TRUE AS regrown
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |                      AND TIMESTAMP '1996-03-31'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      val table = tmp("txn_layout_time")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      TxnTable.commit(s, o, table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table,
+        Seq("o_orderdate", "o_custkey"), numFiles = 8)
+      val dt = TxnTable.read(s, table).schema("o_orderdate").dataType
+      // the testdata's physical micros land as LTZ or NTZ depending on
+      // generation (TESTDATA gotcha) — bounds must match the column
+      def b(day: String): Any = dt match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          java.time.LocalDateTime.parse(s"${day}T00:00:00")
+        case _ => java.sql.Timestamp.valueOf(s"$day 00:00:00")
+      }
+      // time marches on: a bulk 7+ years past the measured bounds is
+      // fully clamped; the policy's clamped-mass trigger re-optimizes
+      // with RE-MEASURED bounds (the stale path is disabled by the
+      // huge maxStaleFraction, so only regrow can explain the rewrite)
+      TxnTable.commit(s,
+        s.range(1, 601).select(
+          (-col("id")).as("o_orderkey"), col("id").as("o_custkey"),
+          lit("2005-06-01 00:00:00").cast(dt).as("o_orderdate")),
+        table, overwrite = false)
+      val (clamped, _) = TxnLayout.boundsStaleness(s, table)
+      val r = TxnLayout.maintainClustered(s, table,
+        maxStaleFraction = 1e18, maxClampedFraction = 1e-6)
+      val hi2005 = TxnLayout.readSpec(table).get.quant
+        .find(_._1 == "o_orderdate").get._3
+      val regrown = clamped == 600L && r.isDefined &&
+        hi2005 == java.time.LocalDateTime.parse("2005-06-01T00:00:00")
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "o_orderdate",
+        b("1996-01-01"), b("1996-03-31"))
+      TxnStats.prunedRead(s, table, "o_orderdate",
+          b("1996-01-01"), b("1996-03-31"))
+        .select(col("o_orderkey"),
+          graft.operators.Layout.ordinalExpr(col("o_orderdate"), dt)
+            .cast("long").as("od_us"),
+          lit(toRead.size < nLive).as("pruned_strict"),
+          lit(regrown).as("regrown"))
+        .orderBy("o_orderkey")
     },
 
     // ── EQUI-DEPTH clustering quantization (TxnLayout.optimizeClustered

@@ -73,12 +73,22 @@ object TxnLayout {
     * outliers outside their scaling bounds — judging staleness against
     * the SCALING bounds would count that by-design residue as clamped
     * mass and loop the re-optimize policy forever on a healthy layout. */
+  /** `subBits` — the within-bucket REFINEMENT width composed under the
+    * equi-depth rank ([[graft.plans.RankBucket]] `code`): bucket codes
+    * alone cap at ~256 distinct values per column (one
+    * approx-percentile pass), which caps the layout's file count at
+    * ~256 target-sized files — the sub-position range-scales each
+    * value inside its bucket's interval so `repartitionByRange` can
+    * cut inside dense buckets and file counts scale to 2^bits again.
+    * Recorded so incremental rounds compose the IDENTICAL code; 0 for
+    * pre-r15 sidecars (bare-rank legacy space). */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
                                quant: Seq[(String, Long, Long)] = Nil,
                                clip: Double = 0.0,
                                qbounds: Seq[(String, Seq[Long])] = Nil,
-                               raw: Seq[(String, Long, Long)] = Nil)
+                               raw: Seq[(String, Long, Long)] = Nil,
+                               subBits: Int = 0)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -88,24 +98,45 @@ object TxnLayout {
     * hilbert ([[graft.operators.Layout.hilbertCode]]) over the
     * range-quantized coordinates, all pure whole-stage-codegen terms.
     * Columns without a `quant` entry pass through raw (the
-    * pre-bucketed legacy contract — low-`bits` masking applies). */
+    * pre-bucketed legacy contract — low-`bits` masking applies).
+    *
+    * `types` carries each column's DataType so quantized coordinates
+    * run on their LONG ORDINAL ([[graft.operators.Layout.ordinalExpr]])
+    * — how DATE/TIMESTAMP/DECIMAL columns cluster without a manual
+    * epoch-cast column. A column absent from the map is treated as
+    * integral (the pre-r15 behavior; recorded bounds stay valid). */
   def codeExpr(cols: Seq[String], curve: String, bits: Int,
                quant: Seq[(String, Long, Long)] = Nil,
-               qbounds: Seq[(String, Seq[Long])] = Nil): Column = {
+               qbounds: Seq[(String, Seq[Long])] = Nil,
+               types: Map[String, org.apache.spark.sql.types.DataType] =
+                 Map.empty,
+               subBits: Int = 0,
+               domain: Map[String, (Long, Long)] = Map.empty): Column = {
     val q = quant.map { case (c, mn, mx) => c -> ((mn, mx)) }.toMap
     val qb = qbounds.toMap
     if (qb.nonEmpty)
       graft.plans.GraftExtensions.register(SparkSession.active)
+    def ordinal(c: String): Column = types.get(c) match {
+      case Some(dt) => graft.operators.Layout.ordinalExpr(col(c), dt)
+      case None => col(c).cast("long")
+    }
     val coords = cols.map { c =>
       qb.get(c) match {
         case Some(bs) if bs.nonEmpty =>
           // equi-depth: binary-searched quantile bucket (RankBucket),
-          // monotone like rangeScale, |bs| < 2^bits so no aliasing
-          call_function("rank_bucket", col(c).cast("long"),
-            lit(bs.toArray))
+          // monotone like rangeScale, (|bs|+1)·2^subBits ≤ 2^bits so no
+          // aliasing; with subBits > 0 the within-bucket range position
+          // composes under the rank (edge buckets scale over the
+          // recorded raw domain) — the >255-file granularity path
+          if (subBits > 0) {
+            val (dl, dh) = domain.getOrElse(c, (bs.head, bs.last))
+            call_function("rank_bucket", ordinal(c), lit(bs.toArray),
+              lit(subBits), lit(dl), lit(dh))
+          } else
+            call_function("rank_bucket", ordinal(c), lit(bs.toArray))
         case _ => q.get(c) match {
           case Some((mn, mx)) =>
-            graft.operators.Layout.rangeScale(col(c), mn, mx, bits)
+            graft.operators.Layout.rangeScale(ordinal(c), mn, mx, bits)
           case None => col(c)
         }
       }
@@ -117,6 +148,16 @@ object TxnLayout {
         s"unknown clustering curve '$other' (morton|hilbert)")
     }
   }
+
+  /** The clustering columns' current DataTypes — what [[codeExpr]]'s
+    * ordinal mapping keys on. Derived from the live schema each time
+    * (the sidecar deliberately does not freeze types: a type-changing
+    * overwrite is already a re-optimize event). */
+  private def clusterTypes(spark: SparkSession, table: String,
+                           cols: Seq[String]): Map[String, org.apache.spark.sql.types.DataType] =
+    TxnTable.read(spark, table).schema.fields
+      .filter(f => cols.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
 
   def readSpec(table: String): Option[ClusterSpec] = {
     val f = sidecarFile(table)
@@ -150,8 +191,10 @@ object TxnLayout {
           .findAllMatchIn(s)
           .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
           .toSeq
+        val subBits = "\"subbits\":(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(0)
         ClusterSpec(cols, curve, bits, version, ranges, quant, clip,
-          qbounds, raw)
+          qbounds, raw, subBits)
       }
     }
   }
@@ -173,6 +216,7 @@ object TxnLayout {
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
         s""""version":${spec.version},"clip":${spec.clip},""" +
+        s""""subbits":${spec.subBits},""" +
         s""""quant":$quant,"qbounds":$qbounds,"raw":$raw,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
@@ -221,10 +265,10 @@ object TxnLayout {
                                cols: Seq[String],
                                bits: Int): Seq[(String, Seq[Long])] = {
     val b = math.min((1 << bits) - 1, 255)
-    val fracs = (1 to b).map(i => i.toDouble / (b + 1)).mkString(",")
+    val fracs = (1 to b).map(i => i.toDouble / (b + 1))
     val aggs = cols.map(c =>
-      expr(s"approx_percentile(CAST(`$c` AS BIGINT), array($fracs))")
-        .as(s"__q_$c"))
+      percentile_approx(graft.operators.Layout.ordinalOfCol(df, c),
+        typedLit(fracs), lit(10000)).as(s"__q_$c"))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
       val bs = if (r.isNullAt(i)) Seq.empty[Long]
@@ -280,7 +324,24 @@ object TxnLayout {
       else if (!equidepth && clipQuantile == 0.0) quant
       else graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
         cols)
-    val code = codeExpr(cols, curve, bits, quant, qbounds)
+    // equi-depth REFINEMENT width: the rank occupies ceil(log2(B+1))
+    // bits for the REQUESTED cut count B (dedup collapse only lowers
+    // actual ranks, never overflows), and whatever remains of `bits`
+    // range-scales WITHIN each bucket — without it the ~255-cut ceiling
+    // caps the layout at ~256 target-sized files per column
+    // (repartitionByRange cannot cut inside a tied rank code), a hard
+    // wall at 100 TB file counts. Derived from the same deterministic
+    // inputs the sidecar records, so stale rows always re-compose the
+    // identical code.
+    val subBits =
+      if (!equidepth) 0
+      else {
+        val b = math.min((1 << bits) - 1, 255)
+        math.max(0, bits - (64 - java.lang.Long.numberOfLeadingZeros(b.toLong)))
+      }
+    val domain = raw.map { case (c, lo, hi) => c -> ((lo, hi)) }.toMap
+    val code = codeExpr(cols, curve, bits, quant, qbounds,
+      clusterTypes(spark, table, cols), subBits, domain)
     val rewritten = TxnTable.read(spark, table)
       .withColumn("__z", code)
       .repartitionByRange(numFiles, col("__z"))
@@ -289,7 +350,8 @@ object TxnLayout {
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
-      rangesOf(spark, table, now, code), quant, clipQuantile, qbounds, raw))
+      rangesOf(spark, table, now, code), quant, clipQuantile, qbounds, raw,
+      subBits))
     // index the clustering columns' min-max stats: they are exactly the
     // box-filter columns the layout serves (the whole point of the
     // rewrite is that their per-file intervals now prune), and the
@@ -333,7 +395,8 @@ object TxnLayout {
     val stale = live.filterNot(spec.ranges.contains)
     if (stale.isEmpty) return (TxnTable.currentVersion(table), 0, clustered.size)
     val code = codeExpr(spec.cols, spec.curve, spec.bits, spec.quant,
-      spec.qbounds)
+      spec.qbounds, clusterTypes(spark, table, spec.cols), spec.subBits,
+      spec.raw.map { case (c, lo, hi) => c -> ((lo, hi)) }.toMap)
     // which clustered files does the stale data land in? |files| ranges
     // broadcast against one scan of the STALE files only. NULL-code
     // files (sentinel range) always fold in: new null-coded stale rows
@@ -498,8 +561,17 @@ object TxnLayout {
     * Conservative: a file partially outside counts 0, a missing
     * sidecar or non-numeric bounds count 0 — the measure only ever
     * under-triggers, never fires on healthy layout. Returns
-    * (clampedRows, totalRows); (0, 0) when unclustered or unquantized. */
-  def boundsStaleness(spark: SparkSession, table: String): (Long, Long) = {
+    * (clampedRows, totalRows); (0, 0) when unclustered or unquantized.
+    *
+    * `refresh = false` makes the call STRICTLY read-only: the sidecar
+    * freshening (which WRITES into the table directory) is skipped and
+    * only already-indexed files are judged — files committed since the
+    * last refresh count 0, so the measure under-triggers further, never
+    * falsely fires. This is the path for advisory callers on read-only
+    * mounts ([[graft.plans.LayoutAdvisor.clusterAdvice]] exposes it);
+    * the maintenance policy itself keeps the default. */
+  def boundsStaleness(spark: SparkSession, table: String,
+                      refresh: Boolean = true): (Long, Long) = {
     val spec = readSpec(table).getOrElse(return (0L, 0L))
     // judge against the recorded UNCLIPPED domain (`raw`): the
     // winsorized/quantile SCALING bounds deliberately exclude
@@ -514,21 +586,55 @@ object TxnLayout {
         case (c, bs) if bs.nonEmpty => (c, bs.head, bs.last)
       }
     if (bounds.isEmpty) return (0L, 0L)
-    bounds.foreach { case (c, _, _) =>
+    if (refresh) bounds.foreach { case (c, _, _) =>
       try TxnStats.refreshFromFooters(spark, table, c)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val counts = TxnTable.liveFileRowCounts(table)
     val total = counts.map(_._2).sum
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     val clamped = scala.collection.mutable.Set.empty[String]
     bounds.foreach { case (c, qlo, qhi) =>
       TxnStats.fileBounds(spark, table, c).foreach {
-        case (f, mn: Number, mx: Number) =>
-          if (mn.longValue > qhi || mx.longValue < qlo) clamped += f
-        case _ => () // null or non-numeric bounds: conservative skip
+        case (f, mn, mx) =>
+          (ordinalOf(mn, zone), ordinalOf(mx, zone)) match {
+            case (Some(lo), Some(hi)) =>
+              if (lo > qhi || hi < qlo) clamped += f
+            case _ => () // null/unordinal bounds: conservative skip
+          }
       }
     }
     (counts.collect { case (f, n) if clamped(f) => n }.sum, total)
+  }
+
+  /** Driver-side replica of [[graft.operators.Layout.ordinalExpr]] for
+    * the EXTERNAL values a stats sidecar collect yields — how temporal
+    * and decimal clustering columns' per-file bounds compare against
+    * the recorded (ordinal-space) quantization bounds. TIMESTAMP_NTZ
+    * bounds resolve through the SESSION zone — the same zone the
+    * scan-side ordinal cast used; a DST-observing zone can wobble an
+    * edge file's verdict by an hour, which only ever under- or
+    * over-counts this conservative maintenance trigger, never a read. */
+  private def ordinalOf(v: AnyRef, zone: java.time.ZoneId): Option[Long] = {
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    v match {
+      case null => None
+      case bd: java.math.BigDecimal =>
+        scala.util.Try(bd.unscaledValue.longValueExact).toOption
+      case bd: scala.math.BigDecimal =>
+        scala.util.Try(bd.underlying.unscaledValue.longValueExact).toOption
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case t: java.sql.Timestamp => Some(micros(t.toInstant))
+      case i: java.time.Instant => Some(micros(i))
+      case ldt: java.time.LocalDateTime =>
+        Some(micros(ldt.atZone(zone).toInstant))
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
   }
 
   /** CLUSTERED-FILE population skew, metadata-only (sidecar file set ×

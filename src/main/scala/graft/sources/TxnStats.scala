@@ -47,6 +47,14 @@ object TxnStats {
   private def wmFile(table: String, column: String) =
     new File(statsDir(table, column), "_watermark.json")
 
+  /** True when the column's stats dir holds actual index rows — a dir
+    * carrying only its watermark (every file so far DECLINED footer
+    * indexing, e.g. an INT96-timestamp table) must read as "nothing
+    * indexed", not crash `spark.read.parquet` on a parquet-less dir. */
+  private def hasStatsRows(sd: File): Boolean =
+    sd.isDirectory && Option(sd.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+
   /** The stats-storable types. Bounds under every one of these are
     * exact total orders; floats are excluded (NaN), binary/complex are
     * excluded (no useful range predicates reach them). */
@@ -230,11 +238,21 @@ object TxnStats {
       val perBlock: Seq[Option[Option[(Any, Any)]]] = blocks.map { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == column)
-          .map(c => (c.getStatistics, c.getPrimitiveType))
-          .filter { case (s, _) => s != null && !s.isEmpty } match {
+          .map(c => (c.getStatistics, c.getPrimitiveType, c.getValueCount))
+          .filter { case (s, _, _) => s != null && !s.isEmpty } match {
           case None => None
-          case Some((s, pt)) =>
-            if (!s.hasNonNullValue) Some(None) // all-null chunk: no bound
+          case Some((s, pt, nVals)) =>
+            // "no non-null value" is only an ALL-NULL chunk when the
+            // null count PROVES it (numNulls == chunk values). A writer
+            // that records no min/max at all — INT96 timestamps are the
+            // canonical case: parquet-mr emits a stats object with
+            // hasNonNullValue=false and numNulls=0 over real data —
+            // must DECLINE (file unindexed, always read). Treating it
+            // as all-null would let the range pruner skip a file full
+            // of live rows: silent row loss, not lost IO.
+            if (!s.hasNonNullValue)
+              if (s.isNumNullsSet && s.getNumNulls == nVals) Some(None)
+              else None
             else (for {
               mn <- footerValue(s.genericGetMin.asInstanceOf[AnyRef], dt, pt)
               mx <- footerValue(s.genericGetMax.asInstanceOf[AnyRef], dt, pt)
@@ -330,7 +348,7 @@ object TxnStats {
                  lo: Any, hi: Any): (Seq[String], Int) = {
     val live = TxnTable.liveSplit(table)._1
     val sd = statsDir(table, column)
-    if (!sd.isDirectory) return (live, live.size)
+    if (!hasStatsRows(sd)) return (live, live.size)
     val stats = spark.read.parquet(sd.getPath)
     val rows = stats.select(col("file"),
         (col("min") <= lit(hi) && col("max") >= lit(lo)).as("overlap"))
@@ -573,7 +591,7 @@ object TxnStats {
       if (agg.isNullAt(0)) return (Seq.empty, live.size) // no joinable key
       val (lo, hi, n) = (agg.get(0), agg.get(1), agg.getLong(2))
       val sd = statsDir(table, column)
-      if (n > maxExactKeys || !sd.isDirectory)
+      if (n > maxExactKeys || !hasStatsRows(sd))
         return pruneFiles(spark, table, column, lo, hi)
       // exact-key regime: sorted distinct keys, binary search per file.
       // Both sides collect from the SAME Spark type; comparisons run
@@ -612,7 +630,7 @@ object TxnStats {
   def fileBounds(spark: SparkSession, table: String,
                  column: String): Seq[(String, AnyRef, AnyRef)] = {
     val sd = statsDir(table, column)
-    if (!sd.isDirectory) Seq.empty
+    if (!hasStatsRows(sd)) Seq.empty
     else spark.read.parquet(sd.getPath).select("file", "min", "max")
       .collect()
       .map(r => (r.getString(0), r.get(1).asInstanceOf[AnyRef],
@@ -690,4 +708,47 @@ object TxnStats {
                    preservedKeys: DataFrame,
                    maxExactKeys: Long = 1000000L): DataFrame =
     dfpRead(spark, table, column, preservedKeys, maxExactKeys)
+
+  /** MULTI-COLUMN dynamic file pruning — the fact probed by SEVERAL
+    * filtered dims at once (the star's common shape: date dim AND part
+    * dim both filtered). Each (column, keys) pair prunes independently
+    * through [[dfpFiles]] and the per-column file sets INTERSECT:
+    * sound by composition, because each single-column prune is
+    * individually sound for the inner/semi fact side — a file one
+    * column's prune skips provably holds no row joinable on THAT
+    * column, hence no row surviving the conjunction of all the joins.
+    * Unindexed live files survive every per-column prune (each keeps
+    * them), so they survive the intersection — never skipped blind.
+    * A dim with no joinable key empties its set, and correctly empties
+    * the intersection (the inner star is provably empty). Cost is one
+    * bounded aggregate (+ at most one gated key collect) per column —
+    * |probes| metadata passes, no fact bytes. Same soundness envelope
+    * as [[dfpFiles]]: inner/left-semi from the fact side, or the fact
+    * as an outer join's null-extending side; NEVER a preserved side. */
+  def dfpFilesMulti(spark: SparkSession, table: String,
+                    probes: Seq[(String, DataFrame)],
+                    maxExactKeys: Long = 1000000L): (Seq[String], Int) = {
+    require(probes.nonEmpty, "dfpFilesMulti wants at least one (column, keys) probe")
+    require(probes.map(_._1).distinct.size == probes.size,
+      s"duplicate probe columns: ${probes.map(_._1)} — union the key frames instead")
+    val live = TxnTable.liveSplit(table)._1
+    val sets = probes.map { case (c, keys) =>
+      dfpFiles(spark, table, c, keys, maxExactKeys)._1.toSet
+    }
+    (live.filter(f => sets.forall(_.contains(f))), live.size)
+  }
+
+  /** The fact scan [[dfpFilesMulti]] prunes — DV-aware like
+    * [[dfpRead]]; feed it to the multi-dim join in place of the full
+    * fact read (the joins remain the exact filters). */
+  def dfpReadMulti(spark: SparkSession, table: String,
+                   probes: Seq[(String, DataFrame)],
+                   maxExactKeys: Long = 1000000L): DataFrame = {
+    val (toRead, _) = dfpFilesMulti(spark, table, probes, maxExactKeys)
+    val (live, dvFiles) = TxnTable.liveSplit(table)
+    require(live.nonEmpty, s"no live files in $table")
+    val pick = if (toRead.nonEmpty) toRead else live.take(1)
+    val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
+    if (toRead.nonEmpty) df else df.filter(lit(false))
+  }
 }

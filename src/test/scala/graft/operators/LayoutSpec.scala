@@ -206,6 +206,42 @@ class LayoutSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("rank_bucket refinement: composed code is exact, monotone, edge-clamping") {
+    graft.plans.GraftExtensions.register(spark)
+    // boundaries (100, 200), subBits=4, domain [0, 300]:
+    // code = (rank << 4) | floor((v - lo)/(hi - lo) · 16) clamped
+    val expect = Seq(
+      0L -> 0L, 50L -> 8L, 99L -> 15L,      // bucket 0 over [0, 100)
+      100L -> 16L, 150L -> 24L, 199L -> 31L, // bucket 1 over [100, 200)
+      200L -> 32L, 250L -> 40L, 299L -> 47L, // bucket 2 over [200, 300]
+      400L -> 47L,                           // past domHi: clamps to top pos
+      -50L -> 0L)                            // below domLo: clamps to pos 0
+    expect.foreach { case (v, want) =>
+      val got = spark.sql(
+        s"SELECT rank_bucket(CAST($v AS BIGINT), array(100, 200), 4, 0, 300)")
+        .head().getLong(0)
+      assert(got == want, s"v=$v: got $got, want $want")
+    }
+    // monotone over a dense sweep (the recluster-consistency property)
+    val sweep = spark.sql(
+      """SELECT v, rank_bucket(CAST(v AS BIGINT), array(100, 200), 4, 0, 300) AS c
+        |FROM (SELECT explode(sequence(-20, 320)) AS v) ORDER BY v""".stripMargin)
+      .collect().map(_.getLong(1))
+    sweep.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"non-monotone: $a > $b")
+      case _ => ()
+    }
+    // a degenerate bucket interval (tied boundary = domain edge)
+    // positions 0 instead of dividing by zero
+    assert(spark.sql(
+      "SELECT rank_bucket(CAST(100 AS BIGINT), array(100), 4, 100, 100)")
+      .head().getLong(0) == 16L)
+    // 2-arg form unchanged; NULL propagates through the 5-arg form
+    assert(spark.sql(
+      "SELECT rank_bucket(CAST(NULL AS BIGINT), array(1, 2), 4, 0, 10)")
+      .head().isNullAt(0))
+  }
+
   test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {
     // 2D, bits=4: the code must be a BIJECTION onto [0, 256) AND
     // unit-step continuous — consecutive codes decode to Manhattan-

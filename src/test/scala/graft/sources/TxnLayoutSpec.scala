@@ -231,6 +231,215 @@ class TxnLayoutSpec extends SparkSpec {
     assert(r.isDefined && r.get._3 == 0, s"grown domain must re-optimize, got $r")
   }
 
+  test("equi-depth refinement breaks the ~256-file ceiling; lookups read file-grain, not bucket-grain") {
+    // ~255 quantile cuts alone cap a column at ~256 distinct codes:
+    // repartitionByRange cannot cut inside a tied code, so no matter
+    // how many files the caller requests, at most ~257 non-empty ones
+    // exist and every point lookup pays a whole 1/256-of-the-mass
+    // bucket file. The composed within-bucket position (subBits) lifts
+    // the code space back to 2^bits, files reach the requested count,
+    // and a lookup reads one target-sized file. bits=8 (rank occupies
+    // all bits → subBits=0) IS the old ceiling regime, head-to-head on
+    // identical data against the refined bits=16 write.
+    val t8 = fresh("ceiling8"); val t16 = fresh("ceiling16")
+    // zipf-shaped: 90% of the mass is a DENSE region of distinct values
+    // (ids < 54000), the rest a tail stretched 1000× — the dense region
+    // is exactly where bucket-grain reads hurt and refinement pays
+    val data = spark.range(0, 60000).select(
+      when(col("id") < 54000, col("id") * 9973L + 17L)
+        .otherwise(col("id") * 9973000L + 17L).as("x"),
+      col("id").as("v"))
+      .withColumn("y", col("x")).select("x", "y", "v")
+    Seq(t8, t16).foreach(t => TxnTable.commit(spark, data, t, overwrite = false))
+    TxnLayout.optimizeClustered(spark, t8, Seq("x", "y"), numFiles = 640,
+      bits = 8, quantMode = "equidepth")
+    TxnLayout.optimizeClustered(spark, t16, Seq("x", "y"), numFiles = 640,
+      bits = 16, quantMode = "equidepth")
+    assert(TxnLayout.readSpec(t8).get.subBits == 0)
+    assert(TxnLayout.readSpec(t16).get.subBits == 8)
+    val files8 = TxnTable.liveSplit(t8)._1.size
+    val files16 = TxnTable.liveSplit(t16)._1.size
+    assert(files8 <= 257,
+      s"the bare-rank ceiling: 640 requested, $files8 materialized")
+    assert(files16 > 2 * files8,
+      s"refined codes must take the layout past the ceiling: $files16 vs $files8")
+    // point lookups: rows READ (file granularity through the stats
+    // index) drop from bucket-grain to file-grain — summed over eight
+    // spread lookups so a boundary straddle can't dominate
+    def rowsRead(t: String, keys: Seq[Long]): Long = {
+      val counts = TxnTable.liveFileRowCounts(t).toMap
+      keys.map { k =>
+        TxnStats.pruneFiles(spark, t, "x", k, k)._1.map(counts).sum
+      }.sum
+    }
+    // eight lookups spread across the DENSE region (ids ≤ 48000)
+    val keys = (1 to 8).map(i => i * 6000L * 9973L + 17L)
+    val (r8, r16) = (rowsRead(t8, keys), rowsRead(t16, keys))
+    assert(r16 * 3 < r8 * 2,
+      s"refined lookups must read well under bucket grain: $r16 vs $r8")
+    // and the lookups lose no row in either layout
+    keys.foreach { k =>
+      assert(TxnStats.prunedRead(spark, t8, "x", k, k).count() == 1L)
+      assert(TxnStats.prunedRead(spark, t16, "x", k, k).count() == 1L)
+    }
+    assertDisjoint(TxnLayout.readSpec(t16).get)
+    // incremental rounds re-compose the identical refined code space
+    TxnTable.commit(spark,
+      Seq((30000L * 9973L + 18L, 30000L * 9973L + 18L, -1L))
+        .toDF("x", "y", "v").coalesce(1), t16, overwrite = false)
+    val (_, rewrote, _) = TxnLayout.reclusterIncremental(spark, t16)
+    assert(rewrote >= 2)
+    assertDisjoint(TxnLayout.readSpec(t16).get)
+    assert(TxnTable.read(spark, t16).count() == 60001L)
+  }
+
+  test("DATE clustering columns quantize on epoch-day ordinals, pre-1970 included") {
+    val t = fresh("dates")
+    // 2000 daily rows from 1960-01-01 (epoch day −3653): the leading
+    // clustering column of any time-series fact, with negative ordinals
+    TxnTable.commit(spark,
+      spark.range(0, 2000).select(
+        expr("date_add(DATE'1960-01-01', CAST(id AS INT))").as("d"),
+        (col("id") * 1000003L).as("k"),
+        col("id").as("v")),
+      t, overwrite = false)
+    val before = TxnTable.read(spark, t).select("v").as[Long].collect().toSet
+    TxnLayout.optimizeClustered(spark, t, Seq("d", "k"), numFiles = 8)
+    val spec = TxnLayout.readSpec(t).get
+    val day0 = java.time.LocalDate.parse("1960-01-01").toEpochDay
+    assert(spec.quant.find(_._1 == "d").get._2 == day0,
+      s"date bounds are epoch-day ordinals (negative pre-1970): ${spec.quant}")
+    assert(spec.quant.find(_._1 == "d").get._3 == day0 + 1999)
+    assertDisjoint(spec)
+    // the layout serves a DATE window: the typed min-max stats prune a
+    // strict file subset, and the pruned read loses no row
+    val (lo, hi) = (java.sql.Date.valueOf("1962-01-01"),
+      java.sql.Date.valueOf("1962-03-01"))
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "d", lo, hi)
+    assert(toRead.size < nLive, s"date box must prune: ${toRead.size}/$nLive")
+    assert(TxnStats.prunedRead(spark, t, "d", lo, hi).count() ==
+      TxnTable.read(spark, t).filter(col("d").between(lo, hi)).count())
+    // incremental rounds map stale DATES into the SAME code space
+    TxnTable.commit(spark,
+      spark.range(500, 520).select(
+        expr("date_add(DATE'1960-01-01', CAST(id AS INT))").as("d"),
+        (col("id") * 1000003L).as("k"), (col("id") + 100000L).as("v"))
+        .coalesce(1),
+      t, overwrite = false)
+    val (_, rewrote, _) = TxnLayout.reclusterIncremental(spark, t)
+    assert(rewrote >= 2, "stale + at least its covering file rewrite")
+    assert(TxnLayout.readSpec(t).get.quant == spec.quant,
+      "incremental maintenance reuses the recorded date bounds")
+    assertDisjoint(TxnLayout.readSpec(t).get)
+    assert(TxnTable.read(spark, t).select("v").as[Long].collect().toSet ==
+      before ++ (500L until 520L).map(_ + 100000L))
+    // GROWING time: a far-future bulk lands clamped (the Date sidecar
+    // bounds convert to ordinals), and maintenance re-measures
+    TxnTable.commit(spark,
+      spark.range(30000, 33000).select(
+        expr("date_add(DATE'1960-01-01', CAST(id AS INT))").as("d"),
+        (col("id") * 1000003L).as("k"), col("id").as("v")),
+      t, overwrite = false)
+    val (clamped, total) = TxnLayout.boundsStaleness(spark, t)
+    assert(clamped == 3000L && total == 5020L,
+      s"future ingest must read as clamped mass: ($clamped, $total)")
+    val r = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 1e9,
+      maxClampedFraction = 0.5)
+    assert(r.isDefined && r.get._3 == 0, s"full re-optimize expected: $r")
+    assert(TxnLayout.readSpec(t).get.quant.find(_._1 == "d").get._3 ==
+      day0 + 32999, "re-measured bounds cover the grown time domain")
+  }
+
+  test("TIMESTAMP and DECIMAL clustering columns ride their micro/unscaled ordinals") {
+    val t = fresh("tsdec")
+    TxnTable.commit(spark,
+      spark.range(0, 1500).select(
+        expr("timestamp_seconds(1500000000 + id * 3600)").as("ts"),
+        (col("id") * 25).cast("decimal(12,2)").as("price"),
+        col("id").as("v")),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("ts", "price"), numFiles = 6)
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.quant.find(_._1 == "ts").get._2 == 1500000000L * 1000000L,
+      s"timestamp bounds are epoch micros: ${spec.quant}")
+    assert(spec.quant.find(_._1 == "price").get._3 == 1499L * 25L * 100L,
+      s"decimal bounds are unscaled longs (·10^scale): ${spec.quant}")
+    assertDisjoint(spec)
+    // a time window prunes a strict subset through the typed stats
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1500000000L + 100 * 3600))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1500000000L + 200 * 3600))
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "ts", lo, hi)
+    assert(toRead.size < nLive, s"time window must prune: ${toRead.size}/$nLive")
+    assert(TxnStats.prunedRead(spark, t, "ts", lo, hi).count() == 101L)
+    // equi-depth mode buckets the ordinal too (rank_bucket over micros)
+    TxnLayout.optimizeClustered(spark, t, Seq("ts", "price"), numFiles = 6,
+      quantMode = "equidepth")
+    val specE = TxnLayout.readSpec(t).get
+    assert(specE.qbounds.nonEmpty &&
+      specE.qbounds.find(_._1 == "ts").get._2.forall(_ >= 1500000000L * 1000000L),
+      "equi-depth cut points live in ordinal space")
+    assertDisjoint(specE)
+    assert(TxnTable.read(spark, t).count() == 1500L)
+  }
+
+  test("unsupported clustering column types refuse loudly") {
+    val t = fresh("badtype")
+    TxnTable.commit(spark,
+      spark.range(0, 10).select(col("id").cast("string").as("s"),
+        col("id").cast("double").as("f"), col("id").as("v")),
+      t, overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      TxnLayout.optimizeClustered(spark, t, Seq("s", "v"), numFiles = 2)
+    }
+    assert(e.getMessage.contains("no monotone long ordinal"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      TxnLayout.optimizeClustered(spark, t, Seq("f", "v"), numFiles = 2)
+    }
+    // a decimal wider than 18 digits has no long-unscaled form either
+    val wide = fresh("badtype_wide")
+    TxnTable.commit(spark,
+      spark.range(0, 10).select(col("id").cast("decimal(24,2)").as("p"),
+        col("id").as("v")),
+      wide, overwrite = false)
+    intercept[IllegalArgumentException] {
+      TxnLayout.optimizeClustered(spark, wide, Seq("p", "v"), numFiles = 2)
+    }
+  }
+
+  test("boundsStaleness(refresh=false) is strictly read-only and only ever under-counts") {
+    val t = fresh("rostale")
+    TxnTable.commit(spark,
+      spark.range(0, 1000).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"),
+        col("id").as("v")),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 4)
+    // ingest beyond the recorded bounds — its file is NOT yet indexed
+    TxnTable.commit(spark,
+      spark.range(2000, 2050).select(
+        (col("id") * 1000003L).as("x"), (col("id") * 999983L).as("y"),
+        col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    def statsState(): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t, "_graft_stats"))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSet
+    }
+    val before = statsState()
+    // read-only: the advisory path on a read-only mount — no sidecar
+    // refresh, so the fresh clamped file counts 0 (under-reports)
+    assert(TxnLayout.boundsStaleness(spark, t, refresh = false) == ((0L, 1050L)))
+    assert(statsState() == before,
+      "refresh=false must not write into the table directory")
+    // the default path refreshes and sees the clamped mass
+    assert(TxnLayout.boundsStaleness(spark, t) == ((50L, 1050L)))
+    assert(statsState() != before, "the default path freshens the sidecars")
+  }
+
   test("tie collapse self-heals: file skew escalates a range layout to equi-depth") {
     // the q_layout_equidepth shape clustered in RANGE mode: the tied
     // 90% collapses into one fat file (codes the range partitioner

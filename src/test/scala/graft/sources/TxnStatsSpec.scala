@@ -434,4 +434,87 @@ class TxnStatsSpec extends SparkSpec {
     val fact = TxnStats.dfpRead(spark, t, "s", dim)
     assert(fact.join(dim, fact("s") === dim("k")).count() == 1)
   }
+
+  test("dfp multi: per-column prunes intersect soundly; unindexed and empty-dim edges") {
+    val t = fresh("dfp_multi")
+    // 2×2 grid of files over (a, b) value bands
+    val cells = Seq((0L, 0L), (0L, 100L), (100L, 0L), (100L, 100L))
+    cells.foreach { case (ab, bb) =>
+      TxnTable.commit(spark,
+        (0L until 10L).map(i => (ab + i, bb + i)).toDF("a", "b").coalesce(1),
+        t, overwrite = false)
+    }
+    TxnStats.refresh(spark, t, "a")
+    TxnStats.refresh(spark, t, "b")
+    val dimA = Seq(5L).toDF("ka")   // a-low band
+    val dimB = Seq(105L).toDF("kb") // b-high band
+    assert(TxnStats.dfpFiles(spark, t, "a", dimA)._1.size == 2)
+    assert(TxnStats.dfpFiles(spark, t, "b", dimB)._1.size == 2)
+    val probes = Seq("a" -> dimA, "b" -> dimB)
+    val (mFiles, nLive) = TxnStats.dfpFilesMulti(spark, t, probes)
+    assert(nLive == 4 && mFiles.size == 1,
+      s"the intersection is the one shared grid cell: $mFiles")
+    val fact = TxnStats.dfpReadMulti(spark, t, probes)
+    assert(fact.join(dimA, fact("a") === dimA("ka"))
+      .join(dimB, fact("b") === dimB("kb")).count() == 1L,
+      "the (5, 105) row lives in the kept cell")
+    // an UNINDEXED live file survives every per-column prune, so it
+    // survives the intersection — never skipped blind
+    TxnTable.commit(spark, Seq((5L, 105L)).toDF("a", "b").coalesce(1),
+      t, overwrite = false)
+    val (m2, _) = TxnStats.dfpFilesMulti(spark, t, probes)
+    assert(m2.size == 2, s"kept cell + the unindexed file: $m2")
+    assert(TxnStats.dfpReadMulti(spark, t, probes)
+      .filter(col("a") === 5L && col("b") === 105L).count() == 2L)
+    // a dim with NO joinable key empties the intersection: the inner
+    // star is provably empty, no fact bytes move
+    val (m3, _) = TxnStats.dfpFilesMulti(spark, t,
+      Seq("a" -> dimA, "b" -> spark.range(0).select(col("id").as("kb"))))
+    assert(m3.isEmpty)
+    assert(TxnStats.dfpReadMulti(spark, t,
+      Seq("a" -> dimA, "b" -> spark.range(0).select(col("id").as("kb"))))
+      .count() == 0L)
+    // duplicate probe columns refuse (union the key frames instead)
+    intercept[IllegalArgumentException] {
+      TxnStats.dfpFilesMulti(spark, t, Seq("a" -> dimA, "a" -> dimA))
+    }
+  }
+
+  test("INT96 timestamps decline footer stats — never misread as all-null (row-loss guard)") {
+    val t = fresh("int96")
+    // legacy INT96 writers emit a stats object with hasNonNullValue =
+    // false and numNulls = 0 over REAL data. Misclassifying that as an
+    // all-null chunk stores null bounds, and the range pruner then
+    // SKIPS a file full of live rows — silent row loss. The only sound
+    // verdict is DECLINE: file unindexed, always read.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try TxnTable.commit(spark,
+      spark.range(0, 50)
+        .select(expr("timestamp_seconds(1600000000 + id * 60)").as("ts"),
+          col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    TxnStats.refreshFromFooters(spark, t, "ts")
+    assert(TxnStats.fileBounds(spark, t, "ts").isEmpty,
+      "an INT96 file must stay unindexed, not carry null bounds")
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1600000000L + 600))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1600000000L + 1200))
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "ts", lo, hi)
+    assert(nLive == 1 && toRead.size == 1,
+      "unindexed live files are always read — never skipped blind")
+    assert(TxnStats.prunedRead(spark, t, "ts", lo, hi).count() == 11)
+    // a GENUINELY all-null column still records the skippable null bound
+    val tn = fresh("int96_allnull")
+    TxnTable.commit(spark,
+      spark.range(0, 20)
+        .select(lit(null).cast("timestamp").as("ts"), col("id").as("v"))
+        .coalesce(1),
+      tn, overwrite = false)
+    TxnStats.refreshFromFooters(spark, tn, "ts")
+    val b = TxnStats.fileBounds(spark, tn, "ts")
+    assert(b.size == 1 && b.head._2 == null && b.head._3 == null,
+      s"an all-null chunk (numNulls == values) still indexes as skippable: $b")
+  }
 }
