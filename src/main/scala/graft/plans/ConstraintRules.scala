@@ -190,6 +190,12 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
   private def impliedNotNull(e: Expression): Seq[Attribute] = {
     def scan(x: Expression): Seq[Attribute] = x match {
       case a: Attribute => Seq(a)
+      // In/InSet don't carry Spark's nullIntolerant flag, but both ARE
+      // null-intolerant in the sense this walk needs: a NULL value (or
+      // NULL list element) evaluates to NULL, never TRUE — so a strict
+      // check `a IN (…)` being TRUE proves a non-null
+      case In(v, _) => scan(v)
+      case InSet(v, _) => scan(v)
       case y if y.nullIntolerant => y.children.flatMap(scan)
       case _ => Nil
     }
@@ -312,38 +318,113 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
     below(a.hi, b.lo) || below(b.hi, a.lo)
   }
 
+  /** `e` as (attribute, finite value set) when it constrains a bare
+    * attribute to an explicit list of same-type, non-null literals —
+    * `a IN (…)`, its post-[[OptimizeIn]] `InSet` form, and equality
+    * (a singleton set). The finite-set sibling of [[boundOf]]: a
+    * declared STRICT check of this shape proves every row's value is
+    * IN the set, which supports implication arithmetic intervals
+    * cannot express. NOT IN stays out (its NULL semantics don't reduce
+    * to set arithmetic under STRICT truth). */
+  private def inSetOf(e: Expression): Option[(AttributeReference, Seq[Any])] =
+    e match {
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => l.value != null && l.dataType == a.dataType
+          case _ => false
+        } => Some((a, vs.map(_.asInstanceOf[Literal].value)))
+      case InSet(a: AttributeReference, hs)
+          if hs.nonEmpty && !hs.contains(null) => Some((a, hs.toSeq))
+      case EqualTo(a: AttributeReference, l: Literal)
+          if l.value != null && l.dataType == a.dataType => Some((a, Seq(l.value)))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if l.value != null && l.dataType == a.dataType => Some((a, Seq(l.value)))
+      case _ => None
+    }
+
   /** Declared-check intervals for `a` at its scan: every comparison
     * conjunct of every RELY check naming this attribute. */
   private def checkIntervalsFor(plan: LogicalPlan,
                                 a: AttributeReference): Seq[Interval] =
+    checkConjunctsFor(plan, a).flatMap(boundOf).collect {
+      case (ka, iv) if ka.semanticEquals(a) => iv
+    }
+
+  /** Declared-check FINITE SETS for `a` at its scan: every IN/equality
+    * conjunct of every RELY check naming this attribute. */
+  private def checkSetsFor(plan: LogicalPlan,
+                           a: AttributeReference): Seq[Seq[Any]] =
+    checkConjunctsFor(plan, a).flatMap(inSetOf).collect {
+      case (ka, s) if ka.semanticEquals(a) => s
+    }
+
+  private def checkConjunctsFor(plan: LogicalPlan,
+                                a: AttributeReference): Seq[Expression] =
     chaseScan(plan).toSeq.flatMap { lr =>
       if (!lr.outputSet.contains(a)) Nil
       else constraintRoot(lr).toSeq.flatMap { root =>
         relyChecksFor(root, lr).flatMap { case (ck, _) =>
-          splitConjunctivePredicates(ck).flatMap(boundOf).collect {
-            case (ka, iv) if ka.semanticEquals(a) => iv
-          }
+          splitConjunctivePredicates(ck)
         }
       }
     }
 
-  /** True when a declared check's interval is contained in `e`'s — the
-    * conjunct is TRUE on every row and drops. */
-  private def checkImplies(plan: LogicalPlan, e: Expression): Boolean =
-    boundOf(e).exists { case (a, userIv) =>
-      orderingFor(a.dataType).exists { ord =>
-        checkIntervalsFor(plan, a).exists(kIv => subsumes(userIv, kIv, ord))
-      }
-    }
+  private def inIv(v: Any, iv: Interval, ord: Ordering[Any]): Boolean = {
+    val loOk = iv.lo.forall { case (lv, li) =>
+      val c = ord.compare(v, lv); c > 0 || (c == 0 && li) }
+    val hiOk = iv.hi.forall { case (hv, hi) =>
+      val c = ord.compare(v, hv); c < 0 || (c == 0 && hi) }
+    loOk && hiOk
+  }
 
-  /** True when a declared check's interval is disjoint from `e`'s — the
-    * conjunct is FALSE on every row and the filter is provably empty. */
-  private def checkContradicts(plan: LogicalPlan, e: Expression): Boolean =
-    boundOf(e).exists { case (a, userIv) =>
+  private def inSet(v: Any, s: Seq[Any], ord: Ordering[Any]): Boolean =
+    s.exists(ord.compare(_, v) == 0)
+
+  /** True when a declared check PROVES `e` TRUE on every row — the
+    * conjunct drops. Interval vs interval (containment), plus the
+    * finite-set forms: a declared `a IN S` under a user interval that
+    * contains every element of S, a declared set S under a user
+    * `a IN T` with S ⊆ T, and a declared point interval inside a user
+    * IN-list. */
+  private def checkImplies(plan: LogicalPlan, e: Expression): Boolean = {
+    val byInterval = boundOf(e).exists { case (a, userIv) =>
       orderingFor(a.dataType).exists { ord =>
-        checkIntervalsFor(plan, a).exists(kIv => disjoint(kIv, userIv, ord))
+        checkIntervalsFor(plan, a).exists(kIv => subsumes(userIv, kIv, ord)) ||
+          checkSetsFor(plan, a).exists(s => s.forall(inIv(_, userIv, ord)))
       }
     }
+    byInterval || inSetOf(e).exists { case (a, userSet) =>
+      orderingFor(a.dataType).exists { ord =>
+        checkSetsFor(plan, a).exists(s => s.forall(inSet(_, userSet, ord))) ||
+          checkIntervalsFor(plan, a).exists {
+            // an interval only implies a finite list when it is a POINT
+            case Interval(Some((lv, true)), Some((hv, true)))
+                if ord.compare(lv, hv) == 0 => inSet(lv, userSet, ord)
+            case _ => false
+          }
+      }
+    }
+  }
+
+  /** True when a declared check PROVES `e` FALSE on every row — the
+    * filter is provably empty. Interval disjointness, plus the finite
+    * sets: declared S with no element satisfying the user interval /
+    * inside the user IN-list, and a user IN-list with no element in
+    * the declared interval. */
+  private def checkContradicts(plan: LogicalPlan, e: Expression): Boolean = {
+    val byInterval = boundOf(e).exists { case (a, userIv) =>
+      orderingFor(a.dataType).exists { ord =>
+        checkIntervalsFor(plan, a).exists(kIv => disjoint(kIv, userIv, ord)) ||
+          checkSetsFor(plan, a).exists(s => !s.exists(inIv(_, userIv, ord)))
+      }
+    }
+    byInterval || inSetOf(e).exists { case (a, userSet) =>
+      orderingFor(a.dataType).exists { ord =>
+        checkSetsFor(plan, a).exists(s => !s.exists(inSet(_, userSet, ord))) ||
+          checkIntervalsFor(plan, a).exists(kIv =>
+            !userSet.exists(inIv(_, kIv, ord)))
+      }
+    }
+  }
 
   /** The root's RELY checks parsed, analyzed against `lr.output`, and
     * constant-folded — the exact form an optimizer-resident user
@@ -356,6 +437,11 @@ object ConstraintRules extends Rule[LogicalPlan] with PredicateHelper {
                             lr: LogicalRelation): Seq[(Expression, Expression)] = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     def fold(e: Expression): Expression = e.transformUp {
+      // IN coercion wraps EVERY child uniformly — including a same-type
+      // no-op cast on the attribute (cast(sz AS bigint) over a bigint
+      // column) that the optimizer's SimplifyCasts strips from the
+      // user's conjunct; strip it here too or the two forms never match
+      case c: Cast if c.dataType == c.child.dataType => c.child
       case x if x.foldable && !x.isInstanceOf[Literal] =>
         Literal.create(x.eval(EmptyRow), x.dataType)
     }

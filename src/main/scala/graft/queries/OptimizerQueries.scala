@@ -123,6 +123,11 @@ object OptimizerQueries {
     if (!TableConstraints.checks(dir.getPath).exists(_.name == "qty_pos"))
       TableConstraints.declareCheck(dir.getPath, "qty_pos",
         "l_quantity > 0", validate = Some(s))
+    // the FINITE-SET family next to the interval one: TPC-H return
+    // flags are exactly {A, N, R}
+    if (!TableConstraints.checks(dir.getPath).exists(_.name == "rf_known"))
+      TableConstraints.declareCheck(dir.getPath, "rf_known",
+        "l_returnflag IN ('A', 'N', 'R')", validate = Some(s))
     dir.getPath
   }
 
@@ -607,6 +612,52 @@ object OptimizerQueries {
         .filter(col("l_quantity") < -1)
         .agg(count(lit(1)).as("n"))
       stamped(q, Seq.empty, Seq("ckfact_"), Seq("n"))
+    },
+
+    // ── CHECK × IN-LIST IMPLICATION, drop direction: the declared
+    //    finite set (l_returnflag IN ('A','N','R'), RELY) is a SUBSET
+    //    of the user's IN-list — every row's value is in the declared
+    //    set, hence in the superset: the conjunct is TRUE everywhere,
+    //    drops, and column pruning removes l_returnflag from the scan
+    //    (the strict set check also proves NOT NULL, so the inferred
+    //    IsNotNull drops with it). Oracle evaluates the real IN.
+    sql("q_opt_check_in_implied",
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS elim
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N', 'R', 'X')""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      val q = TxnTable.read(s, ck)
+        .filter(col("l_returnflag").isin("A", "N", "R", "X"))
+        .agg(count(lit(1)).as("n"))
+      stamped(q, Seq("ckfact_"), Seq("l_returnflag"), Seq("n"))
+    },
+
+    // ── CHECK × IN-LIST IMPLICATION, empty direction, both set
+    //    algebras: (a) a user IN-list DISJOINT from the declared set —
+    //    no listed flag is a possible value; (b) a user IN-list with no
+    //    element inside the declared INTERVAL (qty > 0 admits neither
+    //    -3 nor -7). Both filters are provably FALSE on every row and
+    //    collapse to empty relations — no fact scan, pinned by the
+    //    fixture name's absence from each stage's plan.
+    sql("q_opt_check_in_disjoint",
+      """SELECT 'a_set' AS stage,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('X','Y')) AS n,
+        |  CAST(1 AS BIGINT) AS elim
+        |UNION ALL
+        |SELECT 'b_interval',
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IN (-3, -7)),
+        |  CAST(1 AS BIGINT)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      GraftPlanner.register(s)
+      val ck = checkFixture(s, d)
+      def st(stage: String, c: org.apache.spark.sql.Column) = stamped(
+        TxnTable.read(s, ck).filter(c).agg(count(lit(1)).as("n"))
+          .select(lit(stage).as("stage"), col("n")),
+        Seq.empty, Seq("ckfact_"), Seq("stage"))
+      st("a_set", col("l_returnflag").isin("X", "Y"))
+        .unionByName(st("b_interval", col("l_quantity").isin(-3, -7)))
+        .orderBy("stage")
     },
 
     // ── EAGER AGGREGATION, AUTO MODE — the closed advisor loop: the

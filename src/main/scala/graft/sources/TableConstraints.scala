@@ -267,7 +267,8 @@ object TableConstraints {
     * its row. */
   def declareCheck(dir: String, name: String, exprSql: String,
                    rely: Boolean = true,
-                   validate: Option[SparkSession] = None): Unit = {
+                   validate: Option[SparkSession] = None,
+                   resolve: Option[SparkSession] = None): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"check name must be [A-Za-z0-9._-]+: '$name'")
     require(!exprSql.contains("\""),
@@ -281,7 +282,13 @@ object TableConstraints {
     // created, nothing scanned — schema comes from the log/footers).
     // A table with no readable schema yet (declare-before-first-commit)
     // skips the probe — the parse check above still gates syntax.
-    validate.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+    // The probe runs ONLY under an EXPLICITLY passed session (`validate`
+    // or `resolve`) — never the ambient getActiveSession: whether a
+    // declaration is refused must not depend on which environment
+    // happens to hold an active session or whether the table is
+    // readable from it (the same call succeeding here and throwing
+    // there is config drift, not a contract).
+    validate.orElse(resolve)
       .foreach { s =>
         val schemaOpt =
           try Some(TxnTable.read(s, dir).schema)

@@ -473,6 +473,81 @@ class ConstraintRulesSpec extends SparkSpec {
     assert(other.count() == 9L)
   }
 
+  test("IN-list implication: declared sets compose with user IN/interval conjuncts") {
+    val t = s"$root/ck_inlist"
+    TxnTable.commit(spark,
+      (1L to 60L).map(i => (i, s"m${i % 3}", (i % 3) * 2 + 2, i % 7 + 1.0))
+        .toDF("pk", "mode", "sz", "amt"),
+      t, overwrite = false)
+    // declared finite sets (string and numeric) + a band + a point
+    TableConstraints.declareCheck(t, "mode_known",
+      "mode IN ('m0', 'm1', 'm2')", validate = Some(spark))
+    TableConstraints.declareCheck(t, "sz_known", "sz IN (2, 4, 6)",
+      validate = Some(spark))
+    TableConstraints.declareCheck(t, "amt_band", "amt > 0 AND amt <= 8",
+      validate = Some(spark))
+    // user IN ⊇ declared set: tautology — the conjunct drops and the
+    // column prunes from the scan
+    def superset = TxnTable.read(spark, t)
+      .filter($"mode".isin("m0", "m1", "m2", "m9") && $"pk" > 0)
+      .agg(sum("pk").as("s"))
+    assert(!plan(superset).contains("mode"), plan(superset).take(3000))
+    assert(superset.head.getLong(0) == (1L to 60L).sum)
+    // user IN disjoint from the declared set: provably empty, no scan
+    def disjointIn = TxnTable.read(spark, t)
+      .filter($"mode".isin("x1", "x2")).agg(count(lit(1)).as("n"))
+    assert(disjointIn.head.getLong(0) == 0L)
+    assert(!plan(disjointIn).contains("ck_inlist"), plan(disjointIn).take(3000))
+    // declared numeric set under a CONTAINING user interval: drops
+    def setUnderIv = TxnTable.read(spark, t).filter($"sz" < 10)
+      .agg(count(lit(1)).as("n"))
+    assert(!plan(setUnderIv).contains("sz"), plan(setUnderIv).take(3000))
+    assert(setUnderIv.head.getLong(0) == 60L)
+    // declared set with NO element satisfying the interval: empty
+    def setOutIv = TxnTable.read(spark, t).filter($"sz" > 7)
+      .agg(count(lit(1)).as("n"))
+    assert(setOutIv.head.getLong(0) == 0L)
+    assert(!plan(setOutIv).contains("ck_inlist"), plan(setOutIv).take(3000))
+    // user IN-list entirely outside the declared interval: empty
+    def inOutBand = TxnTable.read(spark, t).filter($"amt".isin(12.0, 20.0))
+      .agg(count(lit(1)).as("n"))
+    assert(inOutBand.head.getLong(0) == 0L)
+    assert(!plan(inOutBand).contains("ck_inlist"), plan(inOutBand).take(3000))
+    // refusals — never wrong, only conservative:
+    // a user subset genuinely filters (the check admits m2)
+    def narrower = TxnTable.read(spark, t).filter($"mode".isin("m0", "m1"))
+    assert(plan(narrower).contains("mode"),
+      "a STRICTER IN-list than the check must survive")
+    assert(narrower.count() == ruleOff(narrower.count()))
+    // a user IN-list overlapping the declared band must scan
+    def overlap = TxnTable.read(spark, t).filter($"amt".isin(5.0, 12.0))
+    assert(plan(overlap).contains("amt"))
+    assert(overlap.count() == ruleOff(overlap.count()))
+    // a declared non-point interval never implies a finite list
+    def ivVsIn = TxnTable.read(spark, t).filter($"amt".isin(1.0, 2.0, 3.0,
+      4.0, 5.0, 6.0, 7.0, 8.0))
+    assert(plan(ivVsIn).contains("amt"),
+      "amt ∈ (0, 8] is not provably inside a finite list")
+  }
+
+  test("a declared point check implies membership in any list containing it") {
+    val t = s"$root/ck_point"
+    TxnTable.commit(spark,
+      (1L to 20L).map(i => (i, 5L)).toDF("pk", "flag"),
+      t, overwrite = false)
+    TableConstraints.declareCheck(t, "flag_five", "flag = 5",
+      validate = Some(spark))
+    def q = TxnTable.read(spark, t).filter($"flag".isin(3L, 5L, 9L))
+      .agg(count(lit(1)).as("n"))
+    assert(!plan(q).contains("flag"), plan(q).take(3000))
+    assert(q.head.getLong(0) == 20L)
+    // and a list NOT containing the point is empty
+    def e = TxnTable.read(spark, t).filter($"flag".isin(3L, 9L))
+      .agg(count(lit(1)).as("n"))
+    assert(e.head.getLong(0) == 0L)
+    assert(!plan(e).contains("ck_point"), plan(e).take(3000))
+  }
+
   test("check gates: non-RELY never consumed; violated RELY is the user's lie") {
     val t = s"$root/ck_norely"
     TxnTable.commit(spark,

@@ -466,16 +466,25 @@ class TableConstraintsSpec extends SparkSpec {
     }
     // a TYPO'D COLUMN refuses at declare time too (resolved against the
     // readable schema) — without this, every later commitEnforced /
-    // verify on the table dies with an AnalysisException at ingest
+    // verify on the table dies with an AnalysisException at ingest.
+    // The probe needs an EXPLICIT session (resolve or validate): a pure
+    // RELY declaration's outcome must never hinge on ambient
+    // getActiveSession state
     val typo = intercept[IllegalArgumentException] {
-      TableConstraints.declareCheck(t, "typo", "qtyy > 0")
+      TableConstraints.declareCheck(t, "typo", "qtyy > 0",
+        resolve = Some(spark))
     }
     assert(typo.getMessage.contains("does not resolve"), typo.getMessage)
     assert(!TableConstraints.checks(t).exists(_.name == "typo"))
+    // ...so WITHOUT a session the same declaration is accepted
+    // deterministically (syntax-gated only) in every environment
+    TableConstraints.declareCheck(t, "typo_norelsess", "qtyy > 0")
+    assert(TableConstraints.checks(t).exists(_.name == "typo_norelsess"))
     // declare-before-first-commit still works: no readable schema means
     // no resolution probe, only the syntax gate
     val empty = freshDir("check_predeclare")
-    TableConstraints.declareCheck(empty, "future_col", "whatever > 0")
+    TableConstraints.declareCheck(empty, "future_col", "whatever > 0",
+      resolve = Some(spark))
     assert(TableConstraints.checks(empty).exists(_.name == "future_col"))
   }
 
