@@ -182,6 +182,41 @@ object ProfileWatch {
         good.unionByName(bad).orderBy("bucket").collect().length
       }
     }
+
+    for (rep <- 1 to reps) {
+      println(s"[watch] ── q_layout_cluster_advice rep $rep ──")
+      import graft.sources.{TxnLayout, TxnTable}
+      import spark.implicits._
+      val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"/root/repo/target/tmp/pw_cladv_$sfKey/t$rep"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      t("cladv commit fixture")(TxnTable.commit(spark,
+        spark.read.parquet(s"$sfDir/orders.parquet").select(
+          (col("o_orderkey") % 32768).as("x"),
+          (col("o_custkey") % 32768).as("y"),
+          col("o_orderkey").as("v")), table, overwrite = false))
+      t("cladv optimizeClustered")(
+        TxnLayout.optimizeClustered(spark, table, Seq("x", "y"), numFiles = 4))
+      // the advice call decomposed into its three measures — the r14
+      // additions (clamped mass + file skew) are suspects for the
+      // +1.7 s same-tree growth the verdict flagged
+      def adviceDecomposed(tag: String): Unit = {
+        t(s"cladv $tag stalenessOf")(TxnLayout.staleness(table))
+        t(s"cladv $tag boundsStaleness")(TxnLayout.boundsStaleness(spark, table))
+        t(s"cladv $tag fileSkew")(TxnLayout.fileSkew(table))
+        t(s"cladv $tag full clusterAdvice")(
+          graft.plans.LayoutAdvisor.clusterAdvice(spark, table,
+            maxStaleFraction = 1e-9).collect())
+      }
+      adviceDecomposed("a")
+      t("cladv append")(TxnTable.commit(spark,
+        Seq((40000L, 40000L, 1L), (40001L, 40001L, 2L), (40002L, 40002L, 3L))
+          .toDF("x", "y", "v").coalesce(1), table, overwrite = false))
+      adviceDecomposed("b")
+      t("cladv maintainClustered")(
+        TxnLayout.maintainClustered(spark, table, maxStaleFraction = 1e-9))
+      adviceDecomposed("c")
+    }
     spark.stop()
   }
 }

@@ -1248,6 +1248,89 @@ object Similarity {
     stale
   }
 
+  /** IVF LIST REBALANCE — split oversized lists WITHOUT retraining the
+    * index (the cheap sibling of [[rebuildTxnIfStale]]'s full rebuild).
+    * Centroids train on a capped sample, so a skewed corpus piles into
+    * few mega-lists and every probe touching one pays its whole length
+    * — [[indexHealthTxn]].skewRatio (max list ÷ mean) is exactly this
+    * regression. The fix is local: for each list exceeding
+    * `maxListFactor` × mean, train `subK` SUB-CENTROIDS on that list's
+    * own vectors only (same capped-sample Lloyd) and reassign just its
+    * members — O(oversized lists' rows), never the corpus. Because PQ
+    * codes encode RAW vectors (not residuals — the documented
+    * simplification), codes, vectors, and meta are untouched; the new
+    * `centroids` + `lists` land as ONE atomic catalog txn, so
+    * concurrent readers see the old index or the rebalanced one, never
+    * a mix. Fresh sub-cluster ids are allocated past the current max
+    * (probing and assignment key on id equality only — ids are labels,
+    * not positions).
+    *
+    * REFUSED while a delta overlay exists: dlists rows were assigned
+    * against the OLD centroids, and silently leaving them pointed at a
+    * split cluster would orphan them from every probe — run the
+    * rebuild (it compacts the overlay) first. Tombstones are fine
+    * (they filter after candidate generation and never reference a
+    * centroid). Returns the number of lists split (0 = healthy, no
+    * txn committed). */
+  def rebalanceIvfPqTxn(spark: SparkSession, catalog: String,
+                        maxListFactor: Double = 4.0, subK: Int = 4,
+                        iters: Int = 2): Int = {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    require(maxListFactor > 1.0, "maxListFactor must exceed 1")
+    require(subK >= 2, "subK must be at least 2")
+    require(deltaTableAt(spark, catalog, "dlists", None)
+        .forall(_.isEmpty),
+      s"$catalog carries an upsert overlay — rebalancing would orphan " +
+        "delta rows from their (split) lists; rebuild to compact first")
+    val lists = TxnCatalog.read(spark, catalog, "lists", None)
+    val sizes = lists.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (sizes.length < 2) return 0
+    val mean = sizes.map(_._2).sum.toDouble / sizes.length
+    val oversized = sizes.filter(_._2 > maxListFactor * mean).map(_._1)
+    if (oversized.isEmpty) return 0
+    val centroids = TxnCatalog.read(spark, catalog, "centroids", None)
+    val vectors = TxnCatalog.read(spark, catalog, "vectors", None)
+    var nextId = sizes.map(_._1).max + 1
+    val overCol = oversized.map(Integer.valueOf).toSeq
+    // one scan of the oversized lists' vectors, shared by every split's
+    // training collect and assignment
+    val memberQ = quantizeCorpus(
+      vectors.join(lists.filter(col("cluster").isin(overCol: _*)), "vec_id")
+        .select("vec_id", "embedding"))
+      .persist()
+    try {
+      val parts = oversized.toSeq.map { c =>
+        val members = memberQ
+          .join(lists.filter(col("cluster") === c).select("vec_id"), "vec_id")
+        val n = sizes.find(_._1 == c).get._2
+        val k = math.min(subK.toLong, n).toInt
+        val trained = ivfCentroidsQ(members, k, iters).collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        // remap the trained ids (seed vec_ids) to FRESH labels past
+        // the current max so they collide with no surviving cluster
+        val remap = trained.map(_._1).sorted.zipWithIndex
+          .map { case (old, i) => old -> (nextId + i) }.toMap
+        nextId += trained.length
+        val subFrame = spark.createDataFrame(
+            trained.toSeq.map { case (c0, cq) => (remap(c0), cq) })
+          .toDF("cluster", "cq")
+        (subFrame, assignClustersQ(members, subFrame))
+      }
+      val newCentroids = centroids
+        .filter(!col("cluster").isin(overCol: _*))
+        .unionByName(parts.map(_._1).reduce(_.unionByName(_)))
+      val newLists = lists
+        .filter(!col("cluster").isin(overCol: _*))
+        .unionByName(parts.map(_._2).reduce(_.unionByName(_)))
+      TxnCatalog.commitAll(spark, catalog, Seq(
+        Write("centroids", newCentroids, overwrite = true),
+        Write("lists", newLists, overwrite = true)))
+    } finally memberQ.unpersist()
+    oversized.length
+  }
+
   /** Johnson–Lindenstrauss random projection: dim → outDim via a seeded
     * Gaussian plane matrix (the same deterministic family as the LSH
     * hyperplanes — JL is what LSH sign-buckets before truncating to a

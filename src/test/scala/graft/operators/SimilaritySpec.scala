@@ -683,6 +683,76 @@ class SimilaritySpec extends SparkSpec {
       s"eligible upserted exact copy must be top-1, got ($hid2, $sim2)")
   }
 
+  test("rebalanceIvfPqTxn splits mega-lists: skew bounded, searches unchanged, overlay refused") {
+    import graft.sources.TxnCatalog
+    // the DRIFT shape, constructed exactly: the index trains on eight
+    // one-hot "naturals" (dims 8..15, ids 5000+); a 160-vector blob
+    // then APPENDS — appends assign against yesterday's centroids, the
+    // blob's dims (0..4) are orthogonal to every centroid, so all 160
+    // dot-tie to the smallest cluster id: one deterministic mega-list.
+    // The blob carries four ORTHOGONAL sub-directions (4.0 at dim
+    // 1 + id % 4 over a 10.0 dim-0 base), so sub-training has real
+    // structure to find — all arithmetic exact under the 1e-6
+    // quantization, no sampling anywhere.
+    def oneHot(at: org.apache.spark.sql.Column, v: Float) =
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === at, lit(v)).otherwise(lit(0.0f)))
+    val naturals = spark.range(0, 8).select(
+      (col("id") + 5000L).as("vec_id"),
+      oneHot(lit(8) + (col("id") % 8).cast("int"), 1.0f).as("embedding"))
+    val blob = spark.range(1000, 1160).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === 0, lit(10.0f))
+          .when(i === lit(1) + (col("id") % 4).cast("int"), lit(4.0f))
+          .otherwise(lit(0.0f))).as("embedding"))
+    val cat = "/root/repo/target/tmp/spec_ann_rebalance"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    Similarity.writeIvfPqIndexTxn(spark, naturals, cat, nClusters = 4,
+      ksub = 4)
+    Similarity.appendToIvfPqIndexTxn(spark, blob, cat)
+    val h1 = Similarity.indexHealthTxn(spark, cat)
+    assert(h1.skewRatio > 2.0, s"the appended blob must form a mega-list: $h1")
+    // full-probe search results BEFORE (nprobe = every list ⇒ the PQ
+    // rerank over the whole corpus — list boundaries cancel out)
+    val queries = naturals.limit(5)
+    def full(np: Int) = Similarity
+      .ivfPqTopKIndexedTxn(spark, queries, cat, k = 5, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = full(h1.nLists)
+
+    val split = Similarity.rebalanceIvfPqTxn(spark, cat, maxListFactor = 2.0,
+      subK = 4)
+    assert(split == 1, s"exactly the mega-list splits, got $split")
+    val h2 = Similarity.indexHealthTxn(spark, cat)
+    assert(h2.total == h1.total, "rebalance moves rows, never loses them")
+    assert(h2.nLists > h1.nLists)
+    assert(h2.skewRatio < h1.skewRatio * 0.75,
+      s"max-list/mean must drop: ${h1.skewRatio} -> ${h2.skewRatio}")
+    // structural integrity: every vector in exactly one list, every
+    // list's cluster id resolved by exactly one centroid
+    val lists = TxnCatalog.read(spark, cat, "lists", None)
+    assert(lists.count() == lists.select("vec_id").distinct().count())
+    val cents = TxnCatalog.read(spark, cat, "centroids", None)
+    assert(cents.select("cluster").distinct().count() == cents.count())
+    assert(lists.join(cents, "cluster").count() == lists.count(),
+      "every assignment must reference a live centroid")
+    // the full-probe answer is unchanged — splitting list boundaries
+    // must never change WHAT the index can return
+    assert(full(h2.nLists) == before)
+    // healthy now: a second pass is a no-op, no txn committed
+    val t = TxnCatalog.currentTxn(cat)
+    assert(Similarity.rebalanceIvfPqTxn(spark, cat, maxListFactor = 2.0) == 0)
+    assert(TxnCatalog.currentTxn(cat) == t)
+    // an upsert overlay refuses: its dlists rows were assigned against
+    // the old centroids and a split would orphan them from every probe
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      embs.limit(1).select("vec_id", "embedding"), cat)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rebalanceIvfPqTxn(spark, cat, maxListFactor = 2.0)
+    }
+    assert(e.getMessage.contains("overlay"), e.getMessage)
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
