@@ -83,11 +83,16 @@ object Layout {
     if (mn >= mx) when(c.isNull, lit(null).cast("long")).otherwise(lit(0L))
     else {
       val top = (1L << bits) - 1
+      // clamp IN DOUBLE SPACE, cast after: a value far outside [mn, mx]
+      // (a 2^62 sentinel against winsorized bounds) scales to a double
+      // beyond the long range, and under ANSI the double→long cast of
+      // the unclamped value would throw ARITHMETIC_OVERFLOW instead of
+      // landing in the edge bucket the clamping contract promises
       val raw = floor((c.cast("double") - lit(mn.toDouble)) /
         lit(mx.toDouble - mn.toDouble) * lit((1L << bits).toDouble))
-        .cast("long")
       when(c.isNull, lit(null).cast("long"))
-        .otherwise(least(lit(top), greatest(lit(0L), raw)))
+        .otherwise(least(lit(top.toDouble), greatest(lit(0.0), raw))
+          .cast("long"))
     }
   }
 

@@ -903,6 +903,57 @@ object CompositeQueries {
         .orderBy("stage")
     },
 
+    // ── TEMPORAL-STAR capstone (round 15's surface composed end to
+    //    end): the fact clusters on its RAW timestamp + customer key —
+    //    no manual epoch column, the temporal ordinal path — and the
+    //    two filtered dims of a star probe prune it through
+    //    MULTI-COLUMN dynamic file pruning: the date dim's window keeps
+    //    one slice of the curve layout, the customer dim's tercile
+    //    another, and the fact scan opens only their intersection,
+    //    decided from stats metadata before any fact bytes move. Pins:
+    //    each single-dim prune is a strict subset of the live set and
+    //    the intersection is bounded by both; content — read THROUGH
+    //    the pruned scan and joined to both dims — equals the oracle's
+    //    plain two-predicate filter.
+    sql("q35_temporal_star",
+      """WITH t AS (SELECT MAX(o_custkey) // 3 AS qc FROM orders)
+        |SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       TRUE AS pruned_a, TRUE AS pruned_b, TRUE AS pruned_multi
+        |FROM orders, t
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND o_custkey >= t.qc AND o_custkey < 2 * t.qc""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats, TxnTable}
+      val table = graft.Scratch.dir("/root/repo/target/tmp/q35_tstar") + "/fact"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      TxnTable.commit(s, o, table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table,
+        Seq("o_orderdate", "o_custkey"), numFiles = 12)
+      val dt = o.schema("o_orderdate").dataType
+      val qc = o.agg(max("o_custkey")).head().getLong(0) / 3
+      val dimA = o
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(dt) &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast(dt))
+        .select(col("o_orderdate").as("ka")).distinct()
+      val dimB = o.filter(col("o_custkey") >= qc && col("o_custkey") < 2 * qc)
+        .select(col("o_custkey").as("kb")).distinct()
+      val (aF, nLive) = TxnStats.dfpFiles(s, table, "o_orderdate", dimA)
+      val (bF, _) = TxnStats.dfpFiles(s, table, "o_custkey", dimB)
+      val probes = Seq("o_orderdate" -> dimA, "o_custkey" -> dimB)
+      val (mF, _) = TxnStats.dfpFilesMulti(s, table, probes)
+      val fact = TxnStats.dfpReadMulti(s, table, probes)
+      fact.join(dimA, fact("o_orderdate") === dimA("ka"))
+        .join(dimB, fact("o_custkey") === dimB("kb"))
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"))
+        .withColumn("pruned_a", lit(aF.size < nLive))
+        .withColumn("pruned_b", lit(bF.size < nLive))
+        .withColumn("pruned_multi",
+          lit(mF.size <= math.min(aF.size, bF.size) && mF.size < nLive))
+    },
+
     // ── training-data RELEASE capstone (the round's new lakehouse surface
     //    composed end to end): documents land as one catalog transaction;
     //    a takedown list applies as a catalog-level MERGE-ON-READ delete

@@ -206,6 +206,20 @@ class LayoutSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("rangeScale clamps far-out-of-domain values instead of ANSI-overflowing") {
+    // a sentinel at 2^62 against narrow measured bounds scales to a
+    // double beyond the long range — the clamp must happen in double
+    // space or the ANSI double→long cast throws ARITHMETIC_OVERFLOW
+    // where the contract promises the edge bucket
+    val df = Seq(-5000000000L, 0L, 50L, 100L, Long.MaxValue / 2).toDF("x")
+    val got = df.select(col("x"),
+        Layout.rangeScale(col("x"), 0L, 100L, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(-5000000000L) == 0L)
+    assert(got(Long.MaxValue / 2) == 65535L, s"top-edge clamp: $got")
+    assert(got(50L) == 32768L && got(100L) == 65535L)
+  }
+
   test("rank_bucket refinement: composed code is exact, monotone, edge-clamping") {
     graft.plans.GraftExtensions.register(spark)
     // boundaries (100, 200), subBits=4, domain [0, 300]:
