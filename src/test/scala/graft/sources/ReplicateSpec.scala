@@ -259,6 +259,25 @@ class ReplicateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxnTable.promoteReplica(other) }
   }
 
+  test("a parallel copy task failure propagates its ORIGINAL exception; nothing publishes") {
+    val src = fresh("fail_src"); val dst = fresh("fail_dst")
+    TxnTable.commit(spark,
+      spark.range(0, 3000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(30),
+      src, overwrite = false)
+    // one seed file vanishes (disk fault): the pool must surface the
+    // real NoSuchFileException — not an ExecutionException wrapper —
+    // cancel the remaining tasks, and leave the replica unpublished
+    // (the marker-then-publish order makes the state resumable once
+    // the source heals)
+    new File(src, TxnTable.liveFiles(src).head).delete()
+    intercept[java.nio.file.NoSuchFileException] {
+      TxnTable.replicate(src, dst)
+    }
+    assert(TxnTable.currentVersion(dst) == 0,
+      "a failed seed must never publish v1")
+  }
+
   test("promotion landing mid-sync wins: the sync aborts and never resurrects the marker") {
     val src = fresh("race_src"); val dst = fresh("race_dst")
     commitRange(src, 0, 50)
