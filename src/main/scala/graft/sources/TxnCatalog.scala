@@ -1214,7 +1214,9 @@ object TxnCatalog {
           .filter(f => f.isFile && f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet") &&
             !keepFiles.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
-        doomed.foreach(_.delete())
+        // fan the deletes out like the replication copies: order-free,
+        // idempotent, and driver-serial would be the 100 TB wall
+        ParallelCopy.foreachPar(doomed.toSeq)(f => { f.delete(); () })
         doomed.length
       }.sum
   }

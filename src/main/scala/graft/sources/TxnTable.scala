@@ -1515,7 +1515,11 @@ object TxnTable {
 
   def vacuum(table: String, retainFrom: Int): Int = {
     val (_, doomed) = reclaimable(table, retainFrom)
-    doomed.foreach(_.delete())
+    // deletes are order-free and idempotent (a missing file deletes to
+    // false, never throws) — fan them out like the replication copies:
+    // at 100 TB file counts a driver-serial delete loop is the same
+    // wall the serial copy was
+    ParallelCopy.foreachPar(doomed.toSeq)(f => { f.delete(); () })
     val dataRoot = new File(table, "data")
     // torn tmp log entries from crashed commits are invisible to readers
     // but would otherwise accumulate — sweep them with the orphans
