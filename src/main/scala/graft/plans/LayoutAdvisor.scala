@@ -452,6 +452,12 @@ object LayoutAdvisor {
           else if (spec.quant.nonEmpty && spec.ranges.size >= minFilesForSkew &&
               TxnLayout.fileSkew(table) > maxFileSkew)
             "escalate_equidepth"
+          else if (spec.qbounds.nonEmpty && !spec.salt &&
+              spec.ranges.size >= minFilesForSkew &&
+              TxnLayout.fileSkew(table) > maxFileSkew)
+            // tied VALUES past quantile resolution: the partitioner
+            // tiebreak is the remaining lever (maintainClustered rung 2)
+            "escalate_salt"
           else if (recommend) "recluster_incremental"
           else "healthy"
         Seq((spec.curve, spec.cols.mkString(","), cl.toLong, st.toLong,

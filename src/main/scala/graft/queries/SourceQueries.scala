@@ -1147,6 +1147,50 @@ object SourceQueries {
         .withColumn("prune_strict", lit(pruneStrict))
     },
 
+    // ── IRREDUCIBLE TIED VALUES → SALT escalation (maintainClustered
+    //    rung 2): half the rows share ONE value — a mega key no
+    //    value-monotone code can separate (equi-depth's documented
+    //    residue), so the range partitioner leaves one file holding it
+    //    all regardless of the requested count. The policy detects the
+    //    skew on an (unsalted) equi-depth layout and re-optimizes with
+    //    the PARTITIONER-ONLY whole-row tiebreak: file sizes bound
+    //    again while the code space — and so every pruning decision —
+    //    is untouched. Pins ride the hash: the escalation fired and
+    //    recorded salt mode, the skew collapsed (>3 → <2.5), and the
+    //    tied-point content READ THROUGH the pruned salted layout
+    //    equals the oracle's plain filter.
+    sql("q_layout_tied_salt",
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 777000000
+        |              ELSE o_orderkey * 1000003 END AS x,
+        |         o_orderkey AS v
+        |  FROM orders)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |       TRUE AS escalated_salt, TRUE AS skew_bounded
+        |FROM t WHERE x = 777000000""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      val table = tmp("txn_tied_salt")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      TxnTable.commit(s, Tables.orders(s, d).select(
+          when(col("o_orderkey") % 2 === 0, 777000000L)
+            .otherwise(col("o_orderkey") * 1000003L).as("x"),
+          col("o_orderkey").as("v"))
+          .withColumn("y", col("x")).select("x", "y", "v"),
+        table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("x", "y"), numFiles = 16,
+        quantMode = "equidepth")
+      val skew1 = TxnLayout.fileSkew(table)
+      val r = TxnLayout.maintainClustered(s, table,
+        maxStaleFraction = 1e18, maxFileSkew = 3.0)
+      val sp = TxnLayout.readSpec(table).get
+      val skew2 = TxnLayout.fileSkew(table)
+      TxnStats.prunedRead(s, table, "x", 777000000L, 777000000L)
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .withColumn("escalated_salt",
+          lit(r.isDefined && sp.salt && sp.qbounds.nonEmpty))
+        .withColumn("skew_bounded", lit(skew1 > 3.0 && skew2 < 2.5))
+    },
+
     // ── TEMPORAL clustering on the RAW timestamp column — no manual
     //    epoch-cast: optimizeClustered quantizes o_orderdate on its
     //    micro-second ORDINAL (Layout.ordinalExpr), the leading

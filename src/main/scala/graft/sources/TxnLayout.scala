@@ -82,13 +82,27 @@ object TxnLayout {
     * cut inside dense buckets and file counts scale to 2^bits again.
     * Recorded so incremental rounds compose the IDENTICAL code; 0 for
     * pre-r15 sidecars (bare-rank legacy space). */
+  /** `salt` — the TIE-BREAK write mode for irreducible tied codes: a
+    * mega-VALUE no value-monotone code can separate (equi-depth's one
+    * residue) ties at one code, and `repartitionByRange` places equal
+    * keys in one partition — one file swallows the tie regardless of
+    * the requested file count. With salt, the write range-partitions
+    * on (code, xxhash64(every column)) — a PARTITIONER-ONLY tiebreak:
+    * the code space, the sidecar ranges, and every pruning decision
+    * are unchanged (tied files share a boundary code, which the
+    * disjointness invariant `hi ≤ next lo` already admits), but file
+    * sizes are bounded again. Recorded so incremental rounds write the
+    * same way. Exact full-row duplicates share a salt — the residue
+    * behind the residue, irreducible by anything short of random
+    * assignment, which would break write determinism. */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
                                quant: Seq[(String, Long, Long)] = Nil,
                                clip: Double = 0.0,
                                qbounds: Seq[(String, Seq[Long])] = Nil,
                                raw: Seq[(String, Long, Long)] = Nil,
-                               subBits: Int = 0)
+                               subBits: Int = 0,
+                               salt: Boolean = false)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -193,8 +207,9 @@ object TxnLayout {
           .toSeq
         val subBits = "\"subbits\":(\\d+)".r.findFirstMatchIn(s)
           .map(_.group(1).toInt).getOrElse(0)
+        val salt = s.contains("\"salt\":true")
         ClusterSpec(cols, curve, bits, version, ranges, quant, clip,
-          qbounds, raw, subBits)
+          qbounds, raw, subBits, salt)
       }
     }
   }
@@ -216,7 +231,7 @@ object TxnLayout {
       s"""{"cols":${spec.cols.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
         s""""version":${spec.version},"clip":${spec.clip},""" +
-        s""""subbits":${spec.subBits},""" +
+        s""""subbits":${spec.subBits},"salt":${spec.salt},""" +
         s""""quant":$quant,"qbounds":$qbounds,"raw":$raw,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
@@ -282,7 +297,8 @@ object TxnLayout {
                         numFiles: Int = 8, bits: Int = 16,
                         quantize: Boolean = true,
                         clipQuantile: Double = 0.0,
-                        quantMode: String = "range"): Int = {
+                        quantMode: String = "range",
+                        tieSalt: Boolean = false): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(quantMode == "range" || quantMode == "equidepth",
       s"unknown quantMode '$quantMode' (range|equidepth)")
@@ -342,16 +358,25 @@ object TxnLayout {
     val domain = raw.map { case (c, lo, hi) => c -> ((lo, hi)) }.toMap
     val code = codeExpr(cols, curve, bits, quant, qbounds,
       clusterTypes(spark, table, cols), subBits, domain)
-    val rewritten = TxnTable.read(spark, table)
-      .withColumn("__z", code)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
+    // tieSalt: the partitioner (and only the partitioner) breaks tied
+    // codes on a whole-row hash — see [[ClusterSpec.salt]]
+    val src0 = TxnTable.read(spark, table).withColumn("__z", code)
+    val rewritten =
+      (if (tieSalt)
+        src0.withColumn("__s",
+            xxhash64(TxnTable.read(spark, table).columns.map(col): _*))
+          .repartitionByRange(numFiles, col("__z"), col("__s"))
+          .sortWithinPartitions("__z", "__s")
+          .drop("__s")
+      else
+        src0.repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z"))
       .drop("__z")
     val v = TxnTable.commitRewrite(spark, rewritten, table, live)
     val now = TxnTable.liveSplit(table)._1
     writeSpec(table, ClusterSpec(cols, curve, bits, v,
       rangesOf(spark, table, now, code), quant, clipQuantile, qbounds, raw,
-      subBits))
+      subBits, tieSalt))
     // index the clustering columns' min-max stats: they are exactly the
     // box-filter columns the layout serves (the whole point of the
     // rewrite is that their per-file intervals now prune), and the
@@ -448,13 +473,21 @@ object TxnLayout {
     // inner range join would DROP — and publishRewrite then removes its
     // source file: silent data loss. NULL-coded rows get their own
     // segment instead and rewrite like any other.
-    def taggedRows(set: Seq[String], h: Set[String]) =
-      TxnTable.readFileList(spark, table, set)
-        .withColumn("__z", code)
+    def taggedRows(set: Seq[String], h: Set[String]) = {
+      val base = TxnTable.readFileList(spark, table, set)
+      // a salted baseline keeps salting through maintenance: the same
+      // whole-row partitioner tiebreak, or the rewrite would re-grow
+      // the fat tied file the salt existed to split
+      val salted =
+        if (spec.salt)
+          base.withColumn("__s", xxhash64(base.columns.map(col): _*))
+        else base
+      salted.withColumn("__z", code)
         .join(broadcast(segmentsDf(h)),
           col("__z") > col("glo") && col("__z") < col("ghi"), "left")
         .withColumn("__seg", coalesce(col("__seg"), lit(-1L)))
         .drop("glo", "ghi")
+    }
     var tagged = taggedRows(rewriteSet, hitSet)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var segs = tagged.select("__seg").distinct()
@@ -499,10 +532,14 @@ object TxnLayout {
           if (segs.isEmpty) // stale files held no rows: remove-only rewrite
             Seq.empty[String]
           else segs.zipWithIndex.flatMap { case (sg, i) =>
-            writeSeg(tagged.filter(col("__seg") === sg)
-              .repartitionByRange(perSeg, col("__z"))
-              .sortWithinPartitions("__z")
-              .drop("__z", "__seg"), i)
+            val part = tagged.filter(col("__seg") === sg)
+            val ranged =
+              if (spec.salt)
+                part.repartitionByRange(perSeg, col("__z"), col("__s"))
+                  .sortWithinPartitions("__z", "__s").drop("__s")
+              else part.repartitionByRange(perSeg, col("__z"))
+                .sortWithinPartitions("__z")
+            writeSeg(ranged.drop("__z", "__seg"), i)
           }
         TxnTable.publishRewrite(table, added, rewriteSet, Some(version))
       } finally tagged.unpersist() // incl. a failed segment write
@@ -691,27 +728,40 @@ object TxnLayout {
     require(maxFileSkew > 1.0, "maxFileSkew must exceed 1")
     if (TxnTable.liveSplit(table)._2.nonEmpty) return None
     val spec = readSpec(table)
-    def reoptimize(sp: ClusterSpec, mode: String): Some[(Int, Int, Int)] = {
+    def reoptimize(sp: ClusterSpec, mode: String,
+                   salt: Boolean): Some[(Int, Int, Int)] = {
       val nf = if (numFiles >= 1) numFiles else math.max(1, sp.ranges.size)
       val rewritten = TxnTable.liveSplit(table)._1.size
       val v = optimizeClustered(spark, table, sp.cols, sp.curve, nf,
-        sp.bits, quantize = true, clipQuantile = sp.clip, quantMode = mode)
+        sp.bits, quantize = true, clipQuantile = sp.clip, quantMode = mode,
+        tieSalt = salt)
       Some((v, rewritten, 0))
     }
     if (spec.exists(sp => sp.quant.nonEmpty || sp.qbounds.nonEmpty)) {
       val (clampedRows, totalRows) = boundsStaleness(spark, table)
       if (totalRows > 0 && clampedRows > maxClampedFraction * totalRows)
         return reoptimize(spec.get,
-          if (spec.get.qbounds.nonEmpty) "equidepth" else "range")
+          if (spec.get.qbounds.nonEmpty) "equidepth" else "range",
+          salt = spec.get.salt)
     }
     spec match {
-      // skew escalation applies to RANGE-quantized layouts only: an
-      // equi-depth layout's residual ties are already past quantile
-      // resolution, and an unquantized layout is the pre-bucketed
-      // legacy contract whose coordinates the caller owns
+      // skew escalation ladder. Rung 1: a RANGE-quantized layout's fat
+      // file means tied CODES quantile buckets can split → escalate to
+      // equi-depth. Rung 2: an EQUI-DEPTH layout still skewed means
+      // tied VALUES past quantile resolution — no value-monotone code
+      // can separate them, so the remaining lever is the partitioner
+      // tiebreak (tieSalt: sizes bound, pruning unchanged). A layout
+      // already salted and still skewed is exact full-row duplication
+      // — accepted residue, nothing a deterministic write can split.
+      // Unquantized layouts are the pre-bucketed legacy contract whose
+      // coordinates the caller owns.
       case Some(sp) if sp.quant.nonEmpty && sp.ranges.size >= minFilesForSkew &&
           fileSkew(table) > maxFileSkew =>
-        return reoptimize(sp, "equidepth")
+        return reoptimize(sp, "equidepth", salt = sp.salt)
+      case Some(sp) if sp.qbounds.nonEmpty && !sp.salt &&
+          sp.ranges.size >= minFilesForSkew &&
+          fileSkew(table) > maxFileSkew =>
+        return reoptimize(sp, "equidepth", salt = true)
       case _ => ()
     }
     val (_, staleFiles, staleRows, totalRows) = staleness(table)

@@ -35,7 +35,12 @@ class TxnLayoutSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
 
   private def assertDisjoint(spec: TxnLayout.ClusterSpec): Unit = {
-    val sorted = spec.ranges.values.toSeq.sortBy(_._1)
+    // sort by (lo, hi): under tie-salting several files legitimately
+    // share one boundary code ([c,c] ties plus at most one straddler
+    // per side), and (lo, hi) order puts them in containment order so
+    // the adjacency check still flags any overlap past a shared
+    // endpoint — the invariant pruning actually needs
+    val sorted = spec.ranges.values.toSeq.sortBy(r => (r._1, r._2))
     sorted.sliding(2).foreach {
       case Seq((_, hiA), (loB, _)) =>
         assert(hiA <= loB, s"overlapping clustered ranges: $sorted")
@@ -229,6 +234,64 @@ class TxnLayoutSpec extends SparkSpec {
     val r = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 0.2,
       maxClampedFraction = 0.4)
     assert(r.isDefined && r.get._3 == 0, s"grown domain must re-optimize, got $r")
+  }
+
+  test("irreducible tied values: salt escalation bounds file sizes; pruning untouched") {
+    // 50% of the rows share ONE value — a mega key no value-monotone
+    // code can separate (equi-depth's documented residue): the range
+    // partitioner puts equal keys in one partition and one file
+    // swallows the tie no matter the requested file count. The
+    // policy's second skew rung re-optimizes with the partitioner-only
+    // salt: sizes bound again, the code space and every pruning
+    // decision unchanged.
+    val t = fresh("ties")
+    val mega = 777000000L
+    TxnTable.commit(spark,
+      spark.range(0, 20000).select(
+        when(col("id") % 2 === 0, mega).otherwise(col("id") * 1000003L).as("x"),
+        col("id").as("v"))
+        .withColumn("y", col("x")).select("x", "y", "v"),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("x", "y"), numFiles = 16,
+      quantMode = "equidepth")
+    val skew1 = TxnLayout.fileSkew(t)
+    assert(skew1 > 3.0, s"one file must swallow the tied mass: $skew1")
+    // rung 2 fires: equi-depth, unsalted, skewed → salted re-optimize
+    val r = TxnLayout.maintainClustered(spark, t,
+      maxStaleFraction = 1e18, maxFileSkew = 3.0)
+    assert(r.isDefined && r.get._3 == 0, s"full salted re-optimize expected: $r")
+    val sp = TxnLayout.readSpec(t).get
+    assert(sp.salt && sp.qbounds.nonEmpty)
+    val skew2 = TxnLayout.fileSkew(t)
+    assert(skew2 < 2.5, s"salted sizes must be bounded: $skew1 -> $skew2")
+    assertDisjoint(sp) // hi ≤ next lo admits the shared tied code
+    // pruning stays exact on the salted layout: the tied point reads
+    // exactly the tied rows; a box avoiding it opens a strict subset
+    assert(TxnStats.prunedRead(spark, t, "x", mega, mega).count() == 10000L)
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "x",
+      10001L * 1000003L, 12001L * 1000003L)
+    assert(toRead.size < nLive, s"off-tie box must prune: ${toRead.size}/$nLive")
+    assert(TxnStats.prunedRead(spark, t, "x",
+        10001L * 1000003L, 12001L * 1000003L).count() ==
+      TxnTable.read(spark, t)
+        .filter(col("x").between(10001L * 1000003L, 12001L * 1000003L)).count())
+    // salted and balanced: the policy rests — no re-optimize loop
+    assert(TxnLayout.maintainClustered(spark, t,
+      maxStaleFraction = 1e18, maxFileSkew = 3.0).isEmpty)
+    // incremental maintenance KEEPS salting: more tied ingest spreads
+    // instead of re-growing the fat file
+    TxnTable.commit(spark,
+      spark.range(20000, 22000).select(lit(mega).as("x"), col("id").as("v"))
+        .withColumn("y", col("x")).select("x", "y", "v").coalesce(1),
+      t, overwrite = false)
+    TxnLayout.reclusterIncremental(spark, t)
+    val sp2 = TxnLayout.readSpec(t).get
+    assert(sp2.salt, "maintenance must not drop the salt mode")
+    assertDisjoint(sp2)
+    assert(TxnLayout.fileSkew(t) < 2.5,
+      s"post-incremental sizes stay bounded: ${TxnLayout.fileSkew(t)}")
+    assert(TxnStats.prunedRead(spark, t, "x", mega, mega).count() == 12000L)
+    assert(TxnTable.read(spark, t).count() == 22000L)
   }
 
   test("equi-depth refinement breaks the ~256-file ceiling; lookups read file-grain, not bucket-grain") {
