@@ -1,0 +1,258 @@
+package graft.plans
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.sources.{TxnStats, TxnTable}
+
+/** AUTO-INJECTED dynamic file pruning — the optimizer-rule form of
+  * [[graft.sources.TxnStats.dfpRead]]: a user writing the PLAIN star
+  * shape
+  *
+  *   TxnTable.read(spark, fact).join(dim.filter(...), cond)
+  *
+  * gets the same file-level prune the bespoke API offers, with no
+  * bespoke call. The rule recognizes a txn-table parquet scan under one
+  * side of an equi-join, evaluates the OTHER side's join keys at
+  * planning time (one bounded aggregate, plus at most one gated
+  * distinct-key collect — metadata-scale work, never fact bytes), asks
+  * [[TxnStats.dfpSkipSet]] which of the scan's files provably hold no
+  * joinable row, and swaps in a scan over the surviving files. Spark's
+  * own DPP prunes directory partitions; this is its file-granular
+  * sibling for an unpartitioned fact whose LAYOUT clusters the join
+  * column — at 100 TB, the difference between opening a handful of
+  * files and opening all of them. The reference's flagship query (a
+  * fact joined to a filtered dim) is exactly this shape.
+  *
+  * SOUNDNESS. A side S may be pruned with the other side O's keys only
+  * when S's rows reach the output exclusively BY MATCHING — S is
+  * filtering-only or null-extending, never preserved:
+  *   Inner / LeftSemi → either side; LeftAnti / LeftOuter → right only;
+  *   RightOuter → left only; FullOuter / Existence / Cross → neither.
+  * The per-file skip decision itself is snapshot-independent (immutable
+  * sidecar bounds keyed by file name), so subtracting the skip set from
+  * the FILE LIST THE SCAN ALREADY PINS is sound even for time-travel
+  * reads. The walk from the join down to the scan descends only
+  * through row-preserving-or-filtering nodes (Filter / Project /
+  * SubqueryAlias / Join) where removing unjoinable-key rows commutes
+  * with the operator; an Aggregate, Window, Limit or Union BLOCKS the
+  * walk — through those, early removal could change surviving rows'
+  * values. Null-aware anti joins (NOT IN) never match: their condition
+  * carries the Or(IsNull…) form, not a bare equality conjunct.
+  *
+  * GATES (all must pass, cheapest first — the rule must cost ~nothing
+  * on the queries it cannot help):
+  *  - `spark.graft.autoDfp.enabled` (default true; the kill switch),
+  *  - neither join side streaming, every expression under O
+  *    deterministic (a non-deterministic dim evaluated at plan time
+  *    would disagree with its runtime rows — unsound),
+  *  - the scan's column carries a min-max stats sidecar (file-system
+  *    check, no IO beyond a listing),
+  *  - key/fact types identical or both integral (the [[TxnStats]]
+  *    type discipline), the join key a BARE column of each side,
+  *  - O's estimated size ≤ `spark.graft.autoDfp.maxDimBytes` (default
+  *    64 MiB) — the plan-time evaluation budget; a huge dim declines
+  *    rather than scans. `spark.graft.autoDfp.maxExactKeys` bounds the
+  *    exact-key regime exactly as in [[TxnStats.dfpFiles]].
+  *
+  * Each pruned (or measured-unprunable) scan is TAGGED with the column
+  * so the optimizer's fixed-point re-runs never re-evaluate the dim;
+  * a thread-local guards against recursion when the dim evaluation
+  * itself plans under this rule. Plan-time evaluation runs the dim
+  * subplan once more than the join itself would — the trade is O(dim)
+  * metadata-scale work for O(skipped fact files) of IO, the same
+  * economics as Spark's own runtime DPP subquery. */
+object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Columns already measured for this scan (pruned or measured-
+    * unprunable) — fixed-point re-runs and stacked multi-dim joins
+    * skip them instead of re-running the dim. */
+  private val prunedTag = TreeNodeTag[Set[String]]("graft.autoDfp.cols")
+
+  private val inFlight = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.autoDfp.enabled", "true").toBoolean
+  private def maxDimBytes: Long =
+    conf.getConfString("spark.graft.autoDfp.maxDimBytes",
+      (64L * 1024 * 1024).toString).toLong
+  private def maxExactKeys: Long =
+    conf.getConfString("spark.graft.autoDfp.maxExactKeys", "1000000").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || inFlight.get()) plan
+    else plan.transformUp {
+      case j: Join if j.condition.isDefined &&
+          !j.left.isStreaming && !j.right.isStreaming =>
+        rewriteJoin(j)
+    }
+
+  private def rewriteJoin(j: Join): Join = {
+    val eqs: Seq[(Attribute, Attribute)] =
+      splitConjunctivePredicates(j.condition.get).collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      }
+    if (eqs.isEmpty) return j
+    val (pruneLeft, pruneRight) = j.joinType match {
+      case Inner | LeftSemi => (true, true)
+      case LeftAnti | LeftOuter => (false, true)
+      case RightOuter => (true, false)
+      case _ => (false, false)
+    }
+    var (left, right) = (j.left, j.right)
+    eqs.foreach { case (a, b) =>
+      // orient each equality: (attr of left side, attr of right side)
+      val oriented: Option[(Attribute, Attribute)] =
+        if (left.outputSet.contains(a) && right.outputSet.contains(b))
+          Some((a, b))
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+          Some((b, a))
+        else None
+      oriented.foreach { case (la, ra) =>
+        if (pruneLeft) left = pruneSide(left, la, right, ra)
+        if (pruneRight) right = pruneSide(right, ra, left, la)
+      }
+    }
+    if ((left eq j.left) && (right eq j.right)) j
+    else j.copy(left = left, right = right)
+  }
+
+  /** Try to prune the txn scan under `side` that produces `sAttr`,
+    * using the keys `oAttr` takes over `other`. Returns `side`
+    * unchanged (same reference) when any gate declines. */
+  private def pruneSide(side: LogicalPlan, sAttr: Attribute,
+                        other: LogicalPlan, oAttr: Attribute): LogicalPlan = {
+    val scan = scanFor(side, sAttr).getOrElse(return side)
+    val fsRel = scan.relation match {
+      case fs: HadoopFsRelation
+          if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] => fs
+      case _ => return side
+    }
+    val already = scan.getTagValue(prunedTag).getOrElse(Set.empty[String])
+    val column = sAttr.name
+    if (already.contains(column)) return side
+    val root = txnRootOf(fsRel).getOrElse(return side)
+    if (!TxnStats.indexedColumns(root).contains(column)) return side
+    if (!typesOk(sAttr.dataType, oAttr.dataType)) return side
+    // non-determinism anywhere under O: plan-time keys could disagree
+    // with O's runtime rows. Sample carries its non-determinism in the
+    // OPERATOR (partition-layout-dependent), not its expressions.
+    if (other.exists {
+      case _: Sample => true
+      case p => p.expressions.exists(e => !e.deterministic)
+    }) return side
+    if (other.stats.sizeInBytes > BigInt(maxDimBytes)) return side
+
+    val spark = SparkSession.active
+    val rootAbs = new File(root).getAbsolutePath
+    def rel(uri: String): String = {
+      val p = if (uri.startsWith("file:"))
+        new File(new java.net.URI(uri)).getAbsolutePath else uri
+      p.stripPrefix(rootAbs + "/")
+    }
+    val scanFiles = fsRel.location.inputFiles.toSeq
+    if (scanFiles.size < 2) return side
+
+    inFlight.set(true)
+    val skipOpt =
+      try {
+        val keys = org.apache.spark.sql.graftshim.PlanDataFrame.ofRows(
+          spark, Project(Seq(oAttr), other))
+        TxnStats.dfpSkipSet(spark, root, column, keys, maxExactKeys)
+      } catch {
+        // the prune is an optimization: any surprise (concurrent
+        // vacuum of the sidecar, type drift) declines, never fails
+        // the query
+        case scala.util.control.NonFatal(_) =>
+          inFlight.set(false)
+          markMeasured(scan, already + column)
+          return side
+      } finally inFlight.set(false)
+
+    val keep = skipOpt match {
+      case None => Seq.empty // dim has no joinable key: nothing matches
+      case Some(skip) => scanFiles.filterNot(f => skip.contains(rel(f)))
+    }
+    if (keep.size == scanFiles.size) {
+      // measured, nothing skippable — remember so fixed-point re-runs
+      // don't re-run the dim aggregate
+      markMeasured(scan, already + column)
+      return side
+    }
+    // all-skippable still reads one (skipped ⇒ provably unjoinable ⇒
+    // the join drops its rows): the scan keeps its schema and the
+    // plan shape stays a plain parquet read
+    val pick = if (keep.nonEmpty) keep else scanFiles.take(1)
+    val paths = pick.map(f => new org.apache.hadoop.fs.Path(f))
+    val newIndex = new InMemoryFileIndex(fsRel.sparkSession, paths,
+      fsRel.options, Some(fsRel.dataSchema))
+    val newRel = fsRel.copy(location = newIndex)(fsRel.sparkSession)
+    val newScan = scan.copy(relation = newRel)
+    newScan.copyTagsFrom(scan)
+    markMeasured(newScan, already + column)
+    side.transformUp { case l if l eq scan => newScan }
+  }
+
+  private def markMeasured(scan: LogicalRelation, cols: Set[String]): Unit =
+    scan.setTagValue(prunedTag, cols)
+
+  /** Descend from the prunable side's root to the txn scan producing
+    * `attr`, through nodes where removing unjoinable-key rows commutes:
+    * Filter and Project only filter/rename rows; a Join only
+    * filters/duplicates/null-extends per-side rows (a null-extended
+    * replacement row carries a NULL key and dies at the pruning join
+    * itself). Anything else — Aggregate, Window, Limit, Union,
+    * Generate — blocks: through those, early removal can change
+    * SURVIVING rows' values or selection. */
+  private def scanFor(p: LogicalPlan, attr: Attribute): Option[LogicalRelation] =
+    p match {
+      case lr: LogicalRelation if lr.outputSet.contains(attr) => Some(lr)
+      case f: Filter => scanFor(f.child, attr)
+      case pr: Project if pr.outputSet.contains(attr) => scanFor(pr.child, attr)
+      case s: SubqueryAlias => scanFor(s.child, attr)
+      case jn: Join =>
+        if (jn.left.outputSet.contains(attr)) scanFor(jn.left, attr)
+        else if (jn.right.outputSet.contains(attr)) scanFor(jn.right, attr)
+        else None
+      case _ => None
+    }
+
+  /** The txn-table root owning EVERY file of the scan (the dir with a
+    * `_graft_log`), if one exists — file-system ancestry only. */
+  private def txnRootOf(fs: HadoopFsRelation): Option[String] = {
+    val files = fs.location.inputFiles
+    if (files.isEmpty) return None
+    // ancestry-walk per DISTINCT parent dir, not per file — a txn scan
+    // pins hundreds of siblings of the one table root
+    val parents = files.toSeq.map { f =>
+      val p = if (f.startsWith("file:"))
+        new File(new java.net.URI(f)).getAbsolutePath else f
+      new File(p).getParentFile
+    }.distinct
+    val roots = parents.map(TxnTable.tableRootOf(_).map(_.getAbsolutePath))
+    if (roots.forall(_.isDefined) && roots.flatten.distinct.size == 1)
+      roots.head
+    else None
+  }
+
+  /** The [[TxnStats.dfpFiles]] type discipline, checked up front so a
+    * refusing pair declines the rule instead of throwing mid-optimize. */
+  private def typesOk(factDt: DataType, dimDt: DataType): Boolean = {
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    factDt == dimDt || (integral(factDt) && integral(dimDt))
+  }
+}

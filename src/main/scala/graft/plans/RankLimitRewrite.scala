@@ -106,6 +106,9 @@ object GraftPlanner {
     if (!spark.experimental.extraOptimizations.contains(EagerAggregation))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EagerAggregation
+    if (!spark.experimental.extraOptimizations.contains(AutoFilePrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AutoFilePrune
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

@@ -545,9 +545,31 @@ object TxnStats {
   def dfpFiles(spark: SparkSession, table: String, column: String,
                dimKeys: DataFrame,
                maxExactKeys: Long = 1000000L): (Seq[String], Int) = {
+    val live = TxnTable.liveSplit(table)._1
+    dfpSkipSet(spark, table, column, dimKeys, maxExactKeys) match {
+      case None => (Seq.empty, live.size) // dim carries no joinable key
+      case Some(skip) => (live.filterNot(skip), live.size)
+    }
+  }
+
+  /** The CORE per-file prune decision behind [[dfpFiles]] and the
+    * [[graft.plans.AutoFilePrune]] optimizer rule: the set of
+    * stats-INDEXED files provably holding no row joinable on `column`
+    * against `dimKeys`. Decisions are per-file against the column's
+    * IMMUTABLE sidecar bounds (txn data files are never rewritten in
+    * place — a rewrite commits new names), so the set is sound to
+    * subtract from ANY pinned file list over this table, current
+    * snapshot or not — what lets the optimizer rule prune the exact
+    * files a scan already holds rather than re-resolving the live set.
+    * Returns None when the dim side carries NO non-null key at all
+    * (every fact row is provably unjoinable — the caller decides
+    * whether to collapse to empty or merely keep the unindexed files).
+    * Same two regimes and type discipline as [[dfpFiles]]. */
+  private[graft] def dfpSkipSet(spark: SparkSession, table: String,
+                                column: String, dimKeys: DataFrame,
+                                maxExactKeys: Long = 1000000L): Option[Set[String]] = {
     require(dimKeys.columns.length == 1,
       s"dfpFiles wants the single join-key column, got ${dimKeys.columns.length}")
-    val live = TxnTable.liveSplit(table)._1
     val factDt = TxnTable.read(spark, table)
       .schema.find(_.name == column)
       .getOrElse(throw new IllegalArgumentException(
@@ -588,11 +610,20 @@ object TxnStats {
       val agg = keyed
         .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
           approx_count_distinct(col("k")).as("n")).head()
-      if (agg.isNullAt(0)) return (Seq.empty, live.size) // no joinable key
+      if (agg.isNullAt(0)) return None // no joinable key
       val (lo, hi, n) = (agg.get(0), agg.get(1), agg.getLong(2))
       val sd = statsDir(table, column)
-      if (n > maxExactKeys || !hasStatsRows(sd))
-        return pruneFiles(spark, table, column, lo, hi)
+      if (!hasStatsRows(sd)) return Some(Set.empty) // unindexed: keep all
+      if (n > maxExactKeys) {
+        // range regime: skip = indexed files whose [min, max] provably
+        // misses [lo, hi] (NULL bounds = all-null file, never joins)
+        val rows = spark.read.parquet(sd.getPath)
+          .select(col("file"),
+            (col("min") <= lit(hi) && col("max") >= lit(lo)).as("overlap"))
+          .collect()
+        return Some(rows.filter(r => r.isNullAt(1) || !r.getBoolean(1))
+          .map(_.getString(0)).toSet)
+      }
       // exact-key regime: sorted distinct keys, binary search per file.
       // Both sides collect from the SAME Spark type; comparisons run
       // under dfpOrdering — the driver-side replica of SPARK's ordering
@@ -615,12 +646,11 @@ object TxnStats {
       }
       val rows = spark.read.parquet(sd.getPath)
         .select("file", "min", "max").collect()
-      val indexed = rows.map(_.getString(0)).toSet
-      val hit = rows.filter(r => !r.isNullAt(1) && // all-NULL files never join
-          someKeyIn(liftBound(r.get(1).asInstanceOf[AnyRef]),
+      // skip = indexed && NOT hit (all-NULL-bounds files never join)
+      Some(rows.filter(r => r.isNullAt(1) ||
+          !someKeyIn(liftBound(r.get(1).asInstanceOf[AnyRef]),
             liftBound(r.get(2).asInstanceOf[AnyRef])))
-        .map(_.getString(0)).toSet
-      (live.filter(f => !indexed.contains(f) || hit.contains(f)), live.size)
+        .map(_.getString(0)).toSet)
     } finally keyed.unpersist()
   }
 
@@ -751,4 +781,25 @@ object TxnStats {
     val df = TxnTable.readFileList(spark, table, pick ++ dvFiles)
     if (toRead.nonEmpty) df else df.filter(lit(false))
   }
+
+  /** OUTER MULTI-COLUMN dynamic file pruning — the left-outer star
+    * probed by SEVERAL preserved dims at once:
+    * `probe LEFT JOIN fact ON p.a = fact.a AND p.b = fact.b` with the
+    * probe side preserved (never pruned) and the fact null-extending
+    * on EVERY conjunct. A fact row then reaches the output only by
+    * matching ALL the keys — exactly the inner conjunction from the
+    * fact side — so each per-column prune is individually sound
+    * ([[dfpReadOuter]]'s argument) and their INTERSECTION composes
+    * precisely like [[dfpFilesMulti]]: a file skipped on either column
+    * provably holds no row matching that column's keys, hence no row
+    * surviving the conjunction; the probe rows it fails to match
+    * null-extend identically whether the file was read or not.
+    * UNSOUND for the disjunctive form (ON p.a = fact.a OR …) and for
+    * any shape where the fact is preserved — same envelope as every
+    * dfp form here. Feed the result to the outer join AS the
+    * null-extending side in place of the full fact read. */
+  def dfpReadOuterMulti(spark: SparkSession, table: String,
+                        probes: Seq[(String, DataFrame)],
+                        maxExactKeys: Long = 1000000L): DataFrame =
+    dfpReadMulti(spark, table, probes, maxExactKeys)
 }

@@ -1,0 +1,198 @@
+package graft.plans
+
+import java.io.File
+
+import graft.SparkSpec
+import graft.sources.{TxnStats, TxnTable}
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for auto-injected dynamic file pruning: a PLAIN
+  * `TxnTable.read(fact).join(dim)` opens strictly fewer files than the
+  * live set with results identical to the unpruned join, outer joins
+  * prune only the null-extending side, and every gate declines — kill
+  * switch, dim size budget, non-deterministic dim, non-txn scans,
+  * blocked walks (Aggregate between join and scan). */
+class AutoFilePruneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val root = "/root/repo/target/tmp/spec_autodfp"
+  private val factT = s"$root/fact"
+
+  // fact: 4 quartile files over k ∈ [0, 400); dim keys hit files 0/2/3
+  // (nothing in [100, 200) — the exact-key gap prune under test)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftPlanner.register(spark)
+    FileUtils.deleteQuietly(new File(root))
+    val fact = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") * 7L).as("v"))
+    Seq(col("k") < 100, col("k") >= 100 && col("k") < 200,
+      col("k") >= 200 && col("k") < 300, col("k") >= 300).foreach(p =>
+      TxnTable.commit(spark, fact.filter(p).coalesce(1), factT,
+        overwrite = false))
+    TxnStats.refresh(spark, factT, "k")
+  }
+
+  private val dimRows = Seq((5L, "a"), (250L, "b"), (399L, "c"))
+  private def dim = dimRows.toDF("dk", "tag")
+
+  /** Files the FACT scan reads in the optimized plan (max over scans —
+    * the dim sides here are LocalRelations, never file scans). */
+  private def factFiles(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }.maxOption.getOrElse(0) // 0: Spark folded the scan away entirely
+
+  private def unpruned[A](body: => A): A = {
+    spark.conf.set("spark.graft.autoDfp.enabled", "false")
+    try body finally spark.conf.unset("spark.graft.autoDfp.enabled")
+  }
+
+  test("plain inner join: 3 of 4 files open, result identical to unpruned") {
+    def q = TxnTable.read(spark, factT).join(dim, col("k") === col("dk"))
+    val expected = unpruned { q.collect().toSet }
+    assert(unpruned { factFiles(q) } == 4)
+    val pruned = q
+    assert(factFiles(pruned) == 3, pruned.queryExecution.optimizedPlan)
+    assert(pruned.collect().toSet == expected)
+    assert(expected.size == 3)
+  }
+
+  test("filters and projections between join and scan don't block the prune") {
+    def q = TxnTable.read(spark, factT)
+      .filter(col("v") % 2 === 0)
+      .select(col("k"), (col("v") + 1).as("v1"))
+      .join(dim.filter(col("tag") =!= "zzz"), col("k") === col("dk"))
+    assert(factFiles(q) == 3)
+    assert(q.collect().toSet == unpruned { q.collect().toSet })
+  }
+
+  test("left outer: fact as null-extending side prunes, fact preserved does not") {
+    val probe = Seq(5L, 250L, 399L, -1L).toDF("dk")
+    def extending = probe.join(TxnTable.read(spark, factT),
+      col("dk") === col("k"), "left")
+    assert(factFiles(extending) == 3)
+    val rows = extending.collect()
+    assert(rows.length == 4 && rows.count(_.isNullAt(1)) == 1,
+      "null-extended probe row must survive the prune")
+    assert(rows.toSet == unpruned { extending.collect().toSet })
+    // fact PRESERVED (left of a left join): every fact row must
+    // surface, matched or not — never pruned
+    def preserved = TxnTable.read(spark, factT).join(probe,
+      col("k") === col("dk"), "left")
+    assert(factFiles(preserved) == 4)
+    assert(preserved.count() == 400)
+  }
+
+  test("left anti and semi prune the sound sides") {
+    def anti = TxnTable.read(spark, factT).join(dim,
+      col("k") === col("dk"), "left_anti")
+    // fact is the preserved output of an anti join — right side is the
+    // prunable one, but it's a LocalRelation; fact must stay 4 files
+    assert(factFiles(anti) == 4)
+    assert(anti.count() == 397)
+    def semi = TxnTable.read(spark, factT).join(dim,
+      col("k") === col("dk"), "left_semi")
+    assert(factFiles(semi) == 3)
+    assert(semi.collect().map(_.getLong(0)).toSet == Set(5L, 250L, 399L))
+  }
+
+  test("dim with no joinable key: scan collapses to one provably-dead file") {
+    // a provably-EMPTY dim never reaches the rule: Spark's own
+    // PropagateEmptyRelation folds the whole join first (factFiles 0)
+    val noKeys = Seq.empty[Long].toDF("dk")
+    def q = TxnTable.read(spark, factT).join(noKeys, col("k") === col("dk"))
+    assert(factFiles(q) == 0)
+    assert(q.count() == 0)
+    // an all-NULL parquet dim (Catalyst can't fold a file scan): the
+    // rule measures zero joinable keys → the scan keeps ONE provably
+    // unjoinable file so the plan shape survives while nothing matches
+    val nullDir = s"$root/nulldim"
+    Seq(Option.empty[Long], Option.empty[Long]).toDF("dk")
+      .coalesce(1).write.mode("overwrite").parquet(nullDir)
+    def qn = TxnTable.read(spark, factT)
+      .join(spark.read.parquet(nullDir), col("k") === col("dk"))
+    assert(factFiles(qn) == 1) // max over fact scan (1 kept) + dim scan (1)
+    assert(qn.count() == 0)
+  }
+
+  test("gates decline: kill switch, dim budget, non-determinism, non-txn scan, blocked walk") {
+    def q = TxnTable.read(spark, factT).join(dim, col("k") === col("dk"))
+    unpruned { assert(factFiles(q) == 4) }
+    spark.conf.set("spark.graft.autoDfp.maxDimBytes", "1")
+    try assert(factFiles(q) == 4, "over-budget dim must decline")
+    finally spark.conf.unset("spark.graft.autoDfp.maxDimBytes")
+    assert(factFiles(q) == 3, "and prune again once the budget is back")
+
+    // a non-deterministic FILTER below the join (it cannot move): the
+    // plan-time key set could disagree with the runtime rows → decline.
+    // Two Catalyst traps the scenario must dodge: over a LocalRelation
+    // the optimizer evaluates even a rand() filter eagerly
+    // (ConvertToLocalRelation) → dim must be parquet-backed; and an
+    // always-true comparison (rand() < 2.0) folds away entirely →
+    // the threshold must be < 1. The assertion is plan-level, so the
+    // filter's random runtime outcome never matters.
+    val dimDir = s"$root/dimp"
+    dim.coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val pdim = spark.read.parquet(dimDir)
+    def qr = TxnTable.read(spark, factT).join(pdim.filter(rand() < 0.999999),
+      col("k") === col("dk"))
+    assert(factFiles(qr) == 4, "non-deterministic dim filter must decline")
+    def qs = TxnTable.read(spark, factT).join(pdim.sample(0.999999),
+      col("k") === col("dk"))
+    assert(factFiles(qs) == 4, "sampled dim must decline")
+    // a non-deterministic COLUMN beside the key: whether Catalyst
+    // hoists it above the join (prunable) or not (declined) the
+    // result must match — pin correctness, not the plan
+    def qc = TxnTable.read(spark, factT).join(pdim.withColumn("r", rand()),
+      col("k") === col("dk"))
+    assert(factFiles(qc) <= 4 &&
+      qc.select("k", "dk", "tag").collect().toSet ==
+        unpruned { qc.select("k", "dk", "tag").collect().toSet })
+
+    // a plain (non-txn) parquet dir never prunes — no sidecar, no root
+    val plainDir = s"$root/plain"
+    TxnTable.read(spark, factT).write.mode("overwrite").parquet(plainDir)
+    def qp = spark.read.parquet(plainDir).join(dim, col("k") === col("dk"))
+    assert(factFiles(qp) ==
+      spark.read.parquet(plainDir).inputFiles.length)
+
+    // an Aggregate between the join and the scan blocks the walk —
+    // pruning under it could change the aggregated values
+    def qa = TxnTable.read(spark, factT).groupBy("k")
+      .agg(sum("v").as("sv")).join(dim, col("k") === col("dk"))
+    assert(factFiles(qa) == 4)
+    assert(qa.count() == 3)
+  }
+
+  test("full outer and no-equality joins never prune") {
+    def fo = TxnTable.read(spark, factT).join(dim,
+      col("k") === col("dk"), "full_outer")
+    assert(factFiles(fo) == 4)
+    assert(fo.count() == 400 + 0) // every dim key matches a fact row
+    def rng = TxnTable.read(spark, factT).join(dim,
+      col("k") < col("dk"))
+    assert(factFiles(rng) == 4)
+  }
+
+  test("range regime: key count past maxExactKeys still range-prunes") {
+    spark.conf.set("spark.graft.autoDfp.maxExactKeys", "2")
+    try {
+      // 3 distinct keys > cap → range regime [5, 399] overlaps files
+      // 0/2/3 AND file 1 ([100,200)) — range alone cannot gap-prune,
+      // so all 4 stay: the regime switch is the behavior under test
+      def q = TxnTable.read(spark, factT).join(dim, col("k") === col("dk"))
+      assert(factFiles(q) == 4)
+      // a CONTIGUOUS low dim range-prunes to the one covering file
+      val lowDim = Seq(1L, 2L, 3L).toDF("dk")
+      def ql = TxnTable.read(spark, factT).join(lowDim, col("k") === col("dk"))
+      assert(factFiles(ql) == 1)
+      assert(ql.count() == 3)
+    } finally spark.conf.unset("spark.graft.autoDfp.maxExactKeys")
+  }
+}
