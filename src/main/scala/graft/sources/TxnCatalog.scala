@@ -997,7 +997,17 @@ object TxnCatalog {
             .foreach(f => dataRels += s"tables/$name/$f")
         }
       }
-      ParallelCopy.foreachPar(dataRels.result())(copyData)
+      // a bulk-sized txn distributes its data copies as a Spark job
+      // (executor NICs, not the driver's); the missing-source policy is
+      // always skip here — the mirror reflects the source's retention
+      val rels = dataRels.result()
+      ParallelCopy.distributedFor(rels.size) match {
+        case Some(sess) =>
+          copied.addAndGet(ParallelCopy.copyDistributed(sess, rels.map(rel =>
+            ParallelCopy.CopyTask(new File(src, rel).getPath,
+              new File(dst, rel).getPath, ParallelCopy.SkipMissing)).toSeq).toInt)
+        case None => ParallelCopy.foreachPar(rels)(copyData)
+      }
       prevLin = lin
       // the catalog entry LAST — the cross-table commit point: a reader
       // of the replica never sees half a transaction

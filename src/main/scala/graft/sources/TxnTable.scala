@@ -843,8 +843,19 @@ object TxnTable {
       val live = liveFiles(src, Some(seed))
       require(live.nonEmpty, s"nothing to replicate: $src has no live files")
       // the seed is the sync's bulk-copy phase (the whole live snapshot)
-      // — fan it out; every copy lands before the publish below
-      ParallelCopy.foreachPar(live)(copyIn(_))
+      // — fan it out; every copy lands before the publish below. A
+      // bulk-sized batch runs as a SPARK JOB over the manifest (bytes
+      // flow through executor NICs, not the driver's — the 100 TB
+      // seed); below the threshold the driver pool hides latency with
+      // zero scheduling overhead. Seed files are live at the seed
+      // snapshot, so a missing one fails verbatim (FailMissing).
+      ParallelCopy.distributedFor(live.size) match {
+        case Some(sess) =>
+          copied.addAndGet(ParallelCopy.copyDistributed(sess, live.map(rel =>
+            ParallelCopy.CopyTask(new File(src, rel).getPath,
+              new File(dst, rel).getPath))).toInt)
+        case None => ParallelCopy.foreachPar(live)(copyIn(_))
+      }
       copyConstraints()
       try publishFileList(dst, live, tag = Some("replica_seed"),
         expectedVersion = Some(1))
@@ -897,8 +908,28 @@ object TxnTable {
           s"replication gap: $src has no log entry for v$v")
         val (added, removed) = parseEntry(entry)
         // within one version the copies are order-free; the version's
-        // publish (the commit point) waits for the whole batch
-        ParallelCopy.foreachPar(added)(copyIn(_, allowMissing = true))
+        // publish (the commit point) waits for the whole batch. A
+        // bulk-sized Δ distributes like the seed; the missing-source
+        // policy is resolved per file ON THE DRIVER (live at the
+        // replicated snapshot = corruption, else vacuumed = skip) so
+        // tasks ship as pure data — forcing the live-set walk once is
+        // noise against a distributed-scale batch, while the pool path
+        // below keeps the lazy only-on-miss behavior.
+        ParallelCopy.distributedFor(added.size) match {
+          case Some(sess) =>
+            val liveSet = srcHeadLive
+            copied.addAndGet(ParallelCopy.copyDistributed(sess, added.map { rel =>
+              ParallelCopy.CopyTask(new File(src, rel).getPath,
+                new File(dst, rel).getPath,
+                if (liveSet(rel)) ParallelCopy.CorruptMissing(
+                  s"replication source corruption: $src/$rel is live at the " +
+                    s"replicated snapshot (v$srcHead) but missing on disk — " +
+                    "refusing to mirror a table that cannot be read")
+                else ParallelCopy.SkipMissing)
+            }).toInt)
+          case None =>
+            ParallelCopy.foreachPar(added)(copyIn(_, allowMissing = true))
+        }
         val dstV = 1 + (v - seed)
         try publish(dst, dstV, added, removed, commitTag(src, v))
         catch {

@@ -244,4 +244,25 @@ class CatalogReplicateSpec extends SparkSpec {
     // resume semantics unchanged: a re-sync copies nothing
     assert(TxnCatalog.replicate(src, dst) == ((1, 0)))
   }
+
+  test("a bulk txn's data copies run as a Spark job; the catalog entry still publishes last") {
+    val src = fresh("dist_src"); val dst = fresh("dist_dst")
+    TxnCatalog.commitAll(spark, src, Seq(
+      Write("fact", spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") * 2).as("v")).repartition(24)),
+      Write("dim", df(0, 60).repartition(6))))
+    spark.conf.set("spark.graft.replicate.distributedThreshold", "2")
+    try {
+      val (t, copied) = TxnCatalog.replicate(src, dst)
+      assert(t == 1)
+      assert(copied >= 32, s"30 data files + 2 log entries, got $copied")
+      assert(ParallelCopy.lastMode == "distributed",
+        s"a 30-file txn over the threshold must run as a Spark job, " +
+          s"ran ${ParallelCopy.lastMode}")
+      // resume: a re-sync copies nothing, distributed or not
+      assert(TxnCatalog.replicate(src, dst) == ((1, 0)))
+    } finally
+      spark.conf.unset("spark.graft.replicate.distributedThreshold")
+    Seq("fact", "dim").foreach(n => assert(contentOf(dst, n) == contentOf(src, n)))
+  }
 }

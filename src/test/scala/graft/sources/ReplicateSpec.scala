@@ -362,4 +362,132 @@ class ReplicateSpec extends SparkSpec {
     assert(ParallelCopy.lastThreads > 1)
     assert(contentOf(dst) == contentOf(src))
   }
+
+  private def distributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.replicate.distributedThreshold", "2")
+    try body
+    finally spark.conf.unset("spark.graft.replicate.distributedThreshold")
+  }
+
+  test("distributed rung: bulk seed and Δ sync run as a Spark job with identical results") {
+    val src = fresh("dist_src"); val dst = fresh("dist_dst")
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(40),
+      src, overwrite = false)
+    distributed {
+      val (v, copied) = TxnTable.replicate(src, dst)
+      assert(v == 1 && copied == 40)
+      assert(ParallelCopy.lastMode == "distributed",
+        s"a 40-file seed over the threshold must run as a Spark job, " +
+          s"ran ${ParallelCopy.lastMode}")
+      assert(ParallelCopy.lastThreads > 1)
+    }
+    assert(contentOf(dst) == contentOf(src))
+    // Δ sync over the threshold distributes too; resume re-sync is a no-op
+    TxnTable.commit(spark,
+      spark.range(4000, 5000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(20),
+      src, overwrite = false)
+    distributed {
+      assert(TxnTable.replicate(src, dst) == ((2, 20)))
+      assert(ParallelCopy.lastMode == "distributed")
+      assert(TxnTable.replicate(src, dst) == ((2, 0)))
+    }
+    assert(contentOf(dst) == contentOf(src))
+    // a ONE-file Δ never pays job scheduling even under the forced
+    // threshold: the inline rung still catches the steady state
+    commitRange(src, 5000, 5010)
+    distributed {
+      assert(TxnTable.replicate(src, dst) == ((3, 1)))
+      assert(ParallelCopy.lastMode == "inline")
+    }
+  }
+
+  test("distributed rung: mid-copy crash resumes, original exception propagates, corruption refuses") {
+    val src = fresh("dist_crash_src"); val dst = fresh("dist_crash_dst")
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(40),
+      src, overwrite = false)
+    val live = TxnTable.liveFiles(src)
+    // the interrupted-parallel-seed state: marker durable, 17 copies
+    // landed whole, one dead private tmp, v1 never published
+    new File(dst).mkdirs()
+    Files.write(new File(dst, "_graft_replica.json").toPath,
+      (s"""{"src":"${new File(src).getAbsolutePath}",""" +
+        s""""seedSrcVersion":1,"syncedSrcVersion":1}""")
+        .getBytes(StandardCharsets.UTF_8))
+    live.take(17).foreach { rel =>
+      val to = new File(dst, rel)
+      to.getParentFile.mkdirs()
+      Files.copy(new File(src, rel).toPath, to.toPath)
+    }
+    val tmp = new File(new File(dst, live(17)).getParentFile,
+      s".${new File(live(17)).getName}-deadbeef.tmp")
+    Files.write(tmp.toPath, Array[Byte](1, 2, 3))
+    distributed {
+      val (v, copied) = TxnTable.replicate(src, dst)
+      assert(v == 1)
+      assert(copied == 23,
+        s"distributed resume must copy exactly the missing files, got $copied")
+      assert(ParallelCopy.lastMode == "distributed")
+    }
+    assert(contentOf(dst) == contentOf(src))
+    assert(tmp.isFile, "the dead tmp stays an inert orphan under the job path")
+
+    // a vanished seed file: the job surfaces the task's ORIGINAL
+    // NoSuchFileException (not Spark's wrapper), nothing publishes
+    val src2 = fresh("dist_fail_src"); val dst2 = fresh("dist_fail_dst")
+    TxnTable.commit(spark,
+      spark.range(0, 3000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(30),
+      src2, overwrite = false)
+    new File(src2, TxnTable.liveFiles(src2).head).delete()
+    distributed {
+      intercept[java.nio.file.NoSuchFileException] {
+        TxnTable.replicate(src2, dst2)
+      }
+    }
+    assert(TxnTable.currentVersion(dst2) == 0,
+      "a failed distributed seed must never publish v1")
+
+    // live-at-snapshot-but-missing during a distributed Δ replay is
+    // corruption: the driver-resolved policy refuses with the same
+    // message the serial path throws
+    val src3 = fresh("dist_corr_src"); val dst3 = fresh("dist_corr_dst")
+    commitRange(src3, 0, 50)
+    TxnTable.replicate(src3, dst3)
+    TxnTable.commit(spark,
+      spark.range(50, 2050).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(20),
+      src3, overwrite = false)
+    val v2live = TxnTable.liveFiles(src3, Some(2))
+      .filterNot(TxnTable.liveFiles(src3, Some(1)).toSet)
+    new File(src3, v2live.head).delete()
+    distributed {
+      val e = intercept[IllegalArgumentException] {
+        TxnTable.replicate(src3, dst3)
+      }
+      assert(e.getMessage.contains("replication source corruption"),
+        e.getMessage)
+    }
+  }
+
+  test("spark.graft.replicate.parallelism bounds the driver pool width") {
+    val src = fresh("knob_src"); val dst = fresh("knob_dst")
+    TxnTable.commit(spark,
+      spark.range(0, 2000).select(col("id").as("k"), (col("id") % 7).as("p"))
+        .repartition(20),
+      src, overwrite = false)
+    spark.conf.set("spark.graft.replicate.parallelism", "2")
+    try {
+      val (v, copied) = TxnTable.replicate(src, dst)
+      assert(v == 1 && copied == 20)
+      assert(ParallelCopy.lastMode == "pool")
+      assert(ParallelCopy.lastThreads <= 2,
+        s"a width-2 conf must bound the pool, used ${ParallelCopy.lastThreads}")
+    } finally spark.conf.unset("spark.graft.replicate.parallelism")
+    assert(contentOf(dst) == contentOf(src))
+  }
 }
