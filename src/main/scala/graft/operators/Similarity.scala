@@ -1237,15 +1237,71 @@ object Similarity {
                         maxDeleteFraction: Double = 0.2,
                         maxDeltaFraction: Double = 0.2,
                         nClusters: Int = 16, iters: Int = 2,
-                        m: Int = 8, ksub: Int = 16, dim: Int = 64): Boolean = {
+                        m: Int = 8, ksub: Int = 16, dim: Int = 64): Boolean =
+    maintainTxnIndex(spark, corpus, catalog, maxSkewRatio,
+      maxAppendFraction, maxDeleteFraction, maxDeltaFraction,
+      nClusters, iters, m, ksub, dim).decision != "rest"
+
+  /** The named outcome of one [[maintainTxnIndex]] pass — the ANN
+    * sibling of the layout ladder's clusterAdvice rows: which rung ran
+    * and why, so operators (and specs) see the DECISION, not just a
+    * boolean. */
+  final case class IndexMaintenance(decision: String, reason: String,
+                                    listsSplit: Int = 0)
+
+  /** THE ANN MAINTENANCE LADDER — cheapest sufficient repair first,
+    * the decision named ([[IndexMaintenance]]):
+    *
+    *  - `rest`: no threshold tripped — touch nothing.
+    *  - `rebalance`: SKEW-ONLY staleness (skewRatio past the bar,
+    *    append/delete/delta all under theirs, no upsert overlay) —
+    *    [[rebalanceIvfPqTxn]] splits just the oversized lists,
+    *    O(oversized rows), codes and vectors untouched. A skewed
+    *    ingest used to pay a FULL retrain here; at 100 TB that is the
+    *    difference between minutes over the fat lists and hours over
+    *    the corpus.
+    *  - `rebuild`: structural staleness (append / delete / delta
+    *    fractions) — only the full retrain compacts tombstones and
+    *    folds the overlay, so it stays the answer; skew-with-overlay
+    *    also lands here (rebalance refuses over an overlay by
+    *    contract — splitting lists would orphan delta rows).
+    *
+    * The rebalance rung maps `maxSkewRatio` straight onto
+    * [[rebalanceIvfPqTxn]]'s `maxListFactor` — both measure max-list ÷
+    * mean, so the lists the trigger saw are exactly the lists the
+    * repair splits. */
+  def maintainTxnIndex(spark: SparkSession, corpus: DataFrame,
+                       catalog: String,
+                       maxSkewRatio: Double = 4.0,
+                       maxAppendFraction: Double = 1.0 / 3,
+                       maxDeleteFraction: Double = 0.2,
+                       maxDeltaFraction: Double = 0.2,
+                       nClusters: Int = 16, iters: Int = 2,
+                       m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                       subK: Int = 4): IndexMaintenance = {
     val h = indexHealthTxn(spark, catalog)
-    val stale = h.skewRatio > maxSkewRatio ||
-      h.appendFraction > maxAppendFraction ||
-      h.deleteFraction > maxDeleteFraction ||
-      h.deltaFraction > maxDeltaFraction
-    if (stale) writeIvfPqIndexTxn(spark, corpus, catalog,
-      nClusters, iters, m, ksub, dim)
-    stale
+    val structural = Seq(
+      "appendFraction" -> (h.appendFraction, maxAppendFraction),
+      "deleteFraction" -> (h.deleteFraction, maxDeleteFraction),
+      "deltaFraction" -> (h.deltaFraction, maxDeltaFraction)
+    ).collect { case (n, (v, mx)) if v > mx => f"$n $v%.3f > $mx%.3f" }
+    val skewed = h.skewRatio > maxSkewRatio
+    val overlay = !deltaTableAt(spark, catalog, "dlists", None)
+      .forall(_.isEmpty)
+    if (structural.nonEmpty || (skewed && overlay)) {
+      writeIvfPqIndexTxn(spark, corpus, catalog, nClusters, iters, m, ksub, dim)
+      val why =
+        if (structural.nonEmpty) structural.mkString(", ")
+        else f"skewRatio ${h.skewRatio}%.2f > $maxSkewRatio%.2f with an " +
+          "upsert overlay — rebalance would orphan delta rows"
+      IndexMaintenance("rebuild", why)
+    } else if (skewed) {
+      val split = rebalanceIvfPqTxn(spark, catalog,
+        maxListFactor = maxSkewRatio, subK = subK, iters = iters)
+      IndexMaintenance("rebalance",
+        f"skewRatio ${h.skewRatio}%.2f > $maxSkewRatio%.2f, structure " +
+          "healthy — split oversized lists only", listsSplit = split)
+    } else IndexMaintenance("rest", "all health thresholds clear")
   }
 
   /** IVF LIST REBALANCE — split oversized lists WITHOUT retraining the
@@ -1292,7 +1348,13 @@ object Similarity {
     if (oversized.isEmpty) return 0
     val centroids = TxnCatalog.read(spark, catalog, "centroids", None)
     val vectors = TxnCatalog.read(spark, catalog, "vectors", None)
-    var nextId = sizes.map(_._1).max + 1
+    // fresh ids must clear EVERY existing cluster id — `lists` alone is
+    // not enough: k-means can leave a centroid with zero members, and a
+    // memberless centroid whose id exceeds every listed id would
+    // otherwise collide with the first allocated sub-cluster, committing
+    // duplicate ids in `centroids` and making probe/assignment ambiguous
+    val maxCentroidId = centroids.agg(max(col("cluster"))).head().getInt(0)
+    var nextId = math.max(sizes.map(_._1).max, maxCentroidId) + 1
     val overCol = oversized.map(Integer.valueOf).toSeq
     // one scan of the oversized lists' vectors, shared by every split's
     // training collect and assignment

@@ -753,6 +753,132 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("overlay"), e.getMessage)
   }
 
+  test("rebalance allocates fresh ids past EMPTY centroids too (no id collision)") {
+    import graft.sources.TxnCatalog
+    import graft.sources.TxnCatalog.Write
+    // same drift shape as above: one deterministic mega-list
+    def oneHot(at: org.apache.spark.sql.Column, v: Float) =
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === at, lit(v)).otherwise(lit(0.0f)))
+    val naturals = spark.range(0, 8).select(
+      (col("id") + 5000L).as("vec_id"),
+      oneHot(lit(8) + (col("id") % 8).cast("int"), 1.0f).as("embedding"))
+    val blob = spark.range(1000, 1160).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === 0, lit(10.0f))
+          .when(i === lit(1) + (col("id") % 4).cast("int"), lit(4.0f))
+          .otherwise(lit(0.0f))).as("embedding"))
+    val cat = "/root/repo/target/tmp/spec_ann_rebalance_empty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    Similarity.writeIvfPqIndexTxn(spark, naturals, cat, nClusters = 4,
+      ksub = 4)
+    Similarity.appendToIvfPqIndexTxn(spark, blob, cat)
+    // k-means can leave a centroid MEMBERLESS; simulate the worst case:
+    // its id exceeds every LISTED id, so a lists-only max would hand
+    // the first fresh sub-cluster the same id — duplicate centroid ids,
+    // ambiguous probes. The empty centroid points far from every query.
+    val cents0 = TxnCatalog.read(spark, cat, "centroids", None)
+    val maxListed = TxnCatalog.read(spark, cat, "lists", None)
+      .agg(max(col("cluster"))).head().getInt(0)
+    val emptyId = maxListed + 7
+    val emptyCq: Seq[Long] = Seq.tabulate(64)(i => if (i == 30) 1000000L else 0L)
+    TxnCatalog.commitAll(spark, cat, Seq(Write("centroids",
+      cents0.unionByName(Seq((emptyId, emptyCq)).toDF("cluster", "cq")),
+      overwrite = true)))
+    val queries = naturals.limit(5)
+    def full() = {
+      val np = TxnCatalog.read(spark, cat, "centroids", None).count().toInt
+      Similarity.ivfPqTopKIndexedTxn(spark, queries, cat, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val before = full()
+    assert(Similarity.rebalanceIvfPqTxn(spark, cat, maxListFactor = 2.0,
+      subK = 4) == 1)
+    val cents = TxnCatalog.read(spark, cat, "centroids", None)
+    assert(cents.select("cluster").distinct().count() == cents.count(),
+      "fresh sub-cluster ids must clear the memberless centroid's id")
+    val fresh = cents.select("cluster").as[Int].collect().toSet --
+      cents0.select("cluster").as[Int].collect().toSet - emptyId
+    assert(fresh.nonEmpty && fresh.forall(_ > emptyId),
+      s"fresh ids must allocate past $emptyId: $fresh")
+    // every assignment still resolves to exactly one centroid, and the
+    // full-probe answer is unchanged
+    val lists = TxnCatalog.read(spark, cat, "lists", None)
+    assert(lists.join(cents, "cluster").count() == lists.count())
+    assert(full() == before)
+  }
+
+  test("maintenance ladder: skew-only rebalances (vectors/codes untouched), delta-stale rebuilds, healthy rests") {
+    import graft.sources.{TxnCatalog, TxnTable}
+    // the drift shape again: trained naturals + an appended mega-list
+    def oneHot(at: org.apache.spark.sql.Column, v: Float) =
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === at, lit(v)).otherwise(lit(0.0f)))
+    val naturals = spark.range(0, 8).select(
+      (col("id") + 5000L).as("vec_id"),
+      oneHot(lit(8) + (col("id") % 8).cast("int"), 1.0f).as("embedding"))
+    val blob = spark.range(1000, 1160).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === 0, lit(10.0f))
+          .when(i === lit(1) + (col("id") % 4).cast("int"), lit(4.0f))
+          .otherwise(lit(0.0f))).as("embedding"))
+    val corpus = naturals.unionByName(blob)
+    val cat = "/root/repo/target/tmp/spec_ann_ladder"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+    Similarity.writeIvfPqIndexTxn(spark, naturals, cat, nClusters = 4,
+      ksub = 4)
+    Similarity.appendToIvfPqIndexTxn(spark, blob, cat)
+    val h1 = Similarity.indexHealthTxn(spark, cat)
+    assert(h1.skewRatio > 2.0, h1.toString)
+    def tableV(n: String) =
+      TxnTable.currentVersion(new java.io.File(cat, s"tables/$n").getPath)
+    val (vVec0, vCode0) = (tableV("vectors"), tableV("codes"))
+    val queries = naturals.limit(5)
+    def full() = {
+      val np = Similarity.indexHealthTxn(spark, cat).nLists
+      Similarity.ivfPqTopKIndexedTxn(spark, queries, cat, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val before = full()
+    // SKEW-ONLY (append fraction deliberately allowed): the ladder
+    // answers with the O(oversized) rebalance, NOT the full retrain —
+    // lists/centroids move, vectors and codes are never rewritten
+    val m1 = Similarity.maintainTxnIndex(spark, corpus, cat,
+      maxSkewRatio = 2.0, maxAppendFraction = 1e9, subK = 4)
+    assert(m1.decision == "rebalance" && m1.listsSplit == 1, m1.toString)
+    assert(tableV("vectors") == vVec0 && tableV("codes") == vCode0,
+      "a rebalance must never rewrite the vector or code tables")
+    assert(Similarity.indexHealthTxn(spark, cat).skewRatio < h1.skewRatio)
+    assert(full() == before, "full-probe answers survive the rebalance")
+    // healthy now: rest, no txn
+    val t = TxnCatalog.currentTxn(cat)
+    val m2 = Similarity.maintainTxnIndex(spark, corpus, cat,
+      maxSkewRatio = 2.0, maxAppendFraction = 1e9)
+    assert(m2.decision == "rest" && TxnCatalog.currentTxn(cat) == t, m2.toString)
+    // DELTA-STALE: an upsert overlay past its bar still takes the full
+    // rebuild (only the retrain folds the overlay), never the rebalance
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      embs.limit(2).select("vec_id", "embedding"), cat)
+    val m3 = Similarity.maintainTxnIndex(spark,
+      corpus.unionByName(embs.limit(2).select("vec_id", "embedding")), cat,
+      maxSkewRatio = 1e9, maxAppendFraction = 1e9, maxDeltaFraction = 0.0,
+      nClusters = 4, ksub = 4)
+    assert(m3.decision == "rebuild" &&
+      m3.reason.contains("deltaFraction"), m3.toString)
+    assert(Similarity.indexHealthTxn(spark, cat).deltaFraction == 0.0)
+    // SKEW WITH AN OVERLAY rebuilds too (rebalance refuses over an
+    // overlay by contract): overlay one row and trip ONLY the skew bar
+    // (skewRatio ≥ 1 by construction, so 0.99 always trips) — the
+    // ladder must route to the retrain, never throw the refusal
+    Similarity.upsertIntoIvfPqIndexTxn(spark,
+      embs.limit(1).select("vec_id", "embedding"), cat)
+    val m4 = Similarity.maintainTxnIndex(spark, corpus, cat,
+      maxSkewRatio = 0.99, maxAppendFraction = 1e9, maxDeleteFraction = 1e9,
+      maxDeltaFraction = 1e9, nClusters = 4, ksub = 4)
+    assert(m4.decision == "rebuild" && m4.reason.contains("overlay"),
+      m4.toString)
+  }
+
   test("near-dup pairs find planted exact copies with sim ≈ 1e12") {
     val corpus = embs.select("vec_id", "embedding").unionByName(
       embs.select("vec_id", "embedding").filter($"vec_id" % 50 === 0)
