@@ -132,9 +132,28 @@ object Layout {
         call_function("unix_micros", c.cast(TimestampType))
       case d: DecimalType if d.precision <= 18 =>
         (c * lit(BigInt(10).pow(d.scale).toLong)).cast("long")
+      case StringType =>
+        // TRUNCATED-BINARY-PREFIX ordinal: the first 8 UTF-8 bytes as
+        // a big-endian unsigned word, shifted to signed order
+        // (u − 2^63). Monotone because UTF-8 byte order IS code-point
+        // order (the multi-byte lead/continuation layout sorts
+        // byte-wise) and zero-padding a shorter string can only tie
+        // with, never pass, a longer one sharing its prefix — so
+        // min/max footer stats, range scaling, and equi-depth ranks
+        // all order exactly like Spark's binary string comparison.
+        // Strings sharing an 8-byte prefix TIE; the standing tie
+        // ladder (equi-depth refinement → partitioner salt) already
+        // handles irreducible tie mass. All built-ins, codegen'd,
+        // NULL-propagating: hex(UTF-8 bytes) → first 16 nibbles,
+        // right-zero-padded → unsigned via conv → signed shift.
+        (conv(rpad(substring(hex(c.cast(BinaryType)), 1, 16), 16, "0"),
+          16, 10).cast(DecimalType(20, 0)) -
+          lit(new java.math.BigDecimal("9223372036854775808")))
+          .cast(LongType)
       case other => throw new IllegalArgumentException(
         s"clustering column type $other has no monotone long ordinal — " +
-          "supported: integral, DATE, TIMESTAMP, TIMESTAMP_NTZ, DECIMAL(p<=18)")
+          "supported: integral, DATE, TIMESTAMP, TIMESTAMP_NTZ, " +
+          "DECIMAL(p<=18), STRING (8-byte binary prefix)")
     }
   }
 

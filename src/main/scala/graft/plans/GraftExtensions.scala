@@ -87,7 +87,11 @@ object GraftExtensions {
           def longLit(e: Expression, what: String): Long = {
             require(e.foldable, s"rank_bucket $what must be a literal")
             e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow) match {
-              case n: java.lang.Number => n.longValue()
+              // integral boxes ONLY — a Double/Float/Decimal literal
+              // (e.g. sub_bits = 2.5) must REJECT, not silently truncate
+              case n @ (_: java.lang.Byte | _: java.lang.Short |
+                        _: java.lang.Integer | _: java.lang.Long) =>
+                n.asInstanceOf[java.lang.Number].longValue()
               case other => throw new IllegalArgumentException(
                 s"rank_bucket $what must be an integral literal, got $other")
             }

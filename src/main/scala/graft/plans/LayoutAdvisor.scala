@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, collect_list, concat_ws, count,
-  countDistinct, floor, least, lit, max, sort_array, sum}
+import org.apache.spark.sql.functions.{coalesce, col, collect_list, concat,
+  concat_ws, count, countDistinct, floor, least, lit, max, sort_array, sum}
 
 /** WORKLOAD-DRIVEN physical-layout advisor — the data-placement sibling
   * of [[MvAdvisor]]: given the queries a deployment runs, recommend per
@@ -165,7 +165,7 @@ object LayoutAdvisor {
                 exactNdv: Boolean = false,
                 rsd: Double = 0.05): DataFrame =
     measured(spark, queries, maxPartitions, exactNdv, rsd,
-      clipRatio = 0.0).drop("skewed", "concentrated")
+      clipRatio = 0.0).drop("skewed", "concentrated", "unsupported")
 
   /** [[recommend]] plus an internal per-column OUTLIER-SKEW flag
     * (`skewed`): with `clipRatio` > 0, a numeric column whose full
@@ -198,7 +198,10 @@ object LayoutAdvisor {
           import org.apache.spark.sql.types._
           f.dataType match {
             case _: NumericType => Some(col(c).cast("double"))
-            case DateType | TimestampType | TimestampNTZType =>
+            case DateType | TimestampType | TimestampNTZType | StringType =>
+              // strings probe through the same binary-prefix ordinal
+              // the clustering write would use — skew advice covers the
+              // URL-host / source-label dimension too
               Some(graft.operators.Layout.ordinalExpr(col(c), f.dataType)
                 .cast("double"))
             case _ => None
@@ -262,13 +265,39 @@ object LayoutAdvisor {
         // scaling would put that mass in one bucket no range partition
         // can split; quantile buckets spread it
         val concentrated = qs.exists(q => q(2) == q(1)) // p75 == p25
+        val refusal = rel.schema.find(_.name == c)
+          .map(f => ordinalRefusal(f.dataType)).getOrElse("")
         (u.base, u.column, u.nEq, u.nRange, u.nJoin, ndv, baseRows, action,
-          skewed, concentrated)
+          skewed, concentrated, refusal)
       }
     }.sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("base", "col_name", "n_eq", "n_range", "n_join", "ndv",
-      "base_rows", "action", "skewed", "concentrated")
+      "base_rows", "action", "skewed", "concentrated", "unsupported")
+  }
+
+  /** Why a column's type cannot feed the clustering ordinal
+    * ([[graft.operators.Layout.ordinalExpr]]) — empty when it can. The
+    * advisor surfaces this as NAMED advice (column, reason, workaround
+    * cast) instead of recommending a composite the apply path would
+    * refuse with a bare exception. */
+  private def ordinalRefusal(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType => ""
+      case d: DecimalType if d.precision <= 18 => ""
+      case d: DecimalType =>
+        s"DECIMAL(${d.precision},${d.scale}) unscaled values exceed the " +
+          s"63-bit ordinal domain; cast to DECIMAL(18,${d.scale}) " +
+          "or a scaled LONG surrogate"
+      case FloatType | DoubleType =>
+        "floating-point has no total-order ordinal (NaN, -0.0); " +
+          "cast to DECIMAL(18,s) or a scaled LONG surrogate"
+      case other =>
+        s"$other has no monotone long ordinal; add an integral " +
+          "surrogate column"
+    }
   }
 
   /** COMPOSITE Z-ORDER recommendation — the multi-dimension form
@@ -289,9 +318,21 @@ object LayoutAdvisor {
   def zorderAdvice(spark: SparkSession, queries: Seq[DataFrame],
                    maxPartitions: Long = 1024L, exactNdv: Boolean = false,
                    rsd: Double = 0.05, maxCols: Int = 4,
-                   clipRatio: Double = 10.0): DataFrame =
-    measured(spark, queries, maxPartitions, exactNdv, rsd, clipRatio)
+                   clipRatio: Double = 10.0): DataFrame = {
+    val m = measured(spark, queries, maxPartitions, exactNdv, rsd, clipRatio)
       .filter(col("action") === "zorder")
+    // a column whose TYPE the clustering ordinal refuses (DECIMAL past
+    // 18 digits, floats) must never enter the composite — the apply
+    // path would throw on the advisor's own recommendation. It
+    // surfaces as NAMED advice instead: column, reason, workaround
+    // cast, per base, in `unsupported_cols` — so the operator sees WHY
+    // the dimension is absent and what cast would admit it
+    val unsup = m.filter(col("unsupported") =!= "")
+      .groupBy("base")
+      .agg(concat_ws("; ", sort_array(collect_list(
+        concat(col("col_name"), lit(" ("), col("unsupported"), lit(")")))))
+        .as("unsupported_cols"))
+    m.filter(col("unsupported") === "")
       .groupBy("base")
       .agg(sort_array(collect_list("col_name")).as("cs"),
         count(lit(1)).as("n_cols"),
@@ -329,7 +370,23 @@ object LayoutAdvisor {
         org.apache.spark.sql.functions
           .when(col("n_cols") >= 3, "hilbert").otherwise("morton")
           .as("curve"))
+      // FULL outer: a base whose every zorder candidate is unsupported
+      // still surfaces (the named refusals ARE its advice row) — the
+      // supported-side columns default to the empty recommendation
+      .join(unsup, Seq("base"), "full_outer")
+      .select(col("base"),
+        coalesce(col("cols"), lit("")).as("cols"),
+        coalesce(col("n_cols"), lit(0L)).as("n_cols"),
+        coalesce(col("n_range"), lit(0L)).as("n_range"),
+        coalesce(col("base_rows"), lit(0L)).as("base_rows"),
+        coalesce(col("recommend"), lit(false)).as("recommend"),
+        coalesce(col("bits"), lit(16L)).as("bits"),
+        coalesce(col("clip_recommended"), lit(false)).as("clip_recommended"),
+        coalesce(col("quant_mode"), lit("range")).as("quant_mode"),
+        coalesce(col("curve"), lit("morton")).as("curve"),
+        coalesce(col("unsupported_cols"), lit("")).as("unsupported_cols"))
       .orderBy("base")
+  }
 
   /** Small-file health of a parquet directory, measured in ROWS per
     * file — deterministic across environments, unlike byte sizes, so

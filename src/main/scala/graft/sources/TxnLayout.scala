@@ -95,6 +95,18 @@ object TxnLayout {
     * same way. Exact full-row duplicates share a salt — the residue
     * behind the residue, irreducible by anything short of random
     * assignment, which would break write determinism. */
+  /** `ordSpace` — which ORDINAL SPACE the recorded bounds (quant /
+    * qbounds / raw / ranges) were measured in. 1 = the typed ordinal
+    * ([[graft.operators.Layout.ordinalExpr]]: DATE epoch days,
+    * TIMESTAMP epoch micros, DECIMAL unscaled), the space every r15+
+    * write uses. 0 = the pre-r15 legacy space (`cast("long")` —
+    * SECONDS for timestamps), the parse default for sidecars that
+    * never recorded the field. The two differ ONLY for temporal /
+    * decimal clustering columns; recomposing codes in micros space
+    * against seconds-space bounds would mis-map every stale row, so
+    * a legacy-space sidecar over such columns refuses incremental
+    * maintenance and reports fully clamped — one documented full
+    * re-optimize re-measures the bounds and upgrades the sidecar. */
   final case class ClusterSpec(cols: Seq[String], curve: String, bits: Int,
                                version: Int, ranges: Map[String, (Long, Long)],
                                quant: Seq[(String, Long, Long)] = Nil,
@@ -102,7 +114,8 @@ object TxnLayout {
                                qbounds: Seq[(String, Seq[Long])] = Nil,
                                raw: Seq[(String, Long, Long)] = Nil,
                                subBits: Int = 0,
-                               salt: Boolean = false)
+                               salt: Boolean = false,
+                               ordSpace: Int = 1)
 
   private def sidecarFile(table: String) =
     new File(table, "_graft_stats/cluster.json")
@@ -173,6 +186,34 @@ object TxnLayout {
       .filter(f => cols.contains(f.name))
       .map(f => f.name -> f.dataType).toMap
 
+  /** True iff `spec`'s recorded bounds live in the LEGACY cast("long")
+    * ordinal space while the live schema would quantize through a
+    * TYPED ordinal that disagrees with it (temporal: seconds vs
+    * micros/days; decimal: double-ish cast vs exact unscaled).
+    * Integral columns are identical in both spaces, so a legacy
+    * sidecar over plain longs never trips this. Only quantized specs
+    * can mismatch — an unquantized layout's code never consults the
+    * ordinal. */
+  private def legacyOrdinalMismatch(spark: SparkSession, table: String,
+                                    spec: ClusterSpec): Boolean = {
+    import org.apache.spark.sql.types._
+    spec.ordSpace == 0 && (spec.quant.nonEmpty || spec.qbounds.nonEmpty) &&
+      clusterTypes(spark, table, spec.cols).values.exists {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+  }
+
+  private def legacyOrdinalMessage(table: String): String =
+    s"$table carries a pre-r15 cluster sidecar whose quantization " +
+      "bounds were recorded in cast-long ordinal space, but its " +
+      "clustering columns are temporal/decimal (typed-ordinal space " +
+      "since r15) — recomposing codes against those bounds would " +
+      "mis-map stale rows. Run optimizeClustered (or let " +
+      "maintainClustered fire) once to re-measure the bounds and " +
+      "upgrade the sidecar."
+
   def readSpec(table: String): Option[ClusterSpec] = {
     val f = sidecarFile(table)
     if (!f.isFile) None
@@ -208,8 +249,12 @@ object TxnLayout {
         val subBits = "\"subbits\":(\\d+)".r.findFirstMatchIn(s)
           .map(_.group(1).toInt).getOrElse(0)
         val salt = s.contains("\"salt\":true")
+        // parse-default 0 = legacy cast("long") ordinal space: a
+        // sidecar that never recorded the field predates typed ordinals
+        val ordSpace = "\"ordspace\":(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(0)
         ClusterSpec(cols, curve, bits, version, ranges, quant, clip,
-          qbounds, raw, subBits, salt)
+          qbounds, raw, subBits, salt, ordSpace)
       }
     }
   }
@@ -232,6 +277,7 @@ object TxnLayout {
         s""""curve":"${spec.curve}","bits":${spec.bits},""" +
         s""""version":${spec.version},"clip":${spec.clip},""" +
         s""""subbits":${spec.subBits},"salt":${spec.salt},""" +
+        s""""ordspace":${spec.ordSpace},""" +
         s""""quant":$quant,"qbounds":$qbounds,"raw":$raw,"files":$files}"""
     val f = sidecarFile(table)
     f.getParentFile.mkdirs()
@@ -414,6 +460,8 @@ object TxnLayout {
                            numFiles: Int = 0): (Int, Int, Int) = {
     val spec = readSpec(table).getOrElse(throw new IllegalStateException(
       s"$table has no cluster sidecar — run optimizeClustered first"))
+    if (legacyOrdinalMismatch(spark, table, spec))
+      throw new IllegalStateException(legacyOrdinalMessage(table))
     TxnTable.requireNoDv(table, "incremental recluster")
     val live = TxnTable.liveSplit(table)._1
     val clustered = live.filter(spec.ranges.contains)
@@ -610,6 +658,15 @@ object TxnLayout {
   def boundsStaleness(spark: SparkSession, table: String,
                       refresh: Boolean = true): (Long, Long) = {
     val spec = readSpec(table).getOrElse(return (0L, 0L))
+    // a legacy-space sidecar over typed-ordinal columns has NO usable
+    // bounds (seconds vs micros/days) — the one deliberate exception
+    // to "under-trigger": reporting the whole table clamped makes
+    // [[maintainClustered]] run the single full re-optimize that
+    // re-measures the bounds and upgrades the sidecar to ordSpace 1
+    if (legacyOrdinalMismatch(spark, table, spec)) {
+      val total = TxnTable.liveFileRowCounts(table).map(_._2).sum
+      return (total, total)
+    }
     // judge against the recorded UNCLIPPED domain (`raw`): the
     // winsorized/quantile SCALING bounds deliberately exclude
     // in-distribution outliers, and counting that by-design residue as
@@ -669,6 +726,18 @@ object TxnLayout {
       case i: java.time.Instant => Some(micros(i))
       case ldt: java.time.LocalDateTime =>
         Some(micros(ldt.atZone(zone).toInstant))
+      case s: String =>
+        // the scan-side truncated-binary-prefix ordinal, replicated:
+        // first 8 UTF-8 bytes big-endian as unsigned, shifted to
+        // signed order (u XOR min-long == u − 2^63 in two's complement)
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var u = 0L
+        var i = 0
+        while (i < 8) {
+          u = (u << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+          i += 1
+        }
+        Some(u ^ Long.MinValue)
       case n: java.lang.Number => Some(n.longValue)
       case _ => None
     }

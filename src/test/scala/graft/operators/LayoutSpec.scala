@@ -254,6 +254,21 @@ class LayoutSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT rank_bucket(CAST(NULL AS BIGINT), array(1, 2), 4, 0, 10)")
       .head().isNullAt(0))
+    // a FRACTIONAL literal in any integral slot must REJECT, never
+    // silently truncate (2.5 is not sub_bits 2) — byte/short/int/long
+    // boxes only
+    Seq("2.5, 0, 300", "4, 0.5, 300", "4, 0, 300.25").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT rank_bucket(CAST(5 AS BIGINT), array(1, 2), $bad)")
+          .collect()
+      }
+      assert(e.getMessage.contains("integral literal"),
+        s"args ($bad): ${e.getMessage}")
+    }
+    // but every integral WIDTH still folds (int literal, bigint cast)
+    assert(spark.sql(
+      "SELECT rank_bucket(CAST(5 AS BIGINT), array(1, 2), CAST(4 AS INT), CAST(0 AS BIGINT), 300)")
+      .head().getLong(0) >= 0L)
   }
 
   test("hilbertCode: bijective onto the cell grid, unit-step continuous, codegen == encoder") {

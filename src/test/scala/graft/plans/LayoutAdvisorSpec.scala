@@ -238,6 +238,56 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(graft.sources.TxnTable.read(spark, t).count() == 16000L)
   }
 
+  test("unsupported-type candidates are NAMED advice, never a composite the apply path refuses") {
+    val p = s"$root/unsup.parquet"
+    // a wide decimal and a double beside two clusterable longs — the
+    // price/measure columns a real fact range-filters constantly
+    val rng = new scala.util.Random(23)
+    (0L until 4000L).map(i => (i, rng.nextInt(4000).toLong,
+        BigDecimal(i) * BigDecimal("1000000000000.01"), i * 1.5))
+      .toDF("a", "b", "huge", "dbl")
+      .select(col("a"), col("b"),
+        col("huge").cast("decimal(38,2)").as("huge"), col("dbl"))
+      .repartition(2).write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val adv = LayoutAdvisor.zorderAdvice(spark, Seq(
+      base.filter(col("a") >= 100 && col("a") < 900).select("b"),
+      base.filter(col("b") < 500).select("a"),
+      base.filter(col("huge") > 5).select("a"),
+      base.filter(col("dbl") > 10.0).select("b")), exactNdv = true).collect()
+    assert(adv.length == 1, adv.mkString(";"))
+    val row = adv.head
+    // the composite names ONLY the applyable dimensions…
+    assert(row.getAs[String]("cols") == "a,b", row.toString)
+    assert(row.getAs[Boolean]("recommend"))
+    // …and the refused ones are NAMED: column, reason, workaround cast
+    val u = row.getAs[String]("unsupported_cols")
+    assert(u.contains("huge (DECIMAL(38,2)") &&
+      u.contains("cast to DECIMAL(18,2)"), u)
+    assert(u.contains("dbl (floating-point") &&
+      u.contains("scaled LONG surrogate"), u)
+    // the advised row applies end-to-end — the whole point of refusing
+    // the unsupported columns up front
+    val zp = s"$root/unsup_z"
+    graft.operators.Layout.zorderWriteRanged(base.select("a", "b"),
+      row.getAs[String]("cols").split(",").toSeq, zp, numFiles = 8,
+      bits = row.getAs[Long]("bits").toInt)
+    assert(spark.read.parquet(zp).count() == 4000L)
+    // a base whose EVERY zorder candidate refuses still surfaces, as a
+    // refusal-only row (empty composite, recommend false)
+    val p2 = s"$root/unsup_only.parquet"
+    (0L until 3000L).map(i => (i * 1.5, i)).toDF("dbl", "k")
+      .repartition(2).write.mode("overwrite").parquet(p2)
+    val adv2 = LayoutAdvisor.zorderAdvice(spark, Seq(
+      spark.read.parquet(p2).filter(col("dbl") > 10.0).select("k")),
+      exactNdv = true).collect()
+    assert(adv2.length == 1, adv2.mkString(";"))
+    assert(adv2.head.getAs[String]("cols") == "" &&
+      !adv2.head.getAs[Boolean]("recommend") &&
+      adv2.head.getAs[String]("unsupported_cols").startsWith("dbl ("),
+      adv2.head.toString)
+  }
+
   test("approximate NDV (the 100 TB default) keeps the partition boundary safe") {
     val p = s"$root/approx.parquet"
     (0L until 20000L).map(i => (i % 1000, i % 8))

@@ -447,6 +447,93 @@ class TxnLayoutSpec extends SparkSpec {
     assert(TxnTable.read(spark, t).count() == 1500L)
   }
 
+  test("STRING clustering rides the binary-prefix ordinal: UTF-8-monotone, pruned reads, tie ladder") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.types.StringType
+    // 1. ORDINAL ORDER == Spark's binary string order, multi-byte and
+    //    beyond-prefix edges included. The three 'abcdefgh*' strings
+    //    tie (shared 8-byte prefix) — the documented truncation residue
+    val tricky = Seq("", "a", "ab", "abcdefgh", "abcdefghi", "abcdefghj",
+      "b", "zz", "~tilde", "é", "éa", "ツ", "𝄞clef")
+    val got = tricky.toDF("s")
+      .select(col("s"), Layout.ordinalExpr(col("s"), StringType).as("o"))
+      .orderBy("s").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+      s"ordinals must follow binary string order: ${got.mkString(",")}")
+    assert(got.map(_._2).distinct.length == tricky.length - 2,
+      s"exactly the shared-8-byte-prefix strings tie: ${got.mkString(",")}")
+    assert(tricky.toDF("s")
+      .select(Layout.ordinalExpr(lit(null).cast("string"), StringType))
+      .head().isNullAt(0), "NULL propagates like every other ordinal")
+
+    // 2. END-TO-END: a host-like string dimension clusters, records
+    //    ordinal-space bounds, and serves pruned string-range reads
+    val t = fresh("strings")
+    def letter = lit("abcdefghijklmnopqrstuvwxyz")
+      .substr((col("id") % 26 + 1).cast("int"), lit(1))
+    TxnTable.commit(spark,
+      spark.range(0, 4000).select(
+        concat(lit("host-"), letter, lit("."), col("id")).as("host"),
+        (col("id") * 37 % 1024).as("k"),
+        col("id").as("v")),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("host", "k"), numFiles = 8)
+    val spec = TxnLayout.readSpec(t).get
+    assert(spec.quant.exists(_._1 == "host"),
+      s"string bounds recorded in ordinal space: ${spec.quant}")
+    assertDisjoint(spec)
+    val (toRead, nLive) = TxnStats.pruneFiles(spark, t, "host",
+      "host-c", "host-e")
+    assert(toRead.size < nLive,
+      s"a host-range box must prune: ${toRead.size}/$nLive")
+    assert(TxnStats.prunedRead(spark, t, "host", "host-c", "host-e").count() ==
+      TxnTable.read(spark, t)
+        .filter(col("host").between("host-c", "host-e")).count())
+    // incremental rounds map stale strings into the SAME code space
+    TxnTable.commit(spark,
+      spark.range(4000, 4050).select(
+        concat(lit("host-"), letter, lit("."), col("id")).as("host"),
+        (col("id") * 37 % 1024).as("k"), col("id").as("v")).coalesce(1),
+      t, overwrite = false)
+    val (_, rewrote, _) = TxnLayout.reclusterIncremental(spark, t)
+    assert(rewrote >= 2)
+    assert(TxnLayout.readSpec(t).get.quant == spec.quant,
+      "incremental maintenance reuses the recorded string bounds")
+    assert(TxnTable.read(spark, t).count() == 4050L)
+
+    // 3. TIE LADDER: half the rows share ONE mega-URL whose >8-byte
+    //    common prefix makes its ordinal an irreducible tied code —
+    //    equi-depth buckets the distinct half but one file still
+    //    swallows the tie, and the salt rung is what bounds file
+    //    sizes, with pruning decisions untouched
+    val t2 = fresh("str_tied")
+    val mega = "https://mega.example.com/"
+    TxnTable.commit(spark,
+      spark.range(0, 20000).select(
+        when(col("id") % 2 === 0, mega)
+          .otherwise(concat(letter, lit("-site."), col("id"))).as("url"),
+        col("id").as("v"))
+        .withColumn("u2", col("url")).select("url", "u2", "v"),
+      t2, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t2, Seq("url", "u2"), numFiles = 16,
+      quantMode = "equidepth")
+    val skew1 = TxnLayout.fileSkew(t2)
+    assert(skew1 > 3.0, s"one file must swallow the tied URL mass: $skew1")
+    val r = TxnLayout.maintainClustered(spark, t2,
+      maxStaleFraction = 1e18, maxFileSkew = 3.0)
+    assert(r.isDefined && r.get._3 == 0, s"salted re-optimize expected: $r")
+    val sp2 = TxnLayout.readSpec(t2).get
+    assert(sp2.salt, "irreducible string ties escalate to the salt rung")
+    assert(TxnLayout.fileSkew(t2) < 2.5,
+      s"salted sizes bounded: $skew1 -> ${TxnLayout.fileSkew(t2)}")
+    // pruning stays exact on the salted layout: the tied point reads
+    // exactly the tied rows; a box avoiding it opens a strict subset
+    assert(TxnStats.prunedRead(spark, t2, "url", mega, mega).count() == 10000L)
+    val (tr2, nl2) = TxnStats.pruneFiles(spark, t2, "url",
+      "a-site.", "b-site.~")
+    assert(tr2.size < nl2, s"off-tie box must prune: ${tr2.size}/$nl2")
+  }
+
   test("unsupported clustering column types refuse loudly") {
     val t = fresh("badtype")
     TxnTable.commit(spark,
@@ -454,12 +541,9 @@ class TxnLayoutSpec extends SparkSpec {
         col("id").cast("double").as("f"), col("id").as("v")),
       t, overwrite = false)
     val e = intercept[IllegalArgumentException] {
-      TxnLayout.optimizeClustered(spark, t, Seq("s", "v"), numFiles = 2)
-    }
-    assert(e.getMessage.contains("no monotone long ordinal"), e.getMessage)
-    intercept[IllegalArgumentException] {
       TxnLayout.optimizeClustered(spark, t, Seq("f", "v"), numFiles = 2)
     }
+    assert(e.getMessage.contains("no monotone long ordinal"), e.getMessage)
     // a decimal wider than 18 digits has no long-unscaled form either
     val wide = fresh("badtype_wide")
     TxnTable.commit(spark,
@@ -735,5 +819,74 @@ class TxnLayoutSpec extends SparkSpec {
     assert(r >= 1)
     assertDisjoint(TxnLayout.readSpec(t).get)
     assert(contentOf(t) == before)
+  }
+
+  test("legacy (pre-r15) sidecar over temporal columns: one documented upgrade, never a mis-map") {
+    val t = fresh("legacyord")
+    TxnTable.commit(spark,
+      spark.range(0, 1200).select(
+        expr("timestamp_seconds(1500000000 + id * 3600)").as("ts"),
+        (col("id") * 1000003L).as("k"), col("id").as("v")),
+      t, overwrite = false)
+    TxnLayout.optimizeClustered(spark, t, Seq("ts", "k"), numFiles = 4)
+    assert(TxnLayout.readSpec(t).get.ordSpace == 1,
+      "fresh writes record the typed ordinal space")
+    // forge a pre-r15 sidecar: strip the ordspace field — the parse
+    // default (0 = cast-long seconds space) is exactly what an old
+    // sidecar reads as. Its recorded micro-space bounds are now LYING
+    // about their space, the scenario under test.
+    val sf = new File(t, "_graft_stats/cluster.json")
+    val body = new String(java.nio.file.Files.readAllBytes(sf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(sf.toPath,
+      body.replace("\"ordspace\":1,", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(TxnLayout.readSpec(t).get.ordSpace == 0)
+    // stale ingest: incremental maintenance must REFUSE (recomposing
+    // micros codes against seconds-space bounds mis-maps every row)
+    TxnTable.commit(spark,
+      spark.range(100, 110).select(
+        expr("timestamp_seconds(1500000000 + id * 3600)").as("ts"),
+        (col("id") * 1000003L).as("k"), (col("id") + 5000L).as("v"))
+        .coalesce(1),
+      t, overwrite = false)
+    val e = intercept[IllegalStateException] {
+      TxnLayout.reclusterIncremental(spark, t)
+    }
+    assert(e.getMessage.contains("ordinal space"), e.getMessage)
+    // the bounds are unusable → the WHOLE table reads as clamped, so
+    // the maintenance policy answers with the one full re-optimize
+    // that re-measures bounds and upgrades the sidecar
+    val (clamped, total) = TxnLayout.boundsStaleness(spark, t)
+    assert(clamped == total && total == 1210L, s"($clamped, $total)")
+    val r = TxnLayout.maintainClustered(spark, t, maxStaleFraction = 1e9,
+      maxClampedFraction = 0.5)
+    assert(r.isDefined && r.get._3 == 0, s"full re-optimize expected: $r")
+    val up = TxnLayout.readSpec(t).get
+    assert(up.ordSpace == 1, "the re-optimize upgrades the sidecar")
+    assert(up.quant.find(_._1 == "ts").get._2 == 1500000000L * 1000000L,
+      "re-measured bounds live in micro space")
+    assertDisjoint(up)
+    // and maintenance works again (no refusal, no clamp)
+    assert(TxnLayout.boundsStaleness(spark, t)._1 == 0L)
+    val (_, r2, k2) = TxnLayout.reclusterIncremental(spark, t)
+    assert(r2 == 0 && k2 > 0)
+    assert(TxnTable.read(spark, t).count() == 1210L)
+    // an all-integral legacy sidecar never trips the guard: both
+    // spaces agree on longs, so old integer layouts stay maintainable
+    val ti = fresh("legacyord_int")
+    seed(ti)
+    TxnLayout.optimizeClustered(spark, ti, Seq("x", "y"), numFiles = 4)
+    val sfi = new File(ti, "_graft_stats/cluster.json")
+    val bodyI = new String(java.nio.file.Files.readAllBytes(sfi.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(sfi.toPath,
+      bodyI.replace("\"ordspace\":1,", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(TxnLayout.readSpec(ti).get.ordSpace == 0)
+    val (c2, _) = TxnLayout.boundsStaleness(spark, ti)
+    assert(c2 == 0L, "integral legacy sidecars stay healthy")
+    val (_, ri, ki) = TxnLayout.reclusterIncremental(spark, ti)
+    assert(ri == 0 && ki > 0, "integral legacy sidecars stay maintainable")
   }
 }
