@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Stage-level profiling of the rotating bench watch items (r11:
   * q_stream_hll, q_scan_mv_cdc_repair; r12: q_src_cdf_scd2; r13:
-  * q_stream_enforced_ingest, q_stream_join_outer) — measures the
+  * q_stream_enforced_ingest, q_stream_join_outer; r16:
+  * q_stream_star_dim_delta, q_ann_txn_upsert) — measures the
   * micro-batch count and per-phase wall time instead of claiming VM
   * drift. `runMain graft.ProfileWatch <sfDir> [reps]`. Each rep prints
   * one line per phase; the driver-visible bench number is the SUM of
@@ -216,6 +217,100 @@ object ProfileWatch {
       t("cladv maintainClustered")(
         TxnLayout.maintainClustered(spark, table, maxStaleFraction = 1e-9))
       adviceDecomposed("c")
+    }
+
+    // ── r16 watch: q_stream_star_dim_delta grew 8.93 → ~10.0 s across
+    // BOTH r15 runs. The round-15 suspects are the catalog txn layer
+    // (parallel-vacuum pool spin-up per commit, promoted-marker stat
+    // calls on the commit path) vs the streaming refresh itself — the
+    // decomposition separates commit/upsert wall time from the three
+    // maintenance streams.
+    for (rep <- 1 to reps) {
+      println(s"[watch] ── q_stream_star_dim_delta rep $rep ──")
+      import graft.sources.{TxnTable, TxnLayout}
+      import graft.operators.Merge
+      import graft.streaming.EventsStreaming
+      val base = s"/root/repo/target/tmp/watch_stardelta_$rep"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val table = s"$base/src"; val dimT = s"$base/dim"; val view = s"$base/agg"
+      new java.io.File(s"$view.ckpt").mkdirs()
+      val fact = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          (col("o_orderkey") % 100).as("v"))
+      t("sdd dim v1 commit")(TxnTable.commit(spark,
+        Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_mktsegment"), dimT, overwrite = false))
+      def dims() = Seq((TxnTable.read(spark, dimT), "o_custkey", "c_custkey"))
+      val gk = Seq("c_mktsegment", "o_custkey")
+      t("sdd fact v1 commit")(TxnTable.commit(spark,
+        fact.filter((col("k") % 3).isin(0, 1)).repartition(4),
+        table, overwrite = false))
+      t("sdd stream 1 (initial)")(
+        EventsStreaming.cdcStarViewMaintenance(spark, table, view,
+          keys = Seq("k"), groupKeys = gk, countCol = "cnt",
+          sums = Map("sum_v" -> "v"), dims = dims(), joinTypes = Seq("left")))
+      t("sdd dim upsert")(Merge.upsert(spark, dimT,
+        TxnTable.read(spark, dimT).filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("RENAMED")), Seq("c_custkey")))
+      t("sdd dimDeltaStarRefresh")(
+        EventsStreaming.dimDeltaStarRefresh(spark, view, gk,
+          measureCols = Seq("cnt", "sum_v"), leftKey = "o_custkey",
+          dimKey = "c_custkey", dimTable = dimT,
+          fromVersion = 1, toVersion = 2, joinType = "left"))
+      t("sdd fact upsert")(Merge.upsert(spark, table,
+        fact.filter((col("k") % 3).isin(1, 2))
+          .withColumn("v", org.apache.spark.sql.functions
+            .when(col("k") % 3 === 1, col("v") + 1000).otherwise(col("v"))),
+        Seq("k")))
+      t("sdd stream 2 (resume) + agg")(
+        EventsStreaming.cdcStarViewMaintenance(spark, table, view,
+            keys = Seq("k"), groupKeys = gk, countCol = "cnt",
+            sums = Map("sum_v" -> "v"), dims = dims(),
+            joinTypes = Seq("left"), resume = true)
+          .groupBy("c_mktsegment")
+          .agg(sum("cnt").as("cnt"), sum("sum_v").cast("long").as("sum_v"))
+          .orderBy("c_mktsegment").collect())
+    }
+
+    // ── r16 watch: q_ann_txn_upsert grew 8.12 → ~9.4 s across both
+    // r15 runs; same suspects (catalog txn commit path). Decomposed
+    // into the index commit, the three lifecycle txns, and the five
+    // full-replay searches.
+    for (rep <- 1 to reps) {
+      println(s"[watch] ── q_ann_txn_upsert rep $rep ──")
+      import graft.operators.Similarity
+      val embs = Tables.embeddings(spark, sfDir)
+      val sfKey = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"/root/repo/target/tmp/watch_annups_$rep"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cat))
+      val batch = embs.filter(col("vec_id") < 10)
+      val idxDir =
+        s"${sys.props("user.dir")}/target/ann_index_${sfKey}_c16i2m8k16"
+      graft.DerivedCache.ensure(new java.io.File(idxDir),
+          Seq(new java.io.File(s"$sfDir/embeddings.parquet")), "meta/_SUCCESS") {
+        Similarity.writeIvfPqIndex(embs, idxDir)
+      }
+      val t1 = t("ann commit index txn")(
+        Similarity.commitIvfPqIndexTxnFromDir(spark, idxDir, cat))
+      t("ann search base")(
+        Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5).collect())
+      t("ann delete txn")(Similarity.deleteFromIvfPqIndexTxn(spark,
+        embs.filter(col("vec_id") % 3 === 0 && col("vec_id") >= 10)
+          .select("vec_id"), cat))
+      val t2 = graft.sources.TxnCatalog.currentTxn(cat)
+      t("ann search post-delete")(
+        Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5).collect())
+      val up = embs.filter(col("vec_id") === 112)
+        .withColumn("vec_id", lit(12L))
+        .unionByName(embs.filter(col("vec_id") === 113)
+          .withColumn("vec_id", lit(13L)))
+      t("ann upsert txn")(Similarity.upsertIntoIvfPqIndexTxn(spark, up, cat))
+      t("ann search post-upsert")(
+        Similarity.ivfPqTopKIndexedTxn(spark, batch, cat, k = 5).collect())
+      t("ann search as-of t1")(Similarity.ivfPqTopKIndexedTxn(
+        spark, batch, cat, k = 5, asOf = Some(t1)).collect())
+      t("ann search as-of t2")(Similarity.ivfPqTopKIndexedTxn(
+        spark, batch, cat, k = 5, asOf = Some(t2)).collect())
     }
     spark.stop()
   }

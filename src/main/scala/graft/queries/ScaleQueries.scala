@@ -1244,15 +1244,31 @@ object ScaleQueries {
         |z AS (SELECT u.base, u.col_name, u.n_range, st.base_rows,
         |             st.skewed, st.conc
         |      FROM u JOIN st USING (col_name) WHERE st.ndv > 1024)
-        |SELECT base, string_agg(col_name, ',' ORDER BY col_name) AS cols,
-        |       COUNT(*) AS n_cols, CAST(SUM(n_range) AS BIGINT) AS n_range,
+        |SELECT base, COALESCE(string_agg(col_name, ',' ORDER BY col_name)
+        |         FILTER (WHERE col_name <> 'l_extendedprice'), '') AS cols,
+        |       COUNT(*) FILTER (WHERE col_name <> 'l_extendedprice') AS n_cols,
+        |       CAST(COALESCE(SUM(n_range)
+        |         FILTER (WHERE col_name <> 'l_extendedprice'), 0) AS BIGINT)
+        |         AS n_range,
         |       MAX(base_rows) AS base_rows,
-        |       COUNT(*) BETWEEN 2 AND 4 AS recommend,
-        |       CAST(LEAST(16, FLOOR(63 / COUNT(*))) AS BIGINT) AS bits,
-        |       BOOL_OR(skewed) AS clip_recommended,
-        |       CASE WHEN BOOL_OR(conc) THEN 'equidepth' ELSE 'range' END
-        |         AS quant_mode,
-        |       CASE WHEN COUNT(*) >= 3 THEN 'hilbert' ELSE 'morton' END AS curve
+        |       COUNT(*) FILTER (WHERE col_name <> 'l_extendedprice')
+        |         BETWEEN 2 AND 4 AS recommend,
+        |       CAST(LEAST(16, FLOOR(63 / GREATEST(1,
+        |         COUNT(*) FILTER (WHERE col_name <> 'l_extendedprice'))))
+        |         AS BIGINT) AS bits,
+        |       COALESCE(BOOL_OR(skewed)
+        |         FILTER (WHERE col_name <> 'l_extendedprice'), FALSE)
+        |         AS clip_recommended,
+        |       CASE WHEN COALESCE(BOOL_OR(conc)
+        |              FILTER (WHERE col_name <> 'l_extendedprice'), FALSE)
+        |            THEN 'equidepth' ELSE 'range' END AS quant_mode,
+        |       CASE WHEN COUNT(*) FILTER (WHERE col_name <> 'l_extendedprice') >= 3
+        |            THEN 'hilbert' ELSE 'morton' END AS curve,
+        |       CASE WHEN COUNT(*) FILTER (WHERE col_name = 'l_extendedprice') > 0
+        |            THEN 'l_extendedprice (floating-point has no ' ||
+        |                 'total-order ordinal (NaN, -0.0); cast to ' ||
+        |                 'DECIMAL(18,s) or a scaled LONG surrogate)'
+        |            ELSE '' END AS unsupported_cols
         |FROM z GROUP BY base ORDER BY base""".stripMargin) { (s, d) =>
       import graft.plans.LayoutAdvisor
       val li = s.read.parquet(s"$d/lineitem.parquet")

@@ -991,6 +991,120 @@ object SourceQueries {
         .withColumn("files_read", lit(toRead.size.toLong))
     },
 
+    // ── OUTER MULTI-COLUMN dynamic file pruning
+    //    (TxnStats.dfpReadOuterMulti): the left-outer star probed on
+    //    TWO fact columns at once — `probe LEFT JOIN fact ON ka = okey
+    //    AND kb = ckey`. The probe is preserved (its unmatched (-1,-1)
+    //    row must surface null-extended), the fact null-extends on BOTH
+    //    conjuncts, so each column's prune is sound and the
+    //    intersection opens exactly the probe's one grid cell: 1 of 9
+    //    files, strictly fewer than either single-column prune. Counts
+    //    ride the hash; the oracle replays the outer join unpruned.
+    sql("q_scan_dfp_outer_multi",
+      """WITH t AS (SELECT MAX(o_orderkey) // 3 AS qk,
+        |                  MAX(o_custkey) // 3 AS qc FROM orders),
+        |p AS (SELECT o_orderkey AS ka, o_custkey AS kb FROM orders, t
+        |      WHERE o_orderkey < t.qk
+        |        AND o_custkey >= t.qc AND o_custkey < 2 * t.qc
+        |      UNION ALL SELECT -1, -1),
+        |f AS (SELECT o_orderkey, o_custkey FROM orders)
+        |SELECT COUNT(*) AS cnt, COUNT(f.o_orderkey) AS matched,
+        |       CAST(SUM(f.o_orderkey + f.o_custkey) AS BIGINT) AS key_sum,
+        |       CAST(9 AS BIGINT) AS files_total,
+        |       CAST(1 AS BIGINT) AS files_multi
+        |FROM p LEFT JOIN f
+        |  ON p.ka = f.o_orderkey AND p.kb = f.o_custkey""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      import s.implicits._
+      val table = tmp("txn_dfp_outer_multi")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val m = o.agg(max("o_orderkey"), max("o_custkey")).head()
+      val (qk, qc) = (m.getLong(0) / 3, m.getLong(1) / 3)
+      def band(c: org.apache.spark.sql.Column, q: Long, i: Int) =
+        if (i < 2) c >= i * q && c < (i + 1) * q else c >= 2 * q
+      for (i <- 0 to 2; j <- 0 to 2)
+        TxnTable.commit(s,
+          o.filter(band(col("o_orderkey"), qk, i) &&
+            band(col("o_custkey"), qc, j)).coalesce(1),
+          table, overwrite = false)
+      TxnStats.refresh(s, table, "o_orderkey")
+      TxnStats.refresh(s, table, "o_custkey")
+      val probe = o.filter(col("o_orderkey") < qk &&
+          col("o_custkey") >= qc && col("o_custkey") < 2 * qc)
+        .select(col("o_orderkey").as("ka"), col("o_custkey").as("kb"))
+        .union(Seq((-1L, -1L)).toDF("ka", "kb"))
+      val probes = Seq("o_orderkey" -> probe.select("ka"),
+        "o_custkey" -> probe.select("kb"))
+      val (mFiles, nLive) = TxnStats.dfpFilesMulti(s, table, probes)
+      val fact = TxnStats.dfpReadOuterMulti(s, table, probes)
+      probe.join(fact, probe("ka") === fact("o_orderkey") &&
+          probe("kb") === fact("o_custkey"), "left")
+        .agg(count(lit(1)).as("cnt"),
+          count(fact("o_orderkey")).as("matched"),
+          sum(fact("o_orderkey") + fact("o_custkey")).as("key_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_multi", lit(mFiles.size.toLong))
+    },
+
+    // ── AUTO-injected dynamic file pruning (plans.AutoFilePrune): the
+    //    SAME star shape as q_scan_dfp, but the program is a PLAIN
+    //    `TxnTable.read(fact).join(dim)` — no dfpRead call anywhere.
+    //    The optimizer rule recognizes the txn scan under the equi-join,
+    //    evaluates the three-key dim at plan time, and swaps in a scan
+    //    over the three reachable files; files_read is measured off the
+    //    OPTIMIZED PLAN of that plain join (input files of the fact's
+    //    scan) and rides the hash, so a regression to "library call
+    //    required" (4 files) hash-fails. The engine-not-library gate:
+    //    the flagship fact⋈filtered-dim shape prunes with no bespoke
+    //    API at 100 TB. Oracle replays the join unpruned.
+    sql("q_scan_dfp_auto",
+      """WITH t AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+        |d AS (SELECT MIN(o_orderkey) AS k FROM orders
+        |      UNION ALL
+        |      SELECT MIN(o_orderkey) FROM orders, t WHERE o_orderkey >= 2 * t.q
+        |      UNION ALL
+        |      SELECT MAX(o_orderkey) FROM orders)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(4 AS BIGINT) AS files_total,
+        |       CAST(3 AS BIGINT) AS files_read
+        |FROM orders JOIN d ON o_orderkey = d.k""".stripMargin) { (s, d) =>
+      import graft.sources.TxnStats
+      val table = tmp("txn_dfp_auto")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val q = mx / 4
+      Seq(col("o_orderkey") < q,
+        col("o_orderkey") >= q && col("o_orderkey") < 2 * q,
+        col("o_orderkey") >= 2 * q && col("o_orderkey") < 3 * q,
+        col("o_orderkey") >= 3 * q).foreach(p =>
+        TxnTable.commit(s, o.filter(p).coalesce(1), table, overwrite = false))
+      TxnStats.refresh(s, table, "o_orderkey")
+      val dim = o.agg(min("o_orderkey").as("k"))
+        .union(o.filter(col("o_orderkey") >= 2 * q).agg(min("o_orderkey")))
+        .union(o.agg(max("o_orderkey")))
+      // the program under test: a PLAIN join over the plain txn read
+      def plain = TxnTable.read(s, table)
+        .join(dim, col("o_orderkey") === col("k"))
+      // files the fact scan opens in the OPTIMIZED plan of that plain
+      // join — the auto-prune's observable effect, pinned on the hash
+      val tableAbs = new java.io.File(table).getAbsolutePath
+      val factFiles = plain.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.count(f =>
+                f.contains(tableAbs) || f.contains(table))
+            case _ => 0
+          }
+      }.max
+      val nLive = TxnTable.liveFiles(table).size
+      plain.agg(count(lit(1)).as("cnt"), sum("o_custkey").as("cust_sum"))
+        .withColumn("files_total", lit(nLive.toLong))
+        .withColumn("files_read", lit(factFiles.toLong))
+    },
+
     // ── small-file-only compaction (TxnTable.compactSmall): one healthy
     //    ingest file plus four micro-batch-sized stragglers; the
     //    compaction merges ONLY the stragglers (5 files → 2, the big
@@ -1251,6 +1365,45 @@ object SourceQueries {
             .cast("long").as("od_us"),
           lit(toRead.size < nLive).as("pruned_strict"),
           lit(regrown).as("regrown"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── STRING clustering on the RAW column — no manual surrogate:
+    //    optimizeClustered quantizes a host/label dimension through the
+    //    truncated-binary-prefix ordinal (Layout.ordinalExpr: first 8
+    //    UTF-8 bytes, big-endian, unsigned→signed shift — monotone
+    //    exactly like binary string order). The reference's own
+    //    subway_station dimension is this shape. Pins ride the hash: a
+    //    letter-range box prunes a STRICT file subset through the
+    //    string skipping stats, and the pruned read's content equals
+    //    the oracle's plain BETWEEN — both engines compare strings in
+    //    binary collation, so the box edges agree exactly.
+    sql("q_layout_string",
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |         substring('abcdefghijklmnopqrstuvwxyz',
+        |                   CAST(o_orderkey % 26 AS INT) + 1, 1) ||
+        |           '-shop.example/' || o_orderkey AS url
+        |  FROM orders)
+        |SELECT o_orderkey, url, TRUE AS pruned_strict
+        |FROM u WHERE url BETWEEN 'c' AND 'g'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.sources.{TxnLayout, TxnStats}
+      val table = tmp("txn_layout_string")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val data = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        concat(lit("abcdefghijklmnopqrstuvwxyz")
+            .substr((col("o_orderkey") % 26 + 1).cast("int"), lit(1)),
+          lit("-shop.example/"), col("o_orderkey").cast("string")).as("url"),
+        col("o_custkey"))
+      TxnTable.commit(s, data, table, overwrite = false)
+      TxnLayout.optimizeClustered(s, table, Seq("url", "o_custkey"),
+        numFiles = 8)
+      val (toRead, nLive) = TxnStats.pruneFiles(s, table, "url", "c", "g")
+      TxnStats.prunedRead(s, table, "url", "c", "g")
+        .select(col("o_orderkey"), col("url"),
+          lit(toRead.size < nLive).as("pruned_strict"))
         .orderBy("o_orderkey")
     },
 
