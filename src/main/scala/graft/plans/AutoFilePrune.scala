@@ -89,8 +89,20 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
   private def maxExactKeys: Long =
     conf.getConfString("spark.graft.autoDfp.maxExactKeys", "1000000").toLong
 
+  /** Micro-batch work replans EVERY batch: a foreachBatch maintenance
+    * join (the streaming-sink lifecycle) would re-pay the plan-time
+    * dim evaluation once per batch against a batch-sized delta — the
+    * one regime where O(dim) planning work can exceed the pruned IO,
+    * measured as a 3.5× wall-time regression on the streaming bench
+    * family. Inside a stream the bespoke dfp API remains available
+    * where pruning is wanted; the rule declines by THREAD, the only
+    * ambient marker a foreachBatch body carries (its plans are
+    * ordinary batch plans, indistinguishable structurally). */
+  private def onStreamThread: Boolean =
+    Thread.currentThread().getName.startsWith("stream execution thread")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || inFlight.get()) plan
+    if (!enabled || inFlight.get() || onStreamThread) plan
     else plan.transformUp {
       case j: Join if j.condition.isDefined &&
           !j.left.isStreaming && !j.right.isStreaming =>
@@ -134,9 +146,14 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
                         other: LogicalPlan, oAttr: Attribute): LogicalPlan = {
     val scan = scanFor(side, sAttr).getOrElse(return side)
     val fsRel = scan.relation match {
+      // InMemoryFileIndex only: the txn read path's pinned-list index,
+      // whose inputFiles is a memory read. Other indexes either pay IO
+      // per listing (MetadataLogFileIndex replays the sink log) or are
+      // partition-pruned catalogs Spark's own DPP already serves.
       case fs: HadoopFsRelation
           if fs.fileFormat.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] => fs
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+            fs.location.isInstanceOf[InMemoryFileIndex] => fs
       case _ => return side
     }
     val already = scan.getTagValue(prunedTag).getOrElse(Set.empty[String])

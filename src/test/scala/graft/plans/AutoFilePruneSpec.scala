@@ -180,6 +180,81 @@ class AutoFilePruneSpec extends SparkSpec {
     assert(factFiles(rng) == 4)
   }
 
+  test("SQL surface: a plain spark.sql star over a txn view prunes identically") {
+    TxnTable.read(spark, factT).createOrReplaceTempView("autodfp_fact")
+    dim.createOrReplaceTempView("autodfp_dim")
+    def q = spark.sql(
+      """SELECT f.k, f.v, d.tag FROM autodfp_fact f
+        |JOIN autodfp_dim d ON f.k = d.dk""".stripMargin)
+    assert(factFiles(q) == 3, q.queryExecution.optimizedPlan)
+    assert(q.collect().toSet == unpruned { q.collect().toSet })
+    // and through a derived VIEW with a filter — the walk descends the
+    // SubqueryAlias/Project/Filter stack SQL planning builds
+    spark.sql("SELECT k, v FROM autodfp_fact WHERE v >= 0")
+      .createOrReplaceTempView("autodfp_fact_view")
+    def qv = spark.sql(
+      """SELECT f.k FROM autodfp_fact_view f
+        |JOIN autodfp_dim d ON f.k = d.dk""".stripMargin)
+    assert(factFiles(qv) == 3)
+    assert(qv.count() == 3)
+  }
+
+  test("conjunctive two-column keys compose: the auto form of multi-column DFP") {
+    // a second fact clustered on BOTH (a, b): a 2×2 grid of files; the
+    // dim pins one (a-half, b-half) cell per conjunct — each equality
+    // prunes its own column and the SAME scan narrows twice (the
+    // per-column tag admits the second measurement), landing on the
+    // one shared cell: strictly fewer files than either alone
+    val gridT = s"$root/grid"
+    FileUtils.deleteQuietly(new File(gridT))
+    val g = spark.range(0, 400).select(col("id").as("a"),
+      (col("id") * 7 % 400).as("b"), col("id").as("v"))
+    Seq(col("a") < 200 && col("b") >= 200, col("a") < 200 && col("b") < 200,
+      col("a") >= 200 && col("b") >= 200, col("a") >= 200 && col("b") < 200)
+      .foreach(p => TxnTable.commit(spark, g.filter(p).coalesce(1), gridT,
+        overwrite = false))
+    TxnStats.refresh(spark, gridT, "a")
+    TxnStats.refresh(spark, gridT, "b")
+    // id 50 → (a=50, b=350): the (a<200, b>=200) cell only. Each
+    // single-column prune keeps its half (2 files, values interleave
+    // inside the half), the conjunction opens the one shared cell
+    val d2 = Seq((50L, 350L)).toDF("da", "db")
+    def q = TxnTable.read(spark, gridT).join(d2,
+      col("a") === col("da") && col("b") === col("db"))
+    assert(factFiles(q) == 1, q.queryExecution.optimizedPlan)
+    assert(q.select("v").collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // one indexed + one UNINDEXED column: only the indexed conjunct
+    // prunes (2 of 4), the unindexed one declines — never blind-skips
+    val d3 = Seq((50L, 999L)).toDF("da", "dv")
+    def qu = TxnTable.read(spark, gridT).join(d3,
+      col("a") === col("da") && col("v") === col("dv"))
+    assert(factFiles(qu) == 2, qu.queryExecution.optimizedPlan)
+    assert(qu.count() == 0)
+  }
+
+  test("micro-batch bodies decline: foreachBatch joins never pay plan-time dim evaluation") {
+    // foreachBatch REPLANS per batch — paying the dim evaluation once
+    // per batch against a batch-sized delta is the one regime where
+    // plan-time pruning costs more than it saves (measured 3.5× on the
+    // streaming bench family). The rule declines by thread; the same
+    // join planned on the caller thread afterwards still prunes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    @volatile var inBatch = -1
+    val q = ms.toDF().writeStream.foreachBatch {
+      (_: DataFrame, _: Long) =>
+        inBatch = factFiles(
+          TxnTable.read(spark, factT).join(dim, col("k") === col("dk")))
+    }.start()
+    try { ms.addData(1L); q.processAllAvailable() } finally q.stop()
+    assert(inBatch == 4,
+      s"a micro-batch body must keep the full scan, opened $inBatch")
+    assert(factFiles(TxnTable.read(spark, factT)
+      .join(dim, col("k") === col("dk"))) == 3,
+      "the same join on the caller thread still prunes")
+  }
+
   test("range regime: key count past maxExactKeys still range-prunes") {
     spark.conf.set("spark.graft.autoDfp.maxExactKeys", "2")
     try {
