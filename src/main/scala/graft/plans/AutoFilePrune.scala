@@ -57,7 +57,9 @@ import graft.sources.{TxnStats, TxnTable}
   *  - the scan's column carries a min-max stats sidecar (file-system
   *    check, no IO beyond a listing),
   *  - key/fact types identical or both integral (the [[TxnStats]]
-  *    type discipline), the join key a BARE column of each side,
+  *    type discipline), the join key a BARE column of each side — or
+  *    a column under the integral WIDENING cast Catalyst inserts to
+  *    reconcile mixed-width keys ([[bareKey]]; narrowing declines),
   *  - O's estimated size ≤ `spark.graft.autoDfp.maxDimBytes` (default
   *    64 MiB) — the plan-time evaluation budget; a huge dim declines
   *    rather than scans. `spark.graft.autoDfp.maxExactKeys` bounds the
@@ -109,10 +111,40 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
         rewriteJoin(j)
     }
 
+  /** The attribute under a join-key expression, iff pruning on it is
+    * sound: bare columns, and integral WIDENING casts only — the form
+    * Catalyst itself inserts to reconcile an int fact key with a long
+    * dim key. Widening is monotone and injective, so file bounds on
+    * the raw column decide exactly what bounds on the cast value
+    * would; a NARROWING cast (user-written) truncates — a raw-bounds
+    * prune against post-cast keys could skip a matching file — and
+    * declines, as does everything else (arithmetic, string ops). */
+  private def bareKey(e: Expression): Option[Attribute] = {
+    def width(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(4); case LongType => Some(8)
+      case _ => None
+    }
+    e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast => c.child match {
+        case a: AttributeReference =>
+          (width(a.dataType), width(c.dataType)) match {
+            case (Some(f), Some(t)) if f <= t => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def rewriteJoin(j: Join): Join = {
     val eqs: Seq[(Attribute, Attribute)] =
-      splitConjunctivePredicates(j.condition.get).collect {
-        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      splitConjunctivePredicates(j.condition.get).flatMap {
+        case EqualTo(l, r) =>
+          for (a <- bareKey(l); b <- bareKey(r)) yield (a, b)
+        case _ => None
       }
     if (eqs.isEmpty) return j
     val (pruneLeft, pruneRight) = j.joinType match {
@@ -232,7 +264,7 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
     * itself). Anything else — Aggregate, Window, Limit, Union,
     * Generate — blocks: through those, early removal can change
     * SURVIVING rows' values or selection. */
-  private def scanFor(p: LogicalPlan, attr: Attribute): Option[LogicalRelation] =
+  private[plans] def scanFor(p: LogicalPlan, attr: Attribute): Option[LogicalRelation] =
     p match {
       case lr: LogicalRelation if lr.outputSet.contains(attr) => Some(lr)
       case f: Filter => scanFor(f.child, attr)
@@ -247,7 +279,7 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The txn-table root owning EVERY file of the scan (the dir with a
     * `_graft_log`), if one exists — file-system ancestry only. */
-  private def txnRootOf(fs: HadoopFsRelation): Option[String] = {
+  private[plans] def txnRootOf(fs: HadoopFsRelation): Option[String] = {
     val files = fs.location.inputFiles
     if (files.isEmpty) return None
     // ancestry-walk per DISTINCT parent dir, not per file — a txn scan

@@ -429,8 +429,82 @@ object WorkloadAdvisor {
             if (recommend) cs.size * (factRows - ndv) else 0L, recommend)
         }
     }
+    // ── STATS family: equi-join columns over a TXN table with no
+    //    min-max sidecar — the one piece of metadata standing between a
+    //    plain star join and an auto-pruned scan ([[AutoFilePrune]] /
+    //    `TxnStats.dfpRead`): the rule declines exactly these columns
+    //    today, and one `TxnStats.refresh` turns every future run of
+    //    the same join into O(selected files). Candidates reuse the
+    //    pruner's own walk (scanFor/txnRootOf), so advice and rule
+    //    agree on which scans qualify; columns whose sidecar already
+    //    exists contribute NO row (the closed loop — the prune is
+    //    already live). Priced at uses × (rows − rows / live files):
+    //    the rows a perfect file-granular prune skips. A join column
+    //    whose TYPE the stats discipline refuses (float) reports
+    //    recommend = false with the workaround named, like the layout
+    //    advisor's refusal rows.
+    val statsRows = {
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, KnownFloatingPointNormalized}
+      import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      // Catalyst wraps FLOAT/DOUBLE join keys in NaN/−0.0 normalizers;
+      // strip them so the refusal row (the whole point for floats) can
+      // still name the underlying column
+      def bare(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case k: KnownFloatingPointNormalized => bare(k.child)
+        case n: NormalizeNaNAndZero => bare(n.child)
+        case _ => None
+      }
+      val uses = scala.collection.mutable.Map.empty[(String, String), Long]
+      queries.foreach(q => q.queryExecution.optimizedPlan.foreach {
+        case j: Join if j.condition.isDefined =>
+          conjuncts(j.condition.get).foreach {
+            case EqualTo(l, r)
+                if bare(l).isDefined && bare(r).isDefined =>
+              Seq(bare(l).get, bare(r).get).foreach { attr =>
+                Seq(j.left, j.right).find(_.outputSet.contains(attr))
+                  .foreach { side =>
+                    for {
+                      scan <- AutoFilePrune.scanFor(side, attr)
+                      fs <- Some(scan.relation).collect {
+                        case h: HadoopFsRelation => h }
+                      root <- AutoFilePrune.txnRootOf(fs)
+                    } uses((root, attr.name)) =
+                      uses.getOrElse((root, attr.name), 0L) + 1L
+                  }
+              }
+            case _ => ()
+          }
+        case _ => ()
+      })
+      uses.toSeq.sortBy { case ((r, c), _) => (r, c) }
+        .flatMap { case ((root, cname), n) =>
+          if (graft.sources.TxnStats.indexedColumns(root).contains(cname))
+            None
+          else {
+            val dt = TxnTable.read(spark, root).schema
+              .find(_.name == cname).map(_.dataType)
+            val ok = dt.exists(graft.sources.TxnStats.supported)
+            val nFiles = TxnTable.liveFiles(root).size.toLong
+            val rows = rowsOfRoot(root)
+            val name = new java.io.File(root).getName
+            Some(("stats", s"$name.$cname", "refresh_stats",
+              if (ok) s"joins=$n,files=$nFiles"
+              else s"type_unsupported=${dt.map(_.simpleString).getOrElse("?")}," +
+                "cast_to_supported_first",
+              n, if (ok) n * (rows - rows / math.max(1L, nFiles)) else 0L,
+              ok))
+          }
+        }
+    }
     (rc ++ lattice ++ mv ++ mvTxn ++ stars ++ lay ++ comp ++ txnHealth ++
-        consRows ++ eagerRows)
+        consRows ++ eagerRows ++ statsRows)
       .sortBy { case (f, t, a, d, _, saved, rec) =>
         (!rec, -saved, f, t, a, d)
       }

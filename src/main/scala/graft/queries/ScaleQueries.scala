@@ -2034,6 +2034,52 @@ object ScaleQueries {
     //    merged view row; and a txn table with small-file state AND
     //    time-travel debt contributes the scan-free compact_txn and
     //    vacuum rows, all priced so DuckDB re-derives every number.
+    // ── ADVISOR: STATS family (WorkloadAdvisor `stats` rows) — the
+    //    auto-prune closed loop: an equi-join over a txn fact whose
+    //    join column has NO min-max sidecar is exactly the scan
+    //    plans.AutoFilePrune must decline today; the advisor names the
+    //    one refresh that turns every future run into O(selected
+    //    files), priced at uses × (rows − rows/files). After the
+    //    refresh the SAME workload contributes no stats row — the
+    //    prune is live, advice converges. Both stages golden-pinned.
+    sql("q_advisor_stats_dfp",
+      """SELECT 'a_missing' AS stage, 'wlstats_fact.o_custkey' AS target,
+        |       'refresh_stats' AS action, 'joins=1,files=4' AS detail,
+        |       CAST(1 AS BIGINT) AS weight,
+        |       (SELECT COUNT(*) - COUNT(*) // 4 FROM orders) AS saved_rows,
+        |       TRUE AS recommend
+        |UNION ALL
+        |SELECT 'b_indexed', 'rows=0', 'none', '', 0, 0, FALSE
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.plans.WorkloadAdvisor
+      import graft.sources.{TxnStats, TxnTable}
+      import s.implicits._
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      // nested so the table NAME (the advice row's target prefix) is
+      // sf-independent while the scratch dir stays per-sf
+      val fact = graft.Scratch.dir(
+        s"/root/repo/target/tmp/wlstats_$sfKey") + "/wlstats_fact"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fact))
+      TxnTable.commit(s, Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey").repartition(4), fact,
+        overwrite = false)
+      val dim = Tables.customer(s, d).select("c_custkey")
+      def jq() = TxnTable.read(s, fact)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+      val before = WorkloadAdvisor.report(s, Seq(jq()))
+        .filter(col("family") === "stats")
+        .select(lit("a_missing").as("stage"), col("target"), col("action"),
+          col("detail"), col("weight"), col("saved_rows"), col("recommend"))
+      TxnStats.refresh(s, fact, "o_custkey")
+      val after = WorkloadAdvisor.report(s, Seq(jq()))
+        .filter(col("family") === "stats").count()
+      before.union(Seq(("b_indexed", s"rows=$after", "none", "", 0L, 0L,
+          false))
+        .toDF("stage", "target", "action", "detail", "weight", "saved_rows",
+          "recommend"))
+        .orderBy("stage")
+    },
+
     sql("q_advisor_health",
       """WITH v1 AS MATERIALIZED (
         |  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),

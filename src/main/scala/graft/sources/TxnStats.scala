@@ -58,7 +58,7 @@ object TxnStats {
   /** The stats-storable types. Bounds under every one of these are
     * exact total orders; floats are excluded (NaN), binary/complex are
     * excluded (no useful range predicates reach them). */
-  private def supported(dt: DataType): Boolean = dt match {
+  private[graft] def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | StringType |
          DateType | TimestampType | TimestampNTZType => true
     case _: DecimalType => true

@@ -232,6 +232,29 @@ class AutoFilePruneSpec extends SparkSpec {
     assert(qu.count() == 0)
   }
 
+  test("mixed-width integral keys: the analyzer's widening cast doesn't block the prune") {
+    val intT = s"$root/intfact"
+    FileUtils.deleteQuietly(new File(intT))
+    val f = spark.range(0, 400).select(col("id").cast("int").as("ik"),
+      (col("id") * 7L).as("v"))
+    Seq(col("ik") < 100, col("ik") >= 100 && col("ik") < 200,
+      col("ik") >= 200 && col("ik") < 300, col("ik") >= 300).foreach(p =>
+      TxnTable.commit(spark, f.filter(p).coalesce(1), intT,
+        overwrite = false))
+    TxnStats.refresh(spark, intT, "ik")
+    // LONG dim keys against the INT fact column: Catalyst reconciles
+    // with cast(ik AS BIGINT) — widening, monotone, prunable
+    val dimL = Seq(5L, 250L, 399L).toDF("dk")
+    def q = TxnTable.read(spark, intT).join(dimL, col("ik") === col("dk"))
+    assert(factFiles(q) == 3, q.queryExecution.optimizedPlan)
+    assert(q.collect().toSet == unpruned { q.collect().toSet })
+    // a user-written NARROWING cast truncates — raw bounds cannot
+    // decide post-cast equality, so it must decline
+    def qn = TxnTable.read(spark, factT).join(dimL,
+      col("k").cast("int") === col("dk").cast("int"))
+    assert(factFiles(qn) == 4, qn.queryExecution.optimizedPlan)
+  }
+
   test("micro-batch bodies decline: foreachBatch joins never pay plan-time dim evaluation") {
     // foreachBatch REPLANS per batch — paying the dim evaluation once
     // per batch against a batch-sized delta is the one regime where

@@ -328,4 +328,59 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(wide.length == 1 && !wide.head.getAs[Boolean]("recommend") &&
       wide.head.getAs[Long]("saved_rows") == 0L)
   }
+
+  test("sidecar-less equi-join columns advise refresh_stats; building the sidecar retires the row") {
+    import spark.implicits._
+    val fact = s"$root/stats_fact"; val dim = s"$root/stats_dim"
+    Seq(fact, dim).foreach(p => FileUtils.deleteQuietly(new File(p)))
+    TxnTable.commit(spark,
+      (1L to 300L).map(i => (i, i % 50)).toDF("k", "g").repartition(3),
+      fact, overwrite = false)
+    TxnTable.commit(spark,
+      (1L to 50L).map(i => (i, s"t$i")).toDF("dk", "tag"), dim,
+      overwrite = false)
+    def j() = TxnTable.read(spark, fact)
+      .join(TxnTable.read(spark, dim), $"k" === $"dk")
+    val st = WorkloadAdvisor.report(spark, Seq(j(), j())).collect()
+      .filter(_.getAs[String]("family") == "stats")
+    // BOTH sidecar-less join columns advise, each priced at
+    // uses × (rows − rows/files)
+    assert(st.map(r => (r.getAs[String]("target"),
+      r.getAs[String]("action"))).toSet ==
+      Set(("stats_fact.k", "refresh_stats"), ("stats_dim.dk", "refresh_stats")),
+      st.mkString(";"))
+    val fk = st.find(_.getAs[String]("target") == "stats_fact.k").get
+    assert(fk.getAs[Long]("weight") == 2L)
+    assert(fk.getAs[String]("detail") == "joins=2,files=3")
+    assert(fk.getAs[Long]("saved_rows") == 2L * (300L - 300L / 3L))
+    assert(fk.getAs[Boolean]("recommend"))
+    // closed loop: the refresh the row names retires the row — the
+    // auto-prune (AutoFilePrune) serves the same join from then on
+    graft.sources.TxnStats.refresh(spark, fact, "k")
+    val rep2 = WorkloadAdvisor.report(spark, Seq(j())).collect()
+    assert(!rep2.exists(r => r.getAs[String]("family") == "stats" &&
+      r.getAs[String]("target") == "stats_fact.k"))
+    assert(rep2.exists(r => r.getAs[String]("family") == "stats" &&
+      r.getAs[String]("target") == "stats_dim.dk"),
+      "the still-unindexed dim column keeps its advice")
+    // a FLOAT join column refuses with the workaround named, priced 0
+    val ffact = s"$root/stats_ffact"
+    FileUtils.deleteQuietly(new File(ffact))
+    TxnTable.commit(spark,
+      (1L to 60L).map(i => (i.toDouble, i)).toDF("fk", "v"), ffact,
+      overwrite = false)
+    val fdimDir = s"$root/stats_fdim"
+    (1L to 10L).map(_.toDouble).toDF("fdk")
+      .write.mode("overwrite").parquet(fdimDir)
+    val fr = WorkloadAdvisor.report(spark, Seq(
+        TxnTable.read(spark, ffact).join(spark.read.parquet(fdimDir),
+          $"fk" === $"fdk"))).collect()
+      .filter(r => r.getAs[String]("family") == "stats" &&
+        r.getAs[String]("target") == "stats_ffact.fk")
+    assert(fr.length == 1, fr.mkString(";"))
+    assert(!fr.head.getAs[Boolean]("recommend") &&
+      fr.head.getAs[Long]("saved_rows") == 0L)
+    assert(fr.head.getAs[String]("detail")
+      .startsWith("type_unsupported=double"), fr.head.toString)
+  }
 }
