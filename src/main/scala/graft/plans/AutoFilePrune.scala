@@ -83,6 +83,34 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** MEMOIZED skip sets. The same logical join is re-optimized several
+    * times per query — every action wraps the shared analyzed tree in a
+    * fresh QueryExecution (a pruned scan lives only in the rewritten
+    * output tree, so the tag that stops re-evaluation can't ride
+    * along), and a lifecycle query replans its star after every
+    * commit — and each re-run re-paid the plan-time dim evaluation
+    * (2 small Spark jobs + a sidecar read). The key pins everything the
+    * answer depends on: the table root and column, the stats
+    * WATERMARK VERSION (a refresh bumps it → miss), the exact-key cap,
+    * and the CANONICALIZED dim subplan — canonical equality is
+    * semantic equality (same rows ⇒ same keys ⇒ same skip set), and a
+    * dim whose underlying relation instance changed (new files, new
+    * LocalRelation data) never compares equal. Per-file sidecar bounds
+    * are immutable facts about immutable files, so a hit can never be
+    * unsound — at worst a vacuumed file stays in the set, where
+    * subtracting it from the scan's pinned list is a no-op. LRU-bounded;
+    * values are file-name sets, metadata-sized. */
+  private final case class SkipKey(root: String, column: String,
+                                   watermark: Int, maxKeys: Long,
+                                   dim: LogicalPlan)
+  private val skipCache: java.util.Map[SkipKey, Option[Set[String]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[SkipKey, Option[Set[String]]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SkipKey, Option[Set[String]]]): Boolean =
+          size() > 32
+      })
+
   private def enabled: Boolean =
     conf.getConfString("spark.graft.autoDfp.enabled", "true").toBoolean
   private def maxDimBytes: Long =
@@ -213,21 +241,31 @@ object AutoFilePrune extends Rule[LogicalPlan] with PredicateHelper {
     val scanFiles = fsRel.location.inputFiles.toSeq
     if (scanFiles.size < 2) return side
 
-    inFlight.set(true)
+    val dimPlan = Project(Seq(oAttr), other)
+    val key = SkipKey(rootAbs, column,
+      TxnStats.indexedVersion(root, column), maxExactKeys,
+      dimPlan.canonicalized)
+    val cached = skipCache.get(key)
     val skipOpt =
-      try {
-        val keys = org.apache.spark.sql.graftshim.PlanDataFrame.ofRows(
-          spark, Project(Seq(oAttr), other))
-        TxnStats.dfpSkipSet(spark, root, column, keys, maxExactKeys)
-      } catch {
-        // the prune is an optimization: any surprise (concurrent
-        // vacuum of the sidecar, type drift) declines, never fails
-        // the query
-        case scala.util.control.NonFatal(_) =>
-          inFlight.set(false)
-          markMeasured(scan, already + column)
-          return side
-      } finally inFlight.set(false)
+      if (cached != null) cached
+      else {
+        inFlight.set(true)
+        try {
+          val keys = org.apache.spark.sql.graftshim.PlanDataFrame.ofRows(
+            spark, dimPlan)
+          val s = TxnStats.dfpSkipSet(spark, root, column, keys, maxExactKeys)
+          skipCache.put(key, s) // failures are never cached
+          s
+        } catch {
+          // the prune is an optimization: any surprise (concurrent
+          // vacuum of the sidecar, type drift) declines, never fails
+          // the query
+          case scala.util.control.NonFatal(_) =>
+            inFlight.set(false)
+            markMeasured(scan, already + column)
+            return side
+        } finally inFlight.set(false)
+      }
 
     val keep = skipOpt match {
       case None => Seq.empty // dim has no joinable key: nothing matches

@@ -318,24 +318,63 @@ object TxnLayout {
     * intact, empty change feed), plus the cluster sidecar recording each
     * new file's code range — the baseline [[reclusterIncremental]]
     * maintains. Returns the committed version. */
-  /** EQUI-DEPTH boundary measurement: up to min(2^bits − 1, 255)
-    * quantile cut points per column in ONE approx-percentile aggregate,
-    * deduplicated to strict increase (value ties beyond quantile
-    * resolution collapse — the only residue equi-depth carries). */
-  private def measureQuantiles(df: org.apache.spark.sql.DataFrame,
-                               cols: Seq[String],
-                               bits: Int): Seq[(String, Seq[Long])] = {
+  /** ALL of [[optimizeClustered]]'s measurements in ONE aggregate pass
+    * over the table: the equi-depth boundary arrays (up to
+    * min(2^bits − 1, 255) quantile cut points per column, deduplicated
+    * to strict increase — value ties beyond quantile resolution
+    * collapse, the only residue equi-depth carries), the winsorized
+    * scaling bounds when `clipQuantile` > 0, and the UNCLIPPED
+    * [min, max] domain [[boundsStaleness]] judges clamping against.
+    * These were three separate full scans (quantiles, clipped bounds,
+    * raw bounds); every value is a per-column aggregate of the same
+    * ordinal, so one job produces all of them — identical results, one
+    * table pass instead of two. Returns (qbounds, quant, raw) exactly
+    * as the separate calls did: qbounds empty unless equi-depth, quant
+    * empty under equi-depth (the boundary arrays take precedence), and
+    * quant ≡ raw when nothing is clipped. */
+  private def measureForOptimize(df: org.apache.spark.sql.DataFrame,
+                                 cols: Seq[String], bits: Int,
+                                 equidepth: Boolean, clipQuantile: Double)
+      : (Seq[(String, Seq[Long])], Seq[(String, Long, Long)],
+         Seq[(String, Long, Long)]) = {
+    val ords = cols.map(c =>
+      c -> graft.operators.Layout.ordinalOfCol(df, c)).toMap
     val b = math.min((1 << bits) - 1, 255)
     val fracs = (1 to b).map(i => i.toDouble / (b + 1))
-    val aggs = cols.map(c =>
-      percentile_approx(graft.operators.Layout.ordinalOfCol(df, c),
-        typedLit(fracs), lit(10000)).as(s"__q_$c"))
+    val qAggs =
+      if (equidepth) cols.map(c =>
+        percentile_approx(ords(c), typedLit(fracs), lit(10000)).as(s"__q_$c"))
+      else Nil
+    val clipped = !equidepth && clipQuantile > 0.0
+    val clipAggs =
+      if (clipped) cols.flatMap(c => Seq(
+        percentile_approx(ords(c), lit(clipQuantile), lit(10000)).as(s"__cl_$c"),
+        percentile_approx(ords(c), lit(1.0 - clipQuantile), lit(10000))
+          .as(s"__ch_$c")))
+      else Nil
+    val rawAggs = cols.flatMap(c => Seq(
+      min(ords(c)).as(s"__mn_$c"), max(ords(c)).as(s"__mx_$c")))
+    val aggs = qAggs ++ clipAggs ++ rawAggs
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) =>
-      val bs = if (r.isNullAt(i)) Seq.empty[Long]
-               else r.getSeq[Long](i).distinct.sorted
-      (c, bs)
-    }
+    // all-NULL columns: percentile slots are NULL (→ empty boundaries),
+    // min/max slots are NULL (→ the (0, 0) sentinel) — byte-for-byte
+    // the prior per-call behavior
+    def bounds(at: Int): Seq[(String, Long, Long)] =
+      cols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(at + 2 * i)) (c, 0L, 0L)
+        else (c, r.getLong(at + 2 * i), r.getLong(at + 2 * i + 1))
+      }
+    val qbounds =
+      if (equidepth) cols.zipWithIndex.map { case (c, i) =>
+        (c, if (r.isNullAt(i)) Seq.empty[Long]
+            else r.getSeq[Long](i).distinct.sorted)
+      } else Nil
+    val raw = bounds(qAggs.size + clipAggs.size)
+    val quant =
+      if (equidepth) Nil
+      else if (clipped) bounds(qAggs.size)
+      else raw
+    (qbounds, quant, raw)
   }
 
   def optimizeClustered(spark: SparkSession, table: String,
@@ -367,25 +406,19 @@ object TxnLayout {
     // values leaves range scaling with one fat bucket no
     // repartitionByRange can split; equi-depth spreads it).
     val equidepth = quantize && quantMode == "equidepth"
-    val qbounds =
-      if (equidepth)
-        measureQuantiles(TxnTable.read(spark, table), cols, bits)
-      else Nil
-    val quant =
-      if (quantize && !equidepth)
-        graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
-          cols, clipQuantile)
-      else Nil
+    val measured =
+      if (quantize)
+        measureForOptimize(TxnTable.read(spark, table), cols, bits,
+          equidepth, clipQuantile)
+      else (Nil, Nil, Nil)
+    val qbounds = measured._1
+    val quant = measured._2
     // the UNCLIPPED domain at measure time — what boundsStaleness
     // judges clamping against (the winsorized/quantile scaling bounds
     // deliberately exclude in-distribution outliers; counting those as
     // clamped would loop the re-optimize policy on a healthy layout).
     // When nothing was clipped the clean quant bounds ARE the domain.
-    val raw =
-      if (!quantize) Nil
-      else if (!equidepth && clipQuantile == 0.0) quant
-      else graft.operators.Layout.measureRanges(TxnTable.read(spark, table),
-        cols)
+    val raw = measured._3
     // equi-depth REFINEMENT width: the rank occupies ceil(log2(B+1))
     // bits for the REQUESTED cut count B (dedup collapse only lowers
     // actual ranks, never overflows), and whatever remains of `bits`
@@ -576,18 +609,50 @@ object TxnLayout {
     }
     val v =
       try {
+        def segJob(sg: Long, i: Int): Seq[String] = {
+          val part = tagged.filter(col("__seg") === sg)
+          val ranged =
+            if (spec.salt)
+              part.repartitionByRange(perSeg, col("__z"), col("__s"))
+                .sortWithinPartitions("__z", "__s").drop("__s")
+            else part.repartitionByRange(perSeg, col("__z"))
+              .sortWithinPartitions("__z")
+          writeSeg(ranged.drop("__z", "__seg"), i)
+        }
+        // the one-write-job-per-segment contract stands (a single
+        // unioned write merges output partitions across segments), but
+        // the segment jobs are INDEPENDENT — each reads the persisted
+        // tagged frame and writes its own staging dir — so they run
+        // CONCURRENTLY from a bounded pool (a couple of jobs in flight
+        // back-fills the cores a segment's straggler tail leaves idle;
+        // N segments previously paid N full job latencies end to end).
+        // Content is submission-order-independent and `added` keeps
+        // segment order, so the commit is byte-identical to the
+        // sequential form; a failed segment propagates its ORIGINAL
+        // exception and the staged dirs stay ordinary vacuum orphans.
+        val width = math.max(1, math.min(segs.size, spark.conf
+          .get("spark.graft.recluster.writeParallelism", "4").toInt))
         val added =
           if (segs.isEmpty) // stale files held no rows: remove-only rewrite
             Seq.empty[String]
-          else segs.zipWithIndex.flatMap { case (sg, i) =>
-            val part = tagged.filter(col("__seg") === sg)
-            val ranged =
-              if (spec.salt)
-                part.repartitionByRange(perSeg, col("__z"), col("__s"))
-                  .sortWithinPartitions("__z", "__s").drop("__s")
-              else part.repartitionByRange(perSeg, col("__z"))
-                .sortWithinPartitions("__z")
-            writeSeg(ranged.drop("__z", "__seg"), i)
+          else if (width == 1)
+            segs.zipWithIndex.flatMap { case (sg, i) => segJob(sg, i) }
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+            try {
+              val futs = segs.zipWithIndex.map { case (sg, i) =>
+                pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+                  override def call(): Seq[String] = segJob(sg, i)
+                })
+              }
+              futs.flatMap { f =>
+                try f.get()
+                catch { // surface the segment's own failure, not the wrapper
+                  case e: java.util.concurrent.ExecutionException =>
+                    throw Option(e.getCause).getOrElse(e)
+                }
+              }
+            } finally pool.shutdownNow()
           }
         TxnTable.publishRewrite(table, added, rewriteSet, Some(version))
       } finally tagged.unpersist() // incl. a failed segment write
