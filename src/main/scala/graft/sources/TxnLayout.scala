@@ -516,8 +516,16 @@ object TxnLayout {
         val ranges = spark.createDataFrame(
           clustered.map(f => (f, spec.ranges(f)._1, spec.ranges(f)._2)))
           .toDF("file", "lo", "hi")
+        // DISTINCT codes before the interval join: the join must be a
+        // broadcast nested loop (interval condition), and the stale
+        // scan is one task per stale file — a single bulk ingest file
+        // probed every range once PER ROW on one core (measured 2.4 s
+        // of the regrow lifecycle). Hit files depend only on the SET
+        // of stale codes (≤ 2^bits per column, far below row counts),
+        // and the distinct's exchange spreads the loop join across the
+        // full core count. Same hit set, O(distinct codes) work.
         TxnTable.readFileList(spark, table, stale)
-          .select(code.as("__z"))
+          .select(code.as("__z")).distinct()
           .join(broadcast(ranges), col("__z").between(col("lo"), col("hi")))
           .select("file").distinct()
           .collect().map(_.getString(0)).toSet
